@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views over
+<sfDir>/*.parquet, loads the Spark result parquet from <verifyOutDir>/<name>/,
+normalizes both (columns sorted by name, rows sorted by all columns), and
+compares values. Exit code 1 on any mismatch.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf  # exact: queries are engineered for determinism
+    return a == b or str(a) == str(b)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = normalize(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {out_dir}/{name}")
+            failures += 1
+            continue
+        got = normalize(pd.concat([pd.read_parquet(p) for p in sorted(files)]))
+        if list(got.columns) != list(expected.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(expected.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(expected):
+            print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
+            failures += 1
+            continue
+        bad = None
+        for c in got.columns:
+            ga, ea = got[c].tolist(), expected[c].tolist()
+            for i, (g, e) in enumerate(zip(ga, ea)):
+                if not values_equal(g, e):
+                    bad = (c, i, g, e)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, g, e = bad
+            print(f"FAIL {name}: value mismatch col={c} row={i}: spark={g!r} oracle={e!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows x {len(got.columns)} cols")
+    # queries with no oracle: report rows-only status
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            files = glob.glob(f"{d}/*.parquet")
+            n = sum(len(pd.read_parquet(p)) for p in files) if files else 0
+            print(f"INFO {name}: no oracle, rows={n}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {len(oracle) - failures}/{len(oracle)} oracle matches")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

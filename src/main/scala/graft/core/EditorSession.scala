@@ -1,0 +1,198 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import graft.core.Positional.POS
+import graft.io.Formats
+import graft.ops.{CellOps, PivotOps, RowOps, SchemaOps}
+
+/** The engine's session object: a mutable reference to an immutable
+  * DataFrame + the `__pos` ordering convention + an edit log.
+  *
+  * Replaces the reference's single in-memory `PandasModel._data`
+  * (`/root/reference/main.py:15-17`; v2 pyc@46-48) and its in-place
+  * mutation. Multi-table sessions (v1's MDI windows, `main.py:126-135`)
+  * are a name → session map ([[EditorSession.open]] + [[Catalog]]).
+  *
+  * Interactive-mutation-vs-lazy-plans (SURVEY.md §7.3.2): repeated cell
+  * edits are buffered in an edit log and materialized as ONE projection per
+  * edited column (`CASE WHEN __pos IN (...) THEN map[__pos] ELSE col`),
+  * not a tower of per-edit projections; every `compactEvery` flushes the
+  * plan with `localCheckpoint` so analysis cost stays bounded no matter how
+  * many edits the session has absorbed.
+  */
+class EditorSession private (val spark: SparkSession, private var table: DataFrame,
+                             compactEvery: Int = 64) {
+
+  /** pending cell edits: colName -> (pos -> casted value) */
+  private val editLog = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Long, Any]]
+  private var editsSinceCheckpoint = 0
+
+  /** The current table with all pending edits applied (lazy plan). */
+  def current: DataFrame = {
+    if (editLog.isEmpty) table
+    else editLog.foldLeft(table) { case (df, (colName, edits)) =>
+      val dt = table.schema(colName).dataType
+      df.withColumn(colName, compactedEditExpr(colName, dt, edits))
+    }
+  }
+
+  /** One projection per column for the whole edit map: membership test on
+    * the edited positions + map lookup. Null values are representable
+    * (membership decides, not the lookup result).
+    */
+  private def compactedEditExpr(colName: String, dt: DataType,
+                                edits: mutable.LinkedHashMap[Long, Any]) = {
+    val positions = edits.keys.toSeq
+    if (edits.size == 1) {
+      val (p, v) = edits.head
+      when(col(POS) === p, lit(v).cast(dt)).otherwise(col(colName))
+    } else {
+      val nonNull = edits.filter(_._2 != null)
+      val lookup =
+        if (nonNull.isEmpty) lit(null).cast(dt)
+        else element_at(
+          map(nonNull.toSeq.flatMap { case (p, v) => Seq(lit(p), lit(v).cast(dt)) }: _*),
+          col(POS))
+      when(col(POS).isInCollection(positions), lookup).otherwise(col(colName))
+    }
+  }
+
+  /** R7: full table replace (`update_data`, v2 pyc@96-100). Discards the
+    * edit log — matches the reference resetting the model.
+    */
+  def replace(df: DataFrame): Unit = { editLog.clear(); table = df }
+
+  /** Rebind through a transformation of the *current* view (edits folded
+    * in first so the log never refers to stale positions).
+    */
+  private def rebind(f: DataFrame => DataFrame): Unit = {
+    val folded = current
+    editLog.clear()
+    table = f(folded)
+  }
+
+  // ---- R1-R3: cell edits --------------------------------------------------
+
+  /** R1: typed cell edit. Cast failure rejects the edit, state unchanged
+    * (pandas `ValueError` parity, v2 pyc@72-77). O(1) driver work.
+    */
+  def setCell(pos: Long, colName: String, raw: String): Boolean =
+    table.schema.fields.find(_.name == colName) match {
+      case None => false
+      case Some(f) => CellOps.castStrict(raw, f.dataType) match {
+        case Failure(_) => false
+        case Success(v) => recordEdit(colName, pos, v); true
+      }
+    }
+
+  /** R3: boolean toggle. */
+  def setBool(pos: Long, colName: String, value: Boolean): Boolean = {
+    recordEdit(colName, pos, value); true
+  }
+
+  /** Explicit null write (delete cell content). */
+  def setNull(pos: Long, colName: String): Unit = recordEdit(colName, pos, null)
+
+  private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
+    editLog.getOrElseUpdate(colName, mutable.LinkedHashMap.empty).update(pos, v)
+    editsSinceCheckpoint += 1
+    if (editsSinceCheckpoint >= compactEvery) checkpoint()
+  }
+
+  /** Flush the edit log into a materialized plan cut-point. Keeps repeated
+    * interactive edits amortized-O(1) instead of growing analysis time.
+    */
+  def checkpoint(): Unit = {
+    table = current.localCheckpoint(eager = true)
+    editLog.clear()
+    editsSinceCheckpoint = 0
+  }
+
+  def pendingEdits: Int = editLog.valuesIterator.map(_.size).sum
+
+  // ---- R4-R6: row ops -----------------------------------------------------
+
+  def deleteRow(position: Long): Unit = rebind(RowOps.deleteRow(_, position))
+  def deleteRows(positions: Seq[Long]): Unit = rebind(RowOps.deleteRows(_, positions))
+
+  private var clipboard: Option[DataFrame] = None
+
+  /** R5: cut selected rows to the session clipboard (`main.py:107-114`). */
+  def cut(positions: Seq[Long]): Unit = rebind { df =>
+    val (clip, rest) = RowOps.cutRows(df, positions)
+    clipboard = Some(clip.localCheckpoint(eager = true))
+    rest
+  }
+
+  /** R6: paste the clipboard block at `position` (`main.py:58-65`). */
+  def paste(position: Long): Boolean = clipboard match {
+    case None => false
+    case Some(clip) => rebind(RowOps.pasteRows(_, clip, position)); true
+  }
+
+  // ---- P1-P2: schema ops --------------------------------------------------
+
+  def dropColumnAt(position: Int): Unit = rebind(SchemaOps.dropColumnAt(_, position))
+
+  def insertColumnAt(position: Int, spec: String): Unit = {
+    val (name, dt) = CellOps.parseNameDtype(spec)
+    rebind(SchemaOps.insertColumnAt(_, position, name, dt))
+  }
+
+  // ---- A1: pivot ----------------------------------------------------------
+
+  /** Pivot replaces the current table (v2 pyc@169) — positions re-derived
+    * from the new shape, ordered by the index key.
+    */
+  def pivot(index: String, columns: String, values: String, aggfunc: String): Unit =
+    rebind { df =>
+      val piv = PivotOps.pivotTable(Positional.strip(df), index, columns, values, aggfunc)
+      Positional.attachPos(piv, col(index))
+    }
+
+  // ---- paging / save ------------------------------------------------------
+
+  def page(lo: Long, hi: Long): DataFrame = Positional.page(current, lo, hi)
+
+  def rowCount: Long = current.count()
+
+  def save(path: String, singleFile: Boolean = true): Unit = {
+    val out = Positional.strip(current.orderBy(col(POS)))
+    if (singleFile) Formats.writeSingleFile(out, path) else Formats.write(out, path)
+  }
+}
+
+object EditorSession {
+  /** E1: load a file as a new session — lazy scan + `__pos` attach.
+    * `orderCols` must give a deterministic total order for reproducible
+    * positions; empty means file order (zipWithIndex over scan order).
+    */
+  def open(spark: SparkSession, path: String,
+           orderCols: Seq[String] = Nil): EditorSession = {
+    val df = Formats.read(spark, path)
+    new EditorSession(spark, Positional.attachPos(df, orderCols.map(col): _*))
+  }
+
+  /** "New DataFrame" — empty session (v2 pyc@285-288). */
+  def empty(spark: SparkSession): EditorSession =
+    new EditorSession(spark, Positional.attachPos(Formats.emptyTable(spark)))
+
+  def fromDataFrame(df: DataFrame, orderCols: Seq[String]): EditorSession =
+    new EditorSession(df.sparkSession, Positional.attachPos(df, orderCols.map(col): _*))
+}
+
+/** v1 MDI parity: multiple named tables in one process (`main.py:126-135`). */
+class Catalog(spark: SparkSession) {
+  private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
+  def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
+    val s = EditorSession.open(spark, path, orderCols)
+    sessions(name) = s; s
+  }
+  def get(name: String): Option[EditorSession] = sessions.get(name)
+  def close(name: String): Unit = sessions.remove(name)
+  def names: Seq[String] = sessions.keys.toSeq
+}

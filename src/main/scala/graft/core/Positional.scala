@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Stable row-position (`__pos`) maintenance.
+  *
+  * The reference addresses every cell positionally (`DataFrame.iloc[row, col]`,
+  * `/root/reference/main.py:29,35`; v2 pyc@63,71-74) over an intrinsically
+  * ordered pandas table. Spark DataFrames are unordered, so the engine carries
+  * an explicit dense `__pos: Long` column (0..n-1) and defines every
+  * positional operator against it.
+  *
+  * Scale note: `row_number()` over a global window collapses to a single
+  * partition — fine interactively, fatal at 100 TB. The scalable path
+  * ([[attachPos]]) is sort → `zipWithIndex`: the sort is a distributed
+  * range-partitioned exchange and the index assignment is per-partition with
+  * one extra count job for the offsets. Positions stay dense and deterministic
+  * given a deterministic ordering key.
+  */
+object Positional {
+  val POS = "__pos"
+
+  /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed
+    * (no single-partition window). Ordering columns must form a total order
+    * for cross-engine determinism.
+    */
+  def attachPos(df: DataFrame, order: Column*): DataFrame = {
+    val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
+    val schema = StructType(sorted.schema.fields :+ StructField(POS, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Small-data variant: `row_number()` global window (single partition).
+    * Used only for interactive-size tables; documented trade-off per
+    * SURVEY.md §7.3.
+    */
+  def attachPosWindow(df: DataFrame, order: Column*): DataFrame = {
+    val w =
+      if (order.nonEmpty) Window.orderBy(order: _*)
+      else Window.orderBy(monotonically_increasing_id())
+    df.withColumn(POS, row_number().over(w).cast(LongType) - 1L)
+  }
+
+  /** Re-number to dense 0..n-1 preserving current `__pos` order (after a
+    * delete/splice the positions have holes or shifted duplicates).
+    */
+  def renumber(df: DataFrame): DataFrame = {
+    require(df.columns.contains(POS), s"renumber requires $POS")
+    val schema = df.drop(POS).schema.add(StructField(POS, LongType, nullable = false))
+    val rdd = df.orderBy(col(POS)).drop(POS).rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Serve one page [lo, hi) of rows by position — the engine-side
+    * equivalent of the reference's virtualized QTableView rendering
+    * (v2 pyc@58-66). A range predicate on `__pos` prunes row groups when the
+    * table is written sorted-by-`__pos` (min/max parquet stats).
+    */
+  def page(df: DataFrame, lo: Long, hi: Long): DataFrame =
+    df.filter(col(POS) >= lo && col(POS) < hi).orderBy(col(POS))
+
+  /** Drop the bookkeeping column before a sink write (positions are an
+    * engine convention, not user data).
+    */
+  def strip(df: DataFrame): DataFrame =
+    if (df.columns.contains(POS)) df.drop(POS) else df
+}

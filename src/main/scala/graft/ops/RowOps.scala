@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Positional
+import graft.core.Positional.POS
+
+/** R4-R6: positional row DML over the `__pos` convention.
+  *
+  * Reference semantics: `drop(index[position])` (v1 `main.py:48-51`;
+  * v2 pyc@122-126), multi-row cut to a clipboard (`main.py:53-56,107-114`),
+  * paste-splice via order-preserving concat (`main.py:58-65`).
+  *
+  * Scale notes: delete and cut are single narrow filters (no shuffle);
+  * only the dense re-numbering costs a pass. Splice is expressed with pure
+  * position arithmetic — three filters + union + per-branch `__pos`
+  * re-assignment — so no global sort is needed and the union stays
+  * partition-local.
+  */
+object RowOps {
+
+  /** R4: delete the row at `position`, then close the gap (rows after it
+    * shift up by one). Pure arithmetic on `__pos` — no re-sort, no window.
+    */
+  def deleteRow(df: DataFrame, position: Long): DataFrame =
+    df.filter(col(POS) =!= position)
+      .withColumn(POS, when(col(POS) > position, col(POS) - 1L).otherwise(col(POS)))
+
+  /** R4 multi: delete a set of positions, re-pack densely. */
+  def deleteRows(df: DataFrame, positions: Seq[Long]): DataFrame = {
+    if (positions.isEmpty) return df
+    val sorted = positions.distinct.sorted
+    val kept = df.filter(!col(POS).isInCollection(sorted))
+    // shift = count of deleted positions below this row; small literal list
+    // per delete gesture, folded by codegen into branch-free comparisons.
+    val shift = sorted.map(p => when(col(POS) > p, 1L).otherwise(0L))
+      .reduce(_ + _)
+    kept.withColumn(POS, col(POS) - shift)
+  }
+
+  /** R5: multi-row cut — returns (clipboard, remaining-table). Clipboard
+    * rows get dense 0..k-1 positions in their original relative order
+    * (`rows = sorted(set(...))`, `main.py:110`).
+    */
+  def cutRows(df: DataFrame, positions: Seq[Long]): (DataFrame, DataFrame) = {
+    val sorted = positions.distinct.sorted
+    val clip = df.filter(col(POS).isInCollection(sorted))
+    val clipRenum = Positional.renumber(clip)
+    (clipRenum, deleteRows(df, sorted))
+  }
+
+  /** R6: paste-splice — insert the clipboard block at `position`:
+    * `concat([iloc[:pos], clip, iloc[pos:]])` (`main.py:58-65`).
+    * Upper keeps its positions, clipboard lands at pos..pos+k-1, lower
+    * shifts down by k. `unionByName` + arithmetic; order is carried entirely
+    * by `__pos`, so no branch needs a sort or single partition.
+    */
+  def pasteRows(df: DataFrame, clipboard: DataFrame, position: Long): DataFrame = {
+    val k = clipboard.count() // one tiny job; clipboard is gesture-sized
+    val upper = df.filter(col(POS) < position)
+    val lower = df.filter(col(POS) >= position)
+      .withColumn(POS, col(POS) + lit(k))
+    val clip = clipboard.withColumn(POS, col(POS) + lit(position))
+    upper.unionByName(clip).unionByName(lower)
+  }
+
+  /** R7: full table replace is a rebind — see [[graft.core.EditorSession]]. */
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{EditorSession, Positional, Tables}
+import graft.ops._
+
+/** Parity query surface: one runnable query per SURVEY.md §2 operator row,
+  * paired with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *  - every money aggregate goes through `decimal(18,2)` so the sum is exact
+  *    and engine-order-independent, then casts to double for a stable final
+  *    representation;
+  *  - every result carries an ORDER BY over a total order;
+  *  - doubles are never rendered to strings (engines format differently);
+  *  - column aliases match the oracle exactly.
+  */
+object ParityQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+
+  /** lineitem with deterministic dense positions (total order on the PK). */
+  private def liPos(s: SparkSession, dir: String) =
+    Positional.attachPos(li(s, dir), col("l_orderkey"), col("l_linenumber"))
+
+  private val liPosSql =
+    "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __pos FROM lineitem"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-ops -----------------------------------------------------------------
+    "q1_agg" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "a1_pivot" -> ((s, dir) =>
+      PivotOps.pivotTable(
+          li(s, dir).withColumn("l_extendedprice",
+            col("l_extendedprice").cast("decimal(18,2)")),
+          "l_returnflag", "l_linestatus", "l_extendedprice", "sum",
+          pivotValues = Seq("F", "O"))
+        .select(col("l_returnflag"),
+          col("F").cast("double").as("F"), col("O").cast("double").as("O"))
+        .orderBy("l_returnflag")),
+
+    "a2_selection_stats" -> ((s, dir) =>
+      PivotOps.selectionStats(li(s, dir), "l_orderkey", "l_linenumber")),
+
+    // S-ops -----------------------------------------------------------------
+    "s1_scan" -> ((s, dir) =>
+      li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P-ops -----------------------------------------------------------------
+    "p1_drop_column" -> ((s, dir) =>
+      SchemaOps.dropColumnAt(Tables.load(s, dir, "region"), 1)
+        .orderBy("r_regionkey")),
+
+    "p2_add_column" -> ((s, dir) =>
+      SchemaOps.insertColumnAt(Tables.load(s, dir, "nation"), 1, "flag",
+          org.apache.spark.sql.types.BooleanType)
+        .orderBy("n_nationkey")),
+
+    "p3_numeric_projection" -> ((s, dir) =>
+      SchemaOps.numericProjection(li(s, dir))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R-ops (positional DML through the EditorSession surface) --------------
+    "r1_cell_edit" -> ((s, dir) => {
+      val sess = EditorSession.fromDataFrame(li(s, dir),
+        Seq("l_orderkey", "l_linenumber"))
+      require(sess.setCell(5L, "l_quantity", "999"), "edit rejected")
+      require(!sess.setCell(6L, "l_quantity", "not-a-number"),
+        "bad cast must be rejected")
+      sess.current.select("__pos", "l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("__pos") < 20).orderBy("__pos")
+    }),
+
+    "r4_row_delete" -> ((s, dir) => {
+      val sess = EditorSession.fromDataFrame(li(s, dir),
+        Seq("l_orderkey", "l_linenumber"))
+      sess.deleteRows(Seq(3L, 4L))
+      sess.current.select("__pos", "l_orderkey", "l_linenumber")
+        .filter(col("__pos") < 20).orderBy("__pos")
+    }),
+
+    "r6_cut_paste" -> ((s, dir) => {
+      val sess = EditorSession.fromDataFrame(li(s, dir),
+        Seq("l_orderkey", "l_linenumber"))
+      sess.cut(Seq(10L, 11L, 12L))
+      require(sess.paste(0L), "paste with clipboard must succeed")
+      sess.current.select("__pos", "l_orderkey", "l_linenumber")
+        .filter(col("__pos") < 20).orderBy("__pos")
+    }),
+
+    // F-ops -----------------------------------------------------------------
+    "f1_render_string" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+          coalesce(col("o_orderpriority"), lit("")).as("prio_str"))
+        .orderBy("o_orderkey")),
+
+    // V-ops -----------------------------------------------------------------
+    "v3_histogram" -> ((s, dir) =>
+      StatsOps.histogramFixed(li(s, dir), "l_extendedprice", 0.0, 120000.0, 12)
+        .orderBy("bucket")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a1_pivot" ->
+      """SELECT l_returnflag,
+        |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS F,
+        |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_extendedprice as decimal(18,2)) END) as double) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a2_selection_stats" ->
+      """SELECT count(*) AS n_cells,
+        |  count(DISTINCT l_orderkey) AS n_rows,
+        |  count(DISTINCT l_linenumber) AS n_cols
+        |FROM lineitem""".stripMargin,
+
+    "s1_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p1_drop_column" ->
+      "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+
+    "p2_add_column" ->
+      """SELECT n_nationkey, false AS flag, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "p3_numeric_projection" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "r1_cell_edit" ->
+      s"""WITH t AS ($liPosSql)
+         |SELECT __pos, l_orderkey, l_linenumber,
+         |  CASE WHEN __pos = 5 THEN cast(999 as double) ELSE l_quantity END AS l_quantity
+         |FROM t WHERE __pos < 20 ORDER BY __pos""".stripMargin,
+
+    "r4_row_delete" ->
+      s"""WITH t AS ($liPosSql),
+         |d AS (SELECT * FROM t WHERE __pos NOT IN (3, 4))
+         |SELECT row_number() OVER (ORDER BY __pos) - 1 AS __pos,
+         |  l_orderkey, l_linenumber
+         |FROM d ORDER BY 1 LIMIT 20""".stripMargin,
+
+    "r6_cut_paste" ->
+      s"""WITH t AS ($liPosSql)
+         |SELECT CASE WHEN __pos BETWEEN 10 AND 12 THEN __pos - 10
+         |            WHEN __pos < 10 THEN __pos + 3
+         |            ELSE __pos END AS __pos,
+         |  l_orderkey, l_linenumber
+         |FROM t WHERE (CASE WHEN __pos BETWEEN 10 AND 12 THEN __pos - 10
+         |                   WHEN __pos < 10 THEN __pos + 3
+         |                   ELSE __pos END) < 20
+         |ORDER BY __pos""".stripMargin,
+
+    "f1_render_string" ->
+      """SELECT o_orderkey, cast(o_orderkey as varchar) AS key_str,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  coalesce(o_orderpriority, '') AS prio_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "v3_histogram" ->
+      """SELECT least(cast(floor(l_extendedprice / 10000.0) as bigint), 11) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{EditorSession, Positional, Tables}
+import graft.ops._
+
+class PositionalSpec extends SparkSpec {
+  test("attachPos assigns dense 0..n-1 in key order") {
+    val n = Tables.load(spark, sf, "nation")
+    val pos = Positional.attachPos(n, col("n_nationkey"))
+    val rows = pos.select("__pos", "n_nationkey").orderBy("__pos").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length))
+    assert(rows.map(_.getInt(1)).toSeq == rows.map(_.getInt(1)).sorted.toSeq)
+  }
+
+  test("page serves a half-open positional window in order") {
+    val li = Positional.attachPos(Tables.load(spark, sf, "lineitem"),
+      col("l_orderkey"), col("l_linenumber"))
+    val page = Positional.page(li, 10, 15).collect()
+    assert(page.length == 5)
+    assert(page.map(_.getAs[Long]("__pos")).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("renumber re-packs holes densely preserving order") {
+    val n = Positional.attachPos(Tables.load(spark, sf, "nation"), col("n_nationkey"))
+    val holey = n.filter(col("__pos") % 2 === 0)
+    val packed = Positional.renumber(holey)
+    val keys = packed.orderBy("__pos").select("n_nationkey").collect().map(_.getInt(0))
+    assert(packed.count() == holey.count())
+    assert(keys.toSeq == keys.sorted.toSeq)
+  }
+}
+
+class EditorSessionSpec extends SparkSpec {
+  private def freshSession() = EditorSession.fromDataFrame(
+    Tables.load(spark, sf, "nation"), Seq("n_nationkey"))
+
+  test("R1: typed edit applies; bad cast rejected with state unchanged") {
+    val s = freshSession()
+    assert(s.setCell(0L, "n_regionkey", "7"))
+    assert(!s.setCell(1L, "n_regionkey", "xyz"))
+    val rows = s.current.filter(col("__pos") < 2).orderBy("__pos")
+      .select("n_regionkey").collect()
+    assert(rows(0).getInt(0) == 7)
+    assert(rows(1).getInt(0) != 7)
+  }
+
+  test("edit log compacts many edits into one projection and checkpoints") {
+    val s = EditorSession.fromDataFrame(
+      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+    (0 until 100).foreach(i => assert(s.setCell(i.toLong, "l_quantity", "111")))
+    // compactEvery=64 → at least one checkpoint happened; remaining pending < 64
+    assert(s.pendingEdits < 64)
+    val got = s.current.filter(col("__pos") < 100)
+      .agg(sum(when(col("l_quantity") === 111.0, 1).otherwise(0))).head.getLong(0)
+    assert(got == 100L)
+  }
+
+  test("R4: delete closes the gap") {
+    val s = freshSession()
+    val before = s.current.orderBy("__pos").select("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    s.deleteRow(2L)
+    val after = s.current.orderBy("__pos").collect()
+    assert(after.length == before.length - 1)
+    assert(after.map(_.getAs[Long]("__pos")).toSeq == (0L until after.length))
+    assert(after.map(_.getAs[Int]("n_nationkey")).toSeq ==
+      (before.take(2) ++ before.drop(3)))
+  }
+
+  test("R5/R6: cut then paste at same position is identity on content") {
+    val s = freshSession()
+    val before = s.current.orderBy("__pos").select("n_name")
+      .collect().map(_.getString(0)).toSeq
+    s.cut(Seq(3L, 4L))
+    assert(s.paste(3L))
+    val after = s.current.orderBy("__pos").select("n_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == before)
+  }
+
+  test("R6: paste at 0 moves the block to the front") {
+    val s = freshSession()
+    val before = s.current.orderBy("__pos").select("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    s.cut(Seq(10L, 11L))
+    assert(s.paste(0L))
+    val after = s.current.orderBy("__pos").select("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    assert(after == Seq(before(10), before(11)) ++ before.patch(10, Nil, 2))
+  }
+
+  test("A1: pivot replaces the table (R7) with aggregated shape") {
+    val s = EditorSession.fromDataFrame(
+      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+    s.pivot("l_returnflag", "l_linestatus", "l_extendedprice", "sum")
+    val cols = s.current.columns.toSet
+    assert(cols.contains("l_returnflag") && cols.contains("__pos"))
+    assert(s.rowCount == 3) // A, N, R
+  }
+
+  test("P1/P2: insert column with typed default, then drop it") {
+    val s = freshSession()
+    s.insertColumnAt(1, "active bool")
+    val schema = s.current.schema
+    assert(schema.fieldNames.toSeq.take(2) == Seq("n_nationkey", "active"))
+    assert(schema("active").dataType == BooleanType)
+    assert(s.current.filter(col("active") === false).count() == s.rowCount)
+    s.dropColumnAt(1)
+    assert(!s.current.columns.contains("active"))
+  }
+}
+
+class CellOpsSpec extends SparkSpec {
+  test("castStrict parity with pandas dtype.type(value)") {
+    assert(CellOps.castStrict("42", IntegerType).get == 42)
+    assert(CellOps.castStrict("4.5", DoubleType).get == 4.5)
+    assert(CellOps.castStrict("true", BooleanType).get == true)
+    assert(CellOps.castStrict("abc", IntegerType).isFailure)
+    assert(CellOps.castStrict("4.5", IntegerType).isFailure)
+    assert(CellOps.castStrict("2024-01-02", DateType).get ==
+      java.sql.Date.valueOf("2024-01-02"))
+  }
+
+  test("parseNameDtype implements the intended 'name dtype' split") {
+    assert(CellOps.parseNameDtype("score double") == (("score", DoubleType)))
+    assert(CellOps.parseNameDtype("tag") == (("tag", StringType)))
+    assert(CellOps.parseNameDtype("ok bool") == (("ok", BooleanType)))
+    intercept[IllegalArgumentException](CellOps.parseNameDtype("x nosuch"))
+  }
+}
+
+class StatsOpsSpec extends SparkSpec {
+  test("V3: histogram buckets cover all rows") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val h = StatsOps.histogramFixed(li, "l_extendedprice", 0.0, 120000.0, 12)
+    assert(h.agg(sum("n")).head.getLong(0) == li.count())
+    assert(h.select(max("bucket")).head.getLong(0) <= 11)
+  }
+
+  test("V2/V4: scatter guard and numeric check") {
+    val li = Tables.load(spark, sf, "lineitem")
+    assert(StatsOps.hasNumericData(li))
+    assert(StatsOps.scatterSource(li).columns.length == 2)
+    val strOnly = Tables.load(spark, sf, "region").select("r_name")
+    assert(!StatsOps.hasNumericData(strOnly))
+    intercept[IllegalArgumentException](StatsOps.scatterSource(strOnly))
+  }
+}

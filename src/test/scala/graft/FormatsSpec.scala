@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Formats
+import graft.core.Tables
+
+class FormatsSpec extends SparkSpec {
+  private def tmp(suffix: String): String =
+    Files.createTempDirectory("graft_fmt_").toString + "/out" + suffix
+
+  test("S9: extension dispatch routes and rejects") {
+    assert(Formats.detect("a/b.parquet") == Formats.ParquetF)
+    assert(Formats.detect("a/b.CSV") == Formats.CsvF)
+    assert(Formats.detect("b.json") == Formats.JsonF)
+    assert(Formats.detect("b.xlsx") == Formats.ExcelF)
+    intercept[IllegalArgumentException](Formats.detect("b.txt"))
+  }
+
+  test("S1/S5: parquet round-trip preserves schema and rows") {
+    val n = Tables.load(spark, sf, "nation")
+    val path = tmp(".parquet")
+    Formats.write(n, path)
+    val back = Formats.read(spark, path)
+    assert(back.count() == n.count())
+    assert(back.schema == n.schema)
+  }
+
+  test("S2/S6: csv round-trip preserves rows (types re-inferred)") {
+    val r = Tables.load(spark, sf, "region")
+    val path = tmp(".csv")
+    Formats.write(r, path)
+    val back = Formats.read(spark, path)
+    assert(back.count() == r.count())
+    assert(back.columns.toSeq == r.columns.toSeq)
+  }
+
+  test("S4/S8: json round-trip (records orientation) preserves rows") {
+    val n = Tables.load(spark, sf, "nation")
+    val path = tmp(".json")
+    Formats.write(n, path)
+    val back = Formats.read(spark, path)
+    assert(back.count() == n.count())
+    assert(back.columns.sorted.toSeq == n.columns.sorted.toSeq)
+  }
+
+  test("S5 single-file sink writes exactly one file at the given path") {
+    val n = Tables.load(spark, sf, "nation")
+    val path = tmp(".parquet")
+    Formats.writeSingleFile(n, path)
+    val f = new java.io.File(path)
+    assert(f.isFile)
+    val back = spark.read.parquet(path)
+    assert(back.count() == n.count())
+  }
+
+  test("S3/S7: excel raises a clear unsupported error") {
+    intercept[UnsupportedOperationException](Formats.read(spark, "x.xlsx"))
+  }
+
+  test("S10: empty table has zero rows and zero columns") {
+    val e = Formats.emptyTable(spark)
+    assert(e.columns.isEmpty && e.count() == 0)
+  }
+}
+
+class QueriesSmokeSpec extends SparkSpec {
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
