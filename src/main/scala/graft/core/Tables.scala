@@ -17,4 +17,24 @@ object Tables {
   /** Lazy parquet scan of one named table under `dir`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table is written with nanosecond timestamps, which the
+    * Spark 4 parquet reader rejects outright; read them as raw nanos
+    * (legacy flag) and surface a proper micros TimestampType `ts`.
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ns-long `ts` → TimestampType (micros); no-op if already timestamp.
+    * Integer `div` — a double roundtrip would lose precision at ~1.7e18 ns.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
 }

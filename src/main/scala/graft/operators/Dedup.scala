@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, set-similarity
+  * (n-gram Jaccard), MinHash+LSH, and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - [[exact]] is one hash-shuffle on a 16-byte fingerprint — the cheapest
+  *    possible full dedup; at 100 TB the shuffle carries only
+  *    (fingerprint, id), never the document bodies.
+  *  - [[shingleJaccardPairs]] is an inverted-index set-similarity join:
+  *    explode shingles → self-join on shingle → count shared shingles →
+  *    jaccard from |A|,|B|,|A∩B|. No O(n²) pair enumeration; cost is
+  *    Σ df(shingle)² over the shingle vocabulary. Hot shingles are capped
+  *    (`maxShingleDf`) — the standard prefix-filtering/stop-shingle guard
+  *    that keeps the join from quadratic blowup on boilerplate text.
+  *  - [[minhashLshPairs]] replaces the exact index join with banded MinHash
+  *    buckets: candidate generation touches only (band, bandHash) keys, so
+  *    the shuffle volume is O(n · bands), independent of document length —
+  *    this is the 100 TB path. Candidates are verified with exact Jaccard
+  *    so precision is 1.0; recall follows the standard (1-(1-j^r)^b) curve.
+  *  - [[simhashPairs]] catches small *edit*-distance clones via 64-bit
+  *    SimHash and banded Hamming search (pigeonhole: dist ≤ maxHamming must
+  *    match on ≥1 of maxHamming+1 bands).
+  *
+  * All hashing uses Spark's built-in xxhash64 (codegen'd, deterministic
+  * across runs/clusters); signatures are array-expression folds — zero UDFs,
+  * zero driver-side loops.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per canonical-text fingerprint.
+    * Returns (fingerprint, keep_id, n_dupes).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Rows of `df` with duplicate-by-fingerprint rows removed (keeps min id).
+    * Shuffles (fp, id) once, then a semi-join brings back surviving rows.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Per-document distinct shingle sets: (id, shingles, n_sh). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+
+  /** N-gram Jaccard set-similarity join: all pairs (i<j) with
+    * jaccard(shingles_i, shingles_j) >= threshold.
+    * Output: (id_i, id_j, jaccard).
+    */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.4,
+                          maxShingleDf: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val invFiltered = maxShingleDf match {
+      case None => inv
+      case Some(cap) =>
+        // stop-shingle guard: drop shingles appearing in more than `cap`
+        // docs — they contribute candidates quadratically but little
+        // similarity signal.
+        val hot = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
+          .filter(col("df_s") > cap).select("s")
+        inv.join(hot, Seq("s"), "left_anti")
+    }
+    val a = invFiltered.select(col("s"), col("id").as("id_i"), col("n_sh").as("n_i"))
+    val b = invFiltered.select(col("s"), col("id").as("id_j"), col("n_sh").as("n_j"))
+    a.join(b, Seq("s")).filter(col("id_i") < col("id_j"))
+      .groupBy("id_i", "id_j", "n_i", "n_j")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_i") + col("n_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_i", "id_j", "jaccard")
+  }
+
+  /** MinHash signature as an array column: sig[k] = min over shingles of
+    * xxhash64(k, shingle). Computed entirely as nested array expressions —
+    * per-row, no shuffle, no UDF.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingleCol, s => xxhash64(k, s))))
+
+  /** Banded LSH keys from a signature: one 64-bit hash per band of r rows,
+    * folded with xxhash64 chaining (seeded by the band index so identical
+    * row-slices in different bands land in different buckets).
+    */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => aggregate(slice(sigCol, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+        xxhash64(b), (acc, v) => xxhash64(acc, v)))
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+    * Candidate generation: explode (bandIdx, bandHash) → groupBy bucket →
+    * pairs inside buckets. Verification joins shingle sets back and keeps
+    * pairs with true jaccard >= threshold, so output precision is exact.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.4,
+                      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val banded = sets
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), posexplode(lshBands(col("sig"), bands, r)).as(Seq("band_i", "band_h")))
+    val x = banded.select(col("band_i"), col("band_h"), col("id").as("id_i"))
+    val y = banded.select(col("band_i"), col("band_h"), col("id").as("id_j"))
+    val candidates = x.join(y, Seq("band_i", "band_h"))
+      .filter(col("id_i") < col("id_j"))
+      .select("id_i", "id_j").distinct()
+    val withSets = candidates
+      .join(sets.select(col("id").as("id_i"), col("sh").as("sh_i"), col("n_sh").as("n_i")), "id_i")
+      .join(sets.select(col("id").as("id_j"), col("sh").as("sh_j"), col("n_sh").as("n_j")), "id_j")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_i") + col("n_j") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_i", "id_j", "jaccard")
+  }
+
+  /** 64-bit SimHash from a precomputed token-hash array column: bit b is set
+    * iff the sum over tokens of (bit b of hash ? +1 : -1) is positive.
+    * Nested expression fold; shift amounts are data-dependent so the
+    * Expression-level shiftright/shiftleft (Column amounts) are reached via
+    * call_function.
+    */
+  def simhashFromHashes(hs: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(hs, lit(0),
+          (s, h) => s + when(call_function("shiftright", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc.bitwiseOR(when(bitSum > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L)))
+      })
+
+  /** 64-bit SimHash over a text column's tokens. */
+  def simhash64(textCol: Column): Column =
+    simhashFromHashes(transform(TextFunctions.tokens(textCol), t => xxhash64(t)))
+
+  /** SimHash near-clone pairs with Hamming distance <= maxHamming, found by
+    * banding the 64-bit signature into maxHamming+1 chunks (pigeonhole: any
+    * pair within distance k agrees on at least one of k+1 chunks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = df
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .cache()
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("sig"), c * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("chunk_i", "chunk_v")))
+    val x = banded.select(col("chunk_i"), col("chunk_v"),
+      col("id").as("id_i"), col("sig").as("sig_i"))
+    val y = banded.select(col("chunk_i"), col("chunk_v"),
+      col("id").as("id_j"), col("sig").as("sig_j"))
+    x.join(y, Seq("chunk_i", "chunk_v"))
+      .filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"),
+        bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

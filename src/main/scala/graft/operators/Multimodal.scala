@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, processed per-partition in batches.
+  *
+  * The Spark-side machinery here is real — schemas, batch iteration,
+  * partition sizing, null handling — while the media codecs themselves are
+  * STUBBED (this container has no image/audio libraries): [[StubCodec]] is a
+  * deterministic fake that "decodes" a header from the first bytes. Swapping
+  * in a real codec is a one-function change; nothing else moves.
+  *
+  * Scale notes: binary payloads dominate row size, so operators here
+  *  - never shuffle the binary column (metadata is derived in a projection,
+  *    feature extraction is mapPartitions — both narrow);
+  *  - control partition granularity by bytes not rows
+  *    (`repartitionForPayload`): 100 MB of 1 MB images is 100 rows/task.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata produced by the (stubbed) codec. */
+  case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
+
+  /** Deterministic fake codec: derives pseudo-metadata from payload bytes.
+    * Real implementation would parse actual container headers here.
+    */
+  object StubCodec {
+    def decodeMeta(payload: Array[Byte]): MediaMeta = {
+      if (payload == null || payload.length == 0) MediaMeta(0, 0, 0, "empty")
+      else {
+        val b0 = java.lang.Byte.toUnsignedInt(payload(0))
+        val b1 = if (payload.length > 1) java.lang.Byte.toUnsignedInt(payload(1)) else 0
+        MediaMeta(width = 16 + b0 % 241, height = 16 + b1 % 241,
+          channels = 1 + b0 % 3, format = if (b0 % 2 == 0) "fake/png" else "fake/jpg")
+      }
+    }
+
+    /** Fake feature vector: deterministic 8-dim float signature of payload
+      * chunks (a real extractor would run the model here, batched).
+      */
+    def extractFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % dim) += payload(i).toInt
+          i += 1
+        }
+        var d = 0
+        while (d < dim) { out(d) = out(d) / math.max(1, payload.length); d += 1 }
+      }
+      out
+    }
+
+    /** Fake frame sampling: byte-ranges standing in for video frames. */
+    def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.length == 0) Seq.empty
+      else payload.grouped(math.max(1, payload.length / every)).take(every).toSeq
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Cheap metadata projection that needs no codec: byte length + md5.
+    * Pure expression — stays in codegen, binary never leaves the scan task.
+    */
+  def binaryStats(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("digest", md5(col(binCol)))
+
+  /** Decode metadata per row via mapPartitions — the batch boundary where a
+    * real codec (or model) would run; batch shape is one partition.
+    */
+  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add(StructField("media", metaSchema, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = StubCodec.decodeMeta(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.channels, m.format))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction to an `array<float>` column — the handoff into
+    * [[Similarity]] ANN search.
+    */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
+    val schema = df.schema.add(StructField("features",
+      ArrayType(FloatType, containsNull = false), nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val f = StubCodec.extractFeatures(r.getAs[Array[Byte]](binIdx), dim)
+        Row.fromSeq(r.toSeq :+ f.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame (video → frames). */
+  def sampleFrames(df: DataFrame, binCol: String, frames: Int): DataFrame = {
+    val base = StructType(df.schema.fields)
+    val schema = base
+      .add(StructField("frame_idx", IntegerType, nullable = false))
+      .add(StructField("frame", BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        StubCodec.sampleFrames(r.getAs[Array[Byte]](binIdx), frames)
+          .zipWithIndex.map { case (fr, i) => Row.fromSeq(r.toSeq :+ i :+ fr) }
+      }
+    }(enc)
+  }
+
+  /** Byte-aware repartition: target ~`targetMB` per task so huge payloads
+    * don't starve parallelism and tiny ones don't flood the scheduler.
+    */
+  def repartitionForPayload(df: DataFrame, binCol: String, totalBytes: Long,
+                            targetMB: Int = 128): DataFrame = {
+    val parts = math.max(1L, totalBytes / (targetMB.toLong << 20)).toInt
+    df.repartition(parts)
+  }
+}

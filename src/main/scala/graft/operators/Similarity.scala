@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - [[topK]] / [[topKPairs]]: brute-force cosine — the exactness baseline.
+  *    A single narrow pass (no shuffle for the query-vector case: the query
+  *    is broadcast as a literal); top-k via one partial `limit` per
+  *    partition folded into a final sort of k·partitions rows.
+  *  - [[lshTopK]]: random-hyperplane LSH — signature bits from
+  *    deterministic hash-derived planes, candidates from matching buckets
+  *    across L tables, re-ranked exactly. At 100 TB the bucket join touches
+  *    only (bucket, id) pairs and the exact re-rank reads just the candidate
+  *    vectors; brute force would read every vector for every query.
+  *
+  * Dot products use `zip_with` + `aggregate` left-folds over doubles —
+  * sequential, deterministic accumulation (reproducible across partitionings,
+  * and matching an oracle that folds in the same order).
+  */
+object Similarity {
+
+  /** Sequential left-fold sum of an array<double> column. */
+  private def fsum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  /** dot(a, b) over array<float/double> columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    fsum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  /** cosine(a, b) = dot / sqrt(|a|^2 * |b|^2); null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(norm2(a) * norm2(b))
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Literal column from a driver-side query vector (broadcast as a
+    * constant into codegen — no join, no shuffle).
+    */
+  def vectorLit(v: Seq[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Brute-force top-k neighbors of a literal query vector.
+    * Output: (id, sim) — sim rounded to `roundTo` decimals so ranking is
+    * stable under float-accumulation jitter; ties break on id.
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+           k: Int, roundTo: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"),
+        round(cosine(col(vecCol), vectorLit(query)), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+
+  /** Brute-force top-k most-similar *pairs* (the near-dup-by-embedding
+    * surface). O(n²/2) — correctness baseline and small-n path; the scale
+    * path is [[lshTopK]] buckets or a vector index outside this engine.
+    */
+  def topKPairs(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(idCol).as("id_i"), col(vecCol).as("v_i"))
+    val b = df.select(col(idCol).as("id_j"), col(vecCol).as("v_j"))
+    a.crossJoin(b).filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"),
+        round(cosine(col("v_i"), col("v_j")), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col("id_i"), col("id_j"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): xxhash64 → uniform in [-1, 1]. No RNG state, reproducible on any
+    * cluster.
+    */
+  private def planeComponent(table: Int, plane: Column, d: Column): Column =
+    (pmod(xxhash64(lit(table), plane, d), lit(1000003L)).cast("double")
+      / 1000003.0) * 2.0 - 1.0
+
+  /** LSH signature for one table: `bits` sign-bits packed into a long. */
+  def lshBucket(vecCol: Column, table: Int, bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, d) => x.cast("double") * planeComponent(table, p, d)),
+        lit(0.0), (s, x) => s + x)
+      acc.bitwiseOR(when(proj > 0.0, call_function("shiftleft", lit(1L), p))
+        .otherwise(lit(0L)))
+    })
+
+  /** ANN top-k for a literal query via L hyperplane tables of `bits` bits:
+    * candidates = vectors sharing a bucket with the query in any table,
+    * re-ranked by exact cosine. Recall tunes with (tables, bits).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+              k: Int, tables: Int = 8, bits: Int = 8, roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val qdf = spark.range(1).select(vectorLit(query).as("qv"))
+    val qBuckets: Map[Int, Long] = (0 until tables).map { t =>
+      t -> qdf.select(lshBucket(col("qv"), t, bits)).head.getLong(0)
+    }.toMap
+    val candidate = (0 until tables).map { t =>
+      lshBucket(col(vecCol), t, bits) === qBuckets(t)
+    }.reduce(_ || _)
+    df.filter(candidate)
+      .select(col(idCol).as("id"),
+        round(cosine(col(vecCol), vectorLit(query)), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
+    * in any table, exact-cosine filtered to `threshold`. The scale path for
+    * [[topKPairs]].
+    */
+  def lshPairs(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val buckets = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), t, bits)): _*)).as(Seq("t", "b")))
+    val x = buckets.select(col("t"), col("b"), col("id").as("id_i"), col("v").as("v_i"))
+    val y = buckets.select(col("t"), col("b"), col("id").as("id_j"), col("v").as("v_j"))
+    x.join(y, Seq("t", "b")).filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"), cosine(col("v_i"), col("v_j")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Analytical query surface beyond the reference's parity set: joins,
+  * multi-way star joins, window functions — the OLAP shapes a user of a
+  * general engine expects (readme.md:9's "group-based operations" taken
+  * seriously at scale).
+  *
+  * Scale commitments visible in each plan:
+  *  - dimension tables (region/nation/customer at TPC-H ratios) are
+  *    broadcast — no shuffle of the fact table for the join;
+  *  - fact-fact joins shuffle on the join key once and reuse it for the
+  *    following aggregation where possible;
+  *  - window functions partition by their group key (never a global
+  *    unpartitioned window).
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** Broadcast dim join: revenue per market segment. */
+    "j_broadcast" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    /** 3-way star join: fact lineitem ⋈ orders (shuffle on orderkey) with
+      * customer+nation broadcast; revenue per nation.
+      */
+    "j_star" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    /** Anti-join surface: customers with no order above 400k (NOT EXISTS). */
+    "j_anti" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val cust = Tables.load(s, dir, "customer")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    /** Window function: top-2 orders per customer by (totalprice, orderkey).
+      * Partitioned window — state per customer, no global sort.
+      */
+    "w_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    /** Running aggregate window: cumulative quantity per supplier by ship
+      * date (rows-between running frame).
+      */
+    "w_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .withColumn("run_qty",
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "j_broadcast" ->
+      """SELECT c_mktsegment,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j_star" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "w_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+
+    "w_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  cast(sum(cast(l_quantity as decimal(18,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+/** Training-data-pipeline query surface: text analysis, dedup, similarity
+  * search, multimodal plumbing, streaming. Oracle SQL follows the same
+  * determinism rules as [[ParityQueries]]; DuckDB-side list lambdas mirror
+  * the Spark array-expression folds structurally so float paths accumulate
+  * in the same order.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** DuckDB mirror of TextFunctions.tokens. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  /** DuckDB mirror of TextFunctions.shingles (3-gram). */
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len($toksSql) >= 3
+       |  THEN list_transform(generate_series(1, len($toksSql) - 2),
+       |       i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))
+       |  ELSE [] END)""".stripMargin.replaceAll("\n", " ")
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    embs(s, dir).filter(col("vec_id") === 0L).head
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----------------------------------------------------
+    "t_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("n_uniq"))
+        .orderBy("doc_id")),
+
+    "t_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.uniqueRatio(col("text")).as("uniq_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "t_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // order-sensitive rolling hash — xxhash64-based, no DuckDB equivalent
+    "t_rolling_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")),
+
+    // ---- dedup ------------------------------------------------------------
+    "d_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.shingleJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+        .orderBy("doc_i", "doc_j")),
+
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 32, bands = 16)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+        .orderBy("doc_i", "doc_j")),
+
+    // xxhash64-based signature — no DuckDB equivalent; near-clone pairs
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_i", "id_j")),
+
+    // ---- similarity search ------------------------------------------------
+    "v_ann_topk" -> ((s, dir) =>
+      Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")),
+
+    "v_ann_pairs" -> ((s, dir) =>
+      Similarity.topKPairs(embs(s, dir), "vec_id", "embedding", k = 20)
+        .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")),
+
+    // LSH-bucketed ANN — scale path; hash-derived planes, no SQL equivalent
+    "v_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10, tables = 16, bits = 4)
+        .withColumnRenamed("id", "vec_id")),
+
+    // ---- multimodal plumbing ---------------------------------------------
+    "m_binary_stats" -> ((s, dir) =>
+      Multimodal.binaryStats(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+        .select("doc_id", "n_bytes", "digest").orderBy("doc_id")),
+
+    "m_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+        .select(col("doc_id"), col("media.width").as("width"),
+          col("media.height").as("height"), col("media.channels").as("channels"),
+          col("media.format").as("format"))
+        .orderBy("doc_id")),
+
+    "m_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+      // hand the fake features straight to the ANN operator: end-to-end
+      // multimodal → embedding → similarity pipeline
+      Similarity.topKPairs(feats, "doc_id", "features", k = 5)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+    }),
+
+    "m_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", frames = 4)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- streaming --------------------------------------------------------
+    "st_window_counts" -> ((s, dir) =>
+      EventStreams.runAvailableNow(s, s"$dir/events.parquet",
+        EventStreams.windowedCounts(_, "1 hour"), "st_window_counts")
+        .orderBy("win_start", "event_type")),
+
+    // same transform, batch-bound — proves batch/stream parity by sharing
+    // the st_window_counts oracle
+    "e_batch_window" -> ((s, dir) =>
+      EventStreams.windowedCounts(Tables.loadEvents(s, dir), "1 hour")
+        .orderBy("win_start", "event_type")))
+
+  val oracleSql: Map[String, String] = Map(
+    "t_token_count" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_uniq
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+         |    END AS punct_ratio,
+         |    CASE WHEN len($toksSql) = 0 THEN 0.0
+         |         ELSE len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE
+         |    END AS uniq_ratio,
+         |    least(len($toksSql)::DOUBLE / 50.0, 1.0) AS len_sat
+         |  FROM documents)
+         |SELECT doc_id, punct_ratio, uniq_ratio,
+         |  len_sat * greatest(0.0, 1.0 - punct_ratio * 4.0) * uniq_ratio AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t_lang_id" -> langIdOracle,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d_ngram_jaccard" -> jaccardPairsOracle,
+    "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "v_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v_ann_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, vec_i, vec_j LIMIT 20""".stripMargin,
+
+    "m_binary_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_decode_meta" ->
+      """SELECT doc_id,
+        |  16 + (ascii(substr(text, 1, 1)) % 241) AS width,
+        |  16 + (ascii(substr(text, 2, 1)) % 241) AS height,
+        |  1 + (ascii(substr(text, 1, 1)) % 3) AS channels,
+        |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'fake/png' ELSE 'fake/jpg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st_window_counts" -> windowCountsOracle,
+    "e_batch_window" -> windowCountsOracle)
+
+  private lazy val windowCountsOracle: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, count(*) AS n,
+      |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Argmax-with-lexicographic-ties oracle mirroring TextFunctions.langId's
+    * left-to-right strict-> fold over langs sorted ascending.
+    */
+  private lazy val langIdOracle: String = {
+    val langs = TextFunctions.langMarkers.toSeq.sortBy(_._1) // de,en,es,fr,zh
+    val hitDefs = langs.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($toksSql, x -> x IN ($set))) AS hits_$l"
+    }.mkString(",\n    ")
+    // fold keeps current unless strictly greater → earliest lang wins ties
+    val codes = langs.map(_._1)
+    val caseArms = codes.indices.dropRight(1).map { i =>
+      val l = codes(i)
+      val rest = codes.drop(i + 1).map(c => s"hits_$c").mkString(", ")
+      val greatest = if (codes.drop(i + 1).size == 1) rest else s"greatest($rest)"
+      s"WHEN hits_$l >= $greatest THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH h AS (SELECT doc_id, $hitDefs FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(${codes.map(c => s"hits_$c").mkString(", ")}) = 0 THEN 'und'
+       |    $caseArms
+       |    ELSE '${codes.last}' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Brute-force 3-gram Jaccard pairs >= 0.4 — oracle for both the
+    * inverted-index join and the MinHash-LSH path (the latter matches when
+    * LSH recall is 1.0 on this data, which the harness validates).
+    */
+  private lazy val jaccardPairsOracle: String =
+    s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+       |SELECT doc_i, doc_j, jaccard FROM p WHERE jaccard >= 0.4
+       |ORDER BY doc_i, doc_j""".stripMargin
+}

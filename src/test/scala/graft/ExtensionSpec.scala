@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+
+class DedupSpec extends SparkSpec {
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("exact dedup keeps every distinct fingerprint once") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == d.select("fp").distinct().count())
+    assert(d.agg(sum("n_dupes")).head.getLong(0) == docs.count())
+  }
+
+  test("LSH candidates reproduce the exact jaccard join (recall 1.0 here)") {
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.4, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in documents")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("stop-shingle cap drops hot shingles but keeps near-dup pairs") {
+    val capped = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4,
+      maxShingleDf = Some(50))
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+    // jaccard values change (shingles removed) but the high-sim pairs survive
+    assert(capped.count() >= exact.count() / 2)
+  }
+
+  test("simhash pairs include the strongest jaccard near-dups") {
+    val top = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .orderBy(col("jaccard").desc).limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.subsetOf(sim),
+      s"simhash (ham<=8) missed strong near-dups: ${top -- sim}")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+  private lazy val query: Seq[Float] = embs.filter(col("vec_id") === 0L)
+    .head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  test("brute-force topK is ordered desc and self-similarity is 1") {
+    val self = Similarity.topK(embs, "vec_id", "embedding", query, 1)
+    assert(self.head.getLong(0) == 0L && self.head.getDouble(1) == 1.0)
+    val sims = Similarity.topK(embs, "vec_id", "embedding", query, 10)
+      .collect().map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("LSH ANN recall@10 >= 0.5 vs brute force on this data") {
+    val base = embs.filter(col("vec_id") =!= 0L)
+    val exact = Similarity.topK(base, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(base, "vec_id", "embedding", query, 10,
+      tables = 16, bits = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall too low; exact=$exact approx=$approx")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  private lazy val bin = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("decodeMeta matches the stub codec row-by-row") {
+    val row = bin.orderBy("doc_id").limit(1).collect()(0)
+    val expected = Multimodal.StubCodec.decodeMeta(row.getAs[Array[Byte]](1))
+    val got = Multimodal.decodeMeta(bin.orderBy("doc_id").limit(1), "payload")
+      .select("media.*").collect()(0)
+    assert(got.getInt(0) == expected.width && got.getInt(1) == expected.height)
+    assert(got.getString(3) == expected.format)
+  }
+
+  test("feature extraction emits fixed-dim vectors consumable by ANN") {
+    val feats = Multimodal.extractFeatures(bin.limit(20), "payload", dim = 8)
+    assert(feats.select(size(col("features"))).distinct().head.getInt(0) == 8)
+    val pairs = Similarity.topKPairs(feats, "doc_id", "features", 3)
+    assert(pairs.count() == 3)
+  }
+
+  test("frame sampling explodes rows with bounded frame count") {
+    val frames = Multimodal.sampleFrames(bin.limit(10), "payload", frames = 4)
+    assert(frames.count() <= 40 && frames.count() >= 10)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  test("streaming windowed counts equal the batch-bound transform") {
+    val batch = EventStreams.windowedCounts(Tables.loadEvents(spark, sf))
+      .orderBy("win_start", "event_type").collect()
+    val streamed = EventStreams.runAvailableNow(spark, s"$sf/events.parquet",
+      EventStreams.windowedCounts(_, "1 hour"), "spec_window_counts")
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  test("tokens/shingles handle short and empty strings") {
+    import spark.implicits._
+    val df = Seq("", "one", "a b", "a b c d").toDF("text")
+    val rows = df.select(TextFunctions.tokenCount(col("text")),
+      size(TextFunctions.shingles(col("text"), 3))).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 4))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 0, 0, 2))
+  }
+
+  test("quality score is in [0,1] and langId falls back to und") {
+    import spark.implicits._
+    val df = Seq("the cat sat on the mat and that is that",
+      "zzz qqq xxx", "!!!???...").toDF("text")
+    val rows = df.select(TextFunctions.qualityScore(col("text")),
+      TextFunctions.langId(col("text"))).collect()
+    rows.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+    assert(rows(0).getString(1) == "en")
+    assert(rows(1).getString(1) == "und")
+  }
+}
