@@ -1,23 +1,135 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{EditorSession, Tables}
+import graft.io.Formats
+import graft.ops.{SchemaOps, StatsOps}
+
+/** Per-round benchmark: the BASELINE.md headline set (one representative per
+  * SURVEY §2 category) plus the extension headliners, timed after a warmup
+  * pass so JIT/classloading noise doesn't land on the first query.
+  * Prints exactly one JSON line the driver parses.
+  */
 object Bench {
+
+  /** Headline workloads. Each returns a row count so every timing forces a
+    * full materialization of its plan.
+    */
+  def workloads(sfDir: String): Seq[(String, SparkSession => Long)] = Seq(
+    // S1: parquet scan + count
+    "s1_scan_count" -> ((s: SparkSession) =>
+      Tables.load(s, sfDir, "lineitem").count()),
+
+    // S2/S6: CSV round-trip (write then re-read+count)
+    "s26_csv_roundtrip" -> ((s: SparkSession) => {
+      val out = java.nio.file.Files.createTempDirectory("bench_csv_").toString + "/t.csv"
+      val orders = Tables.load(s, sfDir, "orders")
+      Formats.write(orders, out)
+      Formats.read(s, out).count()
+    }),
+
+    // S4/S8: JSON round-trip
+    "s48_json_roundtrip" -> ((s: SparkSession) => {
+      val out = java.nio.file.Files.createTempDirectory("bench_json_").toString + "/t.json"
+      val nation = Tables.load(s, sfDir, "customer")
+      Formats.write(nation, out)
+      Formats.read(s, out).count()
+    }),
+
+    // P1/P2: column add + drop through the projection path
+    "p12_add_drop" -> ((s: SparkSession) => {
+      val li = Tables.load(s, sfDir, "lineitem")
+      val added = SchemaOps.insertColumnAt(li, 3, "flag",
+        org.apache.spark.sql.types.BooleanType)
+      SchemaOps.dropColumnAt(added, 0).count()
+    }),
+
+    // R1: 1k-cell edit burst with edit-log compaction + checkpoint
+    "r1_edit_burst_1k" -> ((s: SparkSession) => {
+      val sess = EditorSession.fromDataFrame(
+        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      var i = 0
+      while (i < 1000) { sess.setCell(i.toLong, "l_quantity", "42"); i += 1 }
+      sess.current.filter(col("l_quantity") === 42.0).count()
+    }),
+
+    // R4/R6: positional delete + cut/paste splice via the session surface
+    "r46_delete_splice" -> ((s: SparkSession) => {
+      val sess = EditorSession.fromDataFrame(
+        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      sess.deleteRows(Seq(0L, 1L))
+      sess.cut(Seq(10L, 11L, 12L))
+      sess.paste(5L)
+      sess.rowCount
+    }),
+
+    // A1: pivot
+    "a1_pivot" -> ((s: SparkSession) =>
+      graft.ops.PivotOps.pivotTable(Tables.load(s, sfDir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_extendedprice", "sum",
+        Seq("F", "O")).count()),
+
+    // P3/V3: numeric projection + histogram buckets
+    "p3v3_histogram" -> ((s: SparkSession) =>
+      StatsOps.histogramFixed(
+        SchemaOps.numericProjection(Tables.load(s, sfDir, "lineitem")),
+        "l_extendedprice", 0.0, 120000.0, 12).count()),
+
+    // extensions: the scale-path variants, not the brute-force baselines
+    "d_minhash_lsh" -> ((s: SparkSession) =>
+      graft.operators.Dedup.minhashLshPairs(
+        Tables.load(s, sfDir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 32, bands = 16).count()),
+
+    "t_text_stats" -> ((s: SparkSession) =>
+      Tables.load(s, sfDir, "documents").select(
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.langId(col("text")).as("l")).count()),
+
+    "v_ann_topk" -> ((s: SparkSession) => {
+      val embs = Tables.load(s, sfDir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).head
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      graft.operators.Similarity.topK(embs, "vec_id", "embedding", q, 10).count()
+    }),
+
+    "j_star" -> ((s: SparkSession) =>
+      graft.queries.AnalyticsQueries.queries("j_star")(s, sfDir).count()),
+
+    "e_batch_window" -> ((s: SparkSession) =>
+      graft.streaming.EventStreams.windowedCounts(
+        Tables.loadEvents(s, sfDir)).count()))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup at the smallest SF: JIT, codegen cache, parquet footer paths
+    val warmDir = "/root/testdata/sf0.001"
+    workloads(warmDir).foreach { case (_, fn) =>
+      try fn(spark) catch { case _: Throwable => () }
+    }
+
+    val results = workloads(sfDir).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark) } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

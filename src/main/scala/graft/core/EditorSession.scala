@@ -25,7 +25,7 @@ import graft.ops.{CellOps, PivotOps, RowOps, SchemaOps}
   * many edits the session has absorbed.
   */
 class EditorSession private (val spark: SparkSession, private var table: DataFrame,
-                             compactEvery: Int = 64) {
+                             compactEvery: Int = 512) {
 
   /** pending cell edits: colName -> (pos -> casted value) */
   private val editLog = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Long, Any]]
@@ -121,9 +121,16 @@ class EditorSession private (val spark: SparkSession, private var table: DataFra
 
   private var clipboard: Option[DataFrame] = None
 
-  /** R5: cut selected rows to the session clipboard (`main.py:107-114`). */
-  def cut(positions: Seq[Long]): Unit = rebind { df =>
+  /** R5: cut selected rows to the session clipboard (`main.py:107-114`).
+    * The remaining table is checkpointed: the following paste unions three
+    * branches over it, and without a materialization each branch would
+    * re-execute the whole upstream plan (sort + window + edits).
+    */
+  def cut(positions: Seq[Long]): Unit = rebind { df0 =>
+    val df = df0.localCheckpoint(eager = true) // one materialization...
     val (clip, rest) = RowOps.cutRows(df, positions)
+    // ...then clipboard and remainder are both cheap filters over the
+    // checkpointed blocks, as are the three union branches of a later paste
     clipboard = Some(clip.localCheckpoint(eager = true))
     rest
   }
@@ -181,8 +188,10 @@ object EditorSession {
   def empty(spark: SparkSession): EditorSession =
     new EditorSession(spark, Positional.attachPos(Formats.emptyTable(spark)))
 
-  def fromDataFrame(df: DataFrame, orderCols: Seq[String]): EditorSession =
-    new EditorSession(df.sparkSession, Positional.attachPos(df, orderCols.map(col): _*))
+  def fromDataFrame(df: DataFrame, orderCols: Seq[String],
+                    compactEvery: Int = 512): EditorSession =
+    new EditorSession(df.sparkSession,
+      Positional.attachPos(df, orderCols.map(col): _*), compactEvery)
 }
 
 /** v1 MDI parity: multiple named tables in one process (`main.py:126-135`). */

@@ -23,15 +23,27 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Positional {
   val POS = "__pos"
 
-  /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed
-    * (no single-partition window). Ordering columns must form a total order
-    * for cross-engine determinism.
+  /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed —
+    * no single-partition window and no RDD roundtrip (stays columnar /
+    * codegen'd): range-partition sort, per-partition `row_number`, then add
+    * broadcast per-partition offsets (the zipWithIndex trick expressed in
+    * DataFrame operations). One extra small job computes the partition
+    * counts.
     */
   def attachPos(df: DataFrame, order: Column*): DataFrame = {
     val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
     val schema = StructType(sorted.schema.fields :+ StructField(POS, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
+    // NOTE on implementation choice: a pure-DataFrame variant (range sort →
+    // spark_partition_id → per-partition row_number + collected offsets)
+    // looks faster on paper but is WRONG under AQE: the offsets job and the
+    // window job re-execute the sort independently, and adaptive coalescing
+    // can give the two executions different partitionings, silently
+    // corrupting positions. zipWithIndex computes its offsets inside one
+    // RDD lineage, so the partitioning is shared by construction. At true
+    // scale, positions are assigned once at load and persisted
+    // (sorted/bucketed layout), not recomputed per query.
   }
 
   /** Small-data variant: `row_number()` global window (single partition).
@@ -50,10 +62,8 @@ object Positional {
     */
   def renumber(df: DataFrame): DataFrame = {
     require(df.columns.contains(POS), s"renumber requires $POS")
-    val schema = df.drop(POS).schema.add(StructField(POS, LongType, nullable = false))
-    val rdd = df.orderBy(col(POS)).drop(POS).rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    attachPos(df.withColumnRenamed(POS, "__stale_pos"), col("__stale_pos"))
+      .drop("__stale_pos")
   }
 
   /** Serve one page [lo, hi) of rows by position — the engine-side

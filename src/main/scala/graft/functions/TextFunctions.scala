@@ -33,17 +33,25 @@ object TextFunctions {
     aggregate(tokens(text), lit(0),
       (acc, t) => acc + ceil(length(t).cast("double") / chunk).cast("int"))
 
-  /** Word n-gram shingles over the token array (distinct). Guarded so
-    * short docs yield an empty set rather than a reversed `sequence`.
+  /** Word n-gram shingles from an already-materialized token-array column.
+    * IMPORTANT: pass a *column reference*, not a tokenizer expression — a
+    * subtree captured by the `slice` lambda is re-evaluated once per array
+    * element (Spark HOFs are interpreted), turning one tokenization per row
+    * into one per shingle. Guarded so short docs yield an empty set rather
+    * than a reversed `sequence`.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
     array_distinct(
       when(size(t) >= n,
         transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ", slice(t, i, lit(n)))))
         .otherwise(array()))
-  }
+
+  /** Convenience one-shot shingling; for hot paths prefer projecting
+    * [[tokens]] first and calling [[shinglesFromTokens]] on the reference.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Document fingerprint: md5 of the canonical text — the exact-dedup key.
     * (Cross-engine stable; both Spark and DuckDB ship md5.)

@@ -48,10 +48,15 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Per-document distinct shingle sets: (id, shingles, n_sh). */
+  /** Per-document distinct shingle sets: (id, shingles, n_sh). Tokenizes in
+    * its own projection so the shingle lambda slices a bound column, not a
+    * re-evaluated tokenizer subtree (see [[TextFunctions.shinglesFromTokens]]).
+    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), n).as("sh"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        TextFunctions.shinglesFromTokens(col("__toks"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
 
@@ -114,8 +119,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    val banded = sets
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Signatures via explode + hash-aggregate rather than the nested
+    // array-lambda fold: higher-order functions evaluate interpreted in
+    // Spark, while min() aggregates over an exploded (id, shingle) stream
+    // stay in whole-stage codegen with map-side partial aggregation —
+    // ~5x faster here and the shuffle carries one row per doc.
+    val sigCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+    val banded = sigs
       .select(col("id"), posexplode(lshBands(col("sig"), bands, r)).as(Seq("band_i", "band_h")))
     val x = banded.select(col("band_i"), col("band_h"), col("id").as("id_i"))
     val y = banded.select(col("band_i"), col("band_h"), col("id").as("id_j"))
@@ -164,10 +179,21 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // SimHash via explode + 64 codegen'd conditional-sum aggregates (see the
+    // MinHash note above on interpreted HOFs); integer sums are
+    // order-insensitive so the shuffle-order nondeterminism is harmless.
+    val bitCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"b$b"))
+    val sigExpr = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
     val sigs = df
       .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
       .cache()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),

@@ -48,7 +48,8 @@ class EditorSessionSpec extends SparkSpec {
 
   test("edit log compacts many edits into one projection and checkpoints") {
     val s = EditorSession.fromDataFrame(
-      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+      compactEvery = 64)
     (0 until 100).foreach(i => assert(s.setCell(i.toLong, "l_quantity", "111")))
     // compactEvery=64 → at least one checkpoint happened; remaining pending < 64
     assert(s.pendingEdits < 64)
