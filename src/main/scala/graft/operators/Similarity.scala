@@ -34,10 +34,20 @@ object Similarity {
   def norm2(a: Column): Column =
     fsum(transform(a, x => x.cast("double") * x.cast("double")))
 
-  /** cosine(a, b) = dot / sqrt(|a|^2 * |b|^2); null-safe for zero vectors. */
+  /** cosine(a, b) = dot / sqrt(|a|^2 * |b|^2); null-safe for zero vectors.
+    * Session-free HOF composition (interpreted); the operators below prefer
+    * the codegen'd [[graft.functions.CosineSim]] — both accumulate in the
+    * same sequential order, so results are bit-identical.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = sqrt(norm2(a) * norm2(b))
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Codegen'd cosine via the registered native expression. */
+  private def fastCosine(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    call_function(graft.functions.VectorExpressions.COSINE_FN, a, b)
   }
 
   /** Literal column from a driver-side query vector (broadcast as a
@@ -53,7 +63,7 @@ object Similarity {
   def topK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
            k: Int, roundTo: Int = 6): DataFrame =
     df.select(col(idCol).as("id"),
-        round(cosine(col(vecCol), vectorLit(query)), roundTo).as("sim"))
+        round(fastCosine(df, col(vecCol), vectorLit(query)), roundTo).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
 
@@ -67,7 +77,7 @@ object Similarity {
     val b = df.select(col(idCol).as("id_j"), col(vecCol).as("v_j"))
     a.crossJoin(b).filter(col("id_i") < col("id_j"))
       .select(col("id_i"), col("id_j"),
-        round(cosine(col("v_i"), col("v_j")), roundTo).as("sim"))
+        round(fastCosine(df, col("v_i"), col("v_j")), roundTo).as("sim"))
       .orderBy(col("sim").desc, col("id_i"), col("id_j"))
       .limit(k)
   }
@@ -107,7 +117,7 @@ object Similarity {
     }.reduce(_ || _)
     df.filter(candidate)
       .select(col(idCol).as("id"),
-        round(cosine(col(vecCol), vectorLit(query)), roundTo).as("sim"))
+        round(fastCosine(df, col(vecCol), vectorLit(query)), roundTo).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
   }
@@ -124,7 +134,7 @@ object Similarity {
     val x = buckets.select(col("t"), col("b"), col("id").as("id_i"), col("v").as("v_i"))
     val y = buckets.select(col("t"), col("b"), col("id").as("id_j"), col("v").as("v_j"))
     x.join(y, Seq("t", "b")).filter(col("id_i") < col("id_j"))
-      .select(col("id_i"), col("id_j"), cosine(col("v_i"), col("v_j")).as("sim"))
+      .select(col("id_i"), col("id_j"), fastCosine(df, col("v_i"), col("v_j")).as("sim"))
       .distinct()
       .filter(col("sim") >= threshold)
   }

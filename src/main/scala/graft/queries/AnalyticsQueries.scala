@@ -71,6 +71,23 @@ object AnalyticsQueries {
         .orderBy("o_custkey", "rk")
     }),
 
+    /** As-of join: for every purchase event, the latest at-or-before click
+      * by the same user — merge-and-carry-forward algorithm (one shuffle,
+      * no range-join explosion). See [[graft.operators.AsOfJoin]].
+      */
+    "j_asof" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asofBackward(
+          purchases, clicks, "user_id", "ts",
+          carry = Seq("event_id"), tiebreak = Some("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     /** Running aggregate window: cumulative quantity per supplier by ship
       * date (rows-between running frame).
       */
@@ -114,6 +131,20 @@ object AnalyticsQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+
+    "j_asof" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, uts, 0 AS side, event_id AS cid, NULL::BIGINT AS pid
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, uts, 1, NULL, event_id FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(cid IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY uts, side, cid ASC NULLS FIRST
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_cid
+        |      FROM u)
+        |SELECT pid AS event_id, asof_cid AS click_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "w_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

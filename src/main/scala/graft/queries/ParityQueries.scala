@@ -109,6 +109,57 @@ object ParityQueries {
     "v3_histogram" -> ((s, dir) =>
       StatsOps.histogramFixed(li(s, dir), "l_extendedprice", 0.0, 120000.0, 12)
         .orderBy("bucket")),
+
+    /** V1 at scale: line series pre-bucketed to chart resolution — avg per
+      * 1000-row position bucket instead of collecting raw rows.
+      */
+    "v1_line_bucketed" -> ((s, dir) =>
+      liPos(s, dir)
+        .groupBy(expr("__pos div 1000").as("bucket"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_qty"), count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    /** V2: scatter source — first two numeric columns. */
+    "v2_scatter" -> ((s, dir) =>
+      StatsOps.scatterSource(li(s, dir))
+        .orderBy("l_orderkey", "l_partkey")),
+
+    /** P4: positional page serve [100, 120). */
+    "p4_page" -> ((s, dir) =>
+      graft.core.Positional.page(liPos(s, dir), 100L, 120L)
+        .select("__pos", "l_orderkey", "l_linenumber", "l_quantity")),
+
+    /** S2/S6 full round-trip: write CSV, re-read with schema inference,
+      * project a type-mixed slice. Oracle is the identity — the round trip
+      * must be lossless for these columns.
+      */
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_csv_").toString + "/orders.csv"
+      graft.io.Formats.write(Tables.load(s, dir, "orders"), out)
+      graft.io.Formats.read(s, out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** S4/S8 round-trip via JSON-lines. */
+    "s48_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_json_").toString + "/customer.json"
+      graft.io.Formats.write(Tables.load(s, dir, "customer"), out)
+      graft.io.Formats.read(s, out)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    /** A1 extension: rollup (grouping-sets family). */
+    "a3_rollup" -> ((s, dir) =>
+      li(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +231,36 @@ object ParityQueries {
       """SELECT least(cast(floor(l_extendedprice / 10000.0) as bigint), 11) AS bucket,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "v1_line_bucketed" ->
+      s"""WITH t AS ($liPosSql)
+         |SELECT __pos // 1000 AS bucket,
+         |  cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+         |  count(*) AS n
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "v2_scatter" ->
+      """SELECT l_orderkey, l_partkey FROM lineitem
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "p4_page" ->
+      s"""WITH t AS ($liPosSql)
+         |SELECT __pos, l_orderkey, l_linenumber, l_quantity
+         |FROM t WHERE __pos >= 100 AND __pos < 120 ORDER BY __pos""".stripMargin,
+
+    "s2_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s48_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "a3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 }
