@@ -144,7 +144,13 @@ object PipelineQueries {
     // the st_window_counts oracle
     "e_batch_window" -> ((s, dir) =>
       EventStreams.windowedCounts(Tables.loadEvents(s, dir), "1 hour")
-        .orderBy("win_start", "event_type")))
+        .orderBy("win_start", "event_type")),
+
+    // gap-based sessionization via native session_window (stream-capable);
+    // the flatMapGroupsWithState variant is spec-checked equal to this
+    "st_sessionize" -> ((s, dir) =>
+      EventStreams.sessionize(Tables.loadEvents(s, dir), "30 minutes")
+        .orderBy("user_id", "sess_start")))
 
   val oracleSql: Map[String, String] = Map(
     "t_token_count" ->
@@ -208,7 +214,21 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "st_window_counts" -> windowCountsOracle,
-    "e_batch_window" -> windowCountsOracle)
+    "e_batch_window" -> windowCountsOracle,
+
+    "st_sessionize" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS uts, value FROM events),
+        |l AS (SELECT *, lag(uts) OVER (PARTITION BY user_id ORDER BY uts) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR uts - prev >= INTERVAL 30 MINUTE
+        |                         THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY uts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM l)
+        |SELECT strftime(min(uts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(uts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  user_id, count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)
 
   private lazy val windowCountsOracle: String =
     """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

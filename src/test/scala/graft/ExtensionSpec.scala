@@ -94,6 +94,31 @@ class MultimodalSpec extends SparkSpec {
 }
 
 class StreamingSpec extends SparkSpec {
+  test("flatMapGroupsWithState sessionization equals session_window") {
+    val events = Tables.loadEvents(spark, sf)
+    val viaWindow = EventStreams.sessionize(events, "30 minutes")
+      .orderBy("user_id", "sess_start").collect()
+    val viaState = EventStreams.sessionizeStateful(events, 30)
+      .select(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("sess_start"),
+          "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("sess_end"),
+          "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("sum_value"))
+      .orderBy("user_id", "sess_start").collect()
+    assert(viaState.length == viaWindow.length)
+    viaState.zip(viaWindow).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0), s"start $a vs $b")
+      assert(a.getString(1) == b.getString(1), s"end $a vs $b")
+      assert(a.getLong(3) == b.getLong(3), s"n $a vs $b")
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-9, s"sum $a vs $b")
+    }
+  }
+
   test("streaming windowed counts equal the batch-bound transform") {
     val batch = EventStreams.windowedCounts(Tables.loadEvents(spark, sf))
       .orderBy("win_start", "event_type").collect()

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AsOfJoin, Similarity}
+
+class AsOfJoinSpec extends SparkSpec {
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("backward as-of picks latest at-or-before, max-id on ties") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), 100L), (1L, ts(20), 101L), (1L, ts(30), 102L),
+      (2L, ts(5), 103L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(5), 7L), (1L, ts(15), 8L), (1L, ts(15), 9L),
+      (1L, ts(25), 10L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts",
+      carry = Seq("rid"), tiebreak = Some("rid"))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((100L, 7L), (101L, 9L), (102L, 10L), (103L, -1L)))
+  }
+
+  test("equal timestamps on both sides count as at-or-before") {
+    import spark.implicits._
+    val left = Seq((1L, ts(15), 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(15), 7L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("rid"))
+      .select("asof_rid").head
+    assert(out.getLong(0) == 7L)
+  }
+}
+
+class CosineSimSpec extends SparkSpec {
+  test("codegen'd CosineSim is bit-identical to the HOF composition") {
+    val embs = Tables.load(spark, sf, "embeddings").limit(200)
+    graft.functions.VectorExpressions.register(spark)
+    val both = embs.select(
+      call_function("graft_cosine", col("embedding"), col("embedding")).as("fast"),
+      Similarity.cosine(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).count() == 0)
+    // cross-vector, not just self-similarity
+    val q = embs.head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val cross = embs.select(
+      call_function("graft_cosine", col("embedding"), Similarity.vectorLit(q)).as("fast"),
+      Similarity.cosine(col("embedding"), Similarity.vectorLit(q)).as("hof"))
+    assert(cross.filter(col("fast") =!= col("hof")).count() == 0)
+  }
+
+  test("zero vectors give 0.0; type mismatch is rejected at analysis") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    assert(df.select(call_function("graft_cosine", col("a"), col("b")))
+      .head.getDouble(0) == 0.0)
+    val bad = Seq((Seq("x"), Seq(1f))).toDF("a", "b")
+    intercept[Exception](
+      bad.select(call_function("graft_cosine", col("a"), col("b"))).head)
+  }
+}
