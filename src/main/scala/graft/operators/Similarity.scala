@@ -122,6 +122,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: deterministic k-means-lite over cosine space.
+    * Centroids init from the `nCentroids` lowest-id vectors, a few Lloyd
+    * iterations (assign by max cosine, recompute per-dim means), and the
+    * assignment column partitions the corpus. Search probes the query's
+    * `nProbe` best centroids and exact-ranks only those partitions' rows.
+    *
+    * Scale: the index build is iters× (one narrow assignment pass + one
+    * shuffle of (cid, dim, value) for means); centroids live on the driver
+    * (nCentroids × dim floats). Search reads ~nProbe/nCentroids of the data
+    * — and if the corpus is *written* partitioned by `__ivf_cid`, partition
+    * pruning skips the rest at the file level.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int = 16, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Float])]) = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    var centroids: Seq[(Int, Seq[Float])] =
+      df.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(vecCol)).collect().zipWithIndex
+        .map { case (r, i) => i -> r.getAs[scala.collection.Seq[Float]](0).toSeq }.toSeq
+
+    def assignCol: Column = array_min(array(centroids.map { case (cid, v) =>
+      struct((lit(0.0) - fastCosine(df, col(vecCol), vectorLit(v))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+    var it = 0
+    while (it < iters) {
+      val means = df.select(assignCol.as("cid"), posexplode(col(vecCol)).as(Seq("p", "x")))
+        .groupBy("cid", "p").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(r =>
+            // round so shuffle-order float jitter can't flip assignments
+            math.rint(r.getDouble(2) * 1e6).toFloat / 1e6f).toSeq
+        }
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      it += 1
+    }
+    (df.withColumn("__ivf_cid", assignCol), centroids)
+  }
+
+  /** ANN top-k through an IVF assignment: probe the best `nProbe` centroids
+    * for the query, exact-rank candidates only.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: Seq[(Int, Seq[Float])],
+              idCol: String, vecCol: String, query: Seq[Float], k: Int,
+              nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na * nb); if (d == 0.0) 0.0 else dot / d
+    }
+    val probe = centroids.sortBy { case (cid, v) => (-cos(query, v), cid) }
+      .take(nProbe).map(_._1)
+    assigned.filter(col("__ivf_cid").isInCollection(probe))
+      .select(col(idCol).as("id"),
+        round(fastCosine(assigned, col(vecCol), vectorLit(query)), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
     * in any table, exact-cosine filtered to `threshold`. The scale path for
     * [[topKPairs]].

@@ -101,6 +101,16 @@ object PipelineQueries {
         "vec_id", "embedding", queryVec(s, dir), k = 10, tables = 16, bits = 4)
         .withColumnRenamed("id", "vec_id")),
 
+    // IVF ANN — deterministic k-means-lite index, partial probe
+    "v_ann_ivf" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val (assigned, cents) = Similarity.ivfAssign(base, "vec_id", "embedding",
+        nCentroids = 8, iters = 2)
+      Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, nProbe = 4)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // ---- multimodal plumbing ---------------------------------------------
     "m_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.{EditorSession, Positional, Tables}
+import graft.ops.CellOps
+
+/** Property-based laws from SURVEY.md §5.3: positional invariants, edit-log
+  * laws, cast-rejection laws. Spark actions are expensive, so each law
+  * samples a handful of seeded ScalaCheck cases over the nation table
+  * (25 rows) instead of the default 100 (the raw scalacheck runner — the
+  * scalatest bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic generator sampling (seeded — reproducible failures). */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def nationSession() = EditorSession.fromDataFrame(
+    Tables.load(spark, sf, "nation"), Seq("n_nationkey"))
+
+  private def positions(s: EditorSession): Seq[Long] =
+    s.current.orderBy("__pos").select("__pos").collect().map(_.getLong(0)).toSeq
+
+  test("law: __pos stays dense 0..n-1 after any delete set") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 24L))) { dels =>
+      val s = nationSession()
+      s.deleteRows(dels.distinct)
+      val got = positions(s)
+      assert(got == (0L until (25 - dels.distinct.size)))
+    }
+  }
+
+  test("law: cut then paste at the cut point is identity") {
+    forAll(Gen.zip(Gen.choose(0L, 24L), Gen.choose(1, 4))) { case (start, len) =>
+      val block = (start until math.min(25L, start + len))
+      val s = nationSession()
+      val before = s.current.orderBy("__pos").select("n_name")
+        .collect().map(_.getString(0)).toSeq
+      s.cut(block)
+      assert(s.paste(start))
+      val after = s.current.orderBy("__pos").select("n_name")
+        .collect().map(_.getString(0)).toSeq
+      assert(after == before)
+      assert(positions(s) == (0L until 25))
+    }
+  }
+
+  test("law: rejected cast never mutates state") {
+    forAll(Gen.zip(Gen.choose(0L, 24L), Gen.alphaStr.suchThat(x =>
+      scala.util.Try(x.trim.toInt).isFailure))) { case (pos, junk) =>
+      val s = nationSession()
+      val before = s.current.orderBy("__pos").collect().toSeq
+      assert(!s.setCell(pos, "n_regionkey", junk))
+      assert(s.current.orderBy("__pos").collect().toSeq == before)
+    }
+  }
+
+  test("law: setCell is last-write-wins per cell") {
+    forAll(Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 99), Gen.choose(0, 99))) {
+      case (pos, v1, v2) =>
+        val s = nationSession()
+        assert(s.setCell(pos, "n_regionkey", v1.toString))
+        assert(s.setCell(pos, "n_regionkey", v2.toString))
+        val got = s.current.filter(col("__pos") === pos)
+          .select("n_regionkey").head.getInt(0)
+        assert(got == v2)
+    }
+  }
+
+  test("law: castStrict round-trips rendered values for primitive types") {
+    val cases = Seq[(DataType, Gen[String])](
+      IntegerType -> Gen.choose(Int.MinValue, Int.MaxValue).map(_.toString),
+      LongType -> Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString),
+      BooleanType -> Gen.oneOf("true", "false"))
+    cases.foreach { case (dt, gen) =>
+      forAll(gen) { s =>
+        val v = CellOps.castStrict(s, dt)
+        assert(v.isSuccess && v.get.toString == s)
+      }
+    }
+  }
+
+  test("law: renumber is idempotent and order-preserving") {
+    forAll(Gen.listOfN(8, Gen.choose(0L, 24L))) { keep =>
+      val base = Positional.attachPos(
+        Tables.load(spark, sf, "nation"), col("n_nationkey"))
+      val holey = base.filter(col("__pos").isInCollection(keep.distinct))
+      val once = Positional.renumber(holey)
+      val keys = once.orderBy("__pos").select("n_nationkey")
+        .collect().map(_.getInt(0)).toSeq
+      assert(keys == keys.sorted)
+      assert(once.select("__pos").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until keep.distinct.size))
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Similarity, SkewJoin}
+
+class IvfSpec extends SparkSpec {
+  test("IVF assignment covers all rows; probing all centroids = brute force") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val (assigned, centroids) = Similarity.ivfAssign(embs, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    assert(assigned.filter(col("__ivf_cid").isNull).count() == 0)
+    assert(centroids.size == 8)
+
+    val q = embs.filter(col("vec_id") === 0L).head
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val exact = Similarity.topK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val allProbe = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, 10, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(allProbe == exact, "nProbe = nCentroids must equal brute force")
+  }
+
+  test("IVF partial probe keeps decent recall at a fraction of the scan") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val (assigned, centroids) = Similarity.ivfAssign(embs, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val q = embs.filter(col("vec_id") === 7L).head
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val exact = Similarity.topK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val probed = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, 10, nProbe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall; exact=$exact probed=$probed")
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  test("salted join equals the plain join, row for row") {
+    val orders = Tables.load(spark, sf, "orders")
+    val cust = Tables.load(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+      .groupBy("c_mktsegment").count()
+      .orderBy("c_mktsegment").collect().toSeq
+    val salted = SkewJoin.saltedInnerJoin(orders, cust, "o_custkey",
+        salts = 7, saltSource = col("o_orderkey"))
+      .groupBy("c_mktsegment").count()
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(salted == plain)
+  }
+}
