@@ -49,16 +49,21 @@ object Dedup {
   }
 
   /** Per-document distinct shingle sets: (id, shingles, n_sh). Tokenizes in
-    * its own projection so the shingle lambda slices a bound column, not a
-    * re-evaluated tokenizer subtree (see [[TextFunctions.shinglesFromTokens]]).
+    * its own projection (a lambda-captured tokenizer subtree would re-run
+    * per element) and shingles through the codegen'd
+    * [[graft.functions.WordShingles]] expression — the interpreted HOF
+    * formulation dominated this pipeline's profile.
     */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
-        TextFunctions.shinglesFromTokens(col("__toks"), n).as("sh"))
+        array_distinct(call_function(graft.functions.TextExpressions.SHINGLES_FN,
+          col("__toks"), lit(n))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+  }
 
   /** N-gram Jaccard set-similarity join: all pairs (i<j) with
     * jaccard(shingles_i, shingles_j) >= threshold.
