@@ -1,0 +1,27 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sorted-bucketed table layout — the persisted-partitioning tool that makes
+  * repeated big joins/aggregations on the same key shuffle-free.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the exchange of both
+  * sides. Writing each fact bucketed (`bucketBy(n, key).sortBy(key)`) pays
+  * that shuffle ONCE at ingest; every later equi-join or aggregation on the
+  * bucket key reads co-located, pre-sorted buckets and plans a sort-merge
+  * join with no Exchange on either side (see BucketingSpec, which asserts
+  * the absence of shuffles in the physical plan). Bucket counts should be
+  * sized so one bucket ≈ one task's worth of data at target scale.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed+sorted on `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

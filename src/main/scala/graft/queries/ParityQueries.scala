@@ -152,6 +152,25 @@ object ParityQueries {
         .orderBy("c_custkey")
     }),
 
+    /** A1 extension: exact quantiles per group (ordered-set aggregate). */
+    "a4_percentile" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
+    /** Sketch surface: HLL distinct + t-digest-ish quantile — the
+      * approximate versions that stay cheap at 100 TB (no oracle: sketch
+      * internals differ across engines by design).
+      */
+    "a5_sketches" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy("l_returnflag")),
+
     /** A1 extension: rollup (grouping-sets family). */
     "a3_rollup" -> ((s, dir) =>
       li(s, dir)
@@ -256,6 +275,13 @@ object ParityQueries {
     "s48_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "a4_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a3_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
