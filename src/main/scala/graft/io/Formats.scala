@@ -18,9 +18,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - CSV: no implicit index column is written (pandas `to_csv` default
   *    writes one, `main.py:79-80`); callers wanting byte parity can attach
   *    `__pos` first.
-  *  - Excel (S3/S7): no Spark-native reader and no external deps allowed —
-  *    declared out of scope; [[read]] raises the same kind of user-facing
-  *    error the reference shows for unknown extensions (v2 pyc@323-324).
+  *  - Excel (S3/S7): no Spark-native source exists, so [[ExcelIO]] ships a
+  *    dependency-free OOXML-subset codec (driver-side by design — the
+  *    format's own 1,048,576-row cap makes it a single-machine surface).
+  *    Timestamps round-trip as strings (pandas writes datetime cells).
   */
 object Formats {
 
@@ -49,9 +50,7 @@ object Formats {
       // records / JSON-lines orientation; multiLine covers array-of-records
       // files produced by other tools.
       spark.read.option("multiLine", detectMultiline(path).toString).json(path)
-    case ExcelF =>
-      throw new UnsupportedOperationException(
-        "Excel (.xlsx) has no Spark-native source; convert to CSV/Parquet")
+    case ExcelF => ExcelIO.read(spark, path)
   }
 
   private def detectMultiline(path: String): Boolean = {
@@ -70,9 +69,7 @@ object Formats {
     case CsvF =>
       df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
     case JsonF => df.write.mode(SaveMode.Overwrite).json(path)
-    case ExcelF =>
-      throw new UnsupportedOperationException(
-        "Excel (.xlsx) has no Spark-native sink; write CSV/Parquet instead")
+    case ExcelF => ExcelIO.write(df, path)
   }
 
   /** Single-file sink parity with the reference's `df.to_*(filename)`
@@ -87,8 +84,9 @@ object Formats {
       case CsvF => df.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(tmp)
       case JsonF => df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
-      case ExcelF => throw new UnsupportedOperationException(
-        "Excel (.xlsx) sink is out of scope")
+      case ExcelF =>
+        // the xlsx codec already produces exactly one file at `path`
+        ExcelIO.write(df, path); return
     }
     val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
       .find(p => p.getFileName.toString.startsWith("part-"))

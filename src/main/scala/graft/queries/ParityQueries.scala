@@ -143,6 +143,13 @@ object ParityQueries {
         .orderBy("o_orderkey")
     }),
 
+    /** S3/S7 round-trip via the dependency-free xlsx codec. */
+    "s37_xlsx_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_xlsx_").toString + "/nation.xlsx"
+      graft.io.Formats.write(Tables.load(s, dir, "nation"), out)
+      graft.io.Formats.read(s, out).orderBy("n_nationkey")
+    }),
+
     /** S4/S8 round-trip via JSON-lines. */
     "s48_json_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("vrfy_json_").toString + "/customer.json"
@@ -275,6 +282,9 @@ object ParityQueries {
     "s48_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s37_xlsx_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "a4_percentile" ->
       """SELECT l_returnflag,

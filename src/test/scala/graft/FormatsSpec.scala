@@ -54,8 +54,36 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == n.count())
   }
 
-  test("S3/S7: excel raises a clear unsupported error") {
-    intercept[UnsupportedOperationException](Formats.read(spark, "x.xlsx"))
+  test("S3/S7: xlsx round-trip preserves rows, names, and primitive types") {
+    val n = Tables.load(spark, sf, "nation")
+    val path = tmp(".xlsx")
+    Formats.write(n, path)
+    assert(new java.io.File(path).isFile)
+    val back = Formats.read(spark, path)
+    assert(back.count() == n.count())
+    assert(back.columns.toSeq == n.columns.toSeq)
+    // values survive: compare the full sorted contents
+    val a = n.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf))
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf))
+    assert(a.map(_.mkString("|")).toSeq == b.map(_.mkString("|")).toSeq)
+  }
+
+  test("S3/S7: xlsx handles nulls, booleans, doubles and special chars") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.5), Some(true), Some("a<b&c>\"d\"")),
+      (2L, None, Some(false), None),
+      (3L, Some(45.0), None, Some("plain"))
+    ).toDF("id", "x", "ok", "s")
+    val path = tmp(".xlsx")
+    Formats.write(df, path)
+    val back = Formats.read(spark, path).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getDouble(1) == 1.5 && back(0).getBoolean(2))
+    assert(back(1).isNullAt(1) && !back(1).getBoolean(2) && back(1).isNullAt(3))
+    assert(back(0).getString(3) == "a<b&c>\"d\"")
+    // integral doubles must stay doubles (45.0, not long 45)
+    assert(back(2).getDouble(1) == 45.0)
   }
 
   test("S10: empty table has zero rows and zero columns") {
