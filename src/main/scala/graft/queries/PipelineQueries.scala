@@ -38,7 +38,8 @@ object PipelineQueries {
     "t_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(TextFunctions.tokens(col("text")))).as("n_uniq"))
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("n_uniq"),
+        TextFunctions.subwordCount(col("text"), 4).as("n_subwords"))
         .orderBy("doc_id")),
 
     "t_quality" -> ((s, dir) =>
@@ -165,7 +166,9 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "t_token_count" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
-         |  len(list_distinct($toksSql)) AS n_uniq
+         |  len(list_distinct($toksSql)) AS n_uniq,
+         |  cast(coalesce(list_sum(list_transform($toksSql,
+         |    x -> cast(ceil(length(x) / 4.0) as int))), 0) as int) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality" ->

@@ -56,6 +56,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.sameElements(sims.sortBy(-_)))
   }
 
+  test("lshPairs finds every pair a full cross-product would at threshold") {
+    val exact = Similarity.topKPairs(embs, "vec_id", "embedding", k = 5)
+      .filter(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.lshPairs(embs, "vec_id", "embedding",
+        threshold = 0.4, tables = 16, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(bucketed) || exact.isEmpty,
+      s"bucketed pairs missed ${exact -- bucketed}")
+  }
+
+  test("userActivity windows cover all events") {
+    val ua = EventStreams.userActivity(
+      graft.core.Tables.loadEvents(spark, sf), "1 hour")
+    assert(ua.agg(sum("n_events")).head.getLong(0) ==
+      graft.core.Tables.loadEvents(spark, sf).count())
+  }
+
   test("LSH ANN recall@10 >= 0.5 vs brute force on this data") {
     val base = embs.filter(col("vec_id") =!= 0L)
     val exact = Similarity.topK(base, "vec_id", "embedding", query, 10)
