@@ -24,8 +24,17 @@ import graft.ops.{CellOps, PivotOps, RowOps, SchemaOps}
   * plan with `localCheckpoint` so analysis cost stays bounded no matter how
   * many edits the session has absorbed.
   */
-class EditorSession private (val spark: SparkSession, private var table: DataFrame,
+class EditorSession private (val spark: SparkSession, table0: DataFrame,
                              compactEvery: Int = 512) {
+
+  /** The session table materializes (lazily) on first use: the reference's
+    * E1 loads the whole file eagerly (`main.py:195-202`), and an editing
+    * session re-reads its table on every gesture — caching the positioned
+    * snapshot is the right amortization. Interactive sessions are
+    * human-scale by definition; the 100 TB paths (queries/, operators/)
+    * never go through EditorSession.
+    */
+  private var table: DataFrame = table0.localCheckpoint(eager = false)
 
   /** pending cell edits: colName -> (pos -> casted value) */
   private val editLog = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Long, Any]]

@@ -65,6 +65,19 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    /** Deterministic per-group sampling via the custom BottomKSample
+      * TypedImperativeAggregate: 5 docs per language, chosen by smallest
+      * md5 — reproducible on any partitioning, unlike reservoir/rand().
+      */
+    "t_sample_per_lang" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      docs(s, dir).groupBy("lang")
+        .agg(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+          md5(col("text")), col("doc_id"), lit(5)).as("ids"))
+        .select(col("lang"), explode(col("ids")).as("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
@@ -187,6 +200,12 @@ object PipelineQueries {
          |FROM q ORDER BY doc_id""".stripMargin,
 
     "t_lang_id" -> langIdOracle,
+
+    "t_sample_per_lang" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,
