@@ -65,6 +65,29 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    /** PII-style scrubbing: redact email-shaped tokens and long digit runs —
+      * the standard pre-training text hygiene pass, pure codegen'd regex.
+      */
+    "t_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("clean"))
+        .orderBy("doc_id")),
+
+    /** Column profiling: the describe-style stats a table editor surfaces.
+      * One aggregate pass, partial+final, no collect of raw data.
+      */
+    "t_profile" -> ((s, dir) =>
+      Tables.load(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_acctbal")).as("n_acctbal"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        min(col("c_name")).as("min_name"))),
+
     /** Deterministic per-group sampling via the custom BottomKSample
       * TypedImperativeAggregate: 5 docs per language, chosen by smallest
       * md5 — reproducible on any partitioning, unlike reservoir/rand().
@@ -200,6 +223,19 @@ object PipelineQueries {
          |FROM q ORDER BY doc_id""".stripMargin,
 
     "t_lang_id" -> langIdOracle,
+
+    "t_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_profile" ->
+      """SELECT count(*) AS n_rows, count(c_acctbal) AS n_acctbal,
+        |  min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal,
+        |  count(DISTINCT c_mktsegment) AS n_segments, min(c_name) AS min_name
+        |FROM customer""".stripMargin,
 
     "t_sample_per_lang" ->
       """SELECT lang, doc_id FROM (

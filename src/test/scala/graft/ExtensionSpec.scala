@@ -137,6 +137,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup drops duplicate fingerprints incrementally") {
+    import graft.functions.TextFunctions
+    // duplicate the corpus by unioning it with itself, stream it, dedup on
+    // the canonical-text fingerprint — streaming state keeps one per fp
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup_").toString
+    docs.unionByName(docs).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("spec_stream_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(300000) finally q.stop()
+    val streamed = spark.table("spec_stream_dedup").count()
+    assert(streamed == docs.select(TextFunctions.fingerprint(col("text")))
+      .distinct().count())
+  }
+
   test("streaming windowed counts equal the batch-bound transform") {
     val batch = EventStreams.windowedCounts(Tables.loadEvents(spark, sf))
       .orderBy("win_start", "event_type").collect()
