@@ -154,6 +154,44 @@ object Dedup {
       .select("id_i", "id_j", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list — the final stage of a
+    * dedup pipeline (pairs → duplicate clusters → one representative each).
+    * Iterative min-label propagation: each node adopts the smallest label in
+    * its neighborhood until fixpoint. The per-iteration `localCheckpoint`
+    * breaks lineage — without it, iterative self-joins stack plans until
+    * analysis time explodes. Converges in O(diameter) rounds (near-dup
+    * clusters are shallow); each round is one shuffle join + aggregate, the
+    * same plan shape large-graph CC (small-star/large-star) builds on.
+    * Output: (node, cluster) with cluster = min node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), col("l.node") === col("n.a"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("n.nl"), col("l.label"))).as("label"))
+        .localCheckpoint(eager = true)
+      val changed = updated.as("u")
+        .join(labels.as("o"), col("u.node") === col("o.node"))
+        .filter(col("u.label") =!= col("o.label")).count()
+      labels = updated
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash from a precomputed token-hash array column: bit b is set
     * iff the sum over tokens of (bit b of hash ? +1 : -1) is positive.
     * Nested expression fold; shift amounts are data-dependent so the

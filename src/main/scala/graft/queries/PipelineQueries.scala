@@ -117,6 +117,17 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** Full dedup pipeline tail: LSH pairs → connected components →
+      * (doc, cluster) so each duplicate cluster keeps min-id as canonical.
+      */
+    "d_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 32, bands = 16)
+      Dedup.connectedComponents(pairs, "id_i", "id_j")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // xxhash64-based signature — no DuckDB equivalent; near-clone pairs
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
@@ -255,6 +266,18 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "d_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
+         |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+         |          UNION SELECT doc_j, doc_i FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)
+         |SELECT node AS doc_id, min(r) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "v_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),

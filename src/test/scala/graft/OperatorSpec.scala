@@ -33,6 +33,20 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  test("chains, stars, and singletons-via-pairs resolve to min-id clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain), {10,11,12} (a star), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("id_i", "id_j")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "id_i", "id_j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+}
+
 class CosineSimSpec extends SparkSpec {
   test("codegen'd CosineSim is bit-identical to the HOF composition") {
     val embs = Tables.load(spark, sf, "embeddings").limit(200)
