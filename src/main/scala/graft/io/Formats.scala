@@ -72,6 +72,17 @@ object Formats {
     case ExcelF => ExcelIO.write(df, path)
   }
 
+  /** Hive-style partitioned parquet layout — the 100 TB sink: one
+    * directory per partition value, so downstream queries filtering on the
+    * partition column prune whole directories at planning time
+    * (`PartitionFilters` in the scan, zero I/O for skipped values).
+    * Training pipelines shard by language/source/date exactly this way.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Single-file sink parity with the reference's `df.to_*(filename)`
     * (one output file at `path`, `main.py:78-86`). `coalesce(1)` + part-file
     * rename. Interactive-scale only; use [[write]] for large outputs.

@@ -35,6 +35,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val out = java.nio.file.Files.createTempDirectory("part_").toString + "/docs"
+    graft.io.Formats.writePartitioned(
+      Tables.load(spark, sf, "documents"), out, Seq("lang"))
+    // directory-per-value layout exists
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.nonEmpty && dirs.contains("lang=en"))
+    // filter on the partition column shows PartitionFilters, and the scan
+    // reads only the matching directory
+    val q = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in plan:\n$plan")
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
   test("aggregation on the bucket key also avoids the exchange") {
     try {
       Bucketing.writeBucketed(Tables.load(spark, sf, "lineitem"),
