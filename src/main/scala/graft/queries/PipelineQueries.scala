@@ -65,6 +65,17 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    /** Corpus vocabulary: top-20 terms by document frequency — explode is
+      * map-side, the count is partial+final hash agg, top-k is a
+      * TakeOrderedAndProject (k rows per partition, not a global sort).
+      */
+    "t_top_terms" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)),
+
     /** PII-style scrubbing: redact email-shaped tokens and long digit runs —
       * the standard pre-training text hygiene pass, pure codegen'd regex.
       */
@@ -234,6 +245,11 @@ object PipelineQueries {
          |FROM q ORDER BY doc_id""".stripMargin,
 
     "t_lang_id" -> langIdOracle,
+
+    "t_top_terms" ->
+      s"""SELECT term, count(*) AS df FROM (
+         |  SELECT unnest(list_distinct($toksSql)) AS term FROM documents)
+         |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
 
     "t_redact" ->
       """SELECT doc_id,
