@@ -122,15 +122,23 @@ object Bench {
 
     val results = workloads(sfDir).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark) } catch { case e: Throwable =>
+      // rows = -1 marks a failed workload: its (short) elapsed time must not
+      // read as a speedup, so `value` below also carries a failure penalty.
+      val rows = try { fn(spark) } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = results.map { case (k, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._3 < 0)
+    // penalize failures (600s each) so a fast-failing workload can never
+    // improve the headline total
+    val total = results.map(_._2).sum + 600.0 * nFailed
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,13 @@ object Formats {
     if (p.endsWith(".parquet")) ParquetF
     else if (p.endsWith(".csv")) CsvF
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) JsonF
-    else if (p.endsWith(".xlsx") || p.endsWith(".xls")) ExcelF
+    else if (p.endsWith(".xlsx")) ExcelF
+    else if (p.endsWith(".xls"))
+      // legacy BIFF .xls is a different container entirely — routing it to
+      // the OOXML (zip) codec would fail with an opaque ZipException on read
+      // and silently write xlsx bytes under a .xls name, so fail fast.
+      throw new IllegalArgumentException(
+        s"Legacy .xls (BIFF) is not supported; convert to .xlsx: $path")
     else throw new IllegalArgumentException(s"Unsupported file format: $path")
   }
 

@@ -163,9 +163,13 @@ object Dedup {
     * clusters are shallow); each round is one shuffle join + aggregate, the
     * same plan shape large-graph CC (small-star/large-star) builds on.
     * Output: (node, cluster) with cluster = min node id of the component.
+    *
+    * If the fixpoint is not reached within `maxIter`, the current labels are
+    * plausible-looking but wrong — so this throws (`strict = true`, default)
+    * or logs a loud warning (`strict = false`) instead of silently returning.
     */
   def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)
@@ -188,6 +192,12 @@ object Dedup {
       labels = updated
       done = changed == 0
       iter += 1
+    }
+    if (!done) {
+      val msg = s"connectedComponents did not converge in $maxIter iterations" +
+        " — labels are incomplete (graph diameter exceeds maxIter)"
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
     }
     labels.select(col("node"), col("label").as("cluster"))
   }

@@ -122,9 +122,13 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    // numHashes=128/bands=64 (r=2) so the analytic band-miss probability for
+    // a pair at the j=0.4 threshold is (1-0.4^2)^64 ≈ 1.4e-5 — the
+    // brute-force Jaccard oracle is then valid without assuming luck; the
+    // bench path keeps 32/16 (throughput-representative settings).
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.4, numHashes = 32, bands = 16)
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
@@ -133,7 +137,7 @@ object PipelineQueries {
       */
     "d_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.4, numHashes = 32, bands = 16)
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
       Dedup.connectedComponents(pairs, "id_i", "id_j")
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
@@ -369,8 +373,10 @@ object PipelineQueries {
   }
 
   /** Brute-force 3-gram Jaccard pairs >= 0.4 — oracle for both the
-    * inverted-index join and the MinHash-LSH path (the latter matches when
-    * LSH recall is 1.0 on this data, which the harness validates).
+    * inverted-index join and the MinHash-LSH path. Valid for LSH because at
+    * numHashes=128/bands=64 the analytic miss probability at the threshold
+    * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
+    * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),

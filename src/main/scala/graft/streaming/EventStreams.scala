@@ -59,39 +59,88 @@ object EventStreams {
   case class Sess(user_id: Long, sess_start: java.sql.Timestamp,
                   sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Open-session state carried across micro-batches: timestamps in epoch
+    * micros; the running sum quantized to 1e-4 (a long of value×10000, the
+    * exact integer form of the batch path's `cast(value as decimal(18,4))`)
+    * so re-aggregation order can never perturb the float result.
+    */
+  case class SessState(startUs: Long, lastUs: Long, n: Long, sumQ: Long)
+
   /** The same sessionization as [[sessionize]] but through
     * `flatMapGroupsWithState` — the custom-state surface for logic
     * session_window can't express (e.g. per-session caps, custom merge
-    * rules). State here is per-user only; at scale the hash shuffle on
-    * user_id distributes state across executors and the watermark bounds it.
+    * rules).
+    *
+    * On a *streaming* input the open session is persisted in [[GroupState]]
+    * with an event-time timeout at (last event + gap): sessions spanning
+    * micro-batches keep merging until the watermark passes the session end,
+    * at which point the timeout fires and the closed session is emitted —
+    * any event that could still have extended it would by then be beyond the
+    * watermark and dropped anyway. State is per-user, hash-distributed on
+    * user_id, and bounded by the watermark.
+    *
+    * On a *batch* input (detected via `isStreaming`) there is exactly one
+    * invocation per user with all events, so trailing sessions are flushed
+    * at end-of-group instead of parked in state.
     */
   def sessionizeStateful(events: DataFrame, gapMinutes: Int): Dataset[Sess] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
     val gapMs = gapMinutes * 60000L
-    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val streaming = events.isStreaming
+
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def tsOf(u: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L))
+    def close(uid: Long, s: SessState): Sess =
+      Sess(uid, tsOf(s.startUs), tsOf(s.lastUs + gapUs), s.n, s.sumQ / 1e4)
+
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    src.select(col("user_id"), col("ts"), col("value")).as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, Sess](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev], _: GroupState[Long]) =>
-          val evs = it.toVector.sortBy(_.ts.getTime)
-          if (evs.isEmpty) Iterator.empty
-          else {
-            val sessions = Vector.newBuilder[Sess]
-            var start = evs.head.ts; var last = evs.head.ts
-            var n = 0L; var sum = BigDecimal(0)
-            def flush(): Unit = sessions += Sess(uid, start,
-              new java.sql.Timestamp(last.getTime + gapMs), n, sum.toDouble)
+      .flatMapGroupsWithState[SessState, Sess](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session end: close and clear
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val evs = it.toVector.sortBy(e => us(e.ts))
+            val out = Vector.newBuilder[Sess]
+            var cur = state.getOption
             evs.foreach { e =>
-              if (e.ts.getTime - last.getTime >= gapMs) { flush(); start = e.ts; n = 0; sum = 0 }
-              n += 1
-              // quantize like the batch path's cast(value as decimal(18,4))
-              sum += BigDecimal(e.value.toString)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              last = e.ts
+              val t = us(e.ts)
+              val q = (BigDecimal(e.value.toString)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+              cur match {
+                case Some(s) if t - s.lastUs >= gapUs =>
+                  out += close(uid, s)
+                  cur = Some(SessState(t, t, 1, q))
+                case Some(s) =>
+                  // max/min guards: a late-but-within-watermark event may
+                  // sort before the stored session bounds
+                  cur = Some(SessState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1, s.sumQ + q))
+                case None =>
+                  cur = Some(SessState(t, t, 1, q))
+              }
             }
-            flush()
-            sessions.result().iterator
+            cur.foreach { s =>
+              if (streaming) {
+                state.update(s)
+                // timeout must be strictly beyond the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+              } else out += close(uid, s)
+            }
+            out.result().iterator
           }
       }
   }

@@ -137,6 +137,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful sessionization merges a session spanning micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = EventStreams.sessionizeStateful(
+      mem.toDF.toDF("user_id", "ts", "value"), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("spec_stateful_sess").start()
+    try {
+      // user 1's session spans three micro-batches (gaps of 10 min < 30)
+      mem.addData((1L, ts(0), 1.0)); q.processAllAvailable()
+      mem.addData((1L, ts(10), 2.0)); q.processAllAvailable()
+      mem.addData((1L, ts(20), 4.0)); q.processAllAvailable()
+      // another user far in the future advances the watermark (1h delay)
+      // past user 1's session end...
+      mem.addData((2L, ts(600), 1.0)); q.processAllAvailable()
+      // ...and the timeout fires while processing the following batch
+      mem.addData((2L, ts(610), 1.0)); q.processAllAvailable()
+      val got = spark.table("spec_stateful_sess")
+        .filter(col("user_id") === 1L).collect()
+      assert(got.length == 1,
+        s"session split across micro-batches: ${got.mkString(", ")}")
+      assert(got(0).getAs[Long]("n_events") == 3L)
+      assert(math.abs(got(0).getAs[Double]("sum_value") - 7.0) < 1e-9)
+      assert(got(0).getAs[java.sql.Timestamp]("sess_start") == ts(0))
+      assert(got(0).getAs[java.sql.Timestamp]("sess_end") == ts(50))
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup drops duplicate fingerprints incrementally") {
     import graft.functions.TextFunctions
     // duplicate the corpus by unioning it with itself, stream it, dedup on
