@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: points matched into intervals, executed as an
+  * equi-join on bucketed bins instead of a non-equi join.
+  *
+  * Spark plans a plain `p.ts BETWEEN i.lo AND i.hi` join as
+  * BroadcastNestedLoopJoin (or a cartesian product if neither side fits in a
+  * broadcast) — O(|P|·|I|) comparisons, a non-starter at 100 TB. Binning
+  * restores a shuffled hash join: every interval is exploded to the bins it
+  * overlaps, every point maps to exactly one bin, and the join key becomes
+  * (keys…, bin). Work is then proportional to co-binned pairs only, both
+  * sides shuffle once, and AQE can still rebalance skewed bins. Because a
+  * point lands in a single bin, no post-join dedup is needed.
+  *
+  * Pick `binWidth` close to the typical interval span: intervals then
+  * explode to ~2 bins each (rows ≈ 2·|I|), the standard time-bin interval
+  * join used for "events within the preceding hour" workloads.
+  */
+object RangeJoin {
+
+  /** Join `points` into `intervals` on equal `keys` and
+    * `lo <= point < hi` (half-open). `ptCol`/`loCol`/`hiCol` are long
+    * columns in a common unit (e.g. epoch micros via `unix_micros`).
+    * Output: all columns of both inputs (minus the duplicated keys).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], ptCol: String,
+                      loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    // hi is exclusive: an interval touching a bin boundary at hi must not
+    // be exploded into the bin starting there
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
+    val pts = points.withColumn("__bin", bin(col(ptCol)))
+    pts.join(binned, keys :+ "__bin")
+      .filter(col(loCol) <= col(ptCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -185,6 +185,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup pairs: all (i<j) with
+    * round(cosine, roundTo) >= threshold. Brute force O(n²/2) — the
+    * exactness baseline the oracle can check; [[lshPairs]] is the bucketed
+    * scale path (spec-checked to contain every pair this finds).
+    * The filter applies to the *rounded* similarity so the threshold
+    * boundary is identical across engines.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(idCol).as("id_i"), col(vecCol).as("v_i"))
+    val b = df.select(col(idCol).as("id_j"), col(vecCol).as("v_j"))
+    a.crossJoin(b).filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"),
+        round(fastCosine(df, col("v_i"), col("v_j")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
     * in any table, exact-cosine filtered to `threshold`. The scale path for
     * [[topKPairs]].

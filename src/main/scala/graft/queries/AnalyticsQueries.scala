@@ -88,6 +88,60 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Range (interval) join via bin bucketing: clicks within the hour
+      * before each purchase, as an equi-join on (user_id, time-bin) rather
+      * than a nested-loop non-equi join. See [[graft.operators.RangeJoin]].
+      */
+    "j_range" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val hourUs = 3600000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - hourUs).as("lo_us"),
+          unix_micros(col("ts")).as("hi_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt_us"))
+      val matched = graft.operators.RangeJoin.pointInInterval(
+          clicks, purchases, Seq("user_id"), "pt_us", "lo_us", "hi_us",
+          binWidth = hourUs)
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      purchases.select("event_id")
+        .join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    /** Cube (grouping sets): per-(returnflag, linestatus) totals plus all
+      * roll-up margins in one pass — Spark expands to grouping sets and
+      * keeps partial aggregation per set.
+      */
+    "a6_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .as("gid"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    /** Lag + moving average: previous order price and 3-order trailing mean
+      * per customer — partitioned window, decimal sum then one double
+      * division for cross-engine determinism.
+      */
+    "w_lag_ma" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")).over(w3).cast("double")
+            / count(lit(1)).over(w3)).as("ma3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     /** Running aggregate window: cumulative quantity per supplier by ship
       * date (rows-between running frame).
       */
@@ -145,6 +199,33 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "j_range" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
+        |p AS (SELECT event_id, user_id, uts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, uts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, count(c.uts) AS n_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.uts >= p.uts - INTERVAL 1 HOUR AND c.uts < p.uts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "a6_cube" ->
+      """SELECT grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "w_lag_ma" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  cast(sum(cast(o_totalprice as decimal(18,2)))
+        |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+        |  / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "w_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

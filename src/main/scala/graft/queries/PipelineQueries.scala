@@ -148,6 +148,15 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .orderBy("id_i", "id_j")),
 
+    /** Embedding-cosine near-dup pairs — the fifth dedup family: brute-force
+      * threshold pairs as the oracle-checked baseline; lshPairs is the
+      * bucketed scale path (spec-checked to contain these pairs).
+      */
+    "d_embed_cosine" -> ((s, dir) =>
+      Similarity.cosinePairs(embs(s, dir), "vec_id", "embedding", threshold = 0.43)
+        .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
+        .orderBy("vec_i", "vec_j")),
+
     // ---- similarity search ------------------------------------------------
     "v_ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0L),
@@ -298,6 +307,22 @@ object PipelineQueries {
          |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "d_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.43
+        |ORDER BY vec_i, vec_j""".stripMargin,
+
+    "m_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |  greatest(1, octet_length(encode(text)) // 4) AS c FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(c, len - i * c) AS INT) AS frame_bytes
+        |FROM d, (SELECT unnest(generate_series(0, 3)) AS i)
+        |WHERE i * c < len ORDER BY doc_id, frame_idx""".stripMargin,
 
     "v_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),

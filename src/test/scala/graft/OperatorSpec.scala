@@ -33,6 +33,42 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  test("binned interval join equals the naive non-equi join") {
+    import spark.implicits._
+    val ev = Tables.loadEvents(spark, sf)
+    val hourUs = 3600000000L
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        (unix_micros(col("ts")) - hourUs).as("lo"), unix_micros(col("ts")).as("hi"))
+    val pt = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val binned = graft.operators.RangeJoin.pointInInterval(
+        pt, iv, Seq("user_id"), "pt", "lo", "hi", binWidth = hourUs)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pt.join(iv, pt("user_id") === iv("user_id") &&
+        col("lo") <= col("pt") && col("pt") < col("hi"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture should produce in-window pairs")
+    assert(binned == naive,
+      s"missing ${naive -- binned}, extra ${binned -- naive}")
+  }
+
+  test("interval spanning many bins still matches each point once") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 100L)).toDF("k", "lo", "hi")
+    val pt = Seq((1L, 0L), (1L, 50L), (1L, 99L), (1L, 100L), (1L, -1L))
+      .toDF("k", "pt")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = 7L)
+    // hi=100 exclusive, -1 below lo; each in-range point exactly once
+    assert(out.count() == 3)
+  }
+}
+
 class ConnectedComponentsSpec extends SparkSpec {
   test("chains, stars, and singletons-via-pairs resolve to min-id clusters") {
     import spark.implicits._
