@@ -69,6 +69,18 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(257L) + pmod(xxhash64(t), lit(mod)), lit(mod)))
   }
 
+  /** Character-level Karp-Rabin polynomial fingerprint of the canonical
+    * text: Horner fold `acc = (acc*31 + charCode) mod 1e9+7` over the
+    * characters of [[normText]]. Same family as [[rollingHash]] but built
+    * only from arithmetic both Spark and DuckDB evaluate identically, so it
+    * is oracle-checkable cross-engine (xxhash64 is Spark-only).
+    */
+  def polyFingerprint(text: Column): Column = {
+    val mod = 1000000007L
+    aggregate(transform(split(normText(text), ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, b) => pmod(acc * 31L + b, lit(mod)))
+  }
+
   /** Stopword marker sets for the n-gram/stopword language heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),

@@ -65,6 +65,12 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    // same rolling-hash family, arithmetic-only → oracle-checkable
+    "t_poly_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.polyFingerprint(col("text")).as("pfp"))
+        .orderBy("doc_id")),
+
     /** Corpus vocabulary: top-20 terms by document frequency — explode is
       * map-side, the count is partial+final hash agg, top-k is a
       * TakeOrderedAndProject (k rows per partition, not a global sort).
@@ -287,6 +293,35 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_poly_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+        |        ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS pfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_features" ->
+      """WITH dims AS (SELECT unnest(generate_series(0, 7)) AS d),
+        |pos AS (
+        |  SELECT doc_id, (i - 1) % 8 AS d, ascii(substr(text, i, 1)) AS b
+        |  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)),
+        |sums AS (SELECT doc_id, d, sum(b) AS s FROM pos GROUP BY doc_id, d),
+        |base AS (SELECT doc_id, length(text) AS len FROM documents),
+        |feat AS (
+        |  SELECT base.doc_id,
+        |    list(CAST(CAST(coalesce(s, 0) AS FLOAT) / CAST(greatest(len, 1) AS FLOAT) AS DOUBLE)
+        |         ORDER BY dims.d) AS f
+        |  FROM base CROSS JOIN dims
+        |  LEFT JOIN sums ON sums.doc_id = base.doc_id AND sums.d = dims.d
+        |  GROUP BY base.doc_id, len)
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |  round(list_cosine_similarity(a.f, b.f), 6) AS sim
+        |FROM feat a JOIN feat b ON a.doc_id < b.doc_id
+        |ORDER BY sim DESC, doc_i, doc_j LIMIT 5""".stripMargin,
 
     "d_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

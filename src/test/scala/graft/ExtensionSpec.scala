@@ -98,6 +98,12 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getString(3) == expected.format)
   }
 
+  test("fixture corpus is ASCII (m_features oracle byte==codepoint premise)") {
+    val nonAscii = Tables.load(spark, sf, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII docs break the byte mirror")
+  }
+
   test("feature extraction emits fixed-dim vectors consumable by ANN") {
     val feats = Multimodal.extractFeatures(bin.limit(20), "payload", dim = 8)
     assert(feats.select(size(col("features"))).distinct().head.getInt(0) == 8)
