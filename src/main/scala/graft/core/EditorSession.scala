@@ -25,16 +25,17 @@ import graft.ops.{CellOps, PivotOps, RowOps, SchemaOps}
   * many edits the session has absorbed.
   */
 class EditorSession private (val spark: SparkSession, table0: DataFrame,
-                             compactEvery: Int = 512) {
+                             compactEvery: Int = 4096) {
 
-  /** The session table materializes (lazily) on first use: the reference's
-    * E1 loads the whole file eagerly (`main.py:195-202`), and an editing
-    * session re-reads its table on every gesture — caching the positioned
-    * snapshot is the right amortization. Interactive sessions are
+  /** The session table: [[Positional.attachPos]] has already pinned the
+    * sorted snapshot with an eager localCheckpoint (the reference's E1 also
+    * loads eagerly, `main.py:195-202`), so the session view is a single
+    * cheap projection over materialized blocks — re-checkpointing here
+    * would just copy the table a second time. Interactive sessions are
     * human-scale by definition; the 100 TB paths (queries/, operators/)
     * never go through EditorSession.
     */
-  private var table: DataFrame = table0.localCheckpoint(eager = false)
+  private var table: DataFrame = table0
 
   /** pending cell edits: colName -> (pos -> casted value) */
   private val editLog = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Long, Any]]
@@ -45,13 +46,16 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     if (editLog.isEmpty) table
     else editLog.foldLeft(table) { case (df, (colName, edits)) =>
       val dt = table.schema(colName).dataType
-      df.withColumn(colName, compactedEditExpr(colName, dt, edits))
+      if (edits.size <= EditorSession.literalEditMax)
+        df.withColumn(colName, compactedEditExpr(colName, dt, edits))
+      else editJoin(df, colName, dt, edits)
     }
   }
 
   /** One projection per column for the whole edit map: membership test on
     * the edited positions + map lookup. Null values are representable
-    * (membership decides, not the lookup result).
+    * (membership decides, not the lookup result). Literal-map lookup is a
+    * linear scan per row, so this form is for small edit sets only.
     */
   private def compactedEditExpr(colName: String, dt: DataType,
                                 edits: mutable.LinkedHashMap[Long, Any]) = {
@@ -70,18 +74,47 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     }
   }
 
+  /** Large edit sets apply as a broadcast hash join on `__pos` instead of a
+    * literal map: O(1) hash probe per row inside whole-stage codegen, versus
+    * the map literal's O(edits) linear scan — the difference between an
+    * edit burst costing one narrow pass and costing rows×edits comparisons.
+    * This is also the 100 TB shape: an edit log is data, not plan.
+    */
+  private def editJoin(df: DataFrame, colName: String, dt: DataType,
+                       edits: mutable.LinkedHashMap[Long, Any]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField(POS, org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("__edit_v", dt, nullable = true),
+      StructField("__edit_set", BooleanType, nullable = false)))
+    val rows = edits.toSeq.map { case (p, v) => Row(p, v, true) }
+    val editDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    df.join(broadcast(editDf), Seq(POS), "left")
+      .withColumn(colName,
+        when(col("__edit_set"), col("__edit_v")).otherwise(col(colName)))
+      .drop("__edit_v", "__edit_set")
+  }
+
   /** R7: full table replace (`update_data`, v2 pyc@96-100). Discards the
     * edit log — matches the reference resetting the model.
     */
   def replace(df: DataFrame): Unit = { editLog.clear(); table = df }
 
   /** Rebind through a transformation of the *current* view (edits folded
-    * in first so the log never refers to stale positions).
+    * in first so the log never refers to stale positions). Every
+    * `compactEvery/64` rebinds the plan is flushed with a checkpoint: each
+    * gesture stacks only narrow projections over the pinned base, so a
+    * handful are free, but an unbounded session would grow analysis cost.
     */
+  private var rebindsSinceCheckpoint = 0
   private def rebind(f: DataFrame => DataFrame): Unit = {
     val folded = current
     editLog.clear()
     table = f(folded)
+    rebindsSinceCheckpoint += 1
+    if (rebindsSinceCheckpoint >= math.max(1, compactEvery / 64)) checkpoint()
   }
 
   // ---- R1-R3: cell edits --------------------------------------------------
@@ -119,6 +152,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     table = current.localCheckpoint(eager = true)
     editLog.clear()
     editsSinceCheckpoint = 0
+    rebindsSinceCheckpoint = 0
   }
 
   def pendingEdits: Int = editLog.valuesIterator.map(_.size).sum
@@ -129,25 +163,28 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def deleteRows(positions: Seq[Long]): Unit = rebind(RowOps.deleteRows(_, positions))
 
   private var clipboard: Option[DataFrame] = None
+  private var clipboardSize: Long = 0L
 
   /** R5: cut selected rows to the session clipboard (`main.py:107-114`).
-    * The remaining table is checkpointed: the following paste unions three
-    * branches over it, and without a materialization each branch would
-    * re-execute the whole upstream plan (sort + window + edits).
+    * The table itself is NOT re-materialized here: since [[Positional
+    * .attachPos]] pins the base with an eager checkpoint, the remainder and
+    * a later paste's three union branches are all narrow codegen'd filters
+    * over already-materialized blocks — re-running them per branch is
+    * cheaper than copying the table. The clipboard IS pinned (by the
+    * renumber inside cutRows), so it survives later table rebinds.
     */
   def cut(positions: Seq[Long]): Unit = rebind { df0 =>
-    val df = df0.localCheckpoint(eager = true) // one materialization...
-    val (clip, rest) = RowOps.cutRows(df, positions)
-    // ...then clipboard and remainder are both cheap filters over the
-    // checkpointed blocks, as are the three union branches of a later paste
-    clipboard = Some(clip.localCheckpoint(eager = true))
+    val (clip, rest) = RowOps.cutRows(df0, positions)
+    clipboard = Some(clip)
+    clipboardSize = positions.distinct.size.toLong
     rest
   }
 
   /** R6: paste the clipboard block at `position` (`main.py:58-65`). */
   def paste(position: Long): Boolean = clipboard match {
     case None => false
-    case Some(clip) => rebind(RowOps.pasteRows(_, clip, position)); true
+    case Some(clip) =>
+      rebind(RowOps.pasteRows(_, clip, position, Some(clipboardSize))); true
   }
 
   // ---- P1-P2: schema ops --------------------------------------------------
@@ -183,6 +220,12 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 }
 
 object EditorSession {
+  /** Edit-set size above which [[EditorSession.current]] switches from a
+    * literal-map projection (O(edits) scan per row) to a broadcast hash
+    * join (O(1) probe per row).
+    */
+  val literalEditMax = 32
+
   /** E1: load a file as a new session — lazy scan + `__pos` attach.
     * `orderCols` must give a deterministic total order for reproducible
     * positions; empty means file order (zipWithIndex over scan order).
@@ -198,7 +241,7 @@ object EditorSession {
     new EditorSession(spark, Positional.attachPos(Formats.emptyTable(spark)))
 
   def fromDataFrame(df: DataFrame, orderCols: Seq[String],
-                    compactEvery: Int = 512): EditorSession =
+                    compactEvery: Int = 4096): EditorSession =
     new EditorSession(df.sparkSession,
       Positional.attachPos(df, orderCols.map(col): _*), compactEvery)
 }

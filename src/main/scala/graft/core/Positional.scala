@@ -23,27 +23,44 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Positional {
   val POS = "__pos"
 
-  /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed —
-    * no single-partition window and no RDD roundtrip (stays columnar /
-    * codegen'd): range-partition sort, per-partition `row_number`, then add
-    * broadcast per-partition offsets (the zipWithIndex trick expressed in
-    * DataFrame operations). One extra small job computes the partition
-    * counts.
+  /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed — no
+    * single-partition window and no RDD roundtrip (stays columnar and
+    * codegen'd): range-partition sort, pinned by an eager `localCheckpoint`,
+    * then `monotonically_increasing_id` decomposed into (partition id,
+    * local index) with collected per-partition offsets added back.
+    *
+    * Why the pin matters: any two-job scheme (count partitions, then
+    * assign) is WRONG under AQE if both jobs re-execute the sort — adaptive
+    * coalescing can partition the two executions differently and silently
+    * corrupt positions. Checkpointing first means the counts job and every
+    * consumer read the *same materialized blocks*, so the decomposition of
+    * the id is stable by construction. (`rdd.zipWithIndex` is the classic
+    * alternative but costs a second full execution of the upstream plan
+    * plus a Row encode/decode of every row.)
+    *
+    * The offsets ride along as a small map literal (one entry per
+    * partition); at true scale positions are assigned once at load and
+    * persisted (sorted/bucketed layout), not recomputed per query.
     */
   def attachPos(df: DataFrame, order: Column*): DataFrame = {
     val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
-    val schema = StructType(sorted.schema.fields :+ StructField(POS, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
-    // NOTE on implementation choice: a pure-DataFrame variant (range sort →
-    // spark_partition_id → per-partition row_number + collected offsets)
-    // looks faster on paper but is WRONG under AQE: the offsets job and the
-    // window job re-execute the sort independently, and adaptive coalescing
-    // can give the two executions different partitionings, silently
-    // corrupting positions. zipWithIndex computes its offsets inside one
-    // RDD lineage, so the partitioning is shared by construction. At true
-    // scale, positions are assigned once at load and persisted
-    // (sorted/bucketed layout), not recomputed per query.
+    val pinned = sorted.localCheckpoint(eager = true)
+    // monotonically_increasing_id = (partitionId << 33) + local row index,
+    // deterministic over pinned blocks
+    val mid = monotonically_increasing_id()
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val withMid = pinned.withColumn("__mid", mid)
+    val counts = withMid.groupBy(pidOf.as("pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty) return pinned.withColumn(POS, lit(0L)) // zero rows
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offsetMap = map(offsets.flatMap { case (pid, off) =>
+      Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
+    withMid
+      .withColumn(POS, localOf + element_at(offsetMap, pidOf))
+      .drop("__mid")
   }
 
   /** Small-data variant: `row_number()` global window (single partition).

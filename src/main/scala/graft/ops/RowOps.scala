@@ -40,12 +40,16 @@ object RowOps {
 
   /** R5: multi-row cut — returns (clipboard, remaining-table). Clipboard
     * rows get dense 0..k-1 positions in their original relative order
-    * (`rows = sorted(set(...))`, `main.py:110`).
+    * (`rows = sorted(set(...))`, `main.py:110`). The cut positions are known
+    * on the driver, so the clipboard renumber is a literal old→new map —
+    * no sort, no shuffle, no job; a gesture selects human-scale row counts.
     */
   def cutRows(df: DataFrame, positions: Seq[Long]): (DataFrame, DataFrame) = {
     val sorted = positions.distinct.sorted
     val clip = df.filter(col(POS).isInCollection(sorted))
-    val clipRenum = Positional.renumber(clip)
+    val renumMap = map(sorted.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(p), lit(i.toLong)) }: _*)
+    val clipRenum = clip.withColumn(POS, element_at(renumMap, col(POS)))
     (clipRenum, deleteRows(df, sorted))
   }
 
@@ -55,8 +59,9 @@ object RowOps {
     * shifts down by k. `unionByName` + arithmetic; order is carried entirely
     * by `__pos`, so no branch needs a sort or single partition.
     */
-  def pasteRows(df: DataFrame, clipboard: DataFrame, position: Long): DataFrame = {
-    val k = clipboard.count() // one tiny job; clipboard is gesture-sized
+  def pasteRows(df: DataFrame, clipboard: DataFrame, position: Long,
+                knownSize: Option[Long] = None): DataFrame = {
+    val k = knownSize.getOrElse(clipboard.count()) // size job only if unknown
     val upper = df.filter(col(POS) < position)
     val lower = df.filter(col(POS) >= position)
       .withColumn(POS, col(POS) + lit(k))
