@@ -238,7 +238,16 @@ object PipelineQueries {
     // the flatMapGroupsWithState variant is spec-checked equal to this
     "st_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(Tables.loadEvents(s, dir), "30 minutes")
-        .orderBy("user_id", "sess_start")))
+        .orderBy("user_id", "sess_start")),
+
+    /** Stream-stream interval join run as a real streaming query (two
+      * watermarked sides, bounded join state, append output) — the
+      * streaming sibling of the batch j_range surface.
+      */
+    "st_range_join" -> ((s, dir) =>
+      EventStreams.runAvailableNow(s, s"$dir/events.parquet",
+        EventStreams.rangeJoinPairs(_), "st_range_join", outputMode = "append")
+        .orderBy("event_id", "click_id")))
 
   val oracleSql: Map[String, String] = Map(
     "t_token_count" ->
@@ -386,6 +395,15 @@ object PipelineQueries {
 
     "st_window_counts" -> windowCountsOracle,
     "e_batch_window" -> windowCountsOracle,
+
+    "st_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
+        |p AS (SELECT event_id, user_id, uts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, uts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, c.click_id
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.uts >= p.uts - INTERVAL 1 HOUR AND c.uts < p.uts
+        |ORDER BY p.event_id, c.click_id""".stripMargin,
 
     "st_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS uts, value FROM events),

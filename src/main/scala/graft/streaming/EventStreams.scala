@@ -145,6 +145,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: (purchase, click) pairs where the click
+    * happened within the hour before the purchase, by the same user. Both
+    * sides carry a watermark, so the join state (clicks awaiting future
+    * purchases and vice versa) is bounded: a click older than
+    * watermark - window can never match a future purchase and is evicted.
+    * Batch/stream agnostic like [[windowedCounts]] — on a batch input Spark
+    * plans the same expression as an equi-join on user_id with a range
+    * post-filter.
+    */
+  def rangeJoinPairs(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user_id") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("purchase_ts"))
+      .select(col("event_id"), col("click_id"))
+  }
+
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
     * (process-everything-then-stop) into a memory sink; returns the result
     * table. This is the full streaming engine path — source → watermark →
@@ -152,7 +177,8 @@ object EventStreams {
     */
   def runAvailableNow(spark: SparkSession, path: String,
                       transform: DataFrame => DataFrame,
-                      queryName: String): DataFrame = {
+                      queryName: String,
+                      outputMode: String = "complete"): DataFrame = {
     // events parquet carries nanosecond timestamps — read as long + convert
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
@@ -165,7 +191,7 @@ object EventStreams {
       else reader.parquet(path)
     val stream = graft.core.Tables.normalizeEventTs(src)
     val q = transform(stream).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
