@@ -88,6 +88,22 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Bloom-pruned selective semi-join: lineitems of high-value orders.
+      * The bloom prefilter cuts the fact side before its exchange; the
+      * exact semi join removes false positives, so the oracle is the plain
+      * IN-subquery. See [[graft.operators.BloomPrune]].
+      */
+    "j_bloom" -> ((s, dir) => {
+      val hi = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      graft.operators.BloomPrune.bloomSemiJoin(
+          Tables.load(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Range (interval) join via bin bucketing: clicks within the hour
       * before each purchase, as an equi-join on (user_id, time-bin) rather
       * than a nested-loop non-equi join. See [[graft.operators.RangeJoin]].
@@ -199,6 +215,13 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "j_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "j_range" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),

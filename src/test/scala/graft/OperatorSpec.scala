@@ -69,6 +69,21 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class BloomPruneSpec extends SparkSpec {
+  test("bloom-pruned semi-join is exactly the plain semi-join") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val hi = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+    val pruned = graft.operators.BloomPrune
+      .bloomSemiJoin(li, hi, "l_orderkey", "o_orderkey")
+    val plain = li.join(hi.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    assert(plain.count() > 0, "fixture should have high-value orders")
+    assert(pruned.count() == plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+}
+
 class ConnectedComponentsSpec extends SparkSpec {
   test("chains, stars, and singletons-via-pairs resolve to min-id clusters") {
     import spark.implicits._
