@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, CaseWhen, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.core.Positional.POS
+
+/** Optimizer rule for the stacked-cell-edit pathology (SURVEY.md §4, last
+  * table row): API users who apply [[graft.ops.CellOps.setCell]] repeatedly
+  * build `CASE WHEN __pos=p THEN v ELSE <previous> END` towers. Catalyst's
+  * own `CollapseProject` merges the projections but leaves one deeply
+  * *nested* CaseWhen per column — codegen then emits nesting-depth-deep
+  * branches (split or abandoned past JVM method limits), and every dead
+  * overwrite of the same cell survives as a live branch.
+  *
+  * This rule flattens a nested single-cell-edit chain into one flat
+  * multi-branch CaseWhen and drops overwritten branches. Order is
+  * preserved — the newest edit is the outermost CASE, so it becomes the
+  * first branch and CaseWhen's first-match-wins keeps last-write-wins
+  * semantics; dedup only removes branches that could never fire.
+  *
+  * (The interactive [[graft.core.EditorSession]] never creates these towers
+  * — its edit log compacts before planning. The rule protects the
+  * plain-DataFrame API path.)
+  */
+object CollapseCellEdits extends Rule[LogicalPlan] {
+
+  /** Peel `CASE WHEN __pos = <lit> THEN <lit> ELSE tail END` chains. */
+  private def peel(e: Expression): (Seq[(Expression, Expression)], Expression) =
+    e match {
+      case CaseWhen(Seq((cond @ EqualTo(attr: AttributeReference, _: Literal),
+          v: Literal)), Some(tail)) if attr.name == POS =>
+        val (branches, base) = peel(tail)
+        ((cond, v) +: branches, base)
+      case other => (Nil, other)
+    }
+
+  private def posOf(branch: (Expression, Expression)): Any = branch._1 match {
+    case EqualTo(_, Literal(p, _)) => p
+    case _ => null
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(list, _) =>
+      var changed = false
+      val newList = list.map {
+        case a @ Alias(cw: CaseWhen, name) =>
+          val (branches, base) = peel(cw)
+          if (branches.length >= 2) {
+            // first occurrence (newest edit) of each position wins
+            val deduped = branches.foldLeft(
+              (Vector.empty[(Expression, Expression)], Set.empty[Any])) {
+              case ((acc, seen), b) =>
+                val k = posOf(b)
+                if (seen(k)) (acc, seen) else (acc :+ b, seen + k)
+            }._1
+            if (deduped.length < branches.length || isNested(cw)) {
+              changed = true
+              Alias(CaseWhen(deduped, Some(base)), name)(
+                a.exprId, a.qualifier, a.explicitMetadata)
+            } else a
+          } else a
+        case other => other
+      }
+      if (changed) p.copy(projectList = newList) else p
+  }
+
+  private def isNested(cw: CaseWhen): Boolean = cw.elseValue match {
+    case Some(_: CaseWhen) => true
+    case _ => false
+  }
+
+  /** Ad-hoc per-session installation (the cluster path is
+    * `spark.sql.extensions=graft.plans.GraftExtensions`).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+}

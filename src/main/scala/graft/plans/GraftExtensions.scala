@@ -21,6 +21,7 @@ import graft.functions.CosineSim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectOptimizerRule(_ => CollapseCellEdits)
   }
 }
 

@@ -69,6 +69,40 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class CollapseCellEditsSpec extends SparkSpec {
+  import org.apache.spark.sql.catalyst.expressions.CaseWhen
+
+  private def maxCaseDepth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case cw: CaseWhen =>
+        1 + (cw.elseValue.toSeq ++ cw.branches.map(_._2)).map(maxCaseDepth).max
+      case other => if (other.children.isEmpty) 0
+        else other.children.map(maxCaseDepth).max
+    }
+
+  test("stacked setCell towers flatten to one deduped CaseWhen") {
+    graft.plans.CollapseCellEdits.install(spark)
+    import spark.implicits._
+    val base = graft.core.Positional.attachPos(
+      Seq(10.0, 20.0, 30.0, 40.0).toDF("v"))
+    // 30 stacked edits; position 1 written three times (last must win)
+    var df = base
+    (0 until 28).foreach { i =>
+      df = graft.ops.CellOps.setCell(df, (i % 4).toLong, "v", s"${100 + i}").get
+    }
+    df = graft.ops.CellOps.setCell(df, 1L, "v", "777").get
+    df = graft.ops.CellOps.setCell(df, 1L, "v", "888").get
+    val optimized = df.queryExecution.optimizedPlan
+    val depths = optimized.expressions.map(maxCaseDepth)
+    assert(depths.max <= 1,
+      s"edit chain not flattened, nesting depth ${depths.max}")
+    val vals = df.orderBy(graft.core.Positional.POS)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    // newest writes: pos1=888; pos0/2/3 from the loop's last rounds (i=24..27)
+    assert(vals == Seq(124.0, 888.0, 126.0, 127.0), s"got $vals")
+  }
+}
+
 class BloomPruneSpec extends SparkSpec {
   test("bloom-pruned semi-join is exactly the plain semi-join") {
     val li = Tables.load(spark, sf, "lineitem")
