@@ -224,6 +224,30 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     simhashFromHashes(transform(TextFunctions.tokens(textCol), t => xxhash64(t)))
 
+  /** Per-document SimHash signatures with a pluggable token hasher —
+    * explode + `bits` conditional-sum aggregates (codegen'd, map-side
+    * partial, order-insensitive integer sums). The default xxhash64 is the
+    * fast path; an md5-derived hasher makes the signature reproducible in
+    * engines without xxhash64 (the d_simhash_md5 oracle). Docs with no
+    * tokens produce no row. Output: (id, sig).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 64,
+                        hasher: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits in [1,64]")
+    val bitCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"b$b"))
+    val sigExpr = (0 until bits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), hasher(col("t")).as("h"))
+      .groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
+  }
+
   /** SimHash near-clone pairs with Hamming distance <= maxHamming, found by
     * banding the 64-bit signature into maxHamming+1 chunks (pigeonhole: any
     * pair within distance k agrees on at least one of k+1 chunks).

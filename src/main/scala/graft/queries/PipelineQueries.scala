@@ -154,6 +154,14 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .orderBy("id_i", "id_j")),
 
+    // the oracle-checkable SimHash: md5-derived 60-bit token hashes both
+    // engines can compute bit-identically
+    "d_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text", bits = 60,
+        hasher = t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     /** Embedding-cosine near-dup pairs — the fifth dedup family: brute-force
       * threshold pairs as the oracle-checked baseline; lshPairs is the
       * bucketed scale path (spec-checked to contain these pairs).
@@ -339,6 +347,18 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "d_simhash_md5" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+         |  GROUP BY doc_id, bb.b)
+         |SELECT doc_id,
+         |  bit_or(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS sig
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),

@@ -69,6 +69,27 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class SketchAccuracySpec extends SparkSpec {
+  test("HLL distinct and approx median stay within advertised error") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+      expr("percentile(l_extendedprice, 0.5)").as("em")).collect()
+    rows.foreach { r =>
+      val ap = r.getAs[Long]("approx_parts").toDouble
+      val ep = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(ap - ep) / ep <= 0.10,
+        s"HLL rel err ${math.abs(ap - ep) / ep} > 10%")
+      val am = r.getAs[Double]("am")
+      val em = r.getAs[Double]("em")
+      assert(math.abs(am - em) / em <= 0.05,
+        s"approx median rel err ${math.abs(am - em) / em} > 5%")
+    }
+  }
+}
+
 class CollapseCellEditsSpec extends SparkSpec {
   import org.apache.spark.sql.catalyst.expressions.CaseWhen
 
