@@ -194,6 +194,31 @@ class StreamingSpec extends SparkSpec {
       .distinct().count())
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // watermark-bounded dedup state: duplicates arriving within the delay
+    // are dropped, and keys older than the watermark are evicted instead of
+    // accumulating forever — the streaming-scale exact-dedup shape
+    val deduped = mem.toDF.toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("spec_wm_dedup").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(1))); q.processAllAvailable()
+      mem.addData((1L, ts(2))); q.processAllAvailable()      // still duplicate
+      assert(spark.table("spec_wm_dedup").count() == 1)
+      mem.addData((2L, ts(60))); q.processAllAvailable()      // advances wm
+      mem.addData((1L, ts(61))); q.processAllAvailable()      // state evicted
+      val k1 = spark.table("spec_wm_dedup").filter(col("k") === 1L).count()
+      assert(k1 == 2, s"expected re-admission after watermark eviction, got $k1")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch-bound transform") {
     val batch = EventStreams.windowedCounts(Tables.loadEvents(spark, sf))
       .orderBy("win_start", "event_type").collect()

@@ -15,6 +15,25 @@ class FormatsSpec extends SparkSpec {
     assert(Formats.detect("b.json") == Formats.JsonF)
     assert(Formats.detect("b.xlsx") == Formats.ExcelF)
     intercept[IllegalArgumentException](Formats.detect("b.txt"))
+    // legacy BIFF gets a specific, actionable error — not a ZipException
+    val e = intercept[IllegalArgumentException](Formats.detect("old.xls"))
+    assert(e.getMessage.contains(".xls"))
+  }
+
+  test("schema evolution: mergeSchema unions old and new parquet schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo_").toString
+    // v1 writer: (id, a) — v2 adds column b; both live in one dataset dir
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "z", 7.5)).toDF("id", "a", "b")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "batch"))
+    assert(merged.count() == 3)
+    // rows written before the column existed read as null, not garbage
+    assert(merged.filter(col("b").isNull).count() == 2)
+    assert(merged.filter(col("b") === 7.5).select("id").head.getLong(0) == 3L)
   }
 
   test("S1/S5: parquet round-trip preserves schema and rows") {
