@@ -20,6 +20,21 @@ class FormatsSpec extends SparkSpec {
     assert(e.getMessage.contains(".xls"))
   }
 
+  test("compaction rewrites a fragmented dataset without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/t"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(64).write.parquet(dir)   // deliberately fragmented
+    val before = spark.read.parquet(dir)
+    val beforeSum = before.agg(sum(col("o_orderkey"))).head.getLong(0)
+    val stats = graft.io.Compaction.compact(spark, dir, targetFileMB = 512,
+      clusterBy = Seq("o_orderkey"))
+    assert(stats.filesBefore == 64 && stats.filesAfter < 8,
+      s"expected big file-count drop, got $stats")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == orders.count())
+    assert(after.agg(sum(col("o_orderkey"))).head.getLong(0) == beforeSum)
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet schemas") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evo_").toString
