@@ -97,10 +97,48 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       .drop("__edit_v", "__edit_set")
   }
 
+  // ---- undo/redo ----------------------------------------------------------
+  // The reference *advertises* undo/redo (`readme.md:12`) but implements
+  // neither (SURVEY.md §0: declared-but-absent). With immutable DataFrames
+  // it is nearly free: a history entry is a (plan reference, edit-log copy)
+  // pair — no data is copied, lineage chains to the pinned base.
+
+  private case class Snap(table: DataFrame,
+                          edits: Seq[(String, Seq[(Long, Any)])])
+  private val undoStack = mutable.ArrayBuffer.empty[Snap]
+  private val redoStack = mutable.ArrayBuffer.empty[Snap]
+  private val maxHistory = 128
+
+  private def snap(): Snap =
+    Snap(table, editLog.toSeq.map { case (c, m) => c -> m.toSeq })
+
+  private def restore(s: Snap): Unit = {
+    table = s.table
+    editLog.clear()
+    s.edits.foreach { case (c, m) =>
+      editLog(c) = mutable.LinkedHashMap(m: _*)
+    }
+  }
+
+  /** Record state before a mutation gesture; clears the redo branch. */
+  private def remember(): Unit = {
+    undoStack += snap()
+    if (undoStack.size > maxHistory) undoStack.remove(0)
+    redoStack.clear()
+  }
+
+  def undo(): Boolean =
+    if (undoStack.isEmpty) false
+    else { redoStack += snap(); restore(undoStack.remove(undoStack.size - 1)); true }
+
+  def redo(): Boolean =
+    if (redoStack.isEmpty) false
+    else { undoStack += snap(); restore(redoStack.remove(redoStack.size - 1)); true }
+
   /** R7: full table replace (`update_data`, v2 pyc@96-100). Discards the
     * edit log — matches the reference resetting the model.
     */
-  def replace(df: DataFrame): Unit = { editLog.clear(); table = df }
+  def replace(df: DataFrame): Unit = { remember(); editLog.clear(); table = df }
 
   /** Rebind through a transformation of the *current* view (edits folded
     * in first so the log never refers to stale positions). Every
@@ -110,6 +148,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     */
   private var rebindsSinceCheckpoint = 0
   private def rebind(f: DataFrame => DataFrame): Unit = {
+    remember()
     val folded = current
     editLog.clear()
     table = f(folded)
@@ -140,6 +179,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def setNull(pos: Long, colName: String): Unit = recordEdit(colName, pos, null)
 
   private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
+    remember()
     editLog.getOrElseUpdate(colName, mutable.LinkedHashMap.empty).update(pos, v)
     editsSinceCheckpoint += 1
     if (editsSinceCheckpoint >= compactEvery) checkpoint()

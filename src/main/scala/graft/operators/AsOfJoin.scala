@@ -61,4 +61,45 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /** Forward as-of join (at-or-after semantics): for every `left` row,
+    * attach `carry` columns from the *earliest* `right` row with
+    * `right.ts >= left.ts` on the same key. Same single-shuffle
+    * merge-and-carry plan, with the running frame reversed
+    * (current row → unbounded following, `first` ignoreNulls). Right rows
+    * at the exact same timestamp count as "after"; equal-ts ties among
+    * right rows break by minimum `tiebreak`.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, carry: Seq[String],
+                  carryPrefix: String = "asof_",
+                  tiebreak: Option[String] = None): DataFrame = {
+    val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+
+    val rightSel = right.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        carry.map(c => col(c).as(carryPrefix + c)) ++
+        passthrough.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSel = left.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        carry.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(carryPrefix + c)) ++
+        passthrough.map(col): _*)
+
+    val ordering: Seq[Column] =
+      Seq(col(tsCol).asc, col("__side").asc) ++
+        tiebreak.map(t => col(carryPrefix + t).asc_nulls_last).toSeq
+    val w = Window.partitionBy(keyCol).orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    rightSel.unionByName(leftSel)
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        carry.map(c =>
+          first(col(carryPrefix + c), ignoreNulls = true).over(w)
+            .as(carryPrefix + c)) ++
+        passthrough.map(col): _*)
+      .filter(col("__side") === 0)
+      .drop("__side")
+  }
 }

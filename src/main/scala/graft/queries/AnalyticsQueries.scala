@@ -158,6 +158,22 @@ object AnalyticsQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    /** Forward as-of join: for every click, the earliest at-or-after
+      * purchase by the same user — the mirrored carry direction.
+      */
+    "j_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asofForward(
+          clicks, purchases, "user_id", "ts",
+          carry = Seq("event_id"), tiebreak = Some("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("purchase_id"))
+        .orderBy("event_id")
+    }),
+
     /** Running aggregate window: cumulative quantity per supplier by ship
       * date (rows-between running frame).
       */
@@ -249,6 +265,20 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "j_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, uts, 0 AS side, event_id AS cid, NULL::BIGINT AS pid
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, uts, 1, NULL, event_id FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *, first_value(pid IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY uts, side, pid ASC NULLS LAST
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pid
+        |      FROM u)
+        |SELECT cid AS event_id, next_pid AS purchase_id
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
 
     "w_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

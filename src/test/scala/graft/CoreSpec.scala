@@ -58,6 +58,26 @@ class EditorSessionSpec extends SparkSpec {
     assert(got == 100L)
   }
 
+  test("undo/redo walk the gesture history (readme parity the reference lacks)") {
+    val s = freshSession()
+    def regionOf(pos: Long): Int = s.current.filter(col("__pos") === pos)
+      .select("n_regionkey").head.getInt(0)
+    val original = regionOf(0L)
+    assert(s.setCell(0L, "n_regionkey", "7"))
+    assert(regionOf(0L) == 7)
+    assert(s.undo() && regionOf(0L) == original)
+    assert(s.redo() && regionOf(0L) == 7)
+    // a row mutation is also one undoable gesture
+    val n0 = s.rowCount
+    s.deleteRows(Seq(0L, 1L))
+    assert(s.rowCount == n0 - 2)
+    assert(s.undo() && s.rowCount == n0)
+    // a fresh edit clears the redo branch
+    assert(s.setCell(2L, "n_regionkey", "9"))
+    assert(!s.redo())
+    assert(s.undo() && s.undo() && regionOf(0L) == original)
+  }
+
   test("R4: delete closes the gap") {
     val s = freshSession()
     val before = s.current.orderBy("__pos").select("n_nationkey")
