@@ -37,9 +37,18 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     */
   private var table: DataFrame = table0
 
-  /** pending cell edits: colName -> (pos -> casted value) */
-  private val editLog = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Long, Any]]
+  /** Pending cell edits: colName -> (pos -> casted value). Inner maps are
+    * *immutable* so undo snapshots share them structurally — a snapshot is
+    * O(edited columns), never a deep copy of the edit log.
+    */
+  private val editLog = mutable.LinkedHashMap.empty[String, Map[Long, Any]]
   private var editsSinceCheckpoint = 0
+
+  /** Row count, maintained arithmetically through gestures (-1 = unknown,
+    * recomputed lazily). Knowing the size on the driver lets gestures
+    * validate positions and paste avoid a count job.
+    */
+  private var nRows: Long = -1L
 
   /** The current table with all pending edits applied (lazy plan). */
   def current: DataFrame = {
@@ -58,7 +67,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * linear scan per row, so this form is for small edit sets only.
     */
   private def compactedEditExpr(colName: String, dt: DataType,
-                                edits: mutable.LinkedHashMap[Long, Any]) = {
+                                edits: Map[Long, Any]) = {
     val positions = edits.keys.toSeq
     if (edits.size == 1) {
       val (p, v) = edits.head
@@ -81,7 +90,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * This is also the 100 TB shape: an edit log is data, not plan.
     */
   private def editJoin(df: DataFrame, colName: String, dt: DataType,
-                       edits: mutable.LinkedHashMap[Long, Any]): DataFrame = {
+                       edits: Map[Long, Any]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
     val schema = StructType(Seq(
@@ -103,21 +112,20 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   // it is nearly free: a history entry is a (plan reference, edit-log copy)
   // pair — no data is copied, lineage chains to the pinned base.
 
-  private case class Snap(table: DataFrame,
-                          edits: Seq[(String, Seq[(Long, Any)])])
+  private case class Snap(table: DataFrame, edits: Seq[(String, Map[Long, Any])],
+                          rows: Long)
   private val undoStack = mutable.ArrayBuffer.empty[Snap]
   private val redoStack = mutable.ArrayBuffer.empty[Snap]
   private val maxHistory = 128
 
-  private def snap(): Snap =
-    Snap(table, editLog.toSeq.map { case (c, m) => c -> m.toSeq })
+  /** O(edited columns): the immutable inner maps are shared, not copied. */
+  private def snap(): Snap = Snap(table, editLog.toSeq, nRows)
 
   private def restore(s: Snap): Unit = {
     table = s.table
     editLog.clear()
-    s.edits.foreach { case (c, m) =>
-      editLog(c) = mutable.LinkedHashMap(m: _*)
-    }
+    s.edits.foreach { case (c, m) => editLog(c) = m }
+    nRows = s.rows
   }
 
   /** Record state before a mutation gesture; clears the redo branch. */
@@ -138,7 +146,9 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   /** R7: full table replace (`update_data`, v2 pyc@96-100). Discards the
     * edit log — matches the reference resetting the model.
     */
-  def replace(df: DataFrame): Unit = { remember(); editLog.clear(); table = df }
+  def replace(df: DataFrame): Unit = {
+    remember(); editLog.clear(); table = df; nRows = -1L
+  }
 
   /** Rebind through a transformation of the *current* view (edits folded
     * in first so the log never refers to stale positions). Every
@@ -180,7 +190,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
     remember()
-    editLog.getOrElseUpdate(colName, mutable.LinkedHashMap.empty).update(pos, v)
+    editLog(colName) = editLog.getOrElse(colName, Map.empty[Long, Any]) + (pos -> v)
     editsSinceCheckpoint += 1
     if (editsSinceCheckpoint >= compactEvery) checkpoint()
   }
@@ -199,8 +209,22 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   // ---- R4-R6: row ops -----------------------------------------------------
 
-  def deleteRow(position: Long): Unit = rebind(RowOps.deleteRow(_, position))
-  def deleteRows(positions: Seq[Long]): Unit = rebind(RowOps.deleteRows(_, positions))
+  /** Positions actually present in the table (a GUI can only select real
+    * rows; API callers may pass junk — out-of-range entries are dropped so
+    * position arithmetic stays consistent with reality).
+    */
+  private def validPositions(positions: Seq[Long]): Seq[Long] =
+    positions.distinct.filter(p => p >= 0 && p < rowCount)
+
+  def deleteRow(position: Long): Unit = deleteRows(Seq(position))
+
+  def deleteRows(positions: Seq[Long]): Unit = {
+    val valid = validPositions(positions)
+    if (valid.nonEmpty) {
+      rebind(RowOps.deleteRows(_, valid))
+      nRows -= valid.size
+    }
+  }
 
   private var clipboard: Option[DataFrame] = None
   private var clipboardSize: Long = 0L
@@ -213,18 +237,29 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * cheaper than copying the table. The clipboard IS pinned (by the
     * renumber inside cutRows), so it survives later table rebinds.
     */
-  def cut(positions: Seq[Long]): Unit = rebind { df0 =>
-    val (clip, rest) = RowOps.cutRows(df0, positions)
-    clipboard = Some(clip)
-    clipboardSize = positions.distinct.size.toLong
-    rest
+  def cut(positions: Seq[Long]): Unit = {
+    val valid = validPositions(positions)
+    if (valid.nonEmpty) {
+      rebind { df0 =>
+        val (clip, rest) = RowOps.cutRows(df0, valid)
+        clipboard = Some(clip)
+        clipboardSize = valid.size.toLong
+        rest
+      }
+      nRows -= valid.size
+    }
   }
 
-  /** R6: paste the clipboard block at `position` (`main.py:58-65`). */
+  /** R6: paste the clipboard block at `position` (`main.py:58-65`);
+    * positions past the end append (pandas `iloc[pos:]` slicing clamps).
+    */
   def paste(position: Long): Boolean = clipboard match {
     case None => false
     case Some(clip) =>
-      rebind(RowOps.pasteRows(_, clip, position, Some(clipboardSize))); true
+      val at = math.max(0L, math.min(position, rowCount))
+      rebind(RowOps.pasteRows(_, clip, at, Some(clipboardSize)))
+      nRows += clipboardSize
+      true
   }
 
   // ---- P1-P2: schema ops --------------------------------------------------
@@ -241,17 +276,22 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   /** Pivot replaces the current table (v2 pyc@169) — positions re-derived
     * from the new shape, ordered by the index key.
     */
-  def pivot(index: String, columns: String, values: String, aggfunc: String): Unit =
+  def pivot(index: String, columns: String, values: String, aggfunc: String): Unit = {
     rebind { df =>
       val piv = PivotOps.pivotTable(Positional.strip(df), index, columns, values, aggfunc)
       Positional.attachPos(piv, col(index))
     }
+    nRows = -1L // aggregation changed the row count
+  }
 
   // ---- paging / save ------------------------------------------------------
 
   def page(lo: Long, hi: Long): DataFrame = Positional.page(current, lo, hi)
 
-  def rowCount: Long = current.count()
+  def rowCount: Long = {
+    if (nRows < 0) nRows = current.count()
+    nRows
+  }
 
   def save(path: String, singleFile: Boolean = true): Unit = {
     val out = Positional.strip(current.orderBy(col(POS)))

@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions.col
   * byte-sized (from the real on-disk footprint, not row counts), optionally
   * range-clustered on sort columns so every output file carries tight
   * min/max column stats — later predicate scans then prune whole files.
-  * The rewrite goes to a sibling temp dir first and swaps in atomically
-  * (rename), so readers never observe a half-written dataset.
+  * The rewrite goes to a sibling temp dir first and swaps in via two
+  * renames, so readers never see a *half-written* dataset; they can,
+  * however, hit a path-missing error in the brief window between the two
+  * renames (plain filesystems have no atomic directory swap — a table
+  * format's metadata layer is the real fix at scale), and a crash inside
+  * the window leaves the data parked at the `.<name>_compact_old` sibling.
+  *
+  * Hive-partitioned layouts (subdirectories per partition value) are
+  * refused: flattening one into plain files would silently destroy
+  * plan-time partition pruning for every downstream reader — compact each
+  * partition directory instead.
   */
 object Compaction {
 
@@ -35,6 +44,12 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new HPath(path)
     val fs = FileSystem.get(URI.create(path), conf)
+    val subdirs = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path contains partition subdirectories (${subdirs.take(3).mkString(", ")}…); " +
+          "compact each partition directory instead of flattening the layout")
     val before = dataFiles(fs, dir)
     val bytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)

@@ -4,12 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (temporal nearest-before) join.
+/** As-of (temporal nearest) join, backward and forward.
   *
-  * Implemented with the merge-and-carry-forward algorithm rather than a
-  * range join: tag both sides, union, sort each key-partition by
-  * (ts, side, tiebreak), and carry the most recent right-side payload onto
-  * every left row with `last(..., ignoreNulls)` over a running window.
+  * Implemented with the merge-and-carry algorithm rather than a range join:
+  * tag both sides, union, sort each key-partition by (ts, side, tiebreak),
+  * and carry the nearest right-side payload onto every left row with
+  * `last/first(..., ignoreNulls)` over a running window.
+  *
+  * The carried payload is a single STRUCT of the carry columns, null only
+  * for left rows. This matters twice: a matched right row whose carry
+  * *values* are null must still win (ignoreNulls skips nulls — wrapping in
+  * a non-null struct makes the match itself the thing carried), and one
+  * window expression serves any number of carry columns.
   *
   * Scale: exactly ONE shuffle (hash on the key for the window), state is a
   * single carried row per key — compare a naive `l JOIN r ON ts_r <= ts_l`
@@ -21,10 +27,58 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val PAYLOAD = "__asof_payload"
+
+  /** Shared merge-and-carry core; `forward` flips the frame direction and
+    * which side sorts first at equal timestamps.
+    */
+  private def asof(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, carry: Seq[String], carryPrefix: String,
+                   tiebreak: Option[String], forward: Boolean): DataFrame = {
+    val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c).copy(name = c)))
+
+    // right rows sort before left at equal ts for backward (at-or-before
+    // includes same-ts), after left for forward (at-or-after includes it)
+    val rightSide = if (forward) 1 else 0
+    val leftSide = 1 - rightSide
+
+    val rightSel = right.select(
+      Seq(col(keyCol), col(tsCol), lit(rightSide).as("__side"),
+        struct(carry.map(col): _*).as(PAYLOAD)) ++
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSel = left.select(
+      Seq(col(keyCol), col(tsCol), lit(leftSide).as("__side"),
+        lit(null).cast(payloadType).as(PAYLOAD)) ++
+        passthrough.map(col): _*)
+
+    // equal-ts tie among right rows: backward wants the max tiebreak to win
+    // (last in ascending order), forward wants the min (first in order)
+    val ordering: Seq[Column] =
+      Seq(col(tsCol).asc, col("__side").asc) ++
+        tiebreak.map(t => if (forward) col(PAYLOAD).getField(t).asc_nulls_last
+                          else col(PAYLOAD).getField(t).asc_nulls_first).toSeq
+    val base = Window.partitionBy(keyCol).orderBy(ordering: _*)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward) first(col(PAYLOAD), ignoreNulls = true).over(w)
+      else last(col(PAYLOAD), ignoreNulls = true).over(w)
+
+    rightSel.unionByName(leftSel)
+      .withColumn(PAYLOAD, carried)
+      .filter(col("__side") === leftSide)
+      .select(Seq(col(keyCol), col(tsCol)) ++
+        carry.map(c => col(PAYLOAD).getField(c).as(carryPrefix + c)) ++
+        passthrough.map(col): _*)
+  }
+
   /** Backward as-of join (at-or-before semantics): for every `left` row,
     * attach `carry` columns from the latest `right` row with
     * `right.ts <= left.ts` on the same key. Right rows at the exact same
-    * timestamp count as "before" (side ordering puts right first).
+    * timestamp count as "before".
     *
     * @param tiebreak right-side column (from `carry`) that breaks equal-ts
     *                 ties among right rows deterministically (max wins).
@@ -32,74 +86,19 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, carry: Seq[String],
                    carryPrefix: String = "asof_",
-                   tiebreak: Option[String] = None): DataFrame = {
-    val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
-
-    val rightSel = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        carry.map(c => col(c).as(carryPrefix + c)) ++
-        passthrough.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val leftSel = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        carry.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(carryPrefix + c)) ++
-        passthrough.map(col): _*)
-
-    val ordering: Seq[Column] =
-      Seq(col(tsCol).asc, col("__side").asc) ++
-        tiebreak.map(t => col(carryPrefix + t).asc_nulls_first).toSeq
-    val w = Window.partitionBy(keyCol).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    rightSel.unionByName(leftSel)
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        carry.map(c =>
-          last(col(carryPrefix + c), ignoreNulls = true).over(w)
-            .as(carryPrefix + c)) ++
-        passthrough.map(col): _*)
-      .filter(col("__side") === 1)
-      .drop("__side")
-  }
+                   tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCol, tsCol, carry, carryPrefix, tiebreak,
+      forward = false)
 
   /** Forward as-of join (at-or-after semantics): for every `left` row,
     * attach `carry` columns from the *earliest* `right` row with
-    * `right.ts >= left.ts` on the same key. Same single-shuffle
-    * merge-and-carry plan, with the running frame reversed
-    * (current row → unbounded following, `first` ignoreNulls). Right rows
-    * at the exact same timestamp count as "after"; equal-ts ties among
-    * right rows break by minimum `tiebreak`.
+    * `right.ts >= left.ts` on the same key. Right rows at the exact same
+    * timestamp count as "after"; equal-ts ties break by minimum `tiebreak`.
     */
   def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
                   tsCol: String, carry: Seq[String],
                   carryPrefix: String = "asof_",
-                  tiebreak: Option[String] = None): DataFrame = {
-    val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
-
-    val rightSel = right.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        carry.map(c => col(c).as(carryPrefix + c)) ++
-        passthrough.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val leftSel = left.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        carry.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(carryPrefix + c)) ++
-        passthrough.map(col): _*)
-
-    val ordering: Seq[Column] =
-      Seq(col(tsCol).asc, col("__side").asc) ++
-        tiebreak.map(t => col(carryPrefix + t).asc_nulls_last).toSeq
-    val w = Window.partitionBy(keyCol).orderBy(ordering: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    rightSel.unionByName(leftSel)
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        carry.map(c =>
-          first(col(carryPrefix + c), ignoreNulls = true).over(w)
-            .as(carryPrefix + c)) ++
-        passthrough.map(col): _*)
-      .filter(col("__side") === 0)
-      .drop("__side")
-  }
+                  tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCol, tsCol, carry, carryPrefix, tiebreak,
+      forward = true)
 }

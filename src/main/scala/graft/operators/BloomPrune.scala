@@ -34,11 +34,15 @@ object BloomPrune {
                     bigKey: String, smallKey: String,
                     expectedKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    // The broadcast lives as long as the returned plan may execute; callers
+    // looping over many prunes against fresh key sets should unpersist the
+    // session or reuse one filter (build once, prune many).
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bcast.value.mightContainLong(k))
+    // no distinct() on the build side: semi-join semantics already dedup,
+    // and an extra aggregate would just add a shuffle of `small`
     big.filter(mightContain(col(bigKey)))
-      .join(small.select(col(smallKey).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 }

@@ -31,10 +31,19 @@ object RangeJoin {
                       loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    // Floor division in exact long arithmetic: Column./ is DOUBLE division,
+    // which silently mis-bins values above 2^53 (epoch nanos are ~2^60).
+    // (c - pmod(c, w)) is long-exact and a multiple of w; the division then
+    // happens in decimal, which is also exact.
+    def bin(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / binWidth)
+        .cast("long")
     // hi is exclusive: an interval touching a bin boundary at hi must not
-    // be exploded into the bin starting there
-    val binned = intervals.withColumn("__bin",
+    // be exploded into the bin starting there. Degenerate intervals
+    // (hi <= lo) contain no point under half-open semantics — drop them
+    // BEFORE the explode: sequence() with start > stop counts *down*,
+    // so one corrupt row would otherwise explode into millions of bins.
+    val binned = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol) - 1))))
     val pts = points.withColumn("__bin", bin(col(ptCol)))
     pts.join(binned, keys :+ "__bin")

@@ -27,15 +27,23 @@ import graft.core.Positional.POS
   */
 object CollapseCellEdits extends Rule[LogicalPlan] {
 
-  /** Peel `CASE WHEN __pos = <lit> THEN <lit> ELSE tail END` chains. */
-  private def peel(e: Expression): (Seq[(Expression, Expression)], Expression) =
-    e match {
+  /** Peel `CASE WHEN __pos = <lit> THEN <lit> ELSE tail END` chains. All
+    * branches must test the SAME `__pos` attribute (by exprId): a plan over
+    * a join of two positioned tables carries two attributes named `__pos`,
+    * and deduping across them would drop live branches.
+    */
+  private def peel(e: Expression): (Seq[(Expression, Expression)], Expression) = {
+    def loop(e: Expression, attrId: Option[Long])
+        : (Seq[(Expression, Expression)], Expression) = e match {
       case CaseWhen(Seq((cond @ EqualTo(attr: AttributeReference, _: Literal),
-          v: Literal)), Some(tail)) if attr.name == POS =>
-        val (branches, base) = peel(tail)
+          v: Literal)), Some(tail))
+          if attr.name == POS && attrId.forall(_ == attr.exprId.id) =>
+        val (branches, base) = loop(tail, Some(attr.exprId.id))
         ((cond, v) +: branches, base)
       case other => (Nil, other)
     }
+    loop(e, None)
+  }
 
   private def posOf(branch: (Expression, Expression)): Any = branch._1 match {
     case EqualTo(_, Literal(p, _)) => p

@@ -78,6 +78,19 @@ class EditorSessionSpec extends SparkSpec {
     assert(s.undo() && s.undo() && regionOf(0L) == original)
   }
 
+  test("cut ignores out-of-range positions and keeps __pos dense") {
+    val s = freshSession()
+    val n0 = s.rowCount
+    s.cut(Seq(5L, 9999L)) // 9999 doesn't exist — must not count
+    assert(s.rowCount == n0 - 1)
+    assert(s.paste(0L))
+    assert(s.rowCount == n0)
+    // positions must be dense 0..n-1 after the splice
+    val poss = s.current.select("__pos").orderBy("__pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(poss == (0L until n0).toSeq, s"holes in positions: $poss")
+  }
+
   test("R4: delete closes the gap") {
     val s = freshSession()
     val before = s.current.orderBy("__pos").select("n_nationkey")

@@ -31,6 +31,35 @@ class AsOfJoinSpec extends SparkSpec {
       .select("asof_rid").head
     assert(out.getLong(0) == 7L)
   }
+
+  test("a matched right row with a NULL carry value still wins") {
+    import spark.implicits._
+    // nearest-before row carries null — ignoreNulls must not skip past the
+    // match itself to an older row's value
+    val left = Seq((1L, ts(30), 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(10), Some(7L)), (1L, ts(20), None))
+      .toDF("k", "ts", "rid")
+    val back = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("rid"))
+      .select("asof_rid").head
+    assert(back.isNullAt(0), s"expected null carry from ts=20 match, got $back")
+    val fwdLeft = Seq((1L, ts(5), 100L)).toDF("k", "ts", "lid")
+    val fwd = AsOfJoin.asofForward(fwdLeft, right.filter(col("ts") === ts(20)),
+      "k", "ts", Seq("rid")).select("asof_rid").head
+    assert(fwd.isNullAt(0))
+  }
+
+  test("forward as-of picks earliest at-or-after, min-id on ties") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), 100L), (1L, ts(26), 101L), (2L, ts(5), 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(10), 7L), (1L, ts(25), 8L), (1L, ts(25), 9L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.asofForward(left, right, "k", "ts",
+      carry = Seq("rid"), tiebreak = Some("rid"))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((100L, 7L), (101L, -1L), (102L, -1L)))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
@@ -66,6 +95,29 @@ class RangeJoinSpec extends SparkSpec {
       pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = 7L)
     // hi=100 exclusive, -1 below lo; each in-range point exactly once
     assert(out.count() == 3)
+  }
+
+  test("binning is exact above 2^53 (epoch-nanosecond domain)") {
+    import spark.implicits._
+    // 1.7e18 ns ≈ 2^60.6 — double division would mis-bin boundary values
+    val w = 3600L * 1000000000L // 1h in ns
+    val t0 = 1700000000L * 1000000000L
+    val iv = Seq((1L, t0, t0 + w)).toDF("k", "lo", "hi")
+    val pt = Seq((1L, t0), (1L, t0 + w - 1), (1L, t0 + w), (1L, t0 - 1))
+      .toDF("k", "pt")
+    val got = graft.operators.RangeJoin.pointInInterval(
+        pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = w)
+      .select("pt").collect().map(_.getLong(0)).toSet
+    assert(got == Set(t0, t0 + w - 1), s"got $got")
+  }
+
+  test("degenerate intervals (hi <= lo) are dropped, not exploded") {
+    import spark.implicits._
+    val iv = Seq((1L, 1700000000000000000L, 0L)).toDF("k", "lo", "hi")
+    val pt = Seq((1L, 5L)).toDF("k", "pt")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = 3600000000L)
+    assert(out.count() == 0) // and completes instantly — no bin explosion
   }
 }
 
