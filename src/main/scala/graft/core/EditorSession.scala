@@ -326,7 +326,11 @@ object EditorSession {
       Positional.attachPos(df, orderCols.map(col): _*), compactEvery)
 }
 
-/** v1 MDI parity: multiple named tables in one process (`main.py:126-135`). */
+/** v1 MDI parity: multiple named tables in one process (`main.py:126-135`),
+  * plus the SQL-text surface over them — every open session is queryable as
+  * a temp view, so `catalog.sql("SELECT ... FROM a JOIN b ...")` runs
+  * cross-table SQL the reference never could.
+  */
 class Catalog(spark: SparkSession) {
   private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
@@ -336,4 +340,14 @@ class Catalog(spark: SparkSession) {
   def get(name: String): Option[EditorSession] = sessions.get(name)
   def close(name: String): Unit = sessions.remove(name)
   def names: Seq[String] = sessions.keys.toSeq
+
+  /** Run SQL text over the current state of every open session (views
+    * reflect pending edits — they are rebuilt from `current` per call).
+    */
+  def sql(query: String): DataFrame = {
+    sessions.foreach { case (n, s) =>
+      Positional.strip(s.current).createOrReplaceTempView(n)
+    }
+    spark.sql(query)
+  }
 }

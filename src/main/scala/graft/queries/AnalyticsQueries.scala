@@ -88,6 +88,17 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** SQL-text surface: the same engine through `spark.sql` — text is
+      * parsed by Catalyst into the identical plan the DataFrame API builds.
+      */
+    "q2_sql" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_linestatus, count(*) AS n,
+          |  cast(sum(cast(l_discount as decimal(18,4))) as double) AS sum_disc
+          |FROM lineitem_v GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    }),
+
     /** Bloom-pruned selective semi-join: lineitems of high-value orders.
       * The bloom prefilter cuts the fact side before its exchange; the
       * exact semi join removes false positives, so the oracle is the plain
@@ -231,6 +242,11 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q2_sql" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_discount as decimal(18,4))) as double) AS sum_disc
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "j_bloom" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -118,6 +118,22 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    /** End-to-end training-data pipeline in ONE declarative plan: language
+      * filter → quality gate → exact dedup (keep min id) → token stats.
+      * Catalyst fuses the scoring projections into the scan pass; the only
+      * shuffles are the dedup's fingerprint aggregate and its semi join.
+      */
+    "t_pipeline_e2e" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val en = scored.filter(col("lang_pred") === "en" && col("quality") > 0.2)
+      val kept = Dedup.dropExactDuplicates(en, "doc_id", "text")
+      kept.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "d_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
@@ -265,22 +281,10 @@ object PipelineQueries {
          |    x -> cast(ceil(length(x) / 4.0) as int))), 0) as int) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t_quality" ->
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)::DOUBLE
-         |    END AS punct_ratio,
-         |    CASE WHEN len($toksSql) = 0 THEN 0.0
-         |         ELSE len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE
-         |    END AS uniq_ratio,
-         |    least(len($toksSql)::DOUBLE / 50.0, 1.0) AS len_sat
-         |  FROM documents)
-         |SELECT doc_id, punct_ratio, uniq_ratio,
-         |  len_sat * greatest(0.0, 1.0 - punct_ratio * 4.0) * uniq_ratio AS quality
-         |FROM q ORDER BY doc_id""".stripMargin,
+    "t_quality" -> s"$qualityOracle ORDER BY doc_id",
 
     "t_lang_id" -> langIdOracle,
+    "t_pipeline_e2e" -> pipelineOracle,
 
     "t_top_terms" ->
       s"""SELECT term, count(*) AS df FROM (
@@ -438,6 +442,43 @@ object PipelineQueries {
         |  user_id, count(*) AS n_events,
         |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)
+
+  /** Per-doc quality components (no ORDER BY — composable as a subquery). */
+  private lazy val qualityOracle: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+       |    END AS punct_ratio,
+       |    CASE WHEN len($toksSql) = 0 THEN 0.0
+       |         ELSE len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE
+       |    END AS uniq_ratio,
+       |    least(len($toksSql)::DOUBLE / 50.0, 1.0) AS len_sat
+       |  FROM documents)
+       |SELECT doc_id, punct_ratio, uniq_ratio,
+       |  len_sat * greatest(0.0, 1.0 - punct_ratio * 4.0) * uniq_ratio AS quality
+       |FROM q""".stripMargin
+
+  /** The e2e pipeline oracle composes the lang-id and quality oracles as
+    * subqueries — each piece is independently hash-verified by its own
+    * query, so a pipeline mismatch isolates to the composition itself.
+    */
+  private lazy val pipelineOracle: String =
+    s"""WITH lang AS (SELECT doc_id, lang_pred FROM (${langIdOracle.replace("ORDER BY doc_id", "")})),
+       |qual AS (SELECT doc_id, quality FROM ($qualityOracle)),
+       |en AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN lang ON lang.doc_id = d.doc_id
+       |  JOIN qual ON qual.doc_id = d.doc_id
+       |  WHERE lang.lang_pred = 'en' AND qual.quality > 0.2),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |    FROM en)
+       |  GROUP BY fp)
+       |SELECT en.doc_id, len($toksSql) AS n_tokens
+       |FROM en JOIN keep ON en.doc_id = keep.doc_id
+       |ORDER BY en.doc_id""".stripMargin
 
   private lazy val windowCountsOracle: String =
     """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

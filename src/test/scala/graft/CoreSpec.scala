@@ -78,6 +78,24 @@ class EditorSessionSpec extends SparkSpec {
     assert(s.undo() && s.undo() && regionOf(0L) == original)
   }
 
+  test("Catalog.sql runs cross-session SQL reflecting pending edits") {
+    val cat = new graft.core.Catalog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    Tables.load(spark, sf, "nation").write.parquet(s"$dir/nation.parquet")
+    Tables.load(spark, sf, "region").write.parquet(s"$dir/region.parquet")
+    val n = cat.open("nation_t", s"$dir/nation.parquet", Seq("n_nationkey"))
+    cat.open("region_t", s"$dir/region.parquet", Seq("r_regionkey"))
+    val joined = cat.sql(
+      """SELECT r_name, count(*) AS n FROM nation_t
+        |JOIN region_t ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(joined.count() == 5)
+    // views see pending (uncommitted) edits
+    assert(n.setCell(0L, "n_name", "XYZZY"))
+    val hit = cat.sql("SELECT count(*) AS c FROM nation_t WHERE n_name = 'XYZZY'")
+    assert(hit.head.getLong(0) == 1L)
+  }
+
   test("cut ignores out-of-range positions and keeps __pos dense") {
     val s = freshSession()
     val n0 = s.rowCount
