@@ -216,14 +216,18 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private def validPositions(positions: Seq[Long]): Seq[Long] =
     positions.distinct.filter(p => p >= 0 && p < rowCount)
 
-  def deleteRow(position: Long): Unit = deleteRows(Seq(position))
+  def deleteRow(position: Long): Boolean = deleteRows(Seq(position))
 
-  def deleteRows(positions: Seq[Long]): Unit = {
+  /** @return whether any row was actually deleted (false = no valid
+    *         positions, state untouched, nothing pushed to undo history).
+    */
+  def deleteRows(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
     if (valid.nonEmpty) {
       rebind(RowOps.deleteRows(_, valid))
       nRows -= valid.size
     }
+    valid.nonEmpty
   }
 
   private var clipboard: Option[DataFrame] = None
@@ -237,7 +241,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * cheaper than copying the table. The clipboard IS pinned (by the
     * renumber inside cutRows), so it survives later table rebinds.
     */
-  def cut(positions: Seq[Long]): Unit = {
+  def cut(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
     if (valid.nonEmpty) {
       rebind { df0 =>
@@ -248,6 +252,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       }
       nRows -= valid.size
     }
+    valid.nonEmpty
   }
 
   /** R6: paste the clipboard block at `position` (`main.py:58-65`);

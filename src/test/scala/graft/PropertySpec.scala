@@ -86,6 +86,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: any gesture sequence fully undone restores the original table") {
+    // gestures: 0 = cell edit, 1 = delete, 2 = cut+paste, 3 = bool-ish edit
+    val gestureGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 20L), Gen.choose(0, 99)))
+    forAll(gestureGen, n = 3) { gestures =>
+      val s = nationSession()
+      val before = s.current.orderBy("__pos").collect().toSeq
+      var applied = 0
+      gestures.foreach { case (kind, pos, v) =>
+        kind match {
+          case 0 => if (s.setCell(pos, "n_regionkey", v.toString)) applied += 1
+          case 1 => if (s.deleteRows(Seq(pos))) applied += 1
+          case 2 => if (s.cut(Seq(pos))) applied += 1
+                    if (s.paste(pos)) applied += 1
+          case 3 => if (s.setCell(pos, "n_name", s"N$v")) applied += 1
+        }
+      }
+      (0 until applied).foreach(i => assert(s.undo(), s"undo $i of $applied"))
+      assert(!s.undo(), "history should be exhausted")
+      assert(s.current.orderBy("__pos").collect().toSeq == before)
+      assert(s.rowCount == before.size)
+    }
+  }
+
   test("law: renumber is idempotent and order-preserving") {
     forAll(Gen.listOfN(8, Gen.choose(0L, 24L))) { keep =>
       val base = Positional.attachPos(
