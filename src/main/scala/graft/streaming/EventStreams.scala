@@ -170,6 +170,34 @@ object EventStreams {
       .select(col("event_id"), col("click_id"))
   }
 
+  /** Continuous file-pipeline sink: stream a transform's append output into
+    * a parquet directory with a checkpoint location — Spark's commit-log
+    * gives exactly-once file output across restarts (crashed batches are
+    * re-run, half-written files are never visible to readers via the
+    * `_spark_metadata` log). This is the shape of a production ingest hop:
+    * raw events dir → transform → curated parquet dir.
+    */
+  def streamToParquet(spark: SparkSession, srcPath: String, outPath: String,
+                      checkpointPath: String,
+                      transform: DataFrame => DataFrame): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcPath).schema
+    val f = new java.io.File(srcPath)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(srcPath)
+    val q = transform(graft.core.Tables.normalizeEventTs(src)).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000)
+    finally q.stop()
+  }
+
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
     * (process-everything-then-stop) into a memory sink; returns the result
     * table. This is the full streaming engine path — source → watermark →

@@ -194,6 +194,36 @@ class StreamingSpec extends SparkSpec {
       .distinct().count())
   }
 
+  test("streamToParquet lands append output exactly-once via checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("stream_sink_").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    EventStreams.streamToParquet(spark, s"$sf/events.parquet", out, ckpt,
+      _.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value"))
+    val batch = Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(spark.read.parquet(out).count() == batch)
+    // re-running with the same checkpoint must not duplicate output
+    EventStreams.streamToParquet(spark, s"$sf/events.parquet", out, ckpt,
+      _.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value"))
+    assert(spark.read.parquet(out).count() == batch)
+  }
+
+  test("positional paging pushes __pos range to the parquet scan") {
+    val sess = graft.core.EditorSession.fromDataFrame(
+      Tables.load(spark, sf, "orders"), Seq("o_orderkey"))
+    val dir = java.nio.file.Files.createTempDirectory("pos_layout_").toString + "/t"
+    // persist WITH positions, sorted, so row groups carry tight __pos stats
+    sess.current.orderBy("__pos").write.parquet(dir)
+    val page = graft.core.Positional.page(spark.read.parquet(dir), 100L, 120L)
+    val scan = page.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("GreaterThanOrEqual(__pos,100)") &&
+      scan.contains("LessThan(__pos,120)"),
+      s"__pos range not pushed to scan: $scan")
+    assert(page.count() == 20)
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
