@@ -74,6 +74,26 @@ class SimilaritySpec extends SparkSpec {
       graft.core.Tables.loadEvents(spark, sf).count())
   }
 
+  test("IVF layout partitioned by centroid prunes non-probed partitions") {
+    val base = embs.filter(col("vec_id") =!= 0L)
+    val (assigned, cents) = Similarity.ivfAssign(base, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout_").toString + "/t"
+    graft.io.Formats.writePartitioned(assigned, dir, Seq("__ivf_cid"))
+    val reloaded = spark.read.parquet(dir)
+    val probe = Seq(0, 1, 2)
+    val pruned = reloaded.filter(col("__ivf_cid").isInCollection(probe))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().mkString
+    // partition pruning is plan-time: the scan itself lists the filter
+    assert(scan.contains("PartitionFilters") && scan.contains("__ivf_cid"),
+      s"no partition filter in scan: $scan")
+    // and the probed subset still serves exact re-ranking correctly
+    val probedIds = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = assigned.filter(col("__ivf_cid").isInCollection(probe))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probedIds == allIds)
+  }
+
   test("LSH ANN recall@10 >= 0.5 vs brute force on this data") {
     val base = embs.filter(col("vec_id") =!= 0L)
     val exact = Similarity.topK(base, "vec_id", "embedding", query, 10)
