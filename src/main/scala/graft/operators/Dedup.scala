@@ -224,6 +224,21 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     simhashFromHashes(transform(TextFunctions.tokens(textCol), t => xxhash64(t)))
 
+  /** The whole near-dedup pipeline as one call: MinHash-LSH candidate pairs
+    * → exact-Jaccard verify → connected components → keep each cluster's
+    * min-id representative (plus every unclustered doc). The anti join
+    * carries only ids; document bodies never shuffle.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.4,
+                         numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, threshold, numHashes, bands)
+    val cc = connectedComponents(pairs, "id_i", "id_j")
+    val losers = cc.filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-document SimHash signatures with a pluggable token hasher —
     * explode + `bits` conditional-sum aggregates (codegen'd, map-side
     * partial, order-insensitive integer sums). The default xxhash64 is the

@@ -170,6 +170,15 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .orderBy("id_i", "id_j")),
 
+    /** Corpus after near-dedup: every document minus non-representative
+      * cluster members — the artifact a training pipeline actually ships.
+      */
+    "d_drop_near" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // the oracle-checkable SimHash: md5-derived 60-bit token hashes both
     // engines can compute bit-identically
     "d_simhash_md5" -> ((s, dir) =>
@@ -391,6 +400,20 @@ object PipelineQueries {
         |  CAST(least(c, len - i * c) AS INT) AS frame_bytes
         |FROM d, (SELECT unnest(generate_series(0, 3)) AS i)
         |WHERE i * c < len ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "d_drop_near" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
+         |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+         |          UNION SELECT doc_j, doc_i FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node),
+         |cc AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
+         |ORDER BY doc_id""".stripMargin,
 
     "v_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
