@@ -88,6 +88,48 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Equi-depth histogram: quartile boundaries (exact percentile, one
+      * pass) broadcast into a bucketing pass — the two-job shape every
+      * "smart" chart axis needs; boundaries are rounded so the bucket
+      * edges are engine-identical.
+      */
+    "v4_equidepth" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val b = li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q2"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      li.crossJoin(broadcast(b))
+        .select(when(col("l_extendedprice") < col("q1"), 0)
+          .when(col("l_extendedprice") < col("q2"), 1)
+          .when(col("l_extendedprice") < col("q3"), 2)
+          .otherwise(3).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    /** Correlation without float-order nondeterminism: decimal moment sums
+      * (order-independent) feeding one double evaluation of the closed
+      * form — unlike built-in `corr`, whose streaming-merge accumulation
+      * order varies with partitioning and can't hash-match another engine.
+      */
+    "a7_corr" -> ((s, dir) => {
+      val x = col("l_extendedprice"); val y = col("l_quantity")
+      val li = Tables.load(s, dir, "lineitem")
+      val agged = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("cnt"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"))
+      agged.select(col("l_returnflag"),
+        round((col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("cnt") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("cnt") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"))
+        .orderBy("l_returnflag")
+    }),
+
     /** SQL-text surface: the same engine through `spark.sql` — text is
       * parsed by Catalyst into the identical plan the DataFrame API builds.
       */
@@ -242,6 +284,32 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "v4_equidepth" ->
+      """WITH b AS (SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+        |                  round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
+        |                  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |           FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice < q1 THEN 0
+        |            WHEN l_extendedprice < q2 THEN 1
+        |            WHEN l_extendedprice < q3 THEN 2 ELSE 3 END AS bucket,
+        |  count(*) AS n
+        |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*)::DOUBLE AS cnt,
+        |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sx,
+        |    cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sy,
+        |    cast(sum(cast(l_extendedprice * l_quantity as decimal(28,4))) as double) AS sxy,
+        |    cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,4))) as double) AS sxx,
+        |    cast(sum(cast(l_quantity * l_quantity as decimal(28,4))) as double) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((cnt * sxy - sx * sy) /
+        |    (sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy)), 6) AS corr_xy
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q2_sql" ->
       """SELECT l_linestatus, count(*) AS n,
