@@ -60,6 +60,24 @@ object Multimodal {
       if (payload == null || payload.length == 0) Seq.empty
       else payload.grouped(math.max(1, payload.length / every)).take(every).toSeq
     }
+
+    /** Fake resize: stride-subsample the payload down to ≤`target` bytes
+      * (byte i*k for k = len/target) — a real codec would decode, scale,
+      * and re-encode here; the *shape* (bounded output per row) is what the
+      * Spark plumbing depends on.
+      */
+    def resize(payload: Array[Byte], target: Int = 64): Array[Byte] = {
+      if (payload == null || payload.length == 0) Array.emptyByteArray
+      else {
+        val len = payload.length
+        val k = math.max(1, len / target)
+        val n = math.min(target, len)
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = payload(i * k); i += 1 }
+        out
+      }
+    }
   }
 
   val metaSchema: StructType = StructType(Seq(
@@ -102,6 +120,22 @@ object Multimodal {
       rows.map { r =>
         val f = StubCodec.extractFeatures(r.getAs[Array[Byte]](binIdx), dim)
         Row.fromSeq(r.toSeq :+ f.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Stub resize per row via mapPartitions — same batch boundary as
+    * [[decodeMeta]]; output payload size is bounded by `target`, so the
+    * resized table is safely shufflable/collectable where the raw one
+    * is not.
+    */
+  def resizePayload(df: DataFrame, binCol: String, target: Int = 64): DataFrame = {
+    val schema = df.schema.add(StructField("resized", BinaryType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ StubCodec.resize(r.getAs[Array[Byte]](binIdx), target))
       }
     }(enc)
   }

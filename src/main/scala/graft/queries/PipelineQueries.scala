@@ -248,6 +248,14 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
     }),
 
+    "m_resize" -> ((s, dir) =>
+      Multimodal.resizePayload(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", target = 64)
+        .select(col("doc_id"), length(col("resized")).as("n_resized"),
+          md5(col("resized")).as("digest"))
+        .orderBy("doc_id")),
+
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -392,6 +400,18 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.43
         |ORDER BY vec_i, vec_j""".stripMargin,
+
+    /** Byte striding mirrors as character striding because the corpus is
+      * ASCII (asserted in MultimodalSpec); md5 of the strided string equals
+      * md5 of the strided bytes.
+      */
+    "m_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  greatest(1, length(text) // 64) AS k FROM documents)
+        |SELECT doc_id, CAST(least(64, len) AS INT) AS n_resized,
+        |  md5(array_to_string(list_transform(generate_series(0, least(64, len) - 1),
+        |      i -> substr(text, 1 + i * k, 1)), '')) AS digest
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "m_frames" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
