@@ -90,12 +90,25 @@ object Similarity {
     (pmod(xxhash64(lit(table), plane, d), lit(1000003L)).cast("double")
       / 1000003.0) * 2.0 - 1.0
 
-  /** LSH signature for one table: `bits` sign-bits packed into a long. */
-  def lshBucket(vecCol: Column, table: Int, bits: Int): Column =
+  /** md5-derived plane component — same construction but from a hash both
+    * Spark and SQL engines compute identically, so LSH buckets (and thus
+    * the whole ANN result) become oracle-checkable cross-engine. Slower
+    * than xxhash64 (md5 of a string per component); use for verification,
+    * not the hot path.
+    */
+  val md5Planes: (Int, Column, Column) => Column = (table, plane, d) =>
+    (pmod(conv(substring(md5(concat_ws("|", lit(table), plane, d)), 1, 15), 16, 10)
+      .cast("long"), lit(1000003L)).cast("double") / 1000003.0) * 2.0 - 1.0
+
+  /** LSH signature for one table: `bits` sign-bits packed into a long.
+    * `planes` selects the plane-component family (xxhash64 default).
+    */
+  def lshBucket(vecCol: Column, table: Int, bits: Int,
+                planes: (Int, Column, Column) => Column = planeComponent): Column =
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(
         zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (x, d) => x.cast("double") * planeComponent(table, p, d)),
+          (x, d) => x.cast("double") * planes(table, p, d)),
         lit(0.0), (s, x) => s + x)
       acc.bitwiseOR(when(proj > 0.0, call_function("shiftleft", lit(1L), p))
         .otherwise(lit(0L)))
@@ -106,14 +119,15 @@ object Similarity {
     * re-ranked by exact cosine. Recall tunes with (tables, bits).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
-              k: Int, tables: Int = 8, bits: Int = 8, roundTo: Int = 6): DataFrame = {
+              k: Int, tables: Int = 8, bits: Int = 8, roundTo: Int = 6,
+              planes: (Int, Column, Column) => Column = planeComponent): DataFrame = {
     val spark = df.sparkSession
     val qdf = spark.range(1).select(vectorLit(query).as("qv"))
     val qBuckets: Map[Int, Long] = (0 until tables).map { t =>
-      t -> qdf.select(lshBucket(col("qv"), t, bits)).head.getLong(0)
+      t -> qdf.select(lshBucket(col("qv"), t, bits, planes)).head.getLong(0)
     }.toMap
     val candidate = (0 until tables).map { t =>
-      lshBucket(col(vecCol), t, bits) === qBuckets(t)
+      lshBucket(col(vecCol), t, bits, planes) === qBuckets(t)
     }.reduce(_ || _)
     df.filter(candidate)
       .select(col(idCol).as("id"),

@@ -206,10 +206,19 @@ object PipelineQueries {
       Similarity.topKPairs(embs(s, dir), "vec_id", "embedding", k = 20)
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")),
 
-    // LSH-bucketed ANN — scale path; hash-derived planes, no SQL equivalent
+    // LSH-bucketed ANN — scale path; xxhash64 planes, no SQL equivalent
     "v_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
         "vec_id", "embedding", queryVec(s, dir), k = 10, tables = 16, bits = 4)
+        .withColumnRenamed("id", "vec_id")),
+
+    // the same ANN path with md5-derived planes: every stage — plane
+    // weights, sign buckets, candidate set, exact rerank — reproduced by
+    // the SQL oracle, so the approximate path itself is hash-checked
+    "v_ann_lsh_md5" -> ((s, dir) =>
+      Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10, tables = 16, bits = 4,
+        planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
     // IVF ANN — deterministic k-means-lite index, partial probe
@@ -447,6 +456,35 @@ object PipelineQueries {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, vec_i, vec_j LIMIT 20""".stripMargin,
+
+    "v_ann_lsh_md5" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, t,
+        |    bit_or(CASE WHEN proj > 0.0 THEN (CAST(1 AS BIGINT) << p)
+        |                ELSE CAST(0 AS BIGINT) END) AS bucket
+        |  FROM (
+        |    SELECT e.vec_id, tt.t, pp.p,
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) *
+        |          (((('0x' || substr(md5(CAST(tt.t AS VARCHAR) || '|' ||
+        |                CAST(pp.p AS VARCHAR) || '|' ||
+        |                CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000003)::DOUBLE / 1000003.0) * 2.0 - 1.0))),
+        |        (acc, x) -> acc + x) AS proj
+        |    FROM e, generate_series(0, 15) tt(t), generate_series(0, 3) pp(p))
+        |  GROUP BY vec_id, t),
+        |qb AS (SELECT t, bucket FROM b WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT b.vec_id FROM b
+        |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+        |         WHERE b.vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) AS sim
+        |FROM cand c JOIN e ON e.vec_id = c.vec_id
+        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "m_binary_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
