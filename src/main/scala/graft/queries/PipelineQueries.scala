@@ -221,6 +221,21 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** IVF with a flat (no-Lloyd-iteration) index: centroids are the 8
+      * lowest-id vectors, assignment is argmax cosine, probes 4 — every
+      * stage deterministic and reproduced by the SQL oracle, so the
+      * coarse-quantize → partial-probe → rerank pipeline is hash-checked
+      * (the k-means-refined variant stays spec-checked).
+      */
+    "v_ann_ivf_flat" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val (assigned, cents) = Similarity.ivfAssign(base, "vec_id", "embedding",
+        nCentroids = 8, iters = 0)
+      Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
+        queryVec(s, dir), k = 10, nProbe = 4)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     // IVF ANN — deterministic k-means-lite index, partial probe
     "v_ann_ivf" -> ((s, dir) => {
       val base = embs(s, dir).filter(col("vec_id") =!= 0L)
@@ -456,6 +471,27 @@ object PipelineQueries {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, vec_i, vec_j LIMIT 20""".stripMargin,
+
+    "v_ann_ivf_flat" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |              FROM embeddings WHERE vec_id <> 0),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |          FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT b.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_cosine_similarity(b.v, c.v) DESC, c.cid) AS rn
+        |    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT cid FROM cents
+        |          ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, cid
+        |          LIMIT 4)
+        |SELECT b.vec_id,
+        |  round(list_cosine_similarity(b.v, (SELECT qv FROM q)), 6) AS sim
+        |FROM base b JOIN assign a ON a.vec_id = b.vec_id
+        |WHERE a.cid IN (SELECT cid FROM probe)
+        |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
     "v_ann_lsh_md5" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
