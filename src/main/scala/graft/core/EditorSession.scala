@@ -343,7 +343,15 @@ class Catalog(spark: SparkSession) {
     sessions(name) = s; s
   }
   def get(name: String): Option[EditorSession] = sessions.get(name)
-  def close(name: String): Unit = sessions.remove(name)
+
+  /** Closes the session AND drops its temp view — otherwise a later
+    * `sql()` would silently serve the closed session's frozen snapshot.
+    */
+  def close(name: String): Unit = {
+    sessions.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
   def names: Seq[String] = sessions.keys.toSeq
 
   /** Run SQL text over the current state of every open session (views

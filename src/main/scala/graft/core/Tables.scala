@@ -27,12 +27,15 @@ object Tables {
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
-  /** ns-long `ts` → TimestampType (micros); no-op if already timestamp.
-    * Integer `div` — a double roundtrip would lose precision at ~1.7e18 ns.
+  /** Events-table convention: a LongType `ts` column holds epoch NANOS and
+    * is converted to TimestampType (micros); a no-op for any other shape,
+    * including sources with no `ts` column at all. Integer `div` — a double
+    * roundtrip would lose precision at ~1.7e18 ns. Sources whose long `ts`
+    * means something else (e.g. millis) must convert before this sees them.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df

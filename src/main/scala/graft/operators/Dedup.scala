@@ -170,6 +170,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, iCol: String, jCol: String,
                           maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+    // the long cast would silently null out non-numeric ids (turning the
+    // downstream dedup into a no-op), so refuse them up front
+    Seq(iCol, jCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral node ids; '$c' is $dt — " +
+          "map ids to longs first (e.g. zipWithIndex or a dense id join)")
+    }
     val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)

@@ -170,6 +170,34 @@ object EventStreams {
       .select(col("event_id"), col("click_id"))
   }
 
+  /** Shared streaming file source: batch-inferred schema, single-file paths
+    * served as parent-dir + glob (the file source wants a directory), and
+    * the events ns-`ts` convention applied (no-op for other schemas — see
+    * [[graft.core.Tables.normalizeEventTs]]).
+    */
+  private def fileSource(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    graft.core.Tables.normalizeEventTs(src)
+  }
+
+  /** Drive a started query to completion; a timeout is an ERROR (stopping a
+    * half-done AvailableNow run would silently truncate the sink).
+    */
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery,
+                              timeoutMs: Long): Unit =
+    try {
+      if (!q.awaitTermination(timeoutMs))
+        throw new IllegalStateException(
+          s"streaming query '${q.name}' still running after ${timeoutMs}ms — " +
+            "output would be truncated")
+    } finally q.stop()
+
   /** Continuous file-pipeline sink: stream a transform's append output into
     * a parquet directory with a checkpoint location — Spark's commit-log
     * gives exactly-once file output across restarts (crashed batches are
@@ -180,22 +208,14 @@ object EventStreams {
   def streamToParquet(spark: SparkSession, srcPath: String, outPath: String,
                       checkpointPath: String,
                       transform: DataFrame => DataFrame): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(srcPath).schema
-    val f = new java.io.File(srcPath)
-    val reader = spark.readStream.schema(schema)
-    val src =
-      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(srcPath)
-    val q = transform(graft.core.Tables.normalizeEventTs(src)).writeStream
+    val q = transform(fileSource(spark, srcPath)).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000)
-    finally q.stop()
+    runToCompletion(q, 300000)
   }
 
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
@@ -207,25 +227,13 @@ object EventStreams {
                       transform: DataFrame => DataFrame,
                       queryName: String,
                       outputMode: String = "complete"): DataFrame = {
-    // events parquet carries nanosecond timestamps — read as long + convert
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    // the streaming file source wants a directory; a single-file path is
-    // served as parent-dir + glob so the same API covers both layouts
-    val f = new java.io.File(path)
-    val reader = spark.readStream.schema(schema)
-    val src =
-      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(path)
-    val stream = graft.core.Tables.normalizeEventTs(src)
-    val q = transform(stream).writeStream
+    val q = transform(fileSource(spark, path)).writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000)
-    finally q.stop()
+    runToCompletion(q, 300000)
     spark.table(queryName)
   }
 }
