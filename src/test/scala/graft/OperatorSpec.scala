@@ -174,6 +174,22 @@ class CollapseCellEditsSpec extends SparkSpec {
     // newest writes: pos1=888; pos0/2/3 from the loop's last rounds (i=24..27)
     assert(vals == Seq(124.0, 888.0, 126.0, 127.0), s"got $vals")
   }
+
+  test("a 200-deep edit tower still flattens and stays executable") {
+    graft.plans.CollapseCellEdits.install(spark)
+    import spark.implicits._
+    var df = graft.core.Positional.attachPos(
+      (1 to 8).map(_.toDouble).toDF("v"))
+    (0 until 200).foreach { i =>
+      df = graft.ops.CellOps.setCell(df, (i % 8).toLong, "v", s"${1000 + i}").get
+    }
+    val depths = df.queryExecution.optimizedPlan.expressions.map(maxCaseDepth)
+    assert(depths.max <= 1, s"depth ${depths.max}")
+    // only 8 live branches survive dedup; results are the last 8 writes
+    val vals = df.orderBy(graft.core.Positional.POS)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(vals == (1192 to 1199).map(_.toDouble), s"got $vals")
+  }
 }
 
 class BloomPruneSpec extends SparkSpec {

@@ -110,6 +110,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: broadcast-join edit application equals the literal-map path") {
+    // force both application strategies over the same random edit set and
+    // require identical results — the >32-edits join path must be invisible
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 999))), n = 3) { edits =>
+      val viaSession = nationSession()
+      edits.foreach { case (p, v) =>
+        assert(viaSession.setCell(p, "n_regionkey", v.toString))
+      }
+      assert(viaSession.pendingEdits > EditorSession.literalEditMax ||
+        edits.map(_._1).distinct.size <= EditorSession.literalEditMax)
+      // reference semantics: last write per position wins
+      val expect = edits.groupBy(_._1).map { case (p, vs) => p -> vs.last._2 }
+      val got = viaSession.current.orderBy("__pos")
+        .select("__pos", "n_regionkey").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      expect.foreach { case (p, v) =>
+        assert(got(p) == v, s"pos $p: expected $v got ${got(p)}")
+      }
+    }
+  }
+
+  test("law: binned range join equals the naive non-equi join on random data") {
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 400L),
+        Gen.choose(1L, 150L))),
+      Gen.listOfN(30, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 500L))))
+    forAll(gen, n = 3) { case (ivRaw, ptRaw) =>
+      import spark.implicits._
+      val iv = ivRaw.zipWithIndex
+        .map { case ((k, lo, w), i) => (i.toLong, k, lo, lo + w) }
+        .toDF("iid", "k", "lo", "hi")
+      val pt = ptRaw.zipWithIndex.map { case ((k, p), i) => (i.toLong, k, p) }
+        .toDF("pid", "k", "pt")
+      val binned = graft.operators.RangeJoin.pointInInterval(
+          pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = 64L)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = pt.as("p").join(iv.as("i"),
+          col("p.k") === col("i.k") && col("lo") <= col("pt") && col("pt") < col("hi"))
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"missing ${naive -- binned}, extra ${binned -- naive}")
+    }
+  }
+
   test("law: renumber is idempotent and order-preserving") {
     forAll(Gen.listOfN(8, Gen.choose(0L, 24L))) { keep =>
       val base = Positional.attachPos(
