@@ -130,6 +130,32 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** KMV (k-minimum-values) distinct sketch: estimate = (k-1)/frac(kth
+      * smallest hash). Unlike HLL (a5) the sketch state is exactly
+      * determined by the data — md5-derived hashes, one bounded aggregate
+      * per group via BottomKSample — so the *sketch itself* hash-matches a
+      * SQL oracle; output also carries the exact count for error in view.
+      */
+    "a8_kmv_distinct" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      val k = 64
+      val li = Tables.load(s, dir, "lineitem")
+      val h = li.select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv")).distinct()
+      val kth = h.groupBy("l_returnflag")
+        .agg(element_at(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+          lpad(col("hv").cast("string"), 19, "0"), col("hv"), lit(k)), k).as("hk"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      exact.join(kth, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(lit((k - 1).toDouble) /
+            (col("hk").cast("double") / 1152921504606846976.0), 4).as("kmv_est"),
+          col("exact_nd"))
+        .orderBy("l_returnflag")
+    }),
+
     /** SQL-text surface: the same engine through `spark.sql` — text is
       * parsed by Catalyst into the identical plan the DataFrame API builds.
       */
@@ -315,6 +341,21 @@ object AnalyticsQueries {
       """SELECT l_linestatus, count(*) AS n,
         |  cast(sum(cast(l_discount as decimal(18,4))) as double) AS sum_disc
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a8_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |      FROM h),
+        |kth AS (SELECT l_returnflag, hv FROM r WHERE rn = 64),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        |       FROM lineitem GROUP BY l_returnflag)
+        |SELECT ex.l_returnflag,
+        |  round(63.0 / (kth.hv::DOUBLE / 1152921504606846976.0), 4) AS kmv_est,
+        |  ex.exact_nd
+        |FROM ex JOIN kth USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
 
     "j_bloom" ->
       """SELECT l_returnflag, count(*) AS n,
