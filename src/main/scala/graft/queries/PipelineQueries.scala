@@ -305,6 +305,18 @@ object PipelineQueries {
       EventStreams.sessionize(Tables.loadEvents(s, dir), "30 minutes")
         .orderBy("user_id", "sess_start")),
 
+    /** Exact dedup as a real streaming query: fingerprints stream through
+      * dropDuplicates state, append output — the incremental form of
+      * d_exact (state here is unbounded by design; the watermark-bounded
+      * variant is spec-checked in StreamingSpec).
+      */
+    "st_stream_dedup" -> ((s, dir) =>
+      EventStreams.runAvailableNow(s, s"$dir/documents.parquet",
+        _.select(TextFunctions.fingerprint(col("text")).as("fp"))
+          .dropDuplicates("fp"),
+        "st_stream_dedup", outputMode = "append")
+        .orderBy("fp")),
+
     /** Stream-stream interval join run as a real streaming query (two
       * watermarked sides, bounded join state, append output) — the
       * streaming sibling of the batch j_range surface.
@@ -536,6 +548,10 @@ object PipelineQueries {
 
     "st_window_counts" -> windowCountsOracle,
     "e_batch_window" -> windowCountsOracle,
+
+    "st_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
 
     "st_range_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
