@@ -78,6 +78,22 @@ class EditorSessionSpec extends SparkSpec {
     assert(s.undo() && s.undo() && regionOf(0L) == original)
   }
 
+  test("MetricsListener reports scan rows and shuffle bytes per action") {
+    val l = graft.core.Metrics.install(spark)
+    try {
+      Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag").count().collect()
+      // listener bus is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.last.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val stats = l.last.getOrElse(fail("no metrics captured"))
+      assert(stats.scanRows >= 6000, s"scan rows ${stats.scanRows}")
+      assert(stats.shuffleBytes > 0, s"no shuffle bytes in $stats")
+      assert(stats.durationMs >= 0)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("Catalog.sql runs cross-session SQL reflecting pending edits") {
     val cat = new graft.core.Catalog(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_cat_").toString
