@@ -130,6 +130,17 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Z-order clustering key: Morton-interleave (partkey, suppkey) — the
+      * multi-dimensional layout key ([[graft.operators.ZOrder]]); here the
+      * smallest 20 z-values demonstrate the locality ordering.
+      */
+    "p5_zorder" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("z", "l_partkey", "l_suppkey")
+        .limit(20)),
+
     /** KMV (k-minimum-values) distinct sketch: estimate = (k-1)/frac(kth
       * smallest hash). Unlike HLL (a5) the sketch state is exactly
       * determined by the data — md5-derived hashes, one bounded aggregate
@@ -341,6 +352,11 @@ object AnalyticsQueries {
       """SELECT l_linestatus, count(*) AS n,
         |  cast(sum(cast(l_discount as decimal(18,4))) as double) AS sum_disc
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "p5_zorder" ->
+      s"""SELECT l_partkey, l_suppkey,
+         |  ${graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem ORDER BY z, l_partkey, l_suppkey LIMIT 20""".stripMargin,
 
     "a8_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT l_returnflag,

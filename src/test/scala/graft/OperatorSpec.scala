@@ -192,6 +192,35 @@ class CollapseCellEditsSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+  test("Morton interleave places bits at even/odd positions") {
+    import spark.implicits._
+    // x=0b11, y=0 -> 0b0101 = 5; x=0, y=0b11 -> 0b1010 = 10; (3,3) -> 15
+    val rows = Seq((3L, 0L), (0L, 3L), (3L, 3L), (5L, 2L)).toDF("x", "y")
+      .select(graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (5,2) = x 101, y 010 -> z bits x@0,4 (1+16) + y@3 (8) = 27... compute:
+    // x=101: b0->pos0, b2->pos4; y=010: b1->pos3  => 1 + 16 + 8 = 25? y bit1 -> pos 2*1+1=3 -> 8; total 1+16+8=25
+    assert(rows == Seq(5L, 10L, 15L, 25L), s"got $rows")
+  }
+
+  test("sorting by z keeps both dimensions clustered per file-sized chunk") {
+    // after a z-sort, each contiguous chunk must span a small sub-rectangle:
+    // max per-chunk range in BOTH dims should be far below the full domain
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val z = li.select(col("l_partkey"), col("l_suppkey"),
+      graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+    val sorted = z.orderBy("z").collect()
+    val chunks = sorted.grouped(math.max(1, sorted.length / 16)).toSeq
+    val domain = sorted.map(_.getLong(0)).max - sorted.map(_.getLong(0)).min
+    val avgRange = chunks.map { c =>
+      c.map(_.getLong(0)).max - c.map(_.getLong(0)).min }.sum / chunks.size
+    assert(avgRange < domain / 2,
+      s"z-sort gives no partkey locality: avg chunk range $avgRange of $domain")
+  }
+}
+
 class BloomPruneSpec extends SparkSpec {
   test("bloom-pruned semi-join is exactly the plain semi-join") {
     val li = Tables.load(spark, sf, "lineitem")
