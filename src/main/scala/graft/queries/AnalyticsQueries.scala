@@ -264,6 +264,21 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Ranking-window family: quartile bucket, percent rank and cumulative
+      * distribution per order-priority partition — partitioned windows,
+      * no global sort.
+      */
+    "w_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     /** Running aggregate window: cumulative quantity per supplier by ship
       * date (rows-between running frame).
       */
@@ -420,6 +435,15 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT cid AS event_id, next_pid AS purchase_id
         |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
+
+    "w_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "w_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
