@@ -16,9 +16,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * (no extra instrumentation cost); the last `keep` queries are retained.
   */
 class MetricsListener(keep: Int = 64) extends QueryExecutionListener {
-
-  case class QueryStats(action: String, durationMs: Long, outputRows: Long,
-                        scanRows: Long, shuffleBytes: Long, shuffleRows: Long)
+  import Metrics.QueryStats
 
   private val log = new ConcurrentLinkedDeque[QueryStats]()
 
@@ -43,6 +41,7 @@ class MetricsListener(keep: Int = 64) extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution,
                          durationNs: Long): Unit = {
+    import Metrics.QueryStats
     var scanRows = 0L; var shuffleBytes = 0L; var shuffleRows = 0L
     walk(qe.executedPlan).foreach { node =>
       val cls = node.getClass.getSimpleName
@@ -52,8 +51,12 @@ class MetricsListener(keep: Int = 64) extends QueryExecutionListener {
         if (key == "shuffleRecordsWritten") shuffleRows += m.value
       }
     }
-    val outputRows = qe.executedPlan.metrics.get("numOutputRows")
-      .map(_.value).getOrElse(-1L)
+    // the raw root is AdaptiveSparkPlanExec (empty metrics) under AQE and
+    // WholeStageCodegenExec otherwise — the first *walked* node carrying
+    // numOutputRows is the root-most operator that actually counts rows
+    val outputRows = walk(qe.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value)
+      .toSeq.headOption.getOrElse(-1L)
     log.addLast(QueryStats(funcName, durationNs / 1000000L, outputRows,
       scanRows, shuffleBytes, shuffleRows))
     while (log.size() > keep) log.removeFirst()
@@ -64,6 +67,9 @@ class MetricsListener(keep: Int = 64) extends QueryExecutionListener {
 }
 
 object Metrics {
+  case class QueryStats(action: String, durationMs: Long, outputRows: Long,
+                        scanRows: Long, shuffleBytes: Long, shuffleRows: Long)
+
   /** Install a listener on the session; returns it for reading. */
   def install(spark: SparkSession, keep: Int = 64): MetricsListener = {
     val l = new MetricsListener(keep)

@@ -22,6 +22,10 @@ object PipelineQueries {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
+  /** DuckDB mirror of TextFunctions.fingerprint (md5 of canonical text). */
+  private val fpSql =
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
   /** DuckDB mirror of TextFunctions.shingles (3-gram). */
   private val shinglesSql =
     s"""list_distinct(CASE WHEN len($toksSql) >= 3
@@ -308,14 +312,22 @@ object PipelineQueries {
     /** Exact dedup as a real streaming query: fingerprints stream through
       * dropDuplicates state, append output — the incremental form of
       * d_exact (state here is unbounded by design; the watermark-bounded
-      * variant is spec-checked in StreamingSpec).
+      * variant is spec-checked in StreamingSpec). The corpus is doubled
+      * into a scratch dir first so the stream really drops duplicates —
+      * the fixture itself has none, and a no-op dedup would satisfy a
+      * DISTINCT oracle vacuously.
       */
-    "st_stream_dedup" -> ((s, dir) =>
-      EventStreams.runAvailableNow(s, s"$dir/documents.parquet",
+    "st_stream_dedup" -> ((s, dir) => {
+      val doubled = java.nio.file.Files
+        .createTempDirectory("st_dedup_src_").toString
+      val d = docs(s, dir)
+      d.unionByName(d).write.mode("overwrite").parquet(doubled)
+      EventStreams.runAvailableNow(s, doubled,
         _.select(TextFunctions.fingerprint(col("text")).as("fp"))
           .dropDuplicates("fp"),
         "st_stream_dedup", outputMode = "append")
-        .orderBy("fp")),
+        .orderBy("fp")
+    }),
 
     /** Stream-stream interval join run as a real streaming query (two
       * watermarked sides, bounded join state, append output) — the
@@ -364,9 +376,7 @@ object PipelineQueries {
         |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "t_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
 
     "t_poly_fp" ->
       """SELECT doc_id,
@@ -398,9 +408,9 @@ object PipelineQueries {
         |ORDER BY sim DESC, doc_i, doc_j LIMIT 5""".stripMargin,
 
     "d_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-        |  min(doc_id) AS keep_id, count(*) AS n_dupes
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+      s"""SELECT $fpSql AS fp,
+         |  min(doc_id) AS keep_id, count(*) AS n_dupes
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
@@ -550,8 +560,7 @@ object PipelineQueries {
     "e_batch_window" -> windowCountsOracle,
 
     "st_stream_dedup" ->
-      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY fp""".stripMargin,
+      s"SELECT DISTINCT $fpSql AS fp FROM documents ORDER BY fp",
 
     "st_range_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
@@ -606,7 +615,7 @@ object PipelineQueries {
        |  WHERE lang.lang_pred = 'en' AND qual.quality > 0.2),
        |keep AS (
        |  SELECT min(doc_id) AS doc_id FROM (
-       |    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |    SELECT doc_id, $fpSql AS fp
        |    FROM en)
        |  GROUP BY fp)
        |SELECT en.doc_id, len($toksSql) AS n_tokens

@@ -199,25 +199,35 @@ class ZOrderSpec extends SparkSpec {
     val rows = Seq((3L, 0L), (0L, 3L), (3L, 3L), (5L, 2L)).toDF("x", "y")
       .select(graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
       .collect().map(_.getLong(0)).toSeq
-    // (5,2) = x 101, y 010 -> z bits x@0,4 (1+16) + y@3 (8) = 27... compute:
-    // x=101: b0->pos0, b2->pos4; y=010: b1->pos3  => 1 + 16 + 8 = 25? y bit1 -> pos 2*1+1=3 -> 8; total 1+16+8=25
+    // (5,2): x=101 puts bits at even positions 0 and 4 (1+16); y=010 puts
+    // its bit 1 at odd position 3 (8) -> z = 25
     assert(rows == Seq(5L, 10L, 15L, 25L), s"got $rows")
   }
 
   test("sorting by z keeps both dimensions clustered per file-sized chunk") {
     // after a z-sort, each contiguous chunk must span a small sub-rectangle:
-    // max per-chunk range in BOTH dims should be far below the full domain
+    // max per-chunk range in BOTH dims should be far below the full domain.
+    // Dimensions are bucketed to comparable domains first — z-order gives a
+    // dimension locality proportional to its share of interleaved bits, so
+    // a 10-value column next to an 11-bit one contributes only low bits.
+    // bucket both dims to a fully-used 8-bit range: a dimension only gets
+    // z-locality from bit positions it actually populates
     val li = Tables.load(spark, sf, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"))
-    val z = li.select(col("l_partkey"), col("l_suppkey"),
-      graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .select(pmod(col("l_partkey"), lit(128L)).as("x"),
+        pmod(col("l_orderkey"), lit(128L)).as("y"))
+    val z = li.select(col("x"), col("y"),
+      graft.operators.ZOrder.zValue(col("x"), col("y"), bitsPer = 7).as("z"))
     val sorted = z.orderBy("z").collect()
     val chunks = sorted.grouped(math.max(1, sorted.length / 16)).toSeq
-    val domain = sorted.map(_.getLong(0)).max - sorted.map(_.getLong(0)).min
-    val avgRange = chunks.map { c =>
-      c.map(_.getLong(0)).max - c.map(_.getLong(0)).min }.sum / chunks.size
-    assert(avgRange < domain / 2,
-      s"z-sort gives no partkey locality: avg chunk range $avgRange of $domain")
+    // BOTH dimensions must cluster — a key that only sorted its leading
+    // column would pass a one-dimensional check
+    Seq(0, 1).foreach { dim =>
+      val domain = sorted.map(_.getLong(dim)).max - sorted.map(_.getLong(dim)).min
+      val avgRange = chunks.map { c =>
+        c.map(_.getLong(dim)).max - c.map(_.getLong(dim)).min }.sum / chunks.size
+      assert(avgRange < domain / 2,
+        s"z-sort gives no locality in dim $dim: avg chunk range $avgRange of $domain")
+    }
   }
 }
 

@@ -111,20 +111,23 @@ class PropertySpec extends SparkSpec {
   }
 
   test("law: broadcast-join edit application equals the literal-map path") {
-    // force both application strategies over the same random edit set and
-    // require identical results — the >32-edits join path must be invisible
-    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 999))), n = 3) { edits =>
-      val viaSession = nationSession()
+    // >32 DISTINCT positions so EditorSession.current actually takes the
+    // editJoin (broadcast) path — results must match last-write-wins exactly
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(0L, 49L), Gen.choose(0, 999))), n = 3) { edits0 =>
+      // guarantee the threshold is crossed whatever the generator drew
+      val edits = edits0 ++ (0L until 40L).map(p => (p, 777))
+      val s = EditorSession.fromDataFrame(
+        Tables.load(spark, sf, "orders").limit(60), Seq("o_orderkey"))
       edits.foreach { case (p, v) =>
-        assert(viaSession.setCell(p, "n_regionkey", v.toString))
+        assert(s.setCell(p, "o_custkey", v.toString))
       }
-      assert(viaSession.pendingEdits > EditorSession.literalEditMax ||
-        edits.map(_._1).distinct.size <= EditorSession.literalEditMax)
+      assert(s.pendingEdits > EditorSession.literalEditMax,
+        "test must exercise the broadcast-join path")
       // reference semantics: last write per position wins
       val expect = edits.groupBy(_._1).map { case (p, vs) => p -> vs.last._2 }
-      val got = viaSession.current.orderBy("__pos")
-        .select("__pos", "n_regionkey").collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = s.current.orderBy("__pos")
+        .select("__pos", "o_custkey").collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
       expect.foreach { case (p, v) =>
         assert(got(p) == v, s"pos $p: expected $v got ${got(p)}")
       }
