@@ -1,6 +1,5 @@
 package graft.io
 
-import java.net.URI
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -35,6 +34,26 @@ object Compaction {
     fs.listStatus(dir).filter(f => f.isFile &&
       !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
 
+  /** Compact every partition directory of a hive-partitioned dataset
+    * (`key=value` subdirs) independently — partition values stay intact,
+    * so downstream plan-time pruning is preserved; each partition gets its
+    * own atomic-ish swap. Returns per-partition stats.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetFileMB: Int = 512,
+                         clusterBy: Seq[String] = Nil): Map[String, Stats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.contains("=")) // hive-style only
+    require(parts.nonEmpty, s"$path has no key=value partition directories")
+    parts.map { p =>
+      p -> compact(spark, s"$path/$p", targetFileMB, clusterBy)
+    }.toMap
+  }
+
   /** Rewrite `path` (a parquet dataset dir) to ~targetFileMB files.
     * `clusterBy` non-empty → repartitionByRange + sortWithinPartitions on
     * those columns (file-skipping layout); empty → plain repartition.
@@ -43,7 +62,9 @@ object Compaction {
               clusterBy: Seq[String] = Nil): Stats = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new HPath(path)
-    val fs = FileSystem.get(URI.create(path), conf)
+    // Path.getFileSystem, not URI.create: partition values may contain
+    // characters (spaces) that are invalid in a raw URI string
+    val fs = dir.getFileSystem(conf)
     val subdirs = fs.listStatus(dir).filter(_.isDirectory)
       .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
     if (subdirs.nonEmpty)

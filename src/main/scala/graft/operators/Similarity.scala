@@ -216,6 +216,21 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** ANN top-k against a *persisted* IVF layout: the corpus written
+    * `partitionBy("__ivf_cid")` (see [[graft.io.Formats.writePartitioned]])
+    * is probed by reading only the `nProbe` best centroids' partitions —
+    * the isin filter is a plan-time PartitionFilter, so non-probed
+    * partitions cost zero I/O (spec-verified). This is the at-rest form of
+    * [[ivfTopK]]: build once, search many, never rescan the full corpus.
+    */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                        centroids: Seq[(Int, Seq[Float])],
+                        idCol: String, vecCol: String, query: Seq[Float],
+                        k: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val assigned = spark.read.parquet(path)
+    ivfTopK(assigned, centroids, idCol, vecCol, query, k, nProbe, roundTo)
+  }
+
   /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
     * in any table, exact-cosine filtered to `threshold`. The scale path for
     * [[topKPairs]].

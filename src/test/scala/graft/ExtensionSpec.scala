@@ -92,6 +92,14 @@ class SimilaritySpec extends SparkSpec {
     val allIds = assigned.filter(col("__ivf_cid").isInCollection(probe))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(probedIds == allIds)
+    // search against the at-rest layout == search against the in-memory one
+    val fromLayout = Similarity.ivfTopKFromLayout(spark, dir, cents,
+      "vec_id", "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
+      query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromLayout == inMemory)
   }
 
   test("LSH ANN recall@10 >= 0.5 vs brute force on this data") {

@@ -35,6 +35,25 @@ class FormatsSpec extends SparkSpec {
     assert(after.agg(sum(col("o_orderkey"))).head.getLong(0) == beforeSum)
   }
 
+  test("partitioned compaction preserves layout and rows per partition") {
+    val dir = Files.createTempDirectory("graft_pcompact_").toString + "/t"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(16).write.partitionBy("o_orderpriority").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val n0 = before.count()
+    // flat compact must refuse the partitioned layout...
+    intercept[IllegalArgumentException](
+      graft.io.Compaction.compact(spark, dir))
+    // ...per-partition compact handles it
+    val stats = graft.io.Compaction.compactPartitioned(spark, dir)
+    assert(stats.nonEmpty && stats.values.forall(s => s.filesAfter <= s.filesBefore))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == n0)
+    // the partition column survives and still prunes
+    assert(after.select("o_orderpriority").distinct().count() ==
+      orders.select("o_orderpriority").distinct().count())
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet schemas") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evo_").toString
