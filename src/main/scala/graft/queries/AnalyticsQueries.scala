@@ -49,6 +49,33 @@ object AnalyticsQueries {
         .orderBy("n_name")
     }),
 
+    /** Set-operation surface: INTERSECT and EXCEPT over key sets (Spark
+      * plans both as hash semi/anti joins — partial aggregation and one
+      * shuffle per side).
+      */
+    "s11_setops" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("k"))
+      val inter = c.intersect(o).agg(count(lit(1)).as("n"))
+        .select(lit("intersect").as("op"), col("n"))
+      val exc = c.except(o).agg(count(lit(1)).as("n"))
+        .select(lit("except").as("op"), col("n"))
+      inter.unionByName(exc).orderBy("op")
+    }),
+
+    /** Full outer join: every customer and every order, matched where
+      * possible — the null-completing join family member.
+      */
+    "j_full" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }),
+
     /** Anti-join surface: customers with no order above 400k (NOT EXISTS). */
     "j_anti" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
@@ -309,6 +336,21 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "s11_setops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin,
+
+    "j_full" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000.0) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "j_anti" ->
       """SELECT c_custkey, c_name FROM customer
