@@ -49,6 +49,19 @@ object AnalyticsQueries {
         .orderBy("n_name")
     }),
 
+    /** Unpivot (melt) — the inverse of the reference's pivot surface: wide
+      * numeric columns to long (metric, value) rows, a narrow Expand with
+      * no shuffle.
+      */
+    "a9_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     /** Set-operation surface: INTERSECT and EXCEPT over key sets (Spark
       * plans both as hash semi/anti joins — partial aggregation and one
       * shuffle per side).
@@ -336,6 +349,13 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a9_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "s11_setops" ->
       """SELECT 'intersect' AS op, count(*) AS n FROM (
