@@ -113,19 +113,25 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   // pair — no data is copied, lineage chains to the pinned base.
 
   private case class Snap(table: DataFrame, edits: Seq[(String, Map[Long, Any])],
-                          rows: Long)
+                          rows: Long, clip: Option[DataFrame], clipRows: Long)
   private val undoStack = mutable.ArrayBuffer.empty[Snap]
   private val redoStack = mutable.ArrayBuffer.empty[Snap]
   private val maxHistory = 128
 
-  /** O(edited columns): the immutable inner maps are shared, not copied. */
-  private def snap(): Snap = Snap(table, editLog.toSeq, nRows)
+  /** O(edited columns): the immutable inner maps are shared, not copied.
+    * Clipboard state is part of the snapshot: cut → undo must restore the
+    * pre-cut clipboard, or a later paste would re-insert rows the undo
+    * already put back (duplicating them).
+    */
+  private def snap(): Snap = Snap(table, editLog.toSeq, nRows, clipboard, clipboardSize)
 
   private def restore(s: Snap): Unit = {
     table = s.table
     editLog.clear()
     s.edits.foreach { case (c, m) => editLog(c) = m }
     nRows = s.rows
+    clipboard = s.clip
+    clipboardSize = s.clipRows
   }
 
   /** Record state before a mutation gesture; clears the redo branch. */
@@ -238,8 +244,11 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * .attachPos]] pins the base with an eager checkpoint, the remainder and
     * a later paste's three union branches are all narrow codegen'd filters
     * over already-materialized blocks — re-running them per branch is
-    * cheaper than copying the table. The clipboard IS pinned (by the
-    * renumber inside cutRows), so it survives later table rebinds.
+    * cheaper than copying the table. The clipboard is a lazy plan over the
+    * pre-cut lineage: immutability keeps it correct across later table
+    * rebinds (they rebind `table`, never this plan), and each paste re-runs
+    * its narrow filter over the pinned base rather than holding a second
+    * materialized copy of the rows.
     */
   def cut(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
@@ -356,11 +365,19 @@ class Catalog(spark: SparkSession) {
 
   /** Run SQL text over the current state of every open session (views
     * reflect pending edits — they are rebuilt from `current` per call).
+    *
+    * Session names own the temp-view namespace for the duration of the
+    * call: a pre-existing temp view with a session's name is replaced (and
+    * not restored — don't share names between ad-hoc views and sessions,
+    * or between two Catalogs on one SparkSession). The views are dropped
+    * before returning — safe because `spark.sql` analyzes eagerly, so the
+    * returned DataFrame holds the resolved plan, not the view names.
     */
   def sql(query: String): DataFrame = {
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
-    spark.sql(query)
+    try spark.sql(query)
+    finally sessions.keys.foreach(spark.catalog.dropTempView(_))
   }
 }

@@ -30,6 +30,20 @@ object Compaction {
 
   case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Thrown when a multi-partition compaction fails partway: `done` lists
+    * the partitions whose swap already completed (they stay compacted —
+    * per-partition swaps are independent), `failedPartition` the one whose
+    * rewrite raised `cause`; partitions after it were not touched.
+    */
+  class PartialCompactionException(val done: Map[String, Stats],
+                                   val failedPartition: String,
+                                   cause: Throwable)
+    extends RuntimeException(
+      s"compactPartitioned failed at partition '$failedPartition' after " +
+        s"${done.size} partition(s) were already compacted " +
+        s"(${done.keys.take(5).mkString(", ")}${if (done.size > 5) "…" else ""})",
+      cause)
+
   private def dataFiles(fs: FileSystem, dir: HPath) =
     fs.listStatus(dir).filter(f => f.isFile &&
       !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
@@ -49,9 +63,25 @@ object Compaction {
       .map(_.getPath.getName)
       .filter(_.contains("=")) // hive-style only
     require(parts.nonEmpty, s"$path has no key=value partition directories")
-    parts.map { p =>
-      p -> compact(spark, s"$path/$p", targetFileMB, clusterBy)
-    }.toMap
+    // Refuse nested (key1=/key2=) layouts BEFORE rewriting anything: compact
+    // would reject the nested dir only when the loop reached it, leaving the
+    // dataset half-rewritten. Leaf-level compaction of a multi-level layout
+    // means calling this on each second-level directory.
+    val nested = parts.filter { p =>
+      fs.listStatus(new HPath(dir, p)).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+    }
+    require(nested.isEmpty,
+      s"$path has nested partition directories under ${nested.take(3).mkString(", ")}" +
+        s"${if (nested.length > 3) "…" else ""}; compact each leaf level instead")
+    val done = scala.collection.mutable.LinkedHashMap.empty[String, Stats]
+    parts.foreach { p =>
+      try done(p) = compact(spark, s"$path/$p", targetFileMB, clusterBy)
+      catch { case e: Throwable =>
+        throw new PartialCompactionException(done.toMap, p, e)
+      }
+    }
+    done.toMap
   }
 
   /** Rewrite `path` (a parquet dataset dir) to ~targetFileMB files.

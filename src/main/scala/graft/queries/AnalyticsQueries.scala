@@ -194,9 +194,13 @@ object AnalyticsQueries {
       val h = li.select(col("l_returnflag"),
         conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
           .cast("long").as("hv")).distinct()
+      // try_element_at, not element_at: under ANSI mode element_at throws
+      // INVALID_ARRAY_INDEX for groups with < k distinct hashes; the null +
+      // filter below drops those groups, mirroring the oracle's WHERE rn = k.
       val kth = h.groupBy("l_returnflag")
-        .agg(element_at(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
-          lpad(col("hv").cast("string"), 19, "0"), col("hv"), lit(k)), k).as("hk"))
+        .agg(try_element_at(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+          lpad(col("hv").cast("string"), 19, "0"), col("hv"), lit(k)), lit(k)).as("hk"))
+        .filter(col("hk").isNotNull)
       val exact = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_nd"))
       exact.join(kth, Seq("l_returnflag"))

@@ -110,6 +110,9 @@ class EditorSessionSpec extends SparkSpec {
     assert(n.setCell(0L, "n_name", "XYZZY"))
     val hit = cat.sql("SELECT count(*) AS c FROM nation_t WHERE n_name = 'XYZZY'")
     assert(hit.head.getLong(0) == 1L)
+    // the per-call views are dropped on return — no frozen snapshots linger
+    assert(!spark.catalog.tableExists("nation_t"))
+    assert(!spark.catalog.tableExists("region_t"))
   }
 
   test("cut ignores out-of-range positions and keeps __pos dense") {
@@ -123,6 +126,21 @@ class EditorSessionSpec extends SparkSpec {
     val poss = s.current.select("__pos").orderBy("__pos")
       .collect().map(_.getLong(0)).toSeq
     assert(poss == (0L until n0).toSeq, s"holes in positions: $poss")
+  }
+
+  test("undo restores clipboard state: paste after an undone cut cannot duplicate") {
+    val s = freshSession()
+    val n0 = s.rowCount
+    // no clipboard yet: undoing a cut must restore the empty clipboard
+    assert(s.cut(Seq(0L)) && s.undo() && s.rowCount == n0)
+    assert(!s.paste(0L), "clipboard must be empty again after the undo")
+    // two cuts: undoing the second restores the FIRST cut's clipboard
+    def keyAt(p: Long): Int = s.current.filter(col("__pos") === p)
+      .select("n_nationkey").head.getInt(0)
+    val k3 = keyAt(3L)
+    assert(s.cut(Seq(3L)) && s.cut(Seq(5L)) && s.undo())
+    assert(s.paste(0L) && keyAt(0L) == k3, "paste must re-insert the first cut's row")
+    assert(s.rowCount == n0)
   }
 
   test("R4: delete closes the gap") {

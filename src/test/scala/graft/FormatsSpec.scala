@@ -54,6 +54,18 @@ class FormatsSpec extends SparkSpec {
       orders.select("o_orderpriority").distinct().count())
   }
 
+  test("partitioned compaction refuses nested layouts before touching anything") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ncompact_").toString + "/t"
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "k1", "k2")
+      .write.partitionBy("k1", "k2").parquet(dir)
+    val filesBefore = spark.read.parquet(dir).inputFiles.toSet
+    intercept[IllegalArgumentException](
+      graft.io.Compaction.compactPartitioned(spark, dir))
+    // refused up front: no partition was rewritten
+    assert(spark.read.parquet(dir).inputFiles.toSet == filesBefore)
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet schemas") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_evo_").toString

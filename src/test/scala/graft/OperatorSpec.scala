@@ -140,6 +140,27 @@ class SketchAccuracySpec extends SparkSpec {
         s"approx median rel err ${math.abs(am - em) / em} > 5%")
     }
   }
+
+  test("KMV kth-hash is null-safe for groups smaller than k (ANSI mode)") {
+    // element_at(arr, k) would throw INVALID_ARRAY_INDEX under ANSI for a
+    // group with < k distinct hashes; the a8 query uses try_element_at +
+    // a null filter, dropping such groups like the oracle's WHERE rn = k.
+    graft.functions.SampleAggregates.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 10L), ("b", 20L), ("b", 30L))
+      .toDF("g", "hv")
+    val kth = df.groupBy("g")
+      .agg(try_element_at(
+        org.apache.spark.sql.functions.call_function(
+          graft.functions.SampleAggregates.BOTTOMK_FN,
+          lpad(col("hv").cast("string"), 19, "0"), col("hv"), lit(3)),
+        lit(3)).as("hk"))
+      .filter(col("hk").isNotNull)
+    val rows = kth.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b"),
+      "group 'a' (2 < k=3 hashes) must be dropped, 'b' kept")
+    assert(rows.head.getLong(1) == 30L, "kth smallest of b must be 30")
+  }
 }
 
 class CollapseCellEditsSpec extends SparkSpec {
