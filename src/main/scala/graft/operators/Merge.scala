@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot maintenance — the operators an incremental 100 TB dataset
+  * needs once "edit the file" becomes "merge the day's changes": MERGE-style
+  * upsert and snapshot diff. The reference's closest surface is the whole-
+  * table replace (`/root/reference/main.py:85-86`: rewrite the file); these
+  * give the keyed, distributed form of the same intent.
+  *
+  * Both are pure DataFrame transformations — no table-format metadata layer
+  * is assumed. At scale the shuffle is the story: each operator needs one
+  * hash exchange per side on the key columns, and if both snapshots are
+  * bucketed by the key (see [[graft.io.Bucketing]]) the exchanges vanish
+  * entirely.
+  */
+object Merge {
+
+  /** MERGE (upsert): rows of `source` replace key-matching rows of
+    * `target`; unmatched source rows are inserted; all other target rows
+    * survive. Schemas must match by name.
+    *
+    * Shape: one left-anti join (target rows that survive) + union. The anti
+    * join is a single hash exchange per side on `keys` — no window, no
+    * row_number, no driver collect; AQE turns it into a broadcast anti join
+    * whenever the changeset is small, which is the common daily-delta case.
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"schema mismatch: target ${target.columns.mkString(",")} vs " +
+        s"source ${source.columns.mkString(",")}")
+    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(source)
+  }
+
+  /** Snapshot diff: one row per key that was added, removed, or changed
+    * between `oldDf` and `newDf` (plus `"same"` rows unless filtered by the
+    * caller). Output: key columns + `change`.
+    *
+    * Comparison is null-safe struct equality (`<=>`) over the non-key
+    * columns — a single full-outer hash join on the keys, with the struct
+    * compare evaluated inside codegen; no per-column join conditions and no
+    * second pass.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val nonKey = oldDf.columns.filterNot(keys.contains).toSeq
+    require(newDf.columns.filterNot(keys.contains).toSeq.sorted == nonKey.sorted,
+      "snapshots must share their non-key columns")
+    def packed(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+
+        struct(nonKey.sorted.map(col): _*).as(s"__st_$tag") :+
+        lit(true).as(s"__in_$tag"): _*)
+    packed(oldDf, "o").join(packed(newDf, "n"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_o").isNull, lit("added"))
+          .when(col("__in_n").isNull, lit("removed"))
+          .when(!(col("__st_o") <=> col("__st_n")), lit("changed"))
+          .otherwise(lit("same")).as("change"): _*)
+  }
+}

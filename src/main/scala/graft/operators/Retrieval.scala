@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Lexical retrieval scoring over the document table — BM25, the ranking
+  * function behind every inverted-index search engine, expressed as one
+  * declarative Spark plan.
+  *
+  * Scale shape: corpus stats (N, avgdl) are a one-row aggregate broadcast
+  * into the scoring join; per-term document frequencies are a small
+  * (|query terms|-row) aggregate, also broadcast. The only data-sized
+  * operations are the tokenize-explode and one hash aggregate on
+  * (doc, term) — both partial+final, no shuffle of raw text, no driver
+  * collect. TF-IDF is the k1→∞, b=0 degenerate case of the same plan.
+  */
+object Retrieval {
+
+  /** BM25 score of every document containing ≥1 query term.
+    * Output: (idCol, score) — `score` rounded to 6dp for cross-engine
+    * reproducibility; the per-term contributions are accumulated as
+    * decimals so the sum is order-independent (double addition is not).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+
+    // corpus stats: exact long sum / count → one double division (stable)
+    val stats = toks.agg(count(lit(1)).as("__n_docs"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+
+    // one row per (doc, query-term) occurrence bag
+    val tf = toks.select(col(idCol), col("__dl"),
+        explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+    // per-term document frequency over the matched docs only — a
+    // |queryTerms|-row aggregate, broadcast into the scoring projection
+    val df = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+
+    val idf = log(lit(1.0) +
+      (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = (col("__tf") * (lit(k1) + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+
+    tf.join(broadcast(df), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * tfNorm).cast("decimal(28,10)").as("__contrib"))
+      .groupBy(idCol)
+      .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
+  }
+}

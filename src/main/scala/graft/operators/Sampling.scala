@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus shaping — the "take 30% of
+  * the English, 100% of the low-resource languages" step of a training-data
+  * mix. Spark's `sample`/`sampleBy` draw from per-partition RNG streams, so
+  * the selected *rows* change with partitioning and retries; these instead
+  * hash a stable id into a uniform and compare against the stratum's rate —
+  * the same rows are kept on any cluster, any partitioning, any rerun, and
+  * the filter is a scan-local projection (no shuffle, no state).
+  */
+object Sampling {
+
+  /** md5-derived uniform in [0, 1): the top 60 bits of the id's md5 as a
+    * fraction. Stable across engines (DuckDB mirror:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT / 2^60`).
+    */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Keep each row iff hashUniform(id) < rate(stratum). `rates` maps
+    * stratum value → sampling rate; absent strata fall back to
+    * `defaultRate`. One codegen'd projection, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol)) < rate)
+  }
+
+  /** Weighted sampling: keep each row with probability proportional to its
+    * weight, capped at 1 — `keep iff u < weight / maxWeight * rate`. Same
+    * stable-hash mechanics; the caller supplies the normalizing constant so
+    * the filter stays a single scan-local predicate (no global max pass).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     rate: Double, maxWeight: Double): DataFrame =
+    df.filter(hashUniform(col(idCol)) < least(weight / maxWeight * rate, lit(1.0)))
+}

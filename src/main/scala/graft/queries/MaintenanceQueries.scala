@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Merge, Retrieval, Sampling}
+
+/** Dataset-maintenance and retrieval query surface: keyed MERGE/diff (the
+  * distributed form of the reference's whole-file rewrite,
+  * `/root/reference/main.py:85-86`), BM25 lexical retrieval, and
+  * deterministic corpus sampling. Oracle SQL mirrors the Spark arithmetic
+  * expression-for-expression per the determinism rules in [[ParityQueries]].
+  */
+object MaintenanceQueries {
+
+  private def customer(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "customer")
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic changeset for the MERGE queries: every 7th customer gets
+    * a balance bump (update), every 50th is re-keyed +1_000_000 (insert).
+    */
+  private def changeset(t: DataFrame): DataFrame =
+    t.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .unionByName(
+        t.filter(col("c_custkey") % 50 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+
+  /** DuckDB mirror of [[changeset]] + [[Merge.upsert]] over `customer`. */
+  private val upsertCte =
+    """src AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 50 = 0),
+      |merged AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src)"""
+      .stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** MERGE upsert: daily-delta maintenance of a keyed snapshot. One
+      * anti-join exchange + union; AQE broadcasts the small changeset.
+      */
+    "o_upsert" -> ((s, dir) => {
+      val t = customer(s, dir)
+      Merge.upsert(t, changeset(t), Seq("c_custkey")).orderBy("c_custkey")
+    }),
+
+    /** Snapshot diff: added/removed/changed/same per key between the base
+      * table and its post-merge, partially-retired successor.
+      */
+    "o_snapshot_diff" -> ((s, dir) => {
+      val t = customer(s, dir)
+      val next = Merge.upsert(t, changeset(t), Seq("c_custkey"))
+        .filter(col("c_custkey") % 13 =!= 3)
+      Merge.snapshotDiff(t, next, Seq("c_custkey")).orderBy("c_custkey")
+    }),
+
+    /** BM25 retrieval over the document corpus for a fixed term set —
+      * scores every matching doc; corpus stats and per-term df are
+      * broadcast, so the only data-sized shuffle is the (doc, term) agg.
+      */
+    "t_bm25" -> ((s, dir) =>
+      Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("merge", "vector", "spark")).orderBy("doc_id")),
+
+    /** Stratified corpus sampling, deterministic by md5(doc_id) — the
+      * language-rebalancing step of a training mix. Pure scan-local filter.
+      */
+    "t_sample_strat" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.3, "zh" -> 1.0, "fr" -> 0.5), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    /** Length-weighted sampling: longer docs kept proportionally more
+      * often, capped at probability 1. Same stable-hash mechanics.
+      */
+    "t_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", col("n_chars"),
+        rate = 0.8, maxWeight = 600.0)
+        .select("doc_id", "n_chars").orderBy("doc_id"))
+  )
+
+  /** DuckDB mirror of [[Sampling.hashUniform]]. */
+  private def uniformSql(idExpr: String) =
+    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT" +
+      " / 1152921504606846976.0"
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "o_upsert" ->
+      s"""WITH $upsertCte
+         |SELECT * FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "o_snapshot_diff" ->
+      s"""WITH $upsertCte,
+         |newt AS (SELECT * FROM merged WHERE c_custkey % 13 != 3)
+         |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+         |       WHEN n.c_custkey IS NULL THEN 'removed'
+         |       WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+         |         OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+         |         OR (o.c_name IS DISTINCT FROM n.c_name)
+         |         OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+         |       THEN 'changed' ELSE 'same' END AS change
+         |FROM customer o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    // expression-for-expression mirror of Retrieval.bm25 (k1=1.2, b=0.75):
+    // identical IEEE evaluation order, decimal(28,10) contribution sum so
+    // the fold is order-independent, round(6) on the way out
+    "t_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+         |    FROM toks t JOIN dl d USING (doc_id))
+         |  WHERE term IN ('merge', 'vector', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, round(CAST(sum(CAST(
+         |    ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+         |    ((tf * (1.2 + 1.0)) /
+         |     (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+         |  AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+         |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${uniformSql("doc_id")} <
+         |  CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0
+         |            WHEN 'fr' THEN 0.5 ELSE 0.1 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${uniformSql("doc_id")} < least(n_chars / 600.0 * 0.8, 1.0)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Merge, Retrieval, Sampling}
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "v")
+
+  test("upsert updates matching keys, inserts new, keeps the rest") {
+    val source = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Merge.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert rejects schema mismatch and empty keys") {
+    val bad = Seq((2L, "b2")).toDF("k", "name")
+    intercept[IllegalArgumentException] { Merge.upsert(target, bad, Seq("k")) }
+    intercept[IllegalArgumentException] { Merge.upsert(target, target, Nil) }
+  }
+
+  test("snapshotDiff labels added/removed/changed/same") {
+    val next = Seq(
+      (2L, "b", 21.0),  // changed
+      (3L, "c", 30.0),  // same
+      (4L, "d", 40.0)   // added; key 1 removed
+    ).toDF("k", "name", "v")
+    val m = Merge.snapshotDiff(target, next, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "removed", 2L -> "changed", 3L -> "same", 4L -> "added"))
+  }
+
+  test("snapshotDiff struct compare is null-safe") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "name")
+    val newDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "name")
+    val m = Merge.snapshotDiff(oldDf, newDf, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "same", 2L -> "changed"))
+  }
+}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark engine"),
+    (2L, "spark engine"),
+    (3L, "rare term appears here"),
+    (4L, "nothing relevant at all whatsoever in this one long document")
+  ).toDF("id", "text")
+
+  test("bm25 scores only matching docs, tf-monotone within a term") {
+    val out = Retrieval.bm25(corpus, "id", "text", Seq("spark", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // doc 1 has higher tf of "spark" than doc 2 at comparable length
+    assert(out(1L) > out(2L))
+    // "rare" (df=1) outranks "spark" (df=2) at tf=1: idf dominates
+    assert(out(3L) > out(2L))
+    assert(out.values.forall(_ > 0.0))
+  }
+
+  test("bm25 matches a hand-computed score on a single-term corpus") {
+    val one = Seq((1L, "x y"), (2L, "x")).toDF("id", "text")
+    val out = Retrieval.bm25(one, "id", "text", Seq("x"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = 1.5; val n = 2.0; val df = 2.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+    assert(math.abs(out(1L) - BigDecimal(s(1, 2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    assert(math.abs(out(2L) - BigDecimal(s(1, 1)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table = (0L until 2000L).map(i =>
+    (i, if (i % 3 == 0) "a" else "b", (i % 100) + 1)).toDF("id", "s", "w")
+
+  test("stratifiedSample is deterministic and partitioning-invariant") {
+    val rates = Map("a" -> 0.5, "b" -> 0.2)
+    val once = Sampling.stratifiedSample(table, "s", "id", rates)
+      .select("id").as[Long].collect().sorted
+    val again = Sampling.stratifiedSample(table.repartition(13), "s", "id", rates)
+      .select("id").as[Long].collect().sorted
+    assert(once.sameElements(again))
+    assert(once.nonEmpty)
+  }
+
+  test("stratifiedSample respects per-stratum rates (within tolerance)") {
+    val kept = Sampling.stratifiedSample(table, "s", "id",
+        Map("a" -> 1.0), defaultRate = 0.0)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") === table.filter($"s" === "a").count())
+    assert(!kept.contains("b"))
+    val frac = Sampling.stratifiedSample(table, "s", "id", Map.empty, 0.3).count() /
+      table.count().toDouble
+    assert(frac > 0.2 && frac < 0.4, s"got $frac for rate 0.3")
+  }
+
+  test("weightedSample caps at probability 1 and scales with weight") {
+    // weight == maxWeight and rate 1.0 → keep everything
+    val all = Sampling.weightedSample(table, "id", lit(600.0), 1.0, 600.0)
+    assert(all.count() === table.count())
+    // heavier rows survive more often
+    val kept = Sampling.weightedSample(table, "id", $"w".cast("double"), 0.9, 100.0)
+    val meanKept = kept.agg(avg("w")).head.getDouble(0)
+    val meanAll = table.agg(avg("w")).head.getDouble(0)
+    assert(meanKept > meanAll, s"$meanKept should exceed $meanAll")
+  }
+
+  test("hashUniform lands in [0,1) and is stable per id") {
+    val u = table.select(Sampling.hashUniform($"id").as("u"))
+      .agg(min("u"), max("u")).head
+    assert(u.getDouble(0) >= 0.0 && u.getDouble(1) < 1.0)
+  }
+}
