@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.ParityQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.MaintenanceQueries.queries
+      graft.queries.MaintenanceQueries.queries ++
+      graft.queries.BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.ParityQueries.oracleSql ++
       graft.queries.AnalyticsQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.MaintenanceQueries.oracleSql
+      graft.queries.MaintenanceQueries.oracleSql ++
+      graft.queries.BehaviorQueries.oracleSql
 }

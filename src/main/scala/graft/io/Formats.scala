@@ -30,6 +30,7 @@ object Formats {
   case object CsvF     extends Format { val name = "csv" }
   case object JsonF    extends Format { val name = "json" }
   case object ExcelF   extends Format { val name = "xlsx" }
+  case object OrcF     extends Format { val name = "orc" }
 
   /** S9: extension-suffix routing. */
   def detect(path: String): Format = {
@@ -38,6 +39,7 @@ object Formats {
     else if (p.endsWith(".csv")) CsvF
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) JsonF
     else if (p.endsWith(".xlsx")) ExcelF
+    else if (p.endsWith(".orc")) OrcF
     else if (p.endsWith(".xls"))
       // legacy BIFF .xls is a different container entirely — routing it to
       // the OOXML (zip) codec would fail with an opaque ZipException on read
@@ -57,6 +59,10 @@ object Formats {
       // files produced by other tools.
       spark.read.option("multiLine", detectMultiline(path).toString).json(path)
     case ExcelF => ExcelIO.read(spark, path)
+    // columnar like parquet but with ordered row-group (stripe) statistics;
+    // beyond reference parity — the second columnar interchange format a
+    // lakehouse pipeline meets in practice.
+    case OrcF => spark.read.orc(path)
   }
 
   private def detectMultiline(path: String): Boolean = {
@@ -76,6 +82,7 @@ object Formats {
       df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
     case JsonF => df.write.mode(SaveMode.Overwrite).json(path)
     case ExcelF => ExcelIO.write(df, path)
+    case OrcF => df.write.mode(SaveMode.Overwrite).orc(path)
   }
 
   /** Hive-style partitioned parquet layout — the 100 TB sink: one
@@ -101,6 +108,7 @@ object Formats {
       case CsvF => df.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(tmp)
       case JsonF => df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
+      case OrcF => df.coalesce(1).write.mode(SaveMode.Overwrite).orc(tmp)
       case ExcelF =>
         // the xlsx codec already produces exactly one file at `path`
         ExcelIO.write(df, path); return

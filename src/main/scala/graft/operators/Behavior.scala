@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (user, ts, type) event log: funnel
+  * conversion and cohort retention. Beyond-parity pipeline operators (the
+  * reference has no event model; SURVEY.md §7.5) expressed as pure
+  * aggregation cascades so they scale: no per-user event list is ever
+  * materialized — a user with millions of events costs the same state as a
+  * user with three (a `collect_list`-and-fold funnel would OOM on power
+  * users at 100 TB).
+  */
+object Behavior {
+
+  /** Ordered funnel: for each prefix of `stages`, the number of users who
+    * completed that prefix in order — stage k+1 must occur strictly after
+    * the user's earliest completion time of stage k (the greedy/earliest
+    * matching; comparisons are on the event timestamp only, so ties on
+    * identical timestamps resolve identically on any engine).
+    *
+    * Shape: one conditional-min hash aggregate per stage, each keyed on the
+    * user — every exchange hashes the same key, so the sort/shuffle is
+    * reused across stages (ReusedExchange under AQE), and no join ever has
+    * a data-sized build side. Returns (stage, event_type, users).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // reached(k): (u, t) = users who completed stages 0..k, with the
+    // earliest completion timestamp of stage k.
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.join(prev, events(userCol) === prev("u"))
+        .filter(col(typeCol) === stage && col(tsCol) > col("t"))
+        .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users bucketed by the ISO week of their first
+    * event; for each (cohort week, week offset), how many of that cohort
+    * were active. Two aggregates and one equi-join, all keyed on the user —
+    * co-partitioned, so the join adds no extra exchange. Week arithmetic
+    * stays on Monday-truncated dates (exact multiples of 7 days), making
+    * the offset division exact on any engine.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    // min(week(ts)) == week(min(ts)); aggregating the truncated value keeps
+    // the partial-aggregate state a single timestamp either way.
+    val cohort = events.groupBy(col(userCol).as("u"))
+      .agg(min(wk).as("cohort_wk"))
+    val activity = events.select(col(userCol).as("u"), wk.as("wk")).distinct()
+    activity.join(cohort, "u")
+      .groupBy(
+        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+          .as("week_offset"))
+      // activity is distinct (u, wk) and the offset is a function of wk for
+      // a fixed cohort, so each user appears once per group: plain count.
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

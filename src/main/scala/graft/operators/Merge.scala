@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed snapshot maintenance — the operators an incremental 100 TB dataset
@@ -60,5 +61,28 @@ object Merge {
           .when(col("__in_n").isNull, lit("removed"))
           .when(!(col("__st_o") <=> col("__st_n")), lit("changed"))
           .otherwise(lit("same")).as("change"): _*)
+  }
+
+  /** SCD type-2: turn a keyed change log into a versioned dimension — each
+    * change becomes a row with `version`, `valid_from` = its own `orderCol`
+    * value, `valid_to` = the next change's (null on the current row), and an
+    * `is_current` 0/1 flag. `tieBreak` columns make the ordering total when
+    * `orderCol` can collide within a key.
+    *
+    * Shape: one hash exchange on the keys + one per-partition sort, shared
+    * by the `row_number` and `lead` (same window spec → one WindowExec). No
+    * self-join — the classic "join each row to its successor" formulation
+    * would double the shuffle for the same answer.
+    */
+  def scd2History(changes: DataFrame, keys: Seq[String], orderCol: String,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2History needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieBreak).map(col(_).asc): _*)
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
   }
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Behavior, Merge, SkewJoin}
+
+/** Event-sequence analytics (funnel, retention), SCD2 dimension history,
+  * the salted skew join, and the ORC scan/sink — beyond-parity pipeline
+  * surface per SURVEY.md §7.5. Oracle SQL mirrors each query
+  * expression-for-expression; event timestamps are truncated to
+  * microseconds in the oracle because Spark reads the ns-precision events
+  * table at microsecond resolution (see [[graft.core.Tables.loadEvents]])
+  * while DuckDB keeps nanos.
+  */
+object BehaviorQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.loadEvents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** Ordered view → click → purchase funnel: per-stage completion counts
+      * under greedy earliest-match semantics. Aggregation cascade keyed on
+      * the user — no per-user event list, no data-sized build side.
+      */
+    "e_funnel" -> ((s, dir) =>
+      Behavior.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    /** Weekly cohort retention triangle over the events table. */
+    "e_retention" -> ((s, dir) =>
+      Behavior.weeklyRetention(events(s, dir), "user_id", "ts")),
+
+    /** SCD2 history: the orders change-log becomes a versioned per-customer
+      * dimension with validity intervals — one exchange + sort shared by
+      * `row_number` and `lead`.
+      */
+    "o_scd2" -> ((s, dir) =>
+      Merge.scd2History(
+        Tables.load(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        keys = Seq("o_custkey"), orderCol = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("version"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "version")),
+
+    /** Salted skew join lineitem ⋈ orders: the hot-key mitigation path.
+      * Salting redistributes each key over 8 reducers; the aggregate after
+      * it is salt-oblivious, so the oracle is the plain join.
+      */
+    "j_skew" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedInnerJoin(li, o, "l_orderkey", salts = 8,
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** ORC round-trip (scan + sink via extension dispatch); the oracle
+      * reads the original parquet — format fidelity is the assertion.
+      */
+    "s_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_orc_")
+        .toString + "/supplier.orc"
+      graft.io.Formats.write(Tables.load(s, dir, "supplier"), out)
+      graft.io.Formats.read(s, out).orderBy("s_suppkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |                  event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "e_retention" ->
+      """WITH wk AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk
+        |           GROUP BY user_id),
+        |activity AS (SELECT DISTINCT user_id, wk FROM wk)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cohort_wk, wk) // 7 AS INT)
+        |         AS week_offset,
+        |       count(*) AS active_users
+        |FROM activity JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "o_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |  CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "j_skew" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "s_orc_roundtrip" ->
+      ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+        "ORDER BY s_suppkey")
+  )
+}

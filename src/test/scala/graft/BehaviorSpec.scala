@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Behavior, Merge}
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "t_ms", "event_type")
+      .select(col("user_id"), timestamp_millis(col("t_ms")).as("ts"),
+        col("event_type"))
+
+  test("funnel requires strict in-order completion") {
+    // u1 completes all three; u2 clicks before viewing (click doesn't
+    // count, and there is no later click); u3 views only.
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "click"), (2L, 20L, "view"), (2L, 5L, "purchase"),
+      (3L, 10L, "view"))
+    val got = Behavior.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect()
+    assert(got.toSeq === Seq(
+      Row(1, "view", 3L), Row(2, "click", 1L), Row(3, "purchase", 1L)))
+  }
+
+  test("stage events at the exact same timestamp do not advance the funnel") {
+    val e = ev((1L, 10L, "view"), (1L, 10L, "click"))
+    val got = Behavior.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "click")).collect()
+    assert(got.toSeq === Seq(Row(1, "view", 1L), Row(2, "click", 0L)))
+  }
+
+  test("greedy earliest-match can miss sequences a lenient matcher finds") {
+    // view@10, click@15, view@20, click@25, purchase@12: greedy anchors on
+    // view@10 then click@15, so purchase@12 (before the click) never counts.
+    val e = ev((1L, 10L, "view"), (1L, 15L, "click"), (1L, 20L, "view"),
+      (1L, 25L, "click"), (1L, 12L, "purchase"))
+    val got = Behavior.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 1L, 0L))
+  }
+}
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weekly retention buckets users by first-seen week") {
+    // 2024-01-01 and 2024-01-08 are both Mondays.
+    val e = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-10 10:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Behavior.weeklyRetention(e, "user_id", "ts").collect()
+    assert(got.toSeq === Seq(
+      Row("2024-01-01", 0, 2L), // u1+u2 in the Jan-1 cohort, week 0
+      Row("2024-01-01", 1, 1L), // u1 returns in week 1
+      Row("2024-01-08", 0, 1L))) // u3's own cohort
+  }
+
+  test("multiple events in one week count once") {
+    val e = Seq((1L, "2024-01-02 10:00:00"), (1L, "2024-01-04 11:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Behavior.weeklyRetention(e, "user_id", "ts").collect()
+    assert(got.toSeq === Seq(Row("2024-01-01", 0, 1L)))
+  }
+}
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2History chains validity intervals per key") {
+    val chg = Seq((1L, 101L, "2024-01-01"), (1L, 102L, "2024-02-01"),
+      (2L, 201L, "2024-03-01"))
+      .toDF("k", "id", "d").select(col("k"), col("id"),
+        col("d").cast("timestamp").as("d"))
+    val got = Merge.scd2History(chg, Seq("k"), "d", Seq("id"))
+      .select(col("k"), col("id"), col("version"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("f"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("t"),
+        col("is_current"))
+      .orderBy("k", "version").collect()
+    assert(got.toSeq === Seq(
+      Row(1L, 101L, 1, "2024-01-01", "2024-02-01", 0),
+      Row(1L, 102L, 2, "2024-02-01", null, 1),
+      Row(2L, 201L, 1, "2024-03-01", null, 1)))
+  }
+
+  test("ties on the order column are broken deterministically") {
+    val chg = Seq((1L, 2L, "2024-01-01"), (1L, 1L, "2024-01-01"))
+      .toDF("k", "id", "d").select(col("k"), col("id"),
+        col("d").cast("timestamp").as("d"))
+    val got = Merge.scd2History(chg, Seq("k"), "d", Seq("id"))
+      .orderBy("version").select("id", "version", "is_current").collect()
+    assert(got.toSeq === Seq(Row(1L, 1, 0), Row(2L, 2, 1)))
+  }
+}
+
+class OrcRoundtripSpec extends SparkSpec {
+  test("orc write/read preserves rows and schema") {
+    val out = java.nio.file.Files.createTempDirectory("orc_spec_")
+      .toString + "/supplier.orc"
+    val src = Tables.load(spark, sf, "supplier")
+    graft.io.Formats.write(src, out)
+    val back = graft.io.Formats.read(spark, out)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ===
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+}
