@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-hygiene signals a pretraining data pipeline runs after dedup:
+  * repetition metrics (the Gopher-style "is this doc mostly the same words
+  * over and over" family), a composite keep/reject quality gate (the C4
+  * recipe shape), and eval-set n-gram decontamination.
+  *
+  * All three are built explode → hash-aggregate rather than per-row lambda
+  * folds: Spark's higher-order array functions run interpreted and hold the
+  * whole token array per row, while explode streams through codegen'd
+  * partial aggregates and is indifferent to a single 100k-token document.
+  */
+object CorpusSignals {
+
+  /** Per-document repetition signals: token count, unique-word fraction,
+    * most-frequent-word fraction, and unique-bigram fraction. Two explode
+    * passes (words, bigrams) each ending in a hash aggregate keyed on the
+    * doc id, joined co-partitioned on that key.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), bigrams(col("tk")).as("bg"))
+
+    val wordStats = base.select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_uniq_words"),
+        max("c").as("max_word_count"))
+
+    val bigramStats = base.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_uniq_bigrams"))
+
+    // left join: a doc with <2 tokens has no bigram rows at all.
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(col("n_uniq_words").cast("double") / col("n_words"), 6)
+          .as("uniq_word_frac"),
+        round(col("max_word_count").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("n_uniq_bigrams").cast("double") /
+          nullif(col("n_bigrams"), lit(0)), 6).as("uniq_bigram_frac"))
+  }
+
+  /** Word bigrams WITH duplicates (unlike
+    * [[TextFunctions.shinglesFromTokens]], which dedups) — duplicate mass
+    * is exactly what repetition metrics measure. The lambda only slices the
+    * already-materialized array reference, the documented cheap-HOF shape.
+    */
+  private def bigrams(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", slice(tk, i, lit(2)))))
+      .otherwise(array())
+
+  /** C4-style composite keep/reject gate: scan-local scalar signals (no
+    * shuffle at all — this is a map stage that runs at wire speed in front
+    * of any corpus sink), with per-rule 0/1 flags so rejected docs are
+    * attributable. Signals use exact integer arithmetic plus one IEEE
+    * division each, so any engine computes bit-identical values.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 20, maxWords: Int = 80,
+                  minUniq: Double = 0.45,
+                  minMeanWl: Double = 3.8, maxMeanWl: Double = 5.2): DataFrame = {
+    val withSignals = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_words"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+          .as("uniq_ratio"),
+        (aggregate(col("tk"), lit(0), (acc, t) => acc + length(t))
+          .cast("double") / size(col("tk"))).as("mean_wl"))
+    withSignals.select(col("doc_id"), col("n_words"),
+      round(col("uniq_ratio"), 6).as("uniq_ratio"),
+      round(col("mean_wl"), 6).as("mean_wl"),
+      when(col("n_words") < minWords || col("n_words") > maxWords, 1)
+        .otherwise(0).as("flag_length"),
+      when(col("uniq_ratio") < minUniq, 1).otherwise(0).as("flag_repetitive"),
+      when(col("mean_wl") < minMeanWl || col("mean_wl") > maxMeanWl, 1)
+        .otherwise(0).as("flag_word_shape"))
+      .withColumn("kept",
+        when(col("flag_length") + col("flag_repetitive") +
+          col("flag_word_shape") === 0, 1).otherwise(0))
+  }
+
+  /** Eval-set decontamination: flag every corpus document sharing at least
+    * one word n-gram with any document of `evalDocs` (self-matches by id
+    * excluded). Returns (doc_id, n_shared, first_eval_id).
+    *
+    * The eval side is tiny by construction (a benchmark suite, not a
+    * corpus) — explicit `broadcast` makes the shingle join a map-side hash
+    * probe, so the corpus is never shuffled; only the per-doc aggregate
+    * exchanges data, keyed on the doc id.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    def shingleSet(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col(idAs),
+        explode(TextFunctions.shinglesFromTokens(col("tk"), n)).as("sh"))
+    shingleSet(docs, "doc_id")
+      .join(broadcast(shingleSet(evalDocs, "eval_id")), "sh")
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        min(col("eval_id")).as("first_eval_id"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusSignals, Dedup, Multimodal, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline query surface: text analysis, dedup, similarity
@@ -52,6 +52,27 @@ object PipelineQueries {
         TextFunctions.uniqueRatio(col("text")).as("uniq_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    /** Gopher-style repetition metrics — explode → hash-agg, no per-row
+      * array folds, so a single huge document can't skew task memory.
+      */
+    "t_repetition" -> ((s, dir) =>
+      CorpusSignals.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    /** C4-style composite keep/reject gate: pure map stage, no shuffle. */
+    "t_cc_filter" -> ((s, dir) =>
+      CorpusSignals.qualityGate(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    /** Eval-set 3-gram decontamination; eval side = doc_id % 97 == 0,
+      * broadcast so the corpus never shuffles before its own aggregate.
+      */
+    "t_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusSignals.decontaminate(d, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3).orderBy("doc_id")
+    }),
 
     "t_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -347,6 +368,56 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality" -> s"$qualityOracle ORDER BY doc_id",
+
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(tk) AS wd FROM t) GROUP BY doc_id, wd),
+         |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         count(*) AS n_uniq, max(c) AS maxc FROM w GROUP BY doc_id),
+         |b AS (SELECT doc_id, bg, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |      THEN list_transform(generate_series(1, len(tk) - 1),
+         |           i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |      ELSE [] END) AS bg FROM t) GROUP BY doc_id, bg),
+         |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         count(*) AS n_ubg FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_words,
+         |  round(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_word_frac,
+         |  round(CAST(maxc AS DOUBLE) / n_words, 6) AS top_word_frac,
+         |  round(CAST(n_ubg AS DOUBLE) / nullif(n_bigrams, 0), 6)
+         |    AS uniq_bigram_frac
+         |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // flags compare the UNROUNDED signals (mirroring the Spark side);
+    // int/int IEEE division is bit-identical across engines.
+    "t_cc_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |s AS (SELECT doc_id, len(tk) AS n_words,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio,
+         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+         |    / len(tk) AS mean_wl FROM t)
+         |SELECT doc_id, n_words,
+         |  round(uniq_ratio, 6) AS uniq_ratio, round(mean_wl, 6) AS mean_wl,
+         |  CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END
+         |    AS flag_length,
+         |  CASE WHEN uniq_ratio < 0.45 THEN 1 ELSE 0 END AS flag_repetitive,
+         |  CASE WHEN mean_wl < 3.8 OR mean_wl > 5.2 THEN 1 ELSE 0 END
+         |    AS flag_word_shape,
+         |  CASE WHEN (n_words >= 20 AND n_words <= 80)
+         |        AND uniq_ratio >= 0.45
+         |        AND (mean_wl >= 3.8 AND mean_wl <= 5.2)
+         |    THEN 1 ELSE 0 END AS kept
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t_decontam" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS sh
+         |            FROM documents),
+         |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared,
+         |       min(e.eval_id) AS first_eval_id
+         |FROM sh s JOIN ev e ON s.sh = e.sh AND s.doc_id != e.eval_id
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "t_lang_id" -> langIdOracle,
     "t_pipeline_e2e" -> pipelineOracle,

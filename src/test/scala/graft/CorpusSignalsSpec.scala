@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.CorpusSignals
+
+class CorpusSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals measures duplicate word and bigram mass") {
+    val d = Seq((1L, "a a a b"), (2L, "w x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 4 words, 2 uniq (0.5), top word 3/4, bigrams [a a, a a, a b]
+    // → 2 uniq of 3; doc 3 has no bigrams at all → null fraction.
+    assert(got(0) === Row(1L, 4L, 0.5, 0.75, 0.666667))
+    assert(got(1) === Row(2L, 4L, 1.0, 0.25, 1.0))
+    assert(got(2) === Row(3L, 1L, 1.0, 1.0, null))
+  }
+
+  test("qualityGate flags length, repetition, and word-shape violations") {
+    val short = "one two three"                          // 3 words → length
+    val repetitive = ("spam " * 30).trim                 // uniq 1/30
+    val ok = (1 to 30).map(i => f"wrd$i%02d").mkString(" ") // 30 x 5 chars
+    val d = Seq((1L, short), (2L, repetitive), (3L, ok)).toDF("doc_id", "text")
+    val got = CorpusSignals.qualityGate(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "flag_length", "flag_repetitive", "kept").collect()
+    assert(got(0) === Row(1L, 1, 0, 0))
+    assert(got(1) === Row(2L, 0, 1, 0))
+    assert(got(2) === Row(3L, 0, 0, 1))
+  }
+
+  test("decontaminate flags n-gram overlap with the eval set, not self-matches") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
+      (2L, "totally different words here"),
+      (10L, "quick brown fox trails")      // eval doc itself
+    ).toDF("doc_id", "text")
+    val eval_ = d.filter($"doc_id" === 10L)
+    val got = CorpusSignals.decontaminate(d, eval_, "doc_id", "text", n = 3)
+      .collect()
+    assert(got.toSeq === Seq(Row(1L, 1L, 10L)))
+  }
+}
