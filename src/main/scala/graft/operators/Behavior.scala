@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over a (user, ts, type) event log: funnel
@@ -67,5 +68,41 @@ object Behavior {
       // a fixed cohort, so each user appears once per group: plain count.
       .agg(count(lit(1)).as("active_users"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Hourly resample with a dense time grid: per key, one row for every
+    * hour between the global min and max — counts zero-filled, the hourly
+    * value sum forward-filled across gaps (pandas `resample().ffill()`
+    * semantics, distributed).
+    *
+    * Shape: one hash aggregate to hourly buckets (tiny — bounded by
+    * keys × hours, not by raw events), a broadcast of the 1-row global
+    * bounds, `sequence`+`explode` to build the grid without a driver loop,
+    * and one window per key for the fill. The raw event table is only ever
+    * touched by the first aggregate.
+    */
+  def resampleHourly(events: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol).as("k"), date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("c"),
+        // decimal sum → order-independent; round once here so the
+        // forward-fill below carries already-stable values.
+        round(sum(col(valCol).cast("decimal(18,4)")).cast("double"), 6)
+          .as("v"))
+    val bounds = hourly.agg(min("hr").as("mn"), max("hr").as("mx"))
+    val grid = hourly.select("k").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("k"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hr"))
+    val w = Window.partitionBy("k").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("k", "hr"), "left")
+      .select(col("k").as(keyCol),
+        date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("c"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ffill"))
+      .orderBy(keyCol, "hour")
   }
 }

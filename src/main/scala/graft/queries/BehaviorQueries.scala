@@ -65,6 +65,28 @@ object BehaviorQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** Hourly resample of the events table with a dense grid: zero-filled
+      * counts + forward-filled hourly value sums (distributed
+      * `resample().ffill()`).
+      */
+    "e_gapfill" -> ((s, dir) =>
+      Behavior.resampleHourly(events(s, dir), "event_type", "ts", "value")),
+
+    /** 2-D histogram (heatmap feed) over lineitem: price × quantity
+      * buckets — the two-column generalization of v3_histogram, one hash
+      * aggregate over scan-local bucket keys.
+      */
+    "v5_heatmap" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(
+          floor(col("l_extendedprice") / 10000).cast("int")
+            .as("price_bucket"),
+          floor(col("l_quantity") / 10).cast("int").as("qty_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("price_sum"))
+        .orderBy("price_bucket", "qty_bucket")),
+
     /** ORC round-trip (scan + sink via extension dispatch); the oracle
       * reads the original parquet — format fidelity is the assertion.
       */
@@ -108,6 +130,31 @@ object BehaviorQueries {
         |       count(*) AS active_users
         |FROM activity JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e_gapfill" ->
+      """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hr,
+        |    count(*) AS c,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+        |grid AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |           AS hr
+        |         FROM (SELECT DISTINCT k FROM h) CROSS JOIN b)
+        |SELECT g.k AS event_type, strftime(g.hr, '%Y-%m-%d %H:00') AS hour,
+        |  coalesce(h.c, 0) AS n_events,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM grid g LEFT JOIN h ON g.k = h.k AND g.hr = h.hr
+        |ORDER BY event_type, hour""".stripMargin,
+
+    "v5_heatmap" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS price_bucket,
+        |  CAST(floor(l_quantity / 10) AS INT) AS qty_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS price_sum
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY price_bucket, qty_bucket""".stripMargin,
 
     "o_scd2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -69,6 +69,29 @@ class RetentionSpec extends SparkSpec {
   }
 }
 
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resampleHourly zero-fills counts and forward-fills values") {
+    val e = Seq(
+      ("a", "2024-01-01 00:10:00", 1.0),
+      ("a", "2024-01-01 00:40:00", 2.0),
+      // hour 01 empty for a; b only exists at hour 02
+      ("a", "2024-01-01 02:30:00", 5.0),
+      ("b", "2024-01-01 02:00:00", 7.0))
+      .toDF("k", "s", "v")
+      .select(col("k"), col("s").cast("timestamp").as("ts"), col("v"))
+    val got = Behavior.resampleHourly(e, "k", "ts", "v").collect()
+    assert(got.toSeq === Seq(
+      Row("a", "2024-01-01 00:00", 2L, 3.0),
+      Row("a", "2024-01-01 01:00", 0L, 3.0), // gap: count 0, value carried
+      Row("a", "2024-01-01 02:00", 1L, 5.0),
+      Row("b", "2024-01-01 00:00", 0L, null), // before b's first value
+      Row("b", "2024-01-01 01:00", 0L, null),
+      Row("b", "2024-01-01 02:00", 1L, 7.0)))
+  }
+}
+
 class Scd2Spec extends SparkSpec {
   import spark.implicits._
 
