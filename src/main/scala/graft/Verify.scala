@@ -21,12 +21,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dump queries with a small thread pool: most of the 80+ queries are
     // short local jobs, so wall time is dominated by scheduling gaps, and
-    // Spark's FIFO scheduler interleaves concurrent jobs safely. Four
-    // threads ≈ 2.5× faster than sequential at sf0.01. Failures are
-    // per-query, never fatal to the dump.
+    // Spark's FIFO scheduler interleaves concurrent jobs safely. cpus/2
+    // threads (4 at the workflow's CPUS=8, ≈2.5× faster than sequential)
+    // keeps concurrency proportional to the cores Spark actually has.
+    // Failures are per-query, never fatal to the dump.
     val todo = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, cpus.toInt / 2))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = todo.map { case (name, fn) =>
@@ -54,7 +56,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A subset run writes only the subset's oracle entries, so the local
+    // checker compares exactly what was dumped instead of failing on
+    // every query the subset skipped.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

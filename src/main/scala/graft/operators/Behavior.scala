@@ -31,11 +31,11 @@ object Behavior {
     // reached(k): (u, t) = users who completed stages 0..k, with the
     // earliest completion timestamp of stage k.
     val first = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
     val reached = stages.tail.scanLeft(first) { (prev, stage) =>
-      events.join(prev, events(userCol) === prev("u"))
-        .filter(col(typeCol) === stage && col(tsCol) > col("t"))
-        .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      events.join(prev, events(userCol) === prev("__u"))
+        .filter(col(typeCol) === stage && col(tsCol) > col("__t"))
+        .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
     }
     reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
       df.agg(count(lit(1)).as("users"))
@@ -56,13 +56,13 @@ object Behavior {
     val wk = date_trunc("week", col(tsCol))
     // min(week(ts)) == week(min(ts)); aggregating the truncated value keeps
     // the partial-aggregate state a single timestamp either way.
-    val cohort = events.groupBy(col(userCol).as("u"))
-      .agg(min(wk).as("cohort_wk"))
-    val activity = events.select(col(userCol).as("u"), wk.as("wk")).distinct()
-    activity.join(cohort, "u")
+    val cohort = events.groupBy(col(userCol).as("__u"))
+      .agg(min(wk).as("__cohort_wk"))
+    val activity = events.select(col(userCol).as("__u"), wk.as("__wk")).distinct()
+    activity.join(cohort, "__u")
       .groupBy(
-        date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
-        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+        date_format(col("__cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("__wk"), col("__cohort_wk")) / 7).cast("int")
           .as("week_offset"))
       // activity is distinct (u, wk) and the offset is a function of wk for
       // a fixed cohort, so each user appears once per group: plain count.
@@ -84,25 +84,25 @@ object Behavior {
   def resampleHourly(events: DataFrame, keyCol: String, tsCol: String,
                      valCol: String): DataFrame = {
     val hourly = events
-      .groupBy(col(keyCol).as("k"), date_trunc("hour", col(tsCol)).as("hr"))
-      .agg(count(lit(1)).as("c"),
+      .groupBy(col(keyCol).as("__k"), date_trunc("hour", col(tsCol)).as("__hr"))
+      .agg(count(lit(1)).as("__c"),
         // decimal sum → order-independent; round once here so the
         // forward-fill below carries already-stable values.
         round(sum(col(valCol).cast("decimal(18,4)")).cast("double"), 6)
-          .as("v"))
-    val bounds = hourly.agg(min("hr").as("mn"), max("hr").as("mx"))
-    val grid = hourly.select("k").distinct()
+          .as("__v"))
+    val bounds = hourly.agg(min("__hr").as("__mn"), max("__hr").as("__mx"))
+    val grid = hourly.select("__k").distinct()
       .crossJoin(broadcast(bounds))
-      .select(col("k"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
-          .as("hr"))
-    val w = Window.partitionBy("k").orderBy("hr")
+      .select(col("__k"),
+        explode(sequence(col("__mn"), col("__mx"), expr("interval 1 hour")))
+          .as("__hr"))
+    val w = Window.partitionBy("__k").orderBy("__hr")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("k", "hr"), "left")
-      .select(col("k").as(keyCol),
-        date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
-        coalesce(col("c"), lit(0L)).as("n_events"),
-        last(col("v"), ignoreNulls = true).over(w).as("value_ffill"))
+    grid.join(hourly, Seq("__k", "__hr"), "left")
+      .select(col("__k").as(keyCol),
+        date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("__c"), lit(0L)).as("n_events"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_ffill"))
       .orderBy(keyCol, "hour")
   }
 }

@@ -9,10 +9,13 @@ import graft.functions.TextFunctions
   * over and over" family), a composite keep/reject quality gate (the C4
   * recipe shape), and eval-set n-gram decontamination.
   *
-  * All three are built explode → hash-aggregate rather than per-row lambda
-  * folds: Spark's higher-order array functions run interpreted and hold the
-  * whole token array per row, while explode streams through codegen'd
-  * partial aggregates and is indifferent to a single 100k-token document.
+  * Repetition and decontamination are built explode → hash-aggregate
+  * rather than per-row lambda folds: Spark's higher-order array functions
+  * run interpreted and hold the whole token array per row, while explode
+  * streams through codegen'd partial aggregates and is indifferent to a
+  * single 100k-token document. The quality gate deliberately stays a
+  * scan-local map stage (its whole point is zero shuffle), with every
+  * signal computed by codegen'd built-ins — no HOF fold in the hot path.
   */
 object CorpusSignals {
 
@@ -20,6 +23,11 @@ object CorpusSignals {
     * most-frequent-word fraction, and unique-bigram fraction. Two explode
     * passes (words, bigrams) each ending in a hash aggregate keyed on the
     * doc id, joined co-partitioned on that key.
+    *
+    * A document that tokenizes to nothing produces no explode rows and so
+    * no output row — callers wanting full corpus coverage left-join this
+    * back to the corpus ([[qualityGate]], by contrast, emits such docs
+    * with NULL signals and kept=0, so the two surfaces compose).
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
@@ -78,11 +86,16 @@ object CorpusSignals {
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"),
-        size(col("tk")).as("n_words"),
-        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
-          .as("uniq_ratio"),
-        (aggregate(col("tk"), lit(0), (acc, t) => acc + length(t))
-          .cast("double") / size(col("tk"))).as("mean_wl"))
+        // null text → 0 words, so empty docs hit the length rule instead
+        // of sliding through every NULL comparison unflagged.
+        coalesce(size(col("tk")), lit(0)).as("n_words"),
+        // nullif keeps 0-token docs at NULL signals rather than 0.0/0=NaN.
+        (size(array_distinct(col("tk"))).cast("double") /
+          nullif(size(col("tk")), lit(0))).as("uniq_ratio"),
+        // sum of token lengths without an interpreted HOF fold:
+        // concat_ws over the materialized array is codegen'd.
+        (length(concat_ws("", col("tk"))).cast("double") /
+          nullif(size(col("tk")), lit(0))).as("mean_wl"))
     withSignals.select(col("doc_id"), col("n_words"),
       round(col("uniq_ratio"), 6).as("uniq_ratio"),
       round(col("mean_wl"), 6).as("mean_wl"),
@@ -90,10 +103,13 @@ object CorpusSignals {
         .otherwise(0).as("flag_length"),
       when(col("uniq_ratio") < minUniq, 1).otherwise(0).as("flag_repetitive"),
       when(col("mean_wl") < minMeanWl || col("mean_wl") > maxMeanWl, 1)
-        .otherwise(0).as("flag_word_shape"))
-      .withColumn("kept",
-        when(col("flag_length") + col("flag_repetitive") +
-          col("flag_word_shape") === 0, 1).otherwise(0))
+        .otherwise(0).as("flag_word_shape"),
+      // kept derives from the raw conditions, not the flag sum — a NULL
+      // signal (0-token doc) must reject, exactly as SQL CASE does.
+      when(col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("uniq_ratio") >= minUniq &&
+        col("mean_wl") >= minMeanWl && col("mean_wl") <= maxMeanWl, 1)
+        .otherwise(0).as("kept"))
   }
 
   /** Eval-set decontamination: flag every corpus document sharing at least

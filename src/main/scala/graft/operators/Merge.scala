@@ -32,6 +32,15 @@ object Merge {
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"schema mismatch: target ${target.columns.mkString(",")} vs " +
         s"source ${source.columns.mkString(",")}")
+    // name parity alone would let unionByName type-coerce the maintained
+    // snapshot (double + string → string) — fail fast instead.
+    val typeDiff = target.schema.map(f => f.name -> f.dataType).toMap
+      .flatMap { case (n, dt) =>
+        source.schema.find(_.name == n).collect {
+          case sf if sf.dataType != dt => s"$n: target $dt vs source ${sf.dataType}"
+        }
+      }
+    require(typeDiff.isEmpty, s"type mismatch: ${typeDiff.mkString("; ")}")
     target.join(source.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(source)
   }

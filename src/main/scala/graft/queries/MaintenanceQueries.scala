@@ -88,13 +88,8 @@ object MaintenanceQueries {
         .select("doc_id", "n_chars").orderBy("doc_id"))
   )
 
-  /** DuckDB mirror of [[Sampling.hashUniform]]. */
-  private def uniformSql(idExpr: String) =
-    s"('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT" +
-      " / 1152921504606846976.0"
-
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  private def uniformSql(idExpr: String) = OracleIdioms.uniformSql(idExpr)
+  private val toksSql = OracleIdioms.toksSql
 
   val oracleSql: Map[String, String] = Map(
     "o_upsert" ->

@@ -18,9 +18,8 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
-  /** DuckDB mirror of TextFunctions.tokens. */
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  /** DuckDB mirror of TextFunctions.tokens (shared — see OracleIdioms). */
+  private val toksSql = OracleIdioms.toksSql
 
   /** DuckDB mirror of TextFunctions.fingerprint (md5 of canonical text). */
   private val fpSql =
@@ -393,10 +392,11 @@ object PipelineQueries {
     // int/int IEEE division is bit-identical across engines.
     "t_cc_filter" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |s AS (SELECT doc_id, len(tk) AS n_words,
-         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio,
+         |s AS (SELECT doc_id, coalesce(len(tk), 0) AS n_words,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE)
+         |    / nullif(len(tk), 0) AS uniq_ratio,
          |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
-         |    / len(tk) AS mean_wl FROM t)
+         |    / nullif(len(tk), 0) AS mean_wl FROM t)
          |SELECT doc_id, n_words,
          |  round(uniq_ratio, 6) AS uniq_ratio, round(mean_wl, 6) AS mean_wl,
          |  CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END

@@ -31,6 +31,23 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got(2) === Row(3L, 0, 0, 1))
   }
 
+  test("qualityGate rejects null and token-free docs with NULL signals, not NaN") {
+    val d = Seq((1L, Option.empty[String]), (2L, Some("!!! ???")),
+      (3L, Some(("ok " * 25).trim)))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.qualityGate(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // null text and punct-only text: 0 words, NULL ratios, rejected.
+    for (r <- got.take(2)) {
+      assert(r.getInt(1) === 0)
+      assert(r.isNullAt(2) && r.isNullAt(3))
+      assert(r.getInt(4) === 1)         // flag_length
+      assert(r.getInt(7) === 0)         // kept
+    }
+    assert(got(2).getInt(7) === 0)      // "ok" repeated: uniq_ratio fails
+    assert(got(2).getInt(5) === 1)
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, not self-matches") {
     val d = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval

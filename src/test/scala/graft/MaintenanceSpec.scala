@@ -24,6 +24,16 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Merge.upsert(target, target, Nil) }
   }
 
+  test("upsert rejects same-name type mismatches instead of coercing") {
+    // same column names, v is a string — unionByName would silently turn
+    // the snapshot's double column into string without the type require.
+    val bad = Seq((2L, "b2", "99.0")).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(target, bad, Seq("k"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("snapshotDiff labels added/removed/changed/same") {
     val next = Seq(
       (2L, "b", 21.0),  // changed
