@@ -15,12 +15,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a managed parquet table bucketed+sorted on `key`. */
+  /** Write `df` as a managed parquet table bucketed+sorted on `key`.
+    *
+    * A previous process may have left this table's files under the
+    * warehouse dir without a catalog entry (the default catalog is
+    * in-memory, the directory is not) — `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS rather than overwriting, so clear both the
+    * catalog entry and the orphaned location first.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

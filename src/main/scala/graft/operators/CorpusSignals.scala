@@ -112,6 +112,30 @@ object CorpusSignals {
         .otherwise(0).as("kept"))
   }
 
+  /** Per-document unigram entropy (bits): −Σ p·log2(p) over the token
+    * distribution — low entropy is the information-theoretic repetition
+    * signal (a doc of one repeated word scores 0). Counts come from the
+    * explode → hash-agg path; the per-doc float fold then runs over counts
+    * sorted by word, so accumulation order — and therefore the IEEE result
+    * — is engine-independent. Per-doc state is the *distinct*-word list,
+    * bounded by vocabulary, not document length.
+    */
+  def unigramEntropy(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("w"), col("c")))).as("cs"),
+        sum("c").cast("double").as("n"))
+      .select(col("doc_id"),
+        round(-aggregate(col("cs"), lit(0.0), (acc, x) => {
+          val p = x.getField("c").cast("double") / col("n")
+          acc + p * log2(p)
+        }), 6).as("entropy"))
+  }
+
   /** Eval-set decontamination: flag every corpus document sharing at least
     * one word n-gram with any document of `evalDocs` (self-matches by id
     * excluded). Returns (doc_id, n_shared, first_eval_id).

@@ -311,4 +311,27 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Fuzzy-dup verification: shingle-Jaccard candidate pairs confirmed by
+    * edit distance on a normalized-text prefix — the "cheap candidate
+    * generation, expensive verification on survivors only" two-phase shape.
+    * The O(prefixLen²) levenshtein DP runs once per *candidate pair* (tiny
+    * vs the corpus), never all-pairs; the two id joins are plain hash
+    * exchanges on the id.
+    */
+  def fuzzyVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.4,
+                       prefixLen: Int = 60): DataFrame = {
+    val pairs = shingleJaccardPairs(df, idCol, textCol, n, threshold)
+    val norm = df.select(col(idCol).as("__nid"),
+      substring(graft.functions.TextFunctions.normText(col(textCol)),
+        1, prefixLen).as("__nt"))
+    pairs
+      .join(norm.select(col("__nid").as("id_i"), col("__nt").as("__nt_i")),
+        "id_i")
+      .join(norm.select(col("__nid").as("id_j"), col("__nt").as("__nt_j")),
+        "id_j")
+      .select(col("id_i"), col("id_j"), round(col("jaccard"), 6).as("jaccard"),
+        levenshtein(col("__nt_i"), col("__nt_j")).as("lev"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.io.Bucketing
 import graft.operators.{Behavior, Merge, SkewJoin}
 
 /** Event-sequence analytics (funnel, retention), SCD2 dimension history,
@@ -86,6 +87,51 @@ object BehaviorQueries {
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
             .as("price_sum"))
         .orderBy("price_bucket", "qty_bucket")),
+
+    /** Bucketed sort-merge join: both sides written bucketed+sorted on the
+      * key, so the join plan has NO Exchange on either side (asserted in
+      * BucketingSpec) — the co-located-join layout a 100 TB star schema
+      * would maintain. Result is layout-independent, so the oracle is the
+      * plain join.
+      */
+    "j_bucketed" -> ((s, dir) => {
+      Bucketing.writeBucketed(Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"), "vq_b_orders",
+        "o_orderkey", 8)
+      Bucketing.writeBucketed(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity"), "vq_b_lineitem",
+        "l_orderkey", 8)
+      Bucketing.readTable(s, "vq_b_lineitem")
+        .join(Bucketing.readTable(s, "vq_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** Per-row group z-score via broadcast closed-form moments (the
+      * a7_corr decimal-moment pattern): one aggregate over the slice, one
+      * broadcast join back — no window, no second shuffle.
+      */
+    "a10_zscore" -> ((s, dir) => {
+      val x = col("l_extendedprice")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          x)
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("cnt"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"))
+      li.join(broadcast(m), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((x - col("sx") / col("cnt")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("cnt")) /
+              (col("cnt") - lit(1.0))), 6).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     /** ORC round-trip (scan + sink via extension dispatch); the oracle
       * reads the original parquet — format fidelity is the assertion.
@@ -175,6 +221,26 @@ object BehaviorQueries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "j_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a10_zscore" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             l_extendedprice FROM lineitem WHERE l_orderkey < 100),
+        |m AS (SELECT l_returnflag, count(*)::DOUBLE AS cnt,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sx,
+        |  cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,4)))
+        |    as double) AS sxx
+        |  FROM s GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, s.l_returnflag,
+        |  round((l_extendedprice - sx / cnt) /
+        |    sqrt((sxx - sx * sx / cnt) / (cnt - 1.0)), 6) AS z
+        |FROM s JOIN m ON s.l_returnflag = m.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "s_orc_roundtrip" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +

@@ -178,6 +178,23 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** Two-phase fuzzy dedup: Jaccard candidates verified by levenshtein
+      * on the normalized 60-char prefix — the DP runs per candidate pair,
+      * never all-pairs.
+      */
+    "d_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyVerifyPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, prefixLen = 60)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+        .orderBy("doc_i", "doc_j")),
+
+    /** Unigram entropy per doc — the information-theoretic repetition
+      * signal; float fold ordered by word for engine-independent results.
+      */
+    "t_entropy" -> ((s, dir) =>
+      CorpusSignals.unigramEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     /** Full dedup pipeline tail: LSH pairs → connected components →
       * (doc, cluster) so each duplicate cluster keeps min-id as canonical.
       */
@@ -485,6 +502,31 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "d_fuzzy" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh,
+         |    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |           1, 60) AS nt
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |    AS jaccard,
+         |  levenshtein(a.nt, b.nt) AS lev
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT doc_i, doc_j, round(jaccard, 6) AS jaccard, lev
+         |FROM p WHERE jaccard >= 0.4 ORDER BY doc_i, doc_j""".stripMargin,
+
+    "t_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         |l AS (SELECT doc_id, list(c ORDER BY w) AS cs,
+         |        CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY doc_id)
+         |SELECT doc_id,
+         |  round(-list_reduce(list_prepend(0.0, list_transform(cs,
+         |      x -> (x / n) * log2(x / n))), (a, b) -> a + b), 6) AS entropy
+         |FROM l ORDER BY doc_id""".stripMargin,
 
     "d_simhash_md5" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import graft.operators.CorpusSignals
+import graft.operators.{CorpusSignals, Dedup}
 
 class CorpusSignalsSpec extends SparkSpec {
   import spark.implicits._
@@ -58,5 +58,34 @@ class CorpusSignalsSpec extends SparkSpec {
     val got = CorpusSignals.decontaminate(d, eval_, "doc_id", "text", n = 3)
       .collect()
     assert(got.toSeq === Seq(Row(1L, 1L, 10L)))
+  }
+}
+
+class EntropyFuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramEntropy: uniform text maxes out, constant text scores zero") {
+    val d = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.unigramEntropy(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(1) === 2.0) // 4 equiprobable tokens
+    assert(got(1).getDouble(1) === -0.0 || got(1).getDouble(1) === 0.0)
+    assert(got(2).getDouble(1) === 1.0) // two 0.5 outcomes
+  }
+
+  test("fuzzyVerifyPairs reports edit distance only for jaccard candidates") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),   // near-dup of 1
+      (3L, "completely unrelated text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyVerifyPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.3, prefixLen = 60).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getInt(3) === 1) // lazy → hazy inside the 60-char prefix
   }
 }
