@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Merge, Retrieval, Sampling}
+import graft.functions.TextFunctions
+import graft.operators.{Merge, Retrieval, Sampling, Sharding}
 
 /** Dataset-maintenance and retrieval query surface: keyed MERGE/diff (the
   * distributed form of the reference's whole-file rewrite,
@@ -85,7 +86,28 @@ object MaintenanceQueries {
     "t_sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(docs(s, dir), "doc_id", col("n_chars"),
         rate = 0.8, maxWeight = 600.0)
-        .select("doc_id", "n_chars").orderBy("doc_id"))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    /** Token-budgeted shard plan: exclusive running token sum in doc order
+      * → shard index, computed with per-partition windows + offsets (no
+      * global single-partition sort).
+      */
+    "t_shard_plan" -> ((s, dir) =>
+      Sharding.shardByTokenBudget(docs(s, dir), "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 5000L)
+        .orderBy("doc_id")),
+
+    /** Hive-partitioned write + pruned read: only the lang=zh directory is
+      * scanned (PartitionFilters at planning time, zero I/O elsewhere).
+      */
+    "s_partition_prune" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_part_")
+        .toString + "/docs_by_lang"
+      graft.io.Formats.writePartitioned(
+        docs(s, dir).select("doc_id", "lang", "n_chars"), out, Seq("lang"))
+      s.read.parquet(out).filter(col("lang") === "zh")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    })
   )
 
   private def uniformSql(idExpr: String) = OracleIdioms.uniformSql(idExpr)
@@ -144,6 +166,21 @@ object MaintenanceQueries {
     "t_sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${uniformSql("doc_id")} < least(n_chars / 600.0 * 0.8, 1.0)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_shard_plan" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)
+         |             AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(prior / 5000) AS INT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "s_partition_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin
   )
 }

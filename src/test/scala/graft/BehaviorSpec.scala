@@ -134,3 +134,26 @@ class OrcRoundtripSpec extends SparkSpec {
       src.orderBy("s_suppkey").collect().toSeq)
   }
 }
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sharding
+
+  test("shard index is floor(exclusive prior tokens / budget) in id order") {
+    val d = Seq((1L, 100L), (2L, 400L), (3L, 600L), (4L, 50L))
+      .toDF("doc_id", "n")
+    val got = Sharding.shardByTokenBudget(d, "doc_id", col("n"), 500L)
+      .orderBy("doc_id").collect()
+    // priors: 0, 100, 500, 1100 → shards 0, 0, 1, 2
+    assert(got.map(_.getInt(2)).toSeq === Seq(0, 0, 1, 2))
+  }
+
+  test("input partitioning does not change the plan") {
+    val d = (1L to 200L).map(i => (i, (i % 37) + 5)).toDF("doc_id", "n")
+    val a = Sharding.shardByTokenBudget(d, "doc_id", col("n"), 300L)
+      .orderBy("doc_id").collect().toSeq
+    val b = Sharding.shardByTokenBudget(d.repartition(7), "doc_id",
+      col("n"), 300L).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
