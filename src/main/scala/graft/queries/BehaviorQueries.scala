@@ -88,6 +88,24 @@ object BehaviorQueries {
             .as("price_sum"))
         .orderBy("price_bucket", "qty_bucket")),
 
+    /** Trailing-1-hour sliding window per event: RANGE frame over the
+      * event-time axis (not row counts), the time-decayed-metrics shape.
+      * One exchange on the type key; the frame slides per partition.
+      */
+    "w_sliding" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("__us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("__us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      e.select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          .as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     /** Bucketed sort-merge join: both sides written bucketed+sorted on the
       * key, so the join plan has NO Exchange on either side (asserted in
       * BucketingSpec) — the co-located-join layout a 100 TB star schema
@@ -221,6 +239,18 @@ object BehaviorQueries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w_sliding" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts, value
+        |           FROM events)
+        |SELECT event_id, event_type,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "j_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n,

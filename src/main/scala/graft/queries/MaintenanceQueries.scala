@@ -97,6 +97,27 @@ object MaintenanceQueries {
         TextFunctions.tokenCount(col("text")), budget = 5000L)
         .orderBy("doc_id")),
 
+    /** Incremental aggregate maintenance: a "materialized" base aggregate
+      * absorbs a day's delta by merging partial states (counts add,
+      * decimal sums add exactly) — the base table is never rescanned. The
+      * oracle is the from-scratch aggregate; equality IS the incremental-
+      * view-maintenance correctness statement.
+      */
+    "o_incr_agg" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def partial(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("st"))
+      val base  = partial(o.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partial(o.filter(col("o_orderkey") % 10 === 0))
+      base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("n").as("n"), sum("st").as("st"))
+        .select(col("o_orderpriority"), col("n"),
+          col("st").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Hive-partitioned write + pruned read: only the lang=zh directory is
       * scanned (PartitionFilters at planning time, zero I/O elsewhere).
       */
@@ -181,6 +202,14 @@ object MaintenanceQueries {
 
     "s_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin
+        |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin,
+
+    // from-scratch aggregate: the incremental merge must equal this exactly
+    // (decimal partials are associative, so it does)
+    "o_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
