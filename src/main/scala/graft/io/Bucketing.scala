@@ -25,10 +25,19 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
+    // Simple names only: a qualified "db.t" would backtick-quote as one
+    // identifier in DROP TABLE (dropping nothing) while the orphan path
+    // below pointed at <warehouse>/db.t instead of <warehouse>/db.db/t —
+    // the cleanup would miss and saveAsTable would still fail.
+    require(!table.contains("."),
+      s"writeBucketed takes a simple table name, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val db = spark.catalog.currentDatabase
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      if (db == "default") table.toLowerCase
+      else s"$db.db/${table.toLowerCase}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

@@ -23,7 +23,12 @@ object Sharding {
                          budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
     val sorted = docs
-      .select(col(idCol).as("doc_id"), tokenExpr.cast("long").as("n_tokens"))
+      // null-yielding token expressions (null text, legacy size(null)=-1)
+      // would NPE the offset collect or corrupt every later prior — clamp
+      // to a well-defined 0-token document instead.
+      .select(col(idCol).as("doc_id"),
+        greatest(lit(0L), coalesce(tokenExpr.cast("long"), lit(0L)))
+          .as("n_tokens"))
       .orderBy("doc_id")
     val pinned = sorted.localCheckpoint(eager = true)
     val withMid = pinned.withColumn("__mid", monotonically_increasing_id())

@@ -157,3 +157,18 @@ class ShardingSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+class ShardingNullSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sharding
+
+  test("null token counts are clamped to zero, not dropped or corrupting") {
+    val d = Seq((1L, Some(100L)), (2L, None), (3L, Some(450L)))
+      .toDF("doc_id", "n")
+    val got = Sharding.shardByTokenBudget(d, "doc_id", col("n"), 500L)
+      .orderBy("doc_id").collect()
+    // priors: 0, 100, 100 → shards 0, 0, 0; all three docs present
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq((1L, 100L, 0), (2L, 0L, 0), (3L, 450L, 0)))
+  }
+}
