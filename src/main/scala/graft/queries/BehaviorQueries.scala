@@ -88,6 +88,30 @@ object BehaviorQueries {
             .as("price_sum"))
         .orderBy("price_bucket", "qty_bucket")),
 
+    /** Hourly OHLC bars per event type: open/close are the first/last
+      * value by (ts, event_id) — the unique id makes the ordering total,
+      * so the bars are deterministic even with timestamp ties. One
+      * exchange on (type, hour) shared by the window and the aggregate.
+      */
+    "e_ohlc" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("__hr"), col("ts"), col("event_id"),
+        col("value"))
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "__hr")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      e.withColumn("__open", first("value").over(frame))
+        .withColumn("__close", last("value").over(frame))
+        .groupBy(col("event_type"),
+          date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(max("__open").as("open"), max("value").as("high"),
+          min("value").as("low"), max("__close").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "hour")
+    }),
+
     /** Trailing-1-hour sliding window per event: RANGE frame over the
       * event-time axis (not row counts), the time-decayed-metrics shape.
       * One exchange on the type key; the frame slides per partition.
@@ -239,6 +263,22 @@ object BehaviorQueries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "e_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |             date_trunc('microseconds', ts) AS ts, event_id, value
+        |           FROM events),
+        |w AS (SELECT event_type, hr, value,
+        |  first_value(value) OVER f AS o, last_value(value) OVER f AS c
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY event_type, hr
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  max(o) AS open, max(value) AS high, min(value) AS low,
+        |  max(c) AS close, count(*) AS n
+        |FROM w GROUP BY event_type, hr
+        |ORDER BY event_type, hour""".stripMargin,
 
     "w_sliding" ->
       """WITH e AS (SELECT event_id, event_type,

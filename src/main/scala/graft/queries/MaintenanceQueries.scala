@@ -97,6 +97,26 @@ object MaintenanceQueries {
         TextFunctions.tokenCount(col("text")), budget = 5000L)
         .orderBy("doc_id")),
 
+    /** Training-mix report: docs and token mass per (lang, source) with
+      * each cell's share of the corpus — the composition summary every
+      * mixture-weighting decision starts from. The share window runs over
+      * the already-aggregated frame (dozens of rows), so the unpartitioned
+      * window is free at any corpus size.
+      */
+    "t_mix_report" -> ((s, dir) => {
+      val a = docs(s, dir)
+        .select(col("lang"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      a.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          sum("n_tokens").over(all).cast("double"), 6).as("token_share"))
+        .orderBy("lang", "source")
+    }),
+
     /** Incremental aggregate maintenance: a "materialized" base aggregate
       * absorbs a day's delta by merging partial states (counts add,
       * decimal sums add exactly) — the base table is never rescanned. The
@@ -203,6 +223,15 @@ object MaintenanceQueries {
     "s_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin,
+
+    "t_mix_report" ->
+      s"""WITH a AS (SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) /
+         |    CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+         |FROM a ORDER BY lang, source""".stripMargin,
 
     // from-scratch aggregate: the incremental merge must equal this exactly
     // (decimal partials are associative, so it does)
