@@ -130,6 +130,34 @@ object BehaviorQueries {
         .orderBy("event_id")
     }),
 
+    /** Sliding-window anomaly detection: flag events whose value sits more
+      * than 3σ from the trailing-24h mean of their type, with the moments
+      * as exact decimal window sums → one closed-form double evaluation
+      * (the a7_corr discipline applied to a moving frame). Same single
+      * exchange as any per-type window.
+      */
+    "e_anomaly" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("__us")
+        .rangeBetween(-24L * 3600L * 1000000L, 0L)
+      val x = col("value")
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), x,
+          unix_micros(col("ts")).as("__us"))
+        .select(col("event_id"), col("event_type"), x,
+          count(lit(1)).over(w).as("__n"),
+          sum(x.cast("decimal(18,4)")).over(w).cast("double").as("__sx"),
+          sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
+            .as("__sxx"))
+        .filter(col("__n") >= 30)
+        .select(col("event_id"), col("event_type"),
+          round((x - col("__sx") / col("__n")) /
+            sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+              (col("__n") - lit(1.0))), 6).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_id")
+    }),
+
     /** Bucketed sort-merge join: both sides written bucketed+sorted on the
       * key, so the join plan has NO Exchange on either side (asserted in
       * BucketingSpec) — the co-located-join layout a 100 TB star schema
@@ -263,6 +291,27 @@ object BehaviorQueries {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // z is rounded before the |z| > 3 cut on BOTH sides so the flag set is
+    // decided on identical values
+    "e_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts, value
+        |           FROM events),
+        |w AS (SELECT event_id, event_type, value,
+        |  count(*) OVER f AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER f AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER f AS DOUBLE)
+        |    AS sxx
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_id, event_type,
+        |  round((value - sx / n) /
+        |    sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
+        |  FROM w WHERE n >= 30)
+        |SELECT event_id, event_type, z FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "e_ohlc" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -237,6 +237,26 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
         .orderBy("vec_i", "vec_j")),
 
+    /** Int8 scalar quantization audit: per-vector symmetric scale
+      * (127/max|x|), explicit floor(x·s + 0.5) rounding (identical on any
+      * engine, unlike round()'s half-even/half-up ambiguity), and the max
+      * reconstruction error — max is order-independent, so no fold-order
+      * contract is needed. The compression decision data for shipping
+      * embeddings at 1/4 the bytes.
+      */
+    "v_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      embs(s, dir).select(col("vec_id"), v.as("__v"))
+        .select(col("vec_id"), col("__v"),
+          (lit(127.0) / nullif(array_max(transform(col("__v"), x => abs(x))),
+            lit(0.0))).as("__s"))
+        .select(col("vec_id"), round(col("__s"), 6).as("scale"),
+          round(array_max(transform(col("__v"),
+            x => abs(floor(x * col("__s") + lit(0.5)) / col("__s") - x))), 6)
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // ---- similarity search ------------------------------------------------
     "v_ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0L),
@@ -551,6 +571,17 @@ object PipelineQueries {
          |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "v_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0)
+        |    AS sc FROM e)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(floor(x * sc + 0.5) / sc - x))), 6) AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "d_embed_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
