@@ -237,6 +237,29 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
         .orderBy("vec_i", "vec_j")),
 
+    /** The round-3 curation pipeline end-to-end in ONE lazy plan: quality
+      * gate (scan-local) → eval-set decontamination (broadcast semi-join)
+      * → token-budget shard plan over the survivors. Composition is the
+      * point: every stage is a DataFrame transform, so Catalyst sees the
+      * whole pipeline and the corpus is scanned once per branch, not once
+      * per stage.
+      */
+    "t_pipeline_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = graft.operators.CorpusSignals
+        .qualityGate(d, "doc_id", "text")
+        .filter(col("kept") === 1).select("doc_id")
+      val dirty = graft.operators.CorpusSignals
+        .decontaminate(d, d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .select("doc_id")
+      val survivors = d.join(kept, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      graft.operators.Sharding.shardByTokenBudget(survivors, "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 4000L)
+        .orderBy("doc_id")
+    }),
+
     /** Int8 scalar quantization audit: per-vector symmetric scale
       * (127/max|x|), explicit floor(x·s + 0.5) rounding (identical on any
       * engine, unlike round()'s half-even/half-up ambiguity), and the max
@@ -571,6 +594,32 @@ object PipelineQueries {
          |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "t_pipeline_v2" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sig AS (SELECT doc_id, coalesce(len(tk), 0) AS n_words,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE)
+         |    / nullif(len(tk), 0) AS uniq_ratio,
+         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+         |    / nullif(len(tk), 0) AS mean_wl FROM t),
+         |kept AS (SELECT doc_id FROM sig
+         |  WHERE n_words >= 20 AND n_words <= 80 AND uniq_ratio >= 0.45
+         |    AND mean_wl >= 3.8 AND mean_wl <= 5.2),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+         |dirty AS (SELECT DISTINCT s.doc_id
+         |  FROM sh s JOIN (SELECT doc_id AS eval_id, sh FROM sh
+         |                  WHERE doc_id % 97 = 0) e
+         |    ON s.sh = e.sh AND s.doc_id != e.eval_id),
+         |surv AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens
+         |  FROM t JOIN kept USING (doc_id)
+         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM surv)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(prior / 4000) AS INT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "v_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
