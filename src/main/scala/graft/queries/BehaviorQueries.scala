@@ -18,6 +18,16 @@ object BehaviorQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.loadEvents(s, dir)
 
+  /** Closed-form z-score from decimal moments — single Spark-side copy;
+    * the SQL twin is [[OracleIdioms.zScoreSql]]. Callers guard n > 1 and
+    * positive variance.
+    */
+  private def zCol(x: org.apache.spark.sql.Column,
+                   n: org.apache.spark.sql.Column,
+                   sx: org.apache.spark.sql.Column,
+                   sxx: org.apache.spark.sql.Column) =
+    round((x - sx / n) / sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 6)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     /** Ordered view → click → purchase funnel: per-stage completion counts
       * under greedy earliest-match semantics. Aggregation cascade keyed on
@@ -102,13 +112,18 @@ object BehaviorQueries {
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // group on the window's own (type, __hr) key so the aggregate reuses
+      // the window's exchange — grouping on the formatted string would
+      // repartition every row a second time; format only the tiny result.
       e.withColumn("__open", first("value").over(frame))
         .withColumn("__close", last("value").over(frame))
-        .groupBy(col("event_type"),
-          date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"))
+        .groupBy(col("event_type"), col("__hr"))
         .agg(max("__open").as("open"), max("value").as("high"),
           min("value").as("low"), max("__close").as("close"),
           count(lit(1)).as("n"))
+        .select(col("event_type"),
+          date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
         .orderBy("event_type", "hour")
     }),
 
@@ -149,11 +164,13 @@ object BehaviorQueries {
           sum(x.cast("decimal(18,4)")).over(w).cast("double").as("__sx"),
           sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
             .as("__sxx"))
-        .filter(col("__n") >= 30)
+        // positive-variance guard: a degenerate all-equal window would be
+        // NaN here but a hard sqrt-of-negative ERROR in DuckDB — exclude
+        // it identically on both sides instead.
+        .filter(col("__n") >= 30 &&
+          col("__sxx") - col("__sx") * col("__sx") / col("__n") > 0)
         .select(col("event_id"), col("event_type"),
-          round((x - col("__sx") / col("__n")) /
-            sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
-              (col("__n") - lit(1.0))), 6).as("z"))
+          zCol(x, col("__n"), col("__sx"), col("__sxx")).as("z"))
         .filter(abs(col("z")) > 3.0)
         .orderBy("event_id")
     }),
@@ -197,9 +214,7 @@ object BehaviorQueries {
         sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"))
       li.join(broadcast(m), "l_returnflag")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          round((x - col("sx") / col("cnt")) /
-            sqrt((col("sxx") - col("sx") * col("sx") / col("cnt")) /
-              (col("cnt") - lit(1.0))), 6).as("z"))
+          zCol(x, col("cnt"), col("sx"), col("sxx")).as("z"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -293,25 +308,25 @@ object BehaviorQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // z is rounded before the |z| > 3 cut on BOTH sides so the flag set is
-    // decided on identical values
+    // decided on identical values; positive-variance guard mirrors Spark
+    // (DuckDB sqrt(<0) is a hard error, not NaN)
     "e_anomaly" ->
-      """WITH e AS (SELECT event_id, event_type,
-        |             date_trunc('microseconds', ts) AS ts, value
-        |           FROM events),
-        |w AS (SELECT event_id, event_type, value,
-        |  count(*) OVER f AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER f AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER f AS DOUBLE)
-        |    AS sxx
-        |  FROM e
-        |  WINDOW f AS (PARTITION BY event_type ORDER BY ts
-        |    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)),
-        |z AS (SELECT event_id, event_type,
-        |  round((value - sx / n) /
-        |    sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
-        |  FROM w WHERE n >= 30)
-        |SELECT event_id, event_type, z FROM z WHERE abs(z) > 3.0
-        |ORDER BY event_id""".stripMargin,
+      s"""WITH e AS (SELECT event_id, event_type,
+         |             date_trunc('microseconds', ts) AS ts, value
+         |           FROM events),
+         |w AS (SELECT event_id, event_type, value,
+         |  count(*) OVER f AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER f AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER f AS DOUBLE)
+         |    AS sxx
+         |  FROM e
+         |  WINDOW f AS (PARTITION BY event_type ORDER BY ts
+         |    RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)),
+         |z AS (SELECT event_id, event_type,
+         |  ${OracleIdioms.zScoreSql("value", "n", "sx", "sxx")} AS z
+         |  FROM w WHERE n >= 30 AND (sxx - sx * sx / n) > 0)
+         |SELECT event_id, event_type, z FROM z WHERE abs(z) > 3.0
+         |ORDER BY event_id""".stripMargin,
 
     "e_ohlc" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,
@@ -348,18 +363,18 @@ object BehaviorQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a10_zscore" ->
-      """WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
-        |             l_extendedprice FROM lineitem WHERE l_orderkey < 100),
-        |m AS (SELECT l_returnflag, count(*)::DOUBLE AS cnt,
-        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sx,
-        |  cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,4)))
-        |    as double) AS sxx
-        |  FROM s GROUP BY l_returnflag)
-        |SELECT l_orderkey, l_linenumber, s.l_returnflag,
-        |  round((l_extendedprice - sx / cnt) /
-        |    sqrt((sxx - sx * sx / cnt) / (cnt - 1.0)), 6) AS z
-        |FROM s JOIN m ON s.l_returnflag = m.l_returnflag
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+         |             l_extendedprice FROM lineitem WHERE l_orderkey < 100),
+         |m AS (SELECT l_returnflag, count(*)::DOUBLE AS cnt,
+         |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sx,
+         |  cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,4)))
+         |    as double) AS sxx
+         |  FROM s GROUP BY l_returnflag)
+         |SELECT l_orderkey, l_linenumber, s.l_returnflag,
+         |  ${OracleIdioms.zScoreSql("l_extendedprice", "cnt", "sx", "sxx")}
+         |    AS z
+         |FROM s JOIN m ON s.l_returnflag = m.l_returnflag
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "s_orc_roundtrip" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +

@@ -211,14 +211,9 @@ object MaintenanceQueries {
 
     "t_shard_plan" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT)
-         |             AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  CAST(floor(prior / 5000) AS INT) AS shard
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |             AS n_tokens FROM documents)
+         |${OracleIdioms.shardSql("t", 5000L)}
+         |ORDER BY doc_id""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -237,12 +237,14 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
         .orderBy("vec_i", "vec_j")),
 
-    /** The round-3 curation pipeline end-to-end in ONE lazy plan: quality
-      * gate (scan-local) → eval-set decontamination (broadcast semi-join)
-      * → token-budget shard plan over the survivors. Composition is the
-      * point: every stage is a DataFrame transform, so Catalyst sees the
-      * whole pipeline and the corpus is scanned once per branch, not once
-      * per stage.
+    /** The curation pipeline end-to-end: quality gate (scan-local) →
+      * eval-set decontamination (broadcast semi-join) → token-budget shard
+      * plan over the survivors. The gate/decontaminate/join prefix is one
+      * fused lazy plan; the shard planner then pins the survivor
+      * partitioning (eager localCheckpoint + offset collect, see
+      * [[graft.operators.Sharding]]) before its per-partition windows — so
+      * execution is "one plan up to the checkpoint, then the shard tail",
+      * not a single job.
       */
     "t_pipeline_v2" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -449,14 +451,11 @@ object PipelineQueries {
          |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // flags compare the UNROUNDED signals (mirroring the Spark side);
-    // int/int IEEE division is bit-identical across engines.
+    // int/int IEEE division is bit-identical across engines. Signal CTE +
+    // keep predicate live once in OracleIdioms (t_pipeline_v2 reuses them).
     "t_cc_filter" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |s AS (SELECT doc_id, coalesce(len(tk), 0) AS n_words,
-         |  CAST(len(list_distinct(tk)) AS DOUBLE)
-         |    / nullif(len(tk), 0) AS uniq_ratio,
-         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
-         |    / nullif(len(tk), 0) AS mean_wl FROM t)
+         |s AS (${OracleIdioms.qualitySignalsSql})
          |SELECT doc_id, n_words,
          |  round(uniq_ratio, 6) AS uniq_ratio, round(mean_wl, 6) AS mean_wl,
          |  CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END
@@ -464,16 +463,12 @@ object PipelineQueries {
          |  CASE WHEN uniq_ratio < 0.45 THEN 1 ELSE 0 END AS flag_repetitive,
          |  CASE WHEN mean_wl < 3.8 OR mean_wl > 5.2 THEN 1 ELSE 0 END
          |    AS flag_word_shape,
-         |  CASE WHEN (n_words >= 20 AND n_words <= 80)
-         |        AND uniq_ratio >= 0.45
-         |        AND (mean_wl >= 3.8 AND mean_wl <= 5.2)
-         |    THEN 1 ELSE 0 END AS kept
+         |  CASE WHEN ${OracleIdioms.keptPredicateSql} THEN 1 ELSE 0 END
+         |    AS kept
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "t_decontam" ->
-      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS sh
-         |            FROM documents),
-         |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0)
+      s"""WITH $contamCtes
          |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared,
          |       min(e.eval_id) AS first_eval_id
          |FROM sh s JOIN ev e ON s.sh = e.sh AND s.doc_id != e.eval_id
@@ -595,31 +590,22 @@ object PipelineQueries {
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // composed from the single-copy fragments: quality signals + keep
+    // predicate (OracleIdioms), the decontamination CTEs (shared with
+    // t_decontam), and the shard arithmetic (shared with t_shard_plan)
     "t_pipeline_v2" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |sig AS (SELECT doc_id, coalesce(len(tk), 0) AS n_words,
-         |  CAST(len(list_distinct(tk)) AS DOUBLE)
-         |    / nullif(len(tk), 0) AS uniq_ratio,
-         |  CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
-         |    / nullif(len(tk), 0) AS mean_wl FROM t),
+         |sig AS (${OracleIdioms.qualitySignalsSql}),
          |kept AS (SELECT doc_id FROM sig
-         |  WHERE n_words >= 20 AND n_words <= 80 AND uniq_ratio >= 0.45
-         |    AND mean_wl >= 3.8 AND mean_wl <= 5.2),
-         |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+         |  WHERE ${OracleIdioms.keptPredicateSql}),
+         |$contamCtes,
          |dirty AS (SELECT DISTINCT s.doc_id
-         |  FROM sh s JOIN (SELECT doc_id AS eval_id, sh FROM sh
-         |                  WHERE doc_id % 97 = 0) e
-         |    ON s.sh = e.sh AND s.doc_id != e.eval_id),
+         |  FROM sh s JOIN ev e ON s.sh = e.sh AND s.doc_id != e.eval_id),
          |surv AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens
          |  FROM t JOIN kept USING (doc_id)
-         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM dirty)),
-         |c AS (SELECT doc_id, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |  FROM surv)
-         |SELECT doc_id, n_tokens,
-         |  CAST(floor(prior / 4000) AS INT) AS shard
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM dirty))
+         |${OracleIdioms.shardSql("surv", 4000L)}
+         |ORDER BY doc_id""".stripMargin,
 
     "v_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -852,6 +838,14 @@ object PipelineQueries {
     * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
     * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
+  /** Shared decontamination CTEs (corpus shingles + eval subset) — used by
+    * t_decontam and the composed t_pipeline_v2.
+    */
+  private lazy val contamCtes: String =
+    s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0)"""
+      .stripMargin
+
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
