@@ -161,10 +161,17 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+  // e_anomaly legitimately returns zero rows at sf0.001: its n >= 30
+  // window floor can never fill there (max trailing-24h window is 16
+  // events), and "no anomalies" is a correct detector output. Its exact
+  // row set (171 rows) is pinned by the sf0.01 oracle instead.
+  private val mayBeEmptyAtTinySf = Set("e_anomaly")
+
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned no rows")
+      if (mayBeEmptyAtTinySf(name)) assert(n >= 0)
+      else assert(n > 0, s"$name returned no rows")
     }
   }
   test("every oracle key has a query") {
