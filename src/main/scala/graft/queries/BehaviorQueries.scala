@@ -198,6 +198,24 @@ object BehaviorQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** Robust spread per group: median + median-absolute-deviation —
+      * outlier-resistant where variance is not. Two exact-percentile
+      * aggregates on the same key; the group medians broadcast back for
+      * the deviation pass, so the fact table shuffles only for its own
+      * aggregates.
+      */
+    "a11_mad" -> ((s, dir) => {
+      val x = col("l_extendedprice")
+      val li = Tables.load(s, dir, "lineitem").select(col("l_returnflag"), x)
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(x, lit(0.5)).as("__med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(max("__med"), 4).as("med"),
+          round(percentile(abs(x - col("__med")), lit(0.5)), 4).as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Per-row group z-score via broadcast closed-form moments (the
       * a7_corr decimal-moment pattern): one aggregate over the slice, one
       * broadcast join back — no window, no second shuffle.
@@ -361,6 +379,15 @@ object BehaviorQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a11_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.5) AS med
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, round(max(m.med), 4) AS med,
+        |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a10_zscore" ->
       s"""WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -307,6 +307,24 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** ANN quality measured in-engine: recall@10 of the md5-plane LSH path
+      * against exact brute force — the eval loop a vector index ships
+      * with. Both sides are deterministic, so the recall itself is
+      * oracle-checked (each leg's SQL is the single-copy oracle of its own
+      * query).
+      */
+    "v_recall" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val qv = queryVec(s, dir)
+      val exact = Similarity.topK(base, "vec_id", "embedding", qv, k = 10)
+        .select(col("id"))
+      val approx = Similarity.lshTopK(base, "vec_id", "embedding", qv,
+        k = 10, tables = 16, bits = 4, planes = Similarity.md5Planes)
+        .select(col("id"))
+      exact.join(approx, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
+    }),
+
     /** IVF with a flat (no-Lloyd-iteration) index: centroids are the 8
       * lowest-id vectors, assignment is argmax cosine, probes 4 — every
       * stage deterministic and reproduced by the SQL oracle, so the
@@ -660,11 +678,7 @@ object PipelineQueries {
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
          |ORDER BY doc_id""".stripMargin,
 
-    "v_ann_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
-        |s AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
-        |      FROM embeddings WHERE vec_id <> 0)
-        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v_ann_topk" -> annTopkOracle,
 
     "v_ann_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
@@ -694,34 +708,13 @@ object PipelineQueries {
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
-    "v_ann_lsh_md5" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |b AS (
-        |  SELECT vec_id, t,
-        |    bit_or(CASE WHEN proj > 0.0 THEN (CAST(1 AS BIGINT) << p)
-        |                ELSE CAST(0 AS BIGINT) END) AS bucket
-        |  FROM (
-        |    SELECT e.vec_id, tt.t, pp.p,
-        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(generate_series(1, 64), i ->
-        |          CAST(e.embedding[i] AS DOUBLE) *
-        |          (((('0x' || substr(md5(CAST(tt.t AS VARCHAR) || '|' ||
-        |                CAST(pp.p AS VARCHAR) || '|' ||
-        |                CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT
-        |             % 1000003)::DOUBLE / 1000003.0) * 2.0 - 1.0))),
-        |        (acc, x) -> acc + x) AS proj
-        |    FROM e, generate_series(0, 15) tt(t), generate_series(0, 3) pp(p))
-        |  GROUP BY vec_id, t),
-        |qb AS (SELECT t, bucket FROM b WHERE vec_id = 0),
-        |cand AS (SELECT DISTINCT b.vec_id FROM b
-        |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
-        |         WHERE b.vec_id <> 0),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        |SELECT c.vec_id,
-        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |    (SELECT qv FROM q)), 6) AS sim
-        |FROM cand c JOIN e ON e.vec_id = c.vec_id
-        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin,
+    "v_ann_lsh_md5" -> annLshMd5Oracle,
+
+    "v_recall" ->
+      s"""WITH a AS ($annTopkOracle),
+         |b AS ($annLshMd5Oracle)
+         |SELECT round(count(*) / 10.0, 6) AS recall
+         |FROM a JOIN b USING (vec_id)""".stripMargin,
 
     "m_binary_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
@@ -838,6 +831,43 @@ object PipelineQueries {
     * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
     * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
+  /** Exact top-10 oracle (single copy: v_ann_topk + the recall report). */
+  private lazy val annTopkOracle: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** md5-plane LSH top-10 oracle (single copy: v_ann_lsh_md5 + recall). */
+  private lazy val annLshMd5Oracle: String =
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, t,
+        |    bit_or(CASE WHEN proj > 0.0 THEN (CAST(1 AS BIGINT) << p)
+        |                ELSE CAST(0 AS BIGINT) END) AS bucket
+        |  FROM (
+        |    SELECT e.vec_id, tt.t, pp.p,
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) *
+        |          (((('0x' || substr(md5(CAST(tt.t AS VARCHAR) || '|' ||
+        |                CAST(pp.p AS VARCHAR) || '|' ||
+        |                CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000003)::DOUBLE / 1000003.0) * 2.0 - 1.0))),
+        |        (acc, x) -> acc + x) AS proj
+        |    FROM e, generate_series(0, 15) tt(t), generate_series(0, 3) pp(p))
+        |  GROUP BY vec_id, t),
+        |qb AS (SELECT t, bucket FROM b WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT b.vec_id FROM b
+        |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+        |         WHERE b.vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) AS sim
+        |FROM cand c JOIN e ON e.vec_id = c.vec_id
+        |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+
   /** Shared decontamination CTEs (corpus shingles + eval subset) — used by
     * t_decontam and the composed t_pipeline_v2.
     */
