@@ -307,6 +307,18 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** The quality gate as a REAL streaming query (AvailableNow over the
+      * corpus directory): the gate is a stateless projection, so the same
+      * operator runs unchanged on a stream — batch/stream parity is the
+      * assertion, and the oracle is the batch result.
+      */
+    "st_quality_gate" -> ((s, dir) =>
+      EventStreams.runAvailableNow(s, s"$dir/documents.parquet",
+        df => CorpusSignals.qualityGate(df, "doc_id", "text")
+          .filter(col("kept") === 1).select("doc_id", "n_words"),
+        "st_quality_gate", outputMode = "append")
+        .orderBy("doc_id")),
+
     /** ANN quality measured in-engine: recall@10 of the md5-plane LSH path
       * against exact brute force — the eval loop a vector index ships
       * with. Both sides are deterministic, so the recall itself is
@@ -709,6 +721,13 @@ object PipelineQueries {
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
     "v_ann_lsh_md5" -> annLshMd5Oracle,
+
+    "st_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |s AS (${OracleIdioms.qualitySignalsSql})
+         |SELECT doc_id, n_words FROM s
+         |WHERE ${OracleIdioms.keptPredicateSql}
+         |ORDER BY doc_id""".stripMargin,
 
     "v_recall" ->
       s"""WITH a AS ($annTopkOracle),
