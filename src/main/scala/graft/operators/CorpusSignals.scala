@@ -63,10 +63,11 @@ object CorpusSignals {
 
   /** Word bigrams WITH duplicates (unlike
     * [[TextFunctions.shinglesFromTokens]], which dedups) — duplicate mass
-    * is exactly what repetition metrics measure. The lambda only slices the
-    * already-materialized array reference, the documented cheap-HOF shape.
+    * is exactly what repetition metrics and n-gram counts measure. The
+    * lambda only slices the already-materialized array reference, the
+    * documented cheap-HOF shape.
     */
-  private def bigrams(tk: Column): Column =
+  def bigrams(tk: Column): Column =
     when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat_ws(" ", slice(tk, i, lit(2)))))

@@ -138,6 +138,22 @@ object MaintenanceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** File-level schema evolution (SURVEY §1.3): an old batch written
+      * without `n_chars` and a new batch with it are read back as ONE
+      * table via mergeSchema — missing columns surface as nulls, no
+      * rewrite of the old files.
+      */
+    "s_schema_evolution" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_evo_").toString
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.parquet(s"$out/b1")
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     /** Hive-partitioned write + pruned read: only the lang=zh directory is
       * scanned (PartitionFilters at planning time, zero I/O elsewhere).
       */
@@ -218,6 +234,13 @@ object MaintenanceQueries {
     "s_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin,
+
+    "s_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "t_mix_report" ->
       s"""WITH a AS (SELECT lang, source, count(*) AS n_docs,

@@ -307,6 +307,24 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** Corpus bigram language-model table: top-20 bigrams with their MLE
+      * conditional probability P(w2|w1) = c(w1 w2)/c(w1). Both count
+      * streams are explode → hash-agg; the unigram side joins on the
+      * bigram's first word.
+      */
+    "t_ngram_lm" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+      val cb = toks.select(explode(CorpusSignals.bigrams(col("tk"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val cw = toks.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      cb.join(cw, split(col("bg"), " ").getItem(0) === col("w"))
+        .select(col("bg"), col("c2"),
+          round(col("c2").cast("double") / col("c1"), 6).as("p"))
+        .orderBy(col("c2").desc, col("bg")).limit(20)
+    }),
+
     /** The quality gate as a REAL streaming query (AvailableNow over the
       * corpus directory): the gate is a stateless projection, so the same
       * operator runs unchanged on a stream — batch/stream parity is the
@@ -721,6 +739,19 @@ object PipelineQueries {
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
     "v_ann_lsh_md5" -> annLshMd5Oracle,
+
+    "t_ngram_lm" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(generate_series(1, len(tk) - 1),
+         |         i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |    ELSE [] END) AS bg FROM t),
+         |cb AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+         |w AS (SELECT unnest(tk) AS w FROM t),
+         |cw AS (SELECT w, count(*) AS c1 FROM w GROUP BY w)
+         |SELECT bg, c2, round(CAST(c2 AS DOUBLE) / c1, 6) AS p
+         |FROM cb JOIN cw ON split_part(bg, ' ', 1) = w
+         |ORDER BY c2 DESC, bg LIMIT 20""".stripMargin,
 
     "st_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
