@@ -98,6 +98,29 @@ object BehaviorQueries {
             .as("price_sum"))
         .orderBy("price_bucket", "qty_bucket")),
 
+    /** Per-user event-type Markov transitions: lag over (ts, event_id)
+      * gives each event its predecessor type; counts aggregate globally
+      * and the row-conditional probability normalizes over the tiny
+      * transition matrix, not the event stream.
+      */
+    "e_markov" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val trans = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .groupBy(col("__prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy("from_type")
+      trans.select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum("n").over(byFrom).cast("double"),
+          6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     /** Hourly OHLC bars per event type: open/close are the first/last
       * value by (ts, event_id) — the unique id makes the ordering total,
       * so the bars are deterministic even with timestamp ties. One
@@ -345,6 +368,20 @@ object BehaviorQueries {
          |  FROM w WHERE n >= 30 AND (sxx - sx * sx / n) > 0)
          |SELECT event_id, event_type, z FROM z WHERE abs(z) > 3.0
          |ORDER BY event_id""".stripMargin,
+
+    "e_markov" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |             event_id, event_type FROM events),
+        |s AS (SELECT event_type, lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |      FROM e),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |        count(*) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "e_ohlc" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,

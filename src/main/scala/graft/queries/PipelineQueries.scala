@@ -195,6 +195,30 @@ object PipelineQueries {
       CorpusSignals.unigramEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    /** Survivorship: the canonical representative per near-dup cluster is
+      * the longest doc (min id on ties) — the "which copy do we keep"
+      * policy layered on connected components, decided by a per-cluster
+      * window instead of min-id.
+      */
+    "d_survivorship" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+      val cl = Dedup.connectedComponents(pairs, "id_i", "id_j")
+        .withColumnRenamed("node", "doc_id")
+      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cl.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("doc_id").as("canonical"),
+          col("n_chars"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
     /** Full dedup pipeline tail: LSH pairs → connected components →
       * (doc, cluster) so each duplicate cluster keeps min-id as canonical.
       */
@@ -627,16 +651,25 @@ object PipelineQueries {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
-         |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
-         |          UNION SELECT doc_j, doc_i FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS node FROM edges),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)
+      s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    /** Survivorship on top of the same clusters: longest doc wins, min id
+      * breaks ties — composed from the single-copy CC CTEs.
+      */
+    "d_survivorship" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster
+         |       FROM reach GROUP BY node),
+         |ranked AS (SELECT cl.cluster, cl.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d USING (doc_id))
+         |SELECT cluster, doc_id AS canonical, n_chars,
+         |  (SELECT count(*) FROM cl c2 WHERE c2.cluster = ranked.cluster)
+         |    AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     // composed from the single-copy fragments: quality signals + keep
     // predicate (OracleIdioms), the decontamination CTEs (shared with
@@ -917,6 +950,21 @@ object PipelineQueries {
         |    (SELECT qv FROM q)), 6) AS sim
         |FROM cand c JOIN e ON e.vec_id = c.vec_id
         |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin
+
+  /** Shared connected-components CTE chain (after WITH RECURSIVE): LSH
+    * pairs → undirected edges → transitive reach. Used by d_clusters and
+    * d_survivorship.
+    */
+  private lazy val ccCtes: String =
+    s"""pairs AS ($jaccardPairsOracle),
+       |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+       |          UNION SELECT doc_j, doc_i FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node)"""
+      .stripMargin
 
   /** Shared decontamination CTEs (corpus shingles + eval subset) — used by
     * t_decontam and the composed t_pipeline_v2.
