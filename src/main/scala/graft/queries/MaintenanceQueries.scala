@@ -144,12 +144,13 @@ object MaintenanceQueries {
       * rewrite of the old files.
       */
     "s_schema_evolution" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("vrfy_evo_").toString
+      // stable path + overwrite (no per-call tempdir leak)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_vrfy/evolving"
       val d = docs(s, dir)
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
-        .write.parquet(s"$out/b1")
+        .write.mode("overwrite").parquet(s"$out/b1")
       d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
-        .write.parquet(s"$out/b2")
+        .write.mode("overwrite").parquet(s"$out/b2")
       s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
@@ -158,8 +159,8 @@ object MaintenanceQueries {
       * scanned (PartitionFilters at planning time, zero I/O elsewhere).
       */
     "s_partition_prune" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("vrfy_part_")
-        .toString + "/docs_by_lang"
+      // stable path + overwrite (no per-call tempdir leak)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_vrfy/docs_by_lang"
       graft.io.Formats.writePartitioned(
         docs(s, dir).select("doc_id", "lang", "n_chars"), out, Seq("lang"))
       s.read.parquet(out).filter(col("lang") === "zh")

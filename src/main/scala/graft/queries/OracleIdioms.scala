@@ -59,4 +59,13 @@ private[queries] object OracleIdioms {
   val keptPredicateSql: String =
     "n_words >= 20 AND n_words <= 80 AND uniq_ratio >= 0.45" +
       " AND mean_wl >= 3.8 AND mean_wl <= 5.2"
+
+  /** DuckDB mirror of [[graft.operators.CorpusSignals.bigrams]] (word
+    * bigrams WITH duplicates) over a token-list expression.
+    */
+  def bigramsSql(tk: String): String =
+    s"""CASE WHEN len($tk) >= 2
+       |      THEN list_transform(generate_series(1, len($tk) - 1),
+       |           i -> array_to_string(list_slice($tk, i, i + 1), ' '))
+       |      ELSE [] END""".stripMargin
 }

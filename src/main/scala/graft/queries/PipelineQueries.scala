@@ -206,14 +206,17 @@ object PipelineQueries {
         n = 3, threshold = 0.4, numHashes = 128, bands = 64)
       val cl = Dedup.connectedComponents(pairs, "id_i", "id_j")
         .withColumnRenamed("node", "doc_id")
-      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("n_members"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
+      // member count over the same cluster partitioning the ranking window
+      // already established — no separate aggregate + join exchanges
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
       cl.join(d.select("doc_id", "n_chars"), "doc_id")
         .withColumn("__rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
         .filter(col("__rn") === 1)
-        .join(sizes, "cluster")
         .select(col("cluster"), col("doc_id").as("canonical"),
           col("n_chars"), col("n_members"))
         .orderBy("cluster")
@@ -509,10 +512,8 @@ object PipelineQueries {
          |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
          |         count(*) AS n_uniq, max(c) AS maxc FROM w GROUP BY doc_id),
          |b AS (SELECT doc_id, bg, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-         |      THEN list_transform(generate_series(1, len(tk) - 1),
-         |           i -> array_to_string(list_slice(tk, i, i + 1), ' '))
-         |      ELSE [] END) AS bg FROM t) GROUP BY doc_id, bg),
+         |    SELECT doc_id, unnest(${OracleIdioms.bigramsSql("tk")})
+         |      AS bg FROM t) GROUP BY doc_id, bg),
          |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
          |         count(*) AS n_ubg FROM b GROUP BY doc_id)
          |SELECT doc_id, n_words,
@@ -775,10 +776,8 @@ object PipelineQueries {
 
     "t_ngram_lm" ->
       s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
-         |bg AS (SELECT unnest(CASE WHEN len(tk) >= 2
-         |    THEN list_transform(generate_series(1, len(tk) - 1),
-         |         i -> array_to_string(list_slice(tk, i, i + 1), ' '))
-         |    ELSE [] END) AS bg FROM t),
+         |bg AS (SELECT unnest(${OracleIdioms.bigramsSql("tk")}) AS bg
+         |       FROM t),
          |cb AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
          |w AS (SELECT unnest(tk) AS w FROM t),
          |cw AS (SELECT w, count(*) AS c1 FROM w GROUP BY w)
@@ -908,12 +907,6 @@ object PipelineQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
-  /** Brute-force 3-gram Jaccard pairs >= 0.4 — oracle for both the
-    * inverted-index join and the MinHash-LSH path. Valid for LSH because at
-    * numHashes=128/bands=64 the analytic miss probability at the threshold
-    * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
-    * checks containment (LSH ⊆ exact) and planted-pair recall.
-    */
   /** Exact top-10 oracle (single copy: v_ann_topk + the recall report). */
   private lazy val annTopkOracle: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
@@ -974,6 +967,12 @@ object PipelineQueries {
        |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0)"""
       .stripMargin
 
+  /** Brute-force 3-gram Jaccard pairs >= 0.4 — oracle for both the
+    * inverted-index join and the MinHash-LSH path. Valid for LSH because at
+    * numHashes=128/bands=64 the analytic miss probability at the threshold
+    * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
+    * checks containment (LSH ⊆ exact) and planted-pair recall.
+    */
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,

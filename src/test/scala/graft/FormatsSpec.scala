@@ -169,9 +169,9 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
+      // exempted queries are only required to execute without error
       val n = fn(spark, sf).count()
-      if (mayBeEmptyAtTinySf(name)) assert(n >= 0)
-      else assert(n > 0, s"$name returned no rows")
+      if (!mayBeEmptyAtTinySf(name)) assert(n > 0, s"$name returned no rows")
     }
   }
   test("every oracle key has a query") {
