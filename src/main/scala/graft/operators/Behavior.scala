@@ -20,10 +20,12 @@ object Behavior {
     * matching; comparisons are on the event timestamp only, so ties on
     * identical timestamps resolve identically on any engine).
     *
-    * Shape: one conditional-min hash aggregate per stage, each keyed on the
-    * user — every exchange hashes the same key, so the sort/shuffle is
-    * reused across stages (ReusedExchange under AQE), and no join ever has
-    * a data-sized build side. Returns (stage, event_type, users).
+    * Shape: one conditional-min hash aggregate per stage, each keyed on
+    * the user, and no join ever has a data-sized build side. The per-stage
+    * count branches repeat earlier stages' subtrees; identical exchanges
+    * are eligible for reuse (a ReusedExchange is observed at runtime), and
+    * what isn't reused is a filtered-scan + tiny aggregate per branch —
+    * bounded by stages², not data. Returns (stage, event_type, users).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, stages: Seq[String]): DataFrame = {
