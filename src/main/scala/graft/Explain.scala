@@ -18,7 +18,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window")
+      else Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
+        "s_partition_prune", "j_bucketed", "e_funnel", "d_minhash_lsh",
+        "t_pipeline_v2")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
