@@ -98,6 +98,28 @@ object BehaviorQueries {
             .as("price_sum"))
         .orderBy("price_bucket", "qty_bucket")),
 
+    /** Engagement: per-week WAU, average DAU, and the DAU/WAU stickiness
+      * ratio. One distinct pass over (user, day) feeds both sides; every
+      * aggregate after it is over day- or week-sized frames.
+      */
+    "e_dau_wau" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        date_trunc("day", col("ts")).as("__day"),
+        date_trunc("week", col("ts")).as("__wk")).distinct()
+      val daily = e.groupBy("__wk", "__day").agg(count(lit(1)).as("dau"))
+      val weekly = e.select("user_id", "__wk").distinct()
+        .groupBy("__wk").agg(count(lit(1)).as("wau"))
+      daily.groupBy("__wk")
+        .agg(sum("dau").as("sdau"), count(lit(1)).as("nd"))
+        .join(weekly, "__wk")
+        .select(date_format(col("__wk"), "yyyy-MM-dd").as("week"),
+          col("wau"),
+          round(col("sdau").cast("double") / col("nd"), 6).as("avg_dau"),
+          round((col("sdau").cast("double") / col("nd")) / col("wau"), 6)
+            .as("stickiness"))
+        .orderBy("week")
+    }),
+
     /** Per-user event-type Markov transitions: lag over (ts, event_id)
       * gives each event its predecessor type; counts aggregate globally
       * and the row-conditional probability normalizes over the tiny
@@ -369,6 +391,19 @@ object BehaviorQueries {
          |  FROM w WHERE n >= 30 AND (sxx - sx * sx / n) > 0)
          |SELECT event_id, event_type, z FROM z WHERE abs(z) > 3.0
          |ORDER BY event_id""".stripMargin,
+
+    "e_dau_wau" ->
+      """WITH e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+        |             date_trunc('week', ts) AS wk FROM events),
+        |d AS (SELECT wk, day, count(*) AS dau FROM e GROUP BY wk, day),
+        |w AS (SELECT wk, count(*) AS wau FROM (
+        |        SELECT DISTINCT user_id, wk FROM e) GROUP BY wk),
+        |a AS (SELECT wk, CAST(sum(dau) AS BIGINT) AS sdau, count(*) AS nd
+        |      FROM d GROUP BY wk)
+        |SELECT strftime(a.wk, '%Y-%m-%d') AS week, w.wau,
+        |  round(CAST(sdau AS DOUBLE) / nd, 6) AS avg_dau,
+        |  round((CAST(sdau AS DOUBLE) / nd) / wau, 6) AS stickiness
+        |FROM a JOIN w ON a.wk = w.wk ORDER BY week""".stripMargin,
 
     "e_markov" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,

@@ -195,6 +195,25 @@ object PipelineQueries {
       CorpusSignals.unigramEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    /** One-row dedup-rate report: corpus size, how many docs exact dedup
+      * would drop, and the near-dup cluster footprint — the numbers a
+      * curation run reports before anything is deleted. Fingerprints
+      * shuffle 16 bytes/doc; the cluster side rides the LSH pair pipeline.
+      */
+    "t_dedup_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = d
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dropped"))
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+      val near = Dedup.connectedComponents(pairs, "id_i", "id_j")
+        .agg(count(lit(1)).as("n_near_members"),
+          countDistinct(col("cluster")).as("n_clusters"))
+      exact.crossJoin(near)
+    }),
+
     /** Survivorship: the canonical representative per near-dup cluster is
       * the longest doc (min id on ties) — the "which copy do we keep"
       * policy layered on connected components, decided by a per-cluster
@@ -655,6 +674,15 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "t_dedup_stats" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) - count(DISTINCT $fpSql) FROM documents)
+         |    AS n_exact_dropped,
+         |  (SELECT count(*) FROM cl) AS n_near_members,
+         |  (SELECT count(DISTINCT cluster) FROM cl) AS n_clusters""".stripMargin,
 
     /** Survivorship on top of the same clusters: longest doc wins, min id
       * breaks ties — composed from the single-copy CC CTEs.
