@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * formatted physical plan of registered queries at sf0.001 — the tool used
   * to keep scans pruned (PushedFilters/ReadSchema), small dims broadcast,
   * and expressions inside WholeStageCodegen spans.
+  *
+  * The default set is side-effect-free: building some queries runs real
+  * jobs (j_bucketed writes+drops bucketed tables, s_partition_prune and
+  * s_orc_roundtrip write scratch datasets, t_pipeline_v2 localCheckpoints),
+  * so those plans print only when named explicitly.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -19,8 +24,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
-        "s_partition_prune", "j_bucketed", "e_funnel", "d_minhash_lsh",
-        "t_pipeline_v2")
+        "j_asof", "w_topn_per_group", "e_funnel", "d_minhash_lsh",
+        "t_pipeline_e2e")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -21,9 +21,16 @@ object Tables {
   /** The `events` table is written with nanosecond timestamps, which the
     * Spark 4 parquet reader rejects outright; read them as raw nanos
     * (legacy flag) and surface a proper micros TimestampType `ts`.
+    *
+    * The flag should be set at SparkSession build time (every graft entry
+    * point does); query builders run concurrently in Verify, so a per-load
+    * conf write would race with other queries' planning. The conditional set
+    * below is only a fallback for external sessions built without it —
+    * read-only when the flag is already in place.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 

@@ -76,8 +76,10 @@ object Compaction {
         s"${if (nested.length > 3) "…" else ""}; compact each leaf level instead")
     val done = scala.collection.mutable.LinkedHashMap.empty[String, Stats]
     parts.foreach { p =>
+      // NonFatal only: VM errors, interrupts and linkage errors propagate
+      // as themselves instead of being wrapped in a partial-failure report
       try done(p) = compact(spark, s"$path/$p", targetFileMB, clusterBy)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         throw new PartialCompactionException(done.toMap, p, e)
       }
     }

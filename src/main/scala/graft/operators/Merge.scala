@@ -26,9 +26,26 @@ object Merge {
     * join is a single hash exchange per side on `keys` — no window, no
     * row_number, no driver collect; AQE turns it into a broadcast anti join
     * whenever the changeset is small, which is the common daily-delta case.
+    *
+    * MERGE semantics assume the changeset has at most one row per key — a
+    * duplicate-keyed source would leave multiple rows for that key in the
+    * maintained snapshot. Callers who can't guarantee that upstream (e.g.
+    * a raw change log instead of a compacted delta) should pass
+    * `checkUniqueSourceKeys = true`: it runs one extra aggregation job over
+    * the (small) source and fails fast on the first duplicated key. Off by
+    * default so the common pre-deduped path stays a single lazy plan.
     */
-  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+             checkUniqueSourceKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    if (checkUniqueSourceKeys) {
+      val dup = source.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert source has multiple rows for key " +
+          s"(${keys.mkString(",")}) = (${dup.head.toSeq.init.mkString(",")}); " +
+          "MERGE needs a changeset with at most one row per key")
+    }
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"schema mismatch: target ${target.columns.mkString(",")} vs " +
         s"source ${source.columns.mkString(",")}")

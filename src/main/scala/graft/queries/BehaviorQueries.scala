@@ -285,9 +285,9 @@ object BehaviorQueries {
       * reads the original parquet — format fidelity is the assertion.
       */
     "s_orc_roundtrip" -> ((s, dir) => {
-      // stable per-query path + overwrite: repeated verify/smoke runs
-      // reuse one directory instead of leaking a fresh tempdir per call
-      val out = s"${sys.props("java.io.tmpdir")}/graft_vrfy/supplier.orc"
+      // per-JVM path (+ overwrite): repeated verify/smoke runs in one JVM
+      // reuse one directory; concurrent JVMs never collide
+      val out = graft.io.Scratch.dir(s, "supplier.orc")
       graft.io.Formats.write(Tables.load(s, dir, "supplier"), out)
       graft.io.Formats.read(s, out).orderBy("s_suppkey")
     })

@@ -144,8 +144,8 @@ object MaintenanceQueries {
       * rewrite of the old files.
       */
     "s_schema_evolution" -> ((s, dir) => {
-      // stable path + overwrite (no per-call tempdir leak)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_vrfy/evolving"
+      // per-JVM path (+ overwrite): stable within a run, disjoint across runs
+      val out = graft.io.Scratch.dir(s, "evolving")
       val d = docs(s, dir)
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$out/b1")
@@ -159,8 +159,8 @@ object MaintenanceQueries {
       * scanned (PartitionFilters at planning time, zero I/O elsewhere).
       */
     "s_partition_prune" -> ((s, dir) => {
-      // stable path + overwrite (no per-call tempdir leak)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_vrfy/docs_by_lang"
+      // per-JVM path (+ overwrite): stable within a run, disjoint across runs
+      val out = graft.io.Scratch.dir(s, "docs_by_lang")
       graft.io.Formats.writePartitioned(
         docs(s, dir).select("doc_id", "lang", "n_chars"), out, Seq("lang"))
       s.read.parquet(out).filter(col("lang") === "zh")

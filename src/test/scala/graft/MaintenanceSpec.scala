@@ -24,6 +24,16 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Merge.upsert(target, target, Nil) }
   }
 
+  test("upsert opt-in check rejects duplicate-keyed changesets") {
+    val dupSrc = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(target, dupSrc, Seq("k"), checkUniqueSourceKeys = true)
+    }
+    assert(e.getMessage.contains("at most one row per key"))
+    // without the flag the join keeps both rows — caller's contract
+    assert(Merge.upsert(target, dupSrc, Seq("k")).count() === 4)
+  }
+
   test("upsert rejects same-name type mismatches instead of coercing") {
     // same column names, v is a string — unionByName would silently turn
     // the snapshot's double column into string without the type require.
