@@ -85,11 +85,70 @@ object Behavior {
     */
   def resampleHourly(events: DataFrame, keyCol: String, tsCol: String,
                      valCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy("__hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlyGrid(events, keyCol, tsCol, valCol)
+      .select(col("__k").as(keyCol),
+        date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("__c"), lit(0L)).as("n_events"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_ffill"))
+      .orderBy(keyCol, "hour")
+  }
+
+  /** Hourly resample with *linear interpolation* across gaps (pandas
+    * `resample().interpolate()`): a missing hour gets the straight-line
+    * value between its nearest observed neighbours; hours outside the
+    * key's observed span stay null (no extrapolation).
+    *
+    * Same dense-grid shape as [[resampleHourly]]; the fill needs two
+    * frames over one (key, hour) ordering — previous and next observed
+    * (value, hour) via ignore-nulls last/first — so both windows reuse a
+    * single exchange + sort. The interpolation itself is one closed-form
+    * IEEE expression over already-rounded hourly values (the a7_corr
+    * discipline): identical operation order on any engine.
+    */
+  def resampleHourlyInterp(events: DataFrame, keyCol: String, tsCol: String,
+                           valCol: String): DataFrame = {
+    val ord = Window.partitionBy("__k").orderBy("__hr")
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // epoch hour index: the grid is hour-truncated, so micros divide evenly
+    val obsHr = when(col("__v").isNotNull, col("__hr"))
+    val h = expr("unix_micros(__hr) div 3600000000")
+    val ph = expr("unix_micros(__ph) div 3600000000")
+    val nh = expr("unix_micros(__nh) div 3600000000")
+    hourlyGrid(events, keyCol, tsCol, valCol)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(prevW))
+      .withColumn("__ph", last(obsHr, ignoreNulls = true).over(prevW))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(nextW))
+      .withColumn("__nh", first(obsHr, ignoreNulls = true).over(nextW))
+      .select(col("__k").as(keyCol),
+        date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("__c"), lit(0L)).as("n_events"),
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            round(col("__pv") + (col("__nv") - col("__pv")) *
+              ((h - ph).cast("double") / (nh - ph).cast("double")), 6))
+          .as("value_interp"))
+      .orderBy(keyCol, "hour")
+  }
+
+  /** Shared dense-grid skeleton: hourly (count, rounded decimal value sum)
+    * per key, left-joined onto the key × [global min hour, global max hour]
+    * grid. Columns: (__k, __hr, __c, __v) with __c/__v null on gap hours.
+    *
+    * One hash aggregate to hourly buckets (tiny — bounded by keys × hours,
+    * not by raw events), a broadcast of the 1-row global bounds, and
+    * `sequence`+`explode` to build the grid without a driver loop; the raw
+    * event table is only ever touched by the first aggregate.
+    */
+  private def hourlyGrid(events: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String): DataFrame = {
     val hourly = events
       .groupBy(col(keyCol).as("__k"), date_trunc("hour", col(tsCol)).as("__hr"))
       .agg(count(lit(1)).as("__c"),
         // decimal sum → order-independent; round once here so the
-        // forward-fill below carries already-stable values.
+        // fill above carries already-stable values.
         round(sum(col(valCol).cast("decimal(18,4)")).cast("double"), 6)
           .as("__v"))
     val bounds = hourly.agg(min("__hr").as("__mn"), max("__hr").as("__mx"))
@@ -98,13 +157,6 @@ object Behavior {
       .select(col("__k"),
         explode(sequence(col("__mn"), col("__mx"), expr("interval 1 hour")))
           .as("__hr"))
-    val w = Window.partitionBy("__k").orderBy("__hr")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("__k", "__hr"), "left")
-      .select(col("__k").as(keyCol),
-        date_format(col("__hr"), "yyyy-MM-dd HH:00").as("hour"),
-        coalesce(col("__c"), lit(0L)).as("n_events"),
-        last(col("__v"), ignoreNulls = true).over(w).as("value_ffill"))
-      .orderBy(keyCol, "hour")
   }
 }

@@ -96,6 +96,29 @@ object Dedup {
       .select("id_i", "id_j", "jaccard")
   }
 
+  /** Shingle *containment* join: pairs (i<j) with
+    * |S_i ∩ S_j| / min(|S_i|, |S_j|) >= threshold — the doc-inside-doc
+    * detector (a short quote fully contained in a long article scores 1.0
+    * here but near 0 on Jaccard). Same inverted-index shape as
+    * [[shingleJaccardPairs]]: explode once, self-join on the shingle,
+    * count intersections per pair; only (shingle, id) pairs are ever
+    * shuffled. Output: (id_i, id_j, containment).
+    */
+  def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("s"), col("id").as("id_i"), col("n_sh").as("n_i"))
+    val b = inv.select(col("s"), col("id").as("id_j"), col("n_sh").as("n_j"))
+    a.join(b, Seq("s")).filter(col("id_i") < col("id_j"))
+      .groupBy("id_i", "id_j", "n_i", "n_j")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_i"), col("n_j")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_i", "id_j", "containment")
+  }
+
   /** MinHash signature as an array column: sig[k] = min over shingles of
     * xxhash64(k, shingle). Computed entirely as nested array expressions —
     * per-row, no shuffle, no UDF.

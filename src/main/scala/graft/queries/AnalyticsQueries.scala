@@ -335,6 +335,81 @@ object AnalyticsQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    /** Weighted percentiles (median, p90) of price weighted by quantity —
+      * the "what price does the median *unit* ship at" question plain
+      * percentile can't answer. Cumulative weights are exact decimal
+      * window sums compared as integer multiples (2·cw ≥ tw), so the
+      * crossing value is bit-deterministic under any tie order: a row
+      * can only qualify if the total weight at-or-below its price has
+      * crossed the target, which is independent of ordering within ties
+      * (min over qualifying rows then picks the crossing price itself).
+      * One exchange on the group key serves both windows and the final
+      * aggregate.
+      */
+    "a12_weighted_percentile" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("decimal(18,2)").as("__w"))
+      val grp = Window.partitionBy("l_returnflag")
+      val cum = grp.orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("__cw", sum("__w").over(cum))
+        .withColumn("__tw",
+          sum("__w").over(grp.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("__cw") * 2 >= col("__tw"), col("l_extendedprice")))
+            .as("w_median"),
+          min(when(col("__cw") * 10 >= col("__tw") * 9, col("l_extendedprice")))
+            .as("w_p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Per-group mode (most frequent quantity, lowest-value tiebreak):
+      * count per (group, value) — one hash aggregate — then a row_number
+      * over the tiny per-group count relation; the raw table is touched
+      * once.
+      */
+    "a13_mode" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    /** TPC-H Q3 (shipping priority), adapted to this schema: revenue of
+      * orders placed before / not yet shipped by a date, for one market
+      * segment, top 10. The classic fact-fact shape: customer is a
+      * broadcast dim filter, lineitem ⋈ orders shuffles once on the order
+      * key with both date filters pushed to the scans, and the top-10 is a
+      * partial TakeOrdered — no global sort of the aggregate.
+      */
+    "q3_shipping" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -517,5 +592,40 @@ object AnalyticsQueries {
         |    OVER (PARTITION BY l_suppkey
         |          ORDER BY l_shipdate, l_orderkey, l_linenumber
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "a12_weighted_percentile" ->
+      """WITH w AS (SELECT l_returnflag, l_extendedprice,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cw * 2 >= tw THEN l_extendedprice END) AS w_median,
+        |  min(CASE WHEN cw * 10 >= tw * 9 THEN l_extendedprice END) AS w_p90
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a13_mode" ->
+      """SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                           ORDER BY count(*) DESC, l_quantity ASC) = 1
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))
+        |    as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
 }

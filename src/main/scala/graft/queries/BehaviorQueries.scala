@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.io.Bucketing
 import graft.operators.{Behavior, Merge, SkewJoin}
+import graft.streaming.EventStreams
 
 /** Event-sequence analytics (funnel, retention), SCD2 dimension history,
   * the salted skew join, and the ORC scan/sink — beyond-parity pipeline
@@ -171,6 +172,25 @@ object BehaviorQueries {
           col("open"), col("high"), col("low"), col("close"), col("n"))
         .orderBy("event_type", "hour")
     }),
+
+    /** The same hourly OHLC bars as a REAL streaming query (AvailableNow
+      * over the events directory): open/close become min_by/max_by state
+      * the stream maintains incrementally — window frames don't run on
+      * streams. The oracle is e_ohlc's: batch/stream parity is the
+      * assertion.
+      */
+    "st_ohlc" -> ((s, dir) =>
+      EventStreams.runAvailableNow(s, s"$dir/events.parquet",
+        EventStreams.ohlcBars(_, "1 hour"), "st_ohlc")
+        .orderBy("event_type", "hour")),
+
+    /** Hourly resample with linear interpolation across gaps — the
+      * model-input-grid companion to e_gapfill's forward fill; hours
+      * outside a key's observed span stay null (no extrapolation).
+      */
+    "e_interp" -> ((s, dir) =>
+      Behavior.resampleHourlyInterp(events(s, dir), "event_type", "ts",
+        "value")),
 
     /** Trailing-1-hour sliding window per event: RANGE frame over the
       * event-time axis (not row counts), the time-decayed-metrics shape.
@@ -419,21 +439,42 @@ object BehaviorQueries {
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
-    "e_ohlc" ->
-      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-        |             date_trunc('microseconds', ts) AS ts, event_id, value
-        |           FROM events),
-        |w AS (SELECT event_type, hr, value,
-        |  first_value(value) OVER f AS o, last_value(value) OVER f AS c
-        |  FROM e
-        |  WINDOW f AS (PARTITION BY event_type, hr
-        |    ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
-        |  max(o) AS open, max(value) AS high, min(value) AS low,
-        |  max(c) AS close, count(*) AS n
-        |FROM w GROUP BY event_type, hr
-        |ORDER BY event_type, hour""".stripMargin,
+    "e_ohlc" -> ohlcOracle,
+    // batch/stream parity: the streaming bars must equal the batch bars
+    "st_ohlc" -> ohlcOracle,
+
+    "e_interp" ->
+      """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hr,
+        |    count(*) AS c,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+        |grid AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |           AS hr
+        |         FROM (SELECT DISTINCT k FROM h) CROSS JOIN b),
+        |j AS (SELECT g.k, g.hr, h.c, h.v,
+        |  last_value(h.v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  first_value(h.v IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN h.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+        |    OVER wn AS nh
+        |  FROM grid g LEFT JOIN h ON g.k = h.k AND g.hr = h.hr
+        |  WINDOW wp AS (PARTITION BY g.k ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY g.k ORDER BY g.hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT k AS event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  coalesce(c, 0) AS n_events,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         round(pv + (nv - pv) *
+        |           (CAST(epoch_us(hr) // 3600000000 - epoch_us(ph) // 3600000000
+        |              AS DOUBLE) /
+        |            CAST(epoch_us(nh) // 3600000000 - epoch_us(ph) // 3600000000
+        |              AS DOUBLE)), 6)
+        |  END AS value_interp
+        |FROM j ORDER BY event_type, hour""".stripMargin,
 
     "w_sliding" ->
       """WITH e AS (SELECT event_id, event_type,
@@ -480,4 +521,23 @@ object BehaviorQueries {
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
         "ORDER BY s_suppkey")
   )
+
+  /** Single-copy OHLC oracle — e_ohlc (batch windows) and st_ohlc (streaming
+    * min_by/max_by state) must both equal it.
+    */
+  private lazy val ohlcOracle: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |             date_trunc('microseconds', ts) AS ts, event_id, value
+      |           FROM events),
+      |w AS (SELECT event_type, hr, value,
+      |  first_value(value) OVER f AS o, last_value(value) OVER f AS c
+      |  FROM e
+      |  WINDOW f AS (PARTITION BY event_type, hr
+      |    ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+      |  max(o) AS open, max(value) AS high, min(value) AS low,
+      |  max(c) AS close, count(*) AS n
+      |FROM w GROUP BY event_type, hr
+      |ORDER BY event_type, hour""".stripMargin
 }

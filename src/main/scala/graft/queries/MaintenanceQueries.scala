@@ -165,6 +165,21 @@ object MaintenanceQueries {
         docs(s, dir).select("doc_id", "lang", "n_chars"), out, Seq("lang"))
       s.read.parquet(out).filter(col("lang") === "zh")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    /** Small-files compaction as a checked lifecycle: fragment the corpus
+      * into 16 tiny part files, compact to ~1 range-clustered file, read
+      * back — the oracle is the identity (a rewrite that loses or dups a
+      * row fails the hash). File-count/clustering invariants live in
+      * CompactionSpec; this query pins data fidelity through the swap.
+      */
+    "o_compact" -> ((s, dir) => {
+      val out = graft.io.Scratch.dir(s, "docs_compact")
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .repartition(16).write.mode("overwrite").parquet(out)
+      graft.io.Compaction.compact(s, out, targetFileMB = 512,
+        clusterBy = Seq("doc_id"))
+      s.read.parquet(out).orderBy("doc_id")
     })
   )
 
@@ -258,6 +273,12 @@ object MaintenanceQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // identity through fragment → compact → read-back: any lost/duplicated
+    // row fails the hash
+    "o_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{CorpusSignals, Dedup, Multimodal, Similarity}
+import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline query surface: text analysis, dedup, similarity
@@ -168,6 +168,43 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** Shingle containment (|∩| / min set size) — catches a short doc
+      * embedded inside a longer one, which Jaccard under-scores; same
+      * inverted-index join as d_ngram_jaccard.
+      */
+    "t_containment" -> ((s, dir) =>
+      Dedup.shingleContainmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+        .orderBy("doc_i", "doc_j")),
+
+    /** TF-IDF top-3 terms per document, ranked on the rounded score so
+      * tie-breaks are well-defined cross-engine. Three hash aggregates
+      * over the exploded tokens (tf, doc length, df) + one broadcast
+      * 1-row doc count; the corpus is exploded exactly once.
+      */
+    "t_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = tf.select("doc_id").distinct()
+        .agg(count(lit(1)).as("nd"))
+      val scored = tf.join(dl, "doc_id").join(dfq, "term")
+        .crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round((col("c").cast("double") / col("len").cast("double")) *
+            log(col("nd").cast("double") / col("df").cast("double")), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    }),
+
     // numHashes=128/bands=64 (r=2) so the analytic band-miss probability for
     // a pair at the j=0.4 threshold is (1-0.4^2)^64 ≈ 1.4e-5 — the
     // brute-force Jaccard oracle is then valid without assuming luck; the
@@ -328,6 +365,29 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    /** Deterministic k-means over the embeddings: nearest-centroid
+      * assignment by cosine against the min-id-seeded centroid set. The
+      * centroid set is 8 rows — broadcast, so assignment is a map-only
+      * pass (no shuffle of the vectors).
+      */
+    "v_kmeans_assign" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Clustering.assign(e, "vec_id", "embedding",
+          Clustering.seedCentroids(e, "vec_id", "embedding", k = 8))
+        .orderBy("id")
+    }),
+
+    /** One Lloyd update on top of the assignment: element-wise centroid
+      * means in long form (centroid, dim, mean, members), via the
+      * ordered-fold exact sum.
+      */
+    "v_kmeans_step" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Clustering.step(e, "vec_id", "embedding",
+          Clustering.seedCentroids(e, "vec_id", "embedding", k = 8))
+        .orderBy("centroid_id", "dim")
+    }),
+
     // ---- similarity search ------------------------------------------------
     "v_ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0L),
@@ -484,6 +544,27 @@ object PipelineQueries {
     "st_sessionize" -> ((s, dir) =>
       EventStreams.sessionize(Tables.loadEvents(s, dir), "30 minutes")
         .orderBy("user_id", "sess_start")),
+
+    /** Session-level summary built ON the sessionization output (one more
+      * tiny aggregate over the per-session relation, never the raw
+      * events): session count, mean events per session, and exact duration
+      * percentiles. Durations come from the second-truncated session
+      * bounds the sessionize surface itself exposes, so stats and sessions
+      * can never disagree.
+      */
+    "e_session_stats" -> ((s, dir) => {
+      val sess = EventStreams.sessionize(Tables.loadEvents(s, dir),
+          "30 minutes")
+        .select(col("n_events"),
+          (unix_timestamp(col("sess_end")) - unix_timestamp(col("sess_start")))
+            .as("__dur"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        round(sum("n_events").cast("double") / count(lit(1)), 6)
+          .as("avg_events"),
+        max("n_events").as("max_events"),
+        round(expr("percentile(__dur, 0.5)"), 4).as("p50_dur_sec"),
+        round(expr("percentile(__dur, 0.9)"), 4).as("p90_dur_sec"))
+    }),
 
     /** Exact dedup as a real streaming query: fingerprints stream through
       * dropDuplicates state, append output — the incremental form of
@@ -854,18 +935,95 @@ object PipelineQueries {
         |ORDER BY p.event_id, c.click_id""".stripMargin,
 
     "st_sessionize" ->
-      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS uts, value FROM events),
-        |l AS (SELECT *, lag(uts) OVER (PARTITION BY user_id ORDER BY uts) AS prev FROM e),
-        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR uts - prev >= INTERVAL 30 MINUTE
-        |                         THEN 1 ELSE 0 END)
-        |        OVER (PARTITION BY user_id ORDER BY uts
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM l)
-        |SELECT strftime(min(uts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-        |  strftime(max(uts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
-        |  user_id, count(*) AS n_events,
-        |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)
+      s"""WITH $sessionCtes
+         |SELECT strftime(min(uts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+         |  strftime(max(uts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+         |  user_id, count(*) AS n_events,
+         |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "e_session_stats" ->
+      s"""WITH $sessionCtes,
+         |sess AS (SELECT user_id, sid, count(*) AS n_events,
+         |  CAST(epoch(date_trunc('second', min(uts))) AS BIGINT) AS st,
+         |  CAST(epoch(date_trunc('second', max(uts) + INTERVAL 30 MINUTE))
+         |    AS BIGINT) AS en
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT count(*) AS n_sessions,
+         |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+         |  max(n_events) AS max_events,
+         |  round(quantile_cont(en - st, 0.5), 4) AS p50_dur_sec,
+         |  round(quantile_cont(en - st, 0.9), 4) AS p90_dur_sec
+         |FROM sess""".stripMargin,
+
+    "v_kmeans_assign" ->
+      s"""WITH $kmeansAssignCtes
+         |SELECT vec_id AS id, cid AS centroid_id, sim FROM p
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, cid ASC) = 1
+         |ORDER BY id""".stripMargin,
+
+    "v_kmeans_step" ->
+      s"""WITH $kmeansAssignCtes,
+         |a AS (SELECT vec_id, v, cid FROM p
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY sim DESC, cid ASC) = 1),
+         |x AS (SELECT cid, i - 1 AS dim, vec_id, v[i] AS xv
+         |  FROM a, LATERAL unnest(generate_series(1, len(v))) AS t(i))
+         |SELECT cid AS centroid_id, CAST(dim AS INT) AS dim,
+         |  round(list_reduce(list_prepend(0.0, list(xv ORDER BY vec_id)),
+         |    (acc, b) -> acc + b) / count(*), 6) AS mean_val,
+         |  count(*) AS n_members
+         |FROM x GROUP BY cid, dim ORDER BY centroid_id, dim""".stripMargin,
+
+    "t_containment" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    least(len(a.sh), len(b.sh))::DOUBLE AS containment
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT doc_i, doc_j, containment FROM p WHERE containment >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    "t_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, sum(c) AS len FROM tf GROUP BY doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+         |scored AS (SELECT tf.doc_id, tf.term,
+         |  round((CAST(c AS DOUBLE) / CAST(len AS DOUBLE)) *
+         |    ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd)
+         |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
+         |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin)
+
+  /** Shared gap-30-min session reconstruction CTEs (relation `s` carries
+    * user_id, µs-truncated uts, value, session id `sid`) — st_sessionize
+    * and e_session_stats build on the same text.
+    */
+  private lazy val sessionCtes: String =
+    """e AS (SELECT user_id, date_trunc('microseconds', ts) AS uts, value FROM events),
+      |l AS (SELECT *, lag(uts) OVER (PARTITION BY user_id ORDER BY uts) AS prev FROM e),
+      |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR uts - prev >= INTERVAL 30 MINUTE
+      |                         THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY uts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM l)""".stripMargin
+
+  /** Shared k-means CTEs: min-id-seeded centroids and the per-(vector,
+    * centroid) rounded cosine relation `p(vec_id, v, cid, sim)` —
+    * v_kmeans_assign and v_kmeans_step rank the same text.
+    */
+  private lazy val kmeansAssignCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |p AS (SELECT e.vec_id, e.v, c.cid,
+      |        round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+      |      FROM e CROSS JOIN c)""".stripMargin
 
   /** Per-doc quality components (no ORDER BY — composable as a subquery). */
   private lazy val qualityOracle: String =

@@ -28,6 +28,29 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hourly OHLC bars as a pure streaming aggregation: open/close are
+    * `min_by`/`max_by` on the (ts, event_id) event-time order — declarative
+    * aggregates a streaming state store can maintain incrementally, unlike
+    * the batch path's first/last window frames (window functions don't run
+    * on streams). The unique event_id tiebreak makes open/close
+    * deterministic even under identical timestamps, so batch and stream
+    * agree bit-for-bit with [[graft.queries.BehaviorQueries]]'s e_ohlc.
+    * Works on batch or streaming input unchanged.
+    */
+  def ohlcBars(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Sessionization-flavored stateful shape without custom state: per-user
     * windowed activity (counts per user per window) — the aggregation whose
     * state the watermark is actually bounding at scale.

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Behavior, Clustering, Dedup}
+import graft.streaming.EventStreams
+
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+
+  test("assign: exactly one centroid per vector, sims bounded, ids from the seed set") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
+    val a = Clustering.assign(embs, "vec_id", "embedding", cent).cache()
+    val n = embs.count()
+    assert(a.count() == n)
+    assert(a.select("id").distinct().count() == n)
+    assert(a.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    val cids = cent.collect().map(_.getLong(0)).toSet
+    val used = a.select("centroid_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(used.subsetOf(cids))
+  }
+
+  test("assign: a centroid vector is assigned to itself") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
+    val cids = cent.collect().map(_.getLong(0)).toSeq
+    val a = Clustering.assign(embs, "vec_id", "embedding", cent)
+    assert(a.filter(col("id").isin(cids: _*))
+      .filter(col("id") =!= col("centroid_id")).count() == 0)
+  }
+
+  test("step: every non-empty cluster reports all dims and members partition the set") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
+    val st = Clustering.step(embs, "vec_id", "embedding", cent).cache()
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    st.groupBy("centroid_id").agg(countDistinct("dim").as("d")).collect()
+      .foreach(r => assert(r.getLong(1) == dim,
+        s"centroid ${r.get(0)} covers ${r.getLong(1)}/$dim dims"))
+    val tot = st.filter(col("dim") === 0)
+      .agg(sum("n_members")).head().getLong(0)
+    assert(tot == embs.count())
+  }
+
+  test("step: each mean lies within the global per-dim value range") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
+    val st = Clustering.step(embs, "vec_id", "embedding", cent)
+    val bounds = embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+    val bad = st.join(bounds, "dim")
+      .filter(col("mean_val") < col("lo") - 1e-6 ||
+        col("mean_val") > col("hi") + 1e-6)
+    assert(bad.count() == 0)
+  }
+}
+
+class Round4OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment: a doc fully inside another scores 1.0 where jaccard would miss it") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.shingleContainmentPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(cont.head.getDouble(2) == 1.0)
+    // the jaccard join at a matching bar would not surface the pair:
+    // 3 shared shingles of 8 in the long doc → j = 3/8 < 0.9
+    val jac = Dedup.shingleJaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+
+  test("weighted median: at least half the total weight sits at or below it") {
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .groupBy(_.getString(0))
+    val out = graft.queries.AnalyticsQueries
+      .queries("a12_weighted_percentile")(spark, sf).collect()
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val wm = r.getDouble(1)
+      val grp = rows(flag)
+      val tot = grp.map(_.getDouble(2)).sum
+      val atOrBelow = grp.filter(_.getDouble(1) <= wm).map(_.getDouble(2)).sum
+      val strictlyBelow = grp.filter(_.getDouble(1) < wm).map(_.getDouble(2)).sum
+      assert(2 * atOrBelow >= tot, s"$flag: median too low")
+      assert(2 * strictlyBelow < tot, s"$flag: median too high")
+    }
+  }
+
+  test("ohlcBars on a batch input equals the window-frame OHLC bars") {
+    val stream = EventStreams.ohlcBars(Tables.loadEvents(spark, sf), "1 hour")
+      .orderBy("event_type", "hour").collect().toSeq
+    val batch = graft.queries.BehaviorQueries.queries("e_ohlc")(spark, sf)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("resampleHourlyInterp: observed hours keep their value, gaps stay between neighbours") {
+    val ev = Tables.loadEvents(spark, sf)
+    val interp = Behavior.resampleHourlyInterp(ev, "event_type", "ts", "value")
+    val ffill = Behavior.resampleHourly(ev, "event_type", "ts", "value")
+      .drop("n_events")
+    val j = interp.join(ffill, Seq("event_type", "hour")).cache()
+    // on observed hours the two fills agree exactly (both are the rounded
+    // hourly decimal sum)
+    assert(j.filter(col("n_events") > 0 &&
+      (col("value_interp") =!= col("value_ffill"))).count() == 0)
+    // a gap hour with a defined interp lies within the key's observed range
+    val bounds = interp.filter(col("n_events") > 0)
+      .groupBy("event_type")
+      .agg(min("value_interp").as("lo"), max("value_interp").as("hi"))
+    val bad = interp.filter(col("n_events") === 0 &&
+        col("value_interp").isNotNull)
+      .join(bounds, "event_type")
+      .filter(col("value_interp") < col("lo") - 1e-6 ||
+        col("value_interp") > col("hi") + 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("resampleHourlyInterp: a synthetic two-point gap interpolates linearly") {
+    val e = Seq(
+      ("k", 0L, 10.0),
+      ("k", 3L * 3600000L, 40.0)) // observed at hour 0 and hour 3
+      .toDF("k", "t_ms", "value")
+      .select(col("k"), timestamp_millis(col("t_ms")).as("ts"), col("value"))
+    val got = Behavior.resampleHourlyInterp(e, "k", "ts", "value")
+      .select("hour", "n_events", "value_interp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      ("1970-01-01 00:00", 1L, 10.0),
+      ("1970-01-01 01:00", 0L, 20.0),
+      ("1970-01-01 02:00", 0L, 30.0),
+      ("1970-01-01 03:00", 1L, 40.0)))
+  }
+}
