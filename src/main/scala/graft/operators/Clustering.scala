@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic k-means building blocks over `array<float>` embedding
@@ -16,12 +15,15 @@ import org.apache.spark.sql.functions._
   * sequential-fold cosine rounded to 6 decimals with the centroid id as
   * tiebreak, so assignment is bit-stable under any partitioning.
   *
-  * Scale shape: the centroid set is k rows — always broadcast, so
-  * [[assign]] is a map-only pass over the vectors (no shuffle, no
-  * candidate join). [[step]] shuffles (centroid, dim) partial rows, never
-  * whole vectors; its exact ordered-fold mean is the oracle-matched form —
-  * at 100 TB you would relax it to decimal partial sums (order-free,
-  * mergeable) at the cost of bit-parity with a sequential oracle.
+  * Scale shape: the centroid set is k rows, collected once and compiled
+  * into the plan as literal vectors — [[assign]] is then a map-only
+  * projection (scan → argmax-over-k-expressions), no join, no shuffle, no
+  * window. That is the right shape for k up to a few thousand; beyond
+  * that, swap in a broadcast-join + `max_by` aggregation. [[step]] reuses
+  * the same projection and shuffles only (centroid, dim, value) partials;
+  * its exact ordered-fold mean is the oracle-matched form — at 100 TB you
+  * would relax it to decimal partial sums (order-free, mergeable) at the
+  * cost of bit-parity with a sequential oracle.
   */
 object Clustering {
 
@@ -35,44 +37,54 @@ object Clustering {
       .orderBy("centroid_id").limit(k)
   }
 
-  /** Nearest-centroid assignment by cosine similarity: one broadcast
-    * cross join (k rows per vector, map-side) and a per-vector argmax via
-    * a window over the tiny k-row groups. Output: (id, centroid_id, sim),
-    * one row per input vector.
+  /** `(sim, -centroid_id)` struct of the winning centroid for `vecCol`:
+    * array_max over one codegen'd cosine expression per centroid — struct
+    * ordering compares sim first, then the negated id, so ties go to the
+    * smallest centroid id. Collecting the k-row centroid set to the driver
+    * is the vector twin of [[Similarity.vectorLit]]'s broadcast-as-literal
+    * query vector.
+    */
+  private def best(df: DataFrame, vecCol: String, centroids: DataFrame,
+                   roundTo: Int): Column = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val cents = centroids.collect().map { r =>
+      (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq)
+    }
+    require(cents.nonEmpty, "empty centroid set")
+    array_max(array(cents.map { case (cid, v) =>
+      struct(
+        round(call_function(graft.functions.VectorExpressions.COSINE_FN,
+          col(vecCol), Similarity.vectorLit(v)), roundTo).as("sim"),
+        lit(-cid).as("negcid"))
+    }: _*))
+  }
+
+  /** Nearest-centroid assignment by cosine similarity, as a map-only pass
+    * over the vectors. Output: (id, centroid_id, sim), one row per input
+    * vector.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, roundTo: Int = 6): DataFrame = {
-    graft.functions.VectorExpressions.register(df.sparkSession)
-    val sim = round(call_function(graft.functions.VectorExpressions.COSINE_FN,
-      col(vecCol), col("centroid")), roundTo)
-    val best = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .select(col(idCol).as("id"), col("centroid_id"), sim.as("sim"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("sim").desc,
-          col("centroid_id").asc)))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+             centroids: DataFrame, roundTo: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"),
+        best(df, vecCol, centroids, roundTo).as("__b"))
+      .select(col("id"), (-col("__b.negcid")).as("centroid_id"),
+        col("__b.sim").as("sim"))
 
   /** One Lloyd update: the element-wise mean of each centroid's assigned
     * vectors. Output: (centroid_id, dim, mean_val, n_members) — long form
     * so the result is a plain relation (and oracle-comparable).
     *
-    * The per-dimension sum is a sequential left-fold in assignment-id
-    * order (sort_array of (id, x) structs → aggregate), matching the
-    * DuckDB `list(x ORDER BY id)` fold bit-for-bit. Rows entering the
-    * aggregate are (centroid, dim) pairs — k·dim groups, each holding one
-    * double per member vector.
+    * Assignment is inlined into the same projection (no self-join), so the
+    * only exchange is the (centroid, dim) hash aggregate. The
+    * per-dimension sum is a sequential left-fold in assignment-id order
+    * (sort_array of (id, x) structs → aggregate), matching the DuckDB
+    * `list(x ORDER BY id)` fold bit-for-bit.
     */
   def step(df: DataFrame, idCol: String, vecCol: String,
-           centroids: DataFrame, roundTo: Int = 6): DataFrame = {
-    val assigned = assign(df, idCol, vecCol, centroids, roundTo)
-      .select(col("id"), col("centroid_id"))
-    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .join(assigned, "id")
-      .select(col("id"), col("centroid_id"),
-        posexplode(col("__v")).as(Seq("dim", "__x")))
+           centroids: DataFrame, roundTo: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"),
+        (-best(df, vecCol, centroids, roundTo)("negcid")).as("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(
         aggregate(
@@ -83,5 +95,4 @@ object Clustering {
       .select(col("centroid_id"), col("dim"),
         round(col("__sum") / col("n_members"), roundTo).as("mean_val"),
         col("n_members"))
-  }
 }
