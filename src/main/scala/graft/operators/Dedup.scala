@@ -119,6 +119,68 @@ object Dedup {
       .select("id_i", "id_j", "containment")
   }
 
+  /** LSH parameter-sweep report: for each band count in `bandCounts`
+    * (rows per band r = numHashes / b), the candidate-pair volume the
+    * banding would produce, how many of those candidates are true pairs
+    * (jaccard >= threshold), and the resulting precision/recall against
+    * the exact join — the calibration table an engineer reads before
+    * picking (b, r) for a 100 TB dedup run, computed in-engine on a
+    * sample. Output one row per config:
+    * (bands, rows_per_band, n_candidates, n_true_candidates,
+    * n_exact_pairs, prec, recall).
+    *
+    * Uses the md5-derived minhash family (not xxhash64) so every stage —
+    * signatures, band keys, candidate set — is reproducible in SQL and
+    * the whole report is oracle-checkable; the production path stays
+    * [[minhashLshPairs]]. Signatures and the exact pair set are pinned
+    * once (localCheckpoint) and reused across configs, so this runs
+    * jobs eagerly at build time like the other report queries.
+    */
+  def lshParameterSweep(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.4,
+                        numHashes: Int = 32,
+                        bandCounts: Seq[Int] = Seq(16, 8, 4)): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b =>
+      b > 0 && numHashes % b == 0),
+      s"every band count must divide numHashes=$numHashes")
+    val md5l = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sigs = shingleSets(df, idCol, textCol, n)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("sh"),
+            s => md5l(concat(k.cast("string"), lit(":"), s))))).as("sig"))
+      .localCheckpoint()
+    val exact = shingleJaccardPairs(df, idCol, textCol, n, threshold)
+      .select("id_i", "id_j").localCheckpoint()
+    val nExact = exact.count()
+    val stats = bandCounts.map { b =>
+      val r = numHashes / b
+      val keys = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => md5(array_join(
+            transform(slice(col("sig"), i * r + 1, lit(r)),
+              x => x.cast("string")), ",")))).as(Seq("band", "key")))
+      val cands = keys.as("a").join(keys.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_i"), col("b.id").as("id_j"))
+        .distinct().localCheckpoint()
+      (b, r, cands.count(),
+        cands.join(exact, Seq("id_i", "id_j"), "left_semi").count())
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    stats.toDF("bands", "rows_per_band", "n_candidates", "n_true_candidates")
+      .withColumn("n_exact_pairs", lit(nExact))
+      .withColumn("prec", when(col("n_candidates") === 0, lit(null))
+        .otherwise(round(col("n_true_candidates").cast("double") /
+          col("n_candidates"), 6)))
+      .withColumn("recall", when(lit(nExact) === 0, lit(null))
+        .otherwise(round(col("n_true_candidates").cast("double") / nExact, 6)))
+      .orderBy(col("bands").desc)
+  }
+
   /** MinHash signature as an array column: sig[k] = min over shingles of
     * xxhash64(k, shingle). Computed entirely as nested array expressions —
     * per-row, no shuffle, no UDF.

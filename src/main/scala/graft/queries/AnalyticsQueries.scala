@@ -410,6 +410,58 @@ object AnalyticsQueries {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    /** TPC-H Q5 (local-supplier volume), adapted: revenue per nation for
+      * orders in one region and year where the customer's and supplier's
+      * nations coincide. The deepest join in the suite — the only
+      * fact-sized exchange is lineitem ⋈ orders on the order key; the
+      * supplier equi-join (plus the same-nation residual condition),
+      * nation and region are all broadcast, and the year filter is pushed
+      * to the orders scan.
+      */
+    "q5_local" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    /** Week-over-week revenue growth per market segment: weekly decimal
+      * sums (tiny — segments × weeks), then one lag window over the
+      * aggregate, never the fact table.
+      */
+    "w_growth" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val weekly = orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          date_trunc("week", col("o_orderdate")).as("__wk"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"), count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("__wk")
+      weekly.withColumn("__prev", lag("revenue", 1).over(w))
+        .select(col("c_mktsegment"),
+          date_format(col("__wk"), "yyyy-MM-dd").as("week"),
+          col("revenue"), col("n_orders"),
+          round((col("revenue") - col("__prev")) / col("__prev"), 6)
+            .as("wow_growth"))
+        .orderBy("c_mktsegment", "week")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -627,5 +679,33 @@ object AnalyticsQueries {
         |  AND o_orderdate < TIMESTAMP '1998-06-01'
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))
+        |    as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "w_growth" ->
+      """WITH wk AS (SELECT c_mktsegment, date_trunc('week', o_orderdate) AS wk,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT c_mktsegment, strftime(wk, '%Y-%m-%d') AS week, revenue,
+        |  n_orders,
+        |  round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6)
+        |    AS wow_growth
+        |FROM wk
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY wk)
+        |ORDER BY c_mktsegment, week""".stripMargin)
 }

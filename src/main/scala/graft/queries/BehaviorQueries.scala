@@ -192,6 +192,30 @@ object BehaviorQueries {
       Behavior.resampleHourlyInterp(events(s, dir), "event_type", "ts",
         "value")),
 
+    /** Recency-based churn report: users bucketed by how long before the
+      * corpus's last event they were last seen (active ≤ 6h, lapsed ≤ 18h,
+      * else churned — bars sized to this event stream's cadence; a real
+      * product would use days). One per-user aggregate, a broadcast 1-row
+      * max, and a 3-row rollup — all integer-microsecond arithmetic, no
+      * calendar types in the comparison.
+      */
+    "e_churn" -> ((s, dir) => {
+      val hour = 3600000000L
+      val per = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("__last_us"),
+          count(lit(1)).as("__n"))
+      val mx = per.agg(max("__last_us").as("__mx"))
+      per.crossJoin(broadcast(mx))
+        .withColumn("status",
+          when(col("__mx") - col("__last_us") <= 6 * hour, "active")
+            .when(col("__mx") - col("__last_us") <= 18 * hour, "lapsed")
+            .otherwise("churned"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_users"), sum("__n").as("n_events"))
+        .orderBy("status")
+    }),
+
     /** Trailing-1-hour sliding window per event: RANGE frame over the
       * event-time axis (not row counts), the time-decayed-metrics shape.
       * One exchange on the type key; the frame slides per partition.
@@ -442,6 +466,17 @@ object BehaviorQueries {
     "e_ohlc" -> ohlcOracle,
     // batch/stream parity: the streaming bars must equal the batch bars
     "st_ohlc" -> ohlcOracle,
+
+    "e_churn" ->
+      """WITH p AS (SELECT user_id,
+        |    max(epoch_us(date_trunc('microseconds', ts))) AS last_us,
+        |    count(*) AS n FROM events GROUP BY user_id),
+        |m AS (SELECT max(last_us) AS mx FROM p)
+        |SELECT CASE WHEN mx - last_us <= 21600000000 THEN 'active'
+        |            WHEN mx - last_us <= 64800000000 THEN 'lapsed'
+        |            ELSE 'churned' END AS status,
+        |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+        |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
 
     "e_interp" ->
       """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hr,

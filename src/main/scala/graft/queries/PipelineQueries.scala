@@ -215,6 +215,17 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** The LSH calibration table: candidate volume and precision/recall
+      * at three (bands, rows) settings of a 32-hash md5 minhash — the
+      * in-engine eval that picks dedup parameters before a full run.
+      * Eager (signatures and exact pairs are pinned once, then three
+      * candidate joins run at build time), like the other report queries.
+      */
+    "d_lsh_sweep" -> ((s, dir) =>
+      Dedup.lshParameterSweep(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 32,
+        bandCounts = Seq(16, 8, 4))),
+
     /** Two-phase fuzzy dedup: Jaccard candidates verified by levenshtein
       * on the normalized 60-char prefix — the DP runs per candidate pair,
       * never all-pairs.
@@ -713,6 +724,49 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    // full md5-minhash banding reproduced in SQL: signatures, band keys,
+    // candidate join, precision/recall — one row per (bands, rows) config
+    "d_lsh_sweep" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |s AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, 31), k ->
+         |    list_min(list_transform(sh, s2 ->
+         |      ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s2), 1, 15))::BIGINT)))
+         |    AS sig FROM s),
+         |exact AS (SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |    >= 0.4),
+         |cfg AS (SELECT unnest([16, 8, 4]) AS bands),
+         |keys AS (SELECT c.bands, doc_id, bi AS band,
+         |    md5(array_to_string(list_transform(
+         |      list_slice(sig, bi * (32 // c.bands) + 1,
+         |                 bi * (32 // c.bands) + (32 // c.bands)),
+         |      x -> CAST(x AS VARCHAR)), ',')) AS key
+         |  FROM sig CROSS JOIN cfg c,
+         |       LATERAL unnest(generate_series(0, c.bands - 1)) AS u(bi)),
+         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+         |  FROM keys a JOIN keys b ON a.bands = b.bands AND a.band = b.band
+         |    AND a.key = b.key AND a.doc_id < b.doc_id),
+         |rep AS (SELECT c.bands, 32 // c.bands AS rows_per_band,
+         |    (SELECT count(*) FROM cand WHERE cand.bands = c.bands)
+         |      AS n_candidates,
+         |    (SELECT count(*) FROM cand JOIN exact
+         |       ON cand.i = exact.i AND cand.j = exact.j
+         |     WHERE cand.bands = c.bands) AS n_true_candidates
+         |  FROM cfg c)
+         |SELECT bands, rows_per_band, n_candidates, n_true_candidates,
+         |  (SELECT count(*) FROM exact) AS n_exact_pairs,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |       ELSE round(CAST(n_true_candidates AS DOUBLE) / n_candidates, 6)
+         |  END AS prec,
+         |  CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+         |       ELSE round(CAST(n_true_candidates AS DOUBLE) /
+         |                  (SELECT count(*) FROM exact), 6)
+         |  END AS recall
+         |FROM rep ORDER BY bands DESC""".stripMargin,
 
     "d_fuzzy" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh,

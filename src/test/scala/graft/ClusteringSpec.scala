@@ -124,6 +124,27 @@ class Round4OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("lshParameterSweep: counts are consistent and rates bounded") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rep = Dedup.lshParameterSweep(docs, "doc_id", "text",
+      n = 3, threshold = 0.4, numHashes = 16, bandCounts = Seq(8, 4))
+      .collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      val (nc, nt, ne) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nt <= nc, "true candidates exceed candidates")
+      assert(nt <= ne, "true candidates exceed exact pairs")
+      if (nc > 0) {
+        val p = r.getDouble(5)
+        assert(p >= 0.0 && p <= 1.0)
+      }
+      if (ne > 0) {
+        val rc = r.getDouble(6)
+        assert(rc >= 0.0 && rc <= 1.0)
+      }
+    }
+  }
+
   test("resampleHourlyInterp: a synthetic two-point gap interpolates linearly") {
     val e = Seq(
       ("k", 0L, 10.0),
