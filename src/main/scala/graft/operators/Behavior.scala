@@ -159,4 +159,33 @@ object Behavior {
           .as("__hr"))
     grid.join(hourly, Seq("__k", "__hr"), "left")
   }
+
+  /** First-touch attribution: credit each user's conversion to the channel
+    * of their very first event (total order (ts, id) — the unique event id
+    * breaks timestamp ties, so "first" is deterministic on any engine). A
+    * user counts as converted if any *later* event is of `convType`; a
+    * conversion that IS the first event doesn't self-attribute.
+    *
+    * Shape: one window pass keyed on the user (rank + first-value share
+    * the same sort), one per-user aggregate on the same key (so the window
+    * exchange is reused), then a channel-level aggregate over a
+    * cardinality-|channels| relation. Returns (channel, n_users,
+    * n_converted, conv_rate) — rate rounded to 6dp.
+    */
+  def firstTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                            idCol: String, typeCol: String,
+                            convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val perUser = events
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(userCol))
+      .agg(max(when(col("__rn") === 1, col(typeCol))).as("channel"),
+        max(when(col("__rn") > 1 && col(typeCol) === convType, 1)
+          .otherwise(0)).as("__conv"))
+    perUser.groupBy("channel")
+      .agg(count(lit(1)).as("n_users"), sum("__conv").as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_users"), 6))
+  }
 }

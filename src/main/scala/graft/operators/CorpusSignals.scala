@@ -159,4 +159,57 @@ object CorpusSignals {
       .agg(countDistinct(col("sh")).as("n_shared"),
         min(col("eval_id")).as("first_eval_id"))
   }
+
+  /** Passage-level exact dedup with document reassembly: chunk every
+    * document into fixed `window`-token passages, keep exactly one copy of
+    * each distinct passage corpus-wide (first occurrence by (doc, chunk
+    * index) — the lowest `(doc_id, p_idx)` pair), and rebuild each
+    * document from its surviving passages in order. This is the
+    * boilerplate-removal pass pipelines run *between* exact whole-doc
+    * dedup and fuzzy dedup: repeated headers/footers/licence blocks
+    * disappear even when the surrounding documents differ.
+    *
+    * Scale shape: explode to (passage, doc, idx) → one hash aggregate on
+    * the passage (min-pair keeper), join back on the passage key, then one
+    * aggregate on the doc id to reassemble. Passages shuffle as single
+    * strings; no per-doc state ever exceeds the document's own passage
+    * list, and the keeper aggregate is partial+final so a passage repeated
+    * a million times costs one row per map partition, not a million.
+    *
+    * Returns one row per input document, zero-token documents included:
+    * (doc_id, n_passages, n_kept, clean_text).
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 20): DataFrame = {
+    require(window >= 1, s"passage window must be >= 1, got $window")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    // chunk index range 0..floor((n-1)/W) guarded to n>0 (sequence(0,-1)
+    // would descend); slice beyond the array end clamps, so the tail
+    // passage is simply shorter
+    val chunks = base.filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1) / lit(window)).cast("int")),
+          i => array_join(slice(col("tk"), i * window + 1, lit(window)), " ")))
+          .as(Seq("p_idx", "passage")))
+    val keeper = chunks.groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("__keep"))
+    val kept = chunks.join(keeper, "passage")
+      .filter(struct(col("doc_id"), col("p_idx")) === col("__keep"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p_idx"), col("passage")))),
+        s => s.getField("passage"))).as("clean_text"))
+    val totals = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -55,4 +55,25 @@ object Retrieval {
       .groupBy(idCol)
       .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
   }
+
+  /** Inverted-index posting lists: one row per term with its document
+    * frequency and the sorted list of containing doc ids (deduped per
+    * document, rendered as a comma-joined string so the row is a stable
+    * scalar). This is the index-build side of [[bm25]] — materialize it
+    * once, and term lookup becomes a pruned scan instead of a corpus pass.
+    *
+    * Scale shape: explode distinct per-doc terms → single partial+final
+    * hash aggregate keyed on the term. The posting list for a stop-word-
+    * grade term is that term's true cost in any inverted index; `minDf`
+    * exists to cut the long tail of hapax terms, and at true scale the
+    * output would be written bucketed by term for pruned lookups.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Long = 1L): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("__doc"))), ",").as("plist"))
+      .filter(col("df") >= minDf)
 }

@@ -49,6 +49,37 @@ object AnalyticsQueries {
         .orderBy("n_name")
     }),
 
+    /** Winsorized robust stats per group: clip at the exact p05/p95
+      * percentiles (a4's cross-engine percentile idiom, 4dp), then count
+      * the clipped tails and average the clipped values. The clip and the
+      * mean run in decimal so the aggregate is order-independent; the
+      * 3-row bounds relation broadcasts into a second fact pass — same
+      * two-pass shape as the MAD query.
+      */
+    "a14_winsorize" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.05)"), 4)
+          .cast("decimal(18,4)").as("p05"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4)
+          .cast("decimal(18,4)").as("p95"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,4)").as("x"),
+          col("p05"), col("p95"))
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("p05"), 1).otherwise(0)).as("n_clip_low"),
+          sum(when(col("x") > col("p95"), 1).otherwise(0)).as("n_clip_high"),
+          round(sum(least(greatest(col("x"), col("p05")), col("p95")))
+            .cast("double") / count(lit(1)), 6).as("wins_mean"))
+        .select(col("l_returnflag"), col("n"),
+          col("n_clip_low"), col("n_clip_high"),
+          col("p05").cast("double").as("p05"),
+          col("p95").cast("double").as("p95"), col("wins_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Unpivot (melt) — the inverse of the reference's pivot surface: wide
       * numeric columns to long (metric, value) rows, a narrow Expand with
       * no shuffle.
@@ -480,6 +511,27 @@ object AnalyticsQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a14_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(round(quantile_cont(l_extendedprice, 0.05), 4)
+        |      AS DECIMAL(18,4)) AS p05,
+        |    CAST(round(quantile_cont(l_extendedprice, 0.95), 4)
+        |      AS DECIMAL(18,4)) AS p95
+        |  FROM lineitem GROUP BY l_returnflag),
+        |j AS (SELECT l.l_returnflag,
+        |        CAST(l.l_extendedprice AS DECIMAL(18,4)) AS x, b.p05, b.p95
+        |      FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(sum(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_high,
+        |  CAST(p05 AS DOUBLE) AS p05, CAST(p95 AS DOUBLE) AS p95,
+        |  round(CAST(sum(least(greatest(x, p05), p95)) AS DOUBLE)
+        |    / count(*), 6) AS wins_mean
+        |FROM j GROUP BY l_returnflag, p05, p95
+        |ORDER BY l_returnflag""".stripMargin,
 
     "a9_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (

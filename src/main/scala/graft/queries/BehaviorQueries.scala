@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.io.Bucketing
-import graft.operators.{Behavior, Merge, SkewJoin}
+import graft.operators.{Behavior, Graph, Merge, SkewJoin}
 import graft.streaming.EventStreams
 
 /** Event-sequence analytics (funnel, retention), SCD2 dimension history,
@@ -143,6 +143,34 @@ object BehaviorQueries {
           6).as("p"))
         .orderBy("from_type", "to_type")
     }),
+
+    /** PageRank over the event-type transition graph — the Markov edge
+      * counts fed through [[Graph.pageRankScaled]]'s exact fixed-point
+      * power iteration. Ranks are BIGINT multiples of 1e-12, so an
+      * iterative float-free distributed algorithm hash-matches a SQL
+      * oracle (10 unrolled iterations in DuckDB) bit-for-bit.
+      */
+    "g_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val edges = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__prev", lag("event_type", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .groupBy(col("__prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      Graph.pageRankScaled(edges, "src", "dst", "n", iterations = 10)
+        .orderBy("node")
+    }),
+
+    /** First-touch conversion attribution: conversion credit to the
+      * channel of each user's first event; (ts, event_id) total order
+      * makes "first" deterministic.
+      */
+    "e_attribution" -> ((s, dir) =>
+      Behavior.firstTouchAttribution(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", "purchase")
+        .orderBy("channel")),
 
     /** Hourly OHLC bars per event type: open/close are the first/last
       * value by (ts, event_id) — the unique id makes the ordering total,
@@ -462,6 +490,54 @@ object BehaviorQueries {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // 10 unrolled power-iteration CTEs in exact BIGINT fixed-point:
+    // DuckDB `//` and Spark `div` agree on all-positive operands, and
+    // BIGINT sums are order-independent, so the iterative Spark job and
+    // this SQL are bit-identical. Mirrors Graph.pageRankScaled
+    // (scale=1e12, damping 85%, teleport (1e12*15)//(100*N)).
+    "g_pagerank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  (1000000000000 * 15) // (100 * (SELECT count(*) FROM n)) +
+           |    (85 * coalesce(c.c, 0)) // 100 AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT ew.dst AS node, sum((p.r * ew.w) // ew.out_w) AS c
+           |    FROM ew JOIN r${i - 1} p ON ew.src = p.node
+           |    GROUP BY ew.dst) c USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+         |              event_id, event_type FROM events),
+         |s0 AS (SELECT event_type, lag(event_type) OVER (
+         |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+         |       FROM e0),
+         |ed AS (SELECT prev AS src, event_type AS dst, count(*) AS w
+         |       FROM s0 WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, w,
+         |         sum(w) OVER (PARTITION BY src) AS out_w FROM ed),
+         |n AS (SELECT DISTINCT src AS node FROM ed
+         |      UNION SELECT DISTINCT dst FROM ed),
+         |r0 AS (SELECT node,
+         |         1000000000000 // (SELECT count(*) FROM n) AS r FROM n),
+         |$iterCtes
+         |SELECT node, r AS rank_scaled FROM r10 ORDER BY node""".stripMargin
+    },
+
+    "e_attribution" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |             event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |      FROM e),
+        |u AS (SELECT user_id,
+        |        max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+        |        max(CASE WHEN rn > 1 AND event_type = 'purchase'
+        |            THEN 1 ELSE 0 END) AS conv
+        |      FROM r GROUP BY user_id)
+        |SELECT channel, count(*) AS n_users,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
 
     "e_ohlc" -> ohlcOracle,
     // batch/stream parity: the streaming bars must equal the batch bars

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Similarity}
+import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Retrieval, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline query surface: text analysis, dedup, similarity
@@ -204,6 +204,21 @@ object PipelineQueries {
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     }),
+
+    /** Passage-level dedup: 20-token chunks, first corpus-wide occurrence
+      * survives, documents reassembled from surviving chunks — the
+      * boilerplate-removal pass between exact and fuzzy dedup.
+      */
+    "t_passage_dedup" -> ((s, dir) =>
+      CorpusSignals.passageDedup(docs(s, dir), "doc_id", "text", window = 20)
+        .orderBy("doc_id")),
+
+    /** Inverted-index posting lists: term → df + sorted doc ids — the
+      * index-build half of the BM25 surface.
+      */
+    "t_postings" -> ((s, dir) =>
+      Retrieval.postings(docs(s, dir), "doc_id", "text")
+        .orderBy("term")),
 
     // numHashes=128/bands=64 (r=2) so the analytic band-miss probability for
     // a pair at the j=0.4 threshold is (1-0.4^2)^64 ≈ 1.4e-5 — the
@@ -665,6 +680,37 @@ object PipelineQueries {
       s"""SELECT term, count(*) AS df FROM (
          |  SELECT unnest(list_distinct($toksSql)) AS term FROM documents)
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    // chunk bounds (i-1)*20+1 .. (i-1)*20+20 are 1-based inclusive
+    // (list_slice clamps past the end, mirroring Spark's slice); the
+    // QUALIFY keeper is the same (doc_id, p_idx)-min pair as the Spark
+    // min(struct) aggregate.
+    "t_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, i - 1 AS p_idx,
+         |        array_to_string(
+         |          list_slice(tk, (i-1)*20 + 1, (i-1)*20 + 20), ' ') AS passage
+         |      FROM t, unnest(generate_series(1, ((len(tk)-1) // 20) + 1)) AS g(i)
+         |      WHERE len(tk) > 0),
+         |k AS (SELECT doc_id, p_idx, passage FROM c
+         |      QUALIFY row_number() OVER (
+         |        PARTITION BY passage ORDER BY doc_id, p_idx) = 1),
+         |s AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(passage, ' ' ORDER BY p_idx) AS clean_text
+         |      FROM k GROUP BY doc_id),
+         |p AS (SELECT doc_id, count(*) AS n_passages FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_passages, 0) AS n_passages,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN p USING (doc_id)
+         |  LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t_postings" ->
+      s"""SELECT term, count(*) AS df,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS plist
+         |FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |      FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "t_redact" ->
       """SELECT doc_id,

@@ -74,6 +74,33 @@ class EntropyFuzzySpec extends SparkSpec {
     assert(got(2).getDouble(1) === 1.0) // two 0.5 outcomes
   }
 
+  test("passageDedup keeps the first occurrence of each passage and rebuilds docs") {
+    // window=2: doc1 = [a b][c d], doc2 repeats doc1's first chunk then new,
+    // doc3 is chunk-identical to doc1, doc4 empty.
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.passageDedup(d, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 2L, 2L, "a b c d"))  // first owner keeps all
+    assert(got(1) === Row(2L, 2L, 1L, "x y"))      // shared [a b] removed
+    assert(got(2) === Row(3L, 2L, 0L, ""))         // exact clone vanishes
+    assert(got(3) === Row(4L, 0L, 0L, ""))         // empty doc still present
+  }
+
+  test("passageDedup short tail chunk dedups independently of full chunks") {
+    val d = Seq((1L, "p q r"), (2L, "r")).toDF("doc_id", "text")
+    // window=2: doc1 = [p q][r], doc2 = [r] — doc2's only chunk equals
+    // doc1's tail chunk and must be deduped against it.
+    val got = CorpusSignals.passageDedup(d, "doc_id", "text", window = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 2L, 2L, "p q r"))
+    assert(got(1) === Row(2L, 1L, 0L, ""))
+  }
+
   test("fuzzyVerifyPairs reports edit distance only for jaccard candidates") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = Seq(

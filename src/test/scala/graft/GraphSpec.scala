@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{Behavior, Graph}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SCALE = 1000000000000L
+
+  test("pageRankScaled: symmetric cycle keeps the uniform distribution") {
+    // a -> b -> c -> a, equal weights: uniform is the exact fixed point,
+    // and scaled-integer iteration must hold it exactly (no drift).
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankScaled(edges, "src", "dst", "w", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniform = SCALE / 3
+    // teleport (1e12*15)//300 + 85%*(contrib of uniform) reproduces uniform
+    // up to the floor in each term; all nodes must agree exactly.
+    assert(got.values.toSet.size === 1)
+    assert(math.abs(got("a") - uniform) <= 2)
+  }
+
+  test("pageRankScaled: a sink-favored hub outranks its spokes") {
+    // star: three spokes each pointing at hub, hub points back to one spoke
+    val edges = Seq(("s1", "h", 1L), ("s2", "h", 1L), ("s3", "h", 1L),
+      ("h", "s1", 1L)).toDF("src", "dst", "w")
+    // the h <-> s1 2-cycle damps at 0.85^2 per period, so this graph needs
+    // ~30 iterations before the oscillation falls under the equilibrium
+    // gap (h* = 0.4796 vs s1* = 0.4452)
+    val got = Graph.pageRankScaled(edges, "src", "dst", "w", iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("h") > got("s1"))
+    assert(got("s1") > got("s2")) // s1 gets the hub's mass back
+    assert(got("s2") === got("s3"))
+    // spokes with no in-edges beyond teleport/hub: total mass stays
+    // bounded by scale (floor-leak only shrinks it)
+    assert(got.values.sum <= SCALE)
+  }
+
+  test("pageRankScaled: weights shift rank toward the heavier edge") {
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankScaled(edges, "src", "dst", "w", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("b") > got("c"))
+  }
+
+  test("pageRankScaled is partitioning-invariant (exact integer replay)") {
+    val e = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 5L),
+      ("a", "c", 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.pageRankScaled(e, "src", "dst", "w", iterations = 6)
+      .orderBy("node").collect().toSeq
+    val r2 = Graph.pageRankScaled(e.repartition(7), "src", "dst", "w",
+      iterations = 6).orderBy("node").collect().toSeq
+    assert(r1 === r2)
+  }
+}
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstTouchAttribution credits the first event and ignores self-conversion") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1: ad first, converts later
+      (1L, ts("2026-01-01 10:00:00"), 1L, "ad"),
+      (2L, ts("2026-01-01 11:00:00"), 1L, "purchase"),
+      // u2: search first, never converts
+      (3L, ts("2026-01-01 10:00:00"), 2L, "search"),
+      // u3: purchase IS the first event — no later purchase, not converted
+      (4L, ts("2026-01-01 10:00:00"), 3L, "purchase"),
+      // u4: tie on ts — event_id breaks it: 5 (ad) before 6 (purchase)
+      (5L, ts("2026-01-01 10:00:00"), 4L, "ad"),
+      (6L, ts("2026-01-01 10:00:00"), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.firstTouchAttribution(events, "user_id", "ts",
+      "event_id", "event_type", "purchase")
+      .orderBy("channel").collect()
+    assert(got(0) === Row("ad", 2L, 2L, 1.0))
+    assert(got(1) === Row("purchase", 1L, 0L, 0.0))
+    assert(got(2) === Row("search", 1L, 0L, 0.0))
+  }
+}

@@ -98,6 +98,27 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out(2L) - BigDecimal(s(1, 1)).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
   }
+
+  test("postings builds sorted per-term doc lists with matching df") {
+    val got = Retrieval.postings(corpus, "id", "text")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byTerm = got.map(t => t._1 -> t).toMap
+    assert(byTerm("spark") === ("spark", 2L, "1,2"))   // deduped per doc
+    assert(byTerm("rare") === ("rare", 1L, "3"))
+    // df always equals the posting-list length, and lists are ascending
+    got.foreach { case (_, df, plist) =>
+      val ids = plist.split(",").map(_.toLong).toSeq
+      assert(ids.size === df)
+      assert(ids === ids.sorted)
+    }
+  }
+
+  test("postings minDf prunes the hapax tail") {
+    val got = Retrieval.postings(corpus, "id", "text", minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("spark", "engine"))
+  }
 }
 
 class SamplingSpec extends SparkSpec {
