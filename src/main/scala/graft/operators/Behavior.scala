@@ -172,6 +172,32 @@ object Behavior {
     * cardinality-|channels| relation. Returns (channel, n_users,
     * n_converted, conv_rate) — rate rounded to 6dp.
     */
+  /** Trailing-`days`-day rolling distinct actives (e.g. 7-day DAU): for
+    * each observed calendar day, the count of distinct users active in the
+    * trailing window ending that day.
+    *
+    * Scale shape: collapse to day grain first ((user, day) distinct — the
+    * only data-sized aggregate), then *explode each row into the `days`
+    * future days it covers* and hash-aggregate on the day. That turns the
+    * textbook non-equi self-join (range predicate → broadcast nested
+    * loop, O(|rows|·|days|)) into one equi-shuffle with a bounded `days`×
+    * fan-out; the observed-days semi-join that trims phantom trailing
+    * days broadcasts a |days|-row relation. Returns (day, active_users).
+    */
+  def rollingDistinctUsers(events: DataFrame, userCol: String, tsCol: String,
+                           days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must be >= 1 day, got $days")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+    val observed = du.select("day").distinct()
+    val covered = du.select(col("__u"),
+      explode(expr(s"sequence(day, date_add(day, ${days - 1}), interval 1 day)"))
+        .as("day"))
+    covered.join(broadcast(observed), "day")
+      .groupBy("day").agg(countDistinct(col("__u")).as("active_users"))
+  }
+
   def firstTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
                             idCol: String, typeCol: String,
                             convType: String): DataFrame = {

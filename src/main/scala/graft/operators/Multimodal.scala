@@ -164,4 +164,29 @@ object Multimodal {
     val parts = math.max(1L, totalBytes / (targetMB.toLong << 20)).toInt
     df.repartition(parts)
   }
+
+  /** ViT-style patch extraction: split each payload into a `grid`×`grid`
+    * sequence of contiguous byte patches (row-major), one output row per
+    * patch. Unlike the codec ops above this needs no batch boundary at
+    * all, so it stays a pure codegen'd projection: explode a patch-index
+    * sequence + binary `substring` — no UDF, no mapPartitions, whole-stage
+    * codegen end to end. Patches are `len div grid²` bytes; the trailing
+    * remainder when the payload doesn't divide evenly is dropped, the same
+    * contract as a ViT dropping partial patches at the image edge.
+    *
+    * Output: input columns + (patch_row, patch_col, patch).
+    */
+  def patchGrid(df: DataFrame, binCol: String, grid: Int = 2): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val nPatches = grid * grid
+    df.withColumn("__c",
+        greatest(lit(1), floor(length(col(binCol)) / lit(nPatches)).cast("int")))
+      .withColumn("__pi", explode(sequence(lit(0), lit(nPatches - 1))))
+      .filter(col("__pi") * col("__c") < length(col(binCol)))
+      .withColumn("patch_row", (col("__pi") / lit(grid)).cast("int"))
+      .withColumn("patch_col", pmod(col("__pi"), lit(grid)).cast("int"))
+      .withColumn("patch",
+        col(binCol).substr(col("__pi") * col("__c") + 1, col("__c")))
+      .drop("__c", "__pi")
+  }
 }

@@ -80,6 +80,34 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Grouped OLS regression (y = l_extendedprice on x = l_quantity) from
+      * closed-form decimal moment sums: one partial+final hash aggregate
+      * collects (n, Σx, Σy, Σxy, Σxx) exactly, then slope/intercept are a
+      * per-group scalar projection. Exact sums → the double arithmetic is
+      * one deterministic expression tree, same on any engine or
+      * partitioning — the distributed-regression shape that needs no
+      * second pass over the data.
+      */
+    "a15_regression" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val m = li.select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,4)").as("x"),
+          col("l_extendedprice").cast("decimal(18,4)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double"); val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      m.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nD, 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Unpivot (melt) — the inverse of the reference's pivot surface: wide
       * numeric columns to long (metric, value) rows, a narrow Expand with
       * no shuffle.
@@ -532,6 +560,31 @@ object AnalyticsQueries {
         |    / count(*), 6) AS wins_mean
         |FROM j GROUP BY l_returnflag, p05, p95
         |ORDER BY l_returnflag""".stripMargin,
+
+    // slope appears twice (rounded output + unrounded inside intercept) —
+    // the repeated SQL expression mirrors the Spark plan reusing the
+    // unrounded column, keeping the double expression trees identical
+    "a15_regression" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4)) *
+        |        CAST(l_quantity AS DECIMAL(18,4))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "a9_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (

@@ -172,6 +172,34 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** Trailing-7-day rolling distinct actives per day — the
+      * explode-cover equi-join shape, not a range self-join.
+      */
+    "e_rolling_dau" -> ((s, dir) =>
+      Behavior.rollingDistinctUsers(events(s, dir), "user_id", "ts", days = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users"))
+        .orderBy("day")),
+
+    /** Top 3-step user paths: consecutive event-type triples per user
+      * ((ts, event_id) total order), counted corpus-wide. Two lag frames
+      * share one window sort; count-desc/path tiebreak keeps top-20
+      * deterministic.
+      */
+    "e_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__p1", lag("event_type", 1).over(w))
+        .withColumn("__p2", lag("event_type", 2).over(w))
+        .filter(col("__p2").isNotNull)
+        .select(concat_ws(">", col("__p2"), col("__p1"), col("event_type"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
     /** Hourly OHLC bars per event type: open/close are the first/last
       * value by (ts, event_id) — the unique id makes the ordering total,
       * so the bars are deterministic even with timestamp ties. One
@@ -538,6 +566,34 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // explode each (user, day) into the trailing window's covered days,
+    // then trim days never observed — mirrors the Spark explode-cover
+    // shape (and so also its semantics at the range edges)
+    "e_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |obs AS (SELECT DISTINCT day FROM du),
+        |cov AS (SELECT user_id, CAST(unnest(generate_series(
+        |          day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM du)
+        |SELECT strftime(cov.day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM cov JOIN obs ON cov.day = obs.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "e_paths" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |             event_id, event_type FROM events),
+        |s AS (SELECT event_type,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts ASC, event_id ASC) AS p1,
+        |        lag(event_type, 2) OVER (PARTITION BY user_id
+        |          ORDER BY ts ASC, event_id ASC) AS p2
+        |      FROM e)
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        |FROM s WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "e_ohlc" -> ohlcOracle,
     // batch/stream parity: the streaming bars must equal the batch bars

@@ -205,6 +205,46 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    /** Corpus bigram PMI: pointwise mutual information of each bigram from
+      * exact corpus counts — the collocation detector behind phrase
+      * vocabularies. Two explode→agg streams (bigrams, unigrams), two
+      * broadcast 1-row totals; the double expression tree runs over exact
+      * longs so it is engine-invariant, and top-20 is cut on (count,
+      * bigram), never on the float.
+      */
+    "t_pmi" -> ((s, dir) => {
+      val toks = docs(s, dir).select(TextFunctions.tokens(col("text")).as("tk"))
+      val cb = toks.select(explode(CorpusSignals.bigrams(col("tk"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val cw = toks.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val totB = cb.agg(sum("c2").as("nb"))
+      val totW = cw.agg(sum("c1").as("nw"))
+      cb.join(cw.select(col("w").as("__w1"), col("c1").as("c1a")),
+          split(col("bg"), " ").getItem(0) === col("__w1"))
+        .join(cw.select(col("w").as("__w2"), col("c1").as("c1b")),
+          split(col("bg"), " ").getItem(1) === col("__w2"))
+        .crossJoin(broadcast(totB)).crossJoin(broadcast(totW))
+        .select(col("bg"), col("c2"),
+          round(log((col("c2").cast("double") / col("nb").cast("double")) /
+            ((col("c1a").cast("double") / col("nw").cast("double")) *
+              (col("c1b").cast("double") / col("nw").cast("double")))), 6)
+            .as("pmi"))
+        .orderBy(col("c2").desc, col("bg")).limit(20)
+    }),
+
+    /** ViT-style patch grid over binary payloads: pure codegen'd explode +
+      * binary substring, no codec boundary (contrast with m_frames'
+      * mapPartitions batch shape).
+      */
+    "m_patches" -> ((s, dir) =>
+      Multimodal.patchGrid(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", grid = 2)
+        .select(col("doc_id"), col("patch_row"), col("patch_col"),
+          length(col("patch")).as("n_bytes"), md5(col("patch")).as("digest"))
+        .orderBy("doc_id", "patch_row", "patch_col")),
+
     /** Passage-level dedup: 20-token chunks, first corpus-wide occurrence
       * survives, documents reassembled from surviving chunks — the
       * boilerplate-removal pass between exact and fuzzy dedup.
@@ -711,6 +751,38 @@ object PipelineQueries {
          |FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
          |      FROM documents)
          |GROUP BY term ORDER BY term""".stripMargin,
+
+    "t_pmi" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |cb AS (SELECT bg, count(*) AS c2 FROM (
+         |    SELECT unnest(${OracleIdioms.bigramsSql("tk")}) AS bg FROM t)
+         |  GROUP BY bg),
+         |cw AS (SELECT w, count(*) AS c1 FROM (
+         |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |nb AS (SELECT sum(c2) AS nb FROM cb),
+         |nw AS (SELECT sum(c1) AS nw FROM cw)
+         |SELECT bg, c2,
+         |  round(ln((CAST(c2 AS DOUBLE) / CAST(nb.nb AS DOUBLE)) /
+         |    ((CAST(a.c1 AS DOUBLE) / CAST(nw.nw AS DOUBLE)) *
+         |      (CAST(b.c1 AS DOUBLE) / CAST(nw.nw AS DOUBLE)))), 6) AS pmi
+         |FROM cb
+         |JOIN cw a ON string_split(bg, ' ')[1] = a.w
+         |JOIN cw b ON string_split(bg, ' ')[2] = b.w
+         |CROSS JOIN nb CROSS JOIN nw
+         |ORDER BY c2 DESC, bg LIMIT 20""".stripMargin,
+
+    /** Same ASCII-corpus byte/char equivalence as m_resize/m_frames; the
+      * grid arithmetic mirrors patchGrid (c = len // 4, drop partials).
+      */
+    "m_patches" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |  greatest(1, octet_length(encode(text)) // 4) AS c FROM documents)
+        |SELECT doc_id, CAST(i // 2 AS INT) AS patch_row,
+        |  CAST(i % 2 AS INT) AS patch_col,
+        |  CAST(least(c, len - i * c) AS INT) AS n_bytes,
+        |  md5(substr(text, 1 + i * c, c)) AS digest
+        |FROM d, (SELECT unnest(generate_series(0, 3)) AS i)
+        |WHERE i * c < len ORDER BY doc_id, patch_row, patch_col""".stripMargin,
 
     "t_redact" ->
       """SELECT doc_id,

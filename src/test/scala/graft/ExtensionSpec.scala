@@ -143,6 +143,28 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(bin.limit(10), "payload", frames = 4)
     assert(frames.count() <= 40 && frames.count() >= 10)
   }
+
+  test("patchGrid reconstructs the payload prefix in row-major order") {
+    import spark.implicits._
+    val d = Seq((1L, "abcdefghij"), (2L, "xyz"), (3L, ""))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.patchGrid(d, "payload", grid = 2)
+      .orderBy("doc_id", "patch_row", "patch_col")
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        col("patch").cast("string").as("p"))
+      .collect()
+    // doc 1: len 10, c = 10/4 = 2 → patches ab cd ef gh (ij dropped)
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(3)).toSeq === Seq("ab", "cd", "ef", "gh"))
+    assert(d1.map(r => (r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    // doc 2: len 3, c = 1 → x y z, fourth patch (idx 3) out of range
+    assert(got.filter(_.getLong(0) == 2L).map(_.getString(3)).toSeq ===
+      Seq("x", "y", "z"))
+    // doc 3: empty payload emits no patches
+    assert(!got.exists(_.getLong(0) == 3L))
+  }
 }
 
 class StreamingSpec extends SparkSpec {

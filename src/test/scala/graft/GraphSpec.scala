@@ -58,6 +58,41 @@ class GraphSpec extends SparkSpec {
   }
 }
 
+class RollingActivesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingDistinctUsers counts trailing-window distinct actives per observed day") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-03-01 09:00:00")), (1L, ts("2026-03-01 10:00:00")),
+      (2L, ts("2026-03-02 09:00:00")),
+      (1L, ts("2026-03-05 09:00:00")),
+      (3L, ts("2026-03-09 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = Behavior.rollingDistinctUsers(events, "user_id", "ts", days = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // windows: d1:{1}, d2:{1,2} (d1..d2), d5:{1} (d3..d5 → only d5 active,
+    // d2 too old), d9:{3}; days 3,4,6,7,8 unobserved → no rows
+    assert(got.toSeq === Seq(
+      ("2026-03-01", 1L), ("2026-03-02", 2L),
+      ("2026-03-05", 1L), ("2026-03-09", 1L)))
+  }
+
+  test("rollingDistinctUsers window covers exactly `days` trailing days") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-03-01 09:00:00")),
+      (2L, ts("2026-03-03 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = Behavior.rollingDistinctUsers(events, "user_id", "ts", days = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    // day 3 window = days 1..3 → users {1,2}
+    assert(got === Seq(("2026-03-01", 1L), ("2026-03-03", 2L)))
+  }
+}
+
 class AttributionSpec extends SparkSpec {
   import spark.implicits._
 
