@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Behavior, CorpusSignals}
+
+/** Physical-plan shape assertions for the scale-critical operators: these
+  * pin the *design claims* (broadcast the small side, reuse the exchange,
+  * push filters to the scan, stay map-only) so a refactor that silently
+  * degrades the plan — not just the answer — fails the build.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  /** Evaluate with stats-based auto-broadcast off, so what the plan shows
+    * is the *explicit* broadcast hints — the design commitment that holds
+    * at 100 TB, not an artifact of the tiny test fixture's sizes.
+    */
+  private def withoutAutoBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("j_star: both dims broadcast by hint, one shuffled fact-fact join") {
+    withoutAutoBroadcast {
+      val p = plan(SparkEntry.queries("j_star")(spark, sf))
+      assert(countOf(p, "BroadcastHashJoin") == 2,
+        s"customer+nation must broadcast; plan:\n$p")
+      assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") == 1,
+        s"lineitem-orders is the only data-sized join; plan:\n$p")
+    }
+  }
+
+  test("quality gate is map-only: no exchange anywhere in the plan") {
+    val p = plan(CorpusSignals.qualityGate(
+      Tables.load(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"gate must not shuffle; plan:\n$p")
+  }
+
+  test("winsorize bounds relation joins as broadcast, never shuffled") {
+    withoutAutoBroadcast {
+      val p = plan(SparkEntry.queries("a14_winsorize")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"3-row bounds must broadcast; plan:\n$p")
+      assert(countOf(p, "SortMergeJoin") == 0,
+        s"no data-sized join exists in this query; plan:\n$p")
+    }
+  }
+
+  test("attribution reuses the user exchange between window and aggregate") {
+    val df = Behavior.firstTouchAttribution(Tables.loadEvents(spark, sf),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+    val p = plan(df)
+    // one exchange keyed on the user feeds both the window sort and the
+    // per-user aggregate; the only other hash exchange keys on the channel
+    assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1,
+      s"window + per-user agg must share one user exchange; plan:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected exactly user + channel exchanges; plan:\n$p")
+  }
+
+  test("rolling actives uses the explode-cover equi-join, not a nested loop") {
+    withoutAutoBroadcast {
+      val df = Behavior.rollingDistinctUsers(Tables.loadEvents(spark, sf),
+        "user_id", "ts", days = 7)
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"observed-days trim must broadcast; plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"the range join must have been rewritten away; plan:\n$p")
+    }
+  }
+
+  test("projection+filter reach the parquet scan (pushdown + pruning)") {
+    val q = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") === 1L)
+      .select("l_orderkey", "l_quantity")
+    val leaves = q.queryExecution.executedPlan.collectLeaves().mkString
+    assert(leaves.contains("PushedFilters") &&
+      leaves.contains("EqualTo(l_orderkey,1)"),
+      s"filter must push into the scan: $leaves")
+    assert(leaves.contains("ReadSchema") &&
+      !leaves.contains("l_extendedprice"),
+      s"scan must read only the projected columns: $leaves")
+  }
+
+  test("q1 aggregate is partial+final around a single exchange") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"map-side partial aggregation missing; plan:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"one shuffle on the group key; plan:\n$p")
+  }
+}
