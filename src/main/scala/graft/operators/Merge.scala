@@ -62,6 +62,45 @@ object Merge {
       .unionByName(source)
   }
 
+  /** Full MERGE over a keyed snapshot from a changeset carrying an op
+    * column: `'I'` insert, `'U'` update, `'D'` delete. Exactly [[upsert]]'s
+    * anti-join + union shape — every changeset key (regardless of op)
+    * knocks its row out of the target, then only the I/U payloads union
+    * back, so deletes cost nothing extra. One hash exchange per side on
+    * `keys`; AQE broadcasts the delta when it's small.
+    *
+    * Same at-most-one-row-per-key contract as [[upsert]];
+    * `validate = true` additionally fails fast on duplicate changeset keys
+    * and on op values outside {I, U, D} (one extra job over the small
+    * delta). Delete rows' non-key columns are ignored.
+    */
+  def applyChangeset(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                     opCol: String = "op",
+                     validate: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "applyChangeset needs at least one key column")
+    require(changes.columns.contains(opCol),
+      s"changeset must carry the op column '$opCol'")
+    require(!target.columns.contains(opCol),
+      s"target must not already have a column named '$opCol'")
+    if (validate) {
+      val dup = changes.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"changeset has multiple rows for key (${keys.mkString(",")}) = " +
+          s"(${dup.head.toSeq.init.mkString(",")})")
+      val badOp = changes.filter(!col(opCol).isin("I", "U", "D"))
+        .select(opCol).limit(1).collect()
+      require(badOp.isEmpty,
+        s"unknown changeset op '${badOp.head.get(0)}' (want I/U/D)")
+    }
+    val payload = changes.drop(opCol)
+    require(target.columns.sorted.sameElements(payload.columns.sorted),
+      s"schema mismatch: target ${target.columns.mkString(",")} vs " +
+        s"changeset ${payload.columns.mkString(",")}")
+    target.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(changes.filter(col(opCol).isin("I", "U")).drop(opCol))
+  }
+
   /** Snapshot diff: one row per key that was added, removed, or changed
     * between `oldDf` and `newDf` (plus `"same"` rows unless filtered by the
     * caller). Output: key columns + `change`.

@@ -50,4 +50,33 @@ object RangeJoin {
       .filter(col(loCol) <= col(ptCol) && col(ptCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval×interval overlap join (*closed* intervals, unlike
+    * [[pointInInterval]]'s half-open contract): all pairs with
+    * `lo_l <= hi_r AND lo_r <= hi_l`, on equal `keys`. Both sides explode
+    * into their covered bins and equi-join on (keys…, bin); a pair sharing
+    * several bins would surface once per shared bin, so the match is
+    * *claimed* only in the bin containing `max(lo_l, lo_r)` — the standard
+    * claim rule that makes the join duplicate-free without a `distinct`
+    * (which would re-shuffle the whole pair set).
+    *
+    * Column names must be disjoint across the two inputs (alias before
+    * calling); degenerate intervals (hi < lo) are dropped on both sides.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      loL: String, hiL: String, loR: String, hiR: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / binWidth)
+        .cast("long")
+    val lb = left.filter(col(hiL) >= col(loL)).withColumn("__bin",
+      explode(sequence(bin(col(loL)), bin(col(hiL)))))
+    val rb = right.filter(col(hiR) >= col(loR)).withColumn("__bin",
+      explode(sequence(bin(col(loR)), bin(col(hiR)))))
+    lb.join(rb, keys :+ "__bin")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("__bin") === bin(greatest(col(loL), col(loR))))
+      .drop("__bin")
+  }
 }

@@ -172,6 +172,29 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** Interval-overlap join: view-activity windows × click-activity
+      * windows ([ts, ts + 10·value sec] each), executed as the binned
+      * equi-join with the claim-bin rule — no nested loop, no distinct.
+      */
+    "j_interval" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 10).cast("long") * 1000000L).as("e_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("s_us").as("s_i"), col("e_us").as("e_i"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("s_us").as("s_j"), col("e_us").as("e_j"))
+      graft.operators.RangeJoin.intervalOverlap(views, clicks, Nil,
+        "s_i", "e_i", "s_j", "e_j", binWidth = 3600L * 1000000L)
+        .select(col("view_id"), col("click_id"),
+          (least(col("e_i"), col("e_j")) - greatest(col("s_i"), col("s_j")))
+            .as("overlap_us"))
+        .orderBy("view_id", "click_id")
+    }),
+
     /** Trailing-7-day rolling distinct actives per day — the
       * explode-cover equi-join shape, not a range self-join.
       */
@@ -566,6 +589,23 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // the oracle is the plain quadratic range join — the binned equi-join
+    // must produce exactly its pairs (closed-interval overlap predicate)
+    "j_interval" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS s_us,
+        |    epoch_us(date_trunc('microseconds', ts)) +
+        |      CAST(floor(value * 10) AS BIGINT) * 1000000 AS e_us
+        |  FROM events),
+        |v AS (SELECT event_id AS view_id, s_us AS s_i, e_us AS e_i FROM e
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, s_us AS s_j, e_us AS e_j FROM e
+        |      WHERE event_type = 'click')
+        |SELECT view_id, click_id,
+        |  least(e_i, e_j) - greatest(s_i, s_j) AS overlap_us
+        |FROM v JOIN c ON s_i <= e_j AND s_j <= e_i
+        |ORDER BY view_id, click_id""".stripMargin,
 
     // explode each (user, day) into the trailing window's covered days,
     // then trim days never observed — mirrors the Spark explode-cover

@@ -54,6 +54,24 @@ object MaintenanceQueries {
       Merge.upsert(t, changeset(t), Seq("c_custkey")).orderBy("c_custkey")
     }),
 
+    /** Full I/U/D MERGE: deletes (every 13th key not also updated),
+      * updates (every 7th), re-keyed inserts (every 50th, +1M). validate
+      * on: exercises the duplicate-key and unknown-op fast-fail path.
+      */
+    "o_changeset" -> ((s, dir) => {
+      val t = customer(s, dir)
+      val dels = t.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0)
+        .withColumn("op", lit("D"))
+      val upds = t.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("op", lit("U"))
+      val ins = t.filter(col("c_custkey") % 50 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("op", lit("I"))
+      Merge.applyChangeset(t, dels.unionByName(upds).unionByName(ins),
+        Seq("c_custkey"), validate = true).orderBy("c_custkey")
+    }),
+
     /** Snapshot diff: added/removed/changed/same per key between the base
       * table and its post-merge, partially-retired successor.
       */
@@ -190,6 +208,29 @@ object MaintenanceQueries {
     "o_upsert" ->
       s"""WITH $upsertCte
          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "o_changeset" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         'D' AS op
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 != 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+        |         c_mktsegment, 'U'
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 'I'
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+        |         c.c_mktsegment
+        |  FROM customer c
+        |  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM ch)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM ch WHERE op IN ('I', 'U'))
+        |ORDER BY c_custkey""".stripMargin,
 
     "o_snapshot_diff" ->
       s"""WITH $upsertCte,

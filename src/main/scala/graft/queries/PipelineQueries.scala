@@ -605,6 +605,24 @@ object PipelineQueries {
       EventStreams.windowedCounts(Tables.loadEvents(s, dir), "1 hour")
         .orderBy("win_start", "event_type")),
 
+    /** Streaming trending report: 6-hour windowed counts maintained by a
+      * REAL streaming aggregation (AvailableNow over the events
+      * directory), then a per-window top-3 rank applied to the stream's
+      * result table — ranking is not stream-maintainable state, so the
+      * honest shape is agg-on-stream + rank-on-sink, and the oracle is
+      * the fully-batch equivalent.
+      */
+    "st_trending" -> ((s, dir) => {
+      val counts = EventStreams.runAvailableNow(s, s"$dir/events.parquet",
+        EventStreams.windowedCounts(_, "6 hours"), "st_trending")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("win_start", "event_type", "n", "rank")
+        .orderBy("win_start", "rank")
+    }),
+
     // gap-based sessionization via native session_window (stream-capable);
     // the flatMapGroupsWithState variant is spec-checked equal to this
     "st_sessionize" -> ((s, dir) =>
@@ -1093,6 +1111,19 @@ object PipelineQueries {
 
     "st_window_counts" -> windowCountsOracle,
     "e_batch_window" -> windowCountsOracle,
+
+    "st_trending" ->
+      """WITH c AS (
+        |  SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+        |      '%Y-%m-%d %H:%M:%S') AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n, rank FROM (
+        |  SELECT win_start, event_type, n, CAST(row_number() OVER (
+        |      PARTITION BY win_start ORDER BY n DESC, event_type) AS INT)
+        |    AS rank
+        |  FROM c)
+        |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin,
 
     "st_stream_dedup" ->
       s"SELECT DISTINCT $fpSql AS fp FROM documents ORDER BY fp",

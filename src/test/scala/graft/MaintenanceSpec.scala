@@ -24,6 +24,35 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Merge.upsert(target, target, Nil) }
   }
 
+  test("applyChangeset inserts, updates, and deletes by op code") {
+    val ch = Seq(
+      (1L, "a2", 11.0, "U"),   // update key 1
+      (3L, "c", 30.0, "D"),    // delete key 3 (payload ignored)
+      (5L, "e", 50.0, "I"))    // insert new key 5
+      .toDF("k", "name", "v", "op")
+    val out = Merge.applyChangeset(target, ch, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a2", 11.0), (2L, "b", 20.0), (5L, "e", 50.0)))
+  }
+
+  test("applyChangeset validate rejects duplicate keys and unknown ops") {
+    val dup = Seq((1L, "x", 1.0, "U"), (1L, "y", 2.0, "D"))
+      .toDF("k", "name", "v", "op")
+    intercept[IllegalArgumentException] {
+      Merge.applyChangeset(target, dup, Seq("k"), validate = true)
+    }
+    val badOp = Seq((1L, "x", 1.0, "X")).toDF("k", "name", "v", "op")
+    intercept[IllegalArgumentException] {
+      Merge.applyChangeset(target, badOp, Seq("k"), validate = true)
+    }
+    // missing op column fails fast regardless of validate
+    intercept[IllegalArgumentException] {
+      Merge.applyChangeset(target, target, Seq("k"))
+    }
+  }
+
   test("upsert opt-in check rejects duplicate-keyed changesets") {
     val dupSrc = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "v")
     val e = intercept[IllegalArgumentException] {

@@ -119,6 +119,52 @@ class RangeJoinSpec extends SparkSpec {
       pt, iv, Seq("k"), "pt", "lo", "hi", binWidth = 3600000000L)
     assert(out.count() == 0) // and completes instantly — no bin explosion
   }
+
+  test("intervalOverlap equals the naive overlap join, duplicate-free") {
+    import spark.implicits._
+    // spans crafted to cover: same bin, adjacent bins, many shared bins
+    // (0..25 vs 3..22 share bins 0,1,2 at width 7), touching endpoints,
+    // and disjoint pairs
+    val l = Seq((10L, 0L, 25L), (11L, 5L, 6L), (12L, 30L, 40L))
+      .toDF("lid", "s_i", "e_i")
+    val r = Seq((20L, 3L, 22L), (21L, 6L, 9L), (22L, 41L, 50L))
+      .toDF("rid", "s_j", "e_j")
+    val binned = graft.operators.RangeJoin.intervalOverlap(
+        l, r, Nil, "s_i", "e_i", "s_j", "e_j", binWidth = 7L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.crossJoin(r)
+      .filter(col("s_i") <= col("e_j") && col("s_j") <= col("e_i"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned.length == binned.toSet.size,
+      s"claim rule must emit each pair once: ${binned.toSeq}")
+    assert(binned.toSet == naive,
+      s"missing ${naive -- binned.toSet}, extra ${binned.toSet -- naive}")
+  }
+
+  test("intervalOverlap on the events fixture equals the non-equi join") {
+    val ev = Tables.loadEvents(spark, sf)
+    val e = ev.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        floor(col("value") * 10).cast("long") * 1000000L).as("en"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("s").as("s_i"), col("en").as("e_i"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("s").as("s_j"), col("en").as("e_j"))
+    val binned = graft.operators.RangeJoin.intervalOverlap(v, c, Nil,
+        "s_i", "e_i", "s_j", "e_j", binWidth = 3600L * 1000000L)
+      .select("vid", "cid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = v.crossJoin(c)
+      .filter(col("s_i") <= col("e_j") && col("s_j") <= col("e_i"))
+      .select("vid", "cid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture should produce overlapping pairs")
+    assert(binned == naive,
+      s"missing ${naive -- binned}, extra ${binned -- naive}")
+  }
 }
 
 class SketchAccuracySpec extends SparkSpec {
