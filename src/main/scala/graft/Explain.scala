@@ -25,7 +25,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
         "j_asof", "w_topn_per_group", "e_funnel", "d_minhash_lsh",
-        "t_pipeline_e2e")
+        "t_pipeline_e2e", "j_interval", "t_passage_dedup", "e_rolling_dau",
+        "a15_regression")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
