@@ -108,6 +108,42 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Chi-square independence test on the lang × source contingency
+      * table: cell counts and marginals are exact longs; the per-cell
+      * (obs−exp)²/exp contributions are summed by an *ordered* fold over
+      * the (lang, source)-sorted cell list — float addition is not
+      * commutative-associative, so a plain double `sum` would be
+      * partitioning-dependent, while the fold is one canonical order on
+      * any engine (same trick as the entropy query). The contingency
+      * relation is marginal-sized, so collecting it into one fold row is
+      * by construction small.
+      */
+    "a16_chisq" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("lang").agg(sum("obs").as("rt"))
+      val ct = cells.groupBy("source").agg(sum("obs").as("ctot"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      val exp = col("rt").cast("double") * col("ctot").cast("double") /
+        col("n").cast("double")
+      // (obs−exp)² by plain multiplication, not pow(x, 2): IEEE `*` is
+      // bit-identical everywhere, libm pow need not be
+      val dev = col("obs").cast("double") - exp
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("nl"), col("ns"),
+          (dev * dev / exp).as("contrib"))
+        .groupBy("nl", "ns")
+        .agg(count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct(col("lang"), col("source"),
+            col("contrib")))).as("cs"))
+        .select(col("n_cells"),
+          ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+          round(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")), 6).as("chi2"))
+    }),
+
     /** Unpivot (melt) — the inverse of the reference's pivot surface: wide
       * numeric columns to long (metric, value) rows, a narrow Expand with
       * no shuffle.
@@ -585,6 +621,32 @@ object AnalyticsQueries {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a16_chisq" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, sum(obs) AS rt FROM cells GROUP BY lang),
+        |ct AS (SELECT source, sum(obs) AS ctot FROM cells GROUP BY source),
+        |tot AS (SELECT sum(obs) AS n, count(DISTINCT lang) AS nl,
+        |          count(DISTINCT source) AS ns FROM cells),
+        |c AS (SELECT cells.lang, cells.source, nl, ns,
+        |        (CAST(obs AS DOUBLE) -
+        |            CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE)) *
+        |        (CAST(obs AS DOUBLE) -
+        |            CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |          / (CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE)) AS contrib
+        |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |      CROSS JOIN tot),
+        |f AS (SELECT nl, ns, count(*) AS n_cells,
+        |        list(contrib ORDER BY lang, source) AS cs
+        |      FROM c GROUP BY nl, ns)
+        |SELECT n_cells, (nl - 1) * (ns - 1) AS dof,
+        |  round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+        |    AS chi2
+        |FROM f""".stripMargin,
 
     "a9_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (

@@ -172,6 +172,31 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** Time-weighted average (TWAP) per event type: each observation is
+      * weighted by the microseconds until the next one ((ts, event_id)
+      * total order; the last span has no successor and drops out). The
+      * value×duration products accumulate as decimals, so the weighted
+      * sum is order-independent and exact.
+      */
+    "e_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("__us").asc, col("event_id").asc)
+      events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("__us"))
+        .withColumn("__next", lead("__us", 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,4)") * (col("__next") - col("__us")))
+            .as("__vw"),
+          (col("__next") - col("__us")).as("__w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_spans"),
+          round(sum(col("__vw")).cast("double") /
+            sum(col("__w")).cast("double"), 6).as("twap"))
+        .orderBy("event_type")
+    }),
+
     /** Interval-overlap join: view-activity windows × click-activity
       * windows ([ts, ts + 10·value sec] each), executed as the binned
       * equi-join with the claim-bin rule — no nested loop, no distinct.
@@ -589,6 +614,19 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "e_twap" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |s AS (SELECT event_type, value, us,
+        |        lead(us, 1) OVER (PARTITION BY event_type
+        |          ORDER BY us ASC, event_id ASC) AS next FROM e)
+        |SELECT event_type, count(*) AS n_spans,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4)) * (next - us))
+        |      AS DOUBLE) /
+        |    CAST(sum(next - us) AS DOUBLE), 6) AS twap
+        |FROM s WHERE next IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the oracle is the plain quadratic range join — the binned equi-join
     // must produce exactly its pairs (closed-interval overlap predicate)

@@ -205,6 +205,24 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    /** Near-dup graph degree histogram — the dedup-QA report: how many
+      * docs have 0, 1, 2… near-duplicate partners. Degrees from one
+      * union+agg over the pair list; degree-0 docs re-enter via the
+      * corpus left join.
+      */
+    "d_degree_hist" -> ((s, dir) => {
+      val pairs = Dedup.shingleJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4)
+      val deg = pairs.select(col("id_i").as("doc_id"))
+        .unionAll(pairs.select(col("id_j").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      docs(s, dir).select(col("doc_id"))
+        .join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
     /** Corpus bigram PMI: pointwise mutual information of each bigram from
       * exact corpus counts — the collocation detector behind phrase
       * vocabularies. Two explode→agg streams (bigrams, unigrams), two
@@ -860,6 +878,15 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "d_degree_hist" ->
+      s"""WITH pairs AS ($jaccardPairsOracle),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT doc_i AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_j FROM pairs) GROUP BY doc_id)
+         |SELECT coalesce(degree, 0) AS degree, count(*) AS n_docs
+         |FROM documents d LEFT JOIN deg USING (doc_id)
+         |GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // full md5-minhash banding reproduced in SQL: signatures, band keys,
     // candidate join, precision/recall — one row per (bands, rows) config
