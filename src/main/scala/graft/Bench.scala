@@ -90,7 +90,7 @@ object Bench {
 
     "v_ann_topk" -> ((s: SparkSession) => {
       val embs = Tables.load(s, sfDir, "embeddings")
-      val q = embs.filter(col("vec_id") === 0L).head
+      val q = embs.filter(col("vec_id") === 0L).head()
         .getAs[scala.collection.Seq[Float]]("embedding").toSeq
       graft.operators.Similarity.topK(embs, "vec_id", "embedding", q, 10).count()
     }),

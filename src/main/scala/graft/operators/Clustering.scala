@@ -51,7 +51,7 @@ object Clustering {
       (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq)
     }
     require(cents.nonEmpty, "empty centroid set")
-    array_max(array(cents.map { case (cid, v) =>
+    array_max(array(cents.toIndexedSeq.map { case (cid, v) =>
       struct(
         round(call_function(graft.functions.VectorExpressions.COSINE_FN,
           col(vecCol), Similarity.vectorLit(v)), roundTo).as("sim"),

@@ -124,7 +124,7 @@ object Similarity {
     val spark = df.sparkSession
     val qdf = spark.range(1).select(vectorLit(query).as("qv"))
     val qBuckets: Map[Int, Long] = (0 until tables).map { t =>
-      t -> qdf.select(lshBucket(col("qv"), t, bits, planes)).head.getLong(0)
+      t -> qdf.select(lshBucket(col("qv"), t, bits, planes)).head().getLong(0)
     }.toMap
     val candidate = (0 until tables).map { t =>
       lshBucket(col(vecCol), t, bits, planes) === qBuckets(t)
@@ -150,7 +150,7 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int = 16, iters: Int = 2): (DataFrame, Seq[(Int, Seq[Float])]) = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     var centroids: Seq[(Int, Seq[Float])] =
       df.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol)).collect().zipWithIndex

@@ -33,7 +33,7 @@ object PipelineQueries {
        |  ELSE [] END)""".stripMargin.replaceAll("\n", " ")
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
-    embs(s, dir).filter(col("vec_id") === 0L).head
+    embs(s, dir).filter(col("vec_id") === 0L).head()
       .getAs[scala.collection.Seq[Float]]("embedding").toSeq
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
