@@ -21,6 +21,24 @@ object Sampling {
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") /
       lit(1152921504606846976.0) // 2^60
 
+  /** Deterministic n-way split assignment: each row lands in the first
+    * split whose cumulative fraction exceeds its stable uniform hash —
+    * train/val/test carving as one codegen'd projection, reproducible
+    * across runs, partitionings, and engines, and stable under corpus
+    * growth (a doc's split never changes when other docs are added).
+    * `splits` maps name → fraction; fractions must sum to ≤ 1, with any
+    * remainder falling into the last split.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "splitAssign needs at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions exceed 1")
+    val u = hashUniform(id)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), acc) => when(u < bound, lit(name)).otherwise(acc)
+    }
+  }
+
   /** Keep each row iff hashUniform(id) < rate(stratum). `rates` maps
     * stratum value → sampling rate; absent strata fall back to
     * `defaultRate`. One codegen'd projection, no shuffle.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Retrieval, Similarity}
+import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Retrieval, Sampling, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline query surface: text analysis, dedup, similarity
@@ -203,6 +203,46 @@ object PipelineQueries {
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
+    }),
+
+    /** Deterministic stratified train/val/test carve: split membership is
+      * a pure hash of the doc id (stable under corpus growth and
+      * partitioning), reported per (lang, split) with in-lang shares.
+      */
+    "t_split" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      docs(s, dir).select(col("lang"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          round(col("n_docs").cast("double") /
+            sum("n_docs").over(w).cast("double"), 6))
+        .orderBy("lang", "split")
+    }),
+
+    /** Duplicate-n-gram coverage (RefinedWeb-style): per doc, the
+      * fraction of its distinct 5-grams that occur in at least one other
+      * document — explode → df aggregate → join back on the gram, the
+      * same inverted-index shape as the Jaccard join but linear (no
+      * pair enumeration).
+      */
+    "t_dup_ngram" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col("text")), 5))).as("g"))
+      val dfg = sh.groupBy("g").agg(count(lit(1)).as("dfg"))
+      val per = sh.join(dfg, "g").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfg") > 1, 1).otherwise(0)).as("n_dup"))
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(col("n_dup").cast("double") /
+              col("n_grams").cast("double"), 6)).as("dup_frac"))
+        .orderBy("doc_id")
     }),
 
     /** Near-dup graph degree histogram — the dedup-QA report: how many
@@ -878,6 +918,42 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    // the CASE chain mirrors splitAssign's when-cascade over the same
+    // cumulative bounds; the hash-uniform idiom is the shared one
+    "t_split" ->
+      s"""WITH s AS (SELECT lang,
+         |    CASE WHEN ${OracleIdioms.uniformSql("doc_id")} < 0.8 THEN 'train'
+         |         WHEN ${OracleIdioms.uniformSql("doc_id")} < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |c AS (SELECT lang, split, count(*) AS n_docs FROM s
+         |      GROUP BY lang, split)
+         |SELECT lang, split, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         |    AS share
+         |FROM c ORDER BY lang, split""".stripMargin,
+
+    "t_dup_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(tk) >= 5
+         |          THEN list_transform(generate_series(1, len(tk) - 4),
+         |               i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |          ELSE [] END)) AS g
+         |      FROM t),
+         |d AS (SELECT g, count(*) AS dfg FROM g GROUP BY g),
+         |p AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CASE WHEN dfg > 1 THEN 1 ELSE 0 END) AS n_dup
+         |      FROM g JOIN d USING (g) GROUP BY doc_id)
+         |SELECT doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN round(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         |  END AS dup_frac
+         |FROM documents LEFT JOIN p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_degree_hist" ->
       s"""WITH pairs AS ($jaccardPairsOracle),

@@ -156,6 +156,24 @@ class SamplingSpec extends SparkSpec {
   private def table = (0L until 2000L).map(i =>
     (i, if (i % 3 == 0) "a" else "b", (i % 100) + 1)).toDF("id", "s", "w")
 
+  test("splitAssign partitions every row into exactly one split, stably") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val once = table.select(col("id"),
+        Sampling.splitAssign(col("id"), splits).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total partition: every row got a split, shares roughly honored
+    assert(once.size == 2000)
+    val bydRaw = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bydRaw("train") > 1400 && bydRaw("train") < 1800)
+    assert(bydRaw.keySet == Set("train", "val", "test"))
+    // growth-stability: the same ids keep their split in a larger corpus
+    val bigger = (0L until 4000L).toDF("id")
+      .select(col("id"), Sampling.splitAssign(col("id"), splits).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once.forall { case (id, sp) => bigger(id) == sp })
+  }
+
   test("stratifiedSample is deterministic and partitioning-invariant") {
     val rates = Map("a" -> 0.5, "b" -> 0.2)
     val once = Sampling.stratifiedSample(table, "s", "id", rates)
