@@ -205,6 +205,19 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    /** Exact heavy hitters over the token stream via the two-pass
+      * SpaceSaving scheme: pass 1 carries O(capacity) state per partition
+      * (never the vocabulary), pass 2 exact-counts only the broadcast
+      * candidates — the oracle is the plain exact-count filter the scheme
+      * must reproduce.
+      */
+    "t_heavy" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      graft.operators.Frequency.exactHeavyHitters(toks, "term",
+        minFrac = 0.03)
+    }),
+
     /** Deterministic stratified train/val/test carve: split membership is
       * a pure hash of the doc id (stable under corpus growth and
       * partitioning), reported per (lang, split) with in-lang shares.
@@ -918,6 +931,16 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    "t_heavy" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |n AS (SELECT count(*) AS n FROM tok),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+         |SELECT term, cnt,
+         |  round(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS share
+         |FROM c CROSS JOIN n
+         |WHERE cnt >= ceil(0.03 * n.n)
+         |ORDER BY cnt DESC, term""".stripMargin,
 
     // the CASE chain mirrors splitAssign's when-cascade over the same
     // cumulative bounds; the hash-uniform idiom is the shared one
