@@ -54,6 +54,31 @@ object MaintenanceQueries {
       Merge.upsert(t, changeset(t), Seq("c_custkey")).orderBy("c_custkey")
     }),
 
+    /** Point-in-time dimension join: each order picks the customer-dim
+      * version valid AT its order date — the canonical fact × SCD2 lookup,
+      * expressed as the existing as-of join (merge-and-carry-forward, one
+      * shuffle, O(1) state per key), not a version range join. Dim
+      * history: base version from 1990, +100 balance revision from
+      * 1998-06-01 for every 7th customer.
+      */
+    "j_pit" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val v1 = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        lit("1990-01-01 00:00:00").cast("timestamp").as("ts"))
+      val v2 = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal") + 100.0).as("bal"),
+          lit("1998-06-01 00:00:00").cast("timestamp").as("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("k"),
+          col("o_orderdate").as("ts"))
+      graft.operators.AsOfJoin.asofBackward(orders, v1.unionByName(v2),
+          "k", "ts", carry = Seq("bal"))
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("asof_bal").as("bal_at_order"))
+        .orderBy("o_orderkey")
+    }),
+
     /** Full I/U/D MERGE: deletes (every 13th key not also updated),
       * updates (every 7th), re-keyed inserts (every 50th, +1M). validate
       * on: exercises the duplicate-key and unknown-op fast-fail path.
@@ -208,6 +233,22 @@ object MaintenanceQueries {
     "o_upsert" ->
       s"""WITH $upsertCte
          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "j_pit" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal,
+        |         TIMESTAMP '1990-01-01 00:00:00' AS vts FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100.0,
+        |         TIMESTAMP '1998-06-01 00:00:00'
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT o_orderkey, o_custkey, bal AS bal_at_order FROM (
+        |  SELECT o.o_orderkey, o.o_custkey, d.bal,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY d.vts DESC) AS rn
+        |  FROM orders o
+        |  JOIN dim d ON o.o_custkey = d.k AND d.vts <= o.o_orderdate)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "o_changeset" ->
       """WITH ch AS (
