@@ -193,9 +193,15 @@ object CorpusSignals {
           sequence(lit(0), floor((size(col("tk")) - 1) / lit(window)).cast("int")),
           i => array_join(slice(col("tk"), i * window + 1, lit(window)), " ")))
           .as(Seq("p_idx", "passage")))
-    val keeper = chunks.groupBy("passage")
+    // The keeper aggregate and join-back key on the passage's 128-bit md5,
+    // not the passage text: the exchange then carries 16 bytes + ids per
+    // row instead of the ~window-token string (the text rides only on the
+    // chunks side, where reassembly needs it). Equality-by-fingerprint is
+    // the standard exact-dedup contract (collision odds ~n²/2¹²⁸).
+    val keyed = chunks.withColumn("__fp", md5(col("passage")))
+    val keeper = keyed.groupBy("__fp")
       .agg(min(struct(col("doc_id"), col("p_idx"))).as("__keep"))
-    val kept = chunks.join(keeper, "passage")
+    val kept = keyed.join(keeper, "__fp")
       .filter(struct(col("doc_id"), col("p_idx")) === col("__keep"))
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),

@@ -241,9 +241,13 @@ object PipelineQueries {
       * pair enumeration).
       */
     "t_dup_ngram" -> ((s, dir) => {
+      // df-count and join-back key on the gram's md5, not the 5-gram
+      // string — 16 bytes per row through both exchanges (same
+      // fingerprint-equality contract as passageDedup)
       val sh = docs(s, dir).select(col("doc_id"),
         explode(array_distinct(TextFunctions.shinglesFromTokens(
-          TextFunctions.tokens(col("text")), 5))).as("g"))
+          TextFunctions.tokens(col("text")), 5))).as("__g"))
+        .select(col("doc_id"), md5(col("__g")).as("g"))
       val dfg = sh.groupBy("g").agg(count(lit(1)).as("dfg"))
       val per = sh.join(dfg, "g").groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
