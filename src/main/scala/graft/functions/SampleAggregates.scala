@@ -80,11 +80,17 @@ case class BottomKSample(
   override def eval(buf: mutable.PriorityQueue[(String, Long)]): Any =
     new GenericArrayData(buf.toArray.sorted(ord).map(_._2))
 
+  // length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps entries at
+  // 64 KB, and the sort key is caller-supplied (hashes today, but nothing
+  // enforces short strings)
   override def serialize(buf: mutable.PriorityQueue[(String, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, p) => out.writeUTF(s); out.writeLong(p) }
+    buf.foreach { case (s, p) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(p)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -93,7 +99,14 @@ case class BottomKSample(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.enqueue((in.readUTF(), in.readLong())); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.enqueue((new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong()))
+      i += 1
+    }
     buf
   }
 
@@ -112,6 +125,8 @@ object SampleAggregates {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BOTTOMK_FN, { exprs =>
+        require(exprs.length == 3,
+          s"$BOTTOMK_FN expects (sortKey, payload, k), got ${exprs.length} args")
         val k = exprs(2) match {
           case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
           case other => throw new IllegalArgumentException(

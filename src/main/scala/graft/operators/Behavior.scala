@@ -160,18 +160,6 @@ object Behavior {
     grid.join(hourly, Seq("__k", "__hr"), "left")
   }
 
-  /** First-touch attribution: credit each user's conversion to the channel
-    * of their very first event (total order (ts, id) — the unique event id
-    * breaks timestamp ties, so "first" is deterministic on any engine). A
-    * user counts as converted if any *later* event is of `convType`; a
-    * conversion that IS the first event doesn't self-attribute.
-    *
-    * Shape: one window pass keyed on the user (rank + first-value share
-    * the same sort), one per-user aggregate on the same key (so the window
-    * exchange is reused), then a channel-level aggregate over a
-    * cardinality-|channels| relation. Returns (channel, n_users,
-    * n_converted, conv_rate) — rate rounded to 6dp.
-    */
   /** Trailing-`days`-day rolling distinct actives (e.g. 7-day DAU): for
     * each observed calendar day, the count of distinct users active in the
     * trailing window ending that day.
@@ -198,6 +186,18 @@ object Behavior {
       .groupBy("day").agg(countDistinct(col("__u")).as("active_users"))
   }
 
+  /** First-touch attribution: credit each user's conversion to the channel
+    * of their very first event (total order (ts, id) — the unique event id
+    * breaks timestamp ties, so "first" is deterministic on any engine). A
+    * user counts as converted if any *later* event is of `convType`; a
+    * conversion that IS the first event doesn't self-attribute.
+    *
+    * Shape: one window pass keyed on the user (rank + first-value share
+    * the same sort), one per-user aggregate on the same key (so the window
+    * exchange is reused), then a channel-level aggregate over a
+    * cardinality-|channels| relation. Returns (channel, n_users,
+    * n_converted, conv_rate) — rate rounded to 6dp.
+    */
   def firstTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
                             idCol: String, typeCol: String,
                             convType: String): DataFrame = {

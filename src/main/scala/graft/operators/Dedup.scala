@@ -106,7 +106,11 @@ object Dedup {
     */
   def shingleContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // cached for the same reason as shingleJaccardPairs: both aliased join
+    // sides derive from this relation, and neither CSE nor exchange reuse
+    // dedupes differently-projected subtrees — uncached, tokenize+shingle
+    // would run twice
+    val sets = shingleSets(df, idCol, textCol, n).cache()
     val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = inv.select(col("s"), col("id").as("id_i"), col("n_sh").as("n_i"))
     val b = inv.select(col("s"), col("id").as("id_j"), col("n_sh").as("n_j"))

@@ -53,6 +53,18 @@ object Graph {
     // division (r*w) div out happens map-side inside the join projection
     val ew = e.join(e.groupBy("__src").agg(sum("__w").as("__out")), "__src")
       .localCheckpoint(eager = true)
+    // a rank can hold up to the full `scale` mass, so the per-edge product
+    // r*w overflows 64 bits once any weight exceeds Long.MaxValue/scale
+    // (~9.2e6 at the default scale) — Spark's non-ANSI multiply would wrap
+    // silently; fail loudly instead (the check reads the tiny pinned edge
+    // relation, one cheap job). Heavier graphs: pre-normalize the weights
+    // or lower `scale`.
+    val maxWRow = ew.agg(max("__w")).head()
+    val maxW = if (maxWRow.isNullAt(0)) 0L else maxWRow.getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"edge weight $maxW would overflow rank*weight at scale=$scale; " +
+        s"max supported is ${Long.MaxValue / scale} — rescale the weights " +
+        "or pass a smaller scale")
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
       .distinct().localCheckpoint(eager = true)

@@ -88,7 +88,11 @@ object Merge {
       require(dup.isEmpty,
         s"changeset has multiple rows for key (${keys.mkString(",")}) = " +
           s"(${dup.head.toSeq.init.mkString(",")})")
-      val badOp = changes.filter(!col(opCol).isin("I", "U", "D"))
+      // NULL must fail too: `!isin` alone is NULL for a NULL op, which a
+      // WHERE silently drops — and an unvalidated NULL op would act as a
+      // delete (knocked out by the anti join, never unioned back)
+      val badOp = changes.filter(col(opCol).isNull ||
+          !col(opCol).isin("I", "U", "D"))
         .select(opCol).limit(1).collect()
       require(badOp.isEmpty,
         s"unknown changeset op '${badOp.head.get(0)}' (want I/U/D)")

@@ -637,9 +637,9 @@ object BehaviorQueries {
         |      CAST(floor(value * 10) AS BIGINT) * 1000000 AS e_us
         |  FROM events),
         |v AS (SELECT event_id AS view_id, s_us AS s_i, e_us AS e_i FROM e
-        |      WHERE event_type = 'view'),
+        |      WHERE event_type = 'view' AND e_us >= s_us),
         |c AS (SELECT event_id AS click_id, s_us AS s_j, e_us AS e_j FROM e
-        |      WHERE event_type = 'click')
+        |      WHERE event_type = 'click' AND e_us >= s_us)
         |SELECT view_id, click_id,
         |  least(e_i, e_j) - greatest(s_i, s_j) AS overlap_us
         |FROM v JOIN c ON s_i <= e_j AND s_j <= e_i

@@ -47,6 +47,12 @@ class MergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Merge.applyChangeset(target, badOp, Seq("k"), validate = true)
     }
+    // NULL op must fail validation too (it would otherwise silently delete)
+    val nullOp = Seq((1L, "x", 1.0, Option.empty[String]))
+      .toDF("k", "name", "v", "op")
+    intercept[IllegalArgumentException] {
+      Merge.applyChangeset(target, nullOp, Seq("k"), validate = true)
+    }
     // missing op column fails fast regardless of validate
     intercept[IllegalArgumentException] {
       Merge.applyChangeset(target, target, Seq("k"))
