@@ -108,6 +108,23 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Inverse percentile (percentile *rank*): for fixed probe values,
+      * the fraction of each group's rows at or below the probe — exact
+      * integer counts, one pass, no sort (contrast a4, which inverts the
+      * question and needs the exact-percentile machinery).
+      */
+    "a17_inv_percentile" -> ((s, dir) => {
+      val probes = Seq(10000.0, 50000.0, 90000.0)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          explode(array(probes.map(lit): _*)).as("probe"))
+        .groupBy("l_returnflag", "probe")
+        .agg(round(sum(when(col("l_extendedprice") <= col("probe"), 1)
+            .otherwise(0)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("frac_at_or_below"))
+        .orderBy("l_returnflag", "probe")
+    }),
+
     /** Chi-square independence test on the lang × source contingency
       * table: cell counts and marginals are exact longs; the per-cell
       * (obs−exp)²/exp contributions are summed by an *ordered* fold over
@@ -621,6 +638,16 @@ object AnalyticsQueries {
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a17_inv_percentile" ->
+      """SELECT l_returnflag, probe,
+        |  round(CAST(sum(CASE WHEN l_extendedprice <= probe
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS frac_at_or_below
+        |FROM lineitem,
+        |  (SELECT unnest([10000.0, 50000.0, 90000.0]) AS probe)
+        |GROUP BY l_returnflag, probe
+        |ORDER BY l_returnflag, probe""".stripMargin,
 
     "a16_chisq" ->
       """WITH cells AS (SELECT lang, source, count(*) AS obs

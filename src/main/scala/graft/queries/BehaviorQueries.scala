@@ -172,6 +172,27 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** Inter-event gap distribution per event type: p50/p90/max of the
+      * microsecond gaps between consecutive events ((ts, id) total
+      * order) — the burstiness report; a4's exact-percentile idiom over
+      * exact long gaps.
+      */
+    "e_gap_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("__us").asc, col("event_id").asc)
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("__us"))
+        .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
+        .filter(col("__gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(__gap, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(__gap, 0.9)"), 4).as("p90_us"),
+          max("__gap").as("max_us"))
+        .orderBy("event_type")
+    }),
+
     /** Time-weighted average (TWAP) per event type: each observation is
       * weighted by the microseconds until the next one ((ts, event_id)
       * total order; the last span has no successor and drops out). The
@@ -614,6 +635,19 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "e_gap_stats" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |        us - lag(us, 1) OVER (PARTITION BY event_type
+        |          ORDER BY us ASC, event_id ASC) AS gap FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(gap, 0.9), 4) AS p90_us,
+        |  max(gap) AS max_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e_twap" ->
       """WITH e AS (SELECT event_type, event_id, value,
