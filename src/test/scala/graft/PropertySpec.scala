@@ -169,4 +169,69 @@ class PropertySpec extends SparkSpec {
         (0L until keep.distinct.size))
     }
   }
+
+  test("law: passageDedup conserves passages — Σ n_kept = |distinct passages|") {
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.listOfN(7, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.CorpusSignals.passageDedup(
+        d, "doc_id", "text", window = 2).collect()
+      val keptTotal = out.map(_.getLong(2)).sum
+      // every distinct passage survives exactly once corpus-wide
+      val distinctPassages = d
+        .select(explode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(3)),
+          i => array_join(slice(split(col("text"), " "), i * 2 + 1, lit(2)), " ")))
+          .as("p"))
+        .filter(col("p") =!= "").distinct().count()
+      assert(keptTotal == distinctPassages,
+        s"kept $keptTotal != distinct $distinctPassages for $texts")
+    }
+  }
+
+  test("law: applyChangeset row-count arithmetic holds for disjoint-keyed deltas") {
+    import spark.implicits._
+    val tgt = (0L until 20L).map(k => (k, k * 2)).toDF("k", "v")
+    forAll(Gen.zip(
+      Gen.someOf(0L until 20L),            // deletes from target
+      Gen.someOf(20L until 30L))) { case (delsRaw, insRaw) =>
+      val dels = delsRaw.toSeq.distinct
+      val ins = insRaw.toSeq.distinct
+      val ch = (dels.map(k => (k, 0L, "D")) ++ ins.map(k => (k, k, "I")))
+        .toDF("k", "v", "op")
+      if (ch.count() > 0) {
+        val out = graft.operators.Merge.applyChangeset(
+          tgt, ch, Seq("k"), validate = true)
+        assert(out.count() == 20 - dels.size + ins.size)
+        // deletes gone, inserts present
+        val keys = out.select("k").collect().map(_.getLong(0)).toSet
+        assert(dels.forall(!keys(_)) && ins.forall(keys(_)))
+      }
+    }
+  }
+
+  test("law: intervalOverlap equals the naive join on random interval sets") {
+    import spark.implicits._
+    val iv = Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 12L))
+      .map { case (s, len) => (s, s + len) }
+    forAll(Gen.zip(Gen.listOfN(8, iv), Gen.listOfN(8, iv))) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("lid", "s_i", "e_i")
+      val r = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("rid", "s_j", "e_j")
+      val binned = graft.operators.RangeJoin.intervalOverlap(
+          l, r, Nil, "s_i", "e_i", "s_j", "e_j", binWidth = 5L)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val naive = l.crossJoin(r)
+        .filter(col("s_i") <= col("e_j") && col("s_j") <= col("e_i"))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(binned.length == binned.toSet.size, s"dup pair in ${binned.toSeq}")
+      assert(binned.toSet == naive)
+    }
+  }
 }
