@@ -67,6 +67,21 @@ object Similarity {
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
 
+  /** Incremental top-k maintenance: top-k(A ∪ B) = top-k(top-k(A) ∪
+    * top-k(B)) under the (sim desc, id) total order, so an interactive
+    * session keeps a k-row state per query and folds in each arriving
+    * batch by scanning only the batch — never re-scanning the base corpus
+    * (the incremental-session pattern of the EDBT 2020 top-k similarity
+    * framework in PAPERS.md). The merge itself is a k·|states|-row
+    * re-rank — driver-trivial, exact, and associative, so states compose
+    * across any batch arrival order.
+    */
+  def mergeTopK(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "mergeTopK needs at least one state")
+    states.reduce(_ unionByName _)
+      .orderBy(col("sim").desc, col("id")).limit(k)
+  }
+
   /** Brute-force top-k most-similar *pairs* (the near-dup-by-embedding
     * surface). O(n²/2) — correctness baseline and small-n path; the scale
     * path is [[lshTopK]] buckets or a vector index outside this engine.

@@ -539,6 +539,19 @@ object PipelineQueries {
       Similarity.topKPairs(embs(s, dir), "vec_id", "embedding", k = 20)
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")),
 
+    /** Incremental top-k: per-batch top-k states merged instead of a full
+      * recompute — must equal the whole-corpus brute-force top-k exactly
+      * (the oracle is the same SQL as v_ann_topk).
+      */
+    "v_ann_incr" -> ((s, dir) => {
+      val all = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val q = queryVec(s, dir)
+      val states = (0 until 5).map(m =>
+        Similarity.topK(all.filter(col("vec_id") % 5 === m),
+          "vec_id", "embedding", q, k = 10))
+      Similarity.mergeTopK(states, k = 10).withColumnRenamed("id", "vec_id")
+    }),
+
     // LSH-bucketed ANN — scale path; xxhash64 planes, no SQL equivalent
     "v_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
@@ -1172,6 +1185,8 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "v_ann_topk" -> annTopkOracle,
+    // incremental == full recompute is the contract: same oracle
+    "v_ann_incr" -> annTopkOracle,
 
     "v_ann_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
