@@ -54,6 +54,26 @@ object MaintenanceQueries {
       Merge.upsert(t, changeset(t), Seq("c_custkey")).orderBy("c_custkey")
     }),
 
+    /** Dynamic partition overwrite — the backfill/repair primitive: revise
+      * ONE partition's rows and rewrite only that partition in place
+      * (partitionOverwriteMode=dynamic replaces exactly the partitions
+      * present in the incoming frame; static overwrite would truncate the
+      * whole dataset). The read-back must equal corpus-with-revision.
+      */
+    "o_partition_overwrite" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = graft.io.Scratch.dir(s, "po_docs")
+      graft.io.Formats.writePartitioned(d, out, Seq("lang"))
+      d.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     /** Point-in-time dimension join: each order picks the customer-dim
       * version valid AT its order date — the canonical fact × SCD2 lookup,
       * expressed as the existing as-of join (merge-and-carry-forward, one
@@ -233,6 +253,11 @@ object MaintenanceQueries {
     "o_upsert" ->
       s"""WITH $upsertCte
          |SELECT * FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "o_partition_overwrite" ->
+      """SELECT doc_id, text, lang, source,
+        |  CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j_pit" ->
       """WITH dim AS (
