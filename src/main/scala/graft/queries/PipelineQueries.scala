@@ -78,6 +78,21 @@ object PipelineQueries {
         TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    /** Language-ID confidence margin: best marker-hit count minus the
+      * runner-up's — the filter signal for "confidently monolingual"
+      * curation (margin 0 = ambiguous). Exact ints, one projection.
+      */
+    "t_lang_margin" -> ((s, dir) => {
+      val hits = TextFunctions.langMarkers.toSeq.sortBy(_._1)
+        .map { case (_, ms) =>
+          TextFunctions.markerHits(col("text"), ms).cast("long") }
+      val sorted = reverse(array_sort(array(hits: _*)))
+      docs(s, dir).select(col("doc_id"),
+          sorted.getItem(0).as("top_hits"),
+          (sorted.getItem(0) - sorted.getItem(1)).as("margin"))
+        .orderBy("doc_id")
+    }),
+
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -820,6 +835,19 @@ object PipelineQueries {
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "t_lang_id" -> langIdOracle,
+
+    "t_lang_margin" -> {
+      val hitExprs = TextFunctions.langMarkers.toSeq.sortBy(_._1)
+        .map { case (_, ms) =>
+          val set = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter($toksSql, x -> x IN ($set)))"
+        }.mkString(", ")
+      s"""WITH h AS (SELECT doc_id,
+         |    list_reverse_sort([$hitExprs]) AS hs
+         |  FROM documents)
+         |SELECT doc_id, hs[1] AS top_hits, hs[1] - hs[2] AS margin
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "t_pipeline_e2e" -> pipelineOracle,
 
     "t_top_terms" ->
