@@ -78,7 +78,13 @@ object Similarity {
     */
   def mergeTopK(states: Seq[DataFrame], k: Int): DataFrame = {
     require(states.nonEmpty, "mergeTopK needs at least one state")
+    // dedup by id first: states may overlap (at-least-once delivery, a
+    // merged state re-merged with a constituent) and a duplicated id would
+    // crowd out a legitimate kth neighbor — the dedup is what makes the
+    // merge idempotent, not just associative. Same id ⇒ same sim (one
+    // query), so max is a no-op tie-break.
     states.reduce(_ unionByName _)
+      .groupBy("id").agg(max(col("sim")).as("sim"))
       .orderBy(col("sim").desc, col("id")).limit(k)
   }
 

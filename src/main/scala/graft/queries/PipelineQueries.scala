@@ -838,10 +838,7 @@ object PipelineQueries {
 
     "t_lang_margin" -> {
       val hitExprs = TextFunctions.langMarkers.toSeq.sortBy(_._1)
-        .map { case (_, ms) =>
-          val set = ms.map(m => s"'$m'").mkString(", ")
-          s"len(list_filter($toksSql, x -> x IN ($set)))"
-        }.mkString(", ")
+        .map { case (_, ms) => langHitSql(ms) }.mkString(", ")
       s"""WITH h AS (SELECT doc_id,
          |    list_reverse_sort([$hitExprs]) AS hs
          |  FROM documents)
@@ -1447,11 +1444,19 @@ object PipelineQueries {
   /** Argmax-with-lexicographic-ties oracle mirroring TextFunctions.langId's
     * left-to-right strict-> fold over langs sorted ascending.
     */
+  /** DuckDB mirror of TextFunctions.markerHits for one marker set —
+    * single copy shared by langIdOracle and t_lang_margin so the quoting
+    * and token-mirror logic can't drift between the two oracles.
+    */
+  private def langHitSql(ms: Seq[String]): String = {
+    val set = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter($toksSql, x -> x IN ($set)))"
+  }
+
   private lazy val langIdOracle: String = {
     val langs = TextFunctions.langMarkers.toSeq.sortBy(_._1) // de,en,es,fr,zh
     val hitDefs = langs.map { case (l, ms) =>
-      val set = ms.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter($toksSql, x -> x IN ($set))) AS hits_$l"
+      s"${langHitSql(ms)} AS hits_$l"
     }.mkString(",\n    ")
     // fold keeps current unless strictly greater → earliest lang wins ties
     val codes = langs.map(_._1)

@@ -111,6 +111,22 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall too low; exact=$exact approx=$approx")
   }
+
+  test("mergeTopK is idempotent under overlapping/re-delivered states") {
+    val base = embs.filter(col("vec_id") =!= 0L)
+    val full = Similarity.topK(base, "vec_id", "embedding", query, 10)
+    val expected = full.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same state twice, plus a merged state re-merged with a constituent:
+    // dedup-by-id must keep the result identical to the single state
+    val twice = Similarity.mergeTopK(Seq(full, full), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(twice == expected, s"dup states changed top-k: $twice")
+    val half = Similarity.topK(base.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", query, 10)
+    val remerged = Similarity.mergeTopK(Seq(full, half), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(remerged == expected, s"re-merge changed top-k: $remerged")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

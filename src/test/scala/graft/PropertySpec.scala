@@ -202,14 +202,13 @@ class PropertySpec extends SparkSpec {
       val ins = insRaw.toSeq.distinct
       val ch = (dels.map(k => (k, 0L, "D")) ++ ins.map(k => (k, k, "I")))
         .toDF("k", "v", "op")
-      if (ch.count() > 0) {
-        val out = graft.operators.Merge.applyChangeset(
-          tgt, ch, Seq("k"), validate = true)
-        assert(out.count() == 20 - dels.size + ins.size)
-        // deletes gone, inserts present
-        val keys = out.select("k").collect().map(_.getLong(0)).toSet
-        assert(dels.forall(!keys(_)) && ins.forall(keys(_)))
-      }
+      // no non-empty guard: the empty changeset must be the identity
+      val out = graft.operators.Merge.applyChangeset(
+        tgt, ch, Seq("k"), validate = true)
+      assert(out.count() == 20 - dels.size + ins.size)
+      // deletes gone, inserts present
+      val keys = out.select("k").collect().map(_.getLong(0)).toSet
+      assert(dels.forall(!keys(_)) && ins.forall(keys(_)))
     }
   }
 
