@@ -708,6 +708,25 @@ object PipelineQueries {
       EventStreams.windowedCounts(Tables.loadEvents(s, dir), "1 hour")
         .orderBy("win_start", "event_type")),
 
+    /** Stream-static enrichment join: the event stream joins a broadcast
+      * static reference (per-type average value, computed batch-side) and
+      * flags above-average events — the stateless lookup-enrichment
+      * pattern, run as a REAL append-mode stream (no state store, no
+      * watermark needed) and checked against the all-batch oracle.
+      */
+    "st_enrich" -> ((s, dir) => {
+      val static = Tables.loadEvents(s, dir).groupBy("event_type")
+        .agg(round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_v"))
+      EventStreams.runAvailableNow(s, s"$dir/events.parquet",
+        _.join(broadcast(static), "event_type")
+          .filter(col("value") > col("avg_v"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("avg_v")),
+        "st_enrich", outputMode = "append")
+        .orderBy("event_id")
+    }),
+
     /** Streaming trending report: 6-hour windowed counts maintained by a
       * REAL streaming aggregation (AvailableNow over the events
       * directory), then a per-window top-3 rank applied to the stream's
@@ -1281,6 +1300,15 @@ object PipelineQueries {
 
     "st_window_counts" -> windowCountsOracle,
     "e_batch_window" -> windowCountsOracle,
+
+    "st_enrich" ->
+      """WITH a AS (SELECT event_type,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS avg_v
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, avg_v
+        |FROM events e JOIN a USING (event_type)
+        |WHERE value > avg_v ORDER BY event_id""".stripMargin,
 
     "st_trending" ->
       """WITH c AS (
