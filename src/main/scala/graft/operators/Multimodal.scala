@@ -61,6 +61,28 @@ object Multimodal {
       else payload.grouped(math.max(1, payload.length / every)).take(every).toSeq
     }
 
+    /** Overlapping analysis windows with per-window "energy" (sum of
+      * unsigned byte values) — the audio-DSP stand-in: a real codec would
+      * decode PCM and compute RMS per frame here; the windowing
+      * arithmetic, overlap handling, and per-window reduction are the
+      * Spark-relevant parts and are real. Returns (n_bytes, energy) per
+      * window, windows starting every `stride` bytes, `win` bytes long
+      * (last windows truncate).
+      */
+    def windowEnergies(payload: Array[Byte], win: Int,
+                       stride: Int): Seq[(Int, Long)] = {
+      if (payload == null || payload.length == 0) Seq.empty
+      else (0 until payload.length by stride).map { start =>
+        val n = math.min(win, payload.length - start)
+        var e = 0L
+        var i = 0
+        while (i < n) {
+          e += java.lang.Byte.toUnsignedInt(payload(start + i)); i += 1
+        }
+        (n, e)
+      }
+    }
+
     /** Fake resize: stride-subsample the payload down to ≤`target` bytes
       * (byte i*k for k = len/target) — a real codec would decode, scale,
       * and re-encode here; the *shape* (bounded output per row) is what the
@@ -163,6 +185,31 @@ object Multimodal {
                             targetMB: Int = 128): DataFrame = {
     val parts = math.max(1L, totalBytes / (targetMB.toLong << 20)).toInt
     df.repartition(parts)
+  }
+
+  /** Overlapping energy windows per payload (audio-frame shape): one
+    * output row per window via the same `mapPartitions` codec boundary as
+    * [[sampleFrames]] — overlap means rows share bytes, so this must
+    * explode codec-side, never by duplicating the payload column.
+    * Output: input columns + (win_idx, n_bytes, energy).
+    */
+  def audioWindows(df: DataFrame, binCol: String, win: Int = 256,
+                   stride: Int = 128): DataFrame = {
+    require(win >= 1 && stride >= 1, "win and stride must be >= 1")
+    val schema = StructType(df.schema.fields)
+      .add(StructField("win_idx", IntegerType, nullable = false))
+      .add(StructField("n_bytes", IntegerType, nullable = false))
+      .add(StructField("energy", LongType, nullable = false))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        StubCodec.windowEnergies(r.getAs[Array[Byte]](binIdx), win, stride)
+          .zipWithIndex.map { case ((n, e), i) =>
+            Row.fromSeq(r.toSeq :+ i :+ n :+ e)
+          }
+      }
+    }(enc)
   }
 
   /** ViT-style patch extraction: split each payload into a `grid`×`grid`

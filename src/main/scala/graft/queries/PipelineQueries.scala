@@ -335,6 +335,17 @@ object PipelineQueries {
           length(col("patch")).as("n_bytes"), md5(col("patch")).as("digest"))
         .orderBy("doc_id", "patch_row", "patch_col")),
 
+    /** Overlapping audio-style energy windows (256-byte windows, stride
+      * 128) through the mapPartitions codec boundary; energy = exact sum
+      * of unsigned bytes, so the ASCII corpus mirrors as ord() sums.
+      */
+    "m_audio_energy" -> ((s, dir) =>
+      Multimodal.audioWindows(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload", win = 256, stride = 128)
+        .select("doc_id", "win_idx", "n_bytes", "energy")
+        .orderBy("doc_id", "win_idx")),
+
     /** Passage-level dedup: 20-token chunks, first corpus-wide occurrence
       * survives, documents reassembled from surviving chunks — the
       * boilerplate-removal pass between exact and fuzzy dedup.
@@ -920,6 +931,22 @@ object PipelineQueries {
          |JOIN cw b ON string_split(bg, ' ')[2] = b.w
          |CROSS JOIN nb CROSS JOIN nw
          |ORDER BY c2 DESC, bg LIMIT 20""".stripMargin,
+
+    /** ASCII corpus ⇒ byte == ord(char); windows start every 128 bytes
+      * while start < len, truncating at the end — mirrors
+      * StubCodec.windowEnergies exactly.
+      */
+    "m_audio_energy" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS len FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS INT) AS win_idx, i * 128 AS st,
+        |        least(256, len - i * 128) AS n_bytes, text
+        |      FROM d, unnest(generate_series(0, (len - 1) // 128)) AS g(i)
+        |      WHERE len > 0)
+        |SELECT doc_id, win_idx, CAST(n_bytes AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(generate_series(1, n_bytes),
+        |    j -> ord(substr(text, st + j, 1)))) AS BIGINT) AS energy
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     /** Same ASCII-corpus byte/char equivalence as m_resize/m_frames; the
       * grid arithmetic mirrors patchGrid (c = len // 4, drop partials).

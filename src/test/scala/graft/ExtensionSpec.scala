@@ -160,6 +160,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() <= 40 && frames.count() >= 10)
   }
 
+  test("audioWindows: overlap, truncation, and exact byte-sum energies") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](10)(i => (i + 1).toByte) // 1..10
+    val d = Seq((1L, payload), (2L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioWindows(d, "payload", win = 6, stride = 4)
+      .select("doc_id", "win_idx", "n_bytes", "energy")
+      .orderBy("doc_id", "win_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // windows at 0,4,8: [1..6]=21, [5..10]=45, [9,10]=19 (truncated)
+    assert(got.toSeq === Seq((1L, 0, 6, 21L), (1L, 1, 6, 45L), (1L, 2, 2, 19L)))
+    // empty payload emits no windows
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("patchGrid reconstructs the payload prefix in row-major order") {
     import spark.implicits._
     val d = Seq((1L, "abcdefghij"), (2L, "xyz"), (3L, ""))
