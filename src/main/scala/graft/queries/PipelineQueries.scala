@@ -277,6 +277,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Triangle count over the near-dup graph — the clustering-coefficient
+      * ingredient: with edges oriented id_i < id_j, each triangle is
+      * counted exactly once by joining edge pairs (a,b),(b,c) and probing
+      * (a,c); two equi-joins on ids, no orientation dedup needed.
+      */
+    "d_triangles" -> ((s, dir) => {
+      val e = Dedup.shingleJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4).select(col("id_i").as("a"), col("id_j").as("b"))
+      val ab = e
+      val bc = e.select(col("a").as("b2"), col("b").as("c"))
+      val wedge = ab.join(bc, col("b") === col("b2")).select("a", "b", "c")
+      wedge.join(e.select(col("a").as("a3"), col("b").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     /** Near-dup graph degree histogram — the dedup-QA report: how many
       * docs have 0, 1, 2… near-duplicate partners. Degrees from one
       * union+agg over the pair list; degree-0 docs re-enter via the
@@ -1065,6 +1081,13 @@ object PipelineQueries {
          |  END AS dup_frac
          |FROM documents LEFT JOIN p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "d_triangles" ->
+      s"""WITH pairs AS ($jaccardPairsOracle),
+         |e AS (SELECT doc_i AS a, doc_j AS b FROM pairs)
+         |SELECT count(*) AS n_triangles
+         |FROM e ab JOIN e bc ON ab.b = bc.a
+         |JOIN e ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin,
 
     "d_degree_hist" ->
       s"""WITH pairs AS ($jaccardPairsOracle),
