@@ -172,6 +172,25 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** New-vs-returning split per day: events from users on their first
+      * active day vs returners — one first-seen aggregate keyed on the
+      * user, broadcast back into the per-day rollup.
+      */
+    "e_new_returning" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = e.groupBy("user_id").agg(min("day").as("first_day"))
+      e.join(firstSeen, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1).otherwise(0))
+            .cast("long").as("new_events"),
+          sum(when(col("day") =!= col("first_day"), 1).otherwise(0))
+            .cast("long").as("returning_events"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_events"), col("returning_events"))
+        .orderBy("day")
+    }),
+
     /** Inter-event gap distribution per event type: p50/p90/max of the
       * microsecond gaps between consecutive events ((ts, id) total
       * order) — the burstiness report; a4's exact-percentile idiom over
@@ -635,6 +654,18 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "e_new_returning" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e
+        |      GROUP BY user_id)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_events,
+        |  CAST(sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_events
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "e_gap_stats" ->
       """WITH e AS (SELECT event_type, event_id,

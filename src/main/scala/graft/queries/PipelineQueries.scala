@@ -277,6 +277,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Vocabulary-growth (Heaps-law) curve: cumulative distinct terms and
+      * cumulative tokens per 50-doc ingestion bucket. New-term mass per
+      * bucket comes from each term's first-seen doc (one aggregate over
+      * the exploded stream), the curve from a tiny per-bucket window —
+      * no quadratic rescan per prefix.
+      */
+    "t_vocab_growth" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val newTerms = toks.groupBy("term").agg(min("doc_id").as("first_doc"))
+        .groupBy(floor(col("first_doc") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("new_terms"))
+      val tokCounts = toks
+        .groupBy(floor(col("doc_id") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tokCounts.join(newTerms, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("cum_vocab", sum("new_terms").over(w))
+        .orderBy("bucket")
+    }),
+
     /** Triangle count over the near-dup graph — the clustering-coefficient
       * ingredient: with edges oriented id_i < id_j, each triangle is
       * counted exactly once by joining edge pairs (a,b),(b,c) and probing
@@ -1081,6 +1106,23 @@ object PipelineQueries {
          |  END AS dup_frac
          |FROM documents LEFT JOIN p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "t_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+         |  FROM documents),
+         |nt AS (SELECT first_doc // 50 AS bucket, count(*) AS new_terms
+         |  FROM (SELECT term, min(doc_id) AS first_doc FROM tok
+         |        GROUP BY term) GROUP BY 1),
+         |tc AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tokens
+         |  FROM tok GROUP BY 1)
+         |SELECT bucket, n_tokens,
+         |  coalesce(new_terms, 0) AS new_terms,
+         |  sum(n_tokens) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         |  sum(coalesce(new_terms, 0)) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS cum_vocab
+         |FROM tc LEFT JOIN nt USING (bucket)
+         |ORDER BY bucket""".stripMargin,
 
     "d_triangles" ->
       s"""WITH pairs AS ($jaccardPairsOracle),
