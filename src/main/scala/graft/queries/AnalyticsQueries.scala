@@ -553,6 +553,38 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    /** TPC-H Q6 (forecast revenue change): pure scan-side predicates — the
+      * canonical pushdown showcase, one map-side partial sum, no join.
+      */
+    "q6_forecast" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))),
+
+    /** TPC-H Q10 (returned-item top customers): fact filtered on the
+      * return flag, one fact-fact shuffle, broadcast customer+nation,
+      * exact top-20 via TakeOrdered.
+      */
+    "q10_returns" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     /** Week-over-week revenue growth per market segment: weekly decimal
       * sums (tiny — segments × weeks), then one lag window over the
       * aggregate, never the fact table.
@@ -874,6 +906,27 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT cast(sum(cast(l_extendedprice * l_discount as decimal(18,4)))
+        |    as double) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))
+        |    as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q5_local" ->
       """SELECT n_name,
