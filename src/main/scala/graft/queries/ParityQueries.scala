@@ -35,6 +35,18 @@ object ParityQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    /** q1 through the typed Dataset surface: case-class rows + a custom
+      * Aggregator (exact micro-unit integer state) — same partial+final
+      * plan as the untyped aggregate, compile-time-checked business logic.
+      */
+    "q1_typed" -> ((s, dir) =>
+      graft.core.Typed.pricingSummary(s, dir)
+        .toDF("l_returnflag", "summary")
+        .select(col("l_returnflag"), col("summary.n").as("n"),
+          round(col("summary.sum_qty"), 2).as("sum_qty"),
+          round(col("summary.sum_price"), 2).as("sum_price"))
+        .orderBy("l_returnflag")),
+
     "a1_pivot" -> ((s, dir) =>
       PivotOps.pivotTable(
           li(s, dir).withColumn("l_extendedprice",
@@ -194,6 +206,18 @@ object ParityQueries {
         |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // micro-unit mirror of the typed Aggregator: round() half-away equals
+    // Java math.round for positive inputs, BIGINT sums are exact, the
+    // /1e6 division is one IEEE op on both engines
+    "q1_typed" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT))
+        |    AS DOUBLE) / 1000000.0, 2) AS sum_qty,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))
+        |    AS DOUBLE) / 1000000.0, 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "a1_pivot" ->
       """SELECT l_returnflag,

@@ -234,3 +234,41 @@ class StatsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](StatsOps.scatterSource(strOnly))
   }
 }
+
+class TypedSpec extends SparkSpec {
+  import graft.core.Typed
+
+  test("typed pricing Aggregator equals the untyped decimal aggregate") {
+    val typed = Typed.pricingSummary(spark, sf)
+      .collect().map { case (k, s) => k -> (s.n, s.sum_qty) }.toMap
+    val untyped = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity")
+            .cast("decimal(18,2)")).cast("double").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, (n, q)) =>
+      assert(n == untyped(k)._1)
+      assert(math.abs(q - untyped(k)._2) < 1e-6, s"$k: $q vs ${untyped(k)._2}")
+    }
+  }
+
+  test("typed Aggregator is partitioning-invariant (exact integer state)") {
+    val a = Typed.pricingSummary(spark, sf).collect().toMap
+    import spark.implicits._
+    val repart = Tables.load(spark, sf, "lineitem")
+      .repartition(13)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_extendedprice"))
+      .as[Typed.LineSlim]
+      .groupByKey(_.l_returnflag)
+      .agg(Typed.pricingAgg.toColumn)
+      .collect().toMap
+    assert(a == repart)
+  }
+}
