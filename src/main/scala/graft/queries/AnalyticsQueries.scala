@@ -553,6 +553,34 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    /** IQR outlier fences per group: Tukey's 1.5×IQR rule on exact
+      * quartiles (a4's cross-engine percentile idiom). Fences are rounded
+      * to 4dp and compared as exact decimals, so the outlier counts are
+      * engine-stable; same two-pass broadcast-bounds shape as winsorize.
+      */
+    "a19_outlier_iqr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val q = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      val fences = q.select(col("l_returnflag"),
+        round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4)
+          .cast("decimal(18,4)").as("lo"),
+        round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4)
+          .cast("decimal(18,4)").as("hi"))
+      li.join(broadcast(fences), "l_returnflag")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,4)").as("x"),
+          col("lo"), col("hi"))
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("lo") || col("x") > col("hi"), 1)
+            .otherwise(0)).cast("long").as("n_outliers"))
+        .select(col("l_returnflag"), col("n"), col("n_outliers"),
+          col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
     /** TPC-H Q6 (forecast revenue change): pure scan-side predicates — the
       * canonical pushdown showcase, one map-side partial sum, no join.
       */
@@ -906,6 +934,25 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "a19_outlier_iqr" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+        |    round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |  FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT l_returnflag,
+        |    CAST(round(q1 - 1.5 * (q3 - q1), 4) AS DECIMAL(18,4)) AS lo,
+        |    CAST(round(q3 + 1.5 * (q3 - q1), 4) AS DECIMAL(18,4)) AS hi
+        |  FROM q),
+        |j AS (SELECT l.l_returnflag,
+        |        CAST(l.l_extendedprice AS DECIMAL(18,4)) AS x, f.lo, f.hi
+        |      FROM lineitem l JOIN f USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        |FROM j GROUP BY l_returnflag, lo, hi
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q6_forecast" ->
       """SELECT cast(sum(cast(l_extendedprice * l_discount as decimal(18,4)))

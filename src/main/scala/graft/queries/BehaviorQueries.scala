@@ -172,6 +172,29 @@ object BehaviorQueries {
         "event_id", "event_type", "purchase")
         .orderBy("channel")),
 
+    /** Power-user concentration: the share of all events produced by the
+      * top decile of users (row_number over (count desc, user_id) makes
+      * the decile cut deterministic under count ties). One user-keyed
+      * aggregate, then a tiny ranked relation.
+      */
+    "e_power_users" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("user_id"))
+      val ranked = perUser.withColumn("rn", row_number().over(w))
+      val tot = perUser.agg(count(lit(1)).as("n_users"),
+        sum("n").as("n_events"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rn") <= ceil(col("n_users").cast("double") / 10))
+        .groupBy("n_users", "n_events")
+        .agg(count(lit(1)).as("top_users"), sum("n").as("top_events"))
+        .select(col("n_users"), col("n_events"), col("top_users"),
+          col("top_events"),
+          round(col("top_events").cast("double") /
+            col("n_events").cast("double"), 6).as("top_decile_share"))
+    }),
+
     /** New-vs-returning split per day: events from users on their first
       * active day vs returners — one first-seen aggregate keyed on the
       * user, broadcast back into the per-day rollup.
@@ -654,6 +677,21 @@ object BehaviorQueries {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "e_power_users" ->
+      """WITH u AS (SELECT user_id, count(*) AS n FROM events
+        |           GROUP BY user_id),
+        |r AS (SELECT user_id, n, row_number() OVER (
+        |        ORDER BY n DESC, user_id) AS rn FROM u),
+        |t AS (SELECT count(*) AS n_users,
+        |        CAST(sum(n) AS BIGINT) AS n_events FROM u)
+        |SELECT n_users, n_events,
+        |  count(*) AS top_users, CAST(sum(n) AS BIGINT) AS top_events,
+        |  round(CAST(sum(n) AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+        |    AS top_decile_share
+        |FROM r CROSS JOIN t
+        |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
+        |GROUP BY n_users, n_events""".stripMargin,
 
     "e_new_returning" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
