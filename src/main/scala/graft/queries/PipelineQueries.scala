@@ -318,6 +318,48 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    /** The dedup manifest — the operational deliverable of a dedup run:
+      * one row per document with its disposition. Layered rules, exact
+      * first: a non-keeper of an exact-fingerprint group is `exact_dup`
+      * (ref = keeper); else a non-survivor member of a near-dup cluster
+      * is `near_dup` (ref = longest-doc-wins survivor); else the cluster
+      * survivor is `canonical`; else `unique`. Exact dups share a cluster
+      * with their keeper (Jaccard 1.0) and lose the (n_chars, id)
+      * tie-break too, so the layering is consistent by construction.
+      */
+    "d_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fpk = d.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val exact = fpk.join(
+        fpk.groupBy("fp").agg(min("doc_id").as("exact_ref")), "fp")
+        .select("doc_id", "exact_ref")
+      val pairs = Dedup.shingleJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.4)
+      val cl = Dedup.connectedComponents(pairs, "id_i", "id_j")
+        .withColumnRenamed("node", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id").asc)
+      val ranked = cl.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("__rn", row_number().over(w))
+      val members = ranked.select(col("cluster"), col("doc_id"))
+        .join(ranked.filter(col("__rn") === 1)
+          .select(col("cluster"), col("doc_id").as("near_ref")), "cluster")
+      d.select(col("doc_id")).join(exact, "doc_id")
+        .join(members.select("doc_id", "near_ref"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_ref") =!= col("doc_id"), lit("exact_dup"))
+            .when(col("near_ref").isNotNull &&
+              col("near_ref") =!= col("doc_id"), lit("near_dup"))
+            .when(col("near_ref").isNotNull, lit("canonical"))
+            .otherwise(lit("unique")).as("status"),
+          when(col("exact_ref") =!= col("doc_id"), col("exact_ref"))
+            .when(col("near_ref").isNotNull &&
+              col("near_ref") =!= col("doc_id"), col("near_ref"))
+            .as("ref"))
+        .orderBy("doc_id")
+    }),
+
     /** Near-dup graph degree histogram — the dedup-QA report: how many
       * docs have 0, 1, 2… near-duplicate partners. Degrees from one
       * union+agg over the pair list; degree-0 docs re-enter via the
@@ -1123,6 +1165,33 @@ object PipelineQueries {
          |    ROWS UNBOUNDED PRECEDING) AS cum_vocab
          |FROM tc LEFT JOIN nt USING (bucket)
          |ORDER BY bucket""".stripMargin,
+
+    "d_manifest" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster
+         |       FROM reach GROUP BY node),
+         |srv AS (SELECT cluster, doc_id AS near_ref FROM (
+         |    SELECT cl.cluster, cl.doc_id, row_number() OVER (
+         |        PARTITION BY cl.cluster
+         |        ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |    FROM cl JOIN documents d USING (doc_id)) WHERE rn = 1),
+         |mem AS (SELECT cl.doc_id, srv.near_ref
+         |        FROM cl JOIN srv USING (cluster)),
+         |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp)
+         |         AS exact_ref
+         |       FROM (SELECT doc_id, $fpSql AS fp FROM documents))
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.exact_ref != d.doc_id THEN 'exact_dup'
+         |       WHEN mem.near_ref IS NOT NULL AND mem.near_ref != d.doc_id
+         |         THEN 'near_dup'
+         |       WHEN mem.near_ref IS NOT NULL THEN 'canonical'
+         |       ELSE 'unique' END AS status,
+         |  CASE WHEN ex.exact_ref != d.doc_id THEN ex.exact_ref
+         |       WHEN mem.near_ref IS NOT NULL AND mem.near_ref != d.doc_id
+         |         THEN mem.near_ref END AS ref
+         |FROM documents d JOIN ex USING (doc_id)
+         |LEFT JOIN mem USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d_triangles" ->
       s"""WITH pairs AS ($jaccardPairsOracle),
