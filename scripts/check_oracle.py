@@ -73,6 +73,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
             failures += 1
             continue
+        # The driver hashes rendered values, so an int64 Spark column vs a
+        # float64 oracle column fails there ("1" vs "1.0") even when the
+        # values compare equal numerically. DuckDB sum(BIGINT) -> HUGEINT
+        # -> float64 in pandas is the classic cause; the fix is
+        # CAST(sum(...) AS BIGINT) in the oracle SQL.
+        dtype_bad = None
+        for c in got.columns:
+            gi = pd.api.types.is_integer_dtype(got[c])
+            ei = pd.api.types.is_integer_dtype(expected[c])
+            gf = pd.api.types.is_float_dtype(got[c])
+            ef = pd.api.types.is_float_dtype(expected[c])
+            if (gi and ef) or (gf and ei):
+                dtype_bad = (c, got[c].dtype, expected[c].dtype)
+                break
+        if dtype_bad:
+            c, gd, ed = dtype_bad
+            print(f"FAIL {name}: dtype mismatch col={c}: spark={gd} oracle={ed}"
+                  f" (driver hash would differ; CAST the oracle aggregate)")
+            failures += 1
+            continue
         bad = None
         for c in got.columns:
             ga, ea = got[c].tolist(), expected[c].tolist()

@@ -659,7 +659,8 @@ object BehaviorQueries {
          |r0 AS (SELECT node,
          |         1000000000000 // (SELECT count(*) FROM n) AS r FROM n),
          |$iterCtes
-         |SELECT node, r AS rank_scaled FROM r10 ORDER BY node""".stripMargin
+         |SELECT node, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r10 ORDER BY node""".stripMargin
     },
 
     "e_attribution" ->

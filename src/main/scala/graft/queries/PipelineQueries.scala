@@ -1159,10 +1159,10 @@ object PipelineQueries {
          |  FROM tok GROUP BY 1)
          |SELECT bucket, n_tokens,
          |  coalesce(new_terms, 0) AS new_terms,
-         |  sum(n_tokens) OVER (ORDER BY bucket
-         |    ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-         |  sum(coalesce(new_terms, 0)) OVER (ORDER BY bucket
-         |    ROWS UNBOUNDED PRECEDING) AS cum_vocab
+         |  CAST(sum(n_tokens) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
          |FROM tc LEFT JOIN nt USING (bucket)
          |ORDER BY bucket""".stripMargin,
 
