@@ -14,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Dialect deltas (documented per SURVEY.md §7.3):
   *  - JSON: the engine speaks JSON-lines / records orientation (Spark
-  *    native), not pandas' columnar `{"col":{"row":v}}` default.
+  *    native) for the scale path; pandas' columnar `{"col":{"row":v}}`
+  *    default (the reference's own save-as-JSON output) is read via the
+  *    [[PandasJson]] interchange shim, auto-detected on load.
   *  - CSV: no implicit index column is written (pandas `to_csv` default
   *    writes one, `main.py:79-80`); callers wanting byte parity can attach
   *    `__pos` first.
@@ -55,15 +57,25 @@ object Formats {
     case CsvF =>
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case JsonF =>
-      // records / JSON-lines orientation; multiLine covers array-of-records
-      // files produced by other tools.
-      spark.read.option("multiLine", detectMultiline(path).toString).json(path)
+      // pandas columns-orient (the reference's `df.to_json(file)` default,
+      // `/root/reference/main.py:83-84`) is transposed by the interchange
+      // shim; otherwise records / JSON-lines orientation, with multiLine
+      // covering array-of-records files produced by other tools.
+      if (PandasJson.looksColumnar(path)) PandasJson.read(spark, path)
+      else readJsonLines(spark, path)
     case ExcelF => ExcelIO.read(spark, path)
     // columnar like parquet but with ordered row-group (stripe) statistics;
     // beyond reference parity — the second columnar interchange format a
     // lakehouse pipeline meets in practice.
     case OrcF => spark.read.orc(path)
   }
+
+  /** JSON-lines / records scan, bypassing the [[PandasJson]] columnar
+    * sniff — the escape hatch for the (pathological) JSON-lines record
+    * whose fields are all structs keyed by identical integer field names.
+    */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", detectMultiline(path).toString).json(path)
 
   private def detectMultiline(path: String): Boolean = {
     // A JSON-lines file starts each line with an object; a multiLine file is

@@ -554,20 +554,23 @@ object AnalyticsQueries {
     }),
 
     /** IQR outlier fences per group: Tukey's 1.5×IQR rule on exact
-      * quartiles (a4's cross-engine percentile idiom). Fences are rounded
-      * to 4dp and compared as exact decimals, so the outlier counts are
-      * engine-stable; same two-pass broadcast-bounds shape as winsorize.
+      * quartiles (a4's cross-engine percentile idiom). Quartiles round to
+      * 4dp once, then the fence arithmetic runs entirely in DECIMAL —
+      * 1.5×(q3−q1) over 4dp decimals is *exact* at scale 5, so there is no
+      * second rounding step for the engines to disagree on (a double-based
+      * round here flaked on a .00005 tie at sf0.001); same two-pass
+      * broadcast-bounds shape as winsorize.
       */
     "a19_outlier_iqr" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val q = li.groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+        round(expr("percentile(l_extendedprice, 0.25)"), 4)
+          .cast("decimal(18,4)").as("q1"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4)
+          .cast("decimal(18,4)").as("q3"))
       val fences = q.select(col("l_returnflag"),
-        round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 4)
-          .cast("decimal(18,4)").as("lo"),
-        round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 4)
-          .cast("decimal(18,4)").as("hi"))
+        expr("cast(q1 - 1.5 * (q3 - q1) as decimal(19,5))").as("lo"),
+        expr("cast(q3 + 1.5 * (q3 - q1) as decimal(19,5))").as("hi"))
       li.join(broadcast(fences), "l_returnflag")
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("decimal(18,4)").as("x"),
@@ -937,12 +940,14 @@ object AnalyticsQueries {
 
     "a19_outlier_iqr" ->
       """WITH q AS (SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
-        |    round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+        |    CAST(round(quantile_cont(l_extendedprice, 0.25), 4)
+        |      AS DECIMAL(18,4)) AS q1,
+        |    CAST(round(quantile_cont(l_extendedprice, 0.75), 4)
+        |      AS DECIMAL(18,4)) AS q3
         |  FROM lineitem GROUP BY l_returnflag),
         |f AS (SELECT l_returnflag,
-        |    CAST(round(q1 - 1.5 * (q3 - q1), 4) AS DECIMAL(18,4)) AS lo,
-        |    CAST(round(q3 + 1.5 * (q3 - q1), 4) AS DECIMAL(18,4)) AS hi
+        |    CAST(q1 - 1.5 * (q3 - q1) AS DECIMAL(19,5)) AS lo,
+        |    CAST(q3 + 1.5 * (q3 - q1) AS DECIMAL(19,5)) AS hi
         |  FROM q),
         |j AS (SELECT l.l_returnflag,
         |        CAST(l.l_extendedprice AS DECIMAL(18,4)) AS x, f.lo, f.hi

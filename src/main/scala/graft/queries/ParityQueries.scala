@@ -171,6 +171,20 @@ object ParityQueries {
         .orderBy("c_custkey")
     }),
 
+    /** S4/S8 interchange with the reference's own save-as-JSON output:
+      * pandas columns-orient `{"col":{"row":v}}` (`main.py:83-84`), written
+      * and re-read through the [[graft.io.PandasJson]] shim (auto-detected
+      * by `Formats.read`'s sniff). Oracle is the identity.
+      */
+    "s48_json_pandas_orient" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_pjson_").toString + "/supplier.json"
+      graft.io.PandasJson.write(
+        Tables.load(s, dir, "supplier").orderBy("s_suppkey"), out)
+      graft.io.Formats.read(s, out)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     /** A1 extension: exact quantiles per group (ordered-set aggregate). */
     "a4_percentile" -> ((s, dir) =>
       li(s, dir).groupBy("l_returnflag")
@@ -309,6 +323,10 @@ object ParityQueries {
 
     "s37_xlsx_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s48_json_pandas_orient" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "a4_percentile" ->
       """SELECT l_returnflag,
