@@ -62,11 +62,17 @@ object TextFunctions {
     * 1e9+7) — an order-sensitive fingerprint that, unlike [[fingerprint]],
     * can be computed incrementally over windows. Pure fold, codegen'd.
     * Modulus keeps acc*257 + h < 2^40, safe under ANSI overflow checking.
+    *
+    * `tokenHash` is pluggable on the d_simhash_md5 pattern: the default
+    * xxhash64 is the fast path; an md5-derived hasher makes the whole
+    * fingerprint reproducible in engines without xxhash64 (the
+    * t_rolling_hash_md5 oracle).
     */
-  def rollingHash(text: Column): Column = {
+  def rollingHash(text: Column,
+                  tokenHash: Column => Column = xxhash64(_)): Column = {
     val mod = 1000000007L
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(257L) + pmod(xxhash64(t), lit(mod)), lit(mod)))
+      (acc, t) => pmod(acc * lit(257L) + pmod(tokenHash(t), lit(mod)), lit(mod)))
   }
 
   /** Character-level Karp-Rabin polynomial fingerprint of the canonical

@@ -204,6 +204,43 @@ object ParityQueries {
             .as("approx_median"))
         .orderBy("l_returnflag")),
 
+    /** a5's oracle-checkable twin (d_simhash_md5 pattern): the same sketch
+      * *report* — distinct estimate + median estimate per group — from
+      * sketches whose state is exactly determined by the data. Distinct via
+      * md5-KMV (k=128: estimate = (k−1)/frac(kth smallest hash)); median
+      * via a bottom-k-by-hash uniform row sample (k=101, keyed on the md5
+      * of the row PK — order- and partitioning-independent, so the sampled
+      * middle value is bit-reproducible on any cluster layout). Prices are
+      * scaled to exact cents for the sample payload, so no float compare.
+      */
+    "a5_sketches_md5" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      val lineitem = li(s, dir)
+      val h = lineitem.select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv")).distinct()
+      val kth = h.groupBy("l_returnflag")
+        .agg(try_element_at(
+          call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+            lpad(col("hv").cast("string"), 19, "0"), col("hv"), lit(128)),
+          lit(128)).as("hk"))
+        .filter(col("hk").isNotNull)
+        .select(col("l_returnflag"),
+          round(lit(127.0) /
+            (col("hk").cast("double") / 1152921504606846976.0), 4)
+            .as("kmv_parts"))
+      val med = lineitem.select(col("l_returnflag"),
+        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("sk"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_returnflag")
+        .agg(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+          col("sk"), col("cents"), lit(101)).as("arr"))
+        .select(col("l_returnflag"),
+          (expr("element_at(array_sort(arr), cast((size(arr) + 1) / 2 as int))")
+            .cast("double") / 100.0).as("median_est"))
+      kth.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
+    }),
+
     /** A1 extension: rollup (grouping-sets family). */
     "a3_rollup" -> ((s, dir) =>
       li(s, dir)
@@ -327,6 +364,38 @@ object ParityQueries {
     "s48_json_pandas_orient" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // the deterministic-sketch twin of a5: md5-KMV kth-smallest-hash
+    // estimator + the middle value of a bottom-101-by-hash row sample.
+    // row_number ... ORDER BY sk, cents mirrors BottomKSample's
+    // (sortKey, payload) tuple order; the middle index (n+1)//2 matches
+    // Spark's cast((size+1)/2 as int) truncation for odd and even n.
+    "a5_sketches_md5" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |      FROM h),
+        |kth AS (SELECT l_returnflag,
+        |    round(127.0 / (hv::DOUBLE / 1152921504606846976.0), 4) AS kmv_parts
+        |  FROM r WHERE rn = 128),
+        |s AS (SELECT l_returnflag,
+        |    md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |        || CAST(l_linenumber AS VARCHAR)) AS sk,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |samp AS (SELECT l_returnflag, cents, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY sk, cents) AS rn FROM s),
+        |keep AS (SELECT l_returnflag, cents FROM samp WHERE rn <= 101),
+        |cnt AS (SELECT l_returnflag, count(*) AS n FROM keep GROUP BY l_returnflag),
+        |ord AS (SELECT l_returnflag, cents, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cents) AS cr FROM keep),
+        |med AS (SELECT o.l_returnflag, CAST(o.cents AS DOUBLE) / 100.0 AS median_est
+        |  FROM ord o JOIN cnt USING (l_returnflag) WHERE o.cr = (n + 1) // 2)
+        |SELECT kth.l_returnflag, kth.kmv_parts, med.median_est
+        |FROM kth JOIN med USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "a4_percentile" ->
       """SELECT l_returnflag,

@@ -104,6 +104,14 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    // the oracle-checkable twin: md5-derived 60-bit token hashes make the
+    // same Horner fold bit-identical cross-engine (d_simhash_md5 pattern)
+    "t_rolling_hash_md5" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.rollingHash(col("text"),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("rhash"))
+        .orderBy("doc_id")),
+
     // same rolling-hash family, arithmetic-only → oracle-checkable
     "t_poly_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1276,6 +1284,17 @@ object PipelineQueries {
          |  round(-list_reduce(list_prepend(0.0, list_transform(cs,
          |      x -> (x / n) * log2(x / n))), (a, b) -> a + b), 6) AS entropy
          |FROM l ORDER BY doc_id""".stripMargin,
+
+    // Horner fold mirrored structurally: DuckDB pre-mods each md5-derived
+    // token hash (the inner pmod), then folds (a*257 + b) % p — the exact
+    // recurrence TextFunctions.rollingHash codegens.
+    "t_rolling_hash_md5" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($toksSql,
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007)),
+         |    (a, b) -> (a * 257 + b) % 1000000007) AS rhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d_simhash_md5" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
