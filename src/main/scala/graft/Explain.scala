@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
   * so those plans print only when named explicitly.
   */
 object Explain {
+
+  /** The queries printed when no names are given. Must stay side-effect
+    * free: building these plans may not write datasets, mutate the
+    * catalog, or materialize checkpoints (ExplainDefaultSpec pins this).
+    */
+  val defaultSet: Seq[String] =
+    Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
+      "j_asof", "w_topn_per_group", "e_funnel", "d_minhash_lsh",
+      "t_pipeline_e2e", "j_interval", "t_passage_dedup", "e_rolling_dau",
+      "a15_regression")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -22,11 +33,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
-        "j_asof", "w_topn_per_group", "e_funnel", "d_minhash_lsh",
-        "t_pipeline_e2e", "j_interval", "t_passage_dedup", "e_rolling_dau",
-        "a15_regression")
+    val names = if (args.nonEmpty) args.toSeq else defaultSet
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
