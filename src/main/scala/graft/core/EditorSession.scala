@@ -28,10 +28,11 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
                              compactEvery: Int = 4096) {
 
   /** The session table: [[Positional.attachPos]] has already pinned the
-    * sorted snapshot with an eager localCheckpoint (the reference's E1 also
-    * loads eagerly, `main.py:195-202`), so the session view is a single
-    * cheap projection over materialized blocks — re-checkpointing here
-    * would just copy the table a second time. Interactive sessions are
+    * sorted snapshot with a localCheckpoint, materialized by its
+    * position-assignment pass (the reference's E1 also loads eagerly,
+    * `main.py:195-202`), so the session view is a single cheap projection
+    * over materialized blocks — re-checkpointing here would just copy the
+    * table a second time. Interactive sessions are
     * human-scale by definition; the 100 TB paths (queries/, operators/)
     * never go through EditorSession.
     */
@@ -186,6 +187,30 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       }
     }
 
+  /** Batch cell edit — one gesture, one undo entry. A programmatic burst
+    * (paste-of-values, fill-down) through [[setCell]] costs one history
+    * snapshot per call and undoes one cell at a time; a batch is the
+    * gesture the user actually made. Values cast-validate up front and any
+    * uncastable value rejects the WHOLE batch (state and history
+    * untouched), so the gesture is atomic — no half-applied paste.
+    */
+  def setCells(colName: String, edits: Seq[(Long, String)]): Boolean =
+    table.schema.fields.find(_.name == colName) match {
+      case None => false
+      case Some(f) =>
+        val casted = edits.map { case (p, raw) =>
+          CellOps.castStrict(raw, f.dataType).map(p -> _) }
+        if (edits.isEmpty || casted.exists(_.isFailure)) false
+        else {
+          remember()
+          editLog(colName) =
+            editLog.getOrElse(colName, Map.empty[Long, Any]) ++ casted.map(_.get)
+          editsSinceCheckpoint += edits.size
+          if (editsSinceCheckpoint >= compactEvery) checkpoint()
+          true
+        }
+    }
+
   /** R3: boolean toggle. */
   def setBool(pos: Long, colName: String, value: Boolean): Boolean = {
     recordEdit(colName, pos, value); true
@@ -241,7 +266,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   /** R5: cut selected rows to the session clipboard (`main.py:107-114`).
     * The table itself is NOT re-materialized here: since [[Positional
-    * .attachPos]] pins the base with an eager checkpoint, the remainder and
+    * .attachPos]] pins the base with a checkpoint, the remainder and
     * a later paste's three union branches are all narrow codegen'd filters
     * over already-materialized blocks — re-running them per branch is
     * cheaper than copying the table. The clipboard is a lazy plan over the

@@ -25,40 +25,60 @@ object Positional {
 
   /** Dense 0..n-1 `__pos` from a deterministic ordering, distributed — no
     * single-partition window and no RDD roundtrip (stays columnar and
-    * codegen'd): range-partition sort, pinned by an eager `localCheckpoint`,
+    * codegen'd): explicit range-partition sort, pinned by `localCheckpoint`,
     * then `monotonically_increasing_id` decomposed into (partition id,
-    * local index) with collected per-partition offsets added back.
+    * local index) with per-partition offsets added back.
     *
     * Why the pin matters: any two-job scheme (count partitions, then
     * assign) is WRONG under AQE if both jobs re-execute the sort — adaptive
     * coalescing can partition the two executions differently and silently
-    * corrupt positions. Checkpointing first means the counts job and every
+    * corrupt positions. Checkpointing means the counts pass and every
     * consumer read the *same materialized blocks*, so the decomposition of
     * the id is stable by construction. (`rdd.zipWithIndex` is the classic
     * alternative but costs a second full execution of the upstream plan
     * plus a Row encode/decode of every row.)
+    *
+    * Two deliberate performance choices, both measured on the r1 bench:
+    *  - the sort is an explicit `repartitionByRange(n, keys)` + local sort,
+    *    not `orderBy` — AQE coalesces an orderBy's exchange toward its
+    *    advisory size, which on an interactive table collapses the
+    *    checkpoint materialization onto a fraction of the cores (16 of 32
+    *    at sf0.1, ~1.9× slower cold). An explicit partition count is
+    *    exempt from coalescing, so materialization uses the full session
+    *    parallelism;
+    *  - the checkpoint is *lazy* and the per-partition counts job is the
+    *    materializing action (a narrow `runJob` with no shuffle): one scan
+    *    assigns blocks AND returns counts, where the old eager-pin scheme
+    *    paid a full second pass over the freshly pinned table.
     *
     * The offsets ride along as a small map literal (one entry per
     * partition); at true scale positions are assigned once at load and
     * persisted (sorted/bucketed layout), not recomputed per query.
     */
   def attachPos(df: DataFrame, order: Column*): DataFrame = {
-    val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
-    val pinned = sorted.localCheckpoint(eager = true)
+    val spark = df.sparkSession
+    val sorted = if (order.nonEmpty) {
+      val nParts = math.max(spark.sessionState.conf.numShufflePartitions,
+        spark.sparkContext.defaultParallelism)
+      df.repartitionByRange(nParts, order: _*).sortWithinPartitions(order: _*)
+    } else df
+    val pinned = sorted.localCheckpoint(eager = false)
+    // one job: materializes the checkpoint blocks and returns the count of
+    // every partition (indices align with monotonically_increasing_id's
+    // embedded partition id)
+    val counts = spark.sparkContext.runJob(pinned.queryExecution.toRdd,
+      (it: Iterator[_]) => { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n })
+    if (counts.isEmpty) return pinned.withColumn(POS, lit(0L)) // zero partitions
     // monotonically_increasing_id = (partitionId << 33) + local row index,
     // deterministic over pinned blocks
-    val mid = monotonically_increasing_id()
     val pidOf = shiftright(col("__mid"), 33)
     val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
-    val withMid = pinned.withColumn("__mid", mid)
-    val counts = withMid.groupBy(pidOf.as("pid")).count()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (counts.isEmpty) return pinned.withColumn(POS, lit(0L)) // zero rows
     var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offsets = counts.zipWithIndex.map { case (c, pid) =>
+      val o = (pid.toLong, acc); acc += c; o }
     val offsetMap = map(offsets.flatMap { case (pid, off) =>
       Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
-    withMid
+    pinned.withColumn("__mid", monotonically_increasing_id())
       .withColumn(POS, localOf + element_at(offsetMap, pidOf))
       .drop("__mid")
   }

@@ -58,6 +58,31 @@ class EditorSessionSpec extends SparkSpec {
     assert(got == 100L)
   }
 
+  test("setCells: one gesture, one undo entry; undo restores the pre-burst table") {
+    val s = EditorSession.fromDataFrame(
+      Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+    val before = s.current.filter(col("__pos") < 200)
+      .agg(sum(when(col("l_quantity") === 77.0, 1).otherwise(0))).head.getLong(0)
+    assert(s.setCells("l_quantity", (0L until 200L).map(_ -> "77")))
+    val after = s.current.filter(col("__pos") < 200)
+      .agg(sum(when(col("l_quantity") === 77.0, 1).otherwise(0))).head.getLong(0)
+    assert(after == 200L)
+    // ONE undo reverts the whole burst, not one cell
+    assert(s.undo())
+    val reverted = s.current.filter(col("__pos") < 200)
+      .agg(sum(when(col("l_quantity") === 77.0, 1).otherwise(0))).head.getLong(0)
+    assert(reverted == before)
+  }
+
+  test("setCells is atomic: one bad value rejects the whole batch") {
+    val s = freshSession()
+    assert(!s.setCells("n_regionkey", Seq(0L -> "5", 1L -> "xyz")))
+    // nothing applied, nothing remembered: undo has no burst to revert
+    assert(s.current.filter(col("__pos") === 0 && col("n_regionkey") === 5)
+      .count() == 0)
+    assert(s.pendingEdits == 0)
+  }
+
   test("undo/redo walk the gesture history (readme parity the reference lacks)") {
     val s = freshSession()
     def regionOf(pos: Long): Int = s.current.filter(col("__pos") === pos)
