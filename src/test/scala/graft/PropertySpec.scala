@@ -134,6 +134,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: crossing literalEditMax in one burst leaves table semantics unchanged") {
+    // one burst at k = max-1, max, max+1, max+2 distinct positions: the
+    // first two resolve through the literal-map projection, the last two
+    // through the broadcast hash join. All four must match the same
+    // independently computed expected table — pinning the switchover as
+    // invisible to callers.
+    val max = EditorSession.literalEditMax
+    val baseline = Tables.load(spark, sf, "orders").limit(60)
+      .orderBy("o_orderkey").select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    forAll(Gen.pick(max + 2, 0L until 60L), n = 2) { picked =>
+      (max - 1 to max + 2).foreach { k =>
+        val positions = picked.take(k).toSeq
+        val s = EditorSession.fromDataFrame(
+          Tables.load(spark, sf, "orders").limit(60), Seq("o_orderkey"))
+        assert(s.setCells("o_custkey",
+          positions.map(p => p -> (900000L + p).toString)))
+        assert(s.pendingEdits == k)
+        val expect = baseline.zipWithIndex.map { case ((ok, cust), pos) =>
+          ok -> (if (positions.contains(pos.toLong)) 900000L + pos else cust)
+        }.toMap
+        val got = s.current.select("o_orderkey", "o_custkey").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"k=$k (boundary $max) diverged from expected table")
+      }
+    }
+  }
+
   test("law: binned range join equals the naive non-equi join on random data") {
     val gen = Gen.zip(
       Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 400L),
