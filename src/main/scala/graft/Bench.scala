@@ -70,6 +70,12 @@ object Bench {
         "l_returnflag", "l_linestatus", "l_extendedprice", "sum",
         Seq("F", "O")).count()),
 
+    // A at width (TPC-H Q18 shape): ~150k groups at sf0.1 — the headline
+    // set's other aggregates have tiny outputs, so partial-agg hash table
+    // growth and spill behavior only shows up here
+    "a_widegroup_q18" -> ((s: SparkSession) =>
+      graft.queries.AnalyticsQueries.queries("q18_large_orders")(s, sfDir).count()),
+
     // P3/V3: numeric projection + histogram buckets
     "p3v3_histogram" -> ((s: SparkSession) =>
       StatsOps.histogramFixed(

@@ -584,6 +584,26 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** TPC-H Q18 (large-volume orders): the wide-group aggregate — one
+      * group per order (~150k at sf0.1, vs the headline set's handful-of-
+      * rows outputs), so the partial/final hash aggregate actually grows
+      * its table and the HAVING filter runs post-shuffle. The order join
+      * probes only the surviving groups.
+      */
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .filter(col("qty") > 210)
+      Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"),
+          col("qty").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    }),
+
     /** TPC-H Q6 (forecast revenue change): pure scan-side predicates — the
       * canonical pushdown showcase, one map-side partial sum, no join.
       */
@@ -937,6 +957,16 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 210)
+        |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN g ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
 
     "a19_outlier_iqr" ->
       """WITH q AS (SELECT l_returnflag,

@@ -97,4 +97,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 1,
       s"one shuffle on the group key; plan:\n$p")
   }
+
+  test("q18 wide-group aggregate: partial+final, orders joins the filtered groups") {
+    val p = plan(SparkEntry.queries("q18_large_orders")(spark, sf))
+    // one group per order: partial aggregation must halve the shuffle even
+    // though the group count is data-sized
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"map-side partial aggregation missing; plan:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") >= 1,
+      s"aggregate must shuffle on l_orderkey; plan:\n$p")
+    // the HAVING filter runs on the aggregate output, before the join with
+    // orders — never on the joined result
+    assert(p.contains("Filter") && p.contains("Join"),
+      s"plan lost its post-agg filter or join; plan:\n$p")
+    val filterIdx = p.indexOf("(qty")
+    assert(filterIdx >= 0, s"qty filter not found; plan:\n$p")
+  }
 }
