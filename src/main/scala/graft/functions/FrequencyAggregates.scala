@@ -63,14 +63,19 @@ final class SpaceSavingBuffer(val capacity: Int) {
   * billion-key vocabulary where a full `groupBy(key).count()` would carry
   * the whole vocabulary through the shuffle.
   *
-  * Guarantees (standard SpaceSaving): every item with true frequency
-  * > n/capacity is present in the summary; each reported count
-  * overestimates the true count by at most its recorded `err`. Merging two
-  * summaries (partial aggregation) degrades the bound to the sum of the
-  * parts' bounds — callers that need an exact final answer verify
-  * candidates with a second exact pass
-  * ([[graft.operators.Frequency.exactHeavyHitters]]), so the summary only
-  * has to be a superset of the true heavy hitters.
+  * Guarantees (standard SpaceSaving), scoped precisely:
+  *  - **single stream** (one partition, no merges): every item with true
+  *    frequency > n/capacity is present, and each reported count
+  *    overestimates the true count by at most its recorded `err`;
+  *  - **after partial-aggregation merges**: only the (scaled) superset
+  *    property survives — an item above (#merged summaries)·nᵢ/capacity
+  *    is still present. The per-item count/err bounds are
+  *    partitioning-dependent and NOT guaranteed: an item evicted from some
+  *    partitions' summaries loses that mass, so a merged count can also
+  *    *under*state the truth.
+  * Callers that need exact final answers rely only on the superset
+  * property and verify candidates with a second exact pass
+  * ([[graft.operators.Frequency.exactHeavyHitters]]).
   */
 case class SpaceSavingSummary(
     child: Expression,

@@ -13,8 +13,9 @@ import graft.functions.FrequencyAggregates
   * aggregate shuffles and holds the *whole vocabulary*. Here pass 1
   * carries O(capacity) state per partition and surfaces a candidate set
   * guaranteed to contain every item above the threshold; pass 2 re-scans
-  * the data but aggregates ONLY the (broadcast) candidates — tiny state,
-  * exact counts. Data is read twice, vocabulary-sized state never exists.
+  * the data but aggregates ONLY those candidates (an InSet probe over a
+  * driver-bounded set) — tiny state, exact counts. Data is read twice,
+  * vocabulary-sized state never exists.
   */
 object Frequency {
 
@@ -37,20 +38,26 @@ object Frequency {
     val spark = df.sparkSession
     FrequencyAggregates.register(spark)
     val capacity = math.ceil(slack / minFrac).toInt
-    val summary = df.agg(
+    // pass 1 (one scan): SpaceSaving summary + total count, collected as
+    // ONE driver row — the summary is O(capacity) by construction, and
+    // materializing it once keeps the lazy plan from re-running the full
+    // aggregate for each of its two consumers (candidates and n)
+    val row = df.agg(
       call_function(FrequencyAggregates.SPACESAVING_FN,
         col(itemCol), lit(capacity)).as("__ss"),
-      count(col(itemCol)).as("__n"))
-    val cands = summary
-      .select(explode(col("__ss")).as("__c"))
-      .select(col("__c.item").as(itemCol))
-    val exact = df.join(broadcast(cands), itemCol)
+      count(col(itemCol)).as("__n")).head()
+    val n = row.getLong(1)
+    val candidates = row.getSeq[org.apache.spark.sql.Row](0).map(_.get(0))
+    if (candidates.isEmpty)
+      return df.select(col(itemCol), lit(0L).as("cnt"), lit(0.0).as("share"))
+        .limit(0)
+    // pass 2 (one scan): exact counts for the bounded candidate set — an
+    // InSet probe beats a broadcast join here, the set is driver-bounded
+    df.filter(col(itemCol).isInCollection(candidates))
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
-    exact.crossJoin(broadcast(summary.select(col("__n"))))
-      .filter(col("cnt") >= ceil(lit(minFrac) * col("__n")))
+      .filter(col("cnt") >= math.ceil(minFrac * n).toLong)
       .select(col(itemCol), col("cnt"),
-        round(col("cnt").cast("double") / col("__n").cast("double"), 6)
-          .as("share"))
+        round(col("cnt").cast("double") / n.toDouble, 6).as("share"))
       .orderBy(col("cnt").desc, col(itemCol))
   }
 }

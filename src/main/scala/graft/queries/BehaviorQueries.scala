@@ -173,26 +173,45 @@ object BehaviorQueries {
         .orderBy("channel")),
 
     /** Power-user concentration: the share of all events produced by the
-      * top decile of users (row_number over (count desc, user_id) makes
-      * the decile cut deterministic under count ties). One user-keyed
-      * aggregate, then a tiny ranked relation.
+      * top decile of users. No global ranking exists anywhere in the plan:
+      * because every user tied at the decile-cut activity level
+      * contributes the same count, the aggregate is fully determined by
+      * the *histogram of activity levels* (groupBy(n) — one row per
+      * distinct per-user count, bounded by the busiest user's total, a
+      * control-plane read like the positional offsets). The old
+      * row_number() over an unpartitioned window funneled the data-sized
+      * per-user relation through one task; this shape is two keyed
+      * aggregates and driver math on a tiny relation.
       */
     "e_power_users" -> ((s, dir) => {
       val perUser = events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("user_id"))
-      val ranked = perUser.withColumn("rn", row_number().over(w))
-      val tot = perUser.agg(count(lit(1)).as("n_users"),
-        sum("n").as("n_events"))
-      ranked.crossJoin(broadcast(tot))
-        .filter(col("rn") <= ceil(col("n_users").cast("double") / 10))
-        .groupBy("n_users", "n_events")
-        .agg(count(lit(1)).as("top_users"), sum("n").as("top_events"))
-        .select(col("n_users"), col("n_events"), col("top_users"),
-          col("top_events"),
-          round(col("top_events").cast("double") /
-            col("n_events").cast("double"), 6).as("top_decile_share"))
+      val hist = perUser.groupBy("n").agg(count(lit(1)).as("users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      import s.implicits._
+      if (hist.isEmpty)
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("n_users", "n_events", "top_users", "top_events")
+          .withColumn("top_decile_share", lit(0.0))
+      else {
+        val nUsers = hist.map(_._2).sum
+        val nEvents = hist.map { case (n, u) => n * u }.sum
+        val k = math.ceil(nUsers.toDouble / 10).toLong
+        var remaining = k
+        var topEvents = 0L
+        hist.foreach { case (n, u) =>
+          if (remaining > 0) {
+            val take = math.min(u, remaining)
+            topEvents += take * n
+            remaining -= take
+          }
+        }
+        Seq((nUsers, nEvents, k, topEvents))
+          .toDF("n_users", "n_events", "top_users", "top_events")
+          .withColumn("top_decile_share",
+            round(col("top_events").cast("double") /
+              col("n_events").cast("double"), 6))
+      }
     }),
 
     /** New-vs-returning split per day: events from users on their first
