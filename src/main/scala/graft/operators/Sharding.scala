@@ -19,6 +19,80 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
+  /** Sequence packing, concat-and-chunk style: within each group
+    * (language, source — whatever keys the output shards), documents in
+    * stable id order are conceptually concatenated and cut every `budget`
+    * tokens, the way LLM pretraining fills fixed-size context windows. A
+    * document may span chunk boundaries; the output tells the writer
+    * exactly where each document lands:
+    * (doc_id, group, n_tokens, start_chunk, end_chunk, offset_in_chunk).
+    *
+    * The running sum is a window PARTITIONED by the group key — every
+    * group's packing state is independent, so this scales with group
+    * count and never funnels the corpus through one task (unlike a global
+    * packing order, which is also meaningless operationally: shards are
+    * written per group). Zero-token documents occupy no tokens: they
+    * "land" at their neighbor's boundary with end_chunk = start_chunk.
+    */
+  def packContextWindows(docs: DataFrame, idCol: String, groupCol: String,
+                         tokenExpr: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol),
+        greatest(lit(0L), coalesce(tokenExpr.cast("long"), lit(0L)))
+          .as("n_tokens"))
+      .withColumn("__prior", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        expr(s"__prior div $budget").as("start_chunk"),
+        when(col("n_tokens") > 0,
+          expr(s"(__prior + n_tokens - 1) div $budget"))
+          .otherwise(expr(s"__prior div $budget")).as("end_chunk"),
+        expr(s"__prior % $budget").as("offset_in_chunk"))
+  }
+
+  /** Sequence packing, greedy no-split style: within each group, documents
+    * in id order go WHOLE into the current bin while they fit; the first
+    * doc that would overflow `budget` starts the next bin. An oversize
+    * document (n_tokens > budget) gets a bin alone. This is the packing
+    * used when documents must not cross example boundaries (SFT,
+    * contrastive pairs), complementing [[packContextWindows]]'s
+    * concat-and-chunk.
+    *
+    * The bin decision is sequential per group — a running sum *with reset*
+    * that no window function expresses — so this is the one operator in
+    * the pipeline family implemented with the secondary-sort idiom:
+    * repartition on the group key, sort within partitions by (group, id),
+    * then a single streaming pass per partition carrying O(1) state.
+    * Groups are hash-partitioned, so the plan scales with group count and
+    * the pass never buffers a group.
+    */
+  def packGreedy(docs: DataFrame, idCol: String, groupCol: String,
+                 tokenExpr: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("doc_id"),
+        greatest(lit(0L), coalesce(tokenExpr.cast("long"), lit(0L))).as("n"))
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
+      .as[(String, Long, Long)]
+    prepared.mapPartitions { it =>
+      var curGrp: String = null
+      var bin = 0L
+      var acc = 0L
+      it.map { case (g, id, n) =>
+        if (g != curGrp) { curGrp = g; bin = 0L; acc = 0L }
+        if (acc > 0 && acc + n > budget) { bin += 1; acc = 0L }
+        acc += n
+        (id, g, n, bin)
+      }
+    }.toDF("doc_id", groupCol, "n_tokens", "bin")
+  }
+
   def shardByTokenBudget(docs: DataFrame, idCol: String, tokenExpr: Column,
                          budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -160,6 +160,27 @@ object MaintenanceQueries {
         TextFunctions.tokenCount(col("text")), budget = 5000L)
         .orderBy("doc_id")),
 
+    /** Sequence packing (concat-and-chunk): per-language context-window
+      * assignment — each doc's start/end chunk and offset when its
+      * language's corpus is concatenated in id order and cut every 2048
+      * tokens. The running sum is a window keyed on lang, so every
+      * language packs independently (no global state).
+      */
+    "t_pack_windows" -> ((s, dir) =>
+      Sharding.packContextWindows(docs(s, dir), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), budget = 2048L)
+        .orderBy("doc_id")),
+
+    /** Sequence packing (greedy no-split): per-language whole-document
+      * bins — the SFT-style packing where examples never cross bin
+      * boundaries. Sequential running-sum-with-reset via the secondary
+      * sort idiom; oracle replays the same recurrence as a recursive CTE.
+      */
+    "t_pack_greedy" -> ((s, dir) =>
+      Sharding.packGreedy(docs(s, dir), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), budget = 2048L)
+        .orderBy("doc_id")),
+
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
       * mixture-weighting decision starts from. The share window runs over
@@ -353,6 +374,41 @@ object MaintenanceQueries {
          |             AS n_tokens FROM documents)
          |${OracleIdioms.shardSql("t", 5000L)}
          |ORDER BY doc_id""".stripMargin,
+
+    // the greedy bin recurrence replayed one doc per lang per iteration;
+    // the CASE mirrors packGreedy's `acc > 0 && acc + n > budget` reset
+    "t_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |o AS (SELECT doc_id, lang, n, row_number() OVER (
+         |    PARTITION BY lang ORDER BY doc_id) AS rn FROM t),
+         |rec AS (
+         |  SELECT lang, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS acc
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.doc_id, o.n, o.rn,
+         |    CASE WHEN r.acc > 0 AND r.acc + o.n > 2048
+         |         THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.acc > 0 AND r.acc + o.n > 2048
+         |         THEN o.n ELSE r.acc + o.n END
+         |  FROM rec r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1)
+         |SELECT doc_id, lang, n AS n_tokens, bin
+         |FROM rec ORDER BY doc_id""".stripMargin,
+
+    "t_pack_windows" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS prior
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  prior // 2048 AS start_chunk,
+         |  CASE WHEN n_tokens > 0 THEN (prior + n_tokens - 1) // 2048
+         |       ELSE prior // 2048 END AS end_chunk,
+         |  prior % 2048 AS offset_in_chunk
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "s_partition_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
