@@ -108,11 +108,16 @@ class EditorSessionSpec extends SparkSpec {
     try {
       Tables.load(spark, sf, "lineitem")
         .groupBy("l_returnflag").count().collect()
-      // listener bus is async — poll briefly
+      // The listener bus is async AND may still be draining events from
+      // queries run by earlier suites on the shared session — those land
+      // in this fresh listener too. Poll for the event that matches THIS
+      // query's signature instead of trusting whatever arrives last.
+      def mine = l.recent.find(s => s.scanRows >= 6000 && s.shuffleBytes > 0)
       val deadline = System.currentTimeMillis() + 10000
-      while (l.last.isEmpty && System.currentTimeMillis() < deadline)
+      while (mine.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      val stats = l.last.getOrElse(fail("no metrics captured"))
+      val stats = mine.getOrElse(
+        fail(s"no matching metrics captured; saw: ${l.recent}"))
       assert(stats.scanRows >= 6000, s"scan rows ${stats.scanRows}")
       assert(stats.shuffleBytes > 0, s"no shuffle bytes in $stats")
       assert(stats.durationMs >= 0)
