@@ -22,7 +22,7 @@ object Explain {
     Seq("q1_agg", "j_star", "p3_numeric_projection", "e_batch_window",
       "j_asof", "w_topn_per_group", "e_funnel", "d_minhash_lsh",
       "t_pipeline_e2e", "j_interval", "t_passage_dedup", "e_rolling_dau",
-      "a15_regression")
+      "a15_regression", "q18_large_orders", "t_pack_windows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
