@@ -163,6 +163,27 @@ object BehaviorQueries {
         .orderBy("node")
     }),
 
+    /** Semi-structured extraction: pull a typed field out of the `props`
+      * JSON column (codegen'd `get_json_object`, no UDF) and aggregate it
+      * per event type — the event-payload analytics every product
+      * pipeline runs. Parse failures surface as nulls (`n` vs `n_parsed`
+      * makes the failure count visible); the average is computed as
+      * exact-int sum / count so no float accumulation order exists.
+      */
+    "e_props_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_parsed"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+        .select(col("event_type"), col("n"), col("n_parsed"), col("sum_k"),
+          when(col("n_parsed") > 0,
+            round(col("sum_k").cast("double") /
+              col("n_parsed").cast("double"), 6)).as("avg_k"))
+        .orderBy("event_type")),
+
     /** First-touch conversion attribution: conversion credit to the
       * channel of each user's first event; (ts, event_id) total order
       * makes "first" deterministic.
@@ -681,6 +702,17 @@ object BehaviorQueries {
          |SELECT node, CAST(r AS BIGINT) AS rank_scaled
          |FROM r10 ORDER BY node""".stripMargin
     },
+
+    "e_props_extract" ->
+      """WITH k AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+        |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+        |  CASE WHEN count(k) > 0 THEN
+        |    round(CAST(CAST(sum(coalesce(k, 0)) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(k) AS DOUBLE), 6) END AS avg_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e_attribution" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
