@@ -98,6 +98,23 @@ class PlanShapeSpec extends SparkSpec {
       s"one shuffle on the group key; plan:\n$p")
   }
 
+  test("greedy packing shuffles once on the group key, then streams") {
+    val p = plan(SparkEntry.queries("t_pack_greedy")(spark, sf))
+    // one hash exchange (the group repartition) feeds the sorted streaming
+    // pass; the only other exchange is the output ORDER BY's range part.
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"exactly one group-key shuffle; plan:\n$p")
+    assert(p.contains("MapPartitions"), s"streaming pass missing; plan:\n$p")
+  }
+
+  test("props extraction aggregates partial+final over a two-column scan") {
+    val p = plan(SparkEntry.queries("e_props_extract")(spark, sf))
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"map-side partial aggregation missing; plan:\n$p")
+    assert(p.contains("event_type:string,props:string"),
+      s"scan must prune to (event_type, props); plan:\n$p")
+  }
+
   test("q18 wide-group aggregate: partial+final, orders joins the filtered groups") {
     val p = plan(SparkEntry.queries("q18_large_orders")(spark, sf))
     // one group per order: partial aggregation must halve the shuffle even
