@@ -48,7 +48,7 @@ object Bench {
     // R1: 1k-cell edit burst with edit-log compaction + checkpoint
     "r1_edit_burst_1k" -> ((s: SparkSession) => {
       val sess = EditorSession.fromDataFrame(
-        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
       var i = 0
       while (i < 1000) { sess.setCell(i.toLong, "l_quantity", "42"); i += 1 }
       sess.current.filter(col("l_quantity") === 42.0).count()
@@ -57,7 +57,7 @@ object Bench {
     // R4/R6: positional delete + cut/paste splice via the session surface
     "r46_delete_splice" -> ((s: SparkSession) => {
       val sess = EditorSession.fromDataFrame(
-        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        Tables.load(s, sfDir, "lineitem"), Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
       sess.deleteRows(Seq(0L, 1L))
       sess.cut(Seq(10L, 11L, 12L))
       sess.paste(5L)

@@ -30,13 +30,13 @@ object Profile {
 
     // warmup
     EditorSession.fromDataFrame(Tables.load(spark, "/root/testdata/sf0.001", "lineitem"),
-      Seq("l_orderkey", "l_linenumber")).rowCount
+      Seq("l_orderkey", "l_linenumber", "l_extendedprice")).rowCount
 
     (1 to 2).foreach { round =>
       println(s"--- round $round ---")
       val li = t("load")(Tables.load(spark, sfDir, "lineitem"))
       val sess = t("open(attachPos+pin)")(
-        EditorSession.fromDataFrame(li, Seq("l_orderkey", "l_linenumber")))
+        EditorSession.fromDataFrame(li, Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
       t("delete2")(sess.deleteRows(Seq(0L, 1L)))
       t("cut3")(sess.cut(Seq(10L, 11L, 12L)))
       t("paste")(sess.paste(5L))
@@ -44,7 +44,7 @@ object Profile {
 
       val sess2 = t("open2")(
         EditorSession.fromDataFrame(Tables.load(spark, sfDir, "lineitem"),
-          Seq("l_orderkey", "l_linenumber")))
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
       t("edit1000")({ var i = 0; while (i < 1000) { sess2.setCell(i.toLong, "l_quantity", "42"); i += 1 } })
       t("editcount")(sess2.current.filter(col("l_quantity") === 42.0).count())
     }

@@ -436,11 +436,16 @@ object AnalyticsQueries {
     }),
 
     /** Running aggregate window: cumulative quantity per supplier by ship
-      * date (rows-between running frame).
+      * date (rows-between running frame). l_extendedprice completes the
+      * frame ordering into a total order — the synthetic data duplicates
+      * (l_orderkey, l_linenumber), and a tied frame order let the two
+      * engines accumulate tied rows in different sequence (caught at
+      * sf0.1).
       */
     "w_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "lineitem")
         .withColumn("run_qty",
@@ -919,7 +924,7 @@ object AnalyticsQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  cast(sum(cast(l_quantity as decimal(18,2)))
         |    OVER (PARTITION BY l_suppkey
-        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 

@@ -20,12 +20,21 @@ object ParityQueries {
 
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
 
-  /** lineitem with deterministic dense positions (total order on the PK). */
+  /** lineitem with deterministic dense positions. NOT the TPC-H PK: the
+    * synthetic testdata contains duplicate (l_orderkey, l_linenumber)
+    * pairs (~20% of rows at every SF), so that pair alone is a TIE, and
+    * tied positions are assigned arbitrarily per engine — a latent
+    * cross-engine flake wherever a dup pair straddles an observable
+    * boundary (caught live in w_running_sum at sf0.1). l_extendedprice
+    * completes a verified-unique total order at all three SFs.
+    */
+  private val liOrderCols = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+
   private def liPos(s: SparkSession, dir: String) =
-    Positional.attachPos(li(s, dir), col("l_orderkey"), col("l_linenumber"))
+    Positional.attachPos(li(s, dir), liOrderCols.map(col): _*)
 
   private val liPosSql =
-    "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS __pos FROM lineitem"
+    "SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS __pos FROM lineitem"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-ops -----------------------------------------------------------------
@@ -82,8 +91,7 @@ object ParityQueries {
 
     // R-ops (positional DML through the EditorSession surface) --------------
     "r1_cell_edit" -> ((s, dir) => {
-      val sess = EditorSession.fromDataFrame(li(s, dir),
-        Seq("l_orderkey", "l_linenumber"))
+      val sess = EditorSession.fromDataFrame(li(s, dir), liOrderCols)
       require(sess.setCell(5L, "l_quantity", "999"), "edit rejected")
       require(!sess.setCell(6L, "l_quantity", "not-a-number"),
         "bad cast must be rejected")
@@ -92,16 +100,14 @@ object ParityQueries {
     }),
 
     "r4_row_delete" -> ((s, dir) => {
-      val sess = EditorSession.fromDataFrame(li(s, dir),
-        Seq("l_orderkey", "l_linenumber"))
+      val sess = EditorSession.fromDataFrame(li(s, dir), liOrderCols)
       sess.deleteRows(Seq(3L, 4L))
       sess.current.select("__pos", "l_orderkey", "l_linenumber")
         .filter(col("__pos") < 20).orderBy("__pos")
     }),
 
     "r6_cut_paste" -> ((s, dir) => {
-      val sess = EditorSession.fromDataFrame(li(s, dir),
-        Seq("l_orderkey", "l_linenumber"))
+      val sess = EditorSession.fromDataFrame(li(s, dir), liOrderCols)
       sess.cut(Seq(10L, 11L, 12L))
       require(sess.paste(0L), "paste with clipboard must succeed")
       sess.current.select("__pos", "l_orderkey", "l_linenumber")
