@@ -60,4 +60,36 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      rate: Double, maxWeight: Double): DataFrame =
     df.filter(hashUniform(col(idCol)) < least(weight / maxWeight * rate, lit(1.0)))
+
+  /** Downsample-only rebalance toward target corpus shares — the
+    * mixture-weighting step that turns "the crawl is 44% English" into
+    * "the training mix is 40/30/30". Given target shares per stratum, the
+    * achievable corpus is capped by the most-underrepresented stratum:
+    * feasible = min over strata of n_g / share_g; each stratum then keeps
+    * rate_g = share_g · feasible / n_g of its rows (the binding stratum
+    * keeps 100%). Strata absent from `targetShares` are dropped; target
+    * strata absent from the data are ignored.
+    *
+    * Cost: one keyed count aggregate collected to the driver (one row per
+    * stratum — control-plane, like the shard offsets), then the
+    * deterministic [[stratifiedSample]] filter: scan-local, no shuffle of
+    * the data itself, same rows kept on any partitioning or rerun.
+    */
+  def rebalanceToMix(df: DataFrame, idCol: String, strataCol: String,
+                     targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "rebalanceToMix needs target shares")
+    require(targetShares.values.forall(_ > 0), "target shares must be > 0")
+    require(targetShares.values.sum <= 1.0 + 1e-9, "target shares exceed 1")
+    val counts = df.groupBy(strataCol).count().collect()
+      .flatMap(r => Option(r.get(0)).map(v => v.toString -> r.getLong(1)))
+      .toMap
+    val present = targetShares.filter { case (g, _) => counts.contains(g) }
+    require(present.nonEmpty, "no target stratum present in the data")
+    // expression shapes mirror the SQL oracle exactly (min(n / share),
+    // (share * feasible) / n) so the IEEE results are bit-identical
+    val feasible = present.map { case (g, sh) => counts(g) / sh }.min
+    val rates = present.map { case (g, sh) =>
+      g -> math.min(1.0, sh * feasible / counts(g)) }
+    stratifiedSample(df, strataCol, idCol, rates, defaultRate = 0.0)
+  }
 }

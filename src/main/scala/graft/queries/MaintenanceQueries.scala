@@ -160,6 +160,18 @@ object MaintenanceQueries {
         TextFunctions.tokenCount(col("text")), budget = 5000L)
         .orderBy("doc_id")),
 
+    /** Mixture rebalance: downsample-only re-weighting of the corpus to a
+      * 40/25/20/15 target language mix (whichever stratum is most
+      * underrepresented keeps 100% and caps the feasible total). Rates are
+      * derived from a one-row-per-lang count aggregate; the keep filter is
+      * the deterministic hash sample, so the kept set is reproducible on
+      * any partitioning and in SQL.
+      */
+    "t_mix_rebalance" -> ((s, dir) =>
+      Sampling.rebalanceToMix(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.40, "zh" -> 0.25, "es" -> 0.20, "fr" -> 0.15))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     /** Sequence packing (concat-and-chunk): per-language context-window
       * assignment — each doc's start/end chunk and offset when its
       * language's corpus is concatenated in id order and cut every 2048
@@ -374,6 +386,20 @@ object MaintenanceQueries {
          |             AS n_tokens FROM documents)
          |${OracleIdioms.shardSql("t", 5000L)}
          |ORDER BY doc_id""".stripMargin,
+
+    // same arithmetic shapes as Sampling.rebalanceToMix: min(n/share),
+    // then (share * feasible) / n — IEEE-identical rates both engines
+    "t_mix_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t(lang, share) AS (VALUES ('en', 0.40), ('zh', 0.25),
+         |                          ('es', 0.20), ('fr', 0.15)),
+         |f AS (SELECT min(n / share) AS feasible FROM c JOIN t USING (lang)),
+         |r AS (SELECT t.lang, least(1.0, t.share * f.feasible / c.n) AS rate
+         |      FROM t JOIN c USING (lang) CROSS JOIN f)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${OracleIdioms.uniformSql("d.doc_id")} < r.rate
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the greedy bin recurrence replayed one doc per lang per iteration;
     // the CASE mirrors packGreedy's `acc > 0 && acc + n > budget` reset

@@ -180,6 +180,30 @@ class SamplingSpec extends SparkSpec {
     assert(once.forall { case (id, sp) => bigger(id) == sp })
   }
 
+  test("rebalanceToMix approaches target shares; binding stratum keeps all") {
+    import org.apache.spark.sql.functions.col
+    // skewed corpus: 667 a's vs 1333 b's; target a 50-50 mix. a is the
+    // binding stratum (fewest rows per target share) and must keep 100%.
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    val kept = Sampling.rebalanceToMix(table, "id", "s", targets)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nA = table.filter(col("s") === "a").count()
+    assert(kept("a") == nA, s"binding stratum must keep all rows: $kept")
+    // achieved share within sampling noise of the 50/50 target
+    val shareA = kept("a").toDouble / (kept("a") + kept("b"))
+    assert(shareA > 0.42 && shareA < 0.58, s"achieved mix off target: $kept")
+    // strata outside the target map are dropped entirely
+    val dropped = Sampling.rebalanceToMix(table, "id", "s", Map("a" -> 1.0))
+      .groupBy("s").count().collect().map(_.getString(0)).toSet
+    assert(dropped == Set("a"))
+    // partitioning-invariance: identical kept set on a different layout
+    val once = Sampling.rebalanceToMix(table, "id", "s", targets)
+      .select("id").as[Long].collect().sorted
+    val again = Sampling.rebalanceToMix(table.repartition(13), "id", "s", targets)
+      .select("id").as[Long].collect().sorted
+    assert(once.sameElements(again))
+  }
+
   test("stratifiedSample is deterministic and partitioning-invariant") {
     val rates = Map("a" -> 0.5, "b" -> 0.2)
     val once = Sampling.stratifiedSample(table, "s", "id", rates)
