@@ -56,6 +56,43 @@ object Retrieval {
       .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
   }
 
+  /** Sliding passage windows: overlapping token windows of `winTokens`
+    * tokens advancing by `stride` per document — the chunking step that
+    * turns documents into passages for passage-level embedding, BM25, and
+    * decontamination. One codegen'd array projection + posexplode; no
+    * shuffle, no UDF, scales linearly with token count.
+    *
+    * Window layout: starts at 0, stride, 2·stride, …; the last window is
+    * always FULL (count = 1 + ⌊(n−w)/stride⌋ for n > w), so up to
+    * stride−1 trailing tokens may be uncovered — the standard fixed-stride
+    * chunking contract. Documents with 0 < n ≤ w yield one whole-doc
+    * window; empty documents yield no row.
+    * Output: (doc_id, win_idx, passage, n_win_tokens).
+    */
+  def passageWindows(docs: DataFrame, idCol: String, textCol: String,
+                     winTokens: Int, stride: Int): DataFrame = {
+    require(winTokens > 0, "winTokens must be positive")
+    require(stride > 0 && stride <= winTokens,
+      "stride must be in [1, winTokens] — larger strides skip tokens silently")
+    val nWin = when(col("__n") === 0, 0)
+      .when(col("__n") <= winTokens, 1)
+      .otherwise(expr(s"1 + (__n - $winTokens) div $stride"))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__nw", nWin.cast("long"))
+      // sequence(0, -1) would infer a NEGATIVE step; guard the empty case
+      .withColumn("__passages",
+        when(col("__nw") > 0, transform(sequence(lit(0L), col("__nw") - 1),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i * stride + 1).cast("int"), lit(winTokens)))))
+          .otherwise(array()))
+      .select(col("doc_id"),
+        posexplode(col("__passages")).as(Seq("win_idx", "passage")))
+      .withColumn("n_win_tokens",
+        size(split(col("passage"), " ")).cast("long"))
+  }
+
   /** Inverted-index posting lists: one row per term with its document
     * frequency and the sorted list of containing doc ids (deduped per
     * document, rendered as a comma-joined string so the row is a stable

@@ -104,6 +104,13 @@ object PipelineQueries {
         TextFunctions.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")),
 
+    // sliding passage windows: 32-token windows at stride 16 — the
+    // chunking step before passage-level embedding/BM25/decontamination
+    "t_passage_windows" -> ((s, dir) =>
+      Retrieval.passageWindows(docs(s, dir), "doc_id", "text",
+        winTokens = 32, stride = 16)
+        .orderBy("doc_id", "win_idx")),
+
     // the oracle-checkable twin: md5-derived 60-bit token hashes make the
     // same Horner fold bit-identical cross-engine (d_simhash_md5 pattern)
     "t_rolling_hash_md5" -> ((s, dir) =>
@@ -1284,6 +1291,23 @@ object PipelineQueries {
          |  round(-list_reduce(list_prepend(0.0, list_transform(cs,
          |      x -> (x / n) * log2(x / n))), (a, b) -> a + b), 6) AS entropy
          |FROM l ORDER BY doc_id""".stripMargin,
+
+    // window count: 0 for empty, 1 for n<=32, else 1 + (n-32)//16; DuckDB
+    // list_slice end is INCLUSIVE, so [s*16+1, s*16+32] is Spark's
+    // slice(toks, s*16+1, 32)
+    "t_passage_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |d AS (SELECT doc_id, tk, len(tk) AS n,
+         |        CASE WHEN len(tk) = 0 THEN 0
+         |             WHEN len(tk) <= 32 THEN 1
+         |             ELSE 1 + (len(tk) - 32) // 16 END AS nw FROM t),
+         |w AS (SELECT doc_id,
+         |        CAST(u.i - 1 AS BIGINT) AS win_idx,
+         |        list_slice(tk, (u.i - 1) * 16 + 1, (u.i - 1) * 16 + 32) AS wt
+         |      FROM d, UNNEST(generate_series(1, CAST(nw AS BIGINT))) AS u(i))
+         |SELECT doc_id, win_idx, array_to_string(wt, ' ') AS passage,
+         |  CAST(len(wt) AS BIGINT) AS n_win_tokens
+         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     // Horner fold mirrored structurally: DuckDB pre-mods each md5-derived
     // token hash (the inner pmod), then folds (a*257 + b) % p — the exact
