@@ -63,22 +63,35 @@ object Sharding {
     * The bin decision is sequential per group — a running sum *with reset*
     * that no window function expresses — so this is the one operator in
     * the pipeline family implemented with the secondary-sort idiom:
-    * repartition on the group key, sort within partitions by (group, id),
-    * then a single streaming pass per partition carrying O(1) state.
-    * Groups are hash-partitioned, so the plan scales with group count and
-    * the pass never buffers a group.
+    * repartition on the group key, sort within partitions by (group,
+    * packing order), then a single streaming pass per partition carrying
+    * O(1) state. Groups are hash-partitioned, so the plan scales with
+    * group count and the pass never buffers a group.
+    *
+    * `orderBy` is the packing order WITHIN a group (default: id order).
+    * Curriculum packing — fill early bins with the highest-priority
+    * documents — is the same pass over a (priority desc, id) order; the
+    * caller must supply a total order or tied documents pack
+    * nondeterministically.
     */
   def packGreedy(docs: DataFrame, idCol: String, groupCol: String,
-                 tokenExpr: Column, budget: Long): DataFrame = {
+                 tokenExpr: Column, budget: Long,
+                 orderBy: Seq[Column] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    val ord = if (orderBy.nonEmpty) orderBy else Seq(col("__docid"))
     val prepared = docs
-      .select(col(groupCol).cast("string").as("grp"),
-        col(idCol).cast("long").as("doc_id"),
-        greatest(lit(0L), coalesce(tokenExpr.cast("long"), lit(0L))).as("n"))
-      .repartition(col("grp"))
-      .sortWithinPartitions("grp", "doc_id")
+      // computed columns ride ALONGSIDE the originals so caller-supplied
+      // order expressions (e.g. col("n_chars").desc) still resolve; the
+      // narrow projection after the sort preserves per-partition order
+      .withColumn("__grp", col(groupCol).cast("string"))
+      .withColumn("__docid", col(idCol).cast("long"))
+      .withColumn("__n",
+        greatest(lit(0L), coalesce(tokenExpr.cast("long"), lit(0L))))
+      .repartition(col("__grp"))
+      .sortWithinPartitions(col("__grp") +: ord: _*)
+      .select(col("__grp"), col("__docid"), col("__n"))
       .as[(String, Long, Long)]
     prepared.mapPartitions { it =>
       var curGrp: String = null

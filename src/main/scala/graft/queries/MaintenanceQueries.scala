@@ -193,6 +193,19 @@ object MaintenanceQueries {
         TextFunctions.tokenCount(col("text")), budget = 2048L)
         .orderBy("doc_id")),
 
+    /** Curriculum packing: greedy no-split bins filled in priority order —
+      * longest documents first (n_chars as the curriculum signal), so
+      * early bins hold the highest-priority examples. Same O(1)-state
+      * streaming pass as t_pack_greedy with a (priority desc, id) packing
+      * order; (n_chars, doc_id) is a total order so the bins are
+      * deterministic.
+      */
+    "t_pack_curriculum" -> ((s, dir) =>
+      Sharding.packGreedy(docs(s, dir), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), budget = 2048L,
+        orderBy = Seq(col("n_chars").desc, col("doc_id")))
+        .orderBy("doc_id")),
+
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
       * mixture-weighting decision starts from. The share window runs over
@@ -400,6 +413,26 @@ object MaintenanceQueries {
          |FROM documents d JOIN r USING (lang)
          |WHERE ${OracleIdioms.uniformSql("d.doc_id")} < r.rate
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same recurrence as t_pack_greedy with the curriculum (n_chars DESC,
+    // doc_id) packing order driving row_number
+    "t_pack_curriculum" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |o AS (SELECT doc_id, lang, n, row_number() OVER (
+         |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM t),
+         |rec AS (
+         |  SELECT lang, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS acc
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.doc_id, o.n, o.rn,
+         |    CASE WHEN r.acc > 0 AND r.acc + o.n > 2048
+         |         THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.acc > 0 AND r.acc + o.n > 2048
+         |         THEN o.n ELSE r.acc + o.n END
+         |  FROM rec r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1)
+         |SELECT doc_id, lang, n AS n_tokens, bin
+         |FROM rec ORDER BY doc_id""".stripMargin,
 
     // the greedy bin recurrence replayed one doc per lang per iteration;
     // the CASE mirrors packGreedy's `acc > 0 && acc + n > budget` reset
