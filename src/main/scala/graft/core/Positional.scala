@@ -76,8 +76,13 @@ object Positional {
     var acc = 0L
     val offsets = counts.zipWithIndex.map { case (c, pid) =>
       val o = (pid.toLong, acc); acc += c; o }
-    val offsetMap = map(offsets.flatMap { case (pid, off) =>
-      Seq(lit(pid), lit(off)) }.toIndexedSeq: _*)
+    // typedLit, not map(lit, lit, ...): a MapType literal rides in the
+    // codegen references array, so the generated source is identical no
+    // matter what the offsets are — per-pid `lit`s would inline the values
+    // as Java constants and force a fresh Janino compile for every distinct
+    // partition layout (measured ~0.7 s on the first sf0.1 session open
+    // after an sf0.001 warmup).
+    val offsetMap = typedLit(offsets.toMap)
     pinned.withColumn("__mid", monotonically_increasing_id())
       .withColumn(POS, localOf + element_at(offsetMap, pidOf))
       .drop("__mid")

@@ -47,8 +47,12 @@ object RowOps {
   def cutRows(df: DataFrame, positions: Seq[Long]): (DataFrame, DataFrame) = {
     val sorted = positions.distinct.sorted
     val clip = df.filter(col(POS).isInCollection(sorted))
-    val renumMap = map(sorted.zipWithIndex.flatMap { case (p, i) =>
-      Seq(lit(p), lit(i.toLong)) }: _*)
+    // typedLit keeps the generated source independent of the selected
+    // positions (a MapType literal is a codegen reference object), so
+    // successive cut gestures reuse the compiled plan instead of paying a
+    // Janino recompile each time the selection changes.
+    val renumMap = typedLit(sorted.zipWithIndex.map { case (p, i) =>
+      p -> i.toLong }.toMap)
     val clipRenum = clip.withColumn(POS, element_at(renumMap, col(POS)))
     (clipRenum, deleteRows(df, sorted))
   }
