@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Merge, Retrieval, Sampling, Sharding}
+import graft.operators.{ImportanceWeights, Merge, Retrieval, Sampling, Sharding}
 
 /** Dataset-maintenance and retrieval query surface: keyed MERGE/diff (the
   * distributed form of the reference's whole-file rewrite,
@@ -206,6 +206,24 @@ object MaintenanceQueries {
         orderBy = Seq(col("n_chars").desc, col("doc_id")))
         .orderBy("doc_id")),
 
+    /** DSIR importance scores: hashed-unigram log-likelihood ratio of the
+      * English slice (target) against the whole corpus (raw) — the "score
+      * every raw document by how target-like it is" step of importance
+      * resampling. See [[graft.operators.ImportanceWeights]] for the scale
+      * shape and the decimal-sum determinism argument.
+      */
+    "t_dsir_score" -> ((s, dir) =>
+      ImportanceWeights.score(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en").orderBy("doc_id")),
+
+    /** DSIR Gumbel top-k resample: 100 docs drawn without replacement with
+      * probability ∝ exp(score), deterministically (the Gumbel noise is the
+      * doc id's md5-uniform). Distributed top-k, no global window.
+      */
+    "t_dsir_resample" -> ((s, dir) =>
+      ImportanceWeights.resample(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", k = 100).orderBy("doc_id")),
+
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
       * mixture-weighting decision starts from. The share window runs over
@@ -294,6 +312,28 @@ object MaintenanceQueries {
 
   private def uniformSql(idExpr: String) = OracleIdioms.uniformSql(idExpr)
   private val toksSql = OracleIdioms.toksSql
+
+  /** Shared CTE prefix of the two DSIR oracles: hashed-unigram bucket
+    * models and the per-doc decimal log-ratio sum — mirror of
+    * [[graft.operators.ImportanceWeights.score]] with lang='en' as the
+    * target slice, B=1024, alpha=0.5 (so alpha*B = 512.0).
+    */
+  private val dsirScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, unnest($toksSql) AS term
+       |  FROM documents),
+       |tok AS (SELECT doc_id, (lang = 'en') AS t,
+       |  ${OracleIdioms.md5Long("term")} % 1024 AS b FROM tk),
+       |m AS (SELECT b, count(*) AS cr,
+       |        sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+       |      FROM tok GROUP BY b),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |          CAST(sum(ct) AS BIGINT) AS nt FROM m),
+       |r AS (SELECT b, CAST(round(ln((ct + 0.5) / (nt + 512.0)) -
+       |          ln((cr + 0.5) / (nr + 512.0)), 6) AS DECIMAL(12,6)) AS lr
+       |      FROM m, tot),
+       |s AS (SELECT tok.doc_id, count(*) AS n_toks,
+       |        CAST(sum(lr) AS DOUBLE) AS score
+       |      FROM tok JOIN r USING (b) GROUP BY tok.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "o_upsert" ->
@@ -413,6 +453,28 @@ object MaintenanceQueries {
          |FROM documents d JOIN r USING (lang)
          |WHERE ${OracleIdioms.uniformSql("d.doc_id")} < r.rate
          |ORDER BY d.doc_id""".stripMargin,
+
+    // hashed-unigram models mirrored bucket-for-bucket: md5-top-60-bit
+    // bucket, alpha=0.5 / B=1024 smoothing (alpha*B = 512.0), per-bucket
+    // log-ratio rounded to 6dp and summed as DECIMAL so addition order
+    // can't move the score
+    "t_dsir_score" -> (dsirScoreSql +
+      s"""
+         |SELECT d.doc_id, CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+         |  coalesce(s.score, 0.0) AS dsir_score
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // same score pipeline + the Gumbel key; the ORDER BY ... LIMIT mirrors
+    // Spark's TakeOrderedAndProject predicate exactly (key desc, id asc)
+    "t_dsir_resample" -> (dsirScoreSql +
+      s""",
+         |g AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS dsir_score,
+         |        round(coalesce(s.score, 0.0) -
+         |          ln(-ln(${uniformSql("d.doc_id")})), 6) AS gumbel_key
+         |      FROM documents d LEFT JOIN s USING (doc_id))
+         |SELECT doc_id, dsir_score, gumbel_key FROM g
+         |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin),
 
     // same recurrence as t_pack_greedy with the curriculum (n_chars DESC,
     // doc_id) packing order driving row_number
