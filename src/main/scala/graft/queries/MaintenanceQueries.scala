@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{ImportanceWeights, Merge, Retrieval, Sampling, Sharding}
+import graft.operators.{ImportanceWeights, Merge, QualityModel, Retrieval, Sampling, Sharding}
 
 /** Dataset-maintenance and retrieval query surface: keyed MERGE/diff (the
   * distributed form of the reference's whole-file rewrite,
@@ -44,6 +44,42 @@ object MaintenanceQueries {
       |  UNION ALL
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src)"""
       .stripMargin
+
+  /** Unrolled GD rounds of the logistic-regression quality model — mirror
+    * of [[graft.operators.QualityModel.trainLogReg]] (T=5, lr=0.5): per-doc
+    * contributions rounded to 9dp and summed as DECIMAL (order-free), new
+    * weights re-rounded to 9dp doubles each round. The feature CTE reuses
+    * the quality-gate signal mirrors; x2/x3 are the gate's *rounded*
+    * outputs, the label the gate's unrounded keep predicate — exactly the
+    * Spark side's column provenance.
+    */
+  private def qualityLrCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = "(1.0/(1.0+exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))))"
+      val gs = (0 to 3).map(j =>
+        s"sum(CAST(round(($p - f.y) * f.x$j, 9) AS DECIMAL(20,9))) AS g$j")
+        .mkString(",\n|      ")
+      val ws = (0 to 3).map(j =>
+        s"round(w.w$j - 0.5 * (CAST(g.g$j AS DOUBLE) / CAST(g.n AS DOUBLE)), 9) AS w$j")
+        .mkString(",\n|      ")
+      s"""g$i AS (SELECT
+         |      $gs,
+         |      count(*) AS n
+         |    FROM f CROSS JOIN w${i - 1} w),
+         |w$i AS (SELECT
+         |      $ws
+         |    FROM g$i g CROSS JOIN w${i - 1} w)"""
+    }.mkString(",\n|")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |q AS (${OracleIdioms.qualitySignalsSql}),
+       |f AS (SELECT doc_id, 1.0 AS x0, n_words / 100.0 AS x1,
+       |        round(uniq_ratio, 6) AS x2, round(mean_wl, 6) / 10.0 AS x3,
+       |        CASE WHEN ${OracleIdioms.keptPredicateSql}
+       |             THEN 1.0 ELSE 0.0 END AS y
+       |      FROM q WHERE n_words > 0),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$rounds""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     /** MERGE upsert: daily-delta maintenance of a keyed snapshot. One
@@ -223,6 +259,20 @@ object MaintenanceQueries {
     "t_dsir_resample" -> ((s, dir) =>
       ImportanceWeights.resample(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en", k = 100).orderBy("doc_id")),
+
+    /** Distilled quality model: 5 rounds of exact full-batch logistic
+      * regression over the gate signals, then a calibrated per-doc score.
+      * Each round is one distributed aggregate; the model is 4 numbers.
+      */
+    "t_quality_lr_score" -> ((s, dir) =>
+      QualityModel.scored(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    /** The learned weights themselves — the oracle replays all 5 GD rounds
+      * in SQL, so a green row certifies the whole training trajectory, not
+      * just the final scoring pass.
+      */
+    "t_quality_lr_weights" -> ((s, dir) =>
+      QualityModel.weights(docs(s, dir), "doc_id", "text")),
 
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
@@ -475,6 +525,22 @@ object MaintenanceQueries {
          |      FROM documents d LEFT JOIN s USING (doc_id))
          |SELECT doc_id, dsir_score, gumbel_key FROM g
          |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin),
+
+    // the GD trajectory replayed round-for-round (unrolled CTEs, the
+    // g_pagerank pattern); final scoring mirrors zOf/sigmoid exactly
+    "t_quality_lr_score" -> (qualityLrCtes(5) +
+      s""",
+         |s AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |        round(1.0/(1.0+exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
+         |          + w.w3*f.x3))), 6) AS lr_score
+         |      FROM f CROSS JOIN w5 w)
+         |SELECT d.doc_id, CAST(coalesce(s.label, 0) AS BIGINT) AS label,
+         |  coalesce(s.lr_score, 0.0) AS lr_score
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    "t_quality_lr_weights" -> (qualityLrCtes(5) +
+      "\nSELECT w0, w1, w2, w3 FROM w5"),
 
     // same recurrence as t_pack_greedy with the curriculum (n_chars DESC,
     // doc_id) packing order driving row_number
