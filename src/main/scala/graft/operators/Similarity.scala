@@ -103,6 +103,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 entry of the random projection matrix at (out-dim j,
+    * in-dim d): xxhash64 parity. No RNG state — the "matrix" is a hash
+    * function, so projecting never ships or stores a matrix and every
+    * executor (or engine) derives the same one.
+    */
+  private def signComponent(j: Column, d: Column): Column =
+    when(pmod(xxhash64(lit("rp"), j, d), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** md5-parity twin of [[signComponent]] — cross-engine reproducible, so
+    * the projected vectors are oracle-checkable (same split as
+    * [[planeComponent]] / [[md5Planes]]).
+    */
+  val md5Signs: (Column, Column) => Column = (j, d) =>
+    when(pmod(conv(substring(md5(concat_ws("|", j, d)), 1, 15), 16, 10)
+      .cast("long"), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas ±1): reduce
+    * a vector to `outDim` dims via y_j = Σ_i x_i·sign(j,i) / √outDim —
+    * the cheap-embedding step before brute-force rerank, clustering, or
+    * storage-bounded ANN. Distances are preserved in expectation with
+    * relative variance 2/outDim.
+    *
+    * Scan-local projection (no shuffle, no state); the fold accumulates
+    * sequentially in index order, so results are bit-reproducible across
+    * partitionings and replayable by an oracle folding in the same order.
+    */
+  def randomProject(vecCol: Column, outDim: Int,
+                    signs: (Column, Column) => Column = signComponent): Column = {
+    require(outDim > 0, "outDim must be positive")
+    val scale = math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (x, d) => x.cast("double") * signs(j, d)),
+        lit(0.0), (acc, x) => acc + x) / lit(scale))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): xxhash64 → uniform in [-1, 1]. No RNG state, reproducible on any
     * cluster.

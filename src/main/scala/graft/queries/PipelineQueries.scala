@@ -691,6 +691,19 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** JL sign random projection 64 → 8 dims, md5 sign family so every
+      * projected component is oracle-replayable. Output exploded to
+      * scalars (vec_id, dim, comp) for driver hashing; the projection is
+      * scan-local (no shuffle, hash-derived matrix, nothing stored).
+      */
+    "v_project_md5" -> ((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+          posexplode(Similarity.randomProject(col("embedding"), 8,
+            Similarity.md5Signs)).as(Seq("dim", "comp")))
+        .select(col("vec_id"), col("dim"),
+          round(col("comp"), 6).as("comp"))
+        .orderBy("vec_id", "dim")),
+
     /** Corpus bigram language-model table: top-20 bigrams with their MLE
       * conditional probability P(w2|w1) = c(w1 w2)/c(w1). Both count
       * streams are explode → hash-agg; the unigram side joins on the
@@ -1465,6 +1478,21 @@ object PipelineQueries {
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
 
     "v_ann_lsh_md5" -> annLshMd5Oracle,
+
+    // projection matrix replayed entry-by-entry from md5 parity; the fold
+    // is list_reduce in index order = Spark's sequential aggregate
+    "v_project_md5" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT e.vec_id, jj.j AS dim,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(generate_series(1, 64), i ->
+        |      CAST(e.embedding[i] AS DOUBLE) *
+        |      (CASE WHEN (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '|' ||
+        |            CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+        |       THEN 1.0 ELSE -1.0 END))),
+        |    (acc, x) -> acc + x) / sqrt(8.0), 6) AS comp
+        |FROM e, generate_series(0, 7) jj(j)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "t_ngram_lm" ->
       s"""WITH t AS (SELECT $toksSql AS tk FROM documents),

@@ -51,3 +51,39 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 }
+
+class RandomProjectSpec extends SparkSpec {
+  test("JL sign projection roughly preserves norms and neighbor structure") {
+    val embs = Tables.load(spark, sf, "embeddings").limit(200)
+    val proj = embs.select(col("vec_id"),
+      Similarity.norm2(col("embedding")).as("n2"),
+      Similarity.norm2(Similarity.randomProject(col("embedding"), 16)).as("p2"))
+    // E[|y|^2] = |x|^2 with relative variance 2/16; the MEAN ratio over 200
+    // vectors concentrates hard around 1
+    val ratio = proj.agg(avg(col("p2") / col("n2"))).head.getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"mean norm ratio $ratio")
+    // cosines computed in the projected space track the original space:
+    // against a fixed probe vector, the sign of agreement dominates
+    val probe = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("pv"),
+        Similarity.randomProject(col("embedding"), 16).as("pp"))
+    val both = embs.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0L)
+      .select(
+        Similarity.cosine(col("embedding"), col("pv")).as("c0"),
+        Similarity.cosine(Similarity.randomProject(col("embedding"), 16),
+          col("pp")).as("c1"))
+    val corr = both.agg(org.apache.spark.sql.functions.corr("c0", "c1"))
+      .head.getDouble(0)
+    assert(corr > 0.6, s"projected-space cosine should correlate, got $corr")
+  }
+
+  test("projection is deterministic and family-stable") {
+    val embs = Tables.load(spark, sf, "embeddings").limit(20)
+    def run() = embs.select(col("vec_id"),
+      Similarity.randomProject(col("embedding"), 8, Similarity.md5Signs)
+        .as("p")).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run() == run())
+  }
+}
