@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Clustering, CorpusSignals, Dedup, Multimodal, Retrieval, Sampling, Similarity}
+import graft.operators.{BpeVocab, Clustering, CorpusSignals, Dedup, Multimodal, Retrieval, Sampling, Similarity}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline query surface: text analysis, dedup, similarity
@@ -135,6 +135,52 @@ object PipelineQueries {
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term"))
         .limit(20)),
+
+    /** Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-200 terms —
+      * the one-number corpus-naturalness diagnostic (natural text slopes
+      * ≈ −1; synthetic or templated corpora flatten). Top-200 selection is
+      * a distributed TakeOrderedAndProject; the rank window runs over the
+      * 200-row result relation only. Log moments are rounded to 9dp and
+      * summed as DECIMAL (a15's closed-form OLS, made addition-order-free).
+      */
+    "t_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val top = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("term")).limit(200)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("term"))))
+      val x = round(log(col("rank")), 9).cast(DecimalType(15, 9))
+      val y = round(log(col("f")), 9).cast(DecimalType(15, 9))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      val nD = col("n").cast("double"); val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double"); val sxy = col("sxy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      m.select(col("n"), round(slope, 6).as("slope"),
+        round((sy - slope * sx) / nD, 6).as("intercept"))
+    }),
+
+    /** BPE vocabulary learning, 8 merge rounds over the corpus word
+      * vocabulary — the merge table IS the result, so a green row
+      * certifies every round's pair count, argmax tie-break, and merge
+      * application. See [[graft.operators.BpeVocab]] for the scale shape
+      * and the replace-semantics dialect note.
+      */
+    "t_bpe_merges" -> ((s, dir) =>
+      BpeVocab.mergeTable(docs(s, dir), "text", steps = 8)),
+
+    /** Corpus re-encoded with the learned BPE vocabulary: per-doc subword
+      * piece counts — the budget number a training pipeline actually
+      * needs, upgraded from the whitespace/regex token proxies.
+      */
+    "t_bpe_encode" -> ((s, dir) =>
+      BpeVocab.encodeCounts(docs(s, dir), "doc_id", "text", steps = 8)
+        .orderBy("doc_id")),
 
     /** PII-style scrubbing: redact email-shaped tokens and long digit runs —
       * the standard pre-training text hygiene pass, pure codegen'd regex.
@@ -993,6 +1039,59 @@ object PipelineQueries {
          |  SELECT unnest(list_distinct($toksSql)) AS term FROM documents)
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
 
+    // merge table assembled round by round; "left"/"right" quoted (SQL
+    // keywords) to land as the same pandas column names as Spark's
+    "t_bpe_merges" -> (bpeCtes(8) + "\n" +
+      (1 to 8).map(i =>
+        s"""SELECT $i AS step, a AS "left", b AS "right", cnt FROM m$i""")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY step")),
+
+    "t_bpe_encode" -> (bpeCtes(8) +
+      s""",
+         |enc AS (SELECT word,
+         |          CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_p
+         |        FROM w8),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |pd AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(n_p) AS BIGINT) AS n_pieces
+         |       FROM tok JOIN enc USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // a15's closed-form OLS over (ln rank, ln freq) with 9dp-decimal
+    // moment sums; the CAST-to-double happens per-sum, then the slope
+    // arithmetic runs in double exactly as the Spark side
+    "t_zipf" ->
+      s"""WITH tf AS (SELECT term, count(*) AS f FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents)
+         |  GROUP BY term),
+         |top AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 200),
+         |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rank
+         |      FROM top),
+         |m AS (SELECT count(*) AS n,
+         |    sum(CAST(round(ln(rank), 9) AS DECIMAL(15,9))) AS sx,
+         |    sum(CAST(round(ln(f), 9) AS DECIMAL(15,9))) AS sy,
+         |    sum(CAST(round(ln(rank), 9) AS DECIMAL(15,9)) *
+         |        CAST(round(ln(f), 9) AS DECIMAL(15,9))) AS sxy,
+         |    sum(CAST(round(ln(rank), 9) AS DECIMAL(15,9)) *
+         |        CAST(round(ln(rank), 9) AS DECIMAL(15,9))) AS sxx
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) -
+         |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+         |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM m""".stripMargin,
+
     // chunk bounds (i-1)*20+1 .. (i-1)*20+20 are 1-based inclusive
     // (list_slice clamps past the end, mirroring Spark's slice); the
     // QUALIFY keeper is the same (doc_id, p_idx)-min pair as the Spark
@@ -1740,6 +1839,37 @@ object PipelineQueries {
         |s AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
         |      FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Unrolled BPE merge rounds — mirror of [[graft.operators.BpeVocab]]
+    * (T=8): each round extracts adjacent symbol pairs from the vocabulary,
+    * takes the (cnt DESC, a, b) argmax, and applies the merge as 4
+    * sentinel-delimited replace passes, exactly the Spark side's
+    * `applyMerge`. Ends with w8 (final vocabulary) and m1..m8 (merges).
+    */
+  private def bpeCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      val rep4 = (1 to BpeVocab.replacePasses)
+        .foldLeft("w.rep")((r, _) => s"replace($r, r.pat, r.rpl)")
+      s"""p$i AS (SELECT unnest(CASE WHEN len(s) >= 2
+         |      THEN list_transform(generate_series(1, len(s) - 1),
+         |           k -> {'a': s[k], 'b': s[k + 1]})
+         |      ELSE [] END) AS p, freq
+         |    FROM (SELECT string_split(trim(rep), ' ') AS s, freq
+         |          FROM w${i - 1})),
+         |m$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |    FROM p$i GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$i AS (SELECT ' ' || a || ' ' || b || ' ' AS pat,
+         |          ' ' || a || b || ' ' AS rpl FROM m$i),
+         |w$i AS (SELECT word, $rep4 AS rep, freq
+         |    FROM w${i - 1} w CROSS JOIN r$i r)"""
+    }.mkString(",\n|")
+    s"""WITH v AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |w0 AS (SELECT word,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
+       |    freq FROM v),
+       |$rounds""".stripMargin
+  }
 
   /** md5-plane LSH top-10 oracle (single copy: v_ann_lsh_md5 + recall). */
   private lazy val annLshMd5Oracle: String =
