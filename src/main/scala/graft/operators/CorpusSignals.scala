@@ -218,4 +218,59 @@ object CorpusSignals {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** CCNet-style perplexity scoring: per-doc average negative log
+    * probability under an interpolated bigram LM fit on the corpus itself —
+    * the "sort the crawl by LM perplexity, keep the head" curation signal.
+    *
+    * p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N, with c(w1·) the
+    * bigram-first count, so probabilities are positive for every bigram the
+    * corpus contains (the model scores its own training corpus; there is no
+    * unseen-event path).
+    *
+    * Scale shape: the LM is two explode → hash-aggregate tables (distinct
+    * bigrams / vocabulary — both vocabulary-bounded, not corpus-bounded);
+    * scoring is one join of the doc-bigram stream against each, then a
+    * per-doc aggregate. Per-bigram log terms are rounded to 9dp and summed
+    * as DECIMAL, so the score is addition-order-free and oracle-replayable.
+    *
+    * @return (doc_id, n_bigrams, avg_nll) — avg_nll in nats rounded to
+    *         6dp; docs with fewer than 2 tokens come back with 0 bigrams
+    *         and NULL avg_nll (no evidence, not "perfect").
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda in (0,1), got $lambda")
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bg = tok.select(col("doc_id"), explode(bigrams(col("tk"))).as("bg"))
+    val uni = tok.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c2"))
+    val nTok = uni.agg(sum(col("c2")).as("n"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val firstCounts = bgCounts.groupBy("w1")
+      .agg(sum(col("c12")).as("c1f"))
+    val lm = bgCounts.join(firstCounts, "w1")
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.withColumnRenamed("w", "w2"), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("bg"),
+        round(-log(
+          lit(lambda) * (col("c12").cast("double") / col("c1f").cast("double")) +
+            lit(1.0 - lambda) * (col("c2").cast("double") / col("n").cast("double"))),
+          9).cast(DecimalType(20, 9)).as("nll"))
+    val perDoc = bg.join(lm, "bg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
 }

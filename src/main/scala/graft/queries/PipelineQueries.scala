@@ -165,6 +165,15 @@ object PipelineQueries {
         round((sy - slope * sx) / nD, 6).as("intercept"))
     }),
 
+    /** CCNet-style perplexity signal: avg negative log prob per doc under
+      * the corpus's own interpolated bigram LM — sort by it, keep the
+      * head. LM tables are vocabulary-bounded; scoring is two joins of the
+      * bigram stream + one per-doc aggregate.
+      */
+    "t_perplexity" -> ((s, dir) =>
+      CorpusSignals.perplexity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     /** BPE vocabulary learning, 8 merge rounds over the corpus word
       * vocabulary — the merge table IS the result, so a green row
       * certifies every round's pair count, argmax tie-break, and merge
@@ -1038,6 +1047,36 @@ object PipelineQueries {
       s"""SELECT term, count(*) AS df FROM (
          |  SELECT unnest(list_distinct($toksSql)) AS term FROM documents)
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    // interpolation weights written as 0.9 and (1.0 - 0.9) so both engines
+    // derive the SAME doubles (a 0.1 literal is NOT the IEEE result of
+    // 1.0 - 0.9); per-bigram -ln rounded to 9dp, summed as DECIMAL
+    "t_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(${OracleIdioms.bigramsSql("tk")}) AS bg
+         |       FROM t),
+         |uni AS (SELECT w, count(*) AS c2 FROM (
+         |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |nt AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM uni),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+         |fc AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |         CAST(sum(c12) AS BIGINT) AS c1f FROM bc GROUP BY 1),
+         |lm AS (SELECT bc.bg,
+         |    CAST(round(-ln(
+         |      0.9 * (CAST(c12 AS DOUBLE) / CAST(c1f AS DOUBLE)) +
+         |      (1.0 - 0.9) * (CAST(c2 AS DOUBLE) / CAST(nt.n AS DOUBLE))),
+         |      9) AS DECIMAL(20,9)) AS nll
+         |  FROM bc
+         |  JOIN fc ON split_part(bc.bg, ' ', 1) = fc.w1
+         |  JOIN uni ON split_part(bc.bg, ' ', 2) = uni.w, nt),
+         |pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS snll
+         |       FROM bg JOIN lm USING (bg) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  round(CAST(snll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         |    AS avg_nll
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // merge table assembled round by round; "left"/"right" quoted (SQL
     // keywords) to land as the same pandas column names as Spark's

@@ -116,3 +116,35 @@ class EntropyFuzzySpec extends SparkSpec {
     assert(r.getInt(3) === 1) // lazy → hazy inside the 60-char prefix
   }
 }
+
+class PerplexitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitive text is more predictable than varied text") {
+    val d = Seq(
+      (1L, Seq.fill(15)("the cat sat").mkString(" ")), // one loop, low nll
+      (2L, "quick brown foxes jump over seven lazy dogs while rain " +
+        "falls on ancient stone bridges near quiet mountain villages"),
+      (3L, "single")) // < 2 tokens: no evidence
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusSignals.perplexity(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(got(1L)._2 < got(2L)._2,
+      s"looped text must score lower nll: $got")
+    assert(got(3L)._1 === 0L && got(3L)._2.isNaN)
+  }
+
+  test("perplexity is deterministic across partitionings") {
+    val base = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta w$i epsilon zeta"))
+    val a = graft.operators.CorpusSignals.perplexity(
+      base.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = graft.operators.CorpusSignals.perplexity(
+      base.toDF("doc_id", "text").repartition(2), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+}
