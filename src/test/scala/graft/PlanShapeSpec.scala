@@ -130,4 +130,36 @@ class PlanShapeSpec extends SparkSpec {
     val filterIdx = p.indexOf("(qty")
     assert(filterIdx >= 0, s"qty filter not found; plan:\n$p")
   }
+
+  test("DSIR score: the B-row ratio relation broadcasts, never shuffles the token stream against it") {
+    withoutAutoBroadcast {
+      val p = plan(graft.operators.ImportanceWeights.score(
+        Tables.load(spark, sf, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "en"))
+      assert(countOf(p, "BroadcastHashJoin") >= 1,
+        s"ratio table must broadcast by hint; plan:\n$p")
+      assert(countOf(p, "BroadcastNestedLoopJoin") >= 1,
+        s"one-row totals must attach via broadcast; plan:\n$p")
+      assert(countOf(p, "HashAggregate") >= 2,
+        s"token aggregates must have a partial stage; plan:\n$p")
+    }
+  }
+
+  test("random projection is scan-local: projecting adds no exchange") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val p = plan(embs.select(col("vec_id"),
+      graft.operators.Similarity.randomProject(col("embedding"), 8)))
+    assert(!p.contains("Exchange"),
+      s"projection must stay a map stage; plan:\n$p")
+  }
+
+  test("quality-model gradient round is one partial+final aggregate over a map-only feature stage") {
+    val p = plan(graft.operators.QualityModel.features(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .agg(sum(col("y"))))
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"gradient pass needs map-side partials; plan:\n$p")
+    assert(countOf(p, "Exchange") == 1,
+      s"features are scan-local, only the final agg exchanges; plan:\n$p")
+  }
 }
