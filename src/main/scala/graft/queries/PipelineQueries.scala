@@ -191,6 +191,51 @@ object PipelineQueries {
       BpeVocab.encodeCounts(docs(s, dir), "doc_id", "text", steps = 8)
         .orderBy("doc_id")),
 
+    /** Tokenizer fertility by language: mean BPE pieces per word under the
+      * learned vocabulary — the cross-language tokenizer-equity number
+      * (high-fertility languages pay more sequence length per word).
+      * Composes [[BpeVocab.encodeCounts]] with the lang dimension.
+      */
+    "t_bpe_fertility" -> ((s, dir) => {
+      val enc = BpeVocab.encodeCounts(docs(s, dir), "doc_id", "text", steps = 8)
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") /
+            col("n_tokens").cast("double"), 6).as("fertility"))
+        .orderBy("lang")
+    }),
+
+    /** Per-doc n-gram novelty vs everything earlier in the corpus (doc_id
+      * order): the memorization/novelty scan — a doc whose 5-grams all
+      * appeared in lower doc_ids adds nothing new. First-occurrence is a
+      * min-aggregate on the gram (no window, no sort); novelty is the
+      * fraction of the doc's distinct 5-grams it is the first to contain.
+      */
+    "t_novelty" -> ((s, dir) => {
+      // shingles() is per-doc distinct already — no dedup shuffle needed
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 5)).as("g"))
+      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = grams.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(col("n_novel").cast("double") /
+              col("n_grams").cast("double"), 6)).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     /** PII-style scrubbing: redact email-shaped tokens and long digit runs —
       * the standard pre-training text hygiene pass, pure codegen'd regex.
       */
@@ -1047,6 +1092,49 @@ object PipelineQueries {
       s"""SELECT term, count(*) AS df FROM (
          |  SELECT unnest(list_distinct($toksSql)) AS term FROM documents)
          |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    // the encode CTEs extended with the lang rollup; tokenless docs drop
+    // from the inner join on both sides (they contribute zero mass)
+    "t_bpe_fertility" -> (bpeCtes(8) +
+      s""",
+         |enc AS (SELECT word,
+         |          CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_p
+         |        FROM w8),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |pd AS (SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(n_p) AS BIGINT) AS n_pieces
+         |       FROM tok JOIN enc USING (word) GROUP BY doc_id),
+         |fert AS (SELECT d.lang, CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+         |           CAST(sum(pd.n_pieces) AS BIGINT) AS n_pieces
+         |         FROM documents d JOIN pd USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_tokens, n_pieces,
+         |  round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS fertility
+         |FROM fert ORDER BY lang""".stripMargin),
+
+    // first-occurrence via min(doc_id) per gram — no window; the 5-gram
+    // list mirrors t_dup_ngram's
+    "t_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(tk) >= 5
+         |          THEN list_transform(generate_series(1, len(tk) - 4),
+         |               i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |          ELSE [] END)) AS g
+         |      FROM t),
+         |fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+         |         CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |       FROM g JOIN fs USING (g) GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN coalesce(pd.n_grams, 0) > 0
+         |    THEN round(CAST(pd.n_novel AS DOUBLE) /
+         |               CAST(pd.n_grams AS DOUBLE), 6) END AS novelty
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // interpolation weights written as 0.9 and (1.0 - 0.9) so both engines
     // derive the SAME doubles (a 0.1 literal is NOT the IEEE result of
