@@ -346,6 +346,51 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings (deterministic k-means seeding from
+    * [[Clustering.seedCentroids]]), then within each cluster drop every
+    * vector that is >= `threshold` cosine-similar to a cluster-mate that
+    * outranks it. Rank follows the paper's keep-the-outliers rule: LOWER
+    * similarity to the centroid wins (prototypical members of a dense
+    * semantic clump are dropped, the clump's fringe survives); ties break
+    * to the smaller id. Because outranking is a strict total order inside
+    * a cluster, each cluster's top-ranked vector always survives, and no
+    * two surviving cluster-mates are >= `threshold` similar (the
+    * lower-ranked one of such a pair would have been dominated).
+    *
+    * Scale shape: the centroid set is k literal vectors, so assignment is
+    * a map-only pass ([[Clustering.assign]]); the only data-sized shuffle
+    * is the self-join on `centroid_id`, which blocks the O(n²) pair scan
+    * down to Σ|cluster|² — choose k ~ √n (the paper's regime) so the
+    * expected per-cluster work is linear in n. The dominance filter is a
+    * single pass over within-cluster pairs — no iteration, unlike the
+    * connected-components path in [[dropNearDuplicates]].
+    *
+    * Output: one row per vector — (id, centroid_id, cent_sim,
+    * kept 0/1) — the full disposition manifest, not just survivors.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    roundTo: Int = 6): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val cos = (a: Column, b: Column) =>
+      call_function(graft.functions.VectorExpressions.COSINE_FN, a, b)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(Clustering.assign(df, idCol, vecCol, centroids, roundTo), Seq("id"))
+    val x = assigned.select(col("centroid_id"), col("id").as("id_i"),
+      col("sim").as("sim_i"), col("__v").as("__vi"))
+    val y = assigned.select(col("centroid_id"), col("id").as("id_j"),
+      col("sim").as("sim_j"), col("__v").as("__vj"))
+    val losers = x.join(y, Seq("centroid_id"))
+      .filter(struct(col("sim_i"), col("id_i")) <
+        struct(col("sim_j"), col("id_j")))
+      .filter(round(cos(col("__vi"), col("__vj")), roundTo) >= threshold)
+      .select(col("id_j").as("id")).distinct()
+    assigned.join(losers.withColumn("__lost", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("centroid_id"), col("sim").as("cent_sim"),
+        when(col("__lost").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Per-document SimHash signatures with a pluggable token hasher —
     * explode + `bits` conditional-sum aggregates (codegen'd, map-side
     * partial, order-insensitive integer sums). The default xxhash64 is the

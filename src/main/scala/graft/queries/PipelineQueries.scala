@@ -174,6 +174,23 @@ object PipelineQueries {
       CorpusSignals.perplexity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    /** The perplexity gate in action (CCNet's "keep the head"): docs at or
+      * below the corpus's 75th-percentile avg_nll. The cutoff is a one-row
+      * aggregate broadcast onto the scored stream — scalar attachment, no
+      * window over the documents; docs with no bigram evidence (NULL
+      * avg_nll) never pass the filter.
+      */
+    "t_ppl_filter" -> ((s, dir) => {
+      val ppl = CorpusSignals.perplexity(docs(s, dir), "doc_id", "text")
+      val cut = ppl.agg(
+        round(expr("percentile(avg_nll, 0.75)"), 6).as("cutoff"))
+      ppl.crossJoin(broadcast(cut))
+        .filter(col("avg_nll") <= col("cutoff"))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          col("cutoff"))
+        .orderBy("doc_id")
+    }),
+
     /** BPE vocabulary learning, 8 merge rounds over the corpus word
       * vocabulary — the merge table IS the result, so a green row
       * certifies every round's pair count, argmax tie-break, and merge
@@ -685,6 +702,19 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
         .orderBy("vec_i", "vec_j")),
 
+    /** SemDeDup semantic dedup: k-means blocking (8 min-id-seeded
+      * centroids, map-only assignment) + within-cluster cosine dominance
+      * under the keep-the-outliers rank. Full per-vector disposition.
+      */
+    "d_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Dedup.semanticDedup(e, "vec_id", "embedding",
+          Clustering.seedCentroids(e, "vec_id", "embedding", k = 8),
+          threshold = 0.43)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     /** The curation pipeline end-to-end: quality gate (scan-local) →
       * eval-set decontamination (broadcast semi-join) → token-budget shard
       * plan over the survivors. The gate/decontaminate/join prefix is one
@@ -740,6 +770,24 @@ object PipelineQueries {
       Clustering.assign(e, "vec_id", "embedding",
           Clustering.seedCentroids(e, "vec_id", "embedding", k = 8))
         .orderBy("id")
+    }),
+
+    /** Embedding outlier scan: vectors in the bottom decile of similarity
+      * to their own centroid — the embedding-space quality signal. The
+      * per-cluster cutoffs are a k-row aggregate broadcast back onto the
+      * assignment; no window ever touches the vector stream.
+      */
+    "v_embed_outliers" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val a = Clustering.assign(e, "vec_id", "embedding",
+        Clustering.seedCentroids(e, "vec_id", "embedding", k = 8))
+      val cuts = a.groupBy("centroid_id")
+        .agg(round(expr("percentile(sim, 0.1)"), 6).as("p10"))
+      a.join(broadcast(cuts), Seq("centroid_id"))
+        .filter(col("sim") <= col("p10"))
+        .select(col("id").as("vec_id"), col("centroid_id"),
+          col("sim").as("cent_sim"), col("p10"))
+        .orderBy("vec_id")
     }),
 
     /** One Lloyd update on top of the assignment: element-wise centroid
@@ -1140,30 +1188,20 @@ object PipelineQueries {
     // derive the SAME doubles (a 0.1 literal is NOT the IEEE result of
     // 1.0 - 0.9); per-bigram -ln rounded to 9dp, summed as DECIMAL
     "t_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |bg AS (SELECT doc_id, unnest(${OracleIdioms.bigramsSql("tk")}) AS bg
-         |       FROM t),
-         |uni AS (SELECT w, count(*) AS c2 FROM (
-         |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
-         |nt AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM uni),
-         |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
-         |fc AS (SELECT split_part(bg, ' ', 1) AS w1,
-         |         CAST(sum(c12) AS BIGINT) AS c1f FROM bc GROUP BY 1),
-         |lm AS (SELECT bc.bg,
-         |    CAST(round(-ln(
-         |      0.9 * (CAST(c12 AS DOUBLE) / CAST(c1f AS DOUBLE)) +
-         |      (1.0 - 0.9) * (CAST(c2 AS DOUBLE) / CAST(nt.n AS DOUBLE))),
-         |      9) AS DECIMAL(20,9)) AS nll
-         |  FROM bc
-         |  JOIN fc ON split_part(bc.bg, ' ', 1) = fc.w1
-         |  JOIN uni ON split_part(bc.bg, ' ', 2) = uni.w, nt),
-         |pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS snll
-         |       FROM bg JOIN lm USING (bg) GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  round(CAST(snll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
-         |    AS avg_nll
-         |FROM documents d LEFT JOIN pd USING (doc_id)
+      s"""WITH $perplexityCtes
+         |SELECT doc_id, n_bigrams, avg_nll FROM scored
+         |ORDER BY doc_id""".stripMargin,
+
+    // cutoff = quantile_cont over the same 6dp-rounded avg_nll doubles the
+    // Spark side feeds percentile() — identical inputs, identical
+    // interpolation arithmetic (the a4_percentile idiom). NULL avg_nll
+    // (no bigram evidence) never passes the <= on either engine.
+    "t_ppl_filter" ->
+      s"""WITH $perplexityCtes,
+         |cut AS (SELECT round(quantile_cont(avg_nll, 0.75), 6) AS cutoff
+         |        FROM scored)
+         |SELECT doc_id, n_bigrams, avg_nll, cutoff
+         |FROM scored, cut WHERE avg_nll <= cutoff
          |ORDER BY doc_id""".stripMargin,
 
     // merge table assembled round by round; "left"/"right" quoted (SQL
@@ -1637,6 +1675,25 @@ object PipelineQueries {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.43
         |ORDER BY vec_i, vec_j""".stripMargin,
 
+    // same kmeans CTEs as v_kmeans_assign; dominance = strict total order
+    // on (cent_sim ASC, id ASC) within a cluster, loser needs one
+    // >=-threshold witness that outranks it
+    "d_semdedup" ->
+      s"""WITH $kmeansAssignCtes,
+         |a AS (SELECT vec_id, v, cid, sim FROM p
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY sim DESC, cid ASC) = 1),
+         |l AS (SELECT DISTINCT y.vec_id
+         |      FROM a x JOIN a y ON x.cid = y.cid
+         |        AND ((x.sim < y.sim) OR
+         |             (x.sim = y.sim AND x.vec_id < y.vec_id))
+         |      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.43)
+         |SELECT a.vec_id, a.cid AS centroid_id, a.sim AS cent_sim,
+         |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM a LEFT JOIN l ON a.vec_id = l.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
     /** Byte striding mirrors as character striding because the corpus is
       * ASCII (asserted in MultimodalSpec); md5 of the strided string equals
       * md5 of the strided bytes.
@@ -1822,6 +1879,19 @@ object PipelineQueries {
          |                           ORDER BY sim DESC, cid ASC) = 1
          |ORDER BY id""".stripMargin,
 
+    // per-cluster bottom-decile cutoff over the same 6dp-rounded sims
+    // (quantile_cont ≡ Spark percentile — the a4_percentile idiom)
+    "v_embed_outliers" ->
+      s"""WITH $kmeansAssignCtes,
+         |a AS (SELECT vec_id, cid, sim FROM p
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY sim DESC, cid ASC) = 1),
+         |cut AS (SELECT cid, round(quantile_cont(sim, 0.1), 6) AS p10
+         |        FROM a GROUP BY cid)
+         |SELECT a.vec_id, a.cid AS centroid_id, a.sim AS cent_sim, cut.p10
+         |FROM a JOIN cut USING (cid) WHERE a.sim <= cut.p10
+         |ORDER BY a.vec_id""".stripMargin,
+
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,
          |a AS (SELECT vec_id, v, cid FROM p
@@ -1872,6 +1942,37 @@ object PipelineQueries {
       |        OVER (PARTITION BY user_id ORDER BY uts
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |      FROM l)""".stripMargin
+
+  /** Shared interpolated-bigram-LM CTEs ending in `scored(doc_id,
+    * n_bigrams, avg_nll)` — one row per document, avg_nll NULL when the
+    * doc has under 2 tokens. t_perplexity returns it verbatim;
+    * t_ppl_filter gates on its 75th percentile.
+    */
+  private lazy val perplexityCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |bg AS (SELECT doc_id, unnest(${OracleIdioms.bigramsSql("tk")}) AS bg
+       |       FROM t),
+       |uni AS (SELECT w, count(*) AS c2 FROM (
+       |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
+       |nt AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM uni),
+       |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+       |fc AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |         CAST(sum(c12) AS BIGINT) AS c1f FROM bc GROUP BY 1),
+       |lm AS (SELECT bc.bg,
+       |    CAST(round(-ln(
+       |      0.9 * (CAST(c12 AS DOUBLE) / CAST(c1f AS DOUBLE)) +
+       |      (1.0 - 0.9) * (CAST(c2 AS DOUBLE) / CAST(nt.n AS DOUBLE))),
+       |      9) AS DECIMAL(20,9)) AS nll
+       |  FROM bc
+       |  JOIN fc ON split_part(bc.bg, ' ', 1) = fc.w1
+       |  JOIN uni ON split_part(bc.bg, ' ', 2) = uni.w, nt),
+       |pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS snll
+       |       FROM bg JOIN lm USING (bg) GROUP BY doc_id),
+       |scored AS (SELECT d.doc_id,
+       |    CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    round(CAST(snll AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+       |      AS avg_nll
+       |  FROM documents d LEFT JOIN pd USING (doc_id))""".stripMargin
 
   /** Shared k-means CTEs: min-id-seeded centroids and the per-(vector,
     * centroid) rounded cosine relation `p(vec_id, v, cid, sim)` —

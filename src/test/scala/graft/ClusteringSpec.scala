@@ -30,6 +30,43 @@ class ClusteringSpec extends SparkSpec {
       .filter(col("id") =!= col("centroid_id")).count() == 0)
   }
 
+  test("semanticDedup: full disposition, top-ranked survivor per cluster") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 8)
+    val m = Dedup.semanticDedup(embs, "vec_id", "embedding", cent,
+      threshold = 0.43).cache()
+    assert(m.count() == embs.count())
+    // each cluster's best-ranked vector (lowest cent_sim, then lowest id)
+    // can never be dominated
+    val top = m.groupBy("centroid_id")
+      .agg(min(struct(col("cent_sim"), col("id"))).as("t"))
+      .select(col("t.id").as("id"))
+    assert(m.join(top, Seq("id")).filter(col("kept") === 0L).count() == 0)
+  }
+
+  test("semanticDedup: no >=-threshold pair survives within a cluster") {
+    val thr = 0.43
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 8)
+    val m = Dedup.semanticDedup(embs, "vec_id", "embedding", cent, thr)
+      .select(col("id"), col("centroid_id"), col("kept"))
+    val pairs = graft.operators.Similarity.cosinePairs(
+      embs, "vec_id", "embedding", threshold = thr)
+    val survivors = pairs
+      .join(m.select(col("id").as("id_i"), col("centroid_id").as("c_i"),
+        col("kept").as("k_i")), Seq("id_i"))
+      .join(m.select(col("id").as("id_j"), col("centroid_id").as("c_j"),
+        col("kept").as("k_j")), Seq("id_j"))
+      .filter(col("c_i") === col("c_j") &&
+        col("k_i") === 1L && col("k_j") === 1L)
+    assert(survivors.count() == 0)
+  }
+
+  test("semanticDedup: an impossible threshold keeps everything") {
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 8)
+    val m = Dedup.semanticDedup(embs, "vec_id", "embedding", cent,
+      threshold = 1.01)
+    assert(m.filter(col("kept") === 0L).count() == 0)
+  }
+
   test("step: every non-empty cluster reports all dims and members partition the set") {
     val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
     val st = Clustering.step(embs, "vec_id", "embedding", cent).cache()

@@ -162,4 +162,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "Exchange") == 1,
       s"features are scan-local, only the final agg exchanges; plan:\n$p")
   }
+
+  test("semanticDedup blocks on centroid_id: equi-joins only, no all-pairs scan") {
+    withoutAutoBroadcast {
+      val embs = Tables.load(spark, sf, "embeddings")
+      val p = plan(graft.operators.Dedup.semanticDedup(
+        embs, "vec_id", "embedding",
+        graft.operators.Clustering.seedCentroids(
+          embs, "vec_id", "embedding", 8), threshold = 0.43))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pair generation must stay blocked by cluster; plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"within-cluster pairs come from an equi-join on centroid_id; plan:\n$p")
+    }
+  }
 }
