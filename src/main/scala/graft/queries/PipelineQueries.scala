@@ -772,6 +772,22 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    /** Streaming nearest-centroid assignment: the map-only vector scorer
+      * bound to a real append-mode stream (file source → stateless
+      * projection → sink). Centroids come from the batch table at plan
+      * time and compile into the streaming plan as literals — the shape of
+      * an online embedding-ingest scorer. Must equal the batch assignment
+      * bit-for-bit: the oracle is v_kmeans_assign's.
+      */
+    "st_kmeans_assign" -> ((s, dir) => {
+      val cent = Clustering.seedCentroids(embs(s, dir), "vec_id",
+        "embedding", k = 8)
+      EventStreams.runAvailableNow(s, s"$dir/embeddings.parquet",
+        st => Clustering.assign(st, "vec_id", "embedding", cent),
+        "st_kmeans_assign", outputMode = "append")
+        .orderBy("id")
+    }),
+
     /** Embedding outlier scan: vectors in the bottom decile of similarity
       * to their own centroid — the embedding-space quality signal. The
       * per-cluster cutoffs are a k-row aggregate broadcast back onto the
@@ -1873,6 +1889,15 @@ object PipelineQueries {
          |FROM sess""".stripMargin,
 
     "v_kmeans_assign" ->
+      s"""WITH $kmeansAssignCtes
+         |SELECT vec_id AS id, cid AS centroid_id, sim FROM p
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, cid ASC) = 1
+         |ORDER BY id""".stripMargin,
+
+    // identical to v_kmeans_assign's oracle: the stream is stateless, so
+    // streaming == batch is exactly the claim being checked
+    "st_kmeans_assign" ->
       s"""WITH $kmeansAssignCtes
          |SELECT vec_id AS id, cid AS centroid_id, sim FROM p
          |QUALIFY row_number() OVER (PARTITION BY vec_id
