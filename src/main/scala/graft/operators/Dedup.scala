@@ -391,6 +391,54 @@ object Dedup {
         when(col("__lost").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Character-level duplicated-span scan (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * arXiv:2107.06499, at span granularity): stride-anchored windows of
+    * `spanLen` characters, fingerprinted, counted across documents. A
+    * span is duplicated when the identical character run appears in >= 2
+    * distinct documents; the per-doc duplicated fraction is the curation
+    * signal (high fraction = boilerplate/mirror content).
+    *
+    * Scale shape: windows are generated scan-locally
+    * (sequence → explode → substring, all codegen); the only shuffles
+    * carry (16-byte md5 fingerprint, doc_id) — never the span text, and
+    * never the documents. Stride `stride` bounds the window count at
+    * len/stride per doc (stride=spanLen/2 gives half-overlap coverage: any
+    * duplicated run of >= 1.5·spanLen chars is guaranteed to contain an
+    * anchored window on both sides). md5 rather than xxhash64 because at
+    * corpus scale a 64-bit space WILL collide — and its 128 bits are also
+    * what makes the result replayable in any engine with md5().
+    *
+    * Output: one row per input document —
+    * (doc_id, n_spans, n_dup, dup_frac) — docs shorter than `spanLen`
+    * report 0 spans and NULL dup_frac.
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         spanLen: Int = 40, stride: Int = 20): DataFrame = {
+    require(spanLen > 0 && stride > 0, "spanLen and stride must be positive")
+    val fps = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= spanLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - lit(spanLen - 1),
+          lit(stride))).as("pos"), col("__t"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(__t, pos, $spanLen)").cast("binary")).as("fp"))
+    val perFp = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = fps.join(perFp, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          round(col("n_dup").cast("double") /
+            col("n_spans").cast("double"), 6)).as("dup_frac"))
+  }
+
   /** Per-document SimHash signatures with a pluggable token hasher —
     * explode + `bits` conditional-sum aggregates (codegen'd, map-side
     * partial, order-insensitive integer sums). The default xxhash64 is the

@@ -409,6 +409,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Char-level twin of t_dup_ngram: stride-anchored 40-char spans
+      * md5-fingerprinted across the corpus, per-doc duplicated fraction —
+      * the Lee-et-al exact-substring dedup signal. Only (fp, doc_id)
+      * pairs shuffle.
+      */
+    "t_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(docs(s, dir), "doc_id", "text",
+          spanLen = 40, stride = 20)
+        .orderBy("doc_id")),
+
     /** Vocabulary-growth (Heaps-law) curve: cumulative distinct terms and
       * cumulative tokens per 50-doc ingestion bucket. New-term mass per
       * bucket comes from each term's first-seen doc (one aggregate over
@@ -1456,6 +1466,26 @@ object PipelineQueries {
          |  END AS dup_frac
          |FROM documents LEFT JOIN p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // md5 of the identical ASCII span bytes on both engines; nd counts
+    // distinct docs so same-doc repeats are not "duplicated"
+    "t_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, md5(substring(text, i, 40)) AS fp
+        |      FROM d, LATERAL unnest(generate_series(1, n - 39, 20)) AS t(i)),
+        |pf AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM w GROUP BY fp),
+        |pd AS (SELECT w.doc_id, count(*) AS n_spans,
+        |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dup
+        |       FROM w JOIN pf USING (fp) GROUP BY w.doc_id)
+        |SELECT doc_id, coalesce(n_spans, 0) AS n_spans,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN coalesce(n_spans, 0) > 0
+        |    THEN round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
+        |  END AS dup_frac
+        |FROM documents LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t_vocab_growth" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term

@@ -48,6 +48,24 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got(2).getInt(5) === 1)
   }
 
+  test("duplicateSpanStats: cross-doc spans count, same-doc repeats and short docs don't") {
+    val a40 = "A" * 40
+    val b40 = "B" * 40
+    val d = Seq(
+      (1L, a40 + a40),          // 80 chars: 3 anchored spans, all "AAAA..." — shared with doc 2
+      (2L, a40),                // 1 span, shared with doc 1
+      (3L, b40 + b40 + b40),    // same-doc repetition only — NOT duplicated
+      (4L, "tiny")              // under spanLen: zero spans, NULL frac
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(d, "doc_id", "text",
+        spanLen = 40, stride = 20)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 5L, 0L), (4L, 0L, 0L)))
+    assert(got(3).isNullAt(3), "span-free doc reports NULL dup_frac")
+    assert(got(0).getDouble(3) == 1.0)
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, not self-matches") {
     val d = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval
