@@ -40,6 +40,86 @@ object Graph {
     * @return (node, rank_scaled) — rank_scaled/scale ≈ PageRank, exact
     *         BIGINT, one row per distinct node, not ordered
     */
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * at-scale alternative to [[Dedup.connectedComponents]]'s min-label
+    * propagation. Label propagation needs O(diameter) rounds and keeps the
+    * full edge list live in every one; the star rounds *rewrite* the edge
+    * list toward a forest of depth-1 stars in O(log² n) rounds (≈log n in
+    * practice), and each round shrinks the relation it shuffles — on a
+    * 100 TB pair list that difference is the job finishing or not.
+    *
+    * Round anatomy (all keyed hash aggregates + equi-joins, no windows):
+    *  - large-star(u): every neighbor v > u re-links to
+    *    m = min(N(u) ∪ {u}) — emitted pairs are always (bigger, smaller);
+    *  - small-star(u): over the (big, small)-oriented list, every smaller
+    *    neighbor and u itself re-link to the minimum neighbor.
+    * Fixpoint is detected *exactly* (count + anti-join set containment),
+    * not by a heuristic hash — a false fixpoint would silently split
+    * components. Same strict/convergence contract as
+    * [[Dedup.connectedComponents]]; output is identical: (node, cluster)
+    * with cluster = min node id of the component, so the two
+    * implementations are interchangeable and cross-checkable.
+    */
+  def starConnectedComponents(pairs: DataFrame, iCol: String, jCol: String,
+                              maxIter: Int = 25,
+                              strict: Boolean = true): DataFrame = {
+    Seq(iCol, jCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"starConnectedComponents needs integral node ids; '$c' is $dt — " +
+          "map ids to longs first (e.g. zipWithIndex or a dense id join)")
+    }
+    // canonical (big, small) orientation; self-loops carry no connectivity
+    var e = pairs.select(col(iCol).cast("long").as("__i"),
+        col(jCol).cast("long").as("__j"))
+      .filter(col("__i") =!= col("__j"))
+      .select(greatest(col("__i"), col("__j")).as("a"),
+        least(col("__i"), col("__j")).as("b"))
+      .distinct().localCheckpoint(eager = true)
+    var eCount = e.count()
+    var iter = 0
+    var done = eCount == 0L
+    while (!done && iter < maxIter) {
+      // large-star: min over the full neighborhood (∪ {u} via least), then
+      // every strictly-larger neighbor adopts it. Output keeps a > b.
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("__mn"))
+        .select(col("a"), least(col("a"), col("__mn")).as("m"))
+      val large = sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star on the oriented list: all neighbors are < a, so the
+      // neighborhood minimum needs no ∪{u}; a itself re-links too.
+      val m2 = large.groupBy("a").agg(min("b").as("m"))
+      val next = large.join(m2, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint(eager = true)
+      val nextCount = next.count()
+      // exact set equality: equal cardinality + next ⊆ e (both are distinct)
+      done = nextCount == eCount &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!done) {
+      val msg = s"starConnectedComponents did not converge in $maxIter " +
+        "rounds — edge list is not yet a star forest"
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
+    }
+    // star forest: every a points at its component min b; roots only ever
+    // appear on the b side, so they label themselves
+    e.select(col("a").as("node"), col("b").as("cluster"))
+      .unionByName(
+        e.select(col("b").as("node"), col("b").as("cluster")).distinct())
+  }
+
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      weightCol: String, iterations: Int = 10,
                      dampingPct: Long = 85,

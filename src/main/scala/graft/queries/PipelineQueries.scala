@@ -681,6 +681,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** The same duplicate clusters via alternating large-star/small-star
+      * rounds ([[graft.operators.Graph.starConnectedComponents]]) — the
+      * O(log n)-round scale path where label propagation's O(diameter)
+      * rounds over the full edge list would dominate. Identical output
+      * contract, so it shares d_clusters' recursive-CTE oracle.
+      */
+    "d_cc_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+      graft.operators.Graph.starConnectedComponents(pairs, "id_i", "id_j")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // xxhash64-based signature — no DuckDB equivalent; near-clone pairs
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
@@ -1656,6 +1670,12 @@ object PipelineQueries {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_clusters" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT node AS doc_id, min(r) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // star-CC must land on exactly the same components as label propagation
+    "d_cc_star" ->
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,

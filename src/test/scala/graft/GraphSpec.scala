@@ -56,6 +56,44 @@ class GraphSpec extends SparkSpec {
       iterations = 6).orderBy("node").collect().toSeq
     assert(r1 === r2)
   }
+
+  test("starConnectedComponents equals label propagation on a random pair soup") {
+    val rnd = new scala.util.Random(20260813L)
+    // 3 planted components over disjoint id ranges + random intra-edges
+    val pairs = (0 until 3).flatMap { c =>
+      val base = c * 100L
+      (0 until 40).map { _ =>
+        (base + rnd.nextInt(30), base + rnd.nextInt(30))
+      }
+    }.filter { case (a, b) => a != b }.toDF("i", "j")
+    val star = graft.operators.Graph
+      .starConnectedComponents(pairs, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = graft.operators.Dedup.connectedComponents(pairs, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    // labels really are component minima, components really are separated
+    assert(star.values.toSet.subsetOf(star.keySet))
+    assert(star.filter(_._1 < 100L).values.toSet.size === 1)
+  }
+
+  test("starConnectedComponents collapses a deep path in few rounds") {
+    // path 0-1-2-...-63: diameter 63 would defeat maxIter=25 under label
+    // propagation semantics, but star rounds halve depth ~exponentially —
+    // converging here is the algorithm's whole point
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = graft.operators.Graph
+      .starConnectedComponents(pairs, "i", "j", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("starConnectedComponents: empty and self-loop-only inputs yield no rows") {
+    val selfOnly = Seq((5L, 5L), (7L, 7L)).toDF("i", "j")
+    assert(graft.operators.Graph
+      .starConnectedComponents(selfOnly, "i", "j").isEmpty)
+  }
 }
 
 class RollingActivesSpec extends SparkSpec {
