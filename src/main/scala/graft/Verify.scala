@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // build-time, not per-loadEvents: query builders run concurrently
       // below, and a session-wide conf write would race their planning
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

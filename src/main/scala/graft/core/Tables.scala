@@ -14,9 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Lazy parquet scan of one named table under `dir`. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Lazy parquet scan of one named table under `dir`.
+    *
+    * The test tables store timestamps as tz-less micros (`timestamp[us]`),
+    * which Spark 4 would surface as TIMESTAMP_NTZ by default. We want
+    * instant semantics (session tz is pinned to UTC everywhere), so every
+    * graft entry point builds its session with
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`; the conditional
+    * below is only a fallback for external sessions built without it —
+    * read-only when the flag is already in place (a write here would race
+    * concurrent planning in Verify).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (spark.conf.get(
+        "spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The `events` table is written with nanosecond timestamps, which the
     * Spark 4 parquet reader rejects outright; read them as raw nanos
@@ -31,7 +45,7 @@ object Tables {
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventTs(load(spark, dir, "events"))
   }
 
   /** Events-table convention: a LongType `ts` column holds epoch NANOS and
