@@ -108,6 +108,17 @@ object Bench {
       graft.streaming.EventStreams.windowedCounts(
         Tables.loadEvents(s, sfDir)).count()))
 
+  /** 1-minute load average, or -1 when /proc/loadavg is unreadable (non-Linux).
+    * Captured around each measurement set so a contended recording carries
+    * its own evidence — round 5's 31.99 s artifact read as a 2.56× perf-gate
+    * violation until a manual idle-box re-run showed 10.21 s.
+    */
+  private def loadAvg1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -137,33 +148,68 @@ object Bench {
     // second, with zero Janino compiles in either). min-of-2 measures the
     // engine's throughput, which is the quantity that scales to a cluster;
     // cold-start is a fixed cost that amortizes away at 100 TB.
-    val results = workloads(sfDir).map { case (name, fn) =>
-      def pass(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        // rows = -1 marks a failed workload: its (short) elapsed time must
-        // not read as a speedup, so `value` below carries a failure penalty.
-        val rows = try { fn(spark) } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1L
+    // One full measurement set: both pass times are kept (not just the min)
+    // so the recording itself shows whether the machine was steady.
+    def runSet(): Seq[(String, Double, Double, Long)] =
+      workloads(sfDir).map { case (name, fn) =>
+        def pass(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          // rows = -1 marks a failed workload: its (short) elapsed time must
+          // not read as a speedup, so `value` below carries a failure penalty.
+          val rows = try { fn(spark) } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1L
+          }
+          ((System.nanoTime() - t0) / 1e9, rows)
         }
-        ((System.nanoTime() - t0) / 1e9, rows)
+        val (t1, r1) = pass()
+        if (r1 < 0) (name, t1, t1, r1) // don't re-run (and double-log) a failure
+        else {
+          val (t2, r2) = pass()
+          if (r2 < 0) (name, t2, t2, r2) else (name, t1, t2, r1)
+        }
       }
-      val (t1, r1) = pass()
-      if (r1 < 0) (name, t1, r1) // don't re-run (and double-log) a failure
-      else {
-        val (t2, r2) = pass()
-        if (r2 < 0) (name, t2, r2) else (name, math.min(t1, t2), r1)
+
+    // Contention defense (the round-5 lesson: a loaded box recorded 31.99 s
+    // where an idle one measures ~10 s, and the JSON carried no evidence).
+    // The set re-runs when (a) the PRE-run 1-min load average exceeds
+    // cpus/4 — other processes already burning a quarter of the machine —
+    // or (b) any workload's two passes disagree by >2× with the slower pass
+    // above 1 s (sub-second workloads flap 2× from cache/GC noise alone;
+    // that is not contention evidence). Load is only trusted before the
+    // FIRST attempt: the bench itself saturates local[32], so after one
+    // attempt the 1-min average mostly measures us, not the interference.
+    val externalLoad = loadAvg1()
+    val maxAttempts = 3
+    var attempt = 0
+    var contended = true
+    var results: Seq[(String, Double, Double, Long)] = Seq.empty
+    while (attempt < maxAttempts && contended) {
+      attempt += 1
+      results = runSet()
+      val variance = results.exists { case (_, t1, t2, r) =>
+        r >= 0 && math.max(t1, t2) > 1.0 &&
+          math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 2.0
       }
+      val loadHigh = attempt == 1 && externalLoad > cpus.toDouble / 4
+      contended = loadHigh || variance
+      if (contended && attempt < maxAttempts)
+        System.err.println(s"[bench] contended (load=$externalLoad, " +
+          s"variance=$variance) — re-running set (attempt ${attempt + 1})")
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val loadAfter = loadAvg1()
+
+    val qs = results.map { case (k, t1, t2, _) => "\"" + k + "\":" + math.min(t1, t2) }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, r) => "\"" + k + "\":" + r }
+    val ps = results.map { case (k, t1, t2, _) => "\"" + k + "\":[" + t1 + "," + t2 + "]" }
       .mkString("{", ",", "}")
-    val nFailed = results.count(_._3 < 0)
+    val rs = results.map { case (k, _, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._4 < 0)
     // penalize failures (600s each) so a fast-failing workload can never
     // improve the headline total
-    val total = results.map(_._2).sum + 600.0 * nFailed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val total = results.map { case (_, t1, t2, _) => math.min(t1, t2) }.sum + 600.0 * nFailed
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"rows":$rs,"failed":$nFailed,"load_before":$externalLoad,"load_after":$loadAfter,"attempts":$attempt,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,16 +20,25 @@ object Tables {
     * which Spark 4 would surface as TIMESTAMP_NTZ by default. We want
     * instant semantics (session tz is pinned to UTC everywhere), so every
     * graft entry point builds its session with
-    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`; the conditional
-    * below is only a fallback for external sessions built without it —
-    * read-only when the flag is already in place (a write here would race
-    * concurrent planning in Verify).
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`. For external
+    * sessions built without the flag there is no per-read parquet option
+    * (ParquetOptions carries no NTZ key), and a `spark.conf.set` here would
+    * both race concurrent planning and silently change NTZ inference for
+    * the caller's other reads — so instead the fallback casts any top-level
+    * NTZ column to an instant after the read, leaving the session conf
+    * untouched. The test tables are flat; nested NTZ fields (absent here)
+    * would pass through unchanged.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (spark.conf.get(
-        "spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (!df.schema.fields.exists(_.dataType == TimestampNTZType)) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** The `events` table is written with nanosecond timestamps, which the
@@ -43,7 +52,8 @@ object Tables {
     * read-only when the flag is already in place.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .toLowerCase != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(load(spark, dir, "events"))
   }

@@ -202,7 +202,8 @@ object EventStreams {
     // set at session build time by every graft entry point; only written
     // here as a fallback for external sessions (avoids racing concurrent
     // query planning in Verify — see ADVICE r3)
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .toLowerCase != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
