@@ -16,7 +16,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - JSON: the engine speaks JSON-lines / records orientation (Spark
   *    native) for the scale path; pandas' columnar `{"col":{"row":v}}`
   *    default (the reference's own save-as-JSON output) is read via the
-  *    [[PandasJson]] interchange shim, auto-detected on load.
+  *    [[PandasJson]] interchange shim, auto-detected on load. The shim's
+  *    writer is driver-side and refuses above [[PandasJson.MaxRows]]
+  *    (the xlsx sheet limit) with a typed error pointing at the
+  *    records-orient sink — a columns-orient file is one JSON document and
+  *    cannot be written distributed.
   *  - CSV: no implicit index column is written (pandas `to_csv` default
   *    writes one, `main.py:79-80`); callers wanting byte parity can attach
   *    `__pos` first.

@@ -97,16 +97,34 @@ object PandasJson {
       .select(cols.map(c => col(c._1)): _*) // restore the file's column order
   }
 
+  /** Driver-side row cap for [[write]]. The xlsx sheet limit
+    * ([[ExcelIO.MaxRows]]) is borrowed as the definition of "interactive
+    * scale": both codecs are single-document interchange formats that
+    * materialize the whole table on the driver, and a columns-orient file
+    * bigger than a spreadsheet has no consumer — pandas itself would
+    * struggle to re-read it.
+    */
+  val MaxRows: Int = ExcelIO.MaxRows
+
   /** Save as columns-orient: one JSON object, columns in schema order, row
     * keys `"0".."n-1"` in the DataFrame's current row order. Collects to
     * the driver (interactive-scale, same bound as the reference's own
-    * in-memory table).
+    * in-memory table), refusing above `maxRows` BEFORE materializing the
+    * table — the probe collects at most `maxRows + 1` rows, so an
+    * over-limit table costs one bounded scan, not a driver OOM.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, maxRows: Int = MaxRows): Unit = {
+    require(maxRows >= 0 && maxRows < Int.MaxValue, s"bad maxRows: $maxRows")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"pandas columns-orient JSON is a driver-side interchange codec " +
+        s"capped at $maxRows rows; this table exceeds it — use the " +
+        s"records-orient JSON-lines sink (Formats.write to a .json path), " +
+        s"which writes distributed and has no row cap")
     val m = mapper
     val root = m.createObjectNode()
     val colNodes = df.schema.fieldNames.map(n => n -> root.putObject(n))
-    df.collect().zipWithIndex.foreach { case (row, i) =>
+    rows.zipWithIndex.foreach { case (row, i) =>
       val key = i.toString
       colNodes.zipWithIndex.foreach { case ((_, node), c) =>
         row.get(c) match {

@@ -333,12 +333,18 @@ object Dedup {
     * → exact-Jaccard verify → connected components → keep each cluster's
     * min-id representative (plus every unclustered doc). The anti join
     * carries only ids; document bodies never shuffle.
+    *
+    * Components run through [[Graph.starConnectedComponents]] — the
+    * O(log² n)-round star-contraction path is the 100 TB default, with
+    * [[connectedComponents]]'s O(diameter) label propagation kept as the
+    * interchangeable cross-check (the two are spec- and oracle-checked
+    * equal; see the `d_clusters` / `d_cc_star` query pair).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.4,
                          numHashes: Int = 128, bands: Int = 64): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, threshold, numHashes, bands)
-    val cc = connectedComponents(pairs, "id_i", "id_j")
+    val cc = Graph.starConnectedComponents(pairs, "id_i", "id_j")
     val losers = cc.filter(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

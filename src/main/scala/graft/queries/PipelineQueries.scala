@@ -478,7 +478,9 @@ object PipelineQueries {
         .select("doc_id", "exact_ref")
       val pairs = Dedup.shingleJaccardPairs(d, "doc_id", "text",
         n = 3, threshold = 0.4)
-      val cl = Dedup.connectedComponents(pairs, "id_i", "id_j")
+      // star-CC is the at-scale default (O(log² n) rounds); label-prop CC
+      // remains the cross-check via d_clusters/d_cc_star
+      val cl = graft.operators.Graph.starConnectedComponents(pairs, "id_i", "id_j")
         .withColumnRenamed("node", "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -652,7 +654,8 @@ object PipelineQueries {
       val d = docs(s, dir)
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
         n = 3, threshold = 0.4, numHashes = 128, bands = 64)
-      val cl = Dedup.connectedComponents(pairs, "id_i", "id_j")
+      // star-CC default, same (node, cluster) contract as label-prop
+      val cl = graft.operators.Graph.starConnectedComponents(pairs, "id_i", "id_j")
         .withColumnRenamed("node", "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster")
@@ -726,14 +729,21 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")
         .orderBy("vec_i", "vec_j")),
 
-    /** SemDeDup semantic dedup: k-means blocking (8 min-id-seeded
-      * centroids, map-only assignment) + within-cluster cosine dominance
-      * under the keep-the-outliers rank. Full per-vector disposition.
+    /** SemDeDup semantic dedup: k-means blocking (min-id-seeded centroids,
+      * map-only assignment) + within-cluster cosine dominance under the
+      * keep-the-outliers rank. Full per-vector disposition.
+      *
+      * k is DERIVED as ceil(√n) from a corpus count — the paper's blocking
+      * regime the operator documents (expected per-cluster pair work
+      * Σ|cluster|² ≈ n·√n, not n²) — so the shipped artifact is the
+      * scale-safe shape, not a fixture constant. The count is a bounded
+      * control-plane read (one long), same class as the centroid collect.
       */
     "d_semdedup" -> ((s, dir) => {
       val e = embs(s, dir)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
       Dedup.semanticDedup(e, "vec_id", "embedding",
-          Clustering.seedCentroids(e, "vec_id", "embedding", k = 8),
+          Clustering.seedCentroids(e, "vec_id", "embedding", k = k),
           threshold = 0.43)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
@@ -1745,7 +1755,7 @@ object PipelineQueries {
     // on (cent_sim ASC, id ASC) within a cluster, loser needs one
     // >=-threshold witness that outranks it
     "d_semdedup" ->
-      s"""WITH $kmeansAssignCtes,
+      s"""WITH $semdedupCtes,
          |a AS (SELECT vec_id, v, cid, sim FROM p
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |                             ORDER BY sim DESC, cid ASC) = 1),
@@ -2056,6 +2066,17 @@ object PipelineQueries {
   private lazy val kmeansAssignCtes: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |p AS (SELECT e.vec_id, e.v, c.cid,
+      |        round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+      |      FROM e CROSS JOIN c)""".stripMargin
+
+  /** d_semdedup's blocking replays the Spark side's DERIVED k = ceil(√n)
+    * (scalar-subquery LIMIT), vs the fixed k=8 the k-means step queries pin.
+    */
+  private lazy val semdedupCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+      |      LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
       |p AS (SELECT e.vec_id, e.v, c.cid,
       |        round(list_cosine_similarity(e.v, c.cv), 6) AS sim
       |      FROM e CROSS JOIN c)""".stripMargin

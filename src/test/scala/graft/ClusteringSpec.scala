@@ -60,6 +60,26 @@ class ClusteringSpec extends SparkSpec {
     assert(survivors.count() == 0)
   }
 
+  test("semanticDedup: k = ceil(sqrt(n)) blocking keeps pair work O(n*sqrt(n))") {
+    // the d_semdedup query derives k from a corpus count; this pins the
+    // regime that derivation buys: the within-cluster candidate-pair count
+    // sum(|c| choose 2) stays a small multiple of n*sqrt(n), nowhere near
+    // the n(n-1)/2 of an unblocked scan.
+    val n = embs.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", k)
+    val sizes = Clustering.assign(embs, "vec_id", "embedding", cent)
+      .groupBy("centroid_id").agg(count(lit(1)).as("sz"))
+      .select(sum(col("sz") * (col("sz") - 1) / 2).as("pairs"))
+      .head().getDouble(0)
+    val budget = 4.0 * n * math.sqrt(n.toDouble)
+    val unblocked = n.toDouble * (n - 1) / 2
+    assert(sizes <= budget,
+      s"pair work $sizes exceeds 4*n^1.5 = $budget (k=$k, n=$n)")
+    assert(sizes < unblocked / 4,
+      s"blocking barely helps: $sizes vs unblocked $unblocked")
+  }
+
   test("semanticDedup: an impossible threshold keeps everything") {
     val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 8)
     val m = Dedup.semanticDedup(embs, "vec_id", "embedding", cent,

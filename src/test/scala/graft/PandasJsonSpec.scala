@@ -67,6 +67,19 @@ class PandasJsonSpec extends SparkSpec {
     assert(Formats.read(spark, path).count() == 0)
   }
 
+  test("write refuses above the row cap with a typed, actionable error") {
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PandasJson.write(df, tmp("over.json"), maxRows = 99)
+    }
+    assert(e.getMessage.contains("capped at 99 rows"))
+    assert(e.getMessage.contains("records-orient"), e.getMessage)
+    // at the bound it writes fine
+    PandasJson.write(df, tmp("at.json"), maxRows = 100)
+    // default cap mirrors the xlsx sheet limit
+    assert(PandasJson.MaxRows == graft.io.ExcelIO.MaxRows)
+  }
+
   test("testdata table survives the interchange loop losslessly") {
     val supplier = spark.read.parquet(s"$sf/supplier.parquet").orderBy("s_suppkey")
     val path = tmp("supplier.json")
