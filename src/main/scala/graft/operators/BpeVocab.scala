@@ -53,21 +53,48 @@ object BpeVocab {
       call_function("replace", r, pat, rpl))
   }
 
-  /** Learn `steps` merges. Returns the merge table and the final
-    * symbolized vocabulary (word, rep, freq). Each round is one
-    * vocabulary-sized aggregate job; the vocabulary plan is re-pinned per
-    * round (localCheckpoint) so round `i` never recomputes rounds 1..i−1.
+  /** Candidate-pool multiplier for batched rounds: each round ranks the
+    * top `poolFactor * batch` pairs and selects conflict-free merges from
+    * that pool. The pool is what bounds the per-round driver collect AND
+    * what the SQL oracle replays, so it is part of the operator contract,
+    * not a tuning knob.
     */
-  def learn(docs: DataFrame, textCol: String,
-            steps: Int): (Seq[Merge], DataFrame) = {
+  val poolFactor = 8
+
+  /** Learn `steps` merges, up to `batch` per round. Returns the merge
+    * table and the final symbolized vocabulary (word, rep, freq).
+    *
+    * Batching rule (the standard non-overlapping-merges trick, expressed
+    * so a SQL oracle can replay it exactly): rank the round's top
+    * `poolFactor·batch` pairs by (count desc, a, b); a candidate is kept
+    * iff it shares NO symbol with ANY higher-ranked candidate in the pool
+    * — higher-ranked, not higher-ranked-AND-KEPT, so keep/drop decisions
+    * are independent (one anti-join in SQL) rather than sequentially
+    * dependent like greedy maximal matching. The first
+    * min(batch, steps−done) kept pairs merge this round; rank 1 is always
+    * kept, so every round makes progress. Kept pairs are pairwise
+    * symbol-disjoint, so their replace patterns cannot interact and the
+    * recorded counts are exactly what sequential BPE would have recorded
+    * had it picked the same pairs.
+    *
+    * batch=1 degenerates to classic one-merge-per-round BPE. A 32k-merge
+    * vocabulary at batch=64 needs ~500s of driver-synchronous rounds
+    * instead of 32k — the difference between a lunch break and a wall.
+    *
+    * Each round is one vocabulary-sized aggregate job; the vocabulary
+    * plan is re-pinned per round (localCheckpoint) so round `i` never
+    * recomputes rounds 1..i−1.
+    */
+  def learn(docs: DataFrame, textCol: String, steps: Int,
+            batch: Int = 1): (Seq[Merge], DataFrame) = {
     require(steps > 0, "steps must be positive")
+    require(batch > 0, "batch must be positive")
     var words = vocabulary(docs, textCol)
       .select(col("word"), initRep.as("rep"), col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var step = 1
     var exhausted = false
-    while (step <= steps && !exhausted) {
+    while (merges.size < steps && !exhausted) {
       // adjacent pairs of the symbol list; 1-symbol words emit none (the
       // guard matters: Spark's sequence(0, -1) COUNTS DOWN, it is not
       // empty like DuckDB's generate_series(1, 0))
@@ -76,30 +103,40 @@ object BpeVocab {
         transform(sequence(lit(0), size(s) - 2), k =>
           struct(element_at(s, k + 1).as("a"), element_at(s, k + 2).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      val best = words
+      val pool = words
         .select(explode(pairs).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(poolFactor * batch).collect()
+      if (pool.isEmpty) exhausted = true
       else {
-        val r = best.head
-        val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += Merge(step, a, b, cnt)
+        val selected = pool.zipWithIndex.filter { case (r, idx) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          pool.take(idx).forall { p =>
+            val (c, d) = (p.getString(0), p.getString(1))
+            a != c && a != d && b != c && b != d
+          }
+        }.map(_._1).take(math.min(batch, steps - merges.size))
+        selected.foreach { r =>
+          merges += Merge(merges.size + 1, r.getString(0), r.getString(1),
+            r.getLong(2))
+        }
         words = words
-          .select(col("word"), applyMerge(col("rep"), a, b).as("rep"),
+          .select(col("word"),
+            selected.foldLeft(col("rep"))((rep, r) =>
+              applyMerge(rep, r.getString(0), r.getString(1))).as("rep"),
             col("freq"))
           .localCheckpoint(true)
-        step += 1
       }
     }
     (merges.toSeq, words)
   }
 
   /** The learned merge table as a relation: (step, left, right, cnt). */
-  def mergeTable(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
-    val (merges, _) = learn(docs, textCol, steps)
+  def mergeTable(docs: DataFrame, textCol: String, steps: Int,
+                 batch: Int = 1): DataFrame = {
+    val (merges, _) = learn(docs, textCol, steps, batch)
     val spark = docs.sparkSession
     import spark.implicits._
     merges.toDF("step", "left", "right", "cnt")

@@ -191,14 +191,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    /** BPE vocabulary learning, 8 merge rounds over the corpus word
-      * vocabulary — the merge table IS the result, so a green row
-      * certifies every round's pair count, argmax tie-break, and merge
+    /** BPE vocabulary learning, 8 merges learned in BATCHED rounds (up to
+      * 4 non-overlapping merges per round — the trick that turns a
+      * 32k-merge vocabulary from 32k driver-synchronous rounds into
+      * hundreds) over the corpus word vocabulary. The merge table IS the
+      * result, so a green row certifies every round's pair counts, the
+      * pool ranking, the independent conflict rule, and batched merge
       * application. See [[graft.operators.BpeVocab]] for the scale shape
-      * and the replace-semantics dialect note.
+      * and the replace-semantics dialect note; batched == sequential on
+      * conflict-free rounds is spec-pinned (BpeVocabSpec).
       */
     "t_bpe_merges" -> ((s, dir) =>
-      BpeVocab.mergeTable(docs(s, dir), "text", steps = 8)),
+      BpeVocab.mergeTable(docs(s, dir), "text", steps = 8, batch = 4)),
 
     /** Corpus re-encoded with the learned BPE vocabulary: per-doc subword
       * piece counts — the budget number a training pipeline actually
@@ -1256,10 +1260,8 @@ object PipelineQueries {
 
     // merge table assembled round by round; "left"/"right" quoted (SQL
     // keywords) to land as the same pandas column names as Spark's
-    "t_bpe_merges" -> (bpeCtes(8) + "\n" +
-      (1 to 8).map(i =>
-        s"""SELECT $i AS step, a AS "left", b AS "right", cnt FROM m$i""")
-        .mkString("", "\nUNION ALL\n", "\nORDER BY step")),
+    "t_bpe_merges" -> (bpeBatchedCtes(8, 4) + "\n" +
+      """SELECT step, a AS "left", b AS "right", cnt FROM u8 ORDER BY step"""),
 
     "t_bpe_encode" -> (bpeCtes(8) +
       s""",
@@ -2192,6 +2194,71 @@ object PipelineQueries {
        |w0 AS (SELECT word,
        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
        |    freq FROM v),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of [[BpeVocab.learn]]'s BATCHED rounds. Mirrors the
+    * operator's contract exactly: per round, rank the top
+    * `poolFactor·batch` pairs (cnt desc, a, b), keep a candidate iff it
+    * shares no symbol with any higher-ranked pool candidate (the
+    * independent rule — one NOT EXISTS anti-join, no sequential
+    * dependence), merge the first `least(batch, steps − done)` kept pairs.
+    * Kept pairs are symbol-disjoint so the round's merges apply as
+    * `batch` nested replace slots (absent slots coalesce to the identity
+    * replace ' '→' '). `steps` rounds are generated — the worst case of
+    * one merge per round — and rounds past the budget select zero rows.
+    * All per-round CTEs are MATERIALIZED: they are multiply-referenced,
+    * and DuckDB's default inlining would expand the round chain
+    * exponentially.
+    */
+  private def bpeBatchedCtes(steps: Int, batch: Int): String = {
+    val pool = graft.operators.BpeVocab.poolFactor * batch
+    val rounds = (1 to steps).map { i =>
+      val rep = (1 to batch).foldLeft("w.rep") { (acc0, j) =>
+        (1 to BpeVocab.replacePasses).foldLeft(acc0)((acc, _) =>
+          s"replace($acc, coalesce(r.pat$j, ' '), coalesce(r.rpl$j, ' '))")
+      }
+      val slots = (1 to batch).map { j =>
+        s"""max(CASE WHEN slot = $j THEN ' ' || a || ' ' || b || ' ' END) AS pat$j,
+           |      max(CASE WHEN slot = $j THEN ' ' || a || b || ' ' END) AS rpl$j"""
+          .stripMargin
+      }.mkString(",\n      ")
+      s"""p$i AS MATERIALIZED (SELECT unnest(CASE WHEN len(s) >= 2
+         |      THEN list_transform(generate_series(1, len(s) - 1),
+         |           k -> {'a': s[k], 'b': s[k + 1]})
+         |      ELSE [] END) AS p, freq
+         |    FROM (SELECT string_split(trim(rep), ' ') AS s, freq
+         |          FROM w${i - 1})),
+         |c$i AS MATERIALIZED (SELECT a, b, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+         |    FROM (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |          FROM p$i GROUP BY 1, 2)
+         |    QUALIFY rk <= $pool),
+         |s$i AS MATERIALIZED (SELECT a, b, cnt, slot FROM (
+         |      SELECT a, b, cnt, row_number() OVER (ORDER BY rk) AS slot
+         |      FROM c$i x
+         |      WHERE NOT EXISTS (SELECT 1 FROM c$i y WHERE y.rk < x.rk
+         |        AND (y.a = x.a OR y.a = x.b OR y.b = x.a OR y.b = x.b)))
+         |    WHERE slot <= least($batch,
+         |      $steps - (SELECT count(*) FROM u${i - 1}))),
+         |r$i AS MATERIALIZED (SELECT
+         |      $slots
+         |    FROM s$i),
+         |w$i AS MATERIALIZED (SELECT word, $rep AS rep, freq
+         |    FROM w${i - 1} w CROSS JOIN r$i r),
+         |u$i AS MATERIALIZED (SELECT a, b, cnt, step FROM u${i - 1}
+         |    UNION ALL
+         |    SELECT a, b, cnt,
+         |      slot + (SELECT count(*) FROM u${i - 1}) AS step FROM s$i)"""
+    }.mkString(",\n|")
+    s"""WITH v AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest($toksSql) AS word FROM documents) GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT word,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS rep,
+       |    freq FROM v),
+       |u0 AS (SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       |       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS step
+       |       WHERE 1=0),
        |$rounds""".stripMargin
   }
 

@@ -39,6 +39,42 @@ class BpeVocabSpec extends SparkSpec {
     assert(!rep.contains(" a a "), "merge must reach fixpoint")
   }
 
+  test("batched == sequential merge sets on conflict-free rounds") {
+    // four symbol-disjoint pair families with well-separated counts: the
+    // top-4 pairs never share a symbol and no merge creates a pair that
+    // outranks a later pick, so one batch=4 round must reproduce the
+    // batch=1 sequence exactly — same pairs, same order, same counts.
+    val docs = Seq(
+      (1L, ("ab " * 40) + ("cd " * 30) + ("ef " * 20) + ("gh " * 10)))
+      .toDF("doc_id", "text")
+    val (seq4, _) = BpeVocab.learn(docs, "text", steps = 4, batch = 1)
+    val (bat4, _) = BpeVocab.learn(docs, "text", steps = 4, batch = 4)
+    assert(bat4 === seq4)
+  }
+
+  test("batched rounds select only symbol-disjoint merges and still progress") {
+    // every top pair shares the symbol 'a' ("a b", "a c", ... after the
+    // char split), so each round can batch only one of them — batching
+    // must degrade to sequential, not merge conflicting pairs together
+    val docs = Seq(
+      (1L, ("ab " * 40) + ("ac " * 30) + ("ad " * 20) + ("ae " * 10)))
+      .toDF("doc_id", "text")
+    val (seqM, _) = BpeVocab.learn(docs, "text", steps = 3, batch = 1)
+    val (batM, _) = BpeVocab.learn(docs, "text", steps = 3, batch = 4)
+    assert(batM === seqM)
+    assert(batM.map(_.step) === Seq(1, 2, 3))
+  }
+
+  test("batched learning respects the total step budget") {
+    val docs = Seq(
+      (1L, ("ab " * 9) + ("cd " * 8) + ("ef " * 7) + ("gh " * 6)))
+      .toDF("doc_id", "text")
+    // budget 3 with batch 4: the round must truncate to 3 merges
+    val (m, _) = BpeVocab.learn(docs, "text", steps = 3, batch = 4)
+    assert(m.size === 3)
+    assert(m.map(_.step) === Seq(1, 2, 3))
+  }
+
   test("encode counts cover every doc and pieces never exceed chars") {
     val docs = Seq(
       (1L, "low lower"), (2L, "newest"), (3L, "")).toDF("doc_id", "text")
