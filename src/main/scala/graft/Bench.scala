@@ -29,6 +29,16 @@ object Bench {
       Formats.read(s, out).count()
     }),
 
+    // S2/S6 schema-reuse variant: same round-trip, but the re-read passes
+    // the writer's schema instead of inferring — one scan, not two. The
+    // delta vs s26_csv_roundtrip is the price of inference.
+    "s26_csv_schema_reuse" -> ((s: SparkSession) => {
+      val out = java.nio.file.Files.createTempDirectory("bench_csvs_").toString + "/t.csv"
+      val orders = Tables.load(s, sfDir, "orders")
+      Formats.write(orders, out)
+      Formats.read(s, out, orders.schema).count()
+    }),
+
     // S4/S8: JSON round-trip
     "s48_json_roundtrip" -> ((s: SparkSession) => {
       val out = java.nio.file.Files.createTempDirectory("bench_json_").toString + "/t.json"

@@ -74,6 +74,38 @@ object Formats {
     case OrcF => spark.read.orc(path)
   }
 
+  /** [[read]] with a caller-supplied schema — the schema-reuse path.
+    *
+    * CSV (and JSON) inference scans the file once just to type it, then
+    * again to read it; with the schema in hand (a cached one, a catalog
+    * one, or `written.schema` on a round-trip) the scan count halves. The
+    * inference path stays the no-schema default for pandas parity — this
+    * overload is the opt-in for repeated/production reads. At 100 TB you
+    * would never infer: the double scan is the difference between one and
+    * two full passes over the lake.
+    *
+    * Contract: the result conforms to `schema` for every format. The
+    * splittable sources take it natively (`.schema(...)`); the
+    * driver-side interchange codecs (xlsx, pandas columns-orient JSON)
+    * infer internally and are conformed by per-column cast — same
+    * null-on-unparsable semantics as Spark's permissive CSV mode.
+    */
+  def read(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    detect(path) match {
+      case ParquetF => spark.read.schema(schema).parquet(path)
+      case CsvF =>
+        spark.read.option("header", "true").schema(schema).csv(path)
+      case JsonF if !PandasJson.looksColumnar(path) =>
+        spark.read.option("multiLine", detectMultiline(path).toString)
+          .schema(schema).json(path)
+      case OrcF => spark.read.schema(schema).orc(path)
+      case _ =>
+        import org.apache.spark.sql.functions.col
+        read(spark, path).select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
+
   /** JSON-lines / records scan, bypassing the [[PandasJson]] columnar
     * sniff — the escape hatch for the (pathological) JSON-lines record
     * whose fields are all structs keyed by identical integer field names.

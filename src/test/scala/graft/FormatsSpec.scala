@@ -100,6 +100,36 @@ class FormatsSpec extends SparkSpec {
     assert(back.columns.toSeq == r.columns.toSeq)
   }
 
+  test("S2 schema-reuse: explicit schema matches the written frame exactly") {
+    val o = Tables.load(spark, sf, "orders")
+    val path = tmp(".csv")
+    Formats.write(o, path)
+    val back = Formats.read(spark, path, o.schema)
+    // inference can only approximate the writer's types; the explicit
+    // schema reproduces them exactly — and reads the file once, not twice
+    assert(back.schema == o.schema)
+    assert(back.count() == o.count())
+    val key = o.columns.head
+    val a = o.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col(key))).head().get(0)
+    val b = back.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col(key))).head().get(0)
+    assert(a == b, s"checksum drifted over the schema-reuse round-trip")
+  }
+
+  test("schema-reuse read conforms driver-side codecs by cast") {
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(Seq((1L, "x", 1.5), (2L, "y", -0.25)))
+      .toDF("id", "name", "score")
+    val path = tmp(".xlsx")
+    Formats.write(df, path)
+    val target = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = Formats.read(spark, path, target)
+    assert(back.schema == target)
+    assert(back.count() == 2)
+  }
+
   test("S4/S8: json round-trip (records orientation) preserves rows") {
     val n = Tables.load(spark, sf, "nation")
     val path = tmp(".json")
