@@ -120,6 +120,72 @@ object Graph {
         e.select(col("b").as("node"), col("b").as("cluster")).distinct())
   }
 
+  /** PageRank restricted to connected components: same scaled-integer
+    * power iteration as [[pageRankScaled]], but the teleport mass and the
+    * initial rank divide by the node's COMPONENT size, not the global node
+    * count — each component's ranks are exactly what [[pageRankScaled]]
+    * would produce run on that component alone, computed for all
+    * components in one distributed iteration (no per-component driver
+    * loop). The natural composition partner of
+    * [[starConnectedComponents]]: cluster a similarity/pair graph, then
+    * rank centrality within each cluster — e.g. picking the most-connected
+    * document of every near-dup cluster as its canonical representative.
+    *
+    * `components` must be a (node, cluster) relation covering every edge
+    * endpoint — which is automatic when it comes from a CC pass over the
+    * same edge list. A missing node would silently lose rank mass, so the
+    * cover is checked up front (one anti-join count) and violations throw.
+    *
+    * Output: (node, cluster, rank_scaled) — BIGINT ranks, bit-identical on
+    * any engine/partitioning, so the whole pipeline hash-matches a layered
+    * recursive-CTE + unrolled-iteration SQL oracle.
+    */
+  def pageRankScaledPerComponent(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, components: DataFrame,
+      iterations: Int = 10, dampingPct: Long = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRankScaledPerComponent needs >= 1 iteration")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("long").as("__w"))
+    val ew = e.join(e.groupBy("__src").agg(sum("__w").as("__out")), "__src")
+      .localCheckpoint(eager = true)
+    val maxWRow = ew.agg(max("__w")).head()
+    val maxW = if (maxWRow.isNullAt(0)) 0L else maxWRow.getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"edge weight $maxW would overflow rank*weight at scale=$scale; " +
+        s"max supported is ${Long.MaxValue / scale} — rescale the weights " +
+        "or pass a smaller scale")
+    val uncovered = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(components.select(col("node")), Seq("node"), "left_anti").count()
+    require(uncovered == 0L,
+      s"$uncovered edge node(s) missing from the components relation — " +
+        "pass the CC output computed over the same edge list")
+    val sizes = components.groupBy("cluster").agg(count(lit(1)).as("__n"))
+    // per-node exact integers: component-sized teleport and initial rank
+    val base = components.join(sizes, "cluster")
+      .select(col("node"), col("cluster"),
+        expr(s"${scale * (100L - dampingPct)} div (100 * __n)").as("__tp"),
+        expr(s"$scale div __n").as("__r0"))
+      .localCheckpoint(eager = true)
+    var ranks = base.select(col("node"), col("__r0").as("__r"))
+    (1 to iterations).foreach { _ =>
+      val contrib = ew.join(ranks, col("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          expr("__r * __w div __out").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__contrib"))
+      ranks = base.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("__tp") +
+            expr(s"$dampingPct * coalesce(__contrib, 0L) div 100")).as("__r"))
+        .localCheckpoint(eager = true)
+    }
+    base.select(col("node"), col("cluster")).join(ranks, Seq("node"))
+      .select(col("node"), col("cluster"), col("__r").as("rank_scaled"))
+  }
+
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      weightCol: String, iterations: Int = 10,
                      dampingPct: Long = 85,

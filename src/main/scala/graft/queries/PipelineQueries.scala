@@ -702,6 +702,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** The graph pipeline end-to-end: near-dup pair graph → star-CC →
+      * per-component scaled-integer PageRank — both iterative graph
+      * operators composed in one query. The rank is a real curation
+      * signal: within each duplicate cluster, the highest-ranked doc is
+      * the most-connected (most "central") copy, an alternative canonical
+      * pick to d_survivorship's longest-doc rule. Edge weight =
+      * floor(jaccard·1000) (floor, not cast: Spark's double→long cast
+      * truncates where DuckDB's rounds, so the floor is explicit on both
+      * sides). Oracle: recursive-CTE components layered under 10 unrolled
+      * integer power-iteration rounds — BIGINT ranks hash-match exactly.
+      */
+    "g_dupgraph_rank" -> ((s, dir) => {
+      val pairs = Dedup.shingleJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4)
+      val w = floor(col("jaccard") * 1000).cast("long").as("w")
+      val edges = pairs.select(col("id_i").as("src"), col("id_j").as("dst"), w)
+        .unionByName(
+          pairs.select(col("id_j").as("src"), col("id_i").as("dst"), w))
+      val comps = graft.operators.Graph
+        .starConnectedComponents(pairs, "id_i", "id_j")
+      graft.operators.Graph.pageRankScaledPerComponent(
+          edges, "src", "dst", "w", comps, iterations = 10)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // xxhash64-based signature — no DuckDB equivalent; near-clone pairs
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
@@ -1691,6 +1717,50 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    /** CC (recursive CTE) layered under 10 unrolled rounds of the exact
+      * integer power iteration — every arithmetic step mirrors
+      * [[graft.operators.Graph.pageRankScaledPerComponent]]: per-edge
+      * floor division BEFORE the contribution sum, (85·contrib)//100
+      * damping, component-sized teleport. The hot relations (cl, base,
+      * ew, each round) are MATERIALIZED — DuckDB's CTE inlining would
+      * otherwise re-expand the brute-force pair join once per unrolled
+      * round.
+      */
+    "g_dupgraph_rank" -> {
+      val scale = 1000000000000L
+      val tpNum = scale * 15L
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT b.node,
+           |    b.tp + 85 * coalesce(c.contrib, 0) // 100 AS r
+           |  FROM base b LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(r.r * e.w // e.outw) AS BIGINT) AS contrib
+           |    FROM ew e JOIN r${i - 1} r ON e.src = r.node
+           |    GROUP BY e.dst) c USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $ccCtes,
+         |cl AS MATERIALIZED (SELECT node, min(r) AS cluster
+         |  FROM reach GROUP BY node),
+         |sz AS (SELECT cluster, count(*) AS n FROM cl GROUP BY cluster),
+         |base AS MATERIALIZED (SELECT cl.node, cl.cluster,
+         |    CAST($tpNum // (100 * sz.n) AS BIGINT) AS tp,
+         |    CAST($scale // sz.n AS BIGINT) AS rr0
+         |  FROM cl JOIN sz USING (cluster)),
+         |we AS (SELECT doc_i AS src, doc_j AS dst,
+         |      CAST(floor(jaccard * 1000) AS BIGINT) AS w FROM pairs
+         |    UNION ALL
+         |    SELECT doc_j, doc_i, CAST(floor(jaccard * 1000) AS BIGINT)
+         |    FROM pairs),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM we
+         |       GROUP BY src),
+         |ew AS MATERIALIZED (SELECT we.src, we.dst, we.w, ow.outw
+         |  FROM we JOIN ow USING (src)),
+         |r0 AS (SELECT node, rr0 AS r FROM base),
+         |$rounds
+         |SELECT r.node AS doc_id, b.cluster, r.r AS rank_scaled
+         |FROM r10 r JOIN base b USING (node) ORDER BY doc_id""".stripMargin
+    },
 
     "t_dedup_stats" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -57,6 +57,41 @@ class GraphSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("pageRankScaledPerComponent == pageRankScaled run per component") {
+    // two disjoint integer-id components: a 3-cycle and a weighted 2-cycle
+    val c1 = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val c2 = Seq((10L, 11L, 3L), (11L, 10L, 1L))
+    val edges = (c1 ++ c2).toDF("src", "dst", "w")
+    val pairs = edges.select($"src".as("i"), $"dst".as("j"))
+    val comps = Graph.starConnectedComponents(pairs, "i", "j")
+    val got = Graph.pageRankScaledPerComponent(
+      edges, "src", "dst", "w", comps, iterations = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: the single-graph operator on each component alone
+    val exp1 = Graph.pageRankScaled(c1.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp2 = Graph.pageRankScaled(c2.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (node, cluster, rank) =>
+      val exp = if (node < 10) exp1 else exp2
+      assert(rank === exp(node), s"node $node")
+      assert(cluster === (if (node < 10) 1L else 10L))
+    }
+    assert(got.length === 5)
+  }
+
+  test("pageRankScaledPerComponent refuses a components relation with holes") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankScaledPerComponent(edges, "src", "dst", "w", partial)
+    }
+    assert(e.getMessage.contains("missing from the components relation"))
+  }
+
   test("starConnectedComponents equals label propagation on a random pair soup") {
     val rnd = new scala.util.Random(20260813L)
     // 3 planted components over disjoint id ranges + random intra-edges
