@@ -177,4 +177,26 @@ class PlanShapeSpec extends SparkSpec {
         s"within-cluster pairs come from an equi-join on centroid_id; plan:\n$p")
     }
   }
+
+  test("per-component PageRank iterates on equi-joins over pinned inputs") {
+    withoutAutoBroadcast {
+      import spark.implicits._
+      val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 2L), (4L, 3L, 1L))
+        .toDF("src", "dst", "w")
+      val comps = graft.operators.Graph.starConnectedComponents(
+        edges.select($"src".as("i"), $"dst".as("j")), "i", "j")
+      val p = plan(graft.operators.Graph.pageRankScaledPerComponent(
+        edges, "src", "dst", "w", comps, iterations = 3))
+      // every join in the final plan (last round + label attach) is an
+      // equi-join; a nested-loop anywhere means the rank update degraded
+      // to an all-pairs scan
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"rank iteration must stay equi-joined; plan:\n$p")
+      // the iteration consumes the localCheckpoint-pinned previous round,
+      // never the re-derived lineage: the plan reads checkpointed blocks
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+        s"rounds must iterate on pinned inputs; plan:\n$p")
+    }
+  }
 }
