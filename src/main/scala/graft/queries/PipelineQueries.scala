@@ -1584,14 +1584,14 @@ object PipelineQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "d_triangles" ->
-      s"""WITH pairs AS ($jaccardPairsOracle),
-         |e AS (SELECT doc_i AS a, doc_j AS b FROM pairs)
+      s"""WITH pairs AS MATERIALIZED ($jaccardPairsOracle),
+         |e AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs)
          |SELECT count(*) AS n_triangles
          |FROM e ab JOIN e bc ON ab.b = bc.a
          |JOIN e ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin,
 
     "d_degree_hist" ->
-      s"""WITH pairs AS ($jaccardPairsOracle),
+      s"""WITH pairs AS MATERIALIZED ($jaccardPairsOracle),
          |deg AS (SELECT doc_id, count(*) AS degree FROM (
          |    SELECT doc_i AS doc_id FROM pairs
          |    UNION ALL SELECT doc_j FROM pairs) GROUP BY doc_id)
@@ -1603,25 +1603,25 @@ object PipelineQueries {
     // candidate join, precision/recall — one row per (bands, rows) config
     "d_lsh_sweep" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |s AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, list_transform(generate_series(0, 31), k ->
+         |s AS MATERIALIZED (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+         |sig AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, 31), k ->
          |    list_min(list_transform(sh, s2 ->
          |      ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s2), 1, 15))::BIGINT)))
          |    AS sig FROM s),
-         |exact AS (SELECT a.doc_id AS i, b.doc_id AS j
+         |exact AS MATERIALIZED (SELECT a.doc_id AS i, b.doc_id AS j
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
          |    >= 0.4),
          |cfg AS (SELECT unnest([16, 8, 4]) AS bands),
-         |keys AS (SELECT c.bands, doc_id, bi AS band,
+         |keys AS MATERIALIZED (SELECT c.bands, doc_id, bi AS band,
          |    md5(array_to_string(list_transform(
          |      list_slice(sig, bi * (32 // c.bands) + 1,
          |                 bi * (32 // c.bands) + (32 // c.bands)),
          |      x -> CAST(x AS VARCHAR)), ',')) AS key
          |  FROM sig CROSS JOIN cfg c,
          |       LATERAL unnest(generate_series(0, c.bands - 1)) AS u(bi)),
-         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+         |cand AS MATERIALIZED (SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
          |  FROM keys a JOIN keys b ON a.bands = b.bands AND a.band = b.band
          |    AND a.key = b.key AND a.doc_id < b.doc_id),
          |rep AS (SELECT c.bands, 32 // c.bands AS rows_per_band,
@@ -1863,8 +1863,8 @@ object PipelineQueries {
         |WHERE i * c < len ORDER BY doc_id, frame_idx""".stripMargin,
 
     "d_drop_near" ->
-      s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
-         |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($jaccardPairsOracle),
+         |edges AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs
          |          UNION SELECT doc_j, doc_i FROM pairs),
          |nodes AS (SELECT DISTINCT a AS node FROM edges),
          |reach(node, r) AS (
@@ -2366,9 +2366,15 @@ object PipelineQueries {
     * pairs → undirected edges → transitive reach. Used by d_clusters and
     * d_survivorship.
     */
+  /** `pairs`/`edges` are MATERIALIZED: every consumer references them 2-4
+    * times, and DuckDB's default CTE inlining would re-run the O(n²)
+    * brute-force pair join once per reference — at sf0.1 (5000 docs,
+    * 12.5M comparisons) that turns a minutes-scale oracle into an
+    * hour-scale one.
+    */
   private lazy val ccCtes: String =
-    s"""pairs AS ($jaccardPairsOracle),
-       |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+    s"""pairs AS MATERIALIZED ($jaccardPairsOracle),
+       |edges AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs
        |          UNION SELECT doc_j, doc_i FROM pairs),
        |nodes AS (SELECT DISTINCT a AS node FROM edges),
        |reach(node, r) AS (
