@@ -6,6 +6,19 @@ import graft.core.{EditorSession, Positional, Tables}
 import graft.ops._
 
 class PositionalSpec extends SparkSpec {
+  test("load gives external NTZ-inferring sessions instants WITHOUT mutating their conf") {
+    // newSession shares the context but owns its SQLConf — the shape of a
+    // caller who built their session without the NTZ flag
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val df = Tables.load(s2, sf, "orders")
+    assert(df.schema("o_orderdate").dataType == TimestampType,
+      "NTZ column must surface as an instant")
+    assert(s2.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "true",
+      "load must not flip the caller's session conf")
+    assert(df.count() > 0)
+  }
+
   test("attachPos assigns dense 0..n-1 in key order") {
     val n = Tables.load(spark, sf, "nation")
     val pos = Positional.attachPos(n, col("n_nationkey"))
