@@ -250,6 +250,83 @@ object Dedup {
       .select("id_i", "id_j", "jaccard")
   }
 
+  /** Corpus-side LSH dedup index: one row per doc carrying the exact
+    * shingle set, its size, and the banded minhash keys. This is the
+    * artifact an incremental pipeline persists ONCE (parquet, partitioned
+    * or bucketed by band hash after exploding `bands`) so nightly batches
+    * can be near-dup-checked against a 100 TB corpus without re-reading
+    * or re-hashing any corpus text — the corpus contributes only an index
+    * probe, never a second signature pass.
+    *
+    * Same signature pipeline as [[minhashLshPairs]] (explode →
+    * min-aggregate, whole-stage codegen); the one id-keyed join here
+    * re-attaches the shingle set to the aggregated signature and happens
+    * once at build time. A probe MUST use the same (n, numHashes, bands)
+    * the index was built with — band keys are seeded by band index, so
+    * mismatched parameters silently produce zero candidates.
+    *
+    * Output: (id, sh, n_sh, bands) with `bands(b)` = xxhash64-folded key
+    * of signature rows [b*r, (b+1)*r).
+    */
+  def lshIndex(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sigCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+    sets.join(sigs, "id")
+      .select(col("id"), col("sh"), col("n_sh"),
+        lshBands(col("sig"), bands, r).as("bands"))
+  }
+
+  /** Incremental near-dup matching: a new batch probed against a prebuilt
+    * [[lshIndex]] of the standing corpus. THE 100 TB dedup shape — when
+    * 0.1% of the data arrives per day, re-running pair dedup over the full
+    * corpus is a 1000× waste; instead the corpus is indexed once and each
+    * batch (a) LSH-probes the stored band keys for candidates and
+    * (b) exact-Jaccard-verifies candidates against the stored shingle
+    * sets, so output precision is exact and recall is the band recall of
+    * the index parameters (choose them with [[lshParameterSweep]]).
+    *
+    * Shuffle shape: the batch is banded and joined against the exploded
+    * index bands on (band_i, band_h) — with the index stored
+    * partitioned/bucketed by band hash, only the batch moves. The verify
+    * join shuffles candidate ids only. Nothing in the plan scales with
+    * corpus × batch.
+    *
+    * `numHashes`/`bands`/`n` must match the index build (see [[lshIndex]]).
+    * Output: (batch_id, corpus_id, jaccard) for pairs with true
+    * jaccard >= threshold.
+    */
+  def incrementalLshMatches(index: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.4,
+                            numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val bIdx = lshIndex(batch, idCol, textCol, n, numHashes, bands)
+    val probe = bIdx.select(col("id").as("batch_id"),
+      posexplode(col("bands")).as(Seq("band_i", "band_h")))
+    val stored = index.select(col("id").as("corpus_id"),
+      posexplode(col("bands")).as(Seq("band_i", "band_h")))
+    val candidates = probe.join(stored, Seq("band_i", "band_h"))
+      .select("batch_id", "corpus_id").distinct()
+    candidates
+      .join(bIdx.select(col("id").as("batch_id"),
+        col("sh").as("sh_b"), col("n_sh").as("n_b")), "batch_id")
+      .join(index.select(col("id").as("corpus_id"),
+        col("sh").as("sh_c"), col("n_sh").as("n_c")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_b") + col("n_c") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** Connected components over a near-dup pair list — the final stage of a
     * dedup pipeline (pairs → duplicate clusters → one representative each).
     * Iterative min-label propagation: each node adopts the smallest label in

@@ -602,6 +602,23 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** Incremental dedup: the standing corpus (doc_id % 5 != 0) is indexed
+      * once ([[Dedup.lshIndex]] — the persistable artifact a production
+      * pipeline stores bucketed by band hash), then the arriving batch
+      * (doc_id % 5 == 0) probes it; nothing in the plan scales with
+      * corpus × batch. Same 128/64 analytic-recall setting as
+      * d_minhash_lsh so the brute-force cross-pair oracle is valid
+      * without assuming luck.
+      */
+    "d_incr_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.lshIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 3, numHashes = 128, bands = 64)
+      Dedup.incrementalLshMatches(idx, d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     /** The LSH calibration table: candidate volume and precision/recall
       * at three (bands, rows) settings of a 32-hash md5 minhash — the
       * in-engine eval that picks dedup parameters before a full run.
@@ -1472,6 +1489,21 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+
+    // brute-force batch × corpus cross pairs: valid as the oracle for the
+    // LSH-probed path because the 128/64 band setting's analytic miss
+    // probability at j=0.4 is ~1.4e-5 (see d_minhash_lsh registration)
+    "d_incr_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |c AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 != 0 AND len(sh) > 0),
+         |b AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 = 0 AND len(sh) > 0),
+         |p AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  len(list_intersect(b.sh, c.sh))::DOUBLE /
+         |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))::DOUBLE
+         |    AS jaccard
+         |  FROM b CROSS JOIN c)
+         |SELECT batch_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.4
+         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "t_heavy" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),

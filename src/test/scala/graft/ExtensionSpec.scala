@@ -24,6 +24,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("incremental LSH against a persisted index == exact cross-split pairs") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val exactPairs: Set[(Long, Long)] =
+      Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCross = exactPairs
+      .collect { case (i, j) if (i % 5 == 0) != (j % 5 == 0) =>
+        if (i % 5 == 0) (i, j) else (j, i) }
+    assert(exactCross.nonEmpty, "expected planted cross-split near-dup pairs")
+    // the index is a plain relation: round-trip it through parquet to prove
+    // the persisted artifact (not the in-session plan) drives the probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    Dedup.lshIndex(corpus, "doc_id", "text", 3, 32, 16)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val got = Dedup.incrementalLshMatches(stored, batch, "doc_id", "text",
+        3, 0.4, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactCross,
+      s"incremental missed ${exactCross -- got}, extra ${got -- exactCross}")
+  }
+
   test("stop-shingle cap drops hot shingles but keeps near-dup pairs") {
     val capped = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4,
       maxShingleDf = Some(50))
