@@ -323,6 +323,54 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Mergeable-sketch rollup — the two-level distinct-count shape a
+      * 100 TB warehouse actually runs: each shard (here pmod(l_orderkey, 8),
+      * standing in for a day's partition) aggregates its own bottom-64 KMV
+      * sketch once; a later pass merges the stored sketches (union →
+      * distinct → re-bottom-k) without re-reading the data. KMV bottom-k
+      * merge is lossless — every hash in the global bottom-64 is
+      * necessarily in its own shard's bottom-64 — so the merged estimate
+      * equals the direct single-pass estimate EXACTLY, which the output
+      * exposes side by side (kmv_merged, kmv_direct) and the oracle
+      * re-derives. The re-aggregation moves 64 longs per shard where the
+      * raw data moved everything: that is why sketch columns, not exact
+      * distinct counts, are what gets stored at scale.
+      */
+    "a20_sketch_rollup" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      val k = 64
+      val fn = graft.functions.SampleAggregates.BOTTOMK_FN
+      val key = lpad(col("hv").cast("string"), 19, "0")
+      val li = Tables.load(s, dir, "lineitem")
+      val h = li.select(col("l_returnflag"),
+        pmod(col("l_orderkey"), lit(8)).as("shard"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv")).distinct()
+      val perShard = h.groupBy("l_returnflag", "shard")
+        .agg(call_function(fn, key, col("hv"), lit(k)).as("sketch"))
+      def kth(grouped: org.apache.spark.sql.DataFrame) = grouped
+        .groupBy("l_returnflag")
+        .agg(try_element_at(
+          call_function(fn, key, col("hv"), lit(k)), lit(k)).as("hk"))
+        .filter(col("hk").isNotNull)
+      val merged = kth(perShard
+        .select(col("l_returnflag"), explode(col("sketch")).as("hv"))
+        .distinct())
+      val direct = kth(h.select("l_returnflag", "hv").distinct())
+      val est = (hk: org.apache.spark.sql.Column) => round(lit((k - 1).toDouble) /
+        (hk.cast("double") / 1152921504606846976.0), 4)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      exact
+        .join(merged.select(col("l_returnflag"), est(col("hk")).as("kmv_merged")),
+          Seq("l_returnflag"))
+        .join(direct.select(col("l_returnflag"), est(col("hk")).as("kmv_direct")),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("kmv_merged"), col("kmv_direct"),
+          col("exact_nd"))
+        .orderBy("l_returnflag")
+    }),
+
     /** SQL-text surface: the same engine through `spark.sql` — text is
       * parsed by Catalyst into the identical plan the DataFrame API builds.
       */
@@ -862,6 +910,33 @@ object AnalyticsQueries {
         |  round(63.0 / (kth.hv::DOUBLE / 1152921504606846976.0), 4) AS kmv_est,
         |  ex.exact_nd
         |FROM ex JOIN kth USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+
+    // two-level KMV: per-shard bottom-64 sketches merged vs the direct
+    // single-pass bottom-64 — identical by the lossless-merge property,
+    // both derived independently here
+    "a20_sketch_rollup" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag, l_orderkey % 8 AS shard,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |ps AS (SELECT l_returnflag, shard, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag, shard ORDER BY hv) AS rn
+        |  FROM h),
+        |m AS (SELECT DISTINCT l_returnflag, hv FROM ps WHERE rn <= 64),
+        |mr AS (SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM m),
+        |mk AS (SELECT l_returnflag, hv FROM mr WHERE rn = 64),
+        |d AS (SELECT DISTINCT l_returnflag, hv FROM h),
+        |dr AS (SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM d),
+        |dk AS (SELECT l_returnflag, hv FROM dr WHERE rn = 64),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        |       FROM lineitem GROUP BY l_returnflag)
+        |SELECT ex.l_returnflag,
+        |  round(63.0 / (mk.hv::DOUBLE / 1152921504606846976.0), 4) AS kmv_merged,
+        |  round(63.0 / (dk.hv::DOUBLE / 1152921504606846976.0), 4) AS kmv_direct,
+        |  ex.exact_nd
+        |FROM ex JOIN mk USING (l_returnflag) JOIN dk USING (l_returnflag)
+        |ORDER BY ex.l_returnflag""".stripMargin,
 
     "j_bloom" ->
       """SELECT l_returnflag, count(*) AS n,

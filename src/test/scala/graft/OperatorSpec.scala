@@ -207,6 +207,20 @@ class SketchAccuracySpec extends SparkSpec {
       "group 'a' (2 < k=3 hashes) must be dropped, 'b' kept")
     assert(rows.head.getLong(1) == 30L, "kth smallest of b must be 30")
   }
+
+  test("KMV sketch rollup: per-shard merge equals the direct single pass") {
+    // the lossless-merge property behind a20_sketch_rollup — every global
+    // bottom-k hash is in its own shard's bottom-k, so merging stored
+    // sketches reproduces the direct estimate exactly (here with shards
+    // smaller than k, the boundary where a lossy merge would diverge)
+    val out = graft.queries.AnalyticsQueries
+      .queries("a20_sketch_rollup")(spark, sf).collect()
+    assert(out.nonEmpty, "expected at least one flag group with >= 64 hashes")
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"merged != direct for ${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
 }
 
 class CollapseCellEditsSpec extends SparkSpec {
