@@ -19,6 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
+  /** Deterministic global training-order shuffle. Epoch dataloaders need
+    * the corpus in a reproducible pseudo-random order; `ORDER BY rand()`
+    * is neither reproducible (retries reroll) nor scalable (one total
+    * sort through a global range partitioner). Here every doc gets a
+    * stable md5 key from (seed, id); the key mod `nShards` picks a shard
+    * and a window PARTITIONED BY shard orders within it — nShards
+    * independent window states, never a single-partition global sort.
+    * Training order is (shard, pos): readers consume shards in order or
+    * round-robin, and a fresh epoch order is just a new seed — two small
+    * columns change, no data moves at rest. The assignment is also
+    * growth-stable: adding docs never changes an existing doc's key or
+    * shard, only its pos within the shard.
+    *
+    * Output: (id, shard, pos) with pos = 1-based rank of the md5 key
+    * (id tiebreak) inside the shard.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.select(col(idCol), key.as("__skey"))
+      .select(col(idCol),
+        pmod(col("__skey"), lit(nShards)).cast("int").as("shard"),
+        row_number().over(Window.partitionBy(pmod(col("__skey"), lit(nShards)))
+          .orderBy(col("__skey"), col(idCol))).as("pos"))
+  }
+
   /** Sequence packing, concat-and-chunk style: within each group
     * (language, source — whatever keys the output shards), documents in
     * stable id order are conceptually concatenated and cut every `budget`

@@ -821,6 +821,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Deterministic epoch shuffle: reproducible pseudo-random training
+      * order as (shard, pos) — md5(seed:id) keys, per-shard windows, no
+      * global sort anywhere in the plan (see Sharding.shuffleOrder).
+      */
+    "t_shuffle_order" -> ((s, dir) =>
+      graft.operators.Sharding.shuffleOrder(docs(s, dir), "doc_id",
+        seed = 42L, nShards = 8)
+        .orderBy("shard", "pos")),
+
     /** Int8 scalar quantization audit: per-vector symmetric scale
       * (127/max|x|), explicit floor(x·s + 0.5) rounding (identical on any
       * engine, unlike round()'s half-even/half-up ambiguity), and the max
@@ -1514,6 +1523,16 @@ object PipelineQueries {
          |FROM c CROSS JOIN n
          |WHERE cnt >= ceil(0.03 * n.n)
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    "t_shuffle_order" ->
+      """WITH s AS (SELECT doc_id,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8
+        |                          ORDER BY skey, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // the CASE chain mirrors splitAssign's when-cascade over the same
     // cumulative bounds; the hash-uniform idiom is the shared one

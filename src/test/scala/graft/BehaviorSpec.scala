@@ -156,6 +156,29 @@ class ShardingSpec extends SparkSpec {
       col("n"), 300L).orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("shuffleOrder is a partitioning-stable permutation; new seed reorders") {
+    val d = (1L to 300L).toDF("doc_id")
+    val a = Sharding.shuffleOrder(d, "doc_id", seed = 7L, nShards = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // permutation: every doc exactly once, per-shard positions are 1..n
+    assert(a.map(_._1).toSet.size == 300)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size),
+        s"shard $shard positions not contiguous")
+    }
+    // stable under input partitioning (the md5 key, not row order, decides)
+    val b = Sharding.shuffleOrder(d.repartition(7), "doc_id", 7L, 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(a === b)
+    // a different seed is a genuinely different epoch order
+    val c = Sharding.shuffleOrder(d, "doc_id", seed = 8L, nShards = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(a !== c)
+  }
 }
 
 class ShardingNullSpec extends SparkSpec {
