@@ -294,6 +294,36 @@ object MaintenanceQueries {
         .orderBy("lang", "source")
     }),
 
+    /** Temperature-scaled mixture weights (α = 0.5): the multilingual-
+      * sampling rule q_i ∝ p_i^α that upweights low-resource languages —
+      * how much each language's natural token share gets boosted for the
+      * training mix. All corpus-sized work is one per-lang hash aggregate;
+      * the α-power normalizer runs on the handful of per-lang rows, as an
+      * ordered fold (lang order) so the 5-double sum is engine-exact.
+      * Output: (lang, n_tokens, token_share p, temp_share q, boost q/p).
+      */
+    "t_mix_temperature" -> ((s, dir) => {
+      val a = docs(s, dir)
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("lang").agg(sum("__nt").as("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val p = col("n_tokens").cast("double") /
+        sum("n_tokens").over(all).cast("double")
+      val withP = a.select(col("lang"), col("n_tokens"),
+        p.as("__p"), sqrt(p).as("__sp"))
+      val denom = withP.agg(aggregate(
+        transform(sort_array(collect_list(struct(col("lang"), col("__sp")))),
+          x => x("__sp")),
+        lit(0.0), (acc, x) => acc + x).as("__denom"))
+      withP.crossJoin(broadcast(denom))
+        .select(col("lang"), col("n_tokens"),
+          round(col("__p"), 6).as("token_share"),
+          round(col("__sp") / col("__denom"), 6).as("temp_share"),
+          round(col("__sp") / col("__denom") / col("__p"), 6).as("boost"))
+        .orderBy("lang")
+    }),
+
     /** Incremental aggregate maintenance: a "materialized" base aggregate
       * absorbs a day's delta by merging partial states (counts add,
       * decimal sums add exactly) — the base table is never rescanned. The
@@ -616,6 +646,21 @@ object MaintenanceQueries {
          |  round(CAST(n_tokens AS DOUBLE) /
          |    CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM a ORDER BY lang, source""".stripMargin,
+
+    "t_mix_temperature" ->
+      s"""WITH a AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (SELECT lang, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS pr,
+         |    sqrt(CAST(n_tokens AS DOUBLE) /
+         |         CAST(sum(n_tokens) OVER () AS DOUBLE)) AS sp
+         |  FROM a),
+         |d AS (SELECT list_reduce(list_prepend(0.0, list(sp ORDER BY lang)),
+         |    (acc, b) -> acc + b) AS denom FROM p)
+         |SELECT lang, n_tokens, round(pr, 6) AS token_share,
+         |  round(sp / denom, 6) AS temp_share,
+         |  round(sp / denom / pr, 6) AS boost
+         |FROM p CROSS JOIN d ORDER BY lang""".stripMargin,
 
     // from-scratch aggregate: the incremental merge must equal this exactly
     // (decimal partials are associative, so it does)

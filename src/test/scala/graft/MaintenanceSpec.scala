@@ -241,4 +241,19 @@ class SamplingSpec extends SparkSpec {
       .agg(min("u"), max("u")).head
     assert(u.getDouble(0) >= 0.0 && u.getDouble(1) < 1.0)
   }
+
+  test("temperature mix: shares sum to 1, low-resource langs boosted") {
+    val rows = graft.queries.MaintenanceQueries
+      .queries("t_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "raw shares sum to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "temp shares sum to 1")
+    // α < 1 flattens the distribution: the largest share is downweighted,
+    // the smallest upweighted
+    val largest = rows.maxBy(_._2)
+    val smallest = rows.minBy(_._2)
+    assert(largest._4 < 1.0, s"largest lang ${largest._1} must be boosted < 1")
+    assert(smallest._4 > 1.0, s"smallest lang ${smallest._1} must be boosted > 1")
+  }
 }
