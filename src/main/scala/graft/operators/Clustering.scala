@@ -95,4 +95,58 @@ object Clustering {
       .select(col("centroid_id"), col("dim"),
         round(col("__sum") / col("n_members"), roundTo).as("mean_val"),
         col("n_members"))
+
+  /** Distributed power iteration for the top right-singular direction of
+    * the embedding matrix (the first PCA axis of the uncentered data) —
+    * the one-vector spectral summary a curation pipeline uses to spot a
+    * dominant direction (a template, a watermark, one source's boilerplate)
+    * before whitening or balancing.
+    *
+    * Each round is ONE aggregate job: every row's projection s = ⟨x, v⟩ is
+    * computed in the same scan that explodes x, the (dim) hash-aggregate
+    * folds s·x[d] in id order (the oracle-matched exact sum, as in
+    * [[step]]), and the driver holds only the dim-sized w — normalize,
+    * re-embed as a literal, repeat. Driver state = dim doubles; shuffle =
+    * (dim, id, contribution) partials, the [[step]] shape. At 100 TB the
+    * ordered fold relaxes to decimal partial sums (order-free, mergeable)
+    * at the cost of bit-parity with a sequential oracle.
+    *
+    * v0 = uniform 1/√dim (never random — cross-engine replayable); with
+    * a positive v0 the sign of the result is deterministic. Output:
+    * (dim, comp, sigma) where comp is the round-`roundTo` final unit
+    * vector and sigma = ‖Aᵀ(Av)‖ of the last round (the eigenvalue of
+    * AᵀA at convergence).
+    */
+  def powerIteration(df: DataFrame, idCol: String, vecCol: String,
+                     rounds: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(rounds > 0, "rounds must be positive")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var nrm = 0.0
+    for (_ <- 0 until rounds) {
+      val vlit = array(v.toIndexedSeq.map(lit): _*)
+      val w = df.select(col(idCol).as("id"), col(vecCol).as("x"))
+        .withColumn("sc", aggregate(
+          zip_with(col("x"), vlit, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, y) => acc + y))
+        .select(col("id"), col("sc"),
+          posexplode(col("x")).as(Seq("dim", "xv")))
+        .groupBy("dim")
+        .agg(aggregate(
+          transform(sort_array(collect_list(struct(col("id"),
+            (col("sc") * col("xv").cast("double")).as("c")))), s => s("c")),
+          lit(0.0), (acc, x) => acc + x).as("w"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / nrm)
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    v.toIndexedSeq.zipWithIndex.map { case (c, d) => (d, c) }
+      .toDF("dim", "comp")
+      .select(col("dim"), round(col("comp"), roundTo).as("comp"),
+        round(lit(nrm), roundTo).as("sigma"))
+      .orderBy("dim")
+  }
 }

@@ -907,6 +907,14 @@ object PipelineQueries {
         .orderBy("centroid_id", "dim")
     }),
 
+    /** Top principal direction by 4 rounds of power iteration — every
+      * intermediate (projection, fold order, normalizer) replayed by the
+      * oracle, so the iterative spectral path itself is hash-checked.
+      */
+    "v_pca_power" -> ((s, dir) =>
+      Clustering.powerIteration(embs(s, dir), "vec_id", "embedding",
+        rounds = 4)),
+
     // ---- similarity search ------------------------------------------------
     "v_ann_topk" -> ((s, dir) =>
       Similarity.topK(embs(s, dir).filter(col("vec_id") =!= 0L),
@@ -2100,6 +2108,8 @@ object PipelineQueries {
          |FROM a JOIN cut USING (cid) WHERE a.sim <= cut.p10
          |ORDER BY a.vec_id""".stripMargin,
 
+    "v_pca_power" -> pcaPowerOracle,
+
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,
          |a AS (SELECT vec_id, v, cid FROM p
@@ -2448,6 +2458,36 @@ object PipelineQueries {
     * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
     * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
+  /** 4-round power-iteration replay: each round's CTE block mirrors the
+    * Spark job exactly — projection fold in dim order, per-dim sum in
+    * vec_id order, norm fold in dim order — so the final vector is
+    * bit-identical, not approximately equal. 1/sqrt(64) = 0.125 exactly,
+    * so even v0 carries no representation slack.
+    */
+  private lazy val pcaPowerOracle: String = {
+    val rounds = 4
+    val perRound = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT vec_id, embedding AS x,
+         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |    i -> CAST(embedding[i] AS DOUBLE) * vv[i])), (acc, b) -> acc + b) AS sc
+         |  FROM embeddings CROSS JOIN v${r - 1}),
+         |x$r AS (SELECT vec_id, i - 1 AS dim, sc * CAST(x[i] AS DOUBLE) AS c
+         |  FROM s$r, LATERAL unnest(generate_series(1, 64)) AS t(i)),
+         |w$r AS (SELECT dim, list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)),
+         |  (acc, b) -> acc + b) AS w FROM x$r GROUP BY dim),
+         |n$r AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY dim)),
+         |  (acc, b) -> acc + b)) AS nrm FROM w$r),
+         |v$r AS (SELECT list(w / nrm ORDER BY dim) AS vv
+         |  FROM w$r CROSS JOIN n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (SELECT list_transform(generate_series(1, 64),
+       |    i -> 1.0 / sqrt(64.0)) AS vv),
+       |$perRound
+       |SELECT CAST(dim AS INT) AS dim, round(w / nrm, 6) AS comp,
+       |  round(nrm, 6) AS sigma
+       |FROM w$rounds CROSS JOIN n$rounds ORDER BY dim""".stripMargin
+  }
+
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,

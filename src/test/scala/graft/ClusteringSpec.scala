@@ -22,6 +22,28 @@ class ClusteringSpec extends SparkSpec {
     assert(used.subsetOf(cids))
   }
 
+  test("powerIteration: unit vector, Rayleigh gain over v0, partition-stable") {
+    def rayleigh(v: Array[Double]): Double = {
+      // mean squared projection onto v — what power iteration maximizes
+      val rows = embs.collect().map(
+        _.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble))
+      rows.map(x => math.pow(x.zip(v).map { case (a, b) => a * b }.sum, 2)).sum
+    }
+    val out = Clustering.powerIteration(embs, "vec_id", "embedding", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val v = out.sortBy(_._1).map(_._2)
+    assert(v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, "result is unit norm")
+    val dim = v.length
+    val v0 = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    assert(rayleigh(v) > rayleigh(v0),
+      "iterated direction must capture more variance than the uniform start")
+    // the ordered-fold contract: identical output under any partitioning
+    val again = Clustering.powerIteration(embs.repartition(7), "vec_id",
+      "embedding", rounds = 4).collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(again.sortBy(_._1).map(_._2).toSeq == v.toSeq)
+  }
+
   test("assign: a centroid vector is assigned to itself") {
     val cent = Clustering.seedCentroids(embs, "vec_id", "embedding", 4)
     val cids = cent.collect().map(_.getLong(0)).toSeq
