@@ -290,6 +290,76 @@ object Similarity {
     ivfTopK(assigned, centroids, idCol, vecCol, query, k, nProbe, roundTo)
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): the vector is
+    * cut into `m` subspaces, each subvector replaced by the id of its
+    * nearest codeword from a per-subspace codebook, and search runs
+    * entirely in the compressed domain — the query precomputes an
+    * m × codebookSize table of subspace distances (driver-side, it is
+    * query-sized) and every corpus vector's approximate distance is m
+    * table lookups. This is the memory-bound 100 TB ANN shape: 64 float32
+    * dims (256 B) compress to m = 8 code bytes, so a billion vectors fit
+    * where 32 M raw ones did, and the scan is a map-only projection over
+    * stored codes — no shuffle; the top-k is TakeOrderedAndProject.
+    *
+    * Everything is deterministic and cross-engine replayable: codebooks
+    * seed from the `codebookSize` smallest-id vectors (the [[Clustering]]
+    * seeding discipline — a production build would run Lloyd rounds per
+    * subspace via [[Clustering.step]] first), encoding argmins compare
+    * round-6 squared L2 with codeword-id tiebreak, and the ADC sum folds
+    * the m lookups in subspace order from 0.0.
+    *
+    * Output: (id, adist) — the k smallest approximate squared distances,
+    * ascending, id tiebreak.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+             k: Int, m: Int = 8, codebookSize: Int = 16,
+             roundTo: Int = 6): DataFrame = {
+    val dim = query.length
+    require(dim % m == 0, "m must divide the vector dimension")
+    val sub = dim / m
+    // codebook[j][c] = subvector j of the c-th smallest-id vector
+    val seeds = df.select(col(idCol), col(vecCol)).orderBy(idCol)
+      .limit(codebookSize).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1))
+    require(seeds.length == codebookSize, "not enough vectors for the codebook")
+    val codebook: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
+      seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
+    // ADC table: squared L2 from the query's subvector j to codeword c,
+    // folded in dim order — query-sized driver work, shipped as literals
+    val table: Array[Array[Double]] = Array.tabulate(m)(j =>
+      codebook(j).map { cw =>
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = query(j * sub + d).toDouble - cw(d).toDouble
+          acc = acc + diff * diff
+          d += 1
+        }
+        acc
+      })
+    // encode: per subspace, argmin over codewords of round-6 squared L2
+    // (codeword-index tiebreak) — one codegen'd projection, no shuffle
+    def dsub(j: Int, cw: Array[Float]): Column =
+      aggregate(zip_with(slice(col("__x"), j * sub + 1, sub),
+          array(cw.toIndexedSeq.map(lit): _*),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    def code(j: Int): Column =
+      array_min(array(codebook(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
+        struct(round(dsub(j, cw), roundTo).as("d"), lit(c).as("cw"))
+      }: _*))("cw")
+    val adist = aggregate(
+      array((0 until m).map(j =>
+        element_at(array(table(j).toIndexedSeq.map(lit): _*),
+          code(j) + 1)): _*),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+      .select(col("id"), round(adist, roundTo).as("adist"))
+      .orderBy(col("adist"), col("id"))
+      .limit(k)
+  }
+
   /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
     * in any table, exact-cosine filtered to `threshold`. The scale path for
     * [[topKPairs]].

@@ -953,6 +953,17 @@ object PipelineQueries {
         planes = Similarity.md5Planes)
         .withColumnRenamed("id", "vec_id")),
 
+    /** Product-quantization ANN: 64 float dims → 8 code bytes, search in
+      * the compressed domain via the query's ADC table. Every stage —
+      * codebook seeding, per-subspace argmin encoding, table lookups,
+      * the ADC fold — is replayed by the SQL oracle, so the approximate
+      * path itself is hash-checked (same discipline as v_ann_lsh_md5).
+      */
+    "v_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")),
+
     /** JL sign random projection 64 → 8 dims, md5 sign family so every
       * projected component is oracle-replayable. Output exploded to
       * scalars (vec_id, dim, comp) for driver hashing; the projection is
@@ -2110,6 +2121,8 @@ object PipelineQueries {
 
     "v_pca_power" -> pcaPowerOracle,
 
+    "v_ann_pq" -> pqAnnOracle,
+
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,
          |a AS (SELECT vec_id, v, cid FROM p
@@ -2458,6 +2471,45 @@ object PipelineQueries {
     * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
     * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
+  /** PQ replay: codebook from the 16 smallest corpus ids, round-6 argmin
+    * encoding with codeword tiebreak, unrounded ADC table, fold in
+    * subspace order from 0.0 — mirrors Similarity.pqTopK stage for stage.
+    */
+  private lazy val pqAnnOracle: String = {
+    def sq(a: String, b: String) = s"(($a) - ($b)) * (($a) - ($b))"
+    val dEnc = sq("CAST(c.x[js.j * 8 + d] AS DOUBLE)",
+      "CAST(cb.e[js.j * 8 + d] AS DOUBLE)")
+    val dTbl = sq("CAST(q.qv[js.j * 8 + d] AS DOUBLE)",
+      "CAST(cb.e[js.j * 8 + d] AS DOUBLE)")
+    s"""WITH cb AS (SELECT embedding AS e,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS cw
+       |  FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),
+       |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id, embedding AS x FROM embeddings
+       |           WHERE vec_id != 0),
+       |enc AS (SELECT c.vec_id, js.j, cb.cw,
+       |    round(list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, 8), d -> $dEnc)),
+       |      (acc, b) -> acc + b), 6) AS dsub
+       |  FROM corpus c CROSS JOIN js CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, cw FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+       |                             ORDER BY dsub, cw) = 1),
+       |tbl AS (SELECT js.j, cb.cw,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(generate_series(1, 8), d -> $dTbl)),
+       |      (acc, b) -> acc + b) AS td
+       |  FROM js CROSS JOIN cb CROSS JOIN q),
+       |ad AS (SELECT code.vec_id,
+       |    list_reduce(list_prepend(0.0, list(tbl.td ORDER BY code.j)),
+       |      (acc, b) -> acc + b) AS adist
+       |  FROM code JOIN tbl ON tbl.j = code.j AND tbl.cw = code.cw
+       |  GROUP BY code.vec_id)
+       |SELECT vec_id, round(adist, 6) AS adist FROM ad
+       |ORDER BY adist, vec_id LIMIT 10""".stripMargin
+  }
+
   /** 4-round power-iteration replay: each round's CTE block mirrors the
     * Spark job exactly — projection fold in dim order, per-dim sum in
     * vec_id order, norm fold in dim order — so the final vector is

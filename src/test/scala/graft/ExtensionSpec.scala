@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.sameElements(sims.sortBy(-_)))
   }
 
+  test("pqTopK: codebook members score their exact distance; order stable") {
+    val corpus = embs.filter(col("vec_id") =!= 0L)
+    val out = Similarity.pqTopK(corpus, "vec_id", "embedding", query,
+        k = corpus.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(_ >= 0.0), "squared distances are non-negative")
+    // a codebook seed IS its own codeword in every subspace, so its ADC
+    // distance is the exact squared L2 to the query — zero quantization loss
+    val seeds = corpus.orderBy("vec_id").limit(16).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)))
+    seeds.foreach { case (id, v) =>
+      val exact = v.zip(query.map(_.toDouble))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(out(id) - exact) < 1e-4,
+        s"seed $id adist ${out(id)} != exact $exact")
+    }
+    // deterministic under repartitioning (argmin tiebreaks + literal table)
+    val again = Similarity.pqTopK(corpus.repartition(7), "vec_id",
+        "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ten = Similarity.pqTopK(corpus, "vec_id", "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == ten)
+  }
+
   test("lshPairs finds every pair a full cross-product would at threshold") {
     val exact = Similarity.topKPairs(embs, "vec_id", "embedding", k = 5)
       .filter(col("sim") >= 0.4)
