@@ -199,4 +199,40 @@ class PlanShapeSpec extends SparkSpec {
         s"rounds must iterate on pinned inputs; plan:\n$p")
     }
   }
+
+  test("PQ search is compressed-domain: map-only scan into a top-k, no shuffle") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val q = embs.filter(col("vec_id") === 0L).head
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val p = plan(graft.operators.Similarity.pqTopK(
+      embs.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, k = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort; plan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"encode + ADC lookups are one projection over the scan; plan:\n$p")
+  }
+
+  test("epoch shuffle partitions its windows by shard, never a global sort") {
+    val p = plan(graft.operators.Sharding.shuffleOrder(
+      Tables.load(spark, sf, "documents"), "doc_id", seed = 7L, nShards = 8))
+    assert(p.contains("hashpartitioning"),
+      s"the one exchange must key on the shard; plan:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"no global funnel: per-shard windows only; plan:\n$p")
+  }
+
+  test("incremental LSH probe: equi-joins only against the stored index") {
+    withoutAutoBroadcast {
+      val d = Tables.load(spark, sf, "documents")
+      val idx = graft.operators.Dedup.lshIndex(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, 32, 16)
+      val p = plan(graft.operators.Dedup.incrementalLshMatches(
+        idx, d.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 0.4, 32, 16))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"candidates must come from the (band, key) equi-join; plan:\n$p")
+      assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") >= 1,
+        s"band probe is a shuffled equi-join; plan:\n$p")
+    }
+  }
 }
