@@ -327,6 +327,49 @@ object Dedup {
       .select("batch_id", "corpus_id", "jaccard")
   }
 
+  /** Streaming variant of [[incrementalLshMatches]]: the arriving batch is
+    * a STREAM, probed in-flight against the static index — the ingest-hop
+    * shape where near-dup flags attach before data ever lands. Every
+    * stream-side stage is append-mode legal: the signature is the per-row
+    * array-lambda fold of [[minhashSignature]] (no aggregate — the batch
+    * path's explode→min-agg is faster but is a streaming aggregation),
+    * candidates come from a stream-static equi-join on (band, key) with
+    * the shingle set carried on the static side (one join, not two), and
+    * the multi-band duplicate collapse is a `dropDuplicates` on the pair
+    * key (the [[graft.streaming.EventStreams]] dedup state shape; bound it
+    * with a watermark on an event-time column when the stream is
+    * unbounded — AvailableNow replays are finite).
+    *
+    * Output matches [[incrementalLshMatches]] row for row: (batch_id,
+    * corpus_id, jaccard) at true jaccard >= threshold.
+    */
+  def incrementalLshMatchesStream(index: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int = 3, threshold: Double = 0.4,
+                                  numHashes: Int = 32,
+                                  bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val probe = shingleSets(batch, idCol, textCol, n)
+      .select(col("id").as("batch_id"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b"),
+        lshBands(minhashSignature(col("sh"), numHashes), bands, r)
+          .as("__bands"))
+      .select(col("batch_id"), col("sh_b"), col("n_b"),
+        posexplode(col("__bands")).as(Seq("band_i", "band_h")))
+    val stored = index.select(col("id").as("corpus_id"),
+      col("sh").as("sh_c"), col("n_sh").as("n_c"),
+      posexplode(col("bands")).as(Seq("band_i", "band_h")))
+    probe.join(stored, Seq("band_i", "band_h"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_b") + col("n_c") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Connected components over a near-dup pair list — the final stage of a
     * dedup pipeline (pairs → duplicate clusters → one representative each).
     * Iterative min-label propagation: each node adopts the smallest label in

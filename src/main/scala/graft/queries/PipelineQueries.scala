@@ -1187,6 +1187,26 @@ object PipelineQueries {
         .orderBy("fp")
     }),
 
+    /** The ingest-hop dedup: new documents arrive as a REAL stream
+      * (AvailableNow over the parquet dir, filtered to the batch split)
+      * and are near-dup-probed in-flight against the static corpus
+      * [[Dedup.lshIndex]] — per-row signatures, stream-static band join,
+      * append output. Must equal the batch d_incr_lsh exactly (same
+      * brute-force cross-pair oracle).
+      */
+    "st_incr_lsh" -> ((s, dir) => {
+      val idx = Dedup.lshIndex(
+          docs(s, dir).filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, numHashes = 128, bands = 64)
+        .localCheckpoint(eager = true) // pin: not recomputed per microbatch
+      EventStreams.runAvailableNow(s, s"$dir/documents.parquet",
+        st => Dedup.incrementalLshMatchesStream(idx,
+          st.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          n = 3, threshold = 0.4, numHashes = 128, bands = 64),
+        "st_incr_lsh", outputMode = "append")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     /** Stream-stream interval join run as a real streaming query (two
       * watermarked sides, bounded join state, append output) — the
       * streaming sibling of the batch j_range surface.
@@ -1519,19 +1539,11 @@ object PipelineQueries {
     "d_minhash_lsh" -> jaccardPairsOracle,
 
     // brute-force batch × corpus cross pairs: valid as the oracle for the
-    // LSH-probed path because the 128/64 band setting's analytic miss
+    // LSH-probed paths because the 128/64 band setting's analytic miss
     // probability at j=0.4 is ~1.4e-5 (see d_minhash_lsh registration)
-    "d_incr_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |c AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 != 0 AND len(sh) > 0),
-         |b AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 = 0 AND len(sh) > 0),
-         |p AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |  len(list_intersect(b.sh, c.sh))::DOUBLE /
-         |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))::DOUBLE
-         |    AS jaccard
-         |  FROM b CROSS JOIN c)
-         |SELECT batch_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.4
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "d_incr_lsh" -> incrLshOracle,
+    // the streaming probe must land on the identical pair set
+    "st_incr_lsh" -> incrLshOracle,
 
     "t_heavy" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
@@ -2471,6 +2483,21 @@ object PipelineQueries {
     * is ~1.4e-5 (and falls off a cliff above it); OperatorSpec additionally
     * checks containment (LSH ⊆ exact) and planted-pair recall.
     */
+  /** Brute-force batch × corpus cross-pair jaccard — shared by the batch
+    * (d_incr_lsh) and streaming (st_incr_lsh) incremental-dedup paths.
+    */
+  private lazy val incrLshOracle: String =
+    s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |c AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 != 0 AND len(sh) > 0),
+       |b AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 = 0 AND len(sh) > 0),
+       |p AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |  len(list_intersect(b.sh, c.sh))::DOUBLE /
+       |    (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))::DOUBLE
+       |    AS jaccard
+       |  FROM b CROSS JOIN c)
+       |SELECT batch_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.4
+       |ORDER BY batch_id, corpus_id""".stripMargin
+
   /** PQ replay: codebook from the 16 smallest corpus ids, round-6 argmin
     * encoding with codeword tiebreak, unrounded ADC table, fold in
     * subspace order from 0.0 — mirrors Similarity.pqTopK stage for stage.

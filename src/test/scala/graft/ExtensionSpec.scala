@@ -388,6 +388,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length)
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
+
+  test("streamed incremental LSH probe equals the batch probe pair for pair") {
+    val docs = Tables.load(spark, sf, "documents")
+    val idx = Dedup.lshIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", 3, 32, 16).localCheckpoint(eager = true)
+    val batch = Dedup.incrementalLshMatches(idx,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 0.4, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = EventStreams.runAvailableNow(spark, s"$sf/documents.parquet",
+      st => Dedup.incrementalLshMatchesStream(idx,
+        st.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 0.4, 32, 16),
+      "spec_incr_lsh", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "expected cross-split near-dup pairs")
+    assert(streamed == batch,
+      s"stream missed ${batch -- streamed}, extra ${streamed -- batch}")
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
