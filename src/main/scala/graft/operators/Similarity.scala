@@ -314,14 +314,37 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
              k: Int, m: Int = 8, codebookSize: Int = 16,
              roundTo: Int = 6): DataFrame = {
-    val dim = query.length
-    require(dim % m == 0, "m must divide the vector dimension")
-    val sub = dim / m
-    // codebook[j][c] = subvector j of the c-th smallest-id vector
+    val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
+    val adist = pqAdistCol(seeds, query, m, roundTo)
+    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+      .select(col("id"), round(adist, roundTo).as("adist"))
+      .orderBy(col("adist"), col("id"))
+      .limit(k)
+  }
+
+  /** The `codebookSize` smallest-id vectors — the deterministic PQ
+    * codebook seeding (the PQ twin of [[Clustering.seedCentroids]]).
+    */
+  private def codebookSeeds(df: DataFrame, idCol: String, vecCol: String,
+                            codebookSize: Int): Array[scala.collection.Seq[Float]] = {
     val seeds = df.select(col(idCol), col(vecCol)).orderBy(idCol)
       .limit(codebookSize).collect()
       .map(_.getAs[scala.collection.Seq[Float]](1))
     require(seeds.length == codebookSize, "not enough vectors for the codebook")
+    seeds
+  }
+
+  /** Approximate-squared-distance column over a vector column bound as
+    * `__x`: per-subspace argmin encoding against the seed codebook, then
+    * the query's ADC table lookups folded in subspace order. Unrounded —
+    * callers round once at the output boundary.
+    */
+  private def pqAdistCol(seeds: Array[scala.collection.Seq[Float]],
+                         query: Seq[Float], m: Int, roundTo: Int): Column = {
+    val dim = query.length
+    require(dim % m == 0, "m must divide the vector dimension")
+    val sub = dim / m
+    // codebook[j][c] = subvector j of the c-th seed
     val codebook: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
       seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
     // ADC table: squared L2 from the query's subvector j to codeword c,
@@ -349,12 +372,45 @@ object Similarity {
       array_min(array(codebook(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
         struct(round(dsub(j, cw), roundTo).as("d"), lit(c).as("cw"))
       }: _*))("cw")
-    val adist = aggregate(
+    aggregate(
       array((0 until m).map(j =>
         element_at(array(table(j).toIndexedSeq.map(lit): _*),
           code(j) + 1)): _*),
       lit(0.0), (acc, x) => acc + x)
-    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+  }
+
+  /** IVF-PQ composite — the FAISS-at-scale shape: the coarse IVF quantizer
+    * prunes the corpus to `nProbe` cells and PQ ranks only the survivors
+    * in the compressed domain. At rest the corpus stores one byte-array of
+    * codes per vector partitioned by cell: a probe reads nProbe/nCentroids
+    * of the files (partition pruning, like [[ivfTopKFromLayout]]) and
+    * scans codes, never raw vectors. The codebook trains on the corpus-wide
+    * seed set — independent of which cells a query probes, so one codebook
+    * serves every query.
+    *
+    * Deterministic end to end (seeded coarse centroids, round-6 argmins,
+    * literal ADC table), so the composite is oracle-replayable like its
+    * two constituents. Output: (id, adist) ascending, id tiebreak.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int, nCentroids: Int = 8,
+                nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+                roundTo: Int = 6): DataFrame = {
+    val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, iters = 0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(na * nb); if (d == 0.0) 0.0 else dot / d
+    }
+    val probe = cents.sortBy { case (cid, v) => (-cos(query, v), cid) }
+      .take(nProbe).map(_._1)
+    val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
+    val adist = pqAdistCol(seeds, query, m, roundTo)
+    assigned.filter(col("__ivf_cid").isInCollection(probe))
+      .select(col(idCol).as("id"), col(vecCol).as("__x"))
       .select(col("id"), round(adist, roundTo).as("adist"))
       .orderBy(col("adist"), col("id"))
       .limit(k)

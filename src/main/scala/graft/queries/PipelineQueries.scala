@@ -964,6 +964,16 @@ object PipelineQueries {
         "vec_id", "embedding", queryVec(s, dir), k = 10)
         .withColumnRenamed("id", "vec_id")),
 
+    /** IVF-PQ composite: the coarse quantizer prunes to 4 of 8 cells, PQ
+      * ranks the survivors in the compressed domain — both stages replayed
+      * by the oracle (probe CTEs shared with v_ann_ivf_flat, PQ core with
+      * v_ann_pq).
+      */
+    "v_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")),
+
     /** JL sign random projection 64 → 8 dims, md5 sign family so every
       * projected component is oracle-replayable. Output exploded to
       * scalars (vec_id, dim, comp) for driver hashing; the projection is
@@ -2135,6 +2145,8 @@ object PipelineQueries {
 
     "v_ann_pq" -> pqAnnOracle,
 
+    "v_ann_ivfpq" -> ivfPqOracle,
+
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,
          |a AS (SELECT vec_id, v, cid FROM p
@@ -2498,28 +2510,24 @@ object PipelineQueries {
        |SELECT batch_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.4
        |ORDER BY batch_id, corpus_id""".stripMargin
 
-  /** PQ replay: codebook from the 16 smallest corpus ids, round-6 argmin
-    * encoding with codeword tiebreak, unrounded ADC table, fold in
-    * subspace order from 0.0 — mirrors Similarity.pqTopK stage for stage.
+  /** PQ core CTEs over a candidate relation `$src(vec_id, x)` — expects
+    * CTEs `cb` (codebook: e, cw), `js` (subspace ids 0..7) and `q` (query
+    * vector qv) already defined. Round-6 argmin encoding with codeword
+    * tiebreak, unrounded ADC table, fold in subspace order from 0.0 —
+    * mirrors Similarity.pqAdistCol stage for stage. Shared by the flat-PQ
+    * and IVF-PQ oracles.
     */
-  private lazy val pqAnnOracle: String = {
+  private def pqCoreCtes(src: String): String = {
     def sq(a: String, b: String) = s"(($a) - ($b)) * (($a) - ($b))"
     val dEnc = sq("CAST(c.x[js.j * 8 + d] AS DOUBLE)",
       "CAST(cb.e[js.j * 8 + d] AS DOUBLE)")
     val dTbl = sq("CAST(q.qv[js.j * 8 + d] AS DOUBLE)",
       "CAST(cb.e[js.j * 8 + d] AS DOUBLE)")
-    s"""WITH cb AS (SELECT embedding AS e,
-       |    row_number() OVER (ORDER BY vec_id) - 1 AS cw
-       |  FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),
-       |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |corpus AS (SELECT vec_id, embedding AS x FROM embeddings
-       |           WHERE vec_id != 0),
-       |enc AS (SELECT c.vec_id, js.j, cb.cw,
+    s"""enc AS (SELECT c.vec_id, js.j, cb.cw,
        |    round(list_reduce(list_prepend(0.0,
        |      list_transform(generate_series(1, 8), d -> $dEnc)),
        |      (acc, b) -> acc + b), 6) AS dsub
-       |  FROM corpus c CROSS JOIN js CROSS JOIN cb),
+       |  FROM $src c CROSS JOIN js CROSS JOIN cb),
        |code AS (SELECT vec_id, j, cw FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
        |                             ORDER BY dsub, cw) = 1),
@@ -2532,10 +2540,56 @@ object PipelineQueries {
        |    list_reduce(list_prepend(0.0, list(tbl.td ORDER BY code.j)),
        |      (acc, b) -> acc + b) AS adist
        |  FROM code JOIN tbl ON tbl.j = code.j AND tbl.cw = code.cw
-       |  GROUP BY code.vec_id)
+       |  GROUP BY code.vec_id)""".stripMargin
+  }
+
+  /** PQ replay over the whole corpus. */
+  private lazy val pqAnnOracle: String =
+    s"""WITH cb AS (SELECT embedding AS e,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS cw
+       |  FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),
+       |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |corpus AS (SELECT vec_id, embedding AS x FROM embeddings
+       |           WHERE vec_id != 0),
+       |${pqCoreCtes("corpus")}
        |SELECT vec_id, round(adist, 6) AS adist FROM ad
        |ORDER BY adist, vec_id LIMIT 10""".stripMargin
-  }
+
+  /** IVF-PQ replay: the v_ann_ivf_flat probe CTEs select the candidate
+    * cells, then the shared PQ core ranks only the survivors — the
+    * codebook stays corpus-wide, independent of the probe.
+    */
+  private lazy val ivfPqOracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id <> 0),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    CAST(embedding AS DOUBLE[]) v
+       |  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)),
+       |qd AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |       WHERE vec_id = 0),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(
+       |          CAST(b.embedding AS DOUBLE[]), c.v) DESC, c.cid) AS rn
+       |    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+       |probe AS (SELECT cid FROM cents
+       |          ORDER BY list_cosine_similarity(v, (SELECT qv FROM qd)) DESC,
+       |            cid
+       |          LIMIT 4),
+       |cand AS (SELECT b.vec_id, b.embedding AS x
+       |  FROM base b JOIN assign a ON a.vec_id = b.vec_id
+       |  WHERE a.cid IN (SELECT cid FROM probe)),
+       |cb AS (SELECT embedding AS e,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS cw
+       |  FROM base ORDER BY vec_id LIMIT 16),
+       |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |${pqCoreCtes("cand")}
+       |SELECT vec_id, round(adist, 6) AS adist FROM ad
+       |ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
   /** 4-round power-iteration replay: each round's CTE block mirrors the
     * Spark job exactly — projection fold in dim order, per-dim sum in

@@ -105,6 +105,23 @@ class SimilaritySpec extends SparkSpec {
     assert(again == ten)
   }
 
+  test("ivfPqTopK prunes cells yet agrees with flat PQ on shared survivors") {
+    val corpus = embs.filter(col("vec_id") =!= 0L)
+    val flat = Similarity.pqTopK(corpus, "vec_id", "embedding", query,
+        k = corpus.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", query,
+        k = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivfpq.nonEmpty && ivfpq.length <= 10)
+    // same codebook, same ADC table: any vector the composite returns must
+    // carry exactly its flat-PQ distance (pruning changes the candidate
+    // set, never the scoring)
+    ivfpq.foreach { case (id, d) =>
+      assert(flat(id) == d, s"vec $id: ivfpq $d != flat ${flat(id)}")
+    }
+    assert(ivfpq.map(_._2).toSeq == ivfpq.map(_._2).sorted.toSeq)
+  }
+
   test("lshPairs finds every pair a full cross-product would at threshold") {
     val exact = Similarity.topKPairs(embs, "vec_id", "embedding", k = 5)
       .filter(col("sim") >= 0.4)
