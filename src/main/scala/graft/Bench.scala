@@ -98,6 +98,17 @@ object Bench {
         Tables.load(s, sfDir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.4, numHashes = 32, bands = 16).count()),
 
+    // incremental dedup: index build + batch probe at the bench band
+    // setting (32/16), the nightly-ingest shape
+    "d_incr_lsh" -> ((s: SparkSession) => {
+      val d = Tables.load(s, sfDir, "documents")
+      val idx = graft.operators.Dedup.lshIndex(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, 32, 16)
+      graft.operators.Dedup.incrementalLshMatches(idx,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        3, 0.4, 32, 16).count()
+    }),
+
     "t_text_stats" -> ((s: SparkSession) =>
       Tables.load(s, sfDir, "documents").select(
         graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
@@ -109,6 +120,16 @@ object Bench {
       val q = embs.filter(col("vec_id") === 0L).head()
         .getAs[scala.collection.Seq[Float]]("embedding").toSeq
       graft.operators.Similarity.topK(embs, "vec_id", "embedding", q, 10).count()
+    }),
+
+    // compressed-domain ANN: codebook + ADC table are driver-sized, the
+    // corpus pass is one projection into a TakeOrdered top-k
+    "v_ann_pq" -> ((s: SparkSession) => {
+      val embs = Tables.load(s, sfDir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      graft.operators.Similarity.pqTopK(
+        embs.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10).count()
     }),
 
     "j_star" -> ((s: SparkSession) =>

@@ -23,6 +23,9 @@ object ScaleEvidence {
     "t_dup_spans",    // char-span fingerprint scan
     "t_decontam",     // broadcast n-gram decontamination
     "v_ann_ivf_flat", // IVF build + probe
+    "v_ann_ivfpq",    // IVF cell pruning + compressed-domain PQ ranking
+    "d_incr_lsh",     // stored-index probe: batch-sized work vs the corpus
+    "t_shuffle_order",// per-shard epoch-order windows, no global sort
     "t_pipeline_v2")  // gate -> decontam -> shard plan end-to-end
 
   def main(args: Array[String]): Unit = {

@@ -153,6 +153,42 @@ object MaintenanceQueries {
         Seq("c_custkey"), validate = true).orderBy("c_custkey")
     }),
 
+    /** Compliance purge (right-to-erasure shape): a keyed victim list is
+      * deleted from its home table and cascaded through the FK chain
+      * (customer → orders → lineitem), with a per-table audit row —
+      * before / deleted / after — the evidence a deletion request demands.
+      * The victim keys broadcast (a deletion list is always small next to
+      * the corpus); each cascade level is one anti/semi equi-join keyed on
+      * the FK, so the whole purge is three shuffle-free-or-one-shuffle
+      * passes, never a rewrite of untouched partitions.
+      */
+    "o_purge" -> ((s, dir) => {
+      val cust = customer(s, dir)
+      val ords = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val victims = cust.filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").as("k"))
+      val keepCust = cust.join(broadcast(victims),
+        cust("c_custkey") === victims("k"), "left_anti")
+      val purgedOrders = ords.join(broadcast(victims),
+        ords("o_custkey") === victims("k"), "left_semi")
+        .select(col("o_orderkey").as("ok"))
+      val keepOrders = ords.join(broadcast(victims),
+        ords("o_custkey") === victims("k"), "left_anti")
+      val keepLi = li.join(purgedOrders,
+        li("l_orderkey") === purgedOrders("ok"), "left_anti")
+      def audit(name: String, before: DataFrame, after: DataFrame) =
+        before.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+          .select(lit(name).as("table_name"), col("rows_before"),
+            (col("rows_before") - col("rows_after")).as("rows_deleted"),
+            col("rows_after"))
+      audit("customer", cust, keepCust)
+        .unionByName(audit("orders", ords, keepOrders))
+        .unionByName(audit("lineitem", li, keepLi))
+        .orderBy("table_name")
+    }),
+
     /** Snapshot diff: added/removed/changed/same per key between the base
       * table and its post-merge, partially-retired successor.
       */
@@ -646,6 +682,32 @@ object MaintenanceQueries {
          |  round(CAST(n_tokens AS DOUBLE) /
          |    CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM a ORDER BY lang, source""".stripMargin,
+
+    "o_purge" ->
+      """WITH po AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_custkey % 17 = 0))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer) AS rows_before,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 17 = 0) AS rows_deleted,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 17 != 0) AS rows_after
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                       WHERE c_custkey % 17 = 0)),
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                           WHERE c_custkey % 17 = 0))
+        |ORDER BY table_name""".stripMargin,
 
     "t_mix_temperature" ->
       s"""WITH a AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens

@@ -242,6 +242,17 @@ class SamplingSpec extends SparkSpec {
     assert(u.getDouble(0) >= 0.0 && u.getDouble(1) < 1.0)
   }
 
+  test("compliance purge: audit arithmetic holds and the cascade reaches lineitem") {
+    val rows = graft.queries.MaintenanceQueries
+      .queries("o_purge")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("customer", "lineitem", "orders"))
+    rows.foreach { case (t, before, deleted, after) =>
+      assert(before == deleted + after, s"$t audit must balance")
+      assert(deleted > 0, s"$t must lose rows — fixture has victims")
+    }
+  }
+
   test("temperature mix: shares sum to 1, low-resource langs boosted") {
     val rows = graft.queries.MaintenanceQueries
       .queries("t_mix_temperature")(spark, sf).collect()
