@@ -915,7 +915,7 @@ object AnalyticsQueries {
     // single-pass bottom-64 — identical by the lossless-merge property,
     // both derived independently here
     "a20_sketch_rollup" ->
-      """WITH h AS (SELECT DISTINCT l_returnflag, l_orderkey % 8 AS shard,
+      """WITH h AS MATERIALIZED (SELECT DISTINCT l_returnflag, l_orderkey % 8 AS shard,
         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM lineitem),
         |ps AS (SELECT l_returnflag, shard, hv,

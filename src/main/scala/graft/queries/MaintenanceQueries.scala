@@ -684,7 +684,7 @@ object MaintenanceQueries {
          |FROM a ORDER BY lang, source""".stripMargin,
 
     "o_purge" ->
-      """WITH po AS (SELECT o_orderkey FROM orders
+      """WITH po AS MATERIALIZED (SELECT o_orderkey FROM orders
         |  WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                      WHERE c_custkey % 17 = 0))
         |SELECT 'customer' AS table_name,
@@ -710,9 +710,10 @@ object MaintenanceQueries {
         |ORDER BY table_name""".stripMargin,
 
     "t_mix_temperature" ->
-      s"""WITH a AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+      s"""WITH a AS MATERIALIZED (SELECT lang,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY 1),
-         |p AS (SELECT lang, n_tokens,
+         |p AS MATERIALIZED (SELECT lang, n_tokens,
          |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS pr,
          |    sqrt(CAST(n_tokens AS DOUBLE) /
          |         CAST(sum(n_tokens) OVER () AS DOUBLE)) AS sp

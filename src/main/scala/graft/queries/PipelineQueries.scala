@@ -2499,7 +2499,7 @@ object PipelineQueries {
     * (d_incr_lsh) and streaming (st_incr_lsh) incremental-dedup paths.
     */
   private lazy val incrLshOracle: String =
-    s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |c AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 != 0 AND len(sh) > 0),
        |b AS (SELECT doc_id, sh FROM t WHERE doc_id % 5 = 0 AND len(sh) > 0),
        |p AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
@@ -2599,18 +2599,23 @@ object PipelineQueries {
     */
   private lazy val pcaPowerOracle: String = {
     val rounds = 4
+    // every round CTE is MATERIALIZED: w$r is referenced by both n$r and
+    // v$r, and DuckDB's default CTE inlining would otherwise re-derive the
+    // whole chain per reference — exponential in rounds (the d_manifest
+    // lesson, commit 4cc891c)
     val perRound = (1 to rounds).map { r =>
-      s"""s$r AS (SELECT vec_id, embedding AS x,
+      s"""s$r AS MATERIALIZED (SELECT vec_id, embedding AS x,
          |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
          |    i -> CAST(embedding[i] AS DOUBLE) * vv[i])), (acc, b) -> acc + b) AS sc
          |  FROM embeddings CROSS JOIN v${r - 1}),
          |x$r AS (SELECT vec_id, i - 1 AS dim, sc * CAST(x[i] AS DOUBLE) AS c
          |  FROM s$r, LATERAL unnest(generate_series(1, 64)) AS t(i)),
-         |w$r AS (SELECT dim, list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)),
+         |w$r AS MATERIALIZED (SELECT dim,
+         |  list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)),
          |  (acc, b) -> acc + b) AS w FROM x$r GROUP BY dim),
-         |n$r AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY dim)),
-         |  (acc, b) -> acc + b)) AS nrm FROM w$r),
-         |v$r AS (SELECT list(w / nrm ORDER BY dim) AS vv
+         |n$r AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(0.0,
+         |  list(w * w ORDER BY dim)), (acc, b) -> acc + b)) AS nrm FROM w$r),
+         |v$r AS MATERIALIZED (SELECT list(w / nrm ORDER BY dim) AS vv
          |  FROM w$r CROSS JOIN n$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH v0 AS (SELECT list_transform(generate_series(1, 64),
