@@ -19,6 +19,22 @@ object TextFunctions {
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Pipeline text cleaner (the C4-style scrub, case-preserving): strip
+    * ASCII control characters, squeeze shouting punctuation runs
+    * (`!!!!!` → `!!`, `???` → `??`, `....`+ → `...`), collapse runs of
+    * spaces, trim. Every rule is an explicit character-class regex with
+    * counted repetition — NO backreferences, so the exact same patterns
+    * run under Java regex (Spark) and RE2 (DuckDB/Go engines) with
+    * identical results. Scan-local, codegen'd, zero shuffle.
+    */
+  def cleanText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val squeezed = regexp_replace(
+      regexp_replace(regexp_replace(noCtl,
+        "!{3,}", "!!"), "\\?{3,}", "??"), "\\.{4,}", "...")
+    trim(regexp_replace(squeezed, " +", " "))
+  }
+
   /** Lower-cased alphanumeric tokens (empty strings filtered). */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")

@@ -214,4 +214,46 @@ object Behavior {
       .withColumn("conv_rate",
         round(col("n_converted").cast("double") / col("n_users"), 6))
   }
+
+  /** Exponentially-weighted moving average over each key's daily series,
+    * in EXACT scaled-integer arithmetic: daily totals are decimal sums
+    * (order-independent) scaled to integer 1e-4 units, and each smoothing
+    * step is s_i = (num·v_i + (den-num)·s_{i-1}) div den — integral floor
+    * division, so the whole series is bit-identical on any engine and
+    * replays as a recursive-CTE SQL oracle (doubles would drift: a float
+    * EWMA is a different number on every accumulation order).
+    *
+    * Scale shape: ONE hash aggregate to daily grain, then the smoothing
+    * runs inside a per-key sorted-array fold — keys process independently
+    * (perfectly parallel) and the fold touches only that key's days
+    * (bounded by the calendar, not the data; 10 years ≈ 3.7k entries).
+    * No global window, no iteration, no driver state.
+    *
+    * Values must be non-negative (floor division on negatives differs
+    * between floor- and truncation-semantics engines; daily activity
+    * totals are sums of non-negative measurements).
+    *
+    * @return (key, day, v_scaled, ewma_scaled) — 1e-4 units, day-ordered
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, num: Long = 1, den: Long = 4): DataFrame = {
+    require(num > 0 && den > num, s"alpha = num/den must be in (0,1)")
+    val daily = events.groupBy(col(keyCol).as("key"),
+        to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,4)")) * 10000)
+        .cast("long").as("v"))
+    daily.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("__s"))
+      .select(col("key"), explode(expr(
+        s"""aggregate(__s,
+           |  CAST(array() AS ARRAY<STRUCT<day: DATE, v: BIGINT, e: BIGINT>>),
+           |  (acc, x) -> acc || array(named_struct('day', x.day, 'v', x.v,
+           |    'e', CASE WHEN size(acc) = 0 THEN x.v
+           |              ELSE ($num * x.v + ${den - num} *
+           |                    element_at(acc, -1).e) div $den END)))""".stripMargin
+      )).as("__e"))
+      .select(col("key"), col("__e.day").as("day"), col("__e.v").as("v_scaled"),
+        col("__e.e").as("ewma_scaled"))
+      .orderBy("key", "day")
+  }
 }

@@ -432,4 +432,94 @@ object Similarity {
       .distinct()
       .filter(col("sim") >= threshold)
   }
+
+  /** Matryoshka truncation audit: how much ANN quality survives keeping
+    * only the first `d` dimensions of each embedding (the
+    * Matryoshka-representation deployment question — truncated vectors are
+    * d/D the storage and bandwidth; arXiv:2205.13147 trains embeddings for
+    * exactly this cut). For each candidate prefix length, the top-k
+    * neighbor set of `query` under truncated cosine is compared against
+    * the full-dimension top-k; recall@k is the fraction retained.
+    *
+    * One scan computes every prefix's similarity (slice + cosine are
+    * per-row, scan-local; no shuffle until the k-row TakeOrdered per
+    * prefix), so auditing 4 prefix lengths costs one pass, not 4.
+    *
+    * @return (trunc_dim, recall_at_k) — one row per prefix length
+    */
+  def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, dims: Seq[Int],
+      roundTo: Int = 6): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d > 0 && d <= query.length),
+      s"prefix dims must be in 1..${query.length}")
+    val q = vectorLit(query)
+    def top(d: Int): DataFrame =
+      df.select(col(idCol).as("id"),
+          round(fastCosine(df, slice(col(vecCol), 1, d), slice(q, 1, d)),
+            roundTo).as("sim"))
+        .orderBy(col("sim").desc, col("id")).limit(k)
+    val full = top(query.length).select(col("id"))
+    dims.map { d =>
+      top(d).join(full, Seq("id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / k).as("recall_at_k"))
+        .select(lit(d).as("trunc_dim"), col("recall_at_k"))
+    }.reduce(_ unionByName _).orderBy("trunc_dim")
+  }
+
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998): greedy
+    * diversity-aware selection — each step takes the candidate maximizing
+    * λ·sim(query, d) − (1−λ)·max over already-selected s of sim(d, s).
+    * The canonical fix for a near-dup-heavy ANN result page: plain top-k
+    * returns k copies of the same document; MMR returns one per cluster.
+    *
+    * Greedy is inherently sequential in k, so the operator runs k
+    * driver-synchronous rounds — but each round is ONE map-only scan +
+    * TakeOrdered(1): the selected set lives as literal vectors inside the
+    * scoring expression (vectors are driver-sized, k·dim floats), never a
+    * join. k is interactive-small (a result page); the corpus side stays
+    * arbitrarily large.
+    *
+    * λ and sims round to `roundTo` before the arg-max compare, ties break
+    * on id — fully deterministic, SQL-replayable round by round.
+    *
+    * @return (rank, id, score) in selection order
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, lambdaPct: Int = 70,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "mmrSelect needs k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct is a percentage")
+    // both weights divide by 100.0 independently: `1.0 - 0.7` is NOT the
+    // double an oracle's literal `0.3` parses to (it's 0.30000000000000004)
+    val lam = lambdaPct / 100.0
+    val mu = (100 - lambdaPct) / 100.0
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        round(fastCosine(df, col(vecCol), vectorLit(query)), roundTo)
+          .as("__qs"))
+      .localCheckpoint(eager = true) // one corpus pass; rounds re-scan this
+    var picked = Vector.empty[(Long, Seq[Float], Double)] // (id, vec, score)
+    (1 to k).foreach { _ =>
+      val sims = picked.map { case (_, v, _) =>
+        round(fastCosine(base, col("v"), vectorLit(v)), roundTo) }
+      val divCol = sims.size match {
+        case 0 => lit(0.0)
+        case 1 => sims.head // greatest() requires >= 2 args
+        case _ => greatest(sims: _*)
+      }
+      val score = round(lit(lam) * col("__qs") - lit(mu) * divCol, roundTo)
+      val remaining =
+        if (picked.isEmpty) base
+        else base.filter(!col("id").isInCollection(picked.map(_._1)))
+      val next = remaining
+        .select(col("id"), col("v"), score.as("__mmr"))
+        .orderBy(col("__mmr").desc, col("id")).limit(1).head()
+      picked :+= ((next.getLong(0),
+        next.getSeq[Float](1).toSeq, next.getDouble(2)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1L, id, s) }
+      .toDF("rank", "id", "score")
+  }
 }

@@ -371,6 +371,32 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Histogram-sketch quantiles beside the exact answer — the at-scale
+      * twin of a4_percentile. Exact `percentile` sorts every group's
+      * values; the sketch is one hash aggregate into 256 fixed bins
+      * (width 512, a dyadic rational — every float op below is exact) and
+      * a bounded cumulative walk, mergeable across shards by adding bin
+      * counts. Output shows estimate and exact side by side per quantile;
+      * the estimate is the first bin-edge at or above the true quantile
+      * (≤ one bin width high, never low). See
+      * [[graft.operators.Sketches.histogramQuantiles]].
+      */
+    "a21_hist_quantile" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sk = graft.operators.Sketches.histogramQuantiles(li,
+        "l_extendedprice", lo = 0.0, hi = 131072.0, bins = 256,
+        qs = Seq(0.5, 0.9), groupCols = Seq("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag")).agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("__e5"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("__e9"))
+        .select(col("l_returnflag"), explode(map(
+          lit(0.5), col("__e5"), lit(0.9), col("__e9"))).as(Seq("q", "exact")))
+      sk.join(exact, Seq("l_returnflag", "q"))
+        .select(col("l_returnflag"), col("q"), col("est"), col("exact"),
+          col("n"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     /** SQL-text surface: the same engine through `spark.sql` — text is
       * parsed by Catalyst into the identical plan the DataFrame API builds.
       */
@@ -937,6 +963,32 @@ object AnalyticsQueries {
         |  ex.exact_nd
         |FROM ex JOIN mk USING (l_returnflag) JOIN dk USING (l_returnflag)
         |ORDER BY ex.l_returnflag""".stripMargin,
+
+    // fixed-bin sketch quantile (upper bin edge at the ceil(q*n)-th rank)
+    // beside DuckDB's exact quantile_cont ≡ Spark percentile
+    "a21_hist_quantile" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    LEAST(255, GREATEST(0,
+        |      CAST(floor(l_extendedprice / 512.0::DOUBLE) AS INT))) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, bin,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM c),
+        |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q),
+        |hit AS (SELECT l_returnflag, q, min(bin) AS qb, max(n) AS n
+        |  FROM cum, qq WHERE cum >= ceil(q * n) GROUP BY 1, 2),
+        |ex AS (SELECT l_returnflag,
+        |    unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q,
+        |    unnest([round(quantile_cont(l_extendedprice, 0.5), 4),
+        |            round(quantile_cont(l_extendedprice, 0.9), 4)]) AS exact
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT h.l_returnflag, h.q, (h.qb + 1) * 512.0::DOUBLE AS est,
+        |  ex.exact, h.n
+        |FROM hit h JOIN ex USING (l_returnflag, q)
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "j_bloom" ->
       """SELECT l_returnflag, count(*) AS n,

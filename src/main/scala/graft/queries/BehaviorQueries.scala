@@ -300,6 +300,17 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    /** Daily EWMA per event type in exact scaled-integer arithmetic
+      * ([[graft.operators.Behavior.ewmaDaily]]): decimal daily sums →
+      * 1e-4-unit integers → s_i = (v_i + 3·s_{i-1}) div 4 per-key fold.
+      * Bit-identical on any engine, replayed by a recursive-CTE oracle.
+      */
+    "e_ewma" -> ((s, dir) =>
+      graft.operators.Behavior.ewmaDaily(events(s, dir),
+        "event_type", "ts", "value", num = 1, den = 4)
+        .withColumnRenamed("key", "event_type")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))),
+
     /** Interval-overlap join: view-activity windows × click-activity
       * windows ([ts, ts + 10·value sec] each), executed as the binned
       * equi-join with the claim-bin rule — no nested loop, no distinct.
@@ -782,6 +793,26 @@ object BehaviorQueries {
         |    CAST(sum(next - us) AS DOUBLE), 6) AS twap
         |FROM s WHERE next IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // recursive replay of the scaled-integer smoothing: row n's EWMA joins
+    // row n-1's; `//` (floor div) ≡ Spark `div` on the non-negative values
+    "e_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |num AS (SELECT event_type, day, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |ew AS (
+        |  SELECT event_type, day, rn, v, v AS e FROM num WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.rn, n.v, (n.v + 3 * w.e) // 4
+        |  FROM num n JOIN ew w
+        |    ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  v AS v_scaled, e AS ewma_scaled
+        |FROM ew ORDER BY event_type, day""".stripMargin,
 
     // the oracle is the plain quadratic range join — the binned equi-join
     // must produce exactly its pairs (closed-interval overlap predicate)

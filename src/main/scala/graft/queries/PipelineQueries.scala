@@ -52,6 +52,41 @@ object PipelineQueries {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    /** C4-style text scrub ([[TextFunctions.cleanText]]): control-char
+      * strip, punctuation-run squeeze, space collapse — pure map stage,
+      * zero shuffle; `changed` exposes the scrub rate for monitoring.
+      */
+    "t_clean" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.cleanText(col("text")).as("__c"))
+        .select(col("doc_id"), md5(col("__c")).as("clean_md5"),
+          length(col("__c")).as("n_clean"),
+          (col("__c") =!= col("text")).cast("long").as("changed"))
+        .orderBy("doc_id")),
+
+    /** Count-min sketch frequency audit: the sketch is ONE depth×width
+      * hash aggregate (4×512 cells here — fixed size regardless of
+      * vocabulary), probed at the exact top-20 tokens so the estimate sits
+      * beside its ground truth. md5-derived row hashes make the cells
+      * engine-replayable; cells from disjoint shards merge by addition
+      * (same mergeable-sketch discipline as a20_sketch_rollup). See
+      * [[graft.operators.Sketches.countMinCells]].
+      */
+    "t_cms_freq" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val cells = graft.operators.Sketches.countMinCells(
+        toks, "token", depth = 4, width = 512)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      graft.operators.Sketches
+        .countMinEstimate(cells, top, "token", depth = 4, width = 512)
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     /** Gopher-style repetition metrics — explode → hash-agg, no per-row
       * array folds, so a single huge document can't skew task memory.
       */
@@ -925,6 +960,26 @@ object PipelineQueries {
       Similarity.topKPairs(embs(s, dir), "vec_id", "embedding", k = 20)
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")),
 
+    /** Matryoshka truncation audit: recall@10 of prefix-dim cosine top-k
+      * vs the full 64-dim answer, for 8/16/32-dim prefixes — the
+      * store-less-of-each-vector deployment check. One scan scores every
+      * prefix. See [[Similarity.matryoshkaRecall]].
+      */
+    "v_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 10,
+        dims = Seq(8, 16, 32))),
+
+    /** Maximal-marginal-relevance diverse top-5: greedy λ=0.7 selection —
+      * each round is one map-only corpus scan + TakeOrdered(1) with the
+      * selected set inlined as literals (k·dim driver floats, no join).
+      * The oracle replays all 5 rounds as chained CTEs.
+      */
+    "v_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(embs(s, dir).filter(col("vec_id") =!= 0L),
+        "vec_id", "embedding", queryVec(s, dir), k = 5, lambdaPct = 70)
+        .withColumnRenamed("id", "vec_id")),
+
     /** Incremental top-k: per-batch top-k states merged instead of a full
       * recompute — must equal the whole-corpus brute-force top-k exactly
       * (the oracle is the same SQL as v_ann_topk).
@@ -1235,6 +1290,45 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality" -> s"$qualityOracle ORDER BY doc_id",
+
+    // replay cleanText's replace chain in the same order; every pattern is
+    // an explicit class + counted repetition (no backrefs), so Java regex
+    // and RE2 agree character-for-character
+    "t_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |        '!{3,}', '!!', 'g'),
+        |      '\?{3,}', '??', 'g'),
+        |    '\.{4,}', '...', 'g'),
+        |  ' +', ' ', 'g')) AS cl FROM documents)
+        |SELECT doc_id, md5(cl) AS clean_md5, length(cl) AS n_clean,
+        |  CAST(CASE WHEN cl <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // CMS cells = exact counts per (row, md5-hash cell); estimate = min
+    // over the probe token's 4 cells — replayed with the same md5 idiom
+    "t_cms_freq" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(${OracleIdioms.toksSql}) AS token FROM documents),
+         |ex AS MATERIALIZED (SELECT token, count(*) AS exact_cnt FROM toks
+         |  GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20),
+         |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS MATERIALIZED (SELECT r,
+         |    ('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR)),
+         |      1, 15))::BIGINT % 512 AS cell,
+         |    count(*) AS c
+         |  FROM toks, rr GROUP BY 1, 2),
+         |probe AS (SELECT e.token, e.exact_cnt, rr.r,
+         |    ('0x' || substr(md5(e.token || '#' || CAST(rr.r AS VARCHAR)),
+         |      1, 15))::BIGINT % 512 AS cell
+         |  FROM ex e, rr)
+         |SELECT p.token, p.exact_cnt, min(c.c) AS cms_est
+         |FROM probe p JOIN cells c ON p.r = c.r AND p.cell = c.cell
+         |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin,
 
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -1972,6 +2066,39 @@ object PipelineQueries {
     // incremental == full recompute is the contract: same oracle
     "v_ann_incr" -> annTopkOracle,
 
+    // prefix-sliced cosine top-10 per dim vs the full-dim top-10; list
+    // slices are end-inclusive (v[1:8] = 8 elements = Spark slice(v,1,8))
+    "v_matryoshka" ->
+      """WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |ft AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |    DESC, vec_id LIMIT 10),
+        |t8 AS (SELECT vec_id FROM e
+        |  ORDER BY round(list_cosine_similarity(v[1:8],
+        |    (SELECT qv[1:8] FROM q)), 6) DESC, vec_id LIMIT 10),
+        |t16 AS (SELECT vec_id FROM e
+        |  ORDER BY round(list_cosine_similarity(v[1:16],
+        |    (SELECT qv[1:16] FROM q)), 6) DESC, vec_id LIMIT 10),
+        |t32 AS (SELECT vec_id FROM e
+        |  ORDER BY round(list_cosine_similarity(v[1:32],
+        |    (SELECT qv[1:32] FROM q)), 6) DESC, vec_id LIMIT 10)
+        |SELECT 8 AS trunc_dim, CAST((SELECT count(*) FROM t8
+        |  WHERE vec_id IN (SELECT vec_id FROM ft)) AS DOUBLE) / 10
+        |  AS recall_at_k
+        |UNION ALL SELECT 16, CAST((SELECT count(*) FROM t16
+        |  WHERE vec_id IN (SELECT vec_id FROM ft)) AS DOUBLE) / 10
+        |UNION ALL SELECT 32, CAST((SELECT count(*) FROM t32
+        |  WHERE vec_id IN (SELECT vec_id FROM ft)) AS DOUBLE) / 10
+        |ORDER BY trunc_dim""".stripMargin,
+
+    // 5 greedy MMR rounds unrolled: round r picks the argmax of
+    // round(0.7·qs − 0.3·maxdiv, 6) over the unpicked, ties on vec_id;
+    // maxdiv = max round-6 cosine against the already-picked set
+    "v_mmr" -> mmrOracle(k = 5),
+
     "v_ann_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
@@ -2328,6 +2455,43 @@ object PipelineQueries {
   }
 
   /** Exact top-10 oracle (single copy: v_ann_topk + the recall report). */
+  /** Unrolled greedy-MMR oracle: round 1 ranks by round(0.7·qs, 6); each
+    * later round re-scores the unpicked against the picked set's max
+    * round-6 cosine and takes the (score DESC, vec_id) argmax — the exact
+    * replay of [[Similarity.mmrSelect]]'s driver loop. Weights are
+    * independent double literals (0.7, 0.3), matching the Spark side's
+    * lambdaPct/100.0 arithmetic.
+    */
+  private def mmrOracle(k: Int): String = {
+    val base =
+      """WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |s0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) AS qs
+        |  FROM embeddings WHERE vec_id <> 0),
+        |p1 AS MATERIALIZED (SELECT vec_id, v, qs,
+        |  round(0.7::DOUBLE * qs, 6) AS score
+        |  FROM s0 ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prevIds = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      val prevVs = (1 until r).map(i => s"SELECT v FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""c$r AS (SELECT s.vec_id, s.v, s.qs,
+         |  round(0.7::DOUBLE * s.qs - 0.3::DOUBLE *
+         |    (SELECT max(round(list_cosine_similarity(s.v, p.v), 6))
+         |     FROM ($prevVs) p(v)), 6) AS score
+         |  FROM s0 s WHERE s.vec_id NOT IN ($prevIds)),
+         |p$r AS MATERIALIZED (SELECT vec_id, v, qs, score FROM c$r
+         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val sel = (1 to k)
+      .map(i => s"""SELECT ${i}::BIGINT AS "rank", vec_id, score FROM p$i""")
+      .mkString("\nUNION ALL ")
+    (Seq(base) ++ rounds).mkString(",\n") + "\n" + sel + "\nORDER BY \"rank\""
+  }
+
   private lazy val annTopkOracle: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
         |s AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
