@@ -49,11 +49,15 @@ object Graph {
     * practice), and each round shrinks the relation it shuffles — on a
     * 100 TB pair list that difference is the job finishing or not.
     *
-    * Round anatomy (all keyed hash aggregates + equi-joins, no windows):
+    * Round anatomy (3 shuffles, 0 joins — per-neighborhood minima are
+    * whole-partition window aggregates over the node-keyed exchange, never
+    * a global window):
     *  - large-star(u): every neighbor v > u re-links to
     *    m = min(N(u) ∪ {u}) — emitted pairs are always (bigger, smaller);
     *  - small-star(u): over the (big, small)-oriented list, every smaller
-    *    neighbor and u itself re-link to the minimum neighbor.
+    *    neighbor and u itself re-link to the minimum neighbor — both
+    *    output legs emitted in one explode pass, so each round's relations
+    *    are consumed exactly once (no recompute, no ReusedExchange bet).
     * Fixpoint is detected *exactly* (count + anti-join set containment),
     * not by a heuristic hash — a false fixpoint would silently split
     * components. Same strict/convergence contract as
@@ -82,23 +86,7 @@ object Graph {
     var iter = 0
     var done = eCount == 0L
     while (!done && iter < maxIter) {
-      // large-star: min over the full neighborhood (∪ {u} via least), then
-      // every strictly-larger neighbor adopts it. Output keeps a > b.
-      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      val mins = sym.groupBy("a").agg(min("b").as("__mn"))
-        .select(col("a"), least(col("a"), col("__mn")).as("m"))
-      val large = sym.join(mins, "a")
-        .filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
-      // small-star on the oriented list: all neighbors are < a, so the
-      // neighborhood minimum needs no ∪{u}; a itself re-links too.
-      val m2 = large.groupBy("a").agg(min("b").as("m"))
-      val next = large.join(m2, "a")
-        .filter(col("b") =!= col("m"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionByName(m2.select(col("a"), col("m").as("b")))
-        .distinct().localCheckpoint(eager = true)
+      val next = starRound(e).localCheckpoint(eager = true)
       val nextCount = next.count()
       // exact set equality: equal cardinality + next ⊆ e (both are distinct)
       done = nextCount == eCount &&
@@ -118,6 +106,38 @@ object Graph {
     e.select(col("a").as("node"), col("b").as("cluster"))
       .unionByName(
         e.select(col("b").as("node"), col("b").as("cluster")).distinct())
+  }
+
+  /** One fused large-star + small-star contraction round over a distinct
+    * (a > b)-oriented edge set — exactly 3 shuffles, 0 joins (shape pinned
+    * by PlanShapeSpec): each per-neighborhood minimum is a whole-partition
+    * window aggregate over the node-keyed exchange, consumed once — no
+    * second raw-edge exchange for a join probe, no ReusedExchange bet —
+    * and the small-star step emits both output legs ((b, m) for b ≠ m,
+    * and (a, m)) from ONE explode pass over the same windowed row.
+    * Duplicates are tolerated until the round-final distinct (window min
+    * and explode legs are insensitive to them). Hub nodes buffer in the
+    * window sorter, which spills — the same skew behavior the former
+    * sort-merge join had, minus its build side.
+    */
+  private[graft] def starRound(e: DataFrame): DataFrame = {
+    val byA = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    // large-star: min over the full neighborhood (∪ {u} via least), then
+    // every strictly-larger neighbor adopts it. Output keeps a > b.
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val large = sym.withColumn("__mn", min("b").over(byA))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), least(col("a"), col("__mn")).as("b"))
+    // small-star on the oriented list: all neighbors are < a, so the
+    // neighborhood minimum needs no ∪{u}; a itself re-links too.
+    large.withColumn("__m", min("b").over(byA))
+      .select(explode(when(col("b") =!= col("__m"),
+          array(struct(col("b").as("a"), col("__m").as("b")),
+            struct(col("a"), col("__m").as("b"))))
+        .otherwise(array(struct(col("a"), col("__m").as("b")))))
+        .as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .distinct()
   }
 
   /** PageRank restricted to connected components: same scaled-integer

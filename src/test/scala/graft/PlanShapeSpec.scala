@@ -235,4 +235,17 @@ class PlanShapeSpec extends SparkSpec {
         s"band probe is a shuffled equi-join; plan:\n$p")
     }
   }
+
+  test("star-CC round: 3 exchanges, 0 joins (window minima + explode legs)") {
+    import spark.implicits._
+    val e = Seq((5L, 1L), (4L, 2L), (3L, 1L), (9L, 3L))
+      .toDF("a", "b")
+    val p = plan(graft.operators.Graph.starRound(e))
+    assert(countOf(p, "Join") == 0,
+      s"neighborhood minima must be windows, not join probes; plan:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 3,
+      s"one exchange per window + one for the distinct; plan:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"no global funnel in a contraction round; plan:\n$p")
+  }
 }
