@@ -37,6 +37,7 @@ object Formats {
   case object JsonF    extends Format { val name = "json" }
   case object ExcelF   extends Format { val name = "xlsx" }
   case object OrcF     extends Format { val name = "orc" }
+  case object TextF    extends Format { val name = "text" }
 
   /** S9: extension-suffix routing. */
   def detect(path: String): Format = {
@@ -46,6 +47,7 @@ object Formats {
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) JsonF
     else if (p.endsWith(".xlsx")) ExcelF
     else if (p.endsWith(".orc")) OrcF
+    else if (p.endsWith(".txt") || p.endsWith(".text")) TextF
     else if (p.endsWith(".xls"))
       // legacy BIFF .xls is a different container entirely — routing it to
       // the OOXML (zip) codec would fail with an opaque ZipException on read
@@ -72,6 +74,11 @@ object Formats {
     // beyond reference parity — the second columnar interchange format a
     // lakehouse pipeline meets in practice.
     case OrcF => spark.read.orc(path)
+    // raw line-delimited text: one string column `value`, one row per line —
+    // the lowest-common-denominator interchange (log shipping, WET dumps).
+    // Writers must encode structure themselves (see the hex-line round-trip
+    // query); newlines inside a record need an encoding, not this format.
+    case TextF => spark.read.text(path)
   }
 
   /** [[read]] with a caller-supplied schema — the schema-reuse path.
@@ -131,6 +138,7 @@ object Formats {
     case JsonF => df.write.mode(SaveMode.Overwrite).json(path)
     case ExcelF => ExcelIO.write(df, path)
     case OrcF => df.write.mode(SaveMode.Overwrite).orc(path)
+    case TextF => df.write.mode(SaveMode.Overwrite).text(path)
   }
 
   /** Hive-style partitioned parquet layout — the 100 TB sink: one

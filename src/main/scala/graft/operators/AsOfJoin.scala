@@ -32,12 +32,20 @@ object AsOfJoin {
   /** Shared merge-and-carry core; `forward` flips the frame direction and
     * which side sorts first at equal timestamps.
     */
+  private val RTS = "__asof_rts"
+
   private def asof(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, carry: Seq[String], carryPrefix: String,
-                   tiebreak: Option[String], forward: Boolean): DataFrame = {
+                   tiebreak: Option[String], forward: Boolean,
+                   toleranceUs: Option[Long] = None): DataFrame = {
     val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    // the matched right timestamp rides inside the payload struct so a
+    // staleness bound can void too-old matches AFTER the carry — the carry
+    // itself stays one window pass regardless of tolerance
     val payloadType = org.apache.spark.sql.types.StructType(
-      carry.map(c => right.schema(c).copy(name = c)))
+      carry.map(c => right.schema(c).copy(name = c)) :+
+        org.apache.spark.sql.types.StructField(RTS,
+          right.schema(tsCol).dataType))
 
     // right rows sort before left at equal ts for backward (at-or-before
     // includes same-ts), after left for forward (at-or-after includes it)
@@ -46,7 +54,7 @@ object AsOfJoin {
 
     val rightSel = right.select(
       Seq(col(keyCol), col(tsCol), lit(rightSide).as("__side"),
-        struct(carry.map(col): _*).as(PAYLOAD)) ++
+        struct(carry.map(col) :+ col(tsCol).as(RTS): _*).as(PAYLOAD)) ++
         passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftSel = left.select(
       Seq(col(keyCol), col(tsCol), lit(leftSide).as("__side"),
@@ -67,9 +75,23 @@ object AsOfJoin {
       if (forward) first(col(PAYLOAD), ignoreNulls = true).over(w)
       else last(col(PAYLOAD), ignoreNulls = true).over(w)
 
+    // a match older (backward) / farther ahead (forward) than the bound is
+    // voided per row — the null payload then renders like "no match at all"
+    val bounded = toleranceUs match {
+      case None => col(PAYLOAD)
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_micros(col(PAYLOAD).getField(RTS)) -
+            unix_micros(col(tsCol))
+          else unix_micros(col(tsCol)) -
+            unix_micros(col(PAYLOAD).getField(RTS))
+        when(gap <= tol, col(PAYLOAD))
+          .otherwise(lit(null).cast(payloadType))
+    }
     rightSel.unionByName(leftSel)
       .withColumn(PAYLOAD, carried)
       .filter(col("__side") === leftSide)
+      .withColumn(PAYLOAD, bounded)
       .select(Seq(col(keyCol), col(tsCol)) ++
         carry.map(c => col(PAYLOAD).getField(c).as(carryPrefix + c)) ++
         passthrough.map(col): _*)
@@ -82,13 +104,19 @@ object AsOfJoin {
     *
     * @param tiebreak right-side column (from `carry`) that breaks equal-ts
     *                 ties among right rows deterministically (max wins).
+    * @param toleranceUs max staleness in microseconds (pandas merge_asof's
+    *                 `tolerance`): a carried match with
+    *                 left.ts − right.ts > bound is voided to null carries,
+    *                 exactly as if no right row existed. Requires a
+    *                 timestamp `tsCol`. Same single-shuffle plan.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, carry: Seq[String],
                    carryPrefix: String = "asof_",
-                   tiebreak: Option[String] = None): DataFrame =
+                   tiebreak: Option[String] = None,
+                   toleranceUs: Option[Long] = None): DataFrame =
     asof(left, right, keyCol, tsCol, carry, carryPrefix, tiebreak,
-      forward = false)
+      forward = false, toleranceUs = toleranceUs)
 
   /** Forward as-of join (at-or-after semantics): for every `left` row,
     * attach `carry` columns from the *earliest* `right` row with
@@ -98,7 +126,8 @@ object AsOfJoin {
   def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
                   tsCol: String, carry: Seq[String],
                   carryPrefix: String = "asof_",
-                  tiebreak: Option[String] = None): DataFrame =
+                  tiebreak: Option[String] = None,
+                  toleranceUs: Option[Long] = None): DataFrame =
     asof(left, right, keyCol, tsCol, carry, carryPrefix, tiebreak,
-      forward = true)
+      forward = true, toleranceUs = toleranceUs)
 }

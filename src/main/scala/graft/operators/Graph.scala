@@ -140,6 +140,58 @@ object Graph {
       .distinct()
   }
 
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k (each removal can drop a neighbor under k, so peeling repeats
+    * until stable) — the standard densest-region filter: on a near-dup
+    * graph the 2-core keeps documents embedded in duplication CLIQUES and
+    * sheds tree-like appendages that a single spurious pair can create.
+    *
+    * Round anatomy: one degree aggregate + two node-keyed left-semi joins
+    * (the keep-set is node-sized, exchanged once per side). Peeling is
+    * monotone — each round's edge set is a subset of the last — so the
+    * exact fixpoint check is a plain count equality, no anti-join needed.
+    * Rounds are bounded by the peel depth (≤ longest chain of cascading
+    * removals, log-ish on real graphs), each cut by localCheckpoint.
+    *
+    * @return (node, deg) — surviving k-core nodes with their core degree
+    */
+  def kCore(pairs: DataFrame, iCol: String, jCol: String, k: Int,
+            maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    var e = pairs.select(col(iCol).cast("long").as("__i"),
+        col(jCol).cast("long").as("__j"))
+      .filter(col("__i") =!= col("__j"))
+      .select(greatest(col("__i"), col("__j")).as("a"),
+        least(col("__i"), col("__j")).as("b"))
+      .distinct().localCheckpoint(eager = true)
+    var eCount = e.count()
+    var iter = 0
+    var done = eCount == 0L
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    while (!done && iter < maxIter) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      val nextCount = next.count()
+      done = nextCount == eCount // next ⊆ e: equal count ⇒ equal set
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    if (!done) {
+      val msg = s"kCore(k=$k) did not stabilize in $maxIter peel rounds"
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
+    }
+    degrees(e)
+  }
+
   /** PageRank restricted to connected components: same scaled-integer
     * power iteration as [[pageRankScaled]], but the teleport mass and the
     * initial rank divide by the node's COMPONENT size, not the global node

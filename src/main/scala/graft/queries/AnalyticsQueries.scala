@@ -240,6 +240,25 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Tolerance-bounded as-of join (pandas merge_asof `tolerance`): same
+      * merge-and-carry pass as j_asof, but a click more than 30 minutes
+      * stale is voided to a null carry — the matched right timestamp rides
+      * inside the carried struct, so the bound costs zero extra shuffles.
+      */
+    "j_asof_tol" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asofBackward(
+          purchases, clicks, "user_id", "ts",
+          carry = Seq("event_id"), tiebreak = Some("event_id"),
+          toleranceUs = Some(1800000000L))
+        .select(col("event_id"), col("asof_event_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     /** Equi-depth histogram: quartile boundaries (exact percentile, one
       * pass) broadcast into a bucketing pass — the two-job shape every
       * "smart" chart axis needs; boundaries are rounded so the bucket
@@ -884,6 +903,28 @@ object AnalyticsQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_cid
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // same carry replay as j_asof plus the matched click's timestamp; a
+    // carry staler than 30 min renders as no-match
+    "j_asof_tol" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, uts, 0 AS side, event_id AS cid, NULL::BIGINT AS pid
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, uts, 1, NULL, event_id FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |    last_value(cid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY uts, side, cid ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_cid,
+        |    last_value(CASE WHEN side = 0 THEN uts END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY uts, side, cid ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_uts
+        |  FROM u)
+        |SELECT pid AS event_id,
+        |  CASE WHEN epoch_us(uts) - epoch_us(asof_uts) <= 1800000000
+        |       THEN asof_cid ELSE NULL END AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "v4_equidepth" ->

@@ -452,6 +452,46 @@ object BehaviorQueries {
         .orderBy("event_id")
     }),
 
+    /** Rolling 20-row Pearson correlation (price vs quantity per supplier):
+      * all six moments are exact decimal window sums over ONE exchange +
+      * sort, evaluated in closed form per row — the a7_corr discipline on
+      * a moving frame; the streaming-quant shape (rolling beta/corr) that
+      * would otherwise need a self-join per offset. Degenerate windows
+      * (cnt < 2, zero variance) yield null via the guarded denominator.
+      */
+    "w_rolling_corr" -> ((s, dir) => {
+      // the synthetic lineitem does NOT enforce the TPC-H (orderkey,
+      // linenumber) PK — ties must break on the moment columns themselves,
+      // so rows that still tie are identical in every value the window
+      // reads and any tie order yields the same frames
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity")
+        .rowsBetween(-19, 0)
+      val x = col("l_extendedprice")
+      val y = col("l_quantity")
+      val m = Tables.load(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(x.cast("decimal(18,2)")).over(w).cast("double").as("sx"),
+        sum(y.cast("decimal(18,2)")).over(w).cast("double").as("sy"),
+        sum((x * x).cast("decimal(28,4)")).over(w).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).over(w).cast("double").as("syy"),
+        sum((x * y).cast("decimal(28,4)")).over(w).cast("double").as("sxy"))
+      // float cancellation can push a zero-variance moment a hair negative;
+      // clamp so both engines see sqrt(0) (DuckDB ERRORS on sqrt(<0))
+      val denom =
+        sqrt(greatest(col("cnt") * col("sxx") - col("sx") * col("sx"),
+          lit(0.0))) *
+        sqrt(greatest(col("cnt") * col("syy") - col("sy") * col("sy"),
+          lit(0.0)))
+      m.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round((col("cnt") * col("sxy") - col("sx") * col("sy")) /
+            when(denom === 0.0, lit(null)).otherwise(denom), 6).as("corr20"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
     /** Sliding-window anomaly detection: flag events whose value sits more
       * than 3σ from the trailing-24h mean of their type, with the moments
       * as exact decimal window sums → one closed-form double evaluation
@@ -552,6 +592,28 @@ object BehaviorQueries {
       val out = graft.io.Scratch.dir(s, "supplier.orc")
       graft.io.Formats.write(Tables.load(s, dir, "supplier"), out)
       graft.io.Formats.read(s, out).orderBy("s_suppkey")
+    }),
+
+    /** Raw line-delimited text round-trip: each document rides as one
+      * `id|hex(bytes)` line (hex, because the format's record separator is
+      * the newline — structure must be encoded, which is exactly the
+      * contract the scaladoc on [[graft.io.Formats]] states). The re-read
+      * decodes and fingerprints; the oracle fingerprints the original
+      * table, so the assertion is byte fidelity through the text sink.
+      */
+    "s_text_roundtrip" -> ((s, dir) => {
+      val out = graft.io.Scratch.dir(s, "documents.txt")
+      val lines = Tables.load(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit("|"),
+          hex(col("text").cast("binary"))).as("value"))
+      graft.io.Formats.write(lines, out)
+      graft.io.Formats.read(s, out)
+        .select(split(col("value"), "\\|", 2).as("__p"))
+        .select(element_at(col("__p"), 1).cast("long").as("doc_id"),
+          md5(unhex(element_at(col("__p"), 2))).as("text_md5"),
+          length(decode(unhex(element_at(col("__p"), 2)), "UTF-8"))
+            .as("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -907,6 +969,31 @@ object BehaviorQueries {
         |  END AS value_interp
         |FROM j ORDER BY event_type, hour""".stripMargin,
 
+    // six decimal window moments -> closed-form correlation; null on a
+    // zero denominator via nullif, matching the Spark-side guard
+    "w_rolling_corr" ->
+      """WITH s AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    count(*) OVER w AS cnt,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w
+        |      AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w
+        |      AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity * l_quantity
+        |      AS DECIMAL(28,4))) OVER w AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_extendedprice * l_quantity
+        |      AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round((cnt * sxy - sx * sy) /
+        |    nullif(sqrt(greatest(cnt * sxx - sx * sx, 0))
+        |         * sqrt(greatest(cnt * syy - sy * sy, 0)), 0), 6) AS corr20
+        |FROM s ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
     "w_sliding" ->
       """WITH e AS (SELECT event_id, event_type,
         |             date_trunc('microseconds', ts) AS ts, value
@@ -950,7 +1037,14 @@ object BehaviorQueries {
 
     "s_orc_roundtrip" ->
       ("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
-        "ORDER BY s_suppkey")
+        "ORDER BY s_suppkey"),
+
+    // the oracle fingerprints the ORIGINAL rows: a text-sink round-trip
+    // that corrupts any byte of any document changes its md5
+    "s_text_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Single-copy OHLC oracle — e_ohlc (batch windows) and st_ohlc (streaming

@@ -740,6 +740,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** 2-core of the near-dup graph ([[graft.operators.Graph.kCore]]):
+      * documents embedded in duplication CLIQUES — a single spurious pair
+      * cannot put a document here, unlike connected components where one
+      * bad edge merges two clusters. The peel loop's fixpoint is exact
+      * (monotone subset + count equality); the oracle unrolls 12 rounds,
+      * a no-op past convergence.
+      */
+    "d_kcore" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+      graft.operators.Graph.kCore(pairs, "id_i", "id_j", k = 2)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     /** The same duplicate clusters via alternating large-star/small-star
       * rounds ([[graft.operators.Graph.starConnectedComponents]]) — the
       * O(log n)-round scale path where label propagation's O(diameter)
@@ -1898,6 +1913,10 @@ object PipelineQueries {
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // 12 unrolled peel rounds; peeling is monotone, so rounds past the
+    // fixpoint are identity and the unroll equals the converged core
+    "d_kcore" -> kcoreOracle(k = 2, rounds = 12),
+
     // star-CC must land on exactly the same components as label propagation
     "d_cc_star" ->
       s"""WITH RECURSIVE $ccCtes
@@ -2634,6 +2653,28 @@ object PipelineQueries {
     * 12.5M comparisons) that turns a minutes-scale oracle into an
     * hour-scale one.
     */
+  /** Unrolled k-core peel oracle over the brute-force jaccard pair graph:
+    * round r keeps edges whose BOTH endpoints had degree >= k in round
+    * r-1's edge set — the exact replay of [[graft.operators.Graph.kCore]].
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    def degSql(src: String): String =
+      s"""SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM $src UNION ALL SELECT b FROM $src)
+         |GROUP BY node""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT node FROM (${degSql(s"e${r - 1}")}) WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM n$r)
+         |    AND b IN (SELECT node FROM n$r))""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED ($jaccardPairsOracle),
+       |e0 AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs),
+       |${peels.mkString(",\n")}
+       |SELECT node AS doc_id, deg FROM (${degSql(s"e$rounds")})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val ccCtes: String =
     s"""pairs AS MATERIALIZED ($jaccardPairsOracle),
        |edges AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs

@@ -14,7 +14,8 @@ class FormatsSpec extends SparkSpec {
     assert(Formats.detect("a/b.CSV") == Formats.CsvF)
     assert(Formats.detect("b.json") == Formats.JsonF)
     assert(Formats.detect("b.xlsx") == Formats.ExcelF)
-    intercept[IllegalArgumentException](Formats.detect("b.txt"))
+    assert(Formats.detect("b.txt") == Formats.TextF)
+    intercept[IllegalArgumentException](Formats.detect("b.avro"))
     // legacy BIFF gets a specific, actionable error — not a ZipException
     val e = intercept[IllegalArgumentException](Formats.detect("old.xls"))
     assert(e.getMessage.contains(".xls"))

@@ -129,6 +129,25 @@ class GraphSpec extends SparkSpec {
     assert(graft.operators.Graph
       .starConnectedComponents(selfOnly, "i", "j").isEmpty)
   }
+
+  test("kCore peels cascading low-degree nodes, keeps the clique") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: node 5 peels first
+    // (deg 1), which drops 4 to deg 1 so it peels in round TWO — the
+    // cascade is what distinguishes k-core from a one-shot degree filter
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("i", "j")
+    val got = Graph.kCore(e, "i", "j", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore with k above the densest core yields no rows") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("i", "j")
+    assert(Graph.kCore(e, "i", "j", k = 3).isEmpty)
+    // duplicate and reversed pairs must not inflate degrees past the bar
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("i", "j")
+    assert(Graph.kCore(dup, "i", "j", k = 2).isEmpty)
+  }
 }
 
 class RollingActivesSpec extends SparkSpec {

@@ -48,6 +48,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd.isNullAt(0))
   }
 
+  test("tolerance voids matches staler than the bound, keeps fresh ones") {
+    import spark.implicits._
+    // left@30 matches right@20 (10 min stale) and left@60 matches right@20
+    // (40 min stale): a 15-minute bound keeps the first, voids the second
+    val left = Seq((1L, ts(30), 100L), (1L, ts(60), 101L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(20), 7L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("rid"),
+        toleranceUs = Some(15L * 60 * 1000000))
+      .orderBy("lid").select("lid", "asof_rid").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((100L, 7L), (101L, -1L)))
+    // forward: right@20 is 10 min AHEAD of left@10 — same bound keeps it;
+    // a 5-minute bound voids it
+    val fl = Seq((1L, ts(10), 100L)).toDF("k", "ts", "lid")
+    val kept = AsOfJoin.asofForward(fl, right, "k", "ts", Seq("rid"),
+      toleranceUs = Some(15L * 60 * 1000000)).select("asof_rid").head
+    assert(kept.getLong(0) == 7L)
+    val voided = AsOfJoin.asofForward(fl, right, "k", "ts", Seq("rid"),
+      toleranceUs = Some(5L * 60 * 1000000)).select("asof_rid").head
+    assert(voided.isNullAt(0))
+  }
+
   test("forward as-of picks earliest at-or-after, min-id on ties") {
     import spark.implicits._
     val left = Seq((1L, ts(10), 100L), (1L, ts(26), 101L), (2L, ts(5), 102L))
