@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Min/max file-skipping index — the Delta/Iceberg data-skipping pattern
+  * as an explicit stats relation: one scan summarizes each parquet part
+  * file's value range for a column; a range query then opens ONLY the
+  * files whose [min, max] intersects the predicate.
+  *
+  * This is the pruning lever for predicates on NON-partition columns,
+  * where directory-level partition pruning can't help. It pays off
+  * exactly when the layout clusters the column (a range repartition, a
+  * z-order, natural time ordering): clustered files have narrow ranges,
+  * so most are skipped. The stats relation is file-count-sized (one row
+  * per part file — control-plane data, like a lakehouse manifest), built
+  * once and reusable across queries.
+  *
+  * The exact predicate is re-applied after pruning, so the result is
+  * byte-identical to the full scan no matter how coarse the index is —
+  * skipping is a performance contract, never a correctness one.
+  */
+object SkippingIndex {
+
+  /** One row per part file: (file, min_v, max_v, n_rows) for `column`.
+    * A single distributed scan; the aggregate is keyed on
+    * `input_file_name()`, so state is bounded by the file count.
+    */
+  def build(spark: SparkSession, path: String, column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Files whose [min_v, max_v] intersects [lo, hi] — the candidate set a
+    * range predicate must read. Driver-side list, bounded by file count
+    * (a manifest read, not a data read).
+    */
+  def candidateFiles(stats: DataFrame, lo: Double, hi: Double): Seq[String] =
+    stats.filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range scan through the index: open only candidate files, then apply
+    * the exact predicate (files straddling the bounds contribute their
+    * in-range rows only). Empty candidate set ⇒ empty relation of the
+    * right schema, zero file I/O.
+    */
+  def prunedRead(spark: SparkSession, stats: DataFrame, path: String,
+                 column: String, lo: Double, hi: Double): DataFrame = {
+    val files = candidateFiles(stats, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+}

@@ -223,6 +223,33 @@ object AnalyticsQueries {
         .orderBy("o_custkey", "rk")
     }),
 
+    /** The same top-2-per-customer via a bounded-state AGGREGATE instead
+      * of a window: per-group heap of k entries ([[graft.functions
+      * .SampleAggregates]] BottomK) with map-side partial aggregation, so
+      * the exchange carries ≤ k rows per (partition, group) — the window
+      * form shuffles and sorts EVERY order of every customer. Same oracle
+      * as w_topn_per_group: the two forms must agree row-for-row. The
+      * inverted zero-padded sort key makes lexicographic ascending equal
+      * (totalprice DESC, orderkey ASC).
+      */
+    "w_topn_agg" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val key = concat(
+        lpad((lit(10000000000L) - cents).cast("string"), 11, "0"),
+        lit("|"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(call_function(graft.functions.SampleAggregates.BOTTOMK_FN,
+          key, col("o_orderkey"), lit(2)).as("__top"))
+        .select(col("o_custkey"),
+          posexplode(col("__top")).as(Seq("__pos", "o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("__pos") + 1).cast("int").as("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     /** As-of join: for every purchase event, the latest at-or-before click
       * by the same user — merge-and-carry-forward algorithm (one shuffle,
       * no range-join explosion). See [[graft.operators.AsOfJoin]].
@@ -884,12 +911,9 @@ object AnalyticsQueries {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
 
-    "w_topn_per_group" ->
-      """SELECT o_custkey, o_orderkey, rk FROM (
-        |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
-        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "w_topn_per_group" -> topnOracle,
+    // the bounded-heap aggregate must reproduce the window's rows exactly
+    "w_topn_agg" -> topnOracle,
 
     "j_asof" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS uts, event_type FROM events),
@@ -1210,4 +1234,15 @@ object AnalyticsQueries {
         |FROM wk
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY wk)
         |ORDER BY c_mktsegment, week""".stripMargin)
+
+  /** Single copy of the top-2-per-customer contract: the window form
+    * (w_topn_per_group) and the bounded-heap aggregate form (w_topn_agg)
+    * both hash-match it.
+    */
+  private lazy val topnOracle: String =
+    """SELECT o_custkey, o_orderkey, rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin
 }

@@ -423,6 +423,30 @@ object MaintenanceQueries {
       graft.io.Compaction.compact(s, out, targetFileMB = 512,
         clusterBy = Seq("doc_id"))
       s.read.parquet(out).orderBy("doc_id")
+    }),
+
+    /** Min/max file-skipping index over a range-clustered layout
+      * ([[graft.io.SkippingIndex]]): lineitem is range-repartitioned on
+      * price into 8 part files, a file-count-sized stats relation is
+      * built once, and the range query opens only intersecting files —
+      * the non-partition-column pruning lever (Delta/Iceberg data
+      * skipping). The exact predicate re-applies after pruning, so the
+      * oracle is the plain full-scan filter; a spec asserts the pruning
+      * actually skipped files.
+      */
+    "o_skipping" -> ((s, dir) => {
+      val out = graft.io.Scratch.dir(s, "li_ranged")
+      Tables.load(s, dir, "lineitem")
+        .repartitionByRange(8, col("l_extendedprice"))
+        .write.mode("overwrite").parquet(out)
+      val stats = graft.io.SkippingIndex.build(s, out, "l_extendedprice")
+      graft.io.SkippingIndex
+        .prunedRead(s, stats, out, "l_extendedprice", 1000.0, 5000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -737,6 +761,15 @@ object MaintenanceQueries {
     // row fails the hash
     "o_compact" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // skipping is a performance contract only: pruned scan + exact
+    // predicate must equal the plain full-scan filter
+    "o_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -268,3 +268,38 @@ class SamplingSpec extends SparkSpec {
     assert(smallest._4 > 1.0, s"smallest lang ${smallest._1} must be boosted > 1")
   }
 }
+
+class SkippingIndexSpec extends SparkSpec {
+  import graft.io.SkippingIndex
+
+  test("range-clustered layout: narrow predicate opens strictly fewer files") {
+    val out = graft.io.Scratch.dir(spark, "skiptest")
+    graft.core.Tables.load(spark, sf, "lineitem")
+      .repartitionByRange(8, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(out)
+    val stats = SkippingIndex.build(spark, out, "l_extendedprice")
+    val total = stats.count()
+    assert(total >= 2, "fixture must produce multiple part files")
+    val cand = SkippingIndex.candidateFiles(stats, 1000.0, 2000.0)
+    assert(cand.nonEmpty && cand.size < total,
+      s"narrow range must skip files: ${cand.size} of $total read")
+    // skipping is performance-only: pruned scan == full-scan filter
+    val pruned = SkippingIndex
+      .prunedRead(spark, stats, out, "l_extendedprice", 1000.0, 2000.0)
+    val full = spark.read.parquet(out)
+      .filter(col("l_extendedprice").between(1000.0, 2000.0))
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("a range below every file's minimum reads zero files") {
+    val out = graft.io.Scratch.dir(spark, "skiptest0")
+    graft.core.Tables.load(spark, sf, "lineitem")
+      .limit(100).write.mode("overwrite").parquet(out)
+    val stats = SkippingIndex.build(spark, out, "l_extendedprice")
+    assert(SkippingIndex.candidateFiles(stats, -500.0, -100.0).isEmpty)
+    assert(SkippingIndex
+      .prunedRead(spark, stats, out, "l_extendedprice", -500.0, -100.0)
+      .isEmpty)
+  }
+}
