@@ -740,6 +740,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Incremental EXACT-dup probe (the cheap first stage of nightly
+      * ingest, before d_incr_lsh's near-dup pass): which new-batch docs
+      * already exist verbatim in the corpus — one semi join on 16-byte
+      * canonical fingerprints; nothing scales with corpus × batch.
+      */
+    "d_incr_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      // the batch = genuinely-new docs + re-crawled verbatim copies of
+      // corpus docs under fresh ids (the shape a crawler actually emits) —
+      // the probe must flag exactly the re-crawls (+ any organic dups)
+      val batch = d.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .unionByName(corpus.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val corpusFp = corpus
+        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+      batch
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .join(corpusFp, Seq("fp"), "left_semi")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     /** 2-core of the near-dup graph ([[graft.operators.Graph.kCore]]):
       * documents embedded in duplication CLIQUES — a single spurious pair
       * cannot put a document here, unlike connected components where one
@@ -1912,6 +1934,17 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "d_incr_exact" ->
+      s"""WITH c AS (SELECT DISTINCT $fpSql AS fp FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |b AS (
+         |  SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, $fpSql FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 3)
+         |SELECT doc_id FROM b
+         |WHERE fp IN (SELECT fp FROM c) ORDER BY doc_id""".stripMargin,
 
     // 12 unrolled peel rounds; peeling is monotone, so rounds past the
     // fixpoint are identity and the unroll equals the converged core

@@ -236,6 +236,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("count-min cells: one partial+final aggregate, nothing else moves") {
+    val toks = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+    val p = plan(graft.operators.Sketches.countMinCells(toks, "token", 4, 512))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"the sketch is ONE hash aggregate over (row, cell); plan:\n$p")
+    assert(countOf(p, "HashAggregate") == 2,
+      s"partial+final combine around the single exchange; plan:\n$p")
+  }
+
   test("star-CC round: 3 exchanges, 0 joins (window minima + explode legs)") {
     import spark.implicits._
     val e = Seq((5L, 1L), (4L, 2L), (3L, 1L), (9L, 3L))
