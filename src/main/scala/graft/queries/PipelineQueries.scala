@@ -997,6 +997,30 @@ object PipelineQueries {
       Similarity.topKPairs(embs(s, dir), "vec_id", "embedding", k = 20)
         .withColumnRenamed("id_i", "vec_i").withColumnRenamed("id_j", "vec_j")),
 
+    /** Hard-negative mining for contrastive training: per anchor, the
+      * most-similar corpus vectors BELOW the near-dup ceiling (0.98) —
+      * too-similar candidates are likely unlabeled positives (semantic
+      * dups), the classic false-negative trap. Each anchor is one
+      * map-only scan + TakeOrdered(3): anchor vectors ride as literals,
+      * no join, no shuffle; at fleet scale anchors batch through the same
+      * scan. Deterministic: round-6 sims, id tie-break.
+      */
+    "v_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val anchors = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L))
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+      (1L to 5L).map { a =>
+        e.filter(col("vec_id") =!= a)
+          .select(lit(a).as("anchor_id"), col("vec_id").as("neg_id"),
+            round(Similarity.cosine(col("embedding"),
+              Similarity.vectorLit(anchors(a))), 6).as("sim"))
+          .filter(col("sim") < 0.98)
+          .orderBy(col("sim").desc, col("neg_id")).limit(3)
+      }.reduce(_ unionByName _).orderBy("anchor_id", "neg_id")
+    }),
+
     /** Matryoshka truncation audit: recall@10 of prefix-dim cosine top-k
       * vs the full 64-dim answer, for 8/16/32-dim prefixes — the
       * store-less-of-each-vector deployment check. One scan scores every
@@ -2150,6 +2174,24 @@ object PipelineQueries {
     // round(0.7·qs − 0.3·maxdiv, 6) over the unpicked, ties on vec_id;
     // maxdiv = max round-6 cosine against the already-picked set
     "v_mmr" -> mmrOracle(k = 5),
+
+    // per-anchor top-3 under the 0.98 near-dup ceiling, one CTE per anchor
+    "v_hard_negatives" -> {
+      val per = (1 to 5).map { a =>
+        s"""n$a AS (SELECT ${a}::BIGINT AS anchor_id, x.vec_id AS neg_id,
+           |  round(list_cosine_similarity(x.v,
+           |    (SELECT v FROM e WHERE vec_id = $a)), 6) AS sim
+           |  FROM e x WHERE x.vec_id <> $a
+           |  AND round(list_cosine_similarity(x.v,
+           |    (SELECT v FROM e WHERE vec_id = $a)), 6) < 0.98
+           |  ORDER BY sim DESC, neg_id LIMIT 3)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |  CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |${per.mkString(",\n")}
+         |${(1 to 5).map(a => s"SELECT * FROM n$a").mkString(" UNION ALL ")}
+         |ORDER BY anchor_id, neg_id""".stripMargin
+    },
 
     "v_ann_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
