@@ -425,6 +425,24 @@ object MaintenanceQueries {
       s.read.parquet(out).orderBy("doc_id")
     }),
 
+    /** Globally-sorted export: range repartition + within-partition sort
+      * — NOT a single-partition global sort (no driver funnel): file k's
+      * doc_id range ends before file k+1's begins and every file is
+      * internally ordered, which is what gives downstream scans ordered
+      * row-group statistics and makes the skipping index maximally
+      * selective. Identity oracle; the range-disjointness and in-file
+      * order are asserted by spec, the no-SinglePartition shape by a
+      * plan pin.
+      */
+    "o_sorted_export" -> ((s, dir) => {
+      val out = graft.io.Scratch.dir(s, "docs_sorted")
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     /** Min/max file-skipping index over a range-clustered layout
       * ([[graft.io.SkippingIndex]]): lineitem is range-repartitioned on
       * price into 8 part files, a file-count-sized stats relation is
@@ -760,6 +778,12 @@ object MaintenanceQueries {
     // identity through fragment → compact → read-back: any lost/duplicated
     // row fails the hash
     "o_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // identity through the range-partitioned sorted write: any lost or
+    // reordered-between-files row fails the hash
+    "o_sorted_export" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -740,6 +740,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    /** Length-bucketed batching audit: docs assign to power-of-2 token
+      * buckets (16..1024, the pad-to-bucket serving/training shape) and
+      * the report prices the padding — tokens actually carried vs bucket
+      * capacity. The CASE-chain bucket edges are exact integers (no
+      * float log2), one hash aggregate over scan-local token counts.
+      */
+    "t_length_buckets" -> ((s, dir) => {
+      val n = TextFunctions.tokenCount(col("text"))
+      val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+        .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+        .otherwise(1024)
+      docs(s, dir)
+        .select(bucket.as("bucket"), least(n, lit(1024)).as("__n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("__n").as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("bucket") * col("n_docs") - col("sum_tokens"))
+            .as("padding_waste"),
+          round(col("sum_tokens").cast("double") /
+            (col("bucket") * col("n_docs")), 6).as("fill_ratio"))
+        .orderBy("bucket")
+    }),
+
     /** Incremental EXACT-dup probe (the cheap first stage of nightly
       * ingest, before d_incr_lsh's near-dup pass): which new-batch docs
       * already exist verbatim in the corpus — one semi join on 16-byte
@@ -1958,6 +1981,20 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "t_length_buckets" ->
+      s"""WITH n AS (SELECT len($toksSql) AS n FROM documents),
+         |b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+         |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+         |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+         |    ELSE 1024 END AS bucket,
+         |  LEAST(n, 1024) AS n FROM n)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  CAST(bucket * count(*) - sum(n) AS BIGINT) AS padding_waste,
+         |  round(CAST(sum(n) AS DOUBLE) / (bucket * count(*)), 6)
+         |    AS fill_ratio
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "d_incr_exact" ->
       s"""WITH c AS (SELECT DISTINCT $fpSql AS fp FROM documents

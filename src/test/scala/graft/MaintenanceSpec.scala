@@ -303,3 +303,37 @@ class SkippingIndexSpec extends SparkSpec {
       .isEmpty)
   }
 }
+
+class SortedExportSpec extends SparkSpec {
+
+  test("sorted export: files internally ordered with disjoint ranges, no driver funnel") {
+    val out = graft.io.Scratch.dir(spark, "sorted_export_spec")
+    val df = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") && !p.contains("SinglePartition"),
+      s"global order must come from range partitioning, not one partition:\n$p")
+    df.write.mode("overwrite").parquet(out)
+    // per-file (min, max, sortedness) via one pass over input_file_name
+    val stats = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.length >= 2, "fixture must produce multiple files")
+    stats.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"file ranges must be disjoint: $stats")
+    }
+    // in-file order: per file, doc_ids re-read in order equal their sort
+    import spark.implicits._
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("doc_id")).as[(String, Long)]
+      .collect().groupBy(_._1).values
+    perFile.foreach { rows =>
+      val ids = rows.map(_._2).toSeq
+      assert(ids == ids.sorted, "rows inside each file must be ordered")
+    }
+  }
+}
