@@ -300,6 +300,46 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    /** A/B test readout: users split into arms by id parity, conversion =
+      * ≥1 high-value purchase (value > 300 — the all-users-convert
+      * degenerate case exercises the zero-variance null-z guard instead);
+      * the two-proportion z-test (pooled variance) prices the
+      * observed lift. All inputs are exact integer counts — the closed
+      * form evaluates the same doubles on any engine. Two 1-row arm
+      * aggregates cross-attach (broadcast scalars, never a data-sized
+      * cross).
+      */
+    "e_ab_test" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 300, 1).otherwise(0)).as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val ctl = arms.filter(col("arm") === 0)
+        .select(col("n").as("n_c"), col("c").as("conv_c"))
+      val trt = arms.filter(col("arm") === 1)
+        .select(col("n").as("n_t"), col("c").as("conv_t"))
+      ctl.crossJoin(broadcast(trt)).select(
+        col("n_c"), col("conv_c"), col("n_t"), col("conv_t"),
+        round(col("conv_c").cast("double") / col("n_c"), 6).as("rate_c"),
+        round(col("conv_t").cast("double") / col("n_t"), 6).as("rate_t"),
+        round(col("conv_t").cast("double") / col("n_t") -
+          col("conv_c").cast("double") / col("n_c"), 6).as("lift"),
+        {
+          // pooled p̂ of 0 or 1 ⇒ zero variance ⇒ z undefined (null), the
+          // degenerate everyone-converts case — ANSI division would throw
+          val se = sqrt(((col("conv_c") + col("conv_t")).cast("double") /
+            (col("n_c") + col("n_t"))) *
+            (lit(1.0) - (col("conv_c") + col("conv_t")).cast("double") /
+              (col("n_c") + col("n_t"))) *
+            (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+          round((col("conv_t").cast("double") / col("n_t") -
+            col("conv_c").cast("double") / col("n_c")) /
+            when(se === 0.0, lit(null)).otherwise(se), 6).as("z")
+        })
+    }),
+
     /** Daily EWMA per event type in exact scaled-integer arithmetic
       * ([[graft.operators.Behavior.ewmaDaily]]): decimal daily sums →
       * 1e-4-unit integers → s_i = (v_i + 3·s_{i-1}) div 4 per-key fold.
@@ -855,6 +895,28 @@ object BehaviorQueries {
         |    CAST(sum(next - us) AS DOUBLE), 6) AS twap
         |FROM s WHERE next IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same closed form over the same exact integer counts; operation
+    // order mirrored so every intermediate double is identical
+    "e_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 300
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT user_id % 2 AS arm, conv FROM u),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM a GROUP BY arm),
+        |ctl AS (SELECT n AS n_c, c AS conv_c FROM g WHERE arm = 0),
+        |trt AS (SELECT n AS n_t, c AS conv_t FROM g WHERE arm = 1)
+        |SELECT n_c, conv_c, n_t, conv_t,
+        |  round(conv_c::DOUBLE / n_c, 6) AS rate_c,
+        |  round(conv_t::DOUBLE / n_t, 6) AS rate_t,
+        |  round(conv_t::DOUBLE / n_t - conv_c::DOUBLE / n_c, 6) AS lift,
+        |  round((conv_t::DOUBLE / n_t - conv_c::DOUBLE / n_c) /
+        |    nullif(sqrt(((conv_c + conv_t)::DOUBLE / (n_c + n_t)) *
+        |      (1.0 - (conv_c + conv_t)::DOUBLE / (n_c + n_t)) *
+        |      (1.0 / n_c + 1.0 / n_t)), 0), 6) AS z
+        |FROM ctl, trt""".stripMargin,
 
     // recursive replay of the scaled-integer smoothing: row n's EWMA joins
     // row n-1's; `//` (floor div) ≡ Spark `div` on the non-negative values

@@ -310,6 +310,25 @@ object MaintenanceQueries {
     "t_quality_lr_weights" -> ((s, dir) =>
       QualityModel.weights(docs(s, dir), "doc_id", "text")),
 
+    /** Reliability (calibration) curve for the trained quality model:
+      * predictions bucket into ten equal-width bins and each bin compares
+      * its mean prediction against the empirical label rate — the
+      * standard is-the-classifier-calibrated audit before its scores gate
+      * a corpus. Prediction sums go through decimal so the bin means are
+      * order-exact; one aggregate over the scored relation.
+      */
+    "t_quality_lr_calibration" -> ((s, dir) =>
+      QualityModel.scored(docs(s, dir), "doc_id", "text")
+        .select(least(lit(9), floor(col("lr_score") * 10).cast("int"))
+          .as("bin"), col("lr_score"), col("label"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("lr_score").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_pred"),
+          round(sum(col("label")).cast("double") / count(lit(1)), 6)
+            .as("label_rate"))
+        .orderBy("bin")),
+
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
       * mixture-weighting decision starts from. The share window runs over
@@ -649,6 +668,25 @@ object MaintenanceQueries {
 
     "t_quality_lr_weights" -> (qualityLrCtes(5) +
       "\nSELECT w0, w1, w2, w3 FROM w5"),
+
+    // scored relation (same CTEs) bucketed into ten prediction bins;
+    // decimal prediction sums keep bin means order-exact
+    "t_quality_lr_calibration" -> (qualityLrCtes(5) +
+      s""",
+         |s AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |        round(1.0/(1.0+exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
+         |          + w.w3*f.x3))), 6) AS lr_score
+         |      FROM f CROSS JOIN w5 w),
+         |all_s AS (SELECT CAST(coalesce(s.label, 0) AS BIGINT) AS label,
+         |    coalesce(s.lr_score, 0.0) AS lr_score
+         |  FROM documents d LEFT JOIN s USING (doc_id)),
+         |b AS (SELECT LEAST(9, CAST(floor(lr_score * 10) AS INT)) AS bin,
+         |    lr_score, label FROM all_s)
+         |SELECT bin, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(lr_score AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_pred,
+         |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS label_rate
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
 
     // same recurrence as t_pack_greedy with the curriculum (n_chars DESC,
     // doc_id) packing order driving row_number
