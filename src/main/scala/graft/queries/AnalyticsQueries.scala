@@ -108,6 +108,38 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Welch's two-sample t-test (unequal variances): does mean price
+      * differ between returned ('R') and accepted ('A') lineitems? Two
+      * decimal-moment aggregates cross-attach as 1-row scalars; t and the
+      * Welch–Satterthwaite df evaluate in closed form, operation order
+      * mirrored by the oracle so every intermediate double is identical.
+      */
+    "a24_ttest" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+      val x = col("l_extendedprice")
+      val m = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast("decimal(18,2)")).as("sx"),
+          sum((x * x).cast("decimal(28,4)")).as("sxx"))
+      def side(f: String, tag: String) =
+        m.filter(col("l_returnflag") === f).select(
+          col("n").as(s"n_$tag"), col("sx").cast("double").as(s"sx_$tag"),
+          col("sxx").cast("double").as(s"sxx_$tag"))
+      def mean(t: String) = col(s"sx_$t") / col(s"n_$t")
+      // sample variance over n-1 from the raw moments
+      def v(t: String) = (col(s"sxx_$t") -
+        col(s"sx_$t") * col(s"sx_$t") / col(s"n_$t")) / (col(s"n_$t") - 1)
+      def vn(t: String) = v(t) / col(s"n_$t")
+      side("A", "a").crossJoin(broadcast(side("R", "r"))).select(
+        col("n_a"), col("n_r"),
+        round(mean("a"), 4).as("mean_a"), round(mean("r"), 4).as("mean_r"),
+        round((mean("a") - mean("r")) / sqrt(vn("a") + vn("r")), 6).as("t"),
+        round((vn("a") + vn("r")) * (vn("a") + vn("r")) /
+          (vn("a") * vn("a") / (col("n_a") - 1) +
+           vn("r") * vn("r") / (col("n_r") - 1)), 4).as("df"))
+    }),
+
     /** Inverse percentile (percentile *rank*): for fixed probe values,
       * the fraction of each group's rows at or below the probe — exact
       * integer counts, one pass, no sort (contrast a4, which inverts the
@@ -825,6 +857,35 @@ object AnalyticsQueries {
     // slope appears twice (rounded output + unrounded inside intercept) —
     // the repeated SQL expression mirrors the Spark plan reusing the
     // unrounded column, keeping the double expression trees identical
+    // same moments, same operation order; t/df in closed form
+    "a24_ttest" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+        |      AS sx,
+        |    cast(sum(cast(l_extendedprice * l_extendedprice
+        |      as decimal(28,4))) as double) AS sxx
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY l_returnflag),
+        |a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m
+        |      WHERE l_returnflag = 'A'),
+        |r AS (SELECT n AS n_r, sx AS sx_r, sxx AS sxx_r FROM m
+        |      WHERE l_returnflag = 'R')
+        |SELECT n_a, n_r,
+        |  round(sx_a / n_a, 4) AS mean_a, round(sx_r / n_r, 4) AS mean_r,
+        |  round((sx_a / n_a - sx_r / n_r) /
+        |    sqrt((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a +
+        |         (sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r), 6) AS t,
+        |  round(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a +
+        |         (sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r) *
+        |        ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a +
+        |         (sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r) /
+        |    ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a *
+        |     ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a) / (n_a - 1) +
+        |     (sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r *
+        |     ((sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r) / (n_r - 1)),
+        |    4) AS df
+        |FROM a, r""".stripMargin,
+
     "a15_regression" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
