@@ -57,6 +57,45 @@ class SketchesSpec extends SparkSpec {
       assert(est("a") === 3L && est("b") === 2L && est("c") === 1L)
   }
 
+  private def forAll[A](g: org.scalacheck.Gen[A], n: Int = 5)(
+      body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L + i)).foreach(body)
+    }
+
+  test("law: quantile estimate brackets the true quantile within one bin") {
+    // est = upper edge of the bin holding the ceil(q*n)-th value, so for
+    // in-range data: true <= est <= true + binWidth — distribution-free
+    val gen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.choose(0.0, 99.999))
+    forAll(gen) { xs =>
+      val df = xs.map(("g", _)).toDF("k", "x")
+      val est = Sketches.histogramQuantiles(df, "x", 0.0, 100.0, 20,
+        Seq(0.5), Seq("k")).head().getDouble(2)
+      val sorted = xs.sorted
+      val truth = sorted(math.ceil(0.5 * xs.size).toInt - 1)
+      assert(truth <= est && est <= truth + 5.0 + 1e-9,
+        s"est $est vs true $truth for n=${xs.size}")
+    }
+  }
+
+  test("law: count-min never underestimates any present token") {
+    val gen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    forAll(gen, n = 3) { ts =>
+      val toks = ts.toDF("token")
+      val cells = Sketches.countMinCells(toks, "token", depth = 4, width = 32)
+      val probes = ts.distinct.toDF("token")
+      val est = Sketches.countMinEstimate(cells, probes, "token", 4, 32)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (t, c) =>
+        assert(est(t) >= c, s"CMS underestimated '$t': ${est(t)} < $c")
+      }
+    }
+  }
+
   test("count-min cells merge across shards by addition") {
     val toks = Seq("a", "a", "b", "c", "c", "c").toDF("token")
     val s1 = Sketches.countMinCells(toks.limit(3), "token", 4, 64)
