@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based distribution statistics that never materialize a rank: each
+  * one collapses the data to a value-level histogram first (one hash
+  * aggregate) and computes the statistic from prefix sums over that
+  * bounded relation — the counts-of-counts discipline of e_power_users,
+  * applied to Gini concentration, ROC AUC, and the two-sample KS test.
+  *
+  * Why this matters at 100 TB: the textbook form of all three sorts the
+  * sample (a global `row_number()` — one task, data-sized). Here the only
+  * data-sized operation is the initial aggregate; the walk runs over
+  *  - Gini: one row per distinct value (bounded by the largest count),
+  *  - AUC: one row per distinct 6dp score (≤ 10^6 + 1, fixed domain),
+  *  - KS: one row per histogram bin (fixed by construction),
+  * so the unpartitioned windows below are control-plane-sized at any
+  * corpus scale. All three stay in exact integer arithmetic until one
+  * final division, which is what lets them hash-match a SQL oracle.
+  */
+object RankStats {
+
+  private val one = Window.partitionBy(lit(1))
+
+  private def below(order: Column) = Window.partitionBy(lit(1))
+    .orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+
+  /** Gini coefficient of a non-negative integer column: 1 row
+    * (n, total, gini 6dp) with gini = Σ_{i,j}|x_i−x_j| / (2n²μ) = W/(n·S),
+    * W = Σ over distinct values v ascending of m_v·(v·Cm − Cs) using
+    * exclusive prefix sums Cm (rows below) and Cs (mass below). BIGINT
+    * until the final division; 0/0 (all-zero mass) yields NULL.
+    */
+  def gini(df: DataFrame, valueCol: String,
+           nName: String = "n", totalName: String = "total"): DataFrame = {
+    val dist = df.groupBy(col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("__m"))
+    val w = dist.select(col("__x"), col("__m"),
+      (col("__m") * (col("__x") * coalesce(sum(col("__m"))
+          .over(below(col("__x"))), lit(0L)) -
+        coalesce(sum(col("__m") * col("__x"))
+          .over(below(col("__x"))), lit(0L)))).as("__w"))
+    w.groupBy()
+      .agg(sum("__m").as(nName), sum(col("__m") * col("__x")).as(totalName),
+        sum("__w").as("__ww"))
+      .select(col(nName), col(totalName),
+        round(col("__ww").cast("double") / (col(nName).cast("double") *
+          col(totalName).cast("double")), 6).as("gini"))
+  }
+
+  /** ROC AUC (Mann–Whitney with ½-credit for ties) of `scoreCol` against
+    * a 0/1 long `labelCol`: 1 row (n_pos, n_neg, auc 6dp). Callers ensure
+    * the score column has a bounded domain (e.g. rounded to 6dp);
+    * 2·P·N·AUC = Σ_s np_s·(2·negBelow(s) + nn_s) stays BIGINT.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val h = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol)).as("__np"),
+        sum(lit(1L) - col(labelCol)).as("__nn"))
+    val r = h.select(
+      (col("__np") * (lit(2L) * coalesce(sum(col("__nn"))
+          .over(below(col("__s"))), lit(0L)) + col("__nn"))).as("__numer2"),
+      sum(col("__np")).over(one).as("__p"),
+      sum(col("__nn")).over(one).as("__n"))
+    r.groupBy("__p", "__n").agg(sum("__numer2").as("__num2"))
+      .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+        round(col("__num2").cast("double") /
+          (lit(2.0) * col("__p").cast("double") * col("__n").cast("double")),
+          6).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic on a fixed dyadic
+    * histogram: D = max over present bin edges of |F_A − F_B|, computed
+    * from ONE ≤`bins`-cell aggregate (the a21 sketch shape). Exact for
+    * the binned distributions; within one bin's mass of the raw-sample D.
+    * Output: 1 row (n_a, n_b, d_stat 6dp, at_edge = first achieving edge).
+    * `w` must be a dyadic rational (hi/bins with hi a power of two) so
+    * every float op is exact and the gap arithmetic replays engine-free.
+    */
+  def ksBinned(df: DataFrame, valueCol: String, isA: Column, isB: Column,
+               w: Double, bins: Int): DataFrame = {
+    require(bins > 0 && w > 0, s"bad KS histogram shape $bins x $w")
+    val cells = df.filter(isA || isB).select(
+        least(lit(bins - 1), greatest(lit(0),
+          floor(col(valueCol) / w).cast("int"))).as("bin"),
+        when(isA, lit("A")).otherwise(lit("B")).as("__side"))
+      .groupBy("bin")
+      .agg(sum(when(col("__side") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__side") === "B", 1L).otherwise(0L)).as("cb"))
+    val walk = Window.partitionBy(lit(1)).orderBy(col("bin"))
+    // gaps at 9dp: the max and the edge-equality join below then compare
+    // doubles produced by one identical arithmetic path in both engines
+    val walked = cells.select(col("bin"),
+      sum("ca").over(one).as("na"), sum("cb").over(one).as("nb"),
+      round(abs(sum("ca").over(walk).cast("double") /
+          sum("ca").over(one).cast("double") -
+        sum("cb").over(walk).cast("double") /
+          sum("cb").over(one).cast("double")), 9).as("gap"))
+    val top = walked.groupBy().agg(max("gap").as("d9"))
+    walked.join(broadcast(top), walked("gap") === top("d9"))
+      .groupBy("na", "nb", "d9")
+      .agg(min((col("bin") + 1).cast("double") * w).as("at_edge"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("d9"), 6).as("d_stat"), col("at_edge"))
+  }
+}

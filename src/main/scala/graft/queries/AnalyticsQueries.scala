@@ -140,6 +140,23 @@ object AnalyticsQueries {
            vn("r") * vn("r") / (col("n_r") - 1)), 4).as("df"))
     }),
 
+    /** Two-sample Kolmogorov–Smirnov drift statistic (a24's nonparametric
+      * sibling): D = max over bin edges of |F_A − F_R| between returned
+      * and accepted price distributions, computed on the same 256-bin
+      * dyadic histogram sketch as a21 — ONE fixed-width hash aggregate
+      * (≤256 cells however large the fact table) and a bounded cumulative
+      * walk, so the distribution-drift check that guards a daily ingest
+      * never sorts or shuffles data-sized state. Binned D is exact for the
+      * binned distributions and within one bin's mass of the raw-sample D
+      * (the distribution-free sketch bound, as with a21's quantiles).
+      * Output: group sizes, D (6dp), and the first bin edge achieving it.
+      */
+    "a25_ks_drift" -> ((s, dir) =>
+      graft.operators.RankStats.ksBinned(Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", isA = col("l_returnflag") === "A",
+          isB = col("l_returnflag") === "R", w = 131072.0 / 256, bins = 256)
+        .withColumnRenamed("n_b", "n_r")),
+
     /** Inverse percentile (percentile *rank*): for fixed probe values,
       * the fraction of each group's rows at or below the probe — exact
       * integer counts, one pass, no sort (contrast a4, which inverts the
@@ -885,6 +902,33 @@ object AnalyticsQueries {
         |     ((sxx_r - sx_r * sx_r / n_r) / (n_r - 1) / n_r) / (n_r - 1)),
         |    4) AS df
         |FROM a, r""".stripMargin,
+
+    // same 256×512-dyadic binning as a21; cumulative walk over the ≤256
+    // present cells, D and its first achieving edge from the rounded gaps
+    "a25_ks_drift" ->
+      """WITH cells AS (
+        |  SELECT least(255, greatest(0,
+        |      CAST(floor(l_extendedprice / 512.0) AS INT))) AS bin,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |walked AS (
+        |  SELECT bin,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cr) OVER () AS BIGINT) AS nr,
+        |    round(abs(
+        |      CAST(sum(ca) OVER (ORDER BY bin) AS DOUBLE)
+        |        / CAST(sum(ca) OVER () AS DOUBLE) -
+        |      CAST(sum(cr) OVER (ORDER BY bin) AS DOUBLE)
+        |        / CAST(sum(cr) OVER () AS DOUBLE)), 9) AS gap
+        |  FROM cells),
+        |top AS (SELECT max(gap) AS d9 FROM walked)
+        |SELECT na AS n_a, nr AS n_r, round(d9, 6) AS d_stat,
+        |  min(CAST(bin + 1 AS DOUBLE) * 512.0) AS at_edge
+        |FROM walked, top WHERE gap = d9
+        |GROUP BY na, nr, d9""".stripMargin,
 
     "a15_regression" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,

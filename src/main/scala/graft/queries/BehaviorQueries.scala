@@ -235,6 +235,22 @@ object BehaviorQueries {
       }
     }),
 
+    /** Gini coefficient of per-user event concentration — e_power_users'
+      * one-number summary (0 = perfectly even, →1 = one user owns the
+      * stream). Same counts-of-counts discipline: per-user totals hash-
+      * aggregate once, then everything runs on the activity-level
+      * histogram (one row per distinct per-user count, bounded by the
+      * busiest user's total — control-plane-sized at any corpus scale).
+      * Gini = Σ_{i,j}|x_i−x_j| / (2n²μ) = W / (n·S) where, walking
+      * distinct activity levels v ascending with exclusive prefix sums
+      * Cm (users below) and Cs (events below), W = Σ_v m_v·(v·Cm − Cs) —
+      * all BIGINT arithmetic until the single final division.
+      */
+    "e_gini" -> ((s, dir) =>
+      graft.operators.RankStats.gini(
+        events(s, dir).groupBy("user_id").agg(count(lit(1)).as("x")),
+        "x", nName = "n_users", totalName = "n_events")),
+
     /** New-vs-returning split per day: events from users on their first
       * active day vs returners — one first-seen aggregate keyed on the
       * user, broadcast back into the per-day rollup.
@@ -857,6 +873,27 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // activity-level histogram + exclusive prefix sums; BIGINT W = Σ
+    // m·(v·Cm − Cs) until the one final division
+    "e_gini" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY x),
+        |p AS (SELECT x, m,
+        |    m * (x * coalesce(CAST(sum(m) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0) -
+        |      coalesce(CAST(sum(m * x) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS BIGINT), 0)) AS w
+        |  FROM d)
+        |SELECT CAST(sum(m) AS BIGINT) AS n_users,
+        |  CAST(sum(m * x) AS BIGINT) AS n_events,
+        |  round(CAST(sum(w) AS DOUBLE) /
+        |    (CAST(sum(m) AS DOUBLE) * CAST(sum(m * x) AS DOUBLE)), 6)
+        |    AS gini
+        |FROM p""".stripMargin,
 
     "e_new_returning" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -329,6 +329,50 @@ object MaintenanceQueries {
             .as("label_rate"))
         .orderBy("bin")),
 
+    /** ROC AUC of the trained quality model (Mann–Whitney form with the
+      * standard ½-credit for score ties) — the discrimination audit beside
+      * the calibration curve. No global rank anywhere: scores round to 6dp,
+      * so the score axis has a FIXED domain (≤10^6+1 values however large
+      * the corpus) and the whole statistic runs on the per-score
+      * (positives, negatives) histogram with one bounded cumulative walk —
+      * the same counts-of-counts discipline as e_power_users. 2·P·N·AUC =
+      * Σ_s np_s·(2·negBelow(s) + nn_s) stays BIGINT until the one final
+      * division.
+      */
+    "t_quality_lr_auc" -> ((s, dir) =>
+      graft.operators.RankStats.auc(
+        QualityModel.scored(docs(s, dir), "doc_id", "text"),
+        "lr_score", "label")),
+
+    /** Per-key skew audit — the before-you-join report that decides
+      * whether a key needs the salted path (j_skew): per-key counts hash-
+      * aggregate once, then totals, the hottest key, the 10×-mean hot-key
+      * census, and the integer salt factor ceil(max·K/N) (pieces that cut
+      * the hottest key to the mean) all come off the per-key relation with
+      * a 1-row broadcast — no sort, nothing driver-sized.
+      */
+    "o_skew_report" -> ((s, dir) => {
+      val perKey = Tables.loadEvents(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("c"))
+      val tot = perKey.groupBy().agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max("c").as("max_c"))
+      perKey.crossJoin(broadcast(tot))
+        .groupBy("n_rows", "n_keys", "max_c")
+        .agg(sum(when(col("c") * col("n_keys") > col("n_rows") * 10, 1L)
+            .otherwise(0L)).as("hot_keys"),
+          min(when(col("c") === col("max_c"), col("user_id")))
+            .as("hottest_key"))
+        .select(col("n_rows"), col("n_keys"),
+          round(col("n_rows").cast("double") / col("n_keys").cast("double"),
+            4).as("mean_rows"),
+          col("max_c").as("max_key_rows"), col("hottest_key"),
+          col("hot_keys"),
+          round(col("max_c").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 4).as("skew_ratio"),
+          expr("(max_c * n_keys + n_rows - 1) DIV n_rows")
+            .as("salt_factor"))
+    }),
+
     /** Training-mix report: docs and token mass per (lang, source) with
       * each cell's share of the corpus — the composition summary every
       * mixture-weighting decision starts from. The share window runs over
@@ -687,6 +731,52 @@ object MaintenanceQueries {
          |    / count(*), 6) AS avg_pred,
          |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS label_rate
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // scored relation (same CTEs) → per-score (pos, neg) histogram →
+    // exclusive negatives-below walk; BIGINT 2·P·N·AUC until the division
+    "t_quality_lr_auc" -> (qualityLrCtes(5) +
+      s""",
+         |s AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |        round(1.0/(1.0+exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
+         |          + w.w3*f.x3))), 6) AS lr_score
+         |      FROM f CROSS JOIN w5 w),
+         |all_s AS (SELECT CAST(coalesce(s.label, 0) AS BIGINT) AS label,
+         |    coalesce(s.lr_score, 0.0) AS lr_score
+         |  FROM documents d LEFT JOIN s USING (doc_id)),
+         |h AS (SELECT lr_score, CAST(sum(label) AS BIGINT) AS np,
+         |        CAST(sum(1 - label) AS BIGINT) AS nn
+         |      FROM all_s GROUP BY lr_score),
+         |r AS (SELECT
+         |    np * (2 * coalesce(CAST(sum(nn) OVER (ORDER BY lr_score
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) + nn) AS numer2,
+         |    CAST(sum(np) OVER () AS BIGINT) AS p,
+         |    CAST(sum(nn) OVER () AS BIGINT) AS n
+         |  FROM h)
+         |SELECT p AS n_pos, n AS n_neg,
+         |  round(CAST(sum(numer2) AS DOUBLE) /
+         |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
+         |FROM r GROUP BY p, n""".stripMargin),
+
+    // per-key counts → 1-row totals; integer ceil-div salt factor
+    "o_skew_report" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        max(c) AS max_c FROM k)
+        |SELECT n_rows, n_keys,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 4)
+        |    AS mean_rows,
+        |  max_c AS max_key_rows,
+        |  min(CASE WHEN c = max_c THEN user_id END) AS hottest_key,
+        |  CAST(sum(CASE WHEN c * n_keys > n_rows * 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hot_keys,
+        |  round(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE) /
+        |    CAST(n_rows AS DOUBLE), 4) AS skew_ratio,
+        |  (max_c * n_keys + n_rows - 1) // n_rows AS salt_factor
+        |FROM k CROSS JOIN t
+        |GROUP BY n_rows, n_keys, max_c""".stripMargin,
 
     // same recurrence as t_pack_greedy with the curriculum (n_chars DESC,
     // doc_id) packing order driving row_number

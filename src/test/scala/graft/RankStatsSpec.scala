@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.RankStats
+
+/** Distribution-free laws for the counts-of-counts rank statistics: the
+  * closed-form Gini/AUC/KS answers on constructed inputs are known
+  * exactly, so a law failure localizes the arithmetic (prefix-sum walk,
+  * tie handling, final division) without an oracle in the loop.
+  */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def gini1(xs: Seq[Long]): (Long, Long, Double) = {
+    val r = RankStats.gini(xs.toDF("x"), "x").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("law: gini of an all-equal distribution is 0") {
+    forAll(Gen.zip(Gen.choose(2, 40), Gen.choose(1L, 99L))) { case (n, v) =>
+      val (gotN, gotT, g) = gini1(Seq.fill(n)(v))
+      assert(gotN == n && gotT == n * v && g == 0.0)
+    }
+  }
+
+  test("law: gini of one-owner mass is (n-1)/n") {
+    forAll(Gen.zip(Gen.choose(2, 40), Gen.choose(1L, 99L))) { case (n, t) =>
+      val (_, _, g) = gini1(t +: Seq.fill(n - 1)(0L))
+      val expect = BigDecimal((n - 1).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g == expect, s"n=$n t=$t")
+    }
+  }
+
+  test("law: gini is invariant under positive integer scaling") {
+    forAll(Gen.listOfN(12, Gen.choose(0L, 20L)).suchThat(_.sum > 0)) { xs =>
+      assert(gini1(xs)._3 == gini1(xs.map(_ * 7))._3)
+    }
+  }
+
+  test("law: gini matches the brute-force pairwise definition") {
+    forAll(Gen.listOfN(10, Gen.choose(0L, 15L)).suchThat(_.sum > 0)) { xs =>
+      val n = xs.size.toLong
+      val s = xs.sum
+      val w = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum / 2
+      val expect = BigDecimal(w.toDouble / (n * s).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gini1(xs)._3 == expect)
+    }
+  }
+
+  private def auc1(rows: Seq[(Double, Long)]): Double =
+    RankStats.auc(rows.toDF("s", "y"), "s", "y").head().getDouble(2)
+
+  test("law: AUC is 1 for perfect separation, 0 reversed, 0.5 for ties") {
+    forAll(Gen.choose(2, 20)) { k =>
+      val pos = (1 to k).map(i => (0.5 + i * 0.01, 1L))
+      val neg = (1 to k).map(i => (0.1 + i * 0.01, 0L))
+      assert(auc1(pos ++ neg) == 1.0)
+      assert(auc1(pos.map { case (s, _) => (s, 0L) } ++
+        neg.map { case (s, _) => (s, 1L) }) == 0.0)
+      assert(auc1((1 to k).map(_ => (0.7, 1L)) ++
+        (1 to k).map(_ => (0.7, 0L))) == 0.5)
+    }
+  }
+
+  test("law: AUC matches the brute-force concordant-pair count") {
+    val scores = Gen.listOfN(14,
+      Gen.zip(Gen.choose(0, 9).map(_ * 0.1), Gen.oneOf(0L, 1L)))
+      .suchThat(l => l.exists(_._2 == 1L) && l.exists(_._2 == 0L))
+    forAll(scores) { rows =>
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val num2 = (for (p <- pos; q <- neg)
+        yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val expect = BigDecimal(num2.toDouble / (2.0 * pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(auc1(rows) == expect)
+    }
+  }
+
+  private def ks1(a: Seq[Double], b: Seq[Double]): (Long, Long, Double) = {
+    val df = a.map((_, "a")) ++ b.map((_, "b"))
+    val r = RankStats.ksBinned(df.toDF("v", "side"), "v",
+      isA = col("side") === "a", isB = col("side") === "b",
+      w = 0.25, bins = 64).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("law: KS of identical samples is 0; of disjoint supports is 1") {
+    forAll(Gen.listOfN(15, Gen.choose(0.0, 15.0))) { xs =>
+      val (na, nb, d0) = ks1(xs, xs)
+      assert(na == xs.size && nb == xs.size && d0 == 0.0)
+      val lowHi = ks1(xs.map(_ / 16.0), xs.map(x => 8.0 + x / 16.0))
+      assert(lowHi._3 == 1.0)
+    }
+  }
+}
