@@ -96,6 +96,66 @@ object Dedup {
       .select("id_i", "id_j", "jaccard")
   }
 
+  /** Prefix-filtering exact similarity join (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08): the same exact Jaccard ≥ t
+    * result as [[shingleJaccardPairs]], but candidate generation only
+    * indexes each document's PREFIX — its n − ⌈t·n⌉ + 1 globally-rarest
+    * shingles — instead of every shingle. Lemma: if J(A,B) ≥ t then the
+    * overlap o ≥ ⌈t·|A|⌉ and the first common shingle under any one global
+    * order sits inside both prefixes, so joining prefixes on the shingle
+    * loses nothing; everything else is pruning. The global order is
+    * document frequency ascending (rarest first, tie-broken by shingle), so
+    * exactly the boilerplate shingles that blow up the inverted-index join
+    * quadratically are the ones pushed OUT of the prefixes — the exact-
+    * result counterpart of the lossy `maxShingleDf` stop-shingle cap.
+    *
+    * The threshold is a rational tNum/tDen so prefix lengths and the
+    * final acceptance test stay in integer arithmetic (⌈t·n⌉ as a DIV,
+    * J ≥ t as inter·tDen ≥ union·tNum) — engine-exact, no float ceil of a
+    * non-representable product. Candidates additionally pass the length
+    * bound min·tDen ≥ max·tNum before verification; verification
+    * intersects the two shingle arrays of surviving candidate pairs only.
+    *
+    * At 100 TB: data-sized shuffles are the (shingle, id) explode for
+    * document frequencies and the prefix self-join — the latter carries
+    * only prefix entries, Σ df(rare shingles)², a small fraction of the
+    * full-index Σ df². Output: (id_i, id_j, jaccard), identical row-for-row
+    * to the brute-force join.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               n: Int = 3, tNum: Int = 2,
+                               tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be a rational in (0, 1]")
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val inv = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df_s"), col("s"))
+    // minimum overlap ⌈t·n⌉ = (n·tNum + tDen − 1) DIV tDen, all integer
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= col("n_sh") -
+        expr(s"(n_sh * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+    val a = prefix.select(col("s"), col("id").as("id_i"), col("n_sh").as("n_i"))
+    val b = prefix.select(col("s"), col("id").as("id_j"), col("n_sh").as("n_j"))
+    val cand = a.join(b, Seq("s")).filter(col("id_i") < col("id_j"))
+      .filter(least(col("n_i"), col("n_j")) * tDen >=
+        greatest(col("n_i"), col("n_j")) * tNum)
+      .select("id_i", "id_j").distinct()
+    val verified = cand
+      .join(sets.select(col("id").as("id_i"), col("sh").as("sh_i")), Seq("id_i"))
+      .join(sets.select(col("id").as("id_j"), col("sh").as("sh_j")), Seq("id_j"))
+      .select(col("id_i"), col("id_j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).as("inter"),
+        size(col("sh_i")).as("n_i"), size(col("sh_j")).as("n_j"))
+      .filter(col("inter") * tDen >=
+        (col("n_i") + col("n_j") - col("inter")) * tNum)
+    verified.select(col("id_i"), col("id_j"),
+      (col("inter").cast("double") /
+        (col("n_i") + col("n_j") - col("inter")).cast("double")).as("jaccard"))
+  }
+
   /** Shingle *containment* join: pairs (i<j) with
     * |S_i ∩ S_j| / min(|S_i|, |S_j|) >= threshold — the doc-inside-doc
     * detector (a short quote fully contained in a long article scores 1.0

@@ -354,6 +354,18 @@ object PipelineQueries {
         .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
         .orderBy("doc_i", "doc_j")),
 
+    /** Prefix-filtering similarity join — the EXACT-result counterpart of
+      * d_minhash_lsh's probabilistic candidates: only each doc's
+      * globally-rarest shingles are indexed, yet the output is row-for-row
+      * the brute-force Jaccard ≥ 0.4 join (same oracle as d_ngram_jaccard,
+      * deliberately shared). See [[graft.operators.Dedup.prefixFilterJaccardPairs]].
+      */
+    "d_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, tNum = 2, tDen = 5)
+        .withColumnRenamed("id_i", "doc_i").withColumnRenamed("id_j", "doc_j")
+        .orderBy("doc_i", "doc_j")),
+
     /** Shingle containment (|∩| / min set size) — catches a short doc
       * embedded inside a longer one, which Jaccard under-scores; same
       * inverted-index join as d_ngram_jaccard.
@@ -1725,6 +1737,9 @@ object PipelineQueries {
 
     "d_ngram_jaccard" -> jaccardPairsOracle,
     "d_minhash_lsh" -> jaccardPairsOracle,
+    // deliberately the same brute-force oracle: the prefix filter is
+    // exact, so a green row certifies zero lost pairs
+    "d_prefix_join" -> jaccardPairsOracle,
 
     // brute-force batch × corpus cross pairs: valid as the oracle for the
     // LSH-probed paths because the 128/64 band setting's analytic miss

@@ -47,6 +47,33 @@ class DedupSpec extends SparkSpec {
       s"incremental missed ${exactCross -- got}, extra ${got -- exactCross}")
   }
 
+  test("prefix-filtered join == brute-force jaccard join, row for row") {
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        3, tNum = 2, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in documents")
+    assert(pf == exact, s"prefix join missed ${exact -- pf}, extra ${pf -- exact}")
+  }
+
+  test("prefix filter finds a pair sitting exactly at the threshold") {
+    import spark.implicits._
+    // 5 distinct 3-shingles each, sharing exactly 2: J = 2/(5+5-2) = 0.25
+    val d = Seq(
+      (1L, "a b c d e f g"), // shingles: abc bcd cde def efg
+      (2L, "a b c d x y z w")) // shingles: abc bcd cdx dxy xyz yzw -> 6 sets
+      .toDF("doc_id", "text")
+    // shared prefix shingles exist, J(1,2) = |{abc,bcd}| / (5+6-2) = 2/9
+    val at = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      3, tNum = 2, tDen = 9)
+    assert(at.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    val above = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+      3, tNum = 1, tDen = 4) // 2/9 < 1/4: must be rejected
+    assert(above.count() == 0)
+  }
+
   test("stop-shingle cap drops hot shingles but keeps near-dup pairs") {
     val capped = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 3, 0.4,
       maxShingleDf = Some(50))
