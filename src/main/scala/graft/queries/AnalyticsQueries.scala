@@ -20,6 +20,44 @@ import graft.core.Tables
   */
 object AnalyticsQueries {
 
+  /** a26's measure set and its upper-triangle pairs — one definition
+    * drives both the Spark aggregate and the generated oracle SQL, so the
+    * two sides cannot drift on which moments exist.
+    */
+  private val corrMatrixCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val corrMatrixPairs: Seq[(String, String)] =
+    for {
+      (a, i) <- corrMatrixCols.zipWithIndex
+      b <- corrMatrixCols.drop(i + 1)
+    } yield (a, b)
+
+  /** Oracle twin of a26_corr_matrix: the same single moment aggregate and
+    * closed form, unrolled per pair (generated, like the LR CTEs).
+    */
+  private def corrMatrixSql: String = {
+    val ms = corrMatrixCols
+    val moments =
+      (ms.map(c => s"sum(CAST($c AS DECIMAL(18,4))) AS s_$c") ++
+        ms.map(c => s"sum(CAST($c * $c AS DECIMAL(28,4))) AS q_$c") ++
+        corrMatrixPairs.map { case (a, b) =>
+          s"sum(CAST($a * $b AS DECIMAL(28,4))) AS p_${a}_$b" })
+        .mkString(",\n|    ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = corrMatrixPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS var_x, '$b' AS var_y,
+         |  round((${d("n")} * ${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")}) /
+         |    sqrt((${d("n")} * ${d(s"q_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}) *
+         |      (${d("n")} * ${d(s"q_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})), 6)
+         |    AS corr FROM m"""
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $moments
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY var_x, var_y""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     /** Broadcast dim join: revenue per market segment. */
     "j_broadcast" -> ((s, dir) => {
@@ -156,6 +194,167 @@ object AnalyticsQueries {
           "l_extendedprice", isA = col("l_returnflag") === "A",
           isB = col("l_returnflag") === "R", w = 131072.0 / 256, bins = 256)
         .withColumnRenamed("n_b", "n_r")),
+
+    /** Full correlation matrix of the lineitem measures in ONE aggregate
+      * pass: every pairwise Pearson correlation needs only the shared
+      * moment sums (n, Σx, Σx², Σxy), so all 4 + 4 + 6 sums ride one
+      * map-side-combined aggregate — at 100 TB that is one scan and one
+      * 1-row exchange, where calling corr() per pair would scan the fact
+      * table 6 times. Moments go through decimal (the measures carry ≤2dp,
+      * so products are ≤4dp-exact — a24's convention); the closed form
+      * evaluates per pair on the 1-row result, fanned out to 6 rows by an
+      * explode of literal structs.
+      */
+    "a26_corr_matrix" -> ((s, dir) => {
+      val ms = corrMatrixCols
+      val pairs = corrMatrixPairs
+      val li = Tables.load(s, dir, "lineitem")
+      val aggs =
+        ms.map(c => sum(col(c).cast("decimal(18,4)")).as(s"s_$c")) ++
+        ms.map(c => sum((col(c) * col(c)).cast("decimal(28,4)")).as(s"q_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast("decimal(28,4)")).as(s"p_${a}_$b") }
+      val m = li.agg(count(lit(1)).as("n"), aggs: _*)
+      def d(c: String) = col(c).cast("double")
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("var_x"), lit(b).as("var_y"),
+          round((d("n") * d(s"p_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+            sqrt((d("n") * d(s"q_$a") - d(s"s_$a") * d(s"s_$a")) *
+              (d("n") * d(s"q_$b") - d(s"s_$b") * d(s"s_$b"))), 6)
+            .as("corr"))
+      }
+      m.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.var_x").as("var_x"), col("r.var_y").as("var_y"),
+          col("r.corr").as("corr"))
+        .orderBy("var_x", "var_y")
+    }),
+
+    /** Set-operation estimates from two KMV sketches (the theta-sketch
+      * discipline, Dasgupta et al.: union = merged bottom-k's (k-1)/θ;
+      * intersection = common hashes below the union θ, scaled by 1/θ —
+      * valid because θ_union ≤ each side's θ, so every union-surviving
+      * hash is necessarily present in its own side's bottom-k). This is
+      * the cross-partition overlap question ("how many orders do the
+      * returned and accepted streams touch in common?") answered from two 64-long
+      * sketches instead of a distinct-join — the exact answers ride along
+      * for the error in view. Same md5-hash space and BottomKSample
+      * aggregate as a8/a20; everything integer until the two θ divisions.
+      */
+    "a29_kmv_setops" -> ((s, dir) => {
+      graft.functions.SampleAggregates.register(s)
+      val kk = 64
+      val fn = graft.functions.SampleAggregates.BOTTOMK_FN
+      val key = lpad(col("hv").cast("string"), 19, "0")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+      val h = li.select(col("l_returnflag").as("side"),
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv")).distinct()
+      val sk = h.groupBy("side")
+        .agg(call_function(fn, key, col("hv"), lit(kk)).as("sketch"))
+      val sa = sk.filter(col("side") === "A").select(col("sketch").as("sa"))
+      val sb = sk.filter(col("side") === "R").select(col("sketch").as("sb"))
+      val merged = sk.select(explode(col("sketch")).as("hv")).distinct()
+        .groupBy().agg(try_element_at(
+          call_function(fn, key, col("hv"), lit(kk)), lit(kk)).as("hk"))
+        .filter(col("hk").isNotNull)
+      val ex = li.groupBy("l_orderkey")
+        .agg(max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ia"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ir"))
+        .groupBy().agg(sum("ia").as("exact_a"), sum("ir").as("exact_r"),
+          count(lit(1)).as("exact_union"),
+          sum(when(col("ia") === 1 && col("ir") === 1, 1L).otherwise(0L))
+            .as("exact_inter"))
+      val thetaFrac = col("hk").cast("double") / lit(1152921504606846976.0)
+      ex.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(merged))
+        .select(col("exact_a"), col("exact_r"), col("exact_union"),
+          col("exact_inter"),
+          round(lit((kk - 1).toDouble) / thetaFrac, 4).as("kmv_union"),
+          round(size(filter(array_intersect(col("sa"), col("sb")),
+              x => x < col("hk"))).cast("double") / thetaFrac, 4)
+            .as("kmv_inter"))
+    }),
+
+    /** Join-size estimation from two count-min sketches (the CM inner-
+      * product estimator, Cormode & Muthukrishnan 2005 §4.2): |A ⋈_k B| =
+      * Σ_k cA(k)·cB(k) is estimated by min over hash rows of the cellwise
+      * inner product of the two sketches — the cardinality the optimizer
+      * wants BEFORE running the join, from two fixed-size (depth×width)
+      * summaries that were built scan-side and never shuffle data-sized
+      * state. The width must track key cardinality (expected colliding
+      * mass is |A|·|B|/width) — 32768 cells here for ~15k keys; at 100 TB
+      * the sketch is still measured in megabytes where the exact per-key
+      * histogram join is measured in the key domain. Colliding mass only ever ADDS products, so like the point
+      * estimate the join-size estimate never underestimates; the output
+      * carries the exact answer and the relative overestimate beside it.
+      * Everything is BIGINT (md5-derived cells, integer products) except
+      * the final error ratio.
+      */
+    "a27_cms_join_size" -> ((s, dir) => {
+      val depth = 4; val width = 32768
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k"))
+      val ca = graft.operators.Sketches.countMinCells(li, "k", depth, width)
+        .withColumnRenamed("c", "cA")
+      val cb = graft.operators.Sketches.countMinCells(ord, "k", depth, width)
+        .withColumnRenamed("c", "cB")
+      val est = ca.join(cb, Seq("row", "cell"))
+        .groupBy("row").agg(sum(col("cA") * col("cB")).as("ip"))
+        .groupBy().agg(min("ip").as("cms_est"))
+      val exact = li.groupBy("k").agg(count(lit(1)).as("na"))
+        .join(ord.groupBy("k").agg(count(lit(1)).as("nb")), Seq("k"))
+        .groupBy().agg(sum(col("na") * col("nb")).as("exact_rows"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_rows"), col("cms_est"),
+          round((col("cms_est") - col("exact_rows")).cast("double") /
+            col("exact_rows").cast("double"), 6).as("rel_overest"))
+    }),
+
+    /** Population stability index — the standard production drift metric
+      * between a baseline and a current window (here: order prices before
+      * vs from 1996). PSI = Σ_bins (p−q)·ln(p/q) over 16 dyadic price
+      * bins with add-one smoothing (an empty bin must move the index, not
+      * blow it up), so the data-sized work is ONE conditional-count hash
+      * aggregate into ≤16 cells; the scaffold explode materializes absent
+      * bins and the ln-sum runs as the chisq-style ordered fold (float
+      * addition is order-sensitive; the fold is one canonical order).
+      */
+    "a28_psi" -> ((s, dir) => {
+      val bins = 16
+      val w = 524288.0 / bins // 32768, dyadic
+      val o = Tables.load(s, dir, "orders")
+      val cells = o.select(
+          least(lit(bins - 1), greatest(lit(0),
+            floor(col("o_totalprice") / w).cast("int"))).as("bin"),
+          (col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+            .as("base"))
+        .groupBy("bin")
+        .agg(sum(when(col("base"), 1L).otherwise(0L)).as("cb"),
+          sum(when(!col("base"), 1L).otherwise(0L)).as("cc"))
+      val scaffold = o.groupBy()
+        .agg(sum(when(col("o_orderdate") <
+            lit("1996-01-01").cast("timestamp"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("o_orderdate") >=
+            lit("1996-01-01").cast("timestamp"), 1L).otherwise(0L)).as("nc"))
+        .select(col("nb"), col("nc"),
+          explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+      val p = col("cb1").cast("double") / (col("nb") + bins).cast("double")
+      val q = col("cc1").cast("double") / (col("nc") + bins).cast("double")
+      scaffold.join(cells, Seq("bin"), "left")
+        .select(col("bin"), col("nb"), col("nc"),
+          (coalesce(col("cb"), lit(0L)) + 1).as("cb1"),
+          (coalesce(col("cc"), lit(0L)) + 1).as("cc1"))
+        .select(col("nb"), col("nc"),
+          struct(col("bin"), ((p - q) * log(p / q)).as("contrib")).as("s"))
+        .groupBy("nb", "nc")
+        .agg(sort_array(collect_list(col("s"))).as("cs"))
+        .select(col("nb").as("n_base"), col("nc").as("n_current"),
+          round(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")), 6).as("psi"))
+    }),
 
     /** Inverse percentile (percentile *rank*): for fixed probe values,
       * the fraction of each group's rows at or below the probe — exact
@@ -929,6 +1128,110 @@ object AnalyticsQueries {
         |  min(CAST(bin + 1 AS DOUBLE) * 512.0) AS at_edge
         |FROM walked, top WHERE gap = d9
         |GROUP BY na, nr, d9""".stripMargin,
+
+    "a26_corr_matrix" -> corrMatrixSql,
+
+    // per-side bottom-64 via row_number (numeric order == the aggregate's
+    // zero-padded string order for these <2^60 hashes), union θ from the
+    // merged bottom-64, common-below-θ intersection count
+    "a29_kmv_setops" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS side,
+         |    ${OracleIdioms.md5Long("CAST(l_orderkey AS VARCHAR)")} AS hv
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |r AS (SELECT side, hv, row_number() OVER (
+         |    PARTITION BY side ORDER BY hv) AS rn FROM h),
+         |ska AS (SELECT hv FROM r WHERE side = 'A' AND rn <= 64),
+         |skb AS (SELECT hv FROM r WHERE side = 'R' AND rn <= 64),
+         |um AS (SELECT DISTINCT hv FROM
+         |  (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)),
+         |mr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM um),
+         |theta AS (SELECT hv AS hk FROM mr WHERE rn = 64),
+         |inter AS (SELECT CAST(count(*) AS BIGINT) AS ninter
+         |  FROM ska JOIN skb USING (hv) CROSS JOIN theta WHERE hv < hk),
+         |flags AS (SELECT l_orderkey,
+         |    max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ia,
+         |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ir
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+         |ex AS (SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+         |    CAST(sum(ir) AS BIGINT) AS exact_r,
+         |    CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN ia = 1 AND ir = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS exact_inter
+         |  FROM flags)
+         |SELECT exact_a, exact_r, exact_union, exact_inter,
+         |  round(63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0), 4)
+         |    AS kmv_union,
+         |  round(CAST(ninter AS DOUBLE)
+         |    / (CAST(hk AS DOUBLE) / 1152921504606846976.0), 4)
+         |    AS kmv_inter
+         |FROM ex CROSS JOIN theta CROSS JOIN inter""".stripMargin,
+
+    // md5-derived cells replayed exactly (the t_cms_freq idiom); BIGINT
+    // inner products, min over the 4 hash rows
+    "a27_cms_join_size" ->
+      s"""WITH rows4 AS (SELECT unnest(generate_series(0, 3)) AS row),
+         |a AS (SELECT row,
+         |    ${OracleIdioms.md5Long(
+                "CAST(l_orderkey AS VARCHAR) || '#' || CAST(row AS VARCHAR)")}
+         |      % 32768 AS cell,
+         |    CAST(count(*) AS BIGINT) AS ca
+         |  FROM lineitem CROSS JOIN rows4 GROUP BY 1, 2),
+         |b AS (SELECT row,
+         |    ${OracleIdioms.md5Long(
+                "CAST(o_orderkey AS VARCHAR) || '#' || CAST(row AS VARCHAR)")}
+         |      % 32768 AS cell,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM orders CROSS JOIN rows4 GROUP BY 1, 2),
+         |ip AS (SELECT a.row, CAST(sum(ca * cb) AS BIGINT) AS ip
+         |  FROM a JOIN b ON a.row = b.row AND a.cell = b.cell
+         |  GROUP BY a.row),
+         |est AS (SELECT min(ip) AS cms_est FROM ip),
+         |ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS na FROM lineitem GROUP BY 1),
+         |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS nb FROM orders GROUP BY 1),
+         |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_rows
+         |  FROM ka JOIN kb USING (k))
+         |SELECT exact_rows, cms_est,
+         |  round(CAST(cms_est - exact_rows AS DOUBLE)
+         |    / CAST(exact_rows AS DOUBLE), 6) AS rel_overest
+         |FROM ex CROSS JOIN est""".stripMargin,
+
+    // 16 dyadic cells + scaffold for absent bins; add-one smoothing and
+    // the chisq-style ordered ln fold
+    "a28_psi" ->
+      """WITH cells AS (
+        |  SELECT least(15, greatest(0,
+        |      CAST(floor(o_totalprice / 32768.0) AS INT))) AS bin,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        |  FROM orders),
+        |scaffold AS (SELECT nb, nc, unnest(generate_series(0, 15)) AS bin
+        |  FROM tot),
+        |sm AS (SELECT s.bin, s.nb, s.nc,
+        |    coalesce(c.cb, 0) + 1 AS cb1, coalesce(c.cc, 0) + 1 AS cc1
+        |  FROM scaffold s LEFT JOIN cells c ON s.bin = c.bin),
+        |contribs AS (SELECT nb, nc,
+        |    (CAST(cb1 AS DOUBLE) / CAST(nb + 16 AS DOUBLE) -
+        |     CAST(cc1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)) *
+        |    ln((CAST(cb1 AS DOUBLE) / CAST(nb + 16 AS DOUBLE)) /
+        |       (CAST(cc1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))) AS contrib,
+        |    bin
+        |  FROM sm),
+        |f AS (SELECT nb, nc, list(contrib ORDER BY bin) AS cs
+        |  FROM contribs GROUP BY nb, nc)
+        |SELECT nb AS n_base, nc AS n_current,
+        |  round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+        |    AS psi
+        |FROM f""".stripMargin,
 
     "a15_regression" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
