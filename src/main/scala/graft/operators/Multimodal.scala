@@ -55,6 +55,45 @@ object Multimodal {
       out
     }
 
+    /** Difference-hash (dHash) bands: the classic perceptual image hash —
+      * resize to a tiny luma grid, emit one bit per adjacent-cell
+      * brightness comparison — expressed through the stub boundary: the
+      * payload splits into 65 equal byte-chunks (the "grid"), each chunk's
+      * mean byte value stands in for cell luma, and bit d is 1 iff chunk d
+      * is brighter than chunk d+1. The comparison is the integer
+      * cross-multiplication sum_d·n_{d+1} > sum_{d+1}·n_d, so truncated
+      * and even empty chunks (payloads shorter than 65 bytes) are exact —
+      * no float means. The 64 bits come back as 4×16-bit band values,
+      * ready for pigeonhole banding (Hamming ≤ 3 ⇒ ≥ 1 equal band).
+      */
+    def dHashBands(payload: Array[Byte]): Seq[Int] = {
+      val cells = 65
+      val len = if (payload == null) 0 else payload.length
+      val sums = new Array[Long](cells)
+      val ns = new Array[Int](cells)
+      var c = 0
+      while (c < cells) {
+        val a = (c.toLong * len / cells).toInt
+        val b = ((c + 1).toLong * len / cells).toInt
+        var s = 0L
+        var j = a
+        while (j < b) { s += java.lang.Byte.toUnsignedInt(payload(j)); j += 1 }
+        sums(c) = s
+        ns(c) = b - a
+        c += 1
+      }
+      (0 until 4).map { band =>
+        var v = 0
+        var o = 0
+        while (o < 16) {
+          val d = band * 16 + o
+          if (sums(d) * ns(d + 1) > sums(d + 1) * ns(d)) v |= (1 << o)
+          o += 1
+        }
+        v
+      }
+    }
+
     /** Fake frame sampling: byte-ranges standing in for video frames. */
     def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] = {
       if (payload == null || payload.length == 0) Seq.empty
@@ -208,6 +247,25 @@ object Multimodal {
           .zipWithIndex.map { case ((n, e), i) =>
             Row.fromSeq(r.toSeq :+ i :+ n :+ e)
           }
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash signatures through the codec boundary: input columns
+    * + (b0..b3), the four 16-bit dHash bands of each payload. The binary
+    * column never shuffles — the hash is derived in the same narrow
+    * mapPartitions pass as the other codec ops, and all downstream dedup
+    * joins carry only (id, 4 ints).
+    */
+  def perceptualHash(df: DataFrame, binCol: String): DataFrame = {
+    val schema = (0 until 4).foldLeft(StructType(df.schema.fields)) {
+      (st, i) => st.add(StructField(s"b$i", IntegerType, nullable = false))
+    }
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq ++ StubCodec.dHashBands(r.getAs[Array[Byte]](binIdx)))
       }
     }(enc)
   }

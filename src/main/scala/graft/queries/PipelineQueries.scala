@@ -617,6 +617,50 @@ object PipelineQueries {
       * 128) through the mapPartitions codec boundary; energy = exact sum
       * of unsigned bytes, so the ASCII corpus mirrors as ord() sums.
       */
+    /** Perceptual-hash near-dup detection over binary payloads — the
+      * image-dedup pass of a multimodal pipeline, run through the stub
+      * codec boundary: 64-bit dHash per payload (4×16-bit bands), banded
+      * pigeonhole candidates (Hamming ≤ 3 ⇒ ≥ 1 equal band — the simhash
+      * discipline applied to media), exact popcount-of-xor verification.
+      * Only (doc_id, band, 16-bit value) ever shuffles; the binary column
+      * stays in its scan-side mapPartitions pass. The payload universe
+      * plants the canonical pHash case — a single-byte edit ("one pixel
+      * changed": an id+1e6 twin for every 20th payload) that exact
+      * fingerprinting cannot see but that moves at most the chunk means
+      * around the edit, so dHash keeps it inside the Hamming budget; the
+      * word-level near-dup rewrites elsewhere in `documents` sit ~22+ bits
+      * apart and must NOT match, which is the precision half of the check.
+      */
+    "m_phash_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text"))
+      val ph = Multimodal.perceptualHash(
+          base.unionByName(variants).select(col("doc_id"),
+            col("text").cast("binary").as("payload")), "payload")
+        .select("doc_id", "b0", "b1", "b2", "b3").cache()
+      val bands = ph.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("doc_id", "band", "bv")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+        .distinct()
+      def sig(t: String) = ph.select(
+        col("doc_id").as(s"doc_$t"), col("b0").as(s"b0_$t"),
+        col("b1").as(s"b1_$t"), col("b2").as(s"b2_$t"),
+        col("b3").as(s"b3_$t"))
+      val ham = (0 until 4)
+        .map(i => bit_count(col(s"b${i}_i").bitwiseXOR(col(s"b${i}_j"))))
+        .reduce(_ + _)
+      cand.join(sig("i"), Seq("doc_i")).join(sig("j"), Seq("doc_j"))
+        .select(col("doc_i"), col("doc_j"), ham.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_i", "doc_j")
+    }),
+
     "m_audio_energy" -> ((s, dir) =>
       Multimodal.audioWindows(
         docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -2317,6 +2361,45 @@ object PipelineQueries {
     "m_binary_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dHash replayed byte-for-byte on the ASCII payloads: 65 integer-
+    // boundary chunks, cross-multiplied mean comparisons, banded 16-bit
+    // values, pigeonhole candidates, popcount verify
+    "m_phash_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substr(text, 2)
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |ln AS (SELECT doc_id, text, length(text) AS l FROM u),
+        |e AS (SELECT doc_id, c,
+        |    list_sum(list_transform(
+        |      generate_series((c * l) // 65 + 1, ((c + 1) * l) // 65),
+        |      i -> ascii(substr(text, i, 1)))) AS s,
+        |    ((c + 1) * l) // 65 - (c * l) // 65 AS n
+        |  FROM ln CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 64)) AS c)),
+        |bits AS (SELECT a.doc_id, a.c AS d,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.c = a.c + 1
+        |  WHERE a.c < 64),
+        |bands AS (SELECT doc_id, d // 16 AS band,
+        |    CAST(sum(bit << (d % 16)) AS INT) AS bv
+        |  FROM bits GROUP BY doc_id, d // 16),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |sig AS (SELECT doc_id, list(bv ORDER BY band) AS bs
+        |  FROM bands GROUP BY doc_id),
+        |ham AS (SELECT doc_i, doc_j,
+        |    CAST(bit_count(xor(si.bs[1], sj.bs[1])) +
+        |      bit_count(xor(si.bs[2], sj.bs[2])) +
+        |      bit_count(xor(si.bs[3], sj.bs[3])) +
+        |      bit_count(xor(si.bs[4], sj.bs[4])) AS INT) AS hamming
+        |  FROM cand
+        |  JOIN sig si ON si.doc_id = doc_i
+        |  JOIN sig sj ON sj.doc_id = doc_j)
+        |SELECT doc_i, doc_j, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY doc_i, doc_j""".stripMargin,
 
     "m_decode_meta" ->
       """SELECT doc_id,

@@ -253,6 +253,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() <= 40 && frames.count() >= 10)
   }
 
+  test("dHash: single-byte edit stays within Hamming 2; empty payload is 0") {
+    def ham(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val texts = Tables.load(spark, sf, "documents").orderBy("doc_id")
+      .limit(10).collect().map(_.getAs[String]("text"))
+    texts.foreach { t =>
+      val orig = Multimodal.StubCodec.dHashBands(t.getBytes)
+      val edit = Multimodal.StubCodec.dHashBands(("x" + t.drop(1)).getBytes)
+      // one byte moves at most the two chunk means straddling the edit:
+      // at most 2 of the 64 adjacent comparisons can flip
+      assert(ham(orig, edit) <= 2, s"edit moved ${ham(orig, edit)} bits")
+    }
+    val empty = Multimodal.StubCodec.dHashBands(Array.emptyByteArray)
+    assert(empty == Seq(0, 0, 0, 0))
+    assert(Multimodal.StubCodec.dHashBands(null) == Seq(0, 0, 0, 0))
+  }
+
+  test("perceptualHash is partitioning-invariant (pure per-row codec)") {
+    val one = Multimodal.perceptualHash(bin.coalesce(1), "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3").collect().toSet
+    val many = Multimodal.perceptualHash(bin.repartition(7), "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3").collect().toSet
+    assert(one == many)
+  }
+
   test("audioWindows: overlap, truncation, and exact byte-sum energies") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10)(i => (i + 1).toByte) // 1..10
