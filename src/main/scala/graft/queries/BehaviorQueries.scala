@@ -235,6 +235,99 @@ object BehaviorQueries {
       }
     }),
 
+    /** Single changepoint detection on the weekly revenue series (binary
+      * segmentation step 1, the classic CUSUM/SSE scan): pick the week
+      * boundary whose two-segment mean model minimizes total SSE. The
+      * fact-table work is ONE weekly moment aggregate (n, Σy, Σy² in
+      * decimal); every candidate split's SSE then comes from cumulative
+      * prefix moments over the bounded weekly relation — 345 weeks however
+      * many orders — via SSE = Σy² − (Σy)²/n per segment. Argmin
+      * tie-breaks to the earliest week on the SSE, the KS-max
+      * equality-join idiom (raw doubles: both engines walk the identical
+      * IEEE op chain, and rounding ~1e15-magnitude SSEs to 6dp is where
+      * engines can diverge, so the SSEs stay unrounded). Output: the split, both segment means, and the
+      * variance-explained ratio vs the single-segment model.
+      */
+    "e_changepoint" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val wk = o.select(date_trunc("week", col("o_orderdate")).as("week"),
+          col("o_totalprice").as("y"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(18,2)")).as("sy"),
+          sum((col("y") * col("y")).cast("decimal(28,4)")).as("syy"))
+      val walk = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("week"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val c = wk.select(col("week"),
+        sum("n").over(walk).as("cn"),
+        sum("sy").over(walk).cast("double").as("csy"),
+        sum("syy").over(walk).cast("double").as("csyy"),
+        sum("n").over(tot).as("tn"),
+        sum("sy").over(tot).cast("double").as("tsy"),
+        sum("syy").over(tot).cast("double").as("tsyy"))
+      def dd(n: String) = col(n).cast("double")
+      val sseL = col("csyy") - col("csy") * col("csy") / dd("cn")
+      val sseR = (col("tsyy") - col("csyy")) -
+        (col("tsy") - col("csy")) * (col("tsy") - col("csy")) /
+          (dd("tn") - dd("cn"))
+      val sse1 = col("tsyy") - col("tsy") * col("tsy") / dd("tn")
+      val cand = c.filter(col("cn") < col("tn"))
+        .select(col("week"), col("cn"), col("csy"), col("tn"), col("tsy"),
+          (sseL + sseR).as("sse2"), sse1.as("sse1"))
+      val best = cand.groupBy().agg(min("sse2").as("best2"))
+      cand.join(broadcast(best), cand("sse2") === best("best2"))
+        .groupBy("sse1", "sse2", "best2")
+        .agg(min("week").as("wk"))
+        .select(col("wk"))
+        .join(cand.withColumnRenamed("week", "wk"), Seq("wk"))
+        .select(col("wk").as("split_week"),
+          round(col("csy") / dd("cn"), 4).as("mean_before"),
+          round((col("tsy") - col("csy")) / (dd("tn") - dd("cn")), 4)
+            .as("mean_after"),
+          col("sse1").as("sse_single"), col("sse2").as("sse_split"),
+          round(lit(1.0) - col("sse2") / col("sse1"), 6).as("drop_ratio"))
+    }),
+
+    /** Association rules over the per-user event-type presence sets (the
+      * basket-analysis triple support/confidence/lift, Agrawal et al.):
+      * which behaviors co-occur in the same users beyond chance. Presence
+      * means HEAVY usage — at least 16 events of the type — so baskets
+      * are selective rather than everyone-owns-everything; the per-user
+      * type counts are the only data-sized aggregate, and
+      * every rule statistic is integer counting over the 5-type vocabulary
+      * (≤ 20 ordered pairs, a control-plane relation at any event volume).
+      */
+    "e_assoc_rules" -> ((s, dir) => {
+      val pres = events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 16)
+        .select("user_id", "t")
+      val cnt = pres.groupBy("t").agg(count(lit(1)).as("nt"))
+      val nu = events(s, dir).select("user_id").distinct()
+        .groupBy().agg(count(lit(1)).as("nu"))
+      val both = pres.as("a").join(pres.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.t") =!= col("b.t"))
+        .groupBy(col("a.t").as("ante"), col("b.t").as("cons"))
+        .agg(count(lit(1)).as("nboth"))
+      both
+        .join(broadcast(cnt.select(col("t").as("ante"), col("nt").as("na"))),
+          Seq("ante"))
+        .join(broadcast(cnt.select(col("t").as("cons"), col("nt").as("nc"))),
+          Seq("cons"))
+        .crossJoin(broadcast(nu))
+        .select(col("ante"), col("cons"), col("nboth"),
+          round(col("nboth").cast("double") / col("nu").cast("double"), 6)
+            .as("support"),
+          round(col("nboth").cast("double") / col("na").cast("double"), 6)
+            .as("confidence"),
+          round(col("nboth").cast("double") * col("nu").cast("double") /
+            (col("na").cast("double") * col("nc").cast("double")), 6)
+            .as("lift"))
+        .orderBy("ante", "cons")
+    }),
+
     /** Gini coefficient of per-user event concentration — e_power_users'
       * one-number summary (0 = perfectly even, →1 = one user owns the
       * stream). Same counts-of-counts discipline: per-user totals hash-
@@ -873,6 +966,65 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // weekly decimal moments -> cumulative prefix SSEs; unrounded IEEE
+    // doubles both sides, argmin by equality + earliest week
+    "e_changepoint" ->
+      """WITH wk AS (SELECT date_trunc('week', o_orderdate) AS week,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS syy
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT week,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(sy) OVER w AS DOUBLE) AS csy,
+        |    CAST(sum(syy) OVER w AS DOUBLE) AS csyy,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+        |    CAST(sum(sy) OVER () AS DOUBLE) AS tsy,
+        |    CAST(sum(syy) OVER () AS DOUBLE) AS tsyy
+        |  FROM wk WINDOW w AS (ORDER BY week)),
+        |cand AS (SELECT week, cn, csy, tn, tsy,
+        |    (csyy - csy * csy / CAST(cn AS DOUBLE)) +
+        |    ((tsyy - csyy) - (tsy - csy) * (tsy - csy) /
+        |      (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE))) AS sse2,
+        |    tsyy - tsy * tsy / CAST(tn AS DOUBLE) AS sse1
+        |  FROM c WHERE cn < tn),
+        |best AS (SELECT min(sse2) AS best2 FROM cand),
+        |pick AS (SELECT min(week) AS wk FROM cand, best WHERE sse2 = best2)
+        |SELECT week AS split_week,
+        |  round(csy / CAST(cn AS DOUBLE), 4) AS mean_before,
+        |  round((tsy - csy) / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)), 4)
+        |    AS mean_after,
+        |  sse1 AS sse_single, sse2 AS sse_split,
+        |  round(1.0 - sse2 / sse1, 6) AS drop_ratio
+        |FROM cand JOIN pick ON cand.week = pick.wk""".stripMargin,
+
+    // per-user presence sets; all rule stats are integer counts over the
+    // <=20-pair type vocabulary
+    "e_assoc_rules" ->
+      """WITH pres AS (SELECT user_id, event_type AS t FROM events
+        |  GROUP BY user_id, event_type HAVING count(*) >= 16),
+        |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS nt FROM pres
+        |  GROUP BY t),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM events),
+        |bt AS (SELECT a.t AS ante, b.t AS cons,
+        |    CAST(count(*) AS BIGINT) AS nboth
+        |  FROM pres a JOIN pres b
+        |    ON a.user_id = b.user_id AND a.t != b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT ante, cons, nboth,
+        |  round(CAST(nboth AS DOUBLE) / CAST(nu.nu AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(nboth AS DOUBLE) / CAST(ca.nt AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(nboth AS DOUBLE) * CAST(nu.nu AS DOUBLE) /
+        |    (CAST(ca.nt AS DOUBLE) * CAST(cc.nt AS DOUBLE)), 6) AS lift
+        |FROM bt
+        |JOIN cnt ca ON ca.t = ante
+        |JOIN cnt cc ON cc.t = cons
+        |CROSS JOIN nu
+        |ORDER BY ante, cons""".stripMargin,
 
     // activity-level histogram + exclusive prefix sums; BIGINT W = Σ
     // m·(v·Cm − Cs) until the one final division

@@ -344,6 +344,43 @@ object MaintenanceQueries {
         QualityModel.scored(docs(s, dir), "doc_id", "text"),
         "lr_score", "label")),
 
+    /** Decile lift table for the trained quality model — the third panel
+      * of the model audit beside calibration and AUC: rank-order the
+      * corpus into ten score deciles and report each decile's positive
+      * rate against the base rate. Deciles come from the same per-6dp-
+      * score histogram walk as the AUC (exclusive cumulative count →
+      * decile = 10·below DIV n, ties sharing a score share a decile), so
+      * there is no global sort; decimal score sums keep the per-decile
+      * mean exact.
+      */
+    "t_quality_lr_lift" -> ((s, dir) => {
+      val sc = QualityModel.scored(docs(s, dir), "doc_id", "text")
+      val h = sc.groupBy("lr_score")
+        .agg(count(lit(1)).as("m"), sum("label").as("pos"))
+      val below = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("lr_score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      h.select(col("lr_score"), col("m"), col("pos"),
+          coalesce(sum("m").over(below), lit(0L)).as("cb"),
+          sum("m").over(tot).as("n"), sum("pos").over(tot).as("p"))
+        .select(expr("(cb * 10) DIV n").cast("int").as("decile"),
+          col("lr_score"), col("m"), col("pos"), col("n"), col("p"))
+        .groupBy("decile", "n", "p")
+        .agg(sum("m").as("n_docs"),
+          round(sum(col("lr_score").cast("decimal(18,6)") * col("m"))
+            .cast("double") / sum("m").cast("double"), 6).as("avg_pred"),
+          sum("pos").as("n_pos"))
+        .select(col("decile"), col("n_docs"), col("avg_pred"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n_docs").cast("double"),
+            6).as("label_rate"),
+          round(col("n_pos").cast("double") * col("n").cast("double") /
+            (col("n_docs").cast("double") * col("p").cast("double")), 6)
+            .as("lift"))
+        .orderBy("decile")
+    }),
+
     /** Per-key skew audit — the before-you-join report that decides
       * whether a key needs the salted path (j_skew): per-key counts hash-
       * aggregate once, then totals, the hottest key, the 10×-mean hot-key
@@ -757,6 +794,39 @@ object MaintenanceQueries {
          |  round(CAST(sum(numer2) AS DOUBLE) /
          |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
          |FROM r GROUP BY p, n""".stripMargin),
+
+    // scored relation (same CTEs) → score histogram → decile via
+    // integer DIV of the exclusive cumulative; decimal per-decile means
+    "t_quality_lr_lift" -> (qualityLrCtes(5) +
+      s""",
+         |s AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |        round(1.0/(1.0+exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
+         |          + w.w3*f.x3))), 6) AS lr_score
+         |      FROM f CROSS JOIN w5 w),
+         |all_s AS (SELECT CAST(coalesce(s.label, 0) AS BIGINT) AS label,
+         |    coalesce(s.lr_score, 0.0) AS lr_score
+         |  FROM documents d LEFT JOIN s USING (doc_id)),
+         |h AS (SELECT lr_score, CAST(count(*) AS BIGINT) AS m,
+         |        CAST(sum(label) AS BIGINT) AS pos
+         |      FROM all_s GROUP BY lr_score),
+         |r AS (SELECT lr_score, m, pos,
+         |    coalesce(CAST(sum(m) OVER (ORDER BY lr_score
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cb,
+         |    CAST(sum(m) OVER () AS BIGINT) AS n,
+         |    CAST(sum(pos) OVER () AS BIGINT) AS p
+         |  FROM h),
+         |d AS (SELECT CAST((cb * 10) // n AS INT) AS decile,
+         |    lr_score, m, pos, n, p FROM r)
+         |SELECT decile, CAST(sum(m) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(lr_score AS DECIMAL(18,6)) * m) AS DOUBLE)
+         |    / CAST(sum(m) AS DOUBLE), 6) AS avg_pred,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(pos) AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6)
+         |    AS label_rate,
+         |  round(CAST(sum(pos) AS DOUBLE) * CAST(n AS DOUBLE) /
+         |    (CAST(sum(m) AS DOUBLE) * CAST(p AS DOUBLE)), 6) AS lift
+         |FROM d GROUP BY decile, n, p ORDER BY decile""".stripMargin),
 
     // per-key counts → 1-row totals; integer ceil-div salt factor
     "o_skew_report" ->
