@@ -235,6 +235,46 @@ object BehaviorQueries {
       }
     }),
 
+    /** U-shaped (position-based) multi-touch attribution — first-touch's
+      * fairer sibling: each converting user's pre-conversion touches split
+      * the credit 40% first / 40% last / 20% across the middles (100% and
+      * 50/50 for 1- and 2-touch journeys). The conversion anchor is the
+      * user's earliest purchase under the (ts, event_id) total order;
+      * per-user windows keyed on the user are the only data-sized work.
+      * Per-touch credits round to 9dp and sum as DECIMAL so channel
+      * totals are independent of addition order (the gradient-sum trick).
+      */
+    "e_attribution_u" -> ((s, dir) => {
+      val e = events(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("cts"),
+          col("c.event_id").as("cid"))
+      val touches = e.join(conv, Seq("user_id"))
+        .filter(struct(col("ts"), col("event_id")) <
+          struct(col("cts"), col("cid")))
+      val byTime = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val perUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+      val ranked = touches.select(col("user_id"),
+        col("event_type").as("channel"),
+        row_number().over(byTime).as("rn"),
+        count(lit(1)).over(perUser).as("k"))
+      val credit = when(col("k") === 1, 1.0)
+        .when(col("k") === 2, 0.5)
+        .when(col("rn") === 1 || col("rn") === col("k"), 0.4)
+        .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+      ranked
+        .select(col("channel"),
+          round(credit, 9).cast("decimal(18,9)").as("cr"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum("cr").cast("double"), 6).as("credit"))
+        .orderBy("channel")
+    }),
+
     /** Single changepoint detection on the weekly revenue series (binary
       * segmentation step 1, the classic CUSUM/SSE scan): pick the week
       * boundary whose two-segment mean model minimizes total SSE. The
@@ -966,6 +1006,32 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // conversion anchor under the (us-truncated ts, event_id) tuple
+    // order; 9dp-decimal credit sums
+    "e_attribution_u" ->
+      """WITH pe AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('microseconds', ts) AS us FROM events),
+        |conv AS (SELECT user_id, us AS cts, event_id AS cid FROM (
+        |  SELECT user_id, us, event_id, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM pe WHERE event_type = 'purchase') WHERE rn = 1),
+        |touches AS (SELECT pe.user_id, pe.event_type AS channel, pe.us,
+        |    pe.event_id
+        |  FROM pe JOIN conv USING (user_id)
+        |  WHERE (pe.us, pe.event_id) < (cts, cid)),
+        |rk AS (SELECT channel,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS k
+        |  FROM touches)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(CAST(round(
+        |    CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |         WHEN rn = 1 OR rn = k THEN 0.4
+        |         ELSE 0.2 / CAST(k - 2 AS DOUBLE) END, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit
+        |FROM rk GROUP BY channel ORDER BY channel""".stripMargin,
 
     // weekly decimal moments -> cumulative prefix SSEs; unrounded IEEE
     // doubles both sides, argmin by equality + earliest week

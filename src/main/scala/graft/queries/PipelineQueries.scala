@@ -432,6 +432,52 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    /** Train/test leakage audit — the check every eval pipeline owes its
+      * split: after the deterministic carve (t_split's hash), how many
+      * duplicate pairs STRADDLE split boundaries? Exact leaks share a
+      * canonical fingerprint (one (fp, id) shuffle); near leaks come from
+      * the exact-result prefix-filtering join (d_prefix_join) minus the
+      * exact pairs, so "near" means textually-rewritten-but-detectable.
+      * Every (split, split) combination reports, zeros included — a silent
+      * absent row is how leakage hides. A test×train exact or near count
+      * above 0 is the number your benchmark is inflated by.
+      */
+    "t_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val sp = d.select(col("doc_id"), Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      val fp = d.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val ex = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      val near = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+          n = 3, tNum = 2, tDen = 5)
+        .select(col("id_i").as("doc_i"), col("id_j").as("doc_j"))
+        .join(ex, Seq("doc_i", "doc_j"), "left_anti")
+      def labeled(p: DataFrame) = p
+        .join(sp.select(col("doc_id").as("doc_i"), col("split").as("si")),
+          Seq("doc_i"))
+        .join(sp.select(col("doc_id").as("doc_j"), col("split").as("sj")),
+          Seq("doc_j"))
+        .groupBy(least(col("si"), col("sj")).as("split_a"),
+          greatest(col("si"), col("sj")).as("split_b"))
+        .agg(count(lit(1)).as("n"))
+      val combos = Seq(("test", "test"), ("test", "train"), ("test", "val"),
+        ("train", "train"), ("train", "val"), ("val", "val"))
+        .toDF("split_a", "split_b")
+      combos
+        .join(labeled(ex).withColumnRenamed("n", "ne"),
+          Seq("split_a", "split_b"), "left")
+        .join(labeled(near).withColumnRenamed("n", "nn"),
+          Seq("split_a", "split_b"), "left")
+        .select(col("split_a"), col("split_b"),
+          coalesce(col("ne"), lit(0L)).as("exact_pairs"),
+          coalesce(col("nn"), lit(0L)).as("near_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+
     /** Duplicate-n-gram coverage (RefinedWeb-style): per doc, the
       * fraction of its distinct 5-grams that occur in at least one other
       * document — explode → df aggregate → join back on the gram, the
@@ -1230,6 +1276,42 @@ object PipelineQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
     }),
 
+    /** NDCG@10 of the LSH ranking against exact brute force — recall's
+      * order-sensitive sibling (recall can't tell a perfect ordering from
+      * a reversed one). Graded relevance 11−exact_rank, DCG discounts by
+      * log2(position+1), both DCG folds run in the chisq ordered-fold
+      * idiom over the two 10-row lists — every input to the one
+      * transcendental (log2 of 2..11) is bit-identical on both engines.
+      */
+    "v_ndcg" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val qv = queryVec(s, dir)
+      val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      def ranked(df: DataFrame, rk: String) = df.select(col("id"),
+        row_number().over(one.orderBy(col("sim").desc, col("id"))).as(rk))
+      val exact = ranked(Similarity.topK(base, "vec_id", "embedding", qv,
+        k = 10), "erank")
+      val approx = ranked(Similarity.lshTopK(base, "vec_id", "embedding",
+        qv, k = 10, tables = 16, bits = 4,
+        planes = Similarity.md5Planes), "arank")
+      def fold(cs: org.apache.spark.sql.Column) =
+        aggregate(sort_array(cs), lit(0.0), (acc, x) => acc + x.getField("c"))
+      val dcgC = approx.join(exact, Seq("id"), "left")
+        .select(struct(col("arank"),
+          (when(col("erank").isNull, 0.0)
+            .otherwise(lit(11) - col("erank")) /
+            log2(col("arank") + 1)).as("c")).as("s"))
+        .groupBy().agg(fold(collect_list(col("s"))).as("dcg"))
+      val idcgC = exact
+        .select(struct(col("erank"),
+          ((lit(11) - col("erank")) / log2(col("erank") + 1)).as("c")).as("s"))
+        .groupBy().agg(fold(collect_list(col("s"))).as("idcg"))
+      dcgC.crossJoin(broadcast(idcgC))
+        .select(round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    }),
+
     /** IVF with a flat (no-Lloyd-iteration) index: centroids are the 8
       * lowest-id vectors, assignment is argmax cosine, probes 4 — every
       * stage deterministic and reproduced by the SQL oracle, so the
@@ -1828,6 +1910,52 @@ object PipelineQueries {
          |    AS share
          |FROM c ORDER BY lang, split""".stripMargin,
 
+    // split CASE + fp pair join + brute jaccard pairs (minus exacts),
+    // scaffolded so absent (split, split) combos report zero
+    "t_split_leakage" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh
+         |  FROM documents),
+         |np AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) -
+         |        len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+         |fp AS (SELECT doc_id, $fpSql AS fp FROM documents),
+         |ex AS MATERIALIZED (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM fp a JOIN fp b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |near AS (SELECT doc_i, doc_j FROM np
+         |  WHERE jaccard >= 0.4 AND NOT EXISTS (SELECT 1 FROM ex
+         |    WHERE ex.doc_i = np.doc_i AND ex.doc_j = np.doc_j)),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${OracleIdioms.uniformSql("doc_id")} < 0.8
+         |           THEN 'train'
+         |         WHEN ${OracleIdioms.uniformSql("doc_id")} < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |lex AS (SELECT least(si.split, sj.split) AS split_a,
+         |    greatest(si.split, sj.split) AS split_b,
+         |    CAST(count(*) AS BIGINT) AS ne
+         |  FROM ex JOIN sp si ON si.doc_id = ex.doc_i
+         |  JOIN sp sj ON sj.doc_id = ex.doc_j GROUP BY 1, 2),
+         |lnear AS (SELECT least(si.split, sj.split) AS split_a,
+         |    greatest(si.split, sj.split) AS split_b,
+         |    CAST(count(*) AS BIGINT) AS nn
+         |  FROM near JOIN sp si ON si.doc_id = near.doc_i
+         |  JOIN sp sj ON sj.doc_id = near.doc_j GROUP BY 1, 2),
+         |sc AS (SELECT * FROM (VALUES
+         |  ('test', 'test'), ('test', 'train'), ('test', 'val'),
+         |  ('train', 'train'), ('train', 'val'), ('val', 'val'))
+         |  v(split_a, split_b))
+         |SELECT sc.split_a, sc.split_b,
+         |  CAST(coalesce(lex.ne, 0) AS BIGINT) AS exact_pairs,
+         |  CAST(coalesce(lnear.nn, 0) AS BIGINT) AS near_pairs
+         |FROM sc
+         |LEFT JOIN lex USING (split_a, split_b)
+         |LEFT JOIN lnear USING (split_a, split_b)
+         |ORDER BY split_a, split_b""".stripMargin,
+
     "t_dup_ngram" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(
@@ -2357,6 +2485,28 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // both leg oracles reused; graded relevance + ordered DCG folds
+    "v_ndcg" ->
+      s"""WITH a AS ($annTopkOracle),
+         |b AS ($annLshMd5Oracle),
+         |er AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY sim DESC, vec_id) AS erank FROM a),
+         |ar AS (SELECT vec_id, row_number() OVER (
+         |    ORDER BY sim DESC, vec_id) AS arank FROM b),
+         |dc AS (SELECT list(
+         |    CASE WHEN er.erank IS NULL THEN 0.0 ELSE 11 - er.erank END
+         |      / log2(ar.arank + 1) ORDER BY ar.arank) AS cs
+         |  FROM ar LEFT JOIN er USING (vec_id)),
+         |ic AS (SELECT list((11 - erank) / log2(erank + 1)
+         |    ORDER BY erank) AS cs FROM er),
+         |d AS (SELECT list_reduce(list_prepend(0.0, cs),
+         |    (x, y) -> x + y) AS dcg FROM dc),
+         |i AS (SELECT list_reduce(list_prepend(0.0, cs),
+         |    (x, y) -> x + y) AS idcg FROM ic)
+         |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg
+         |FROM d CROSS JOIN i""".stripMargin,
 
     "m_binary_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
