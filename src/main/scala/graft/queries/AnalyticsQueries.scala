@@ -229,6 +229,51 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** Poisson-bootstrap confidence interval for the mean (the streaming/
+      * distributed bootstrap of Chamandy et al.: resampling-with-
+      * replacement ≈ independent Poisson(1) multiplicities, so B replicate
+      * means come from ONE pass with per-(row, replicate) deterministic
+      * hash weights — no data movement per replicate, no resampled
+      * copies). Weights are the md5-uniform pushed through the Poisson(1)
+      * inverse CDF as literal thresholds (identical decimal strings both
+      * engines, capped at 6); replicate sums go through decimal; the CI is
+      * the exact 2.5/97.5 percentile of the 32-row replicate-mean
+      * relation (the a4 percentile idiom).
+      */
+    "a30_bootstrap_ci" -> ((s, dir) => {
+      val b = 32
+      val li = Tables.load(s, dir, "lineitem").select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+        col("l_extendedprice").as("x"))
+      val u = conv(substring(md5(concat(col("rid"), lit("#"),
+          col("bb").cast("string"))), 1, 15), 16, 10).cast("long")
+        .cast("double") / lit(1152921504606846976.0)
+      val w = when(u < 0.367879441171442, 0)
+        .when(u < 0.735758882342885, 1)
+        .when(u < 0.919698602928606, 2)
+        .when(u < 0.981011843123846, 3)
+        .when(u < 0.996340153246891, 4)
+        .when(u < 0.999405815182418, 5)
+        .otherwise(6)
+      val reps = li
+        .select(col("rid"), col("x"),
+          explode(sequence(lit(0), lit(b - 1))).as("bb"))
+        .select(col("bb"), (w * col("x").cast("decimal(18,2)")).as("wx"),
+          w.as("w"))
+        .groupBy("bb")
+        .agg((sum("wx").cast("double") / sum("w").cast("double"))
+          .as("mean_b"))
+      val full = li.groupBy().agg(
+        round(sum(col("x").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_full"))
+      val ci = reps.groupBy().agg(count(lit(1)).as("n_replicates"),
+        round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
+      full.crossJoin(broadcast(ci))
+        .select(col("mean_full"), col("ci_lo"), col("ci_hi"),
+          col("n_replicates"))
+    }),
+
     /** Set-operation estimates from two KMV sketches (the theta-sketch
       * discipline, Dasgupta et al.: union = merged bottom-k's (k-1)/θ;
       * intersection = common hashes below the union θ, scaled by 1/θ —
@@ -1130,6 +1175,38 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // identical Poisson(1) CDF threshold literals; decimal replicate
+    // sums; quantile_cont ≡ percentile (a4 idiom) over the 32-row relation
+    "a30_bootstrap_ci" ->
+      """WITH li AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) AS rid, l_extendedprice AS x
+        |  FROM lineitem),
+        |r AS (SELECT rid, x, unnest(generate_series(0, 31)) AS bb FROM li),
+        |wts AS (SELECT bb, x,
+        |    CASE WHEN u < 0.367879441171442 THEN 0
+        |         WHEN u < 0.735758882342885 THEN 1
+        |         WHEN u < 0.919698602928606 THEN 2
+        |         WHEN u < 0.981011843123846 THEN 3
+        |         WHEN u < 0.996340153246891 THEN 4
+        |         WHEN u < 0.999405815182418 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM (SELECT bb, x,
+        |      ('0x' || substr(md5(rid || '#' || CAST(bb AS VARCHAR)),
+        |        1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |    FROM r)),
+        |reps AS (SELECT bb,
+        |    CAST(sum(w * CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(w) AS DOUBLE) AS mean_b
+        |  FROM wts GROUP BY bb),
+        |f AS (SELECT round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS mean_full FROM li),
+        |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+        |    round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+        |    round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+        |  FROM reps)
+        |SELECT mean_full, ci_lo, ci_hi, n_replicates
+        |FROM f CROSS JOIN ci""".stripMargin,
 
     // per-side bottom-64 via row_number (numeric order == the aggregate's
     // zero-padded string order for these <2^60 hashes), union θ from the

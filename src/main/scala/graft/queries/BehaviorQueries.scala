@@ -235,6 +235,40 @@ object BehaviorQueries {
       }
     }),
 
+    /** Seasonal-naive forecast backtest — the baseline every demand model
+      * must beat, evaluated in-engine: forecast(week) = revenue(week−52),
+      * scored by MAPE and SMAPE over the last 26 fully-covered weeks. The
+      * fact table collapses to weekly decimal revenue once; lag-52 and
+      * the evaluation-window cut run on the bounded weekly relation; the
+      * 26 error ratios round to 9dp and sum as decimal so both means are
+      * order-exact.
+      */
+    "e_seasonal_naive" -> ((s, dir) => {
+      val wk = Tables.load(s, dir, "orders")
+        .select(date_trunc("week", col("o_orderdate")).as("week"),
+          col("o_totalprice"))
+        .groupBy("week")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      val byWeek = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("week"))
+      val rn = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        .orderBy(col("week").desc)
+      val scored = wk.select(col("week"), col("rev"),
+          lag("rev", 52).over(byWeek).as("fc"),
+          row_number().over(rn).as("recency"))
+        .filter(col("recency") <= 26 && col("fc").isNotNull)
+        .select(
+          round(abs(col("rev") - col("fc")) / col("rev"), 9)
+            .cast("decimal(18,9)").as("ape"),
+          round(abs(col("rev") - col("fc")) /
+            ((col("rev") + col("fc")) / 2.0), 9)
+            .cast("decimal(18,9)").as("sape"))
+      scored.groupBy().agg(count(lit(1)).as("n_weeks"),
+        round(sum("ape").cast("double") / count(lit(1)), 6).as("mape"),
+        round(sum("sape").cast("double") / count(lit(1)), 6).as("smape"))
+    }),
+
     /** U-shaped (position-based) multi-touch attribution — first-touch's
       * fairer sibling: each converting user's pre-conversion touches split
       * the credit 40% first / 40% last / 20% across the middles (100% and
@@ -1006,6 +1040,27 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // weekly decimal revenue -> lag-52 + recency cut on the bounded
+    // weekly relation; 9dp-decimal error sums
+    "e_seasonal_naive" ->
+      """WITH wk AS (SELECT date_trunc('week', o_orderdate) AS week,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT week, rev,
+        |    lag(rev, 52) OVER (ORDER BY week) AS fc,
+        |    row_number() OVER (ORDER BY week DESC) AS recency
+        |  FROM wk),
+        |e AS (SELECT
+        |    CAST(round(abs(rev - fc) / rev, 9) AS DECIMAL(18,9)) AS ape,
+        |    CAST(round(abs(rev - fc) / ((rev + fc) / 2.0), 9)
+        |      AS DECIMAL(18,9)) AS sape
+        |  FROM sc WHERE recency <= 26 AND fc IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
+        |FROM e""".stripMargin,
 
     // conversion anchor under the (us-truncated ts, event_id) tuple
     // order; 9dp-decimal credit sums

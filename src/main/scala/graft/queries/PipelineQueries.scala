@@ -1276,6 +1276,39 @@ object PipelineQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
     }),
 
+    /** Embedding-space drift between label cohorts: cosine similarity of
+      * every pair of per-label mean vectors — the "did the new batch's
+      * embedding distribution move" monitor. One explode→hash-aggregate
+      * collapses the vector stream to a (labels × 64-dim) mean relation
+      * (decimal per-dim sums on 6dp-rounded components); dots and norms
+      * are ordered folds over that bounded relation — no vector ever
+      * joins another vector.
+      */
+    "v_embed_drift" -> ((s, dir) => {
+      val m = embs(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+      val a = m.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+      val b = m.select(col("label").as("lb"), col("dim"), col("m").as("mb"))
+      def fold(cs: org.apache.spark.sql.Column) =
+        aggregate(sort_array(cs), lit(0.0), (acc, x) => acc + x.getField("c"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          struct(col("dim"), (col("ma") * col("mb")).as("c")).as("sd"),
+          struct(col("dim"), (col("ma") * col("ma")).as("c")).as("sa"),
+          struct(col("dim"), (col("mb") * col("mb")).as("c")).as("sb"))
+        .groupBy("la", "lb")
+        .agg(fold(collect_list(col("sd"))).as("dot"),
+          fold(collect_list(col("sa"))).as("na"),
+          fold(collect_list(col("sb"))).as("nb"))
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+            .as("cosine"))
+        .orderBy("label_a", "label_b")
+    }),
+
     /** NDCG@10 of the LSH ranking against exact brute force — recall's
       * order-sensitive sibling (recall can't tell a perfect ordering from
       * a reversed one). Graded relevance 11−exact_rank, DCG discounts by
@@ -2485,6 +2518,29 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // per-(label, dim) decimal means over 6dp components; ordered folds
+    // for dots/norms over the bounded mean relation
+    "v_embed_drift" ->
+      """WITH m AS (SELECT label, i AS dim,
+        |    CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY label, i),
+        |p AS (SELECT a.label AS la, b.label AS lb, a.dim,
+        |    a.m * b.m AS sd, a.m * a.m AS sa, b.m * b.m AS sb
+        |  FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label),
+        |f AS (SELECT la, lb,
+        |    list(sd ORDER BY dim) AS ld, list(sa ORDER BY dim) AS lsa,
+        |    list(sb ORDER BY dim) AS lsb
+        |  FROM p GROUP BY la, lb)
+        |SELECT la AS label_a, lb AS label_b,
+        |  round(list_reduce(list_prepend(0.0, ld), (x, y) -> x + y) /
+        |    (sqrt(list_reduce(list_prepend(0.0, lsa), (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(0.0, lsb), (x, y) -> x + y))),
+        |    6) AS cosine
+        |FROM f ORDER BY label_a, label_b""".stripMargin,
 
     // both leg oracles reused; graded relevance + ordered DCG folds
     "v_ndcg" ->

@@ -247,6 +247,22 @@ class PlanShapeSpec extends SparkSpec {
       s"partial+final combine around the single exchange; plan:\n$p")
   }
 
+  test("corr matrix: one scan, one partial+final aggregate for all 15 moments") {
+    val p = plan(SparkEntry.queries("a26_corr_matrix")(spark, sf))
+    assert(countOf(p, "Scan parquet|FileScan") == 1,
+      s"all pairwise moments must ride one scan; plan:\n$p")
+    assert(countOf(p, "HashAggregate") == 2,
+      s"one partial+final moment aggregate; plan:\n$p")
+  }
+
+  test("prefix-filter join: equi-joins only, no nested-loop or cartesian") {
+    val p = plan(graft.operators.Dedup.prefixFilterJaccardPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", 3, 2, 5))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation and verify are equi-joins; plan:\n$p")
+  }
+
   test("star-CC round: 3 exchanges, 0 joins (window minima + explode legs)") {
     import spark.implicits._
     val e = Seq((5L, 1L), (4L, 2L), (3L, 1L), (9L, 3L))
