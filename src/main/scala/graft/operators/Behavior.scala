@@ -46,6 +46,34 @@ object Behavior {
     }.reduce(_ unionByName _).orderBy("stage")
   }
 
+  /** Time-boxed funnel: like [[funnel]], but each stage must follow the
+    * previous one within `window` (a SQL interval literal, e.g.
+    * "1 HOUR") — the "did the user click within an hour of viewing"
+    * question, where the unbounded funnel overcounts lazy conversions.
+    * Same greedy earliest-anchor semantics and the same per-stage
+    * aggregation-cascade shape (one keyed aggregate per stage, no
+    * per-user event lists); counts are monotonically ≤ the unbounded
+    * funnel's stage for stage.
+    */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, stages: Seq[String],
+                     window: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.join(prev, events(userCol) === prev("__u"))
+        .filter(col(typeCol) === stage && col(tsCol) > col("__t") &&
+          col(tsCol) <= col("__t") + expr(s"INTERVAL $window"))
+        .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
   /** Weekly cohort retention: users bucketed by the ISO week of their first
     * event; for each (cohort week, week offset), how many of that cohort
     * were active. Two aggregates and one equi-join, all keyed on the user —

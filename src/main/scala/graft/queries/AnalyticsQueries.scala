@@ -229,6 +229,25 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** Multi-aggregate pivot — a1's wide sibling: one pivot carrying TWO
+      * measures per spread value (Spark names the columns
+      * `{value}_{aggAlias}`), so the crosstab a spreadsheet user exports
+      * comes from one shuffle instead of per-measure passes. Explicit
+      * pivot values keep the plan single-pass (no distinct-values
+      * pre-query) — the form that matters when the spread column's
+      * cardinality is known.
+      */
+    "a31_pivot_multi" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / count(col("l_extendedprice")), 4)
+            .as("avg_price"))
+        .orderBy("l_linestatus")),
+
     /** Poisson-bootstrap confidence interval for the mean (the streaming/
       * distributed bootstrap of Chamandy et al.: resampling-with-
       * replacement ≈ independent Poisson(1) multiplicities, so B replicate
@@ -1175,6 +1194,33 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // conditional aggregation mirrors the explicit-values pivot
+    "a31_pivot_multi" ->
+      """SELECT l_linestatus,
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS "A_sum_qty",
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN l_returnflag = 'A'
+        |      THEN l_extendedprice END), 4) AS "A_avg_price",
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS "N_sum_qty",
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN l_returnflag = 'N'
+        |      THEN l_extendedprice END), 4) AS "N_avg_price",
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS "R_sum_qty",
+        |  round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN l_returnflag = 'R'
+        |      THEN l_extendedprice END), 4) AS "R_avg_price"
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     // identical Poisson(1) CDF threshold literals; decimal replicate
     // sums; quantile_cont ≡ percentile (a4 idiom) over the 32-row relation

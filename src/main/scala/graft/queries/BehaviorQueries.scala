@@ -38,6 +38,15 @@ object BehaviorQueries {
       Behavior.funnel(events(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
 
+    /** Time-boxed funnel: each stage within 24 hours of the previous —
+      * the conversion-velocity question the unbounded e_funnel can't
+      * answer. Same aggregation-cascade shape; see
+      * [[graft.operators.Behavior.funnelWindowed]].
+      */
+    "e_funnel_windowed" -> ((s, dir) =>
+      Behavior.funnelWindowed(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), window = "24 HOURS")),
+
     /** Weekly cohort retention triangle over the events table. */
     "e_retention" -> ((s, dir) =>
       Behavior.weeklyRetention(events(s, dir), "user_id", "ts")),
@@ -853,6 +862,28 @@ object BehaviorQueries {
         |s3 AS (SELECT e.user_id, min(e.ts) AS t
         |       FROM e JOIN s2 ON e.user_id = s2.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+
+    "e_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |                  event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 24 HOURS
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 24 HOURS
         |       GROUP BY e.user_id)
         |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
         |UNION ALL

@@ -344,6 +344,51 @@ object MaintenanceQueries {
         QualityModel.scored(docs(s, dir), "doc_id", "text"),
         "lr_score", "label")),
 
+    /** ANALYZE-style column statistics — the table profile a cost-based
+      * optimizer (and the a27 sketch sizing) feeds on: per column, null
+      * count, exact NDV, and typed min/max, all computed in ONE pass over
+      * the fact table (a single aggregate holding every column's
+      * expressions — contrast running ANALYZE per column). The long-format
+      * fan-out explodes literal structs off the 1-row result, the a26
+      * pattern; numeric and string extrema ride separate typed columns
+      * rather than a lossy string cast.
+      */
+    "o_analyze" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val numCols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val aggs =
+        (numCols ++ strCols).flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+        } ++
+        numCols.flatMap { c => Seq(
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"))
+        } ++
+        strCols.flatMap { c => Seq(
+          min(col(c)).as(s"sn_$c"), max(col(c)).as(s"sx_$c"))
+        }
+      val m = li.agg(count(lit(1)).as("n"), aggs: _*)
+      val rows =
+        numCols.map { c =>
+          struct(lit(c).as("column"), col("n").as("n_rows"),
+            col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("ndv"),
+            col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        } ++ strCols.map { c =>
+          struct(lit(c).as("column"), col("n").as("n_rows"),
+            col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("ndv"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col(s"sn_$c").as("min_str"), col(s"sx_$c").as("max_str"))
+        }
+      m.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .orderBy("column")
+    }),
+
     /** Decile lift table for the trained quality model — the third panel
       * of the model audit beside calibration and AUC: rank-order the
       * corpus into ten score deciles and report each decile's positive
@@ -794,6 +839,43 @@ object MaintenanceQueries {
          |  round(CAST(sum(numer2) AS DOUBLE) /
          |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
          |FROM r GROUP BY p, n""".stripMargin),
+
+    // one aggregate over every column's stats, fanned out per column
+    "o_analyze" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_ok,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS mn_ok, CAST(max(l_orderkey) AS DOUBLE) AS mx_ok,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pk,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_pk,
+        |  CAST(min(l_partkey) AS DOUBLE) AS mn_pk, CAST(max(l_partkey) AS DOUBLE) AS mx_pk,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_q,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_q,
+        |  CAST(min(l_quantity) AS DOUBLE) AS mn_q, CAST(max(l_quantity) AS DOUBLE) AS mx_q,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ep,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_ep,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS mn_ep, CAST(max(l_extendedprice) AS DOUBLE) AS mx_ep,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_rf,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_rf,
+        |  min(l_returnflag) AS sn_rf, max(l_returnflag) AS sx_rf,
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ls,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd_ls,
+        |  min(l_linestatus) AS sn_ls, max(l_linestatus) AS sx_ls
+        |FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", n AS n_rows, nn_ok AS n_nulls,
+        |  nd_ok AS ndv, mn_ok AS min_num, mx_ok AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM m
+        |UNION ALL SELECT 'l_partkey', n, nn_pk, nd_pk, mn_pk, mx_pk,
+        |  NULL, NULL FROM m
+        |UNION ALL SELECT 'l_quantity', n, nn_q, nd_q, mn_q, mx_q,
+        |  NULL, NULL FROM m
+        |UNION ALL SELECT 'l_extendedprice', n, nn_ep, nd_ep, mn_ep, mx_ep,
+        |  NULL, NULL FROM m
+        |UNION ALL SELECT 'l_returnflag', n, nn_rf, nd_rf,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), sn_rf, sx_rf FROM m
+        |UNION ALL SELECT 'l_linestatus', n, nn_ls, nd_ls,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), sn_ls, sx_ls FROM m
+        |ORDER BY "column"""".stripMargin,
 
     // scored relation (same CTEs) → score histogram → decile via
     // integer DIV of the exclusive cumulative; decimal per-decile means
