@@ -229,6 +229,48 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** Benford first-digit audit — the forensic data-quality screen for a
+      * value column (fabricated or truncated monetary data drifts from
+      * log10(1+1/d)): observed first-digit frequencies of order totals
+      * beside the Benford expectation and the absolute deviation. The
+      * digit comes from the FLOOR'd integer via a DIV ladder (no
+      * double→string formatting, no log10 of data — both engine traps);
+      * digits 1–9 scaffold in so a missing digit reports 0, not nothing.
+      * One conditional-count aggregate is the only data-sized work.
+      */
+    "a32_benford" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice")).cast("long").as("dd"))
+      val fd = expr("""CASE WHEN dd >= 100000000 THEN dd DIV 100000000
+        WHEN dd >= 10000000 THEN dd DIV 10000000
+        WHEN dd >= 1000000 THEN dd DIV 1000000
+        WHEN dd >= 100000 THEN dd DIV 100000
+        WHEN dd >= 10000 THEN dd DIV 10000
+        WHEN dd >= 1000 THEN dd DIV 1000
+        WHEN dd >= 100 THEN dd DIV 100
+        WHEN dd >= 10 THEN dd DIV 10
+        ELSE dd END""")
+      val counts = o.select(fd.cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val scaffold = o.groupBy().agg(count(lit(1)).as("total"))
+        .select(col("total"), explode(sequence(lit(1), lit(9))).as("digit"))
+      val benford = Seq(0.301029995663981, 0.176091259055681,
+        0.1249387366083, 0.096910013008056, 0.079181246047625,
+        0.066946789630613, 0.057991946977687, 0.051152522447381,
+        0.045757490560675)
+      val bf = benford.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (f, i)) => when(col("digit") === i + 1, f).otherwise(acc)
+      }
+      scaffold.join(counts, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          round(coalesce(col("n"), lit(0L)).cast("double") /
+            col("total").cast("double"), 6).as("obs_freq"),
+          round(bf, 6).as("benford_freq"),
+          round(abs(coalesce(col("n"), lit(0L)).cast("double") /
+            col("total").cast("double") - bf), 6).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
     /** Multi-aggregate pivot — a1's wide sibling: one pivot carrying TWO
       * measures per spread value (Spark names the columns
       * `{value}_{aggAlias}`), so the crosstab a spreadsheet user exports
@@ -1194,6 +1236,39 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // FLOOR'd integer DIV ladder; identical Benford literals; scaffolded
+    // digits; deviation computed on the unrounded frequency
+    "a32_benford" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS dd
+        |  FROM orders),
+        |c AS (SELECT CAST(CASE WHEN dd >= 100000000 THEN dd // 100000000
+        |    WHEN dd >= 10000000 THEN dd // 10000000
+        |    WHEN dd >= 1000000 THEN dd // 1000000
+        |    WHEN dd >= 100000 THEN dd // 100000
+        |    WHEN dd >= 10000 THEN dd // 10000
+        |    WHEN dd >= 1000 THEN dd // 1000
+        |    WHEN dd >= 100 THEN dd // 100
+        |    WHEN dd >= 10 THEN dd // 10
+        |    ELSE dd END AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM o),
+        |s AS (SELECT total, unnest(generate_series(1, 9)) AS digit FROM t),
+        |b AS (SELECT s.digit, s.total, coalesce(c.n, 0) AS n,
+        |    CASE s.digit WHEN 1 THEN 0.301029995663981
+        |      WHEN 2 THEN 0.176091259055681 WHEN 3 THEN 0.1249387366083
+        |      WHEN 4 THEN 0.096910013008056 WHEN 5 THEN 0.079181246047625
+        |      WHEN 6 THEN 0.066946789630613 WHEN 7 THEN 0.057991946977687
+        |      WHEN 8 THEN 0.051152522447381 ELSE 0.045757490560675
+        |    END AS bf
+        |  FROM s LEFT JOIN c ON s.digit = c.digit)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_freq,
+        |  round(bf, 6) AS benford_freq,
+        |  round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - bf), 6)
+        |    AS abs_dev
+        |FROM b ORDER BY digit""".stripMargin,
 
     // conditional aggregation mirrors the explicit-values pivot
     "a31_pivot_multi" ->

@@ -344,6 +344,42 @@ object MaintenanceQueries {
         QualityModel.scored(docs(s, dir), "doc_id", "text"),
         "lr_score", "label")),
 
+    /** Referential-integrity audit over the star schema's FK edges: per
+      * edge, child row count, orphan rows (no matching parent), and
+      * distinct orphan keys — the "can I trust my joins" check that runs
+      * before any fact-dim query ships. Each edge is one left-anti join;
+      * dims broadcast, the fact side shuffles at most once, and the four
+      * 1-row results union into the report. (The synthetic schema is
+      * FK-clean, so the expected orphan column is zero — the audit
+      * proves it rather than assumes it.)
+      */
+    "o_fk_audit" -> ((s, dir) => {
+      import s.implicits._
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) = {
+        val orphans = child.select(col(ck).as("k"))
+          .join(broadcast(parent.select(col(pk).as("k"))), Seq("k"),
+            "left_anti")
+        val n = child.count()
+        val o = orphans.count()
+        val od = orphans.distinct().count()
+        (name, n, o, od)
+      }
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val p = Tables.load(s, dir, "part")
+      val na = Tables.load(s, dir, "nation")
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", na,
+          "n_nationkey"))
+        .toDF("fk_edge", "n_child_rows", "n_orphan_rows", "n_orphan_keys")
+        .orderBy("fk_edge")
+    }),
+
     /** ANALYZE-style column statistics — the table profile a cost-based
       * optimizer (and the a27 sketch sizing) feeds on: per column, null
       * count, exact NDV, and typed min/max, all computed in ONE pass over
@@ -839,6 +875,36 @@ object MaintenanceQueries {
          |  round(CAST(sum(numer2) AS DOUBLE) /
          |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
          |FROM r GROUP BY p, n""".stripMargin),
+
+    // one anti-join per FK edge, dims broadcast; 1-row legs unioned
+    "o_fk_audit" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+        |    CAST(count(*) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        |  FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)),
+        |e2 AS (SELECT 'lineitem.l_partkey->part',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |  FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)),
+        |e3 AS (SELECT 'orders.o_custkey->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)),
+        |e4 AS (SELECT 'customer.c_nationkey->nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT)
+        |  FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation))
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |ORDER BY fk_edge""".stripMargin,
 
     // one aggregate over every column's stats, fanned out per column
     "o_analyze" ->
