@@ -26,7 +26,9 @@ object ScaleEvidence {
     "v_ann_ivfpq",    // IVF cell pruning + compressed-domain PQ ranking
     "d_incr_lsh",     // stored-index probe: batch-sized work vs the corpus
     "t_shuffle_order",// per-shard epoch-order windows, no global sort
-    "t_pipeline_v2")  // gate -> decontam -> shard plan end-to-end
+    "t_pipeline_v2",  // gate -> decontam -> shard plan end-to-end
+    "d_prefix_join",  // rare-shingle prefix index: exact join, pruned candidates
+    "m_phash_dedup")  // dHash banding over binary payloads
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
