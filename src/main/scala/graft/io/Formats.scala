@@ -34,6 +34,7 @@ object Formats {
   sealed trait Format { def name: String }
   case object ParquetF extends Format { val name = "parquet" }
   case object CsvF     extends Format { val name = "csv" }
+  case object CsvGzF   extends Format { val name = "csv.gz" }
   case object JsonF    extends Format { val name = "json" }
   case object ExcelF   extends Format { val name = "xlsx" }
   case object OrcF     extends Format { val name = "orc" }
@@ -43,6 +44,7 @@ object Formats {
   def detect(path: String): Format = {
     val p = path.toLowerCase
     if (p.endsWith(".parquet")) ParquetF
+    else if (p.endsWith(".csv.gz")) CsvGzF
     else if (p.endsWith(".csv")) CsvF
     else if (p.endsWith(".json") || p.endsWith(".jsonl")) JsonF
     else if (p.endsWith(".xlsx")) ExcelF
@@ -60,7 +62,10 @@ object Formats {
   /** S1/S2/S4: lazy, schema-inferred scan by extension. */
   def read(spark: SparkSession, path: String): DataFrame = detect(path) match {
     case ParquetF => spark.read.parquet(path)
-    case CsvF =>
+    case CsvF | CsvGzF =>
+      // Hadoop's codec registry decompresses .gz transparently on read —
+      // the compressed variant needs no reader-side branch (gzip is not
+      // splittable: one stream per file, the interchange tradeoff)
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case JsonF =>
       // pandas columns-orient (the reference's `df.to_json(file)` default,
@@ -101,7 +106,7 @@ object Formats {
            schema: org.apache.spark.sql.types.StructType): DataFrame =
     detect(path) match {
       case ParquetF => spark.read.schema(schema).parquet(path)
-      case CsvF =>
+      case CsvF | CsvGzF =>
         spark.read.option("header", "true").schema(schema).csv(path)
       case JsonF if !PandasJson.looksColumnar(path) =>
         spark.read.option("multiLine", detectMultiline(path).toString)
@@ -135,6 +140,9 @@ object Formats {
     case ParquetF => df.write.mode(SaveMode.Overwrite).parquet(path)
     case CsvF =>
       df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    case CsvGzF =>
+      df.write.mode(SaveMode.Overwrite).option("header", "true")
+        .option("compression", "gzip").csv(path)
     case JsonF => df.write.mode(SaveMode.Overwrite).json(path)
     case ExcelF => ExcelIO.write(df, path)
     case OrcF => df.write.mode(SaveMode.Overwrite).orc(path)
@@ -163,6 +171,8 @@ object Formats {
       case ParquetF => df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       case CsvF => df.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(tmp)
+      case CsvGzF => df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").option("compression", "gzip").csv(tmp)
       case JsonF => df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
       case OrcF => df.coalesce(1).write.mode(SaveMode.Overwrite).orc(tmp)
       case ExcelF =>

@@ -229,6 +229,29 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** Window frame-navigation surface: first_value / nth_value over the
+      * growing frame and first_value over a bounded sliding frame, all on
+      * one per-group (ROWS-framed, totally-ordered) window sort — the
+      * navigation family w_lag_ma/w_topn don't cover. Explicit ROWS
+      * frames pin the semantics engines could otherwise default
+      * differently; the (shipdate, orderkey, linenumber) order is total,
+      * so every navigated value is unique.
+      */
+    "w_frame_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val slide = w.rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          first("l_extendedprice").over(grow).as("first_price"),
+          nth_value(col("l_extendedprice"), 3).over(grow).as("third_price"),
+          first("l_extendedprice").over(slide).as("slide_first"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
     /** Benford first-digit audit — the forensic data-quality screen for a
       * value column (fabricated or truncated monetary data drifts from
       * log10(1+1/d)): observed first-digit frequencies of order totals
@@ -1236,6 +1259,21 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // explicit ROWS frames; total (shipdate, orderkey, linenumber) order
+    "w_frame_nav" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  first_value(l_extendedprice) OVER g AS first_price,
+        |  nth_value(l_extendedprice, 3) OVER g AS third_price,
+        |  first_value(l_extendedprice) OVER s AS slide_first
+        |FROM lineitem WHERE l_orderkey < 1000
+        |WINDOW g AS (PARTITION BY l_returnflag
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  s AS (PARTITION BY l_returnflag
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
     // FLOOR'd integer DIV ladder; identical Benford literals; scaffolded
     // digits; deviation computed on the unrounded frequency

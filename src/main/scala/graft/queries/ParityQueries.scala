@@ -161,6 +161,23 @@ object ParityQueries {
         .orderBy("o_orderkey")
     }),
 
+    /** Gzip-compressed CSV round-trip — the interchange format logs and
+      * legacy exports actually arrive in. Write path sets the codec;
+      * read path needs no branch (Hadoop's codec registry decompresses
+      * `.gz` transparently). Gzip is not splittable — one stream per
+      * file — which is exactly why [[graft.io.Formats.write]] emits one
+      * compressed part per task rather than one giant file.
+      */
+    "s_csv_gz_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("vrfy_csvgz_")
+        .toString + "/orders.csv.gz"
+      graft.io.Formats.write(Tables.load(s, dir, "orders"), out)
+      graft.io.Formats.read(s, out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"))
+        .orderBy("o_orderkey")
+    }),
+
     /** S3/S7 round-trip via the dependency-free xlsx codec. */
     "s37_xlsx_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("vrfy_xlsx_").toString + "/nation.xlsx"
@@ -356,6 +373,12 @@ object ParityQueries {
          |FROM t WHERE __pos >= 100 AND __pos < 120 ORDER BY __pos""".stripMargin,
 
     "s2_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // identity: the compressed round-trip must lose nothing
+    "s_csv_gz_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
