@@ -530,6 +530,25 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with EXACT candidate generation: the
+    * prefix-filtering join supplies provably-complete pairs, so the whole
+    * near-dedup pipeline (pairs → star-CC → keep representatives) is
+    * deterministic-exact end to end — no LSH recall curve to reason
+    * about. Costs more than the banded path when near-dup families are
+    * pervasive (the prefix index still touches every rare shingle), which
+    * is the tradeoff: LSH when you can tolerate the (1-(1-j^r)^b) recall
+    * bound, prefixes when the dedup must be a proof.
+    */
+  def dropNearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, tNum: Int = 2,
+                              tDen: Int = 5): DataFrame = {
+    val pairs = prefixFilterJaccardPairs(df, idCol, textCol, n, tNum, tDen)
+    val cc = Graph.starConnectedComponents(pairs, "id_i", "id_j")
+    val losers = cc.filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embeddings (deterministic k-means seeding from
     * [[Clustering.seedCentroids]]), then within each cluster drop every

@@ -38,6 +38,27 @@ object BehaviorQueries {
       Behavior.funnel(events(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
 
+    /** The funnel as a custom-state operator: per-user
+      * flatMapGroupsWithState replays the greedy earliest-anchor chain
+      * from a compact per-user event list (the state an out-of-order
+      * stream needs — see [[graft.streaming.EventStreams.funnelStateful]]),
+      * then a stage rollup. Registered against the SAME oracle as
+      * e_funnel: the two execution strategies must land on identical
+      * semantics.
+      */
+    "e_funnel_stateful" -> ((s, dir) => {
+      val stages = Seq("view", "click", "purchase")
+      val r = EventStreams.funnelStateful(events(s, dir), stages).toDF()
+      val counts = r.groupBy("stage").agg(count(lit(1)).as("m"))
+      stages.indices.map { i =>
+        val k = i + 1
+        counts.filter(col("stage") >= k)
+          .agg(coalesce(sum("m"), lit(0L)).as("users"))
+          .select(lit(k).as("stage"), lit(stages(i)).as("event_type"),
+            col("users"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
     /** Time-boxed funnel: each stage within 24 hours of the previous —
       * the conversion-velocity question the unbounded e_funnel can't
       * answer. Same aggregation-cascade shape; see
@@ -849,8 +870,10 @@ object BehaviorQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "e_funnel" ->
+  /** Single-copy cascade oracle shared by e_funnel and its stateful
+    * twin (the operator contract is equality with this exact semantics).
+    */
+  private lazy val funnelOracle: String =
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
         |                  event_type FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t FROM e
@@ -868,7 +891,14 @@ object BehaviorQueries {
         |SELECT 2, 'click', count(*) FROM s2
         |UNION ALL
         |SELECT 3, 'purchase', count(*) FROM s3
-        |ORDER BY stage""".stripMargin,
+        |ORDER BY stage""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "e_funnel" -> funnelOracle,
+    // the stateful operator must land on the identical cascade semantics
+    "e_funnel_stateful" -> funnelOracle,
+
+
 
     "e_funnel_windowed" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,

@@ -956,6 +956,17 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    /** Near-dedup with EXACT (prefix-filter) candidates — the provable
+      * variant of d_drop_near, sharing its brute-force oracle: a green
+      * row here is a proof of completeness, not a recall estimate. See
+      * [[graft.operators.Dedup.dropNearDuplicatesExact]].
+      */
+    "d_drop_near_exact" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesExact(docs(s, dir), "doc_id", "text",
+        n = 3, tNum = 2, tDen = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // the oracle-checkable SimHash: md5-derived 60-bit token hashes both
     // engines can compute bit-identically
     "d_simhash_md5" -> ((s, dir) =>
@@ -2381,19 +2392,10 @@ object PipelineQueries {
         |FROM d, (SELECT unnest(generate_series(0, 3)) AS i)
         |WHERE i * c < len ORDER BY doc_id, frame_idx""".stripMargin,
 
-    "d_drop_near" ->
-      s"""WITH RECURSIVE pairs AS MATERIALIZED ($jaccardPairsOracle),
-         |edges AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs
-         |          UNION SELECT doc_j, doc_i FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS node FROM edges),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node),
-         |cc AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
-         |SELECT doc_id, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
-         |ORDER BY doc_id""".stripMargin,
+    "d_drop_near" -> dropNearOracle,
+    // exact candidates, same survivors: completeness is the contract
+    "d_drop_near_exact" -> dropNearOracle,
+
 
     "v_ann_topk" -> annTopkOracle,
     // incremental == full recompute is the contract: same oracle
@@ -3246,6 +3248,23 @@ object PipelineQueries {
        |  round(nrm, 6) AS sigma
        |FROM w$rounds CROSS JOIN n$rounds ORDER BY dim""".stripMargin
   }
+
+  /** Brute pairs -> recursive-CTE CC -> survivors: shared by the LSH and
+    * the exact-prefix dedup paths (both must land on these survivors).
+    */
+  private lazy val dropNearOracle: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($jaccardPairsOracle),
+         |edges AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs
+         |          UNION SELECT doc_j, doc_i FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.node),
+         |cc AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
+         |ORDER BY doc_id""".stripMargin
 
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),

@@ -78,6 +78,57 @@ object EventStreams {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  case class TEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class StageReached(user_id: Long, stage: Int)
+
+  /** Funnel progress as a custom-state operator
+    * (`flatMapGroupsWithState`): per user, the greedy earliest-anchor
+    * chain (the e_funnel semantics) evaluated from a compact state — one
+    * (type, ts) vector per user, bounded by that user's funnel-type
+    * events, never the whole stream. Emits (user_id, deepest stage
+    * reached ≥ 1); the stage-count rollup is a downstream aggregate.
+    *
+    * Why state is the event list and not a stage cursor: the greedy chain
+    * re-anchors when an EARLIER stage-1 event arrives (out-of-order
+    * delivery), which a bare cursor cannot undo — the list is the minimal
+    * state that replays exactly, and it is what makes the operator equal
+    * to the batch cascade on any arrival order (spec-pinned).
+    */
+  def funnelStateful(events: DataFrame,
+                     stages: Seq[String]): Dataset[StageReached] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def usOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def chain(evs: Seq[(String, Long)]): Int = {
+      var anchor = Long.MinValue
+      var depth = 0
+      stages.foreach { st =>
+        if (depth == stages.indexOf(st)) {
+          val next = evs.iterator
+            .filter(e => e._1 == st &&
+              (if (depth == 0) true else e._2 > anchor))
+            .map(_._2).reduceOption(_ min _)
+          next.foreach { t => anchor = t; depth += 1 }
+        }
+      }
+      depth
+    }
+    events.select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin(stages: _*)).as[TEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[(String, Long)], StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TEv], state: GroupState[Vector[(String, Long)]]) =>
+          val upd = state.getOption.getOrElse(Vector.empty) ++
+            it.map(e => (e.event_type, usOf(e.ts)))
+          state.update(upd)
+          val d = chain(upd)
+          if (d >= 1) Iterator(StageReached(uid, d)) else Iterator.empty
+      }
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Sess(user_id: Long, sess_start: java.sql.Timestamp,
                   sess_end: java.sql.Timestamp, n_events: Long, sum_value: Double)

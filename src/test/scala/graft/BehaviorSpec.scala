@@ -26,6 +26,33 @@ class FunnelSpec extends SparkSpec {
       Row(1, "view", 3L), Row(2, "click", 1L), Row(3, "purchase", 1L)))
   }
 
+  test("stateful funnel == cascade funnel on any partitioning/arrival order") {
+    val stages = Seq("view", "click", "purchase")
+    def rollup(sr: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      stages.indices.map { i =>
+        (i + 1, sr.filter(col("stage") >= i + 1).count())
+      }
+    val base = Tables.loadEvents(spark, sf)
+    val cascade = Behavior.funnel(base, "user_id", "ts", "event_type", stages)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    Seq(base, base.repartition(7), base.orderBy(col("ts").desc))
+      .foreach { arrangement =>
+        val got = rollup(graft.streaming.EventStreams
+          .funnelStateful(arrangement, stages).toDF())
+        assert(got == cascade, s"stateful diverged: $got vs $cascade")
+      }
+  }
+
+  test("stateful funnel re-anchors on an out-of-order earlier stage-1 event") {
+    // events arrive purchase-first; the chain only closes because the
+    // state replays, not cursors forward
+    val e = ev((1L, 30L, "purchase"), (1L, 20L, "click"), (1L, 10L, "view"))
+    val got = graft.streaming.EventStreams
+      .funnelStateful(e, Seq("view", "click", "purchase"))
+      .collect().map(s => (s.user_id, s.stage)).toSeq
+    assert(got == Seq((1L, 3)))
+  }
+
   test("stage events at the exact same timestamp do not advance the funnel") {
     val e = ev((1L, 10L, "view"), (1L, 10L, "click"))
     val got = Behavior.funnel(e, "user_id", "ts", "event_type",
