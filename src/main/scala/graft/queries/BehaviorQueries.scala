@@ -265,6 +265,60 @@ object BehaviorQueries {
       }
     }),
 
+    /** Cohort lifetime-value triangle — retention's revenue sibling:
+      * cumulative event value per cohort user by weeks-since-first-seen.
+      * The data-sized work is one (user, week) decimal aggregate and the
+      * user-keyed cohort join (co-partitioned, as in e_retention); the
+      * cumulative runs per cohort over the bounded age axis. Week
+      * arithmetic stays on Monday-truncated dates (exact multiples of 7
+      * days), so the age division is integer-exact on any engine.
+      */
+    "e_ltv" -> ((s, dir) => {
+      val e = events(s, dir)
+      val wk = date_trunc("week", col("ts"))
+      val perUserWeek = e.select(col("user_id"), wk.as("week"),
+          col("value"))
+        .groupBy("user_id", "week")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(wk).as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_users"))
+      val aged = perUserWeek.join(cohort, Seq("user_id"))
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+            .as("age_weeks"), col("v"))
+        .groupBy("cohort_week", "age_weeks").agg(sum("v").as("wv"))
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_week").orderBy(col("age_weeks"))
+      aged.join(sizes, Seq("cohort_week"))
+        .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+          round(sum("wv").over(cum).cast("double") /
+            col("cohort_users").cast("double"), 6).as("cum_value_per_user"))
+        .orderBy("cohort_week", "age_weeks")
+    }),
+
+    /** Day-of-week seasonality indexes: each weekday's event volume and
+      * value relative to the all-days mean (the multiplicative seasonal
+      * profile a forecast divides out). One 7-cell conditional aggregate;
+      * the index arithmetic runs on the 7-row relation with BIGINT counts
+      * and decimal value sums until the final divisions.
+      */
+    "e_dow_seasonality" -> ((s, dir) => {
+      val d = events(s, dir).select(dayofweek(col("ts")).as("dow"),
+        col("value"))
+      val cells = d.groupBy("dow").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("v"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      cells.select(col("dow"), col("n"),
+          round(col("v").cast("double"), 4).as("value_sum"),
+          round(col("n").cast("double") * 7.0 /
+            sum("n").over(tot).cast("double"), 6).as("volume_index"),
+          round(col("v").cast("double") * 7.0 /
+            sum("v").over(tot).cast("double"), 6).as("value_index"))
+        .orderBy("dow")
+    }),
+
     /** Seasonal-naive forecast backtest — the baseline every demand model
       * must beat, evaluated in-engine: forecast(week) = revenue(week−52),
       * scored by MAPE and SMAPE over the last 26 fully-covered weeks. The
@@ -1101,6 +1155,45 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // (user, week) decimal sums -> cohort join -> per-cohort cumulative
+    // over the bounded age axis; Monday weeks make the /7 exact
+    "e_ltv" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS week, value
+        |  FROM events),
+        |puw AS (SELECT user_id, week,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM e GROUP BY user_id, week),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e
+        |  GROUP BY user_id),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+        |    AS cohort_users FROM c GROUP BY cohort_week),
+        |aged AS (SELECT c.cohort_week,
+        |    CAST(date_diff('day', c.cohort_week, puw.week) / 7 AS INT)
+        |      AS age_weeks,
+        |    sum(puw.v) AS wv
+        |  FROM puw JOIN c USING (user_id)
+        |  GROUP BY c.cohort_week, 2)
+        |SELECT a.cohort_week, a.age_weeks, sz.cohort_users,
+        |  round(CAST(sum(a.wv) OVER (PARTITION BY a.cohort_week
+        |      ORDER BY a.age_weeks) AS DOUBLE)
+        |    / CAST(sz.cohort_users AS DOUBLE), 6) AS cum_value_per_user
+        |FROM aged a JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+
+    // 7-cell aggregate; duck dayofweek is 0-based (Sunday=0) vs Spark's
+    // 1-based, hence the +1
+    "e_dow_seasonality" ->
+      """WITH d AS (SELECT dayofweek(ts) + 1 AS dow,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |cells AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS v FROM d GROUP BY dow)
+        |SELECT dow, n, round(CAST(v AS DOUBLE), 4) AS value_sum,
+        |  round(CAST(n AS DOUBLE) * 7.0
+        |    / CAST(sum(n) OVER () AS DOUBLE), 6) AS volume_index,
+        |  round(CAST(v AS DOUBLE) * 7.0
+        |    / CAST(sum(v) OVER () AS DOUBLE), 6) AS value_index
+        |FROM cells ORDER BY dow""".stripMargin,
 
     // weekly decimal revenue -> lag-52 + recency cut on the bounded
     // weekly relation; 9dp-decimal error sums

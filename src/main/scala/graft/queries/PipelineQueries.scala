@@ -1287,6 +1287,33 @@ object PipelineQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
     }),
 
+    /** Semantic (embedding-space) decontamination — t_decontam's vector
+      * sibling: flag corpus vectors as similar to a held-out eval
+      * vector as the corpus's own near-duplicates are to each other
+      * (the d_embed_cosine threshold), catching the paraphrased
+      * contamination n-gram overlap misses. The eval slice (every 50th vector) is benchmark-sized, so
+      * it broadcasts; each corpus vector scores against it in one
+      * broadcast-join pass (corpus × eval_size cosines, never corpus ×
+      * corpus) with a max-aggregate back to one row per vector.
+      */
+    "v_decontam_semantic" -> ((s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = embs(s, dir)
+      val eval_ = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      corpus.crossJoin(broadcast(eval_))
+        .select(col("vec_id"),
+          round(call_function(graft.functions.VectorExpressions.COSINE_FN,
+            col("embedding"), col("ev")), 6).as("sim"))
+        .groupBy("vec_id").agg(max("sim").as("max_eval_sim"))
+        .select(col("vec_id"), col("max_eval_sim"),
+          when(col("max_eval_sim") >= 0.4, 1L).otherwise(0L)
+            .as("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     /** Embedding-space drift between label cohorts: cosine similarity of
       * every pair of per-label mean vectors — the "did the new batch's
       * embedding distribution move" monitor. One explode→hash-aggregate
@@ -2520,6 +2547,22 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // eval slice × corpus cosines (6dp, the ANN idiom), max per vector
+    "v_decontam_semantic" ->
+      """WITH ev AS (SELECT vec_id AS eval_id,
+        |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |s AS (SELECT c.vec_id,
+        |    max(round(list_cosine_similarity(c.v, ev.e), 6))
+        |      AS max_eval_sim
+        |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id, max_eval_sim,
+        |  CAST(CASE WHEN max_eval_sim >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // per-(label, dim) decimal means over 6dp components; ordered folds
     // for dots/norms over the bounded mean relation
