@@ -265,6 +265,91 @@ object BehaviorQueries {
       }
     }),
 
+    /** Burstiness index per event type (Goh & Barabási 2008,
+      * B = (σ−μ)/(σ+μ) over inter-event gaps): −1 = metronome, 0 =
+      * Poisson, →1 = heavy bursts — the one-number answer to "is this
+      * stream machine-regular or human-bursty". Gaps are integer
+      * microseconds from the e_gap_stats lag idiom; moment sums ride
+      * DECIMAL(38,0) (gap² ~1e20 overflows BIGINT), and only the closed
+      * form at the end touches doubles.
+      */
+    "e_burstiness" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("us").asc, col("event_id").asc)
+      val gaps = e.select(col("event_type"),
+          (col("us") - lag("us", 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+      val m = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap").cast("decimal(38,0)")).as("sg"),
+          sum(col("gap").cast("decimal(19,0)") *
+            col("gap").cast("decimal(19,0)")).as("sgg"))
+      val nD = col("n").cast("double")
+      val mu = col("sg").cast("double") / nD
+      val sd = sqrt((col("sgg").cast("double") -
+        col("sg").cast("double") * col("sg").cast("double") / nD) /
+        (nD - 1.0))
+      m.select(col("event_type"), col("n").as("n_gaps"),
+          round(mu, 4).as("mean_gap_us"),
+          round(sd / mu, 6).as("cv"),
+          round((sd - mu) / (sd + mu), 6).as("burstiness"))
+        .orderBy("event_type")
+    }),
+
+    /** RFM segmentation — the marketing-standard user partition: each
+      * user scores 1–5 on Recency (days since last event, vs the corpus
+      * max day), Frequency (event count), and Monetary (decimal value
+      * sum) against the exact quintile boundaries of the per-user
+      * distribution (the a4 percentile idiom; a21's histogram sketch is
+      * the stated 100 TB path for the boundary pass). Boundaries are a
+      * 1-row broadcast; scoring is a map pass; the output is the 5×5×5
+      * segment census.
+      */
+    "e_rfm" -> ((s, dir) => {
+      val e = events(s, dir)
+      val anchor = e.groupBy().agg(max(to_date(col("ts"))).as("maxd"))
+      val perUser = e.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("mon"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+      val qs = perUser.groupBy().agg(
+        round(expr("percentile(rec, 0.2)"), 6).as("r1"),
+        round(expr("percentile(rec, 0.4)"), 6).as("r2"),
+        round(expr("percentile(rec, 0.6)"), 6).as("r3"),
+        round(expr("percentile(rec, 0.8)"), 6).as("r4"),
+        round(expr("percentile(freq, 0.2)"), 6).as("f1"),
+        round(expr("percentile(freq, 0.4)"), 6).as("f2"),
+        round(expr("percentile(freq, 0.6)"), 6).as("f3"),
+        round(expr("percentile(freq, 0.8)"), 6).as("f4"),
+        round(expr("percentile(mon, 0.2)"), 6).as("m1"),
+        round(expr("percentile(mon, 0.4)"), 6).as("m2"),
+        round(expr("percentile(mon, 0.6)"), 6).as("m3"),
+        round(expr("percentile(mon, 0.8)"), 6).as("m4"))
+      def score(v: org.apache.spark.sql.Column, bs: Seq[String],
+                invert: Boolean) = {
+        val raw = bs.map(b => when(v > col(b), 1).otherwise(0))
+          .reduce(_ + _) + 1
+        if (invert) lit(6) - raw else raw
+      }
+      perUser.crossJoin(broadcast(qs))
+        .select(
+          score(col("rec").cast("double"), Seq("r1", "r2", "r3", "r4"),
+            invert = true).as("r_score"),
+          score(col("freq").cast("double"), Seq("f1", "f2", "f3", "f4"),
+            invert = false).as("f_score"),
+          score(col("mon"), Seq("m1", "m2", "m3", "m4"),
+            invert = false).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     /** Cohort lifetime-value triangle — retention's revenue sibling:
       * cumulative event value per cohort user by weeks-since-first-seen.
       * The data-sized work is one (user, week) decimal aggregate and the
@@ -1155,6 +1240,81 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // e_gap_stats lag idiom; decimal-first gap squares; closed form
+    // mirrored operation-for-operation
+    "e_burstiness" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us, 1) OVER (PARTITION BY event_type
+        |      ORDER BY us ASC, event_id ASC) AS gap FROM e),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(gap AS DECIMAL(38,0))) AS sg,
+        |    sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+        |      AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n AS n_gaps,
+        |  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_gap_us,
+        |  round(sqrt((CAST(sgg AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0))
+        |    / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv,
+        |  round((sqrt((CAST(sgg AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0))
+        |    - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (sqrt((CAST(sgg AS DOUBLE) -
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0))
+        |    + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // exact quintile boundaries (quantile_cont ≡ percentile, the a4
+    // idiom) broadcast into a scoring map pass; 5x5x5 census
+    "e_rfm" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        |  FROM events),
+        |a AS (SELECT max(d) AS maxd FROM e),
+        |pu AS (SELECT user_id,
+        |    CAST(date_diff('day', max(d), (SELECT maxd FROM a))
+        |      AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mon
+        |  FROM e GROUP BY user_id),
+        |q AS (SELECT
+        |    round(quantile_cont(rec, 0.2), 6) AS r1,
+        |    round(quantile_cont(rec, 0.4), 6) AS r2,
+        |    round(quantile_cont(rec, 0.6), 6) AS r3,
+        |    round(quantile_cont(rec, 0.8), 6) AS r4,
+        |    round(quantile_cont(freq, 0.2), 6) AS f1,
+        |    round(quantile_cont(freq, 0.4), 6) AS f2,
+        |    round(quantile_cont(freq, 0.6), 6) AS f3,
+        |    round(quantile_cont(freq, 0.8), 6) AS f4,
+        |    round(quantile_cont(mon, 0.2), 6) AS m1,
+        |    round(quantile_cont(mon, 0.4), 6) AS m2,
+        |    round(quantile_cont(mon, 0.6), 6) AS m3,
+        |    round(quantile_cont(mon, 0.8), 6) AS m4
+        |  FROM pu),
+        |sc AS (SELECT
+        |    6 - (CASE WHEN CAST(rec AS DOUBLE) > r1 THEN 1 ELSE 0 END +
+        |         CASE WHEN CAST(rec AS DOUBLE) > r2 THEN 1 ELSE 0 END +
+        |         CASE WHEN CAST(rec AS DOUBLE) > r3 THEN 1 ELSE 0 END +
+        |         CASE WHEN CAST(rec AS DOUBLE) > r4 THEN 1 ELSE 0 END + 1)
+        |      AS r_score,
+        |    CASE WHEN CAST(freq AS DOUBLE) > f1 THEN 1 ELSE 0 END +
+        |      CASE WHEN CAST(freq AS DOUBLE) > f2 THEN 1 ELSE 0 END +
+        |      CASE WHEN CAST(freq AS DOUBLE) > f3 THEN 1 ELSE 0 END +
+        |      CASE WHEN CAST(freq AS DOUBLE) > f4 THEN 1 ELSE 0 END + 1
+        |      AS f_score,
+        |    CASE WHEN mon > m1 THEN 1 ELSE 0 END +
+        |      CASE WHEN mon > m2 THEN 1 ELSE 0 END +
+        |      CASE WHEN mon > m3 THEN 1 ELSE 0 END +
+        |      CASE WHEN mon > m4 THEN 1 ELSE 0 END + 1 AS m_score
+        |  FROM pu CROSS JOIN q)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // (user, week) decimal sums -> cohort join -> per-cohort cumulative
     // over the bounded age axis; Monday weeks make the /7 exact

@@ -344,6 +344,68 @@ object MaintenanceQueries {
         QualityModel.scored(docs(s, dir), "doc_id", "text"),
         "lr_score", "label")),
 
+    /** SCD2 invariant audit — run against the dimension HISTORY ARTIFACT
+      * (here: the o_scd2 build pushed through a parquet round-trip, i.e.
+      * what a consumer actually reads): per key exactly one current
+      * version, and adjacent versions tile time with no gap or overlap.
+      * The checks are one per-key aggregate and one lag comparison inside
+      * the same key-partitioned window sort the history was built with;
+      * all-zero violation columns are the contract.
+      */
+    "o_scd2_audit" -> ((s, dir) => {
+      val hist = Merge.scd2History(
+        Tables.load(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        keys = Seq("o_custkey"), orderCol = "o_orderdate",
+        tieBreak = Seq("o_orderkey"))
+      val out = graft.io.Scratch.dir(s, "scd2_audit")
+      hist.select("o_custkey", "o_orderkey", "version", "valid_from",
+        "valid_to", "is_current").write.mode("overwrite").parquet(out)
+      val h = s.read.parquet(out)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("version"))
+      val lagged = h.select(col("o_custkey"), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        lag("valid_to", 1).over(w).as("prev_to"))
+      val perKey = lagged.groupBy("o_custkey")
+        .agg(count(lit(1)).as("nv"), sum("is_current").as("nc"),
+          sum(when(col("prev_to").isNotNull &&
+            col("prev_to") =!= col("valid_from"), 1L).otherwise(0L))
+            .as("tile_viol"))
+      perKey.groupBy().agg(count(lit(1)).as("n_keys"),
+        sum("nv").as("n_versions"),
+        sum(when(col("nc") === 1, 1L).otherwise(0L))
+          .as("keys_with_one_current"),
+        sum("tile_viol").as("tiling_violations"))
+    }),
+
+    /** Order-independent table content digest — the replica-equality
+      * primitive: sum of per-row md5 fingerprints (mod 2^60 by
+      * construction) plus the row count. Two tables are content-equal iff
+      * digests match regardless of partitioning, file layout, or row
+      * order — the check that validates a migration/compaction/export
+      * without shipping either table. One map pass + one 2-column
+      * aggregate.
+      */
+    "o_table_digest" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // doubles go through DECIMAL(18,2) before stringifying: both
+      // engines print decimals identically, where raw double formatting
+      // (shortest-repr vs scientific cutoffs) is an engine trap
+      val rowFp = conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_partkey").cast("string"),
+          col("l_quantity").cast("decimal(18,2)").cast("string"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+          col("l_returnflag"))),
+        1, 15), 16, 10).cast("long")
+      li.select(rowFp.as("fp"))
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          sum(col("fp").cast("decimal(20,0)")).cast("decimal(38,0)")
+            .as("digest"))
+    }),
+
     /** Referential-integrity audit over the star schema's FK edges: per
       * edge, child row count, orphan rows (no matching parent), and
       * distinct orphan keys — the "can I trust my joins" check that runs
@@ -875,6 +937,48 @@ object MaintenanceQueries {
          |  round(CAST(sum(numer2) AS DOUBLE) /
          |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
          |FROM r GROUP BY p, n""".stripMargin),
+
+    // same history build (one window sort), lag-tiling + one-current
+    // checks rolled up
+    "o_scd2_audit" ->
+      """WITH h AS (SELECT o_custkey, o_orderdate AS valid_from,
+        |    lead(o_orderdate, 1) OVER w AS valid_to,
+        |    row_number() OVER w AS version,
+        |    CASE WHEN lead(o_orderdate, 1) OVER w IS NULL THEN 1 ELSE 0
+        |      END AS is_current
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |l AS (SELECT o_custkey, version, valid_from, valid_to, is_current,
+        |    lag(valid_to, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY version) AS prev_to
+        |  FROM h),
+        |pk AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(is_current) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN prev_to IS NOT NULL
+        |      AND prev_to != valid_from THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tile_viol
+        |  FROM l GROUP BY o_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(nv) AS BIGINT) AS n_versions,
+        |  CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS keys_with_one_current,
+        |  CAST(sum(tile_viol) AS BIGINT) AS tiling_violations
+        |FROM pk""".stripMargin,
+
+    // per-row md5 fingerprints summed order-free; decimal-stringified
+    // doubles
+    "o_table_digest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+        |      || '|' || l_returnflag), 1, 15))::BIGINT
+        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS digest
+        |FROM lineitem""".stripMargin,
 
     // one anti-join per FK edge, dims broadcast; 1-row legs unioned
     "o_fk_audit" ->
