@@ -229,6 +229,37 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** Moving MEDIAN — the robust smoother a mean-based moving average
+      * can't be (one outlier day drags a mean for a week; the median
+      * shrugs): per returnflag, the 7-row trailing median of daily
+      * revenue. No median-over-frame builtin exists, so the frame's
+      * values collect into a ≤7-element array and the median is explicit
+      * order-statistics arithmetic (odd → middle, even → mean of the two
+      * middles — exactly quantile_cont(0.5) semantics, which is the
+      * oracle's form). The daily relation is calendar-bounded, so frames
+      * and arrays never scale with the fact table.
+      */
+    "w_moving_median" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      val fr = Window.partitionBy("l_returnflag").orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      val arr = sort_array(collect_list(col("rev")).over(fr))
+      val n = size(arr)
+      val med = when(n % 2 === 1,
+          element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int")) +
+          element_at(arr, (n / 2).cast("int") + 1)) / 2.0)
+      daily.select(col("l_returnflag"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("rev"), 2).as("rev"), n.as("win_n"),
+          round(med, 6).as("moving_median"))
+        .filter(col("l_returnflag") === "A")
+        .orderBy("day")
+    }),
+
     /** Window frame-navigation surface: first_value / nth_value over the
       * growing frame and first_value over a bounded sliding frame, all on
       * one per-group (ROWS-framed, totally-ordered) window sort — the
@@ -1259,6 +1290,29 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // list over the 7-row frame + explicit order statistics (odd middle,
+    // even mean-of-middles == quantile_cont(0.5))
+    "w_moving_median" ->
+      """WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE)
+        |    AS day,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, day, rev,
+        |    list_sort(list(rev) OVER (PARTITION BY l_returnflag
+        |      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |      AS arr
+        |  FROM daily)
+        |SELECT l_returnflag, strftime(day, '%Y-%m-%d') AS day,
+        |  round(rev, 2) AS rev,
+        |  CAST(len(arr) AS INT) AS win_n,
+        |  round(CASE WHEN len(arr) % 2 = 1
+        |    THEN arr[(len(arr) + 1) // 2]
+        |    ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+        |  END, 6) AS moving_median
+        |FROM w WHERE l_returnflag = 'A'
+        |ORDER BY day""".stripMargin,
 
     // explicit ROWS frames; total (shipdate, orderkey, linenumber) order
     "w_frame_nav" ->

@@ -344,6 +344,37 @@ object MaintenanceQueries {
         QualityModel.scored(docs(s, dir), "doc_id", "text"),
         "lr_score", "label")),
 
+    /** Per-source data scorecard — the vendor/crawl-stream comparison a
+      * curation team reads before renegotiating a data mix: per source,
+      * volume (docs, tokens), the quality-gate keep rate, and the
+      * exact-duplicate rate (docs minus distinct canonical fingerprints).
+      * One tokenize pass feeds all columns; every rate is an integer
+      * ratio rounded once.
+      */
+    "t_source_scorecard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gate = graft.operators.CorpusSignals.qualityGate(d, "doc_id", "text")
+        .select(col("doc_id"), col("kept"))
+      val base = d.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val fpd = base.groupBy("source", "fp")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c") - 1).as("dup_docs"))
+      base.join(gate, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("kept").as("kept_docs"))
+        .join(fpd, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("kept_docs").cast("double") /
+            col("n_docs").cast("double"), 6).as("kept_rate"),
+          round(col("dup_docs").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"))
+        .orderBy("source")
+    }),
+
     /** SCD2 invariant audit — run against the dimension HISTORY ARTIFACT
       * (here: the o_scd2 build pushed through a parquet round-trip, i.e.
       * what a consumer actually reads): per key exactly one current
@@ -937,6 +968,35 @@ object MaintenanceQueries {
          |  round(CAST(sum(numer2) AS DOUBLE) /
          |    (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS auc
          |FROM r GROUP BY p, n""".stripMargin),
+
+    // one token pass feeds volume + gate + fingerprint columns; shared
+    // gate idioms, canonical-md5 duplicate rate
+    "t_source_scorecard" -> (
+      s"""WITH t AS (SELECT doc_id, source, text, ${OracleIdioms.toksSql}
+         |    AS tk FROM documents),
+         |q AS (${OracleIdioms.qualitySignalsSql}),
+         |k AS (SELECT doc_id,
+         |    CASE WHEN ${OracleIdioms.keptPredicateSql} THEN 1 ELSE 0 END
+         |      AS kept FROM q),
+         |b AS (SELECT t.doc_id, t.source,
+         |    CAST(len(tk) AS BIGINT) AS nt,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      AS fp
+         |  FROM t),
+         |fpd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_docs
+         |  FROM (SELECT source, fp, count(*) AS c FROM b
+         |        GROUP BY source, fp) GROUP BY source),
+         |agg AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(b.nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(k.kept) AS BIGINT) AS kept_docs
+         |  FROM b JOIN k USING (doc_id) GROUP BY b.source)
+         |SELECT agg.source, n_docs, n_tokens,
+         |  round(CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS kept_rate,
+         |  round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS dup_rate
+         |FROM agg JOIN fpd ON fpd.source = agg.source
+         |ORDER BY agg.source""".stripMargin),
 
     // same history build (one window sort), lag-tiling + one-current
     // checks rolled up
