@@ -1347,6 +1347,53 @@ object PipelineQueries {
         .orderBy("label_a", "label_b")
     }),
 
+    /** Recall@10 of the PQ compressed-domain search against exact brute
+      * force — v_recall's twin for the second ANN family: how much the
+      * 8-byte codes give up vs the 256-byte vectors, measured in-engine.
+      * On THIS fixture the answer is brutal (~0.1): the vectors are
+      * near-isotropic, which is PQ's worst case (subspace codebooks carry
+      * almost no signal) — exactly the kind of fact an in-engine recall
+      * report exists to surface before an index ships.
+      */
+    "v_pq_recall" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val qv = queryVec(s, dir)
+      val exact = Similarity.topK(base, "vec_id", "embedding", qv, k = 10)
+        .select(col("id"))
+      val approx = Similarity.pqTopK(base, "vec_id", "embedding", qv, k = 10)
+        .select(col("id"))
+      exact.join(approx, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
+    }),
+
+    /** PII scan report — the audit sibling of t_redact: per source, how
+      * many documents leak an email and how many addresses total. The
+      * corpus is word-salad, so ground truth is PLANTED in-query (every
+      * 10th doc gains a synthetic address), making the report's counts a
+      * checkable contract rather than a regex demo; the pattern is the
+      * RE2-safe subset both engines interpret identically. One scan, one
+      * rollup.
+      */
+    "t_pii_report" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"))
+      val planted = base.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(col("text")).as("text"))
+      val hits = planted.select(col("source"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\\\.[a-z]+', 0)"))
+          .as("n_emails"))
+      hits.groupBy("source")
+        .agg(count(lit(1)).as("docs_scanned"),
+          sum(when(col("n_emails") > 0, 1L).otherwise(0L))
+            .as("docs_with_email"),
+          sum("n_emails").as("emails_found"))
+        .orderBy("source")
+    }),
+
     /** NDCG@10 of the LSH ranking against exact brute force — recall's
       * order-sensitive sibling (recall can't tell a perfect ordering from
       * a reversed one). Graded relevance 11−exact_rank, DCG discounts by
@@ -2547,6 +2594,30 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    "v_pq_recall" ->
+      s"""WITH a AS ($annTopkOracle),
+         |b AS ($pqAnnOracle)
+         |SELECT round(count(*) / 10.0, 6) AS recall
+         |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // identical plant + RE2-subset pattern; counts are the contract
+    "t_pii_report" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com now'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+', 0))
+        |      AS n_emails
+        |  FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_scanned,
+        |  CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_email,
+        |  CAST(sum(n_emails) AS BIGINT) AS emails_found
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // eval slice × corpus cosines (6dp, the ANN idiom), max per vector
     "v_decontam_semantic" ->
