@@ -229,6 +229,99 @@ object AnalyticsQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    /** TPC-H Q7 shape (volume shipping): revenue between every (supplier
+      * nation, customer nation) pair over the 1995–1996 window. The
+      * supply and demand nations arrive through DIFFERENT dimension
+      * chains (lineitem→supplier vs lineitem→orders→customer), so the
+      * plan is the canonical two-branch star: one fact-fact exchange on
+      * the orderkey, every dimension broadcast, decimal revenue sums.
+      */
+    "q7_nations_volume" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val sup = Tables.load(s, dir, "supplier")
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      val n1 = nation.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .withColumn("revenue", round(col("revenue"), 4))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    /** TPC-H Q14 shape (promotion effect): the ECONOMY-type share of
+      * revenue for one ship month — CASE'd conditional revenue over ONE
+      * fact pass with the part dimension broadcast; both sums decimal.
+      */
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      val part = Tables.load(s, dir, "part")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy()
+        .agg(sum(when(col("p_type") === "ECONOMY", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+          sum(rev).as("total"))
+        .select(round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_revenue_pct"))
+    }),
+
+    /** Lag-k autocorrelation of the weekly revenue series (ACF at lags
+      * 1, 2, 4, 13, 52) — the is-there-structure screen read before any
+      * forecast: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². The fact table
+      * collapses to weekly decimal sums once; each lag is a self-join of
+      * the bounded weekly relation on week arithmetic (Monday weeks make
+      * the 7-day stride exact), and the centered products fold in week
+      * order (the chisq discipline — double addition is order-sensitive).
+      */
+    "e_autocorr" -> ((s, dir) => {
+      val wk = Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("x"))
+      val tot = wk.groupBy().agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"))
+      val lags = Seq(1, 2, 4, 13, 52)
+      val a = wk.crossJoin(broadcast(tot))
+        .select(col("week"), col("x"),
+          (col("sx") / col("n").cast("double")).as("xbar"))
+      def fold(cs: org.apache.spark.sql.Column) =
+        aggregate(sort_array(cs), lit(0.0), (acc, x) => acc + x.getField("c"))
+      val denom = a.groupBy()
+        .agg(fold(collect_list(struct(col("week"),
+          ((col("x") - col("xbar")) * (col("x") - col("xbar"))).as("c"))))
+          .as("ss"))
+      val b = a.select(col("week").as("wk2"), col("x").as("x2"))
+      val nums = lags.map { k =>
+        a.join(b, col("wk2") === col("week") + expr(s"INTERVAL ${7 * k} DAYS"))
+          .groupBy()
+          .agg(fold(collect_list(struct(col("week"),
+            ((col("x") - col("xbar")) * (col("x2") - col("xbar"))).as("c"))))
+            .as("num"), count(lit(1)).as("n_pairs"))
+          .select(lit(k).as("lag"), col("n_pairs"), col("num"))
+      }.reduce(_ unionByName _)
+      nums.crossJoin(broadcast(denom))
+        .select(col("lag"), col("n_pairs"),
+          round(col("num") / col("ss"), 6).as("acf"))
+        .orderBy("lag")
+    }),
+
     /** Moving MEDIAN — the robust smoother a mean-based moving average
       * can't be (one outlier day drags a mean for a week; the median
       * shrugs): per returnflag, the 7-row trailing median of daily
@@ -1290,6 +1383,60 @@ object AnalyticsQueries {
         |GROUP BY na, nr, d9""".stripMargin,
 
     "a26_corr_matrix" -> corrMatrixSql,
+
+    // two-branch star mirrored with plain joins; decimal revenue
+    "q7_nations_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND n1.n_name != n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    // weekly decimal sums; per-lag self-join on exact 7k-day strides;
+    // centered products folded in week order
+    "e_autocorr" ->
+      """WITH wk AS (SELECT date_trunc('week', o_orderdate) AS week,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx FROM wk),
+        |a AS (SELECT week, x, sx / CAST(n AS DOUBLE) AS xbar
+        |  FROM wk CROSS JOIN t),
+        |d AS (SELECT list_reduce(list_prepend(0.0,
+        |    list((x - xbar) * (x - xbar) ORDER BY week)), (p, q) -> p + q)
+        |    AS ss FROM a),
+        |lagk AS (SELECT unnest([1, 2, 4, 13, 52]) AS lag),
+        |pairs AS (SELECT l.lag, a.week, a.x, a.xbar, b.x AS x2
+        |  FROM lagk l
+        |  JOIN a ON true
+        |  JOIN wk b ON b.week = a.week + to_days(7 * l.lag)),
+        |nums AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_reduce(list_prepend(0.0,
+        |      list((x - xbar) * (x2 - xbar) ORDER BY week)),
+        |      (p, q) -> p + q) AS num
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n_pairs, round(num / ss, 6) AS acf
+        |FROM nums CROSS JOIN d ORDER BY lag""".stripMargin,
 
     // list over the 7-row frame + explicit order statistics (odd middle,
     // even mean-of-middles == quantile_cont(0.5))
