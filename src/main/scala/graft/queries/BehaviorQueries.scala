@@ -265,6 +265,37 @@ object BehaviorQueries {
       }
     }),
 
+    /** Revenue Pareto (80/20) report: the share of total order revenue
+      * carried by orders above the exact p90/p95/p99 value thresholds —
+      * how concentrated the book is. Thresholds come from one percentile
+      * pass (a4 idiom, a21's sketch is the stated 100 TB path) and
+      * broadcast into a single conditional decimal aggregate; everything
+      * else is integer/decimal until the share divisions.
+      */
+    "e_pareto" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val qs = o.groupBy().agg(
+        round(expr("percentile(o_totalprice, 0.90)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+      val probes = Seq(("p90", 90), ("p95", 95), ("p99", 99))
+      val base = o.crossJoin(broadcast(qs))
+      probes.map { case (cn, pct) =>
+        base.groupBy().agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > col(cn), 1L).otherwise(0L))
+            .as("n_above"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          sum(when(col("o_totalprice") > col(cn),
+            col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("rev_above"))
+          .select(lit(pct).as("probe_pct"), col("n_orders"),
+            col("n_above"),
+            round(col("rev_above").cast("double") /
+              col("rev").cast("double"), 6).as("revenue_share"))
+      }.reduce(_ unionByName _).orderBy("probe_pct")
+    }),
+
     /** Burstiness index per event type (Goh & Barabási 2008,
       * B = (σ−μ)/(σ+μ) over inter-event gaps): −1 = metronome, 0 =
       * Poisson, →1 = heavy bursts — the one-number answer to "is this
@@ -1240,6 +1271,45 @@ object BehaviorQueries {
         |FROM r CROSS JOIN t
         |WHERE rn <= ceil(CAST(n_users AS DOUBLE) / 10)
         |GROUP BY n_users, n_events""".stripMargin,
+
+    // exact percentile thresholds broadcast into one conditional
+    // decimal aggregate per probe
+    "e_pareto" ->
+      """WITH q AS (SELECT
+        |    round(quantile_cont(o_totalprice, 0.90), 6) AS p90,
+        |    round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        |    round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |  FROM orders),
+        |b AS (SELECT o_totalprice, p90, p95, p99 FROM orders CROSS JOIN q),
+        |l AS (
+        |  SELECT 90 AS probe_pct, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN o_totalprice > p90 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_above,
+        |    round(CAST(sum(CASE WHEN o_totalprice > p90
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |      AS revenue_share
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 95, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    round(CAST(sum(CASE WHEN o_totalprice > p95
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 99, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice > p99 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    round(CAST(sum(CASE WHEN o_totalprice > p99
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |  FROM b)
+        |SELECT * FROM l ORDER BY probe_pct""".stripMargin,
 
     // e_gap_stats lag idiom; decimal-first gap squares; closed form
     // mirrored operation-for-operation

@@ -432,6 +432,44 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    /** Shingle coverage curve — the calibration read for the stop-shingle
+      * cap (`maxShingleDf`) and the prefix index: what fraction of the
+      * inverted index's POSTINGS (doc, shingle incidences — exactly the
+      * volume a df cap would remove) the top-k shingle types account
+      * for. A steep
+      * curve means boilerplate dominates (cap aggressively); a flat one
+      * means capping costs recall. Top-k via TakeOrdered (never a global
+      * sort of the vocabulary); ranks materialize only on the ≤1000-row
+      * head.
+      */
+    "t_coverage_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.TextExpressions.register(s)
+      val occ = docs(s, dir)
+        .select(explode(array_distinct(call_function(
+          graft.functions.TextExpressions.SHINGLES_FN,
+          TextFunctions.tokens(col("text")), lit(3)))).as("sh"))
+      val tf = occ.groupBy("sh").agg(count(lit(1)).as("f"))
+      val tot = tf.groupBy().agg(sum("f").as("tot"),
+        count(lit(1)).as("vocab"))
+      val ranked = tf.orderBy(col("f").desc, col("sh")).limit(1000)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("f").desc, col("sh"))))
+      Seq(10, 100, 1000).map { k =>
+        ranked.filter(col("rank") <= k).groupBy()
+          .agg(coalesce(sum("f"), lit(0L)).as("cov"),
+            count(lit(1)).as("got"))
+          .select(lit(k).as("k"), least(col("got"), lit(k.toLong)).as("k_used"),
+            col("cov"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("k_used"), col("vocab").as("vocab_size"),
+          col("cov").as("covered_postings"),
+          round(col("cov").cast("double") / col("tot").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
     /** Train/test leakage audit — the check every eval pipeline owes its
       * split: after the deterministic carve (t_split's hash), how many
       * duplicate pairs STRADDLE split boundaries? Exact leaks share a
@@ -2027,6 +2065,32 @@ object PipelineQueries {
          |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
          |    AS share
          |FROM c ORDER BY lang, split""".stripMargin,
+
+    // posting mass of top-k shingle types; TakeOrdered head, ranks on
+    // <=1000 rows
+    "t_coverage_curve" -> (
+      s"""WITH occ AS (SELECT unnest($shinglesSql) AS sh FROM documents),
+         |tf AS (SELECT sh, CAST(count(*) AS BIGINT) AS f FROM occ
+         |  GROUP BY sh),
+         |t AS (SELECT CAST(sum(f) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS vocab FROM tf),
+         |r AS (SELECT sh, f, row_number() OVER (ORDER BY f DESC, sh)
+         |    AS rank
+         |  FROM (SELECT sh, f FROM tf ORDER BY f DESC, sh LIMIT 1000)),
+         |l AS (
+         |  SELECT 10 AS k, CAST(least(count(*), 10) AS BIGINT) AS k_used,
+         |    CAST(coalesce(sum(f), 0) AS BIGINT) AS cov
+         |  FROM r WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT 100, CAST(least(count(*), 100) AS BIGINT),
+         |    CAST(coalesce(sum(f), 0) AS BIGINT) FROM r WHERE rank <= 100
+         |  UNION ALL
+         |  SELECT 1000, CAST(least(count(*), 1000) AS BIGINT),
+         |    CAST(coalesce(sum(f), 0) AS BIGINT) FROM r
+         |  WHERE rank <= 1000)
+         |SELECT k, k_used, vocab AS vocab_size, cov AS covered_postings,
+         |  round(CAST(cov AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS coverage
+         |FROM l CROSS JOIN t ORDER BY k""".stripMargin),
 
     // split CASE + fp pair join + brute jaccard pairs (minus exacts),
     // scaffolded so absent (split, split) combos report zero
