@@ -432,6 +432,54 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    /** Language-ID evaluation against the corpus's ground-truth labels:
+      * the confusion matrix plus overall accuracy — the "is the
+      * heuristic good enough to gate on" audit run before t_lang_id's
+      * output routes documents. On this fixture the matrix exposes a
+      * label/text MISMATCH — every doc's text is English-like word salad
+      * while `lang` is synthetic metadata, so accuracy ≈ P(lang='en') —
+      * exactly the disagreement this audit exists to surface before
+      * anyone gates on either signal. One hash aggregate to the (true, pred)
+      * matrix; accuracy from the matrix's own cells over a window on the
+      * ≤|langs|² relation.
+      */
+    "t_langid_eval" -> ((s, dir) => {
+      val cm = docs(s, dir)
+        .select(col("lang").as("true_lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      cm.select(col("true_lang"), col("pred_lang"), col("n"),
+          round(sum(when(col("true_lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).over(tot).cast("double") /
+            sum("n").over(tot).cast("double"), 6).as("overall_accuracy"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
+    /** Shannon entropy of the (lang, source) training mix in bits, with
+      * the normalized diversity ratio H / log2(cells) — the one-number
+      * "how spread is my mix" beside t_mix_report's full table. Cell
+      * shares are exact integer ratios; the −Σ p·log2 p fold runs in
+      * (lang, source) order (the chisq discipline).
+      */
+    "t_mix_entropy" -> ((s, dir) => {
+      val cells = docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val withP = cells.select(col("lang"), col("source"), col("n"),
+        (col("n").cast("double") / sum("n").over(tot).cast("double"))
+          .as("p"))
+      def fold(cs: org.apache.spark.sql.Column) =
+        aggregate(sort_array(cs), lit(0.0), (acc, x) => acc + x.getField("c"))
+      withP.groupBy()
+        .agg(count(lit(1)).as("n_cells"),
+          fold(collect_list(struct(col("lang"), col("source"),
+            (-col("p") * log2(col("p"))).as("c")))).as("h"))
+        .select(col("n_cells"), round(col("h"), 6).as("entropy_bits"),
+          round(log2(col("n_cells")), 6).as("max_entropy_bits"),
+          round(col("h") / log2(col("n_cells")), 6).as("normalized"))
+    }),
+
     /** Shingle coverage curve — the calibration read for the stop-shingle
       * cap (`maxShingleDf`) and the prefix index: what fraction of the
       * inverted index's POSTINGS (doc, shingle incidences — exactly the
@@ -2065,6 +2113,37 @@ object PipelineQueries {
          |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
          |    AS share
          |FROM c ORDER BY lang, split""".stripMargin,
+
+    // langId oracle reused; accuracy from the matrix's own cells
+    "t_langid_eval" -> (
+      s"""WITH pr AS (SELECT doc_id, lang_pred FROM
+         |  (${langIdOracle.replace("ORDER BY doc_id", "")})),
+         |cm AS (SELECT d.lang AS true_lang, pr.lang_pred AS pred_lang,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pr JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         |SELECT true_lang, pred_lang, n,
+         |  round(CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0
+         |      END) OVER () AS DOUBLE)
+         |    / CAST(sum(n) OVER () AS DOUBLE), 6) AS overall_accuracy
+         |FROM cm ORDER BY true_lang, pred_lang""".stripMargin),
+
+    // exact cell shares; ordered -p*log2(p) fold
+    "t_mix_entropy" ->
+      """WITH cells AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n FROM documents
+        |  GROUP BY lang, source),
+        |p AS (SELECT lang, source, n,
+        |    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p
+        |  FROM cells),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    list(-p * log2(p) ORDER BY lang, source) AS cs FROM p)
+        |SELECT n_cells,
+        |  round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+        |    AS entropy_bits,
+        |  round(log2(n_cells), 6) AS max_entropy_bits,
+        |  round(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b)
+        |    / log2(n_cells), 6) AS normalized
+        |FROM f""".stripMargin,
 
     // posting mass of top-k shingle types; TakeOrdered head, ranks on
     // <=1000 rows
