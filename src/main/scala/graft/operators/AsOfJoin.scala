@@ -118,6 +118,49 @@ object AsOfJoin {
     asof(left, right, keyCol, tsCol, carry, carryPrefix, tiebreak,
       forward = false, toleranceUs = toleranceUs)
 
+  /** Nearest as-of join (pandas merge_asof `direction='nearest'`): for
+    * every left row, the right row minimizing |right.ts − left.ts| on the
+    * key, composed from one backward and one forward pass joined on a
+    * caller-named unique left id. Equal distance breaks toward the
+    * backward match (the at-or-before row); equal-ts ties WITHIN a
+    * direction inherit that pass's tiebreak (backward max, forward min).
+    * Cost: two merge-and-carry shuffles plus an id-keyed join — still no
+    * range join, no |matches|² blowup.
+    *
+    * Output: left columns + `carryPrefix`+carry
+    * + (asof_gap_us, asof_direction ∈ {backward, forward, NULL}).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, leftIdCol: String, carry: Seq[String],
+                  carryPrefix: String = "asof_",
+                  tiebreak: Option[String] = None): DataFrame = {
+    val NTS = "__asof_nts"
+    val rightExt = right.withColumn(NTS, col(tsCol))
+    val b = asofBackward(left, rightExt, keyCol, tsCol, carry :+ NTS,
+      carryPrefix = "__b_", tiebreak = tiebreak)
+    val f = asofForward(left, rightExt, keyCol, tsCol, carry :+ NTS,
+        carryPrefix = "__f_", tiebreak = tiebreak)
+      .select(col(leftIdCol).as("__fid") +:
+        (carry :+ NTS).map(c => col(s"__f_$c")): _*)
+    val joined = b.join(f, b(leftIdCol) === f("__fid"), "left")
+    val gapB = unix_micros(col(tsCol)) - unix_micros(col(s"__b_$NTS"))
+    val gapF = unix_micros(col(s"__f_$NTS")) - unix_micros(col(tsCol))
+    val chooseB = col(s"__b_$NTS").isNotNull &&
+      (col(s"__f_$NTS").isNull || gapB <= gapF)
+    val passthrough = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    joined.select(
+      Seq(col(keyCol), col(tsCol)) ++ passthrough.map(col) ++
+        carry.map(c => when(chooseB, col(s"__b_$c"))
+          .otherwise(col(s"__f_$c")).as(carryPrefix + c)) ++
+        Seq(
+          when(chooseB, gapB)
+            .when(col(s"__f_$NTS").isNotNull, gapF)
+            .otherwise(lit(null)).as("asof_gap_us"),
+          when(chooseB, lit("backward"))
+            .when(col(s"__f_$NTS").isNotNull, lit("forward"))
+            .otherwise(lit(null).cast("string")).as("asof_direction")): _*)
+  }
+
   /** Forward as-of join (at-or-after semantics): for every `left` row,
     * attach `carry` columns from the *earliest* `right` row with
     * `right.ts >= left.ts` on the same key. Right rows at the exact same

@@ -768,6 +768,27 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    /** Nearest-direction as-of join (merge_asof `direction='nearest'`):
+      * each purchase pairs with its temporally CLOSEST click either side,
+      * ties to the backward match — composed from the two directional
+      * passes (see [[graft.operators.AsOfJoin.asofNearest]]). Output
+      * carries the gap and which direction won, so the join is auditable.
+      */
+    "j_asof_near" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asofNearest(
+          purchases, clicks, "user_id", "ts", "event_id",
+          carry = Seq("event_id"), tiebreak = Some("event_id"))
+        .select(col("event_id"), col("asof_event_id").as("click_id"),
+          col("asof_gap_us").as("gap_us"),
+          col("asof_direction").as("direction"))
+        .orderBy("event_id")
+    }),
+
     /** Tolerance-bounded as-of join (pandas merge_asof `tolerance`): same
       * merge-and-carry pass as j_asof, but a click more than 30 minutes
       * stale is voided to a null carry — the matched right timestamp rides
@@ -1773,6 +1794,37 @@ object AnalyticsQueries {
         |      FROM u)
         |SELECT pid AS event_id, asof_cid AS click_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // candidate ranking replays the nearest rule: min |gap|, backward on
+    // ties, per-direction event_id tiebreak (backward max, forward min)
+    "j_asof_near" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id, c.event_id AS click_id,
+        |    CASE WHEN c.ts <= p.ts
+        |      THEN epoch_us(p.ts) - epoch_us(c.ts)
+        |      ELSE epoch_us(c.ts) - epoch_us(p.ts) END AS gap,
+        |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      CASE WHEN c.ts <= p.ts
+        |        THEN epoch_us(p.ts) - epoch_us(c.ts)
+        |        ELSE epoch_us(c.ts) - epoch_us(p.ts) END,
+        |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |      CASE WHEN c.ts <= p.ts THEN -c.event_id
+        |        ELSE c.event_id END) AS rn
+        |  FROM p JOIN c USING (user_id)),
+        |best AS (SELECT * FROM cand WHERE rn = 1)
+        |SELECT p.event_id, best.click_id,
+        |  CAST(best.gap AS BIGINT) AS gap_us,
+        |  CASE WHEN best.dir IS NULL THEN NULL
+        |       WHEN best.dir = 0 THEN 'backward'
+        |       ELSE 'forward' END AS direction
+        |FROM p LEFT JOIN best USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // same carry replay as j_asof plus the matched click's timestamp; a
     // carry staler than 30 min renders as no-match
