@@ -32,6 +32,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getLong(0) == 7L)
   }
 
+  test("nearest as-of: smaller gap wins, ties go backward, no-match is null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), 100L), // gap 3 back (ts 7) vs 5 fwd (ts 15) -> backward
+      (1L, ts(14), 101L), // gap 7 back vs 1 fwd -> forward
+      (1L, ts(11), 102L), // gap 4 back vs 4 fwd -> tie -> backward
+      (2L, ts(10), 103L)) // no right rows on key 2 -> null
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(7), 7L), (1L, ts(15), 8L)).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asofNearest(left, right, "k", "ts", "lid",
+        carry = Seq("rid"))
+      .orderBy("lid")
+      .select("lid", "asof_rid", "asof_direction").collect()
+    assert(out.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "none" else r.getString(2))).toSeq ==
+      Seq((100L, 7L, "backward"), (101L, 8L, "forward"),
+        (102L, 7L, "backward"), (103L, -1L, "none")))
+  }
+
   test("a matched right row with a NULL carry value still wins") {
     import spark.implicits._
     // nearest-before row carries null — ignoreNulls must not skip past the
