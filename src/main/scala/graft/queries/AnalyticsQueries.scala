@@ -376,6 +376,51 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
 
+    /** Spearman rank correlation, EXACT and distributed — no global rank
+      * anywhere: with discrete measures the tie-corrected Spearman is
+      * Pearson over per-value MID-RANKS, and mid-ranks come from the
+      * counts-of-counts walk (cumBelow + (m+1)/2). Doubling every
+      * mid-rank clears the ½ fractions, so the whole moment computation
+      * is INTEGER arithmetic over the (|X-domain| × |Y-domain|) cell
+      * relation (≤ 550 cells here however many rows) in DECIMAL(38,0)
+      * sums — Pearson is affine-invariant, so the doubling cancels.
+      * One data-sized aggregate; everything after runs on cells.
+      */
+    "a33_spearman" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cells = li.groupBy(col("l_quantity").as("x"),
+          col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      def ranks(vc: String, rn: String) = {
+        val per = cells.groupBy(col(vc)).agg(sum("c").as("m"))
+        val below = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col(vc))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        // doubled mid-rank 2r = 2·cumBelow + m + 1 — integer
+        per.select(col(vc),
+          (lit(2L) * coalesce(sum("m").over(below), lit(0L)) +
+            col("m") + 1L).as(rn))
+      }
+      val j = cells
+        .join(broadcast(ranks("x", "rx")), Seq("x"))
+        .join(broadcast(ranks("y", "ry")), Seq("y"))
+      val m = j.groupBy().agg(sum("c").as("n"),
+        sum((col("rx") * col("c")).cast("decimal(38,0)")).as("sx"),
+        sum((col("ry") * col("c")).cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(28,0)") * col("c"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(28,0)") * col("c"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(28,0)") * col("c"))
+          .cast("decimal(38,0)").as("syy"))
+      def d(c: String) = col(c).cast("double")
+      m.select(col("n"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+            (d("n") * d("syy") - d("sy") * d("sy"))), 6).as("spearman"))
+    }),
+
     /** Benford first-digit audit — the forensic data-quality screen for a
       * value column (fabricated or truncated monetary data drifts from
       * log10(1+1/d)): observed first-digit frequencies of order totals
@@ -1496,6 +1541,43 @@ object AnalyticsQueries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    // doubled integer mid-ranks from counts-of-counts; DECIMAL moments;
+    // Pearson closed form at the end
+    "a33_spearman" ->
+      """WITH cells AS (SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |rx AS (SELECT x,
+        |    2 * coalesce(CAST(sum(m) OVER (ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + m + 1 AS rx
+        |  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY x)),
+        |ry AS (SELECT y,
+        |    2 * coalesce(CAST(sum(m) OVER (ORDER BY y
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + m + 1 AS ry
+        |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY y)),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(rx * c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS sx,
+        |    CAST(sum(CAST(ry * c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS sy,
+        |    CAST(sum(CAST(rx * ry AS DECIMAL(28,0)) * c) AS DECIMAL(38,0))
+        |      AS sxy,
+        |    CAST(sum(CAST(rx * rx AS DECIMAL(28,0)) * c) AS DECIMAL(38,0))
+        |      AS sxx,
+        |    CAST(sum(CAST(ry * ry AS DECIMAL(28,0)) * c) AS DECIMAL(38,0))
+        |      AS syy
+        |  FROM cells JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman
+        |FROM m""".stripMargin,
 
     // FLOOR'd integer DIV ladder; identical Benford literals; scaffolded
     // digits; deviation computed on the unrounded frequency
