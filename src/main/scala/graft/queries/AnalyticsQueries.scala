@@ -421,6 +421,46 @@ object AnalyticsQueries {
             (d("n") * d("syy") - d("sy") * d("sy"))), 6).as("spearman"))
     }),
 
+    /** Kendall's τ-b, exact and distributed — a33's pair-counting
+      * sibling, same discipline one step further: concordant and
+      * discordant PAIR counts come from a self-join of the bounded
+      * (X-domain × Y-domain) cell relation (dominance products
+      * c(x,y)·c(x',y') over x'>x, y'>y — ~550² cell pairs regardless of
+      * row count), and the tie corrections n1/n2 from per-axis marginals.
+      * All integer (DECIMAL sums — pair counts are O(n²) ≈ 1.8e9 here and
+      * grow quadratically) until the final closed form.
+      */
+    "a34_kendall" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cells = li.groupBy(col("l_quantity").as("x"),
+          col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val a = cells.select(col("x"), col("y"), col("c"))
+      val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val conc = a.join(b, col("x2") > col("x") && col("y2") > col("y"))
+        .groupBy().agg(coalesce(sum((col("c") * col("c2"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("cc"))
+      val disc = a.join(b, col("x2") > col("x") && col("y2") < col("y"))
+        .groupBy().agg(coalesce(sum((col("c") * col("c2"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("dd"))
+      def tiePairs(vc: String) = cells.groupBy(col(vc))
+        .agg(sum("c").as("m"))
+        .groupBy().agg(sum(expr("(m * (m - 1)) DIV 2")
+          .cast("decimal(38,0)")).as(s"t_$vc"))
+      val n0 = cells.groupBy().agg(sum("c").as("n"))
+        .select(col("n"), expr("(n * (n - 1)) DIV 2")
+          .cast("decimal(38,0)").as("n0"))
+      n0.crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+        .crossJoin(broadcast(tiePairs("x")))
+        .crossJoin(broadcast(tiePairs("y")))
+        .select(col("n"),
+          round((col("cc").cast("double") - col("dd").cast("double")) /
+            sqrt((col("n0").cast("double") - col("t_x").cast("double")) *
+              (col("n0").cast("double") - col("t_y").cast("double"))), 6)
+            .as("kendall_tau_b"))
+    }),
+
     /** Benford first-digit audit — the forensic data-quality screen for a
       * value column (fabricated or truncated monetary data drifts from
       * log10(1+1/d)): observed first-digit frequencies of order totals
@@ -1541,6 +1581,37 @@ object AnalyticsQueries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    // dominance cell-pair products over the bounded grid; integer tie
+    // corrections; closed form at the end
+    "a34_kendall" ->
+      """WITH cells AS (SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |conc AS (SELECT CAST(coalesce(sum(
+        |    CAST(a.c * b.c AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS cc
+        |  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+        |disc AS (SELECT CAST(coalesce(sum(
+        |    CAST(a.c * b.c AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS dd
+        |  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+        |tx AS (SELECT CAST(sum(CAST((m * (m - 1)) // 2
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_x
+        |  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY x)),
+        |ty AS (SELECT CAST(sum(CAST((m * (m - 1)) // 2
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_y
+        |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS m FROM cells
+        |        GROUP BY y)),
+        |n0 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST((CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1))
+        |      // 2 AS DECIMAL(38,0)) AS n0
+        |  FROM cells)
+        |SELECT n, round(
+        |  (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+        |  sqrt((CAST(n0 AS DOUBLE) - CAST(t_x AS DOUBLE)) *
+        |    (CAST(n0 AS DOUBLE) - CAST(t_y AS DOUBLE))), 6)
+        |    AS kendall_tau_b
+        |FROM n0 CROSS JOIN conc CROSS JOIN disc
+        |CROSS JOIN tx CROSS JOIN ty""".stripMargin,
 
     // doubled integer mid-ranks from counts-of-counts; DECIMAL moments;
     // Pearson closed form at the end
