@@ -435,6 +435,41 @@ object BehaviorQueries {
         .orderBy("dow")
     }),
 
+    /** Theil–Sen robust trend of weekly revenue — the slope estimator a
+      * single outlier week cannot drag (OLS's breakdown point is 0%;
+      * Theil–Sen's is 29%): the median of all pairwise week-to-week
+      * slopes, intercept = median of (y − slope·x). Pairs live on the
+      * calendar-bounded weekly relation (~345²/2 — fixed by the time
+      * span, not the fact table), so the exact-percentile pass is
+      * bounded-state by construction. Weeks convert to integer day
+      * offsets from the first week so slope units are per-day.
+      */
+    "e_theil_sen" -> ((s, dir) => {
+      val wk = Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("y"))
+      val t0 = wk.groupBy().agg(min("week").as("w0"))
+      val xy = wk.crossJoin(broadcast(t0))
+        .select(datediff(col("week"), col("w0")).cast("long").as("x"),
+          col("y"))
+      val a = xy.select(col("x").as("x1"), col("y").as("y1"))
+      val b = xy.select(col("x").as("x2"), col("y").as("y2"))
+      val slopes = a.join(b, col("x2") > col("x1"))
+        .select(((col("y2") - col("y1")) /
+          (col("x2") - col("x1")).cast("double")).as("sl"))
+      val slope = slopes.groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(sl, 0.5)"), 6).as("slope_per_day"))
+      xy.crossJoin(broadcast(slope))
+        .select(col("n_pairs"), col("slope_per_day"),
+          (col("y") - col("slope_per_day") * col("x").cast("double"))
+            .as("r"))
+        .groupBy("n_pairs", "slope_per_day")
+        .agg(round(expr("percentile(r, 0.5)"), 4).as("intercept"))
+        .select(col("n_pairs"), col("slope_per_day"), col("intercept"))
+    }),
+
     /** Seasonal-naive forecast backtest — the baseline every demand model
       * must beat, evaluated in-engine: forecast(week) = revenue(week−52),
       * scored by MAPE and SMAPE over the last 26 fully-covered weeks. The
@@ -1424,6 +1459,23 @@ object BehaviorQueries {
         |  round(CAST(v AS DOUBLE) * 7.0
         |    / CAST(sum(v) OVER () AS DOUBLE), 6) AS value_index
         |FROM cells ORDER BY dow""".stripMargin,
+
+    // calendar-bounded pairwise slopes; quantile_cont ≡ percentile
+    "e_theil_sen" ->
+      """WITH wk AS (SELECT date_trunc('week', o_orderdate) AS week,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |t0 AS (SELECT min(week) AS w0 FROM wk),
+        |xy AS (SELECT CAST(date_diff('day', w0, week) AS BIGINT) AS x, y
+        |  FROM wk CROSS JOIN t0),
+        |sl AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS sl
+        |  FROM xy a JOIN xy b ON b.x > a.x),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(quantile_cont(sl, 0.5), 6) AS slope_per_day FROM sl)
+        |SELECT n_pairs, slope_per_day,
+        |  round(quantile_cont(y - slope_per_day * CAST(x AS DOUBLE), 0.5),
+        |    4) AS intercept
+        |FROM xy CROSS JOIN s GROUP BY n_pairs, slope_per_day""".stripMargin,
 
     // weekly decimal revenue -> lag-52 + recency cut on the bounded
     // weekly relation; 9dp-decimal error sums

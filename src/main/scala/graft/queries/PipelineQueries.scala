@@ -1433,6 +1433,28 @@ object PipelineQueries {
         .orderBy("label_a", "label_b")
     }),
 
+    /** Filtered vector search — the pre-filter vs post-filter question
+      * every metadata-constrained ANN system faces: top-5 for ONE label
+      * cohort, computed by filtering BEFORE ranking (exact, complete),
+      * with a column showing whether each hit would even appear in the
+      * global unfiltered top-50 (post-filtering's candidate pool). Zeros
+      * in that column are the rows post-filtering silently loses — the
+      * argument for pushing predicates into the index scan.
+      */
+    "v_ann_filtered" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val qv = queryVec(s, dir)
+      val pre = Similarity.topK(base.filter(col("label") === 3),
+        "vec_id", "embedding", qv, k = 5)
+      val global = Similarity.topK(base, "vec_id", "embedding", qv, k = 50)
+        .select(col("id").as("gid"))
+      pre.join(global, pre("id") === global("gid"), "left")
+        .select(col("id").as("vec_id"), col("sim"),
+          when(col("gid").isNotNull, 1L).otherwise(0L)
+            .as("in_global_top50"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     /** Recall@10 of the PQ compressed-domain search against exact brute
       * force — v_recall's twin for the second ANN family: how much the
       * 8-byte codes give up vs the 256-byte vectors, measured in-engine.
@@ -2737,6 +2759,23 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // cohort-filtered exact top-5 beside the global-candidate membership
+    "v_ann_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, label,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT qv FROM q)), 6) AS sim
+        |  FROM embeddings WHERE vec_id <> 0),
+        |pre AS (SELECT vec_id, sim FROM s WHERE label = 3
+        |  ORDER BY sim DESC, vec_id LIMIT 5),
+        |g AS (SELECT vec_id FROM s ORDER BY sim DESC, vec_id LIMIT 50)
+        |SELECT pre.vec_id, pre.sim,
+        |  CAST(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS in_global_top50
+        |FROM pre LEFT JOIN g USING (vec_id)
+        |ORDER BY sim DESC, vec_id""".stripMargin,
 
     "v_pq_recall" ->
       s"""WITH a AS ($annTopkOracle),
