@@ -376,6 +376,37 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
 
+    /** Cramér's V — the EFFECT SIZE the a16 chi-square test omits (with
+      * 60k rows even a trivial association is "significant"; V says
+      * whether it matters): V = sqrt(χ²/(n·min(r−1, c−1))) over the same
+      * lang × source contingency machinery, same marginal-sized
+      * relations, same ordered contribution fold.
+      */
+    "a35_cramers_v" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("lang").agg(sum("obs").as("rt"))
+      val ct = cells.groupBy("source").agg(sum("obs").as("ctot"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      val exp = col("rt").cast("double") * col("ctot").cast("double") /
+        col("n").cast("double")
+      val dev = col("obs").cast("double") - exp
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"), col("nl"), col("ns"),
+          (dev * dev / exp).as("contrib"))
+        .groupBy("n", "nl", "ns")
+        .agg(sort_array(collect_list(struct(col("lang"), col("source"),
+          col("contrib")))).as("cs"))
+        .select(col("n"),
+          round(sqrt(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")) /
+            (col("n").cast("double") *
+              least(col("nl") - 1, col("ns") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
     /** Spearman rank correlation, EXACT and distributed — no global rank
       * anywhere: with discrete measures the tie-corrected Spearman is
       * Pearson over per-value MID-RANKS, and mid-ranks come from the
@@ -1612,6 +1643,35 @@ object AnalyticsQueries {
         |    AS kendall_tau_b
         |FROM n0 CROSS JOIN conc CROSS JOIN disc
         |CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // a16's contingency machinery + the V normalization
+    "a35_cramers_v" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, sum(obs) AS rt FROM cells GROUP BY lang),
+        |ct AS (SELECT source, sum(obs) AS ctot FROM cells GROUP BY source),
+        |tot AS (SELECT sum(obs) AS n, count(DISTINCT lang) AS nl,
+        |          count(DISTINCT source) AS ns FROM cells),
+        |c AS (SELECT cells.lang, cells.source,
+        |        CAST(n AS BIGINT) AS n, nl, ns,
+        |        (CAST(obs AS DOUBLE) -
+        |            CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE)) *
+        |        (CAST(obs AS DOUBLE) -
+        |            CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |          / (CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |              / CAST(n AS DOUBLE)) AS contrib
+        |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |      CROSS JOIN tot),
+        |f AS (SELECT n, nl, ns,
+        |        list(contrib ORDER BY lang, source) AS cs
+        |      FROM c GROUP BY n, nl, ns)
+        |SELECT n,
+        |  round(sqrt(list_reduce(list_prepend(0.0, cs), (a, b) -> a + b)
+        |    / (CAST(n AS DOUBLE) *
+        |       CAST(least(nl - 1, ns - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM f""".stripMargin,
 
     // doubled integer mid-ranks from counts-of-counts; DECIMAL moments;
     // Pearson closed form at the end

@@ -637,6 +637,29 @@ object BehaviorQueries {
         .orderBy("ante", "cons")
     }),
 
+    /** Lorenz curve of per-user event concentration — e_gini's full
+      * picture: the exact polyline vertices (cumulative user fraction,
+      * cumulative event fraction) walking activity levels ascending.
+      * Counts-of-counts again: one row per distinct per-user count, so
+      * the curve relation is bounded by the busiest user's total, and
+      * every coordinate is an integer ratio rounded once.
+      */
+    "e_lorenz" -> ((s, dir) => {
+      val dist = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("m"))
+      val walk = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("v"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      dist.select(col("v"), col("m"),
+          round(sum("m").over(walk).cast("double") /
+            sum("m").over(tot).cast("double"), 6).as("cum_users_frac"),
+          round(sum(col("m") * col("v")).over(walk).cast("double") /
+            sum(col("m") * col("v")).over(tot).cast("double"), 6)
+            .as("cum_events_frac"))
+        .orderBy("v")
+    }),
+
     /** Gini coefficient of per-user event concentration — e_power_users'
       * one-number summary (0 = perfectly even, →1 = one user owns the
       * stream). Same counts-of-counts discipline: per-user totals hash-
@@ -1582,6 +1605,18 @@ object BehaviorQueries {
         |JOIN cnt cc ON cc.t = cons
         |CROSS JOIN nu
         |ORDER BY ante, cons""".stripMargin,
+
+    // activity-level histogram, inclusive cumulative walks
+    "e_lorenz" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY v)
+        |SELECT v, m,
+        |  round(CAST(sum(m) OVER (ORDER BY v) AS DOUBLE)
+        |    / CAST(sum(m) OVER () AS DOUBLE), 6) AS cum_users_frac,
+        |  round(CAST(sum(m * v) OVER (ORDER BY v) AS DOUBLE)
+        |    / CAST(sum(m * v) OVER () AS DOUBLE), 6) AS cum_events_frac
+        |FROM d ORDER BY v""".stripMargin,
 
     // activity-level histogram + exclusive prefix sums; BIGINT W = Σ
     // m·(v·Cm − Cs) until the one final division
