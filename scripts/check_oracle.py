@@ -8,6 +8,7 @@ Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views over
 normalizes both (columns sorted by name, rows sorted by all columns), and
 compares values. Exit code 1 on any mismatch.
 """
+import decimal
 import glob
 import json
 import math
@@ -15,6 +16,29 @@ import sys
 
 import duckdb
 import pandas as pd
+
+
+def _decimals(s: pd.Series):
+    """Sampled non-null decimal.Decimal values of an object-dtype column."""
+    if s.dtype != object:
+        return []
+    return [v for v in s.dropna().head(1000)
+            if isinstance(v, decimal.Decimal)]
+
+
+def _too_wide(vals) -> bool:
+    """True if any Decimal needs more than 18 significant digits.
+
+    float64's 53-bit mantissa carries ~15.95 decimal digits (integers are
+    exact only up to 2^53 ≈ 9.0e15), so any wider decimal that ANY pipeline
+    stage renders through float64 (DuckDB→pandas does this for wide
+    DECIMALs) silently loses low digits. 18 digits is the repo's safe
+    DECIMAL width; beyond it the only hash-stable carrier is a string.
+    """
+    for v in vals:
+        if abs(v) >= decimal.Decimal(10) ** 18:
+            return True
+    return False
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -85,12 +109,34 @@ def main(sf_dir: str, out_dir: str) -> int:
             gf = pd.api.types.is_float_dtype(got[c])
             ef = pd.api.types.is_float_dtype(expected[c])
             if (gi and ef) or (gf and ei):
-                dtype_bad = (c, got[c].dtype, expected[c].dtype)
+                dtype_bad = (c, got[c].dtype, expected[c].dtype,
+                             "CAST the oracle aggregate")
+                break
+            # Decimal-object vs float64: the round-6 o_table_digest trap.
+            # Spark's parquet keeps an exact Decimal object while DuckDB's
+            # pandas bridge renders wide DECIMALs as float64 — the values
+            # compare equal numerically but the driver hashes RENDERED
+            # strings ("345...23" vs "3.45...e+22"), so the row is red on
+            # the gate even when the math is right.
+            gdec = _decimals(got[c])
+            edec = _decimals(expected[c])
+            if (gdec and ef) or (gf and edec):
+                dtype_bad = (c, got[c].dtype, expected[c].dtype,
+                             "Decimal vs float64 render — emit VARCHAR on "
+                             "both sides")
+                break
+            # any DECIMAL wider than 18 digits is float64-unsafe (2^53 ≈
+            # 9.0e15: only ~16 digits survive) on ANY render path — the
+            # driver, a dashboard, a JSON export. Stringify it in-engine.
+            if _too_wide(gdec) or _too_wide(edec):
+                dtype_bad = (c, got[c].dtype, expected[c].dtype,
+                             "DECIMAL wider than 18 digits cannot survive "
+                             "float64 — emit VARCHAR on both sides")
                 break
         if dtype_bad:
-            c, gd, ed = dtype_bad
+            c, gd, ed, why = dtype_bad
             print(f"FAIL {name}: dtype mismatch col={c}: spark={gd} oracle={ed}"
-                  f" (driver hash would differ; CAST the oracle aggregate)")
+                  f" (driver hash would differ; {why})")
             failures += 1
             continue
         bad = None

@@ -13,6 +13,26 @@ import graft.ops.{SchemaOps, StatsOps}
   */
 object Bench {
 
+  /** PQ layout (codes parquet + codebook) built ONCE per corpus dir — the
+    * build-once/search-many contract the at-rest path exists for. Memoized
+    * across passes, so pass 1 of v_ann_pq_layout includes the one-time
+    * encode+write and pass 2 is search-only; both raw times land in
+    * `passes`, and min-of-2 reports the steady state a serving deployment
+    * actually pays per query.
+    */
+  private val pqLayouts = scala.collection.concurrent.TrieMap[
+    String, (String, Array[scala.collection.Seq[Float]])]()
+  private def pqLayoutFor(sfDir: String,
+                          base: DataFrame): (String, Array[scala.collection.Seq[Float]]) =
+    pqLayouts.getOrElseUpdate(sfDir, {
+      val seeds = graft.operators.Similarity.pqCodebook(base, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("bench_pqcodes_")
+        .toString + "/codes"
+      graft.operators.Similarity.pqCodes(base, "vec_id", "embedding", seeds)
+        .write.parquet(path)
+      (path, seeds)
+    })
+
   /** Headline workloads. Each returns a row count so every timing forces a
     * full materialization of its plan.
     */
@@ -130,6 +150,19 @@ object Bench {
         .getAs[scala.collection.Seq[Float]]("embedding").toSeq
       graft.operators.Similarity.pqTopK(
         embs.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10).count()
+    }),
+
+    // the PQ at-rest path: search scans STORED codes (m table lookups per
+    // row) — the steady-state cost v_ann_pq's per-query re-encode avoids
+    // paying only by re-doing the encode every time
+    "v_ann_pq_layout" -> ((s: SparkSession) => {
+      val embs = Tables.load(s, sfDir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val base = embs.filter(col("vec_id") =!= 0L)
+      val (path, seeds) = pqLayoutFor(sfDir, base)
+      graft.operators.Similarity.pqTopKFromCodes(
+        s.read.parquet(path), seeds, q, 10).count()
     }),
 
     "j_star" -> ((s: SparkSession) =>

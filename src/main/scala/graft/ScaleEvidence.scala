@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * headline set. Same protocol as Bench: sf0.001 warmup, two passes,
   * min-of-2, one JSON line.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=<dir> runMain graft.ScaleEvidence`
+  * Usage: `SPARK_GRAFT_SF_DIR=<dir> runMain graft.ScaleEvidence [names]`
+  * — the optional comma-separated subset serves corpus-only scale dirs
+  * (e.g. the 100× sf10 documents/embeddings inflation, where the
+  * TPC-H-reading entries have no tables to run against).
   */
 object ScaleEvidence {
 
@@ -32,6 +35,8 @@ object ScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val run: Seq[String] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim).toSeq else names
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,11 +50,11 @@ object ScaleEvidence {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
-    names.foreach { n =>
+    run.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { n =>
+    val results = run.map { n =>
       def pass(): (Double, Long) = {
         val t0 = System.nanoTime()
         val rows = try SparkEntry.queries(n)(spark, sfDir).count()

@@ -32,7 +32,11 @@ import graft.core.Tables
   * Copy 0 is byte-identical to the source, so the inflated directory
   * contains the original data as a subset.
   *
-  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> <factor>`
+  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> <factor> [tables]`
+  * where `tables` is an optional comma-separated subset (e.g.
+  * `documents,embeddings` for a corpus-only inflation at factors where
+  * inflating the TPC-H facts would just burn disk the dedup/ANN scale
+  * runs never read).
   */
 object ScaleGen {
 
@@ -49,6 +53,10 @@ object ScaleGen {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     require(factor >= 1, "factor must be >= 1")
+    val onlyTables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean =
+      onlyTables.isEmpty || onlyTables(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,73 +72,80 @@ object ScaleGen {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
 
-    // entity shifts, each read once from its owning table
-    val ordShift  = shiftOf(load("orders"), "o_orderkey")
-    val custShift = shiftOf(load("customer"), "c_custkey")
-    val partShift = shiftOf(load("part"), "p_partkey")
-    val suppShift = shiftOf(load("supplier"), "s_suppkey")
+    // entity shifts, each read once from its owning table — lazy so a
+    // table-subset run never scans tables it won't write
+    lazy val ordShift  = shiftOf(load("orders"), "o_orderkey")
+    lazy val custShift = shiftOf(load("customer"), "c_custkey")
+    lazy val partShift = shiftOf(load("part"), "p_partkey")
+    lazy val suppShift = shiftOf(load("supplier"), "s_suppkey")
 
     def bump(c: String, shift: Long) = col(c) + col("__k") * lit(shift)
 
     // dimensions: pass through unchanged
-    save(load("nation"), "nation")
-    save(load("region"), "region")
+    if (wanted("nation")) save(load("nation"), "nation")
+    if (wanted("region")) save(load("region"), "region")
 
-    save(copies(load("customer"), factor)
+    if (wanted("customer")) save(copies(load("customer"), factor)
       .withColumn("c_custkey", bump("c_custkey", custShift))
       .drop("__k"), "customer")
 
-    save(copies(load("supplier"), factor)
+    if (wanted("supplier")) save(copies(load("supplier"), factor)
       .withColumn("s_suppkey", bump("s_suppkey", suppShift))
       .drop("__k"), "supplier")
 
-    save(copies(load("part"), factor)
+    if (wanted("part")) save(copies(load("part"), factor)
       .withColumn("p_partkey", bump("p_partkey", partShift))
       .drop("__k"), "part")
 
-    save(copies(load("orders"), factor)
+    if (wanted("orders")) save(copies(load("orders"), factor)
       .withColumn("o_orderkey", bump("o_orderkey", ordShift))
       .withColumn("o_custkey", bump("o_custkey", custShift))
       .drop("__k"), "orders")
 
-    save(copies(load("lineitem"), factor)
+    if (wanted("lineitem")) save(copies(load("lineitem"), factor)
       .withColumn("l_orderkey", bump("l_orderkey", ordShift))
       .withColumn("l_partkey", bump("l_partkey", partShift))
       .withColumn("l_suppkey", bump("l_suppkey", suppShift))
       .drop("__k"), "lineitem")
 
-    val docShift = shiftOf(load("documents"), "doc_id")
-    save(copies(load("documents"), factor)
-      .withColumn("doc_id", bump("doc_id", docShift))
-      .withColumn("text", when(col("__k") === 0L, col("text"))
-        // `$0c<k>`: whole-match backreference + copy tag — every token of
-        // copy k ends in an alphanumeric tag no other copy's tokens carry
-        .otherwise(regexp_replace(col("text"), lit("\\S+"),
-          concat(lit("$0c"), col("__k").cast("string")))))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("__k"), "documents")
+    if (wanted("documents")) {
+      val docShift = shiftOf(load("documents"), "doc_id")
+      save(copies(load("documents"), factor)
+        .withColumn("doc_id", bump("doc_id", docShift))
+        .withColumn("text", when(col("__k") === 0L, col("text"))
+          // `$0c<k>`: whole-match backreference + copy tag — every token of
+          // copy k ends in an alphanumeric tag no other copy's tokens carry
+          .otherwise(regexp_replace(col("text"), lit("\\S+"),
+            concat(lit("$0c"), col("__k").cast("string")))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__k"), "documents")
+    }
 
-    val vecShift = shiftOf(load("embeddings"), "vec_id")
-    save(copies(load("embeddings"), factor)
-      .withColumn("vec_id", bump("vec_id", vecShift))
-      .withColumn("embedding",
-        when(col("__k") === 0L, col("embedding"))
-          // the cast back to float matters: float arithmetic widens to
-          // double in Spark, and a silently-double embedding column would
-          // break every Array[Float] consumer downstream
-          .otherwise(zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1), i =>
-              ((pmod(hash(col("vec_id"), col("__k"), i), lit(1000)) - 500)
-                .cast("float") / lit(500000.0f))),
-            (x, j) => (x + j).cast("float"))))
-      .drop("__k"), "embeddings")
+    if (wanted("embeddings")) {
+      val vecShift = shiftOf(load("embeddings"), "vec_id")
+      save(copies(load("embeddings"), factor)
+        .withColumn("vec_id", bump("vec_id", vecShift))
+        .withColumn("embedding",
+          when(col("__k") === 0L, col("embedding"))
+            // the cast back to float matters: float arithmetic widens to
+            // double in Spark, and a silently-double embedding column would
+            // break every Array[Float] consumer downstream
+            .otherwise(zip_with(col("embedding"),
+              transform(sequence(lit(0), size(col("embedding")) - 1), i =>
+                ((pmod(hash(col("vec_id"), col("__k"), i), lit(1000)) - 500)
+                  .cast("float") / lit(500000.0f))),
+              (x, j) => (x + j).cast("float"))))
+        .drop("__k"), "embeddings")
+    }
 
-    val evShift = shiftOf(load("events"), "event_id")
-    val userShift = shiftOf(load("events"), "user_id")
-    save(copies(Tables.load(spark, src, "events"), factor)
-      .withColumn("event_id", bump("event_id", evShift))
-      .withColumn("user_id", bump("user_id", userShift))
-      .drop("__k"), "events")
+    if (wanted("events")) {
+      val evShift = shiftOf(load("events"), "event_id")
+      val userShift = shiftOf(load("events"), "user_id")
+      save(copies(Tables.load(spark, src, "events"), factor)
+        .withColumn("event_id", bump("event_id", evShift))
+        .withColumn("user_id", bump("user_id", userShift))
+        .drop("__k"), "events")
+    }
 
     println(s"""{"scalegen":"done","src":"$src","out":"$out","factor":$factor}""")
     spark.stop()

@@ -334,22 +334,21 @@ object Similarity {
     seeds
   }
 
-  /** Approximate-squared-distance column over a vector column bound as
-    * `__x`: per-subspace argmin encoding against the seed codebook, then
-    * the query's ADC table lookups folded in subspace order. Unrounded —
-    * callers round once at the output boundary.
+  /** codebook[j][c] = subvector j of the c-th seed. */
+  private def pqSlices(seeds: Array[scala.collection.Seq[Float]],
+                       m: Int, sub: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(m)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
+
+  /** ADC table: squared L2 from the query's subvector j to codeword c,
+    * folded in dim order — query-sized driver work, shipped as literals.
     */
-  private def pqAdistCol(seeds: Array[scala.collection.Seq[Float]],
-                         query: Seq[Float], m: Int, roundTo: Int): Column = {
+  private def pqAdcTable(seeds: Array[scala.collection.Seq[Float]],
+                         query: Seq[Float], m: Int): Array[Array[Double]] = {
     val dim = query.length
     require(dim % m == 0, "m must divide the vector dimension")
     val sub = dim / m
-    // codebook[j][c] = subvector j of the c-th seed
-    val codebook: Array[Array[Array[Float]]] = Array.tabulate(m)(j =>
-      seeds.map(v => v.slice(j * sub, (j + 1) * sub).toArray))
-    // ADC table: squared L2 from the query's subvector j to codeword c,
-    // folded in dim order — query-sized driver work, shipped as literals
-    val table: Array[Array[Double]] = Array.tabulate(m)(j =>
+    val codebook = pqSlices(seeds, m, sub)
+    Array.tabulate(m)(j =>
       codebook(j).map { cw =>
         var acc = 0.0
         var d = 0
@@ -360,8 +359,23 @@ object Similarity {
         }
         acc
       })
-    // encode: per subspace, argmin over codewords of round-6 squared L2
-    // (codeword-index tiebreak) — one codegen'd projection, no shuffle
+  }
+
+  /** Per-subspace PQ code expressions over a vector column bound as
+    * `__x`: for each subspace j, the argmin over codewords of
+    * round-`roundTo` squared L2 (codeword-index tiebreak) — one codegen'd
+    * projection, no shuffle. Returned as m SEPARATE columns so callers
+    * that consume one code per subspace (the ADC fold) never wrap them in
+    * an array: `element_at(array(codes...), j)` would re-evaluate every
+    * subspace's argmin per lookup (measured 7× on the bench corpus).
+    */
+  private def pqCodeExprs(seeds: Array[scala.collection.Seq[Float]],
+                          m: Int, roundTo: Int): IndexedSeq[Column] = {
+    val dim = seeds.headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException("empty codebook"))
+    require(dim % m == 0, "m must divide the vector dimension")
+    val sub = dim / m
+    val codebook = pqSlices(seeds, m, sub)
     def dsub(j: Int, cw: Array[Float]): Column =
       aggregate(zip_with(slice(col("__x"), j * sub + 1, sub),
           array(cw.toIndexedSeq.map(lit): _*),
@@ -372,12 +386,84 @@ object Similarity {
       array_min(array(codebook(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
         struct(round(dsub(j, cw), roundTo).as("d"), lit(c).as("cw"))
       }: _*))("cw")
-    aggregate(
-      array((0 until m).map(j =>
-        element_at(array(table(j).toIndexedSeq.map(lit): _*),
-          code(j) + 1)): _*),
-      lit(0.0), (acc, x) => acc + x)
+    (0 until m).map(code)
   }
+
+  /** The query's approximate squared distance from per-subspace code
+    * columns: m literal-table lookups folded in subspace order from 0.0 —
+    * the compressed-domain scan body. Unrounded; callers round once at
+    * the output boundary.
+    */
+  private def pqLookupCol(table: Array[Array[Double]],
+                          codes: IndexedSeq[Column]): Column =
+    aggregate(
+      array(table.indices.map(j =>
+        element_at(array(table(j).toIndexedSeq.map(lit): _*),
+          codes(j) + 1)): _*),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Approximate-squared-distance column over a vector column bound as
+    * `__x`: per-subspace argmin encoding against the seed codebook, then
+    * the query's ADC table lookups folded in subspace order. Unrounded —
+    * callers round once at the output boundary.
+    */
+  private def pqAdistCol(seeds: Array[scala.collection.Seq[Float]],
+                         query: Seq[Float], m: Int, roundTo: Int): Column =
+    pqLookupCol(pqAdcTable(seeds, query, m), pqCodeExprs(seeds, m, roundTo))
+
+  /** The deterministic PQ codebook for a corpus — the `codebookSize`
+    * smallest-id vectors (see [[pqTopK]]'s scaladoc for why seeding is
+    * id-ordered). Build it ONCE per corpus and pass it to both the encode
+    * ([[pqCodes]]) and every search ([[pqTopKFromCodes]] /
+    * [[pqTopKFromLayout]]) so index and queries share one codebook.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                 codebookSize: Int = 16): Array[scala.collection.Seq[Float]] =
+    codebookSeeds(df, idCol, vecCol, codebookSize)
+
+  /** PQ encode the corpus ONCE: (id, codes array<int> of length m) — the
+    * at-rest form [[pqTopK]]'s scaladoc promises. 64 float32 dims (256 B)
+    * become m = 8 small ints; write this to parquet and every subsequent
+    * query scans codes (m table lookups/row via [[pqTopKFromCodes]])
+    * instead of re-encoding the corpus per query. Map-only, no shuffle.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              seeds: Array[scala.collection.Seq[Float]], m: Int = 8,
+              roundTo: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+      .select(col("id"), array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+
+  /** ANN top-k over an ALREADY-ENCODED corpus (the output of [[pqCodes]],
+    * in memory or re-read from parquet): the query builds its m ×
+    * codebookSize ADC table driver-side and the scan is m literal-table
+    * lookups per row into a TakeOrdered top-k — no per-query re-encode,
+    * no higher-order array math over raw vectors, no shuffle. Identical
+    * output to [[pqTopK]] on the same corpus/codebook (same argmin codes,
+    * same fold order).
+    */
+  def pqTopKFromCodes(codes: DataFrame,
+                      seeds: Array[scala.collection.Seq[Float]],
+                      query: Seq[Float], k: Int, m: Int = 8,
+                      roundTo: Int = 6): DataFrame = {
+    val table = pqAdcTable(seeds, query, m)
+    // element_at over the STORED array is a plain read per subspace —
+    // cheap, unlike element_at over a computed codes expression
+    val stored = (0 until m).map(j => element_at(col("codes"), j + 1))
+    codes.select(col("id"),
+        round(pqLookupCol(table, stored), roundTo).as("adist"))
+      .orderBy(col("adist"), col("id"))
+      .limit(k)
+  }
+
+  /** ANN top-k against a *persisted* PQ layout (parquet written from
+    * [[pqCodes]]) — the PQ twin of [[ivfTopKFromLayout]]: build once,
+    * search many, the search never touches a raw vector.
+    */
+  def pqTopKFromLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                       seeds: Array[scala.collection.Seq[Float]],
+                       query: Seq[Float], k: Int, m: Int = 8,
+                       roundTo: Int = 6): DataFrame =
+    pqTopKFromCodes(spark.read.parquet(path), seeds, query, k, m, roundTo)
 
   /** IVF-PQ composite — the FAISS-at-scale shape: the coarse IVF quantizer
     * prunes the corpus to `nProbe` cells and PQ ranks only the survivors

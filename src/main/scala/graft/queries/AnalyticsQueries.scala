@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -436,14 +436,19 @@ object AnalyticsQueries {
       val j = cells
         .join(broadcast(ranks("x", "rx")), Seq("x"))
         .join(broadcast(ranks("y", "ry")), Seq("y"))
+      // each factor is decimal BEFORE the multiply: doubled mid-ranks are
+      // ~2n, so a Long rx*ry product would silently wrap around n ≈ 1.5e9
+      // rows — decimal factors keep the products exact at any row count
+      // (the e_burstiness gap-squares idiom)
+      def dec(c: Column) = c.cast("decimal(19,0)")
       val m = j.groupBy().agg(sum("c").as("n"),
-        sum((col("rx") * col("c")).cast("decimal(38,0)")).as("sx"),
-        sum((col("ry") * col("c")).cast("decimal(38,0)")).as("sy"),
-        sum((col("rx") * col("ry")).cast("decimal(28,0)") * col("c"))
+        sum(dec(col("rx")) * col("c")).cast("decimal(38,0)").as("sx"),
+        sum(dec(col("ry")) * col("c")).cast("decimal(38,0)").as("sy"),
+        sum(dec(col("rx")) * dec(col("ry")) * col("c"))
           .cast("decimal(38,0)").as("sxy"),
-        sum((col("rx") * col("rx")).cast("decimal(28,0)") * col("c"))
+        sum(dec(col("rx")) * dec(col("rx")) * col("c"))
           .cast("decimal(38,0)").as("sxx"),
-        sum((col("ry") * col("ry")).cast("decimal(28,0)") * col("c"))
+        sum(dec(col("ry")) * dec(col("ry")) * col("c"))
           .cast("decimal(38,0)").as("syy"))
       def d(c: String) = col(c).cast("double")
       m.select(col("n"),
@@ -469,19 +474,25 @@ object AnalyticsQueries {
       val a = cells.select(col("x"), col("y"), col("c"))
       val b = cells.select(col("x").as("x2"), col("y").as("y2"),
         col("c").as("c2"))
+      // decimal factors before every multiply: cell counts are O(n), so
+      // Long c*c2 (and m*(m-1)) products wrap around n ≈ 3e9 rows
+      def decF(c: Column) = c.cast("decimal(19,0)")
       val conc = a.join(b, col("x2") > col("x") && col("y2") > col("y"))
-        .groupBy().agg(coalesce(sum((col("c") * col("c2"))
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("cc"))
+        .groupBy().agg(coalesce(sum(decF(col("c")) * decF(col("c2")))
+          .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("cc"))
       val disc = a.join(b, col("x2") > col("x") && col("y2") < col("y"))
-        .groupBy().agg(coalesce(sum((col("c") * col("c2"))
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("dd"))
+        .groupBy().agg(coalesce(sum(decF(col("c")) * decF(col("c2")))
+          .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("dd"))
+      // m*(m-1) is even, so the decimal /2 is an exact integer
       def tiePairs(vc: String) = cells.groupBy(col(vc))
         .agg(sum("c").as("m"))
-        .groupBy().agg(sum(expr("(m * (m - 1)) DIV 2")
-          .cast("decimal(38,0)")).as(s"t_$vc"))
+        .groupBy().agg(sum(
+          expr("CAST(CAST(m AS DECIMAL(19,0)) * (m - 1) / 2 AS DECIMAL(38,0))"))
+          .cast("decimal(38,0)").as(s"t_$vc"))
       val n0 = cells.groupBy().agg(sum("c").as("n"))
-        .select(col("n"), expr("(n * (n - 1)) DIV 2")
-          .cast("decimal(38,0)").as("n0"))
+        .select(col("n"),
+          expr("CAST(CAST(n AS DECIMAL(19,0)) * (n - 1) / 2 AS DECIMAL(38,0))")
+            .as("n0"))
       n0.crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
         .crossJoin(broadcast(tiePairs("x")))
         .crossJoin(broadcast(tiePairs("y")))

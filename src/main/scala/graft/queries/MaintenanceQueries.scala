@@ -416,7 +416,12 @@ object MaintenanceQueries {
       * digests match regardless of partitioning, file layout, or row
       * order — the check that validates a migration/compaction/export
       * without shipping either table. One map pass + one 2-column
-      * aggregate.
+      * aggregate. The digest leaves the engine as a STRING: the sum is a
+      * 23-digit DECIMAL(38,0), and any consumer pipeline that narrows it
+      * through float64 (pandas, JSON, most dashboards) silently loses the
+      * low digits — a digest that sometimes compares via float is worse
+      * than no digest, so the exact decimal is stringified at the boundary
+      * on BOTH engines.
       */
     "o_table_digest" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
@@ -434,30 +439,34 @@ object MaintenanceQueries {
       li.select(rowFp.as("fp"))
         .groupBy().agg(count(lit(1)).as("n_rows"),
           sum(col("fp").cast("decimal(20,0)")).cast("decimal(38,0)")
-            .as("digest"))
+            .cast("string").as("digest"))
     }),
 
     /** Referential-integrity audit over the star schema's FK edges: per
       * edge, child row count, orphan rows (no matching parent), and
       * distinct orphan keys — the "can I trust my joins" check that runs
-      * before any fact-dim query ships. Each edge is one left-anti join;
-      * dims broadcast, the fact side shuffles at most once, and the four
-      * 1-row results union into the report. (The synthetic schema is
-      * FK-clean, so the expected orphan column is zero — the audit
-      * proves it rather than assumes it.)
+      * before any fact-dim query ships. Each edge is ONE pass over its
+      * child: a broadcast left join against the (distinct) parent key set
+      * marks orphans, and a single aggregate computes all three counts in
+      * the same scan — no eager per-edge `.count()` loop, so lineitem is
+      * read once per edge it appears in and the whole four-leg union stays
+      * lazy until the driver materializes the report. (The synthetic
+      * schema is FK-clean, so the expected orphan column is zero — the
+      * audit proves it rather than assumes it.)
       */
     "o_fk_audit" -> ((s, dir) => {
-      import s.implicits._
       def edge(name: String, child: DataFrame, ck: String,
-               parent: DataFrame, pk: String) = {
-        val orphans = child.select(col(ck).as("k"))
-          .join(broadcast(parent.select(col(pk).as("k"))), Seq("k"),
-            "left_anti")
-        val n = child.count()
-        val o = orphans.count()
-        val od = orphans.distinct().count()
-        (name, n, o, od)
-      }
+               parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("k"))
+          .join(broadcast(parent.select(col(pk).as("k")).distinct()
+            .withColumn("__hit", lit(1))), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child_rows"),
+            coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_orphan_rows"),
+            countDistinct(when(col("__hit").isNull, col("k")))
+              .as("n_orphan_keys"))
+          .select(lit(name).as("fk_edge"), col("n_child_rows"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
@@ -469,7 +478,7 @@ object MaintenanceQueries {
         edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
         edge("customer.c_nationkey->nation", c, "c_nationkey", na,
           "n_nationkey"))
-        .toDF("fk_edge", "n_child_rows", "n_orphan_rows", "n_orphan_keys")
+        .reduce(_.unionAll(_))
         .orderBy("fk_edge")
     }),
 
@@ -1027,17 +1036,20 @@ object MaintenanceQueries {
         |FROM pk""".stripMargin,
 
     // per-row md5 fingerprints summed order-free; decimal-stringified
-    // doubles
+    // doubles. The 23-digit digest ships as VARCHAR: DuckDB's pandas
+    // bridge renders wide DECIMALs through float64 (23 significant digits
+    // cannot survive the 53-bit mantissa), so the exact decimal is
+    // stringified inside the engine, never downstream.
     "o_table_digest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(('0x' || substr(md5(
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(
         |    CAST(l_orderkey AS VARCHAR) || '|' ||
         |    CAST(l_linenumber AS VARCHAR) || '|' ||
         |    CAST(l_partkey AS VARCHAR) || '|' ||
         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
         |      || '|' || l_returnflag), 1, 15))::BIGINT
-        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS digest
+        |    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS VARCHAR) AS digest
         |FROM lineitem""".stripMargin,
 
     // one anti-join per FK edge, dims broadcast; 1-row legs unioned

@@ -216,16 +216,13 @@ object ParityQueries {
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
         .orderBy("l_returnflag")),
 
-    /** Sketch surface: HLL distinct + t-digest-ish quantile — the
-      * approximate versions that stay cheap at 100 TB (no oracle: sketch
-      * internals differ across engines by design).
-      */
-    "a5_sketches" -> ((s, dir) =>
-      li(s, dir).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median"))
-        .orderBy("l_returnflag")),
+    // The HLL + t-digest sketch surface (approx_count_distinct /
+    // percentile_approx) is intentionally NOT registered: sketch
+    // internals differ across engines by design, so the gate would
+    // record `no_oracle` every round. a5_sketches_md5 below reports the
+    // same sketch *report* from deterministic md5-state sketches
+    // (oracle-green); TwinVariantsSpec pins the built-in sketches'
+    // accuracy against exact answers.
 
     /** a5's oracle-checkable twin (d_simhash_md5 pattern): the same sketch
       * *report* — distinct estimate + median estimate per group — from

@@ -133,11 +133,12 @@ object PipelineQueries {
         TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // order-sensitive rolling hash — xxhash64-based, no DuckDB equivalent
-    "t_rolling_hash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.rollingHash(col("text")).as("rhash"))
-        .orderBy("doc_id")),
+    // The xxhash64-family rolling hash (TextFunctions.rollingHash with
+    // the default hasher) is intentionally NOT registered — DuckDB has no
+    // xxhash64, so the gate would record `no_oracle` forever.
+    // t_rolling_hash_md5 below replays the same Horner fold under
+    // md5-derived token hashes (oracle-green); TwinVariantsSpec pins the
+    // xxhash64 path.
 
     // sliding passage windows: 32-token windows at stride 16 — the
     // chunking step before passage-level embedding/BM25/decontamination
@@ -883,7 +884,10 @@ object PipelineQueries {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dropped"))
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
         n = 3, threshold = 0.4, numHashes = 128, bands = 64)
-      val near = Dedup.connectedComponents(pairs, "id_i", "id_j")
+      // star-CC (the O(log² n)-round scale path, the dropNearDuplicates
+      // default) — d_clusters keeps label-prop as the cross-check
+      val near = graft.operators.Graph
+        .starConnectedComponents(pairs, "id_i", "id_j")
         .agg(count(lit(1)).as("n_near_members"),
           countDistinct(col("cluster")).as("n_clusters"))
       exact.crossJoin(near)
@@ -1028,10 +1032,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // xxhash64-based signature — no DuckDB equivalent; near-clone pairs
-    "d_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
-        .orderBy("id_i", "id_j")),
+    // The xxhash64-family SimHash (Dedup.simhashPairs with the default
+    // hasher) is intentionally NOT registered: the driver gate hashes
+    // against DuckDB, which has no xxhash64, so it would report a
+    // spurious `no_oracle` row every round. d_simhash_md5 below is the
+    // same operator under an md5-derived hash family (oracle-green), and
+    // TwinVariantsSpec pins the xxhash64 path's own invariants.
 
     /** Corpus after near-dedup: every document minus non-representative
       * cluster members — the artifact a training pipeline actually ships.
@@ -1277,10 +1283,10 @@ object PipelineQueries {
     }),
 
     // LSH-bucketed ANN — scale path; xxhash64 planes, no SQL equivalent
-    "v_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
-        "vec_id", "embedding", queryVec(s, dir), k = 10, tables = 16, bits = 4)
-        .withColumnRenamed("id", "vec_id")),
+    // The xxhash64-plane LSH ANN (Similarity.lshTopK with the default
+    // plane family) is intentionally NOT registered (no DuckDB xxhash64 →
+    // perpetual `no_oracle` row); v_ann_lsh_md5 below is the identical
+    // path under md5 planes and TwinVariantsSpec pins the default family.
 
     // the same ANN path with md5-derived planes: every stage — plane
     // weights, sign buckets, candidate set, exact rerank — reproduced by
@@ -1301,6 +1307,24 @@ object PipelineQueries {
       Similarity.pqTopK(embs(s, dir).filter(col("vec_id") =!= 0L),
         "vec_id", "embedding", queryVec(s, dir), k = 10)
         .withColumnRenamed("id", "vec_id")),
+
+    /** The PQ at-rest layout path: the corpus is encoded ONCE (codes
+      * written to parquet — 8 small ints where 64 floats were) and the
+      * search scans stored codes, m table lookups per row, never touching
+      * a raw vector or re-running the argmin encode. Same codebook, same
+      * round-6 argmins, same fold order → identical top-k to v_ann_pq,
+      * which is exactly what the shared oracle asserts.
+      */
+    "v_ann_pq_layout" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val seeds = Similarity.pqCodebook(base, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("vrfy_pqcodes_")
+        .toString + "/codes"
+      Similarity.pqCodes(base, "vec_id", "embedding", seeds)
+        .write.parquet(path)
+      Similarity.pqTopKFromLayout(s, path, seeds, queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")
+    }),
 
     /** IVF-PQ composite: the coarse quantizer prunes to 4 of 8 cells, PQ
       * ranks the survivors in the compressed domain — both stages replayed
@@ -1553,15 +1577,12 @@ object PipelineQueries {
         .withColumnRenamed("id", "vec_id")
     }),
 
-    // IVF ANN — deterministic k-means-lite index, partial probe
-    "v_ann_ivf" -> ((s, dir) => {
-      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
-      val (assigned, cents) = Similarity.ivfAssign(base, "vec_id", "embedding",
-        nCentroids = 8, iters = 2)
-      Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
-        queryVec(s, dir), k = 10, nProbe = 4)
-        .withColumnRenamed("id", "vec_id")
-    }),
+    // The k-means-refined IVF (ivfAssign iters=2) is intentionally NOT
+    // registered: Lloyd iterations make centroids float-fold-order
+    // sensitive, so there is no DuckDB replay and the gate would record
+    // `no_oracle` every round. v_ann_ivf_flat above hash-checks the full
+    // coarse-quantize → probe → rerank pipeline with flat centroids;
+    // TwinVariantsSpec pins the refined index's own invariants.
 
     // ---- multimodal plumbing ---------------------------------------------
     "m_binary_stats" -> ((s, dir) =>
@@ -3004,6 +3025,10 @@ object PipelineQueries {
     "v_pca_power" -> pcaPowerOracle,
 
     "v_ann_pq" -> pqAnnOracle,
+
+    // the at-rest layout must return the SAME top-k as the re-encode
+    // path, so they share one oracle
+    "v_ann_pq_layout" -> pqAnnOracle,
 
     "v_ann_ivfpq" -> ivfPqOracle,
 

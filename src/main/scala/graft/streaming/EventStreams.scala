@@ -81,12 +81,39 @@ object EventStreams {
   case class TEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class StageReached(user_id: Long, stage: Int)
 
+  /** Funnel event list + the deepest stage already emitted — emit-on-change
+    * needs the high-water mark in state, not just the events.
+    */
+  case class FunnelState(evs: Vector[(String, Long)], emitted: Int,
+                         lastUs: Long)
+
   /** Funnel progress as a custom-state operator
     * (`flatMapGroupsWithState`): per user, the greedy earliest-anchor
     * chain (the e_funnel semantics) evaluated from a compact state — one
     * (type, ts) vector per user, bounded by that user's funnel-type
-    * events, never the whole stream. Emits (user_id, deepest stage
-    * reached ≥ 1); the stage-count rollup is a downstream aggregate.
+    * events, never the whole stream.
+    *
+    * Output contract (batch AND streaming): an append-only DEPTH-INCREASE
+    * log — (user_id, depth) is emitted only when the user's deepest
+    * reached stage strictly exceeds everything already emitted for them.
+    * On a batch input there is exactly one invocation per user, so each
+    * user appears at most once and a plain `groupBy(stage).count()` is the
+    * stage rollup (what e_funnel_stateful asserts). On a stream a user who
+    * deepens across micro-batches appears once per NEW depth, so the
+    * rollup is over the per-user MAX depth (`groupBy(user).agg(max)` →
+    * count) — counting raw rows would credit the same user at several
+    * depths. The emit-only-on-change discipline means a micro-batch that
+    * brings a user new events but no new depth emits nothing.
+    *
+    * State lifetime: on a streaming input the input gets a 1-hour
+    * watermark and per-user state an event-time timeout `horizonHours`
+    * past the user's last funnel event — an abandoned funnel is evicted
+    * once the watermark passes that point, bounding state by the
+    * active-user set instead of growing forever. A user who returns after
+    * eviction starts a fresh chain; `horizonHours` is therefore the funnel
+    * attribution window, not a tuning knob. Batch inputs keep NoTimeout
+    * (one invocation,
+    * nothing outlives the job).
     *
     * Why state is the event list and not a stage cursor: the greedy chain
     * re-anchors when an EARLIER stage-1 event arrives (out-of-order
@@ -94,10 +121,12 @@ object EventStreams {
     * state that replays exactly, and it is what makes the operator equal
     * to the batch cascade on any arrival order (spec-pinned).
     */
-  def funnelStateful(events: DataFrame,
-                     stages: Seq[String]): Dataset[StageReached] = {
+  def funnelStateful(events: DataFrame, stages: Seq[String],
+                     horizonHours: Int = 24): Dataset[StageReached] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
+    val horizonMs = horizonHours * 3600000L
     def usOf(t: java.sql.Timestamp): Long = {
       val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
@@ -115,17 +144,33 @@ object EventStreams {
       }
       depth
     }
-    events.select(col("user_id"), col("ts"), col("event_type"))
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    src.select(col("user_id"), col("ts"), col("event_type"))
       .filter(col("event_type").isin(stages: _*)).as[TEv]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Vector[(String, Long)], StageReached](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[TEv], state: GroupState[Vector[(String, Long)]]) =>
-          val upd = state.getOption.getOrElse(Vector.empty) ++
-            it.map(e => (e.event_type, usOf(e.ts)))
-          state.update(upd)
-          val d = chain(upd)
-          if (d >= 1) Iterator(StageReached(uid, d)) else Iterator.empty
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // abandoned funnel: depth was already emitted on change, so
+            // eviction is silent
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              FunnelState(Vector.empty, 0, Long.MinValue))
+            val evs = prev.evs ++ it.map(e => (e.event_type, usOf(e.ts)))
+            val last = evs.foldLeft(prev.lastUs)((m, e) => math.max(m, e._2))
+            val d = chain(evs)
+            state.update(FunnelState(evs, math.max(prev.emitted, d), last))
+            if (streaming)
+              state.setTimeoutTimestamp(math.max(last / 1000L + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            if (d > prev.emitted) Iterator(StageReached(uid, d))
+            else Iterator.empty
+          }
       }
   }
 
