@@ -71,6 +71,99 @@ object RankStats {
           6).as("auc"))
   }
 
+  /** Mann–Whitney U two-sample test, EXACT and distributed — the
+    * nonparametric "did the distribution shift" test (a24's t-test without
+    * the normality assumption). No rank is ever materialized: the sample
+    * collapses to a per-value (a_s, b_s) histogram (one hash aggregate —
+    * the only data-sized work), and the doubled U statistic
+    * 2U_A = Σ_s a_s·(2·bBelow(s) + b_s) plus the tie term Σ(t³−t) come
+    * from prefix sums over that bounded relation. Decimal factors before
+    * every multiply (the a33/a34 discipline), so nothing wraps at any row
+    * count; the normal-approximation z (tie-corrected variance) is the
+    * only double, computed once from exact integers.
+    *
+    * Output: 1 row (n_a, n_b, u_a 4dp, z 6dp).
+    */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  isA: Column, isB: Column): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(19,0)")
+    val cells = df.filter(isA || isB)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("a"),
+        sum(when(isB, 1L).otherwise(0L)).as("b"))
+    val walked = cells.select(col("a"), col("b"),
+      coalesce(sum("b").over(below(col("__v"))), lit(0L)).as("bb"))
+    val m = walked.groupBy().agg(
+      sum("a").as("na"), sum("b").as("nb"),
+      sum(dec(col("a")) * (lit(2L) * col("bb") + col("b")))
+        .cast("decimal(38,0)").as("u2"),
+      sum(dec(col("a") + col("b")) * (col("a") + col("b")) *
+          (col("a") + col("b")) - (col("a") + col("b")))
+        .cast("decimal(38,0)").as("st"))
+    def d(c: Column) = c.cast("double")
+    val n = col("na") + col("nb")
+    // tie-corrected variance; 0 when every observation ties (z undefined
+    // — NULL, not an ANSI divide-by-zero)
+    val variance = (d(col("na")) * d(col("nb")) / 12) *
+      (d(n + 1) - d(col("st")) / (d(n) * d(n - 1)))
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(d(col("u2")) / 2, 4).as("u_a"),
+      when(variance > 0,
+        round((d(col("u2")) - d(col("na")) * d(col("nb"))) /
+          (lit(2.0) * sqrt(variance)), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Kruskal–Wallis H across any number of groups — the k-sample
+    * extension of [[mannWhitney]], same counts-of-counts discipline: the
+    * pooled per-value histogram yields doubled integer mid-ranks
+    * 2r_s = 2·cumBelow(s) + m_s + 1, each group's doubled rank-sum 2R_g is
+    * a decimal dot product over the (value × group) cell relation, and
+    * H = 3/(n(n+1))·Σ_g (2R_g)²/n_g − 3(n+1), divided by the tie factor
+    * 1 − Σ(t³−t)/(n³−n). The per-group double terms fold in group-key
+    * order (sort_array → aggregate) so the ≤|groups| float additions are
+    * order-pinned cross-engine.
+    *
+    * Output: 1 row (n, n_groups, h 6dp).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(19,0)")
+    val cells = df.groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("c"))
+    val pooled = cells.groupBy("__v").agg(sum("c").as("m"))
+    val r2 = pooled.select(col("__v"),
+      (lit(2L) * coalesce(sum("m").over(below(col("__v"))), lit(0L)) +
+        col("m") + 1L).as("r2"))
+    val perGroup = cells.join(broadcast(r2), "__v")
+      .groupBy("__g")
+      .agg(sum("c").as("ng"),
+        sum(dec(col("c")) * dec(col("r2"))).cast("decimal(38,0)").as("rg2"))
+      // square in DOUBLE: a decimal(38)×decimal(38) product overflows the
+      // 38-digit cap in both engines; the double square is IEEE-identical
+      // cross-engine from the exact decimal 2R_g
+      .select(col("__g"), col("ng"),
+        (col("rg2").cast("double") * col("rg2").cast("double") /
+          col("ng").cast("double")).as("term"))
+    val ties = pooled.groupBy().agg(
+      sum("m").as("n"),
+      sum(dec(col("m")) * (col("m")) * (col("m")) - col("m"))
+        .cast("decimal(38,0)").as("st"))
+    def d(c: Column) = c.cast("double")
+    perGroup
+      .groupBy()
+      .agg(count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct(col("__g"), col("term")))).as("ts"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"),
+        round((lit(3.0) / (d(col("n")) * d(col("n") + 1)) *
+          aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("term")) -
+          lit(3.0) * d(col("n") + 1)) /
+          (lit(1.0) - d(col("st")) /
+            (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))), 6)
+          .as("h"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic on a fixed dyadic
     * histogram: D = max over present bin edges of |F_A − F_B|, computed
     * from ONE ≤`bins`-cell aggregate (the a21 sketch shape). Exact for

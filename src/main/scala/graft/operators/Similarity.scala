@@ -465,6 +465,95 @@ object Similarity {
                        roundTo: Int = 6): DataFrame =
     pqTopKFromCodes(spark.read.parquet(path), seeds, query, k, m, roundTo)
 
+  /** Total PQ quantization error: 1 row (n, total_sqerr) where total_sqerr
+    * sums every vector's per-subspace minimum squared L2 to its codebook —
+    * the Lloyd objective. The diagnostic that prices a codebook before a
+    * corpus is committed to it (and the monotone quantity
+    * [[pqCodebookRefined]] improves).
+    */
+  def pqQuantizationError(df: DataFrame, idCol: String, vecCol: String,
+                          seeds: Array[scala.collection.Seq[Float]],
+                          m: Int = 8, roundTo: Int = 6): DataFrame = {
+    val dim = seeds.head.length
+    val sub = dim / m
+    val codebook = pqSlices(seeds, m, sub)
+    def dsub(j: Int, cw: Array[Float]): Column =
+      aggregate(zip_with(slice(col("__x"), j * sub + 1, sub),
+          array(cw.toIndexedSeq.map(lit): _*),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val err = (0 until m).map(j =>
+        array_min(array(codebook(j).toIndexedSeq.map(cw =>
+          round(dsub(j, cw), roundTo)): _*)))
+      .reduce(_ + _)
+    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+      .select(col("id"), err.as("__e"))
+      .agg(count(lit(1)).as("n"), round(sum(col("__e")), roundTo)
+        .as("total_sqerr"))
+  }
+
+  /** Lloyd-refined PQ codebook (the production build [[pqTopK]]'s scaladoc
+    * promises): starting from the deterministic id-ordered seeds, each
+    * iteration re-encodes the corpus (per-subspace L2 argmin — the same
+    * metric the codes use, NOT the cosine of [[Clustering]]) and replaces
+    * every codeword with the element-wise mean of its assigned subvectors.
+    * One pass per iteration: encode + posexplode + (subspace, code, dim)
+    * hash aggregate; the collected means are codebook-sized (m ×
+    * codebookSize × sub = one codebook), never corpus-sized. Per-dimension
+    * means are id-ordered sequential folds (the [[Clustering.step]]
+    * discipline) so refinement is partitioning-invariant. Empty codewords
+    * keep their previous value.
+    *
+    * The refined codebook is returned in the same synthetic-seed form the
+    * whole PQ surface consumes (full-length vectors whose j-th slice is
+    * subspace j's codeword), so it drops into [[pqCodes]] /
+    * [[pqTopKFromCodes]] / [[pqTopK]]-equivalent search unchanged.
+    */
+  def pqCodebookRefined(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+                        roundTo: Int = 6): Array[scala.collection.Seq[Float]] = {
+    var seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
+    val dim = seeds.head.length
+    require(dim % m == 0, "m must divide the vector dimension")
+    val sub = dim / m
+    var it = 0
+    while (it < iters) {
+      val codes = pqCodeExprs(seeds, m, roundTo)
+      val means = df
+        .select(col(idCol).as("id"), col(vecCol).as("__x"))
+        // codes in their OWN projection, the explode in the next: the m
+        // argmins run ONCE per row before the ×dim explode, and the
+        // argmin's struct-field access resolves before the generator
+        // select (mixing both in one select strips the struct aliases at
+        // analysis: FIELD_NOT_FOUND `cw`)
+        .select(col("id"), col("__x"), array(codes: _*).as("__codes"))
+        .select(col("id"), col("__codes"),
+          posexplode(col("__x")).as(Seq("dim", "x")))
+        .select(col("id"), col("dim"), col("x"),
+          (col("dim") / sub).cast("int").as("j"),
+          element_at(col("__codes"),
+            (col("dim") / sub).cast("int") + 1).as("code"))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(aggregate(
+            transform(sort_array(collect_list(struct(col("id"),
+              col("x").cast("double").as("v")))), s => s("v")),
+            lit(0.0), (acc, x) => acc + x).as("__sum"),
+          count(lit(1)).as("__n"))
+        .select(col("j"), col("code"), col("dim"),
+          round(col("__sum") / col("__n"), roundTo).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          r.getDouble(3).toFloat)).toMap
+      seeds = seeds.zipWithIndex.map { case (old, c) =>
+        (0 until dim).map(d =>
+          means.getOrElse(((d / sub), c, d), old(d))): scala.collection.Seq[Float]
+      }
+      it += 1
+    }
+    seeds
+  }
+
   /** IVF-PQ composite — the FAISS-at-scale shape: the coarse IVF quantizer
     * prunes the corpus to `nProbe` cells and PQ ranks only the survivors
     * in the compressed domain. At rest the corpus stores one byte-array of

@@ -407,6 +407,25 @@ object AnalyticsQueries {
             .as("cramers_v"))
     }),
 
+    /** Mann–Whitney U: did returned ('R') line items ship different
+      * quantities than accepted ('A') ones? Exact doubled-U + tie-corrected
+      * z from the per-value histogram — see
+      * [[graft.operators.RankStats.mannWhitney]] for the no-global-rank
+      * design.
+      */
+    "a36_mannwhitney" -> ((s, dir) =>
+      graft.operators.RankStats.mannWhitney(
+        Tables.load(s, dir, "lineitem"), "l_quantity",
+        col("l_returnflag") === "R", col("l_returnflag") === "A")),
+
+    /** Kruskal–Wallis H across all three return flags — the k-sample
+      * rank test over the same bounded quantity domain; see
+      * [[graft.operators.RankStats.kruskalWallis]].
+      */
+    "a37_kruskal" -> ((s, dir) =>
+      graft.operators.RankStats.kruskalWallis(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_returnflag")),
+
     /** Spearman rank correlation, EXACT and distributed — no global rank
       * anywhere: with discrete measures the tie-corrected Spearman is
       * Pearson over per-value MID-RANKS, and mid-ranks come from the
@@ -1683,6 +1702,72 @@ object AnalyticsQueries {
         |    / (CAST(n AS DOUBLE) *
         |       CAST(least(nl - 1, ns - 1) AS DOUBLE))), 6) AS cramers_v
         |FROM f""".stripMargin,
+
+    // doubled U and tie sums as DECIMAL over the per-value histogram;
+    // one double z at the end
+    "a36_mannwhitney" ->
+      """WITH cells AS (SELECT l_quantity AS v,
+        |    CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM lineitem WHERE l_returnflag IN ('R','A') GROUP BY 1),
+        |w AS (SELECT a, b,
+        |    coalesce(CAST(sum(b) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS bb
+        |  FROM cells),
+        |m AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(b) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(a AS DECIMAL(19,0)) * (2*bb + b))
+        |      AS DECIMAL(38,0)) AS u2,
+        |    CAST(sum(CAST(a+b AS DECIMAL(19,0)) * (a+b) * (a+b) - (a+b))
+        |      AS DECIMAL(38,0)) AS st
+        |  FROM w)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(u2 AS DOUBLE) / 2, 4) AS u_a,
+        |  round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    / (2 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12) *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(st AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))),
+        |    6) AS z
+        |FROM m""".stripMargin,
+
+    // pooled doubled mid-ranks -> decimal per-group rank sums; the <=3
+    // double group terms fold in group-key order both engines
+    "a37_kruskal" ->
+      """WITH cells AS (SELECT l_quantity AS v, l_returnflag AS g,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS m
+        |  FROM cells GROUP BY v),
+        |r2 AS (SELECT v,
+        |    2 * coalesce(CAST(sum(m) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + m + 1 AS r2
+        |  FROM pooled),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS rg2
+        |  FROM cells JOIN r2 USING (v) GROUP BY g),
+        |terms AS (SELECT g,
+        |    CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      AS term
+        |  FROM pg),
+        |ties AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(CAST(m AS DECIMAL(19,0)) * m * m - m)
+        |      AS DECIMAL(38,0)) AS st
+        |  FROM pooled),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    list(term ORDER BY g) AS ts
+        |  FROM terms)
+        |SELECT n, n_groups,
+        |  round((3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
+        |    list_reduce(list_prepend(0.0, ts), (acc, x) -> acc + x) -
+        |    3.0 * CAST(n + 1 AS DOUBLE)) /
+        |    (1.0 - CAST(st AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+        |        CAST(n AS DOUBLE))), 6) AS h
+        |FROM f CROSS JOIN ties""".stripMargin,
 
     // doubled integer mid-ranks from counts-of-counts; DECIMAL moments;
     // Pearson closed form at the end

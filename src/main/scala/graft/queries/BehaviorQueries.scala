@@ -915,6 +915,57 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Kaplan–Meier survival curve over user lifetimes — the standard
+      * censoring-aware "how long do users stay" estimator (a naive
+      * average-lifetime drops every still-active user and biases low).
+      * Lifetime = hours between a user's first and last event; users still
+      * active in the final 18 h of the window (e_churn's non-churned band)
+      * are CENSORED, not deaths. The per-user aggregate is the only
+      * data-sized pass; the KM product Π(1 − d_t/n_t) runs over the
+      * bounded lifetime histogram (≤ observation-window hours, however
+      * many users) as exp of a cumulative sum of 9dp-rounded log terms —
+      * the t_zipf discipline that keeps libm noise out of the hash — with
+      * an explicit dead-end guard because ln(0) is NULL on one engine and
+      * −inf on the other. Output per observed lifetime: risk set, deaths,
+      * censored, survival 6dp.
+      */
+    "e_survival_km" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("__f"),
+          max(unix_micros(col("ts"))).as("__l"))
+      val mx = per.agg(max("__l").as("__mx"))
+      val durs = per.crossJoin(broadcast(mx))
+        .select(
+          floor((col("__l") - col("__f")) / hourUs).cast("long").as("dur_h"),
+          when(col("__mx") - col("__l") > 18L * hourUs, 1L).otherwise(0L)
+            .as("obs"))
+      val hist = durs.groupBy("dur_h")
+        .agg(sum("obs").as("d"), sum(lit(1L) - col("obs")).as("c"))
+      val one = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(col("dur_h"))
+      val wBelow = one.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wUpto = one.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = hist.agg(sum(col("d") + col("c")).as("__n"))
+      val walked = hist.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("__n") -
+          coalesce(sum(col("d") + col("c")).over(wBelow), lit(0L)))
+        .withColumn("__term", when(col("d") > 0 && col("d") < col("n_risk"),
+            round(log(lit(1.0) -
+              col("d").cast("double") / col("n_risk").cast("double")), 9))
+          .otherwise(lit(0.0)).cast("decimal(28,9)"))
+        .withColumn("__dead",
+          when(col("d") === col("n_risk") && col("d") > 0, 1L).otherwise(0L))
+      walked.select(col("dur_h"), col("n_risk"), col("d").as("n_events"),
+          col("c").as("n_censored"),
+          when(max("__dead").over(wUpto) === 1L, lit(0.0))
+            .otherwise(round(exp(sum("__term").over(wUpto).cast("double")), 6))
+            .as("survival"))
+        .orderBy("dur_h")
+    }),
+
     /** Trailing-1-hour sliding window per event: RANGE frame over the
       * event-time axis (not row counts), the time-decayed-metrics shape.
       * One exchange on the type key; the frame slides per partition.
@@ -1778,6 +1829,41 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // KM product as exp of cumulative 9dp log terms; 18h censor band
+    "e_survival_km" ->
+      """WITH p AS (SELECT user_id,
+        |    min(epoch_us(date_trunc('microseconds', ts))) AS f,
+        |    max(epoch_us(date_trunc('microseconds', ts))) AS l
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT max(l) AS mx FROM p),
+        |durs AS (SELECT CAST(floor((l - f) / 3600000000) AS BIGINT) AS dur_h,
+        |    CASE WHEN mx - l > 64800000000 THEN 1 ELSE 0 END AS obs
+        |  FROM p CROSS JOIN m),
+        |hist AS (SELECT dur_h, CAST(sum(obs) AS BIGINT) AS d,
+        |    CAST(sum(1 - obs) AS BIGINT) AS c
+        |  FROM durs GROUP BY dur_h),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM hist),
+        |w AS (SELECT dur_h, d, c,
+        |    n - coalesce(CAST(sum(d + c) OVER (ORDER BY dur_h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_risk
+        |  FROM hist CROSS JOIN tot),
+        |t AS (SELECT dur_h, d, c, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)),
+        |        9)
+        |      ELSE 0.0 END AS DECIMAL(28,9)) AS term,
+        |    CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END AS dead
+        |  FROM w)
+        |SELECT dur_h, n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN max(dead) OVER u = 1 THEN 0.0
+        |    ELSE round(exp(CAST(sum(term) OVER u AS DOUBLE)), 6)
+        |  END AS survival
+        |FROM t
+        |WINDOW u AS (ORDER BY dur_h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY dur_h""".stripMargin,
 
     "e_interp" ->
       """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS hr,

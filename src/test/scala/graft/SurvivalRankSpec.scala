@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{RankStats, Similarity}
+
+/** Closed-form pins for the round-7 rank tests (Mann–Whitney U,
+  * Kruskal–Wallis H), the Kaplan–Meier invariants, and the Lloyd
+  * refinement guarantee of the PQ codebook.
+  */
+class SurvivalRankSpec extends SparkSpec {
+
+  private def two(a: Seq[Int], b: Seq[Int]) = {
+    val rows = a.map(v => (v, "A")) ++ b.map(v => (v, "B"))
+    spark.createDataFrame(rows).toDF("v", "g")
+  }
+
+  test("mannWhitney: fully separated samples give U_A = 0 / n_a*n_b") {
+    val df = two(Seq(1, 2, 3), Seq(4, 5, 6))
+    val r = RankStats.mannWhitney(df, "v",
+      col("g") === "A", col("g") === "B").head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(r.getAs[Double]("z") < -1.9, s"z=${r.getAs[Double]("z")}")
+    val rev = RankStats.mannWhitney(df, "v",
+      col("g") === "B", col("g") === "A").head()
+    assert(rev.getAs[Double]("u_a") == 9.0)
+    assert(rev.getAs[Double]("z") > 1.9)
+  }
+
+  test("mannWhitney: all-tied samples sit exactly at the null mean") {
+    val r = RankStats.mannWhitney(two(Seq(7, 7), Seq(7, 7)), "v",
+      col("g") === "A", col("g") === "B").head()
+    // U_A = n_a*n_b/2 with half-credit ties; the degenerate variance
+    // yields a NULL z, not an ANSI divide-by-zero
+    assert(r.getAs[Double]("u_a") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("kruskalWallis: identical groups give H = 0; separated groups the closed form") {
+    val same = RankStats.kruskalWallis(two(Seq(1, 2, 3), Seq(1, 2, 3)),
+      "v", "g").head()
+    assert(same.getAs[Double]("h") == 0.0)
+    val rows = Seq(1, 2, 3).map((_, "A")) ++ Seq(10, 20, 30).map((_, "B")) ++
+      Seq(100, 200, 300).map((_, "C"))
+    val sep = RankStats.kruskalWallis(
+      spark.createDataFrame(rows).toDF("v", "g"), "v", "g").head()
+    // no ties, perfect separation of 3 groups of 3: H = 12/(9*10)*279-30
+    assert(math.abs(sep.getAs[Double]("h") - 7.2) < 1e-9)
+    assert(sep.getAs[Long]("n_groups") == 3)
+  }
+
+  test("Kaplan-Meier: survival starts from full risk set, stays in [0,1], never increases") {
+    val km = graft.queries.BehaviorQueries.queries("e_survival_km")(spark, sf)
+      .collect()
+    assert(km.nonEmpty)
+    val users = Tables.loadEvents(spark, sf)
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(km.head.getAs[Long]("n_risk") == users)
+    val surv = km.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"survival increased: ${surv.toSeq}")
+    // risk sets shrink monotonically too
+    val risk = km.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
+  }
+
+  test("pqCodebookRefined: Lloyd rounds never increase the quantization error") {
+    val base = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0L)
+    val seeds = Similarity.pqCodebook(base, "vec_id", "embedding")
+    val refined = Similarity.pqCodebookRefined(base, "vec_id", "embedding",
+      iters = 2)
+    def err(cb: Array[scala.collection.Seq[Float]]): Double =
+      Similarity.pqQuantizationError(base, "vec_id", "embedding", cb)
+        .head.getAs[Double]("total_sqerr")
+    val (e0, e1) = (err(seeds), err(refined))
+    assert(e1 <= e0 + 1e-6, s"refinement worsened the objective: $e0 -> $e1")
+    assert(e1 < e0, s"refinement did nothing on this corpus: $e0 -> $e1")
+    // the refined codebook drops into the same search surface
+    val q = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val hits = Similarity.pqTopKFromCodes(
+      Similarity.pqCodes(base, "vec_id", "embedding", refined),
+      refined, q, k = 10).collect()
+    assert(hits.length == 10)
+    assert(hits.map(_.getDouble(1)).toSeq.sorted == hits.map(_.getDouble(1)).toSeq)
+  }
+}
