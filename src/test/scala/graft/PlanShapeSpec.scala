@@ -275,4 +275,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
       s"no global funnel in a contraction round; plan:\n$p")
   }
+
+  test("fk audit: one scan per (child, edge), broadcast parents, all in one lazy plan") {
+    withoutAutoBroadcast {
+      val df = SparkEntry.queries("o_fk_audit")(spark, sf)
+      val p = plan(df)
+      // every parent key set broadcasts; nothing falls back to a shuffle
+      assert(countOf(p, "BroadcastHashJoin") == 4,
+        s"4 FK edges, each a broadcast left join; plan:\n$p")
+      assert(countOf(p, "SortMergeJoin") + countOf(p, "ShuffledHashJoin") == 0,
+        s"no data-sized join belongs in the audit; plan:\n$p")
+      // single-scan-per-edge shape: the whole 4-edge report is ONE lazy
+      // plan with exactly one file scan per (table, edge-role) —
+      // lineitem×2 + orders×2 + customer×2 + part + nation = 8 scans,
+      // not the 12 eager jobs of a per-edge count() loop (counted in the
+      // plan string: AQE's wrapper hides children from collectLeaves)
+      val scans = countOf(p, "Scan parquet")
+      assert(scans == 8,
+        s"expected 8 parquet scans (one per table-edge role), got $scans; " +
+          s"plan:\n$p")
+    }
+  }
+
+  test("mann-whitney / kruskal-wallis: one data-sized aggregate, windows on cells only") {
+    val mw = plan(SparkEntry.queries("a36_mannwhitney")(spark, sf))
+    val kw = plan(SparkEntry.queries("a37_kruskal")(spark, sf))
+    for ((name, p) <- Seq(("a36", mw), ("a37", kw))) {
+      // the per-value histogram is the only aggregate that sees data rows;
+      // everything after runs on the bounded cell relation, so a global
+      // sort of the sample must never appear
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not globally sort the sample; plan:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"$name collapses to a histogram first; plan:\n$p")
+    }
+  }
 }
