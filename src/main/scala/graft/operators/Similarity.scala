@@ -567,11 +567,11 @@ object Similarity {
     * literal ADC table), so the composite is oracle-replayable like its
     * two constituents. Output: (id, adist) ascending, id tiebreak.
     */
-  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
-                query: Seq[Float], k: Int, nCentroids: Int = 8,
-                nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
-                roundTo: Int = 6): DataFrame = {
-    val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, iters = 0)
+  /** The `nProbe` coarse cells nearest the query by cosine (centroid-id
+    * tiebreak) — the driver-side probe selection every IVF search shares.
+    */
+  private def probeCells(cents: Seq[(Int, Seq[Float])], query: Seq[Float],
+                         nProbe: Int): Seq[Int] = {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) {
@@ -580,8 +580,16 @@ object Similarity {
       }
       val d = math.sqrt(na * nb); if (d == 0.0) 0.0 else dot / d
     }
-    val probe = cents.sortBy { case (cid, v) => (-cos(query, v), cid) }
+    cents.sortBy { case (cid, v) => (-cos(query, v), cid) }
       .take(nProbe).map(_._1)
+  }
+
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int, nCentroids: Int = 8,
+                nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+                roundTo: Int = 6): DataFrame = {
+    val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, iters = 0)
+    val probe = probeCells(cents, query, nProbe)
     val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
     val adist = pqAdistCol(seeds, query, m, roundTo)
     assigned.filter(col("__ivf_cid").isInCollection(probe))
@@ -590,6 +598,61 @@ object Similarity {
       .orderBy(col("adist"), col("id"))
       .limit(k)
   }
+
+  /** Build the IVF-PQ at-rest index in one pass: every vector's coarse
+    * cell plus its m PQ codes — the table that, written
+    * `partitionBy("__ivf_cid")` (see [[graft.io.Formats.writePartitioned]]),
+    * IS the FAISS-style inverted file. Returns (codes relation, coarse
+    * centroids, codebook) — the two driver-sized sidecars a searcher
+    * needs alongside the parquet.
+    */
+  def ivfPqCodes(df: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 8, m: Int = 8, codebookSize: Int = 16,
+                 roundTo: Int = 6):
+      (DataFrame, Seq[(Int, Seq[Float])], Array[scala.collection.Seq[Float]]) = {
+    val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, iters = 0)
+    val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
+    val codes = assigned
+      .select(col(idCol).as("id"), col("__ivf_cid"), col(vecCol).as("__x"))
+      .select(col("id"), col("__ivf_cid"),
+        array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+    (codes, cents, seeds)
+  }
+
+  /** IVF-PQ search over an already-built codes relation (the output of
+    * [[ivfPqCodes]], in memory or re-read from its partitioned layout):
+    * probe selection is driver-side, the cell filter prunes partitions at
+    * plan time when the layout is cell-partitioned, and the survivors are
+    * ranked by m stored-code table lookups per row — no re-assign, no
+    * re-encode, no raw vectors. Identical output to [[ivfPqTopK]] on the
+    * same corpus (same centroids, codebook, argmin codes, fold order).
+    */
+  def ivfPqTopKFromCodes(codes: DataFrame, cents: Seq[(Int, Seq[Float])],
+                         seeds: Array[scala.collection.Seq[Float]],
+                         query: Seq[Float], k: Int, nProbe: Int = 4,
+                         m: Int = 8, roundTo: Int = 6): DataFrame = {
+    val probe = probeCells(cents, query, nProbe)
+    val table = pqAdcTable(seeds, query, m)
+    val stored = (0 until m).map(j => element_at(col("codes"), j + 1))
+    codes.filter(col("__ivf_cid").isInCollection(probe))
+      .select(col("id"), round(pqLookupCol(table, stored), roundTo).as("adist"))
+      .orderBy(col("adist"), col("id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ search against the *persisted* cell-partitioned codes layout —
+    * the at-rest twin of [[ivfPqTopK]], mirroring [[ivfTopKFromLayout]] /
+    * [[pqTopKFromLayout]]: a probe reads nProbe/nCentroids of the files
+    * (the isin filter is a plan-time PartitionFilter) and scans only code
+    * arrays.
+    */
+  def ivfPqTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, cents: Seq[(Int, Seq[Float])],
+                          seeds: Array[scala.collection.Seq[Float]],
+                          query: Seq[Float], k: Int, nProbe: Int = 4,
+                          m: Int = 8, roundTo: Int = 6): DataFrame =
+    ivfPqTopKFromCodes(spark.read.parquet(path), cents, seeds, query, k,
+      nProbe, m, roundTo)
 
   /** Bucketed all-pairs near-dup by embedding: pairs sharing an LSH bucket
     * in any table, exact-cosine filtered to `threshold`. The scale path for

@@ -1336,6 +1336,24 @@ object PipelineQueries {
         "vec_id", "embedding", queryVec(s, dir), k = 10)
         .withColumnRenamed("id", "vec_id")),
 
+    /** IVF-PQ against its at-rest layout: cell + codes written ONCE
+      * partitioned by cell, so a probe prunes partitions at plan time and
+      * ranks survivors from stored codes — the FAISS inverted-file shape
+      * end to end, with zero per-query assign/encode work. Same result as
+      * v_ann_ivfpq by construction; the shared oracle asserts it.
+      */
+    "v_ann_ivfpq_layout" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val (codes, cents, seeds) =
+        Similarity.ivfPqCodes(base, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("vrfy_ivfpq_")
+        .toString + "/codes"
+      graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
+      Similarity.ivfPqTopKFromLayout(s, path, cents, seeds,
+        queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     /** JL sign random projection 64 → 8 dims, md5 sign family so every
       * projected component is oracle-replayable. Output exploded to
       * scalars (vec_id, dim, comp) for driver hashing; the projection is
@@ -3031,6 +3049,10 @@ object PipelineQueries {
     "v_ann_pq_layout" -> pqAnnOracle,
 
     "v_ann_ivfpq" -> ivfPqOracle,
+
+    // the cell-partitioned at-rest layout must return the SAME top-k as
+    // the build-per-query path, so they share one oracle
+    "v_ann_ivfpq_layout" -> ivfPqOracle,
 
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,

@@ -66,6 +66,32 @@ class SurvivalRankSpec extends SparkSpec {
     assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
   }
 
+  test("IVF-PQ layout: cell-partitioned codes prune partitions and replay the search exactly") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val query = embs.filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val base = embs.filter(col("vec_id") =!= 0L)
+    val (codes, cents, seeds) =
+      Similarity.ivfPqCodes(base, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_layout_")
+      .toString + "/codes"
+    graft.io.Formats.writePartitioned(codes, dir, Seq("__ivf_cid"))
+    val search = Similarity.ivfPqTopKFromLayout(spark, dir, cents, seeds,
+      query, k = 10)
+    // plan-time partition pruning: the scan itself lists the cell filter
+    val scan = search.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("__ivf_cid"),
+      s"no partition filter in scan: $scan")
+    // and the layout search replays the build-per-query path exactly
+    val fromLayout = search.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.ivfPqTopK(base, "vec_id", "embedding",
+      query, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromLayout == direct,
+      s"layout diverged:\n$fromLayout\nvs\n$direct")
+  }
+
   test("pqCodebookRefined: Lloyd rounds never increase the quantization error") {
     val base = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") =!= 0L)
