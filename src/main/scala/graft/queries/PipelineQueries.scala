@@ -457,6 +457,60 @@ object PipelineQueries {
         .orderBy("true_lang", "pred_lang")
     }),
 
+    /** Multinomial Naive Bayes language model TABLE: add-1-smoothed token
+      * log-likelihoods per class, trained on the even-doc_id half of the
+      * corpus (the odd half is t_nb_predict's test set — no leakage).
+      * Vocabulary-sized output; every log term 9dp-rounded DECIMAL so the
+      * model itself is hash-checked. See [[graft.operators.NaiveBayes]].
+      */
+    "t_nb_model" -> ((s, dir) => {
+      val (model, _) = graft.operators.NaiveBayes.train(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+      // the DUMP casts the 9dp decimal to double (both engines convert the
+      // exact decimal to the same nearest double; a decimal column renders
+      // as float64 on the oracle's pandas side — check_oracle's guard);
+      // scoring keeps the decimal internally
+      model.withColumnRenamed("label", "lang")
+        .withColumn("log_lik", col("log_lik").cast("double"))
+        .orderBy("term", "lang")
+    }),
+
+    /** NB predictions on the held-out odd-doc_id half: per doc, the
+      * argmax-class (exact decimal score comparison, label tiebreak)
+      * beside the true label. Model broadcast; one exchange on doc_id.
+      */
+    "t_nb_predict" -> ((s, dir) => {
+      val (model, classes) = graft.operators.NaiveBayes.train(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+      val test = docs(s, dir).filter(col("doc_id") % 2 === 1)
+      graft.operators.NaiveBayes.predict(test, "doc_id", "text", model, classes)
+        .join(test.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(col("doc_id"), col("pred"), col("actual"),
+          when(col("pred") === col("actual"), 1L).otherwise(0L).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    /** The one-row NB holdout scorecard: test size, hits, accuracy. On
+      * this synthetic corpus the number sits near 5-class chance — the
+      * lang label is (by construction) barely text-correlated, which the
+      * scorecard reports honestly; beside t_langid_eval it shows BOTH
+      * classifiers hitting the same information ceiling. The query's value
+      * is the train/score/eval mechanism, hash-checked end to end.
+      */
+    "t_nb_eval" -> ((s, dir) => {
+      val (model, classes) = graft.operators.NaiveBayes.train(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+      val test = docs(s, dir).filter(col("doc_id") % 2 === 1)
+      graft.operators.NaiveBayes.predict(test, "doc_id", "text", model, classes)
+        .join(test.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_test"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_test").cast("double"), 6).as("accuracy"))
+    }),
+
     /** Shannon entropy of the (lang, source) training mix in bits, with
       * the normalized diversity ratio H / log2(cells) — the one-number
       * "how spread is my mix" beside t_mix_report's full table. Cell
@@ -2188,6 +2242,32 @@ object PipelineQueries {
          |    / CAST(sum(n) OVER () AS DOUBLE), 6) AS overall_accuracy
          |FROM cm ORDER BY true_lang, pred_lang""".stripMargin),
 
+    // NB model table: the shared train/predict CTEs, model leg only;
+    // decimal -> double at the dump boundary (see the Spark twin)
+    "t_nb_model" -> (
+      s"""WITH $nbCtes
+         |SELECT term, lang, CAST(log_lik AS DOUBLE) AS log_lik FROM nbmodel
+         |ORDER BY term, lang""".stripMargin),
+
+    // NB holdout predictions: argmax over exact decimal scores
+    "t_nb_predict" -> (
+      s"""WITH $nbCtes
+         |SELECT p.doc_id, pred, d.lang AS actual,
+         |  CAST(CASE WHEN pred = d.lang THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM npred p JOIN ntest d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin),
+
+    // NB holdout scorecard
+    "t_nb_eval" -> (
+      s"""WITH $nbCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+         |FROM npred p JOIN ntest d USING (doc_id)""".stripMargin),
+
     // exact cell shares; ordered -p*log2(p) fold
     "t_mix_entropy" ->
       """WITH cells AS (SELECT lang, source,
@@ -3091,6 +3171,48 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
          |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin)
+
+  /** Shared Naive Bayes CTEs (even-doc_id train → `nbmodel`/`nbclasses`,
+    * odd-doc_id `ntest` → `npred`) — t_nb_model / t_nb_predict / t_nb_eval
+    * all build on the same text so the model the predictions use is the
+    * model the model query dumps. Mirrors [[graft.operators.NaiveBayes]]
+    * expression-for-expression: 9dp-rounded DECIMAL(28,9) log terms,
+    * DECIMAL(9,0) token counts (38-digit product cap), label-asc argmax
+    * tiebreak.
+    */
+  private lazy val nbCtes: String =
+    s"""train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |ntok AS (SELECT lang, unnest($toksSql) AS term FROM train),
+       |nct AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM ntok GROUP BY 1, 2),
+       |ntot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+       |  FROM nct GROUP BY 1),
+       |nvoc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM nct),
+       |nbmodel AS (SELECT term, nct.lang,
+       |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)),
+       |      9) AS DECIMAL(28,9)) AS log_lik
+       |  FROM nct JOIN ntot USING (lang) CROSS JOIN nvoc),
+       |nnd AS (SELECT lang, count(*) AS ndc FROM train GROUP BY 1),
+       |nnda AS (SELECT count(*) AS ndall FROM train),
+       |nbclasses AS (SELECT nnd.lang,
+       |    CAST(round(ln(CAST(ndc AS DOUBLE) / CAST(ndall AS DOUBLE)), 9)
+       |      AS DECIMAL(28,9)) AS log_prior,
+       |    CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)), 9)
+       |      AS DECIMAL(28,9)) AS log_unseen
+       |  FROM nnd CROSS JOIN nnda JOIN ntot USING (lang) CROSS JOIN nvoc),
+       |ntest AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |ndt AS (SELECT doc_id, term, CAST(count(*) AS DECIMAL(9,0)) AS tc
+       |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM ntest)
+       |  GROUP BY 1, 2),
+       |nsc AS (SELECT doc_id, nbclasses.lang AS lang, log_prior +
+       |    sum(tc * coalesce(log_lik, log_unseen)) AS score
+       |  FROM ndt CROSS JOIN nbclasses LEFT JOIN nbmodel
+       |    ON nbmodel.term = ndt.term AND nbmodel.lang = nbclasses.lang
+       |  GROUP BY doc_id, nbclasses.lang, log_prior),
+       |npred AS (SELECT doc_id, lang AS pred FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |       ORDER BY score DESC, lang) AS rn FROM nsc)
+       |  WHERE rn = 1)""".stripMargin
 
   /** Shared gap-30-min session reconstruction CTEs (relation `s` carries
     * user_id, µs-truncated uts, value, session id `sid`) — st_sessionize
