@@ -113,4 +113,35 @@ object Retrieval {
       .agg(count(lit(1)).as("df"),
         array_join(sort_array(collect_list(col("__doc"))), ",").as("plist"))
       .filter(col("df") >= minDf)
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * 1/(k0 + rank) per id and the fused score is the sum, so an id that
+    * several rankers place high beats one ranker's favorite. This is how
+    * a lexical (BM25) and a vector (ANN) leg merge without score
+    * calibration — ranks are scale-free where raw scores are not.
+    *
+    * Scale shape: the inputs are top-k lists (control-plane sized by
+    * construction — each ranker already did its distributed work), so the
+    * fusion itself is a union + one tiny aggregate. Determinism: each
+    * 1/(k0+rank) term is 9dp-rounded DECIMAL, the per-id sum is exact
+    * (addition-order-free), and the final double comparison is identical
+    * cross-engine.
+    *
+    * Input rankings: (id, rank) with rank 1-based; ids absent from a list
+    * simply contribute nothing. Output: (id, rrf 9dp, n_lists) top-`k` by
+    * (rrf desc, id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val scored = rankings.map(_.select(col("id"),
+        round(lit(1.0) / (lit(k0) + col("rank")), 9)
+          .cast("decimal(18,9)").as("__s")))
+      .reduce(_.unionAll(_))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum("__s").cast("double").as("__r"))
+      .select(col("id"), round(col("__r"), 9).as("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
 }

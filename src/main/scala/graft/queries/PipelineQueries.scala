@@ -1408,6 +1408,29 @@ object PipelineQueries {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    /** Hybrid-retrieval rank fusion: the exact-cosine ranker and the
+      * compressed-domain PQ ranker each produce a top-10, and RRF merges
+      * them — the calibration-free combiner a production lexical+vector
+      * stack uses (here the two legs are two real rankers over the same
+      * corpus, so the fusion itself is hash-checked end to end). Each leg
+      * is the already-distributed top-k; ranking and fusing run on 10-row
+      * relations. See [[graft.operators.Retrieval.rrfFuse]].
+      */
+    "v_hybrid_rrf" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val q = queryVec(s, dir)
+      val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      def ranked(df: DataFrame, ord: org.apache.spark.sql.Column*) =
+        df.withColumn("rank", row_number().over(one.orderBy(ord: _*)))
+          .select("id", "rank")
+      val exact = ranked(Similarity.topK(base, "vec_id", "embedding", q, 10),
+        col("sim").desc, col("id"))
+      val pq = ranked(Similarity.pqTopK(base, "vec_id", "embedding", q, 10),
+        col("adist"), col("id"))
+      Retrieval.rrfFuse(Seq(exact, pq), k = 10)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
     /** JL sign random projection 64 → 8 dims, md5 sign family so every
       * projected component is oracle-replayable. Output exploded to
       * scalars (vec_id, dim, comp) for driver hashing; the projection is
@@ -3127,6 +3150,25 @@ object PipelineQueries {
     // the at-rest layout must return the SAME top-k as the re-encode
     // path, so they share one oracle
     "v_ann_pq_layout" -> pqAnnOracle,
+
+    // both legs replayed from their own oracles, then the RRF sum over
+    // 9dp decimal terms
+    "v_hybrid_rrf" -> (
+      s"""WITH a AS ($annTopkOracle),
+         |b AS ($pqAnnOracle),
+         |ra AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+         |    AS rank FROM a),
+         |rb AS (SELECT vec_id, row_number() OVER (ORDER BY adist, vec_id)
+         |    AS rank FROM b),
+         |f AS (SELECT vec_id,
+         |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS s
+         |  FROM ra
+         |  UNION ALL SELECT vec_id,
+         |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) FROM rb)
+         |SELECT vec_id, round(CAST(sum(s) AS DOUBLE), 9) AS rrf,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM f GROUP BY vec_id
+         |ORDER BY rrf DESC, vec_id LIMIT 10""".stripMargin),
 
     "v_ann_ivfpq" -> ivfPqOracle,
 

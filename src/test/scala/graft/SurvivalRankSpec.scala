@@ -66,6 +66,24 @@ class SurvivalRankSpec extends SparkSpec {
     assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
   }
 
+  test("rrfFuse: consensus beats a single ranker's favorite; ranks fuse scale-free") {
+    import graft.operators.Retrieval
+    val ra = spark.createDataFrame(Seq((100L, 1), (7L, 2), (8L, 3)))
+      .toDF("id", "rank")
+    val rb = spark.createDataFrame(Seq((200L, 1), (7L, 2), (9L, 3)))
+      .toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(ra, rb), k = 5).collect()
+    // id 7 sits at rank 2 in BOTH lists: 2/62 > 1/61, so consensus
+    // outranks either list's unilateral #1
+    assert(fused.head.getLong(0) == 7L, fused.mkString(","))
+    assert(fused.head.getAs[Long]("n_lists") == 2)
+    // the unilateral #1s tie on score and break by id
+    val next = fused.slice(1, 3).map(_.getLong(0)).toSeq
+    assert(next == Seq(100L, 200L), fused.mkString(","))
+    // every input id appears; nothing is invented
+    assert(fused.map(_.getLong(0)).toSet == Set(7L, 8L, 9L, 100L, 200L))
+  }
+
   test("IVF-PQ layout: cell-partitioned codes prune partitions and replay the search exactly") {
     val embs = Tables.load(spark, sf, "embeddings")
     val query = embs.filter(col("vec_id") === 0L).head()
