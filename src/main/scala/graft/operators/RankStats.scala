@@ -164,6 +164,76 @@ object RankStats {
           .as("h"))
   }
 
+  /** Brown–Forsythe test (Levene's test centered on MEDIANS — robust where
+    * the mean-centered classic is outlier-dragged): one-way ANOVA F over
+    * the absolute deviations from each group's median. "Are the spreads
+    * equal" is the precondition check before a24's pooled-variance t-test
+    * is trusted.
+    *
+    * No sort, no global rank: group medians come from a per-group
+    * cumulative walk over the per-value histogram (the exact
+    * position-based median — lower/upper order statistics averaged, so
+    * ties and even counts match every textbook engine), deviations are
+    * computed per CELL (value-domain sized), and the F statistic folds
+    * from per-group decimal moments. Per-group double terms fold in
+    * group-key order. Output: 1 row (n, n_groups, f 6dp); NULL F when the
+    * within-group deviation mass is zero (degenerate, would divide by 0).
+    */
+  def brownForsythe(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__x"))
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("__g").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gAll = Window.partitionBy("__g")
+    val walked = cells.select(col("__g"), col("__x"), col("c"),
+      (sum("c").over(wg) - col("c")).as("cumBelow"),
+      sum("c").over(wg).as("cum"), sum("c").over(gAll).as("ng"))
+    // doubled median = lower + upper order statistic (0-based positions
+    // (n-1) div 2 and n div 2) — one row matches each condition per group
+    val lo = ((col("ng") - 1) / 2).cast("long")
+    val up = (col("ng") / 2).cast("long")
+    val med2 = walked.groupBy("__g")
+      .agg(sum(when(col("cumBelow") <= lo && lo < col("cum"), col("__x"))
+          .otherwise(lit(0.0)) +
+        when(col("cumBelow") <= up && up < col("cum"), col("__x"))
+          .otherwise(lit(0.0))).as("med2"))
+    // per-cell |2x - 2·median|, rounded to 6dp decimal so the moment sums
+    // are addition-order-free on both engines
+    val dz = round(abs(lit(2.0) * col("__x") - col("med2")), 6)
+      .cast("decimal(28,6)")
+    val dz2 = round(abs(lit(2.0) * col("__x") - col("med2")) *
+      abs(lit(2.0) * col("__x") - col("med2")), 6).cast("decimal(28,6)")
+    val perGroup = cells.join(broadcast(med2), "__g")
+      .groupBy("__g")
+      .agg(sum("c").as("ng"),
+        sum(col("c").cast("decimal(19,0)") * dz).cast("decimal(38,6)")
+          .as("s1"),
+        sum(col("c").cast("decimal(19,0)") * dz2).cast("decimal(38,6)")
+          .as("s2"))
+      // squares in DOUBLE (the kruskalWallis discipline — decimal²
+      // overflows the 38-digit cap) from the exact decimal moments
+      .select(col("__g"), col("ng"), col("s1"), col("s2"),
+        (col("s1").cast("double") * col("s1").cast("double") /
+          col("ng").cast("double")).as("t1"))
+    def d(c: Column) = c.cast("double")
+    perGroup.groupBy()
+      .agg(count(lit(1)).as("n_groups"), sum("ng").as("n"),
+        sum("s1").cast("double").as("s1t"), sum("s2").cast("double").as("s2t"),
+        sort_array(collect_list(struct(col("__g"), col("t1")))).as("ts"))
+      .select(col("n"), col("n_groups"),
+        aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("t1")).as("__t1s"),
+        col("s1t"), col("s2t"))
+      .select(col("n"), col("n_groups"),
+        when(col("n_groups") > 1 && col("s2t") - col("__t1s") > 0,
+          round(((d(col("n")) - d(col("n_groups"))) /
+            (d(col("n_groups")) - 1)) *
+            (col("__t1s") - col("s1t") * col("s1t") / d(col("n"))) /
+            (col("s2t") - col("__t1s")), 6))
+          .otherwise(lit(null).cast("double")).as("f"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic on a fixed dyadic
     * histogram: D = max over present bin edges of |F_A − F_B|, computed
     * from ONE ≤`bins`-cell aggregate (the a21 sketch shape). Exact for

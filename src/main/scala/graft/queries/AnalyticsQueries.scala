@@ -426,6 +426,15 @@ object AnalyticsQueries {
       graft.operators.RankStats.kruskalWallis(
         Tables.load(s, dir, "lineitem"), "l_quantity", "l_returnflag")),
 
+    /** Brown–Forsythe equal-variance test across the return flags — the
+      * robust (median-centered) Levene, the precondition check before
+      * a24's pooled-variance t is trusted; see
+      * [[graft.operators.RankStats.brownForsythe]].
+      */
+    "a38_levene" -> ((s, dir) =>
+      graft.operators.RankStats.brownForsythe(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_returnflag")),
+
     /** Spearman rank correlation, EXACT and distributed — no global rank
       * anywhere: with discrete measures the tie-corrected Spearman is
       * Pearson over per-value MID-RANKS, and mid-ranks come from the
@@ -1768,6 +1777,54 @@ object AnalyticsQueries {
         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
         |        CAST(n AS DOUBLE))), 6) AS h
         |FROM f CROSS JOIN ties""".stripMargin,
+
+    // per-group exact medians from a histogram walk; decimal deviation
+    // moments; ordered fold of the <=3 per-group double terms
+    "a38_levene" ->
+      """WITH cells AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT g, x, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |      AS BIGINT) AS cumBelow,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM cells),
+        |med AS (SELECT g, sum(
+        |    CASE WHEN cumBelow <= (ng - 1) // 2
+        |      AND (ng - 1) // 2 < cum THEN x ELSE 0.0 END +
+        |    CASE WHEN cumBelow <= ng // 2
+        |      AND ng // 2 < cum THEN x ELSE 0.0 END)
+        |    AS med2 FROM w GROUP BY g),
+        |pg AS (SELECT cells.g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(c AS DECIMAL(19,0)) *
+        |      CAST(round(abs(2.0 * x - med2), 6) AS DECIMAL(28,6)))
+        |      AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CAST(c AS DECIMAL(19,0)) *
+        |      CAST(round(abs(2.0 * x - med2) * abs(2.0 * x - med2), 6)
+        |        AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS s2
+        |  FROM cells JOIN med USING (g) GROUP BY cells.g),
+        |t AS (SELECT g, ng, s1, s2,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      AS t1 FROM pg),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(s1) AS DOUBLE) AS s1t, CAST(sum(s2) AS DOUBLE) AS s2t,
+        |    list(t1 ORDER BY g) AS ts FROM t)
+        |SELECT n, n_groups,
+        |  CASE WHEN n_groups > 1 AND
+        |      s2t - list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) > 0
+        |    THEN round(
+        |      ((CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)) /
+        |        (CAST(n_groups AS DOUBLE) - 1)) *
+        |      (list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) -
+        |        s1t * s1t / CAST(n AS DOUBLE)) /
+        |      (s2t - list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)),
+        |      6)
+        |    ELSE NULL END AS f
+        |FROM f""".stripMargin,
 
     // doubled integer mid-ranks from counts-of-counts; DECIMAL moments;
     // Pearson closed form at the end

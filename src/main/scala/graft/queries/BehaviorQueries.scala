@@ -915,6 +915,33 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Recency-weighted engagement score: per user,
+      * Σ value · 2^(−age/7d) — the exponential-decay feature churn and
+      * ranking models consume, where yesterday's purchase counts ~2× last
+      * week's. One data-sized aggregate (the corpus max-timestamp scalar
+      * broadcasts); each decay term is 6dp-rounded DECIMAL so the per-user
+      * sums are addition-order-free, beside the raw (undecayed) sum for
+      * contrast.
+      */
+    "e_decay_score" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("__us"), col("value"))
+      val mx = e.agg(max("__us").as("__mx"))
+      val halfLifeUs = 604800000000.0 // 7 days
+      val term = round(col("value") * pow(lit(2.0),
+        -(col("__mx") - col("__us")).cast("double") / halfLifeUs), 6)
+        .cast("decimal(18,6)")
+      e.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(term).cast("double").as("__d"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("__r"))
+        .select(col("user_id"), col("n_events"),
+          round(col("__d"), 6).as("decay7d_score"),
+          round(col("__r"), 4).as("raw_sum"))
+        .orderBy("user_id")
+    }),
+
     /** Kaplan–Meier survival curve over user lifetimes — the standard
       * censoring-aware "how long do users stay" estimator (a naive
       * average-lifetime drops every still-active user and biases low).
@@ -1829,6 +1856,20 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // 6dp decimal decay terms; scalar max broadcast; 7d half-life in µs
+    "e_decay_score" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us, value
+        |  FROM events),
+        |m AS (SELECT max(us) AS mx FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(round(value * pow(2.0,
+        |      -CAST(mx - us AS DOUBLE) / 604800000000.0), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS decay7d_score,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS raw_sum
+        |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // KM product as exp of cumulative 9dp log terms; 18h censor band
     "e_survival_km" ->

@@ -66,6 +66,35 @@ class SurvivalRankSpec extends SparkSpec {
     assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
   }
 
+  test("brownForsythe: equal spreads give F = 0, the hand-computed case gives 0.15") {
+    val eq = RankStats.brownForsythe(
+      two(Seq(1, 3), Seq(11, 13)), "v", "g").head()
+    // both groups deviate identically from their medians -> zero
+    // between-group deviation variance
+    assert(eq.getAs[Double]("f") == 0.0)
+    // A={1,3} (|2x-4|={2,2}), B={10,14,12} (|2x-24|={4,4,0}):
+    // F = 3 * (8 + 64/3 - 144/5) / (0 + 32 - 64/3) = 0.15
+    val rows = Seq(1, 3).map((_, "A")) ++ Seq(10, 14, 12).map((_, "B"))
+    val f = RankStats.brownForsythe(
+      spark.createDataFrame(rows).toDF("v", "g"), "v", "g").head()
+    assert(math.abs(f.getAs[Double]("f") - 0.15) < 1e-9,
+      s"f=${f.getAs[Double]("f")}")
+    // degenerate within-group mass -> NULL, not a divide-by-zero
+    val degen = RankStats.brownForsythe(
+      two(Seq(5, 5), Seq(7, 7)), "v", "g").head()
+    assert(degen.isNullAt(degen.fieldIndex("f")))
+  }
+
+  test("e_decay_score: decay never exceeds the raw sum and weights recency") {
+    val rows = SparkEntry.queries("e_decay_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, raw) = (r.getAs[Double]("decay7d_score"), r.getAs[Double]("raw_sum"))
+      assert(d <= raw + 1e-6, s"decayed $d above raw $raw")
+      assert(d >= 0.0 || raw < 0.0)
+    }
+  }
+
   test("rrfFuse: consensus beats a single ranker's favorite; ranks fuse scale-free") {
     import graft.operators.Retrieval
     val ra = spark.createDataFrame(Seq((100L, 1), (7L, 2), (8L, 3)))
