@@ -1408,6 +1408,44 @@ object PipelineQueries {
         .withColumnRenamed("id", "vec_id")
     }),
 
+    /** Simplified silhouette per cluster (Hruschka et al.'s centroid
+      * variant): a = cosine distance to the OWN centroid, b = to the
+      * runner-up, s = (b−a)/max(a,b) ∈ [0,1] — the "is k=8 actually
+      * separating anything" read on the k-means surface without the
+      * classic silhouette's all-pairs distances (which would be O(n²);
+      * this is one map-only pass over broadcast centroids, exactly the
+      * assign shape). 9dp-rounded decimal sums make the per-cluster means
+      * hash-stable.
+      */
+    "v_silhouette" -> ((s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = embs(s, dir)
+      val cents = Clustering.seedCentroids(e, "vec_id", "embedding", 8)
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toSeq))
+      val scored = array(cents.toIndexedSeq.map { case (cid, v) =>
+        struct(
+          round(call_function(graft.functions.VectorExpressions.COSINE_FN,
+            col("embedding"), Similarity.vectorLit(v)), 6).as("sim"),
+          lit(-cid).as("negcid"))
+      }: _*)
+      // descending by sim, smaller cid on ties (reverse of asc (sim,
+      // negcid) — larger negcid = smaller cid comes first)
+      val top = reverse(array_sort(scored))
+      val a = lit(1.0) - top.getItem(0).getField("sim")
+      val b = lit(1.0) - top.getItem(1).getField("sim")
+      val sv = when(greatest(a, b) > 0,
+        round((b - a) / greatest(a, b), 9)).otherwise(lit(0.0))
+      e.select((-top.getItem(0).getField("negcid")).as("cluster"),
+          sv.cast("decimal(18,9)").as("__s"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(sum("__s").cast("double") / count(lit(1)), 6)
+            .as("mean_silhouette"))
+        .orderBy("cluster")
+    }),
+
     /** Hybrid-retrieval rank fusion: the exact-cosine ranker and the
       * compressed-domain PQ ranker each produce a top-10, and RRF merges
       * them — the calibration-free combiner a production lexical+vector
@@ -3144,6 +3182,25 @@ object PipelineQueries {
          |ORDER BY a.vec_id""".stripMargin,
 
     "v_pca_power" -> pcaPowerOracle,
+
+    // top-2 centroids via the shared assignment CTEs; centroid-variant
+    // silhouette from 9dp decimal sums
+    "v_silhouette" -> (
+      s"""WITH $kmeansAssignCtes,
+         |r AS (SELECT vec_id, cid, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM p),
+         |t AS (SELECT r1.vec_id, r1.cid,
+         |    (1 - r1.sim) AS a, (1 - r2.sim) AS b
+         |  FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+         |    AND r1.rn = 1 AND r2.rn = 2),
+         |sil AS (SELECT vec_id, cid,
+         |    CASE WHEN greatest(a, b) > 0
+         |      THEN round((b - a) / greatest(a, b), 9) ELSE 0.0 END AS sv
+         |  FROM t)
+         |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(sv AS DECIMAL(18,9))) AS DOUBLE) / count(*),
+         |    6) AS mean_silhouette
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin),
 
     "v_ann_pq" -> pqAnnOracle,
 

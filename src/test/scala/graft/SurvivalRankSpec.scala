@@ -113,6 +113,17 @@ class SurvivalRankSpec extends SparkSpec {
     assert(fused.map(_.getLong(0)).toSet == Set(7L, 8L, 9L, 100L, 200L))
   }
 
+  test("v_silhouette: one row per cluster, scores in [0,1], members cover the corpus") {
+    val rows = SparkEntry.queries("v_silhouette")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= 0.0 && s <= 1.0, s"silhouette $s out of [0,1]")
+    }
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+  }
+
   test("IVF-PQ layout: cell-partitioned codes prune partitions and replay the search exactly") {
     val embs = Tables.load(spark, sf, "embeddings")
     val query = embs.filter(col("vec_id") === 0L).head()
