@@ -915,6 +915,27 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Power-law exponent of the user-activity distribution — the
+      * continuous-MLE approximation for discrete data (Clauset, Shalizi &
+      * Newman 2009): α ≈ 1 + n/Σ ln(x_i/(xmin−½)) with xmin = 1, i.e.
+      * Σ ln(2x). "Is engagement heavy-tailed, and how heavy" in one
+      * number (α→2 is extreme concentration; α>3 is thin). Computed from
+      * counts-of-counts — the Σ runs over distinct activity LEVELS
+      * weighted by their multiplicity, 9dp-rounded decimal log terms, so
+      * the data-sized work is one per-user aggregate.
+      */
+    "e_power_law" -> ((s, dir) => {
+      val cc = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("m"))
+      cc.agg(sum("m").as("n_users"),
+          sum(col("m").cast("decimal(19,0)") *
+            round(log(col("x").cast("double") * 2.0), 9)
+              .cast("decimal(28,9)")).cast("decimal(38,9)").as("__s"))
+        .select(col("n_users"), lit(1L).as("xmin"),
+          round(lit(1.0) + col("n_users").cast("double") /
+            col("__s").cast("double"), 6).as("alpha"))
+    }),
+
     /** Recency-weighted engagement score: per user,
       * Σ value · 2^(−age/7d) — the exponential-decay feature churn and
       * ranking models consume, where yesterday's purchase counts ~2× last
@@ -1856,6 +1877,21 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // counts-of-counts MLE; 9dp decimal ln(2x) terms
+    "e_power_law" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        |cc AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM per GROUP BY x),
+        |f AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+        |    CAST(sum(CAST(m AS DECIMAL(19,0)) *
+        |      CAST(round(ln(CAST(x AS DOUBLE) * 2.0), 9) AS DECIMAL(28,9)))
+        |      AS DECIMAL(38,9)) AS s
+        |  FROM cc)
+        |SELECT n_users, CAST(1 AS BIGINT) AS xmin,
+        |  round(1.0 + CAST(n_users AS DOUBLE) / CAST(s AS DOUBLE), 6)
+        |    AS alpha
+        |FROM f""".stripMargin,
 
     // 6dp decimal decay terms; scalar max broadcast; 7d half-life in µs
     "e_decay_score" ->

@@ -457,6 +457,30 @@ object PipelineQueries {
         .orderBy("true_lang", "pred_lang")
     }),
 
+    /** What exact dedup is WORTH, in tokens: corpus totals vs the
+      * kept-set totals (min-doc_id survivor per fingerprint) and the
+      * percentage of token mass dedup deletes — the one-row answer to
+      * "how much training compute does this save". Fingerprint + token
+      * count ride one scan; the survivor set is a fingerprint-keyed
+      * min-aggregate, never a doc×doc join.
+      */
+    "t_dedup_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      val keep = d.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val kept = d.join(keep, Seq("fp", "doc_id"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("nt").as("n_tokens_kept"))
+      d.agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .crossJoin(broadcast(kept))
+        .select(col("n_docs"), col("n_tokens"), col("n_docs_kept"),
+          col("n_tokens_kept"),
+          round(lit(100.0) * (col("n_tokens") - col("n_tokens_kept"))
+            .cast("double") / col("n_tokens").cast("double"), 4)
+            .as("pct_tokens_saved"))
+    }),
+
     /** Multinomial Naive Bayes language model TABLE: add-1-smoothed token
       * log-likelihoods per class, trained on the even-doc_id half of the
       * corpus (the odd half is t_nb_predict's test set — no leakage).
@@ -2328,6 +2352,21 @@ object PipelineQueries {
          |  round(CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
          |FROM npred p JOIN ntest d USING (doc_id)""".stripMargin),
+
+    // fingerprint + token count in one scan; min-doc_id survivors
+    "t_dedup_tokens" -> (
+      s"""WITH d AS (SELECT doc_id, $fpSql AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+         |kept AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens_kept
+         |  FROM d JOIN keep USING (fp, doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM d)
+         |SELECT n_docs, n_tokens, n_docs_kept, n_tokens_kept,
+         |  round(100.0 * CAST(n_tokens - n_tokens_kept AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 4) AS pct_tokens_saved
+         |FROM tot CROSS JOIN kept""".stripMargin),
 
     // exact cell shares; ordered -p*log2(p) fold
     "t_mix_entropy" ->
