@@ -175,6 +175,8 @@ object Formats {
         .option("header", "true").option("compression", "gzip").csv(tmp)
       case JsonF => df.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp)
       case OrcF => df.coalesce(1).write.mode(SaveMode.Overwrite).orc(tmp)
+      // same single-string-column contract as the multi-part text sink
+      case TextF => df.coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
       case ExcelF =>
         // the xlsx codec already produces exactly one file at `path`
         ExcelIO.write(df, path); return

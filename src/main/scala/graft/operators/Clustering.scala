@@ -120,7 +120,7 @@ object Clustering {
   def powerIteration(df: DataFrame, idCol: String, vecCol: String,
                      rounds: Int = 4, roundTo: Int = 6): DataFrame = {
     require(rounds > 0, "rounds must be positive")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var nrm = 0.0
     for (_ <- 0 until rounds) {

@@ -150,6 +150,16 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == n.count())
   }
 
+  test("S5 single-file text sink round-trips the one-string-column contract") {
+    val n = Tables.load(spark, sf, "nation")
+      .select(org.apache.spark.sql.functions.col("n_name"))
+    val path = tmp(".txt")
+    Formats.writeSingleFile(n, path)
+    assert(new java.io.File(path).isFile)
+    val back = spark.read.text(path)
+    assert(back.count() == n.count())
+  }
+
   test("S3/S7: xlsx round-trip preserves rows, names, and primitive types") {
     val n = Tables.load(spark, sf, "nation")
     val path = tmp(".xlsx")
