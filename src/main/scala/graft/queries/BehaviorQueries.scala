@@ -915,6 +915,29 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Longest consecutive-day activity streak per user — the canonical
+      * gaps-and-islands window: distinct active days minus their per-user
+      * row_number is constant within a run, so one exchange on user_id
+      * and two cheap aggregates turn the day stream into streak lengths.
+      * (The engagement metric daily-habit products report; a data-sized
+      * self-join formulation would be quadratic per user.)
+      */
+    "e_streaks" -> ((s, dir) => {
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      val islands = days.withColumn("__grp",
+        datediff(col("d"), to_date(lit("1970-01-01"))) -
+          row_number().over(w))
+      islands.groupBy("user_id", "__grp").agg(count(lit(1)).as("__len"))
+        .groupBy("user_id")
+        .agg(sum("__len").as("n_active_days"),
+          max("__len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     /** Power-law exponent of the user-activity distribution — the
       * continuous-MLE approximation for discrete data (Clauset, Shalizi &
       * Newman 2009): α ≈ 1 + n/Σ ln(x_i/(xmin−½)) with xmin = 1, i.e.
@@ -1877,6 +1900,21 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // gaps-and-islands: day - row_number constant within a run
+    "e_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |i AS (SELECT user_id, d,
+        |    date_diff('day', DATE '1970-01-01', d) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM days),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // counts-of-counts MLE; 9dp decimal ln(2x) terms
     "e_power_law" ->
