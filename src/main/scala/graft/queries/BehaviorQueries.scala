@@ -915,6 +915,37 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Cohort LTV matrix: weekly signup cohorts × week offset →
+      * cumulative revenue per cohort member — e_retention's revenue
+      * sibling, the growth table that says how fast each vintage pays
+      * back. Revenue sums are decimal(18,4) (order-free); the cumulative
+      * walk runs per cohort over the bounded (cohort × offset) grid, and
+      * cohort sizes broadcast back in.
+      */
+    "e_cohort_ltv" -> ((s, dir) => {
+      val wk = events(s, dir).select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"), col("value"))
+      val cohort = wk.groupBy("user_id").agg(min("wk").as("cwk"))
+      val sized = cohort.groupBy("cwk").agg(count(lit(1)).as("cohort_users"))
+      val rev = wk.join(cohort, "user_id")
+        .groupBy(col("cwk"),
+          (datediff(to_date(col("wk")), to_date(col("cwk"))) / 7)
+            .cast("int").as("week_offset"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("__rev"))
+      val walk = org.apache.spark.sql.expressions.Window
+        .partitionBy("cwk").orderBy("week_offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      rev.withColumn("__cum", sum("__rev").over(walk))
+        .join(broadcast(sized), "cwk")
+        .select(date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("cohort_users"),
+          round(col("__rev").cast("double"), 4).as("week_revenue"),
+          round(col("__cum").cast("double") /
+            col("cohort_users").cast("double"), 4).as("cum_ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     /** Longest consecutive-day activity streak per user — the canonical
       * gaps-and-islands window: distinct active days minus their per-user
       * row_number is constant within a run, so one exchange on user_id
@@ -1900,6 +1931,29 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // cohort grid cumulative walk; decimal revenue; sizes broadcast
+    "e_cohort_ltv" ->
+      """WITH wk AS (SELECT user_id, date_trunc('week', ts) AS wk, value
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cwk FROM wk GROUP BY user_id),
+        |sized AS (SELECT cwk, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM cohort GROUP BY cwk),
+        |rev AS (SELECT cwk,
+        |    CAST(date_diff('day', CAST(cwk AS DATE), CAST(wk.wk AS DATE))
+        |      // 7 AS INT) AS week_offset,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS r
+        |  FROM wk JOIN cohort USING (user_id) GROUP BY 1, 2),
+        |c AS (SELECT cwk, week_offset, r,
+        |    sum(r) OVER (PARTITION BY cwk ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT strftime(cwk, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  cohort_users, round(CAST(r AS DOUBLE), 4) AS week_revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(cohort_users AS DOUBLE), 4)
+        |    AS cum_ltv_per_user
+        |FROM c JOIN sized USING (cwk)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // gaps-and-islands: day - row_number constant within a run
     "e_streaks" ->

@@ -1554,6 +1554,39 @@ object PipelineQueries {
         .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
     }),
 
+    /** recall@k CURVE (k ∈ {1,5,10}) for the LSH index vs exact — one
+      * number per operating point instead of v_recall's single @10: the
+      * read that says whether the index degrades gracefully as k shrinks
+      * (small-k recall is what a reranker pipeline actually consumes).
+      * Both legs are the already-distributed top-10s; ranking, joining
+      * and the scaffolded k grid run on ≤10-row relations.
+      */
+    "v_recall_curve" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+      val qv = queryVec(s, dir)
+      val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val exact = Similarity.topK(base, "vec_id", "embedding", qv, 10)
+        .withColumn("rn_e",
+          row_number().over(one.orderBy(col("sim").desc, col("id"))))
+        .select("id", "rn_e")
+      val approx = Similarity.lshTopK(base, "vec_id", "embedding", qv,
+          k = 10, tables = 16, bits = 4, planes = Similarity.md5Planes)
+        .withColumn("rn_a",
+          row_number().over(one.orderBy(col("sim").desc, col("id"))))
+        .select("id", "rn_a")
+      val j = exact.join(approx, "id")
+      val ks = s.createDataFrame(Seq(Tuple1(1), Tuple1(5), Tuple1(10)))
+        .toDF("k")
+      // left join scaffolds the grid: a k with zero hits still reports
+      ks.join(j, col("rn_e") <= col("k") && col("rn_a") <= col("k"), "left")
+        .groupBy("k")
+        .agg(sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(col("k"), col("hits"),
+          round(col("hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall_at_k"))
+        .orderBy("k")
+    }),
+
     /** Semantic (embedding-space) decontamination — t_decontam's vector
       * sibling: flag corpus vectors as similar to a held-out eval
       * vector as the corpus's own near-duplicates are to each other
@@ -2978,6 +3011,24 @@ object PipelineQueries {
          |b AS ($annLshMd5Oracle)
          |SELECT round(count(*) / 10.0, 6) AS recall
          |FROM a JOIN b USING (vec_id)""".stripMargin,
+
+    // both top-10 legs ranked; the k grid scaffolds via a left join
+    "v_recall_curve" -> (
+      s"""WITH a AS ($annTopkOracle),
+         |b AS ($annLshMd5Oracle),
+         |ra AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+         |    AS rn_e FROM a),
+         |rb AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id)
+         |    AS rn_a FROM b),
+         |j AS (SELECT ra.vec_id, rn_e, rn_a FROM ra JOIN rb USING (vec_id)),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k)
+         |SELECT k,
+         |  CAST(sum(CASE WHEN j.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  round(CAST(sum(CASE WHEN j.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / k, 6) AS recall_at_k
+         |FROM ks LEFT JOIN j ON rn_e <= k AND rn_a <= k
+         |GROUP BY k ORDER BY k""".stripMargin),
 
     // cohort-filtered exact top-5 beside the global-candidate membership
     "v_ann_filtered" ->
