@@ -426,6 +426,37 @@ object AnalyticsQueries {
       graft.operators.RankStats.kruskalWallis(
         Tables.load(s, dir, "lineitem"), "l_quantity", "l_returnflag")),
 
+    /** G-test (log-likelihood-ratio independence) over the (lang, source)
+      * contingency table — χ²'s likelihood sibling, preferred when cell
+      * counts are small or effects multiplicative: G = 2·Σ O·ln(O/E).
+      * Same bounded-cell machinery as a16/a35; the per-cell ln terms fold
+      * in (lang, source) order so the float sum is order-pinned.
+      */
+    "a39_gtest" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("lang").agg(sum("obs").as("rt"))
+      val ct = cells.groupBy("source").agg(sum("obs").as("ctot"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+      val expd = col("rt").cast("double") * col("ctot").cast("double") /
+        col("n").cast("double")
+      val term = when(col("obs") > 0,
+        col("obs").cast("double") * log(col("obs").cast("double") / expd))
+        .otherwise(lit(0.0))
+      cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"), col("nl"), col("ns"),
+          term.as("contrib"))
+        .groupBy("n", "nl", "ns")
+        .agg(sort_array(collect_list(struct(col("lang"), col("source"),
+          col("contrib")))).as("cs"))
+        .select(col("n"),
+          ((col("nl") - 1) * (col("ns") - 1)).as("df"),
+          round(lit(2.0) * aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib")), 6).as("g"))
+    }),
+
     /** Brown–Forsythe equal-variance test across the return flags — the
       * robust (median-centered) Levene, the precondition check before
       * a24's pooled-variance t is trusted; see
@@ -1777,6 +1808,30 @@ object AnalyticsQueries {
         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
         |        CAST(n AS DOUBLE))), 6) AS h
         |FROM f CROSS JOIN ties""".stripMargin,
+
+    // same contingency CTEs as a35; ordered O*ln(O/E) fold, doubled
+    "a39_gtest" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, sum(obs) AS rt FROM cells GROUP BY lang),
+        |ct AS (SELECT source, sum(obs) AS ctot FROM cells GROUP BY source),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns
+        |  FROM cells),
+        |c AS (SELECT cells.lang, cells.source, n, nl, ns,
+        |    CASE WHEN obs > 0 THEN CAST(obs AS DOUBLE) *
+        |      ln(CAST(obs AS DOUBLE) /
+        |        (CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)
+        |          / CAST(n AS DOUBLE)))
+        |      ELSE 0.0 END AS contrib
+        |  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |  CROSS JOIN tot),
+        |f AS (SELECT n, nl, ns, list(contrib ORDER BY lang, source) AS cs
+        |  FROM c GROUP BY n, nl, ns)
+        |SELECT n, CAST((nl - 1) * (ns - 1) AS BIGINT) AS df,
+        |  round(2.0 * list_reduce(list_prepend(0.0, cs), (a, b) -> a + b),
+        |    6) AS g
+        |FROM f""".stripMargin,
 
     // per-group exact medians from a histogram walk; decimal deviation
     // moments; ordered fold of the <=3 per-group double terms
