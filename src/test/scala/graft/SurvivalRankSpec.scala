@@ -37,6 +37,25 @@ class SurvivalRankSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("mannWhitney: U_A + U_B = n_a*n_b on arbitrary tied data (fundamental identity)") {
+    // deterministic pseudo-random tied data: values hash-derived so the
+    // fixture is stable across runs
+    val rows = (0 until 200).map { i =>
+      (math.abs((i * 2654435761L) % 13).toInt,
+        if (i % 3 == 0) "A" else "B")
+    }
+    val df = spark.createDataFrame(rows).toDF("v", "g")
+    val ua = RankStats.mannWhitney(df, "v",
+      col("g") === "A", col("g") === "B").head()
+    val ub = RankStats.mannWhitney(df, "v",
+      col("g") === "B", col("g") === "A").head()
+    val (na, nb) = (ua.getAs[Long]("n_a"), ua.getAs[Long]("n_b"))
+    assert(ua.getAs[Double]("u_a") + ub.getAs[Double]("u_a") ==
+      na.toDouble * nb, s"U_A=${ua.getAs[Double]("u_a")} U_B=${ub.getAs[Double]("u_a")}")
+    // and the two directions' z are exact negatives
+    assert(ua.getAs[Double]("z") == -ub.getAs[Double]("z"))
+  }
+
   test("kruskalWallis: identical groups give H = 0; separated groups the closed form") {
     val same = RankStats.kruskalWallis(two(Seq(1, 2, 3), Seq(1, 2, 3)),
       "v", "g").head()
