@@ -915,6 +915,23 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Activity heatmap: events per (day-of-week, hour-of-day) cell with
+      * each cell's share of total — the ops-dashboard read for traffic
+      * shaping and maintenance windows. One hash aggregate over calendar
+      * parts; the share divides by a broadcast scalar.
+      */
+    "e_activity_heatmap" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = cells.agg(sum("n_events").as("__t"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n_events"),
+          round(col("n_events").cast("double") / col("__t").cast("double"),
+            6).as("share"))
+        .orderBy("dow", "hod")
+    }),
+
     /** Cohort LTV matrix: weekly signup cohorts × week offset →
       * cumulative revenue per cohort member — e_retention's revenue
       * sibling, the growth table that says how fast each vintage pays
@@ -1931,6 +1948,18 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // calendar-part hash agg; share over a broadcast scalar. DuckDB dow is
+    // 0=Sunday while Spark dayofweek is 1=Sunday — shifted to match
+    "e_activity_heatmap" ->
+      """WITH cells AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hod, CAST(count(*) AS BIGINT)
+        |      AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tt FROM cells)
+        |SELECT dow, hod, n_events,
+        |  round(CAST(n_events AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+        |FROM cells CROSS JOIN t ORDER BY dow, hod""".stripMargin,
 
     // cohort grid cumulative walk; decimal revenue; sizes broadcast
     "e_cohort_ltv" ->

@@ -999,6 +999,21 @@ object PipelineQueries {
         .orderBy("cluster")
     }),
 
+    /** Cluster-size histogram of the near-dup graph: how many clusters of
+      * each size star-CC found — the "is dedup facing pairs or pile-ups"
+      * read that decides whether survivorship policy matters. Counts of
+      * counts over the CC output, so the report is bounded by the largest
+      * cluster regardless of corpus size.
+      */
+    "d_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+      graft.operators.Graph.starConnectedComponents(pairs, "id_i", "id_j")
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
+    }),
+
     /** Full dedup pipeline tail: LSH pairs → connected components →
       * (doc, cluster) so each duplicate cluster keeps min-id as canonical.
       */
@@ -2703,6 +2718,16 @@ object PipelineQueries {
       s"""WITH RECURSIVE $ccCtes
          |SELECT node AS doc_id, min(r) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // cluster labels don't matter to a size histogram, so the recursive
+    // reachability CC replays star-CC's output exactly here
+    "d_cluster_sizes" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+         |  FROM cl GROUP BY cluster)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY size ORDER BY size""".stripMargin,
 
     "t_length_buckets" ->
       s"""WITH n AS (SELECT len($toksSql) AS n FROM documents),
