@@ -1036,6 +1036,41 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Partial correlation r(x,y|z): does quantity still track price once
+      * discount is held fixed — the confounder-controlled read a raw a7
+      * correlation can't give. All nine moment sums ride ONE decimal
+      * aggregate (the a26 discipline); the three Pearsons and the
+      * closed-form partial are driver-free arithmetic on the 1-row result.
+      */
+    "a40_partial_corr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val z = col("l_discount")
+      val m = li.agg(count(lit(1)).cast("double").as("cnt"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(z.cast("decimal(18,2)")).cast("double").as("sz"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"),
+        sum((x * z).cast("decimal(28,4)")).cast("double").as("sxz"),
+        sum((y * z).cast("decimal(28,4)")).cast("double").as("syz"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"),
+        sum((z * z).cast("decimal(28,4)")).cast("double").as("szz"))
+      def r(sab: Column, sa: Column, sb: Column,
+            saa: Column, sbb: Column): Column =
+        (col("cnt") * sab - sa * sb) /
+          (sqrt(col("cnt") * saa - sa * sa) *
+            sqrt(col("cnt") * sbb - sb * sb))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      m.select(col("cnt").cast("long").as("n"),
+        round(rxy, 6).as("r_xy"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("r_xy_given_z"))
+    }),
+
     /** Z-order clustering key: Morton-interleave (partkey, suppkey) — the
       * multi-dimensional layout key ([[graft.operators.ZOrder]]); here the
       * smallest 20 z-values demonstrate the locality ordering.
@@ -2279,6 +2314,40 @@ object AnalyticsQueries {
         |            WHEN l_extendedprice < q3 THEN 2 ELSE 3 END AS bucket,
         |  count(*) AS n
         |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nine decimal moment sums in one aggregate; three Pearsons + the
+    // closed-form partial on the 1-row result
+    "a40_partial_corr" ->
+      """WITH m AS (SELECT count(*)::DOUBLE AS cnt,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sy,
+        |  cast(sum(cast(l_discount as decimal(18,2))) as double) AS sz,
+        |  cast(sum(cast(l_quantity * l_extendedprice as decimal(28,4)))
+        |    as double) AS sxy,
+        |  cast(sum(cast(l_quantity * l_discount as decimal(28,4)))
+        |    as double) AS sxz,
+        |  cast(sum(cast(l_extendedprice * l_discount as decimal(28,4)))
+        |    as double) AS syz,
+        |  cast(sum(cast(l_quantity * l_quantity as decimal(28,4)))
+        |    as double) AS sxx,
+        |  cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,4)))
+        |    as double) AS syy,
+        |  cast(sum(cast(l_discount * l_discount as decimal(28,4)))
+        |    as double) AS szz
+        |  FROM lineitem),
+        |r AS (SELECT cnt,
+        |  (cnt * sxy - sx * sy) / (sqrt(cnt * sxx - sx * sx) *
+        |    sqrt(cnt * syy - sy * sy)) AS rxy,
+        |  (cnt * sxz - sx * sz) / (sqrt(cnt * sxx - sx * sx) *
+        |    sqrt(cnt * szz - sz * sz)) AS rxz,
+        |  (cnt * syz - sy * sz) / (sqrt(cnt * syy - sy * sy) *
+        |    sqrt(cnt * szz - sz * sz)) AS ryz
+        |  FROM m)
+        |SELECT CAST(cnt AS BIGINT) AS n, round(rxy, 6) AS r_xy,
+        |  round((rxy - rxz * ryz) /
+        |    sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |    AS r_xy_given_z
+        |FROM r""".stripMargin,
 
     "a7_corr" ->
       """WITH m AS (
