@@ -457,6 +457,52 @@ object PipelineQueries {
         .orderBy("true_lang", "pred_lang")
     }),
 
+    /** Quantile normalization of doc length ACROSS sources — the
+      * batch-effect correction (classic in expression arrays, equally apt
+      * for mixing scraped sources): each source's length distribution maps
+      * onto the POOLED distribution, so "long for its source" becomes
+      * comparable across sources. Exact and float-free: a value's
+      * within-source mid-rank CDF is the rational (2·cumBelow+m+1)/(2n_s),
+      * the pooled inverse-CDF lookup is the smallest pooled value whose
+      * cumulative count reaches that rank, and the comparison
+      * cross-multiplies integers (decimal factors) instead of dividing.
+      * Both relations are value-domain sized, so the non-equi lookup join
+      * is control-plane work however many documents exist.
+      */
+    "t_quantile_norm" -> ((s, dir) => {
+      val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _.cast("decimal(19,0)")
+      val lens = docs(s, dir).select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("x"))
+      val wBelow = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val srcCells = lens.groupBy("source", "x").agg(count(lit(1)).as("m"))
+        .select(col("source"), col("x"), col("m"),
+          (lit(2L) * coalesce(sum("m").over(wBelow), lit(0L)) +
+            col("m") + 1L).as("r2"),
+          sum("m").over(wAll).as("ns"))
+      val wPool = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val pooled = lens.groupBy("x").agg(count(lit(1)).as("mp"))
+        .select(col("x").as("px"), sum("mp").over(wPool).as("cump"),
+          sum("mp").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))).as("np"))
+      // r2/(2 ns) <= cump/np  <=>  r2*np <= 2*ns*cump (all positive)
+      srcCells.join(broadcast(pooled),
+          dec(col("r2")) * col("np") <=
+            dec(lit(2L)) * col("ns") * col("cump"))
+        .groupBy("source", "x", "m")
+        .agg(min("px").as("x_norm"))
+        .select(col("source"), col("x"), col("m").as("n_docs"),
+          col("x_norm"))
+        .orderBy("source", "x")
+    }),
+
     /** What exact dedup is WORTH, in tokens: corpus totals vs the
       * kept-set totals (min-doc_id survivor per fingerprint) and the
       * percentage of token mass dedup deletes — the one-row answer to
@@ -2400,6 +2446,31 @@ object PipelineQueries {
          |  round(CAST(sum(CASE WHEN pred = d.lang THEN 1 ELSE 0 END)
          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
          |FROM npred p JOIN ntest d USING (doc_id)""".stripMargin),
+
+    // integer cross-multiplied CDF lookup over bounded cell relations
+    "t_quantile_norm" -> (
+      s"""WITH lens AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS x
+         |  FROM documents),
+         |sc AS (SELECT source, x, CAST(count(*) AS BIGINT) AS m
+         |  FROM lens GROUP BY 1, 2),
+         |srcc AS (SELECT source, x, m,
+         |    2 * coalesce(CAST(sum(m) OVER (PARTITION BY source ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) + m + 1 AS r2,
+         |    CAST(sum(m) OVER (PARTITION BY source) AS BIGINT) AS ns
+         |  FROM sc),
+         |pooled AS (SELECT x AS px,
+         |    CAST(sum(mp) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cump,
+         |    CAST(sum(mp) OVER () AS BIGINT) AS np
+         |  FROM (SELECT x, count(*) AS mp FROM lens GROUP BY x))
+         |SELECT source, x, m AS n_docs, min(px) AS x_norm
+         |FROM srcc JOIN pooled
+         |  ON CAST(r2 AS DECIMAL(19,0)) * np <=
+         |     CAST(2 AS DECIMAL(19,0)) * ns * cump
+         |GROUP BY source, x, m
+         |ORDER BY source, x""".stripMargin),
 
     // fingerprint + token count in one scan; min-doc_id survivors
     "t_dedup_tokens" -> (
