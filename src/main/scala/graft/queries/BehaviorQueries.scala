@@ -915,6 +915,28 @@ object BehaviorQueries {
         .orderBy("status")
     }),
 
+    /** Time-to-convert quartiles: minutes from a user's FIRST view to the
+      * first purchase after it, exact percentiles over converting users —
+      * the funnel-latency read beside e_funnel's stage counts (a funnel
+      * that converts in minutes and one that converts in days need
+      * different attribution windows). Two filtered aggregates + one
+      * per-user min; only converting users reach the percentile.
+      */
+    "e_conversion_time" -> ((s, dir) => {
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view").groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("v_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val conv = v.join(p, "user_id").filter(col("p_us") > col("v_us"))
+        .groupBy("user_id", "v_us").agg(min("p_us").as("p_us"))
+        .select(((col("p_us") - col("v_us")) / 60000000.0).as("mins"))
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(mins, 0.25)"), 4).as("p25_min"),
+        round(expr("percentile(mins, 0.5)"), 4).as("p50_min"),
+        round(expr("percentile(mins, 0.75)"), 4).as("p75_min"))
+    }),
+
     /** Activity heatmap: events per (day-of-week, hour-of-day) cell with
       * each cell's share of total — the ops-dashboard read for traffic
       * shaping and maintenance windows. One hash aggregate over calendar
@@ -1948,6 +1970,23 @@ object BehaviorQueries {
         |            ELSE 'churned' END AS status,
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
         |FROM p CROSS JOIN m GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // first view -> first later purchase, exact quartiles over converters
+    "e_conversion_time" ->
+      """WITH v AS (SELECT user_id,
+        |    min(epoch_us(date_trunc('microseconds', ts))) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts))
+        |    AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT (min(p_us) - v_us) / 60000000.0 AS mins
+        |  FROM v JOIN p USING (user_id) WHERE p_us > v_us
+        |  GROUP BY user_id, v_us)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(mins, 0.25), 4) AS p25_min,
+        |  round(quantile_cont(mins, 0.5), 4) AS p50_min,
+        |  round(quantile_cont(mins, 0.75), 4) AS p75_min
+        |FROM conv""".stripMargin,
 
     // calendar-part hash agg; share over a broadcast scalar. DuckDB dow is
     // 0=Sunday while Spark dayofweek is 1=Sunday — shifted to match
