@@ -104,6 +104,30 @@ class SurvivalRankSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("f")))
   }
 
+  test("e_streaks: streak laws hold for every user") {
+    val rows = SparkEntry.queries("e_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (days, longest, streaks) = (r.getAs[Long]("n_active_days"),
+        r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"))
+      assert(longest >= 1 && longest <= days)
+      assert(streaks >= 1 && streaks <= days)
+      // n_streaks runs of length >= 1 partition the active days
+      assert(longest + (streaks - 1) <= days)
+    }
+  }
+
+  test("e_cohort_ltv: cumulative LTV never decreases within a cohort") {
+    val rows = SparkEntry.queries("e_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, cohort) =>
+      val ltv = cohort.sortBy(_.getAs[Int]("week_offset"))
+        .map(_.getAs[Double]("cum_ltv_per_user"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"cumulative LTV decreased: ${ltv.toSeq}")
+    }
+  }
+
   test("e_decay_score: decay never exceeds the raw sum and weights recency") {
     val rows = SparkEntry.queries("e_decay_score")(spark, sf).collect()
     assert(rows.nonEmpty)
