@@ -234,6 +234,91 @@ object RankStats {
           .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** Exact interpolated percentiles WITHOUT Spark's `Percentile`
+    * aggregate — the counts-of-counts crossing walk applied to the one
+    * shape `percentile()` can't survive at scale. Spark's built-in is a
+    * TypedImperativeAggregate whose partial buffers are value→count
+    * OpenHashMaps merged on ONE final task; memory there is O(distinct
+    * values), which on a continuous domain (prices, durations, scores)
+    * grows with the data — ~10^9 entries at the 100 TB target. Here the
+    * same answer comes from
+    *   1. `groupBy(value).count()` — a distributed partial+final hash
+    *      aggregate, the only data-sized work;
+    *   2. a cumulative window over the DISTINCT-VALUE relation (sort-based,
+    *      spillable — never an in-memory map) locating, for each probe p,
+    *      the order statistics at 0-based positions floor/ceil of
+    *      pos = p·(n−1);
+    *   3. Spark's own interpolation `(hi−pos)·x_lo + (pos−lo)·x_hi`,
+    *      replayed as Column arithmetic — each step is the identical IEEE
+    *      double op `Percentile.getPercentile` performs, so results are
+    *      bit-for-bit what the built-in returned and every existing DuckDB
+    *      oracle keeps matching.
+    * When the two bracketing order statistics are the SAME distinct value,
+    * the value is returned directly (no interpolation round-trip) —
+    * mirroring the built-in's lowerIndex == higherIndex early return.
+    *
+    * Output: one row per key combination (one row total when `keys` is
+    * empty), columns `keys ++ probes.map(_._1)` (percentiles as unrounded
+    * doubles — callers round/alias) ++ the optional extras. `histAggs`
+    * are extra aggregates evaluated at the per-value histogram stage
+    * (over the raw rows of each (keys, value) cell); `finalAggs` run at
+    * the final per-key fold, where `__v` (distinct value), `__m` (its
+    * count) and any histAgg output are in scope — they let a caller fold
+    * side statistics (count, max, a second column's sum) out of the same
+    * single pass instead of re-scanning the input.
+    */
+  def exactPercentiles(df: DataFrame, value: Column, keys: Seq[String],
+                       probes: Seq[(String, Double)],
+                       histAggs: Seq[Column] = Nil,
+                       finalAggs: Seq[(String, Column)] = Nil): DataFrame = {
+    require(probes.nonEmpty, "exactPercentiles needs at least one probe")
+    val keyCols = keys.map(col)
+    val histFull = df.filter(value.isNotNull)
+      .groupBy(keyCols :+ value.as("__v"): _*)
+      .agg(count(lit(1)).as("__m"), histAggs: _*)
+    val part =
+      if (keys.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(keyCols: _*)
+    val cumW = part.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walked = histFull
+      .withColumn("__cum", sum("__m").over(cumW))
+      .withColumn("__n", sum("__m").over(
+        part.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val cumBelow = col("__cum") - col("__m")
+    // per probe: the rows holding the floor/ceil order statistics (exactly
+    // one row matches each condition per key — max() just extracts it)
+    def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")
+    val probeAggs = probes.flatMap { case (name, p) =>
+      val lo = floor(pos(p))
+      val hi = ceil(pos(p))
+      Seq(
+        max(when(cumBelow <= lo && lo < col("__cum"), col("__v")))
+          .as(s"__lo_$name"),
+        max(when(cumBelow <= hi && hi < col("__cum"), col("__v")))
+          .as(s"__hi_$name"))
+    }
+    val aggs = (max("__n").as("__n") +: probeAggs) ++
+      finalAggs.map { case (n, c) => c.as(n) }
+    val folded =
+      if (keys.isEmpty) walked.groupBy().agg(aggs.head, aggs.tail: _*)
+      else walked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    val outProbes = probes.map { case (name, p) =>
+      val pp = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(pp)
+      val hi = ceil(pp)
+      val xlo = col(s"__lo_$name").cast("double")
+      val xhi = col(s"__hi_$name").cast("double")
+      when(hi === lo || col(s"__lo_$name") === col(s"__hi_$name"), xlo)
+        .otherwise((hi.cast("double") - pp) * xlo +
+          (pp - lo.cast("double")) * xhi)
+        .as(name)
+    }
+    folded.select(keyCols ++ outProbes ++
+      finalAggs.map { case (n, _) => col(n) }: _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic on a fixed dyadic
     * histogram: D = max over present bin edges of |F_A − F_B|, computed
     * from ONE ≤`bins`-cell aggregate (the a21 sketch shape). Exact for

@@ -96,11 +96,14 @@ object AnalyticsQueries {
       */
     "a14_winsorize" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val bounds = li.groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.05)"), 4)
-          .cast("decimal(18,4)").as("p05"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4)
-          .cast("decimal(18,4)").as("p95"))
+      // bounds via the RankStats crossing walk (no Percentile aggregate —
+      // prices are a continuous domain; see a4_percentile)
+      val bounds = graft.operators.RankStats.exactPercentiles(li,
+          col("l_extendedprice"), Seq("l_returnflag"),
+          Seq("p05" -> 0.05, "p95" -> 0.95))
+        .select(col("l_returnflag"),
+          round(col("p05"), 4).cast("decimal(18,4)").as("p05"),
+          round(col("p95"), 4).cast("decimal(18,4)").as("p95"))
       li.join(broadcast(bounds), "l_returnflag")
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("decimal(18,4)").as("x"),
@@ -632,7 +635,11 @@ object AnalyticsQueries {
       * inverse CDF as literal thresholds (identical decimal strings both
       * engines, capped at 6); replicate sums go through decimal; the CI is
       * the exact 2.5/97.5 percentile of the 32-row replicate-mean
-      * relation (the a4 percentile idiom).
+      * relation. BOUNDED-DOMAIN EXEMPTION: this is one of the two
+      * remaining `percentile()` aggregates in the engine — its value→count
+      * buffer holds at most B=32 entries (one per replicate) regardless of
+      * corpus size, so the single-task merge the continuous-domain sites
+      * migrated away from (see a4_percentile) is a non-issue here.
       */
     "a30_bootstrap_ci" -> ((s, dir) => {
       val b = 32
@@ -1001,10 +1008,13 @@ object AnalyticsQueries {
       */
     "v4_equidepth" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val b = li.agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q2"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+      // global quartiles via the RankStats crossing walk (no Percentile
+      // aggregate; see a4_percentile)
+      val b = graft.operators.RankStats.exactPercentiles(li,
+          col("l_extendedprice"), Nil,
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+        .select(round(col("q1"), 4).as("q1"), round(col("q2"), 4).as("q2"),
+          round(col("q3"), 4).as("q3"))
       li.crossJoin(broadcast(b))
         .select(when(col("l_extendedprice") < col("q1"), 0)
           .when(col("l_extendedprice") < col("q2"), 1)
@@ -1161,8 +1171,9 @@ object AnalyticsQueries {
     }),
 
     /** Histogram-sketch quantiles beside the exact answer — the at-scale
-      * twin of a4_percentile. Exact `percentile` sorts every group's
-      * values; the sketch is one hash aggregate into 256 fixed bins
+      * twin of a4_percentile. The exact leg runs the same RankStats
+      * crossing walk as a4 (no Percentile aggregate anywhere in this
+      * plan); the sketch is one hash aggregate into 256 fixed bins
       * (width 512, a dyadic rational — every float op below is exact) and
       * a bounded cumulative walk, mergeable across shards by adding bin
       * counts. Output shows estimate and exact side by side per quantile;
@@ -1175,9 +1186,11 @@ object AnalyticsQueries {
       val sk = graft.operators.Sketches.histogramQuantiles(li,
         "l_extendedprice", lo = 0.0, hi = 131072.0, bins = 256,
         qs = Seq(0.5, 0.9), groupCols = Seq("l_returnflag"))
-      val exact = li.groupBy(col("l_returnflag")).agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("__e5"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("__e9"))
+      val exact = graft.operators.RankStats.exactPercentiles(li,
+          col("l_extendedprice"), Seq("l_returnflag"),
+          Seq("__r5" -> 0.5, "__r9" -> 0.9))
+        .select(col("l_returnflag"), round(col("__r5"), 4).as("__e5"),
+          round(col("__r9"), 4).as("__e9"))
         .select(col("l_returnflag"), explode(map(
           lit(0.5), col("__e5"), lit(0.9), col("__e9"))).as(Seq("q", "exact")))
       sk.join(exact, Seq("l_returnflag", "q"))
@@ -1431,11 +1444,14 @@ object AnalyticsQueries {
       */
     "a19_outlier_iqr" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val q = li.groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4)
-          .cast("decimal(18,4)").as("q1"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4)
-          .cast("decimal(18,4)").as("q3"))
+      // quartiles via the RankStats crossing walk (no Percentile
+      // aggregate; see a4_percentile)
+      val q = graft.operators.RankStats.exactPercentiles(li,
+          col("l_extendedprice"), Seq("l_returnflag"),
+          Seq("q1" -> 0.25, "q3" -> 0.75))
+        .select(col("l_returnflag"),
+          round(col("q1"), 4).cast("decimal(18,4)").as("q1"),
+          round(col("q3"), 4).cast("decimal(18,4)").as("q3"))
       val fences = q.select(col("l_returnflag"),
         expr("cast(q1 - 1.5 * (q3 - q1) as decimal(19,5))").as("lo"),
         expr("cast(q3 + 1.5 * (q3 - q1) as decimal(19,5))").as("hi"))

@@ -274,10 +274,14 @@ object BehaviorQueries {
       */
     "e_pareto" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val qs = o.groupBy().agg(
-        round(expr("percentile(o_totalprice, 0.90)"), 6).as("p90"),
-        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
-        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+      // thresholds via the RankStats crossing walk (no Percentile
+      // aggregate — prices are a continuous domain; see a4_percentile)
+      val qs = graft.operators.RankStats.exactPercentiles(o,
+          col("o_totalprice"), Nil,
+          Seq("__p90" -> 0.90, "__p95" -> 0.95, "__p99" -> 0.99))
+        .select(round(col("__p90"), 6).as("p90"),
+          round(col("__p95"), 6).as("p95"),
+          round(col("__p99"), 6).as("p99"))
       val probes = Seq(("p90", 90), ("p95", 95), ("p99", 99))
       val base = o.crossJoin(broadcast(qs))
       probes.map { case (cn, pct) =>
@@ -333,10 +337,12 @@ object BehaviorQueries {
       * user scores 1–5 on Recency (days since last event, vs the corpus
       * max day), Frequency (event count), and Monetary (decimal value
       * sum) against the exact quintile boundaries of the per-user
-      * distribution (the a4 percentile idiom; a21's histogram sketch is
-      * the stated 100 TB path for the boundary pass). Boundaries are a
-      * 1-row broadcast; scoring is a map pass; the output is the 5×5×5
-      * segment census.
+      * distribution. The boundary pass melts the three metrics into one
+      * (metric, value) stream and runs ONE keyed RankStats crossing walk
+      * (no Percentile aggregate — the per-user domain grows with the
+      * data; see a4_percentile), then pivots the 3×4 boundary grid back
+      * into a 1-row broadcast; scoring is a map pass; the output is the
+      * 5×5×5 segment census.
       */
     "e_rfm" -> ((s, dir) => {
       val e = events(s, dir)
@@ -349,19 +355,18 @@ object BehaviorQueries {
         .select(col("user_id"),
           datediff(col("maxd"), col("lastd")).cast("long").as("rec"),
           col("freq"), col("mon"))
-      val qs = perUser.groupBy().agg(
-        round(expr("percentile(rec, 0.2)"), 6).as("r1"),
-        round(expr("percentile(rec, 0.4)"), 6).as("r2"),
-        round(expr("percentile(rec, 0.6)"), 6).as("r3"),
-        round(expr("percentile(rec, 0.8)"), 6).as("r4"),
-        round(expr("percentile(freq, 0.2)"), 6).as("f1"),
-        round(expr("percentile(freq, 0.4)"), 6).as("f2"),
-        round(expr("percentile(freq, 0.6)"), 6).as("f3"),
-        round(expr("percentile(freq, 0.8)"), 6).as("f4"),
-        round(expr("percentile(mon, 0.2)"), 6).as("m1"),
-        round(expr("percentile(mon, 0.4)"), 6).as("m2"),
-        round(expr("percentile(mon, 0.6)"), 6).as("m3"),
-        round(expr("percentile(mon, 0.8)"), 6).as("m4"))
+      val melted = perUser.select(explode(map(
+        lit("r"), col("rec").cast("double"),
+        lit("f"), col("freq").cast("double"),
+        lit("m"), col("mon"))).as(Seq("__metric", "__x")))
+      val walked = graft.operators.RankStats.exactPercentiles(melted,
+        col("__x"), Seq("__metric"),
+        Seq("__q1" -> 0.2, "__q2" -> 0.4, "__q3" -> 0.6, "__q4" -> 0.8))
+      val qsAggs = Seq("r", "f", "m").flatMap { m =>
+        (1 to 4).map(i => round(max(when(col("__metric") === m,
+          col(s"__q$i"))), 6).as(s"$m$i"))
+      }
+      val qs = walked.groupBy().agg(qsAggs.head, qsAggs.tail: _*)
       def score(v: org.apache.spark.sql.Column, bs: Seq[String],
                 invert: Boolean) = {
         val raw = bs.map(b => when(v > col(b), 1).otherwise(0))
@@ -441,7 +446,12 @@ object BehaviorQueries {
       * slopes, intercept = median of (y − slope·x). Pairs live on the
       * calendar-bounded weekly relation (~345²/2 — fixed by the time
       * span, not the fact table), so the exact-percentile pass is
-      * bounded-state by construction. Weeks convert to integer day
+      * bounded-state by construction. BOUNDED-DOMAIN EXEMPTION: with
+      * a30_bootstrap_ci this is the other remaining `percentile()`
+      * aggregate — its value→count buffer is capped by the pairwise-slope
+      * relation of a calendar-sized series, not by the corpus (see
+      * a4_percentile for the migrated continuous-domain sites). Weeks
+      * convert to integer day
       * offsets from the first week so slope units are per-day.
       */
     "e_theil_sen" -> ((s, dir) => {
@@ -697,22 +707,28 @@ object BehaviorQueries {
 
     /** Inter-event gap distribution per event type: p50/p90/max of the
       * microsecond gaps between consecutive events ((ts, id) total
-      * order) — the burstiness report; a4's exact-percentile idiom over
-      * exact long gaps.
+      * order) — the burstiness report. Percentiles run the RankStats
+      * crossing walk over the per-type gap histogram (no Percentile
+      * aggregate — gaps are a continuous domain; see a4_percentile);
+      * n_gaps and max_us fold out of the SAME histogram pass via the
+      * walk's extra-aggregate hooks, so the gap relation is scanned once.
       */
     "e_gap_stats" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("__us").asc, col("event_id").asc)
-      events(s, dir)
+      val gaps = events(s, dir)
         .select(col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("__us"))
         .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
         .filter(col("__gap").isNotNull)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_gaps"),
-          round(expr("percentile(__gap, 0.5)"), 4).as("p50_us"),
-          round(expr("percentile(__gap, 0.9)"), 4).as("p90_us"),
-          max("__gap").as("max_us"))
+      graft.operators.RankStats.exactPercentiles(gaps, col("__gap"),
+          Seq("event_type"), Seq("__p50" -> 0.5, "__p90" -> 0.9),
+          finalAggs = Seq(
+            "n_gaps" -> sum("__m").cast("long"),
+            "max_us" -> max("__v")))
+        .select(col("event_type"), col("n_gaps"),
+          round(col("__p50"), 4).as("p50_us"),
+          round(col("__p90"), 4).as("p90_us"), col("max_us"))
         .orderBy("event_type")
     }),
 
@@ -931,10 +947,15 @@ object BehaviorQueries {
       val conv = v.join(p, "user_id").filter(col("p_us") > col("v_us"))
         .groupBy("user_id", "v_us").agg(min("p_us").as("p_us"))
         .select(((col("p_us") - col("v_us")) / 60000000.0).as("mins"))
-      conv.agg(count(lit(1)).as("n_converted"),
-        round(expr("percentile(mins, 0.25)"), 4).as("p25_min"),
-        round(expr("percentile(mins, 0.5)"), 4).as("p50_min"),
-        round(expr("percentile(mins, 0.75)"), 4).as("p75_min"))
+      // quartiles via the RankStats crossing walk (no Percentile
+      // aggregate — latencies are a continuous domain; see a4_percentile);
+      // n_converted folds out of the same histogram pass
+      graft.operators.RankStats.exactPercentiles(conv, col("mins"), Nil,
+          Seq("__p25" -> 0.25, "__p50" -> 0.5, "__p75" -> 0.75),
+          finalAggs = Seq("n_converted" -> sum("__m").cast("long")))
+        .select(col("n_converted"), round(col("__p25"), 4).as("p25_min"),
+          round(col("__p50"), 4).as("p50_min"),
+          round(col("__p75"), 4).as("p75_min"))
     }),
 
     /** Activity heatmap: events per (day-of-week, hour-of-day) cell with
@@ -1219,20 +1240,25 @@ object BehaviorQueries {
     }),
 
     /** Robust spread per group: median + median-absolute-deviation —
-      * outlier-resistant where variance is not. Two exact-percentile
-      * aggregates on the same key; the group medians broadcast back for
-      * the deviation pass, so the fact table shuffles only for its own
-      * aggregates.
+      * outlier-resistant where variance is not. Both medians run the
+      * RankStats crossing walk (no Percentile aggregate — prices are a
+      * continuous domain, so the built-in's single merged value→count map
+      * is data-sized; see a4_percentile): group medians from one walk,
+      * broadcast back for the deviation pass, whose median is a second
+      * walk over the |x−med| histogram.
       */
     "a11_mad" -> ((s, dir) => {
       val x = col("l_extendedprice")
       val li = Tables.load(s, dir, "lineitem").select(col("l_returnflag"), x)
-      val med = li.groupBy("l_returnflag")
-        .agg(percentile(x, lit(0.5)).as("__med"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(round(max("__med"), 4).as("med"),
-          round(percentile(abs(x - col("__med")), lit(0.5)), 4).as("mad"))
+      val med = graft.operators.RankStats.exactPercentiles(li, x,
+        Seq("l_returnflag"), Seq("__med" -> 0.5))
+      val dev = li.join(broadcast(med), "l_returnflag")
+      graft.operators.RankStats.exactPercentiles(dev,
+          abs(x - col("__med")), Seq("l_returnflag"), Seq("__mad" -> 0.5),
+          histAggs = Seq(max(col("__med")).as("__medh")),
+          finalAggs = Seq("med" -> round(max(col("__medh")), 4)))
+        .select(col("l_returnflag"), col("med"),
+          round(col("__mad"), 4).as("mad"))
         .orderBy("l_returnflag")
     }),
 

@@ -208,12 +208,19 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
-    /** A1 extension: exact quantiles per group (ordered-set aggregate). */
+    /** A1 extension: exact quantiles per group. Computed via
+      * [[graft.operators.RankStats.exactPercentiles]] (counts-of-counts
+      * crossing walk) rather than Spark's `percentile()` aggregate, whose
+      * final merge holds a distinct-value-sized value→count map on one
+      * task — prices are a continuous domain, so that map grows with the
+      * data. Same bit-exact interpolated answers.
+      */
     "a4_percentile" -> ((s, dir) =>
-      li(s, dir).groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      graft.operators.RankStats.exactPercentiles(li(s, dir),
+          col("l_extendedprice"), Seq("l_returnflag"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select(col("l_returnflag"), round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // The HLL + t-digest sketch surface (approx_count_distinct /

@@ -218,8 +218,11 @@ object PipelineQueries {
       */
     "t_ppl_filter" -> ((s, dir) => {
       val ppl = CorpusSignals.perplexity(docs(s, dir), "doc_id", "text")
-      val cut = ppl.agg(
-        round(expr("percentile(avg_nll, 0.75)"), 6).as("cutoff"))
+      // cutoff via the RankStats crossing walk (no Percentile aggregate —
+      // avg_nll is a continuous domain; see a4_percentile)
+      val cut = graft.operators.RankStats.exactPercentiles(ppl,
+          col("avg_nll"), Nil, Seq("__c" -> 0.75))
+        .select(round(col("__c"), 6).as("cutoff"))
       ppl.crossJoin(broadcast(cut))
         .filter(col("avg_nll") <= col("cutoff"))
         .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
@@ -1326,8 +1329,12 @@ object PipelineQueries {
       val e = embs(s, dir)
       val a = Clustering.assign(e, "vec_id", "embedding",
         Clustering.seedCentroids(e, "vec_id", "embedding", k = 8))
-      val cuts = a.groupBy("centroid_id")
-        .agg(round(expr("percentile(sim, 0.1)"), 6).as("p10"))
+      // per-cluster cutoffs via the RankStats crossing walk (no
+      // Percentile aggregate — cosines are a continuous domain; see
+      // a4_percentile)
+      val cuts = graft.operators.RankStats.exactPercentiles(a,
+          col("sim"), Seq("centroid_id"), Seq("__p10" -> 0.1))
+        .select(col("centroid_id"), round(col("__p10"), 6).as("p10"))
       a.join(broadcast(cuts), Seq("centroid_id"))
         .filter(col("sim") <= col("p10"))
         .select(col("id").as("vec_id"), col("centroid_id"),
@@ -1944,12 +1951,22 @@ object PipelineQueries {
         .select(col("n_events"),
           (unix_timestamp(col("sess_end")) - unix_timestamp(col("sess_start")))
             .as("__dur"))
-      sess.agg(count(lit(1)).as("n_sessions"),
-        round(sum("n_events").cast("double") / count(lit(1)), 6)
-          .as("avg_events"),
-        max("n_events").as("max_events"),
-        round(expr("percentile(__dur, 0.5)"), 4).as("p50_dur_sec"),
-        round(expr("percentile(__dur, 0.9)"), 4).as("p90_dur_sec"))
+      // duration percentiles via the RankStats crossing walk (no
+      // Percentile aggregate — durations are a continuous domain; see
+      // a4_percentile); the count/mean/max side stats fold out of the
+      // SAME histogram pass via the walk's hist/final hooks, so the
+      // session relation is scanned once.
+      graft.operators.RankStats.exactPercentiles(sess, col("__dur"), Nil,
+          Seq("__p50" -> 0.5, "__p90" -> 0.9),
+          histAggs = Seq(sum("n_events").as("__se"),
+            max("n_events").as("__me")),
+          finalAggs = Seq(
+            "n_sessions" -> sum("__m").cast("long"),
+            "avg_events" -> round(sum("__se").cast("double") / sum("__m"), 6),
+            "max_events" -> max("__me")))
+        .select(col("n_sessions"), col("avg_events"), col("max_events"),
+          round(col("__p50"), 4).as("p50_dur_sec"),
+          round(col("__p90"), 4).as("p90_dur_sec"))
     }),
 
     /** Exact dedup as a real streaming query: fingerprints stream through

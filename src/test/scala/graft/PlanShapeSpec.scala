@@ -310,4 +310,23 @@ class PlanShapeSpec extends SparkSpec {
         s"$name collapses to a histogram first; plan:\n$p")
     }
   }
+
+  test("no Percentile aggregate in any continuous-domain percentile query") {
+    // Spark's Percentile is a TypedImperativeAggregate whose final merge
+    // holds a distinct-value-sized value->count map on ONE task — OOM at
+    // 100 TB on continuous domains. These 13 queries migrated to the
+    // RankStats.exactPercentiles crossing walk (r8); this pin fails the
+    // build if any of them regresses to the built-in. (a30_bootstrap_ci
+    // and e_theil_sen keep percentile() by documented bounded-domain
+    // exemption: 32 replicates / calendar-bounded slopes.)
+    val migrated = Seq("a4_percentile", "a11_mad", "a14_winsorize",
+      "a19_outlier_iqr", "a21_hist_quantile", "v4_equidepth",
+      "t_ppl_filter", "v_embed_outliers", "e_session_stats", "e_gap_stats",
+      "e_conversion_time", "e_pareto", "e_rfm")
+    for (name <- migrated) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("percentile"),
+        s"$name must use the crossing walk, not Percentile; plan:\n$p")
+    }
+  }
 }

@@ -102,4 +102,67 @@ class RankStatsSpec extends SparkSpec {
       assert(lowHi._3 == 1.0)
     }
   }
+
+  /** The crossing-walk percentile must be bit-for-bit Spark's own
+    * `percentile()` — it replays the identical interpolation arithmetic —
+    * so the law is direct equality against the built-in on arbitrary
+    * samples, probes, and group keys. (The built-in stays correct at test
+    * scale; it's only its single-task value→count merge that dies at
+    * 100 TB, which is why production paths use the walk.)
+    */
+  test("law: exactPercentiles ≡ built-in percentile, bit-for-bit") {
+    val probes = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5,
+      "p90" -> 0.9, "p99" -> 0.99)
+    forAll(Gen.listOfN(60, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+        Gen.choose(0.0, 50.0).map(x => math.rint(x * 4) / 4))), n = 4) { xs =>
+      val df = xs.toDF("g", "x")
+      // global
+      val got = RankStats.exactPercentiles(df, col("x"), Nil, probes).head()
+      val want = df.agg(
+        expr("percentile(x, 0.1)"), expr("percentile(x, 0.25)"),
+        expr("percentile(x, 0.5)"), expr("percentile(x, 0.9)"),
+        expr("percentile(x, 0.99)")).head()
+      for (i <- probes.indices)
+        assert(got.getDouble(i) == want.getDouble(i), s"probe $i in $xs")
+      // per-key
+      val gotK = RankStats.exactPercentiles(df, col("x"), Seq("g"), probes)
+        .orderBy("g").collect()
+      val wantK = df.groupBy("g").agg(
+          expr("percentile(x, 0.1)"), expr("percentile(x, 0.25)"),
+          expr("percentile(x, 0.5)"), expr("percentile(x, 0.9)"),
+          expr("percentile(x, 0.99)")).orderBy("g").collect()
+      assert(gotK.length == wantK.length)
+      for ((g, w) <- gotK.zip(wantK); i <- probes.indices)
+        assert(g.getDouble(i + 1) == w.getDouble(i + 1),
+          s"group ${g.getString(0)} probe $i")
+    }
+  }
+
+  test("exactPercentiles: singleton, all-ties, nulls, empty input") {
+    // singleton: every probe is the value
+    val one = RankStats.exactPercentiles(Seq(7.5).toDF("x"), col("x"), Nil,
+      Seq("a" -> 0.1, "b" -> 0.9)).head()
+    assert(one.getDouble(0) == 7.5 && one.getDouble(1) == 7.5)
+    // all ties: no interpolation error, exactly the tied value
+    val tied = RankStats.exactPercentiles(Seq.fill(9)(3.3).toDF("x"),
+      col("x"), Nil, Seq("m" -> 0.5)).head()
+    assert(tied.getDouble(0) == 3.3)
+    // nulls ignored (like the built-in)
+    val withNull = RankStats.exactPercentiles(
+      Seq[Option[Double]](Some(1.0), None, Some(3.0)).toDF("x"),
+      col("x"), Nil, Seq("m" -> 0.5)).head()
+    assert(withNull.getDouble(0) == 2.0)
+    // empty: one row, NULL percentile (matches percentile() on empty)
+    val empty = RankStats.exactPercentiles(
+      Seq.empty[Double].toDF("x"), col("x"), Nil, Seq("m" -> 0.5)).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0))
+    // extras fold out of the same pass
+    val ex = RankStats.exactPercentiles(
+      Seq(1.0, 2.0, 2.0, 4.0).toDF("x"), col("x"), Nil,
+      Seq("m" -> 0.5),
+      finalAggs = Seq("n" -> sum("__m").cast("long"), "mx" -> max("__v")))
+      .head()
+    assert(ex.getDouble(0) == 2.0 && ex.getLong(1) == 4L &&
+      ex.getDouble(2) == 4.0)
+  }
 }
