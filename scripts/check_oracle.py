@@ -19,7 +19,13 @@ import pandas as pd
 
 
 def _decimals(s: pd.Series):
-    """Sampled non-null decimal.Decimal values of an object-dtype column."""
+    """Non-null decimal.Decimal values of an object-dtype column.
+
+    SAMPLED: only the first 1000 rows per column are inspected — a wide
+    decimal past row 1000 escapes the lint (the gate's value compare
+    still covers every row; only the float64-width early warning is
+    sampled).
+    """
     if s.dtype != object:
         return []
     return [v for v in s.dropna().head(1000)
@@ -34,9 +40,15 @@ def _too_wide(vals) -> bool:
     stage renders through float64 (DuckDB→pandas does this for wide
     DECIMALs) silently loses low digits. 18 digits is the repo's safe
     DECIMAL width; beyond it the only hash-stable carrier is a string.
+    Width is counted in SIGNIFICANT DIGITS of the exact representation
+    (1234567890.123456789 is 19 digits wide despite abs < 1e18), not
+    magnitude.
     """
     for v in vals:
-        if abs(v) >= decimal.Decimal(10) ** 18:
+        # normalize() strips stored trailing zeros first, so a
+        # decimal(38,18) carrying 1.500000000000000000 counts as 2
+        # significant digits, not 19
+        if v != 0 and len(v.normalize().as_tuple().digits) > 18:
             return True
     return False
 

@@ -156,12 +156,19 @@ object RankStats {
         sort_array(collect_list(struct(col("__g"), col("term")))).as("ts"))
       .crossJoin(broadcast(ties))
       .select(col("n"), col("n_groups"),
-        round((lit(3.0) / (d(col("n")) * d(col("n") + 1)) *
-          aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("term")) -
-          lit(3.0) * d(col("n") + 1)) /
-          (lit(1.0) - d(col("st")) /
-            (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))), 6)
-          .as("h"))
+        // tie factor 1 − Σ(t³−t)/(n³−n) is 0 when EVERY observation ties
+        // (one distinct value): H is undefined — NULL, not a divide-by-
+        // zero inf/NaN (the mannWhitney z guard, applied to the k-sample
+        // form; the oracle SQL carries the same CASE)
+        when(lit(1.0) - d(col("st")) /
+            (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))) > 0,
+          round((lit(3.0) / (d(col("n")) * d(col("n") + 1)) *
+            aggregate(col("ts"), lit(0.0),
+              (acc, x) => acc + x.getField("term")) -
+            lit(3.0) * d(col("n") + 1)) /
+            (lit(1.0) - d(col("st")) /
+              (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))), 6))
+          .otherwise(lit(null).cast("double")).as("h"))
   }
 
   /** Brown–Forsythe test (Levene's test centered on MEDIANS — robust where

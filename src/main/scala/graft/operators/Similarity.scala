@@ -499,11 +499,18 @@ object Similarity {
     * metric the codes use, NOT the cosine of [[Clustering]]) and replaces
     * every codeword with the element-wise mean of its assigned subvectors.
     * One pass per iteration: encode + posexplode + (subspace, code, dim)
-    * hash aggregate; the collected means are codebook-sized (m ×
-    * codebookSize × sub = one codebook), never corpus-sized. Per-dimension
-    * means are id-ordered sequential folds (the [[Clustering.step]]
-    * discipline) so refinement is partitioning-invariant. Empty codewords
-    * keep their previous value.
+    * hash aggregate; the collected OUTPUT is codebook-sized (m ×
+    * codebookSize × sub = one codebook). Per-dimension means are
+    * id-ordered sequential folds (the [[Clustering.step]] discipline) so
+    * refinement is partitioning-invariant — and that order pinning has the
+    * same cost as in Clustering.step: each (code, dim) group's
+    * sort_array(collect_list) buffers one (id, value) struct per ASSIGNED
+    * vector in a single aggregation buffer, i.e. executor state is
+    * O(n / codebookSize) per group. That is fine for an offline codebook
+    * build over a training SAMPLE (the standard practice — FAISS trains
+    * on ~10⁵-10⁶ vectors); do NOT point this at a full 100 TB corpus —
+    * sample first, or trade the cross-engine determinism for a plain
+    * partial-sum mean. Empty codewords keep their previous value.
     *
     * The refined codebook is returned in the same synthetic-seed form the
     * whole PQ surface consumes (full-length vectors whose j-th slice is

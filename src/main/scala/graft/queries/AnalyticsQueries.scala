@@ -1814,15 +1814,19 @@ object AnalyticsQueries {
         |      AS DECIMAL(38,0)) AS u2,
         |    CAST(sum(CAST(a+b AS DECIMAL(19,0)) * (a+b) * (a+b) - (a+b))
         |      AS DECIMAL(38,0)) AS st
-        |  FROM w)
+        |  FROM w),
+        |mv AS (SELECT na, nb, u2,
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12) *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(st AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))
+        |      AS var FROM m)
         |SELECT na AS n_a, nb AS n_b,
         |  round(CAST(u2 AS DOUBLE) / 2, 4) AS u_a,
-        |  round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-        |    / (2 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12) *
-        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(st AS DOUBLE) /
-        |        (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))),
-        |    6) AS z
-        |FROM m""".stripMargin,
+        |  CASE WHEN var > 0 THEN
+        |    round((CAST(u2 AS DOUBLE) -
+        |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2 * sqrt(var)), 6)
+        |  ELSE NULL END AS z
+        |FROM mv""".stripMargin,
 
     // pooled doubled mid-ranks -> decimal per-group rank sums; the <=3
     // double group terms fold in group-key order both engines
@@ -1852,12 +1856,16 @@ object AnalyticsQueries {
         |    list(term ORDER BY g) AS ts
         |  FROM terms)
         |SELECT n, n_groups,
-        |  round((3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
-        |    list_reduce(list_prepend(0.0, ts), (acc, x) -> acc + x) -
-        |    3.0 * CAST(n + 1 AS DOUBLE)) /
-        |    (1.0 - CAST(st AS DOUBLE) /
+        |  CASE WHEN (1.0 - CAST(st AS DOUBLE) /
         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
-        |        CAST(n AS DOUBLE))), 6) AS h
+        |        CAST(n AS DOUBLE))) > 0 THEN
+        |    round((3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) *
+        |      list_reduce(list_prepend(0.0, ts), (acc, x) -> acc + x) -
+        |      3.0 * CAST(n + 1 AS DOUBLE)) /
+        |      (1.0 - CAST(st AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+        |          CAST(n AS DOUBLE))), 6)
+        |  ELSE NULL END AS h
         |FROM f CROSS JOIN ties""".stripMargin,
 
     // same contingency CTEs as a35; ordered O*ln(O/E) fold, doubled

@@ -32,6 +32,30 @@ object PipelineQueries {
        |       i -> array_to_string(list_slice($toksSql, i, i + 2), ' '))
        |  ELSE [] END)""".stripMargin.replaceAll("\n", " ")
 
+  /** At-rest ANN layouts memoized per sfDir (the Bench.pqLayouts
+    * discipline): the layout queries below would otherwise write a fresh
+    * temp-dir parquet encode on EVERY invocation — including plan-only /
+    * explain runs — and orphan it. One build per (sfDir, JVM); a shutdown
+    * hook removes the temp roots recursively (File.deleteOnExit cannot —
+    * it only deletes empty directories) so repeated verify rounds don't
+    * accumulate.
+    */
+  private val pqLayoutCache = scala.collection.concurrent.TrieMap[
+    String, (String, Array[scala.collection.Seq[Float]])]()
+  private val ivfPqLayoutCache = scala.collection.concurrent.TrieMap[
+    String, (String, Seq[(Int, Seq[Float])],
+      Array[scala.collection.Seq[Float]])]()
+  private def tempLayoutDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     embs(s, dir).filter(col("vec_id") === 0L).head()
       .getAs[scala.collection.Seq[Float]]("embedding").toSeq
@@ -1462,12 +1486,14 @@ object PipelineQueries {
       * which is exactly what the shared oracle asserts.
       */
     "v_ann_pq_layout" -> ((s, dir) => {
-      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
-      val seeds = Similarity.pqCodebook(base, "vec_id", "embedding")
-      val path = java.nio.file.Files.createTempDirectory("vrfy_pqcodes_")
-        .toString + "/codes"
-      Similarity.pqCodes(base, "vec_id", "embedding", seeds)
-        .write.parquet(path)
+      val (path, seeds) = pqLayoutCache.getOrElseUpdate(dir, {
+        val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+        val sds = Similarity.pqCodebook(base, "vec_id", "embedding")
+        val p = tempLayoutDir("vrfy_pqcodes_") + "/codes"
+        Similarity.pqCodes(base, "vec_id", "embedding", sds)
+          .write.parquet(p)
+        (p, sds)
+      })
       Similarity.pqTopKFromLayout(s, path, seeds, queryVec(s, dir), k = 10)
         .withColumnRenamed("id", "vec_id")
     }),
@@ -1489,12 +1515,14 @@ object PipelineQueries {
       * v_ann_ivfpq by construction; the shared oracle asserts it.
       */
     "v_ann_ivfpq_layout" -> ((s, dir) => {
-      val base = embs(s, dir).filter(col("vec_id") =!= 0L)
-      val (codes, cents, seeds) =
-        Similarity.ivfPqCodes(base, "vec_id", "embedding")
-      val path = java.nio.file.Files.createTempDirectory("vrfy_ivfpq_")
-        .toString + "/codes"
-      graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
+      val (path, cents, seeds) = ivfPqLayoutCache.getOrElseUpdate(dir, {
+        val base = embs(s, dir).filter(col("vec_id") =!= 0L)
+        val (codes, cs, sds) =
+          Similarity.ivfPqCodes(base, "vec_id", "embedding")
+        val p = tempLayoutDir("vrfy_ivfpq_") + "/codes"
+        graft.io.Formats.writePartitioned(codes, p, Seq("__ivf_cid"))
+        (p, cs, sds)
+      })
       Similarity.ivfPqTopKFromLayout(s, path, cents, seeds,
         queryVec(s, dir), k = 10)
         .withColumnRenamed("id", "vec_id")

@@ -103,6 +103,24 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate all-tied samples: mannWhitney z and kruskalWallis h are NULL") {
+    // one distinct value — MW variance and the KW tie factor are both 0,
+    // so the statistics are undefined; both engines must say NULL, never
+    // an IEEE inf/NaN (the a36/a37 oracle SQL carries matching CASEs)
+    val tied = Seq.fill(12)(("a", 5.0)) ++ Seq.fill(9)(("b", 5.0))
+    val df = tied.toDF("g", "x")
+    val mw = RankStats.mannWhitney(df, "x",
+      isA = col("g") === "a", isB = col("g") === "b").head()
+    assert(mw.getLong(0) == 12 && mw.getLong(1) == 9 && mw.isNullAt(3))
+    val kw = RankStats.kruskalWallis(df, "x", "g").head()
+    assert(kw.getLong(0) == 21 && kw.isNullAt(2))
+    // sanity: a non-degenerate sample still yields finite statistics
+    val ok = (Seq.fill(6)(("a", 1.0)) ++ Seq.fill(6)(("b", 2.0))).toDF("g", "x")
+    assert(!RankStats.mannWhitney(ok, "x",
+      isA = col("g") === "a", isB = col("g") === "b").head().isNullAt(3))
+    assert(!RankStats.kruskalWallis(ok, "x", "g").head().isNullAt(2))
+  }
+
   /** The crossing-walk percentile must be bit-for-bit Spark's own
     * `percentile()` — it replays the identical interpolation arithmetic —
     * so the law is direct equality against the built-in on arbitrary
