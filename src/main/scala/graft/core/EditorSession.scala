@@ -219,6 +219,41 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   /** Explicit null write (delete cell content). */
   def setNull(pos: Long, colName: String): Unit = recordEdit(colName, pos, null)
 
+  /** Nested-field cell edit: replace one struct leaf (dotted `fieldPath`,
+    * e.g. `"addr.city"`) at one position via `Column.withField`, leaving
+    * every sibling field intact. Cast-validates against the LEAF type and
+    * rejects like [[setCell]] (state unchanged). Applies as a rebind
+    * gesture — one narrow projection over the pinned base — rather than
+    * through the flat edit log, whose values are whole-column-typed; it
+    * still participates in undo/redo through rebind's history snapshot.
+    */
+  def setNestedField(pos: Long, colName: String, fieldPath: String,
+                     raw: String): Boolean = {
+    import org.apache.spark.sql.types.StructType
+    def leafType(dt: DataType, path: List[String]): Option[DataType] =
+      (dt, path) match {
+        case (t, Nil) => Some(t)
+        case (st: StructType, h :: rest) =>
+          st.fields.find(_.name == h).flatMap(f => leafType(f.dataType, rest))
+        case _ => None
+      }
+    val parts = fieldPath.split("\\.").toList
+    table.schema.fields.find(_.name == colName)
+      .flatMap(f => leafType(f.dataType, parts))
+      .filter(_ => parts.nonEmpty) match {
+      case None => false
+      case Some(dt) => CellOps.castStrict(raw, dt) match {
+        case Failure(_) => false
+        case Success(v) =>
+          rebind(df => df.withColumn(colName,
+            when(col(POS) === pos,
+              col(colName).withField(fieldPath, lit(v).cast(dt)))
+              .otherwise(col(colName))))
+          true
+      }
+    }
+  }
+
   private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
     remember()
     editLog(colName) = editLog.getOrElse(colName, Map.empty[Long, Any]) + (pos -> v)

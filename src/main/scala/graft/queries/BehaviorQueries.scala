@@ -19,6 +19,13 @@ object BehaviorQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.loadEvents(s, dir)
 
+  /** st_funnel's time-sliced scratch copy of the events table, memoized
+    * per sfDir (path, horizonHours) — built once per JVM, like the ANN
+    * layout caches in PipelineQueries.
+    */
+  private val stFunnelScratch =
+    scala.collection.concurrent.TrieMap[String, (String, Int)]()
+
   /** Closed-form z-score from decimal moments — single Spark-side copy;
     * the SQL twin is [[OracleIdioms.zScoreSql]]. Callers guard n > 1 and
     * positive variance.
@@ -53,6 +60,58 @@ object BehaviorQueries {
       stages.indices.map { i =>
         val k = i + 1
         counts.filter(col("stage") >= k)
+          .agg(coalesce(sum("m"), lit(0L)).as("users"))
+          .select(lit(k).as("stage"), lit(stages(i)).as("event_type"),
+            col("users"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
+    /** The funnel as a REAL streaming query: the events table is copied
+      * once into a time-sliced multi-file scratch dir (4 slices written in
+      * event-time order with distinct mtimes), streamed back with
+      * `maxFilesPerTrigger=1` — so [[EventStreams.funnelStateful]] runs
+      * under `Trigger.AvailableNow` across SEVERAL micro-batches with the
+      * 1-hour watermark advancing and per-user EventTimeTimeout eviction
+      * armed (the streaming branch, not the batch NoTimeout path
+      * e_funnel_stateful takes). The horizon is sized to the fixture's
+      * span (the attribution window covers the whole campaign), so no
+      * state evicts mid-chain and the output must land on the SAME
+      * single-copy cascade the e_funnel oracle checks; sub-span horizons
+      * and actual eviction/re-anchor behavior are pinned in
+      * FunnelStreamSpec. Rollup follows the operator's stream contract:
+      * per-user MAX depth (a user deepening across micro-batches emits
+      * once per new depth), then cumulative stage counts.
+      */
+    "st_funnel" -> ((s, dir) => {
+      val stages = Seq("view", "click", "purchase")
+      val (path, horizonH) = stFunnelScratch.getOrElseUpdate(dir, {
+        val ev = events(s, dir).select("user_id", "ts", "event_type")
+        val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("st_funnel_").toString + "/events"
+        val slices = 4
+        for (i <- 0 until slices) {
+          val from = lo + (hi - lo + 1) * i / slices
+          val until = lo + (hi - lo + 1) * (i + 1) / slices
+          ev.filter(unix_micros(col("ts")) >= from &&
+              unix_micros(col("ts")) < until)
+            .coalesce(1).write.mode("append").parquet(scratch)
+          Thread.sleep(20) // distinct mtimes → deterministic arrival order
+        }
+        (scratch, ((hi - lo) / 3600000000L + 48).toInt)
+      })
+      val r = EventStreams.runAvailableNow(s, path,
+        st => EventStreams.funnelStateful(st, stages,
+          horizonHours = horizonH).toDF(),
+        "st_funnel", outputMode = "append",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      val counts = r.groupBy("user_id").agg(max("stage").as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("m"))
+      stages.indices.map { i =>
+        val k = i + 1
+        counts.filter(col("depth") >= k)
           .agg(coalesce(sum("m"), lit(0L)).as("users"))
           .select(lit(k).as("stage"), lit(stages(i)).as("event_type"),
             col("users"))
@@ -1343,6 +1402,8 @@ object BehaviorQueries {
     "e_funnel" -> funnelOracle,
     // the stateful operator must land on the identical cascade semantics
     "e_funnel_stateful" -> funnelOracle,
+    // ... and so must the real multi-micro-batch streaming run
+    "st_funnel" -> funnelOracle,
 
 
 

@@ -18,6 +18,13 @@ import graft.ops._
   */
 object ParityQueries {
 
+  /** s_nested_roundtrip's scratch parquet (struct/array/map/decimal38/
+    * timestamp columns derived from nation), memoized per sfDir — built
+    * once per JVM, the PipelineQueries ANN-layout discipline.
+    */
+  private val nestedScratch =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
 
   /** lineitem with deterministic dense positions. NOT the TPC-H PK: the
@@ -208,6 +215,60 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
+    /** Nested-type round-trip (SURVEY §1.2's "whatever Parquet supports"
+      * claim, proven): nation grows a struct, an array-of-struct, a map,
+      * a decimal(38,10) and a derived timestamp, writes to a scratch
+      * parquet ONCE per JVM (memoized), reads back through the engine's
+      * own dispatch, then — through EditorSession — edits one struct LEAF
+      * via [[graft.core.EditorSession.setNestedField]] (withField: the
+      * sibling field must survive untouched). The output flattens every
+      * nested value back to primitives so the DuckDB oracle can recompute
+      * them from the base table; equality certifies both the storage
+      * round-trip and the nested edit. The decimal(38,10) renders as
+      * VARCHAR on both sides (the o_table_digest discipline — wide
+      * decimals can't survive a float64 bridge).
+      */
+    "s_nested_roundtrip" -> ((s, dir) => {
+      val path = nestedScratch.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("vrfy_nested_")
+          .toString + "/nested.parquet"
+        Tables.load(s, dir, "nation").select(
+            col("n_nationkey"),
+            struct(col("n_name").as("name"),
+              col("n_regionkey").as("region")).as("st"),
+            array(
+              struct(lit("rk").as("k"), col("n_regionkey").cast("long").as("v")),
+              struct(lit("nk").as("k"), col("n_nationkey").cast("long").as("v")))
+              .as("arr"),
+            map(col("n_name"), col("n_regionkey").cast("long")).as("m"),
+            // +1 keeps the integer part nonzero (BigDecimal renders a
+            // scale-10 zero as "0E-10", DuckDB as "0.0000000000");
+            // ×0.25 exercises a real fractional part, exactly
+            (col("n_nationkey").cast("decimal(20,0)") * lit(1000000000L) +
+              col("n_regionkey") + lit(1) +
+              col("n_regionkey") * lit(new java.math.BigDecimal("0.25")))
+              .cast("decimal(38,10)").as("dec"),
+            timestamp_micros(lit(1700000000000000L) +
+              col("n_nationkey").cast("long") * 86400000000L).as("ts"))
+          .coalesce(1).write.parquet(p)
+        p
+      })
+      val sess = EditorSession.open(s, path, orderCols = Seq("n_nationkey"))
+      // nested leaf edit: nation 0's struct name -> "EDITED" (region
+      // sibling must survive); bad leaf cast must reject
+      require(sess.setNestedField(0L, "st", "name", "EDITED"))
+      require(!sess.setNestedField(0L, "st", "region", "not-an-int"))
+      sess.current.select(
+          col("n_nationkey"),
+          col("st.name").as("st_name"),
+          col("st.region").as("st_region"),
+          element_at(col("arr"), 2).getField("v").as("arr_nk"),
+          element_at(map_values(col("m")), 1).as("m_region"),
+          col("dec").cast("string").as("dec_str"),
+          col("ts"))
+        .orderBy("n_nationkey")
+    }),
+
     /** A1 extension: exact quantiles per group. Computed via
       * [[graft.operators.RankStats.exactPercentiles]] (counts-of-counts
       * crossing walk) rather than Spark's `percentile()` aggregate, whose
@@ -393,6 +454,22 @@ object ParityQueries {
 
     "s37_xlsx_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // identity over the nested scratch: every flattened value recomputes
+    // from nation; nation 0's struct name carries the setNestedField edit
+    "s_nested_roundtrip" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey = 0 THEN 'EDITED' ELSE n_name END
+        |    AS st_name,
+        |  n_regionkey AS st_region,
+        |  CAST(n_nationkey AS BIGINT) AS arr_nk,
+        |  CAST(n_regionkey AS BIGINT) AS m_region,
+        |  CAST(CAST(CAST(n_nationkey AS BIGINT) * 1000000000
+        |      + n_regionkey + 1 + n_regionkey * 0.25 AS DECIMAL(38,10))
+        |    AS VARCHAR) AS dec_str,
+        |  make_timestamp(1700000000000000
+        |    + CAST(n_nationkey AS BIGINT) * 86400000000) AS ts
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "s48_json_pandas_orient" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -294,7 +294,8 @@ object EventStreams {
     * the events ns-`ts` convention applied (no-op for other schemas — see
     * [[graft.core.Tables.normalizeEventTs]]).
     */
-  private def fileSource(spark: SparkSession, path: String): DataFrame = {
+  private def fileSource(spark: SparkSession, path: String,
+                         options: Map[String, String] = Map.empty): DataFrame = {
     // set at session build time by every graft entry point; only written
     // here as a fallback for external sessions (avoids racing concurrent
     // query planning in Verify — see ADVICE r3)
@@ -303,7 +304,7 @@ object EventStreams {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
-    val reader = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema).options(options)
     val src =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(path)
@@ -350,8 +351,10 @@ object EventStreams {
   def runAvailableNow(spark: SparkSession, path: String,
                       transform: DataFrame => DataFrame,
                       queryName: String,
-                      outputMode: String = "complete"): DataFrame = {
-    val q = transform(fileSource(spark, path)).writeStream
+                      outputMode: String = "complete",
+                      sourceOptions: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val q = transform(fileSource(spark, path, sourceOptions)).writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)

@@ -59,6 +59,32 @@ class EditorSessionSpec extends SparkSpec {
     assert(rows(1).getInt(0) != 7)
   }
 
+  test("setNestedField: struct leaf edit, siblings intact, bad cast/path rejected, undoable") {
+    val nested = Tables.load(spark, sf, "nation").select(
+      col("n_nationkey"),
+      struct(col("n_name").as("name"), col("n_regionkey").as("region"))
+        .as("st"))
+    val s = EditorSession.fromDataFrame(nested, Seq("n_nationkey"))
+    assert(s.setNestedField(3L, "st", "name", "RENAMED"))
+    val r = s.current.filter(col("__pos") === 3)
+      .select(col("st.name"), col("st.region"), col("n_nationkey")).head()
+    assert(r.getString(0) == "RENAMED")
+    // sibling leaf and other columns untouched
+    assert(r.getInt(1) == nested.filter(col("n_nationkey") === r.getInt(2))
+      .select(col("st.region")).head().getInt(0))
+    // other rows untouched
+    assert(s.current.filter(col("st.name") === "RENAMED").count() == 1)
+    // leaf cast failure rejects, state unchanged
+    assert(!s.setNestedField(3L, "st", "region", "not-an-int"))
+    // unknown path / non-struct column reject
+    assert(!s.setNestedField(3L, "st", "nope", "x"))
+    assert(!s.setNestedField(3L, "n_nationkey", "name", "x"))
+    assert(s.current.filter(col("st.name") === "RENAMED").count() == 1)
+    // the gesture is one undo entry
+    assert(s.undo())
+    assert(s.current.filter(col("st.name") === "RENAMED").count() == 0)
+  }
+
   test("edit log compacts many edits into one projection and checkpoints") {
     val s = EditorSession.fromDataFrame(
       Tables.load(spark, sf, "lineitem"), Seq("l_orderkey", "l_linenumber"),
