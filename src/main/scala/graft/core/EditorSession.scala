@@ -127,6 +127,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private def snap(): Snap = Snap(table, editLog.toSeq, nRows, clipboard, clipboardSize)
 
   private def restore(s: Snap): Unit = {
+    epochCounter += 1
     table = s.table
     editLog.clear()
     s.edits.foreach { case (c, m) => editLog(c) = m }
@@ -135,8 +136,18 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     clipboardSize = s.clipRows
   }
 
+  /** Monotonic state-change counter: bumps on every mutation gesture AND
+    * on undo/redo (those change visible state too). At-rest layouts
+    * ([[Catalog]]) record the epoch they were built at and are routed to
+    * only while the session still sits at that epoch — an edited session
+    * falls back to its live plan rather than serving stale stored data.
+    */
+  private var epochCounter = 0L
+  def epoch: Long = epochCounter
+
   /** Record state before a mutation gesture; clears the redo branch. */
   private def remember(): Unit = {
+    epochCounter += 1
     undoStack += snap()
     if (undoStack.size > maxHistory) undoStack.remove(0)
     redoStack.clear()
@@ -413,6 +424,15 @@ class Catalog(spark: SparkSession) {
   }
   def get(name: String): Option[EditorSession] = sessions.get(name)
 
+  /** Open a session over an existing DataFrame (a filtered view, a query
+    * result) rather than a file path — same positional pinning.
+    */
+  def openFrom(name: String, df: DataFrame,
+               orderCols: Seq[String] = Nil): EditorSession = {
+    val s = EditorSession.fromDataFrame(df, orderCols)
+    sessions(name) = s; s
+  }
+
   /** Closes the session AND drops its temp view — otherwise a later
     * `sql()` would silently serve the closed session's frozen snapshot.
     */
@@ -440,4 +460,144 @@ class Catalog(spark: SparkSession) {
     try spark.sql(query)
     finally sessions.keys.foreach(spark.catalog.dropTempView(_))
   }
+
+  // ---- at-rest layouts + routing -----------------------------------------
+  // The step that turns a query library into an engine: the catalog OWNS
+  // the stored layouts (PQ codes, IVF-PQ cell partitions, bucketed
+  // tables) and the high-level entry points below route through one
+  // automatically when a VALID one exists — the caller asks for a top-k
+  // or a join, never for a layout. Validity is epoch-based: a layout
+  // remembers the session epoch it was built at and is bypassed the
+  // moment the session mutates (edits, splices, undo), so routing can
+  // never serve stale stored data — the edited session transparently
+  // falls back to its live plan until the layout is rebuilt.
+
+  import Catalog._
+  private val layouts = mutable.LinkedHashMap.empty[(String, String), TableLayout]
+
+  private def sessionOf(name: String): EditorSession =
+    sessions.getOrElse(name,
+      throw new NoSuchElementException(s"no open session named '$name'"))
+
+  /** The registered layout for (session, slot), only if still valid. */
+  private def liveLayout(name: String, slot: String): Option[TableLayout] =
+    for {
+      s <- sessions.get(name)
+      l <- layouts.get((name, slot))
+      if l.builtAtEpoch == s.epoch
+    } yield l
+
+  /** Registered layouts (valid or stale) — the session's storage census. */
+  def layoutsOf(name: String): Seq[(String, TableLayout)] =
+    layouts.collect { case ((n, slot), l) if n == name => (slot, l) }.toSeq
+
+  /** Encode `vecCol` ONCE into an at-rest PQ codes parquet (8 small ints
+    * where 64 floats were) and register it; [[topK]] on this session then
+    * searches stored codes — m table lookups per row, no re-encode, no
+    * raw vector touched — until the session mutates.
+    */
+  def buildPqLayout(name: String, idCol: String, vecCol: String,
+                    m: Int = 8): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val seeds = graft.operators.Similarity.pqCodebook(base, idCol, vecCol)
+    val path = java.nio.file.Files.createTempDirectory("catalog_pq_")
+      .toString + "/codes"
+    graft.operators.Similarity.pqCodes(base, idCol, vecCol, seeds, m)
+      .write.parquet(path)
+    layouts((name, s"ann:$vecCol")) =
+      PqCodesLayout(idCol, vecCol, path, seeds, m, s.epoch)
+    path
+  }
+
+  /** IVF-PQ at-rest layout: codes written once PARTITIONED BY coarse cell,
+    * so a routed [[topK]] probe prunes cell partitions at plan time and
+    * ranks survivors from stored codes (the FAISS inverted-file shape).
+    * Registers over the same `ann:vecCol` slot — last build wins.
+    */
+  def buildIvfPqLayout(name: String, idCol: String, vecCol: String,
+                       nCentroids: Int = 8, m: Int = 8,
+                       nProbe: Int = 4): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (codes, cents, seeds) = graft.operators.Similarity.ivfPqCodes(
+      base, idCol, vecCol, nCentroids, m)
+    val path = java.nio.file.Files.createTempDirectory("catalog_ivfpq_")
+      .toString + "/codes"
+    graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
+    layouts((name, s"ann:$vecCol")) =
+      IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
+    path
+  }
+
+  /** Write the session bucketed+sorted on `key` as a managed table and
+    * register it; [[join]] on this key then plans exchange-free while the
+    * session stays unedited.
+    */
+  def buildBucketedLayout(name: String, key: String, buckets: Int): String = {
+    val s = sessionOf(name)
+    val tbl = s"graft_${name}_by_$key".toLowerCase
+    graft.io.Bucketing.writeBucketed(Positional.strip(s.current), tbl, key,
+      buckets)
+    layouts((name, s"bucket:$key")) = BucketedLayout(key, tbl, buckets, s.epoch)
+    tbl
+  }
+
+  /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
+    * vecCol) serves the search from codes at rest (PQ: compressed-domain
+    * scan; IVF-PQ: plan-time cell pruning first); otherwise the exact
+    * brute-force cosine over the live session plan. Same output shape
+    * (id, sim) either way — the caller never names a layout.
+    */
+  def topK(name: String, idCol: String, vecCol: String, query: Seq[Float],
+           k: Int): DataFrame =
+    liveLayout(name, s"ann:$vecCol") match {
+      case Some(l: PqCodesLayout) =>
+        graft.operators.Similarity.pqTopKFromLayout(spark, l.path, l.seeds,
+          query, k, l.m)
+      case Some(l: IvfPqCellLayout) =>
+        graft.operators.Similarity.ivfPqTopKFromLayout(spark, l.path,
+          l.cents, l.seeds, query, k, l.nProbe, l.m)
+      case _ =>
+        graft.operators.Similarity.topK(
+          Positional.strip(sessionOf(name).current), idCol, vecCol, query, k)
+    }
+
+  /** Equi-join of two open sessions, layout-routed: when BOTH sides hold
+    * valid bucketed layouts on their join keys with matching bucket
+    * counts, the join reads the bucketed tables and plans with NO
+    * exchange (co-located by storage); otherwise the live session plans
+    * join and Catalyst shuffles as usual. The catalog picks — callers
+    * never mention buckets.
+    */
+  def join(left: String, leftKey: String, right: String,
+           rightKey: String): DataFrame = {
+    val routed = for {
+      ll <- liveLayout(left, s"bucket:$leftKey")
+        .collect { case b: BucketedLayout => b }
+      rl <- liveLayout(right, s"bucket:$rightKey")
+        .collect { case b: BucketedLayout => b }
+      if ll.buckets == rl.buckets
+    } yield (spark.table(ll.table), spark.table(rl.table))
+    val (lf, rf) = routed.getOrElse(
+      (Positional.strip(sessionOf(left).current),
+        Positional.strip(sessionOf(right).current)))
+    lf.join(rf, lf(leftKey) === rf(rightKey))
+  }
+}
+
+object Catalog {
+  /** An at-rest layout registered in a [[Catalog]]: what is stored, where,
+    * and the session epoch it reflects (stale layouts are never routed).
+    */
+  sealed trait TableLayout { def builtAtEpoch: Long }
+  final case class PqCodesLayout(idCol: String, vecCol: String, path: String,
+      seeds: Array[scala.collection.Seq[Float]], m: Int,
+      builtAtEpoch: Long) extends TableLayout
+  final case class IvfPqCellLayout(idCol: String, vecCol: String,
+      path: String, cents: Seq[(Int, Seq[Float])],
+      seeds: Array[scala.collection.Seq[Float]], m: Int, nProbe: Int,
+      builtAtEpoch: Long) extends TableLayout
+  final case class BucketedLayout(key: String, table: String, buckets: Int,
+      builtAtEpoch: Long) extends TableLayout
 }

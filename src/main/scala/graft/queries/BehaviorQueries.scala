@@ -26,6 +26,12 @@ object BehaviorQueries {
   private val stFunnelScratch =
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
+  /** j_catalog_bucketed's catalog (two sessions + bucketed layouts),
+    * memoized per sfDir — built once per JVM.
+    */
+  private val routedJoinCatalogs =
+    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+
   /** Closed-form z-score from decimal moments — single Spark-side copy;
     * the SQL twin is [[OracleIdioms.zScoreSql]]. Callers guard n > 1 and
     * positive variance.
@@ -1298,6 +1304,34 @@ object BehaviorQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** j_bucketed through the r8 layout-routing surface: two catalog
+      * sessions each register a bucketed layout once, and the caller asks
+      * [[graft.core.Catalog.join]] for an equi-join — the CATALOG detects
+      * the matching 8-bucket layouts and plans the co-located
+      * exchange-free join (pinned in CatalogRoutingSpec); the caller
+      * never mentions buckets. Result is layout-independent, so it shares
+      * j_bucketed's plain-join oracle.
+      */
+    "j_catalog_bucketed" -> ((s, dir) => {
+      val cat = routedJoinCatalogs.getOrElseUpdate(dir, {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("cat_orders", Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"))
+        c.openFrom("cat_lineitem", Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildBucketedLayout("cat_orders", "o_orderkey", 8)
+        c.buildBucketedLayout("cat_lineitem", "l_orderkey", 8)
+        c
+      })
+      cat.join("cat_lineitem", "l_orderkey", "cat_orders", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Robust spread per group: median + median-absolute-deviation —
       * outlier-resistant where variance is not. Both medians run the
       * RankStats crossing walk (no Percentile aggregate — prices are a
@@ -2260,6 +2294,14 @@ object BehaviorQueries {
         |ORDER BY event_id""".stripMargin,
 
     "j_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the catalog-routed co-located join is layout-independent too, so it
+    // shares the plain-join oracle
+    "j_catalog_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

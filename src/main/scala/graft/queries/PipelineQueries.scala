@@ -45,6 +45,12 @@ object PipelineQueries {
   private val ivfPqLayoutCache = scala.collection.concurrent.TrieMap[
     String, (String, Seq[(Int, Seq[Float])],
       Array[scala.collection.Seq[Float]])]()
+  /** Catalog with the PQ layout registered, memoized per sfDir — the
+    * routing entry is built once per JVM like the layouts themselves.
+    */
+  private val routedCatalogs =
+    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+
   private def tempLayoutDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -1495,6 +1501,25 @@ object PipelineQueries {
         (p, sds)
       })
       Similarity.pqTopKFromLayout(s, path, seeds, queryVec(s, dir), k = 10)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    /** The r8 layout-ROUTING surface, oracle-checked: the caller asks the
+      * session CATALOG for a top-k — never for a layout — and the catalog
+      * serves it from the registered at-rest PQ codes
+      * ([[graft.core.Catalog.topK]]; plan pinned re-encode-free in
+      * CatalogRoutingSpec). Must equal the explicit-path v_ann_pq result,
+      * which is exactly what sharing its oracle asserts.
+      */
+    "v_ann_catalog_topk" -> ((s, dir) => {
+      val cat = routedCatalogs.getOrElseUpdate(dir, {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("emb_rt", embs(s, dir).filter(col("vec_id") =!= 0L),
+          Seq("vec_id"))
+        c.buildPqLayout("emb_rt", "vec_id", "embedding")
+        c
+      })
+      cat.topK("emb_rt", "vec_id", "embedding", queryVec(s, dir), 10)
         .withColumnRenamed("id", "vec_id")
     }),
 
@@ -3438,6 +3463,10 @@ object PipelineQueries {
     // the at-rest layout must return the SAME top-k as the re-encode
     // path, so they share one oracle
     "v_ann_pq_layout" -> pqAnnOracle,
+
+    // ... and so must the catalog-ROUTED search (the caller never names
+    // the layout; the catalog picks the stored codes)
+    "v_ann_catalog_topk" -> pqAnnOracle,
 
     // both legs replayed from their own oracles, then the RRF sum over
     // 9dp decimal terms

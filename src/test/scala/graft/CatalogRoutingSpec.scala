@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, EditorSession, Tables}
+import graft.operators.Similarity
+
+/** Layout-aware routing through the session catalog (the r8 "query
+  * library → engine" step): high-level entry points (`catalog.topK`,
+  * `catalog.join`) must pick a stored at-rest layout when a valid one
+  * exists and transparently fall back to the live session plan the moment
+  * the session mutates — chosen by the CATALOG, never by the caller.
+  * Plan-shape pins prove routing actually changed the physical plan (no
+  * re-encode / no exchange), not just the answer.
+  */
+class CatalogRoutingSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Stats-based auto-broadcast off: the tiny fixture would otherwise
+    * broadcast everything and mask the bucketing claim (the
+    * PlanShapeSpec discipline — pin the plan that holds at 100 TB).
+    */
+  private def withoutAutoBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def queryVec(): Seq[Float] =
+    Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  test("catalog.topK routes through stored PQ codes: no re-encode, no raw vector in the plan") {
+    val cat = new Catalog(spark)
+    cat.open("emb", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("emb", "vec_id", "embedding")
+    val routed = cat.topK("emb", "vec_id", "embedding", queryVec(), k = 5)
+    val p = plan(routed)
+    // the search scans the codes parquet — the raw vector column never
+    // appears, so there is no per-query corpus re-encode
+    assert(!p.contains("embedding"),
+      s"routed top-k must not touch raw vectors; plan:\n$p")
+    assert(p.contains("codes"),
+      s"routed top-k must scan the stored codes layout; plan:\n$p")
+    // and it is the same answer the explicit layout path gives
+    val base = Tables.load(spark, sf, "embeddings")
+    val seeds = Similarity.pqCodebook(base, "vec_id", "embedding")
+    val expect = Similarity.pqTopKFromCodes(
+      Similarity.pqCodes(base, "vec_id", "embedding", seeds), seeds,
+      queryVec(), k = 5).collect().map(_.toSeq)
+    assert(routed.collect().map(_.toSeq).toSeq == expect.toSeq)
+  }
+
+  test("an edit invalidates the ANN layout: topK falls back to the live plan") {
+    val cat = new Catalog(spark)
+    cat.open("emb2", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("emb2", "vec_id", "embedding")
+    assert(!plan(cat.topK("emb2", "vec_id", "embedding", queryVec(), 5))
+      .contains("embedding"))
+    // mutate the session: the stored codes are now stale
+    assert(cat.get("emb2").get.setCell(0L, "vec_id", "999999"))
+    val p = plan(cat.topK("emb2", "vec_id", "embedding", queryVec(), 5))
+    assert(p.contains("embedding"),
+      s"stale layout must be bypassed for the live plan; plan:\n$p")
+    // rebuilding re-registers at the new epoch and routes again
+    cat.buildPqLayout("emb2", "vec_id", "embedding")
+    assert(!plan(cat.topK("emb2", "vec_id", "embedding", queryVec(), 5))
+      .contains("embedding"))
+  }
+
+  test("catalog.join routes through matching bucketed layouts: zero exchange") {
+    val cat = new Catalog(spark)
+    cat.open("ordtab", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.open("litab", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildBucketedLayout("ordtab", "o_orderkey", 8)
+    cat.buildBucketedLayout("litab", "l_orderkey", 8)
+    withoutAutoBroadcast {
+      val routed = cat.join("litab", "l_orderkey", "ordtab", "o_orderkey")
+      val p = plan(routed)
+      assert(!p.contains("Exchange"),
+        s"bucket-co-located join must not shuffle; plan:\n$p")
+      // same answer as the live-plan join
+      val live = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(routed.count() == live.count())
+    }
+  }
+
+  test("bucket-count mismatch or a stale side falls back to the live join") {
+    val cat = new Catalog(spark)
+    cat.open("o3", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.open("l3", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildBucketedLayout("o3", "o_orderkey", 8)
+    cat.buildBucketedLayout("l3", "l_orderkey", 4) // mismatched counts
+    withoutAutoBroadcast {
+      val p1 = plan(cat.join("l3", "l_orderkey", "o3", "o_orderkey"))
+      assert(p1.contains("Exchange"),
+        s"mismatched bucket counts must not fake co-location; plan:\n$p1")
+      // align the counts -> routed; then edit one side -> stale -> fallback
+      cat.buildBucketedLayout("l3", "l_orderkey", 8)
+      assert(!plan(cat.join("l3", "l_orderkey", "o3", "o_orderkey"))
+        .contains("Exchange"))
+      assert(cat.get("o3").get.setCell(0L, "o_orderpriority", "9-EDITED"))
+      val p2 = plan(cat.join("l3", "l_orderkey", "o3", "o_orderkey"))
+      assert(p2.contains("Exchange"),
+        s"an edited side must fall back to its live plan; plan:\n$p2")
+    }
+  }
+}
