@@ -70,6 +70,26 @@ class CatalogRoutingSpec extends SparkSpec {
       .contains("embedding"))
   }
 
+  test("catalog.topK routes through an IVF-PQ cell layout: partition-pruned, no raw vectors") {
+    val cat = new Catalog(spark)
+    cat.open("emb_ivf", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildIvfPqLayout("emb_ivf", "vec_id", "embedding")
+    val routed = cat.topK("emb_ivf", "vec_id", "embedding", queryVec(), 5)
+    val p = plan(routed)
+    assert(!p.contains("embedding"),
+      s"routed IVF-PQ search must not touch raw vectors; plan:\n$p")
+    // the coarse probe is a plan-time partition filter on the cell column
+    assert(p.contains("__ivf_cid"),
+      s"probe must prune cell partitions at plan time; plan:\n$p")
+    // last build wins on the ann slot: registering PQ over the same
+    // session re-routes to flat codes (no cell column in the plan)
+    cat.buildPqLayout("emb_ivf", "vec_id", "embedding")
+    val p2 = plan(cat.topK("emb_ivf", "vec_id", "embedding", queryVec(), 5))
+    assert(!p2.contains("__ivf_cid") && !p2.contains("embedding"))
+    // layout census reports the registered slot
+    assert(cat.layoutsOf("emb_ivf").map(_._1) == Seq("ann:embedding"))
+  }
+
   test("catalog.join routes through matching bucketed layouts: zero exchange") {
     val cat = new Catalog(spark)
     cat.open("ordtab", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
