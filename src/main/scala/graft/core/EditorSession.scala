@@ -420,7 +420,7 @@ class Catalog(spark: SparkSession) {
   private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
-    sessions(name) = s; s
+    register(name, s)
   }
   def get(name: String): Option[EditorSession] = sessions.get(name)
 
@@ -429,15 +429,27 @@ class Catalog(spark: SparkSession) {
     */
   def openFrom(name: String, df: DataFrame,
                orderCols: Seq[String] = Nil): EditorSession = {
-    val s = EditorSession.fromDataFrame(df, orderCols)
+    register(name, EditorSession.fromDataFrame(df, orderCols))
+  }
+
+  /** (Re)bind a name: any layouts registered under it describe the OLD
+    * table and must not survive — a fresh session starts at epoch 0, which
+    * a stale layout's builtAtEpoch could otherwise match.
+    */
+  private def register(name: String, s: EditorSession): EditorSession = {
+    layouts.filterInPlace { case ((n, _), _) => n != name }
     sessions(name) = s; s
   }
 
   /** Closes the session AND drops its temp view — otherwise a later
     * `sql()` would silently serve the closed session's frozen snapshot.
+    * Registered layouts go too: they describe a session that no longer
+    * exists (re-opening the name would start at epoch 0 and must never
+    * inherit stale storage).
     */
   def close(name: String): Unit = {
     sessions.remove(name)
+    layouts.filterInPlace { case ((n, _), _) => n != name }
     spark.catalog.dropTempView(name)
   }
 

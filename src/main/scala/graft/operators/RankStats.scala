@@ -268,10 +268,11 @@ object RankStats {
     * empty), columns `keys ++ probes.map(_._1)` (percentiles as unrounded
     * doubles — callers round/alias) ++ the optional extras. `histAggs`
     * are extra aggregates evaluated at the per-value histogram stage
-    * (over the raw rows of each (keys, value) cell); `finalAggs` run at
-    * the final per-key fold, where `__v` (distinct value), `__m` (its
-    * count) and any histAgg output are in scope — they let a caller fold
-    * side statistics (count, max, a second column's sum) out of the same
+    * (over the raw rows of each (keys, value) cell — alias them);
+    * `finalAggs` are (outputName, aggregate) pairs run at the final
+    * per-key fold, where `__v` (distinct value), `__m` (its count) and
+    * any histAgg output are in scope — they let a caller fold side
+    * statistics (count, max, a second column's sum) out of the same
     * single pass instead of re-scanning the input.
     */
   def exactPercentiles(df: DataFrame, value: Column, keys: Seq[String],
