@@ -165,6 +165,12 @@ object Bench {
         s.read.parquet(path), seeds, q, 10).count()
     }),
 
+    // r8: the distributed exact-percentile crossing walk (the shape that
+    // replaced Spark's single-task Percentile merge) — perf-tracked so a
+    // regression in the walk's histogram/window plan shows up here
+    "a4_percentile_walk" -> ((s: SparkSession) =>
+      graft.queries.ParityQueries.queries("a4_percentile")(s, sfDir).count()),
+
     "j_star" -> ((s: SparkSession) =>
       graft.queries.AnalyticsQueries.queries("j_star")(s, sfDir).count()),
 
