@@ -1332,25 +1332,26 @@ object AnalyticsQueries {
 
     /** Weighted percentiles (median, p90) of price weighted by quantity —
       * the "what price does the median *unit* ship at" question plain
-      * percentile can't answer. Cumulative weights are exact decimal
-      * window sums compared as integer multiples (2·cw ≥ tw), so the
-      * crossing value is bit-deterministic under any tie order: a row
-      * can only qualify if the total weight at-or-below its price has
-      * crossed the target, which is independent of ordering within ties
-      * (min over qualifying rows then picks the crossing price itself).
-      * One exchange on the group key serves both windows and the final
-      * aggregate.
+      * percentile can't answer. r8: the walk now runs over the COLLAPSED
+      * per-(group, price) weight histogram (one distributed hash
+      * aggregate — the exactPercentiles counts-of-counts discipline with
+      * weights for counts), so the cumulative window's input is the
+      * distinct-price relation, not the fact table. Same answer by
+      * construction: the crossing test compares the total weight
+      * at-or-below each price (2·cw ≥ tw as exact decimals), which tie
+      * collapsing cannot change — a distinct price qualifies iff its last
+      * tied row did, and min-over-qualifying picks that same price.
       */
     "a12_weighted_percentile" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_quantity").cast("decimal(18,2)").as("__w"))
+      val cells = Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__mw"))
       val grp = Window.partitionBy("l_returnflag")
       val cum = grp.orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      li.withColumn("__cw", sum("__w").over(cum))
+      cells.withColumn("__cw", sum("__mw").over(cum))
         .withColumn("__tw",
-          sum("__w").over(grp.rowsBetween(Window.unboundedPreceding,
+          sum("__mw").over(grp.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
         .groupBy("l_returnflag")
         .agg(
