@@ -555,6 +555,48 @@ class Catalog(spark: SparkSession) {
     tbl
   }
 
+  /** Range-cluster the session on a numeric column (range repartition →
+    * sorted part files) with a min/max file-skipping index
+    * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
+    * and register it; [[rangeScan]] on this column then opens only the
+    * part files whose value range intersects the predicate.
+    */
+  def buildRangedLayout(name: String, column: String,
+                        files: Int = 8): String = {
+    val s = sessionOf(name)
+    val path = java.nio.file.Files.createTempDirectory("catalog_ranged_")
+      .toString + "/ranged"
+    Positional.strip(s.current)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col(column))
+      .sortWithinPartitions(column)
+      .write.parquet(path)
+    val stats = graft.io.SkippingIndex.build(spark, path, column)
+      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
+    layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
+      s.epoch)
+    path
+  }
+
+  /** Range predicate scan, layout-routed: a valid ranged layout on
+    * (session, column) serves `column ∈ [lo, hi]` from the clustered
+    * files via the skipping index (most part files never open — the
+    * exact predicate re-applies after pruning, so the answer is
+    * byte-identical); otherwise a plain filter over the live session
+    * plan. The catalog picks — callers state the predicate, never the
+    * layout.
+    */
+  def rangeScan(name: String, column: String, lo: Double,
+                hi: Double): DataFrame =
+    liveLayout(name, s"range:$column") match {
+      case Some(l: RangedLayout) =>
+        graft.io.SkippingIndex.prunedRead(spark, l.stats, l.path, column,
+          lo, hi)
+      case _ =>
+        val c = org.apache.spark.sql.functions.col(column)
+        Positional.strip(sessionOf(name).current)
+          .filter(c >= lo && c <= hi)
+    }
+
   /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
     * vecCol) serves the search from codes at rest (PQ: compressed-domain
     * scan; IVF-PQ: plan-time cell pruning first); otherwise the exact
@@ -612,4 +654,6 @@ object Catalog {
       builtAtEpoch: Long) extends TableLayout
   final case class BucketedLayout(key: String, table: String, buckets: Int,
       builtAtEpoch: Long) extends TableLayout
+  final case class RangedLayout(column: String, path: String,
+      stats: DataFrame, builtAtEpoch: Long) extends TableLayout
 }

@@ -16,6 +16,13 @@ object MaintenanceQueries {
 
   private def customer(s: SparkSession, dir: String) =
     Tables.load(s, dir, "customer")
+
+  /** o_catalog_rangescan's catalog (session + ranged layout + skipping
+    * index), memoized per sfDir — built once per JVM, the PipelineQueries
+    * ANN-layout discipline.
+    */
+  private val rangedCatalogs =
+    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
@@ -735,6 +742,34 @@ object MaintenanceQueries {
       * oracle is the plain full-scan filter; a spec asserts the pruning
       * actually skipped files.
       */
+    /** o_skipping through the r8 layout-routing surface: the session
+      * catalog owns the range-clustered layout + skipping index
+      * ([[graft.core.Catalog.buildRangedLayout]]) and
+      * [[graft.core.Catalog.rangeScan]] serves the predicate from the
+      * pruned file set — the caller states the range, never the layout
+      * (pruning + staleness fallback pinned in CatalogRoutingSpec).
+      * Skipping is a performance contract, never a correctness one, so
+      * the oracle is the same plain full-scan filter as o_skipping's.
+      */
+    "o_catalog_rangescan" -> ((s, dir) => {
+      val cat = rangedCatalogs.getOrElseUpdate(dir, {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("li_ranged",
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildRangedLayout("li_ranged", "l_extendedprice", files = 8)
+        c
+      })
+      cat.rangeScan("li_ranged", "l_extendedprice", 1000.0, 5000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "o_skipping" -> ((s, dir) => {
       val out = graft.io.Scratch.dir(s, "li_ranged")
       Tables.load(s, dir, "lineitem")
@@ -1312,6 +1347,15 @@ object MaintenanceQueries {
     // skipping is a performance contract only: pruned scan + exact
     // predicate must equal the plain full-scan filter
     "o_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the catalog-routed pruned scan is byte-identical to the full-scan
+    // filter by the skipping-index contract, so it shares the oracle
+    "o_catalog_rangescan" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem

@@ -110,6 +110,35 @@ class CatalogRoutingSpec extends SparkSpec {
     }
   }
 
+  test("catalog.rangeScan routes through the ranged layout: files pruned, exact answer") {
+    val cat = new Catalog(spark)
+    cat.open("li_r", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildRangedLayout("li_r", "l_extendedprice", files = 8)
+    val routed = cat.rangeScan("li_r", "l_extendedprice", 1000.0, 5000.0)
+    val p = plan(routed)
+    assert(p.contains("catalog_ranged"),
+      s"routed range scan must read the clustered layout; plan:\n$p")
+    // the skipping index prunes: a narrow range of a range-clustered
+    // layout intersects a strict subset of the 8 part files
+    val l = cat.layoutsOf("li_r").collectFirst {
+      case (_, r: graft.core.Catalog.RangedLayout) => r
+    }.get
+    val cand = graft.io.SkippingIndex.candidateFiles(l.stats, 1000.0, 5000.0)
+    assert(cand.nonEmpty && cand.size < 8,
+      s"expected a pruned candidate set, got ${cand.size} of 8")
+    // byte-identical to the live filter
+    val live = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_extendedprice") >= 1000.0 &&
+        col("l_extendedprice") <= 5000.0)
+    assert(routed.count() == live.count())
+    // an edit invalidates: the scan falls back to the live session plan
+    assert(cat.get("li_r").get.setCell(0L, "l_quantity", "42"))
+    val p2 = plan(cat.rangeScan("li_r", "l_extendedprice", 1000.0, 5000.0))
+    assert(!p2.contains("catalog_ranged"),
+      s"stale ranged layout must be bypassed; plan:\n$p2")
+  }
+
   test("bucket-count mismatch or a stale side falls back to the live join") {
     val cat = new Catalog(spark)
     cat.open("o3", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
