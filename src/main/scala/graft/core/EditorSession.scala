@@ -555,6 +555,46 @@ class Catalog(spark: SparkSession) {
     tbl
   }
 
+  /** MinHash-LSH index the session's text column once
+    * ([[graft.operators.Dedup.lshIndex]]: per-doc signatures + banded
+    * buckets, localCheckpoint-pinned so probes never re-shingle the
+    * corpus) and register it; [[nearDups]] then probes arriving batches
+    * against the stored index — the nightly-ingest dedup hop.
+    */
+  def buildLshLayout(name: String, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 128,
+                     bands: Int = 64): Unit = {
+    val s = sessionOf(name)
+    val idx = graft.operators.Dedup.lshIndex(Positional.strip(s.current),
+        idCol, textCol, n, numHashes, bands)
+      .localCheckpoint(true)
+    layouts((name, s"lsh:$textCol")) =
+      LshIndexLayout(idCol, textCol, n, numHashes, bands, idx, s.epoch)
+  }
+
+  /** Near-duplicate probe of `batch` against an open session,
+    * layout-routed: a valid LSH layout serves the probe from the stored
+    * index (batch-sized signature work + band equi-join — the corpus is
+    * never re-shingled); without one, the index is built from the live
+    * session plan for this call (same answer, corpus-sized work). The
+    * batch must carry the same id/text column names the layout indexed.
+    */
+  def nearDups(name: String, batch: DataFrame, idCol: String,
+               textCol: String, threshold: Double = 0.4,
+               n: Int = 3, numHashes: Int = 128,
+               bands: Int = 64): DataFrame =
+    liveLayout(name, s"lsh:$textCol") match {
+      case Some(l: LshIndexLayout) =>
+        graft.operators.Dedup.incrementalLshMatches(l.index, batch,
+          l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
+      case _ =>
+        val idx = graft.operators.Dedup.lshIndex(
+          Positional.strip(sessionOf(name).current), idCol, textCol, n,
+          numHashes, bands)
+        graft.operators.Dedup.incrementalLshMatches(idx, batch, idCol,
+          textCol, n, threshold, numHashes, bands)
+    }
+
   /** Range-cluster the session on a numeric column (range repartition →
     * sorted part files) with a min/max file-skipping index
     * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
@@ -656,4 +696,7 @@ object Catalog {
       builtAtEpoch: Long) extends TableLayout
   final case class RangedLayout(column: String, path: String,
       stats: DataFrame, builtAtEpoch: Long) extends TableLayout
+  final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, index: DataFrame,
+      builtAtEpoch: Long) extends TableLayout
 }

@@ -51,6 +51,12 @@ object PipelineQueries {
   private val routedCatalogs =
     scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
 
+  /** d_catalog_incr_lsh's catalog (corpus session + stored LSH index),
+    * memoized per sfDir.
+    */
+  private val lshCatalogs =
+    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+
   private def tempLayoutDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -997,6 +1003,31 @@ object PipelineQueries {
         "doc_id", "text", n = 3, numHashes = 128, bands = 64)
       Dedup.incrementalLshMatches(idx, d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    /** d_incr_lsh through the r8 layout-routing surface: the catalog owns
+      * the corpus session AND its stored LSH index
+      * ([[graft.core.Catalog.buildLshLayout]]), and the arriving batch is
+      * probed via [[graft.core.Catalog.nearDups]] — batch-sized signature
+      * work against the pinned index, the corpus never re-shingled
+      * (routing + staleness fallback pinned in CatalogRoutingSpec). Same
+      * pairs as d_incr_lsh by construction, asserted by sharing its
+      * brute-force cross-pair oracle.
+      */
+    "d_catalog_incr_lsh" -> ((s, dir) => {
+      val cat = lshCatalogs.getOrElseUpdate(dir, {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("lsh_corpus", docs(s, dir)
+          .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),
+          Seq("doc_id"))
+        c.buildLshLayout("lsh_corpus", "doc_id", "text", n = 3,
+          numHashes = 128, bands = 64)
+        c
+      })
+      cat.nearDups("lsh_corpus",
+          docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          threshold = 0.4, n = 3, numHashes = 128, bands = 64)
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -2441,6 +2472,8 @@ object PipelineQueries {
     "d_incr_lsh" -> incrLshOracle,
     // the streaming probe must land on the identical pair set
     "st_incr_lsh" -> incrLshOracle,
+    // ... and so must the catalog-routed probe against the stored index
+    "d_catalog_incr_lsh" -> incrLshOracle,
 
     "t_heavy" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),

@@ -17,6 +17,9 @@ class CatalogRoutingSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
   /** Stats-based auto-broadcast off: the tiny fixture would otherwise
     * broadcast everything and mask the bucketing claim (the
     * PlanShapeSpec discipline — pin the plan that holds at 100 TB).
@@ -137,6 +140,42 @@ class CatalogRoutingSpec extends SparkSpec {
     val p2 = plan(cat.rangeScan("li_r", "l_extendedprice", 1000.0, 5000.0))
     assert(!p2.contains("catalog_ranged"),
       s"stale ranged layout must be bypassed; plan:\n$p2")
+  }
+
+  test("catalog.nearDups routes through the stored LSH index; edits fall back") {
+    val cat = new Catalog(spark)
+    val d = Tables.load(spark, sf, "documents")
+    cat.openFrom("corpus", d.filter(col("doc_id") % 5 =!= 0),
+      orderCols = Seq("doc_id"))
+    cat.buildLshLayout("corpus", "doc_id", "text", n = 3, numHashes = 32,
+      bands = 16)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val routed = cat.nearDups("corpus", batch, "doc_id", "text",
+      threshold = 0.4, n = 3, numHashes = 32, bands = 16)
+    // the stored index is a checkpointed signature relation: the only
+    // minhash signature aggregate in the routed plan is the BATCH's (the
+    // corpus is never re-shingled). "min(xxhash64(2," identifies one
+    // fixed hash slot, so its occurrence count tracks how many signature
+    // aggregates the plan builds.
+    def sigAggs(p: String) = countOf(p, "min\\(xxhash64\\(2, ")
+    val routedSigs = sigAggs(plan(routed))
+    assert(routedSigs > 0, "batch side still signs in-flight")
+    // same pairs as building the index directly
+    val direct = graft.operators.Dedup.incrementalLshMatches(
+      graft.operators.Dedup.lshIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, 32, 16),
+      batch, "doc_id", "text", 3, 0.4, 32, 16)
+    assert(routed.orderBy("batch_id", "corpus_id").collect().toSeq ==
+      direct.orderBy("batch_id", "corpus_id").collect().toSeq)
+    // mutating the corpus invalidates: the probe rebuilds from the live
+    // session plan, so the corpus side signs again — strictly more
+    // signature aggregates than the routed plan
+    assert(cat.get("corpus").get.setCell(0L, "text", "edited text"))
+    val p2 = plan(cat.nearDups("corpus", batch, "doc_id", "text",
+      threshold = 0.4, n = 3, numHashes = 32, bands = 16))
+    assert(sigAggs(p2) > routedSigs,
+      s"stale LSH layout must be bypassed for the live plan " +
+        s"(sigAggs routed=$routedSigs, fallback=${sigAggs(p2)})")
   }
 
   test("bucket-count mismatch or a stale side falls back to the live join") {
