@@ -503,6 +503,31 @@ class Catalog(spark: SparkSession) {
   def layoutsOf(name: String): Seq[(String, TableLayout)] =
     layouts.collect { case ((n, slot), l) if n == name => (slot, l) }.toSeq
 
+  /** Rebuild every STALE layout of a session at its current epoch — the
+    * "compact after an edit burst" maintenance gesture: routing resumes
+    * on all slots without the caller re-stating any build parameters.
+    * Returns the rebuilt slot names (valid layouts are left untouched).
+    */
+  def refreshStale(name: String): Seq[String] = {
+    val s = sessionOf(name)
+    layoutsOf(name).collect {
+      case (slot, l) if l.builtAtEpoch != s.epoch => (slot, l)
+    }.map {
+      case (slot, l: PqCodesLayout) =>
+        buildPqLayout(name, l.idCol, l.vecCol, l.m); slot
+      case (slot, l: IvfPqCellLayout) =>
+        buildIvfPqLayout(name, l.idCol, l.vecCol,
+          l.cents.size, l.m, l.nProbe); slot
+      case (slot, l: BucketedLayout) =>
+        buildBucketedLayout(name, l.key, l.buckets); slot
+      case (slot, l: RangedLayout) =>
+        buildRangedLayout(name, l.column, l.files); slot
+      case (slot, l: LshIndexLayout) =>
+        buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes,
+          l.bands); slot
+    }
+  }
+
   /** Encode `vecCol` ONCE into an at-rest PQ codes parquet (8 small ints
     * where 64 floats were) and register it; [[topK]] on this session then
     * searches stored codes — m table lookups per row, no re-encode, no
@@ -613,7 +638,7 @@ class Catalog(spark: SparkSession) {
     val stats = graft.io.SkippingIndex.build(spark, path, column)
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
-      s.epoch)
+      files, s.epoch)
     path
   }
 
@@ -695,7 +720,7 @@ object Catalog {
   final case class BucketedLayout(key: String, table: String, buckets: Int,
       builtAtEpoch: Long) extends TableLayout
   final case class RangedLayout(column: String, path: String,
-      stats: DataFrame, builtAtEpoch: Long) extends TableLayout
+      stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long) extends TableLayout

@@ -67,10 +67,12 @@ class CatalogRoutingSpec extends SparkSpec {
     val p = plan(cat.topK("emb2", "vec_id", "embedding", queryVec(), 5))
     assert(p.contains("embedding"),
       s"stale layout must be bypassed for the live plan; plan:\n$p")
-    // rebuilding re-registers at the new epoch and routes again
-    cat.buildPqLayout("emb2", "vec_id", "embedding")
+    // the maintenance gesture rebuilds every stale slot at the current
+    // epoch (no build parameters re-stated) and routing resumes
+    assert(cat.refreshStale("emb2") == Seq("ann:embedding"))
     assert(!plan(cat.topK("emb2", "vec_id", "embedding", queryVec(), 5))
       .contains("embedding"))
+    assert(cat.refreshStale("emb2").isEmpty) // nothing left stale
   }
 
   test("catalog.topK routes through an IVF-PQ cell layout: partition-pruned, no raw vectors") {
