@@ -47,8 +47,12 @@ def _too_wide(vals) -> bool:
     for v in vals:
         # normalize() strips stored trailing zeros first, so a
         # decimal(38,18) carrying 1.500000000000000000 counts as 2
-        # significant digits, not 19
-        if v != 0 and len(v.normalize().as_tuple().digits) > 18:
+        # significant digits, not 19. The magnitude check stays as an OR:
+        # at abs >= 1e18 even 16-18 significant digits round in float64
+        # (2^53 ~ 9.0e15), so neither test alone covers both failure
+        # shapes.
+        if v != 0 and (len(v.normalize().as_tuple().digits) > 18
+                       or abs(v) >= decimal.Decimal(10) ** 18):
             return True
     return False
 

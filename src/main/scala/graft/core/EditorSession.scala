@@ -486,10 +486,27 @@ class Catalog(spark: SparkSession) {
 
   import Catalog._
   private val layouts = mutable.LinkedHashMap.empty[(String, String), TableLayout]
+  private val catalogId = Catalog.nextId.getAndIncrement()
 
   private def sessionOf(name: String): EditorSession =
     sessions.getOrElse(name,
       throw new NoSuchElementException(s"no open session named '$name'"))
+
+  /** Temp root for a file-backed layout, removed recursively at JVM exit
+    * (the PipelineQueries.tempLayoutDir discipline — File.deleteOnExit
+    * cannot remove non-empty directories). Rebuilds orphan the previous
+    * tree until exit; a lazily-planned reader may still reference it.
+    */
+  private def layoutTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
 
   /** The registered layout for (session, slot), only if still valid. */
   private def liveLayout(name: String, slot: String): Option[TableLayout] =
@@ -538,8 +555,7 @@ class Catalog(spark: SparkSession) {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
     val seeds = graft.operators.Similarity.pqCodebook(base, idCol, vecCol)
-    val path = java.nio.file.Files.createTempDirectory("catalog_pq_")
-      .toString + "/codes"
+    val path = layoutTempDir("catalog_pq_") + "/codes"
     graft.operators.Similarity.pqCodes(base, idCol, vecCol, seeds, m)
       .write.parquet(path)
     layouts((name, s"ann:$vecCol")) =
@@ -559,8 +575,7 @@ class Catalog(spark: SparkSession) {
     val base = Positional.strip(s.current)
     val (codes, cents, seeds) = graft.operators.Similarity.ivfPqCodes(
       base, idCol, vecCol, nCentroids, m)
-    val path = java.nio.file.Files.createTempDirectory("catalog_ivfpq_")
-      .toString + "/codes"
+    val path = layoutTempDir("catalog_ivfpq_") + "/codes"
     graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
     layouts((name, s"ann:$vecCol")) =
       IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
@@ -573,7 +588,12 @@ class Catalog(spark: SparkSession) {
     */
   def buildBucketedLayout(name: String, key: String, buckets: Int): String = {
     val s = sessionOf(name)
-    val tbl = s"graft_${name}_by_$key".toLowerCase
+    // the managed-table name carries this Catalog's instance id: two
+    // catalogs in one JVM (e.g. per-sfDir memoized ones) reusing the same
+    // session names must not clobber each other's bucketed tables — the
+    // first catalog's layout would stay epoch-valid and silently route
+    // the second catalog's data
+    val tbl = s"graft_c${catalogId}_${name}_by_$key".toLowerCase
     graft.io.Bucketing.writeBucketed(Positional.strip(s.current), tbl, key,
       buckets)
     layouts((name, s"bucket:$key")) = BucketedLayout(key, tbl, buckets, s.epoch)
@@ -603,13 +623,19 @@ class Catalog(spark: SparkSession) {
     * never re-shingled); without one, the index is built from the live
     * session plan for this call (same answer, corpus-sized work). The
     * batch must carry the same id/text column names the layout indexed.
+    * The layout is used only when the caller's (idCol, n, numHashes,
+    * bands) MATCH what it was built with — routing changes the plan,
+    * never the answer, so a parameter mismatch falls back to a live
+    * index built with the caller's parameters rather than silently
+    * serving a differently-banded pair set.
     */
   def nearDups(name: String, batch: DataFrame, idCol: String,
                textCol: String, threshold: Double = 0.4,
                n: Int = 3, numHashes: Int = 128,
                bands: Int = 64): DataFrame =
     liveLayout(name, s"lsh:$textCol") match {
-      case Some(l: LshIndexLayout) =>
+      case Some(l: LshIndexLayout) if l.idCol == idCol && l.n == n &&
+          l.numHashes == numHashes && l.bands == bands =>
         graft.operators.Dedup.incrementalLshMatches(l.index, batch,
           l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
       case _ =>
@@ -629,8 +655,7 @@ class Catalog(spark: SparkSession) {
   def buildRangedLayout(name: String, column: String,
                         files: Int = 8): String = {
     val s = sessionOf(name)
-    val path = java.nio.file.Files.createTempDirectory("catalog_ranged_")
-      .toString + "/ranged"
+    val path = layoutTempDir("catalog_ranged_") + "/ranged"
     Positional.strip(s.current)
       .repartitionByRange(files, org.apache.spark.sql.functions.col(column))
       .sortWithinPartitions(column)
@@ -706,6 +731,8 @@ class Catalog(spark: SparkSession) {
 }
 
 object Catalog {
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** An at-rest layout registered in a [[Catalog]]: what is stored, where,
     * and the session epoch it reflects (stale layouts are never routed).
     */

@@ -281,7 +281,14 @@ object RankStats {
                        finalAggs: Seq[(String, Column)] = Nil): DataFrame = {
     require(probes.nonEmpty, "exactPercentiles needs at least one probe")
     val keyCols = keys.map(col)
-    val histFull = df.filter(value.isNotNull)
+    // NULL values stay in the histogram as their own cell (so a key whose
+    // values are ALL null still yields an output row — with NULL
+    // percentiles, exactly like the built-in and like SQL GROUP BY — and
+    // extras like sum(__m) still count every row the way count(*) did),
+    // but they are excluded from the cumulative walk: nulls sort first
+    // under orderBy(__v) and contribute 0 to __cum/__n, so the non-null
+    // order statistics are unmoved and an all-null key probes nothing.
+    val histFull = df
       .groupBy(keyCols :+ value.as("__v"): _*)
       .agg(count(lit(1)).as("__m"), histAggs: _*)
     val part =
@@ -289,12 +296,13 @@ object RankStats {
       else Window.partitionBy(keyCols: _*)
     val cumW = part.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val nonNullM = when(col("__v").isNotNull, col("__m")).otherwise(lit(0L))
     val walked = histFull
-      .withColumn("__cum", sum("__m").over(cumW))
-      .withColumn("__n", sum("__m").over(
+      .withColumn("__cum", sum(nonNullM).over(cumW))
+      .withColumn("__n", sum(nonNullM).over(
         part.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-    val cumBelow = col("__cum") - col("__m")
+    val cumBelow = col("__cum") - nonNullM
     // per probe: the rows holding the floor/ceil order statistics (exactly
     // one row matches each condition per key — max() just extracts it)
     def pos(p: Double) = lit(p) * (col("__n") - 1).cast("double")

@@ -27,7 +27,8 @@ object BehaviorQueries {
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
   /** j_catalog_bucketed's catalog (two sessions + bucketed layouts),
-    * memoized per sfDir — built once per JVM.
+    * memoized per (SparkSession, sfDir) — a cached Catalog holds that
+    * session's managed tables, so it must never be served to another.
     */
   private val routedJoinCatalogs =
     scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
@@ -1313,7 +1314,8 @@ object BehaviorQueries {
       * j_bucketed's plain-join oracle.
       */
     "j_catalog_bucketed" -> ((s, dir) => {
-      val cat = routedJoinCatalogs.getOrElseUpdate(dir, {
+      val cat = routedJoinCatalogs.getOrElseUpdate(
+          s"${System.identityHashCode(s)}:$dir", {
         val c = new graft.core.Catalog(s)
         c.openFrom("cat_orders", Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"))

@@ -18,8 +18,9 @@ object MaintenanceQueries {
     Tables.load(s, dir, "customer")
 
   /** o_catalog_rangescan's catalog (session + ranged layout + skipping
-    * index), memoized per sfDir — built once per JVM, the PipelineQueries
-    * ANN-layout discipline.
+    * index), memoized per (SparkSession, sfDir) — a cached Catalog holds
+    * that session's checkpointed stats, so it must never be served to
+    * another.
     */
   private val rangedCatalogs =
     scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
@@ -752,7 +753,8 @@ object MaintenanceQueries {
       * the oracle is the same plain full-scan filter as o_skipping's.
       */
     "o_catalog_rangescan" -> ((s, dir) => {
-      val cat = rangedCatalogs.getOrElseUpdate(dir, {
+      val cat = rangedCatalogs.getOrElseUpdate(
+          s"${System.identityHashCode(s)}:$dir", {
         val c = new graft.core.Catalog(s)
         c.openFrom("li_ranged",
           Tables.load(s, dir, "lineitem")

@@ -45,14 +45,16 @@ object PipelineQueries {
   private val ivfPqLayoutCache = scala.collection.concurrent.TrieMap[
     String, (String, Seq[(Int, Seq[Float])],
       Array[scala.collection.Seq[Float]])]()
-  /** Catalog with the PQ layout registered, memoized per sfDir — the
-    * routing entry is built once per JVM like the layouts themselves.
+  /** Catalog with the PQ layout registered, memoized per (SparkSession,
+    * sfDir) — a cached Catalog pins session-owned state (checkpointed
+    * relations), so it must never be served to another session.
     */
   private val routedCatalogs =
     scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
 
   /** d_catalog_incr_lsh's catalog (corpus session + stored LSH index),
-    * memoized per sfDir.
+    * memoized per (SparkSession, sfDir) — the checkpointed index lives in
+    * one session's block manager.
     */
   private val lshCatalogs =
     scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
@@ -1016,7 +1018,8 @@ object PipelineQueries {
       * brute-force cross-pair oracle.
       */
     "d_catalog_incr_lsh" -> ((s, dir) => {
-      val cat = lshCatalogs.getOrElseUpdate(dir, {
+      val cat = lshCatalogs.getOrElseUpdate(
+          s"${System.identityHashCode(s)}:$dir", {
         val c = new graft.core.Catalog(s)
         c.openFrom("lsh_corpus", docs(s, dir)
           .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),
@@ -1543,7 +1546,8 @@ object PipelineQueries {
       * which is exactly what sharing its oracle asserts.
       */
     "v_ann_catalog_topk" -> ((s, dir) => {
-      val cat = routedCatalogs.getOrElseUpdate(dir, {
+      val cat = routedCatalogs.getOrElseUpdate(
+          s"${System.identityHashCode(s)}:$dir", {
         val c = new graft.core.Catalog(s)
         c.openFrom("emb_rt", embs(s, dir).filter(col("vec_id") =!= 0L),
           Seq("vec_id"))

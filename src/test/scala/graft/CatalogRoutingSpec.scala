@@ -169,6 +169,13 @@ class CatalogRoutingSpec extends SparkSpec {
       batch, "doc_id", "text", 3, 0.4, 32, 16)
     assert(routed.orderBy("batch_id", "corpus_id").collect().toSeq ==
       direct.orderBy("batch_id", "corpus_id").collect().toSeq)
+    // a parameter mismatch must NOT route: the stored 32/16 index would
+    // answer a 64/32-band question with a different pair set, so the
+    // catalog builds a live index with the caller's parameters instead
+    val mismatched = plan(cat.nearDups("corpus", batch, "doc_id", "text",
+      threshold = 0.4, n = 3, numHashes = 64, bands = 32))
+    assert(sigAggs(mismatched) > routedSigs,
+      "mismatched banding must bypass the stored index")
     // mutating the corpus invalidates: the probe rebuilds from the live
     // session plan, so the corpus side signs again — strictly more
     // signature aggregates than the routed plan

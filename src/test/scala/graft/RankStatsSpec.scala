@@ -183,4 +183,29 @@ class RankStatsSpec extends SparkSpec {
     assert(ex.getDouble(0) == 2.0 && ex.getLong(1) == 4L &&
       ex.getDouble(2) == 4.0)
   }
+
+  test("exactPercentiles: an all-NULL key still emits its row (like GROUP BY + percentile)") {
+    // the built-in percentile() and SQL GROUP BY both keep a group whose
+    // values are entirely NULL, with a NULL percentile — the walk must
+    // too, or a migrated query loses rows vs its oracle on sparse data
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None: Option[Double]), ("b", None)).toDF("g", "x")
+    val got = RankStats.exactPercentiles(df, col("x"), Seq("g"),
+        Seq("p50" -> 0.5),
+        finalAggs = Seq("n_rows" -> sum("__m").cast("long")))
+      .orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 2.0 &&
+      got(0).getLong(2) == 2L)
+    // group b survives with NULL percentile; n_rows counts its NULL rows
+    // the way count(*) did before the migration
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(1) &&
+      got(1).getLong(2) == 2L)
+    // mixed nulls within a key: percentile ignores them, extras count them
+    val mixed = RankStats.exactPercentiles(
+      Seq(Some(1.0), None, Some(3.0)).toDF("x"), col("x"), Nil,
+      Seq("p50" -> 0.5),
+      finalAggs = Seq("n_rows" -> sum("__m").cast("long"))).head()
+    assert(mixed.getDouble(0) == 2.0 && mixed.getLong(1) == 3L)
+  }
 }
