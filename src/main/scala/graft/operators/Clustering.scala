@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * projection (scan → argmax-over-k-expressions), no join, no shuffle, no
   * window. That is the right shape for k up to a few thousand; beyond
   * that, swap in a broadcast-join + `max_by` aggregation. [[step]] reuses
-  * the same projection and shuffles only (centroid, dim, value) partials;
-  * its exact ordered-fold mean is the oracle-matched form — at 100 TB you
-  * would relax it to decimal partial sums (order-free, mergeable) at the
-  * cost of bit-parity with a sequential oracle.
+  * the same projection and shuffles only (centroid, dim) decimal
+  * partials: per-dimension sums are order-free fixed-point decimal sums
+  * (exact, mergeable, map-side-combinable), so aggregation state per
+  * group is one decimal + one count — never a row-sized buffer — and the
+  * DuckDB oracle replays the same decimal arithmetic bit-for-bit.
   */
 object Clustering {
 
@@ -76,24 +77,28 @@ object Clustering {
     *
     * Assignment is inlined into the same projection (no self-join), so the
     * only exchange is the (centroid, dim) hash aggregate. The
-    * per-dimension sum is a sequential left-fold in assignment-id order
-    * (sort_array of (id, x) structs → aggregate), matching the DuckDB
-    * `list(x ORDER BY id)` fold bit-for-bit.
+    * per-dimension sum is an order-free fixed-point decimal sum over
+    * `roundTo`-rounded components (the v_embed_drift idiom): exact —
+    * decimal addition is associative and commutative, so any partition
+    * order and any partial/final merge tree produce the same digits the
+    * DuckDB oracle's decimal sum does — and each aggregation buffer holds
+    * ONE decimal + one count, not one struct per assigned vector. `idCol`
+    * stays in the signature for call-site symmetry with [[assign]] but no
+    * longer orders anything.
     */
   def step(df: DataFrame, idCol: String, vecCol: String,
            centroids: DataFrame, roundTo: Int = 6): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.select(
         (-best(df, vecCol, centroids, roundTo)("negcid")).as("centroid_id"),
         posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(
-        aggregate(
-          transform(sort_array(collect_list(struct(col("id"),
-            col("__x").cast("double").as("x")))), s => s("x")),
-          lit(0.0), (acc, x) => acc + x).as("__sum"),
+        sum(round(col("__x").cast("double"), roundTo)
+          .cast(s"decimal(18,$roundTo)")).as("__sum"),
         count(lit(1)).as("n_members"))
       .select(col("centroid_id"), col("dim"),
-        round(col("__sum") / col("n_members"), roundTo).as("mean_val"),
+        round(col("__sum").cast("double") / col("n_members"), roundTo)
+          .as("mean_val"),
         col("n_members"))
 
   /** Distributed power iteration for the top right-singular direction of
@@ -104,12 +109,14 @@ object Clustering {
     *
     * Each round is ONE aggregate job: every row's projection s = ⟨x, v⟩ is
     * computed in the same scan that explodes x, the (dim) hash-aggregate
-    * folds s·x[d] in id order (the oracle-matched exact sum, as in
-    * [[step]]), and the driver holds only the dim-sized w — normalize,
-    * re-embed as a literal, repeat. Driver state = dim doubles; shuffle =
-    * (dim, id, contribution) partials, the [[step]] shape. At 100 TB the
-    * ordered fold relaxes to decimal partial sums (order-free, mergeable)
-    * at the cost of bit-parity with a sequential oracle.
+    * sums s·x[d] as an order-free fixed-point decimal (9dp-rounded
+    * contributions — exact AND mergeable, see [[step]]; the DuckDB oracle
+    * replays the same decimal sum, so bit-parity holds without pinning
+    * any fold order), and the driver holds only the dim-sized w —
+    * normalize, re-embed as a literal, repeat. Driver state = dim
+    * doubles; shuffle = (dim) decimal partials with map-side combine;
+    * aggregation state = one decimal per dim group, never a row-sized
+    * buffer.
     *
     * v0 = uniform 1/√dim (never random — cross-engine replayable); with
     * a positive v0 the sign of the result is deterministic. Output:
@@ -117,6 +124,24 @@ object Clustering {
     * vector and sigma = ‖Aᵀ(Av)‖ of the last round (the eigenvalue of
     * AᵀA at convergence).
     */
+  /** One power-iteration round as a plan: Aᵀ(Av) per dimension, the
+    * per-dim decimal partial sum described on [[powerIteration]].
+    * Factored out so the plan-shape suite can pin the aggregate's state
+    * shape (no `sort_array(collect_list(...))` row-sized buffer).
+    */
+  private[graft] def powerRound(df: DataFrame, vecCol: String,
+                                v: Array[Double]): DataFrame = {
+    val vlit = array(v.toIndexedSeq.map(lit): _*)
+    df.select(col(vecCol).as("x"))
+      .withColumn("sc", aggregate(
+        zip_with(col("x"), vlit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, y) => acc + y))
+      .select(col("sc"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .groupBy("dim")
+      .agg(sum(round(col("sc") * col("xv").cast("double"), 9)
+        .cast("decimal(18,9)")).cast("double").as("w"))
+  }
+
   def powerIteration(df: DataFrame, idCol: String, vecCol: String,
                      rounds: Int = 4, roundTo: Int = 6): DataFrame = {
     require(rounds > 0, "rounds must be positive")
@@ -124,18 +149,7 @@ object Clustering {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var nrm = 0.0
     for (_ <- 0 until rounds) {
-      val vlit = array(v.toIndexedSeq.map(lit): _*)
-      val w = df.select(col(idCol).as("id"), col(vecCol).as("x"))
-        .withColumn("sc", aggregate(
-          zip_with(col("x"), vlit, (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, y) => acc + y))
-        .select(col("id"), col("sc"),
-          posexplode(col("x")).as(Seq("dim", "xv")))
-        .groupBy("dim")
-        .agg(aggregate(
-          transform(sort_array(collect_list(struct(col("id"),
-            (col("sc") * col("xv").cast("double")).as("c")))), s => s("c")),
-          lit(0.0), (acc, x) => acc + x).as("w"))
+      val w = powerRound(df, vecCol, v)
         .collect().map(r => (r.getInt(0), r.getDouble(1)))
         .sortBy(_._1).map(_._2)
       nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))

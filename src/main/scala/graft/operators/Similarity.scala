@@ -501,22 +501,48 @@ object Similarity {
     * One pass per iteration: encode + posexplode + (subspace, code, dim)
     * hash aggregate; the collected OUTPUT is codebook-sized (m ×
     * codebookSize × sub = one codebook). Per-dimension means are
-    * id-ordered sequential folds (the [[Clustering.step]] discipline) so
-    * refinement is partitioning-invariant — and that order pinning has the
-    * same cost as in Clustering.step: each (code, dim) group's
-    * sort_array(collect_list) buffers one (id, value) struct per ASSIGNED
-    * vector in a single aggregation buffer, i.e. executor state is
-    * O(n / codebookSize) per group. That is fine for an offline codebook
-    * build over a training SAMPLE (the standard practice — FAISS trains
-    * on ~10⁵-10⁶ vectors); do NOT point this at a full 100 TB corpus —
-    * sample first, or trade the cross-engine determinism for a plain
-    * partial-sum mean. Empty codewords keep their previous value.
+    * order-free fixed-point decimal partial sums over `roundTo`-rounded
+    * components (the [[Clustering.step]] discipline): decimal addition is
+    * associative and commutative, so refinement is partitioning-invariant
+    * with ONE decimal + one count of aggregation state per (code, dim)
+    * group — never a struct per assigned vector — which means this build
+    * is safe to point at a full corpus, not just a training sample
+    * (though sampling first remains the standard FAISS practice purely
+    * for build cost). Empty codewords keep their previous value.
     *
     * The refined codebook is returned in the same synthetic-seed form the
     * whole PQ surface consumes (full-length vectors whose j-th slice is
     * subspace j's codeword), so it drops into [[pqCodes]] /
     * [[pqTopKFromCodes]] / [[pqTopK]]-equivalent search unchanged.
     */
+  /** One refinement round's (j, code, dim, mean) relation — factored so
+    * the plan-shape suite can pin the aggregate's bounded state (decimal
+    * partial sums, no `sort_array(collect_list(...))` row-sized buffer).
+    */
+  private[graft] def pqRefineMeans(df: DataFrame, idCol: String,
+      vecCol: String, seeds: Array[scala.collection.Seq[Float]], m: Int,
+      sub: Int, roundTo: Int): DataFrame = {
+    val codes = pqCodeExprs(seeds, m, roundTo)
+    df.select(col(idCol).as("id"), col(vecCol).as("__x"))
+      // codes in their OWN projection, the explode in the next: the m
+      // argmins run ONCE per row before the ×dim explode, and the
+      // argmin's struct-field access resolves before the generator
+      // select (mixing both in one select strips the struct aliases at
+      // analysis: FIELD_NOT_FOUND `cw`)
+      .select(col("__x"), array(codes: _*).as("__codes"))
+      .select(col("__codes"), posexplode(col("__x")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x"),
+        (col("dim") / sub).cast("int").as("j"),
+        element_at(col("__codes"),
+          (col("dim") / sub).cast("int") + 1).as("code"))
+      .groupBy(col("j"), col("code"), col("dim"))
+      .agg(sum(round(col("x").cast("double"), roundTo)
+          .cast(s"decimal(18,$roundTo)")).as("__sum"),
+        count(lit(1)).as("__n"))
+      .select(col("j"), col("code"), col("dim"),
+        round(col("__sum").cast("double") / col("__n"), roundTo).as("mean"))
+  }
+
   def pqCodebookRefined(df: DataFrame, idCol: String, vecCol: String,
                         m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
                         roundTo: Int = 6): Array[scala.collection.Seq[Float]] = {
@@ -526,29 +552,7 @@ object Similarity {
     val sub = dim / m
     var it = 0
     while (it < iters) {
-      val codes = pqCodeExprs(seeds, m, roundTo)
-      val means = df
-        .select(col(idCol).as("id"), col(vecCol).as("__x"))
-        // codes in their OWN projection, the explode in the next: the m
-        // argmins run ONCE per row before the ×dim explode, and the
-        // argmin's struct-field access resolves before the generator
-        // select (mixing both in one select strips the struct aliases at
-        // analysis: FIELD_NOT_FOUND `cw`)
-        .select(col("id"), col("__x"), array(codes: _*).as("__codes"))
-        .select(col("id"), col("__codes"),
-          posexplode(col("__x")).as(Seq("dim", "x")))
-        .select(col("id"), col("dim"), col("x"),
-          (col("dim") / sub).cast("int").as("j"),
-          element_at(col("__codes"),
-            (col("dim") / sub).cast("int") + 1).as("code"))
-        .groupBy(col("j"), col("code"), col("dim"))
-        .agg(aggregate(
-            transform(sort_array(collect_list(struct(col("id"),
-              col("x").cast("double").as("v")))), s => s("v")),
-            lit(0.0), (acc, x) => acc + x).as("__sum"),
-          count(lit(1)).as("__n"))
-        .select(col("j"), col("code"), col("dim"),
-          round(col("__sum") / col("__n"), roundTo).as("mean"))
+      val means = pqRefineMeans(df, idCol, vecCol, seeds, m, sub, roundTo)
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
           r.getDouble(3).toFloat)).toMap

@@ -1407,8 +1407,8 @@ object PipelineQueries {
     }),
 
     /** One Lloyd update on top of the assignment: element-wise centroid
-      * means in long form (centroid, dim, mean, members), via the
-      * ordered-fold exact sum.
+      * means in long form (centroid, dim, mean, members), via order-free
+      * decimal partial sums (bounded aggregation state, oracle-exact).
       */
     "v_kmeans_step" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1418,8 +1418,9 @@ object PipelineQueries {
     }),
 
     /** Top principal direction by 4 rounds of power iteration — every
-      * intermediate (projection, fold order, normalizer) replayed by the
-      * oracle, so the iterative spectral path itself is hash-checked.
+      * intermediate (projection, decimal partial sum, normalizer)
+      * replayed by the oracle, so the iterative spectral path itself is
+      * hash-checked.
       */
     "v_pca_power" -> ((s, dir) =>
       Clustering.powerIteration(embs(s, dir), "vec_id", "embedding",
@@ -3530,16 +3531,19 @@ object PipelineQueries {
     // the build-per-query path, so they share one oracle
     "v_ann_ivfpq_layout" -> ivfPqOracle,
 
+    // per-dim mean via the order-free decimal partial sum (the
+    // v_embed_drift idiom, r9): Spark and DuckDB sum identical
+    // DECIMAL(18,6) terms, so no fold order needs pinning on either side
     "v_kmeans_step" ->
       s"""WITH $kmeansAssignCtes,
          |a AS (SELECT vec_id, v, cid FROM p
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |                             ORDER BY sim DESC, cid ASC) = 1),
-         |x AS (SELECT cid, i - 1 AS dim, vec_id, v[i] AS xv
+         |x AS (SELECT cid, i - 1 AS dim, v[i] AS xv
          |  FROM a, LATERAL unnest(generate_series(1, len(v))) AS t(i))
          |SELECT cid AS centroid_id, CAST(dim AS INT) AS dim,
-         |  round(list_reduce(list_prepend(0.0, list(xv ORDER BY vec_id)),
-         |    (acc, b) -> acc + b) / count(*), 6) AS mean_val,
+         |  round(CAST(sum(CAST(round(CAST(xv AS DOUBLE), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_val,
          |  count(*) AS n_members
          |FROM x GROUP BY cid, dim ORDER BY centroid_id, dim""".stripMargin,
 
@@ -4092,11 +4096,11 @@ object PipelineQueries {
          |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
          |    i -> CAST(embedding[i] AS DOUBLE) * vv[i])), (acc, b) -> acc + b) AS sc
          |  FROM embeddings CROSS JOIN v${r - 1}),
-         |x$r AS (SELECT vec_id, i - 1 AS dim, sc * CAST(x[i] AS DOUBLE) AS c
+         |x$r AS (SELECT i - 1 AS dim, sc * CAST(x[i] AS DOUBLE) AS c
          |  FROM s$r, LATERAL unnest(generate_series(1, 64)) AS t(i)),
          |w$r AS MATERIALIZED (SELECT dim,
-         |  list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)),
-         |  (acc, b) -> acc + b) AS w FROM x$r GROUP BY dim),
+         |  CAST(sum(CAST(round(c, 9) AS DECIMAL(18,9))) AS DOUBLE) AS w
+         |  FROM x$r GROUP BY dim),
          |n$r AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(0.0,
          |  list(w * w ORDER BY dim)), (acc, b) -> acc + b)) AS nrm FROM w$r),
          |v$r AS MATERIALIZED (SELECT list(w / nrm ORDER BY dim) AS vv

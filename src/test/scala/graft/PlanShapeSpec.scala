@@ -329,4 +329,33 @@ class PlanShapeSpec extends SparkSpec {
         s"$name must use the crossing walk, not Percentile; plan:\n$p")
     }
   }
+
+  test("no data-sized ordered-fold aggregation buffers in the vector means") {
+    // sort_array(collect_list(...)) inside an aggregate holds one struct
+    // per group member in a SINGLE aggregation buffer — O(n) executor
+    // state for powerIteration's dim-only groups, O(n/k) for step's
+    // (centroid, dim) groups. All three migrated to order-free decimal
+    // partial sums (r9, the successor of the r8 percentile migration);
+    // this pin fails the build if any regresses to a row-sized buffer.
+    import graft.operators.{Clustering, Similarity}
+    val embs = Tables.load(spark, sf, "embeddings")
+    val stepP = plan(SparkEntry.queries("v_kmeans_step")(spark, sf))
+    // powerIteration and pqCodebookRefined collect per round inside the
+    // call, so their returned frames carry no aggregate — pin the
+    // factored per-round relations instead
+    val powerP = plan(Clustering.powerRound(embs, "embedding",
+      Array.fill(64)(0.125)))
+    val seeds = Similarity.pqCodebook(embs, "vec_id", "embedding")
+    val refineP = plan(Similarity.pqRefineMeans(embs, "vec_id", "embedding",
+      seeds, m = 8, sub = 8, roundTo = 6))
+    for ((name, p) <- Seq(("v_kmeans_step", stepP),
+        ("powerRound", powerP), ("pqRefineMeans", refineP))) {
+      assert(!p.contains("sort_array(collect_list"),
+        s"$name must not buffer a row-sized ordered fold; plan:\n$p")
+      assert(!p.contains("collect_list"),
+        s"$name must aggregate with bounded state; plan:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"$name should be a hash aggregate over decimal partials; plan:\n$p")
+    }
+  }
 }
