@@ -493,28 +493,67 @@ class Catalog(spark: SparkSession) {
       throw new NoSuchElementException(s"no open session named '$name'"))
 
   /** Temp root for a file-backed layout, removed recursively at JVM exit
-    * (the PipelineQueries.tempLayoutDir discipline — File.deleteOnExit
-    * cannot remove non-empty directories). Rebuilds orphan the previous
-    * tree until exit; a lazily-planned reader may still reference it.
+    * via the SHARED shutdown hook ([[Catalog.registerTempDir]] — one hook
+    * draining a queue, not one hook per build, which would accumulate
+    * unboundedly on a frequently edited session; ADVICE r8).
+    * File.deleteOnExit cannot remove non-empty directories. Rebuilds
+    * orphan the previous tree until exit; a lazily-planned reader may
+    * still reference it.
     */
   private def layoutTempDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
+    Catalog.registerTempDir(d)
     d.toString
   }
 
-  /** The registered layout for (session, slot), only if still valid. */
-  private def liveLayout(name: String, slot: String): Option[TableLayout] =
-    for {
-      s <- sessions.get(name)
-      l <- layouts.get((name, slot))
-      if l.builtAtEpoch == s.epoch
-    } yield l
+  /** The routing decision for (session, slot): the layout to serve from,
+    * if any, plus the report saying why / why not. `ok` is the entry
+    * point's parameter guard — a registered, epoch-valid layout built
+    * with DIFFERENT parameters than the caller's (another idCol, another
+    * banding) must fall back to the live plan, because routing changes
+    * the plan, never the answer.
+    */
+  private def decide(name: String, slot: String,
+                     ok: TableLayout => Boolean):
+      (Option[TableLayout], RouteReport) = {
+    val (l, reason) = (sessions.get(name), layouts.get((name, slot))) match {
+      case (None, _) => (None, "no-session")
+      case (_, None) => (None, "no-layout")
+      case (Some(s), Some(l0)) =>
+        if (l0.builtAtEpoch != s.epoch) (None, "stale-epoch")
+        else if (!ok(l0)) (None, "param-mismatch")
+        else (Some(l0), "routed")
+    }
+    (l, RouteReport(slot, if (l.isDefined) "layout" else "live", reason))
+  }
+
+  // Routing decisions were silent through r8 — a caller could not tell
+  // whether a query served from a layout or fell back, nor why. Every
+  // routed entry point now records its report here (bounded ring,
+  // oldest first), and explainRoute answers the question without
+  // running anything.
+  private val routeLog = mutable.ArrayBuffer.empty[RouteReport]
+  private def recordRoute(r: RouteReport): RouteReport = {
+    routeLog += r
+    if (routeLog.size > 256) routeLog.remove(0, routeLog.size - 256)
+    r
+  }
+
+  /** The most recent routing decisions of this catalog's entry points
+    * (bounded to the last 256, oldest first).
+    */
+  def recentRoutes: Seq[RouteReport] = routeLog.toSeq
+
+  /** Dry-run of the routing decision for (session, slot): would a query
+    * route through the registered layout, and if not, why — no-session /
+    * no-layout / stale-epoch / param-mismatch. `paramsOk` is the same
+    * guard the entry point would apply (e.g. [[topK]] requires the
+    * layout's idCol to equal the caller's); omit it to check only
+    * registration + epoch validity. Nothing is built, read, or recorded.
+    */
+  def explainRoute(name: String, slot: String,
+                   paramsOk: TableLayout => Boolean = _ => true): RouteReport =
+    decide(name, slot, paramsOk)._2
 
   /** Registered layouts (valid or stale) — the session's storage census. */
   def layoutsOf(name: String): Seq[(String, TableLayout)] =
@@ -632,10 +671,15 @@ class Catalog(spark: SparkSession) {
   def nearDups(name: String, batch: DataFrame, idCol: String,
                textCol: String, threshold: Double = 0.4,
                n: Int = 3, numHashes: Int = 128,
-               bands: Int = 64): DataFrame =
-    liveLayout(name, s"lsh:$textCol") match {
-      case Some(l: LshIndexLayout) if l.idCol == idCol && l.n == n &&
-          l.numHashes == numHashes && l.bands == bands =>
+               bands: Int = 64): DataFrame = {
+    val (lay, rep) = decide(name, s"lsh:$textCol", {
+      case l: LshIndexLayout => l.idCol == idCol && l.n == n &&
+        l.numHashes == numHashes && l.bands == bands
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: LshIndexLayout) =>
         graft.operators.Dedup.incrementalLshMatches(l.index, batch,
           l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
       case _ =>
@@ -645,6 +689,7 @@ class Catalog(spark: SparkSession) {
         graft.operators.Dedup.incrementalLshMatches(idx, batch, idCol,
           textCol, n, threshold, numHashes, bands)
     }
+  }
 
   /** Range-cluster the session on a numeric column (range repartition →
     * sorted part files) with a min/max file-skipping index
@@ -676,8 +721,11 @@ class Catalog(spark: SparkSession) {
     * layout.
     */
   def rangeScan(name: String, column: String, lo: Double,
-                hi: Double): DataFrame =
-    liveLayout(name, s"range:$column") match {
+                hi: Double): DataFrame = {
+    val (lay, rep) = decide(name, s"range:$column",
+      _.isInstanceOf[RangedLayout])
+    recordRoute(rep)
+    lay match {
       case Some(l: RangedLayout) =>
         graft.io.SkippingIndex.prunedRead(spark, l.stats, l.path, column,
           lo, hi)
@@ -686,16 +734,27 @@ class Catalog(spark: SparkSession) {
         Positional.strip(sessionOf(name).current)
           .filter(c >= lo && c <= hi)
     }
+  }
 
   /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
     * vecCol) serves the search from codes at rest (PQ: compressed-domain
     * scan; IVF-PQ: plan-time cell pruning first); otherwise the exact
     * brute-force cosine over the live session plan. Same output shape
-    * (id, sim) either way — the caller never names a layout.
+    * (id, sim) either way — the caller never names a layout. The layout
+    * routes only when its idCol equals the caller's (the [[nearDups]]
+    * guard, ADVICE r8): stored codes are keyed by the ids the layout was
+    * built with, and serving those under a different caller-named id
+    * column would change the answer, not just the plan.
     */
   def topK(name: String, idCol: String, vecCol: String, query: Seq[Float],
-           k: Int): DataFrame =
-    liveLayout(name, s"ann:$vecCol") match {
+           k: Int): DataFrame = {
+    val (lay, rep) = decide(name, s"ann:$vecCol", {
+      case l: PqCodesLayout => l.idCol == idCol
+      case l: IvfPqCellLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
       case Some(l: PqCodesLayout) =>
         graft.operators.Similarity.pqTopKFromLayout(spark, l.path, l.seeds,
           query, k, l.m)
@@ -706,6 +765,7 @@ class Catalog(spark: SparkSession) {
         graft.operators.Similarity.topK(
           Positional.strip(sessionOf(name).current), idCol, vecCol, query, k)
     }
+  }
 
   /** Equi-join of two open sessions, layout-routed: when BOTH sides hold
     * valid bucketed layouts on their join keys with matching bucket
@@ -716,13 +776,21 @@ class Catalog(spark: SparkSession) {
     */
   def join(left: String, leftKey: String, right: String,
            rightKey: String): DataFrame = {
+    val (ld, lrep) = decide(left, s"bucket:$leftKey",
+      _.isInstanceOf[BucketedLayout])
+    val (rd, rrep) = decide(right, s"bucket:$rightKey",
+      _.isInstanceOf[BucketedLayout])
     val routed = for {
-      ll <- liveLayout(left, s"bucket:$leftKey")
-        .collect { case b: BucketedLayout => b }
-      rl <- liveLayout(right, s"bucket:$rightKey")
-        .collect { case b: BucketedLayout => b }
+      ll <- ld.collect { case b: BucketedLayout => b }
+      rl <- rd.collect { case b: BucketedLayout => b }
       if ll.buckets == rl.buckets
     } yield (spark.table(ll.table), spark.table(rl.table))
+    // both sides valid but bucket counts differ = a parameter mismatch
+    // of the PAIR: each side alone would route, the join cannot
+    if (ld.isDefined && rd.isDefined && routed.isEmpty) {
+      recordRoute(lrep.copy(decision = "live", reason = "param-mismatch"))
+      recordRoute(rrep.copy(decision = "live", reason = "param-mismatch"))
+    } else { recordRoute(lrep); recordRoute(rrep) }
     val (lf, rf) = routed.getOrElse(
       (Positional.strip(sessionOf(left).current),
         Positional.strip(sessionOf(right).current)))
@@ -732,6 +800,38 @@ class Catalog(spark: SparkSession) {
 
 object Catalog {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // One JVM-wide shutdown hook draining a queue of temp layout roots.
+  // Registering a fresh hook per layout build leaked one thread object
+  // per rebuild for the life of the JVM (ADVICE r8).
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempDirHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      var f = tempDirs.poll()
+      while (f != null) { rm(f); f = tempDirs.poll() }
+    }))
+  }
+  private[core] def registerTempDir(d: java.nio.file.Path): Unit = {
+    tempDirHook
+    tempDirs.add(d.toFile)
+    ()
+  }
+
+  /** One routing decision: which slot was consulted, whether the query
+    * serves from the stored layout (`decision` = "layout") or the live
+    * session plan ("live"), and why — `reason` ∈ routed / no-session /
+    * no-layout / stale-epoch / param-mismatch. Returned by
+    * [[Catalog.explainRoute]] and recorded by every routed entry point
+    * in [[Catalog.recentRoutes]], so a caller can always tell whether a
+    * query hit storage and, if not, what to fix (rebuild vs re-state
+    * parameters).
+    */
+  final case class RouteReport(slot: String, decision: String,
+                               reason: String)
 
   /** An at-rest layout registered in a [[Catalog]]: what is stored, where,
     * and the session epoch it reflects (stale layouts are never routed).

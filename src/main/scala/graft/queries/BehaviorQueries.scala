@@ -26,12 +26,10 @@ object BehaviorQueries {
   private val stFunnelScratch =
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
-  /** j_catalog_bucketed's catalog (two sessions + bucketed layouts),
-    * memoized per (SparkSession, sfDir) — a cached Catalog holds that
-    * session's managed tables, so it must never be served to another.
-    */
-  private val routedJoinCatalogs =
-    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+  // j_catalog_bucketed's catalog (two sessions + bucketed layouts)
+  // memoizes per (SparkSession, sfDir) through [[SessionScoped]] — a
+  // cached Catalog holds that session's managed tables, so it must never
+  // be served to another.
 
   /** Closed-form z-score from decimal moments — single Spark-side copy;
     * the SQL twin is [[OracleIdioms.zScoreSql]]. Callers guard n > 1 and
@@ -1314,8 +1312,7 @@ object BehaviorQueries {
       * j_bucketed's plain-join oracle.
       */
     "j_catalog_bucketed" -> ((s, dir) => {
-      val cat = routedJoinCatalogs.getOrElseUpdate(
-          s"${System.identityHashCode(s)}:$dir", {
+      val cat = SessionScoped.memo(s, s"routedJoinCatalog:$dir") {
         val c = new graft.core.Catalog(s)
         c.openFrom("cat_orders", Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"))
@@ -1325,7 +1322,7 @@ object BehaviorQueries {
         c.buildBucketedLayout("cat_orders", "o_orderkey", 8)
         c.buildBucketedLayout("cat_lineitem", "l_orderkey", 8)
         c
-      })
+      }
       cat.join("cat_lineitem", "l_orderkey", "cat_orders", "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

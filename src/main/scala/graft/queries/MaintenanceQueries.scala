@@ -17,13 +17,10 @@ object MaintenanceQueries {
   private def customer(s: SparkSession, dir: String) =
     Tables.load(s, dir, "customer")
 
-  /** o_catalog_rangescan's catalog (session + ranged layout + skipping
-    * index), memoized per (SparkSession, sfDir) — a cached Catalog holds
-    * that session's checkpointed stats, so it must never be served to
-    * another.
-    */
-  private val rangedCatalogs =
-    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+  // o_catalog_rangescan's catalog (session + ranged layout + skipping
+  // index) memoizes per (SparkSession, sfDir) through [[SessionScoped]] —
+  // a cached Catalog holds that session's checkpointed stats, so it must
+  // never be served to another.
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
@@ -753,8 +750,7 @@ object MaintenanceQueries {
       * the oracle is the same plain full-scan filter as o_skipping's.
       */
     "o_catalog_rangescan" -> ((s, dir) => {
-      val cat = rangedCatalogs.getOrElseUpdate(
-          s"${System.identityHashCode(s)}:$dir", {
+      val cat = SessionScoped.memo(s, s"rangedCatalog:$dir") {
         val c = new graft.core.Catalog(s)
         c.openFrom("li_ranged",
           Tables.load(s, dir, "lineitem")
@@ -763,7 +759,7 @@ object MaintenanceQueries {
           Seq("l_orderkey", "l_linenumber"))
         c.buildRangedLayout("li_ranged", "l_extendedprice", files = 8)
         c
-      })
+      }
       cat.rangeScan("li_ranged", "l_extendedprice", 1000.0, 5000.0)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),

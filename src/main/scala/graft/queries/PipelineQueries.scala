@@ -45,19 +45,9 @@ object PipelineQueries {
   private val ivfPqLayoutCache = scala.collection.concurrent.TrieMap[
     String, (String, Seq[(Int, Seq[Float])],
       Array[scala.collection.Seq[Float]])]()
-  /** Catalog with the PQ layout registered, memoized per (SparkSession,
-    * sfDir) — a cached Catalog pins session-owned state (checkpointed
-    * relations), so it must never be served to another session.
-    */
-  private val routedCatalogs =
-    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
-
-  /** d_catalog_incr_lsh's catalog (corpus session + stored LSH index),
-    * memoized per (SparkSession, sfDir) — the checkpointed index lives in
-    * one session's block manager.
-    */
-  private val lshCatalogs =
-    scala.collection.concurrent.TrieMap[String, graft.core.Catalog]()
+  // Catalogs pin session-owned state (checkpointed relations, temp
+  // views), so they memoize per (SparkSession, sfDir) through
+  // [[SessionScoped]] — identity-keyed and collected with the session.
 
   private def tempLayoutDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
@@ -1018,8 +1008,7 @@ object PipelineQueries {
       * brute-force cross-pair oracle.
       */
     "d_catalog_incr_lsh" -> ((s, dir) => {
-      val cat = lshCatalogs.getOrElseUpdate(
-          s"${System.identityHashCode(s)}:$dir", {
+      val cat = SessionScoped.memo(s, s"lshCatalog:$dir") {
         val c = new graft.core.Catalog(s)
         c.openFrom("lsh_corpus", docs(s, dir)
           .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),
@@ -1027,7 +1016,7 @@ object PipelineQueries {
         c.buildLshLayout("lsh_corpus", "doc_id", "text", n = 3,
           numHashes = 128, bands = 64)
         c
-      })
+      }
       cat.nearDups("lsh_corpus",
           docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
           threshold = 0.4, n = 3, numHashes = 128, bands = 64)
@@ -1547,14 +1536,13 @@ object PipelineQueries {
       * which is exactly what sharing its oracle asserts.
       */
     "v_ann_catalog_topk" -> ((s, dir) => {
-      val cat = routedCatalogs.getOrElseUpdate(
-          s"${System.identityHashCode(s)}:$dir", {
+      val cat = SessionScoped.memo(s, s"routedCatalog:$dir") {
         val c = new graft.core.Catalog(s)
         c.openFrom("emb_rt", embs(s, dir).filter(col("vec_id") =!= 0L),
           Seq("vec_id"))
         c.buildPqLayout("emb_rt", "vec_id", "embedding")
         c
-      })
+      }
       cat.topK("emb_rt", "vec_id", "embedding", queryVec(s, dir), 10)
         .withColumnRenamed("id", "vec_id")
     }),

@@ -208,4 +208,35 @@ class CatalogRoutingSpec extends SparkSpec {
         s"an edited side must fall back to its live plan; plan:\n$p2")
     }
   }
+
+  test("explainRoute names the reason; entry points record their decisions") {
+    val cat = new Catalog(spark)
+    cat.open("emb_x", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    // the three fallback states a caller can act on: nothing registered,
+    // layout gone stale, layout built with other parameters
+    assert(cat.explainRoute("emb_x", "ann:embedding") ==
+      Catalog.RouteReport("ann:embedding", "live", "no-layout"))
+    assert(cat.explainRoute("nope", "ann:embedding").reason == "no-session")
+    cat.buildPqLayout("emb_x", "vec_id", "embedding")
+    assert(cat.explainRoute("emb_x", "ann:embedding") ==
+      Catalog.RouteReport("ann:embedding", "layout", "routed"))
+    // a caller naming a DIFFERENT id column must not be served
+    // layout-keyed ids (ADVICE r8): the answer would change, so the
+    // guard falls back to the live brute-force plan and says why
+    val before = cat.recentRoutes.size
+    val p = plan(cat.topK("emb_x", "label", "embedding", queryVec(), 5))
+    assert(p.contains("embedding"),
+      s"idCol mismatch must fall back to the live plan; plan:\n$p")
+    assert(cat.recentRoutes.drop(before) ==
+      Seq(Catalog.RouteReport("ann:embedding", "live", "param-mismatch")))
+    // the matching caller routes, and the log records it
+    cat.topK("emb_x", "vec_id", "embedding", queryVec(), 5)
+    assert(cat.recentRoutes.last ==
+      Catalog.RouteReport("ann:embedding", "layout", "routed"))
+    // an edit reads as stale-epoch until the maintenance gesture runs
+    assert(cat.get("emb_x").get.setCell(0L, "vec_id", "999999"))
+    assert(cat.explainRoute("emb_x", "ann:embedding").reason == "stale-epoch")
+    cat.refreshStale("emb_x")
+    assert(cat.explainRoute("emb_x", "ann:embedding").reason == "routed")
+  }
 }
