@@ -270,6 +270,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** Banded perceptual-hash candidate pairs, verified: (doc_i, doc_j,
+    * hamming) for every payload pair within `maxHamming` bits of dHash
+    * distance. Hamming ≤ 3 over a 64-bit hash split into 4×16-bit bands
+    * implies ≥ 1 equal band (pigeonhole — the simhash banding argument
+    * applied to media), so candidates come from a band equi-join; exact
+    * popcount-of-xor then verifies. Only (id, band, 16-bit value) ever
+    * shuffles — the binary column stays in its scan-side mapPartitions
+    * pass. `maxHamming` must stay ≤ 3 or the pigeonhole guarantee breaks
+    * (4 bands tolerate at most 3 differing bits without one band
+    * matching).
+    */
+  def phashPairs(df: DataFrame, idCol: String, binCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole covers Hamming <= 3, got $maxHamming")
+    val ph = perceptualHash(
+        df.select(col(idCol).as("doc_id"), col(binCol).as("payload")),
+        "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3").cache()
+    val bands = ph.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "band", "bv")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+    def sig(t: String) = ph.select(
+      col("doc_id").as(s"doc_$t"), col("b0").as(s"b0_$t"),
+      col("b1").as(s"b1_$t"), col("b2").as(s"b2_$t"),
+      col("b3").as(s"b3_$t"))
+    val ham = (0 until 4)
+      .map(i => bit_count(col(s"b${i}_i").bitwiseXOR(col(s"b${i}_j"))))
+      .reduce(_ + _)
+    cand.join(sig("i"), Seq("doc_i")).join(sig("j"), Seq("doc_j"))
+      .select(col("doc_i"), col("doc_j"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cluster-representative survivors of perceptual-hash dedup: the
+    * [[phashPairs]] matches feed star connected components and each
+    * clique keeps its min-id member (the
+    * [[Dedup.dropNearDuplicates]] shape) — the output a pipeline
+    * actually consumes. The distinction matters at scale: the PAIR list
+    * grows with clique size squared (measured ×90,000 pairs at ×100 data
+    * on the sf10 fixture, BENCH_sf10 r8), while the survivor set only
+    * shrinks — so this is the same banded join cost with
+    * cluster-count-sized output instead of cliques-squared. Output: the
+    * input rows of the surviving payloads, unchanged.
+    */
+  def phashDropNear(df: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    val pairs = phashPairs(df, idCol, binCol, maxHamming)
+    val losers = Graph.starConnectedComponents(pairs, "doc_i", "doc_j")
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** ViT-style patch extraction: split each payload into a `grid`×`grid`
     * sequence of contiguous byte patches (row-major), one output row per
     * patch. Unlike the codec ops above this needs no batch boundary at

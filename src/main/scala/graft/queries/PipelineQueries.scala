@@ -18,6 +18,21 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Payload universe for the perceptual-hash queries: every document as
+    * a binary payload, plus the canonical pHash test case — a
+    * single-byte edit ("one pixel changed": an id+1e6 twin for every
+    * 20th payload) that exact fingerprinting cannot see but dHash keeps
+    * inside the Hamming budget.
+    */
+  private def phashUniverse(s: SparkSession, dir: String) = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).as("text"))
+    base.unionByName(variants)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+  }
+
   /** DuckDB mirror of TextFunctions.tokens (shared — see OracleIdioms). */
   private val toksSql = OracleIdioms.toksSql
 
@@ -919,35 +934,23 @@ object PipelineQueries {
       * word-level near-dup rewrites elsewhere in `documents` sit ~22+ bits
       * apart and must NOT match, which is the precision half of the check.
       */
-    "m_phash_dedup" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-      val variants = base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("x"), expr("substring(text, 2)")).as("text"))
-      val ph = Multimodal.perceptualHash(
-          base.unionByName(variants).select(col("doc_id"),
-            col("text").cast("binary").as("payload")), "payload")
-        .select("doc_id", "b0", "b1", "b2", "b3").cache()
-      val bands = ph.select(col("doc_id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-        .toDF("doc_id", "band", "bv")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
-        .distinct()
-      def sig(t: String) = ph.select(
-        col("doc_id").as(s"doc_$t"), col("b0").as(s"b0_$t"),
-        col("b1").as(s"b1_$t"), col("b2").as(s"b2_$t"),
-        col("b3").as(s"b3_$t"))
-      val ham = (0 until 4)
-        .map(i => bit_count(col(s"b${i}_i").bitwiseXOR(col(s"b${i}_j"))))
-        .reduce(_ + _)
-      cand.join(sig("i"), Seq("doc_i")).join(sig("j"), Seq("doc_j"))
-        .select(col("doc_i"), col("doc_j"), ham.as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_i", "doc_j")
-    }),
+    "m_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(phashUniverse(s, dir), "doc_id", "payload",
+          maxHamming = 3)
+        .orderBy("doc_i", "doc_j")),
+
+    /** The consumable half of perceptual-hash dedup: pairs → star-CC →
+      * keep each clique's min-id representative. At sf10 the PAIR list
+      * explodes ×90,000 while data grows ×100 (legitimate cliques, but
+      * no consumer wants them); the survivor set here scales with
+      * cluster count instead. Oracle replays dHash + pigeonhole + a
+      * recursive-CTE CC (the d_drop_near discipline).
+      */
+    "m_phash_drop" -> ((s, dir) =>
+      Multimodal.phashDropNear(phashUniverse(s, dir), "doc_id", "payload",
+          maxHamming = 3)
+        .select(col("doc_id"), length(col("payload")).as("n_bytes"))
+        .orderBy("doc_id")),
 
     "m_audio_energy" -> ((s, dir) =>
       Multimodal.audioWindows(
@@ -3332,40 +3335,27 @@ object PipelineQueries {
     // boundary chunks, cross-multiplied mean comparisons, banded 16-bit
     // values, pigeonhole candidates, popcount verify
     "m_phash_dedup" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'x' || substr(text, 2)
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |ln AS (SELECT doc_id, text, length(text) AS l FROM u),
-        |e AS (SELECT doc_id, c,
-        |    list_sum(list_transform(
-        |      generate_series((c * l) // 65 + 1, ((c + 1) * l) // 65),
-        |      i -> ascii(substr(text, i, 1)))) AS s,
-        |    ((c + 1) * l) // 65 - (c * l) // 65 AS n
-        |  FROM ln CROSS JOIN
-        |    (SELECT unnest(generate_series(0, 64)) AS c)),
-        |bits AS (SELECT a.doc_id, a.c AS d,
-        |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
-        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.c = a.c + 1
-        |  WHERE a.c < 64),
-        |bands AS (SELECT doc_id, d // 16 AS band,
-        |    CAST(sum(bit << (d % 16)) AS INT) AS bv
-        |  FROM bits GROUP BY doc_id, d // 16),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        |sig AS (SELECT doc_id, list(bv ORDER BY band) AS bs
-        |  FROM bands GROUP BY doc_id),
-        |ham AS (SELECT doc_i, doc_j,
-        |    CAST(bit_count(xor(si.bs[1], sj.bs[1])) +
-        |      bit_count(xor(si.bs[2], sj.bs[2])) +
-        |      bit_count(xor(si.bs[3], sj.bs[3])) +
-        |      bit_count(xor(si.bs[4], sj.bs[4])) AS INT) AS hamming
-        |  FROM cand
-        |  JOIN sig si ON si.doc_id = doc_i
-        |  JOIN sig sj ON sj.doc_id = doc_j)
+      s"""WITH $phashPairCtes
         |SELECT doc_i, doc_j, hamming FROM ham WHERE hamming <= 3
         |ORDER BY doc_i, doc_j""".stripMargin,
+
+    // the verified pairs feed a recursive-CTE connected components and
+    // every clique keeps its min-id member (the dropNearOracle shape)
+    "m_phash_drop" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+        |pairs AS MATERIALIZED (SELECT doc_i, doc_j FROM ham
+        |  WHERE hamming <= 3),
+        |ed AS MATERIALIZED (SELECT doc_i AS a, doc_j AS b FROM pairs
+        |      UNION SELECT doc_j, doc_i FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM ed),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT eg.a, re.r FROM ed eg JOIN reach re ON eg.b = re.node),
+        |cc AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        |SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM u
+        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
+        |ORDER BY doc_id""".stripMargin,
 
     "m_decode_meta" ->
       """SELECT doc_id,
@@ -4118,6 +4108,46 @@ object PipelineQueries {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster)
          |ORDER BY doc_id""".stripMargin
+
+  /** dHash replayed byte-for-byte on the ASCII payload universe (base
+    * docs + the single-byte-edit twins): 65 integer-boundary chunks,
+    * cross-multiplied mean comparisons, banded 16-bit values, pigeonhole
+    * candidates, popcount verify — `ham` is the verified pair relation
+    * shared by m_phash_dedup (pair list) and m_phash_drop (survivors).
+    */
+  private lazy val phashPairCtes: String =
+    """u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'x' || substr(text, 2)
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |ln AS (SELECT doc_id, text, length(text) AS l FROM u),
+      |e AS (SELECT doc_id, c,
+      |    list_sum(list_transform(
+      |      generate_series((c * l) // 65 + 1, ((c + 1) * l) // 65),
+      |      i -> ascii(substr(text, i, 1)))) AS s,
+      |    ((c + 1) * l) // 65 - (c * l) // 65 AS n
+      |  FROM ln CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 64)) AS c)),
+      |bits AS (SELECT a.doc_id, a.c AS d,
+      |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.c = a.c + 1
+      |  WHERE a.c < 64),
+      |bands AS (SELECT doc_id, d // 16 AS band,
+      |    CAST(sum(bit << (d % 16)) AS INT) AS bv
+      |  FROM bits GROUP BY doc_id, d // 16),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |sig AS (SELECT doc_id, list(bv ORDER BY band) AS bs
+      |  FROM bands GROUP BY doc_id),
+      |ham AS MATERIALIZED (SELECT doc_i, doc_j,
+      |    CAST(bit_count(xor(si.bs[1], sj.bs[1])) +
+      |      bit_count(xor(si.bs[2], sj.bs[2])) +
+      |      bit_count(xor(si.bs[3], sj.bs[3])) +
+      |      bit_count(xor(si.bs[4], sj.bs[4])) AS INT) AS hamming
+      |  FROM cand
+      |  JOIN sig si ON si.doc_id = doc_i
+      |  JOIN sig sj ON sj.doc_id = doc_j)""".stripMargin
 
   private lazy val jaccardPairsOracle: String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
