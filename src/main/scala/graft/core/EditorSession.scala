@@ -415,8 +415,20 @@ object EditorSession {
   * plus the SQL-text surface over them — every open session is queryable as
   * a temp view, so `catalog.sql("SELECT ... FROM a JOIN b ...")` runs
   * cross-table SQL the reference never could.
+  *
+  * With a `warehouse` root the catalog is DURABLE: file-backed layouts
+  * (PQ / IVF-PQ codes, range-clustered files + skipping stats, LSH
+  * index) write under the warehouse instead of JVM-temp dirs, every
+  * build records a [[LayoutManifestEntry]] in `<warehouse>/_manifest`,
+  * and a NEW catalog over the same warehouse re-attaches the stored
+  * layouts when a session reopens — the "build once, serve many"
+  * economics survive a restart, which tempdir-backed layouts never
+  * could (r8 verdict task #2). Re-attachment is digest-gated, not
+  * name-gated: see [[LayoutManifestEntry]]. Bucketed layouts persist
+  * only as far as the metastore does (in-memory catalog = one JVM;
+  * Hive metastore in production). One writer per warehouse.
   */
-class Catalog(spark: SparkSession) {
+class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
@@ -432,20 +444,25 @@ class Catalog(spark: SparkSession) {
     register(name, EditorSession.fromDataFrame(df, orderCols))
   }
 
-  /** (Re)bind a name: any layouts registered under it describe the OLD
-    * table and must not survive — a fresh session starts at epoch 0, which
-    * a stale layout's builtAtEpoch could otherwise match.
+  /** (Re)bind a name: any LIVE layouts registered under it describe the
+    * OLD table and must not survive — a fresh session starts at epoch 0,
+    * which a stale layout's builtAtEpoch could otherwise match. Durable
+    * layouts then re-attach from the manifest if (and only if) the new
+    * table's content digest matches what they were built from.
     */
   private def register(name: String, s: EditorSession): EditorSession = {
     layouts.filterInPlace { case ((n, _), _) => n != name }
-    sessions(name) = s; s
+    sessions(name) = s
+    attachFromManifest(name, s)
+    s
   }
 
   /** Closes the session AND drops its temp view — otherwise a later
     * `sql()` would silently serve the closed session's frozen snapshot.
-    * Registered layouts go too: they describe a session that no longer
-    * exists (re-opening the name would start at epoch 0 and must never
-    * inherit stale storage).
+    * Live layouts go too: they describe a session that no longer exists
+    * (re-opening the name would start at epoch 0 and must never inherit
+    * stale storage). Durable layouts keep their manifest entries — a
+    * reopen re-attaches them through the digest gate.
     */
   def close(name: String): Unit = {
     sessions.remove(name)
@@ -487,6 +504,134 @@ class Catalog(spark: SparkSession) {
   import Catalog._
   private val layouts = mutable.LinkedHashMap.empty[(String, String), TableLayout]
   private val catalogId = Catalog.nextId.getAndIncrement()
+
+  // ---- durable warehouse -------------------------------------------------
+  // The manifest is this catalog's persisted truth about stored layouts,
+  // loaded once at construction; every warehouse build upserts its entry
+  // and rewrites the file (layout-count-sized — control-plane IO).
+  private val manifest =
+    mutable.LinkedHashMap.empty[(String, String), LayoutManifestEntry]
+  warehouse.foreach { wh =>
+    LayoutStore.load(spark, wh)
+      .foreach(e => manifest((e.session, e.slot)) = e)
+  }
+  private val layoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Root dir for a new file-backed layout build: under the warehouse
+    * (durable, manifest-recorded — second element is the path relative to
+    * the warehouse) or a JVM-temp dir cleaned at exit (second element
+    * None).
+    */
+  private def layoutRoot(prefix: String): (String, Option[String]) =
+    warehouse match {
+      case Some(wh) =>
+        val rel = s"$prefix${catalogId}_${layoutSeq.incrementAndGet()}"
+        (s"$wh/$rel", Some(rel))
+      case None => (layoutTempDir(prefix), None)
+    }
+
+  /** Order-free content digest `rowHashSum:rowCount` of a projection of
+    * `df` (empty `cols` = every column). Sum of per-row xxhash64 values
+    * in decimal(38,0), so any partitioning and any merge order produce
+    * the same digits; map-typed columns hash via their JSON rendering
+    * (hash functions reject maps — key order in that rendering is
+    * whatever `to_json` emits, which is deterministic for a given row).
+    * One column-pruned scan; computed at build time (noise next to the
+    * encode) and at re-attach time (the price of never serving another
+    * table's stored codes — still far cheaper than a rebuild).
+    */
+  private def contentDigest(df: DataFrame, cols: Seq[String]): String = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val use = if (cols.isEmpty) df.columns.toSeq else cols
+    val hcols = use.map { c =>
+      if (hasMap(df.schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+    val r = df.agg(
+      sum(xxhash64(hcols: _*).cast("decimal(38,0)")).as("h"),
+      count(lit(1)).as("n")).head()
+    s"${Option(r.get(0)).getOrElse(0)}:${r.getLong(1)}"
+  }
+
+  private def persistEntry(e: LayoutManifestEntry): Unit =
+    warehouse.foreach { wh =>
+      manifest((e.session, e.slot)) = e
+      LayoutStore.save(spark, wh, manifest.values.toSeq)
+    }
+
+  /** Re-attach persisted layouts to a freshly (re)opened session: each
+    * manifest entry under this name routes again only if the new
+    * session's relevant columns reproduce the digest its build recorded.
+    * A mismatch (different data under a reused name, or a column gone)
+    * leaves the entry dormant and logs a `digest-mismatch` decision in
+    * [[recentRoutes]] — queries fall back to live plans, never to
+    * another table's stored bytes.
+    */
+  private def attachFromManifest(name: String, s: EditorSession): Unit =
+    warehouse.foreach { wh =>
+      val entries = manifest.collect {
+        case ((n, slot), e) if n == name => (slot, e)
+      }.toSeq
+      if (entries.nonEmpty) {
+        val base = Positional.strip(s.current)
+        entries.foreach { case (slot, e) =>
+          val cols = e.kind match {
+            case "pq" | "ivfpq" | "lsh" => Seq(e.idCol.get, e.valueCol.get)
+            case _ => Seq.empty[String]
+          }
+          val matches = Try(contentDigest(base, cols) == e.digest)
+            .getOrElse(false)
+          val attached =
+            if (matches) reconstruct(wh, e, s.epoch) else None
+          attached match {
+            case Some(l) => layouts((name, slot)) = l
+            case None => recordRoute(RouteReport(slot, "live",
+              "digest-mismatch")); ()
+          }
+        }
+      }
+    }
+
+  /** Rebuild the in-memory layout object a manifest entry describes.
+    * None if its storage is unusable (e.g. a bucketed table missing from
+    * this metastore, files deleted) — the caller treats that like a
+    * digest mismatch.
+    */
+  private def reconstruct(wh: String, e: LayoutManifestEntry,
+                          epoch: Long): Option[TableLayout] = Try {
+    def seedArr: Array[scala.collection.Seq[Float]] =
+      e.seeds.get.map(s => s: scala.collection.Seq[Float]).toArray
+    e.kind match {
+      case "pq" =>
+        PqCodesLayout(e.idCol.get, e.valueCol.get,
+          s"$wh/${e.path.get}/codes", seedArr, e.m.get, epoch)
+      case "ivfpq" =>
+        IvfPqCellLayout(e.idCol.get, e.valueCol.get,
+          s"$wh/${e.path.get}/codes", e.cents.get.map(c => (c.cid, c.vec)),
+          seedArr, e.m.get, e.nProbe.get, epoch)
+      case "bucket" =>
+        require(spark.catalog.tableExists(e.table.get),
+          s"bucketed table ${e.table.get} not in this metastore")
+        BucketedLayout(e.valueCol.get, e.table.get, e.buckets.get, epoch)
+      case "range" =>
+        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
+          .localCheckpoint(true)
+        RangedLayout(e.valueCol.get, s"$wh/${e.path.get}/ranged", stats,
+          e.files.get, epoch)
+      case "lsh" =>
+        // parquet-backed: the stored index is already at rest, no
+        // checkpoint pin needed (that pin exists to avoid re-shingling a
+        // LIVE plan)
+        LshIndexLayout(e.idCol.get, e.valueCol.get, e.n.get,
+          e.numHashes.get, e.bands.get,
+          spark.read.parquet(s"$wh/${e.path.get}/index"), epoch)
+    }
+  }.toOption
 
   private def sessionOf(name: String): EditorSession =
     sessions.getOrElse(name,
@@ -594,11 +739,17 @@ class Catalog(spark: SparkSession) {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
     val seeds = graft.operators.Similarity.pqCodebook(base, idCol, vecCol)
-    val path = layoutTempDir("catalog_pq_") + "/codes"
+    val (dir, rel) = layoutRoot("catalog_pq_")
+    val path = dir + "/codes"
     graft.operators.Similarity.pqCodes(base, idCol, vecCol, seeds, m)
       .write.parquet(path)
     layouts((name, s"ann:$vecCol")) =
       PqCodesLayout(idCol, vecCol, path, seeds, m, s.epoch)
+    rel.foreach(r => persistEntry(LayoutManifestEntry(
+      session = name, slot = s"ann:$vecCol", kind = "pq",
+      digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+      idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+      seeds = Some(seeds.map(_.toSeq).toSeq))))
     path
   }
 
@@ -614,10 +765,18 @@ class Catalog(spark: SparkSession) {
     val base = Positional.strip(s.current)
     val (codes, cents, seeds) = graft.operators.Similarity.ivfPqCodes(
       base, idCol, vecCol, nCentroids, m)
-    val path = layoutTempDir("catalog_ivfpq_") + "/codes"
+    val (dir, rel) = layoutRoot("catalog_ivfpq_")
+    val path = dir + "/codes"
     graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
     layouts((name, s"ann:$vecCol")) =
       IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
+    rel.foreach(r => persistEntry(LayoutManifestEntry(
+      session = name, slot = s"ann:$vecCol", kind = "ivfpq",
+      digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+      idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+      nProbe = Some(nProbe),
+      seeds = Some(seeds.map(_.toSeq).toSeq),
+      cents = Some(cents.map { case (cid, v) => CentEntry(cid, v) }))))
     path
   }
 
@@ -633,9 +792,13 @@ class Catalog(spark: SparkSession) {
     // first catalog's layout would stay epoch-valid and silently route
     // the second catalog's data
     val tbl = s"graft_c${catalogId}_${name}_by_$key".toLowerCase
-    graft.io.Bucketing.writeBucketed(Positional.strip(s.current), tbl, key,
-      buckets)
+    val base = Positional.strip(s.current)
+    graft.io.Bucketing.writeBucketed(base, tbl, key, buckets)
     layouts((name, s"bucket:$key")) = BucketedLayout(key, tbl, buckets, s.epoch)
+    persistEntry(LayoutManifestEntry(
+      session = name, slot = s"bucket:$key", kind = "bucket",
+      digest = contentDigest(base, Seq.empty), table = Some(tbl),
+      valueCol = Some(key), buckets = Some(buckets)))
     tbl
   }
 
@@ -649,9 +812,22 @@ class Catalog(spark: SparkSession) {
                      n: Int = 3, numHashes: Int = 128,
                      bands: Int = 64): Unit = {
     val s = sessionOf(name)
-    val idx = graft.operators.Dedup.lshIndex(Positional.strip(s.current),
-        idCol, textCol, n, numHashes, bands)
-      .localCheckpoint(true)
+    val base = Positional.strip(s.current)
+    val idx0 = graft.operators.Dedup.lshIndex(base, idCol, textCol, n,
+      numHashes, bands)
+    // durable: the index parquet IS the at-rest pin (probes read files,
+    // never re-shingle); process-local: localCheckpoint pins the blocks
+    val idx =
+      if (warehouse.isDefined) {
+        val (dir, rel) = layoutRoot("catalog_lsh_")
+        idx0.write.parquet(dir + "/index")
+        rel.foreach(r => persistEntry(LayoutManifestEntry(
+          session = name, slot = s"lsh:$textCol", kind = "lsh",
+          digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+          idCol = Some(idCol), valueCol = Some(textCol), n = Some(n),
+          numHashes = Some(numHashes), bands = Some(bands))))
+        spark.read.parquet(dir + "/index")
+      } else idx0.localCheckpoint(true)
     layouts((name, s"lsh:$textCol")) =
       LshIndexLayout(idCol, textCol, n, numHashes, bands, idx, s.epoch)
   }
@@ -700,8 +876,10 @@ class Catalog(spark: SparkSession) {
   def buildRangedLayout(name: String, column: String,
                         files: Int = 8): String = {
     val s = sessionOf(name)
-    val path = layoutTempDir("catalog_ranged_") + "/ranged"
-    Positional.strip(s.current)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_ranged_")
+    val path = dir + "/ranged"
+    base
       .repartitionByRange(files, org.apache.spark.sql.functions.col(column))
       .sortWithinPartitions(column)
       .write.parquet(path)
@@ -709,6 +887,13 @@ class Catalog(spark: SparkSession) {
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
       files, s.epoch)
+    rel.foreach { r =>
+      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"range:$column", kind = "range",
+        digest = contentDigest(base, Seq.empty), path = Some(r),
+        valueCol = Some(column), files = Some(files)))
+    }
     path
   }
 

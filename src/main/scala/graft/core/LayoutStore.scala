@@ -1,0 +1,70 @@
+package graft.core
+
+import scala.util.Try
+import org.apache.spark.sql.SparkSession
+
+/** A coarse IVF centroid as stored in the layout manifest. */
+final case class CentEntry(cid: Int, vec: Seq[Float])
+
+/** One persisted layout, as recorded in a warehouse manifest: what kind of
+  * layout, which (session, slot) it serves, the build parameters needed to
+  * reconstruct the in-memory layout object, where its files live (relative
+  * to the warehouse root), and a content digest of the source projection
+  * it was built from.
+  *
+  * The digest is the re-attachment contract: epochs restart at 0 every
+  * time a session (re)opens, so "built at epoch N" means nothing across
+  * processes — instead, a reloaded layout routes only after the freshly
+  * opened session's relevant columns hash to the SAME order-free digest
+  * the build recorded. Opening a different table under a reused session
+  * name can therefore never be served another table's stored codes.
+  *
+  * `valueCol` is the kind-specific second column: vecCol (pq/ivfpq),
+  * textCol (lsh), the clustered column (range), or the join key (bucket).
+  */
+final case class LayoutManifestEntry(
+    session: String, slot: String, kind: String,
+    digest: String,
+    path: Option[String] = None, table: Option[String] = None,
+    idCol: Option[String] = None, valueCol: Option[String] = None,
+    m: Option[Int] = None, nProbe: Option[Int] = None,
+    buckets: Option[Int] = None, files: Option[Int] = None,
+    n: Option[Int] = None, numHashes: Option[Int] = None,
+    bands: Option[Int] = None,
+    seeds: Option[Seq[Seq[Float]]] = None,
+    cents: Option[Seq[CentEntry]] = None)
+
+/** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
+  * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row
+  * per layout, like a lakehouse table manifest). Spark is its own codec
+  * here: no JSON library dependency, any Hadoop-compatible filesystem
+  * works, and the explicit schema comes from the entry's encoder.
+  * Single-writer per warehouse: the manifest is rewritten whole on every
+  * build (layout-count-sized, not data-sized).
+  */
+object LayoutStore {
+
+  private def manifestPath(warehouse: String) = s"$warehouse/_manifest"
+
+  def load(spark: SparkSession, warehouse: String): Seq[LayoutManifestEntry] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil // absent manifest = fresh warehouse
+    else Try {
+      spark.read
+        .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
+        .json(manifestPath(warehouse))
+        .as[LayoutManifestEntry]
+        .collect()
+        .toSeq
+    }.getOrElse(Nil) // unreadable manifest = treat as fresh, never crash
+  }
+
+  def save(spark: SparkSession, warehouse: String,
+           entries: Seq[LayoutManifestEntry]): Unit = {
+    import spark.implicits._
+    entries.toDS().coalesce(1).write.mode("overwrite")
+      .json(manifestPath(warehouse))
+  }
+}
