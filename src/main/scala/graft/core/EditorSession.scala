@@ -128,6 +128,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   private def restore(s: Snap): Unit = {
     epochCounter += 1
+    logMutation(None, Set.empty) // undo/redo can change anything
     table = s.table
     editLog.clear()
     s.edits.foreach { case (c, m) => editLog(c) = m }
@@ -145,9 +146,49 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private var epochCounter = 0L
   def epoch: Long = epochCounter
 
-  /** Record state before a mutation gesture; clears the redo branch. */
-  private def remember(): Unit = {
+  // ---- mutation log (delta-maintenance feed) ------------------------------
+  // One entry per epoch bump: which positions a gesture touched (None =
+  // structural gesture — delete/splice/replace/pivot/nested edit/undo —
+  // after which no delta is recoverable) and which columns. Catalog
+  // layout maintenance reads this to patch stored layouts instead of
+  // rebuilding them from the whole corpus after every edit.
+  private val mutLog =
+    mutable.ArrayBuffer.empty[(Long, Option[Seq[Long]], Set[String])]
+  private var mutLogFloor = 0L // epochs <= floor predate the retained log
+  private val mutLogMax = 4096
+
+  private def logMutation(dirty: Option[Seq[Long]], cols: Set[String]): Unit = {
+    mutLog += ((epochCounter, dirty, cols))
+    if (mutLog.size > mutLogMax) {
+      mutLogFloor = mutLog.head._1
+      mutLog.remove(0)
+    }
+  }
+
+  /** The cell positions and columns mutated since `sinceEpoch`, when
+    * every intervening gesture was a position-bounded cell edit. None
+    * when any structural gesture (row delete/splice/paste, replace,
+    * pivot, nested-field edit, undo/redo) or log truncation makes the
+    * delta unrecoverable — callers must treat None as "anything may have
+    * changed". Equal-epoch calls return empty sets (nothing mutated).
+    */
+  def dirtySince(sinceEpoch: Long): Option[(Seq[Long], Set[String])] =
+    if (sinceEpoch < mutLogFloor) None
+    else {
+      val entries = mutLog.filter(_._1 > sinceEpoch)
+      if (entries.exists(_._2.isEmpty)) None
+      else Some((entries.flatMap(_._2.get).distinct.toSeq,
+        entries.flatMap(_._3).toSet))
+    }
+
+  /** Record state before a mutation gesture; clears the redo branch.
+    * `dirty`/`cols` feed the mutation log: position-bounded cell gestures
+    * pass what they touch, structural gestures take the None default.
+    */
+  private def remember(dirty: Option[Seq[Long]] = None,
+                       cols: Set[String] = Set.empty): Unit = {
     epochCounter += 1
+    logMutation(dirty, cols)
     undoStack += snap()
     if (undoStack.size > maxHistory) undoStack.remove(0)
     redoStack.clear()
@@ -213,7 +254,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
           CellOps.castStrict(raw, f.dataType).map(p -> _) }
         if (edits.isEmpty || casted.exists(_.isFailure)) false
         else {
-          remember()
+          remember(Some(edits.map(_._1)), Set(colName))
           editLog(colName) =
             editLog.getOrElse(colName, Map.empty[Long, Any]) ++ casted.map(_.get)
           editsSinceCheckpoint += edits.size
@@ -266,7 +307,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   }
 
   private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
-    remember()
+    remember(Some(Seq(pos)), Set(colName))
     editLog(colName) = editLog.getOrElse(colName, Map.empty[Long, Any]) + (pos -> v)
     editsSinceCheckpoint += 1
     if (editsSinceCheckpoint >= compactEvery) checkpoint()
@@ -606,14 +647,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
                           epoch: Long): Option[TableLayout] = Try {
     def seedArr: Array[scala.collection.Seq[Float]] =
       e.seeds.get.map(s => s: scala.collection.Seq[Float]).toArray
+    def patch: Option[LayoutPatch] = e.patch.map { pr =>
+      LayoutPatch(spark.read.parquet(s"$wh/$pr/add"),
+        spark.read.parquet(s"$wh/$pr/removed"), Some(pr))
+    }
     e.kind match {
       case "pq" =>
         PqCodesLayout(e.idCol.get, e.valueCol.get,
-          s"$wh/${e.path.get}/codes", seedArr, e.m.get, epoch)
+          s"$wh/${e.path.get}/codes", seedArr, e.m.get, epoch, patch)
       case "ivfpq" =>
         IvfPqCellLayout(e.idCol.get, e.valueCol.get,
           s"$wh/${e.path.get}/codes", e.cents.get.map(c => (c.cid, c.vec)),
-          seedArr, e.m.get, e.nProbe.get, epoch)
+          seedArr, e.m.get, e.nProbe.get, epoch, patch)
       case "bucket" =>
         require(spark.catalog.tableExists(e.table.get),
           s"bucketed table ${e.table.get} not in this metastore")
@@ -629,7 +674,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         // LIVE plan)
         LshIndexLayout(e.idCol.get, e.valueCol.get, e.n.get,
           e.numHashes.get, e.bands.get,
-          spark.read.parquet(s"$wh/${e.path.get}/index"), epoch)
+          spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
     }
   }.toOption
 
@@ -704,30 +749,215 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   def layoutsOf(name: String): Seq[(String, TableLayout)] =
     layouts.collect { case ((n, slot), l) if n == name => (slot, l) }.toSeq
 
-  /** Rebuild every STALE layout of a session at its current epoch — the
-    * "compact after an edit burst" maintenance gesture: routing resumes
-    * on all slots without the caller re-stating any build parameters.
-    * Returns the rebuilt slot names (valid layouts are left untouched).
+  /** Refresh every STALE layout of a session at its current epoch — the
+    * "after an edit burst" maintenance gesture: routing resumes on all
+    * slots without the caller re-stating any build parameters. Returns
+    * the refreshed slot names (valid layouts are left untouched).
+    *
+    * Refresh is INCREMENTAL where the session's mutation log allows it
+    * ([[EditorSession.dirtySince]] — r8 verdict task #3): a keyed layout
+    * (PQ / IVF-PQ / LSH) whose relevant columns were untouched simply
+    * revalidates at the new epoch (zero IO); one touched by
+    * position-bounded cell edits gets a DELTA PATCH — only the dirty
+    * rows re-encode/re-sign, the corpus-sized base files are never
+    * rewritten, and renamed-away ids are shadowed via
+    * [[Catalog.LayoutPatch]]. Full rebuild remains for structural
+    * gestures (splice/replace/pivot/undo — no recoverable delta), dirty
+    * sets past [[deltaMaxRows]] (a patch that big loses to a rebuild),
+    * and the full-row layouts (ranged, bucketed), whose stored rows have
+    * no key a patch could shadow by.
     */
   def refreshStale(name: String): Seq[String] = {
     val s = sessionOf(name)
     layoutsOf(name).collect {
       case (slot, l) if l.builtAtEpoch != s.epoch => (slot, l)
-    }.map {
-      case (slot, l: PqCodesLayout) =>
-        buildPqLayout(name, l.idCol, l.vecCol, l.m); slot
-      case (slot, l: IvfPqCellLayout) =>
-        buildIvfPqLayout(name, l.idCol, l.vecCol,
-          l.cents.size, l.m, l.nProbe); slot
-      case (slot, l: BucketedLayout) =>
-        buildBucketedLayout(name, l.key, l.buckets); slot
-      case (slot, l: RangedLayout) =>
-        buildRangedLayout(name, l.column, l.files); slot
-      case (slot, l: LshIndexLayout) =>
-        buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes,
-          l.bands); slot
+    }.map { case (slot, l) => refreshSlot(name, s, slot, l); slot }
+  }
+
+  /** Above this many dirty rows a delta patch loses to a rebuild (and
+    * the serving-side anti-join stops being broadcast-trivial).
+    */
+  private val deltaMaxRows = 4096
+
+  private def refreshSlot(name: String, s: EditorSession, slot: String,
+                          l: TableLayout): Unit = {
+    val dirty = s.dirtySince(l.builtAtEpoch)
+    def disjoint(cols: Set[String], layoutCols: Set[String]) =
+      cols.intersect(layoutCols).isEmpty
+    (l, dirty) match {
+      // untouched relevant columns: the stored bytes still describe this
+      // data — revalidate at the new epoch, zero IO
+      case (p: PqCodesLayout, Some((_, cols)))
+          if disjoint(cols, Set(p.idCol, p.vecCol)) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      case (p: IvfPqCellLayout, Some((_, cols)))
+          if disjoint(cols, Set(p.idCol, p.vecCol)) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      case (p: LshIndexLayout, Some((_, cols)))
+          if disjoint(cols, Set(p.idCol, p.textCol)) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      // bounded cell edits on a keyed layout: delta-patch
+      case (p: PqCodesLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows =>
+        patchPq(name, s, slot, p, pos, cols.contains(p.idCol))
+      case (p: IvfPqCellLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows =>
+        patchIvfPq(name, s, slot, p, pos, cols.contains(p.idCol))
+      case (p: LshIndexLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows =>
+        patchLsh(name, s, slot, p, pos, cols.contains(p.idCol))
+      case _ => rebuildSlot(name, l)
     }
   }
+
+  private def rebuildSlot(name: String, l: TableLayout): Unit = l match {
+    case l: PqCodesLayout =>
+      buildPqLayout(name, l.idCol, l.vecCol, l.m); ()
+    case l: IvfPqCellLayout =>
+      buildIvfPqLayout(name, l.idCol, l.vecCol, l.cents.size, l.m,
+        l.nProbe); ()
+    case l: BucketedLayout =>
+      buildBucketedLayout(name, l.key, l.buckets); ()
+    case l: RangedLayout =>
+      buildRangedLayout(name, l.column, l.files); ()
+    case l: LshIndexLayout =>
+      buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes, l.bands)
+  }
+
+  /** The session rows at the dirty positions, as the layout's column
+    * projection — the only data-sized input a delta refresh touches.
+    */
+  private def dirtyRows(s: EditorSession, pos: Seq[Long],
+                        cols: Seq[String]): DataFrame =
+    s.current.filter(col(Positional.POS).isInCollection(pos))
+      .select(cols.map(col): _*)
+
+  /** Merge the previous patch (if any) with this refresh's delta.
+    * `add0` = freshly encoded dirty rows (ONE job: dirty-position scan +
+    * encode); when the id column itself was edited (`idsTouched`),
+    * renamed-away ids are recovered as `servedIds EXCEPT nowIds` — an
+    * id-only column-pruned pass, the one corpus-sized read a rename
+    * costs (still no re-encode). When ids were untouched (the common
+    * case: a value/text edit), row identity is stable and NOTHING
+    * corpus-sized runs for the shadow set at all.
+    *
+    * The merge itself happens DRIVER-side: both patch legs are
+    * edit-count-sized (the caller's [[deltaMaxRows]] guard), so they
+    * collect once and become LocalRelations — no job ever re-derives
+    * them, serving broadcasts them for free, and the old patch folds in
+    * as a hash-set filter, not a join.
+    */
+  private def mergedPatch(servedIds: => DataFrame, nowIds: DataFrame,
+                          oldPatch: Option[LayoutPatch], add0: DataFrame,
+                          idsTouched: Boolean): LayoutPatch = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val addSchema = add0.schema
+    val idIdx = addSchema.fieldIndex("id")
+    val addNew = add0.collect()
+    val removedNew: Array[Any] =
+      if (idsTouched) servedIds.except(nowIds).collect().map(_.get(0))
+      else Array.empty
+    val newKeys: Set[Any] =
+      (addNew.map(_.get(idIdx)) ++ removedNew).toSet
+    val oldAdd = oldPatch.map(_.add.collect()).getOrElse(Array.empty[Row])
+      .filterNot(r => newKeys.contains(r.get(idIdx)))
+    val oldRemoved = oldPatch
+      .map(_.removed.collect().map(_.get(0))).getOrElse(Array.empty[Any])
+    val mergedAdd = oldAdd ++ addNew
+    val mergedRemoved =
+      (oldRemoved ++ removedNew ++ addNew.map(_.get(idIdx))).distinct
+    val idSchema = StructType(Seq(addSchema(idIdx).copy(name = "id")))
+    val addDf = spark.createDataFrame(
+      java.util.Arrays.asList(mergedAdd: _*), addSchema)
+    val removedDf = spark.createDataFrame(
+      java.util.Arrays.asList(mergedRemoved.map(Row(_)): _*), idSchema)
+    warehouse match {
+      case Some(_) =>
+        val (dir, rel) = layoutRoot("catalog_patch_")
+        addDf.write.parquet(dir + "/add")
+        removedDf.write.parquet(dir + "/removed")
+        LayoutPatch(spark.read.parquet(dir + "/add"),
+          spark.read.parquet(dir + "/removed"), rel)
+      case None => LayoutPatch(addDf, removedDf, None)
+    }
+  }
+
+  private def patchPq(name: String, s: EditorSession, slot: String,
+                      p: PqCodesLayout, pos: Seq[Long],
+                      idsTouched: Boolean): Unit = {
+    val changed = dirtyRows(s, pos, Seq(p.idCol, p.vecCol))
+    val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
+      p.vecCol, p.seeds, p.m)
+    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
+    val patch = mergedPatch(
+      patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
+      nowIds, p.patch, add0, idsTouched)
+    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+  }
+
+  private def patchIvfPq(name: String, s: EditorSession, slot: String,
+                         p: IvfPqCellLayout, pos: Seq[Long],
+                         idsTouched: Boolean): Unit = {
+    val changed = dirtyRows(s, pos, Seq(p.idCol, p.vecCol))
+    val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
+      p.vecCol, p.cents, p.seeds, p.m)
+    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
+    val patch = mergedPatch(
+      patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
+      nowIds, p.patch, add0, idsTouched)
+    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+  }
+
+  /** LSH delta: re-sign only the dirty docs and shadow their (and any
+    * renamed-away) ids out of the stored index — the corpus is never
+    * re-shingled. `index` stays the immutable BASE; probes serve the
+    * [[patchedCodes]] composition, same as the codes layouts.
+    */
+  private def patchLsh(name: String, s: EditorSession, slot: String,
+                       p: LshIndexLayout, pos: Seq[Long],
+                       idsTouched: Boolean): Unit = {
+    val changed = dirtyRows(s, pos, Seq(p.idCol, p.textCol))
+    val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
+      p.n, p.numHashes, p.bands)
+    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
+    val patch = mergedPatch(
+      patchedCodes(p.index, p.patch).select("id"), nowIds, p.patch, add0,
+      idsTouched)
+    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+  }
+
+  /** Serving view of a (possibly patched) codes layout: base minus
+    * shadowed ids, plus the patch rows — a broadcast anti-join over an
+    * edit-count-sized relation, never a base rewrite.
+    */
+  private def patchedCodes(base: DataFrame,
+                           patch: Option[LayoutPatch]): DataFrame =
+    patch.fold(base) { pt =>
+      base.join(broadcast(pt.removed), Seq("id"), "left_anti")
+        .unionByName(pt.add)
+    }
+
+  /** Update the manifest after a delta refresh: the entry keeps its
+    * build parameters but points at the merged patch dir, and its digest
+    * re-records the EDITED table so a reopen re-attaches the patched
+    * layout (one column-pruned scan — still no corpus re-encode).
+    */
+  private def persistPatch(name: String, slot: String, patch: LayoutPatch,
+                           digestCols: Seq[String],
+                           s: EditorSession): Unit =
+    patch.path.foreach { rel =>
+      manifest.get((name, slot)).foreach { e =>
+        persistEntry(e.copy(patch = Some(rel),
+          digest = contentDigest(Positional.strip(s.current), digestCols)))
+      }
+    }
 
   /** Encode `vecCol` ONCE into an at-rest PQ codes parquet (8 small ints
     * where 64 floats were) and register it; [[topK]] on this session then
@@ -856,7 +1086,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     recordRoute(rep)
     lay match {
       case Some(l: LshIndexLayout) =>
-        graft.operators.Dedup.incrementalLshMatches(l.index, batch,
+        graft.operators.Dedup.incrementalLshMatches(
+          patchedCodes(l.index, l.patch), batch,
           l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
       case _ =>
         val idx = graft.operators.Dedup.lshIndex(
@@ -941,11 +1172,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     recordRoute(rep)
     lay match {
       case Some(l: PqCodesLayout) =>
-        graft.operators.Similarity.pqTopKFromLayout(spark, l.path, l.seeds,
+        graft.operators.Similarity.pqTopKFromCodes(
+          patchedCodes(spark.read.parquet(l.path), l.patch), l.seeds,
           query, k, l.m)
       case Some(l: IvfPqCellLayout) =>
-        graft.operators.Similarity.ivfPqTopKFromLayout(spark, l.path,
-          l.cents, l.seeds, query, k, l.nProbe, l.m)
+        graft.operators.Similarity.ivfPqTopKFromCodes(
+          patchedCodes(spark.read.parquet(l.path), l.patch), l.cents,
+          l.seeds, query, k, l.nProbe, l.m)
       case _ =>
         graft.operators.Similarity.topK(
           Positional.strip(sessionOf(name).current), idCol, vecCol, query, k)
@@ -1018,22 +1251,37 @@ object Catalog {
   final case class RouteReport(slot: String, decision: String,
                                reason: String)
 
+  /** Delta state of a keyed at-rest layout: `add` rows supersede the
+    * base (re-encoded edits, renamed ids), `removed` is the id relation
+    * to shadow OUT of the base (every superseded id — including ids
+    * renamed away, which no add row mentions). Both are pinned at
+    * refresh time (checkpointed or parquet-backed), edit-count-sized,
+    * and served as `base ⟕̸ removed ∪ add` — a broadcast anti-join, not
+    * a rewrite of the base files. `path` is the warehouse-relative patch
+    * dir when durable.
+    */
+  final case class LayoutPatch(add: DataFrame, removed: DataFrame,
+                               path: Option[String])
+
   /** An at-rest layout registered in a [[Catalog]]: what is stored, where,
     * and the session epoch it reflects (stale layouts are never routed).
     */
   sealed trait TableLayout { def builtAtEpoch: Long }
   final case class PqCodesLayout(idCol: String, vecCol: String, path: String,
       seeds: Array[scala.collection.Seq[Float]], m: Int,
-      builtAtEpoch: Long) extends TableLayout
+      builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
   final case class IvfPqCellLayout(idCol: String, vecCol: String,
       path: String, cents: Seq[(Int, Seq[Float])],
       seeds: Array[scala.collection.Seq[Float]], m: Int, nProbe: Int,
-      builtAtEpoch: Long) extends TableLayout
+      builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
   final case class BucketedLayout(key: String, table: String, buckets: Int,
       builtAtEpoch: Long) extends TableLayout
   final case class RangedLayout(column: String, path: String,
       stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,
-      builtAtEpoch: Long) extends TableLayout
+      builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
 }

@@ -32,7 +32,8 @@ final case class LayoutManifestEntry(
     n: Option[Int] = None, numHashes: Option[Int] = None,
     bands: Option[Int] = None,
     seeds: Option[Seq[Seq[Float]]] = None,
-    cents: Option[Seq[CentEntry]] = None)
+    cents: Option[Seq[CentEntry]] = None,
+    patch: Option[String] = None)
 
 /** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
   * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row

@@ -630,6 +630,28 @@ object Similarity {
     (codes, cents, seeds)
   }
 
+  /** Encode a batch of NEW or EDITED vectors against an EXISTING IVF-PQ
+    * quantizer (frozen coarse cents + codebook) — the delta-maintenance
+    * path: a patch row must land in exactly the cell and codes a full
+    * build with this quantizer would produce, and retraining on a patch
+    * would silently shift every stored code's meaning. Same assignment
+    * expression as [[ivfAssign]], same code expressions as
+    * [[ivfPqCodes]]; output (id, __ivf_cid, codes).
+    */
+  def ivfPqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Seq[(Int, Seq[Float])],
+                      seeds: Array[scala.collection.Seq[Float]],
+                      m: Int = 8, roundTo: Int = 6): DataFrame = {
+    val cid = array_min(array(cents.map { case (c, v) =>
+      struct((lit(0.0) - fastCosine(df, col(vecCol), vectorLit(v))).as("d"),
+        lit(c).as("cid"))
+    }: _*)).getField("cid")
+    df.select(col(idCol).as("id"), cid.as("__ivf_cid"),
+        col(vecCol).as("__x"))
+      .select(col("id"), col("__ivf_cid"),
+        array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+  }
+
   /** IVF-PQ search over an already-built codes relation (the output of
     * [[ivfPqCodes]], in memory or re-read from its partitioned layout):
     * probe selection is driver-side, the cell filter prunes partitions at
