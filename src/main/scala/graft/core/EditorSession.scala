@@ -527,8 +527,41 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
-    try spark.sql(query)
+    try graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+      spark.sql(query)
+    }
     finally sessions.keys.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** The layout routes SQL text may use, published to
+    * [[graft.plans.SqlRouting]] for the duration of one [[sql]] call:
+    * every EPOCH-VALID ranged or bucketed layout of every open session
+    * (a stale layout is simply absent, so edited sessions' SQL plans
+    * against the live view — routing changes the plan, never the
+    * answer). The rewrite itself is [[graft.plans.SqlLayoutRouting]],
+    * injected by [[graft.plans.GraftExtensions]]; without the extensions
+    * the routes are published and never read.
+    */
+  private def sqlRoutes(): Map[String, Seq[graft.plans.SqlRouting.SqlRoute]] = {
+    import graft.plans.SqlRouting.{BucketSqlRoute, RangedSqlRoute, SqlRoute}
+    def sqlRouted(slot: String): Unit = {
+      recordRoute(Catalog.RouteReport(slot, "layout", "sql-routed")); ()
+    }
+    sessions.map { case (name, s) =>
+      name -> layoutsOf(name).collect[SqlRoute] {
+        case (slot, l: Catalog.RangedLayout) if l.builtAtEpoch == s.epoch =>
+          RangedSqlRoute(l.column,
+            (lo, hi) => {
+              val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
+              if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+              else spark.read.parquet(files: _*)
+            },
+            () => sqlRouted(slot))
+        case (slot, b: Catalog.BucketedLayout) if b.builtAtEpoch == s.epoch =>
+          BucketSqlRoute(b.key, b.buckets, () => spark.table(b.table),
+            () => sqlRouted(slot))
+      }
+    }.filter(_._2.nonEmpty).toMap
   }
 
   // ---- at-rest layouts + routing -----------------------------------------
@@ -722,17 +755,22 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   // routed entry point now records its report here (bounded ring,
   // oldest first), and explainRoute answers the question without
   // running anything.
+  // synchronized: one catalog can serve typed and SQL entry points from
+  // concurrent caller threads (the Verify pool does), and ArrayBuffer
+  // mutation is not atomic
   private val routeLog = mutable.ArrayBuffer.empty[RouteReport]
-  private def recordRoute(r: RouteReport): RouteReport = {
-    routeLog += r
-    if (routeLog.size > 256) routeLog.remove(0, routeLog.size - 256)
-    r
-  }
+  private def recordRoute(r: RouteReport): RouteReport =
+    routeLog.synchronized {
+      routeLog += r
+      if (routeLog.size > 256) routeLog.remove(0, routeLog.size - 256)
+      r
+    }
 
   /** The most recent routing decisions of this catalog's entry points
     * (bounded to the last 256, oldest first).
     */
-  def recentRoutes: Seq[RouteReport] = routeLog.toSeq
+  def recentRoutes: Seq[RouteReport] =
+    routeLog.synchronized(routeLog.toSeq)
 
   /** Dry-run of the routing decision for (session, slot): would a query
     * route through the registered layout, and if not, why — no-session /

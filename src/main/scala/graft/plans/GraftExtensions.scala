@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectOptimizerRule(_ => CollapseCellEdits)
+    // post-hoc resolution (not optimizer): SQL layout routing must see
+    // session views while they are still SubqueryAlias nodes
+    ext.injectPostHocResolutionRule(s => SqlLayoutRouting(s))
   }
 }
 

@@ -1331,6 +1331,34 @@ object BehaviorQueries {
         .orderBy("o_orderpriority")
     }),
 
+    /** j_catalog_bucketed stated as SQL TEXT (r8 verdict task #4): the
+      * same two bucketed sessions, but the caller writes a plain
+      * `JOIN … ON l_orderkey = o_orderkey` and
+      * [[graft.plans.SqlLayoutRouting]] rewrites both sides onto the
+      * bucketed tables at analysis time — the join plans exchange-free
+      * from SQL exactly as from the typed entry point (plan pin in
+      * SqlRoutingSpec). Layout-independent answer, so it shares the
+      * plain-join oracle.
+      */
+    "j_sql_bucketed" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"routedJoinCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("cat_orders", Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"))
+        c.openFrom("cat_lineitem", Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildBucketedLayout("cat_orders", "o_orderkey", 8)
+        c.buildBucketedLayout("cat_lineitem", "l_orderkey", 8)
+        c
+      }
+      cat.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM cat_lineitem JOIN cat_orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     /** Robust spread per group: median + median-absolute-deviation —
       * outlier-resistant where variance is not. Both medians run the
       * RankStats crossing walk (no Percentile aggregate — prices are a
@@ -2301,6 +2329,13 @@ object BehaviorQueries {
     // the catalog-routed co-located join is layout-independent too, so it
     // shares the plain-join oracle
     "j_catalog_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // and so is its SQL-text twin
+    "j_sql_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

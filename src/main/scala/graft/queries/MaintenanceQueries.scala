@@ -768,6 +768,34 @@ object MaintenanceQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** o_catalog_rangescan stated as SQL TEXT (r8 verdict task #4): the
+      * same catalog, but the caller writes `WHERE l_extendedprice
+      * BETWEEN …` and [[graft.plans.SqlLayoutRouting]] rewrites the
+      * analyzed plan onto the ranged layout's pruned file set — SQL
+      * queries see the skipping index exactly as the typed `rangeScan`
+      * entry point does (plan pin in SqlRoutingSpec). Pruning is a
+      * performance contract, so the oracle is the plain full-scan
+      * filter again.
+      */
+    "o_sql_rangescan" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"rangedCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("li_ranged",
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildRangedLayout("li_ranged", "l_extendedprice", files = 8)
+        c
+      }
+      cat.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM li_ranged
+          |WHERE l_extendedprice BETWEEN 1000.0 AND 5000.0
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "o_skipping" -> ((s, dir) => {
       val out = graft.io.Scratch.dir(s, "li_ranged")
       Tables.load(s, dir, "lineitem")
@@ -1354,6 +1382,14 @@ object MaintenanceQueries {
     // the catalog-routed pruned scan is byte-identical to the full-scan
     // filter by the skipping-index contract, so it shares the oracle
     "o_catalog_rangescan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the SQL-text route through the same layout shares it too
+    "o_sql_rangescan" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
