@@ -655,7 +655,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         val base = Positional.strip(s.current)
         entries.foreach { case (slot, e) =>
           val cols = e.kind match {
-            case "pq" | "ivfpq" | "lsh" => Seq(e.idCol.get, e.valueCol.get)
+            case "pq" | "ivfpq" | "lsh" | "postings" =>
+              Seq(e.idCol.get, e.valueCol.get)
             case _ => Seq.empty[String]
           }
           val matches = Try(contentDigest(base, cols) == e.digest)
@@ -708,6 +709,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         LshIndexLayout(e.idCol.get, e.valueCol.get, e.n.get,
           e.numHashes.get, e.bands.get,
           spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
+      case "postings" =>
+        PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
+          s"$wh/${e.path.get}/postings", epoch)
     }
   }.toOption
 
@@ -834,6 +838,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case (p: LshIndexLayout, Some((_, cols)))
           if disjoint(cols, Set(p.idCol, p.textCol)) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      case (p: PostingsLayout, Some((_, cols)))
+          if disjoint(cols, Set(p.idCol, p.textCol)) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
       // bounded cell edits on a keyed layout: delta-patch
       case (p: PqCodesLayout, Some((pos, cols)))
           if pos.size <= deltaMaxRows =>
@@ -860,6 +867,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       buildRangedLayout(name, l.column, l.files); ()
     case l: LshIndexLayout =>
       buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes, l.bands)
+    case l: PostingsLayout =>
+      buildPostingsLayout(name, l.idCol, l.textCol, l.buckets); ()
   }
 
   /** The session rows at the dirty positions, as the layout's column
@@ -1136,6 +1145,54 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     }
   }
 
+  /** Write the session's inverted index bucketed by term hash
+    * ([[graft.operators.Retrieval.writePostingsBucketed]]: one (term,
+    * doc) row per distinct per-doc term, directory-partitioned on the
+    * term's hash bucket) and register it; [[termPostings]] then serves a
+    * term lookup from a partition-pruned read of ~|terms|/buckets of the
+    * index — the at-scale retrieval side of BM25, replacing the
+    * O(corpus) posting-list string a stop-word-grade term costs in the
+    * report-shaped [[graft.operators.Retrieval.postings]].
+    */
+  def buildPostingsLayout(name: String, idCol: String, textCol: String,
+                          buckets: Int = 64): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_postings_")
+    val path = dir + "/postings"
+    graft.operators.Retrieval.writePostingsBucketed(base, idCol, textCol,
+      path, buckets)
+    layouts((name, s"postings:$textCol")) =
+      PostingsLayout(idCol, textCol, buckets, path, s.epoch)
+    rel.foreach(r => persistEntry(LayoutManifestEntry(
+      session = name, slot = s"postings:$textCol", kind = "postings",
+      digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+      idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets))))
+    path
+  }
+
+  /** Posting lists for a probe term set, layout-routed: a valid postings
+    * layout on (session, textCol) built with the caller's idCol serves
+    * the lookup from the bucketed index (plan-time directory pruning —
+    * non-probed buckets never open); otherwise the corpus re-tokenizes
+    * under the live session plan. Output (term, df, plist) either way.
+    */
+  def termPostings(name: String, idCol: String, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    val (lay, rep) = decide(name, s"postings:$textCol", {
+      case l: PostingsLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: PostingsLayout) =>
+        graft.operators.Retrieval.termLookup(spark, l.path, terms, l.buckets)
+      case _ =>
+        graft.operators.Retrieval.postingsFor(
+          Positional.strip(sessionOf(name).current), idCol, textCol, terms)
+    }
+  }
+
   /** Range-cluster the session on a numeric column (range repartition →
     * sorted part files) with a min/max file-skipping index
     * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
@@ -1322,4 +1379,6 @@ object Catalog {
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
+  final case class PostingsLayout(idCol: String, textCol: String,
+      buckets: Int, path: String, builtAtEpoch: Long) extends TableLayout
 }

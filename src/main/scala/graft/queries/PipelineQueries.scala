@@ -974,6 +974,32 @@ object PipelineQueries {
       Retrieval.postings(docs(s, dir), "doc_id", "text")
         .orderBy("term")),
 
+    /** Term lookup through the bucketed postings layout (r8 verdict task
+      * #6): the catalog stores the inverted index as (term, doc) rows
+      * directory-partitioned by term hash
+      * ([[graft.core.Catalog.buildPostingsLayout]]) and
+      * [[graft.core.Catalog.termPostings]] serves the probe from the
+      * pruned buckets — the corpus is tokenized ONCE at build, never per
+      * lookup, and no stored cell is a corpus-sized posting string
+      * (partition pruning + fallback pinned in PostingsLayoutSpec). The
+      * oracle is the live tokenize-and-aggregate restricted to the same
+      * probe terms — pruning is a performance contract, never a
+      * correctness one.
+      */
+    "t_postings_lookup" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"postingsCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("postings_docs",
+          docs(s, dir).select("doc_id", "text"), Seq("doc_id"))
+        c.buildPostingsLayout("postings_docs", "doc_id", "text",
+          buckets = 8)
+        c
+      }
+      cat.termPostings("postings_docs", "doc_id", "text",
+          Seq("join", "vector", "dup"))
+        .orderBy("term")
+    }),
+
     // numHashes=128/bands=64 (r=2) so the analytic band-miss probability for
     // a pair at the j=0.4 threshold is (1-0.4^2)^64 ≈ 1.4e-5 — the
     // brute-force Jaccard oracle is then valid without assuming luck; the
@@ -2350,6 +2376,16 @@ object PipelineQueries {
          |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS plist
          |FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
          |      FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    // the layout-routed lookup equals the live aggregation restricted to
+    // the probe terms (partition pruning never changes the answer)
+    "t_postings_lookup" ->
+      s"""SELECT term, count(*) AS df,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS plist
+         |FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |      FROM documents)
+         |WHERE term IN ('join', 'vector', 'dup')
          |GROUP BY term ORDER BY term""".stripMargin,
 
     "t_pmi" ->

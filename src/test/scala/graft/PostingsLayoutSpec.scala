@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Tables}
+import graft.operators.Retrieval
+
+/** Bucketed-by-term postings layout (r8 verdict task #6): a term lookup
+  * must be a partition-pruned read of the stored inverted index — never
+  * a corpus re-tokenize, never an O(corpus) posting-list string cell —
+  * with the answer identical to the live postings plan. Edits
+  * invalidate; refreshStale re-routes.
+  */
+class PostingsLayoutSpec extends SparkSpec {
+
+  private val probes = Seq("join", "vector", "dup")
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    // partition pruning is plan-time, but AQE hides the scan behind the
+    // adaptive root — look through it
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    root.collectFirst { case f: FileSourceScanExec => f }.get
+  }
+
+  test("termPostings routes through the bucketed index: partitions pruned, exact answer") {
+    val cat = new Catalog(spark)
+    cat.open("docs_p", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_p", "doc_id", "text", buckets = 8)
+    val routed = cat.termPostings("docs_p", "doc_id", "text", probes)
+    // plan pin 1: the scan reads the stored layout, not the corpus
+    val p = routed.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_postings"),
+      s"routed lookup must read the postings layout; plan:\n$p")
+    assert(!p.toLowerCase.contains("explode"),
+      s"routed lookup must never re-tokenize the corpus; plan:\n$p")
+    // plan pin 2: directory pruning — only the probe terms' hash buckets
+    // are selected (3 probes can cover at most 3 of the 8 buckets)
+    val scan = scanOf(routed)
+    assert(scan.selectedPartitions.partitionCount <= probes.size,
+      s"expected <= ${probes.size} of 8 partitions, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    // answer identical to the live tokenize-and-aggregate plan
+    val live = Retrieval.postingsFor(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", probes)
+    assert(routed.orderBy("term").collect().map(_.toSeq).toSeq ==
+      live.orderBy("term").collect().map(_.toSeq).toSeq)
+  }
+
+  test("edit invalidates; refreshStale rebuilds and re-routes; unrelated edit revalidates") {
+    val cat = new Catalog(spark)
+    cat.open("docs_p2", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_p2", "doc_id", "text", buckets = 8)
+    // a text edit makes the stored index stale: live fallback
+    assert(cat.get("docs_p2").get.setCell(0L, "text", "join vector"))
+    assert(cat.explainRoute("docs_p2", "postings:text").reason == "stale-epoch")
+    val fallback = cat.termPostings("docs_p2", "doc_id", "text", probes)
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    // refresh rebuilds (text touched => no delta recoverable for the
+    // doc-keyed rows) and the lookup routes again with the edit visible
+    assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val routed = cat.termPostings("docs_p2", "doc_id", "text", probes)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    assert(routed.orderBy("term").collect().map(_.toSeq).toSeq ==
+      fallback.orderBy("term").collect().map(_.toSeq).toSeq)
+    // an edit to a column the index doesn't read: revalidate, zero IO
+    val before = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(cat.get("docs_p2").get.setCell(1L, "lang", "xx"))
+    assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val after = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(after.path == before.path, "revalidate must not rebuild")
+  }
+
+  test("postings layout survives a catalog restart over the same warehouse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_post_")
+      .toString
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("docs_p3", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_p3", "doc_id", "text", buckets = 8)
+    val expect = cat.termPostings("docs_p3", "doc_id", "text", probes)
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    val cat2 = new Catalog(spark, Some(wh))
+    cat2.open("docs_p3", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    assert(cat2.explainRoute("docs_p3", "postings:text").reason == "routed")
+    val served = cat2.termPostings("docs_p3", "doc_id", "text", probes)
+    assert(served.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    assert(served.orderBy("term").collect().map(_.toSeq).toSeq == expect)
+  }
+}
