@@ -711,7 +711,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
           spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
       case "postings" =>
         PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
-          s"$wh/${e.path.get}/postings", epoch)
+          s"$wh/${e.path.get}/postings", epoch, patch)
     }
   }.toOption
 
@@ -851,6 +851,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case (p: LshIndexLayout, Some((pos, cols)))
           if pos.size <= deltaMaxRows =>
         patchLsh(name, s, slot, p, pos, cols.contains(p.idCol))
+      case (p: PostingsLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows =>
+        patchPostings(name, s, slot, p, pos, cols.contains(p.idCol))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -978,6 +981,41 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+  }
+
+  /** Postings delta: re-tokenize only the dirty docs; their (and any
+    * renamed-away) doc ids are shadowed out of the stored (term, doc)
+    * base — doc-keyed where the codes patches are id-keyed one-row-per-
+    * id, but [[mergedPatch]]'s key set handles the multi-row-per-doc
+    * shape unchanged (every row of a re-edited doc is in `add`, the doc
+    * id is in `removed`). The bucketed base files are never rewritten.
+    */
+  private def patchPostings(name: String, s: EditorSession, slot: String,
+                            p: PostingsLayout, pos: Seq[Long],
+                            idsTouched: Boolean): Unit = {
+    val changed = dirtyRows(s, pos, Seq(p.idCol, p.textCol))
+    val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
+      p.textCol, p.buckets)
+    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
+    val patch = mergedPatch(
+      patchedPostings(p).select(col("doc").as("id")), nowIds, p.patch,
+      add0, idsTouched)
+    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+  }
+
+  /** Serving view of a (possibly patched) postings layout: the patch is
+    * doc-keyed while the stored rows are (term, doc), so the shadow is
+    * an anti-join on `doc` and the add rows rename their patch key back.
+    */
+  private def patchedPostings(p: PostingsLayout): DataFrame = {
+    val base = spark.read.parquet(p.path)
+    p.patch.fold(base) { pt =>
+      base.join(broadcast(pt.removed), base("doc") === pt.removed("id"),
+          "left_anti")
+        .unionByName(pt.add.withColumnRenamed("id", "doc"))
+    }
   }
 
   /** Serving view of a (possibly patched) codes layout: base minus
@@ -1186,7 +1224,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     recordRoute(rep)
     lay match {
       case Some(l: PostingsLayout) =>
-        graft.operators.Retrieval.termLookup(spark, l.path, terms, l.buckets)
+        graft.operators.Retrieval.termLookupFrom(spark, patchedPostings(l),
+          terms, l.buckets)
       case _ =>
         graft.operators.Retrieval.postingsFor(
           Positional.strip(sessionOf(name).current), idCol, textCol, terms)
@@ -1380,5 +1419,6 @@ object Catalog {
       builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
   final case class PostingsLayout(idCol: String, textCol: String,
-      buckets: Int, path: String, builtAtEpoch: Long) extends TableLayout
+      buckets: Int, path: String, builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
 }

@@ -152,16 +152,38 @@ object Retrieval {
     * Output matches [[postings]] restricted to `terms`.
     */
   def termLookup(spark: org.apache.spark.sql.SparkSession, path: String,
-                 terms: Seq[String], buckets: Int): DataFrame = {
+                 terms: Seq[String], buckets: Int): DataFrame =
+    termLookupFrom(spark, spark.read.parquet(path), terms, buckets)
+
+  /** [[termLookup]] over an already-assembled postings relation (the
+    * stored base, or base-minus-shadowed-plus-patch after a delta
+    * refresh): the literal bucket predicate still reaches the underlying
+    * parquet scan as a partition filter — Catalyst pushes it through the
+    * patch composition's anti-join and union.
+    */
+  def termLookupFrom(spark: org.apache.spark.sql.SparkSession,
+                     postings: DataFrame, terms: Seq[String],
+                     buckets: Int): DataFrame = {
     require(terms.nonEmpty, "termLookup needs at least one probe term")
     val tbs = termBuckets(spark, terms, buckets)
-    spark.read.parquet(path)
+    postings
       .filter(col("__tb").isInCollection(tbs) &&
         col("term").isInCollection(terms))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         array_join(sort_array(collect_list(col("doc"))), ",").as("plist"))
   }
+
+  /** Postings rows of a batch of NEW or EDITED docs against an existing
+    * bucketed layout — the delta-maintenance path: same tokenization,
+    * same bucket hash, doc ids surfaced as `id` for the patch machinery.
+    */
+  def postingsRowsFor(docs: DataFrame, idCol: String, textCol: String,
+                      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .withColumn("__tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
 
   /** [[postings]] restricted to a probe term set — the LIVE fallback of
     * a layout-routed term lookup (corpus-sized tokenize, same answer).

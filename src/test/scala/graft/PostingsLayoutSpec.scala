@@ -50,34 +50,54 @@ class PostingsLayoutSpec extends SparkSpec {
       live.orderBy("term").collect().map(_.toSeq).toSeq)
   }
 
-  test("edit invalidates; refreshStale rebuilds and re-routes; unrelated edit revalidates") {
+  test("edit invalidates; refreshStale delta-patches; unrelated edit revalidates") {
     val cat = new Catalog(spark)
     cat.open("docs_p2", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
     cat.buildPostingsLayout("docs_p2", "doc_id", "text", buckets = 8)
+    val built = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
     // a text edit makes the stored index stale: live fallback
     assert(cat.get("docs_p2").get.setCell(0L, "text", "join vector"))
     assert(cat.explainRoute("docs_p2", "postings:text").reason == "stale-epoch")
     val fallback = cat.termPostings("docs_p2", "doc_id", "text", probes)
     assert(!fallback.queryExecution.executedPlan.toString
       .contains("catalog_postings"))
-    // refresh rebuilds (text touched => no delta recoverable for the
-    // doc-keyed rows) and the lookup routes again with the edit visible
+    // refresh DELTA-PATCHES: only the dirty doc re-tokenizes (its 2 new
+    // terms are the add rows, its doc id the shadow), base untouched
     assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val patched = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(patched.path == built.path, "delta must not rewrite the base")
+    val pt = patched.patch.get
+    assert(pt.add.count() == 2,
+      "a 1-doc text edit must re-sign exactly that doc's terms")
+    assert(pt.removed.count() == 1, "shadow set = the edited doc id")
     val routed = cat.termPostings("docs_p2", "doc_id", "text", probes)
     assert(routed.queryExecution.executedPlan.toString
       .contains("catalog_postings"))
+    // the bucket predicate still prunes THROUGH the patch composition
+    // (anti-join + union): Catalyst pushes it to the base scan
+    assert(scanOf(routed).selectedPartitions.partitionCount <= probes.size,
+      "partition pruning must survive the patch composition")
     assert(routed.orderBy("term").collect().map(_.toSeq).toSeq ==
       fallback.orderBy("term").collect().map(_.toSeq).toSeq)
     // an edit to a column the index doesn't read: revalidate, zero IO
-    val before = cat.layoutsOf("docs_p2").collectFirst {
-      case (_, l: Catalog.PostingsLayout) => l
-    }.get
     assert(cat.get("docs_p2").get.setCell(1L, "lang", "xx"))
     assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
     val after = cat.layoutsOf("docs_p2").collectFirst {
       case (_, l: Catalog.PostingsLayout) => l
     }.get
-    assert(after.path == before.path, "revalidate must not rebuild")
+    assert(after.path == built.path, "revalidate must not rebuild")
+    // a structural gesture (row delete) has no recoverable delta: rebuild
+    assert(cat.get("docs_p2").get.deleteRow(2L))
+    assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val rebuilt = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(rebuilt.path != built.path, "structural gesture must rebuild")
+    assert(rebuilt.patch.isEmpty)
   }
 
   test("postings layout survives a catalog restart over the same warehouse") {
