@@ -80,8 +80,13 @@ object CollapseCellEdits extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Ad-hoc per-session installation (the cluster path is
-    * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  /** Per-session installation into the once-per-plan extraOptimizations
+    * batch. This is the ONLY registration path (GraftExtensions stopped
+    * injecting it into the operator-optimization fixed point, where its
+    * re-walks of large projections cost more planning time than the
+    * collapse saves — the engine's edit paths pre-collapse their edit
+    * log, so the rule exists for ad-hoc user-authored withColumn
+    * chains).
     */
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))
