@@ -197,6 +197,15 @@ object Bench {
       cat.topK("bench_emb", "vec_id", "embedding", q, 10).count()
     }),
 
+    // r9: grouped count/sum/avg served from the materialized aggregate
+    // cube — after the one-time build (memoized, first pass pays it) the
+    // rollup reads group-count-sized stored partials; compare against
+    // a1_pivot / a_widegroup_q18, which scan the fact table per query
+    "a_cube_routed" -> ((s: SparkSession) => {
+      graft.queries.AnalyticsQueries
+        .queries("a_catalog_cube_rollup")(s, sfDir).count()
+    }),
+
     // r8: the distributed exact-percentile crossing walk (the shape that
     // replaced Spark's single-task Percentile merge) — perf-tracked so a
     // regression in the walk's histogram/window plan shows up here

@@ -560,6 +560,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         case (slot, b: Catalog.BucketedLayout) if b.builtAtEpoch == s.epoch =>
           BucketSqlRoute(b.key, b.buckets, () => spark.table(b.table),
             () => sqlRouted(slot))
+        case (slot, c: Catalog.CubeLayout) if c.builtAtEpoch == s.epoch =>
+          graft.plans.SqlRouting.CubeSqlRoute(c.groupCols, c.measures,
+            () => patchedCube(c), () => sqlRouted(slot))
       }
     }.filter(_._2.nonEmpty).toMap
   }
@@ -657,6 +660,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
           val cols = e.kind match {
             case "pq" | "ivfpq" | "lsh" | "postings" =>
               Seq(e.idCol.get, e.valueCol.get)
+            case "cube" => e.groupCols.get ++ e.measures.get
             case _ => Seq.empty[String]
           }
           val matches = Try(contentDigest(base, cols) == e.digest)
@@ -712,6 +716,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case "postings" =>
         PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
           s"$wh/${e.path.get}/postings", epoch, patch)
+      case "cube" =>
+        CubeLayout(e.groupCols.get, e.measures.get,
+          s"$wh/${e.path.get}/cube", epoch, patch)
     }
   }.toOption
 
@@ -841,6 +848,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case (p: PostingsLayout, Some((_, cols)))
           if disjoint(cols, Set(p.idCol, p.textCol)) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      case (p: CubeLayout, Some((_, cols)))
+          if disjoint(cols, (p.groupCols ++ p.measures).toSet) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
       // bounded cell edits on a keyed layout: delta-patch
       case (p: PqCodesLayout, Some((pos, cols)))
           if pos.size <= deltaMaxRows =>
@@ -854,6 +864,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case (p: PostingsLayout, Some((pos, cols)))
           if pos.size <= deltaMaxRows =>
         patchPostings(name, s, slot, p, pos, cols.contains(p.idCol))
+      // cube delta only for measure edits: a group-column edit loses the
+      // rows' previous groups, so it rebuilds below
+      case (p: CubeLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows &&
+            disjoint(cols, p.groupCols.toSet) =>
+        patchCube(name, s, slot, p, pos)
       case _ => rebuildSlot(name, l)
     }
   }
@@ -872,6 +888,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes, l.bands)
     case l: PostingsLayout =>
       buildPostingsLayout(name, l.idCol, l.textCol, l.buckets); ()
+    case l: CubeLayout =>
+      buildCubeLayout(name, l.groupCols, l.measures); ()
   }
 
   /** The session rows at the dirty positions, as the layout's column
@@ -1348,6 +1366,135 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         Positional.strip(sessionOf(right).current)))
     lf.join(rf, lf(leftKey) === rf(rightKey))
   }
+
+  // ---- materialized aggregate cube ----------------------------------------
+
+  /** The cube's stored rows for `base`: one row per distinct group tuple
+    * with `__cnt` = count(*), and per measure the order-free decimal
+    * partial sum `__sum_<m>` (round-to-6dp fixed point — the engine's
+    * standard exact-and-mergeable idiom) plus the non-null count
+    * `__cntm_<m>`. `id` renders the group tuple as JSON: injective per
+    * tuple (null fields are omitted, which cannot collide across
+    * distinct tuples over a fixed field set), so the delta patch shadows
+    * by one key like every other keyed layout.
+    */
+  private def cubeRows(base: DataFrame, groupCols: Seq[String],
+                       measures: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
+      sum(round(col(m), 6).cast("decimal(38,6)")).as(s"__sum_$m"),
+      count(col(m)).as(s"__cntm_$m")))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("id", to_json(struct(groupCols.map(col): _*)))
+  }
+
+  /** Serving view of a (possibly patched) cube — group-count-sized. */
+  private def patchedCube(c: CubeLayout): DataFrame =
+    patchedCodes(spark.read.parquet(c.path), c.patch)
+
+  /** Materialize the session's aggregate cube on `groupCols` ×
+    * `measures` and register it; [[aggregate]] over these (or any SUBSET
+    * of them — partial sums re-merge exactly) then reads group-count-
+    * sized stored rows instead of scanning the fact table.
+    */
+  def buildCubeLayout(name: String, groupCols: Seq[String],
+                      measures: Seq[String]): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_cube_")
+    val path = dir + "/cube"
+    cubeRows(base, groupCols, measures).write.parquet(path)
+    val slot = s"cube:${groupCols.mkString(",")}"
+    layouts((name, slot)) = CubeLayout(groupCols, measures, path, s.epoch)
+    rel.foreach(r => persistEntry(LayoutManifestEntry(
+      session = name, slot = slot, kind = "cube",
+      digest = contentDigest(base, groupCols ++ measures), path = Some(r),
+      groupCols = Some(groupCols), measures = Some(measures))))
+    path
+  }
+
+  /** Grouped count/sum/avg, layout-routed: a valid cube layout COVERING
+    * the request (caller's groupCols ⊆ the cube's, measures ⊆ the
+    * cube's) answers from stored partials — `count(*)` is a sum of
+    * `__cnt`, each sum a sum of decimal partial sums, each avg their
+    * quotient — so a rollup re-aggregates group-count-sized data and
+    * never touches the fact table. Without a covering valid layout the
+    * same aggregate runs over the live session plan; the output
+    * (groupCols…, `n`, `sum_<m>` double, `avg_<m>` double) is identical
+    * either way because the decimal partials are exact and order-free.
+    */
+  def aggregate(name: String, groupCols: Seq[String],
+                measures: Seq[String]): DataFrame = {
+    val s = sessionOf(name)
+    val cubes = layoutsOf(name).collect { case (slot, c: CubeLayout) =>
+      (slot, c)
+    }
+    val covering = cubes.filter { case (_, c) =>
+      groupCols.toSet.subsetOf(c.groupCols.toSet) &&
+        measures.toSet.subsetOf(c.measures.toSet)
+    }
+    val valid = covering.find(_._2.builtAtEpoch == s.epoch)
+    val slotName = valid.orElse(covering.headOption).orElse(cubes.headOption)
+      .map(_._1).getOrElse(s"cube:${groupCols.mkString(",")}")
+    val reason =
+      if (valid.isDefined) "routed"
+      else if (covering.nonEmpty) "stale-epoch"
+      else if (cubes.nonEmpty) "param-mismatch"
+      else if (sessions.contains(name)) "no-layout"
+      else "no-session"
+    recordRoute(RouteReport(slotName,
+      if (valid.isDefined) "layout" else "live", reason))
+    valid match {
+      case Some((_, c)) =>
+        val merged = measures.flatMap(m => Seq(
+          sum(col(s"__sum_$m")).as(s"__sum_$m"),
+          sum(col(s"__cntm_$m")).as(s"__cntm_$m")))
+        val aggs = sum(col("__cnt")).as("n") +: merged
+        finishAgg(patchedCube(c)
+          .groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*), groupCols, measures)
+      case None =>
+        finishAgg(cubeRows(Positional.strip(s.current), groupCols, measures)
+          .withColumnRenamed("__cnt", "n"), groupCols, measures)
+    }
+  }
+
+  /** Shared output projection of [[aggregate]]'s two plans: the decimal
+    * sums surface as doubles and each avg is the double quotient
+    * sum/non-null-count (null when the group's measure is all null —
+    * the decimal sum is already null and nulls propagate).
+    */
+  private def finishAgg(grouped: DataFrame, groupCols: Seq[String],
+                        measures: Seq[String]): DataFrame =
+    grouped.select(groupCols.map(col) ++ (col("n") +: measures.flatMap(m =>
+      Seq(col(s"__sum_$m").cast("double").as(s"sum_$m"),
+        (col(s"__sum_$m").cast("double") / col(s"__cntm_$m"))
+          .as(s"avg_$m")))): _*)
+
+  /** Cube delta for measure-only cell edits: group membership is
+    * untouched (no group column edited), so the affected groups are
+    * exactly the dirty rows' CURRENT group tuples — recompute those
+    * groups' rows with one group-key-filtered pass over the live plan
+    * and shadow the stored rows by key. A group-column edit cannot
+    * delta-patch (the rows' PREVIOUS groups are unrecoverable from the
+    * current state) and falls to rebuild in [[refreshSlot]].
+    */
+  private def patchCube(name: String, s: EditorSession, slot: String,
+                        c: CubeLayout, pos: Seq[Long]): Unit = {
+    val keyExpr = to_json(struct(c.groupCols.map(col): _*))
+    val dirtyKeys = s.current
+      .filter(col(Positional.POS).isInCollection(pos))
+      .select(keyExpr.as("id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val affected = Positional.strip(s.current)
+      .filter(keyExpr.isin(dirtyKeys: _*))
+    val add0 = cubeRows(affected, c.groupCols, c.measures)
+    val patch = mergedPatch(spark.emptyDataFrame, spark.emptyDataFrame,
+      c.patch, add0, idsTouched = false)
+    layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, c.groupCols ++ c.measures, s)
+  }
 }
 
 object Catalog {
@@ -1420,5 +1567,20 @@ object Catalog {
       patch: Option[LayoutPatch] = None) extends TableLayout
   final case class PostingsLayout(idCol: String, textCol: String,
       buckets: Int, path: String, builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
+
+  /** A materialized aggregate cube: one stored row per distinct
+    * `groupCols` tuple carrying `__cnt` (row count) and, per measure,
+    * an order-free decimal partial sum `__sum_<m>` plus non-null count
+    * `__cntm_<m>`. Because the stored statistics are all COMMUTATIVE
+    * MERGEABLE partials, any rollup to a SUBSET of the group columns is
+    * exact re-aggregation of group-count-sized data — the classic
+    * materialized-view rewrite, at 100 TB the difference between a
+    * full fact scan and a read measured in kilobytes. `id` is the JSON
+    * rendering of the group tuple (injective per tuple), giving the
+    * delta patch a single shadow key like every other keyed layout.
+    */
+  final case class CubeLayout(groupCols: Seq[String], measures: Seq[String],
+      path: String, builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
 }

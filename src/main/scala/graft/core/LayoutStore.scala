@@ -33,7 +33,9 @@ final case class LayoutManifestEntry(
     bands: Option[Int] = None,
     seeds: Option[Seq[Seq[Float]]] = None,
     cents: Option[Seq[CentEntry]] = None,
-    patch: Option[String] = None)
+    patch: Option[String] = None,
+    groupCols: Option[Seq[String]] = None,
+    measures: Option[Seq[String]] = None)
 
 /** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
   * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.Decimal
 
 /** SQL-text routing through catalog-owned at-rest layouts (r8 verdict
@@ -55,6 +56,8 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformUp {
       case j: Join =>
         tryBucketedJoin(j).getOrElse(j)
+      case a: Aggregate =>
+        tryCube(a).getOrElse(a)
       case f @ Filter(cond, SessionView(name, sa)) =>
         tryRanged(f, cond, name, sa).getOrElse(f)
     }
@@ -138,6 +141,116 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  // ---- materialized cube --------------------------------------------------
+
+  /** Aggregate-over-view → re-aggregation of a stored cube's partials
+    * (the classic materialized-view rewrite). Matches conservatively:
+    * every grouping expression must be a bare view attribute contained
+    * in some published cube's group columns (any SUBSET rolls up — the
+    * stored partials are commutative merges), and every output must be
+    * an expression whose aggregate leaves are `count(*)` / `count(m)` /
+    * `sum(CAST(round(m, 6) AS DECIMAL(38,6)))` over cube measures — the
+    * engine's canonical exact-and-mergeable sum, which re-merges from
+    * the stored `__sum_<m>` without changing a digit. Anything else
+    * (DISTINCT, FILTER, another function, an expression under the sum
+    * the cube didn't store) simply doesn't route.
+    */
+  private def tryCube(a: Aggregate): Option[LogicalPlan] = a.child match {
+    case SessionView(name, sa) =>
+      val groupAttrs: Seq[AttributeReference] =
+        a.groupingExpressions.map {
+          case at: AttributeReference if sa.outputSet.contains(at) => at
+          case _ => return None
+        }
+      routesFor(spark, name).collect { case c: CubeSqlRoute => c }
+        .filter(r => groupAttrs.forall(g => r.groupCols.contains(g.name)))
+        .view.flatMap(r => rewriteOnCube(a, sa, groupAttrs, r))
+        .headOption
+    case _ => None
+  }
+
+  private def rewriteOnCube(a: Aggregate, sa: SubqueryAlias,
+                            groupAttrs: Seq[AttributeReference],
+                            r: CubeSqlRoute): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val cubePlan = r.served().queryExecution.analyzed
+    val byName = cubePlan.output.map(o => o.name -> o).toMap
+    if (!groupAttrs.forall(g => byName.contains(g.name))) return None
+
+    def sumOf(attr: Attribute): Expression =
+      AggregateExpression(Sum(attr), Complete, isDistinct = false, None,
+        NamedExpression.newExprId)
+
+    /** The measure whose stored partial sum re-merges to exactly this
+      * expression, if it is the canonical decimal sum over a cube
+      * measure.
+      */
+    def canonicalMeasure(e: Expression): Option[String] = e match {
+      case c: Cast => (c.dataType, c.child) match {
+        case (dt: types.DecimalType, rb: RoundBase)
+            if dt.precision == 38 && dt.scale == 6 =>
+          (rb.left, rb.right) match {
+            case (at: AttributeReference, sc: Literal)
+                if sa.outputSet.contains(at) &&
+                  r.measures.contains(at.name) && sc.value == 6 =>
+              Some(at.name)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+
+    def cubeAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: Count => c.children match {
+          // count(*)/count(1): never null, so the merged sum coalesces
+          // to 0 to preserve the empty-relation answer
+          case Seq(l: Literal) if l.value != null =>
+            Some(Coalesce(Seq(sumOf(byName("__cnt")), Literal(0L))))
+          case Seq(at: AttributeReference)
+              if sa.outputSet.contains(at) &&
+                r.measures.contains(at.name) &&
+                byName.contains(s"__cntm_${at.name}") =>
+            Some(Coalesce(Seq(sumOf(byName(s"__cntm_${at.name}")),
+              Literal(0L))))
+          case _ => None
+        }
+        case s: Sum =>
+          canonicalMeasure(s.child).flatMap(m =>
+            byName.get(s"__sum_$m").map(sumOf))
+        case _ => None
+      }
+    }
+
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => cubeAgg(ae)
+      case at: AttributeReference if groupAttrs.exists(_.exprId == at.exprId) =>
+        Some(byName(at.name))
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggExprs: Seq[Option[NamedExpression]] =
+      a.aggregateExpressions.map {
+        case al @ Alias(child, nm) =>
+          translate(child).map(t => Alias(t, nm)(exprId = al.exprId))
+        case at: AttributeReference =>
+          translate(at).map(t => Alias(t, at.name)(exprId = at.exprId))
+        case _ => None
+      }
+    if (newAggExprs.forall(_.isDefined)) {
+      r.onRoute()
+      Some(Aggregate(groupAttrs.map(g => byName(g.name)),
+        newAggExprs.map(_.get), cubePlan, None))
+    } else None
+  }
+
   // ---- bucketed join ------------------------------------------------------
 
   private def tryBucketedJoin(j: Join): Option[Join] = (j.left, j.right) match {
@@ -214,6 +327,16 @@ object SqlRouting {
   /** A bucketed+sorted managed table on `key`. */
   final case class BucketSqlRoute(key: String, buckets: Int,
       table: () => DataFrame,
+      onRoute: () => Unit) extends SqlRoute
+
+  /** A materialized aggregate cube on `groupCols` × `measures`:
+    * `served()` is the (possibly patched) stored cube — one row per
+    * group tuple with `__cnt` and per-measure `__sum_<m>` /
+    * `__cntm_<m>` partials. Count/sum aggregates grouped by any SUBSET
+    * of `groupCols` re-merge exactly from those partials.
+    */
+  final case class CubeSqlRoute(groupCols: Seq[String],
+      measures: Seq[String], served: () => DataFrame,
       onRoute: () => Unit) extends SqlRoute
 
   private val routes =

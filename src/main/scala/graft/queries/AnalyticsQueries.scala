@@ -58,6 +58,26 @@ object AnalyticsQueries {
        |ORDER BY var_x, var_y""".stripMargin
   }
 
+  /** Shared catalog of the three cube-routed queries (r9): one session
+    * over lineitem's cube columns plus ONE materialized aggregate cube
+    * on (l_returnflag, l_linestatus) × (l_quantity, l_extendedprice).
+    * Memoized per (SparkSession, sfDir) via [[SessionScoped]] — the
+    * build runs once, every routed query reads group-count-sized stored
+    * partials.
+    */
+  private def cubeCatalog(s: SparkSession, dir: String): graft.core.Catalog =
+    SessionScoped.memo(s, s"cubeCatalog:$dir") {
+      val c = new graft.core.Catalog(s)
+      c.openFrom("li_cube",
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_quantity", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))
+      c.buildCubeLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"))
+      c
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     /** Broadcast dim join: revenue per market segment. */
     "j_broadcast" -> ((s, dir) => {
@@ -1263,6 +1283,48 @@ object AnalyticsQueries {
         .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+
+    /** Grouped count/sum/avg routed through the catalog's MATERIALIZED
+      * AGGREGATE CUBE ([[graft.core.Catalog.buildCubeLayout]] /
+      * `aggregate`): the full group set answers from stored partials —
+      * at 100 TB a group-count-sized read where the live plan scans the
+      * fact table. The stored sums are the engine's order-free decimal
+      * fixed-point partials, so the oracle is the PLAIN aggregate over
+      * lineitem — routing changes the plan, never the answer (plan pin
+      * + staleness/IVM laws in CubeLayoutSpec).
+      */
+    "a_catalog_cube" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .aggregate("li_cube", Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity", "l_extendedprice"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    /** Rollup to a SUBSET of the cube's group columns: count and sums
+      * re-merge exactly from the stored commutative partials (sums of
+      * decimal sums, sums of counts), so a coarser grouping never
+      * touches the fact table either — the property that makes ONE
+      * stored cube serve a whole dashboard of groupings.
+      */
+    "a_catalog_cube_rollup" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .aggregate("li_cube", Seq("l_returnflag"), Seq("l_quantity"))
+        .orderBy("l_returnflag")),
+
+    /** The cube consumed from SQL TEXT: [[graft.plans.SqlLayoutRouting]]
+      * recognizes Aggregate-over-session-view whose grouping is a subset
+      * of a valid cube's group columns and whose aggregates are
+      * count(*) / count(m) / the canonical decimal sum, and re-aggregates
+      * the stored partials instead of the view — the classic
+      * materialized-view rewrite, at analysis time (plan pin in
+      * SqlRoutingSpec). The oracle is the same text over raw lineitem.
+      */
+    "a_sql_cube" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
+          |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     /** Lag + moving average: previous order price and 3-order trailing mean
       * per customer — partitioned window, decimal sum then one double
@@ -2490,6 +2552,35 @@ object AnalyticsQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a_catalog_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_l_quantity,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_l_quantity,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_l_extendedprice,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a_catalog_cube_rollup" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_l_quantity,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_l_quantity
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_cube" ->
+      """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "w_lag_ma" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Tables}
+
+/** Materialized aggregate cube (r9): `Catalog.buildCubeLayout` +
+  * `Catalog.aggregate`.
+  *
+  * Laws pinned here:
+  *  - a routed aggregate reads the stored cube, never the fact table
+  *    (plan pin), and returns exactly the live plan's answer;
+  *  - any SUBSET of the cube's group columns rolls up from the stored
+  *    partials (sums of decimal sums / sums of counts are exact);
+  *  - a request the cube does not cover falls back to the live plan
+  *    (param-mismatch), an edit makes it stale (stale-epoch fallback);
+  *  - refresh after a measure-only edit is an IVM DELTA: only the dirty
+  *    rows' groups recompute, the stored cube files are untouched;
+  *  - refresh after a GROUP-column edit rebuilds (the rows' previous
+  *    groups are unrecoverable from current state — a delta would lie);
+  *  - a durable cube re-attaches in a fresh Catalog over the warehouse.
+  */
+class CubeLayoutSpec extends SparkSpec {
+
+  private val groupsAll = Seq("l_returnflag", "l_linestatus")
+  private val measuresAll = Seq("l_quantity", "l_extendedprice")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** The routing contract's independent twin: the same grouped
+    * count/sum/avg computed directly over `df`, no Catalog involved.
+    */
+  private def direct(df: DataFrame, g: Seq[String],
+                     ms: Seq[String]): Seq[Seq[Any]] = {
+    val aggs = count(lit(1)).as("n") +: ms.flatMap(m => Seq(
+      sum(round(col(m), 6).cast("decimal(38,6)")).cast("double")
+        .as(s"sum_$m"),
+      (sum(round(col(m), 6).cast("decimal(38,6)")).cast("double") /
+        count(col(m))).as(s"avg_$m")))
+    df.groupBy(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .orderBy(g.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+  }
+
+  private def got(df: DataFrame, g: Seq[String]): Seq[Seq[Any]] =
+    df.orderBy(g.map(col): _*).collect().map(_.toSeq).toSeq
+
+  private def newCubeCatalog(): Catalog = {
+    val c = new Catalog(spark)
+    c.open("cli", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    c.buildCubeLayout("cli", groupsAll, measuresAll)
+    c
+  }
+
+  private def cubeFiles(c: Catalog): Seq[String] = {
+    val l = c.layoutsOf("cli").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    new java.io.File(l.path).listFiles.map(_.getName).toSeq.sorted
+  }
+
+  test("routed aggregate reads the stored cube, not the fact table, and matches the live answer") {
+    val c = newCubeCatalog()
+    val routed = c.aggregate("cli", groupsAll, measuresAll)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_"),
+      s"a covered aggregate must serve from the stored cube; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the routed plan must never touch fact-table columns; plan:\n$p")
+    assert(c.recentRoutes.last.reason == "routed")
+    assert(got(routed, groupsAll) ==
+      direct(Tables.load(spark, sf, "lineitem"), groupsAll, measuresAll))
+  }
+
+  test("rollup to a subset of the group columns re-merges stored partials exactly") {
+    val c = newCubeCatalog()
+    val routed = c.aggregate("cli", Seq("l_returnflag"), Seq("l_quantity"))
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_"),
+      s"a subset grouping must still serve from the cube; plan:\n$p")
+    assert(c.recentRoutes.last ==
+      Catalog.RouteReport("cube:l_returnflag,l_linestatus", "layout", "routed"))
+    assert(got(routed, Seq("l_returnflag")) ==
+      direct(Tables.load(spark, sf, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity")))
+    // global rollup (no grouping at all) merges too
+    val total = c.aggregate("cli", Seq.empty, Seq("l_quantity"))
+    assert(plan(total).contains("catalog_cube_"))
+    assert(got(total, Seq.empty) ==
+      direct(Tables.load(spark, sf, "lineitem"), Seq.empty, Seq("l_quantity")))
+  }
+
+  test("a request the cube does not cover falls back to the live plan") {
+    val c = newCubeCatalog()
+    val live = c.aggregate("cli", groupsAll, Seq("l_discount"))
+    assert(!plan(live).contains("catalog_cube_"),
+      "an uncovered measure must not read the cube")
+    assert(c.recentRoutes.last.reason == "param-mismatch")
+    assert(got(live, groupsAll) ==
+      direct(Tables.load(spark, sf, "lineitem"), groupsAll,
+        Seq("l_discount")))
+  }
+
+  test("measure edit: stale fallback, then IVM delta refresh touches only the dirty groups") {
+    val c = newCubeCatalog()
+    val filesBefore = cubeFiles(c)
+    val s = c.get("cli").get
+    assert(s.setCell(0L, "l_quantity", "99.0"))
+
+    val stale = c.aggregate("cli", groupsAll, measuresAll)
+    assert(c.recentRoutes.last.reason == "stale-epoch")
+    assert(!plan(stale).contains("catalog_cube_"))
+    assert(got(stale, groupsAll) ==
+      direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
+
+    assert(c.refreshStale("cli") == Seq("cube:l_returnflag,l_linestatus"))
+    val l = c.layoutsOf("cli").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    assert(l.patch.isDefined, "a 1-cell measure edit must delta-patch")
+    assert(cubeFiles(c) == filesBefore,
+      "the stored cube files must never rewrite on a delta refresh")
+    assert(l.patch.get.add.count() == 1L,
+      "one edited row dirties exactly its own group")
+
+    val routed = c.aggregate("cli", groupsAll, measuresAll)
+    assert(plan(routed).contains("catalog_cube_"))
+    assert(c.recentRoutes.last.reason == "routed")
+    assert(got(routed, groupsAll) ==
+      direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
+    // and the rollup still re-merges the patched partials
+    assert(got(c.aggregate("cli", Seq("l_linestatus"), Seq("l_extendedprice")),
+      Seq("l_linestatus")) ==
+      direct(graft.core.Positional.strip(s.current), Seq("l_linestatus"),
+        Seq("l_extendedprice")))
+  }
+
+  test("group-column edit: refresh rebuilds (no recoverable delta) and answers stay exact") {
+    val c = newCubeCatalog()
+    val oldPath = c.layoutsOf("cli").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl.path
+    }.get
+    val s = c.get("cli").get
+    assert(s.setCell(0L, "l_returnflag", "Z"))
+    c.refreshStale("cli")
+    val l = c.layoutsOf("cli").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    assert(l.path != oldPath && l.patch.isEmpty,
+      "a group-column edit must rebuild the cube, not patch it")
+    val routed = c.aggregate("cli", groupsAll, measuresAll)
+    assert(plan(routed).contains("catalog_cube_"))
+    assert(got(routed, groupsAll) ==
+      direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
+  }
+
+  test("durable cube re-attaches in a fresh Catalog over the same warehouse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    val a = new Catalog(spark, Some(wh))
+    a.open("cli", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    a.buildCubeLayout("cli", groupsAll, measuresAll)
+    val fromA = got(a.aggregate("cli", groupsAll, measuresAll), groupsAll)
+    a.close("cli")
+
+    val b = new Catalog(spark, Some(wh))
+    b.open("cli", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    assert(b.explainRoute("cli", "cube:l_returnflag,l_linestatus")
+      .reason == "routed", "the reloaded cube must be valid on reopen")
+    val routed = b.aggregate("cli", groupsAll, measuresAll)
+    val p = plan(routed)
+    assert(p.contains(wh) && p.contains("cube"),
+      s"the reopened catalog must serve from warehouse files; plan:\n$p")
+    assert(got(routed, groupsAll) == fromA)
+  }
+}

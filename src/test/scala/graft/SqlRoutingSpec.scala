@@ -99,4 +99,48 @@ class SqlRoutingSpec extends SparkSpec {
       assert(plan(cross).contains("Exchange"))
     }
   }
+
+  test("SQL aggregate routes through the materialized cube; non-canonical shapes don't") {
+    val cat = new Catalog(spark)
+    cat.open("li_mv", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_mv", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    val q = """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS nq,
+              |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+              |    AS DOUBLE) AS sum_qty
+              |FROM li_mv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_"),
+      s"a canonical SQL aggregate must re-merge the stored cube; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the routed SQL plan must never scan the fact table; plan:\n$p")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_returnflag,l_linestatus" && r.reason == "sql-routed"))
+    // answer identical to the same aggregate over the raw table
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), count(col("l_quantity")).as("nq"),
+        sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+    // a sum the cube did not store (no decimal canon) must NOT route —
+    // re-merging a double sum would change the fold order, so the
+    // conservative matcher refuses and the live view answers
+    val noRoute = cat.sql(
+      "SELECT l_returnflag, sum(l_quantity) AS s FROM li_mv GROUP BY 1")
+    assert(!plan(noRoute).contains("catalog_cube_"),
+      "a non-canonical aggregate must fall back to the live view")
+    // DISTINCT can never re-merge from counts — no route
+    val distinct = cat.sql(
+      "SELECT count(DISTINCT l_quantity) AS d FROM li_mv")
+    assert(!plan(distinct).contains("catalog_cube_"))
+    // an edit invalidates: the canonical text falls back to the live view
+    assert(cat.get("li_mv").get.setCell(0L, "l_quantity", "42"))
+    assert(!plan(cat.sql(q)).contains("catalog_cube_"),
+      "a stale cube must not serve SQL")
+  }
 }
