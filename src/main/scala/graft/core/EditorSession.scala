@@ -1382,7 +1382,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
                        measures: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
       sum(round(col(m), 6).cast("decimal(38,6)")).as(s"__sum_$m"),
-      count(col(m)).as(s"__cntm_$m")))
+      count(col(m)).as(s"__cntm_$m"),
+      min(col(m)).as(s"__min_$m"),
+      max(col(m)).as(s"__max_$m")))
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("id", to_json(struct(groupCols.map(col): _*)))
@@ -1446,9 +1448,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       if (valid.isDefined) "layout" else "live", reason))
     valid match {
       case Some((_, c)) =>
+        // every stored statistic is a commutative merge: sums of sums,
+        // sums of counts, min of mins, max of maxes — rollup is exact
         val merged = measures.flatMap(m => Seq(
           sum(col(s"__sum_$m")).as(s"__sum_$m"),
-          sum(col(s"__cntm_$m")).as(s"__cntm_$m")))
+          sum(col(s"__cntm_$m")).as(s"__cntm_$m"),
+          min(col(s"__min_$m")).as(s"__min_$m"),
+          max(col(s"__max_$m")).as(s"__max_$m")))
         val aggs = sum(col("__cnt")).as("n") +: merged
         finishAgg(patchedCube(c)
           .groupBy(groupCols.map(col): _*)
@@ -1460,16 +1466,20 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   }
 
   /** Shared output projection of [[aggregate]]'s two plans: the decimal
-    * sums surface as doubles and each avg is the double quotient
+    * sums surface as doubles, each avg is the double quotient
     * sum/non-null-count (null when the group's measure is all null —
-    * the decimal sum is already null and nulls propagate).
+    * the decimal sum is already null and nulls propagate), and min/max
+    * pass through untouched (comparisons, not arithmetic — exact by
+    * construction).
     */
   private def finishAgg(grouped: DataFrame, groupCols: Seq[String],
                         measures: Seq[String]): DataFrame =
     grouped.select(groupCols.map(col) ++ (col("n") +: measures.flatMap(m =>
       Seq(col(s"__sum_$m").cast("double").as(s"sum_$m"),
         (col(s"__sum_$m").cast("double") / col(s"__cntm_$m"))
-          .as(s"avg_$m")))): _*)
+          .as(s"avg_$m"),
+        col(s"__min_$m").as(s"min_$m"),
+        col(s"__max_$m").as(s"max_$m")))): _*)
 
   /** Cube delta for measure-only cell edits: group membership is
     * untouched (no group column edited), so the affected groups are

@@ -220,6 +220,23 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         case s: Sum =>
           canonicalMeasure(s.child).flatMap(m =>
             byName.get(s"__sum_$m").map(sumOf))
+        // min-of-mins / max-of-maxes: comparisons re-merge exactly
+        case mn: Min => mn.child match {
+          case at: AttributeReference
+              if sa.outputSet.contains(at) && r.measures.contains(at.name) &&
+                byName.contains(s"__min_${at.name}") =>
+            Some(AggregateExpression(Min(byName(s"__min_${at.name}")),
+              Complete, isDistinct = false, None, NamedExpression.newExprId))
+          case _ => None
+        }
+        case mx: Max => mx.child match {
+          case at: AttributeReference
+              if sa.outputSet.contains(at) && r.measures.contains(at.name) &&
+                byName.contains(s"__max_${at.name}") =>
+            Some(AggregateExpression(Max(byName(s"__max_${at.name}")),
+              Complete, isDistinct = false, None, NamedExpression.newExprId))
+          case _ => None
+        }
         case _ => None
       }
     }

@@ -1322,7 +1322,8 @@ object AnalyticsQueries {
       cubeCatalog(s, dir).sql(
         """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
           |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
-          |    AS sum_qty
+          |    AS sum_qty,
+          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -2559,10 +2560,14 @@ object AnalyticsQueries {
         |    AS sum_l_quantity,
         |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(l_quantity) AS avg_l_quantity,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity,
         |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
         |    AS sum_l_extendedprice,
         |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
-        |    / count(l_extendedprice) AS avg_l_extendedprice
+        |    / count(l_extendedprice) AS avg_l_extendedprice,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -2571,14 +2576,17 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
         |    AS sum_l_quantity,
         |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
-        |    / count(l_quantity) AS avg_l_quantity
+        |    / count(l_quantity) AS avg_l_quantity,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "a_sql_cube" ->
       """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
         |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
-        |    AS sum_qty
+        |    AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -37,7 +37,9 @@ class CubeLayoutSpec extends SparkSpec {
       sum(round(col(m), 6).cast("decimal(38,6)")).cast("double")
         .as(s"sum_$m"),
       (sum(round(col(m), 6).cast("decimal(38,6)")).cast("double") /
-        count(col(m))).as(s"avg_$m")))
+        count(col(m))).as(s"avg_$m"),
+      min(col(m)).as(s"min_$m"),
+      max(col(m)).as(s"max_$m")))
     df.groupBy(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .orderBy(g.map(col): _*)
       .collect().map(_.toSeq).toSeq

@@ -108,7 +108,8 @@ class SqlRoutingSpec extends SparkSpec {
       Seq("l_quantity"))
     val q = """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS nq,
               |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
-              |    AS DOUBLE) AS sum_qty
+              |    AS DOUBLE) AS sum_qty,
+              |  min(l_quantity) AS mn, max(l_quantity) AS mx
               |FROM li_mv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     val routed = cat.sql(q)
     val p = plan(routed)
@@ -123,7 +124,8 @@ class SqlRoutingSpec extends SparkSpec {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), count(col("l_quantity")).as("nq"),
         sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
-          .cast("double").as("sum_qty"))
+          .cast("double").as("sum_qty"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
       .orderBy("l_returnflag")
     assert(routed.collect().map(_.toSeq).toSeq ==
       live.collect().map(_.toSeq).toSeq)
