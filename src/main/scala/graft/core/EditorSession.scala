@@ -1379,16 +1379,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * by one key like every other keyed layout.
     */
   private def cubeRows(base: DataFrame, groupCols: Seq[String],
-                       measures: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
-      sum(round(col(m), 6).cast("decimal(38,6)")).as(s"__sum_$m"),
-      count(col(m)).as(s"__cntm_$m"),
-      min(col(m)).as(s"__min_$m"),
-      max(col(m)).as(s"__max_$m")))
-    base.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+                       measures: Seq[String]): DataFrame =
+    Catalog.cubePartials(base, groupCols, measures)
       .withColumn("id", to_json(struct(groupCols.map(col): _*)))
-  }
 
   /** Serving view of a (possibly patched) cube — group-count-sized. */
   private def patchedCube(c: CubeLayout): DataFrame =
@@ -1450,36 +1443,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case Some((_, c)) =>
         // every stored statistic is a commutative merge: sums of sums,
         // sums of counts, min of mins, max of maxes — rollup is exact
-        val merged = measures.flatMap(m => Seq(
-          sum(col(s"__sum_$m")).as(s"__sum_$m"),
-          sum(col(s"__cntm_$m")).as(s"__cntm_$m"),
-          min(col(s"__min_$m")).as(s"__min_$m"),
-          max(col(s"__max_$m")).as(s"__max_$m")))
-        val aggs = sum(col("__cnt")).as("n") +: merged
-        finishAgg(patchedCube(c)
-          .groupBy(groupCols.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*), groupCols, measures)
+        Catalog.cubeFinish(
+          Catalog.cubeMergePartials(patchedCube(c), groupCols, measures),
+          groupCols, measures)
       case None =>
-        finishAgg(cubeRows(Positional.strip(s.current), groupCols, measures)
-          .withColumnRenamed("__cnt", "n"), groupCols, measures)
+        Catalog.cubeFinish(
+          Catalog.cubePartials(Positional.strip(s.current), groupCols,
+            measures),
+          groupCols, measures)
     }
   }
-
-  /** Shared output projection of [[aggregate]]'s two plans: the decimal
-    * sums surface as doubles, each avg is the double quotient
-    * sum/non-null-count (null when the group's measure is all null —
-    * the decimal sum is already null and nulls propagate), and min/max
-    * pass through untouched (comparisons, not arithmetic — exact by
-    * construction).
-    */
-  private def finishAgg(grouped: DataFrame, groupCols: Seq[String],
-                        measures: Seq[String]): DataFrame =
-    grouped.select(groupCols.map(col) ++ (col("n") +: measures.flatMap(m =>
-      Seq(col(s"__sum_$m").cast("double").as(s"sum_$m"),
-        (col(s"__sum_$m").cast("double") / col(s"__cntm_$m"))
-          .as(s"avg_$m"),
-        col(s"__min_$m").as(s"min_$m"),
-        col(s"__max_$m").as(s"max_$m")))): _*)
 
   /** Cube delta for measure-only cell edits: group membership is
     * untouched (no group column edited), so the affected groups are
@@ -1578,6 +1551,57 @@ object Catalog {
   final case class PostingsLayout(idCol: String, textCol: String,
       buckets: Int, path: String, builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
+
+  /** One row per distinct `groupCols` tuple of `base` with `__cnt` =
+    * count(*), and per measure the order-free decimal partial sum
+    * `__sum_<m>` (round-to-6dp fixed point — the engine's standard
+    * exact-and-mergeable idiom), non-null count `__cntm_<m>`, and
+    * `__min_<m>` / `__max_<m>`. Every statistic is a commutative merge,
+    * so partials from any partitioning of the data — batches of a
+    * stream, partitions of a table — re-merge via [[cubeMergePartials]]
+    * without changing a digit.
+    */
+  private[graft] def cubePartials(base: DataFrame, groupCols: Seq[String],
+                                  measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
+      sum(round(col(m), 6).cast("decimal(38,6)")).as(s"__sum_$m"),
+      count(col(m)).as(s"__cntm_$m"),
+      min(col(m)).as(s"__min_$m"),
+      max(col(m)).as(s"__max_$m")))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge a union of cube partials back to one row per group: sums of
+    * sums, sums of counts, min of mins, max of maxes — exact.
+    */
+  private[graft] def cubeMergePartials(partials: DataFrame,
+                                       groupCols: Seq[String],
+                                       measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = sum(col("__cnt")).as("__cnt") +: measures.flatMap(m => Seq(
+      sum(col(s"__sum_$m")).as(s"__sum_$m"),
+      sum(col(s"__cntm_$m")).as(s"__cntm_$m"),
+      min(col(s"__min_$m")).as(s"__min_$m"),
+      max(col(s"__max_$m")).as(s"__max_$m")))
+    partials.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Project cube partials to the user-facing aggregate shape:
+    * (groupCols…, n, per measure sum/avg/min/max) — the same output
+    * [[Catalog.aggregate]] serves.
+    */
+  private[graft] def cubeFinish(partials: DataFrame, groupCols: Seq[String],
+                                measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    partials.select(groupCols.map(col) ++
+      (col("__cnt").as("n") +: measures.flatMap(m =>
+        Seq(col(s"__sum_$m").cast("double").as(s"sum_$m"),
+          (col(s"__sum_$m").cast("double") / col(s"__cntm_$m"))
+            .as(s"avg_$m"),
+          col(s"__min_$m").as(s"min_$m"),
+          col(s"__max_$m").as(s"max_$m")))): _*)
+  }
 
   /** A materialized aggregate cube: one stored row per distinct
     * `groupCols` tuple carrying `__cnt` (row count) and, per measure,

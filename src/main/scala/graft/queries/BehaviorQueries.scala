@@ -26,6 +26,12 @@ object BehaviorQueries {
   private val stFunnelScratch =
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
+  /** st_cube's time-sliced scratch copy of (event_type, value), memoized
+    * per sfDir like [[stFunnelScratch]].
+    */
+  private val stCubeScratch =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   // j_catalog_bucketed's catalog (two sessions + bucketed layouts)
   // memoizes per (SparkSession, sfDir) through [[SessionScoped]] — a
   // cached Catalog holds that session's managed tables, so it must never
@@ -121,6 +127,41 @@ object BehaviorQueries {
           .select(lit(k).as("stage"), lit(stages(i)).as("event_type"),
             col("users"))
       }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
+    /** Streaming-maintained aggregate cube: the events table arrives as
+      * 4 time-ordered micro-batches and
+      * [[graft.streaming.EventStreams.cubeMaintain]] folds each into an
+      * at-rest cube of commutative partials (count + decimal sums +
+      * min/max per group) — the streaming side of the catalog cube's
+      * IVM. Because every partial is order-free, the maintained cube is
+      * IDENTICAL to the one-shot batch aggregate, which is exactly what
+      * the oracle checks.
+      */
+    "st_cube" -> ((s, dir) => {
+      val path = stCubeScratch.getOrElseUpdate(dir, {
+        val ev = events(s, dir).select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("st_cube_src_").toString + "/events"
+        val slices = 4
+        for (i <- 0 until slices) {
+          val from = lo + (hi - lo + 1) * i / slices
+          val until = lo + (hi - lo + 1) * (i + 1) / slices
+          ev.filter(col("us") >= from && col("us") < until)
+            .select("event_type", "value")
+            .coalesce(1).write.mode("append").parquet(scratch)
+          Thread.sleep(20) // distinct mtimes → deterministic arrival order
+        }
+        scratch
+      })
+      graft.core.Catalog.cubeFinish(
+        EventStreams.cubeMaintain(s, path, Seq("event_type"), Seq("value"),
+          "st_cube"),
+        Seq("event_type"), Seq("value"))
+        .orderBy("event_type")
     }),
 
     /** Time-boxed funnel: each stage within 24 hours of the previous —
@@ -1465,6 +1506,19 @@ object BehaviorQueries {
     "e_funnel_stateful" -> funnelOracle,
     // ... and so must the real multi-micro-batch streaming run
     "st_funnel" -> funnelOracle,
+
+    /** st_cube's maintained partials must re-merge to exactly the one-shot
+      * batch aggregate — same decimal/min/max idioms as the catalog cube
+      * oracles.
+      */
+    "st_cube" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_value,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(value) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
 
 

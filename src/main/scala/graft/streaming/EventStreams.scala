@@ -343,6 +343,47 @@ object EventStreams {
     runToCompletion(q, 300000)
   }
 
+  /** Maintain a MATERIALIZED AGGREGATE CUBE from an append stream — the
+    * streaming side of the catalog cube's IVM: each micro-batch reduces
+    * to group-count-sized partials ([[graft.core.Catalog.cubePartials]]:
+    * count + order-free decimal sums + min/max per measure) which MERGE
+    * into the accumulated at-rest cube (sums add, counts add, mins min,
+    * maxes max — all commutative, so the result is identical for ANY
+    * batching or arrival order of the same rows). Every batch rewrites
+    * only cube-sized parquet (one version dir per batch — the refresh
+    * ledger a warehouse MV keeps), never data-sized state: at 100 TB/day
+    * the stream-side cost per batch is one partial aggregation of that
+    * batch plus a kilobyte-scale merge. Returns the final cube partials;
+    * project with [[graft.core.Catalog.cubeFinish]].
+    */
+  def cubeMaintain(spark: SparkSession, srcPath: String,
+                   groupCols: Seq[String], measures: Seq[String],
+                   queryName: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("stream_cube_")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    def verDir(v: Int) = s"$root/v$v"
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val partial = graft.core.Catalog.cubePartials(batch, groupCols, measures)
+      val v = version.get()
+      val acc =
+        if (v == 0) partial
+        else spark.read.parquet(verDir(v)).unionByName(partial)
+      graft.core.Catalog.cubeMergePartials(acc, groupCols, measures)
+        .coalesce(1).write.parquet(verDir(v + 1))
+      version.incrementAndGet()
+      ()
+    }
+    val q = fileSource(spark, srcPath,
+        Map("maxFilesPerTrigger" -> "1")).writeStream
+      .queryName(queryName)
+      .foreachBatch(mergeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q, 300000)
+    require(version.get() > 0, s"stream '$queryName' saw no batches")
+    spark.read.parquet(verDir(version.get()))
+  }
+
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
     * (process-everything-then-stop) into a memory sink; returns the result
     * table. This is the full streaming engine path — source → watermark →

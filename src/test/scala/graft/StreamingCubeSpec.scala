@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Tables}
+import graft.streaming.EventStreams
+
+/** Streaming-maintained aggregate cube ([[EventStreams.cubeMaintain]]):
+  * per-batch partials merge into an at-rest cube whose final state must
+  * equal the one-shot batch aggregate — for ANY batching and ANY arrival
+  * order, because every stored statistic is a commutative merge.
+  */
+class StreamingCubeSpec extends SparkSpec {
+
+  private def writeSlices(df: DataFrame, splitCol: String,
+                          slices: Int, reverse: Boolean): String = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_cube_spec_").toString + "/src"
+    val order = if (reverse) (slices - 1) to 0 by -1 else 0 until slices
+    order.foreach { i =>
+      df.filter(pmod(col(splitCol), lit(slices)) === i)
+        .drop(splitCol)
+        .coalesce(1).write.mode("append").parquet(scratch)
+      Thread.sleep(20) // distinct mtimes → deterministic arrival order
+    }
+    scratch
+  }
+
+  private def batchCube(df: DataFrame): Seq[Seq[Any]] =
+    Catalog.cubeFinish(
+      Catalog.cubePartials(df, Seq("event_type"), Seq("value")),
+      Seq("event_type"), Seq("value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+
+  test("maintained cube equals the one-shot batch aggregate, for any arrival order") {
+    val ev = Tables.loadEvents(spark, sf)
+      .select("event_id", "event_type", "value")
+    val expected = batchCube(ev.drop("event_id"))
+    assert(expected.nonEmpty)
+
+    val fwd = writeSlices(ev, "event_id", slices = 3, reverse = false)
+    val cubeF = EventStreams.cubeMaintain(spark, fwd, Seq("event_type"),
+      Seq("value"), "st_cube_spec_fwd")
+    assert(Catalog.cubeFinish(cubeF, Seq("event_type"), Seq("value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq == expected,
+      "3 merged micro-batches must reproduce the batch aggregate exactly")
+    // the at-rest state is cube-sized: one row per live group
+    assert(cubeF.count() ==
+      ev.select("event_type").distinct().count(),
+      "maintained state must be one row per group, never data-sized")
+
+    val rev = writeSlices(ev, "event_id", slices = 3, reverse = true)
+    val cubeR = EventStreams.cubeMaintain(spark, rev, Seq("event_type"),
+      Seq("value"), "st_cube_spec_rev")
+    assert(Catalog.cubeFinish(cubeR, Seq("event_type"), Seq("value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq == expected,
+      "arrival order must not change a single digit — all merges commute")
+  }
+}
