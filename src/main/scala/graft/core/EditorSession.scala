@@ -661,6 +661,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
             case "pq" | "ivfpq" | "lsh" | "postings" =>
               Seq(e.idCol.get, e.valueCol.get)
             case "cube" => e.groupCols.get ++ e.measures.get
+            case "sketch" => e.groupCols.get :+ e.valueCol.get
             case _ => Seq.empty[String]
           }
           val matches = Try(contentDigest(base, cols) == e.digest)
@@ -719,6 +720,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case "cube" =>
         CubeLayout(e.groupCols.get, e.measures.get,
           s"$wh/${e.path.get}/cube", epoch, patch)
+      case "sketch" =>
+        SketchLayout(e.groupCols.get, e.valueCol.get, e.n.get,
+          s"$wh/${e.path.get}/sketches", epoch, patch)
     }
   }.toOption
 
@@ -851,6 +855,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case (p: CubeLayout, Some((_, cols)))
           if disjoint(cols, (p.groupCols ++ p.measures).toSet) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
+      case (p: SketchLayout, Some((_, cols)))
+          if disjoint(cols, (p.groupCols :+ p.col).toSet) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
       // bounded cell edits on a keyed layout: delta-patch
       case (p: PqCodesLayout, Some((pos, cols)))
           if pos.size <= deltaMaxRows =>
@@ -870,6 +877,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
           if pos.size <= deltaMaxRows &&
             disjoint(cols, p.groupCols.toSet) =>
         patchCube(name, s, slot, p, pos)
+      case (p: SketchLayout, Some((pos, cols)))
+          if pos.size <= deltaMaxRows &&
+            disjoint(cols, p.groupCols.toSet) =>
+        patchSketch(name, s, slot, p, pos)
       case _ => rebuildSlot(name, l)
     }
   }
@@ -890,6 +901,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       buildPostingsLayout(name, l.idCol, l.textCol, l.buckets); ()
     case l: CubeLayout =>
       buildCubeLayout(name, l.groupCols, l.measures); ()
+    case l: SketchLayout =>
+      buildSketchLayout(name, l.groupCols, l.col, l.lgK); ()
   }
 
   /** The session rows at the dirty positions, as the layout's column
@@ -1454,6 +1467,120 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     }
   }
 
+  /** The sketch layout's stored rows: one HLL sketch of `sketchCol` per
+    * group tuple, plus the JSON group key the delta patch shadows by.
+    */
+  private def sketchRows(base: DataFrame, groupCols: Seq[String],
+                         sketchCol: String, lgK: Int): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(sketchCol), lit(lgK)).as("__hll"))
+      .withColumn("id", to_json(struct(groupCols.map(col): _*)))
+
+  /** Sketch `sketchCol`'s distinct count per `groupCols` tuple ONCE into
+    * an at-rest layout; [[approxDistinct]] over these (or any SUBSET —
+    * HLL register unions are exact merges of register state) then reads
+    * group-count-sized sketches instead of shuffling distinct keys.
+    */
+  def buildSketchLayout(name: String, groupCols: Seq[String],
+                        sketchCol: String, lgK: Int = 12): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_sketch_")
+    val path = dir + "/sketches"
+    sketchRows(base, groupCols, sketchCol, lgK).write.parquet(path)
+    val slot = s"sketch:${groupCols.mkString(",")}:$sketchCol"
+    layouts((name, slot)) =
+      SketchLayout(groupCols, sketchCol, lgK, path, s.epoch)
+    rel.foreach(r => persistEntry(LayoutManifestEntry(
+      session = name, slot = slot, kind = "sketch",
+      digest = contentDigest(base, groupCols :+ sketchCol), path = Some(r),
+      valueCol = Some(sketchCol), n = Some(lgK),
+      groupCols = Some(groupCols))))
+    path
+  }
+
+  /** Approximate distinct count of `sketchCol` per `groupCols` tuple,
+    * layout-routed: a valid sketch layout COVERING the request (caller's
+    * groupCols ⊆ the layout's, same column, same lgK) answers by
+    * unioning stored sketches; otherwise a live `hll_sketch_agg` runs.
+    * Output: (groupCols…, `nd_<col>` long).
+    *
+    * The routing contract here is the SKETCH's contract, stated
+    * precisely: routed and live answers agree within the configured
+    * relative standard error, not digit-for-digit. Digit equality is
+    * unattainable for ANY HLL implementation across merge topologies —
+    * Datasketches estimates a directly-updated sketch with the HIP
+    * accumulator but a union of sketches with the composite estimator,
+    * and Spark's own live aggregation goes through per-partition
+    * partials, so even two live runs can differ in the last digits when
+    * the partitioning differs. The routed estimate is the BETTER-
+    * behaved of the two: it derives from at-rest register state, so it
+    * is bit-stable across partitioning, arrival order, and rollup
+    * grouping (register max is associative) — SketchLayoutSpec pins the
+    * error bound against exact counts, the determinism of the routed
+    * path, and that untouched groups' estimates never move under IVM.
+    */
+  def approxDistinct(name: String, groupCols: Seq[String],
+                     sketchCol: String, lgK: Int = 12): DataFrame = {
+    val s = sessionOf(name)
+    val cands = layoutsOf(name).collect { case (slot, l: SketchLayout) =>
+      (slot, l)
+    }
+    // same-lgK guard: a different register width is a different sketch —
+    // routing it would change the estimate, not just the plan
+    val covering = cands.filter { case (_, l) =>
+      groupCols.toSet.subsetOf(l.groupCols.toSet) && l.col == sketchCol &&
+        l.lgK == lgK
+    }
+    val valid = covering.find(_._2.builtAtEpoch == s.epoch)
+    val slotName = valid.orElse(covering.headOption).orElse(cands.headOption)
+      .map(_._1)
+      .getOrElse(s"sketch:${groupCols.mkString(",")}:$sketchCol")
+    val reason =
+      if (valid.isDefined) "routed"
+      else if (covering.nonEmpty) "stale-epoch"
+      else if (cands.nonEmpty) "param-mismatch"
+      else if (sessions.contains(name)) "no-layout"
+      else "no-session"
+    recordRoute(RouteReport(slotName,
+      if (valid.isDefined) "layout" else "live", reason))
+    val out = s"nd_$sketchCol"
+    valid match {
+      case Some((_, l)) =>
+        patchedCodes(spark.read.parquet(l.path), l.patch)
+          .groupBy(groupCols.map(col): _*)
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("__hll"), lit(false))).as(out))
+      case None =>
+        Positional.strip(s.current)
+          .groupBy(groupCols.map(col): _*)
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col(sketchCol), lit(lgK))).as(out))
+    }
+  }
+
+  /** Sketch delta for edits that spare the group columns: HLL supports
+    * no deletion, so the dirty rows' groups RE-SKETCH wholesale from the
+    * live plan (one group-key-filtered pass — same recompute-the-group
+    * shape as [[patchCube]]) and shadow the stored rows by key.
+    */
+  private def patchSketch(name: String, s: EditorSession, slot: String,
+                          l: SketchLayout, pos: Seq[Long]): Unit = {
+    val keyExpr = to_json(struct(l.groupCols.map(col): _*))
+    val dirtyKeys = s.current
+      .filter(col(Positional.POS).isInCollection(pos))
+      .select(keyExpr.as("id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val affected = Positional.strip(s.current)
+      .filter(keyExpr.isin(dirtyKeys: _*))
+    val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
+    val patch = mergedPatch(spark.emptyDataFrame, spark.emptyDataFrame,
+      l.patch, add0, idsTouched = false)
+    layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, l.groupCols :+ l.col, s)
+  }
+
   /** Cube delta for measure-only cell edits: group membership is
     * untouched (no group column edited), so the affected groups are
     * exactly the dirty rows' CURRENT group tuples — recompute those
@@ -1602,6 +1729,21 @@ object Catalog {
           col(s"__min_$m").as(s"min_$m"),
           col(s"__max_$m").as(s"max_$m")))): _*)
   }
+
+  /** A per-group DISTINCT-COUNT SKETCH layout: one stored row per
+    * `groupCols` tuple carrying a Datasketches HLL sketch of `col`
+    * (`hll_sketch_agg`). HLL register state is a max over hashed
+    * values — order-free and associative — so a union of finer-group
+    * sketches has EXACTLY the registers a direct build over the merged
+    * rows would, and a rollup to any subset of the group columns
+    * estimates from kilobytes of stored sketch instead of a fact scan.
+    * At 100 TB this is the only affordable shape for interactive
+    * distinct-count dashboards: the exact answer needs a full shuffle
+    * of the distinct keys; the sketch needs a group-count-sized read.
+    */
+  final case class SketchLayout(groupCols: Seq[String], col: String,
+      lgK: Int, path: String, builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
 
   /** A materialized aggregate cube: one stored row per distinct
     * `groupCols` tuple carrying `__cnt` (row count) and, per measure,
