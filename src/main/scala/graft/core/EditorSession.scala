@@ -723,6 +723,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       case "sketch" =>
         SketchLayout(e.groupCols.get, e.valueCol.get, e.n.get,
           s"$wh/${e.path.get}/sketches", epoch, patch)
+      case "zorder" =>
+        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
+          .localCheckpoint(true)
+        // valueCol carries colX, idCol colY (generic manifest fields)
+        ZOrderedLayout(e.valueCol.get, e.idCol.get,
+          s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch)
     }
   }.toOption
 
@@ -903,6 +909,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       buildCubeLayout(name, l.groupCols, l.measures); ()
     case l: SketchLayout =>
       buildSketchLayout(name, l.groupCols, l.col, l.lgK); ()
+    case l: ZOrderedLayout =>
+      buildZOrderedLayout(name, l.colX, l.colY, l.files); ()
   }
 
   /** The session rows at the dirty positions, as the layout's column
@@ -1293,6 +1301,86 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     path
   }
 
+  /** Z-order the session on two numeric columns: each is min/max-scaled
+    * to a 16-bit bucket, the Morton interleave becomes the range-
+    * partitioning key, and a per-file min/max index over BOTH columns is
+    * built in one scan ([[graft.io.SkippingIndex.build2d]]); a routed
+    * [[rangeScan2d]] then opens only the part files whose (x, y)
+    * rectangle intersects the predicate — pruning on EITHER dimension,
+    * which a single-column clustering cannot give.
+    */
+  def buildZOrderedLayout(name: String, colX: String, colY: String,
+                          files: Int = 16): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val b = base.agg(min(col(colX).cast("double")),
+      max(col(colX).cast("double")), min(col(colY).cast("double")),
+      max(col(colY).cast("double"))).head()
+    def bucket(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      ((col(c) - lo) / span * ((1 << 16) - 1)).cast("long")
+    }
+    val z = graft.operators.ZOrder.zValue(
+      bucket(colX, b.getDouble(0), b.getDouble(1)),
+      bucket(colY, b.getDouble(2), b.getDouble(3)), bitsPer = 16)
+    val (dir, rel) = layoutRoot("catalog_zorder_")
+    val path = dir + "/zordered"
+    base.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(path)
+    val stats = graft.io.SkippingIndex.build2d(spark, path, colX, colY)
+      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
+    layouts((name, s"zorder:$colX,$colY")) =
+      ZOrderedLayout(colX, colY, path, stats, files, s.epoch)
+    rel.foreach { r =>
+      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"zorder:$colX,$colY", kind = "zorder",
+        digest = contentDigest(base, Seq.empty), path = Some(r),
+        valueCol = Some(colX), idCol = Some(colY), files = Some(files)))
+    }
+    path
+  }
+
+  /** Rectangle predicate scan, layout-routed: a valid z-ordered layout
+    * on (session, colX, colY) serves `colX ∈ [loX, hiX] ∧ colY ∈ [loY,
+    * hiY]` from the Morton-clustered files via the 2-D skipping index
+    * (the exact predicate re-applies after pruning — byte-identical
+    * answers); otherwise a plain conjunctive filter over the live
+    * session plan. Column ORDER is routing-irrelevant: (x, y) and
+    * (y, x) requests serve from the same layout.
+    */
+  def rangeScan2d(name: String, colX: String, loX: Double, hiX: Double,
+                  colY: String, loY: Double, hiY: Double): DataFrame = {
+    val (lay, rep) = decide(name, s"zorder:$colX,$colY", {
+      case l: ZOrderedLayout => l.colX == colX && l.colY == colY
+      case _ => false
+    })
+    // the transposed slot serves the same rectangle — try it on a miss
+    val (lay2, rep2) =
+      if (lay.isDefined) (lay, rep)
+      else decide(name, s"zorder:$colY,$colX", {
+        case l: ZOrderedLayout => l.colX == colY && l.colY == colX
+        case _ => false
+      })
+    recordRoute(if (lay2.isDefined || rep2.reason != "no-layout") rep2
+      else rep)
+    lay2 match {
+      case Some(l: ZOrderedLayout) if l.colX == colX =>
+        graft.io.SkippingIndex.prunedRead2d(spark, l.stats, l.path,
+          colX, loX, hiX, colY, loY, hiY)
+      case Some(l: ZOrderedLayout) =>
+        graft.io.SkippingIndex.prunedRead2d(spark, l.stats, l.path,
+          colY, loY, hiY, colX, loX, hiX)
+      case _ =>
+        Positional.strip(sessionOf(name).current)
+          .filter(col(colX) >= loX && col(colX) <= hiX &&
+            col(colY) >= loY && col(colY) <= hiY)
+    }
+  }
+
   /** Range predicate scan, layout-routed: a valid ranged layout on
     * (session, column) serves `column ∈ [lo, hi]` from the clustered
     * files via the skipping index (most part files never open — the
@@ -1670,6 +1758,16 @@ object Catalog {
   final case class BucketedLayout(key: String, table: String, buckets: Int,
       builtAtEpoch: Long) extends TableLayout
   final case class RangedLayout(column: String, path: String,
+      stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
+
+  /** A Z-ORDERED layout: the session's rows written range-partitioned on
+    * the Morton interleave of two bucketized numeric columns, with a
+    * per-file min/max index over BOTH columns. Every part file covers a
+    * small rectangle of (x, y) space, so a rectangle predicate prunes on
+    * both dimensions — the Delta/Iceberg `OPTIMIZE ZORDER BY` shape,
+    * where a single-column range clustering only serves its own column.
+    */
+  final case class ZOrderedLayout(colX: String, colY: String, path: String,
       stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,

@@ -32,6 +32,41 @@ object SkippingIndex {
       .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"),
         count(lit(1)).as("n_rows"))
 
+  /** Two-column stats in ONE scan — the z-order companion: a Morton-
+    * clustered file covers a small rectangle of (x, y) space, so per-file
+    * min/max of BOTH columns prune on either dimension (where a plain
+    * sort's stats only serve its leading column). One row per part file:
+    * (file, min_x, max_x, min_y, max_y, n_rows).
+    */
+  def build2d(spark: SparkSession, path: String, colX: String,
+              colY: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colX)).as("min_x"), max(col(colX)).as("max_x"),
+        min(col(colY)).as("min_y"), max(col(colY)).as("max_y"),
+        count(lit(1)).as("n_rows"))
+
+  /** Files whose (x, y) rectangle intersects [loX, hiX] × [loY, hiY]. */
+  def candidateFiles2d(stats: DataFrame, loX: Double, hiX: Double,
+                       loY: Double, hiY: Double): Seq[String] =
+    stats.filter(col("max_x") >= loX && col("min_x") <= hiX &&
+        col("max_y") >= loY && col("min_y") <= hiY)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Rectangle scan through the 2-D index: open only intersecting files,
+    * then apply the exact predicate — byte-identical to the full scan.
+    */
+  def prunedRead2d(spark: SparkSession, stats: DataFrame, path: String,
+                   colX: String, loX: Double, hiX: Double,
+                   colY: String, loY: Double, hiY: Double): DataFrame = {
+    val files = candidateFiles2d(stats, loX, hiX, loY, hiY)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(colX) >= loX && col(colX) <= hiX &&
+      col(colY) >= loY && col(colY) <= hiY)
+  }
+
   /** Files whose [min_v, max_v] intersects [lo, hi] — the candidate set a
     * range predicate must read. Driver-side list, bounded by file count
     * (a manifest read, not a data read).

@@ -796,6 +796,36 @@ object MaintenanceQueries {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    /** Rectangle predicate through the catalog's Z-ORDERED layout
+      * ([[graft.core.Catalog.buildZOrderedLayout]] / `rangeScan2d`):
+      * lineitem clustered on the Morton interleave of (extendedprice,
+      * quantity), so the 2-D skipping index prunes part files on BOTH
+      * dimensions — the multi-column generalization of
+      * o_catalog_rangescan (Delta/Iceberg `OPTIMIZE ZORDER BY`).
+      * Pruning is a performance contract, so the oracle is the plain
+      * conjunctive filter (pruned-file pin in ZOrderLayoutSpec).
+      */
+    "o_catalog_zorder" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"zorderCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("li_z",
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildZOrderedLayout("li_z", "l_extendedprice", "l_quantity",
+          files = 16)
+        c
+      }
+      cat.rangeScan2d("li_z", "l_extendedprice", 1000.0, 5000.0,
+          "l_quantity", 10.0, 20.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "o_skipping" -> ((s, dir) => {
       val out = graft.io.Scratch.dir(s, "li_ranged")
       Tables.load(s, dir, "lineitem")
@@ -1394,6 +1424,15 @@ object MaintenanceQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // 2-D pruning is a performance contract: plain conjunctive filter
+    "o_catalog_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |  AND l_quantity >= 10.0 AND l_quantity <= 20.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
