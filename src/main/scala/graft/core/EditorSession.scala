@@ -563,6 +563,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
         case (slot, c: Catalog.CubeLayout) if c.builtAtEpoch == s.epoch =>
           graft.plans.SqlRouting.CubeSqlRoute(c.groupCols, c.measures,
             () => patchedCube(c), () => sqlRouted(slot))
+        case (slot, z: Catalog.ZOrderedLayout) if z.builtAtEpoch == s.epoch =>
+          graft.plans.SqlRouting.ZOrderSqlRoute(z.colX, z.colY,
+            (loX, hiX, loY, hiY) => {
+              val files = graft.io.SkippingIndex.candidateFiles2d(z.stats,
+                loX, hiX, loY, hiY)
+              if (files.isEmpty) spark.read.parquet(z.path).limit(0)
+              else spark.read.parquet(files: _*)
+            },
+            () => sqlRouted(slot))
       }
     }.filter(_._2.nonEmpty).toMap
   }
@@ -1519,29 +1528,52 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * (groupCols…, `n`, `sum_<m>` double, `avg_<m>` double) is identical
     * either way because the decimal partials are exact and order-free.
     */
+  /** The covering-layout decision shared by the cube and sketch entry
+    * points (and their [[explainAggregate]]/[[explainDistinct]] dry
+    * runs): pick the first VALID candidate that `covers` the request;
+    * report param-mismatch when candidates of the kind exist but none
+    * covers, stale-epoch when one covers but the session has moved on.
+    */
+  private def decideCovering[L <: TableLayout](
+      name: String, fallbackSlot: String, cands: Seq[(String, L)],
+      covers: L => Boolean): (Option[L], RouteReport) = {
+    val covering = cands.filter { case (_, l) => covers(l) }
+    val valid = sessions.get(name).flatMap(s =>
+      covering.find(_._2.builtAtEpoch == s.epoch))
+    val slotName = valid.orElse(covering.headOption)
+      .orElse(cands.headOption).map(_._1).getOrElse(fallbackSlot)
+    val reason =
+      if (!sessions.contains(name)) "no-session"
+      else if (valid.isDefined) "routed"
+      else if (covering.nonEmpty) "stale-epoch"
+      else if (cands.nonEmpty) "param-mismatch"
+      else "no-layout"
+    (valid.map(_._2), RouteReport(slotName,
+      if (valid.isDefined) "layout" else "live", reason))
+  }
+
+  private def decideCube(name: String, groupCols: Seq[String],
+                         measures: Seq[String])
+      : (Option[CubeLayout], RouteReport) =
+    decideCovering[CubeLayout](name, s"cube:${groupCols.mkString(",")}",
+      layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
+      c => groupCols.toSet.subsetOf(c.groupCols.toSet) &&
+        measures.toSet.subsetOf(c.measures.toSet))
+
+  /** Dry-run of [[aggregate]]'s routing decision — which cube would
+    * serve this grouping/measure set, or why none would. Nothing runs.
+    */
+  def explainAggregate(name: String, groupCols: Seq[String],
+                       measures: Seq[String]): RouteReport =
+    decideCube(name, groupCols, measures)._2
+
   def aggregate(name: String, groupCols: Seq[String],
                 measures: Seq[String]): DataFrame = {
     val s = sessionOf(name)
-    val cubes = layoutsOf(name).collect { case (slot, c: CubeLayout) =>
-      (slot, c)
-    }
-    val covering = cubes.filter { case (_, c) =>
-      groupCols.toSet.subsetOf(c.groupCols.toSet) &&
-        measures.toSet.subsetOf(c.measures.toSet)
-    }
-    val valid = covering.find(_._2.builtAtEpoch == s.epoch)
-    val slotName = valid.orElse(covering.headOption).orElse(cubes.headOption)
-      .map(_._1).getOrElse(s"cube:${groupCols.mkString(",")}")
-    val reason =
-      if (valid.isDefined) "routed"
-      else if (covering.nonEmpty) "stale-epoch"
-      else if (cubes.nonEmpty) "param-mismatch"
-      else if (sessions.contains(name)) "no-layout"
-      else "no-session"
-    recordRoute(RouteReport(slotName,
-      if (valid.isDefined) "layout" else "live", reason))
+    val (valid, rep) = decideCube(name, groupCols, measures)
+    recordRoute(rep)
     valid match {
-      case Some((_, c)) =>
+      case Some(c) =>
         // every stored statistic is a commutative merge: sums of sums,
         // sums of counts, min of mins, max of maxes — rollup is exact
         Catalog.cubeFinish(
@@ -1608,33 +1640,30 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * error bound against exact counts, the determinism of the routed
     * path, and that untouched groups' estimates never move under IVM.
     */
+  private def decideSketch(name: String, groupCols: Seq[String],
+                           sketchCol: String, lgK: Int)
+      : (Option[SketchLayout], RouteReport) =
+    // same-lgK guard: a different register width is a different sketch —
+    // routing it would change the estimate, not just the plan
+    decideCovering[SketchLayout](name,
+      s"sketch:${groupCols.mkString(",")}:$sketchCol",
+      layoutsOf(name).collect { case (slot, l: SketchLayout) => (slot, l) },
+      l => groupCols.toSet.subsetOf(l.groupCols.toSet) &&
+        l.col == sketchCol && l.lgK == lgK)
+
+  /** Dry-run of [[approxDistinct]]'s routing decision. Nothing runs. */
+  def explainDistinct(name: String, groupCols: Seq[String],
+                      sketchCol: String, lgK: Int = 12): RouteReport =
+    decideSketch(name, groupCols, sketchCol, lgK)._2
+
   def approxDistinct(name: String, groupCols: Seq[String],
                      sketchCol: String, lgK: Int = 12): DataFrame = {
     val s = sessionOf(name)
-    val cands = layoutsOf(name).collect { case (slot, l: SketchLayout) =>
-      (slot, l)
-    }
-    // same-lgK guard: a different register width is a different sketch —
-    // routing it would change the estimate, not just the plan
-    val covering = cands.filter { case (_, l) =>
-      groupCols.toSet.subsetOf(l.groupCols.toSet) && l.col == sketchCol &&
-        l.lgK == lgK
-    }
-    val valid = covering.find(_._2.builtAtEpoch == s.epoch)
-    val slotName = valid.orElse(covering.headOption).orElse(cands.headOption)
-      .map(_._1)
-      .getOrElse(s"sketch:${groupCols.mkString(",")}:$sketchCol")
-    val reason =
-      if (valid.isDefined) "routed"
-      else if (covering.nonEmpty) "stale-epoch"
-      else if (cands.nonEmpty) "param-mismatch"
-      else if (sessions.contains(name)) "no-layout"
-      else "no-session"
-    recordRoute(RouteReport(slotName,
-      if (valid.isDefined) "layout" else "live", reason))
+    val (valid, rep) = decideSketch(name, groupCols, sketchCol, lgK)
+    recordRoute(rep)
     val out = s"nd_$sketchCol"
     valid match {
-      case Some((_, l)) =>
+      case Some(l) =>
         patchedCodes(spark.read.parquet(l.path), l.patch)
           .groupBy(groupCols.map(col): _*)
           .agg(hll_sketch_estimate(

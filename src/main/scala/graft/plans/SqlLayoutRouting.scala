@@ -65,14 +65,28 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   // ---- ranged -------------------------------------------------------------
 
   private def tryRanged(f: Filter, cond: Expression, name: String,
-                        sa: SubqueryAlias): Option[Filter] =
-    routesFor(spark, name).collectFirst {
+                        sa: SubqueryAlias): Option[Filter] = {
+    // a 2-D layout wins when the predicate bounds BOTH its columns —
+    // it prunes on two dimensions where the ranged layout prunes on one
+    val zRouted = routesFor(spark, name).collectFirst {
+      case r: ZOrderSqlRoute
+          if boundsOn(cond, sa, r.colX).isDefined &&
+            boundsOn(cond, sa, r.colY).isDefined =>
+        val (loX, hiX) = boundsOn(cond, sa, r.colX).get
+        val (loY, hiY) = boundsOn(cond, sa, r.colY).get
+        remap(sa.output,
+          r.pruned(loX, hiX, loY, hiY).queryExecution.analyzed).map {
+          child => r.onRoute(); f.copy(child = child)
+        }
+    }.flatten
+    zRouted.orElse(routesFor(spark, name).collectFirst {
       case r: RangedSqlRoute if boundsOn(cond, sa, r.column).isDefined =>
         val (lo, hi) = boundsOn(cond, sa, r.column).get
         remap(sa.output, r.pruned(lo, hi).queryExecution.analyzed).map {
           child => r.onRoute(); f.copy(child = child)
         }
-    }.flatten
+    }.flatten)
+  }
 
   /** Conjunctive bounds on `column` of this view: the tightest
     * `[lo, hi]` the predicate implies, requiring at least one finite
@@ -344,6 +358,15 @@ object SqlRouting {
   /** A bucketed+sorted managed table on `key`. */
   final case class BucketSqlRoute(key: String, buckets: Int,
       table: () => DataFrame,
+      onRoute: () => Unit) extends SqlRoute
+
+  /** A z-ordered layout on (`colX`, `colY`): `pruned` reads only the
+    * part files whose per-file (x, y) rectangle intersects the caller's
+    * bounds — the exact predicate is NOT applied (the caller keeps the
+    * original Filter on top, same contract as [[RangedSqlRoute]]).
+    */
+  final case class ZOrderSqlRoute(colX: String, colY: String,
+      pruned: (Double, Double, Double, Double) => DataFrame,
       onRoute: () => Unit) extends SqlRoute
 
   /** A materialized aggregate cube on `groupCols` × `measures`:

@@ -826,6 +826,34 @@ object MaintenanceQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** o_catalog_zorder stated as SQL TEXT: the rectangle predicate in
+      * `catalog.sql` is rewritten onto the z-ordered layout's 2-D-pruned
+      * file set by [[graft.plans.SqlLayoutRouting]] (a 2-D route wins
+      * over a 1-D ranged route when the predicate bounds both columns).
+      * Pruning is a performance contract — the oracle is the plain
+      * conjunctive filter again.
+      */
+    "o_sql_zorder" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"zorderCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("li_z",
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity", "l_returnflag"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildZOrderedLayout("li_z", "l_extendedprice", "l_quantity",
+          files = 16)
+        c
+      }
+      cat.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM li_z
+          |WHERE l_extendedprice BETWEEN 1000.0 AND 5000.0
+          |  AND l_quantity BETWEEN 10.0 AND 20.0
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "o_skipping" -> ((s, dir) => {
       val out = graft.io.Scratch.dir(s, "li_ranged")
       Tables.load(s, dir, "lineitem")
@@ -1428,6 +1456,15 @@ object MaintenanceQueries {
 
     // 2-D pruning is a performance contract: plain conjunctive filter
     "o_catalog_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
+        |  AND l_quantity >= 10.0 AND l_quantity <= 20.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the SQL-text route through the same layout shares it too
+    "o_sql_zorder" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem

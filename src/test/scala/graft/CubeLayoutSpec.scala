@@ -96,6 +96,11 @@ class CubeLayoutSpec extends SparkSpec {
 
   test("a request the cube does not cover falls back to the live plan") {
     val c = newCubeCatalog()
+    // the dry run predicts the decision without running anything
+    assert(c.explainAggregate("cli", groupsAll, measuresAll)
+      .reason == "routed")
+    assert(c.explainAggregate("cli", groupsAll, Seq("l_discount"))
+      .reason == "param-mismatch")
     val live = c.aggregate("cli", groupsAll, Seq("l_discount"))
     assert(!plan(live).contains("catalog_cube_"),
       "an uncovered measure must not read the cube")

@@ -90,6 +90,10 @@ class SketchLayoutSpec extends SparkSpec {
 
   test("different lgK or column falls back to live; edit goes stale; IVM re-sketches dirty groups only") {
     val c = newCat()
+    assert(c.explainDistinct("sli", Seq("l_returnflag"), "l_orderkey")
+      .reason == "routed")
+    assert(c.explainDistinct("sli", Seq("l_returnflag"), "l_orderkey",
+      lgK = 14).reason == "param-mismatch")
     assert(!plan(c.approxDistinct("sli", Seq("l_returnflag"), "l_orderkey",
       lgK = 14)).contains("catalog_sketch_"),
       "a different register width is a different sketch — no route")
