@@ -725,7 +725,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
           spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
       case "postings" =>
         PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
-          s"$wh/${e.path.get}/postings", epoch, patch)
+          s"$wh/${e.path.get}/postings", epoch, patch,
+          nDocs = e.nDocs.getOrElse(0L), avgdl = e.avgdl.getOrElse(0.0))
       case "cube" =>
         CubeLayout(e.groupCols.get, e.measures.get,
           s"$wh/${e.path.get}/cube", epoch, patch)
@@ -1048,9 +1049,24 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     val patch = mergedPatch(
       patchedPostings(p).select(col("doc").as("id")), nowIds, p.patch,
       add0, idsTouched)
+    // a text edit can move the corpus scalars a routed BM25 reads
+    // (avgdl, and nDocs is re-measured with it): one projection-agg
+    // pass, no explode, no index rewrite — the exact-stats cost of the
+    // delta. An id-only rename leaves both untouched.
+    val (nDocs, avgdl) =
+      if (s.dirtySince(p.builtAtEpoch).exists(_._2.contains(p.textCol)))
+        graft.operators.Retrieval.postingsStats(
+          Positional.strip(s.current), p.textCol)
+      else (p.nDocs, p.avgdl)
     layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
+      patch = Some(patch), nDocs = nDocs, avgdl = avgdl)
     persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+    // the manifest must carry the re-measured scalars too, or a reopened
+    // catalog would score BM25 with the pre-edit avgdl
+    patch.path.foreach { _ =>
+      manifest.get((name, slot)).foreach(e =>
+        persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
+    }
   }
 
   /** Serving view of a (possibly patched) postings layout: the patch is
@@ -1248,13 +1264,46 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     val path = dir + "/postings"
     graft.operators.Retrieval.writePostingsBucketed(base, idCol, textCol,
       path, buckets)
+    val (nDocs, avgdl) =
+      graft.operators.Retrieval.postingsStats(base, textCol)
     layouts((name, s"postings:$textCol")) =
-      PostingsLayout(idCol, textCol, buckets, path, s.epoch)
+      PostingsLayout(idCol, textCol, buckets, path, s.epoch,
+        nDocs = nDocs, avgdl = avgdl)
     rel.foreach(r => persistEntry(LayoutManifestEntry(
       session = name, slot = s"postings:$textCol", kind = "postings",
       digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
-      idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets))))
+      idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets),
+      nDocs = Some(nDocs), avgdl = Some(avgdl))))
     path
+  }
+
+  /** Lexical BM25 retrieval, layout-routed: a valid postings layout on
+    * (session, textCol) built with the caller's idCol scores the query
+    * terms from stored (tf, dl) rows in the terms' pruned hash buckets
+    * plus the layout's two corpus scalars — the corpus is never
+    * re-tokenized, and the digits equal the live
+    * [[graft.operators.Retrieval.bm25]] (shared scoring tail, exact
+    * global df from the term-complete buckets). Without a valid layout
+    * the live corpus-pass BM25 runs. Output: (idCol, score).
+    */
+  def searchBm25(name: String, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val (lay, rep) = decide(name, s"postings:$textCol", {
+      case l: PostingsLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: PostingsLayout) =>
+        graft.operators.Retrieval.bm25FromPostings(spark,
+          patchedPostings(l), l.buckets, l.nDocs, l.avgdl, idCol, terms,
+          k1, b)
+      case _ =>
+        graft.operators.Retrieval.bm25(
+          Positional.strip(sessionOf(name).current), idCol, textCol,
+          terms, k1, b)
+    }
   }
 
   /** Posting lists for a probe term set, layout-routed: a valid postings
@@ -1322,6 +1371,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
                           files: Int = 16): String = {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
+    Seq(colX, colY).foreach { c =>
+      require(base.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order needs numeric columns; '$c' is ${base.schema(c).dataType}")
+    }
     val b = base.agg(min(col(colX).cast("double")),
       max(col(colX).cast("double")), min(col(colY).cast("double")),
       max(col(colY).cast("double"))).head()
@@ -1741,7 +1795,7 @@ object Catalog {
       while (f != null) { rm(f); f = tempDirs.poll() }
     }))
   }
-  private[core] def registerTempDir(d: java.nio.file.Path): Unit = {
+  private[graft] def registerTempDir(d: java.nio.file.Path): Unit = {
     tempDirHook
     tempDirs.add(d.toFile)
     ()
@@ -1802,9 +1856,15 @@ object Catalog {
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
+  /** `nDocs`/`avgdl` are the two corpus scalars a routed BM25 needs —
+    * captured at build time and kept exact across delta refreshes (a
+    * text edit re-measures them in one projection-agg pass; the index
+    * files still never rewrite).
+    */
   final case class PostingsLayout(idCol: String, textCol: String,
       buckets: Int, path: String, builtAtEpoch: Long,
-      patch: Option[LayoutPatch] = None) extends TableLayout
+      patch: Option[LayoutPatch] = None,
+      nDocs: Long = 0L, avgdl: Double = 0.0) extends TableLayout
 
   /** One row per distinct `groupCols` tuple of `base` with `__cnt` =
     * count(*), and per measure the order-free decimal partial sum

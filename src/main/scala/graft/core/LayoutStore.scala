@@ -35,7 +35,9 @@ final case class LayoutManifestEntry(
     cents: Option[Seq[CentEntry]] = None,
     patch: Option[String] = None,
     groupCols: Option[Seq[String]] = None,
-    measures: Option[Seq[String]] = None)
+    measures: Option[Seq[String]] = None,
+    nDocs: Option[Long] = None,
+    avgdl: Option[Double] = None)
 
 /** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
   * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row

@@ -40,8 +40,18 @@ object Retrieval {
       .groupBy(col(idCol), col("__dl"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
 
-    // per-term document frequency over the matched docs only — a
-    // |queryTerms|-row aggregate, broadcast into the scoring projection
+    scoreFromTf(tf, idCol, stats, k1, b)
+  }
+
+  /** The BM25 scoring tail, shared by the live path ([[bm25]]) and the
+    * layout-routed path ([[bm25FromPostings]]) so the two produce
+    * IDENTICAL digits from identical (tf, dl, stats) inputs: per-term df
+    * over the matched docs (terms-sized, broadcast), the idf·tfNorm
+    * contribution per (doc, term) as 10dp decimal, and an order-free
+    * decimal sum per doc rounded to 6dp.
+    */
+  private def scoreFromTf(tf: DataFrame, idCol: String, stats: DataFrame,
+                          k1: Double, b: Double): DataFrame = {
     val df = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
 
     val idf = log(lit(1.0) +
@@ -54,6 +64,32 @@ object Retrieval {
       .select(col(idCol), (idf * tfNorm).cast("decimal(28,10)").as("__contrib"))
       .groupBy(idCol)
       .agg(round(sum(col("__contrib")).cast("double"), 6).as("score"))
+  }
+
+  /** BM25 served from a bucketed postings layout: the probe terms'
+    * buckets are partition-pruned at plan time (non-probed buckets never
+    * open), the stored (tf, dl) rows feed the shared scoring tail, and
+    * the corpus stats are the layout's two stored scalars — the corpus
+    * is never re-tokenized. Because a term's rows live entirely in its
+    * hash bucket, the per-term df over pruned rows is the exact global
+    * df, so the scores are digit-identical to [[bm25]] over the same
+    * corpus.
+    */
+  def bm25FromPostings(spark: org.apache.spark.sql.SparkSession,
+                       postings: DataFrame, buckets: Int,
+                       nDocs: Long, avgdl: Double, idCol: String,
+                       queryTerms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tbs = termBuckets(spark, queryTerms, buckets)
+    val tf = postings
+      .filter(col("__tb").isInCollection(tbs) &&
+        col("term").isInCollection(queryTerms))
+      .select(col("doc").as(idCol), col("dl").as("__dl"),
+        col("term").as("__term"), col("tf").as("__tf"))
+    val stats = spark.range(1).select(lit(nDocs).as("__n_docs"),
+      lit(avgdl).as("__avgdl"))
+    scoreFromTf(tf, idCol, stats, k1, b)
   }
 
   /** Sliding passage windows: overlapping token windows of `winTokens`
@@ -125,12 +161,41 @@ object Retrieval {
     */
   def writePostingsBucketed(docs: DataFrame, idCol: String, textCol: String,
                             path: String, buckets: Int = 64): Unit =
-    docs.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol))))
-          .as("term"))
-      .withColumn("__tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+    postingsRows(docs, idCol, "doc", textCol, buckets)
       .repartition(buckets, col("__tb"))
       .write.partitionBy("__tb").parquet(path)
+
+  /** The index's row shape, shared by the build and the delta path: one
+    * row per distinct (doc, term) carrying the within-doc term frequency
+    * `tf` and the doc's token count `dl` (denormalized — exactly the two
+    * numbers BM25 needs, so a routed score never re-tokenizes), plus the
+    * term-hash bucket `__tb`. The tf aggregation is a partial+final hash
+    * agg keyed on (doc, term); row count equals the distinct-term
+    * explode the index stored before tf/dl existed.
+    */
+  private def postingsRows(docs: DataFrame, idCol: String, keyName: String,
+                           textCol: String, buckets: Int): DataFrame =
+    docs.select(col(idCol).as(keyName),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(keyName), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(keyName, "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+
+  /** Corpus-level BM25 stats of `docs`: (n_docs, avgdl) — ONE projection
+    * + scalar aggregate pass (no explode, no shuffle of bodies).
+    * Computed at layout build time and re-computed on a text-edit delta
+    * refresh: a single cell edit can move `avgdl`, and these two scalars
+    * are the only corpus-level state a routed BM25 needs.
+    */
+  def postingsStats(docs: DataFrame, textCol: String): (Long, Double) = {
+    val r = docs.select(size(TextFunctions.tokens(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
 
   /** The stored buckets a probe term set lives in — computed WITH Spark
     * over a terms-sized local relation so the hash is bit-identical to
@@ -180,10 +245,7 @@ object Retrieval {
     */
   def postingsRowsFor(docs: DataFrame, idCol: String, textCol: String,
                       buckets: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol))))
-          .as("term"))
-      .withColumn("__tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+    postingsRows(docs, idCol, "id", textCol, buckets)
 
   /** [[postings]] restricted to a probe term set — the LIVE fallback of
     * a layout-routed term lookup (corpus-sized tokenize, same answer).

@@ -1000,6 +1000,29 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    /** BM25 retrieval SERVED FROM THE INDEX (r9): the same postings
+      * layout now stores (tf, dl) per (doc, term) plus the two corpus
+      * scalars, so [[graft.core.Catalog.searchBm25]] scores the query
+      * from the probe terms' pruned hash buckets — the corpus is never
+      * re-tokenized, and the shared scoring tail makes the digits equal
+      * the live [[graft.operators.Retrieval.bm25]] (PostingsLayoutSpec
+      * pins both). Same terms as t_bm25, so the oracle is the same
+      * full-corpus BM25 SQL.
+      */
+    "t_catalog_bm25" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"postingsCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("postings_docs",
+          docs(s, dir).select("doc_id", "text"), Seq("doc_id"))
+        c.buildPostingsLayout("postings_docs", "doc_id", "text",
+          buckets = 8)
+        c
+      }
+      cat.searchBm25("postings_docs", "doc_id", "text",
+          Seq("merge", "vector", "spark"))
+        .orderBy("doc_id")
+    }),
+
     // numHashes=128/bands=64 (r=2) so the analytic band-miss probability for
     // a pair at the j=0.4 threshold is (1-0.4^2)^64 ≈ 1.4e-5 — the
     // brute-force Jaccard oracle is then valid without assuming luck; the
@@ -2387,6 +2410,30 @@ object PipelineQueries {
          |      FROM documents)
          |WHERE term IN ('join', 'vector', 'dup')
          |GROUP BY term ORDER BY term""".stripMargin,
+
+    // index-served BM25 equals the full-corpus BM25 (t_bm25's oracle,
+    // same terms): stored (tf, dl) + corpus scalars feed the identical
+    // scoring arithmetic
+    "t_catalog_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+         |    FROM toks t JOIN dl d USING (doc_id))
+         |  WHERE term IN ('merge', 'vector', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, round(CAST(sum(CAST(
+         |    ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+         |    ((tf * (1.2 + 1.0)) /
+         |     (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+         |  AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+         |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t_pmi" ->
       s"""WITH t AS (SELECT $toksSql AS tk FROM documents),

@@ -360,6 +360,7 @@ object EventStreams {
                    groupCols: Seq[String], measures: Seq[String],
                    queryName: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("stream_cube_")
+    graft.core.Catalog.registerTempDir(root) // refresh ledger dies at exit
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     def verDir(v: Int) = s"$root/v$v"
     val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {

@@ -100,6 +100,59 @@ class PostingsLayoutSpec extends SparkSpec {
     assert(rebuilt.patch.isEmpty)
   }
 
+  private val bm25Terms = Seq("merge", "vector", "spark")
+
+  private def postingsLayoutOf(cat: Catalog,
+                               name: String): Catalog.PostingsLayout =
+    cat.layoutsOf(name).collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+
+  test("searchBm25 serves from the index: pruned buckets, no re-tokenize, digits equal live") {
+    val cat = new Catalog(spark)
+    cat.open("docs_b", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_b", "doc_id", "text", buckets = 8)
+    val routed = cat.searchBm25("docs_b", "doc_id", "text", bm25Terms)
+    val p = routed.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_postings"),
+      s"routed BM25 must read the postings layout; plan:\n$p")
+    assert(!p.toLowerCase.contains("explode"),
+      s"routed BM25 must never re-tokenize the corpus; plan:\n$p")
+    assert(scanOf(routed).selectedPartitions.partitionCount <= bm25Terms.size,
+      "only the query terms' hash buckets may open")
+    // digit equality with the live corpus-pass BM25: the shared scoring
+    // tail over identical (tf, dl, df, stats) inputs
+    val live = Retrieval.bm25(Tables.load(spark, sf, "documents"),
+      "doc_id", "text", bm25Terms)
+    assert(routed.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      live.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "index-served BM25 must reproduce the live digits")
+  }
+
+  test("a text edit re-measures the corpus scalars: patched BM25 equals live post-edit") {
+    val cat = new Catalog(spark)
+    cat.open("docs_b2", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_b2", "doc_id", "text", buckets = 8)
+    val before = postingsLayoutOf(cat, "docs_b2")
+    // the edit changes doc 0's length: dl, tf, avgdl all move
+    assert(cat.get("docs_b2").get.setCell(0L, "text",
+      "merge merge spark benchmark"))
+    assert(cat.refreshStale("docs_b2") == Seq("postings:text"))
+    val after = postingsLayoutOf(cat, "docs_b2")
+    assert(after.nDocs == before.nDocs, "a cell edit never changes nDocs")
+    assert(after.avgdl != before.avgdl,
+      "a length-changing text edit must move the stored avgdl")
+    val routed = cat.searchBm25("docs_b2", "doc_id", "text", bm25Terms)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    val live = Retrieval.bm25(
+      graft.core.Positional.strip(cat.get("docs_b2").get.current),
+      "doc_id", "text", bm25Terms)
+    assert(routed.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      live.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "patched index + re-measured scalars must reproduce live digits")
+  }
+
   test("postings layout survives a catalog restart over the same warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_post_")
       .toString
