@@ -128,7 +128,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   private def restore(s: Snap): Unit = {
     epochCounter += 1
-    logMutation(None, Set.empty) // undo/redo can change anything
+    logMutation(Structural) // undo/redo can change anything
     table = s.table
     editLog.clear()
     s.edits.foreach { case (c, m) => editLog(c) = m }
@@ -147,23 +147,33 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def epoch: Long = epochCounter
 
   // ---- mutation log (delta-maintenance feed) ------------------------------
-  // One entry per epoch bump: which positions a gesture touched (None =
-  // structural gesture — delete/splice/replace/pivot/nested edit/undo —
-  // after which no delta is recoverable) and which columns. Catalog
-  // layout maintenance reads this to patch stored layouts instead of
-  // rebuilding them from the whole corpus after every edit.
-  private val mutLog =
-    mutable.ArrayBuffer.empty[(Long, Option[Seq[Long]], Set[String])]
+  // One entry per epoch bump: which positions a cell gesture touched,
+  // a DELETE-ONLY marker for row removals (keyed layouts can shadow the
+  // vanished ids without any recompute), or a structural marker
+  // (splice/paste/replace/pivot/nested edit/undo — no delta is
+  // recoverable). Catalog layout maintenance reads this to patch stored
+  // layouts instead of rebuilding them from the whole corpus.
+  private sealed trait MutKind
+  private case class CellEdits(pos: Seq[Long], cols: Set[String])
+      extends MutKind
+  private case object RowDeletes extends MutKind
+  private case object Structural extends MutKind
+
+  private val mutLog = mutable.ArrayBuffer.empty[(Long, MutKind)]
   private var mutLogFloor = 0L // epochs <= floor predate the retained log
   private val mutLogMax = 4096
 
-  private def logMutation(dirty: Option[Seq[Long]], cols: Set[String]): Unit = {
-    mutLog += ((epochCounter, dirty, cols))
+  private def logMutation(kind: MutKind): Unit = {
+    mutLog += ((epochCounter, kind))
     if (mutLog.size > mutLogMax) {
       mutLogFloor = mutLog.head._1
       mutLog.remove(0)
     }
   }
+
+  private def mutationsSince(sinceEpoch: Long): Option[Seq[MutKind]] =
+    if (sinceEpoch < mutLogFloor) None
+    else Some(mutLog.collect { case (e, k) if e > sinceEpoch => k }.toSeq)
 
   /** The cell positions and columns mutated since `sinceEpoch`, when
     * every intervening gesture was a position-bounded cell edit. None
@@ -173,22 +183,33 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * changed". Equal-epoch calls return empty sets (nothing mutated).
     */
   def dirtySince(sinceEpoch: Long): Option[(Seq[Long], Set[String])] =
-    if (sinceEpoch < mutLogFloor) None
-    else {
-      val entries = mutLog.filter(_._1 > sinceEpoch)
-      if (entries.exists(_._2.isEmpty)) None
-      else Some((entries.flatMap(_._2.get).distinct.toSeq,
-        entries.flatMap(_._3).toSet))
+    mutationsSince(sinceEpoch).flatMap { entries =>
+      if (entries.forall(_.isInstanceOf[CellEdits]))
+        Some((entries.collect { case CellEdits(p, _) => p }
+          .flatten.distinct, entries.collect { case CellEdits(_, c) => c }
+          .flatten.toSet))
+      else None
     }
 
-  /** Record state before a mutation gesture; clears the redo branch.
-    * `dirty`/`cols` feed the mutation log: position-bounded cell gestures
-    * pass what they touch, structural gestures take the None default.
+  /** True when every gesture since `sinceEpoch` was a row DELETE (and
+    * there was at least one): the ids still present are exactly the
+    * surviving ids, so an id-keyed layout can refresh by shadowing
+    * `servedIds EXCEPT currentIds` — no row re-encodes, no re-tokenize,
+    * nothing rewrites. Any other gesture in the window (or log
+    * truncation) disqualifies the shortcut.
     */
-  private def remember(dirty: Option[Seq[Long]] = None,
-                       cols: Set[String] = Set.empty): Unit = {
+  def deleteOnlySince(sinceEpoch: Long): Boolean =
+    mutationsSince(sinceEpoch)
+      .exists(es => es.nonEmpty && es.forall(_ == RowDeletes))
+
+  /** Record state before a mutation gesture; clears the redo branch.
+    * `kind` feeds the mutation log: position-bounded cell gestures pass
+    * what they touch, row deletes the delete-only marker, everything
+    * else the structural default.
+    */
+  private def remember(kind: MutKind = Structural): Unit = {
     epochCounter += 1
-    logMutation(dirty, cols)
+    logMutation(kind)
     undoStack += snap()
     if (undoStack.size > maxHistory) undoStack.remove(0)
     redoStack.clear()
@@ -216,8 +237,9 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * handful are free, but an unbounded session would grow analysis cost.
     */
   private var rebindsSinceCheckpoint = 0
-  private def rebind(f: DataFrame => DataFrame): Unit = {
-    remember()
+  private def rebind(f: DataFrame => DataFrame,
+                     kind: MutKind = Structural): Unit = {
+    remember(kind)
     val folded = current
     editLog.clear()
     table = f(folded)
@@ -254,7 +276,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
           CellOps.castStrict(raw, f.dataType).map(p -> _) }
         if (edits.isEmpty || casted.exists(_.isFailure)) false
         else {
-          remember(Some(edits.map(_._1)), Set(colName))
+          remember(CellEdits(edits.map(_._1), Set(colName)))
           editLog(colName) =
             editLog.getOrElse(colName, Map.empty[Long, Any]) ++ casted.map(_.get)
           editsSinceCheckpoint += edits.size
@@ -307,7 +329,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   }
 
   private def recordEdit(colName: String, pos: Long, v: Any): Unit = {
-    remember(Some(Seq(pos)), Set(colName))
+    remember(CellEdits(Seq(pos), Set(colName)))
     editLog(colName) = editLog.getOrElse(colName, Map.empty[Long, Any]) + (pos -> v)
     editsSinceCheckpoint += 1
     if (editsSinceCheckpoint >= compactEvery) checkpoint()
@@ -342,7 +364,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def deleteRows(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
     if (valid.nonEmpty) {
-      rebind(RowOps.deleteRows(_, valid))
+      rebind(RowOps.deleteRows(_, valid), RowDeletes)
       nRows -= valid.size
     }
     valid.nonEmpty
@@ -365,12 +387,14 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def cut(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
     if (valid.nonEmpty) {
-      rebind { df0 =>
+      // a cut IS a delete of the session's rows (the clipboard is
+      // side-state): keyed layouts may shadow the vanished ids
+      rebind({ df0 =>
         val (clip, rest) = RowOps.cutRows(df0, valid)
         clipboard = Some(clip)
         clipboardSize = valid.size.toLong
         rest
-      }
+      }, RowDeletes)
       nRows -= valid.size
     }
     valid.nonEmpty
@@ -897,6 +921,20 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
           if pos.size <= deltaMaxRows &&
             disjoint(cols, p.groupCols.toSet) =>
         patchSketch(name, s, slot, p, pos)
+      // pure row deletes: the surviving ids are exactly the current ids,
+      // so every id-keyed layout refreshes by SHADOWING the vanished ids
+      // (patch fns with an empty dirty set + idsTouched: removed =
+      // servedIds EXCEPT currentIds) — zero re-encodes, zero re-signs,
+      // one id-only column-pruned pass. Group-keyed (cube: deleted rows'
+      // groups unrecoverable) and full-row layouts still rebuild.
+      case (p: PqCodesLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
+        patchPq(name, s, slot, p, Seq.empty, idsTouched = true)
+      case (p: IvfPqCellLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
+        patchIvfPq(name, s, slot, p, Seq.empty, idsTouched = true)
+      case (p: LshIndexLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
+        patchLsh(name, s, slot, p, Seq.empty, idsTouched = true)
+      case (p: PostingsLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
+        patchPostings(name, s, slot, p, Seq.empty, idsTouched = true)
       case _ => rebuildSlot(name, l)
     }
   }
@@ -1049,12 +1087,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     val patch = mergedPatch(
       patchedPostings(p).select(col("doc").as("id")), nowIds, p.patch,
       add0, idsTouched)
-    // a text edit can move the corpus scalars a routed BM25 reads
-    // (avgdl, and nDocs is re-measured with it): one projection-agg
-    // pass, no explode, no index rewrite — the exact-stats cost of the
-    // delta. An id-only rename leaves both untouched.
+    // a text edit or a row delete can move the corpus scalars a routed
+    // BM25 reads (avgdl, and nDocs with it): one projection-agg pass,
+    // no explode, no index rewrite — the exact-stats cost of the delta.
+    // An id-only rename (cell delta sparing the text column) keeps both.
     val (nDocs, avgdl) =
-      if (s.dirtySince(p.builtAtEpoch).exists(_._2.contains(p.textCol)))
+      if (s.dirtySince(p.builtAtEpoch)
+          .map(_._2.contains(p.textCol)).getOrElse(true))
         graft.operators.Retrieval.postingsStats(
           Positional.strip(s.current), p.textCol)
       else (p.nDocs, p.avgdl)

@@ -111,17 +111,36 @@ class IncrementalRefreshSpec extends SparkSpec {
       direct.orderBy("batch_id", "corpus_id").collect().toSeq)
   }
 
-  test("structural gestures still force a full rebuild") {
+  test("a pure row delete shadow-patches: no re-encode, deleted id gone from search") {
     val cat = new Catalog(spark)
     cat.open("inc4", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
     cat.buildPqLayout("inc4", "vec_id", "embedding")
     val before = pqLayout(cat, "inc4")
-    assert(cat.get("inc4").get.deleteRow(0L)) // row delete: no delta
+    val s = cat.get("inc4").get
+    val deletedId = s.current.filter(col("__pos") === 0L)
+      .select("vec_id").head().getLong(0)
+    assert(s.deleteRow(0L))
     assert(cat.refreshStale("inc4") == Seq("ann:embedding"))
     val after = pqLayout(cat, "inc4")
-    assert(after.path != before.path,
+    assert(after.path == before.path,
+      "a delete must shadow-patch, never rebuild the codes")
+    assert(after.patch.isDefined &&
+      after.patch.get.add.count() == 0L,
+      "nothing re-encodes on a pure delete")
+    assert(after.patch.get.removed.collect().map(_.get(0))
+      .contains(deletedId), "the deleted id must be shadowed")
+    val got = cat.topK("inc4", "vec_id", "embedding", queryVec(), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!got.contains(deletedId),
+      "a routed search must never return a deleted row")
+
+    // a gesture that ADDS rows (cut + paste) has no recoverable delta
+    assert(s.cut(Seq(1L)) && s.paste(0L))
+    assert(cat.refreshStale("inc4") == Seq("ann:embedding"))
+    val rebuilt = pqLayout(cat, "inc4")
+    assert(rebuilt.path != before.path,
       "a structural gesture must rebuild into fresh storage")
-    assert(after.patch.isEmpty)
+    assert(rebuilt.patch.isEmpty)
   }
 
   test("a delta-patched durable layout reloads patched in a new catalog") {

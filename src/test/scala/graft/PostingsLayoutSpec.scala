@@ -90,8 +90,31 @@ class PostingsLayoutSpec extends SparkSpec {
       case (_, l: Catalog.PostingsLayout) => l
     }.get
     assert(after.path == built.path, "revalidate must not rebuild")
-    // a structural gesture (row delete) has no recoverable delta: rebuild
-    assert(cat.get("docs_p2").get.deleteRow(2L))
+    // a row DELETE is the cheapest delta of all: the vanished doc id is
+    // shadowed out (servedIds EXCEPT currentIds), nothing re-tokenizes,
+    // the base files stay untouched
+    val s2 = cat.get("docs_p2").get
+    val deletedId = s2.current.filter(col("__pos") === 2L)
+      .select("doc_id").head().getLong(0)
+    assert(s2.deleteRow(2L))
+    assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val afterDelete = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(afterDelete.path == built.path,
+      "a delete must shadow-patch, never rewrite the base")
+    assert(afterDelete.patch.get.removed.collect().map(_.get(0))
+      .contains(deletedId), "the deleted doc id must be in the shadow set")
+    val afterDeleteLookup = cat.termPostings("docs_p2", "doc_id", "text",
+      probes)
+    assert(afterDeleteLookup.orderBy("term").collect().map(_.toSeq).toSeq ==
+      Retrieval.postingsFor(
+        graft.core.Positional.strip(s2.current), "doc_id", "text", probes)
+        .orderBy("term").collect().map(_.toSeq).toSeq,
+      "the shadow-patched index must serve the post-delete corpus")
+    // a genuinely structural gesture (paste inserts rows) still rebuilds
+    assert(s2.cut(Seq(3L)))
+    assert(s2.paste(0L))
     assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
     val rebuilt = cat.layoutsOf("docs_p2").collectFirst {
       case (_, l: Catalog.PostingsLayout) => l
