@@ -169,22 +169,39 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     * (DISTINCT, FILTER, another function, an expression under the sum
     * the cube didn't store) simply doesn't route.
     */
-  private def tryCube(a: Aggregate): Option[LogicalPlan] = a.child match {
-    case SessionView(name, sa) =>
+  private def tryCube(a: Aggregate): Option[LogicalPlan] = {
+    // a WHERE below the aggregate routes too, when it constrains ONLY
+    // group columns: such a predicate is constant within each group, so
+    // filtering the stored cube rows keeps exactly the surviving groups'
+    // partials — the filtered-MV rewrite
+    val (view, cond) = a.child match {
+      case SessionView(name, sa) => (Some((name, sa)), None)
+      case Filter(c, SessionView(name, sa)) => (Some((name, sa)), Some(c))
+      case _ => (None, None)
+    }
+    view.flatMap { case (name, sa) =>
       val groupAttrs: Seq[AttributeReference] =
         a.groupingExpressions.map {
           case at: AttributeReference if sa.outputSet.contains(at) => at
           case _ => return None
         }
       routesFor(spark, name).collect { case c: CubeSqlRoute => c }
-        .filter(r => groupAttrs.forall(g => r.groupCols.contains(g.name)))
-        .view.flatMap(r => rewriteOnCube(a, sa, groupAttrs, r))
+        .filter { r =>
+          groupAttrs.forall(g => r.groupCols.contains(g.name)) &&
+            cond.forall(_.references.forall {
+              case at: AttributeReference =>
+                sa.outputSet.contains(at) && r.groupCols.contains(at.name)
+              case _ => false
+            })
+        }
+        .view.flatMap(r => rewriteOnCube(a, sa, groupAttrs, cond, r))
         .headOption
-    case _ => None
+    }
   }
 
   private def rewriteOnCube(a: Aggregate, sa: SubqueryAlias,
                             groupAttrs: Seq[AttributeReference],
+                            cond: Option[Expression],
                             r: CubeSqlRoute): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     val cubePlan = r.served().queryExecution.analyzed
@@ -275,10 +292,22 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
           translate(at).map(t => Alias(t, at.name)(exprId = at.exprId))
         case _ => None
       }
-    if (newAggExprs.forall(_.isDefined)) {
+    // the WHERE's group-column attributes remap onto the cube's columns;
+    // the predicate expression itself transfers verbatim
+    val newCond: Option[Option[Expression]] = cond.map { c =>
+      val remapped = c.transformUp {
+        case at: AttributeReference if byName.contains(at.name) =>
+          byName(at.name)
+      }
+      if (remapped.references.forall(at => byName.get(at.name)
+          .exists(_.exprId == at.exprId))) Some(remapped) else None
+    }
+    if (newAggExprs.forall(_.isDefined) && newCond.forall(_.isDefined)) {
       r.onRoute()
+      val child = newCond.flatten
+        .map(c => Filter(c, cubePlan): LogicalPlan).getOrElse(cubePlan)
       Some(Aggregate(groupAttrs.map(g => byName(g.name)),
-        newAggExprs.map(_.get), cubePlan, None))
+        newAggExprs.map(_.get), child, None))
     } else None
   }
 

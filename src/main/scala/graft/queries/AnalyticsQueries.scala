@@ -1327,6 +1327,22 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** The FILTERED materialized-view rewrite: a WHERE constraining only
+      * cube GROUP columns is constant within each group, so the rewrite
+      * filters the stored cube rows and re-merges the survivors — the
+      * fact table stays untouched even under a predicate (plan pin in
+      * SqlRoutingSpec; a predicate on a measure column refuses to
+      * route). Oracle: same text over raw lineitem.
+      */
+    "a_sql_cube_filtered" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS sum_price
+          |FROM li_cube
+          |WHERE l_returnflag = 'A'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
     /** Lag + moving average: previous order price and 3-order trailing mean
       * per customer — partitioned window, decimal sum then one double
       * division for cross-engine determinism.
@@ -2589,6 +2605,14 @@ object AnalyticsQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_cube_filtered" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "w_lag_ma" ->
       """SELECT o_custkey, o_orderkey,

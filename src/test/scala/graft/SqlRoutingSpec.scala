@@ -140,6 +140,28 @@ class SqlRoutingSpec extends SparkSpec {
     val distinct = cat.sql(
       "SELECT count(DISTINCT l_quantity) AS d FROM li_mv")
     assert(!plan(distinct).contains("catalog_cube_"))
+    // filtered MV rewrite: a WHERE on a GROUP column filters the stored
+    // cube rows (constant within each group) and still never scans facts
+    val filtered = cat.sql(
+      """SELECT l_linestatus, count(*) AS n FROM li_mv
+        |WHERE l_returnflag = 'A' GROUP BY l_linestatus""".stripMargin)
+    assert(plan(filtered).contains("catalog_cube_"),
+      s"a group-column WHERE must route; plan:\n${plan(filtered)}")
+    assert(filtered.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem").filter(col("l_returnflag") === "A")
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
+    // a WHERE touching a MEASURE column is NOT constant within a group:
+    // refuse, answer from the live view
+    val measureWhere = cat.sql(
+      """SELECT l_linestatus, count(*) AS n FROM li_mv
+        |WHERE l_quantity > 10 GROUP BY l_linestatus""".stripMargin)
+    assert(!plan(measureWhere).contains("catalog_cube_"),
+      "a measure-column WHERE must not route")
+    assert(measureWhere.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem").filter(col("l_quantity") > 10)
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
     // an edit invalidates: the canonical text falls back to the live view
     assert(cat.get("li_mv").get.setCell(0L, "l_quantity", "42"))
     assert(!plan(cat.sql(q)).contains("catalog_cube_"),
