@@ -162,6 +162,17 @@ class SqlRoutingSpec extends SparkSpec {
       Tables.load(spark, sf, "lineitem").filter(col("l_quantity") > 10)
         .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
         .collect().map(_.toSeq).toSet)
+    // HAVING sits ABOVE the aggregate in the analyzed plan — the cube
+    // rewrite underneath is untouched by it
+    val having = cat.sql(
+      """SELECT l_returnflag, count(*) AS n FROM li_mv
+        |GROUP BY l_returnflag HAVING count(*) > 1""".stripMargin)
+    assert(plan(having).contains("catalog_cube_"),
+      s"HAVING must not defeat the rewrite; plan:\n${plan(having)}")
+    assert(having.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .collect().map(_.toSeq).toSet)
     // an edit invalidates: the canonical text falls back to the live view
     assert(cat.get("li_mv").get.setCell(0L, "l_quantity", "42"))
     assert(!plan(cat.sql(q)).contains("catalog_cube_"),
