@@ -547,7 +547,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * before returning — safe because `spark.sql` analyzes eagerly, so the
     * returned DataFrame holds the resolved plan, not the view names.
     */
-  def sql(query: String): DataFrame = {
+  private val sqlLock = new Object
+  def sql(query: String): DataFrame = sqlLock.synchronized {
+    // serialized per catalog: two concurrent sql() calls share the same
+    // view names, and one call's finally-drop could otherwise remove a
+    // view the other is mid-analysis on (Verify's thread pool runs a
+    // catalog's SQL queries concurrently). Analysis is fast; the
+    // returned DataFrame holds the resolved plan and executes unlocked.
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
