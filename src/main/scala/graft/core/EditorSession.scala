@@ -1652,36 +1652,51 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   }
 
   private def decideCube(name: String, groupCols: Seq[String],
-                         measures: Seq[String])
+                         measures: Seq[String],
+                         whereCols: Set[String] = Set.empty)
       : (Option[CubeLayout], RouteReport) =
     decideCovering[CubeLayout](name, s"cube:${groupCols.mkString(",")}",
       layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
-      c => groupCols.toSet.subsetOf(c.groupCols.toSet) &&
+      c => (groupCols.toSet ++ whereCols).subsetOf(c.groupCols.toSet) &&
         measures.toSet.subsetOf(c.measures.toSet))
 
   /** Dry-run of [[aggregate]]'s routing decision — which cube would
-    * serve this grouping/measure set, or why none would. Nothing runs.
+    * serve this grouping/measure/filter set, or why none would. Nothing
+    * runs.
     */
   def explainAggregate(name: String, groupCols: Seq[String],
-                       measures: Seq[String]): RouteReport =
-    decideCube(name, groupCols, measures)._2
+                       measures: Seq[String],
+                       where: Seq[(String, Any)] = Nil): RouteReport =
+    decideCube(name, groupCols, measures, where.map(_._1).toSet)._2
 
+  /** Grouped count/sum/avg/min/max, optionally under group-column
+    * EQUALITY filters (`where`): a predicate on group columns is
+    * constant within each group, so a covering cube serves the filtered
+    * aggregate by filtering its stored rows — the typed twin of the SQL
+    * rewrite's filtered-MV form. A filter on any non-group column makes
+    * the cube non-covering (param-mismatch) and the live plan answers.
+    */
   def aggregate(name: String, groupCols: Seq[String],
-                measures: Seq[String]): DataFrame = {
+                measures: Seq[String],
+                where: Seq[(String, Any)] = Nil): DataFrame = {
     val s = sessionOf(name)
-    val (valid, rep) = decideCube(name, groupCols, measures)
+    val (valid, rep) =
+      decideCube(name, groupCols, measures, where.map(_._1).toSet)
     recordRoute(rep)
+    def filtered(df: DataFrame): DataFrame =
+      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
     valid match {
       case Some(c) =>
         // every stored statistic is a commutative merge: sums of sums,
         // sums of counts, min of mins, max of maxes — rollup is exact
         Catalog.cubeFinish(
-          Catalog.cubeMergePartials(patchedCube(c), groupCols, measures),
+          Catalog.cubeMergePartials(filtered(patchedCube(c)), groupCols,
+            measures),
           groupCols, measures)
       case None =>
         Catalog.cubeFinish(
-          Catalog.cubePartials(Positional.strip(s.current), groupCols,
-            measures),
+          Catalog.cubePartials(filtered(Positional.strip(s.current)),
+            groupCols, measures),
           groupCols, measures)
     }
   }

@@ -1327,6 +1327,17 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** The typed twin of the filtered-MV rewrite: equality filters on
+      * group columns route through the cube (filter the stored rows,
+      * merge the survivors) — the fact table untouched under a
+      * predicate.
+      */
+    "a_catalog_cube_where" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .aggregate("li_cube", Seq("l_linestatus"), Seq("l_quantity"),
+          where = Seq("l_returnflag" -> "A"))
+        .orderBy("l_linestatus")),
+
     /** The FILTERED materialized-view rewrite: a WHERE constraining only
       * cube GROUP columns is constant within each group, so the rewrite
       * filters the stored cube rows and re-merges the survivors — the
@@ -2605,6 +2616,17 @@ object AnalyticsQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_catalog_cube_where" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_l_quantity,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_l_quantity,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "a_sql_cube_filtered" ->
       """SELECT l_linestatus, count(*) AS n,

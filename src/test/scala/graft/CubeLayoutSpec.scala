@@ -94,6 +94,29 @@ class CubeLayoutSpec extends SparkSpec {
       direct(Tables.load(spark, sf, "lineitem"), Seq.empty, Seq("l_quantity")))
   }
 
+  test("typed filtered aggregate: group-column equality routes, measure filter falls back") {
+    val c = newCubeCatalog()
+    val routed = c.aggregate("cli", Seq("l_linestatus"), Seq("l_quantity"),
+      where = Seq("l_returnflag" -> "A"))
+    assert(plan(routed).contains("catalog_cube_"),
+      "a group-column equality filter must still serve from the cube")
+    assert(c.recentRoutes.last.reason == "routed")
+    assert(got(routed, Seq("l_linestatus")) ==
+      direct(Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "A"), Seq("l_linestatus"),
+        Seq("l_quantity")))
+    // a filter on a MEASURE column is not constant within a group
+    assert(c.explainAggregate("cli", Seq("l_linestatus"), Seq("l_quantity"),
+      where = Seq("l_quantity" -> 10.0)).reason == "param-mismatch")
+    val live = c.aggregate("cli", Seq("l_linestatus"), Seq("l_quantity"),
+      where = Seq("l_quantity" -> 10.0))
+    assert(!plan(live).contains("catalog_cube_"))
+    assert(got(live, Seq("l_linestatus")) ==
+      direct(Tables.load(spark, sf, "lineitem")
+        .filter(col("l_quantity") === 10.0), Seq("l_linestatus"),
+        Seq("l_quantity")))
+  }
+
   test("a request the cube does not cover falls back to the live plan") {
     val c = newCubeCatalog()
     // the dry run predicts the decision without running anything
