@@ -1755,35 +1755,47 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * path, and that untouched groups' estimates never move under IVM.
     */
   private def decideSketch(name: String, groupCols: Seq[String],
-                           sketchCol: String, lgK: Int)
+                           sketchCol: String, lgK: Int,
+                           whereCols: Set[String])
       : (Option[SketchLayout], RouteReport) =
     // same-lgK guard: a different register width is a different sketch —
     // routing it would change the estimate, not just the plan
     decideCovering[SketchLayout](name,
       s"sketch:${groupCols.mkString(",")}:$sketchCol",
       layoutsOf(name).collect { case (slot, l: SketchLayout) => (slot, l) },
-      l => groupCols.toSet.subsetOf(l.groupCols.toSet) &&
+      l => (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
         l.col == sketchCol && l.lgK == lgK)
 
   /** Dry-run of [[approxDistinct]]'s routing decision. Nothing runs. */
   def explainDistinct(name: String, groupCols: Seq[String],
-                      sketchCol: String, lgK: Int = 12): RouteReport =
-    decideSketch(name, groupCols, sketchCol, lgK)._2
+                      sketchCol: String, lgK: Int = 12,
+                      where: Seq[(String, Any)] = Nil): RouteReport =
+    decideSketch(name, groupCols, sketchCol, lgK,
+      where.map(_._1).toSet)._2
 
+  /** See the class-level routing contract; `where` takes group-column
+    * equality filters, which (being constant within each group) select
+    * whole stored sketches — the filtered rollup unions exactly the
+    * surviving groups' register state.
+    */
   def approxDistinct(name: String, groupCols: Seq[String],
-                     sketchCol: String, lgK: Int = 12): DataFrame = {
+                     sketchCol: String, lgK: Int = 12,
+                     where: Seq[(String, Any)] = Nil): DataFrame = {
     val s = sessionOf(name)
-    val (valid, rep) = decideSketch(name, groupCols, sketchCol, lgK)
+    val (valid, rep) =
+      decideSketch(name, groupCols, sketchCol, lgK, where.map(_._1).toSet)
     recordRoute(rep)
     val out = s"nd_$sketchCol"
+    def filtered(df: DataFrame): DataFrame =
+      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
     valid match {
       case Some(l) =>
-        patchedCodes(spark.read.parquet(l.path), l.patch)
+        filtered(patchedCodes(spark.read.parquet(l.path), l.patch))
           .groupBy(groupCols.map(col): _*)
           .agg(hll_sketch_estimate(
             hll_union_agg(col("__hll"), lit(false))).as(out))
       case None =>
-        Positional.strip(s.current)
+        filtered(Positional.strip(s.current))
           .groupBy(groupCols.map(col): _*)
           .agg(hll_sketch_estimate(
             hll_sketch_agg(col(sketchCol), lit(lgK))).as(out))

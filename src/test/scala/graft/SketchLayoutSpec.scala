@@ -86,6 +86,19 @@ class SketchLayoutSpec extends SparkSpec {
     val est = total.head().getLong(0).toDouble
     val exact = li.select("l_orderkey").distinct().count().toDouble
     assert(math.abs(est - exact) / exact < 0.05)
+    // filtered rollup: a group-column equality selects whole stored
+    // sketches; a measure-column filter refuses
+    val flt = c.approxDistinct("sli", Seq("l_linestatus"), "l_orderkey",
+      where = Seq("l_returnflag" -> "A"))
+    assert(plan(flt).contains("catalog_sketch_"))
+    val exactA = li.filter(col("l_returnflag") === "A")
+      .groupBy("l_linestatus")
+      .agg(countDistinct(col("l_orderkey")).as("nd")).collect()
+      .map(r => (Seq(r.get(0)), r.getLong(1))).toMap
+    assertWithin(rows(flt, Seq("l_linestatus")), exactA,
+      Seq("l_linestatus"), 0.05)
+    assert(c.explainDistinct("sli", Seq("l_linestatus"), "l_orderkey",
+      where = Seq("l_partkey" -> 1)).reason == "param-mismatch")
   }
 
   test("different lgK or column falls back to live; edit goes stale; IVM re-sketches dirty groups only") {
