@@ -100,8 +100,9 @@ object BehaviorQueries {
         val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
           max(unix_micros(col("ts"))).as("hi")).head()
         val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("st_funnel_").toString + "/events"
+        val root = java.nio.file.Files.createTempDirectory("st_funnel_")
+        graft.core.Catalog.registerTempDir(root)
+        val scratch = root.toString + "/events"
         val slices = 4
         for (i <- 0 until slices) {
           val from = lo + (hi - lo + 1) * i / slices
@@ -144,8 +145,9 @@ object BehaviorQueries {
           unix_micros(col("ts")).as("us"))
         val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
         val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("st_cube_src_").toString + "/events"
+        val root = java.nio.file.Files.createTempDirectory("st_cube_src_")
+        graft.core.Catalog.registerTempDir(root)
+        val scratch = root.toString + "/events"
         val slices = 4
         for (i <- 0 until slices) {
           val from = lo + (hi - lo + 1) * i / slices
