@@ -147,16 +147,33 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def epoch: Long = epochCounter
 
   // ---- mutation log (delta-maintenance feed) ------------------------------
-  // One entry per epoch bump: which positions a cell gesture touched,
-  // a DELETE-ONLY marker for row removals (keyed layouts can shadow the
-  // vanished ids without any recompute), or a structural marker
-  // (splice/paste/replace/pivot/nested edit/undo — no delta is
-  // recoverable). Catalog layout maintenance reads this to patch stored
-  // layouts instead of rebuilding them from the whole corpus.
+  // One entry per epoch bump: which positions a cell gesture touched, a
+  // counted DELETE marker (with the victim positions and the pre-delete
+  // plan while the gesture is delta-sized — retraction-IVM consumers
+  // read the victims' rows from it at refresh time), an INSERT marker
+  // (paste/splice — brand-new rows at a known position block), or a
+  // structural marker (replace/pivot/undo — no delta is recoverable).
+  // Catalog layout maintenance reads this to patch stored layouts
+  // instead of rebuilding them from the whole corpus.
   private sealed trait MutKind
   private case class CellEdits(pos: Seq[Long], cols: Set[String])
       extends MutKind
-  private case object RowDeletes extends MutKind
+  /** `pos` = deleted positions in PRE-delete coordinates and `pre` = the
+    * pre-delete session plan (lazy, lineage-pinned to the checkpointed
+    * base — capturing it costs nothing at gesture time), BOTH dropped
+    * when the gesture exceeds [[EditorSession.deltaMaxRows]] so a mass
+    * delete can't pin an unbounded position list in the log; `n` is
+    * always the exact count, which is what bounds the refresh path
+    * (r9 verdict finding #1: an uncounted delete marker let a mass
+    * delete bypass the delta guard and collect every removed id to the
+    * driver).
+    */
+  private case class RowDeletes(pos: Seq[Long], n: Long,
+                                pre: Option[DataFrame]) extends MutKind
+  /** `n` rows inserted at positions `[at, at+n)` (post-gesture
+    * coordinates); pre-existing rows at ≥ `at` shifted up by `n`.
+    */
+  private case class RowInserts(at: Long, n: Long) extends MutKind
   private case object Structural extends MutKind
 
   private val mutLog = mutable.ArrayBuffer.empty[(Long, MutKind)]
@@ -175,32 +192,87 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     if (sinceEpoch < mutLogFloor) None
     else Some(mutLog.collect { case (e, k) if e > sinceEpoch => k }.toSeq)
 
-  /** The cell positions and columns mutated since `sinceEpoch`, when
-    * every intervening gesture was a position-bounded cell edit. None
-    * when any structural gesture (row delete/splice/paste, replace,
-    * pivot, nested-field edit, undo/redo) or log truncation makes the
-    * delta unrecoverable — callers must treat None as "anything may have
-    * changed". Equal-epoch calls return empty sets (nothing mutated).
+  /** The recoverable delta between `sinceEpoch` and now, with every
+    * position expressed in CURRENT coordinates (the fold composes the
+    * position shifts each insert/delete gesture applied to rows tracked
+    * before it). None when a structural gesture (replace, pivot,
+    * undo/redo, column drop), a position-unrecoverable mass delete
+    * followed by positional gestures, or log truncation makes the delta
+    * unrecoverable — callers must treat None as "anything may have
+    * changed". Rows edited and later deleted leave [[SessionDelta
+    * .dirtyPos]] (they're gone — the delete accounting owns them); rows
+    * inserted and later deleted likewise cancel out of `insertedPos`
+    * while still counting as a delete.
     */
-  def dirtySince(sinceEpoch: Long): Option[(Seq[Long], Set[String])] =
+  def deltaSince(sinceEpoch: Long): Option[EditorSession.SessionDelta] =
     mutationsSince(sinceEpoch).flatMap { entries =>
-      if (entries.forall(_.isInstanceOf[CellEdits]))
-        Some((entries.collect { case CellEdits(p, _) => p }
-          .flatten.distinct, entries.collect { case CellEdits(_, c) => c }
-          .flatten.toSet))
-      else None
+      val dirty = mutable.Set.empty[Long]
+      val inserted = mutable.Set.empty[Long]
+      var cols = Set.empty[String]
+      var deletes = 0L
+      var victims = List.empty[DataFrame]
+      var victimsOk = true
+      var valid = true
+      entries.foreach {
+        case _ if !valid => ()
+        case CellEdits(pos, cs) =>
+          dirty ++= pos; cols ++= cs
+        case RowInserts(at, n) =>
+          def shiftUp(s: mutable.Set[Long]): Unit = {
+            val moved = s.filter(_ >= at).toSeq
+            s --= moved; s ++= moved.map(_ + n)
+          }
+          shiftUp(dirty); shiftUp(inserted)
+          inserted ++= (at until at + n)
+        case RowDeletes(dpos, n, pre) =>
+          deletes += n
+          if (dpos.isEmpty && n > 0) {
+            // positions not retained (mass delete): victims and the
+            // coordinate shift of EARLIER-tracked positions are lost.
+            // With nothing tracked yet the delta survives (later
+            // gestures' positions are post-delete coordinates anyway);
+            // otherwise nothing positional is recoverable.
+            victimsOk = false
+            if (dirty.nonEmpty || inserted.nonEmpty) valid = false
+          } else {
+            val dset = dpos.toSet
+            pre.foreach(df => victims ::=
+              df.filter(col(POS).isInCollection(dpos)))
+            dirty --= dset; inserted --= dset
+            val sorted = dpos.sorted
+            def shiftDown(s: mutable.Set[Long]): Unit = {
+              val moved = s.toSeq
+              s.clear(); s ++= moved.map(p => p - sorted.count(_ < p))
+            }
+            shiftDown(dirty); shiftDown(inserted)
+          }
+        case Structural => valid = false
+      }
+      if (!valid) None
+      else Some(EditorSession.SessionDelta(
+        dirty.toSeq.sorted, cols, inserted.toSeq.sorted, deletes,
+        if (deletes > 0 && victimsOk && victims.nonEmpty)
+          Some(victims.reduce(_ unionByName _))
+        else None))
     }
 
-  /** True when every gesture since `sinceEpoch` was a row DELETE (and
-    * there was at least one): the ids still present are exactly the
-    * surviving ids, so an id-keyed layout can refresh by shadowing
-    * `servedIds EXCEPT currentIds` — no row re-encodes, no re-tokenize,
-    * nothing rewrites. Any other gesture in the window (or log
-    * truncation) disqualifies the shortcut.
+  /** The cell positions and columns mutated since `sinceEpoch`, when the
+    * net delta is cell edits alone (no surviving insert, no delete).
+    */
+  def dirtySince(sinceEpoch: Long): Option[(Seq[Long], Set[String])] =
+    deltaSince(sinceEpoch).collect {
+      case d if d.insertedPos.isEmpty && d.deleteCount == 0 =>
+        (d.dirtyPos, d.dirtyCols)
+    }
+
+  /** True when the net delta since `sinceEpoch` is row DELETES alone
+    * (at least one): the ids still present are exactly the surviving
+    * ids, so an id-keyed layout can refresh by shadowing `servedIds
+    * EXCEPT currentIds` — no row re-encodes, nothing rewrites.
     */
   def deleteOnlySince(sinceEpoch: Long): Boolean =
-    mutationsSince(sinceEpoch)
-      .exists(es => es.nonEmpty && es.forall(_ == RowDeletes))
+    deltaSince(sinceEpoch).exists(d =>
+      d.deleteCount > 0 && d.dirtyPos.isEmpty && d.insertedPos.isEmpty)
 
   /** Record state before a mutation gesture; clears the redo branch.
     * `kind` feeds the mutation log: position-bounded cell gestures pass
@@ -322,7 +394,8 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
           rebind(df => df.withColumn(colName,
             when(col(POS) === pos,
               col(colName).withField(fieldPath, lit(v).cast(dt)))
-              .otherwise(col(colName))))
+              .otherwise(col(colName))),
+            CellEdits(Seq(pos), Set(colName)))
           true
       }
     }
@@ -364,11 +437,21 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   def deleteRows(positions: Seq[Long]): Boolean = {
     val valid = validPositions(positions)
     if (valid.nonEmpty) {
-      rebind(RowOps.deleteRows(_, valid), RowDeletes)
+      rebind(RowOps.deleteRows(_, valid), deleteKind(valid))
       nRows -= valid.size
     }
     valid.nonEmpty
   }
+
+  /** The log entry for a delete of `valid` positions: positions + the
+    * pre-delete plan while delta-sized (retraction-IVM feed), count
+    * alone past that — a mass delete must not pin an unbounded position
+    * list, and its refresh rebuilds anyway.
+    */
+  private def deleteKind(valid: Seq[Long]): RowDeletes =
+    if (valid.size <= EditorSession.deltaMaxRows)
+      RowDeletes(valid, valid.size.toLong, Some(current))
+    else RowDeletes(Seq.empty, valid.size.toLong, None)
 
   private var clipboard: Option[DataFrame] = None
   private var clipboardSize: Long = 0L
@@ -394,7 +477,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
         clipboard = Some(clip)
         clipboardSize = valid.size.toLong
         rest
-      }, RowDeletes)
+      }, deleteKind(valid))
       nRows -= valid.size
     }
     valid.nonEmpty
@@ -402,12 +485,17 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   /** R6: paste the clipboard block at `position` (`main.py:58-65`);
     * positions past the end append (pandas `iloc[pos:]` slicing clamps).
+    * Logged as a row INSERT (r9 verdict task #2): the pasted rows are
+    * brand-new at known positions, so keyed layouts delta-encode exactly
+    * them instead of rebuilding — append is the dominant mutation of a
+    * corpus pipeline and also the easiest delta.
     */
   def paste(position: Long): Boolean = clipboard match {
     case None => false
     case Some(clip) =>
       val at = math.max(0L, math.min(position, rowCount))
-      rebind(RowOps.pasteRows(_, clip, at, Some(clipboardSize)))
+      rebind(RowOps.pasteRows(_, clip, at, Some(clipboardSize)),
+        RowInserts(at, clipboardSize))
       nRows += clipboardSize
       true
   }
@@ -418,7 +506,12 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
 
   def insertColumnAt(position: Int, spec: String): Unit = {
     val (name, dt) = CellOps.parseNameDtype(spec)
-    rebind(SchemaOps.insertColumnAt(_, position, name, dt))
+    // a brand-new column can't be referenced by any existing layout, so
+    // the delta names it with no positions: projection-keyed layouts
+    // revalidate with zero IO, full-row layouts (whose stored schema no
+    // longer matches) rebuild as before
+    rebind(SchemaOps.insertColumnAt(_, position, name, dt),
+      CellEdits(Seq.empty, Set(name)))
   }
 
   // ---- A1: pivot ----------------------------------------------------------
@@ -455,6 +548,31 @@ object EditorSession {
     * join (O(1) probe per row).
     */
   val literalEditMax = 32
+
+  /** Above this many delta rows (dirty cells, inserted rows, or deleted
+    * rows — each bounded separately) a layout delta patch loses to a
+    * rebuild, and the driver-side patch legs stop being broadcast-
+    * trivial. Shared by the mutation log (which stops retaining victim
+    * positions past it) and [[Catalog]]'s refresh routing.
+    */
+  val deltaMaxRows = 4096
+
+  /** The net recoverable mutation delta between two session epochs, all
+    * positions in CURRENT coordinates. `dirtyPos` = surviving rows whose
+    * cells changed (columns in `dirtyCols`); `insertedPos` = rows that
+    * did not exist at the since-epoch; `deleteCount` = rows removed
+    * (exact, even when the rest of the delta is position-unrecoverable);
+    * `deletedRows` = the removed rows' pre-delete contents (the
+    * retraction-IVM feed — grouped layouts subtract or recompute exactly
+    * the victims' groups), absent when any delete gesture was too large
+    * to retain.
+    */
+  final case class SessionDelta(dirtyPos: Seq[Long], dirtyCols: Set[String],
+      insertedPos: Seq[Long], deleteCount: Long,
+      deletedRows: Option[DataFrame]) {
+    def hasDeletes: Boolean = deleteCount > 0
+    def touchedPos: Seq[Long] = dirtyPos ++ insertedPos
+  }
 
   /** E1: load a file as a new session — lazy scan + `__pos` attach.
     * `orderCols` must give a deterministic total order for reproducible
@@ -493,7 +611,8 @@ object EditorSession {
   * only as far as the metastore does (in-memory catalog = one JVM;
   * Hive metastore in production). One writer per warehouse.
   */
-class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
+class Catalog(spark: SparkSession, warehouse: Option[String] = None,
+              deltaMaxRowsOverride: Option[Int] = None) {
   private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
@@ -547,12 +666,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * before returning — safe because `spark.sql` analyzes eagerly, so the
     * returned DataFrame holds the resolved plan, not the view names.
     */
-  private val sqlLock = new Object
-  def sql(query: String): DataFrame = sqlLock.synchronized {
-    // serialized per catalog: two concurrent sql() calls share the same
-    // view names, and one call's finally-drop could otherwise remove a
-    // view the other is mid-analysis on (Verify's thread pool runs a
-    // catalog's SQL queries concurrently). Analysis is fast; the
+  def sql(query: String): DataFrame = Catalog.sqlLockFor(spark).synchronized {
+    // serialized per SPARKSESSION, not per catalog: temp views are
+    // session-global, so two Catalog instances on one session with an
+    // overlapping name could otherwise have one call's finally-drop
+    // remove a view the other is mid-analysis on (the exact race a
+    // per-instance lock reopens — ADVICE r9). Analysis is fast; the
     // returned DataFrame holds the resolved plan and executes unlocked.
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
@@ -873,74 +992,99 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     }.map { case (slot, l) => refreshSlot(name, s, slot, l); slot }
   }
 
-  /** Above this many dirty rows a delta patch loses to a rebuild (and
-    * the serving-side anti-join stops being broadcast-trivial).
+  /** Above this many delta rows a patch loses to a rebuild (and the
+    * serving-side anti-join stops being broadcast-trivial). Shared with
+    * the session's mutation log, which stops retaining victim positions
+    * past it. The override exists for specs that pin the rebuild
+    * fallback without building a 4096-literal delete plan.
     */
-  private val deltaMaxRows = 4096
+  private val deltaMaxRows =
+    deltaMaxRowsOverride.getOrElse(EditorSession.deltaMaxRows)
 
+  /** Refresh one stale layout from the session's net mutation delta
+    * ([[EditorSession.deltaSince]]). Three regimes per layout family:
+    *
+    *  - ID-KEYED (PQ / IVF-PQ / LSH / postings): untouched relevant
+    *    columns with no row motion → revalidate (zero IO); bounded cell
+    *    edits, INSERTS (paste — r9 task #2: new rows encode into the
+    *    add-leg, nothing existing changes), and counted DELETES (≤
+    *    [[deltaMaxRows]] — r9 finding #1: the bound keeps the
+    *    `servedIds EXCEPT nowIds` shadow collect edit-sized) → delta
+    *    patch; anything larger or unrecoverable → rebuild.
+    *  - GROUP-KEYED (cube / sketch): edits sparing the group columns,
+    *    inserts, and deletes WITH recoverable victims (the mutation log's
+    *    pre-delete plan names the vanished rows' groups — r9 task #3,
+    *    retraction IVM) → recompute exactly the affected groups and
+    *    shadow them by key (a group emptied by deletes shadows with no
+    *    add row); a group-column CELL edit still rebuilds (the rows'
+    *    previous groups are unrecoverable from current state).
+    *  - FULL-ROW (ranged / bucketed / z-ordered): any delta → rebuild
+    *    (their stored rows have no key a patch could shadow by).
+    */
   private def refreshSlot(name: String, s: EditorSession, slot: String,
                           l: TableLayout): Unit = {
-    val dirty = s.dirtySince(l.builtAtEpoch)
-    def disjoint(cols: Set[String], layoutCols: Set[String]) =
-      cols.intersect(layoutCols).isEmpty
-    (l, dirty) match {
-      // untouched relevant columns: the stored bytes still describe this
-      // data — revalidate at the new epoch, zero IO
-      case (p: PqCodesLayout, Some((_, cols)))
-          if disjoint(cols, Set(p.idCol, p.vecCol)) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      case (p: IvfPqCellLayout, Some((_, cols)))
-          if disjoint(cols, Set(p.idCol, p.vecCol)) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      case (p: LshIndexLayout, Some((_, cols)))
-          if disjoint(cols, Set(p.idCol, p.textCol)) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      case (p: PostingsLayout, Some((_, cols)))
-          if disjoint(cols, Set(p.idCol, p.textCol)) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      case (p: CubeLayout, Some((_, cols)))
-          if disjoint(cols, (p.groupCols ++ p.measures).toSet) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      case (p: SketchLayout, Some((_, cols)))
-          if disjoint(cols, (p.groupCols :+ p.col).toSet) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch)
-      // bounded cell edits on a keyed layout: delta-patch
-      case (p: PqCodesLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows =>
-        patchPq(name, s, slot, p, pos, cols.contains(p.idCol))
-      case (p: IvfPqCellLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows =>
-        patchIvfPq(name, s, slot, p, pos, cols.contains(p.idCol))
-      case (p: LshIndexLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows =>
-        patchLsh(name, s, slot, p, pos, cols.contains(p.idCol))
-      case (p: PostingsLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows =>
-        patchPostings(name, s, slot, p, pos, cols.contains(p.idCol))
-      // cube delta only for measure edits: a group-column edit loses the
-      // rows' previous groups, so it rebuilds below
-      case (p: CubeLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows &&
-            disjoint(cols, p.groupCols.toSet) =>
-        patchCube(name, s, slot, p, pos)
-      case (p: SketchLayout, Some((pos, cols)))
-          if pos.size <= deltaMaxRows &&
-            disjoint(cols, p.groupCols.toSet) =>
-        patchSketch(name, s, slot, p, pos)
-      // pure row deletes: the surviving ids are exactly the current ids,
-      // so every id-keyed layout refreshes by SHADOWING the vanished ids
-      // (patch fns with an empty dirty set + idsTouched: removed =
-      // servedIds EXCEPT currentIds) — zero re-encodes, zero re-signs,
-      // one id-only column-pruned pass. Group-keyed (cube: deleted rows'
-      // groups unrecoverable) and full-row layouts still rebuild.
-      case (p: PqCodesLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
-        patchPq(name, s, slot, p, Seq.empty, idsTouched = true)
-      case (p: IvfPqCellLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
-        patchIvfPq(name, s, slot, p, Seq.empty, idsTouched = true)
-      case (p: LshIndexLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
-        patchLsh(name, s, slot, p, Seq.empty, idsTouched = true)
-      case (p: PostingsLayout, None) if s.deleteOnlySince(p.builtAtEpoch) =>
-        patchPostings(name, s, slot, p, Seq.empty, idsTouched = true)
+    val delta = s.deltaSince(l.builtAtEpoch)
+
+    def keyed(idCol: String, valCol: String, revalidate: () => Unit,
+              patch: (Seq[Long], Boolean) => Unit): Unit = delta match {
+      case None => rebuildSlot(name, l)
+      case Some(d) =>
+        val editsRelevant =
+          d.dirtyCols.intersect(Set(idCol, valCol)).nonEmpty
+        val touched =
+          (if (editsRelevant) d.dirtyPos else Seq.empty) ++ d.insertedPos
+        if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
+          revalidate()
+        else if (touched.size <= deltaMaxRows &&
+            d.deleteCount <= deltaMaxRows)
+          patch(touched, d.dirtyCols.contains(idCol) || d.hasDeletes)
+        else rebuildSlot(name, l)
+    }
+
+    def grouped(groupCols: Set[String], valueCols: Set[String],
+                revalidate: () => Unit,
+                patch: (Seq[Long], Option[DataFrame]) => Unit): Unit =
+      delta match {
+        case None => rebuildSlot(name, l)
+        case Some(d) =>
+          val editsRelevant =
+            d.dirtyCols.intersect(groupCols ++ valueCols).nonEmpty
+          val touched =
+            (if (editsRelevant) d.dirtyPos else Seq.empty) ++ d.insertedPos
+          if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
+            revalidate()
+          else if (d.dirtyCols.intersect(groupCols).nonEmpty ||
+              (d.hasDeletes && d.deletedRows.isEmpty) ||
+              touched.size > deltaMaxRows || d.deleteCount > deltaMaxRows)
+            rebuildSlot(name, l)
+          else patch(touched, d.deletedRows)
+      }
+
+    l match {
+      case p: PqCodesLayout =>
+        keyed(p.idCol, p.vecCol,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchPq(name, s, slot, p, pos, ids))
+      case p: IvfPqCellLayout =>
+        keyed(p.idCol, p.vecCol,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchIvfPq(name, s, slot, p, pos, ids))
+      case p: LshIndexLayout =>
+        keyed(p.idCol, p.textCol,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchLsh(name, s, slot, p, pos, ids))
+      case p: PostingsLayout =>
+        keyed(p.idCol, p.textCol,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchPostings(name, s, slot, p, pos, ids))
+      case p: CubeLayout =>
+        grouped(p.groupCols.toSet, p.measures.toSet,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, victims) => patchCube(name, s, slot, p, pos, victims))
+      case p: SketchLayout =>
+        grouped(p.groupCols.toSet, Set(p.col),
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, victims) => patchSketch(name, s, slot, p, pos, victims))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -967,22 +1111,43 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
       buildZOrderedLayout(name, l.colX, l.colY, l.files); ()
   }
 
-  /** The session rows at the dirty positions, as the layout's column
-    * projection — the only data-sized input a delta refresh touches.
+  /** Every current row sharing an id with a touched position, as the
+    * layout's column projection — the only data-sized input a delta
+    * refresh touches. Two bounded jobs: the touched positions' ids
+    * collect (≤ [[deltaMaxRows]], column-pruned), then an id-filtered
+    * scan. Filtering by ID rather than by position keeps the patch
+    * rebuild-equivalent even when an id repeats (every sibling row of a
+    * touched id lands in the add-leg, so the by-id shadow can't drop
+    * one) — and it's what lets INSERTED rows and edited rows share one
+    * path.
     */
-  private def dirtyRows(s: EditorSession, pos: Seq[Long],
-                        cols: Seq[String]): DataFrame =
-    s.current.filter(col(Positional.POS).isInCollection(pos))
-      .select(cols.map(col): _*)
+  private def touchedRows(s: EditorSession, pos: Seq[Long], idCol: String,
+                          cols: Seq[String]): DataFrame = {
+    val base = Positional.strip(s.current)
+    if (pos.isEmpty) base.select(cols.map(col): _*).limit(0)
+    else {
+      val ids = s.current.filter(col(Positional.POS).isInCollection(pos))
+        .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
+      base.filter(col(idCol).isInCollection(ids))
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** `servedIds EXCEPT nowIds` collected — the ids a patch must shadow
+    * because they vanished from the session (deleted rows, renamed-away
+    * ids). An id-only column-pruned pass; its result is bounded by the
+    * caller's delete/edit counts (≤ 2×[[deltaMaxRows]]), which
+    * [[refreshSlot]] guarantees before taking a patch path (r9 finding
+    * #1: an unbounded delete used to collect every removed id here).
+    */
+  private def vanishedIds(servedIds: DataFrame,
+                          nowIds: DataFrame): Array[Any] =
+    servedIds.except(nowIds).collect().map(_.get(0))
 
   /** Merge the previous patch (if any) with this refresh's delta.
-    * `add0` = freshly encoded dirty rows (ONE job: dirty-position scan +
-    * encode); when the id column itself was edited (`idsTouched`),
-    * renamed-away ids are recovered as `servedIds EXCEPT nowIds` — an
-    * id-only column-pruned pass, the one corpus-sized read a rename
-    * costs (still no re-encode). When ids were untouched (the common
-    * case: a value/text edit), row identity is stable and NOTHING
-    * corpus-sized runs for the shadow set at all.
+    * `add0` = freshly encoded rows of the touched ids; `removedNew0` =
+    * extra keys to shadow beyond the add rows' own (vanished ids,
+    * emptied groups) — evaluated once, only here.
     *
     * The merge itself happens DRIVER-side: both patch legs are
     * edit-count-sized (the caller's [[deltaMaxRows]] guard), so they
@@ -990,17 +1155,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     * them, serving broadcasts them for free, and the old patch folds in
     * as a hash-set filter, not a join.
     */
-  private def mergedPatch(servedIds: => DataFrame, nowIds: DataFrame,
-                          oldPatch: Option[LayoutPatch], add0: DataFrame,
-                          idsTouched: Boolean): LayoutPatch = {
+  private def mergedPatch(removedNew0: => Array[Any],
+                          oldPatch: Option[LayoutPatch],
+                          add0: DataFrame): LayoutPatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
     val addSchema = add0.schema
     val idIdx = addSchema.fieldIndex("id")
     val addNew = add0.collect()
-    val removedNew: Array[Any] =
-      if (idsTouched) servedIds.except(nowIds).collect().map(_.get(0))
-      else Array.empty
+    val removedNew: Array[Any] = removedNew0
     val newKeys: Set[Any] =
       (addNew.map(_.get(idIdx)) ++ removedNew).toSet
     val oldAdd = oldPatch.map(_.add.collect()).getOrElse(Array.empty[Row])
@@ -1029,13 +1192,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   private def patchPq(name: String, s: EditorSession, slot: String,
                       p: PqCodesLayout, pos: Seq[Long],
                       idsTouched: Boolean): Unit = {
-    val changed = dirtyRows(s, pos, Seq(p.idCol, p.vecCol))
+    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
     val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
       p.vecCol, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val patch = mergedPatch(
-      patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-      nowIds, p.patch, add0, idsTouched)
+      if (idsTouched) vanishedIds(
+        patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
+        nowIds)
+      else Array.empty[Any],
+      p.patch, add0)
     layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
@@ -1044,13 +1210,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   private def patchIvfPq(name: String, s: EditorSession, slot: String,
                          p: IvfPqCellLayout, pos: Seq[Long],
                          idsTouched: Boolean): Unit = {
-    val changed = dirtyRows(s, pos, Seq(p.idCol, p.vecCol))
+    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
     val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
       p.vecCol, p.cents, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val patch = mergedPatch(
-      patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-      nowIds, p.patch, add0, idsTouched)
+      if (idsTouched) vanishedIds(
+        patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
+        nowIds)
+      else Array.empty[Any],
+      p.patch, add0)
     layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
@@ -1064,13 +1233,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   private def patchLsh(name: String, s: EditorSession, slot: String,
                        p: LshIndexLayout, pos: Seq[Long],
                        idsTouched: Boolean): Unit = {
-    val changed = dirtyRows(s, pos, Seq(p.idCol, p.textCol))
+    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
     val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
       p.n, p.numHashes, p.bands)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val patch = mergedPatch(
-      patchedCodes(p.index, p.patch).select("id"), nowIds, p.patch, add0,
-      idsTouched)
+      if (idsTouched)
+        vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
+      else Array.empty[Any],
+      p.patch, add0)
     layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
@@ -1086,20 +1257,25 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
   private def patchPostings(name: String, s: EditorSession, slot: String,
                             p: PostingsLayout, pos: Seq[Long],
                             idsTouched: Boolean): Unit = {
-    val changed = dirtyRows(s, pos, Seq(p.idCol, p.textCol))
+    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
     val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
       p.textCol, p.buckets)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val patch = mergedPatch(
-      patchedPostings(p).select(col("doc").as("id")), nowIds, p.patch,
-      add0, idsTouched)
-    // a text edit or a row delete can move the corpus scalars a routed
-    // BM25 reads (avgdl, and nDocs with it): one projection-agg pass,
-    // no explode, no index rewrite — the exact-stats cost of the delta.
-    // An id-only rename (cell delta sparing the text column) keeps both.
+      if (idsTouched) vanishedIds(
+        patchedPostings(p).select(col("doc").as("id")), nowIds)
+      else Array.empty[Any],
+      p.patch, add0)
+    // a text edit, an inserted doc, or a row delete moves the corpus
+    // scalars a routed BM25 reads (avgdl, and nDocs with it): one
+    // projection-agg pass, no explode, no index rewrite — the
+    // exact-stats cost of the delta. An id-only rename (cell delta
+    // sparing the text column, no row motion) keeps both.
     val (nDocs, avgdl) =
-      if (s.dirtySince(p.builtAtEpoch)
-          .map(_._2.contains(p.textCol)).getOrElse(true))
+      if (s.deltaSince(p.builtAtEpoch)
+          .map(d => d.dirtyCols.contains(p.textCol) ||
+            d.insertedPos.nonEmpty || d.hasDeletes)
+          .getOrElse(true))
         graft.operators.Retrieval.postingsStats(
           Positional.strip(s.current), p.textCol)
       else (p.nDocs, p.avgdl)
@@ -1802,48 +1978,69 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
     }
   }
 
-  /** Sketch delta for edits that spare the group columns: HLL supports
-    * no deletion, so the dirty rows' groups RE-SKETCH wholesale from the
-    * live plan (one group-key-filtered pass — same recompute-the-group
-    * shape as [[patchCube]]) and shadow the stored rows by key.
+  /** The distinct group keys a delta touches: the touched (edited +
+    * inserted) rows' CURRENT groups plus the deleted rows' PRE-DELETE
+    * groups (`victims` — the mutation log's captured plans, r9 task #3).
+    * Two bounded collects (each ≤ delta-sized by [[refreshSlot]]'s
+    * guards).
+    */
+  private def affectedGroupKeys(s: EditorSession, groupCols: Seq[String],
+                                pos: Seq[Long],
+                                victims: Option[DataFrame]): Seq[String] = {
+    val keyExpr = to_json(struct(groupCols.map(col): _*))
+    val fromTouched =
+      if (pos.isEmpty) Array.empty[String]
+      else s.current.filter(col(Positional.POS).isInCollection(pos))
+        .select(keyExpr.as("id")).distinct()
+        .collect().map(_.getString(0))
+    val fromVictims = victims.fold(Array.empty[String])(v =>
+      v.select(keyExpr.as("id")).distinct()
+        .collect().map(_.getString(0)))
+    (fromTouched ++ fromVictims).distinct.toSeq
+  }
+
+  /** Sketch delta for gestures that spare the group columns (cell edits
+    * of the sketched column, inserts, deletes with recoverable
+    * victims): HLL supports no deletion, so the affected groups
+    * RE-SKETCH wholesale from the live plan (one group-key-filtered
+    * pass) and shadow the stored rows by key — a group emptied by
+    * deletes shadows with no replacement row (retraction, r9 task #3).
     */
   private def patchSketch(name: String, s: EditorSession, slot: String,
-                          l: SketchLayout, pos: Seq[Long]): Unit = {
+                          l: SketchLayout, pos: Seq[Long],
+                          victims: Option[DataFrame]): Unit = {
     val keyExpr = to_json(struct(l.groupCols.map(col): _*))
-    val dirtyKeys = s.current
-      .filter(col(Positional.POS).isInCollection(pos))
-      .select(keyExpr.as("id")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val dirtyKeys = affectedGroupKeys(s, l.groupCols, pos, victims)
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
-    val patch = mergedPatch(spark.emptyDataFrame, spark.emptyDataFrame,
-      l.patch, add0, idsTouched = false)
+    val patch = mergedPatch(dirtyKeys.toArray[Any], l.patch, add0)
     layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, l.groupCols :+ l.col, s)
   }
 
-  /** Cube delta for measure-only cell edits: group membership is
-    * untouched (no group column edited), so the affected groups are
-    * exactly the dirty rows' CURRENT group tuples — recompute those
-    * groups' rows with one group-key-filtered pass over the live plan
-    * and shadow the stored rows by key. A group-column edit cannot
-    * delta-patch (the rows' PREVIOUS groups are unrecoverable from the
-    * current state) and falls to rebuild in [[refreshSlot]].
+  /** Cube delta for gestures that spare the group columns: the affected
+    * groups are the touched rows' CURRENT group tuples plus (for
+    * deletes) the victims' pre-delete tuples — recompute those groups'
+    * rows with one group-key-filtered pass over the live plan and
+    * shadow the stored rows by key. Every affected key shadows
+    * EXPLICITLY (not just the keys the add rows mention), so a group
+    * whose last row was deleted vanishes from the served cube — the
+    * retraction case that used to force a rebuild (r9 task #3). A
+    * group-column CELL edit still cannot delta-patch (the rows'
+    * previous groups are unrecoverable from current state) and falls to
+    * rebuild in [[refreshSlot]].
     */
   private def patchCube(name: String, s: EditorSession, slot: String,
-                        c: CubeLayout, pos: Seq[Long]): Unit = {
+                        c: CubeLayout, pos: Seq[Long],
+                        victims: Option[DataFrame]): Unit = {
     val keyExpr = to_json(struct(c.groupCols.map(col): _*))
-    val dirtyKeys = s.current
-      .filter(col(Positional.POS).isInCollection(pos))
-      .select(keyExpr.as("id")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val dirtyKeys = affectedGroupKeys(s, c.groupCols, pos, victims)
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = cubeRows(affected, c.groupCols, c.measures)
-    val patch = mergedPatch(spark.emptyDataFrame, spark.emptyDataFrame,
-      c.patch, add0, idsTouched = false)
+    val patch = mergedPatch(dirtyKeys.toArray[Any], c.patch, add0)
     layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
       patch = Some(patch))
     persistPatch(name, slot, patch, c.groupCols ++ c.measures, s)
@@ -1852,6 +2049,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None) {
 
 object Catalog {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // One SQL-planning lock per SparkSession (weakly held, dies with it):
+  // temp views live in the session, so the serialization scope must too.
+  private val sqlLocks = new java.util.WeakHashMap[SparkSession, Object]()
+  private[graft] def sqlLockFor(spark: SparkSession): Object =
+    sqlLocks.synchronized {
+      Option(sqlLocks.get(spark)).getOrElse {
+        val o = new Object
+        sqlLocks.put(spark, o)
+        o
+      }
+    }
 
   // One JVM-wide shutdown hook draining a queue of temp layout roots.
   // Registering a fresh hook per layout build leaked one thread object
@@ -1959,17 +2168,22 @@ object Catalog {
   }
 
   /** Merge a union of cube partials back to one row per group: sums of
-    * sums, sums of counts, min of mins, max of maxes — exact.
+    * sums, sums of counts, min of mins, max of maxes — exact. The count
+    * merges coalesce to 0: with no group columns (a global aggregate)
+    * over an empty partial set, a live `count(*)` answers 0, and the
+    * routed merge must too (ADVICE r9 — the SQL rewrite already did;
+    * per-group rows always exist, so grouped results are unaffected).
     */
   private[graft] def cubeMergePartials(partials: DataFrame,
                                        groupCols: Seq[String],
                                        measures: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val aggs = sum(col("__cnt")).as("__cnt") +: measures.flatMap(m => Seq(
-      sum(col(s"__sum_$m")).as(s"__sum_$m"),
-      sum(col(s"__cntm_$m")).as(s"__cntm_$m"),
-      min(col(s"__min_$m")).as(s"__min_$m"),
-      max(col(s"__max_$m")).as(s"__max_$m")))
+    val aggs = coalesce(sum(col("__cnt")), lit(0L)).as("__cnt") +:
+      measures.flatMap(m => Seq(
+        sum(col(s"__sum_$m")).as(s"__sum_$m"),
+        coalesce(sum(col(s"__cntm_$m")), lit(0L)).as(s"__cntm_$m"),
+        min(col(s"__min_$m")).as(s"__min_$m"),
+        max(col(s"__max_$m")).as(s"__max_$m")))
     partials.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -66,12 +66,9 @@ object PipelineQueries {
 
   private def tempLayoutDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
+    // the SHARED exit-cleanup hook — a per-call hook is the leak pattern
+    // ADVICE r8 flagged (one thread object per call for the JVM's life)
+    graft.core.Catalog.registerTempDir(d)
     d.toString
   }
 

@@ -186,6 +186,54 @@ class CubeLayoutSpec extends SparkSpec {
       direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
   }
 
+  test("row delete: retraction IVM patches only the victims' groups, never rebuilds") {
+    val c = newCubeCatalog()
+    val filesBefore = cubeFiles(c)
+    val s = c.get("cli").get
+    assert(s.deleteRow(0L))
+    assert(c.refreshStale("cli") == Seq("cube:l_returnflag,l_linestatus"))
+    val l = c.layoutsOf("cli").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    assert(l.patch.isDefined, "a 1-row delete must delta-patch the cube")
+    assert(cubeFiles(c) == filesBefore,
+      "the stored cube files must never rewrite on a retraction")
+    assert(l.patch.get.add.count() == 1L,
+      "one deleted row patches exactly its own (pre-delete) group")
+    val routed = c.aggregate("cli", groupsAll, measuresAll)
+    assert(plan(routed).contains("catalog_cube_"))
+    assert(c.recentRoutes.last.reason == "routed")
+    assert(got(routed, groupsAll) ==
+      direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
+  }
+
+  test("deleting a group's last row removes the group from the served cube (no rebuild)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 7.0), ("c", 9.0))
+      .toDF("g", "m")
+    val c = new Catalog(spark)
+    c.openFrom("tiny", df, orderCols = Seq("g", "m"))
+    c.buildCubeLayout("tiny", Seq("g"), Seq("m"))
+    val oldPath = c.layoutsOf("tiny").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl.path
+    }.get
+    val s = c.get("tiny").get
+    assert(s.deleteRow(4L)) // the single row of group "c"
+    c.refreshStale("tiny")
+    val l = c.layoutsOf("tiny").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    assert(l.path == oldPath && l.patch.isDefined,
+      "an emptied group is a patch (explicit shadow), not a rebuild")
+    val routed = c.aggregate("tiny", Seq("g"), Seq("m"))
+    assert(plan(routed).contains("catalog_cube_"))
+    val rows = got(routed, Seq("g"))
+    assert(rows.map(_.head) == Seq("a", "b"),
+      s"the emptied group must vanish from the served cube; got $rows")
+    assert(rows ==
+      direct(graft.core.Positional.strip(s.current), Seq("g"), Seq("m")))
+  }
+
   test("durable cube re-attaches in a fresh Catalog over the same warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
     val a = new Catalog(spark, Some(wh))

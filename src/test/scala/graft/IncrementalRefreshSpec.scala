@@ -134,12 +134,69 @@ class IncrementalRefreshSpec extends SparkSpec {
     assert(!got.contains(deletedId),
       "a routed search must never return a deleted row")
 
-    // a gesture that ADDS rows (cut + paste) has no recoverable delta
+    // a gesture that MOVES rows (cut + paste = delete + insert of the
+    // same id) is a recoverable delta too (r9 task #2): the moved row
+    // re-encodes alone, the base still never rewrites
     assert(s.cut(Seq(1L)) && s.paste(0L))
+    assert(cat.refreshStale("inc4") == Seq("ann:embedding"))
+    val moved = pqLayout(cat, "inc4")
+    assert(moved.path == before.path,
+      "a cut+paste must delta-patch, never rebuild the codes")
+    assert(moved.patch.get.add.count() == 1,
+      "exactly the moved row re-encodes")
+    // a genuinely structural gesture (undo) still rebuilds
+    assert(s.undo())
     assert(cat.refreshStale("inc4") == Seq("ann:embedding"))
     val rebuilt = pqLayout(cat, "inc4")
     assert(rebuilt.path != before.path,
       "a structural gesture must rebuild into fresh storage")
+    assert(rebuilt.patch.isEmpty)
+  }
+
+  test("paste of k rows re-encodes exactly k; routed answers digit-equal to rebuild") {
+    val cat = new Catalog(spark)
+    cat.open("inc6", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("inc6", "vec_id", "embedding")
+    val before = pqLayout(cat, "inc6")
+    val s = cat.get("inc6").get
+    // move a 3-row block to the front: one delete gesture + one insert
+    // gesture over the same ids
+    assert(s.cut(Seq(10L, 11L, 12L)) && s.paste(0L))
+    assert(cat.refreshStale("inc6") == Seq("ann:embedding"))
+    val after = pqLayout(cat, "inc6")
+    assert(after.path == before.path, "insert delta must not rebuild")
+    assert(after.patch.get.add.count() == 3,
+      "exactly the k inserted rows re-encode")
+    val expect = Similarity.pqTopKFromCodes(
+      Similarity.pqCodes(Positional.strip(s.current), "vec_id",
+        "embedding", before.seeds),
+      before.seeds, queryVec(), k = 10).collect().map(_.toSeq).toSeq
+    assert(cat.topK("inc6", "vec_id", "embedding", queryVec(), 10)
+      .collect().map(_.toSeq).toSeq == expect)
+  }
+
+  test("a delete past deltaMaxRows rebuilds; one within it stays patch-only (r9 finding #1)") {
+    // tiny bound so the spec exercises the guard without a 4096-literal
+    // delete plan
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(4))
+    cat.open("inc7", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("inc7", "vec_id", "embedding")
+    val before = pqLayout(cat, "inc7")
+    val s = cat.get("inc7").get
+    // within the bound: shadow-patch, base untouched
+    assert(s.deleteRows(Seq(0L, 1L, 2L)))
+    assert(cat.refreshStale("inc7") == Seq("ann:embedding"))
+    val patched = pqLayout(cat, "inc7")
+    assert(patched.path == before.path && patched.patch.isDefined,
+      "a bounded delete must shadow-patch")
+    assert(patched.patch.get.add.count() == 0)
+    // past the bound: the except-leg would collect more ids than the
+    // patch invariant allows — rebuild instead
+    assert(s.deleteRows(Seq(0L, 1L, 2L, 3L, 4L)))
+    assert(cat.refreshStale("inc7") == Seq("ann:embedding"))
+    val rebuilt = pqLayout(cat, "inc7")
+    assert(rebuilt.path != before.path,
+      "a mass delete must rebuild, never collect unbounded ids")
     assert(rebuilt.patch.isEmpty)
   }
 

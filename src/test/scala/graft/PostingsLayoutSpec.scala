@@ -112,9 +112,18 @@ class PostingsLayoutSpec extends SparkSpec {
         graft.core.Positional.strip(s2.current), "doc_id", "text", probes)
         .orderBy("term").collect().map(_.toSeq).toSeq,
       "the shadow-patched index must serve the post-delete corpus")
-    // a genuinely structural gesture (paste inserts rows) still rebuilds
+    // a row MOVE (cut + paste) is now a recoverable delta too (r9 task
+    // #2): the moved doc re-signs into the patch, the base still stands
     assert(s2.cut(Seq(3L)))
     assert(s2.paste(0L))
+    assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
+    val moved = cat.layoutsOf("docs_p2").collectFirst {
+      case (_, l: Catalog.PostingsLayout) => l
+    }.get
+    assert(moved.path == built.path, "an insert delta must not rebuild")
+    assert(moved.patch.isDefined)
+    // a genuinely structural gesture (undo) still rebuilds
+    assert(s2.undo())
     assert(cat.refreshStale("docs_p2") == Seq("postings:text"))
     val rebuilt = cat.layoutsOf("docs_p2").collectFirst {
       case (_, l: Catalog.PostingsLayout) => l
@@ -174,6 +183,32 @@ class PostingsLayoutSpec extends SparkSpec {
     assert(routed.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
       live.orderBy("doc_id").collect().map(_.toSeq).toSeq,
       "patched index + re-measured scalars must reproduce live digits")
+  }
+
+  test("a paste (row insert) delta-patches the postings: moved doc re-tokenizes alone, BM25 exact") {
+    val cat = new Catalog(spark)
+    cat.open("docs_b3", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    cat.buildPostingsLayout("docs_b3", "doc_id", "text", buckets = 8)
+    val before = postingsLayoutOf(cat, "docs_b3")
+    val s = cat.get("docs_b3").get
+    // cut + paste = one delete gesture + one insert gesture (r9 task #2)
+    assert(s.cut(Seq(2L)) && s.paste(0L))
+    assert(cat.refreshStale("docs_b3") == Seq("postings:text"))
+    val after = postingsLayoutOf(cat, "docs_b3")
+    assert(after.path == before.path,
+      "an insert delta must never rewrite the bucketed base")
+    val addDocs = after.patch.get.add.select("id").distinct().count()
+    assert(addDocs == 1L, s"exactly the moved doc re-tokenizes, got $addDocs")
+    assert(after.nDocs == before.nDocs && after.avgdl == before.avgdl,
+      "moving a doc changes no corpus scalar")
+    val routed = cat.searchBm25("docs_b3", "doc_id", "text", bm25Terms)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    val live = Retrieval.bm25(
+      graft.core.Positional.strip(s.current), "doc_id", "text", bm25Terms)
+    assert(routed.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      live.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "patched index must reproduce live digits after a paste")
   }
 
   test("postings layout survives a catalog restart over the same warehouse") {
