@@ -775,7 +775,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * encode) and at re-attach time (the price of never serving another
     * table's stored codes — still far cheaper than a rebuild).
     */
-  private def contentDigest(df: DataFrame, cols: Seq[String]): String = {
+  /** The columns of `df` as hashable expressions: map-typed columns hash
+    * via their JSON rendering (hash functions reject maps; `to_json` is
+    * deterministic per row).
+    */
+  private def hashableCols(df: DataFrame,
+      cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     def hasMap(t: DataType): Boolean = t match {
       case _: MapType => true
@@ -784,14 +789,67 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case _ => false
     }
     val use = if (cols.isEmpty) df.columns.toSeq else cols
-    val hcols = use.map { c =>
+    use.map { c =>
       if (hasMap(df.schema(c).dataType)) to_json(col(c)) else col(c)
     }
+  }
+
+  private def contentDigest(df: DataFrame, cols: Seq[String]): String = {
     val r = df.agg(
-      sum(xxhash64(hcols: _*).cast("decimal(38,0)")).as("h"),
+      sum(xxhash64(hashableCols(df, cols): _*).cast("decimal(38,0)")).as("h"),
       count(lit(1)).as("n")).head()
     s"${Option(r.get(0)).getOrElse(0)}:${r.getLong(1)}"
   }
+
+  /** One order-free signature per layout key: the decimal sum of the
+    * relevant columns' per-row hashes, grouped by `key` — a multi-row
+    * key (repeated id, a cube group) signs as the sum of its rows. The
+    * build-time persisted form of this is what a DIVERGED reopen diffs
+    * against ([[divergedAttach]], r9 task #4): key-level change
+    * detection costs one narrow pass, never a re-encode.
+    */
+  private def rowSignature(df: DataFrame,
+                           key: org.apache.spark.sql.Column,
+                           cols: Seq[String]): DataFrame =
+    df.groupBy(key.as("id"))
+      .agg(sum(xxhash64(hashableCols(df, cols): _*)
+        .cast("decimal(38,0)")).as("sig"))
+
+  /** The (signature key, hashed columns) recipe of a manifest entry's
+    * layout kind; throws for full-row kinds (range/bucket/zorder), which
+    * have no key a patch could shadow by.
+    */
+  private def sigSpec(e: LayoutManifestEntry)
+      : (org.apache.spark.sql.Column, Seq[String]) = e.kind match {
+    case "pq" | "ivfpq" | "lsh" | "postings" =>
+      (col(e.idCol.get), Seq(e.idCol.get, e.valueCol.get))
+    case "cube" =>
+      (to_json(struct(e.groupCols.get.map(col): _*)),
+        e.groupCols.get ++ e.measures.get)
+    case "sketch" =>
+      (to_json(struct(e.groupCols.get.map(col): _*)),
+        e.groupCols.get :+ e.valueCol.get)
+    case other =>
+      throw new IllegalStateException(s"no row signature for '$other'")
+  }
+
+  /** The source projection a manifest entry's digest covers. */
+  private def digestColsOf(e: LayoutManifestEntry): Seq[String] =
+    e.kind match {
+      case "pq" | "ivfpq" | "lsh" | "postings" =>
+        Seq(e.idCol.get, e.valueCol.get)
+      case "cube" => e.groupCols.get ++ e.measures.get
+      case "sketch" => e.groupCols.get :+ e.valueCol.get
+      case _ => Seq.empty
+    }
+
+  /** Persist the build-time row-signature sidecar next to a durable
+    * layout's files (key-count-sized, one narrow pass).
+    */
+  private def writeRowSig(base: DataFrame, dir: String,
+                          key: org.apache.spark.sql.Column,
+                          cols: Seq[String]): Unit =
+    rowSignature(base, key, cols).write.parquet(dir + "/rowsig")
 
   private def persistEntry(e: LayoutManifestEntry): Unit =
     warehouse.foreach { wh =>
@@ -815,17 +873,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       if (entries.nonEmpty) {
         val base = Positional.strip(s.current)
         entries.foreach { case (slot, e) =>
-          val cols = e.kind match {
-            case "pq" | "ivfpq" | "lsh" | "postings" =>
-              Seq(e.idCol.get, e.valueCol.get)
-            case "cube" => e.groupCols.get ++ e.measures.get
-            case "sketch" => e.groupCols.get :+ e.valueCol.get
-            case _ => Seq.empty[String]
-          }
-          val matches = Try(contentDigest(base, cols) == e.digest)
-            .getOrElse(false)
+          val matches =
+            Try(contentDigest(base, digestColsOf(e)) == e.digest)
+              .getOrElse(false)
           val attached =
-            if (matches) reconstruct(wh, e, s.epoch) else None
+            if (matches) reconstruct(wh, e, s.epoch, base)
+            else divergedAttach(wh, e, s, base)
           attached match {
             case Some(l) => layouts((name, slot)) = l
             case None => recordRoute(RouteReport(slot, "live",
@@ -835,13 +888,81 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       }
     }
 
+  /** Attach a manifest entry whose digest no longer matches the
+    * (re)opened session's table — the durable-delta path (r9 task #4):
+    * the session mutation log died with the old process, but the
+    * build-time row-signature sidecar survives, so key-level divergence
+    * is recoverable by DIFFING signatures instead of replaying gestures.
+    * When the diff is bounded (≤ [[deltaMaxRows]] keys changed, added,
+    * or removed), exactly the changed keys re-encode into a complete
+    * REPLACEMENT patch (superseding any persisted one — the diff is
+    * against build state, so it subsumes it), the manifest re-records
+    * the new digest, and the layout attaches patched: the corpus-sized
+    * base is never re-encoded, let alone rewritten. None (dormant →
+    * live fallback, exactly the old digest-mismatch behavior) when the
+    * sidecar is absent (pre-r10 build), the kind stores full rows, the
+    * divergence exceeds the bound, or any column vanished.
+    */
+  private def divergedAttach(wh: String, e: LayoutManifestEntry,
+                             s: EditorSession,
+                             base: DataFrame): Option[TableLayout] = Try {
+    val (key, hcols) = sigSpec(e)
+    val old = spark.read.parquet(s"$wh/${e.path.get}/rowsig")
+    val now = rowSignature(base, key, hcols)
+    val changed = old.join(now, old("id") === now("id"), "full_outer")
+      .filter(!(old("sig") <=> now("sig")))
+      .select(coalesce(old("id"), now("id")).as("id"),
+        now("id").isNotNull.as("present"))
+      .limit(deltaMaxRows + 1).collect()
+    require(changed.length <= deltaMaxRows,
+      s"divergence ${changed.length} keys exceeds the delta bound")
+    val presentIds = changed.filter(_.getBoolean(1)).map(_.get(0)).toSeq
+    val rows =
+      if (presentIds.isEmpty) base.limit(0)
+      else base.filter(key.isInCollection(presentIds))
+    def seedArr = e.seeds.get.map(v => v: scala.collection.Seq[Float]).toArray
+    val add0 = e.kind match {
+      case "pq" =>
+        graft.operators.Similarity.pqCodes(rows, e.idCol.get,
+          e.valueCol.get, seedArr, e.m.get)
+      case "ivfpq" =>
+        graft.operators.Similarity.ivfPqEncodeWith(rows, e.idCol.get,
+          e.valueCol.get, e.cents.get.map(c => (c.cid, c.vec)), seedArr,
+          e.m.get)
+      case "lsh" =>
+        graft.operators.Dedup.lshIndex(rows, e.idCol.get, e.valueCol.get,
+          e.n.get, e.numHashes.get, e.bands.get)
+      case "postings" =>
+        graft.operators.Retrieval.postingsRowsFor(rows, e.idCol.get,
+          e.valueCol.get, e.n.get)
+      case "cube" => cubeRows(rows, e.groupCols.get, e.measures.get)
+      case "sketch" =>
+        sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
+    }
+    val patch = mergedPatch(changed.map(_.get(0)), None, add0)
+    val scalars = e.kind match {
+      // the corpus moved, so the stored BM25 scalars did too
+      case "postings" =>
+        val (nDocs, avgdl) = graft.operators.Retrieval.postingsStats(
+          base, e.valueCol.get)
+        (Some(nDocs), Some(avgdl))
+      case _ => (e.nDocs, e.avgdl)
+    }
+    val e2 = e.copy(patch = patch.path,
+      digest = contentDigest(base, digestColsOf(e)),
+      nDocs = scalars._1, avgdl = scalars._2)
+    persistEntry(e2)
+    reconstruct(wh, e2, s.epoch, base)
+  }.toOption.flatten
+
   /** Rebuild the in-memory layout object a manifest entry describes.
     * None if its storage is unusable (e.g. a bucketed table missing from
     * this metastore, files deleted) — the caller treats that like a
     * digest mismatch.
     */
   private def reconstruct(wh: String, e: LayoutManifestEntry,
-                          epoch: Long): Option[TableLayout] = Try {
+                          epoch: Long,
+                          base: DataFrame): Option[TableLayout] = Try {
     def seedArr: Array[scala.collection.Seq[Float]] =
       e.seeds.get.map(s => s: scala.collection.Seq[Float]).toArray
     def patch: Option[LayoutPatch] = e.patch.map { pr =>
@@ -873,9 +994,28 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           e.numHashes.get, e.bands.get,
           spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
       case "postings" =>
+        // a pre-r9 entry can lack the BM25 columns/scalars yet still
+        // pass the digest gate (the digest covers the SOURCE columns,
+        // not the stored index shape — ADVICE r9). Routing such a
+        // layout would score BM25 from nDocs=0 / missing tf+dl:
+        // schema drift declines the attach (live BM25 answers),
+        // missing scalars backfill with one projection-agg pass.
+        val storedCols =
+          spark.read.parquet(s"$wh/${e.path.get}/postings").columns.toSet
+        require(Set("term", "doc", "tf", "dl").subsetOf(storedCols),
+          s"stored postings lack BM25 columns (${storedCols.mkString(",")})")
+        val (nDocs, avgdl) = (e.nDocs, e.avgdl) match {
+          case (Some(n), Some(a)) => (n, a)
+          case _ =>
+            val stats = graft.operators.Retrieval.postingsStats(
+              base, e.valueCol.get)
+            persistEntry(e.copy(nDocs = Some(stats._1),
+              avgdl = Some(stats._2)))
+            stats
+        }
         PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
           s"$wh/${e.path.get}/postings", epoch, patch,
-          nDocs = e.nDocs.getOrElse(0L), avgdl = e.avgdl.getOrElse(0.0))
+          nDocs = nDocs, avgdl = avgdl)
       case "cube" =>
         CubeLayout(e.groupCols.get, e.measures.get,
           s"$wh/${e.path.get}/cube", epoch, patch)
@@ -1345,11 +1485,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .write.parquet(path)
     layouts((name, s"ann:$vecCol")) =
       PqCodesLayout(idCol, vecCol, path, seeds, m, s.epoch)
-    rel.foreach(r => persistEntry(LayoutManifestEntry(
-      session = name, slot = s"ann:$vecCol", kind = "pq",
-      digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
-      idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
-      seeds = Some(seeds.map(_.toSeq).toSeq))))
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"ann:$vecCol", kind = "pq",
+        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+        seeds = Some(seeds.map(_.toSeq).toSeq)))
+    }
     path
   }
 
@@ -1370,13 +1513,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
     layouts((name, s"ann:$vecCol")) =
       IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
-    rel.foreach(r => persistEntry(LayoutManifestEntry(
-      session = name, slot = s"ann:$vecCol", kind = "ivfpq",
-      digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
-      idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
-      nProbe = Some(nProbe),
-      seeds = Some(seeds.map(_.toSeq).toSeq),
-      cents = Some(cents.map { case (cid, v) => CentEntry(cid, v) }))))
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"ann:$vecCol", kind = "ivfpq",
+        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+        nProbe = Some(nProbe),
+        seeds = Some(seeds.map(_.toSeq).toSeq),
+        cents = Some(cents.map { case (cid, v) => CentEntry(cid, v) })))
+    }
     path
   }
 
@@ -1421,11 +1567,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       if (warehouse.isDefined) {
         val (dir, rel) = layoutRoot("catalog_lsh_")
         idx0.write.parquet(dir + "/index")
-        rel.foreach(r => persistEntry(LayoutManifestEntry(
-          session = name, slot = s"lsh:$textCol", kind = "lsh",
-          digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
-          idCol = Some(idCol), valueCol = Some(textCol), n = Some(n),
-          numHashes = Some(numHashes), bands = Some(bands))))
+        rel.foreach { r =>
+          writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
+          persistEntry(LayoutManifestEntry(
+            session = name, slot = s"lsh:$textCol", kind = "lsh",
+            digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+            idCol = Some(idCol), valueCol = Some(textCol), n = Some(n),
+            numHashes = Some(numHashes), bands = Some(bands)))
+        }
         spark.read.parquet(dir + "/index")
       } else idx0.localCheckpoint(true)
     layouts((name, s"lsh:$textCol")) =
@@ -1490,11 +1639,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     layouts((name, s"postings:$textCol")) =
       PostingsLayout(idCol, textCol, buckets, path, s.epoch,
         nDocs = nDocs, avgdl = avgdl)
-    rel.foreach(r => persistEntry(LayoutManifestEntry(
-      session = name, slot = s"postings:$textCol", kind = "postings",
-      digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
-      idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets),
-      nDocs = Some(nDocs), avgdl = Some(avgdl))))
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"postings:$textCol", kind = "postings",
+        digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets),
+        nDocs = Some(nDocs), avgdl = Some(avgdl)))
+    }
     path
   }
 
@@ -1786,10 +1938,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     cubeRows(base, groupCols, measures).write.parquet(path)
     val slot = s"cube:${groupCols.mkString(",")}"
     layouts((name, slot)) = CubeLayout(groupCols, measures, path, s.epoch)
-    rel.foreach(r => persistEntry(LayoutManifestEntry(
-      session = name, slot = slot, kind = "cube",
-      digest = contentDigest(base, groupCols ++ measures), path = Some(r),
-      groupCols = Some(groupCols), measures = Some(measures))))
+    rel.foreach { r =>
+      writeRowSig(base, dir, to_json(struct(groupCols.map(col): _*)),
+        groupCols ++ measures)
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = slot, kind = "cube",
+        digest = contentDigest(base, groupCols ++ measures), path = Some(r),
+        groupCols = Some(groupCols), measures = Some(measures)))
+    }
     path
   }
 
@@ -1901,11 +2057,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val slot = s"sketch:${groupCols.mkString(",")}:$sketchCol"
     layouts((name, slot)) =
       SketchLayout(groupCols, sketchCol, lgK, path, s.epoch)
-    rel.foreach(r => persistEntry(LayoutManifestEntry(
-      session = name, slot = slot, kind = "sketch",
-      digest = contentDigest(base, groupCols :+ sketchCol), path = Some(r),
-      valueCol = Some(sketchCol), n = Some(lgK),
-      groupCols = Some(groupCols))))
+    rel.foreach { r =>
+      writeRowSig(base, dir, to_json(struct(groupCols.map(col): _*)),
+        groupCols :+ sketchCol)
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = slot, kind = "sketch",
+        digest = contentDigest(base, groupCols :+ sketchCol), path = Some(r),
+        valueCol = Some(sketchCol), n = Some(lgK),
+        groupCols = Some(groupCols)))
+    }
     path
   }
 

@@ -56,7 +56,11 @@ class DurableCatalogSpec extends SparkSpec {
     a.open("gated", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
     a.buildPqLayout("gated", "vec_id", "embedding")
 
-    val c = new Catalog(spark, Some(wh))
+    // the tiny bound keeps the half-table divergence below OUT of the
+    // diverged-attach delta path, so this test still pins the dormant
+    // fallback (at production bounds a ≤4096-key divergence would
+    // attach PATCHED — see the durable-delta test)
+    val c = new Catalog(spark, Some(wh), deltaMaxRowsOverride = Some(8))
     // same name, DIFFERENT table content: the stored codes describe rows
     // this session does not have
     c.openFrom("gated",
@@ -121,5 +125,54 @@ class DurableCatalogSpec extends SparkSpec {
       orderCols = Seq("l_orderkey", "l_linenumber"))
     assert(c3.explainRoute("dli", "range:l_extendedprice").reason == "routed",
       "the refreshed layout's manifest entry must describe the EDITED table")
+  }
+
+  test("durable delta: a diverged reopen delta-patches from the row-sig sidecar (r9 task #4)") {
+    import graft.operators.Similarity
+    val wh = newWarehouse()
+    val a = new Catalog(spark, Some(wh))
+    a.open("ddelta", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    a.buildPqLayout("ddelta", "vec_id", "embedding")
+    val built = a.layoutsOf("ddelta").collectFirst {
+      case (_, p: Catalog.PqCodesLayout) => p
+    }.get
+
+    // out-of-process divergence: the next catalog opens an EDITED
+    // version of the source (one id renamed, one row deleted) — the old
+    // session's mutation log died with it, so only the persisted
+    // signatures can recover the delta
+    val edited = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 7L)
+      .withColumn("vec_id",
+        when(col("vec_id") === 3L, lit(999999L)).otherwise(col("vec_id")))
+      .localCheckpoint(true)
+    val b = new Catalog(spark, Some(wh))
+    b.openFrom("ddelta", edited, orderCols = Seq("vec_id"))
+    assert(b.explainRoute("ddelta", "ann:embedding").reason == "routed",
+      "a bounded divergence must attach PATCHED, not dormant")
+    val l = b.layoutsOf("ddelta").collectFirst {
+      case (_, p: Catalog.PqCodesLayout) => p
+    }.get
+    assert(l.path == built.path,
+      "the diverged attach must reuse the stored base, never rebuild")
+    assert(l.patch.isDefined && l.patch.get.add.count() == 1,
+      "exactly the renamed id re-encodes")
+    val routed = b.topK("ddelta", "vec_id", "embedding", queryVec(), 10)
+    assert(!plan(routed).contains("embedding"),
+      s"diverged serving must not re-encode the corpus; plan:\n" +
+        plan(routed))
+    val expect = Similarity.pqTopKFromCodes(
+      Similarity.pqCodes(edited, "vec_id", "embedding", built.seeds),
+      built.seeds, queryVec(), k = 10).collect().map(_.toSeq).toSeq
+    assert(routed.collect().map(_.toSeq).toSeq == expect,
+      "the patched attach must equal a full re-encode of the edited table")
+
+    // the manifest re-recorded the new digest: a THIRD open over the
+    // same edited table attaches through the fast digest path
+    val c2 = new Catalog(spark, Some(wh))
+    c2.openFrom("ddelta", edited, orderCols = Seq("vec_id"))
+    assert(c2.explainRoute("ddelta", "ann:embedding").reason == "routed")
+    assert(c2.topK("ddelta", "vec_id", "embedding", queryVec(), 10)
+      .collect().map(_.toSeq).toSeq == expect)
   }
 }

@@ -211,6 +211,47 @@ class PostingsLayoutSpec extends SparkSpec {
       "patched index must reproduce live digits after a paste")
   }
 
+  test("a manifest entry without BM25 scalars backfills on attach; schema drift declines the route") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_bf_")
+      .toString
+    val a = new Catalog(spark, Some(wh))
+    a.open("docs_bf", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    a.buildPostingsLayout("docs_bf", "doc_id", "text", buckets = 8)
+    val live = Retrieval.bm25(Tables.load(spark, sf, "documents"),
+      "doc_id", "text", bm25Terms).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // simulate a pre-scalar manifest (ADVICE r9): strip nDocs/avgdl
+    val entries = graft.core.LayoutStore.load(spark, wh)
+      .map(e => e.copy(nDocs = None, avgdl = None))
+    graft.core.LayoutStore.save(spark, wh, entries)
+
+    val b = new Catalog(spark, Some(wh))
+    b.open("docs_bf", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    assert(b.explainRoute("docs_bf", "postings:text").reason == "routed")
+    val routed = b.searchBm25("docs_bf", "doc_id", "text", bm25Terms)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("catalog_postings"))
+    assert(routed.orderBy("doc_id").collect().map(_.toSeq).toSeq == live,
+      "backfilled scalars must reproduce the live BM25 digits")
+    // the backfill must persist: a third open reads real scalars
+    assert(graft.core.LayoutStore.load(spark, wh)
+      .forall(e => e.nDocs.isDefined && e.avgdl.isDefined))
+
+    // schema drift: a stored index lacking tf/dl must never route —
+    // overwrite the postings files with a two-column shape
+    val pl = postingsLayoutOf(b, "docs_bf")
+    val drifted = spark.read.parquet(pl.path).select("term", "doc")
+      .localCheckpoint(true) // pin blocks: the overwrite targets the source dir
+    drifted.write.mode("overwrite").parquet(pl.path)
+    val c = new Catalog(spark, Some(wh))
+    c.open("docs_bf", s"$sf/documents.parquet", orderCols = Seq("doc_id"))
+    assert(c.explainRoute("docs_bf", "postings:text").reason != "routed",
+      "an index without BM25 columns must decline the route")
+    assert(c.searchBm25("docs_bf", "doc_id", "text", bm25Terms)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq == live,
+      "the declined route must fall back to live BM25")
+  }
+
   test("postings layout survives a catalog restart over the same warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_post_")
       .toString
