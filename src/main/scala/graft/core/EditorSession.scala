@@ -712,6 +712,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         case (slot, c: Catalog.CubeLayout) if c.builtAtEpoch == s.epoch =>
           graft.plans.SqlRouting.CubeSqlRoute(c.groupCols, c.measures,
             () => patchedCube(c), () => sqlRouted(slot))
+        case (slot, p: Catalog.PairsLayout) if p.builtAtEpoch == s.epoch =>
+          graft.plans.SqlRouting.PairsSqlRoute(p.groupCols, p.col,
+            () => patchedCodes(spark.read.parquet(p.path), p.patch),
+            () => sqlRouted(slot))
         case (slot, z: Catalog.ZOrderedLayout) if z.builtAtEpoch == s.epoch =>
           graft.plans.SqlRouting.ZOrderSqlRoute(z.colX, z.colY,
             (loX, hiX, loY, hiY) => {
@@ -829,6 +833,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     case "sketch" =>
       (to_json(struct(e.groupCols.get.map(col): _*)),
         e.groupCols.get :+ e.valueCol.get)
+    case "pairs" =>
+      val cols = e.groupCols.get :+ e.valueCol.get
+      (to_json(struct(cols.map(col): _*)), cols)
     case other =>
       throw new IllegalStateException(s"no row signature for '$other'")
   }
@@ -839,7 +846,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "pq" | "ivfpq" | "lsh" | "postings" =>
         Seq(e.idCol.get, e.valueCol.get)
       case "cube" => e.groupCols.get ++ e.measures.get
-      case "sketch" => e.groupCols.get :+ e.valueCol.get
+      case "sketch" | "pairs" => e.groupCols.get :+ e.valueCol.get
       case _ => Seq.empty
     }
 
@@ -938,6 +945,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "cube" => cubeRows(rows, e.groupCols.get, e.measures.get)
       case "sketch" =>
         sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
+      case "pairs" => pairsRows(rows, e.groupCols.get, e.valueCol.get)
     }
     val patch = mergedPatch(changed.map(_.get(0)), None, add0)
     val scalars = e.kind match {
@@ -1022,6 +1030,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "sketch" =>
         SketchLayout(e.groupCols.get, e.valueCol.get, e.n.get,
           s"$wh/${e.path.get}/sketches", epoch, patch)
+      case "pairs" =>
+        PairsLayout(e.groupCols.get, e.valueCol.get,
+          s"$wh/${e.path.get}/pairs", epoch, patch)
       case "zorder" =>
         val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
           .localCheckpoint(true)
@@ -1225,6 +1236,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         grouped(p.groupCols.toSet, Set(p.col),
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
           (pos, victims) => patchSketch(name, s, slot, p, pos, victims))
+      case p: PairsLayout =>
+        // every stored column is a key column: cell edits rebuild (the
+        // pre-edit tuple is unrecoverable), row motion delta-patches
+        grouped((p.groupCols :+ p.col).toSet, Set.empty,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, victims) => patchPairs(name, s, slot, p, pos, victims))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -1247,6 +1264,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       buildCubeLayout(name, l.groupCols, l.measures); ()
     case l: SketchLayout =>
       buildSketchLayout(name, l.groupCols, l.col, l.lgK); ()
+    case l: PairsLayout =>
+      buildPairsLayout(name, l.groupCols, l.col); ()
     case l: ZOrderedLayout =>
       buildZOrderedLayout(name, l.colX, l.colY, l.files); ()
   }
@@ -2159,6 +2178,104 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     (fromTouched ++ fromVictims).distinct.toSeq
   }
 
+  // ---- exact distinct-pairs layout -----------------------------------------
+
+  /** The pairs layout's stored rows: the distinct (groupCols…, col)
+    * tuples plus the JSON tuple key the delta patch shadows by.
+    */
+  private def pairsRows(base: DataFrame, groupCols: Seq[String],
+                        pairCol: String): DataFrame = {
+    val cols = groupCols :+ pairCol
+    base.select(cols.map(col): _*).distinct()
+      .withColumn("id", to_json(struct(cols.map(col): _*)))
+  }
+
+  /** Materialize the distinct (groupCols…, col) projection ONCE;
+    * [[distinctCount]] over these group columns (or any SUBSET) then
+    * answers `COUNT(DISTINCT col)` EXACTLY from pairs-count-sized
+    * stored rows — and SQL text routes too ([[graft.plans
+    * .SqlLayoutRouting]] rewrites a distinct-count aggregate over the
+    * session view onto the stored pairs; r9 verdict task #5, the routed
+    * alternative to the rewrite's conservative DISTINCT refusal).
+    */
+  def buildPairsLayout(name: String, groupCols: Seq[String],
+                       pairCol: String): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_pairs_")
+    val path = dir + "/pairs"
+    pairsRows(base, groupCols, pairCol).write.parquet(path)
+    val slot = s"pairs:${groupCols.mkString(",")}:$pairCol"
+    layouts((name, slot)) = PairsLayout(groupCols, pairCol, path, s.epoch)
+    rel.foreach { r =>
+      writeRowSig(base, dir,
+        to_json(struct((groupCols :+ pairCol).map(col): _*)),
+        groupCols :+ pairCol)
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = slot, kind = "pairs",
+        digest = contentDigest(base, groupCols :+ pairCol), path = Some(r),
+        valueCol = Some(pairCol), groupCols = Some(groupCols)))
+    }
+    path
+  }
+
+  private def decidePairs(name: String, groupCols: Seq[String],
+                          pairCol: String, whereCols: Set[String])
+      : (Option[PairsLayout], RouteReport) =
+    decideCovering[PairsLayout](name,
+      s"pairs:${groupCols.mkString(",")}:$pairCol",
+      layoutsOf(name).collect { case (slot, l: PairsLayout) => (slot, l) },
+      l => (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
+        l.col == pairCol)
+
+  /** EXACT distinct count of `pairCol` per `groupCols` tuple,
+    * layout-routed: a valid pairs layout COVERING the request (caller's
+    * groupCols ⊆ the layout's, same counted column, filters on layout
+    * group columns only) re-distincts pairs-count-sized stored rows;
+    * otherwise the live distinct aggregate runs over the session plan.
+    * Output (groupCols…, `cd_<col>` long) — digit-equal either way,
+    * this is the exact sibling of [[approxDistinct]].
+    */
+  def distinctCount(name: String, groupCols: Seq[String], pairCol: String,
+                    where: Seq[(String, Any)] = Nil): DataFrame = {
+    val s = sessionOf(name)
+    val (valid, rep) =
+      decidePairs(name, groupCols, pairCol, where.map(_._1).toSet)
+    recordRoute(rep)
+    val out = s"cd_$pairCol"
+    def filtered(df: DataFrame): DataFrame =
+      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
+    val src = valid match {
+      case Some(l) => filtered(patchedCodes(spark.read.parquet(l.path),
+        l.patch))
+      case None => filtered(Positional.strip(s.current))
+    }
+    src.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(pairCol)).as(out))
+  }
+
+  /** Pairs delta: every touched or retracted tuple's EXISTENCE
+    * recomputes from the live plan (a tuple stays iff any current row
+    * still carries it) and shadows by tuple key — same recompute-the-
+    * affected-keys shape as [[patchCube]], with the full tuple as the
+    * key. A cell edit to any stored column rebuilds instead (the
+    * pre-edit tuple is unrecoverable), handled by [[refreshSlot]].
+    */
+  private def patchPairs(name: String, s: EditorSession, slot: String,
+                         l: PairsLayout, pos: Seq[Long],
+                         victims: Option[DataFrame]): Unit = {
+    val cols = l.groupCols :+ l.col
+    val keyExpr = to_json(struct(cols.map(col): _*))
+    val dirtyKeys = affectedGroupKeys(s, cols, pos, victims)
+    val affected = Positional.strip(s.current)
+      .filter(keyExpr.isin(dirtyKeys: _*))
+    val add0 = pairsRows(affected, l.groupCols, l.col)
+    val patch = mergedPatch(dirtyKeys.toArray[Any], l.patch, add0)
+    layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+      patch = Some(patch))
+    persistPatch(name, slot, patch, cols, s)
+  }
+
   /** Sketch delta for gestures that spare the group columns (cell edits
     * of the sketched column, inserts, deletes with recoverable
     * victims): HLL supports no deletion, so the affected groups
@@ -2376,6 +2493,20 @@ object Catalog {
     */
   final case class SketchLayout(groupCols: Seq[String], col: String,
       lgK: Int, path: String, builtAtEpoch: Long,
+      patch: Option[LayoutPatch] = None) extends TableLayout
+
+  /** An exact DISTINCT-PAIRS layout: the stored rows are `SELECT
+    * DISTINCT groupCols…, col` — the minimal projection that answers
+    * `COUNT(DISTINCT col) GROUP BY any-subset-of-groupCols` EXACTLY
+    * (unlike the HLL [[SketchLayout]], which trades digits for size).
+    * Distinctness survives rollup: a subset grouping re-distincts the
+    * stored pairs, which is pairs-count-sized work — at 100 TB the
+    * difference between shuffling every fact row's key and shuffling
+    * one row per distinct (group, value) combination. `id` is the JSON
+    * rendering of the FULL tuple, giving the delta patch its shadow key.
+    */
+  final case class PairsLayout(groupCols: Seq[String], col: String,
+      path: String, builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
 
   /** A materialized aggregate cube: one stored row per distinct

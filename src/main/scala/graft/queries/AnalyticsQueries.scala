@@ -70,11 +70,13 @@ object AnalyticsQueries {
       val c = new graft.core.Catalog(s)
       c.openFrom("li_cube",
         Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_returnflag",
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
             "l_linestatus", "l_quantity", "l_extendedprice"),
         Seq("l_orderkey", "l_linenumber"))
       c.buildCubeLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
         Seq("l_quantity", "l_extendedprice"))
+      c.buildPairsLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
+        "l_partkey")
       c
     }
 
@@ -1350,6 +1352,44 @@ object AnalyticsQueries {
         """SELECT l_linestatus, count(*) AS n,
           |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
           |    AS DOUBLE) AS sum_price
+          |FROM li_cube
+          |WHERE l_returnflag = 'A'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    /** EXACT grouped distinct count routed through the catalog's
+      * DISTINCT-PAIRS layout ([[graft.core.Catalog.buildPairsLayout]] /
+      * `distinctCount`): the stored `SELECT DISTINCT (groups, col)`
+      * projection re-distincts to any subset grouping — at 100 TB a
+      * pairs-count-sized shuffle where the live plan shuffles every
+      * fact row's key. Unlike the HLL sketch layout this is digit-exact,
+      * so it gets a full SQL oracle twin.
+      */
+    "a_catalog_distinct" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .distinctCount("li_cube", Seq("l_returnflag"), "l_partkey")
+        .orderBy("l_returnflag")),
+
+    /** The pairs layout consumed from SQL TEXT: [[graft.plans
+      * .SqlLayoutRouting]] recognizes `count(DISTINCT col)` over a
+      * session view whose grouping is a subset of a valid pairs
+      * layout's group columns and re-distincts the stored pairs instead
+      * of scanning the view — the routed alternative to the cube
+      * rewrite's conservative DISTINCT refusal (plan pin in
+      * SqlRoutingSpec). Oracle: the same text over raw lineitem.
+      */
+    "a_sql_distinct" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd_partkey
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** The filtered form: a WHERE on a pairs GROUP column selects whole
+      * stored tuples, so the filtered distinct count still never touches
+      * the fact table.
+      */
+    "a_sql_distinct_filtered" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_linestatus, count(DISTINCT l_partkey) AS cd_partkey
           |FROM li_cube
           |WHERE l_returnflag = 'A'
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
@@ -2634,6 +2674,24 @@ object AnalyticsQueries {
         |    AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a_catalog_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_l_partkey
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_distinct_filtered" ->
+      """SELECT l_linestatus,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey
+        |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "w_lag_ma" ->

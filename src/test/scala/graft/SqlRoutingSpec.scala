@@ -179,6 +179,72 @@ class SqlRoutingSpec extends SparkSpec {
       "a stale cube must not serve SQL")
   }
 
+  test("SQL count(DISTINCT) routes through the pairs layout; other shapes don't") {
+    val cat = new Catalog(spark)
+    cat.open("li_pr", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildPairsLayout("li_pr", Seq("l_returnflag", "l_linestatus"),
+      "l_partkey")
+    val q = """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd
+              |FROM li_pr GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_pairs_"),
+      s"a distinct count must re-distinct the stored pairs; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the routed SQL plan must never scan the fact table; plan:\n$p")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "pairs:l_returnflag,l_linestatus:l_partkey" &&
+        r.reason == "sql-routed"))
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("cd"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+    // subset rollup: the GLOBAL distinct count routes too
+    val global = cat.sql(
+      "SELECT count(DISTINCT l_partkey) AS cd FROM li_pr")
+    assert(plan(global).contains("catalog_pairs_"),
+      s"a global distinct must route; plan:\n${plan(global)}")
+    assert(global.head().getLong(0) ==
+      Tables.load(spark, sf, "lineitem")
+        .agg(count_distinct(col("l_partkey"))).head().getLong(0))
+    // a DISTINCT over a column the layout did not store must not route
+    val other = cat.sql(
+      "SELECT count(DISTINCT l_suppkey) AS cd FROM li_pr")
+    assert(!plan(other).contains("catalog_pairs_"))
+    // a MIXED aggregate (count(*) + distinct) can't be served by pairs
+    // (row multiplicity is gone) — refuse, live view answers
+    val mixed = cat.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS cd
+        |FROM li_pr GROUP BY l_returnflag""".stripMargin)
+    assert(!plan(mixed).contains("catalog_pairs_"),
+      "pairs must not serve an aggregate that needs row multiplicity")
+    // filtered form: WHERE on a group column selects whole tuples
+    val filtered = cat.sql(
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS cd FROM li_pr
+        |WHERE l_returnflag = 'A' GROUP BY l_linestatus""".stripMargin)
+    assert(plan(filtered).contains("catalog_pairs_"),
+      s"a group-column WHERE must route; plan:\n${plan(filtered)}")
+    assert(filtered.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "A").groupBy("l_linestatus")
+        .agg(count_distinct(col("l_partkey")).as("cd"))
+        .collect().map(_.toSeq).toSet)
+    // a WHERE on the COUNTED column filters inside tuples — refuse
+    val pairWhere = cat.sql(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd FROM li_pr
+        |WHERE l_partkey > 100 GROUP BY l_returnflag""".stripMargin)
+    assert(!plan(pairWhere).contains("catalog_pairs_"))
+    // an edit invalidates: the text falls back to the live view
+    assert(cat.get("li_pr").get.setCell(0L, "l_partkey", "1"))
+    assert(!plan(cat.sql(q)).contains("catalog_pairs_"),
+      "stale pairs must not serve SQL")
+  }
+
   test("rectangle predicate in SQL text routes through the z-ordered layout") {
     val cat = new Catalog(spark)
     cat.open("li_z_sql", s"$sf/lineitem.parquet",
