@@ -291,7 +291,27 @@ object Bench {
     // that is not contention evidence). Load is only trusted before the
     // FIRST attempt: the bench itself saturates local[32], so after one
     // attempt the 1-min average mostly measures us, not the interference.
-    val externalLoad = loadAvg1()
+    // Self-healing (r9 verdict task #7): don't MEASURE a loaded box,
+    // WAIT for it — a contended record costs a judge re-run, a few
+    // minutes of polling is free. The 1-min load average is sampled
+    // every 20 s until it drops under cpus/4 or the wait budget runs
+    // out; only then does the first attempt start. The same wait runs
+    // before each variance-triggered retry (after a cooldown letting
+    // the load average decay past OUR OWN just-finished burn).
+    val loadThreshold = cpus.toDouble / 4
+    def waitForIdle(maxWaitMs: Long): Double = {
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      var load = loadAvg1()
+      while (load > loadThreshold && load >= 0 &&
+          System.currentTimeMillis() < deadline) {
+        System.err.println(
+          s"[bench] load $load > $loadThreshold — waiting for idle box")
+        Thread.sleep(20000)
+        load = loadAvg1()
+      }
+      load
+    }
+    val externalLoad = waitForIdle(maxWaitMs = 300000)
     val maxAttempts = 3
     var attempt = 0
     var contended = true
@@ -303,11 +323,19 @@ object Bench {
         r >= 0 && math.max(t1, t2) > 1.0 &&
           math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9) > 2.0
       }
-      val loadHigh = attempt == 1 && externalLoad > cpus.toDouble / 4
+      val loadHigh = attempt == 1 && externalLoad > loadThreshold &&
+        externalLoad >= 0
       contended = loadHigh || variance
-      if (contended && attempt < maxAttempts)
+      if (contended && attempt < maxAttempts) {
         System.err.println(s"[bench] contended (load=$externalLoad, " +
-          s"variance=$variance) — re-running set (attempt ${attempt + 1})")
+          s"variance=$variance) — cooling down, then re-running " +
+          s"(attempt ${attempt + 1})")
+        // cooldown: the 1-min average right after a set mostly measures
+        // us; give it one decay window before deciding to wait longer
+        Thread.sleep(30000)
+        waitForIdle(maxWaitMs = 120000)
+        ()
+      }
     }
     val loadAfter = loadAvg1()
 
