@@ -111,7 +111,12 @@ object Bench {
 
     // A at width (TPC-H Q18 shape): ~150k groups at sf0.1 — the headline
     // set's other aggregates have tiny outputs, so partial-agg hash table
-    // growth and spill behavior only shows up here
+    // growth and spill behavior only shows up here.
+    // r10 A/B vs the r8 tree (3 interleaved standalone runs each, idle
+    // box, worktree at c7e2eaf): r8 {1.070, 1.109, 1.063} s vs r10
+    // {1.100, 0.989, 1.128} s — identical distributions; the query code
+    // is byte-identical since r8, so the r9 verdict's 1.54x reading was
+    // run-context variance (in-set page-cache state), not a regression.
     "a_widegroup_q18" -> ((s: SparkSession) =>
       graft.queries.AnalyticsQueries.queries("q18_large_orders")(s, sfDir).count()),
 

@@ -1369,6 +1369,18 @@ object AnalyticsQueries {
         .distinctCount("li_cube", Seq("l_returnflag"), "l_partkey")
         .orderBy("l_returnflag")),
 
+    /** The live fact-scan leg of the same distinct count — the
+      * comparison baseline [[graft.core.Catalog.distinctCount]]'s routed
+      * path replaces: every fact row's (group, key) shuffles to the
+      * distinct. Kept registered so the serving-vs-scan gap is measured
+      * at scale (ScaleEvidence), not asserted.
+      */
+    "a_distinct_scan" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("cd_l_partkey"))
+        .orderBy("l_returnflag")),
+
     /** The pairs layout consumed from SQL TEXT: [[graft.plans
       * .SqlLayoutRouting]] recognizes `count(DISTINCT col)` over a
       * session view whose grouping is a subset of a valid pairs
@@ -2677,6 +2689,12 @@ object AnalyticsQueries {
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "a_catalog_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_l_partkey
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_distinct_scan" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_l_partkey
         |FROM lineitem GROUP BY l_returnflag
