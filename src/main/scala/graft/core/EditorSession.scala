@@ -702,8 +702,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           RangedSqlRoute(l.column,
             (lo, hi) => {
               val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
-              if (files.isEmpty) spark.read.parquet(l.path).limit(0)
-              else spark.read.parquet(files: _*)
+              val base =
+                if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+                else spark.read.parquet(files: _*)
+              // the rule keeps the original Filter on top, so composing
+              // the DML patch here keeps SQL answers byte-identical too
+              patchedFullRows(base, l.idCol, l.patch)
             },
             () => sqlRouted(slot))
         case (slot, b: Catalog.BucketedLayout) if b.builtAtEpoch == s.epoch =>
@@ -721,8 +725,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
             (loX, hiX, loY, hiY) => {
               val files = graft.io.SkippingIndex.candidateFiles2d(z.stats,
                 loX, hiX, loY, hiY)
-              if (files.isEmpty) spark.read.parquet(z.path).limit(0)
-              else spark.read.parquet(files: _*)
+              val base =
+                if (files.isEmpty) spark.read.parquet(z.path).limit(0)
+                else spark.read.parquet(files: _*)
+              patchedFullRows(base, z.idCol, z.patch)
             },
             () => sqlRouted(slot))
       }
@@ -836,6 +842,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     case "pairs" =>
       val cols = e.groupCols.get :+ e.valueCol.get
       (to_json(struct(cols.map(col): _*)), cols)
+    case "range" if e.idCol.isDefined =>
+      (col(e.idCol.get), Seq.empty) // full rows: hash every column
+    case "zorder" if e.keyCol.isDefined =>
+      (col(e.keyCol.get), Seq.empty)
     case other =>
       throw new IllegalStateException(s"no row signature for '$other'")
   }
@@ -946,8 +956,21 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "sketch" =>
         sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
       case "pairs" => pairsRows(rows, e.groupCols.get, e.valueCol.get)
+      case "range" | "zorder" =>
+        // full rows ARE the add-leg; the serve-side union needs the
+        // reopened schema to equal the stored one (a drifted schema
+        // would fail lazily at serve time — decline eagerly instead)
+        val sub = if (e.kind == "range") "ranged" else "zordered"
+        require(spark.read.parquet(s"$wh/${e.path.get}/$sub")
+          .columns.toSet == base.columns.toSet, "schema drift")
+        rows
     }
-    val patch = mergedPatch(changed.map(_.get(0)), None, add0)
+    val keyName = e.kind match {
+      case "range" => e.idCol.get
+      case "zorder" => e.keyCol.get
+      case _ => "id"
+    }
+    val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName)
     val scalars = e.kind match {
       // the corpus moved, so the stored BM25 scalars did too
       case "postings" =>
@@ -993,7 +1016,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
           .localCheckpoint(true)
         RangedLayout(e.valueCol.get, s"$wh/${e.path.get}/ranged", stats,
-          e.files.get, epoch)
+          e.files.get, epoch, idCol = e.idCol, patch = patch)
       case "lsh" =>
         // parquet-backed: the stored index is already at rest, no
         // checkpoint pin needed (that pin exists to avoid re-shingling a
@@ -1036,9 +1059,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "zorder" =>
         val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
           .localCheckpoint(true)
-        // valueCol carries colX, idCol colY (generic manifest fields)
+        // valueCol carries colX, idCol colY, keyCol the DML shadow key
+        // (generic manifest fields)
         ZOrderedLayout(e.valueCol.get, e.idCol.get,
-          s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch)
+          s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch,
+          idCol = e.keyCol, patch = patch)
     }
   }.toOption
 
@@ -1211,6 +1236,23 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           else patch(touched, d.deletedRows)
       }
 
+    def fullRow(idCol: Option[String], path: String,
+                revalidate: () => Unit,
+                patch: (Seq[Long], Boolean) => Unit): Unit =
+      (idCol, delta) match {
+        case (Some(id), Some(d)) =>
+          val storedCols = Try(spark.read.parquet(path).columns.toSet)
+            .getOrElse(Set.empty[String])
+          val touched = d.dirtyPos ++ d.insertedPos
+          if (!d.dirtyCols.subsetOf(storedCols)) rebuildSlot(name, l)
+          else if (touched.isEmpty && !d.hasDeletes) revalidate()
+          else if (touched.size <= deltaMaxRows &&
+              d.deleteCount <= deltaMaxRows)
+            patch(touched, d.dirtyCols.contains(id) || d.hasDeletes)
+          else rebuildSlot(name, l)
+        case _ => rebuildSlot(name, l)
+      }
+
     l match {
       case p: PqCodesLayout =>
         keyed(p.idCol, p.vecCol,
@@ -1242,8 +1284,48 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         grouped((p.groupCols :+ p.col).toSet, Set.empty,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
           (pos, victims) => patchPairs(name, s, slot, p, pos, victims))
+      // an id-keyed full-row layout (ranged / z-ordered) is
+      // DML-patchable: every cell edit touches a stored row (all
+      // columns are stored), so the only revalidation case is a
+      // schema-only delta; a column ADD makes the stored schema stale
+      // and rebuilds; without an id there is no shadow key
+      case p: RangedLayout =>
+        fullRow(p.idCol, p.path,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchFullRow(name, s, slot, p.idCol.get, p.path,
+            p.patch, pos, ids,
+            pt => p.copy(builtAtEpoch = s.epoch, patch = Some(pt))))
+      case p: ZOrderedLayout =>
+        fullRow(p.idCol, p.path,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchFullRow(name, s, slot, p.idCol.get, p.path,
+            p.patch, pos, ids,
+            pt => p.copy(builtAtEpoch = s.epoch, patch = Some(pt))))
       case _ => rebuildSlot(name, l)
     }
+  }
+
+  /** Full-row DML patch for an id-keyed clustered layout: the touched
+    * ids' CURRENT full rows become the unclustered add-leg, their (and
+    * any vanished) ids shadow out of the base — the clustered files and
+    * their skipping stats never change, so pruning stays truthful and
+    * the serve-side union is edit-count-sized.
+    */
+  private def patchFullRow(name: String, s: EditorSession, slot: String,
+                           id: String, basePath: String,
+                           oldPatch: Option[LayoutPatch], pos: Seq[Long],
+                           idsTouched: Boolean,
+                           updated: LayoutPatch => TableLayout): Unit = {
+    val changed = touchedRows(s, pos, id, Seq.empty)
+    val nowIds = Positional.strip(s.current).select(col(id).as("id"))
+    val patch = mergedPatch(
+      if (idsTouched) vanishedIds(
+        patchedFullRows(spark.read.parquet(basePath), Some(id), oldPatch)
+          .select(col(id).as("id")), nowIds)
+      else Array.empty[Any],
+      oldPatch, changed, keyName = id)
+    layouts((name, slot)) = updated(patch)
+    persistPatch(name, slot, patch, Seq.empty, s)
   }
 
   private def rebuildSlot(name: String, l: TableLayout): Unit = l match {
@@ -1255,7 +1337,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     case l: BucketedLayout =>
       buildBucketedLayout(name, l.key, l.buckets); ()
     case l: RangedLayout =>
-      buildRangedLayout(name, l.column, l.files); ()
+      buildRangedLayout(name, l.column, l.files, l.idCol); ()
     case l: LshIndexLayout =>
       buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes, l.bands)
     case l: PostingsLayout =>
@@ -1267,7 +1349,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     case l: PairsLayout =>
       buildPairsLayout(name, l.groupCols, l.col); ()
     case l: ZOrderedLayout =>
-      buildZOrderedLayout(name, l.colX, l.colY, l.files); ()
+      buildZOrderedLayout(name, l.colX, l.colY, l.files, l.idCol); ()
   }
 
   /** Every current row sharing an id with a touched position, as the
@@ -1283,12 +1365,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
   private def touchedRows(s: EditorSession, pos: Seq[Long], idCol: String,
                           cols: Seq[String]): DataFrame = {
     val base = Positional.strip(s.current)
-    if (pos.isEmpty) base.select(cols.map(col): _*).limit(0)
+    def proj(df: DataFrame) =
+      if (cols.isEmpty) df else df.select(cols.map(col): _*) // empty = all
+    if (pos.isEmpty) proj(base).limit(0)
     else {
       val ids = s.current.filter(col(Positional.POS).isInCollection(pos))
         .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
-      base.filter(col(idCol).isInCollection(ids))
-        .select(cols.map(col): _*)
+      proj(base.filter(col(idCol).isInCollection(ids)))
     }
   }
 
@@ -1316,11 +1399,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     */
   private def mergedPatch(removedNew0: => Array[Any],
                           oldPatch: Option[LayoutPatch],
-                          add0: DataFrame): LayoutPatch = {
+                          add0: DataFrame,
+                          keyName: String = "id"): LayoutPatch = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
     val addSchema = add0.schema
-    val idIdx = addSchema.fieldIndex("id")
+    val idIdx = addSchema.fieldIndex(keyName)
     val addNew = add0.collect()
     val removedNew: Array[Any] = removedNew0
     val newKeys: Set[Any] =
@@ -1725,10 +1809,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * sorted part files) with a min/max file-skipping index
     * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
     * and register it; [[rangeScan]] on this column then opens only the
-    * part files whose value range intersects the predicate.
+    * part files whose value range intersects the predicate. Passing an
+    * `idCol` makes the layout DML-PATCHABLE (see [[Catalog
+    * .RangedLayout]]): bounded edits/inserts/deletes refresh without
+    * re-clustering.
     */
-  def buildRangedLayout(name: String, column: String,
-                        files: Int = 8): String = {
+  def buildRangedLayout(name: String, column: String, files: Int = 8,
+                        idCol: Option[String] = None): String = {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
     val (dir, rel) = layoutRoot("catalog_ranged_")
@@ -1740,16 +1827,33 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val stats = graft.io.SkippingIndex.build(spark, path, column)
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
-      files, s.epoch)
+      files, s.epoch, idCol = idCol)
     rel.foreach { r =>
       stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
       persistEntry(LayoutManifestEntry(
         session = name, slot = s"range:$column", kind = "range",
         digest = contentDigest(base, Seq.empty), path = Some(r),
-        valueCol = Some(column), files = Some(files)))
+        valueCol = Some(column), files = Some(files), idCol = idCol))
     }
     path
   }
+
+  /** Serving view of a full-row layout's (possibly patched) pruned
+    * read: base files minus the shadowed ids (broadcast anti-join on
+    * the layout's OWN id column) plus the unclustered add-leg — the
+    * caller's exact predicate on top keeps answers byte-identical, and
+    * the skipping stats stay truthful because base files never change.
+    */
+  private def patchedFullRows(base: DataFrame, idCol: Option[String],
+                              patch: Option[LayoutPatch]): DataFrame =
+    (idCol, patch) match {
+      case (Some(id), Some(pt)) =>
+        base.join(broadcast(pt.removed), base(id) === pt.removed("id"),
+            "left_anti")
+          .unionByName(pt.add)
+      case _ => base
+    }
 
   /** Z-order the session on two numeric columns: each is min/max-scaled
     * to a 16-bit bucket, the Morton interleave becomes the range-
@@ -1760,7 +1864,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * which a single-column clustering cannot give.
     */
   def buildZOrderedLayout(name: String, colX: String, colY: String,
-                          files: Int = 16): String = {
+                          files: Int = 16,
+                          idCol: Option[String] = None): String = {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
     Seq(colX, colY).foreach { c =>
@@ -1788,13 +1893,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val stats = graft.io.SkippingIndex.build2d(spark, path, colX, colY)
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"zorder:$colX,$colY")) =
-      ZOrderedLayout(colX, colY, path, stats, files, s.epoch)
+      ZOrderedLayout(colX, colY, path, stats, files, s.epoch,
+        idCol = idCol)
     rel.foreach { r =>
       stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
       persistEntry(LayoutManifestEntry(
         session = name, slot = s"zorder:$colX,$colY", kind = "zorder",
         digest = contentDigest(base, Seq.empty), path = Some(r),
-        valueCol = Some(colX), idCol = Some(colY), files = Some(files)))
+        valueCol = Some(colX), idCol = Some(colY), files = Some(files),
+        keyCol = idCol))
     }
     path
   }
@@ -1822,13 +1930,24 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       })
     recordRoute(if (lay2.isDefined || rep2.reason != "no-layout") rep2
       else rep)
+    def servePatched(l: ZOrderedLayout, lX: Double, hX: Double,
+                     lY: Double, hY: Double): DataFrame = {
+      val files = graft.io.SkippingIndex.candidateFiles2d(l.stats,
+        lX, hX, lY, hY)
+      val base =
+        if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+        else spark.read.parquet(files: _*)
+      // DML patch composes before the exact rectangle predicate: the
+      // add-leg is never pruned, shadowed base rows never serve
+      patchedFullRows(base, l.idCol, l.patch)
+        .filter(col(l.colX) >= lX && col(l.colX) <= hX &&
+          col(l.colY) >= lY && col(l.colY) <= hY)
+    }
     lay2 match {
       case Some(l: ZOrderedLayout) if l.colX == colX =>
-        graft.io.SkippingIndex.prunedRead2d(spark, l.stats, l.path,
-          colX, loX, hiX, colY, loY, hiY)
+        servePatched(l, loX, hiX, loY, hiY)
       case Some(l: ZOrderedLayout) =>
-        graft.io.SkippingIndex.prunedRead2d(spark, l.stats, l.path,
-          colY, loY, hiY, colX, loX, hiX)
+        servePatched(l, loY, hiY, loX, hiX)
       case _ =>
         Positional.strip(sessionOf(name).current)
           .filter(col(colX) >= loX && col(colX) <= hiX &&
@@ -1851,8 +1970,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     recordRoute(rep)
     lay match {
       case Some(l: RangedLayout) =>
-        graft.io.SkippingIndex.prunedRead(spark, l.stats, l.path, column,
-          lo, hi)
+        val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
+        val base =
+          if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+          else spark.read.parquet(files: _*)
+        // the DML patch (if any) composes BEFORE the exact predicate:
+        // the add-leg is never pruned, shadowed base rows never serve
+        patchedFullRows(base, l.idCol, l.patch)
+          .filter(col(column) >= lo && col(column) <= hi)
       case _ =>
         val c = org.apache.spark.sql.functions.col(column)
         Positional.strip(sessionOf(name).current)
@@ -2398,8 +2523,21 @@ object Catalog {
       patch: Option[LayoutPatch] = None) extends TableLayout
   final case class BucketedLayout(key: String, table: String, buckets: Int,
       builtAtEpoch: Long) extends TableLayout
+
+  /** A range-clustered full-row layout with a min/max skipping index.
+    * With an `idCol` it is also DML-PATCHABLE — the Delta-Lake shape
+    * (deletion vectors + an append log over clustered files): bounded
+    * edits/inserts/deletes refresh as an id-shadow plus an UNCLUSTERED
+    * add-leg that every serve unions in unpruned, so the stats stay
+    * truthful about the base files and the exact predicate on top keeps
+    * answers byte-identical. Without an id the layout has no key a
+    * patch could shadow by and any delta rebuilds (the pre-r10
+    * behavior).
+    */
   final case class RangedLayout(column: String, path: String,
-      stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
+      stats: DataFrame, files: Int, builtAtEpoch: Long,
+      idCol: Option[String] = None,
+      patch: Option[LayoutPatch] = None) extends TableLayout
 
   /** A Z-ORDERED layout: the session's rows written range-partitioned on
     * the Morton interleave of two bucketized numeric columns, with a
@@ -2409,7 +2547,9 @@ object Catalog {
     * where a single-column range clustering only serves its own column.
     */
   final case class ZOrderedLayout(colX: String, colY: String, path: String,
-      stats: DataFrame, files: Int, builtAtEpoch: Long) extends TableLayout
+      stats: DataFrame, files: Int, builtAtEpoch: Long,
+      idCol: Option[String] = None,
+      patch: Option[LayoutPatch] = None) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long,

@@ -37,7 +37,8 @@ final case class LayoutManifestEntry(
     groupCols: Option[Seq[String]] = None,
     measures: Option[Seq[String]] = None,
     nDocs: Option[Long] = None,
-    avgdl: Option[Double] = None)
+    avgdl: Option[Double] = None,
+    keyCol: Option[String] = None)
 
 /** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
   * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row

@@ -796,6 +796,33 @@ object MaintenanceQueries {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    /** Range scan over a DML-PATCHED ranged layout (round 10): the
+      * layout is built id-keyed (the Delta-Lake deletion-vector +
+      * append-log shape), then the session edits one cell and deletes
+      * one row and `refreshStale` PATCHES — the clustered base files
+      * never rewrite (file pin in RangedDmlSpec) — and the routed scan
+      * serves shadow + add-leg composed under the exact predicate. The
+      * oracle replays the same two gestures in SQL over raw orders:
+      * routing (and patching) changes the plan, never the answer.
+      */
+    "o_rangescan_dml" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"rangedDmlCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("ro_dml", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.buildRangedLayout("ro_dml", "o_totalprice", files = 8,
+          idCol = Some("o_orderkey"))
+        val sess = c.get("ro_dml").get
+        require(sess.setCell(0L, "o_totalprice", "123456.78"))
+        require(sess.deleteRow(1L))
+        require(c.refreshStale("ro_dml") == Seq("range:o_totalprice"))
+        c
+      }
+      cat.rangeScan("ro_dml", "o_totalprice", 1000.0, 200000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     /** Rectangle predicate through the catalog's Z-ORDERED layout
       * ([[graft.core.Catalog.buildZOrderedLayout]] / `rangeScan2d`):
       * lineitem clustered on the Morton interleave of (extendedprice,
@@ -1453,6 +1480,21 @@ object MaintenanceQueries {
         |FROM lineitem
         |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the DML-patched scan's oracle replays the two gestures in SQL:
+    // the min-key row's price is edited, the second-smallest-key row is
+    // deleted (positions under an o_orderkey ordering are key ranks)
+    "o_rangescan_dml" ->
+      """WITH edited AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |      THEN 123456.78 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey <> (SELECT o_orderkey FROM orders
+        |                       ORDER BY o_orderkey LIMIT 1 OFFSET 1))
+        |SELECT o_orderkey, o_totalprice FROM edited
+        |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // 2-D pruning is a performance contract: plain conjunctive filter
     "o_catalog_zorder" ->

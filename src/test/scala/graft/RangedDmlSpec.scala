@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Positional, Tables}
+
+/** DML-patchable ranged layout (round 10): with an id column the
+  * range-clustered full-row layout refreshes through bounded
+  * edits/inserts/deletes as an id-shadow + unclustered add-leg — the
+  * Delta-Lake deletion-vector + append-log shape — instead of
+  * re-clustering. Laws:
+  *  - a bounded gesture delta-patches (base files byte-identical);
+  *  - served answers equal the live filter after every gesture, typed
+  *    AND through SQL text;
+  *  - without an id column any delta still rebuilds (no shadow key);
+  *  - a diverged durable reopen patches from the row-sig sidecar.
+  */
+class RangedDmlSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def rangedOf(c: Catalog, name: String): Catalog.RangedLayout =
+    c.layoutsOf(name).collectFirst {
+      case (_, l: Catalog.RangedLayout) => l
+    }.get
+
+  private def baseFiles(l: Catalog.RangedLayout): Seq[(String, Long)] =
+    new java.io.File(l.path).listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSeq.sorted
+
+  private def liveScan(s: graft.core.EditorSession, lo: Double,
+                       hi: Double): Seq[Seq[Any]] =
+    Positional.strip(s.current)
+      .filter(col("o_totalprice") >= lo && col("o_totalprice") <= hi)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+
+  test("bounded edits, deletes, and pastes DML-patch the ranged layout; scans stay exact") {
+    val cat = new Catalog(spark)
+    cat.open("ro", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("ro", "o_totalprice", files = 8,
+      idCol = Some("o_orderkey"))
+    val built = rangedOf(cat, "ro")
+    val files0 = baseFiles(built)
+    val s = cat.get("ro").get
+
+    // 1. cell edit: the edited row's NEW value must serve (the add-leg
+    //    is never pruned), the old version must not
+    assert(s.setCell(0L, "o_totalprice", "123456.78"))
+    assert(cat.refreshStale("ro") == Seq("range:o_totalprice"))
+    val p1 = rangedOf(cat, "ro")
+    assert(p1.path == built.path && p1.patch.isDefined,
+      "a 1-cell edit must DML-patch, not re-cluster")
+    assert(baseFiles(p1) == files0, "base files must never rewrite")
+    val hit = cat.rangeScan("ro", "o_totalprice", 123000.0, 124000.0)
+    assert(plan(hit).contains("catalog_ranged_"))
+    assert(hit.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      liveScan(s, 123000.0, 124000.0))
+    assert(hit.filter(col("o_totalprice") === 123456.78).count() == 1L)
+
+    // 2. row delete: the deleted id must vanish from every range
+    val deletedId = s.current.filter(col(Positional.POS) === 1L)
+      .select("o_orderkey").head().getLong(0)
+    assert(s.deleteRow(1L))
+    assert(cat.refreshStale("ro") == Seq("range:o_totalprice"))
+    val p2 = rangedOf(cat, "ro")
+    assert(p2.path == built.path && baseFiles(p2) == files0)
+    val all = cat.rangeScan("ro", "o_totalprice", 0.0, 1e9)
+    assert(all.filter(col("o_orderkey") === deletedId).count() == 0L,
+      "a deleted row must never serve from the patched layout")
+    assert(all.count() == s.rowCount)
+
+    // 3. cut + paste (row motion): still a patch, still exact
+    assert(s.cut(Seq(2L)) && s.paste(0L))
+    assert(cat.refreshStale("ro") == Seq("range:o_totalprice"))
+    val p3 = rangedOf(cat, "ro")
+    assert(p3.path == built.path && baseFiles(p3) == files0,
+      "row motion must not re-cluster")
+    assert(cat.rangeScan("ro", "o_totalprice", 1000.0, 50000.0)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      liveScan(s, 1000.0, 50000.0))
+
+    // 4. SQL text serves the patched layout with identical digits
+    val sqlScan = cat.sql(
+      """SELECT o_orderkey, o_totalprice FROM ro
+        |WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+        |ORDER BY o_orderkey""".stripMargin)
+    assert(plan(sqlScan).contains("catalog_ranged_"),
+      s"SQL must route through the patched layout; plan:\n${plan(sqlScan)}")
+    assert(sqlScan.collect().map(_.toSeq).toSeq ==
+      Positional.strip(s.current)
+        .filter(col("o_totalprice").between(1000.0, 50000.0))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("without an id column any delta still rebuilds; column add rebuilds even with one") {
+    val cat = new Catalog(spark)
+    cat.open("ro2", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("ro2", "o_totalprice", files = 4)
+    val noId = rangedOf(cat, "ro2")
+    assert(cat.get("ro2").get.setCell(0L, "o_totalprice", "1.0"))
+    cat.refreshStale("ro2")
+    assert(rangedOf(cat, "ro2").path != noId.path,
+      "no shadow key: a delta must rebuild")
+    // with an id, a schema-changing gesture still rebuilds
+    cat.buildRangedLayout("ro2", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val withId = rangedOf(cat, "ro2")
+    cat.get("ro2").get.insertColumnAt(1, "flag:boolean")
+    cat.refreshStale("ro2")
+    val after = rangedOf(cat, "ro2")
+    assert(after.path != withId.path && after.patch.isEmpty,
+      "a column add changes the stored schema: rebuild, not patch")
+  }
+
+  test("the z-ordered layout DML-patches the same way: rectangle scans stay exact") {
+    val cat = new Catalog(spark)
+    cat.open("zo", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildZOrderedLayout("zo", "o_totalprice", "o_custkey", files = 8,
+      idCol = Some("o_orderkey"))
+    val built = cat.layoutsOf("zo").collectFirst {
+      case (_, l: Catalog.ZOrderedLayout) => l
+    }.get
+    val s = cat.get("zo").get
+    assert(s.setCell(0L, "o_totalprice", "77777.25"))
+    assert(s.deleteRow(1L))
+    assert(cat.refreshStale("zo") == Seq("zorder:o_totalprice,o_custkey"))
+    val p = cat.layoutsOf("zo").collectFirst {
+      case (_, l: Catalog.ZOrderedLayout) => l
+    }.get
+    assert(p.path == built.path && p.patch.isDefined,
+      "bounded DML must patch the z-ordered base, not re-cluster")
+    val scan = cat.rangeScan2d("zo", "o_totalprice", 70000.0, 80000.0,
+      "o_custkey", 0.0, 1e9)
+    assert(plan(scan).contains("catalog_zorder_"))
+    val live = Positional.strip(s.current)
+      .filter(col("o_totalprice").between(70000.0, 80000.0) &&
+        col("o_custkey").between(0.0, 1e9))
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(scan.orderBy("o_orderkey").collect().map(_.toSeq).toSeq == live)
+    assert(scan.filter(col("o_totalprice") === 77777.25).count() == 1L,
+      "the edited row must serve its new value from the add-leg")
+  }
+
+  test("a diverged durable reopen patches the ranged layout from its row-sig sidecar") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_rd_")
+      .toString
+    val a = new Catalog(spark, Some(wh))
+    a.open("rod", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    a.buildRangedLayout("rod", "o_totalprice", files = 8,
+      idCol = Some("o_orderkey"))
+    val built = rangedOf(a, "rod")
+
+    val edited = Tables.load(spark, sf, "orders")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 7L, lit(99999.5))
+          .otherwise(col("o_totalprice")))
+      .localCheckpoint(true)
+    val b = new Catalog(spark, Some(wh))
+    b.openFrom("rod", edited, orderCols = Seq("o_orderkey"))
+    assert(b.explainRoute("rod", "range:o_totalprice").reason == "routed",
+      "a bounded divergence must attach PATCHED")
+    val l = rangedOf(b, "rod")
+    assert(l.path == built.path && l.patch.isDefined,
+      "the diverged attach must reuse the clustered base")
+    val scan = b.rangeScan("rod", "o_totalprice", 99000.0, 100000.0)
+    assert(plan(scan).contains("catalog_ranged_"))
+    assert(scan.filter(col("o_orderkey") === 7L).count() == 1L,
+      "the edited row must serve its NEW value from the add-leg")
+    assert(scan.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      edited.filter(col("o_totalprice").between(99000.0, 100000.0))
+        .orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+  }
+}
