@@ -166,6 +166,41 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    /** Streaming-maintained distinct pairs: the same 4 micro-batch
+      * arrival as st_cube, folded by [[graft.streaming.EventStreams
+      * .pairsMaintain]] into the at-rest distinct (event_type, value)
+      * set — the stream side of the round-10 pairs layout. Distinct is
+      * idempotent and order-free, so the exact COUNT(DISTINCT) served
+      * from the maintained pairs equals the one-shot batch answer,
+      * which is what the oracle checks.
+      */
+    "st_pairs" -> ((s, dir) => {
+      val path = stCubeScratch.getOrElseUpdate(dir, {
+        val ev = events(s, dir).select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val root = java.nio.file.Files.createTempDirectory("st_cube_src_")
+        graft.core.Catalog.registerTempDir(root)
+        val scratch = root.toString + "/events"
+        val slices = 4
+        for (i <- 0 until slices) {
+          val from = lo + (hi - lo + 1) * i / slices
+          val until = lo + (hi - lo + 1) * (i + 1) / slices
+          ev.filter(col("us") >= from && col("us") < until)
+            .select("event_type", "value")
+            .coalesce(1).write.mode("append").parquet(scratch)
+          Thread.sleep(20) // distinct mtimes → deterministic arrival order
+        }
+        scratch
+      })
+      EventStreams.pairsMaintain(s, path, Seq("event_type"), "value",
+          "st_pairs")
+        .groupBy("event_type")
+        .agg(count_distinct(col("value")).as("cd_value"))
+        .orderBy("event_type")
+    }),
+
     /** Time-boxed funnel: each stage within 24 hours of the previous —
       * the conversion-velocity question the unbounded e_funnel can't
       * answer. Same aggregation-cascade shape; see
@@ -1522,7 +1557,14 @@ object BehaviorQueries {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-
+    /** st_pairs' maintained distinct set must serve exactly the one-shot
+      * batch COUNT(DISTINCT) — distinctness is order-free across any
+      * batch slicing.
+      */
+    "st_pairs" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS cd_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e_funnel_windowed" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,

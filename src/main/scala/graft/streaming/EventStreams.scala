@@ -385,6 +385,44 @@ object EventStreams {
     spark.read.parquet(verDir(version.get()))
   }
 
+  /** Streaming maintenance of a distinct-pairs projection (the
+    * [[graft.core.Catalog]] pairs layout's stream side): each
+    * micro-batch's distinct (groupCols…, pairCol) tuples merge into the
+    * at-rest set by union + re-distinct. Distinctness is idempotent,
+    * commutative, and order-free, so the maintained pairs — and any
+    * `COUNT(DISTINCT)` served from them — are IDENTICAL to a one-shot
+    * batch distinct no matter how the rows were sliced into batches;
+    * per-batch work is batch + pairs-count-sized, never corpus-sized.
+    */
+  def pairsMaintain(spark: SparkSession, srcPath: String,
+                    groupCols: Seq[String], pairCol: String,
+                    queryName: String): DataFrame = {
+    val cols = (groupCols :+ pairCol).map(col)
+    val root = java.nio.file.Files.createTempDirectory("stream_pairs_")
+    graft.core.Catalog.registerTempDir(root)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    def verDir(v: Int) = s"$root/v$v"
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val partial = batch.select(cols: _*).distinct()
+      val v = version.get()
+      val acc =
+        if (v == 0) partial
+        else spark.read.parquet(verDir(v)).unionByName(partial)
+      acc.distinct().coalesce(1).write.parquet(verDir(v + 1))
+      version.incrementAndGet()
+      ()
+    }
+    val q = fileSource(spark, srcPath,
+        Map("maxFilesPerTrigger" -> "1")).writeStream
+      .queryName(queryName)
+      .foreachBatch(mergeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q, 300000)
+    require(version.get() > 0, s"stream '$queryName' saw no batches")
+    spark.read.parquet(verDir(version.get()))
+  }
+
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
     * (process-everything-then-stop) into a memory sink; returns the result
     * table. This is the full streaming engine path — source → watermark →
