@@ -211,6 +211,14 @@ object Bench {
         .queries("a_catalog_cube_rollup")(s, sfDir).count()
     }),
 
+    // r10: exact COUNT(DISTINCT) served from the stored pairs layout —
+    // pairs-count-sized re-distinct; compare against a_distinct_scan's
+    // fact-key shuffle, which grows with the data
+    "a_distinct_routed" -> ((s: SparkSession) => {
+      graft.queries.AnalyticsQueries
+        .queries("a_catalog_distinct")(s, sfDir).count()
+    }),
+
     // r8: the distributed exact-percentile crossing walk (the shape that
     // replaced Spark's single-task Percentile merge) — perf-tracked so a
     // regression in the walk's histogram/window plan shows up here
