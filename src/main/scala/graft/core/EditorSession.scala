@@ -701,7 +701,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         case (slot, l: Catalog.RangedLayout) if l.builtAtEpoch == s.epoch =>
           RangedSqlRoute(l.column,
             (lo, hi) => {
-              val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
+              val files =
+                graft.io.SkippingIndex.candidateFilesOpt(l.stats, lo, hi)
               val base =
                 if (files.isEmpty) spark.read.parquet(l.path).limit(0)
                 else spark.read.parquet(files: _*)
@@ -1963,8 +1964,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * plan. The catalog picks — callers state the predicate, never the
     * layout.
     */
-  def rangeScan(name: String, column: String, lo: Double,
-                hi: Double): DataFrame = {
+  def rangeScan(name: String, column: String, lo: Any,
+                hi: Any): DataFrame = {
     val (lay, rep) = decide(name, s"range:$column",
       _.isInstanceOf[RangedLayout])
     recordRoute(rep)
@@ -1977,11 +1978,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         // the DML patch (if any) composes BEFORE the exact predicate:
         // the add-leg is never pruned, shadowed base rows never serve
         patchedFullRows(base, l.idCol, l.patch)
-          .filter(col(column) >= lo && col(column) <= hi)
+          .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
       case _ =>
         val c = org.apache.spark.sql.functions.col(column)
         Positional.strip(sessionOf(name).current)
-          .filter(c >= lo && c <= hi)
+          .filter(c >= lit(lo) && c <= lit(hi))
     }
   }
 

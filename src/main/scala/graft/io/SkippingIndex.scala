@@ -69,11 +69,23 @@ object SkippingIndex {
 
   /** Files whose [min_v, max_v] intersects [lo, hi] — the candidate set a
     * range predicate must read. Driver-side list, bounded by file count
-    * (a manifest read, not a data read).
+    * (a manifest read, not a data read). Endpoints are `Any` so every
+    * ORDERED type the stats can hold prunes — numerics, timestamps,
+    * dates, strings — through `lit`'s literal coercion and Spark's
+    * comparison rules (a string endpoint against a timestamp stats
+    * column casts exactly as it would in the exact predicate).
     */
-  def candidateFiles(stats: DataFrame, lo: Double, hi: Double): Seq[String] =
-    stats.filter(col("max_v") >= lo && col("min_v") <= hi)
+  def candidateFiles(stats: DataFrame, lo: Any, hi: Any): Seq[String] =
+    candidateFilesOpt(stats, Some(lo), Some(hi))
+
+  /** One-sided form: an open side prunes on the other alone. */
+  def candidateFilesOpt(stats: DataFrame, lo: Option[Any],
+                        hi: Option[Any]): Seq[String] = {
+    val conds = lo.map(v => col("max_v") >= lit(v)).toSeq ++
+      hi.map(v => col("min_v") <= lit(v))
+    conds.reduceOption(_ && _).fold(stats)(stats.filter)
       .select("file").collect().map(_.getString(0)).toSeq
+  }
 
   /** Range scan through the index: open only candidate files, then apply
     * the exact predicate (files straddling the bounds contribute their
@@ -81,11 +93,11 @@ object SkippingIndex {
     * right schema, zero file I/O.
     */
   def prunedRead(spark: SparkSession, stats: DataFrame, path: String,
-                 column: String, lo: Double, hi: Double): DataFrame = {
+                 column: String, lo: Any, hi: Any): DataFrame = {
     val files = candidateFiles(stats, lo, hi)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(files: _*)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 }

@@ -80,12 +80,88 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }.flatten
     zRouted.orElse(routesFor(spark, name).collectFirst {
-      case r: RangedSqlRoute if boundsOn(cond, sa, r.column).isDefined =>
-        val (lo, hi) = boundsOn(cond, sa, r.column).get
+      case r: RangedSqlRoute if rangeBounds(cond, sa, r.column).isDefined =>
+        val (lo, hi) = rangeBounds(cond, sa, r.column).get
         remap(sa.output, r.pruned(lo, hi).queryExecution.analyzed).map {
           child => r.onRoute(); f.copy(child = child)
         }
     }.flatten)
+  }
+
+  /** The ranged route's endpoints: the numeric bounds when the column
+    * is numeric, otherwise the typed bounds (timestamp / date /
+    * string). Infinite numeric sides become open sides.
+    */
+  private def rangeBounds(cond: Expression, sa: SubqueryAlias,
+                          column: String)
+      : Option[(Option[Any], Option[Any])] =
+    boundsOn(cond, sa, column).map { case (lo, hi) =>
+      (if (lo.isNegInfinity) None else Some(lo: Any),
+        if (hi.isPosInfinity) None else Some(hi: Any))
+    }.orElse(boundsTyped(cond, sa, column))
+
+  /** Conjunctive bounds on `column` for the NON-numeric ordered types
+    * (timestamp / timestamp_ntz / date / string): the analyzer has
+    * already coerced each comparison's literal side to the attribute's
+    * exact type, so a foldable same-type side is a bound; tightening
+    * uses the type's interpreted ordering and the result converts to
+    * EXTERNAL Scala values (Instant / LocalDate / String) for `lit`.
+    * Requires at least one finite side; any same-column bound of a
+    * different type refuses (don't route what we can't order).
+    */
+  private def boundsTyped(cond: Expression, sa: SubqueryAlias,
+                          column: String)
+      : Option[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference
+          if a.name == column && sa.outputSet.contains(a) => Some(a)
+      case _ => None
+    }
+    def supported(dt: types.DataType): Boolean = dt match {
+      case types.TimestampType | types.TimestampNTZType |
+           types.DateType | types.StringType => true
+      case _ => false
+    }
+    var dt: Option[types.DataType] = None
+    var lo: Option[Any] = None // internal values
+    var hi: Option[Any] = None
+    var bad = false
+    def put(isLo: Boolean, a: AttributeReference, l: Expression): Unit = {
+      if (l.foldable && l.dataType == a.dataType && supported(a.dataType))
+        Option(l.eval()).foreach { v =>
+          if (dt.exists(_ != a.dataType)) bad = true
+          else {
+            dt = Some(a.dataType)
+            val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+            if (isLo)
+              lo = Some(lo.fold(v)(c => if (ord.compare(v, c) > 0) v else c))
+            else
+              hi = Some(hi.fold(v)(c => if (ord.compare(v, c) < 0) v else c))
+          }
+        }
+    }
+    splitConjuncts(cond).foreach {
+      case GreaterThanOrEqual(a, l) => attrOf(a).foreach(put(true, _, l))
+      case GreaterThan(a, l) => attrOf(a).foreach(put(true, _, l))
+      case LessThanOrEqual(a, l) => attrOf(a).foreach(put(false, _, l))
+      case LessThan(a, l) => attrOf(a).foreach(put(false, _, l))
+      case GreaterThanOrEqual(l, a) => attrOf(a).foreach(put(false, _, l))
+      case GreaterThan(l, a) => attrOf(a).foreach(put(false, _, l))
+      case LessThanOrEqual(l, a) => attrOf(a).foreach(put(true, _, l))
+      case LessThan(l, a) => attrOf(a).foreach(put(true, _, l))
+      case EqualTo(a, l) =>
+        attrOf(a).foreach { at => put(true, at, l); put(false, at, l) }
+      case EqualTo(l, a) =>
+        attrOf(a).foreach { at => put(true, at, l); put(false, at, l) }
+      case _ => ()
+    }
+    if (bad || dt.isEmpty || (lo.isEmpty && hi.isEmpty)) None
+    else {
+      val toScala = CatalystTypeConverters.createToScalaConverter(dt.get)
+      Some((lo.map(toScala), hi.map(toScala)))
+    }
   }
 
   /** Conjunctive bounds on `column` of this view: the tightest
@@ -98,9 +174,14 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def boundsOn(cond: Expression, sa: SubqueryAlias,
                        column: String): Option[(Double, Double)] = {
+    // NUMERIC attributes only: a timestamp literal also evals to a
+    // java.lang.Number (its micros), but double-space pruning against a
+    // timestamp stats column would compare in the wrong unit — those
+    // columns route through boundsTyped instead
     def isCol(e: Expression): Boolean = e match {
       case a: AttributeReference =>
-        a.name == column && sa.outputSet.contains(a)
+        a.name == column && sa.outputSet.contains(a) &&
+          a.dataType.isInstanceOf[types.NumericType]
       case _ => false
     }
     def num(e: Expression): Option[Double] =
@@ -482,10 +563,13 @@ object SqlRouting {
   /** A range-clustered layout with a skipping index: `pruned(lo, hi)`
     * reads only the part files whose stored min/max intersects — the
     * exact predicate is NOT applied (the caller keeps the original
-    * Filter on top).
+    * Filter on top). Endpoints are EXTERNAL Scala values of the
+    * column's type (Double for numerics; Instant / LocalDate / String
+    * for the ordered non-numeric types), each side optional so
+    * one-sided predicates still prune.
     */
   final case class RangedSqlRoute(column: String,
-      pruned: (Double, Double) => DataFrame,
+      pruned: (Option[Any], Option[Any]) => DataFrame,
       onRoute: () => Unit) extends SqlRoute
 
   /** A bucketed+sorted managed table on `key`. */

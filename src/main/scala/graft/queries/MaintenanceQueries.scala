@@ -24,6 +24,21 @@ object MaintenanceQueries {
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** The timestamp-ranged events catalog shared by o_catalog_tsrange /
+    * o_sql_tsrange: the events table range-clustered on `ts`.
+    */
+  private def tsRangedCatalog(s: SparkSession,
+                              dir: String): graft.core.Catalog =
+    SessionScoped.memo(s, s"tsRangedCatalog:$dir") {
+      val c = new graft.core.Catalog(s)
+      c.openFrom("ev_ranged",
+        Tables.loadEvents(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value"),
+        Seq("event_id"))
+      c.buildRangedLayout("ev_ranged", "ts", files = 8)
+      c
+    }
+
   /** Deterministic changeset for the MERGE queries: every 7th customer gets
     * a balance bump (update), every 50th is re-keyed +1_000_000 (insert).
     */
@@ -823,6 +838,40 @@ object MaintenanceQueries {
         .orderBy("o_orderkey")
     }),
 
+    /** Time-range scan through a ranged layout on a TIMESTAMP column
+      * (round 10): at 100 TB the dominant predicate on an events table
+      * is a time window, so the skipping index must prune non-numeric
+      * ordered types too — endpoints flow through `lit` (Instant here)
+      * and compare in the column's own type, never a double cast.
+      * Pruning stays a performance contract: the oracle is the plain
+      * filter.
+      */
+    "o_catalog_tsrange" -> ((s, dir) => {
+      val cat = tsRangedCatalog(s, dir)
+      cat.rangeScan("ev_ranged", "ts",
+          java.time.Instant.parse("2024-01-10T00:00:00Z"),
+          java.time.Instant.parse("2024-01-20T00:00:00Z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    /** The same time window stated as SQL TEXT: the analysis-time route
+      * recognizes timestamp bounds (the analyzer has coerced the
+      * literals to the column type) and rewrites onto the pruned file
+      * set — including ONE-SIDED windows, which the double-only matcher
+      * could not express for non-numeric types.
+      */
+    "o_sql_tsrange" -> ((s, dir) => {
+      val cat = tsRangedCatalog(s, dir)
+      cat.sql(
+        """SELECT event_type, count(*) AS n
+          |FROM ev_ranged
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     /** Rectangle predicate through the catalog's Z-ORDERED layout
       * ([[graft.core.Catalog.buildZOrderedLayout]] / `rangeScan2d`):
       * lineitem clustered on the Morton interleave of (extendedprice,
@@ -1495,6 +1544,21 @@ object MaintenanceQueries {
         |SELECT o_orderkey, o_totalprice FROM edited
         |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 200000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // time-window pruning is a performance contract too: plain filters
+    "o_catalog_tsrange" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o_sql_tsrange" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // 2-D pruning is a performance contract: plain conjunctive filter
     "o_catalog_zorder" ->

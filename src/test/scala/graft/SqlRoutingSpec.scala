@@ -68,6 +68,57 @@ class SqlRoutingSpec extends SparkSpec {
     assert(!plan(noRoute).contains("catalog_ranged"))
   }
 
+  test("timestamp range predicates route and PRUNE through a ts-ranged layout") {
+    val cat = new Catalog(spark)
+    cat.openFrom("ev_sql",
+      Tables.loadEvents(spark, sf)
+        .select("event_id", "event_type", "ts", "value"),
+      orderCols = Seq("event_id"))
+    cat.buildRangedLayout("ev_sql", "ts", files = 8)
+    // typed entry point with Instant endpoints
+    val typed = cat.rangeScan("ev_sql", "ts",
+      java.time.Instant.parse("2024-01-10T00:00:00Z"),
+      java.time.Instant.parse("2024-01-12T00:00:00Z"))
+    assert(plan(typed).contains("catalog_ranged"))
+    val live = Tables.loadEvents(spark, sf)
+      .filter(col("ts") >= lit(java.time.Instant.parse("2024-01-10T00:00:00Z")) &&
+        col("ts") <= lit(java.time.Instant.parse("2024-01-12T00:00:00Z")))
+    assert(typed.count() == live.count())
+    // a 2-of-30-days window over 8 range-clustered files must open
+    // strictly fewer than all of them — the pin that pruning PRUNES in
+    // the column's own type (a double-space comparison would keep or
+    // drop everything)
+    val opened = typed.inputFiles.count(_.contains("catalog_ranged"))
+    assert(opened > 0 && opened < 8,
+      s"a narrow time window must open a strict subset of files: $opened")
+    // SQL text: two-sided and one-sided timestamp windows route
+    val q = """SELECT event_type, count(*) AS n FROM ev_sql
+              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+              |GROUP BY event_type""".stripMargin
+    val routed = cat.sql(q)
+    assert(plan(routed).contains("catalog_ranged"),
+      s"SQL timestamp bounds must route; plan:\n${plan(routed)}")
+    val liveAgg = Tables.loadEvents(spark, sf)
+      .filter(col("ts") >= lit(java.time.Instant.parse("2024-01-10T00:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-12T00:00:00Z")))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(routed.collect().map(_.toSeq).toSet ==
+      liveAgg.collect().map(_.toSeq).toSet)
+    val oneSided = cat.sql(
+      "SELECT count(*) AS n FROM ev_sql WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'")
+    assert(plan(oneSided).contains("catalog_ranged"))
+    assert(oneSided.head().getLong(0) ==
+      Tables.loadEvents(spark, sf)
+        .filter(col("ts") >= lit(java.time.Instant.parse("2024-01-25T00:00:00Z")))
+        .count())
+    // a bound whose literal is a DIFFERENT type than the column (after
+    // analysis) or an expression over the column must not route
+    val noRoute = cat.sql(
+      "SELECT count(*) AS n FROM ev_sql WHERE date_add(CAST(ts AS DATE), 1) >= DATE '2024-01-25'")
+    assert(!plan(noRoute).contains("catalog_ranged"))
+  }
+
   test("SQL equi-join of two bucketed sessions plans with no exchange") {
     val cat = new Catalog(spark)
     cat.open("ord_sql", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
