@@ -971,7 +971,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case "zorder" => e.keyCol.get
       case _ => "id"
     }
-    val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName)
+    val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName).get
     val scalars = e.kind match {
       // the corpus moved, so the stored BM25 scalars did too
       case "postings" =>
@@ -1319,14 +1319,17 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                            updated: LayoutPatch => TableLayout): Unit = {
     val changed = touchedRows(s, pos, id, Seq.empty)
     val nowIds = Positional.strip(s.current).select(col(id).as("id"))
-    val patch = mergedPatch(
+    mergedPatch(
       if (idsTouched) vanishedIds(
         patchedFullRows(spark.read.parquet(basePath), Some(id), oldPatch)
           .select(col(id).as("id")), nowIds)
       else Array.empty[Any],
-      oldPatch, changed, keyName = id)
-    layouts((name, slot)) = updated(patch)
-    persistPatch(name, slot, patch, Seq.empty, s)
+      oldPatch, changed, keyName = id) match {
+      case None => rebuildSlot(name, layouts((name, slot))) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = updated(patch)
+        persistPatch(name, slot, patch, Seq.empty, s)
+    }
   }
 
   private def rebuildSlot(name: String, l: TableLayout): Unit = l match {
@@ -1398,10 +1401,19 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * them, serving broadcasts them for free, and the old patch folds in
     * as a hash-set filter, not a join.
     */
+  /** Accumulated patch legs above this many rows lose to a compaction:
+    * each refresh is delta-bounded, but the MERGE accumulates across
+    * refresh cycles, and an ever-growing leg would eventually dominate
+    * the serve-side broadcast. Callers treat a None from [[mergedPatch]]
+    * as "rebuild now" — the rebuild IS the compaction (fresh base, no
+    * patch).
+    */
+  private val compactionRows = 8 * deltaMaxRows
+
   private def mergedPatch(removedNew0: => Array[Any],
                           oldPatch: Option[LayoutPatch],
                           add0: DataFrame,
-                          keyName: String = "id"): LayoutPatch = {
+                          keyName: String = "id"): Option[LayoutPatch] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
     val addSchema = add0.schema
@@ -1417,12 +1429,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val mergedAdd = oldAdd ++ addNew
     val mergedRemoved =
       (oldRemoved ++ removedNew ++ addNew.map(_.get(idIdx))).distinct
+    if (mergedAdd.length > compactionRows ||
+        mergedRemoved.length > compactionRows) return None
     val idSchema = StructType(Seq(addSchema(idIdx).copy(name = "id")))
     val addDf = spark.createDataFrame(
       java.util.Arrays.asList(mergedAdd: _*), addSchema)
     val removedDf = spark.createDataFrame(
       java.util.Arrays.asList(mergedRemoved.map(Row(_)): _*), idSchema)
-    warehouse match {
+    Some(warehouse match {
       case Some(_) =>
         val (dir, rel) = layoutRoot("catalog_patch_")
         addDf.write.parquet(dir + "/add")
@@ -1430,7 +1444,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         LayoutPatch(spark.read.parquet(dir + "/add"),
           spark.read.parquet(dir + "/removed"), rel)
       case None => LayoutPatch(addDf, removedDf, None)
-    }
+    })
   }
 
   private def patchPq(name: String, s: EditorSession, slot: String,
@@ -1440,15 +1454,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
       p.vecCol, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val patch = mergedPatch(
+    mergedPatch(
       if (idsTouched) vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
         nowIds)
       else Array.empty[Any],
-      p.patch, add0)
-    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+      p.patch, add0) match {
+      case None => rebuildSlot(name, p) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+    }
   }
 
   private def patchIvfPq(name: String, s: EditorSession, slot: String,
@@ -1458,15 +1475,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
       p.vecCol, p.cents, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val patch = mergedPatch(
+    mergedPatch(
       if (idsTouched) vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
         nowIds)
       else Array.empty[Any],
-      p.patch, add0)
-    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+      p.patch, add0) match {
+      case None => rebuildSlot(name, p) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
+    }
   }
 
   /** LSH delta: re-sign only the dirty docs and shadow their (and any
@@ -1481,14 +1501,17 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
       p.n, p.numHashes, p.bands)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val patch = mergedPatch(
+    mergedPatch(
       if (idsTouched)
         vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
       else Array.empty[Any],
-      p.patch, add0)
-    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+      p.patch, add0) match {
+      case None => rebuildSlot(name, p) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+    }
   }
 
   /** Postings delta: re-tokenize only the dirty docs; their (and any
@@ -1505,32 +1528,35 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
       p.textCol, p.buckets)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val patch = mergedPatch(
+    mergedPatch(
       if (idsTouched) vanishedIds(
         patchedPostings(p).select(col("doc").as("id")), nowIds)
       else Array.empty[Any],
-      p.patch, add0)
-    // a text edit, an inserted doc, or a row delete moves the corpus
-    // scalars a routed BM25 reads (avgdl, and nDocs with it): one
-    // projection-agg pass, no explode, no index rewrite — the
-    // exact-stats cost of the delta. An id-only rename (cell delta
-    // sparing the text column, no row motion) keeps both.
-    val (nDocs, avgdl) =
-      if (s.deltaSince(p.builtAtEpoch)
-          .map(d => d.dirtyCols.contains(p.textCol) ||
-            d.insertedPos.nonEmpty || d.hasDeletes)
-          .getOrElse(true))
-        graft.operators.Retrieval.postingsStats(
-          Positional.strip(s.current), p.textCol)
-      else (p.nDocs, p.avgdl)
-    layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch), nDocs = nDocs, avgdl = avgdl)
-    persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
-    // the manifest must carry the re-measured scalars too, or a reopened
-    // catalog would score BM25 with the pre-edit avgdl
-    patch.path.foreach { _ =>
-      manifest.get((name, slot)).foreach(e =>
-        persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
+      p.patch, add0) match {
+      case None => rebuildSlot(name, p) // compaction
+      case Some(patch) =>
+        // a text edit, an inserted doc, or a row delete moves the corpus
+        // scalars a routed BM25 reads (avgdl, and nDocs with it): one
+        // projection-agg pass, no explode, no index rewrite — the
+        // exact-stats cost of the delta. An id-only rename (cell delta
+        // sparing the text column, no row motion) keeps both.
+        val (nDocs, avgdl) =
+          if (s.deltaSince(p.builtAtEpoch)
+              .map(d => d.dirtyCols.contains(p.textCol) ||
+                d.insertedPos.nonEmpty || d.hasDeletes)
+              .getOrElse(true))
+            graft.operators.Retrieval.postingsStats(
+              Positional.strip(s.current), p.textCol)
+          else (p.nDocs, p.avgdl)
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch), nDocs = nDocs, avgdl = avgdl)
+        persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
+        // the manifest must carry the re-measured scalars too, or a
+        // reopened catalog would score BM25 with the pre-edit avgdl
+        patch.path.foreach { _ =>
+          manifest.get((name, slot)).foreach(e =>
+            persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
+        }
     }
   }
 
@@ -2396,10 +2422,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = pairsRows(affected, l.groupCols, l.col)
-    val patch = mergedPatch(dirtyKeys.toArray[Any], l.patch, add0)
-    layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, cols, s)
+    mergedPatch(dirtyKeys.toArray[Any], l.patch, add0) match {
+      case None => rebuildSlot(name, l) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, cols, s)
+    }
   }
 
   /** Sketch delta for gestures that spare the group columns (cell edits
@@ -2417,10 +2446,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
-    val patch = mergedPatch(dirtyKeys.toArray[Any], l.patch, add0)
-    layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, l.groupCols :+ l.col, s)
+    mergedPatch(dirtyKeys.toArray[Any], l.patch, add0) match {
+      case None => rebuildSlot(name, l) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, l.groupCols :+ l.col, s)
+    }
   }
 
   /** Cube delta for gestures that spare the group columns: the affected
@@ -2443,10 +2475,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = cubeRows(affected, c.groupCols, c.measures)
-    val patch = mergedPatch(dirtyKeys.toArray[Any], c.patch, add0)
-    layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
-      patch = Some(patch))
-    persistPatch(name, slot, patch, c.groupCols ++ c.measures, s)
+    mergedPatch(dirtyKeys.toArray[Any], c.patch, add0) match {
+      case None => rebuildSlot(name, c) // compaction
+      case Some(patch) =>
+        layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
+          patch = Some(patch))
+        persistPatch(name, slot, patch, c.groupCols ++ c.measures, s)
+    }
   }
 }
 

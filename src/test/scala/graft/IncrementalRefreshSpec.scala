@@ -200,6 +200,36 @@ class IncrementalRefreshSpec extends SparkSpec {
     assert(rebuilt.patch.isEmpty)
   }
 
+  test("accumulated patch legs past the compaction bound trigger a rebuild") {
+    // tiny bound: compaction fires at 8x deltaMaxRows = 8 accumulated
+    // patch rows, reachable in a handful of 1-cell rename cycles
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(1))
+    cat.open("cmp", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("cmp", "vec_id", "embedding")
+    val builtPath = pqLayout(cat, "cmp").path
+    val s = cat.get("cmp").get
+    var rebuilt = false
+    var i = 0
+    while (!rebuilt && i < 16) {
+      assert(s.setCell(i.toLong, "vec_id", (9000000L + i).toString))
+      cat.refreshStale("cmp")
+      rebuilt = pqLayout(cat, "cmp").path != builtPath
+      i += 1
+    }
+    assert(rebuilt,
+      "ever-growing merged patch legs must compact into a fresh base")
+    assert(pqLayout(cat, "cmp").patch.isEmpty,
+      "the compacted layout starts with no patch")
+    // and the compacted layout still answers exactly
+    val edited = Positional.strip(s.current)
+    val after = pqLayout(cat, "cmp")
+    val expect = Similarity.pqTopKFromCodes(
+      Similarity.pqCodes(edited, "vec_id", "embedding", after.seeds),
+      after.seeds, queryVec(), k = 5).collect().map(_.toSeq).toSeq
+    assert(cat.topK("cmp", "vec_id", "embedding", queryVec(), 5)
+      .collect().map(_.toSeq).toSeq == expect)
+  }
+
   test("a delta-patched durable layout reloads patched in a new catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_whp_").toString
     val a = new Catalog(spark, Some(wh))
