@@ -180,8 +180,29 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private var mutLogFloor = 0L // epochs <= floor predate the retained log
   private val mutLogMax = 4096
 
+  /** Only the newest this-many delete entries keep their pre-delete
+    * plan reference: each plan pins the checkpoint blocks its lineage
+    * chains to, and 4096 of them could pin many table-sized copies on
+    * a long delete-heavy session. Entries trimmed past the window keep
+    * their positions and count (keyed shadows still work); only the
+    * retraction feed degrades, and [[deltaSince]] reports that by
+    * withholding `deletedRows` (grouped layouts rebuild).
+    */
+  private val victimPlanMax = 256
+
   private def logMutation(kind: MutKind): Unit = {
     mutLog += ((epochCounter, kind))
+    var seen = 0
+    var i = mutLog.size - 1
+    while (i >= 0) {
+      mutLog(i) match {
+        case (e, rd: RowDeletes) if rd.pre.isDefined =>
+          seen += 1
+          if (seen > victimPlanMax) mutLog(i) = (e, rd.copy(pre = None))
+        case _ => ()
+      }
+      i -= 1
+    }
     if (mutLog.size > mutLogMax) {
       mutLogFloor = mutLog.head._1
       mutLog.remove(0)
@@ -236,8 +257,13 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
             if (dirty.nonEmpty || inserted.nonEmpty) valid = false
           } else {
             val dset = dpos.toSet
-            pre.foreach(df => victims ::=
-              df.filter(col(POS).isInCollection(dpos)))
+            pre match {
+              case Some(df) =>
+                victims ::= df.filter(col(POS).isInCollection(dpos))
+              // retention window trimmed this entry's plan: positions
+              // (and shifts) survive, the retraction feed does not
+              case None => victimsOk = false
+            }
             dirty --= dset; inserted --= dset
             val sorted = dpos.sorted
             def shiftDown(s: mutable.Set[Long]): Unit = {
@@ -252,27 +278,14 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       else Some(EditorSession.SessionDelta(
         dirty.toSeq.sorted, cols, inserted.toSeq.sorted, deletes,
         if (deletes > 0 && victimsOk && victims.nonEmpty)
-          Some(victims.reduce(_ unionByName _))
+          // a column ADD between two deletes leaves the captured plans
+          // with different schemas: fill the missing columns (they are
+          // never layout-relevant — the layout predates them) and fall
+          // back to None if the union still can't analyze
+          Try(victims.reduce(_.unionByName(_, allowMissingColumns = true)))
+            .toOption
         else None))
     }
-
-  /** The cell positions and columns mutated since `sinceEpoch`, when the
-    * net delta is cell edits alone (no surviving insert, no delete).
-    */
-  def dirtySince(sinceEpoch: Long): Option[(Seq[Long], Set[String])] =
-    deltaSince(sinceEpoch).collect {
-      case d if d.insertedPos.isEmpty && d.deleteCount == 0 =>
-        (d.dirtyPos, d.dirtyCols)
-    }
-
-  /** True when the net delta since `sinceEpoch` is row DELETES alone
-    * (at least one): the ids still present are exactly the surviving
-    * ids, so an id-keyed layout can refresh by shadowing `servedIds
-    * EXCEPT currentIds` — no row re-encodes, nothing rewrites.
-    */
-  def deleteOnlySince(sinceEpoch: Long): Boolean =
-    deltaSince(sinceEpoch).exists(d =>
-      d.deleteCount > 0 && d.dirtyPos.isEmpty && d.insertedPos.isEmpty)
 
   /** Record state before a mutation gesture; clears the redo branch.
     * `kind` feeds the mutation log: position-bounded cell gestures pass
@@ -934,6 +947,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .limit(deltaMaxRows + 1).collect()
     require(changed.length <= deltaMaxRows,
       s"divergence ${changed.length} keys exceeds the delta bound")
+    // a NULL key can't be shadowed (the serve-side anti-join and the
+    // re-encode filter both skip nulls), so a divergence touching one
+    // must decline — dormant beats silently serving the stale row
+    require(!changed.exists(_.isNullAt(0)), "null layout key in divergence")
     val presentIds = changed.filter(_.getBoolean(1)).map(_.get(0)).toSeq
     val rows =
       if (presentIds.isEmpty) base.limit(0)
@@ -1150,7 +1167,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * the refreshed slot names (valid layouts are left untouched).
     *
     * Refresh is INCREMENTAL where the session's mutation log allows it
-    * ([[EditorSession.dirtySince]] — r8 verdict task #3): a keyed layout
+    * ([[EditorSession.deltaSince]] — r8 verdict task #3): a keyed layout
     * (PQ / IVF-PQ / LSH) whose relevant columns were untouched simply
     * revalidates at the new epoch (zero IO); one touched by
     * position-bounded cell edits gets a DELTA PATCH — only the dirty
@@ -1270,7 +1287,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case p: PostingsLayout =>
         keyed(p.idCol, p.textCol,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchPostings(name, s, slot, p, pos, ids))
+          (pos, ids) => patchPostings(name, s, slot, p, pos, ids,
+            // a text edit, an inserted doc, or a row delete moves the
+            // corpus scalars a routed BM25 reads; an id-only rename
+            // (no row motion) keeps both — decided from the delta this
+            // refresh already computed
+            remeasure = delta.forall(d =>
+              d.dirtyCols.contains(p.textCol) ||
+                d.insertedPos.nonEmpty || d.hasDeletes)))
       case p: CubeLayout =>
         grouped(p.groupCols.toSet, p.measures.toSet,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
@@ -1523,7 +1547,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     */
   private def patchPostings(name: String, s: EditorSession, slot: String,
                             p: PostingsLayout, pos: Seq[Long],
-                            idsTouched: Boolean): Unit = {
+                            idsTouched: Boolean,
+                            remeasure: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
     val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
       p.textCol, p.buckets)
@@ -1535,16 +1560,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       p.patch, add0) match {
       case None => rebuildSlot(name, p) // compaction
       case Some(patch) =>
-        // a text edit, an inserted doc, or a row delete moves the corpus
-        // scalars a routed BM25 reads (avgdl, and nDocs with it): one
-        // projection-agg pass, no explode, no index rewrite — the
-        // exact-stats cost of the delta. An id-only rename (cell delta
-        // sparing the text column, no row motion) keeps both.
+        // the re-measure is one projection-agg pass, no explode, no
+        // index rewrite — the exact-stats cost of the delta
         val (nDocs, avgdl) =
-          if (s.deltaSince(p.builtAtEpoch)
-              .map(d => d.dirtyCols.contains(p.textCol) ||
-                d.insertedPos.nonEmpty || d.hasDeletes)
-              .getOrElse(true))
+          if (remeasure)
             graft.operators.Retrieval.postingsStats(
               Positional.strip(s.current), p.textCol)
           else (p.nDocs, p.avgdl)

@@ -26,11 +26,35 @@ object BehaviorQueries {
   private val stFunnelScratch =
     scala.collection.concurrent.TrieMap[String, (String, Int)]()
 
-  /** st_cube's time-sliced scratch copy of (event_type, value), memoized
-    * per sfDir like [[stFunnelScratch]].
+  /** The time-sliced scratch copy of (event_type, value) shared by the
+    * streaming-maintenance queries (st_cube, st_pairs), memoized per
+    * sfDir like [[stFunnelScratch]]: the events table split into 4
+    * time-ordered parquet files with distinct mtimes, so maxFilesPerTrigger
+    * replays a deterministic micro-batch arrival.
     */
   private val stCubeScratch =
     scala.collection.concurrent.TrieMap[String, String]()
+
+  private def stCubeScratchFor(s: SparkSession, dir: String): String =
+    stCubeScratch.getOrElseUpdate(dir, {
+      val ev = events(s, dir).select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val root = java.nio.file.Files.createTempDirectory("st_cube_src_")
+      graft.core.Catalog.registerTempDir(root)
+      val scratch = root.toString + "/events"
+      val slices = 4
+      for (i <- 0 until slices) {
+        val from = lo + (hi - lo + 1) * i / slices
+        val until = lo + (hi - lo + 1) * (i + 1) / slices
+        ev.filter(col("us") >= from && col("us") < until)
+          .select("event_type", "value")
+          .coalesce(1).write.mode("append").parquet(scratch)
+        Thread.sleep(20) // distinct mtimes → deterministic arrival order
+      }
+      scratch
+    })
 
   // j_catalog_bucketed's catalog (two sessions + bucketed layouts)
   // memoizes per (SparkSession, sfDir) through [[SessionScoped]] — a
@@ -140,25 +164,7 @@ object BehaviorQueries {
       * the oracle checks.
       */
     "st_cube" -> ((s, dir) => {
-      val path = stCubeScratch.getOrElseUpdate(dir, {
-        val ev = events(s, dir).select(col("event_type"), col("value"),
-          unix_micros(col("ts")).as("us"))
-        val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val root = java.nio.file.Files.createTempDirectory("st_cube_src_")
-        graft.core.Catalog.registerTempDir(root)
-        val scratch = root.toString + "/events"
-        val slices = 4
-        for (i <- 0 until slices) {
-          val from = lo + (hi - lo + 1) * i / slices
-          val until = lo + (hi - lo + 1) * (i + 1) / slices
-          ev.filter(col("us") >= from && col("us") < until)
-            .select("event_type", "value")
-            .coalesce(1).write.mode("append").parquet(scratch)
-          Thread.sleep(20) // distinct mtimes → deterministic arrival order
-        }
-        scratch
-      })
+      val path = stCubeScratchFor(s, dir)
       graft.core.Catalog.cubeFinish(
         EventStreams.cubeMaintain(s, path, Seq("event_type"), Seq("value"),
           "st_cube"),
@@ -175,27 +181,8 @@ object BehaviorQueries {
       * which is what the oracle checks.
       */
     "st_pairs" -> ((s, dir) => {
-      val path = stCubeScratch.getOrElseUpdate(dir, {
-        val ev = events(s, dir).select(col("event_type"), col("value"),
-          unix_micros(col("ts")).as("us"))
-        val b = ev.agg(min("us").as("lo"), max("us").as("hi")).head()
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val root = java.nio.file.Files.createTempDirectory("st_cube_src_")
-        graft.core.Catalog.registerTempDir(root)
-        val scratch = root.toString + "/events"
-        val slices = 4
-        for (i <- 0 until slices) {
-          val from = lo + (hi - lo + 1) * i / slices
-          val until = lo + (hi - lo + 1) * (i + 1) / slices
-          ev.filter(col("us") >= from && col("us") < until)
-            .select("event_type", "value")
-            .coalesce(1).write.mode("append").parquet(scratch)
-          Thread.sleep(20) // distinct mtimes → deterministic arrival order
-        }
-        scratch
-      })
-      EventStreams.pairsMaintain(s, path, Seq("event_type"), "value",
-          "st_pairs")
+      EventStreams.pairsMaintain(s, stCubeScratchFor(s, dir),
+          Seq("event_type"), "value", "st_pairs")
         .groupBy("event_type")
         .agg(count_distinct(col("value")).as("cd_value"))
         .orderBy("event_type")

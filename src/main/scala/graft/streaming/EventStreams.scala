@@ -358,19 +358,34 @@ object EventStreams {
     */
   def cubeMaintain(spark: SparkSession, srcPath: String,
                    groupCols: Seq[String], measures: Seq[String],
-                   queryName: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("stream_cube_")
+                   queryName: String): DataFrame =
+    maintainVersioned(spark, srcPath, queryName, "stream_cube_") {
+      (prev, batch) =>
+        val partial =
+          graft.core.Catalog.cubePartials(batch, groupCols, measures)
+        graft.core.Catalog.cubeMergePartials(
+          prev.fold(partial)(_.unionByName(partial)), groupCols, measures)
+    }
+
+  /** The versioned at-rest maintenance loop shared by [[cubeMaintain]]
+    * and [[pairsMaintain]]: each micro-batch folds the previous at-rest
+    * state (None on the first batch) with the arriving rows into the
+    * next version dir under `foreachBatch` + AvailableNow; the final
+    * version is the maintained result. The fold must be commutative and
+    * idempotent-on-replay for the result to equal a one-shot batch
+    * computation — which is exactly what the st_* oracles check.
+    */
+  private def maintainVersioned(spark: SparkSession, srcPath: String,
+                                queryName: String, prefix: String)(
+      fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
     graft.core.Catalog.registerTempDir(root) // refresh ledger dies at exit
     val version = new java.util.concurrent.atomic.AtomicInteger(0)
     def verDir(v: Int) = s"$root/v$v"
     val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val partial = graft.core.Catalog.cubePartials(batch, groupCols, measures)
       val v = version.get()
-      val acc =
-        if (v == 0) partial
-        else spark.read.parquet(verDir(v)).unionByName(partial)
-      graft.core.Catalog.cubeMergePartials(acc, groupCols, measures)
-        .coalesce(1).write.parquet(verDir(v + 1))
+      val prev = if (v == 0) None else Some(spark.read.parquet(verDir(v)))
+      fold(prev, batch).coalesce(1).write.parquet(verDir(v + 1))
       version.incrementAndGet()
       ()
     }
@@ -398,29 +413,11 @@ object EventStreams {
                     groupCols: Seq[String], pairCol: String,
                     queryName: String): DataFrame = {
     val cols = (groupCols :+ pairCol).map(col)
-    val root = java.nio.file.Files.createTempDirectory("stream_pairs_")
-    graft.core.Catalog.registerTempDir(root)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
-    def verDir(v: Int) = s"$root/v$v"
-    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val partial = batch.select(cols: _*).distinct()
-      val v = version.get()
-      val acc =
-        if (v == 0) partial
-        else spark.read.parquet(verDir(v)).unionByName(partial)
-      acc.distinct().coalesce(1).write.parquet(verDir(v + 1))
-      version.incrementAndGet()
-      ()
+    maintainVersioned(spark, srcPath, queryName, "stream_pairs_") {
+      (prev, batch) =>
+        val partial = batch.select(cols: _*).distinct()
+        prev.fold(partial)(_.unionByName(partial)).distinct()
     }
-    val q = fileSource(spark, srcPath,
-        Map("maxFilesPerTrigger" -> "1")).writeStream
-      .queryName(queryName)
-      .foreachBatch(mergeBatch)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    runToCompletion(q, 300000)
-    require(version.get() > 0, s"stream '$queryName' saw no batches")
-    spark.read.parquet(verDir(version.get()))
   }
 
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow

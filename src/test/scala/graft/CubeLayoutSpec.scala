@@ -234,6 +234,20 @@ class CubeLayoutSpec extends SparkSpec {
       direct(graft.core.Positional.strip(s.current), Seq("g"), Seq("m")))
   }
 
+  test("deletes straddling a column add still retraction-patch (victim schemas differ)") {
+    val c = newCubeCatalog()
+    val s = c.get("cli").get
+    assert(s.deleteRow(0L))
+    s.insertColumnAt(1, "flag:boolean") // captured victim plans now differ
+    assert(s.deleteRow(0L))
+    assert(c.refreshStale("cli") == Seq("cube:l_returnflag,l_linestatus"),
+      "a schema-straddling victim union must not crash the refresh")
+    val routed = c.aggregate("cli", groupsAll, measuresAll)
+    assert(plan(routed).contains("catalog_cube_"))
+    assert(got(routed, groupsAll) ==
+      direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
+  }
+
   test("durable cube re-attaches in a fresh Catalog over the same warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
     val a = new Catalog(spark, Some(wh))
