@@ -2399,6 +2399,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       l => (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
         l.col == pairCol)
 
+  /** Dry-run of [[distinctCount]]'s routing decision — which pairs
+    * layout would serve this grouping/column/filter set, or why none
+    * would. Nothing runs.
+    */
+  def explainDistinctExact(name: String, groupCols: Seq[String],
+                           pairCol: String,
+                           where: Seq[(String, Any)] = Nil): RouteReport =
+    decidePairs(name, groupCols, pairCol, where.map(_._1).toSet)._2
+
   /** EXACT distinct count of `pairCol` per `groupCols` tuple,
     * layout-routed: a valid pairs layout COVERING the request (caller's
     * groupCols ⊆ the layout's, same counted column, filters on layout

@@ -75,6 +75,14 @@ class PairsLayoutSpec extends SparkSpec {
       direct(Tables.load(spark, sf, "lineitem")
         .filter(col("l_returnflag") === "A"), Seq("l_linestatus"),
         "l_partkey"))
+    // the covering dry-run names the decision without running anything
+    assert(c.explainDistinctExact("pli", Seq("l_returnflag"), "l_partkey")
+      .reason == "routed")
+    assert(c.explainDistinctExact("pli", Seq("l_returnflag"), "l_suppkey")
+      .reason == "param-mismatch")
+    assert(c.explainDistinctExact("pli", Seq("l_returnflag"), "l_partkey",
+      where = Seq("l_quantity" -> 1.0)).reason == "param-mismatch",
+      "a filter on a non-group column must not route")
     // a different counted column is a param mismatch: live fallback
     val other = c.distinctCount("pli", Seq("l_returnflag"), "l_suppkey")
     assert(!plan(other).contains("catalog_pairs_"))
