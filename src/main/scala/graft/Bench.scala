@@ -202,6 +202,34 @@ object Bench {
       cat.topK("bench_emb", "vec_id", "embedding", q, 10).count()
     }),
 
+    // r10: the DML-to-serving loop over a CLUSTERED layout — one cell
+    // edit + one row delete, a DML-patch refresh (id-shadow + add-leg;
+    // the range-clustered base never rewrites), then a routed pruned
+    // scan. The cost this replaces is a full re-cluster per mutation.
+    "r_dml_refresh" -> ((s: SparkSession) => {
+      val cat = editCatalogs.getOrElseUpdate(sfDir + "#dml", {
+        val c = new graft.core.Catalog(s)
+        c.open("bench_ro", s"$sfDir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.buildRangedLayout("bench_ro", "o_totalprice", files = 8,
+          idCol = Some("o_orderkey"))
+        c
+      })
+      val n = editSeq.incrementAndGet()
+      val sess = cat.get("bench_ro").get
+      sess.setCell(n % 100, "o_totalprice", (50000 + n).toString + ".5")
+      sess.deleteRow(100L + (n % 100))
+      cat.refreshStale("bench_ro")
+      val rows =
+        cat.rangeScan("bench_ro", "o_totalprice", 1000.0, 60000.0).count()
+      // flush the session's gesture layers (the same amortization an
+      // interactive session applies every compactEvery/64 rebinds) so
+      // repeated passes measure the steady-state loop, not an
+      // ever-deeper plan stack
+      sess.checkpoint()
+      rows
+    }),
+
     // r9: grouped count/sum/avg served from the materialized aggregate
     // cube — after the one-time build (memoized, first pass pays it) the
     // rollup reads group-count-sized stored partials; compare against
