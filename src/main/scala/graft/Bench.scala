@@ -291,6 +291,15 @@ object Bench {
     workloads(warmDir).foreach { case (_, fn) =>
       try fn(spark) catch { case _: Throwable => () }
     }
+    // one untimed pass at the TARGET SF: the layout-serving workloads
+    // memoize a per-sfDir catalog whose one-time build would otherwise
+    // land in the first timed pass — an 8x pass1/pass2 split that the
+    // variance detector (correctly) refuses to record, costing a full
+    // retry set every run. Prewarming the builds makes a clean single
+    // attempt the norm (r9 verdict task #7).
+    workloads(sfDir).foreach { case (_, fn) =>
+      try fn(spark) catch { case _: Throwable => () }
+    }
 
     // Steady-state timing: each workload runs twice at the target SF and
     // reports the faster pass. The sf0.001 warmup covers classloading and
