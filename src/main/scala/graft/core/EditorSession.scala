@@ -190,22 +190,43 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     */
   private val victimPlanMax = 256
 
+  /** Sequence numbers of the pre-bearing delete entries still holding
+    * their plan, oldest first. `mutLog(seq - mutSeqBase)` is the entry,
+    * so appending trims AT MOST ONE entry past the retention window —
+    * O(1) amortized per gesture instead of rescanning the whole log
+    * (ADVICE r10: the rescan was O(log size) driver work per cell edit).
+    */
+  private val victimSeqs = new java.util.ArrayDeque[Long]()
+  private var mutSeqNext = 0L // seq the next appended entry gets
+  private var mutSeqBase = 0L // seq of mutLog(0)
+
   private def logMutation(kind: MutKind): Unit = {
     mutLog += ((epochCounter, kind))
-    var seen = 0
-    var i = mutLog.size - 1
-    while (i >= 0) {
-      mutLog(i) match {
-        case (e, rd: RowDeletes) if rd.pre.isDefined =>
-          seen += 1
-          if (seen > victimPlanMax) mutLog(i) = (e, rd.copy(pre = None))
-        case _ => ()
-      }
-      i -= 1
+    val seq = mutSeqNext
+    mutSeqNext += 1
+    kind match {
+      case rd: RowDeletes if rd.pre.isDefined =>
+        victimSeqs.addLast(seq)
+        if (victimSeqs.size > victimPlanMax) {
+          // exactly the one entry that crossed the retention threshold
+          val old = victimSeqs.pollFirst()
+          mutLog((old - mutSeqBase).toInt) match {
+            case (e, rd0: RowDeletes) =>
+              mutLog((old - mutSeqBase).toInt) = (e, rd0.copy(pre = None))
+            case _ => ()
+          }
+        }
+      case _ => ()
     }
     if (mutLog.size > mutLogMax) {
       mutLogFloor = mutLog.head._1
       mutLog.remove(0)
+      mutSeqBase += 1
+      // the departed entry may still be the deque's oldest (fewer than
+      // victimPlanMax deletes since): its plan left the log with it
+      if (!victimSeqs.isEmpty && victimSeqs.peekFirst() < mutSeqBase)
+        victimSeqs.pollFirst()
+      ()
     }
   }
 
@@ -882,10 +903,20 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                           cols: Seq[String]): Unit =
     rowSignature(base, key, cols).write.parquet(dir + "/rowsig")
 
+  private var persistsSinceVacuum = 0
+
   private def persistEntry(e: LayoutManifestEntry): Unit =
     warehouse.foreach { wh =>
       manifest((e.session, e.slot)) = e
       LayoutStore.save(spark, wh, manifest.values.toSeq)
+      // self-cleaning maintenance loop: every few manifest writes, GC
+      // what those writes superseded (grace-guarded — see [[vacuum]])
+      persistsSinceVacuum += 1
+      if (persistsSinceVacuum >= Catalog.autoVacuumEvery) {
+        persistsSinceVacuum = 0
+        vacuum()
+        ()
+      }
     }
 
   /** Re-attach persisted layouts to a freshly (re)opened session: each
@@ -1000,8 +1031,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val e2 = e.copy(patch = patch.path,
       digest = contentDigest(base, digestColsOf(e)),
       nDocs = scalars._1, avgdl = scalars._2)
-    persistEntry(e2)
-    reconstruct(wh, e2, s.epoch, base)
+    // reconstruct FIRST: the manifest must never get ahead of reality
+    // (ADVICE r10 — a persisted-then-failed attach would send the next
+    // reopen down the fast digest path onto storage this run never
+    // validated; it still degrades safely to live, but the recorded
+    // state would be a lie)
+    val attached = reconstruct(wh, e2, s.epoch, base)
+    attached.foreach(_ => persistEntry(e2))
+    attached
   }.toOption.flatten
 
   /** Rebuild the in-memory layout object a manifest entry describes.
@@ -1190,10 +1227,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * serving-side anti-join stops being broadcast-trivial). Shared with
     * the session's mutation log, which stops retaining victim positions
     * past it. The override exists for specs that pin the rebuild
-    * fallback without building a 4096-literal delete plan.
+    * fallback without building a 4096-literal delete plan; it is
+    * CLAMPED to [[EditorSession.deltaMaxRows]] (ADVICE r10) because the
+    * session mutation log drops delete positions and victim plans at
+    * that fixed bound — a larger override would promise a patch path
+    * the log can no longer feed.
     */
   private val deltaMaxRows =
-    deltaMaxRowsOverride.getOrElse(EditorSession.deltaMaxRows)
+    deltaMaxRowsOverride.map(math.min(_, EditorSession.deltaMaxRows))
+      .getOrElse(EditorSession.deltaMaxRows)
 
   /** Refresh one stale layout from the session's net mutation delta
     * ([[EditorSession.deltaSince]]). Three regimes per layout family:
@@ -2015,20 +2057,28 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       _.isInstanceOf[RangedLayout])
     recordRoute(rep)
     lay match {
-      case Some(l: RangedLayout) =>
-        val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
-        val base =
-          if (files.isEmpty) spark.read.parquet(l.path).limit(0)
-          else spark.read.parquet(files: _*)
-        // the DML patch (if any) composes BEFORE the exact predicate:
-        // the add-leg is never pruned, shadowed base rows never serve
-        patchedFullRows(base, l.idCol, l.patch)
-          .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      case Some(l: RangedLayout) => serveRangedScan(l, column, lo, hi)
       case _ =>
         val c = org.apache.spark.sql.functions.col(column)
         Positional.strip(sessionOf(name).current)
           .filter(c >= lit(lo) && c <= lit(hi))
     }
+  }
+
+  /** The routed range-scan plan over a (possibly patched) ranged layout:
+    * skipping-pruned base files, the DML patch composed BEFORE the exact
+    * predicate (the add-leg is never pruned, shadowed base rows never
+    * serve), the caller's exact predicate on top. Shared by [[rangeScan]]
+    * and the pinned [[rangeScanAsOf]].
+    */
+  private def serveRangedScan(l: RangedLayout, column: String, lo: Any,
+                              hi: Any): DataFrame = {
+    val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+      else spark.read.parquet(files: _*)
+    patchedFullRows(base, l.idCol, l.patch)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
@@ -2092,6 +2142,199 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       (Positional.strip(sessionOf(left).current),
         Positional.strip(sessionOf(right).current)))
     lf.join(rf, lf(leftKey) === rf(rightKey))
+  }
+
+  // ---- epoch-pinned snapshots ----------------------------------------------
+  // The serving tier's consistency lever during maintenance (r10 verdict
+  // task #4): a pin captures the session's CURRENT plan (an immutable
+  // lineage reference — nothing copies) plus its registered layouts at
+  // that epoch. While a refresh or rebuild runs, readers on the pinned
+  // epoch keep answering from the pre-maintenance state — the pinned
+  // layout's base files are never rewritten by a delta refresh, and
+  // [[vacuum]] keeps every dir a pin references (composing with the
+  // grace window) until the pin is released. Pins are process-scoped:
+  // they exist to bridge a maintenance window, not to time-travel
+  // across restarts.
+
+  private val pins = mutable.LinkedHashMap.empty[(String, Long), Snapshot]
+
+  /** Pin the session's current state; returns the pinned epoch (the
+    * handle for [[rangeScanAsOf]] / [[snapshotAsOf]] / [[unpin]]).
+    * Pinning the same epoch twice is idempotent.
+    */
+  def pin(name: String): Long = {
+    val s = sessionOf(name)
+    pins.getOrElseUpdate((name, s.epoch),
+      Snapshot(s.epoch, s.current,
+        layoutsOf(name).filter(_._2.builtAtEpoch == s.epoch).toMap))
+    s.epoch
+  }
+
+  /** Release a pin; its dirs become vacuum-eligible once unreferenced. */
+  def unpin(name: String, epoch: Long): Boolean =
+    pins.remove((name, epoch)).isDefined
+
+  def pinnedEpochs(name: String): Seq[Long] =
+    pins.keys.collect { case (n, e) if n == name => e }.toSeq
+
+  /** The pinned session plan itself (every column, pre-maintenance). */
+  def snapshotAsOf(name: String, epoch: Long): DataFrame =
+    Positional.strip(pinOf(name, epoch).plan)
+
+  private def pinOf(name: String, epoch: Long): Snapshot =
+    pins.getOrElse((name, epoch), throw new NoSuchElementException(
+      s"no pinned snapshot of '$name' at epoch $epoch"))
+
+  /** Range scan against a PINNED epoch: serves from the snapshot's
+    * ranged layout when one covers the column (same pruned-plus-patched
+    * plan as [[rangeScan]], against the pre-maintenance patch state),
+    * else filters the pinned session plan — either way the answer is
+    * the pinned epoch's, even while the live route already serves the
+    * post-refresh state.
+    */
+  def rangeScanAsOf(name: String, epoch: Long, column: String, lo: Any,
+                    hi: Any): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.get(s"range:$column") match {
+      case Some(l: RangedLayout) =>
+        recordRoute(RouteReport(s"range:$column", "layout", "pinned"))
+        serveRangedScan(l, column, lo, hi)
+      case _ =>
+        recordRoute(RouteReport(s"range:$column", "live", "pinned-live"))
+        val c = org.apache.spark.sql.functions.col(column)
+        Positional.strip(sn.plan).filter(c >= lit(lo) && c <= lit(hi))
+    }
+  }
+
+  // ---- warehouse vacuum ------------------------------------------------------
+
+  /** Garbage-collect the warehouse by MANIFEST DIFF (r10 verdict task
+    * #1 — superseded layout dirs used to strand forever: every delta
+    * refresh left the previous `catalog_patch_*` dir behind, every
+    * compaction rebuild a corpus-scale layout dir). A top-level
+    * warehouse dir survives iff something still references it: a
+    * current manifest entry's `path`/`patch`, a registered in-memory
+    * layout, a pinned snapshot ([[pin]]), or — for clustered layouts
+    * whose base spans dirs after a partial compaction — a skipping-stats
+    * file list. Partially referenced dirs are swept FILE-level: data
+    * files no stats list names are deleted, referenced ones stay
+    * byte-untouched.
+    *
+    * `graceMs` is the in-flight-reader guard: nothing younger than the
+    * grace window is deleted, so a lazily-planned DataFrame handed out
+    * just before the superseding refresh can still run. Production
+    * callers keep the default; specs pass 0 for determinism.
+    *
+    * Runs automatically every [[Catalog.autoVacuumEvery]] manifest
+    * writes (with the default grace), so a long-lived maintenance loop
+    * self-cleans without an operator gesture.
+    *
+    * @return warehouse-relative paths deleted, dirs and files.
+    */
+  def vacuum(graceMs: Long = Catalog.vacuumGraceMs): Seq[String] =
+    warehouse.toSeq.flatMap { wh =>
+      import org.apache.hadoop.fs.Path
+      val whPath = new Path(wh)
+      val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(whPath)) Seq.empty
+      else vacuumIn(wh, whPath, fs, graceMs)
+    }
+
+  private def vacuumIn(wh: String, whPath: org.apache.hadoop.fs.Path,
+                       fs: org.apache.hadoop.fs.FileSystem,
+                       graceMs: Long): Seq[String] = {
+      import org.apache.hadoop.fs.Path
+      val now = System.currentTimeMillis()
+      def norm(p: String): String = new Path(p).toUri.getPath
+      val whAbs = norm(wh)
+      def relTop(abs: String): Option[String] = {
+        val p = norm(abs)
+        if (p.startsWith(whAbs + "/"))
+          p.stripPrefix(whAbs + "/").split("/").headOption
+        else None
+      }
+      val live = layouts.values.toSeq ++ pins.values.flatMap(_.layouts.values)
+      // dirs referenced by name: manifest entries + live/pinned layouts
+      val dirRefs: Set[String] =
+        manifest.values.flatMap(e => e.path.toSeq ++ e.patch.toSeq)
+          .map(_.split("/").head).toSet ++
+          live.flatMap(l => layoutPathsOf(l).flatMap(relTop) ++
+            patchOf(l).flatMap(_.path).map(_.split("/").head))
+      // data files referenced through skipping-stats lists (a partially
+      // compacted clustered layout's base spans dirs) — live/pinned stats
+      // plus dormant manifest entries' stats sidecars
+      val dormantStats = manifest.collect {
+        case ((n, slot), e)
+            if (e.kind == "range" || e.kind == "zorder") &&
+              e.path.isDefined && !layouts.contains((n, slot)) =>
+          Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
+            .select("file").collect().map(_.getString(0)).toSeq)
+            .getOrElse(Seq.empty)
+      }.flatten
+      val fileRefs: Set[String] =
+        (live.flatMap(statsFilesOf) ++ dormantStats).map(norm).toSet
+      val fileRefDirs: Set[String] = fileRefs.flatMap(relTop)
+      val deleted = mutable.ArrayBuffer.empty[String]
+      def sweepFiles(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) sweepFiles(st.getPath, s"$rel/${st.getPath.getName}")
+          else if (!fileRefs.contains(norm(st.getPath.toString)) &&
+              now - st.getModificationTime > graceMs) {
+            fs.delete(st.getPath, false)
+            deleted += s"$rel/${st.getPath.getName}"
+          }
+        }
+      fs.listStatus(whPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name != "_manifest") {
+          if (dirRefs.contains(name)) () // fully referenced: keep
+          else if (fileRefDirs.contains(name)) {
+            // partially referenced (stats-listed files only): file sweep
+            sweepFiles(st.getPath, name)
+          } else if (now - st.getModificationTime > graceMs) {
+            fs.delete(st.getPath, true)
+            deleted += name
+          }
+        }
+      }
+      deleted.toSeq
+  }
+
+  /** The warehouse paths a layout's serving plan reads (base dirs). */
+  private def layoutPathsOf(l: TableLayout): Seq[String] = l match {
+    case p: PqCodesLayout => Seq(p.path)
+    case p: IvfPqCellLayout => Seq(p.path)
+    case p: RangedLayout => Seq(p.path)
+    case p: ZOrderedLayout => Seq(p.path)
+    case p: PostingsLayout => Seq(p.path)
+    case p: CubeLayout => Seq(p.path)
+    case p: SketchLayout => Seq(p.path)
+    case p: PairsLayout => Seq(p.path)
+    case _ => Seq.empty // bucketed lives in the metastore, LSH in `index`
+  }
+
+  private def patchOf(l: TableLayout): Option[LayoutPatch] = l match {
+    case p: PqCodesLayout => p.patch
+    case p: IvfPqCellLayout => p.patch
+    case p: RangedLayout => p.patch
+    case p: ZOrderedLayout => p.patch
+    case p: LshIndexLayout => p.patch
+    case p: PostingsLayout => p.patch
+    case p: CubeLayout => p.patch
+    case p: SketchLayout => p.patch
+    case p: PairsLayout => p.patch
+    case _ => None
+  }
+
+  /** The absolute data files a clustered layout's stats list names. */
+  private def statsFilesOf(l: TableLayout): Seq[String] = l match {
+    case p: RangedLayout =>
+      Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+    case p: ZOrderedLayout =>
+      Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+    case _ => Seq.empty
   }
 
   // ---- materialized aggregate cube ----------------------------------------
@@ -2559,6 +2802,24 @@ object Catalog {
     */
   final case class RouteReport(slot: String, decision: String,
                                reason: String)
+
+  /** An epoch-pinned serving snapshot ([[Catalog.pin]]): the session
+    * plan at `epoch` (an immutable lineage reference — capturing it
+    * copies nothing) plus the layouts that were epoch-valid then.
+    * [[Catalog.vacuum]] keeps every dir the snapshot references until
+    * the pin is released.
+    */
+  final case class Snapshot(epoch: Long, plan: DataFrame,
+                            layouts: Map[String, TableLayout])
+
+  /** Default in-flight-reader guard for [[Catalog.vacuum]]: nothing
+    * younger than this is deleted, so a plan handed out just before the
+    * superseding refresh can still run its scan.
+    */
+  val vacuumGraceMs: Long = 20 * 60 * 1000L
+
+  /** Manifest writes between automatic [[Catalog.vacuum]] passes. */
+  val autoVacuumEvery: Int = 16
 
   /** Delta state of a keyed at-rest layout: `add` rows supersede the
     * base (re-encoded edits, renamed ids), `removed` is the id relation

@@ -106,8 +106,13 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     * exact type, so a foldable same-type side is a bound; tightening
     * uses the type's interpreted ordering and the result converts to
     * EXTERNAL Scala values (Instant / LocalDate / String) for `lit`.
-    * Requires at least one finite side; any same-column bound of a
-    * different type refuses (don't route what we can't order).
+    * Requires at least one finite side. A conjunct whose literal side is
+    * NOT a foldable same-type value is skipped, which only LOOSENS the
+    * derived bounds — safe, because the caller keeps the original Filter
+    * on top (pruning stays conservative); `bad` refuses outright only
+    * when two SUPPORTED bounds on the column disagree about its type
+    * (ADVICE r10: the doc used to overstate this as refusing any
+    * differently-typed conjunct).
     */
   private def boundsTyped(cond: Expression, sa: SubqueryAlias,
                           column: String)
@@ -142,19 +147,30 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
     }
+    // guards (not bare binds) keep the attr-on-the-RIGHT cases reachable:
+    // an unguarded `GreaterThanOrEqual(a, l)` matches every operand order,
+    // so `TIMESTAMP '…' <= ts` used to fall through boundless
     splitConjuncts(cond).foreach {
-      case GreaterThanOrEqual(a, l) => attrOf(a).foreach(put(true, _, l))
-      case GreaterThan(a, l) => attrOf(a).foreach(put(true, _, l))
-      case LessThanOrEqual(a, l) => attrOf(a).foreach(put(false, _, l))
-      case LessThan(a, l) => attrOf(a).foreach(put(false, _, l))
-      case GreaterThanOrEqual(l, a) => attrOf(a).foreach(put(false, _, l))
-      case GreaterThan(l, a) => attrOf(a).foreach(put(false, _, l))
-      case LessThanOrEqual(l, a) => attrOf(a).foreach(put(true, _, l))
-      case LessThan(l, a) => attrOf(a).foreach(put(true, _, l))
-      case EqualTo(a, l) =>
-        attrOf(a).foreach { at => put(true, at, l); put(false, at, l) }
-      case EqualTo(l, a) =>
-        attrOf(a).foreach { at => put(true, at, l); put(false, at, l) }
+      case GreaterThanOrEqual(a, l) if attrOf(a).isDefined =>
+        put(true, attrOf(a).get, l)
+      case GreaterThan(a, l) if attrOf(a).isDefined =>
+        put(true, attrOf(a).get, l)
+      case LessThanOrEqual(a, l) if attrOf(a).isDefined =>
+        put(false, attrOf(a).get, l)
+      case LessThan(a, l) if attrOf(a).isDefined =>
+        put(false, attrOf(a).get, l)
+      case GreaterThanOrEqual(l, a) if attrOf(a).isDefined =>
+        put(false, attrOf(a).get, l)
+      case GreaterThan(l, a) if attrOf(a).isDefined =>
+        put(false, attrOf(a).get, l)
+      case LessThanOrEqual(l, a) if attrOf(a).isDefined =>
+        put(true, attrOf(a).get, l)
+      case LessThan(l, a) if attrOf(a).isDefined =>
+        put(true, attrOf(a).get, l)
+      case EqualTo(a, l) if attrOf(a).isDefined =>
+        val at = attrOf(a).get; put(true, at, l); put(false, at, l)
+      case EqualTo(l, a) if attrOf(a).isDefined =>
+        val at = attrOf(a).get; put(true, at, l); put(false, at, l)
       case _ => ()
     }
     if (bad || dt.isEmpty || (lo.isEmpty && hi.isEmpty)) None

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Tables}
+
+/** Warehouse garbage collection + epoch-pinned snapshot serving (r10
+  * verdict tasks #1 and #4): superseded layout/patch dirs must be
+  * collectable by manifest diff, everything still referenced — by the
+  * manifest, by a live layout, or by a pin — must survive, and a pinned
+  * reader must keep getting the pre-maintenance answer while the live
+  * route already serves the refreshed state.
+  */
+class VacuumSpec extends SparkSpec {
+
+  private def newWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("graft_whv_").toString
+
+  private def topDirs(wh: String): Set[String] =
+    new java.io.File(wh).listFiles().map(_.getName).toSet
+
+  private def queryVec(): Seq[Float] =
+    Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  test("vacuum: N edit→refresh cycles + a rebuild leave exactly the referenced dirs; reopen still routes") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("vemb", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("vemb", "vec_id", "embedding")
+    val sess = cat.get("vemb").get
+
+    // three edit→refresh cycles: each persists a MERGED patch dir that
+    // supersedes the previous one — two strands plus the live patch
+    (1 to 3).foreach { i =>
+      assert(sess.setCell(i.toLong, "vec_id", (800000 + i).toString))
+      assert(cat.refreshStale("vemb") == Seq("ann:embedding"))
+    }
+    // a structural gesture forces the refresh to REBUILD: the previous
+    // corpus-scale layout dir is now superseded too
+    sess.undo()
+    assert(cat.refreshStale("vemb") == Seq("ann:embedding"))
+    val before = topDirs(wh)
+    assert(before.count(_.startsWith("catalog_patch_")) >= 2,
+      s"the cycles must have stranded superseded patch dirs; saw $before")
+    assert(before.count(_.startsWith("catalog_pq_")) >= 2,
+      s"the rebuild must have stranded the old layout dir; saw $before")
+
+    val answer = cat.topK("vemb", "vec_id", "embedding", queryVec(), 5)
+      .collect().map(_.toSeq).toSeq
+    val deleted = cat.vacuum(graceMs = 0L)
+    assert(deleted.nonEmpty, "vacuum must collect the strands")
+
+    // exactly the referenced dirs remain: the manifest, the current
+    // layout dir, and (after the rebuild cleared the patch) nothing else
+    val after = topDirs(wh)
+    assert(after.count(_.startsWith("catalog_pq_")) == 1,
+      s"one live layout dir must remain; saw $after")
+    assert(after.count(_.startsWith("catalog_patch_")) == 0,
+      s"the rebuild cleared the patch — no patch dir may survive; saw $after")
+    assert(after.contains("_manifest"))
+    assert(after.size == 2, s"exactly manifest + live layout; saw $after")
+
+    // the surviving storage still serves: same catalog and a REOPENED one
+    assert(cat.topK("vemb", "vec_id", "embedding", queryVec(), 5)
+      .collect().map(_.toSeq).toSeq == answer)
+    val cat2 = new Catalog(spark, Some(wh))
+    cat2.openFrom("vemb",
+      graft.core.Positional.strip(sess.current), orderCols = Seq("vec_id"))
+    assert(cat2.explainRoute("vemb", "ann:embedding").reason == "routed",
+      "a reopen over the vacuumed warehouse must still attach")
+    assert(cat2.topK("vemb", "vec_id", "embedding", queryVec(), 5)
+      .collect().map(_.toSeq).toSeq == answer)
+  }
+
+  test("vacuum: the grace window protects young strands") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("vgrace", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("vgrace", "vec_id", "embedding")
+    val sess = cat.get("vgrace").get
+    assert(sess.setCell(1L, "vec_id", "810001"))
+    assert(cat.refreshStale("vgrace").nonEmpty)
+    assert(sess.setCell(2L, "vec_id", "810002"))
+    assert(cat.refreshStale("vgrace").nonEmpty)
+    val strands = topDirs(wh).count(_.startsWith("catalog_patch_"))
+    assert(strands >= 2, "two patch epochs must exist")
+    // everything here is seconds old: a graceful vacuum removes nothing
+    assert(cat.vacuum(graceMs = 3600000L).isEmpty)
+    assert(topDirs(wh).count(_.startsWith("catalog_patch_")) == strands)
+  }
+
+  test("pinned snapshot serves the pre-edit answer during maintenance; vacuum honors the pin") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("vord", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("vord", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val sess = cat.get("vord").get
+
+    val pinned = cat.pin("vord")
+    val preEdit = cat.rangeScan("vord", "o_totalprice", 1000.0, 50000.0)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+
+    // maintenance: move one row INTO the window and refresh (delta patch)
+    assert(sess.setCell(0L, "o_totalprice", "1500.5"))
+    assert(cat.refreshStale("vord") == Seq("range:o_totalprice"))
+    val live = cat.rangeScan("vord", "o_totalprice", 1000.0, 50000.0)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(live != preEdit, "the live route must serve the refreshed state")
+    val pinnedScan = cat.rangeScanAsOf("vord", pinned, "o_totalprice",
+        1000.0, 50000.0)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    assert(pinnedScan.collect().map(_.toSeq).toSeq == preEdit,
+      "the pinned route must keep the pre-edit answer")
+    assert(cat.recentRoutes.contains(
+      Catalog.RouteReport("range:o_totalprice", "layout", "pinned")))
+
+    // a REBUILD supersedes the layout dir entirely; the pin must keep it
+    sess.undo() // structural: the next refresh rebuilds
+    assert(cat.refreshStale("vord") == Seq("range:o_totalprice"))
+    assert(topDirs(wh).count(_.startsWith("catalog_ranged_")) >= 2)
+    cat.vacuum(graceMs = 0L)
+    assert(cat.rangeScanAsOf("vord", pinned, "o_totalprice", 1000.0, 50000.0)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq == preEdit,
+      "vacuum must keep every dir the pin references")
+
+    // released pin → the superseded dir is collectable; live unaffected
+    assert(cat.unpin("vord", pinned))
+    assert(cat.vacuum(graceMs = 0L).nonEmpty)
+    assert(topDirs(wh).count(_.startsWith("catalog_ranged_")) == 1)
+    assert(cat.explainRoute("vord", "range:o_totalprice").reason == "routed")
+    intercept[NoSuchElementException] {
+      cat.rangeScanAsOf("vord", pinned, "o_totalprice", 1000.0, 50000.0)
+    }
+    ()
+  }
+}
