@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types
@@ -57,7 +58,8 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case j: Join =>
         tryBucketedJoin(j).getOrElse(j)
       case a: Aggregate =>
-        tryCube(a).orElse(tryDistinctPairs(a)).getOrElse(a)
+        tryCube(a).orElse(tryDistinctPairs(a)).orElse(tryMixed(a))
+          .getOrElse(a)
       case f @ Filter(cond, SessionView(name, sa)) =>
         tryRanged(f, cond, name, sa).getOrElse(f)
     }
@@ -296,15 +298,17 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewriteOnCube(a: Aggregate, sa: SubqueryAlias,
-                            groupAttrs: Seq[AttributeReference],
-                            cond: Option[Expression],
-                            r: CubeSqlRoute): Option[LogicalPlan] = {
+  /** The re-merge expression over a stored cube's partials that equals
+    * `ae` exactly, or None when no stored partial can: `count(*)` →
+    * coalesced sum of `__cnt`, `count(m)` → coalesced sum of
+    * `__cntm_m`, the canonical decimal sum → sum of `__sum_m`, min/max
+    * → min-of-mins / max-of-maxes. Shared by the pure-cube rewrite and
+    * the mixed cube ⋈ pairs rewrite.
+    */
+  private def cubeAggExpr(sa: SubqueryAlias, measures: Seq[String],
+                          byName: Map[String, Attribute])(
+      ae: AggregateExpression): Option[Expression] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
-    val cubePlan = r.served().queryExecution.analyzed
-    val byName = cubePlan.output.map(o => o.name -> o).toMap
-    if (!groupAttrs.forall(g => byName.contains(g.name))) return None
-
     def sumOf(attr: Attribute): Expression =
       AggregateExpression(Sum(attr), Complete, isDistinct = false, None,
         NamedExpression.newExprId)
@@ -320,7 +324,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
           (rb.left, rb.right) match {
             case (at: AttributeReference, sc: Literal)
                 if sa.outputSet.contains(at) &&
-                  r.measures.contains(at.name) && sc.value == 6 =>
+                  measures.contains(at.name) && sc.value == 6 =>
               Some(at.name)
             case _ => None
           }
@@ -329,48 +333,55 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    def cubeAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case c: Count => c.children match {
-          // count(*)/count(1): never null, so the merged sum coalesces
-          // to 0 to preserve the empty-relation answer
-          case Seq(l: Literal) if l.value != null =>
-            Some(Coalesce(Seq(sumOf(byName("__cnt")), Literal(0L))))
-          case Seq(at: AttributeReference)
-              if sa.outputSet.contains(at) &&
-                r.measures.contains(at.name) &&
-                byName.contains(s"__cntm_${at.name}") =>
-            Some(Coalesce(Seq(sumOf(byName(s"__cntm_${at.name}")),
-              Literal(0L))))
-          case _ => None
-        }
-        case s: Sum =>
-          canonicalMeasure(s.child).flatMap(m =>
-            byName.get(s"__sum_$m").map(sumOf))
-        // min-of-mins / max-of-maxes: comparisons re-merge exactly
-        case mn: Min => mn.child match {
-          case at: AttributeReference
-              if sa.outputSet.contains(at) && r.measures.contains(at.name) &&
-                byName.contains(s"__min_${at.name}") =>
-            Some(AggregateExpression(Min(byName(s"__min_${at.name}")),
-              Complete, isDistinct = false, None, NamedExpression.newExprId))
-          case _ => None
-        }
-        case mx: Max => mx.child match {
-          case at: AttributeReference
-              if sa.outputSet.contains(at) && r.measures.contains(at.name) &&
-                byName.contains(s"__max_${at.name}") =>
-            Some(AggregateExpression(Max(byName(s"__max_${at.name}")),
-              Complete, isDistinct = false, None, NamedExpression.newExprId))
-          case _ => None
-        }
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case c: Count => c.children match {
+        // count(*)/count(1): never null, so the merged sum coalesces
+        // to 0 to preserve the empty-relation answer
+        case Seq(l: Literal) if l.value != null =>
+          Some(Coalesce(Seq(sumOf(byName("__cnt")), Literal(0L))))
+        case Seq(at: AttributeReference)
+            if sa.outputSet.contains(at) &&
+              measures.contains(at.name) &&
+              byName.contains(s"__cntm_${at.name}") =>
+          Some(Coalesce(Seq(sumOf(byName(s"__cntm_${at.name}")),
+            Literal(0L))))
         case _ => None
       }
+      case s: Sum =>
+        canonicalMeasure(s.child).flatMap(m =>
+          byName.get(s"__sum_$m").map(sumOf))
+      // min-of-mins / max-of-maxes: comparisons re-merge exactly
+      case mn: Min => mn.child match {
+        case at: AttributeReference
+            if sa.outputSet.contains(at) && measures.contains(at.name) &&
+              byName.contains(s"__min_${at.name}") =>
+          Some(AggregateExpression(Min(byName(s"__min_${at.name}")),
+            Complete, isDistinct = false, None, NamedExpression.newExprId))
+        case _ => None
+      }
+      case mx: Max => mx.child match {
+        case at: AttributeReference
+            if sa.outputSet.contains(at) && measures.contains(at.name) &&
+              byName.contains(s"__max_${at.name}") =>
+          Some(AggregateExpression(Max(byName(s"__max_${at.name}")),
+            Complete, isDistinct = false, None, NamedExpression.newExprId))
+        case _ => None
+      }
+      case _ => None
     }
+  }
+
+  private def rewriteOnCube(a: Aggregate, sa: SubqueryAlias,
+                            groupAttrs: Seq[AttributeReference],
+                            cond: Option[Expression],
+                            r: CubeSqlRoute): Option[LogicalPlan] = {
+    val cubePlan = r.served().queryExecution.analyzed
+    val byName = cubePlan.output.map(o => o.name -> o).toMap
+    if (!groupAttrs.forall(g => byName.contains(g.name))) return None
 
     def translate(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => cubeAgg(ae)
+      case ae: AggregateExpression => cubeAggExpr(sa, r.measures, byName)(ae)
       case at: AttributeReference if groupAttrs.exists(_.exprId == at.exprId) =>
         Some(byName(at.name))
       case _: AttributeReference => None
@@ -448,35 +459,40 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** `count(DISTINCT col)` re-stated over the stored pairs, or None for
+    * any other aggregate shape: distinctness of (group, col) tuples
+    * survives any subset rollup, so the re-distinct is exact — and never
+    * null (count returns 0). Shared by the pure-pairs rewrite and the
+    * mixed cube ⋈ pairs rewrite.
+    */
+  private def pairsAggExpr(sa: SubqueryAlias, pairCol: String,
+                           byName: Map[String, Attribute])(
+      ae: AggregateExpression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    if (!ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case c: Count => c.children match {
+        case Seq(at: AttributeReference)
+            if sa.outputSet.contains(at) && at.name == pairCol =>
+          Some(AggregateExpression(Count(Seq(byName(pairCol))), Complete,
+            isDistinct = true, None, NamedExpression.newExprId))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def rewriteOnPairs(a: Aggregate, sa: SubqueryAlias,
                              groupAttrs: Seq[AttributeReference],
                              cond: Option[Expression],
                              r: PairsSqlRoute): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate._
     val pairsPlan = r.served().queryExecution.analyzed
     val byName = pairsPlan.output.map(o => o.name -> o).toMap
     if (!groupAttrs.forall(g => byName.contains(g.name)) ||
         !byName.contains(r.col)) return None
 
-    def distinctAgg(ae: AggregateExpression): Option[Expression] = {
-      if (!ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case c: Count => c.children match {
-          case Seq(at: AttributeReference)
-              if sa.outputSet.contains(at) && at.name == r.col =>
-            // count(DISTINCT col) over the stored pairs: distinctness of
-            // (group, col) tuples survives any subset rollup, so the
-            // re-distinct is exact — and never null (count returns 0)
-            Some(AggregateExpression(Count(Seq(byName(r.col))), Complete,
-              isDistinct = true, None, NamedExpression.newExprId))
-          case _ => None
-        }
-        case _ => None
-      }
-    }
-
     def translate(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => distinctAgg(ae)
+      case ae: AggregateExpression => pairsAggExpr(sa, r.col, byName)(ae)
       case at: AttributeReference if groupAttrs.exists(_.exprId == at.exprId) =>
         Some(byName(at.name))
       case _: AttributeReference => None
@@ -510,6 +526,151 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(Aggregate(groupAttrs.map(g => byName(g.name)),
         newAggExprs.map(_.get), child, None))
     } else None
+  }
+
+  // ---- mixed cube ⋈ pairs --------------------------------------------------
+
+  /** MIXED aggregate rewrite (r10 verdict task #5): `SELECT g,
+    * COUNT(DISTINCT x), SUM(y) … GROUP BY g` can be served by NO single
+    * layout — the cube rewrite refuses DISTINCT (counts can't), the
+    * pairs rewrite refuses everything else (row multiplicity is gone) —
+    * but when a valid cube AND a valid pairs layout both cover the
+    * grouping, the aggregate splits: distinct leaves re-distinct the
+    * stored pairs, every other leaf re-merges the stored cube partials,
+    * and the two group-count-sized aggregates JOIN back on the group
+    * columns (null-safe — null is a group). Both sides derive from the
+    * same table, so their group sets are identical and the inner join
+    * loses nothing; with no group columns both sides are single-row and
+    * the join is a 1×1 cross. The fact table is never scanned.
+    *
+    * Runs only after [[tryCube]] and [[tryDistinctPairs]] both declined,
+    * and only rewrites when BOTH sides contribute — a single-layout
+    * aggregate either routed already or fails here too.
+    */
+  private def tryMixed(a: Aggregate): Option[LogicalPlan] = {
+    val (view, cond) = a.child match {
+      case SessionView(name, sa) => (Some((name, sa)), None)
+      case Filter(c, SessionView(name, sa)) => (Some((name, sa)), Some(c))
+      case _ => (None, None)
+    }
+    view.flatMap { case (name, sa) =>
+      val groupAttrs: Seq[AttributeReference] =
+        a.groupingExpressions.map {
+          case at: AttributeReference if sa.outputSet.contains(at) => at
+          case _ => return None
+        }
+      def covers(groupCols: Seq[String]): Boolean =
+        groupAttrs.forall(g => groupCols.contains(g.name)) &&
+          cond.forall(_.references.forall {
+            case at: AttributeReference =>
+              sa.outputSet.contains(at) && groupCols.contains(at.name)
+            case _ => false
+          })
+      val cubes = routesFor(spark, name)
+        .collect { case c: CubeSqlRoute if covers(c.groupCols) => c }
+      val pairs = routesFor(spark, name)
+        .collect { case p: PairsSqlRoute if covers(p.groupCols) => p }
+      (for {
+        c <- cubes.view
+        p <- pairs.view
+        plan <- rewriteMixed(a, sa, groupAttrs, cond, c, p)
+      } yield plan).headOption
+    }
+  }
+
+  private def rewriteMixed(a: Aggregate, sa: SubqueryAlias,
+                           groupAttrs: Seq[AttributeReference],
+                           cond: Option[Expression],
+                           c: CubeSqlRoute,
+                           p: PairsSqlRoute): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val cubePlan = c.served().queryExecution.analyzed
+    val pairsPlan = p.served().queryExecution.analyzed
+    val cubeBy = cubePlan.output.map(o => o.name -> o).toMap
+    val pairsBy = pairsPlan.output.map(o => o.name -> o).toMap
+    if (!groupAttrs.forall(g =>
+        cubeBy.contains(g.name) && pairsBy.contains(g.name)) ||
+        !pairsBy.contains(p.col)) return None
+
+    // each aggregate leaf lands on one side: DISTINCT → pairs,
+    // everything else → cube; the leaf is replaced by a reference to
+    // that side's alias, joined back below
+    val cubeAggs = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    val pairsAggs = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    def leaf(ae: AggregateExpression): Option[Attribute] =
+      if (ae.isDistinct)
+        pairsAggExpr(sa, p.col, pairsBy)(ae).map { e =>
+          val al = Alias(e, s"__mxp_${pairsAggs.size}")()
+          pairsAggs += al
+          al.toAttribute
+        }
+      else cubeAggExpr(sa, c.measures, cubeBy)(ae).map { e =>
+        val al = Alias(e, s"__mxc_${cubeAggs.size}")()
+        cubeAggs += al
+        al.toAttribute
+      }
+
+    def translate(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => leaf(ae)
+      case at: AttributeReference
+          if groupAttrs.exists(_.exprId == at.exprId) =>
+        Some(at) // the left side re-emits the group under the same id
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(translate)
+        if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggExprs: Seq[Option[NamedExpression]] =
+      a.aggregateExpressions.map {
+        case at: AttributeReference
+            if groupAttrs.exists(_.exprId == at.exprId) =>
+          Some(at)
+        case al @ Alias(child, nm) =>
+          translate(child).map(t => Alias(t, nm)(exprId = al.exprId))
+        case _ => None
+      }
+    def remapCond(byName: Map[String, Attribute])
+        : Option[Option[Expression]] = cond match {
+      case None => Some(None)
+      case Some(cx) =>
+        val remapped = cx.transformUp {
+          case at: AttributeReference if byName.contains(at.name) =>
+            byName(at.name)
+        }
+        if (remapped.references.forall(at => byName.get(at.name)
+            .exists(_.exprId == at.exprId))) Some(Some(remapped))
+        else None
+    }
+    (remapCond(cubeBy), remapCond(pairsBy)) match {
+      case (Some(condL), Some(condR))
+          if newAggExprs.forall(_.isDefined) &&
+            cubeAggs.nonEmpty && pairsAggs.nonEmpty =>
+        c.onRoute(); p.onRoute()
+        // the left aggregate re-emits the group columns under the
+        // ORIGINAL exprIds, so everything above the rewrite (the final
+        // project, HAVING, ORDER BY) stays resolved
+        val leftGroups = groupAttrs.map(g =>
+          Alias(cubeBy(g.name), g.name)(exprId = g.exprId))
+        val rightGroups = groupAttrs.map(g =>
+          Alias(pairsBy(g.name), s"__mxg_${g.name}")())
+        val left = Aggregate(groupAttrs.map(g => cubeBy(g.name)),
+          leftGroups ++ cubeAggs,
+          condL.map(Filter(_, cubePlan): LogicalPlan).getOrElse(cubePlan),
+          None)
+        val right = Aggregate(groupAttrs.map(g => pairsBy(g.name)),
+          rightGroups ++ pairsAggs,
+          condR.map(Filter(_, pairsPlan): LogicalPlan).getOrElse(pairsPlan),
+          None)
+        val joinCond = leftGroups.zip(rightGroups).map { case (l, r) =>
+          EqualNullSafe(l.toAttribute, r.toAttribute): Expression
+        }.reduceOption(And)
+        Some(Project(newAggExprs.map(_.get),
+          Join(left, right, Inner, joinCond, JoinHint.NONE)))
+      case _ => None
+    }
   }
 
   // ---- bucketed join ------------------------------------------------------

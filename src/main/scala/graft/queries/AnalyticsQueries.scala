@@ -1406,6 +1406,36 @@ object AnalyticsQueries {
           |WHERE l_returnflag = 'A'
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    /** The MIXED aggregate (r10 verdict task #5): `count(DISTINCT)` next
+      * to `count(*)`/`sum` in one GROUP BY, which NO single layout can
+      * serve — [[graft.plans.SqlLayoutRouting]] splits it, re-merging
+      * the cube partials and re-distincting the stored pairs, then joins
+      * the two group-count-sized sides back on the group columns
+      * (null-safe). The fact table is never scanned (plan pin in
+      * SqlRoutingSpec); the oracle is the same text over raw lineitem.
+      */
+    "a_sql_mixed" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd_partkey,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** The filtered mixed form: a WHERE on a group column BOTH layouts
+      * store filters each side's stored rows before the join — still no
+      * fact scan.
+      */
+    "a_sql_mixed_filtered" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_linestatus, count(DISTINCT l_partkey) AS cd_partkey,
+          |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS sum_price
+          |FROM li_cube
+          |WHERE l_returnflag = 'A'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
     /** Lag + moving average: previous order price and 3-order trailing mean
       * per customer — partitioned window, decimal sum then one double
       * division for cross-engine determinism.
@@ -2709,6 +2739,27 @@ object AnalyticsQueries {
     "a_sql_distinct_filtered" ->
       """SELECT l_linestatus,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    /** The mixed rewrite must land on exactly the single-scan answer:
+      * the distinct side re-distincts pairs, the rest re-merges cube
+      * partials, and the join on the group key loses nothing.
+      */
+    "a_sql_mixed" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_mixed_filtered" ->
+      """SELECT l_linestatus,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 

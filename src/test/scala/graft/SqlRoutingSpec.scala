@@ -296,6 +296,79 @@ class SqlRoutingSpec extends SparkSpec {
       "stale pairs must not serve SQL")
   }
 
+  test("MIXED aggregate routes through cube ⋈ pairs when both layouts cover") {
+    val cat = new Catalog(spark)
+    cat.open("li_mx", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_mx", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    cat.buildPairsLayout("li_mx", Seq("l_returnflag", "l_linestatus"),
+      "l_partkey")
+    val q = """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+              |    AS DOUBLE) AS sum_qty
+              |FROM li_mx GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && p.contains("catalog_pairs_"),
+      s"a mixed aggregate must scan BOTH layouts; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the mixed rewrite must never scan the fact table; plan:\n$p")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_returnflag,l_linestatus" && r.reason == "sql-routed"))
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "pairs:l_returnflag,l_linestatus:l_partkey" &&
+        r.reason == "sql-routed"))
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("cd"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+    // GLOBAL mixed aggregate: both sides single-row, 1×1 join
+    val global = cat.sql(
+      """SELECT count(DISTINCT l_partkey) AS cd, count(*) AS n
+        |FROM li_mx""".stripMargin)
+    assert(plan(global).contains("catalog_cube_") &&
+      plan(global).contains("catalog_pairs_"),
+      s"a global mixed aggregate must route; plan:\n${plan(global)}")
+    assert(global.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem")
+        .agg(count_distinct(col("l_partkey")).as("cd"),
+          count(lit(1)).as("n")).collect().map(_.toSeq).toSeq)
+    // filtered mixed: the group-column WHERE filters BOTH stored sides
+    val filtered = cat.sql(
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS cd,
+        |  count(*) AS n FROM li_mx
+        |WHERE l_returnflag = 'A' GROUP BY l_linestatus""".stripMargin)
+    assert(plan(filtered).contains("catalog_cube_") &&
+      plan(filtered).contains("catalog_pairs_"),
+      s"the filtered mixed form must route; plan:\n${plan(filtered)}")
+    assert(filtered.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem")
+        .filter(col("l_returnflag") === "A").groupBy("l_linestatus")
+        .agg(count_distinct(col("l_partkey")).as("cd"),
+          count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+    // a non-canonical sum poisons the cube side: the WHOLE mixed
+    // aggregate falls back to the live view (never a half-rewrite)
+    val nonCanon = cat.sql(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd,
+        |  sum(l_quantity) AS s
+        |FROM li_mx GROUP BY l_returnflag""".stripMargin)
+    assert(!plan(nonCanon).contains("catalog_cube_") &&
+      !plan(nonCanon).contains("catalog_pairs_"),
+      "a non-canonical leaf must refuse the mixed rewrite entirely")
+    // an edit invalidates both layouts: the text plans against the live view
+    assert(cat.get("li_mx").get.setCell(0L, "l_quantity", "42"))
+    assert(!plan(cat.sql(q)).contains("catalog_cube_"),
+      "stale layouts must not serve the mixed rewrite")
+  }
+
   test("rectangle predicate in SQL text routes through the z-ordered layout") {
     val cat = new Catalog(spark)
     cat.open("li_z_sql", s"$sf/lineitem.parquet",
