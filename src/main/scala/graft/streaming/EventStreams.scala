@@ -420,6 +420,31 @@ object EventStreams {
     }
   }
 
+  /** Streaming maintenance of a per-group HLL DISTINCT-COUNT sketch (the
+    * [[graft.core.Catalog]] sketch layout's stream side — r10 verdict
+    * task #6): each micro-batch sketches its own rows per group
+    * (`hll_sketch_agg`), then merges into the at-rest state with
+    * `hll_union_agg`. HLL register state is a MAX over hashed values —
+    * associative, commutative, idempotent — so the maintained registers
+    * are identical for any batching or arrival order of the same rows,
+    * and an estimate through the union+estimate path (the same
+    * expression [[graft.core.Catalog.approxDistinct]]'s routed branch
+    * uses) is digit-identical to one served from a batch-built layout.
+    * Per-batch work is batch + group-count-sized; the at-rest state is
+    * kilobytes per group, never data-sized.
+    */
+  def sketchMaintain(spark: SparkSession, srcPath: String,
+                     groupCols: Seq[String], sketchCol: String, lgK: Int,
+                     queryName: String): DataFrame =
+    maintainVersioned(spark, srcPath, queryName, "stream_sketch_") {
+      (prev, batch) =>
+        val partial = batch.groupBy(groupCols.map(col): _*)
+          .agg(hll_sketch_agg(col(sketchCol), lit(lgK)).as("__hll"))
+        prev.fold(partial)(p => p.unionByName(partial)
+          .groupBy(groupCols.map(col): _*)
+          .agg(hll_union_agg(col("__hll"), lit(false)).as("__hll")))
+    }
+
   /** Run a streaming query over a parquet directory with Trigger.AvailableNow
     * (process-everything-then-stop) into a memory sink; returns the result
     * table. This is the full streaming engine path — source → watermark →

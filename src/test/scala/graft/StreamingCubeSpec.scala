@@ -56,4 +56,43 @@ class StreamingCubeSpec extends SparkSpec {
       .orderBy("event_type").collect().map(_.toSeq).toSeq == expected,
       "arrival order must not change a single digit — all merges commute")
   }
+
+  test("maintained HLL sketch: arrival-order invariant, estimate equals the batch-built layout's routed path") {
+    val ev = Tables.loadEvents(spark, sf)
+      .select("event_id", "event_type", "user_id")
+
+    // the comparison target: a batch-BUILT sketch layout, served through
+    // the catalog's routed union+estimate path
+    val cat = new Catalog(spark)
+    cat.openFrom("ev_sk", ev, orderCols = Seq("event_id"))
+    cat.buildSketchLayout("ev_sk", Seq("event_type"), "user_id", lgK = 12)
+    val routed = cat.approxDistinct("ev_sk", Seq("event_type"), "user_id",
+        lgK = 12)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "sketch:event_type:user_id" && r.reason == "routed"))
+
+    // the maintained state estimates through the SAME union+estimate
+    // expression the routed branch uses: identical registers (max is
+    // associative) ⇒ identical digits
+    def estimates(maintained: DataFrame): Seq[Seq[Any]] = maintained
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("__hll"), lit(false))).as("nd_user_id"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+
+    val fwd = writeSlices(ev, "event_id", slices = 3, reverse = false)
+    val mF = EventStreams.sketchMaintain(spark, fwd, Seq("event_type"),
+      "user_id", 12, "st_sketch_spec_fwd")
+    assert(mF.count() == ev.select("event_type").distinct().count(),
+      "maintained state must be one sketch row per group, never data-sized")
+    assert(estimates(mF) == routed,
+      "the stream-maintained estimate must equal the batch-built layout's")
+
+    val rev = writeSlices(ev, "event_id", slices = 3, reverse = true)
+    val mR = EventStreams.sketchMaintain(spark, rev, Seq("event_type"),
+      "user_id", 12, "st_sketch_spec_rev")
+    assert(estimates(mR) == routed,
+      "arrival order must not move the estimate — register max commutes")
+  }
 }
