@@ -758,7 +758,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         case (slot, z: Catalog.ZOrderedLayout) if z.builtAtEpoch == s.epoch =>
           graft.plans.SqlRouting.ZOrderSqlRoute(z.colX, z.colY,
             (loX, hiX, loY, hiY) => {
-              val files = graft.io.SkippingIndex.candidateFiles2d(z.stats,
+              val files = graft.io.SkippingIndex.candidateFiles2dOpt(z.stats,
                 loX, hiX, loY, hiY)
               val base =
                 if (files.isEmpty) spark.read.parquet(z.path).limit(0)
@@ -1956,17 +1956,25 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                           idCol: Option[String] = None): String = {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
-    Seq(colX, colY).foreach { c =>
-      require(base.schema(c).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"z-order needs numeric columns; '$c' is ${base.schema(c).dataType}")
+    // each dimension bucketizes in ITS OWN type's monotone double image
+    // (r10 verdict task #7: the events-table time × numeric rectangle
+    // needs a timestamp dimension) — the image only orders rows for the
+    // Morton interleave; stats and predicates stay in the column's type
+    def dimd(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      base.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case TimestampType | TimestampNTZType | DateType =>
+          col(c).cast("timestamp").cast("double") // epoch seconds
+        case other => throw new IllegalArgumentException(
+          s"z-order needs numeric/timestamp/date columns; '$c' is $other")
+      }
     }
-    val b = base.agg(min(col(colX).cast("double")),
-      max(col(colX).cast("double")), min(col(colY).cast("double")),
-      max(col(colY).cast("double"))).head()
+    val b = base.agg(min(dimd(colX)), max(dimd(colX)),
+      min(dimd(colY)), max(dimd(colY))).head()
     def bucket(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      ((col(c) - lo) / span * ((1 << 16) - 1)).cast("long")
+      ((dimd(c) - lo) / span * ((1 << 16) - 1)).cast("long")
     }
     val z = graft.operators.ZOrder.zValue(
       bucket(colX, b.getDouble(0), b.getDouble(1)),
@@ -2003,8 +2011,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * session plan. Column ORDER is routing-irrelevant: (x, y) and
     * (y, x) requests serve from the same layout.
     */
-  def rangeScan2d(name: String, colX: String, loX: Double, hiX: Double,
-                  colY: String, loY: Double, hiY: Double): DataFrame = {
+  def rangeScan2d(name: String, colX: String, loX: Any, hiX: Any,
+                  colY: String, loY: Any, hiY: Any): DataFrame = {
     val (lay, rep) = decide(name, s"zorder:$colX,$colY", {
       case l: ZOrderedLayout => l.colX == colX && l.colY == colY
       case _ => false
@@ -2018,8 +2026,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       })
     recordRoute(if (lay2.isDefined || rep2.reason != "no-layout") rep2
       else rep)
-    def servePatched(l: ZOrderedLayout, lX: Double, hX: Double,
-                     lY: Double, hY: Double): DataFrame = {
+    def servePatched(l: ZOrderedLayout, lX: Any, hX: Any,
+                     lY: Any, hY: Any): DataFrame = {
       val files = graft.io.SkippingIndex.candidateFiles2d(l.stats,
         lX, hX, lY, hY)
       val base =
@@ -2028,8 +2036,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       // DML patch composes before the exact rectangle predicate: the
       // add-leg is never pruned, shadowed base rows never serve
       patchedFullRows(base, l.idCol, l.patch)
-        .filter(col(l.colX) >= lX && col(l.colX) <= hX &&
-          col(l.colY) >= lY && col(l.colY) <= hY)
+        .filter(col(l.colX) >= lit(lX) && col(l.colX) <= lit(hX) &&
+          col(l.colY) >= lit(lY) && col(l.colY) <= lit(hY))
     }
     lay2 match {
       case Some(l: ZOrderedLayout) if l.colX == colX =>
@@ -2038,8 +2046,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         servePatched(l, loY, hiY, loX, hiX)
       case _ =>
         Positional.strip(sessionOf(name).current)
-          .filter(col(colX) >= loX && col(colX) <= hiX &&
-            col(colY) >= loY && col(colY) <= hiY)
+          .filter(col(colX) >= lit(loX) && col(colX) <= lit(hiX) &&
+            col(colY) >= lit(loY) && col(colY) <= lit(hiY))
     }
   }
 

@@ -47,18 +47,33 @@ object SkippingIndex {
         count(lit(1)).as("n_rows"))
 
   /** Files whose (x, y) rectangle intersects [loX, hiX] × [loY, hiY]. */
-  def candidateFiles2d(stats: DataFrame, loX: Double, hiX: Double,
-                       loY: Double, hiY: Double): Seq[String] =
-    stats.filter(col("max_x") >= loX && col("min_x") <= hiX &&
-        col("max_y") >= loY && col("min_y") <= hiY)
+  def candidateFiles2d(stats: DataFrame, loX: Any, hiX: Any,
+                       loY: Any, hiY: Any): Seq[String] =
+    candidateFiles2dOpt(stats, Some(loX), Some(hiX), Some(loY), Some(hiY))
+
+  /** Typed, optionally-open-sided form: endpoints compare through `lit`
+    * in the stats columns' OWN types (numerics, timestamps, dates,
+    * strings — the same contract as [[candidateFilesOpt]]), and an open
+    * side prunes on the remaining bounds alone — so a one-sided time
+    * window still skips files on the other dimension.
+    */
+  def candidateFiles2dOpt(stats: DataFrame,
+                          loX: Option[Any], hiX: Option[Any],
+                          loY: Option[Any], hiY: Option[Any]): Seq[String] = {
+    val conds = loX.map(v => col("max_x") >= lit(v)).toSeq ++
+      hiX.map(v => col("min_x") <= lit(v)) ++
+      loY.map(v => col("max_y") >= lit(v)) ++
+      hiY.map(v => col("min_y") <= lit(v))
+    conds.reduceOption(_ && _).fold(stats)(stats.filter)
       .select("file").collect().map(_.getString(0)).toSeq
+  }
 
   /** Rectangle scan through the 2-D index: open only intersecting files,
     * then apply the exact predicate — byte-identical to the full scan.
     */
   def prunedRead2d(spark: SparkSession, stats: DataFrame, path: String,
-                   colX: String, loX: Double, hiX: Double,
-                   colY: String, loY: Double, hiY: Double): DataFrame = {
+                   colX: String, loX: Any, hiX: Any,
+                   colY: String, loY: Any, hiY: Any): DataFrame = {
     val files = candidateFiles2d(stats, loX, hiX, loY, hiY)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)

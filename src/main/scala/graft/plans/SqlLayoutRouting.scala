@@ -69,13 +69,16 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRanged(f: Filter, cond: Expression, name: String,
                         sa: SubqueryAlias): Option[Filter] = {
     // a 2-D layout wins when the predicate bounds BOTH its columns —
-    // it prunes on two dimensions where the ranged layout prunes on one
+    // it prunes on two dimensions where the ranged layout prunes on one.
+    // Each dimension's bounds resolve in its OWN type (numeric through
+    // the double fold, timestamp/date/string through boundsTyped), so a
+    // time × numeric rectangle routes too (r10 verdict task #7).
     val zRouted = routesFor(spark, name).collectFirst {
       case r: ZOrderSqlRoute
-          if boundsOn(cond, sa, r.colX).isDefined &&
-            boundsOn(cond, sa, r.colY).isDefined =>
-        val (loX, hiX) = boundsOn(cond, sa, r.colX).get
-        val (loY, hiY) = boundsOn(cond, sa, r.colY).get
+          if rangeBounds(cond, sa, r.colX).isDefined &&
+            rangeBounds(cond, sa, r.colY).isDefined =>
+        val (loX, hiX) = rangeBounds(cond, sa, r.colX).get
+        val (loY, hiY) = rangeBounds(cond, sa, r.colY).get
         remap(sa.output,
           r.pruned(loX, hiX, loY, hiY).queryExecution.analyzed).map {
           child => r.onRoute(); f.copy(child = child)
@@ -758,9 +761,13 @@ object SqlRouting {
     * part files whose per-file (x, y) rectangle intersects the caller's
     * bounds — the exact predicate is NOT applied (the caller keeps the
     * original Filter on top, same contract as [[RangedSqlRoute]]).
+    * Endpoints are EXTERNAL Scala values of each column's own type
+    * (Double for numerics; Instant / LocalDate / String for the ordered
+    * non-numeric types), each side optional so one-sided windows still
+    * prune the other bounds.
     */
   final case class ZOrderSqlRoute(colX: String, colY: String,
-      pruned: (Double, Double, Double, Double) => DataFrame,
+      pruned: (Option[Any], Option[Any], Option[Any], Option[Any]) => DataFrame,
       onRoute: () => Unit) extends SqlRoute
 
   /** A materialized aggregate cube on `groupCols` × `measures`:

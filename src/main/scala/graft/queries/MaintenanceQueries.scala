@@ -39,6 +39,24 @@ object MaintenanceQueries {
       c
     }
 
+  /** The TYPED 2-D catalog shared by o_catalog_ts_zorder /
+    * o_sql_ts_zorder: the events table Morton-clustered on
+    * (ts × user_id) — each dimension bucketized in its own type
+    * (r10 verdict task #7), so the dominant events-table predicate
+    * (a time window × an entity range) prunes on BOTH dimensions.
+    */
+  private def tsZorderCatalog(s: SparkSession,
+                              dir: String): graft.core.Catalog =
+    SessionScoped.memo(s, s"tsZorderCatalog:$dir") {
+      val c = new graft.core.Catalog(s)
+      c.openFrom("ev_z",
+        Tables.loadEvents(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value"),
+        Seq("event_id"))
+      c.buildZOrderedLayout("ev_z", "ts", "user_id", files = 16)
+      c
+    }
+
   /** Deterministic changeset for the MERGE queries: every 7th customer gets
     * a balance bump (update), every 50th is re-keyed +1_000_000 (insert).
     */
@@ -872,6 +890,42 @@ object MaintenanceQueries {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    /** TIME × ENTITY rectangle through a TYPED z-ordered layout (r10
+      * verdict task #7): events Morton-clustered on (ts, user_id), each
+      * dimension bucketized in its own type before the interleave, so
+      * the 2-D skipping index prunes part files on BOTH the time window
+      * and the user range — where a ts-only clustering serves only the
+      * window and a double-only z-order could not hold ts at all.
+      * Pruning is a performance contract (exact predicate re-applies),
+      * so the oracle is the plain conjunctive filter.
+      */
+    "o_catalog_ts_zorder" -> ((s, dir) => {
+      val cat = tsZorderCatalog(s, dir)
+      cat.rangeScan2d("ev_z", "ts",
+          java.time.Instant.parse("2024-01-10T00:00:00Z"),
+          java.time.Instant.parse("2024-01-20T00:00:00Z"),
+          "user_id", 2L, 9L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    /** The same rectangle as SQL TEXT: [[graft.plans.SqlLayoutRouting]]
+      * resolves each dimension's bounds in its own type (timestamp via
+      * the interpreted-ordering matcher, numeric via the double fold)
+      * and rewrites onto the 2-D-pruned file set.
+      */
+    "o_sql_ts_zorder" -> ((s, dir) => {
+      val cat = tsZorderCatalog(s, dir)
+      cat.sql(
+        """SELECT event_type, count(*) AS n
+          |FROM ev_z
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+          |  AND user_id BETWEEN 2 AND 9
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     /** Rectangle predicate through the catalog's Z-ORDERED layout
       * ([[graft.core.Catalog.buildZOrderedLayout]] / `rangeScan2d`):
       * lineitem clustered on the Morton interleave of (extendedprice,
@@ -1558,6 +1612,23 @@ object MaintenanceQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // typed 2-D pruning (ts × user) is a performance contract too
+    "o_catalog_ts_zorder" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id BETWEEN 2 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o_sql_ts_zorder" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id BETWEEN 2 AND 9
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // 2-D pruning is a performance contract: plain conjunctive filter

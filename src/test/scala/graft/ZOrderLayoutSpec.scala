@@ -93,6 +93,55 @@ class ZOrderLayoutSpec extends SparkSpec {
           col("l_quantity").between(10.0, 20.0)).count())
   }
 
+  test("TYPED z-order (ts × numeric): both dimensions prune in their own types") {
+    val c = new Catalog(spark)
+    c.openFrom("zev",
+      Tables.loadEvents(spark, sf)
+        .select("event_id", "user_id", "event_type", "ts", "value"),
+      Seq("event_id"))
+    c.buildZOrderedLayout("zev", "ts", "user_id", files = 8)
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-20T00:00:00Z")
+    val routed = c.rangeScan2d("zev", "ts", lo, hi, "user_id", 2L, 9L)
+    assert(plan(routed).contains("catalog_zorder_"),
+      s"a typed rectangle must route; plan:\n${plan(routed)}")
+    val live = Tables.loadEvents(spark, sf)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi) &&
+        col("user_id").between(2L, 9L))
+    assert(routed.select("event_id").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq ==
+      live.select("event_id").orderBy("event_id")
+        .collect().map(_.toSeq).toSeq,
+      "the typed rectangle answer must equal the plain filter")
+
+    // BOTH-dimension pruning pins: the time window alone skips, the
+    // user range alone skips — in each column's own type, never a
+    // double cast of the timestamp
+    val l = c.layoutsOf("zev").collectFirst {
+      case (_, z: Catalog.ZOrderedLayout) => z
+    }.get
+    val total = l.stats.count()
+    val tightTs = graft.io.SkippingIndex.candidateFiles2dOpt(l.stats,
+      Some(java.time.Instant.parse("2024-01-02T00:00:00Z")),
+      Some(java.time.Instant.parse("2024-01-04T00:00:00Z")), None, None)
+    assert(tightTs.size < total,
+      s"the time dimension must prune (${tightTs.size} of $total opened)")
+    val tightUser = graft.io.SkippingIndex.candidateFiles2dOpt(l.stats,
+      None, None, Some(0L), Some(1L))
+    assert(tightUser.size < total,
+      s"the user dimension must prune (${tightUser.size} of $total opened)")
+
+    // the SQL text of the same rectangle routes through the layout
+    val sql = c.sql(
+      """SELECT count(*) AS n FROM zev
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id BETWEEN 2 AND 9""".stripMargin)
+    assert(plan(sql).contains("catalog_zorder_"),
+      s"the typed SQL rectangle must route; plan:\n${plan(sql)}")
+    assert(sql.head().getLong(0) == live.count())
+  }
+
   test("durable z-order layout re-attaches in a fresh Catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
     val a = newCat(Some(wh))
