@@ -1359,15 +1359,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case p: RangedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p.idCol.get, p.path,
-            p.patch, pos, ids,
-            pt => p.copy(builtAtEpoch = s.epoch, patch = Some(pt))))
+          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
       case p: ZOrderedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p.idCol.get, p.path,
-            p.patch, pos, ids,
-            pt => p.copy(builtAtEpoch = s.epoch, patch = Some(pt))))
+          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -1376,26 +1372,196 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * ids' CURRENT full rows become the unclustered add-leg, their (and
     * any vanished) ids shadow out of the base — the clustered files and
     * their skipping stats never change, so pruning stays truthful and
-    * the serve-side union is edit-count-sized.
+    * the serve-side union is edit-count-sized. Past the merge bound the
+    * accumulated legs fold into only the base files they intersect
+    * ([[partialCompactFullRow]]); a full rebuild remains only when the
+    * fold has no locality to exploit.
     */
   private def patchFullRow(name: String, s: EditorSession, slot: String,
-                           id: String, basePath: String,
-                           oldPatch: Option[LayoutPatch], pos: Seq[Long],
-                           idsTouched: Boolean,
-                           updated: LayoutPatch => TableLayout): Unit = {
+                           l: TableLayout, pos: Seq[Long],
+                           idsTouched: Boolean): Unit = {
+    val (id, stats, oldPatch) = l match {
+      case r: RangedLayout => (r.idCol.get, r.stats, r.patch)
+      case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
+      case _ => return
+    }
     val changed = touchedRows(s, pos, id, Seq.empty)
     val nowIds = Positional.strip(s.current).select(col(id).as("id"))
-    mergedPatch(
+    val legs = mergeLegs(
       if (idsTouched) vanishedIds(
-        patchedFullRows(spark.read.parquet(basePath), Some(id), oldPatch)
+        patchedFullRows(fullRowBase(stats), Some(id), oldPatch)
           .select(col(id).as("id")), nowIds)
       else Array.empty[Any],
-      oldPatch, changed, keyName = id) match {
-      case None => rebuildSlot(name, layouts((name, slot))) // compaction
+      oldPatch, changed, keyName = id)
+    legsPatch(legs) match {
       case Some(patch) =>
-        layouts((name, slot)) = updated(patch)
+        layouts((name, slot)) = l match {
+          case r: RangedLayout =>
+            r.copy(builtAtEpoch = s.epoch, patch = Some(patch))
+          case z: ZOrderedLayout =>
+            z.copy(builtAtEpoch = s.epoch, patch = Some(patch))
+          case other => other
+        }
         persistPatch(name, slot, patch, Seq.empty, s)
+      case None =>
+        if (!partialCompactFullRow(name, s, slot, l, id, legs))
+          rebuildSlot(name, layouts((name, slot)))
     }
+  }
+
+  /** The full (unpatched) base of a clustered layout: the union of every
+    * file its skipping stats list. After a [[partialCompactFullRow]] the
+    * base spans the original dir plus merge dirs, so a path-based read
+    * would miss rows — the stats ARE the file manifest.
+    */
+  private def fullRowBase(stats: DataFrame): DataFrame =
+    spark.read.parquet(
+      stats.select("file").collect().map(_.getString(0)).toIndexedSeq: _*)
+
+  /** Total order over the driver-side stats/key values partial
+    * compaction compares (numbers across widths, timestamps, dates,
+    * strings); nulls first.
+    */
+  private def anyCmp(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Comparable[_], y: Any) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => 0
+  }
+
+  /** FILE-LOCAL compaction of a DML-patched clustered layout (r10
+    * verdict task #3): when the accumulated patch outgrows the merge
+    * bound, fold it into ONLY the base files it intersects — the files
+    * holding a shadowed id (one id-column-pruned scan finds them) plus
+    * the files whose key range each add row lands in (the skipping
+    * stats know without IO). Those files rewrite re-clustered into a
+    * fresh merge dir; EVERY OTHER base file stays byte-identical at its
+    * original path, and the new stats are the untouched entries plus
+    * freshly measured ones — pruning stays truthful and the layout
+    * serves patch-free. At 100 TB this is a Delta/Iceberg-style minor
+    * compaction: a localized edit burst rewrites the handful of files
+    * it touched, never the corpus. Returns false (caller rebuilds) when
+    * the fold would touch every file anyway.
+    */
+  private def partialCompactFullRow(name: String, s: EditorSession,
+                                    slot: String, l: TableLayout,
+                                    id: String,
+                                    legs: MergedLegs): Boolean = {
+    val stats = l match {
+      case r: RangedLayout => r.stats
+      case z: ZOrderedLayout => z.stats
+      case _ => return false
+    }
+    // stable driver-side census of the base files (manifest-sized)
+    val statsRows = stats.collect().sortBy(_.getAs[String]("file"))
+    val allFiles = statsRows.map(_.getAs[String]("file"))
+    implicit val ord: Ordering[Any] = (a, b) => anyCmp(a, b)
+
+    // target file per add row: the file whose key range the row's
+    // cluster value lands in (a gap value goes to its predecessor file;
+    // a value outside every range to the first/containing-nearest).
+    // Quality-only choice — the fresh stats keep pruning truthful.
+    val assign: org.apache.spark.sql.Row => String = l match {
+      case r: RangedLayout =>
+        val vIdx = legs.schema.fieldIndex(r.column)
+        val byMin = statsRows.sortBy(_.getAs[Any]("min_v"))
+        row => {
+          val v = row.get(vIdx)
+          if (v == null) byMin.head.getAs[String]("file")
+          else byMin.reverseIterator
+            .find(sr => anyCmp(sr.getAs[Any]("min_v"), v) <= 0)
+            .getOrElse(byMin.head).getAs[String]("file")
+        }
+      case z: ZOrderedLayout =>
+        val xIdx = legs.schema.fieldIndex(z.colX)
+        val yIdx = legs.schema.fieldIndex(z.colY)
+        row => {
+          val (x, y) = (row.get(xIdx), row.get(yIdx))
+          statsRows.find(sr =>
+            x != null && y != null &&
+              anyCmp(sr.getAs[Any]("min_x"), x) <= 0 &&
+              anyCmp(x, sr.getAs[Any]("max_x")) <= 0 &&
+              anyCmp(sr.getAs[Any]("min_y"), y) <= 0 &&
+              anyCmp(y, sr.getAs[Any]("max_y")) <= 0)
+            .getOrElse(statsRows.head).getAs[String]("file")
+        }
+      case _ => return false
+    }
+    val targets: Set[String] = legs.add.map(assign).toSet
+    val removedVals = legs.removed.filter(_ != null).toIndexedSeq
+    val withRemoved: Set[String] =
+      if (removedVals.isEmpty) Set.empty
+      else fullRowBase(stats)
+        .select(col(id), input_file_name().as("__f"))
+        .filter(col(id).isInCollection(removedVals))
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val rewrite = targets ++ withRemoved
+    if (rewrite.isEmpty) {
+      // degenerate: the legs shadow nothing present and add nothing —
+      // the layout is already base-exact, just drop the patch
+      layouts((name, slot)) = l match {
+        case r: RangedLayout => r.copy(builtAtEpoch = s.epoch, patch = None)
+        case z: ZOrderedLayout =>
+          z.copy(builtAtEpoch = s.epoch, patch = None)
+        case other => other
+      }
+      manifest.get((name, slot)).foreach(e =>
+        persistEntry(e.copy(patch = None, digest =
+          contentDigest(Positional.strip(s.current), Seq.empty))))
+      return true
+    }
+    if (rewrite.size >= allFiles.length) return false // no locality
+
+    // the fold job: shadowed rows out, add rows in, re-clustered into a
+    // fresh merge dir sized like the region it replaces
+    val keep = spark.read.parquet(rewrite.toIndexedSeq: _*)
+      .filter(col(id).isNull || !col(id).isInCollection(removedVals))
+    val addDf = spark.createDataFrame(
+      java.util.Arrays.asList(legs.add: _*), legs.schema)
+    val merged = keep.unionByName(addDf)
+    val (dir, rel, dataDir, fresh) = l match {
+      case r: RangedLayout =>
+        val (d, rl) = layoutRoot("catalog_ranged_pc_")
+        val dd = d + "/ranged"
+        writeRangedData(merged, r.column, math.max(1, rewrite.size), dd)
+        (d, rl, dd, graft.io.SkippingIndex.build(spark, dd, r.column))
+      case z: ZOrderedLayout =>
+        val (d, rl) = layoutRoot("catalog_zorder_pc_")
+        val dd = d + "/zordered"
+        writeZOrderedData(merged, z.colX, z.colY,
+          math.max(1, rewrite.size), dd)
+        (d, rl, dd,
+          graft.io.SkippingIndex.build2d(spark, dd, z.colX, z.colY))
+      case _ => return false
+    }
+    val newStats = stats
+      .filter(!col("file").isInCollection(rewrite.toIndexedSeq))
+      .unionByName(fresh)
+      .localCheckpoint(true)
+    layouts((name, slot)) = l match {
+      case r: RangedLayout =>
+        r.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
+          patch = None)
+      case z: ZOrderedLayout =>
+        z.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
+          patch = None)
+      case other => other
+    }
+    rel.foreach { r =>
+      newStats.write.parquet(dir + "/stats")
+      val base = Positional.strip(s.current)
+      // the base CHANGED, so the build-time signature sidecar must too —
+      // a later diverged reopen diffs against what the files now hold
+      writeRowSig(base, dir, col(id), Seq.empty)
+      manifest.get((name, slot)).foreach(e => persistEntry(e.copy(
+        path = Some(r), patch = None,
+        digest = contentDigest(base, Seq.empty))))
+    }
+    true
   }
 
   private def rebuildSlot(name: String, l: TableLayout): Unit = l match {
@@ -1476,12 +1642,21 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     */
   private val compactionRows = 8 * deltaMaxRows
 
-  private def mergedPatch(removedNew0: => Array[Any],
-                          oldPatch: Option[LayoutPatch],
-                          add0: DataFrame,
-                          keyName: String = "id"): Option[LayoutPatch] = {
+  /** The driver-side merged patch state: every add row (old legs minus
+    * superseded keys, plus this refresh's), every key to shadow, and the
+    * add rows' schema + key index — enough for [[legsPatch]] to persist
+    * OR for [[partialCompactFullRow]] to fold into base files.
+    */
+  private case class MergedLegs(add: Array[org.apache.spark.sql.Row],
+                                removed: Array[Any],
+                                schema: org.apache.spark.sql.types.StructType,
+                                idIdx: Int)
+
+  private def mergeLegs(removedNew0: => Array[Any],
+                        oldPatch: Option[LayoutPatch],
+                        add0: DataFrame,
+                        keyName: String = "id"): MergedLegs = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.StructType
     val addSchema = add0.schema
     val idIdx = addSchema.fieldIndex(keyName)
     val addNew = add0.collect()
@@ -1492,16 +1667,22 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .filterNot(r => newKeys.contains(r.get(idIdx)))
     val oldRemoved = oldPatch
       .map(_.removed.collect().map(_.get(0))).getOrElse(Array.empty[Any])
-    val mergedAdd = oldAdd ++ addNew
-    val mergedRemoved =
-      (oldRemoved ++ removedNew ++ addNew.map(_.get(idIdx))).distinct
-    if (mergedAdd.length > compactionRows ||
-        mergedRemoved.length > compactionRows) return None
-    val idSchema = StructType(Seq(addSchema(idIdx).copy(name = "id")))
+    MergedLegs(oldAdd ++ addNew,
+      (oldRemoved ++ removedNew ++ addNew.map(_.get(idIdx))).distinct,
+      addSchema, idIdx)
+  }
+
+  /** Persist merged legs as a patch, or None past the compaction bound. */
+  private def legsPatch(legs: MergedLegs): Option[LayoutPatch] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    if (legs.add.length > compactionRows ||
+        legs.removed.length > compactionRows) return None
+    val idSchema = StructType(Seq(legs.schema(legs.idIdx).copy(name = "id")))
     val addDf = spark.createDataFrame(
-      java.util.Arrays.asList(mergedAdd: _*), addSchema)
+      java.util.Arrays.asList(legs.add: _*), legs.schema)
     val removedDf = spark.createDataFrame(
-      java.util.Arrays.asList(mergedRemoved.map(Row(_)): _*), idSchema)
+      java.util.Arrays.asList(legs.removed.map(Row(_)): _*), idSchema)
     Some(warehouse match {
       case Some(_) =>
         val (dir, rel) = layoutRoot("catalog_patch_")
@@ -1512,6 +1693,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case None => LayoutPatch(addDf, removedDf, None)
     })
   }
+
+  private def mergedPatch(removedNew0: => Array[Any],
+                          oldPatch: Option[LayoutPatch],
+                          add0: DataFrame,
+                          keyName: String = "id"): Option[LayoutPatch] =
+    legsPatch(mergeLegs(removedNew0, oldPatch, add0, keyName))
 
   private def patchPq(name: String, s: EditorSession, slot: String,
                       p: PqCodesLayout, pos: Seq[Long],
@@ -1902,16 +2089,20 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * .RangedLayout]]): bounded edits/inserts/deletes refresh without
     * re-clustering.
     */
+  /** Range-cluster `df` on `column` into `files` sorted part files. */
+  private def writeRangedData(df: DataFrame, column: String, files: Int,
+                              path: String): Unit =
+    df.repartitionByRange(files, col(column))
+      .sortWithinPartitions(column)
+      .write.parquet(path)
+
   def buildRangedLayout(name: String, column: String, files: Int = 8,
                         idCol: Option[String] = None): String = {
     val s = sessionOf(name)
     val base = Positional.strip(s.current)
     val (dir, rel) = layoutRoot("catalog_ranged_")
     val path = dir + "/ranged"
-    base
-      .repartitionByRange(files, org.apache.spark.sql.functions.col(column))
-      .sortWithinPartitions(column)
-      .write.parquet(path)
+    writeRangedData(base, column, files, path)
     val stats = graft.io.SkippingIndex.build(spark, path, column)
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
@@ -1951,18 +2142,17 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * rectangle intersects the predicate — pruning on EITHER dimension,
     * which a single-column clustering cannot give.
     */
-  def buildZOrderedLayout(name: String, colX: String, colY: String,
-                          files: Int = 16,
-                          idCol: Option[String] = None): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    // each dimension bucketizes in ITS OWN type's monotone double image
-    // (r10 verdict task #7: the events-table time × numeric rectangle
-    // needs a timestamp dimension) — the image only orders rows for the
-    // Morton interleave; stats and predicates stay in the column's type
+  /** Morton-cluster `df` on (colX, colY) into `files` part files. Each
+    * dimension bucketizes in ITS OWN type's monotone double image (r10
+    * verdict task #7: the events-table time × numeric rectangle needs a
+    * timestamp dimension) — the image only orders rows for the
+    * interleave; stats and predicates stay in the column's type.
+    */
+  private def writeZOrderedData(df: DataFrame, colX: String, colY: String,
+                                files: Int, path: String): Unit = {
     def dimd(c: String): org.apache.spark.sql.Column = {
       import org.apache.spark.sql.types._
-      base.schema(c).dataType match {
+      df.schema(c).dataType match {
         case _: NumericType => col(c).cast("double")
         case TimestampType | TimestampNTZType | DateType =>
           col(c).cast("timestamp").cast("double") // epoch seconds
@@ -1970,7 +2160,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           s"z-order needs numeric/timestamp/date columns; '$c' is $other")
       }
     }
-    val b = base.agg(min(dimd(colX)), max(dimd(colX)),
+    val b = df.agg(min(dimd(colX)), max(dimd(colX)),
       min(dimd(colY)), max(dimd(colY))).head()
     def bucket(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
@@ -1979,13 +2169,21 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val z = graft.operators.ZOrder.zValue(
       bucket(colX, b.getDouble(0), b.getDouble(1)),
       bucket(colY, b.getDouble(2), b.getDouble(3)), bitsPer = 16)
-    val (dir, rel) = layoutRoot("catalog_zorder_")
-    val path = dir + "/zordered"
-    base.withColumn("__z", z)
+    df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.parquet(path)
+  }
+
+  def buildZOrderedLayout(name: String, colX: String, colY: String,
+                          files: Int = 16,
+                          idCol: Option[String] = None): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_zorder_")
+    val path = dir + "/zordered"
+    writeZOrderedData(base, colX, colY, files, path)
     val stats = graft.io.SkippingIndex.build2d(spark, path, colX, colY)
       .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
     layouts((name, s"zorder:$colX,$colY")) =

@@ -143,6 +143,87 @@ class RangedDmlSpec extends SparkSpec {
       "the edited row must serve its new value from the add-leg")
   }
 
+  test("past the merge bound, localized DML folds into ONLY the intersecting files (partial compaction)") {
+    // tiny bounds: deltaMaxRows=2 → compactionRows=16, so nine 2-row
+    // edit cycles cross the bound without building giant literal plans
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_pc_")
+      .toString
+    val cat = new Catalog(spark, Some(wh), deltaMaxRowsOverride = Some(2))
+    cat.open("ropc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("ropc", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val built = rangedOf(cat, "ropc")
+    val s = cat.get("ropc").get
+
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val stats0 = built.stats.collect()
+    val target = stats0.minBy(_.getAs[Double]("min_v"))
+    val targetFile = norm(target.getAs[String]("file"))
+    val others = stats0.map(r => norm(r.getAs[String]("file")))
+      .filterNot(_ == targetFile).toSeq
+    def sig(p: String) = {
+      val f = new java.io.File(p); (f.length(), f.lastModified())
+    }
+    val otherSigs = others.map(p => p -> sig(p)).toMap
+
+    // 18 edits of a NON-cluster column, every edited row strictly inside
+    // the target file's value range: all add rows land in — and all
+    // shadowed ids live in — that ONE file
+    val posInFile = s.current
+      .filter(col("o_totalprice") > target.getAs[Double]("min_v") &&
+        col("o_totalprice") < target.getAs[Double]("max_v"))
+      .select(col(Positional.POS)).orderBy(Positional.POS)
+      .limit(18).collect().map(_.getLong(0)).toSeq
+    assert(posInFile.length == 18, "fixture needs 18 rows in one file")
+    posInFile.grouped(2).foreach { pair =>
+      assert(s.setCells("o_orderstatus", pair.map(p => p -> "Q")))
+      assert(cat.refreshStale("ropc") == Seq("range:o_totalprice"))
+    }
+
+    // the 9th refresh crossed the bound: folded, patch-free, routed
+    val pc = rangedOf(cat, "ropc")
+    assert(pc.patch.isEmpty, "compaction must fold the patch away")
+    assert(pc.path != built.path && pc.path.contains("catalog_ranged_pc_"),
+      s"the fold must write a fresh merge dir; path=${pc.path}")
+    assert(cat.explainRoute("ropc", "range:o_totalprice").reason == "routed")
+    val afterFiles = pc.stats.collect()
+      .map(r => norm(r.getAs[String]("file"))).toSeq
+    assert(!afterFiles.contains(targetFile),
+      "the intersecting file must be replaced in the stats")
+    others.foreach { p =>
+      assert(afterFiles.contains(p), s"untouched file must stay listed: $p")
+      assert(sig(p) == otherSigs(p), s"untouched file must stay byte-identical: $p")
+    }
+    assert(afterFiles.exists(_.contains("catalog_ranged_pc_")))
+
+    // answers exact, and the folded edits serve their new values
+    val all = cat.rangeScan("ropc", "o_totalprice", 0.0, 1e9)
+    assert(plan(all).contains("catalog_ranged_"))
+    assert(all.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      liveScan(s, 0.0, 1e9))
+    assert(all.filter(col("o_orderstatus") === "Q").count() == 18L)
+
+    // durable: a fresh catalog reconstructs the compacted layout whose
+    // base spans the original dir AND the merge dir
+    val cat2 = new Catalog(spark, Some(wh))
+    cat2.openFrom("ropc", Positional.strip(s.current),
+      orderCols = Seq("o_orderkey"))
+    assert(cat2.explainRoute("ropc", "range:o_totalprice").reason ==
+      "routed", "a reopen must attach the compacted layout")
+    assert(cat2.rangeScan("ropc", "o_totalprice", 0.0, 1e9).count() ==
+      s.rowCount)
+
+    // vacuum composes: the original dir is PARTIALLY referenced — the
+    // replaced file sweeps away, the untouched files stay, serving holds
+    cat.vacuum(graceMs = 0L)
+    assert(!new java.io.File(targetFile).exists,
+      "the replaced base file is garbage after the fold")
+    others.foreach(p => assert(new java.io.File(p).exists,
+      s"vacuum must keep the still-referenced file $p"))
+    assert(cat.rangeScan("ropc", "o_totalprice", 0.0, 1e9).count() ==
+      s.rowCount)
+  }
+
   test("a diverged durable reopen patches the ranged layout from its row-sig sidecar") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_rd_")
       .toString
