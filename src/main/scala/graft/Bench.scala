@@ -315,6 +315,7 @@ object Bench {
     def runSet(): Seq[(String, Double, Double, Long)] =
       workloads(sfDir).map { case (name, fn) =>
         def pass(): (Double, Long) = {
+          System.gc() // collect the previous workload's garbage OFF the clock
           val t0 = System.nanoTime()
           // rows = -1 marks a failed workload: its (short) elapsed time must
           // not read as a speedup, so `value` below carries a failure penalty.
@@ -387,19 +388,46 @@ object Bench {
         ()
       }
     }
+    // Anti-inflation settle pass (r10 verdict task #2): the two in-suite
+    // passes of a workload run back-to-back inside the SAME neighborhood
+    // of page-cache/GC context, so a workload can record ~2x its
+    // standalone cost with zero pass-to-pass variance — the r10 record
+    // carried r1_edit_burst_1k at 4.13 s where a standalone run measured
+    // 1.85 s, and the variance detector (correctly) saw nothing. After
+    // the timed sets every workload re-measures ONCE MORE in REVERSE
+    // order behind a GC + settle window; the recorded min folds that
+    // pass in, and the raw settled times land in the JSON so the
+    // recording shows which context produced each number.
+    val settled: Map[String, Double] = workloads(sfDir).reverse.map {
+      case (name, fn) =>
+        System.gc()
+        Thread.sleep(200)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
     val loadAfter = loadAvg1()
 
-    val qs = results.map { case (k, t1, t2, _) => "\"" + k + "\":" + math.min(t1, t2) }
+    // a failed workload keeps its penalty: the settled pass never hides
+    // a failure, it only tightens a successful recording
+    def finalMin(k: String, t1: Double, t2: Double, r: Long): Double = {
+      val s = settled.getOrElse(k, -1.0)
+      if (r < 0 || s < 0) math.min(t1, t2)
+      else math.min(math.min(t1, t2), s)
+    }
+    val qs = results.map { case (k, t1, t2, r) => "\"" + k + "\":" + finalMin(k, t1, t2, r) }
       .mkString("{", ",", "}")
     val ps = results.map { case (k, t1, t2, _) => "\"" + k + "\":[" + t1 + "," + t2 + "]" }
+      .mkString("{", ",", "}")
+    val ss = results.map { case (k, _, _, _) => "\"" + k + "\":" + settled.getOrElse(k, -1.0) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._4 < 0)
     // penalize failures (600s each) so a fast-failing workload can never
     // improve the headline total
-    val total = results.map { case (_, t1, t2, _) => math.min(t1, t2) }.sum + 600.0 * nFailed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"rows":$rs,"failed":$nFailed,"load_before":$externalLoad,"load_after":$loadAfter,"attempts":$attempt,"contended":$contended,"sf":"$sfDir"}""")
+    val total = results.map { case (k, t1, t2, r) => finalMin(k, t1, t2, r) }.sum + 600.0 * nFailed
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"settled":$ss,"rows":$rs,"failed":$nFailed,"load_before":$externalLoad,"load_after":$loadAfter,"attempts":$attempt,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
