@@ -1423,6 +1423,20 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** The live fact-scan leg of the mixed aggregate — the comparison
+      * baseline the cube ⋈ pairs rewrite replaces (every fact row
+      * shuffles for the distinct AND feeds the sums). Registered so the
+      * serving-vs-scan gap is measured at scale, not asserted.
+      */
+    "a_mixed_scan" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("cd_partkey"),
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     /** The filtered mixed form: a WHERE on a group column BOTH layouts
       * store filters each side's stored rows before the join — still no
       * fact scan.
@@ -2747,6 +2761,15 @@ object AnalyticsQueries {
       * partials, and the join on the group key loses nothing.
       */
     "a_sql_mixed" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "a_mixed_scan" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
         |  count(*) AS n,
