@@ -354,6 +354,26 @@ class SqlRoutingSpec extends SparkSpec {
         .filter(col("l_returnflag") === "A").groupBy("l_linestatus")
         .agg(count_distinct(col("l_partkey")).as("cd"),
           count(lit(1)).as("n")).collect().map(_.toSeq).toSet)
+    // HAVING sits above the aggregate — the mixed rewrite's final
+    // project re-emits the original exprIds, so it must stay routed
+    val having = cat.sql(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd,
+        |  count(*) AS n
+        |FROM li_mx GROUP BY l_returnflag HAVING count(*) > 1""".stripMargin)
+    assert(plan(having).contains("catalog_cube_") &&
+      plan(having).contains("catalog_pairs_"),
+      s"HAVING must not defeat the mixed rewrite; plan:\n${plan(having)}")
+    assert(having.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("cd"),
+          count(lit(1)).as("n")).filter(col("n") > 1)
+        .collect().map(_.toSeq).toSet)
+    // the join of the two group-count-sized sides must never sort-merge:
+    // both inputs are aggregate outputs measured in groups, so the
+    // physical join is a broadcast
+    assert(plan(routed).contains("BroadcastHashJoin") ||
+      plan(routed).contains("BroadcastNestedLoopJoin"),
+      s"the group-sized join must broadcast; plan:\n${plan(routed)}")
     // a non-canonical sum poisons the cube side: the WHOLE mixed
     // aggregate falls back to the live view (never a half-rewrite)
     val nonCanon = cat.sql(
