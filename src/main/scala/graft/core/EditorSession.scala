@@ -1385,7 +1385,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
       case _ => return
     }
-    val changed = touchedRows(s, pos, id, Seq.empty)
+    val changed = touchedRows(s, pos, id, Seq.empty).getOrElse {
+      rebuildSlot(name, layouts((name, slot))); return // null key
+    }
     val nowIds = Positional.strip(s.current).select(col(id).as("id"))
     val legs = mergeLegs(
       if (idsTouched) vanishedIds(
@@ -1523,16 +1525,23 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val addDf = spark.createDataFrame(
       java.util.Arrays.asList(legs.add: _*), legs.schema)
     val merged = keep.unionByName(addDf)
+    // a pure-delete fold can empty the merged region (every row of the
+    // rewrite files shadowed, nothing added): the clustered writes can't
+    // derive bucket bounds from zero rows, so write the schema-only
+    // empty parquet plainly — its stats are zero rows, pruning exact
+    val mergedEmpty = legs.add.isEmpty && merged.isEmpty
     val (dir, rel, dataDir, fresh) = l match {
       case r: RangedLayout =>
         val (d, rl) = layoutRoot("catalog_ranged_pc_")
         val dd = d + "/ranged"
-        writeRangedData(merged, r.column, math.max(1, rewrite.size), dd)
+        if (mergedEmpty) merged.coalesce(1).write.parquet(dd)
+        else writeRangedData(merged, r.column, math.max(1, rewrite.size), dd)
         (d, rl, dd, graft.io.SkippingIndex.build(spark, dd, r.column))
       case z: ZOrderedLayout =>
         val (d, rl) = layoutRoot("catalog_zorder_pc_")
         val dd = d + "/zordered"
-        writeZOrderedData(merged, z.colX, z.colY,
+        if (mergedEmpty) merged.coalesce(1).write.parquet(dd)
+        else writeZOrderedData(merged, z.colX, z.colY,
           math.max(1, rewrite.size), dd)
         (d, rl, dd,
           graft.io.SkippingIndex.build2d(spark, dd, z.colX, z.colY))
@@ -1597,17 +1606,23 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * touched id lands in the add-leg, so the by-id shadow can't drop
     * one) — and it's what lets INSERTED rows and edited rows share one
     * path.
+    *
+    * None when a touched row's id is NULL: a null key can't be shadowed
+    * (the serve-side anti-join and the id filter here both skip nulls —
+    * the same reason [[divergedAttach]] declines null keys), so the
+    * caller must REBUILD rather than silently serve the stale row.
     */
   private def touchedRows(s: EditorSession, pos: Seq[Long], idCol: String,
-                          cols: Seq[String]): DataFrame = {
+                          cols: Seq[String]): Option[DataFrame] = {
     val base = Positional.strip(s.current)
     def proj(df: DataFrame) =
       if (cols.isEmpty) df else df.select(cols.map(col): _*) // empty = all
-    if (pos.isEmpty) proj(base).limit(0)
+    if (pos.isEmpty) Some(proj(base).limit(0))
     else {
       val ids = s.current.filter(col(Positional.POS).isInCollection(pos))
         .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
-      proj(base.filter(col(idCol).isInCollection(ids)))
+      if (ids.contains(null)) None
+      else Some(proj(base.filter(col(idCol).isInCollection(ids))))
     }
   }
 
@@ -1704,6 +1719,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                       p: PqCodesLayout, pos: Seq[Long],
                       idsTouched: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
+      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
       p.vecCol, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
@@ -1725,6 +1741,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                          p: IvfPqCellLayout, pos: Seq[Long],
                          idsTouched: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
+      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
       p.vecCol, p.cents, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
@@ -1751,6 +1768,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                        p: LshIndexLayout, pos: Seq[Long],
                        idsTouched: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
+      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
       p.n, p.numHashes, p.bands)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
@@ -1779,6 +1797,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                             idsTouched: Boolean,
                             remeasure: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
+      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
       p.textCol, p.buckets)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
@@ -2446,6 +2465,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       else vacuumIn(wh, whPath, fs, graceMs)
     }
 
+  /** First time each candidate path was OBSERVED unreferenced: the grace
+    * window measures time-since-supersession, not file age — a dir built
+    * hours ago but superseded seconds ago must survive the window for
+    * the in-flight readers the guard exists for (a modification-time
+    * check would delete it immediately). Entries clear when a path
+    * becomes referenced again (a dormant entry's dir, a new pin).
+    */
+  private val unreferencedSince = mutable.HashMap.empty[String, Long]
+
   private def vacuumIn(wh: String, whPath: org.apache.hadoop.fs.Path,
                        fs: org.apache.hadoop.fs.FileSystem,
                        graceMs: Long): Seq[String] = {
@@ -2459,20 +2487,26 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           p.stripPrefix(whAbs + "/").split("/").headOption
         else None
       }
+      // diff against the UNION of this catalog's manifest and the one on
+      // disk: the warehouse is documented single-writer, but a reopened
+      // or concurrent catalog's freshly persisted layouts must read as
+      // referenced, not as garbage
+      val allEntries: Seq[LayoutManifestEntry] =
+        (manifest.values.toSeq ++ LayoutStore.load(spark, wh)).distinct
       val live = layouts.values.toSeq ++ pins.values.flatMap(_.layouts.values)
       // dirs referenced by name: manifest entries + live/pinned layouts
       val dirRefs: Set[String] =
-        manifest.values.flatMap(e => e.path.toSeq ++ e.patch.toSeq)
+        allEntries.flatMap(e => e.path.toSeq ++ e.patch.toSeq)
           .map(_.split("/").head).toSet ++
           live.flatMap(l => layoutPathsOf(l).flatMap(relTop) ++
             patchOf(l).flatMap(_.path).map(_.split("/").head))
       // data files referenced through skipping-stats lists (a partially
       // compacted clustered layout's base spans dirs) — live/pinned stats
       // plus dormant manifest entries' stats sidecars
-      val dormantStats = manifest.collect {
-        case ((n, slot), e)
-            if (e.kind == "range" || e.kind == "zorder") &&
-              e.path.isDefined && !layouts.contains((n, slot)) =>
+      val liveKeys = layouts.keySet
+      val dormantStats = allEntries.collect {
+        case e if (e.kind == "range" || e.kind == "zorder") &&
+              e.path.isDefined && !liveKeys.contains((e.session, e.slot)) =>
           Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
             .select("file").collect().map(_.getString(0)).toSeq)
             .getOrElse(Seq.empty)
@@ -2481,24 +2515,38 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         (live.flatMap(statsFilesOf) ++ dormantStats).map(norm).toSet
       val fileRefDirs: Set[String] = fileRefs.flatMap(relTop)
       val deleted = mutable.ArrayBuffer.empty[String]
+      // grace by OBSERVATION: a path deletes only after sitting
+      // unreferenced for a full window across vacuum passes (grace 0 =
+      // delete now, the spec/operator-forced form)
+      def expired(key: String): Boolean =
+        graceMs <= 0 || {
+          val since = unreferencedSince.getOrElseUpdate(key, now)
+          now - since >= graceMs
+        }
       def sweepFiles(dir: Path, rel: String): Unit =
         fs.listStatus(dir).foreach { st =>
           if (st.isDirectory) sweepFiles(st.getPath, s"$rel/${st.getPath.getName}")
-          else if (!fileRefs.contains(norm(st.getPath.toString)) &&
-              now - st.getModificationTime > graceMs) {
-            fs.delete(st.getPath, false)
-            deleted += s"$rel/${st.getPath.getName}"
+          else {
+            val abs = norm(st.getPath.toString)
+            if (fileRefs.contains(abs)) unreferencedSince.remove(abs)
+            else if (expired(abs)) {
+              fs.delete(st.getPath, false)
+              unreferencedSince.remove(abs)
+              deleted += s"$rel/${st.getPath.getName}"
+            }
           }
         }
       fs.listStatus(whPath).foreach { st =>
         val name = st.getPath.getName
         if (name != "_manifest") {
-          if (dirRefs.contains(name)) () // fully referenced: keep
+          if (dirRefs.contains(name)) { unreferencedSince.remove(name); () }
           else if (fileRefDirs.contains(name)) {
             // partially referenced (stats-listed files only): file sweep
+            unreferencedSince.remove(name)
             sweepFiles(st.getPath, name)
-          } else if (now - st.getModificationTime > graceMs) {
+          } else if (expired(name)) {
             fs.delete(st.getPath, true)
+            unreferencedSince.remove(name)
             deleted += name
           }
         }

@@ -287,6 +287,28 @@ class RangedDmlSpec extends SparkSpec {
     assert(scan.filter(col("o_orderstatus") === "Q").count() == 18L)
   }
 
+  test("a touched row with a NULL id rebuilds instead of serving stale (no shadow key for null)") {
+    val cat = new Catalog(spark)
+    val base = Tables.load(spark, sf, "orders")
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") === 5L, lit(null)).otherwise(col("o_orderkey")))
+    cat.openFrom("ronull", base, orderCols = Seq("o_totalprice"))
+    cat.buildRangedLayout("ronull", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val built = rangedOf(cat, "ronull")
+    val s = cat.get("ronull").get
+    val nullPos = s.current.filter(col("o_orderkey").isNull)
+      .select(col(Positional.POS)).head().getLong(0)
+    assert(s.setCell(nullPos, "o_totalprice", "424242.42"))
+    assert(cat.refreshStale("ronull") == Seq("range:o_totalprice"))
+    val after = rangedOf(cat, "ronull")
+    assert(after.path != built.path && after.patch.isEmpty,
+      "a null-id touched row has no shadow key: the refresh must REBUILD")
+    val hit = cat.rangeScan("ronull", "o_totalprice", 424000.0, 425000.0)
+    assert(hit.filter(col("o_totalprice") === 424242.42).count() == 1L,
+      "the rebuilt layout must serve the null-id row's NEW value")
+  }
+
   test("a diverged durable reopen patches the ranged layout from its row-sig sidecar") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_rd_")
       .toString

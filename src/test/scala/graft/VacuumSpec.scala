@@ -90,6 +90,59 @@ class VacuumSpec extends SparkSpec {
     assert(topDirs(wh).count(_.startsWith("catalog_patch_")) == strands)
   }
 
+  test("vacuum sees the ON-DISK manifest: another catalog's fresh layout is never garbage") {
+    val wh = newWarehouse()
+    val a = new Catalog(spark, Some(wh))
+    a.open("va", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    a.buildPqLayout("va", "vec_id", "embedding")
+    // strand one patch dir under A so its vacuum has something to collect
+    assert(a.get("va").get.setCell(1L, "vec_id", "820001"))
+    assert(a.refreshStale("va").nonEmpty)
+    assert(a.get("va").get.setCell(2L, "vec_id", "820002"))
+    assert(a.refreshStale("va").nonEmpty)
+
+    // a SECOND catalog over the same warehouse persists a new layout —
+    // A's in-memory manifest (loaded at construction) knows nothing of it
+    val b = new Catalog(spark, Some(wh))
+    b.open("vb", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    b.buildRangedLayout("vb", "o_totalprice", files = 4)
+    val bDirs = topDirs(wh).filter(_.startsWith("catalog_ranged_"))
+    assert(bDirs.nonEmpty)
+
+    val deleted = a.vacuum(graceMs = 0L)
+    assert(deleted.nonEmpty, "A's own superseded patch dir must collect")
+    assert(bDirs.subsetOf(topDirs(wh)),
+      "B's manifest-persisted layout must survive A's vacuum")
+    // B still serves from it
+    assert(b.rangeScan("vb", "o_totalprice", 1000.0, 50000.0).count() ==
+      Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice").between(1000.0, 50000.0)).count())
+  }
+
+  test("the grace window measures time-since-unreferenced, not file age") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("vold", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("vold", "vec_id", "embedding")
+    val dir = topDirs(wh).find(_.startsWith("catalog_pq_")).get
+    // age the dir far past the grace window, THEN supersede it: an
+    // mtime-based guard would delete it at once, stranding any reader
+    // handed a plan seconds ago
+    val f = new java.io.File(s"$wh/$dir")
+    assert(f.setLastModified(System.currentTimeMillis() - 3600000L))
+    val s = cat.get("vold").get
+    assert(s.setCell(1L, "vec_id", "830001"))
+    assert(s.undo()) // structural gesture → the next refresh REBUILDS
+    assert(cat.refreshStale("vold").nonEmpty) // old dir superseded
+    assert(topDirs(wh).count(_.startsWith("catalog_pq_")) >= 2)
+    assert(!cat.vacuum(graceMs = 600000L).contains(dir),
+      "a JUST-superseded dir must survive its first graceful vacuum " +
+        "regardless of its modification time")
+    assert(topDirs(wh).contains(dir))
+    // an explicit grace-0 vacuum collects it
+    assert(cat.vacuum(graceMs = 0L).contains(dir))
+  }
+
   test("pinned snapshot serves the pre-edit answer during maintenance; vacuum honors the pin") {
     val wh = newWarehouse()
     val cat = new Catalog(spark, Some(wh))
