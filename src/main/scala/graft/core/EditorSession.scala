@@ -1652,10 +1652,55 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * each refresh is delta-bounded, but the MERGE accumulates across
     * refresh cycles, and an ever-growing leg would eventually dominate
     * the serve-side broadcast. Callers treat a None from [[mergedPatch]]
-    * as "rebuild now" — the rebuild IS the compaction (fresh base, no
-    * patch).
+    * as "compact now": keyed layouts MERGE-COMPACT ([[compactKeyed]] —
+    * an IO-bound stored-size rewrite, never a corpus re-encode),
+    * clustered layouts fold file-locally ([[partialCompactFullRow]]);
+    * a full rebuild remains only where no cheaper fold exists.
     */
   private val compactionRows = 8 * deltaMaxRows
+
+  /** MERGE-COMPACT a keyed layout past the patch bound (r11): fold the
+    * accumulated legs into a rewritten copy of the STORED relation —
+    * shadowed keys filtered out, the already-encoded add rows appended —
+    * so compaction costs an IO-bound rewrite of the stored-size data.
+    * The corpus is never re-read: a PQ compaction copies codes instead
+    * of re-running the encoder, an LSH compaction copies signatures
+    * instead of re-shingling, a cube/pairs compaction copies
+    * group-count-sized rows instead of re-aggregating the fact table.
+    * Build parameters (codebook seeds, banding, lgK) are preserved, so
+    * the folded relation equals base-plus-patch serving exactly.
+    *
+    * @return the folded relation read back at rest, and its storage path
+    */
+  private def compactKeyed(name: String, slot: String, s: EditorSession,
+      base: DataFrame, legs: MergedLegs, keyName: String,
+      prefix: String, subdir: String, digestCols: Seq[String],
+      sig: Option[(org.apache.spark.sql.Column, Seq[String])],
+      write: (DataFrame, String) => Unit = (df, p) => df.write.parquet(p))
+      : (DataFrame, String) = {
+    val removed = legs.removed.filter(_ != null).toIndexedSeq
+    val addDf = spark.createDataFrame(
+        java.util.Arrays.asList(legs.add: _*), legs.schema)
+      .withColumnRenamed(legs.schema(legs.idIdx).name, keyName)
+    val folded =
+      (if (removed.isEmpty) base
+       else base.filter(col(keyName).isNull ||
+         !col(keyName).isInCollection(removed)))
+        .unionByName(addDf)
+    val (dir, rel) = layoutRoot(prefix)
+    val path = s"$dir/$subdir"
+    write(folded, path)
+    rel.foreach { r =>
+      val cur = Positional.strip(s.current)
+      // the stored base changed: re-sign and re-digest the folded state
+      // so diverged reopens diff against what the files now hold
+      sig.foreach { case (k, cols) => writeRowSig(cur, dir, k, cols) }
+      manifest.get((name, slot)).foreach(e => persistEntry(e.copy(
+        path = Some(r), patch = None,
+        digest = contentDigest(cur, digestCols))))
+    }
+    (spark.read.parquet(path), path)
+  }
 
   /** The driver-side merged patch state: every add row (old legs minus
     * superseded keys, plus this refresh's), every key to shadow, and the
@@ -1723,13 +1768,20 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
       p.vecCol, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    mergedPatch(
+    val legs = mergeLegs(
       if (idsTouched) vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
         nowIds)
       else Array.empty[Any],
-      p.patch, add0) match {
-      case None => rebuildSlot(name, p) // compaction
+      p.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: codes copy, no re-encode
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(p.path), legs, "id", "catalog_pq_", "codes",
+          Seq(p.idCol, p.vecCol),
+          Some((col(p.idCol), Seq(p.idCol, p.vecCol))))
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))
@@ -1745,13 +1797,22 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
       p.vecCol, p.cents, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    mergedPatch(
+    val legs = mergeLegs(
       if (idsTouched) vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
         nowIds)
       else Array.empty[Any],
-      p.patch, add0) match {
-      case None => rebuildSlot(name, p) // compaction
+      p.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: cell-partitioned codes copy
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(p.path), legs, "id", "catalog_ivfpq_",
+          "codes", Seq(p.idCol, p.vecCol),
+          Some((col(p.idCol), Seq(p.idCol, p.vecCol))),
+          write = (df, out) =>
+            graft.io.Formats.writePartitioned(df, out, Seq("__ivf_cid")))
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))
@@ -1772,12 +1833,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
       p.n, p.numHashes, p.bands)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    mergedPatch(
+    val legs = mergeLegs(
       if (idsTouched)
         vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
       else Array.empty[Any],
-      p.patch, add0) match {
-      case None => rebuildSlot(name, p) // compaction
+      p.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: index copy, corpus never re-shingled
+        val (folded, _) = compactKeyed(name, slot, s, p.index, legs, "id",
+          "catalog_lsh_", "index", Seq(p.idCol, p.textCol),
+          Some((col(p.idCol), Seq(p.idCol, p.textCol))))
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          index = folded, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))
@@ -1801,20 +1868,33 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
       p.textCol, p.buckets)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    mergedPatch(
+    val legs = mergeLegs(
       if (idsTouched) vanishedIds(
         patchedPostings(p).select(col("doc").as("id")), nowIds)
       else Array.empty[Any],
-      p.patch, add0) match {
-      case None => rebuildSlot(name, p) // compaction
+      p.patch, add0)
+    // the re-measure is one projection-agg pass, no explode, no
+    // index rewrite — the exact-stats cost of the delta
+    def scalars(): (Long, Double) =
+      if (remeasure)
+        graft.operators.Retrieval.postingsStats(
+          Positional.strip(s.current), p.textCol)
+      else (p.nDocs, p.avgdl)
+    legsPatch(legs) match {
+      case None => // merge-compact: bucketed copy, never re-tokenized
+        val (nDocs, avgdl) = scalars()
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(p.path), legs, "doc", "catalog_postings_",
+          "postings", Seq(p.idCol, p.textCol),
+          Some((col(p.idCol), Seq(p.idCol, p.textCol))),
+          write = (df, out) => df.repartition(p.buckets, col("__tb"))
+            .write.partitionBy("__tb").parquet(out))
+        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None, nDocs = nDocs, avgdl = avgdl)
+        manifest.get((name, slot)).foreach(e =>
+          persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
       case Some(patch) =>
-        // the re-measure is one projection-agg pass, no explode, no
-        // index rewrite — the exact-stats cost of the delta
-        val (nDocs, avgdl) =
-          if (remeasure)
-            graft.operators.Retrieval.postingsStats(
-              Positional.strip(s.current), p.textCol)
-          else (p.nDocs, p.avgdl)
+        val (nDocs, avgdl) = scalars()
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
           patch = Some(patch), nDocs = nDocs, avgdl = avgdl)
         persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
@@ -2947,8 +3027,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = pairsRows(affected, l.groupCols, l.col)
-    mergedPatch(dirtyKeys.toArray[Any], l.patch, add0) match {
-      case None => rebuildSlot(name, l) // compaction
+    val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: pairs-count-sized copy, no fact scan
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(l.path), legs, "id", "catalog_pairs_",
+          "pairs", cols,
+          Some((to_json(struct(cols.map(col): _*)), cols)))
+        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))
@@ -2971,8 +3058,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
-    mergedPatch(dirtyKeys.toArray[Any], l.patch, add0) match {
-      case None => rebuildSlot(name, l) // compaction
+    val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: sketch-row copy, no fact re-sketch
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(l.path), legs, "id", "catalog_sketch_",
+          "sketches", l.groupCols :+ l.col,
+          Some((to_json(struct(l.groupCols.map(col): _*)),
+            l.groupCols :+ l.col)))
+        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))
@@ -3000,8 +3095,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val affected = Positional.strip(s.current)
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = cubeRows(affected, c.groupCols, c.measures)
-    mergedPatch(dirtyKeys.toArray[Any], c.patch, add0) match {
-      case None => rebuildSlot(name, c) // compaction
+    val legs = mergeLegs(dirtyKeys.toArray[Any], c.patch, add0)
+    legsPatch(legs) match {
+      case None => // merge-compact: group-count-sized copy, no fact scan
+        val (_, path) = compactKeyed(name, slot, s,
+          spark.read.parquet(c.path), legs, "id", "catalog_cube_",
+          "cube", c.groupCols ++ c.measures,
+          Some((to_json(struct(c.groupCols.map(col): _*)),
+            c.groupCols ++ c.measures)))
+        layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
+          path = path, patch = None)
       case Some(patch) =>
         layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
           patch = Some(patch))

@@ -248,6 +248,51 @@ class CubeLayoutSpec extends SparkSpec {
       direct(graft.core.Positional.strip(s.current), groupsAll, measuresAll))
   }
 
+  test("past the bound the cube MERGE-COMPACTS durably: stored-row copy, no fact re-aggregation, reopen routes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_cc_")
+      .toString
+    // high-cardinality grouping so 9 one-row edits dirty 9 DISTINCT
+    // group keys (repeated keys supersede in the merge and never grow it)
+    val cat = new Catalog(spark, Some(wh), deltaMaxRowsOverride = Some(1))
+    cat.open("ccmp", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("ccmp", Seq("l_partkey"), Seq("l_quantity"))
+    def cubeOf() = cat.layoutsOf("ccmp").collectFirst {
+      case (_, cl: Catalog.CubeLayout) => cl
+    }.get
+    val builtPath = cubeOf().path
+    val s = cat.get("ccmp").get
+    // 9 cycles: each edits ONE row's measure in a fresh partkey group
+    val distinctPos = s.current
+      .dropDuplicates("l_partkey")
+      .select(col(graft.core.Positional.POS)).limit(9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(distinctPos.length == 9)
+    distinctPos.foreach { p =>
+      assert(s.setCell(p, "l_quantity", "17.0"))
+      assert(cat.refreshStale("ccmp") == Seq("cube:l_partkey"))
+    }
+    val after = cubeOf()
+    assert(after.path != builtPath && after.patch.isEmpty,
+      "the 9th refresh must merge-compact into a fresh stored cube")
+    assert(after.path.contains("catalog_cube_"))
+    assert(got(cat.aggregate("ccmp", Seq("l_partkey"), Seq("l_quantity")),
+      Seq("l_partkey")) ==
+      direct(graft.core.Positional.strip(s.current), Seq("l_partkey"),
+        Seq("l_quantity")),
+      "the compacted cube must serve the exact post-edit aggregate")
+    // the manifest followed the fold: a fresh catalog re-attaches it
+    val b = new Catalog(spark, Some(wh))
+    b.openFrom("ccmp", graft.core.Positional.strip(s.current),
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    assert(b.explainRoute("ccmp", "cube:l_partkey").reason == "routed",
+      "a reopen must attach the compacted cube through the digest gate")
+    assert(got(b.aggregate("ccmp", Seq("l_partkey"), Seq("l_quantity")),
+      Seq("l_partkey")) ==
+      direct(graft.core.Positional.strip(s.current), Seq("l_partkey"),
+        Seq("l_quantity")))
+  }
+
   test("durable cube re-attaches in a fresh Catalog over the same warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_").toString
     val a = new Catalog(spark, Some(wh))

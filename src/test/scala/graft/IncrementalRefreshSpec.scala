@@ -200,13 +200,14 @@ class IncrementalRefreshSpec extends SparkSpec {
     assert(rebuilt.patch.isEmpty)
   }
 
-  test("accumulated patch legs past the compaction bound trigger a rebuild") {
+  test("accumulated patch legs past the bound MERGE-COMPACT: codes copy, codebook preserved") {
     // tiny bound: compaction fires at 8x deltaMaxRows = 8 accumulated
     // patch rows, reachable in a handful of 1-cell rename cycles
     val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(1))
     cat.open("cmp", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
     cat.buildPqLayout("cmp", "vec_id", "embedding")
-    val builtPath = pqLayout(cat, "cmp").path
+    val built = pqLayout(cat, "cmp")
+    val builtPath = built.path
     val s = cat.get("cmp").get
     var rebuilt = false
     var i = 0
@@ -220,6 +221,10 @@ class IncrementalRefreshSpec extends SparkSpec {
       "ever-growing merged patch legs must compact into a fresh base")
     assert(pqLayout(cat, "cmp").patch.isEmpty,
       "the compacted layout starts with no patch")
+    // r11: compaction is a MERGE (stored codes copied, patch folded in),
+    // never a corpus re-encode — the original codebook survives it
+    assert(pqLayout(cat, "cmp").seeds.toSeq == built.seeds.toSeq,
+      "merge-compaction must preserve the build-time codebook")
     // and the compacted layout still answers exactly
     val edited = Positional.strip(s.current)
     val after = pqLayout(cat, "cmp")
