@@ -79,12 +79,47 @@ object CompactEvidence {
     val (rebuildSec, _) = time(cat.buildRangedLayout("ce", "o_totalprice",
       files = 16, idCol = Some("o_orderkey")))
 
+    // ---- keyed merge-compact (r11): cube fold vs fact re-aggregation
+    val cat2 = new Catalog(spark, deltaMaxRowsOverride = Some(deltaBound))
+    cat2.open("cek", s"$sfDir/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    val sess2 = cat2.get("cek").get
+    val (cubeBuildSec, _) = time(cat2.buildCubeLayout("cek",
+      Seq("l_partkey"), Seq("l_quantity")))
+    def cube() = cat2.layoutsOf("cek").collectFirst {
+      case (_, l: Catalog.CubeLayout) => l
+    }.get
+    val cubePath0 = cube().path
+    val pos2 = sess2.current.dropDuplicates("l_partkey")
+      .select(col(Positional.POS)).limit(deltaBound * cycles)
+      .collect().map(_.getLong(0))
+    require(pos2.length == deltaBound * cycles,
+      s"need ${deltaBound * cycles} distinct partkey rows")
+    val cubeCycleSecs = (0 until cycles).map { k =>
+      val slice = pos2.slice(k * deltaBound, (k + 1) * deltaBound)
+      val (sec, _) = time {
+        require(sess2.setCells("l_quantity", slice.map(_ -> "17.0").toSeq))
+        cat2.refreshStale("cek")
+        cat2.aggregate("cek", Seq("l_partkey"), Seq("l_quantity")).count()
+      }
+      sec
+    }
+    require(cube().patch.isEmpty && cube().path != cubePath0,
+      "cycle 9 must have merge-compacted the cube")
+    val (cubeRebuildSec, _) = time(cat2.buildCubeLayout("cek",
+      Seq("l_partkey"), Seq("l_quantity")))
+
     val steady = cycleSecs.dropRight(1)
     val qs = steady.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val cqs = cubeCycleSecs.dropRight(1).map(s => f"$s%.3f")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"partial_compact","build_sec":$buildSec,""" +
       s""""steady_patch_sec":$qs,"fold_cycle_sec":${cycleSecs.last},""" +
       s""""rebuild_sec":$rebuildSec,"files_total":${files0.size},""" +
       s""""files_rewritten":$rewritten,"rows":${sess.rowCount},""" +
+      s""""cube_build_sec":$cubeBuildSec,"cube_steady_sec":$cqs,""" +
+      s""""cube_fold_cycle_sec":${cubeCycleSecs.last},""" +
+      s""""cube_rebuild_sec":$cubeRebuildSec,""" +
       s""""delta_bound":$deltaBound,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2495,7 +2495,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * plan as [[rangeScan]], against the pre-maintenance patch state),
     * else filters the pinned session plan — either way the answer is
     * the pinned epoch's, even while the live route already serves the
-    * post-refresh state.
+    * post-refresh state. [[topKAsOf]] / [[aggregateAsOf]] /
+    * [[distinctCountAsOf]] extend the same contract to the other
+    * serving-tier routes.
     */
   def rangeScanAsOf(name: String, epoch: Long, column: String, lo: Any,
                     hi: Any): DataFrame = {
@@ -2509,6 +2511,91 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         val c = org.apache.spark.sql.functions.col(column)
         Positional.strip(sn.plan).filter(c >= lit(lo) && c <= lit(hi))
     }
+  }
+
+  /** ANN top-k against a PINNED epoch — the pinned twin of [[topK]]. */
+  def topKAsOf(name: String, epoch: Long, idCol: String, vecCol: String,
+               query: Seq[Float], k: Int): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.get(s"ann:$vecCol") match {
+      case Some(l: PqCodesLayout) if l.idCol == idCol =>
+        recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
+        graft.operators.Similarity.pqTopKFromCodes(
+          patchedCodes(spark.read.parquet(l.path), l.patch), l.seeds,
+          query, k, l.m)
+      case Some(l: IvfPqCellLayout) if l.idCol == idCol =>
+        recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
+        graft.operators.Similarity.ivfPqTopKFromCodes(
+          patchedCodes(spark.read.parquet(l.path), l.patch), l.cents,
+          l.seeds, query, k, l.nProbe, l.m)
+      case _ =>
+        recordRoute(RouteReport(s"ann:$vecCol", "live", "pinned-live"))
+        graft.operators.Similarity.topK(
+          Positional.strip(sn.plan), idCol, vecCol, query, k)
+    }
+  }
+
+  /** Grouped count/sum/avg against a PINNED epoch — the pinned twin of
+    * [[aggregate]] (same covering rule over the snapshot's cubes).
+    */
+  def aggregateAsOf(name: String, epoch: Long, groupCols: Seq[String],
+                    measures: Seq[String],
+                    where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    def filtered(df: DataFrame): DataFrame =
+      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
+    val covering = sn.layouts.values.collectFirst {
+      case c: CubeLayout
+          if (groupCols.toSet ++ where.map(_._1)).subsetOf(
+            c.groupCols.toSet) &&
+            measures.toSet.subsetOf(c.measures.toSet) => c
+    }
+    covering match {
+      case Some(c) =>
+        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+          "layout", "pinned"))
+        Catalog.cubeFinish(
+          Catalog.cubeMergePartials(filtered(patchedCube(c)), groupCols,
+            measures),
+          groupCols, measures)
+      case None =>
+        recordRoute(RouteReport(s"cube:${groupCols.mkString(",")}",
+          "live", "pinned-live"))
+        Catalog.cubeFinish(
+          Catalog.cubePartials(filtered(Positional.strip(sn.plan)),
+            groupCols, measures),
+          groupCols, measures)
+    }
+  }
+
+  /** Exact grouped distinct count against a PINNED epoch — the pinned
+    * twin of [[distinctCount]].
+    */
+  def distinctCountAsOf(name: String, epoch: Long, groupCols: Seq[String],
+                        pairCol: String,
+                        where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    def filtered(df: DataFrame): DataFrame =
+      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
+    val covering = sn.layouts.values.collectFirst {
+      case l: PairsLayout
+          if (groupCols.toSet ++ where.map(_._1)).subsetOf(
+            l.groupCols.toSet) && l.col == pairCol => l
+    }
+    val src = covering match {
+      case Some(l) =>
+        recordRoute(RouteReport(
+          s"pairs:${l.groupCols.mkString(",")}:$pairCol", "layout",
+          "pinned"))
+        filtered(patchedCodes(spark.read.parquet(l.path), l.patch))
+      case None =>
+        recordRoute(RouteReport(
+          s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
+          "pinned-live"))
+        filtered(Positional.strip(sn.plan))
+    }
+    src.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(pairCol)).as(s"cd_$pairCol"))
   }
 
   // ---- warehouse vacuum ------------------------------------------------------

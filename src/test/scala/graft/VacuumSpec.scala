@@ -90,6 +90,77 @@ class VacuumSpec extends SparkSpec {
     assert(topDirs(wh).count(_.startsWith("catalog_patch_")) == strands)
   }
 
+  test("pinned cube/pairs/topK routes serve the pre-edit answers too") {
+    val cat = new Catalog(spark)
+    cat.open("vpin", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("vpin", Seq("l_returnflag"), Seq("l_quantity"))
+    cat.buildPairsLayout("vpin", Seq("l_returnflag"), "l_partkey")
+    val s = cat.get("vpin").get
+    val pinned = cat.pin("vpin")
+    val aggBefore = cat.aggregate("vpin", Seq("l_returnflag"),
+      Seq("l_quantity")).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val cdBefore = cat.distinctCount("vpin", Seq("l_returnflag"),
+      "l_partkey").orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+
+    // maintenance: move a measure and a counted key, refresh both layouts
+    assert(s.setCell(0L, "l_quantity", "9999.0"))
+    assert(s.setCell(1L, "l_partkey", "1"))
+    assert(cat.refreshStale("vpin").toSet ==
+      Set("cube:l_returnflag", "pairs:l_returnflag:l_partkey"))
+    val aggLive = cat.aggregate("vpin", Seq("l_returnflag"),
+      Seq("l_quantity")).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(aggLive != aggBefore, "the live cube must serve the edit")
+
+    // pinned routes: layout-served, pre-edit digits
+    val aggPinned = cat.aggregateAsOf("vpin", pinned, Seq("l_returnflag"),
+      Seq("l_quantity")).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(aggPinned == aggBefore,
+      "the pinned aggregate must keep the pre-edit digits")
+    assert(cat.recentRoutes.contains(
+      Catalog.RouteReport("cube:l_returnflag", "layout", "pinned")))
+    val cdPinned = cat.distinctCountAsOf("vpin", pinned,
+        Seq("l_returnflag"), "l_partkey")
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(cdPinned == cdBefore,
+      "the pinned distinct count must keep the pre-edit digits")
+    assert(cat.recentRoutes.contains(Catalog.RouteReport(
+      "pairs:l_returnflag:l_partkey", "layout", "pinned")))
+    assert(cat.unpin("vpin", pinned))
+  }
+
+  test("pinned topK serves pre-edit codes during ANN maintenance") {
+    val cat = new Catalog(spark)
+    cat.open("vpk", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    cat.buildPqLayout("vpk", "vec_id", "embedding")
+    val q = queryVec()
+    val pinned = cat.pin("vpk")
+    val before = cat.topK("vpk", "vec_id", "embedding", q, 5)
+      .collect().map(_.toSeq).toSeq
+    val s = cat.get("vpk").get
+    // rename the top hit's id and refresh: the live route must see the
+    // new id, the pinned route the old one
+    val topId = before.head.head.asInstanceOf[Long]
+    val pos = s.current.filter(col("vec_id") === topId)
+      .select(col(graft.core.Positional.POS)).head().getLong(0)
+    assert(s.setCell(pos, "vec_id", "888888"))
+    assert(cat.refreshStale("vpk") == Seq("ann:embedding"))
+    val live = cat.topK("vpk", "vec_id", "embedding", q, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(live != before && live.exists(_.head == 888888L),
+      "the live route must serve the renamed id")
+    val pinnedTop = cat.topKAsOf("vpk", pinned, "vec_id", "embedding", q, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(pinnedTop == before,
+      "the pinned route must keep the pre-rename answer")
+    assert(cat.recentRoutes.contains(
+      Catalog.RouteReport("ann:embedding", "layout", "pinned")))
+    assert(cat.unpin("vpk", pinned))
+  }
+
   test("vacuum sees the ON-DISK manifest: another catalog's fresh layout is never garbage") {
     val wh = newWarehouse()
     val a = new Catalog(spark, Some(wh))
