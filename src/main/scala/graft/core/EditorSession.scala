@@ -1395,6 +1395,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           .select(col(id).as("id")), nowIds)
       else Array.empty[Any],
       oldPatch, changed, keyName = id)
+    if (legs.removed.exists(_ == null)) {
+      rebuildSlot(name, layouts((name, slot))) // null shadow key
+      return
+    }
     legsPatch(legs) match {
       case Some(patch) =>
         layouts((name, slot)) = l match {
@@ -1676,7 +1680,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       base: DataFrame, legs: MergedLegs, keyName: String,
       prefix: String, subdir: String, digestCols: Seq[String],
       sig: Option[(org.apache.spark.sql.Column, Seq[String])],
-      write: (DataFrame, String) => Unit = (df, p) => df.write.parquet(p))
+      write: (DataFrame, String) => Unit = (df, p) => df.write.parquet(p),
+      entry: LayoutManifestEntry => LayoutManifestEntry = identity)
       : (DataFrame, String) = {
     val removed = legs.removed.filter(_ != null).toIndexedSeq
     val addDf = spark.createDataFrame(
@@ -1693,14 +1698,36 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     rel.foreach { r =>
       val cur = Positional.strip(s.current)
       // the stored base changed: re-sign and re-digest the folded state
-      // so diverged reopens diff against what the files now hold
+      // so diverged reopens diff against what the files now hold. The
+      // caller's `entry` transform folds its kind-specific fields
+      // (postings scalars) into the SAME persist — one manifest write.
       sig.foreach { case (k, cols) => writeRowSig(cur, dir, k, cols) }
-      manifest.get((name, slot)).foreach(e => persistEntry(e.copy(
+      manifest.get((name, slot)).foreach(e => persistEntry(entry(e.copy(
         path = Some(r), patch = None,
-        digest = contentDigest(cur, digestCols))))
+        digest = contentDigest(cur, digestCols)))))
     }
     (spark.read.parquet(path), path)
   }
+
+  /** The shared patch-or-compact dispatch of the keyed layouts: a NULL
+    * shadow key (a vanished null-id row — the anti-join could never
+    * apply it, and a fold would bake the stale row in permanently)
+    * REBUILDS; bounded legs persist as a patch; past the bound the
+    * layout merge-compacts via `compact`.
+    */
+  private def applyLegs(name: String, slot: String, s: EditorSession,
+                        legs: MergedLegs, digestCols: Seq[String])(
+      compact: MergedLegs => TableLayout)(
+      patched: LayoutPatch => TableLayout): Unit =
+    if (legs.removed.exists(_ == null))
+      rebuildSlot(name, layouts((name, slot)))
+    else legsPatch(legs) match {
+      case Some(p) =>
+        layouts((name, slot)) = patched(p)
+        persistPatch(name, slot, p, digestCols, s)
+      case None =>
+        layouts((name, slot)) = compact(legs)
+    }
 
   /** The driver-side merged patch state: every add row (old legs minus
     * superseded keys, plus this refresh's), every key to shadow, and the
@@ -1774,19 +1801,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         nowIds)
       else Array.empty[Any],
       p.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: codes copy, no re-encode
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(p.path), legs, "id", "catalog_pq_", "codes",
-          Seq(p.idCol, p.vecCol),
-          Some((col(p.idCol), Seq(p.idCol, p.vecCol))))
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
-    }
+    applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
+      // merge-compact: codes copy, no re-encode
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(p.path), lg, "id", "catalog_pq_", "codes",
+        Seq(p.idCol, p.vecCol),
+        Some((col(p.idCol), Seq(p.idCol, p.vecCol))))
+      p.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
   private def patchIvfPq(name: String, s: EditorSession, slot: String,
@@ -1803,21 +1825,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         nowIds)
       else Array.empty[Any],
       p.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: cell-partitioned codes copy
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(p.path), legs, "id", "catalog_ivfpq_",
-          "codes", Seq(p.idCol, p.vecCol),
-          Some((col(p.idCol), Seq(p.idCol, p.vecCol))),
-          write = (df, out) =>
-            graft.io.Formats.writePartitioned(df, out, Seq("__ivf_cid")))
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, Seq(p.idCol, p.vecCol), s)
-    }
+    applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
+      // merge-compact: cell-partitioned codes copy
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(p.path), lg, "id", "catalog_ivfpq_",
+        "codes", Seq(p.idCol, p.vecCol),
+        Some((col(p.idCol), Seq(p.idCol, p.vecCol))),
+        write = (df, out) =>
+          graft.io.Formats.writePartitioned(df, out, Seq("__ivf_cid")))
+      p.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
   /** LSH delta: re-sign only the dirty docs and shadow their (and any
@@ -1838,18 +1855,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
       else Array.empty[Any],
       p.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: index copy, corpus never re-shingled
-        val (folded, _) = compactKeyed(name, slot, s, p.index, legs, "id",
-          "catalog_lsh_", "index", Seq(p.idCol, p.textCol),
-          Some((col(p.idCol), Seq(p.idCol, p.textCol))))
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          index = folded, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
-    }
+    applyLegs(name, slot, s, legs, Seq(p.idCol, p.textCol)) { lg =>
+      // merge-compact: index copy, corpus never re-shingled
+      val (folded, _) = compactKeyed(name, slot, s, p.index, lg, "id",
+        "catalog_lsh_", "index", Seq(p.idCol, p.textCol),
+        Some((col(p.idCol), Seq(p.idCol, p.textCol))))
+      p.copy(builtAtEpoch = s.epoch, index = folded, patch = None)
+    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
   /** Postings delta: re-tokenize only the dirty docs; their (and any
@@ -1880,6 +1892,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         graft.operators.Retrieval.postingsStats(
           Positional.strip(s.current), p.textCol)
       else (p.nDocs, p.avgdl)
+    if (legs.removed.exists(_ == null)) {
+      rebuildSlot(name, p) // null shadow key: see [[applyLegs]]
+      return
+    }
     legsPatch(legs) match {
       case None => // merge-compact: bucketed copy, never re-tokenized
         val (nDocs, avgdl) = scalars()
@@ -1888,11 +1904,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           "postings", Seq(p.idCol, p.textCol),
           Some((col(p.idCol), Seq(p.idCol, p.textCol))),
           write = (df, out) => df.repartition(p.buckets, col("__tb"))
-            .write.partitionBy("__tb").parquet(out))
+            .write.partitionBy("__tb").parquet(out),
+          // the scalars ride the compaction's own manifest write
+          entry = e => e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl)))
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
           path = path, patch = None, nDocs = nDocs, avgdl = avgdl)
-        manifest.get((name, slot)).foreach(e =>
-          persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
       case Some(patch) =>
         val (nDocs, avgdl) = scalars()
         layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
@@ -2404,20 +2420,28 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       case _ => false
     })
     recordRoute(rep)
-    lay match {
-      case Some(l: PqCodesLayout) =>
-        graft.operators.Similarity.pqTopKFromCodes(
-          patchedCodes(spark.read.parquet(l.path), l.patch), l.seeds,
-          query, k, l.m)
-      case Some(l: IvfPqCellLayout) =>
-        graft.operators.Similarity.ivfPqTopKFromCodes(
-          patchedCodes(spark.read.parquet(l.path), l.patch), l.cents,
-          l.seeds, query, k, l.nProbe, l.m)
-      case _ =>
-        graft.operators.Similarity.topK(
-          Positional.strip(sessionOf(name).current), idCol, vecCol, query, k)
-    }
+    lay.flatMap(serveAnnTopK(_, idCol, query, k)).getOrElse(
+      graft.operators.Similarity.topK(
+        Positional.strip(sessionOf(name).current), idCol, vecCol, query, k))
   }
+
+  /** The routed ANN serving plan of a stored-codes layout built with the
+    * caller's idCol (None otherwise) — shared by [[topK]] and
+    * [[topKAsOf]] so the two can never drift.
+    */
+  private def serveAnnTopK(l: TableLayout, idCol: String,
+                           query: Seq[Float], k: Int): Option[DataFrame] =
+    l match {
+      case pq: PqCodesLayout if pq.idCol == idCol =>
+        Some(graft.operators.Similarity.pqTopKFromCodes(
+          patchedCodes(spark.read.parquet(pq.path), pq.patch), pq.seeds,
+          query, k, pq.m))
+      case iv: IvfPqCellLayout if iv.idCol == idCol =>
+        Some(graft.operators.Similarity.ivfPqTopKFromCodes(
+          patchedCodes(spark.read.parquet(iv.path), iv.patch), iv.cents,
+          iv.seeds, query, k, iv.nProbe, iv.m))
+      case _ => None
+    }
 
   /** Equi-join of two open sessions, layout-routed: when BOTH sides hold
     * valid bucketed layouts on their join keys with matching bucket
@@ -2513,22 +2537,18 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     }
   }
 
-  /** ANN top-k against a PINNED epoch — the pinned twin of [[topK]]. */
+  /** ANN top-k against a PINNED epoch — the pinned twin of [[topK]],
+    * through the same [[serveAnnTopK]] body.
+    */
   def topKAsOf(name: String, epoch: Long, idCol: String, vecCol: String,
                query: Seq[Float], k: Int): DataFrame = {
     val sn = pinOf(name, epoch)
-    sn.layouts.get(s"ann:$vecCol") match {
-      case Some(l: PqCodesLayout) if l.idCol == idCol =>
+    sn.layouts.get(s"ann:$vecCol")
+      .flatMap(serveAnnTopK(_, idCol, query, k)) match {
+      case Some(served) =>
         recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
-        graft.operators.Similarity.pqTopKFromCodes(
-          patchedCodes(spark.read.parquet(l.path), l.patch), l.seeds,
-          query, k, l.m)
-      case Some(l: IvfPqCellLayout) if l.idCol == idCol =>
-        recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
-        graft.operators.Similarity.ivfPqTopKFromCodes(
-          patchedCodes(spark.read.parquet(l.path), l.patch), l.cents,
-          l.seeds, query, k, l.nProbe, l.m)
-      case _ =>
+        served
+      case None =>
         recordRoute(RouteReport(s"ann:$vecCol", "live", "pinned-live"))
         graft.operators.Similarity.topK(
           Positional.strip(sn.plan), idCol, vecCol, query, k)
@@ -2536,66 +2556,53 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
   }
 
   /** Grouped count/sum/avg against a PINNED epoch — the pinned twin of
-    * [[aggregate]] (same covering rule over the snapshot's cubes).
+    * [[aggregate]], through the SAME covering rule ([[cubeCovers]]) and
+    * serving body ([[serveCubeAggregate]]) the live route uses.
     */
   def aggregateAsOf(name: String, epoch: Long, groupCols: Seq[String],
                     measures: Seq[String],
                     where: Seq[(String, Any)] = Nil): DataFrame = {
     val sn = pinOf(name, epoch)
-    def filtered(df: DataFrame): DataFrame =
-      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
-    val covering = sn.layouts.values.collectFirst {
+    sn.layouts.values.collectFirst {
       case c: CubeLayout
-          if (groupCols.toSet ++ where.map(_._1)).subsetOf(
-            c.groupCols.toSet) &&
-            measures.toSet.subsetOf(c.measures.toSet) => c
-    }
-    covering match {
+          if cubeCovers(c, groupCols, measures, where.map(_._1).toSet) => c
+    } match {
       case Some(c) =>
         recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
           "layout", "pinned"))
-        Catalog.cubeFinish(
-          Catalog.cubeMergePartials(filtered(patchedCube(c)), groupCols,
-            measures),
-          groupCols, measures)
+        serveCubeAggregate(c, groupCols, measures, where)
       case None =>
         recordRoute(RouteReport(s"cube:${groupCols.mkString(",")}",
           "live", "pinned-live"))
-        Catalog.cubeFinish(
-          Catalog.cubePartials(filtered(Positional.strip(sn.plan)),
-            groupCols, measures),
-          groupCols, measures)
+        liveCubeAggregate(Positional.strip(sn.plan), groupCols, measures,
+          where)
     }
   }
 
   /** Exact grouped distinct count against a PINNED epoch — the pinned
-    * twin of [[distinctCount]].
+    * twin of [[distinctCount]], same covering rule and serving body.
     */
   def distinctCountAsOf(name: String, epoch: Long, groupCols: Seq[String],
                         pairCol: String,
                         where: Seq[(String, Any)] = Nil): DataFrame = {
     val sn = pinOf(name, epoch)
-    def filtered(df: DataFrame): DataFrame =
-      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
-    val covering = sn.layouts.values.collectFirst {
+    val src = sn.layouts.values.collectFirst {
       case l: PairsLayout
-          if (groupCols.toSet ++ where.map(_._1)).subsetOf(
-            l.groupCols.toSet) && l.col == pairCol => l
-    }
-    val src = covering match {
+          if pairsCovers(l, groupCols, pairCol, where.map(_._1).toSet) => l
+    } match {
       case Some(l) =>
         recordRoute(RouteReport(
           s"pairs:${l.groupCols.mkString(",")}:$pairCol", "layout",
           "pinned"))
-        filtered(patchedCodes(spark.read.parquet(l.path), l.patch))
+        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
+          l.patch))
       case None =>
         recordRoute(RouteReport(
           s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
           "pinned-live"))
-        filtered(Positional.strip(sn.plan))
+        whereFilter(where)(Positional.strip(sn.plan))
     }
-    src.groupBy(groupCols.map(col): _*)
-      .agg(count_distinct(col(pairCol)).as(s"cd_$pairCol"))
+    pairsDistinctOver(src, groupCols, pairCol)
   }
 
   // ---- warehouse vacuum ------------------------------------------------------
@@ -2657,9 +2664,21 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       // diff against the UNION of this catalog's manifest and the one on
       // disk: the warehouse is documented single-writer, but a reopened
       // or concurrent catalog's freshly persisted layouts must read as
-      // referenced, not as garbage
+      // referenced, not as garbage. A manifest that EXISTS but cannot be
+      // read (observed mid-overwrite) ABORTS the pass — treating it as
+      // empty would unreference everything it names.
+      val diskEntries = LayoutStore.loadOpt(spark, wh) match {
+        case Some(es) => es
+        case None => return Seq.empty
+      }
       val allEntries: Seq[LayoutManifestEntry] =
-        (manifest.values.toSeq ++ LayoutStore.load(spark, wh)).distinct
+        (manifest.values.toSeq ++ diskEntries).distinct
+      // observation clocks survive restarts via the _vacuum sidecar: a
+      // short-lived process's strands still collect after the window
+      LayoutStore.loadMarks(spark, wh).foreach { case (k, t) =>
+        unreferencedSince(k) =
+          math.min(unreferencedSince.getOrElse(k, t), t)
+      }
       val live = layouts.values.toSeq ++ pins.values.flatMap(_.layouts.values)
       // dirs referenced by name: manifest entries + live/pinned layouts
       val dirRefs: Set[String] =
@@ -2684,11 +2703,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       val deleted = mutable.ArrayBuffer.empty[String]
       // grace by OBSERVATION: a path deletes only after sitting
       // unreferenced for a full window across vacuum passes (grace 0 =
-      // delete now, the spec/operator-forced form)
+      // delete now, the spec/operator-forced form). `observed` collects
+      // the keys still awaiting their window, so the map — and the
+      // persisted sidecar — never grows past the live candidate set.
+      val observed = mutable.Set.empty[String]
       def expired(key: String): Boolean =
         graceMs <= 0 || {
           val since = unreferencedSince.getOrElseUpdate(key, now)
-          now - since >= graceMs
+          if (now - since >= graceMs) true
+          else { observed += key; false }
         }
       def sweepFiles(dir: Path, rel: String): Unit =
         fs.listStatus(dir).foreach { st =>
@@ -2705,7 +2728,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         }
       fs.listStatus(whPath).foreach { st =>
         val name = st.getPath.getName
-        if (name != "_manifest") {
+        if (!name.startsWith("_")) { // _manifest / _vacuum control plane
           if (dirRefs.contains(name)) { unreferencedSince.remove(name); () }
           else if (fileRefDirs.contains(name)) {
             // partially referenced (stats-listed files only): file sweep
@@ -2718,6 +2741,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           }
         }
       }
+      unreferencedSince.filterInPlace((k, _) => observed.contains(k))
+      LayoutStore.saveMarks(spark, wh, unreferencedSince.toMap)
       deleted.toSeq
   }
 
@@ -2837,14 +2862,45 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       if (valid.isDefined) "layout" else "live", reason))
   }
 
+  /** Group-column equality filters, shared by every routed aggregate. */
+  private def whereFilter(where: Seq[(String, Any)])(
+      df: DataFrame): DataFrame =
+    where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
+
+  /** ONE covering rule for cube requests, used by the live routing
+    * decision AND the pinned twin — the two must never drift.
+    */
+  private def cubeCovers(c: CubeLayout, groupCols: Seq[String],
+                         measures: Seq[String],
+                         whereCols: Set[String]): Boolean =
+    (groupCols.toSet ++ whereCols).subsetOf(c.groupCols.toSet) &&
+      measures.toSet.subsetOf(c.measures.toSet)
+
+  /** The routed cube-serving plan, shared by [[aggregate]] and
+    * [[aggregateAsOf]]: filter the stored rows, re-merge, finish.
+    */
+  private def serveCubeAggregate(c: CubeLayout, groupCols: Seq[String],
+                                 measures: Seq[String],
+                                 where: Seq[(String, Any)]): DataFrame =
+    Catalog.cubeFinish(
+      Catalog.cubeMergePartials(whereFilter(where)(patchedCube(c)),
+        groupCols, measures),
+      groupCols, measures)
+
+  private def liveCubeAggregate(plan: DataFrame, groupCols: Seq[String],
+                                measures: Seq[String],
+                                where: Seq[(String, Any)]): DataFrame =
+    Catalog.cubeFinish(
+      Catalog.cubePartials(whereFilter(where)(plan), groupCols, measures),
+      groupCols, measures)
+
   private def decideCube(name: String, groupCols: Seq[String],
                          measures: Seq[String],
                          whereCols: Set[String] = Set.empty)
       : (Option[CubeLayout], RouteReport) =
     decideCovering[CubeLayout](name, s"cube:${groupCols.mkString(",")}",
       layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
-      c => (groupCols.toSet ++ whereCols).subsetOf(c.groupCols.toSet) &&
-        measures.toSet.subsetOf(c.measures.toSet))
+      c => cubeCovers(c, groupCols, measures, whereCols))
 
   /** Dry-run of [[aggregate]]'s routing decision — which cube would
     * serve this grouping/measure/filter set, or why none would. Nothing
@@ -2869,21 +2925,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val (valid, rep) =
       decideCube(name, groupCols, measures, where.map(_._1).toSet)
     recordRoute(rep)
-    def filtered(df: DataFrame): DataFrame =
-      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
     valid match {
-      case Some(c) =>
-        // every stored statistic is a commutative merge: sums of sums,
-        // sums of counts, min of mins, max of maxes — rollup is exact
-        Catalog.cubeFinish(
-          Catalog.cubeMergePartials(filtered(patchedCube(c)), groupCols,
-            measures),
-          groupCols, measures)
+      // every stored statistic is a commutative merge: sums of sums,
+      // sums of counts, min of mins, max of maxes — rollup is exact
+      case Some(c) => serveCubeAggregate(c, groupCols, measures, where)
       case None =>
-        Catalog.cubeFinish(
-          Catalog.cubePartials(filtered(Positional.strip(s.current)),
-            groupCols, measures),
-          groupCols, measures)
+        liveCubeAggregate(Positional.strip(s.current), groupCols,
+          measures, where)
     }
   }
 
@@ -2976,16 +3024,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       decideSketch(name, groupCols, sketchCol, lgK, where.map(_._1).toSet)
     recordRoute(rep)
     val out = s"nd_$sketchCol"
-    def filtered(df: DataFrame): DataFrame =
-      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
     valid match {
       case Some(l) =>
-        filtered(patchedCodes(spark.read.parquet(l.path), l.patch))
+        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
+            l.patch))
           .groupBy(groupCols.map(col): _*)
           .agg(hll_sketch_estimate(
             hll_union_agg(col("__hll"), lit(false))).as(out))
       case None =>
-        filtered(Positional.strip(s.current))
+        whereFilter(where)(Positional.strip(s.current))
           .groupBy(groupCols.map(col): _*)
           .agg(hll_sketch_estimate(
             hll_sketch_agg(col(sketchCol), lit(lgK))).as(out))
@@ -3054,14 +3101,26 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     path
   }
 
+  /** ONE covering rule for pairs requests, shared live/pinned. */
+  private def pairsCovers(l: PairsLayout, groupCols: Seq[String],
+                          pairCol: String,
+                          whereCols: Set[String]): Boolean =
+    (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
+      l.col == pairCol
+
+  /** The exact distinct over either source — the shared serving tail. */
+  private def pairsDistinctOver(src: DataFrame, groupCols: Seq[String],
+                                pairCol: String): DataFrame =
+    src.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(pairCol)).as(s"cd_$pairCol"))
+
   private def decidePairs(name: String, groupCols: Seq[String],
                           pairCol: String, whereCols: Set[String])
       : (Option[PairsLayout], RouteReport) =
     decideCovering[PairsLayout](name,
       s"pairs:${groupCols.mkString(",")}:$pairCol",
       layoutsOf(name).collect { case (slot, l: PairsLayout) => (slot, l) },
-      l => (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
-        l.col == pairCol)
+      l => pairsCovers(l, groupCols, pairCol, whereCols))
 
   /** Dry-run of [[distinctCount]]'s routing decision — which pairs
     * layout would serve this grouping/column/filter set, or why none
@@ -3086,16 +3145,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     val (valid, rep) =
       decidePairs(name, groupCols, pairCol, where.map(_._1).toSet)
     recordRoute(rep)
-    val out = s"cd_$pairCol"
-    def filtered(df: DataFrame): DataFrame =
-      where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
     val src = valid match {
-      case Some(l) => filtered(patchedCodes(spark.read.parquet(l.path),
-        l.patch))
-      case None => filtered(Positional.strip(s.current))
+      case Some(l) =>
+        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
+          l.patch))
+      case None => whereFilter(where)(Positional.strip(s.current))
     }
-    src.groupBy(groupCols.map(col): _*)
-      .agg(count_distinct(col(pairCol)).as(out))
+    pairsDistinctOver(src, groupCols, pairCol)
   }
 
   /** Pairs delta: every touched or retracted tuple's EXISTENCE
@@ -3115,19 +3171,14 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = pairsRows(affected, l.groupCols, l.col)
     val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: pairs-count-sized copy, no fact scan
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(l.path), legs, "id", "catalog_pairs_",
-          "pairs", cols,
-          Some((to_json(struct(cols.map(col): _*)), cols)))
-        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, cols, s)
-    }
+    applyLegs(name, slot, s, legs, cols) { lg =>
+      // merge-compact: pairs-count-sized copy, no fact scan
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(l.path), lg, "id", "catalog_pairs_",
+        "pairs", cols,
+        Some((to_json(struct(cols.map(col): _*)), cols)))
+      l.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
   /** Sketch delta for gestures that spare the group columns (cell edits
@@ -3146,20 +3197,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
     val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: sketch-row copy, no fact re-sketch
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(l.path), legs, "id", "catalog_sketch_",
-          "sketches", l.groupCols :+ l.col,
-          Some((to_json(struct(l.groupCols.map(col): _*)),
-            l.groupCols :+ l.col)))
-        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = l.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, l.groupCols :+ l.col, s)
-    }
+    applyLegs(name, slot, s, legs, l.groupCols :+ l.col) { lg =>
+      // merge-compact: sketch-row copy, no fact re-sketch
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(l.path), lg, "id", "catalog_sketch_",
+        "sketches", l.groupCols :+ l.col,
+        Some((to_json(struct(l.groupCols.map(col): _*)),
+          l.groupCols :+ l.col)))
+      l.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
   /** Cube delta for gestures that spare the group columns: the affected
@@ -3183,20 +3229,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       .filter(keyExpr.isin(dirtyKeys: _*))
     val add0 = cubeRows(affected, c.groupCols, c.measures)
     val legs = mergeLegs(dirtyKeys.toArray[Any], c.patch, add0)
-    legsPatch(legs) match {
-      case None => // merge-compact: group-count-sized copy, no fact scan
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(c.path), legs, "id", "catalog_cube_",
-          "cube", c.groupCols ++ c.measures,
-          Some((to_json(struct(c.groupCols.map(col): _*)),
-            c.groupCols ++ c.measures)))
-        layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None)
-      case Some(patch) =>
-        layouts((name, slot)) = c.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch))
-        persistPatch(name, slot, patch, c.groupCols ++ c.measures, s)
-    }
+    applyLegs(name, slot, s, legs, c.groupCols ++ c.measures) { lg =>
+      // merge-compact: group-count-sized copy, no fact scan
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(c.path), lg, "id", "catalog_cube_",
+        "cube", c.groupCols ++ c.measures,
+        Some((to_json(struct(c.groupCols.map(col): _*)),
+          c.groupCols ++ c.measures)))
+      c.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => c.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 }
 

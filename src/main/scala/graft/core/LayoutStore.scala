@@ -48,15 +48,33 @@ final case class LayoutManifestEntry(
   * Single-writer per warehouse: the manifest is rewritten whole on every
   * build (layout-count-sized, not data-sized).
   */
+/** One vacuum tombstone: when `path` (warehouse-relative dir or absolute
+  * data file) was first OBSERVED unreferenced. Persisted so the grace
+  * window survives process restarts — a short-lived maintenance job's
+  * strands still collect after the window, and a fresh process never
+  * deletes something another process observed only seconds ago.
+  */
+final case class VacuumMark(path: String, since: Long)
+
 object LayoutStore {
 
   private def manifestPath(warehouse: String) = s"$warehouse/_manifest"
+  private def vacuumPath(warehouse: String) = s"$warehouse/_vacuum"
 
-  def load(spark: SparkSession, warehouse: String): Seq[LayoutManifestEntry] = {
+  def load(spark: SparkSession, warehouse: String): Seq[LayoutManifestEntry] =
+    loadOpt(spark, warehouse).getOrElse(Nil)
+
+  /** Like [[load]] but None when the manifest EXISTS yet cannot be read
+    * (e.g. observed mid-overwrite): attach-time callers degrade to a
+    * fresh warehouse, but a VACUUM must abort its pass rather than treat
+    * a transient read failure as "nothing is referenced".
+    */
+  def loadOpt(spark: SparkSession,
+              warehouse: String): Option[Seq[LayoutManifestEntry]] = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil // absent manifest = fresh warehouse
+    if (!fs.exists(p)) Some(Nil) // absent manifest = fresh warehouse
     else Try {
       spark.read
         .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
@@ -64,7 +82,33 @@ object LayoutStore {
         .as[LayoutManifestEntry]
         .collect()
         .toSeq
-    }.getOrElse(Nil) // unreadable manifest = treat as fresh, never crash
+    }.toOption
+  }
+
+  /** The persisted vacuum tombstones (empty when absent/unreadable —
+    * observation then simply restarts, which only DELAYS deletion).
+    */
+  def loadMarks(spark: SparkSession, warehouse: String): Map[String, Long] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(vacuumPath(warehouse))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else Try {
+      spark.read
+        .schema(org.apache.spark.sql.Encoders.product[VacuumMark].schema)
+        .json(vacuumPath(warehouse))
+        .as[VacuumMark]
+        .collect()
+        .map(m => m.path -> m.since).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  def saveMarks(spark: SparkSession, warehouse: String,
+                marks: Map[String, Long]): Unit = {
+    import spark.implicits._
+    marks.toSeq.map { case (p, t) => VacuumMark(p, t) }
+      .toDS().coalesce(1).write.mode("overwrite")
+      .json(vacuumPath(warehouse))
   }
 
   def save(spark: SparkSession, warehouse: String,

@@ -309,6 +309,29 @@ class RangedDmlSpec extends SparkSpec {
       "the rebuilt layout must serve the null-id row's NEW value")
   }
 
+  test("deleting a NULL-id row rebuilds keyed layouts: a null shadow key can never apply") {
+    val cat = new Catalog(spark)
+    val base = Tables.load(spark, sf, "embeddings")
+      .withColumn("vec_id",
+        when(col("vec_id") === 5L, lit(null)).otherwise(col("vec_id")))
+    cat.openFrom("pqnull", base, orderCols = Seq("vec_id"))
+    cat.buildPqLayout("pqnull", "vec_id", "embedding")
+    def pq() = cat.layoutsOf("pqnull").collectFirst {
+      case (_, l: Catalog.PqCodesLayout) => l
+    }.get
+    val built = pq()
+    val s = cat.get("pqnull").get
+    val nullPos = s.current.filter(col("vec_id").isNull)
+      .select(col(Positional.POS)).head().getLong(0)
+    assert(s.deleteRow(nullPos))
+    assert(cat.refreshStale("pqnull") == Seq("ann:embedding"))
+    val after = pq()
+    assert(after.path != built.path && after.patch.isEmpty,
+      "a vanished NULL id cannot be shadowed: the refresh must REBUILD")
+    assert(spark.read.parquet(after.path).count() == s.rowCount,
+      "the rebuilt codes must not contain the deleted null-id row")
+  }
+
   test("a diverged durable reopen patches the ranged layout from its row-sig sidecar") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_rd_")
       .toString

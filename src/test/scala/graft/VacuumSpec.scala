@@ -59,7 +59,8 @@ class VacuumSpec extends SparkSpec {
     assert(after.count(_.startsWith("catalog_patch_")) == 0,
       s"the rebuild cleared the patch — no patch dir may survive; saw $after")
     assert(after.contains("_manifest"))
-    assert(after.size == 2, s"exactly manifest + live layout; saw $after")
+    assert(after.filterNot(_.startsWith("_")).size == 1,
+      s"exactly the live layout beyond the control plane; saw $after")
 
     // the surviving storage still serves: same catalog and a REOPENED one
     assert(cat.topK("vemb", "vec_id", "embedding", queryVec(), 5)
@@ -88,6 +89,28 @@ class VacuumSpec extends SparkSpec {
     // everything here is seconds old: a graceful vacuum removes nothing
     assert(cat.vacuum(graceMs = 3600000L).isEmpty)
     assert(topDirs(wh).count(_.startsWith("catalog_patch_")) == strands)
+  }
+
+  test("observation clocks persist: a fresh catalog collects strands another observed") {
+    val wh = newWarehouse()
+    val a = new Catalog(spark, Some(wh))
+    a.open("vobs", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
+    a.buildPqLayout("vobs", "vec_id", "embedding")
+    assert(a.get("vobs").get.setCell(1L, "vec_id", "840001"))
+    assert(a.refreshStale("vobs").nonEmpty)
+    assert(a.get("vobs").get.setCell(2L, "vec_id", "840002"))
+    assert(a.refreshStale("vobs").nonEmpty)
+    val strands = topDirs(wh).count(_.startsWith("catalog_patch_"))
+    assert(strands >= 2)
+    // first graceful pass: observes, deletes nothing, persists the marks
+    assert(a.vacuum(graceMs = 200L).isEmpty)
+    Thread.sleep(400)
+    // a FRESH catalog (process restart stand-in) inherits the clocks
+    // from the _vacuum sidecar: the window has elapsed, so it collects
+    val b = new Catalog(spark, Some(wh))
+    assert(b.vacuum(graceMs = 200L).nonEmpty,
+      "persisted observation clocks must let a fresh process collect")
+    assert(topDirs(wh).count(_.startsWith("catalog_patch_")) < strands)
   }
 
   test("pinned cube/pairs/topK routes serve the pre-edit answers too") {
