@@ -2746,7 +2746,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       deleted.toSeq
   }
 
-  /** The warehouse paths a layout's serving plan reads (base dirs). */
+  /** The warehouse paths a layout's serving plan reads (base dirs).
+    * The LSH layout holds its base as a DataFrame rather than a path, so
+    * its storage resolves through the plan's input files — a PINNED LSH
+    * index must keep its dir even after the manifest has moved on.
+    */
   private def layoutPathsOf(l: TableLayout): Seq[String] = l match {
     case p: PqCodesLayout => Seq(p.path)
     case p: IvfPqCellLayout => Seq(p.path)
@@ -2756,7 +2760,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     case p: CubeLayout => Seq(p.path)
     case p: SketchLayout => Seq(p.path)
     case p: PairsLayout => Seq(p.path)
-    case _ => Seq.empty // bucketed lives in the metastore, LSH in `index`
+    case p: LshIndexLayout =>
+      Try(p.index.inputFiles.toSeq).getOrElse(Seq.empty)
+    case _ => Seq.empty // bucketed lives in the metastore
   }
 
   private def patchOf(l: TableLayout): Option[LayoutPatch] = l match {
