@@ -332,6 +332,23 @@ class RangedDmlSpec extends SparkSpec {
       "the rebuilt codes must not contain the deleted null-id row")
   }
 
+  test("an emptied merge region writes schema-only parquet the stats path can read") {
+    // the building blocks of partialCompactFullRow's pure-delete edge
+    // (every row of the rewrite files shadowed): an empty write must
+    // stay readable and contribute zero stats rows to the union
+    val out = java.nio.file.Files.createTempDirectory("graft_empty_pc_")
+      .toString + "/ranged"
+    val empty = Tables.load(spark, sf, "orders").limit(0)
+    empty.coalesce(1).write.parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0L &&
+      back.columns.toSeq == empty.columns.toSeq,
+      "the schema-only write must read back with the full schema")
+    val stats = graft.io.SkippingIndex.build(spark, out, "o_totalprice")
+    assert(stats.count() == 0L, "zero rows contribute zero stats entries")
+    assert(graft.io.SkippingIndex.candidateFiles(stats, 0.0, 1e9).isEmpty)
+  }
+
   test("a diverged durable reopen patches the ranged layout from its row-sig sidecar") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_rd_")
       .toString
