@@ -450,6 +450,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     editLog.clear()
     editsSinceCheckpoint = 0
     rebindsSinceCheckpoint = 0
+    posShiftsSinceCheckpoint = 0
   }
 
   def pendingEdits: Int = editLog.valuesIterator.map(_.size).sum
@@ -473,8 +474,26 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     if (valid.nonEmpty) {
       rebind(RowOps.deleteRows(_, valid), deleteKind(valid))
       nRows -= valid.size
+      afterPosShift()
     }
     valid.nonEmpty
+  }
+
+  /** Position-SHIFTING gestures (delete/cut) compose arithmetic on
+    * `__pos`, and the optimizer's project-collapse / predicate-pushdown
+    * SUBSTITUTE each level's `__pos` expression into the next level's
+    * references — k-position gestures stacked g deep re-evaluate
+    * ~(k+1)^g expression nodes per row (a delete-heavy session hung the
+    * driver around nine 30-row gestures). Checkpointing every few shift
+    * gestures caps the composition depth; session tables are
+    * interactive-scale by design (class doc), so the materialization is
+    * cheap and amortized exactly like the edit-log flush.
+    */
+  private var posShiftsSinceCheckpoint = 0
+  private def afterPosShift(): Unit = {
+    posShiftsSinceCheckpoint += 1
+    if (posShiftsSinceCheckpoint >= EditorSession.posShiftCheckpointEvery)
+      checkpoint()
   }
 
   /** The log entry for a delete of `valid` positions: positions + the
@@ -513,6 +532,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
         rest
       }, deleteKind(valid))
       nRows -= valid.size
+      afterPosShift()
     }
     valid.nonEmpty
   }
@@ -582,6 +602,12 @@ object EditorSession {
     * join (O(1) probe per row).
     */
   val literalEditMax = 32
+
+  /** Position-shifting gestures between checkpoints: caps the `__pos`
+    * arithmetic composition depth the optimizer can substitute
+    * multiplicatively (see EditorSession.afterPosShift).
+    */
+  val posShiftCheckpointEvery = 4
 
   /** Above this many delta rows (dirty cells, inserted rows, or deleted
     * rows — each bounded separately) a layout delta patch loses to a
@@ -1497,8 +1523,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         }
       case _ => return false
     }
+    require(!legs.removed.contains(null),
+      "null shadow key reached partialCompactFullRow: caller must rebuild")
     val targets: Set[String] = legs.add.map(assign).toSet
-    val removedVals = legs.removed.filter(_ != null).toIndexedSeq
+    val removedVals = legs.removed.toIndexedSeq
     val withRemoved: Set[String] =
       if (removedVals.isEmpty) Set.empty
       else fullRowBase(stats)
@@ -1683,7 +1711,9 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       write: (DataFrame, String) => Unit = (df, p) => df.write.parquet(p),
       entry: LayoutManifestEntry => LayoutManifestEntry = identity)
       : (DataFrame, String) = {
-    val removed = legs.removed.filter(_ != null).toIndexedSeq
+    require(!legs.removed.contains(null),
+      "null shadow key reached compactKeyed: the caller must rebuild")
+    val removed = legs.removed.toIndexedSeq
     val addDf = spark.createDataFrame(
         java.util.Arrays.asList(legs.add: _*), legs.schema)
       .withColumnRenamed(legs.schema(legs.idIdx).name, keyName)
@@ -1759,10 +1789,16 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       addSchema, idIdx)
   }
 
-  /** Persist merged legs as a patch, or None past the compaction bound. */
+  /** Persist merged legs as a patch, or None past the compaction bound.
+    * A null shadow key is a PROGRAMMING error here — no anti-join can
+    * apply it — so it fails loudly; callers must route null-key deltas
+    * to a rebuild first (the [[applyLegs]] / call-site guards).
+    */
   private def legsPatch(legs: MergedLegs): Option[LayoutPatch] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
+    require(!legs.removed.contains(null),
+      "null shadow key reached legsPatch: the caller must rebuild")
     if (legs.add.length > compactionRows ||
         legs.removed.length > compactionRows) return None
     val idSchema = StructType(Seq(legs.schema(legs.idIdx).copy(name = "id")))
@@ -2489,19 +2525,52 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
 
   /** Pin the session's current state; returns the pinned epoch (the
     * handle for [[rangeScanAsOf]] / [[snapshotAsOf]] / [[unpin]]).
-    * Pinning the same epoch twice is idempotent.
+    * Pinning the same epoch twice is idempotent. On a DURABLE catalog
+    * the pin also writes a LEASE file under `<warehouse>/_pins`, so a
+    * vacuum run by ANOTHER process honors this pin too; a crashed
+    * process's lease holds its dirs until any catalog unpins it (or an
+    * operator deletes the lease file).
     */
   def pin(name: String): Long = {
     val s = sessionOf(name)
-    pins.getOrElseUpdate((name, s.epoch),
-      Snapshot(s.epoch, s.current,
-        layoutsOf(name).filter(_._2.builtAtEpoch == s.epoch).toMap))
+    if (!pins.contains((name, s.epoch))) {
+      val sn = Snapshot(s.epoch, s.current,
+        layoutsOf(name).filter(_._2.builtAtEpoch == s.epoch).toMap)
+      pins((name, s.epoch)) = sn
+      warehouse.foreach { wh =>
+        val refs = sn.layouts.values.flatMap(l =>
+          layoutPathsOf(l) ++ statsFilesOf(l) ++
+            patchOf(l).flatMap(_.path).map(r => s"$wh/$r")).toSeq.distinct
+        if (refs.nonEmpty) {
+          val p = pinLeasePath(wh, name, s.epoch)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, true)
+          try out.write(refs.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+    }
     s.epoch
   }
 
-  /** Release a pin; its dirs become vacuum-eligible once unreferenced. */
-  def unpin(name: String, epoch: Long): Boolean =
+  /** Release a pin (and its durable lease); its dirs become
+    * vacuum-eligible once otherwise unreferenced.
+    */
+  def unpin(name: String, epoch: Long): Boolean = {
+    warehouse.foreach { wh =>
+      val p = pinLeasePath(wh, name, epoch)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
     pins.remove((name, epoch)).isDefined
+  }
+
+  /** One lease per (session, epoch) — catalog-agnostic, so any catalog
+    * over the warehouse can release a crashed process's pin.
+    */
+  private def pinLeasePath(wh: String, name: String,
+                           epoch: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$wh/_pins/${name}_$epoch")
 
   def pinnedEpochs(name: String): Seq[Long] =
     pins.keys.collect { case (n, e) if n == name => e }.toSeq
@@ -2671,21 +2740,46 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         case Some(es) => es
         case None => return Seq.empty
       }
+      // an ABSENT manifest over a warehouse that already holds layout
+      // dirs is a writer's delete+rename window (or a crashed writer) —
+      // abort; a genuinely fresh warehouse has nothing to collect anyway
+      if (diskEntries.isEmpty &&
+          fs.listStatus(whPath).exists(st =>
+            !st.getPath.getName.startsWith("_"))) return Seq.empty
       val allEntries: Seq[LayoutManifestEntry] =
         (manifest.values.toSeq ++ diskEntries).distinct
-      // observation clocks survive restarts via the _vacuum sidecar: a
-      // short-lived process's strands still collect after the window
-      LayoutStore.loadMarks(spark, wh).foreach { case (k, t) =>
-        unreferencedSince(k) =
-          math.min(unreferencedSince.getOrElse(k, t), t)
+      // observation clocks survive restarts via the _vacuum sidecar —
+      // loaded LAZILY on the first unreferenced candidate, so the
+      // steady state (everything referenced) costs zero extra jobs
+      var marksLoaded = false
+      def ensureMarks(): Unit = if (!marksLoaded) {
+        marksLoaded = true
+        LayoutStore.loadMarks(spark, wh).foreach { case (k, t) =>
+          unreferencedSince(k) =
+            math.min(unreferencedSince.getOrElse(k, t), t)
+        }
       }
       val live = layouts.values.toSeq ++ pins.values.flatMap(_.layouts.values)
+      // OTHER processes' pins, via their persisted leases: every path a
+      // lease names keeps its whole top-level dir
+      val leaseRefs: Set[String] = Try {
+        val pinsDir = new Path(s"$wh/_pins")
+        if (!fs.exists(pinsDir)) Set.empty[String]
+        else fs.listStatus(pinsDir).toSet.flatMap {
+          st: org.apache.hadoop.fs.FileStatus =>
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().flatMap(relTop).toSet
+            finally in.close()
+        }
+      }.getOrElse(Set.empty)
       // dirs referenced by name: manifest entries + live/pinned layouts
       val dirRefs: Set[String] =
         allEntries.flatMap(e => e.path.toSeq ++ e.patch.toSeq)
           .map(_.split("/").head).toSet ++
           live.flatMap(l => layoutPathsOf(l).flatMap(relTop) ++
-            patchOf(l).flatMap(_.path).map(_.split("/").head))
+            patchOf(l).flatMap(_.path).map(_.split("/").head)) ++
+          leaseRefs
       // data files referenced through skipping-stats lists (a partially
       // compacted clustered layout's base spans dirs) — live/pinned stats
       // plus dormant manifest entries' stats sidecars
@@ -2709,6 +2803,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       val observed = mutable.Set.empty[String]
       def expired(key: String): Boolean =
         graceMs <= 0 || {
+          ensureMarks()
           val since = unreferencedSince.getOrElseUpdate(key, now)
           if (now - since >= graceMs) true
           else { observed += key; false }
@@ -2741,8 +2836,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           }
         }
       }
-      unreferencedSince.filterInPlace((k, _) => observed.contains(k))
-      LayoutStore.saveMarks(spark, wh, unreferencedSince.toMap)
+      // persist the merged clocks only when they were consulted: a save
+      // without the disk merge would clobber other processes' marks, and
+      // the no-candidate steady state should cost no write at all
+      if (marksLoaded) {
+        unreferencedSince.filterInPlace((k, _) => observed.contains(k))
+        LayoutStore.saveMarks(spark, wh, unreferencedSince.toMap)
+      }
       deleted.toSeq
   }
 

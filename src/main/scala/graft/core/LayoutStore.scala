@@ -40,14 +40,6 @@ final case class LayoutManifestEntry(
     avgdl: Option[Double] = None,
     keyCol: Option[String] = None)
 
-/** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
-  * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row
-  * per layout, like a lakehouse table manifest). Spark is its own codec
-  * here: no JSON library dependency, any Hadoop-compatible filesystem
-  * works, and the explicit schema comes from the entry's encoder.
-  * Single-writer per warehouse: the manifest is rewritten whole on every
-  * build (layout-count-sized, not data-sized).
-  */
 /** One vacuum tombstone: when `path` (warehouse-relative dir or absolute
   * data file) was first OBSERVED unreferenced. Persisted so the grace
   * window survives process restarts — a short-lived maintenance job's
@@ -56,6 +48,16 @@ final case class LayoutManifestEntry(
   */
 final case class VacuumMark(path: String, since: Long)
 
+/** Manifest IO for a durable [[Catalog]] warehouse: a tiny Spark-written
+  * JSON dataset at `<warehouse>/_manifest` (control-plane data — one row
+  * per layout, like a lakehouse table manifest). Spark is its own codec
+  * here: no JSON library dependency, any Hadoop-compatible filesystem
+  * works, and the explicit schema comes from the entry's encoder.
+  * Single-writer per warehouse: the manifest is rewritten whole on every
+  * build (layout-count-sized, not data-sized) — staged through a temp
+  * dir + rename so a concurrent reader's "manifest absent" window is
+  * two metadata operations, not a write job.
+  */
 object LayoutStore {
 
   private def manifestPath(warehouse: String) = s"$warehouse/_manifest"
@@ -65,9 +67,11 @@ object LayoutStore {
     loadOpt(spark, warehouse).getOrElse(Nil)
 
   /** Like [[load]] but None when the manifest EXISTS yet cannot be read
-    * (e.g. observed mid-overwrite): attach-time callers degrade to a
-    * fresh warehouse, but a VACUUM must abort its pass rather than treat
-    * a transient read failure as "nothing is referenced".
+    * (e.g. observed mid-rename, or corrupt): attach-time callers degrade
+    * to a fresh warehouse, but a VACUUM must abort its pass rather than
+    * treat a transient failure as "nothing is referenced". The read is
+    * FAILFAST — a truncated part file must surface as None, never decode
+    * PERMISSIVEly into null-field rows that unreference real dirs.
     */
   def loadOpt(spark: SparkSession,
               warehouse: String): Option[Seq[LayoutManifestEntry]] = {
@@ -78,6 +82,7 @@ object LayoutStore {
     else Try {
       spark.read
         .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
+        .option("mode", "FAILFAST")
         .json(manifestPath(warehouse))
         .as[LayoutManifestEntry]
         .collect()
@@ -96,6 +101,7 @@ object LayoutStore {
     else Try {
       spark.read
         .schema(org.apache.spark.sql.Encoders.product[VacuumMark].schema)
+        .option("mode", "FAILFAST")
         .json(vacuumPath(warehouse))
         .as[VacuumMark]
         .collect()
@@ -106,15 +112,35 @@ object LayoutStore {
   def saveMarks(spark: SparkSession, warehouse: String,
                 marks: Map[String, Long]): Unit = {
     import spark.implicits._
-    marks.toSeq.map { case (p, t) => VacuumMark(p, t) }
-      .toDS().coalesce(1).write.mode("overwrite")
-      .json(vacuumPath(warehouse))
+    stagedWrite(spark, vacuumPath(warehouse)) { tmp =>
+      marks.toSeq.map { case (p, t) => VacuumMark(p, t) }
+        .toDS().coalesce(1).write.mode("overwrite").json(tmp)
+    }
   }
 
   def save(spark: SparkSession, warehouse: String,
            entries: Seq[LayoutManifestEntry]): Unit = {
     import spark.implicits._
-    entries.toDS().coalesce(1).write.mode("overwrite")
-      .json(manifestPath(warehouse))
+    stagedWrite(spark, manifestPath(warehouse)) { tmp =>
+      entries.toDS().coalesce(1).write.mode("overwrite").json(tmp)
+    }
+  }
+
+  /** Run `write` against a temp sibling, then delete+rename into place:
+    * a plain `mode("overwrite")` DELETES the target before spending a
+    * whole write job recreating it, leaving a seconds-wide window where
+    * a concurrent vacuum reads "absent manifest" and unreferences
+    * everything; staging shrinks that window to two metadata ops (and
+    * [[graft.core.Catalog.vacuum]] aborts if it still lands inside it).
+    */
+  private def stagedWrite(spark: SparkSession, target: String)(
+      write: String => Unit): Unit = {
+    val tmp = target + "_tmp"
+    write(tmp)
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    ()
   }
 }

@@ -23,19 +23,28 @@ object RowOps {
     * shift up by one). Pure arithmetic on `__pos` — no re-sort, no window.
     */
   def deleteRow(df: DataFrame, position: Long): DataFrame =
-    df.filter(col(POS) =!= position)
-      .withColumn(POS, when(col(POS) > position, col(POS) - 1L).otherwise(col(POS)))
+    deleteRows(df, Seq(position))
 
-  /** R4 multi: delete a set of positions, re-pack densely. */
+  /** R4 multi: delete a set of positions, re-pack densely.
+    *
+    * The shift (count of deleted positions below this row) is ONE
+    * higher-order expression over an array LITERAL, not a sum of
+    * per-position `when` terms: each `when` would reference `__pos`
+    * again, and because `CollapseProject` merges stacked delete gestures
+    * by SUBSTITUTING the previous gesture's `__pos` projection into
+    * every reference, a k-position delete repeated g times would grow
+    * the plan ~k^g — a delete-heavy session OOMed the driver around
+    * nine 30-row gestures. The HOF form references `__pos` once, so
+    * stacked gestures stay linear (and the array literal is a codegen
+    * reference object, keeping generated code size flat too).
+    */
   def deleteRows(df: DataFrame, positions: Seq[Long]): DataFrame = {
     if (positions.isEmpty) return df
     val sorted = positions.distinct.sorted
     val kept = df.filter(!col(POS).isInCollection(sorted))
-    // shift = count of deleted positions below this row; small literal list
-    // per delete gesture, folded by codegen into branch-free comparisons.
-    val shift = sorted.map(p => when(col(POS) > p, 1L).otherwise(0L))
-      .reduce(_ + _)
-    kept.withColumn(POS, col(POS) - shift)
+    val arr = typedLit(sorted)
+    kept.withColumn(POS,
+      col(POS) - size(filter(arr, p => p < col(POS))))
   }
 
   /** R5: multi-row cut — returns (clipboard, remaining-table). Clipboard

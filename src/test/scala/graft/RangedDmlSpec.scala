@@ -332,6 +332,62 @@ class RangedDmlSpec extends SparkSpec {
       "the rebuilt codes must not contain the deleted null-id row")
   }
 
+  test("a pure-delete burst that empties whole files folds end-to-end (empty merge region)") {
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    // probe the deterministic file split, then pick the delta bound n
+    // with 8n < T <= 9n for a file-prefix of T rows: deleting exactly
+    // that prefix in batches of <= n crosses the merge bound ON the
+    // prefix's last row, so the fold's merge region is EMPTY
+    val probe = new Catalog(spark)
+    probe.open("zdel0", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    probe.buildRangedLayout("zdel0", "o_totalprice", files = 6,
+      idCol = Some("o_orderkey"))
+    val sizes = rangedOf(probe, "zdel0").stats.collect()
+      .sortBy(_.getAs[Double]("min_v")).map(_.getAs[Long]("n_rows"))
+    val choice = (1 to 3).view.flatMap { k =>
+      val t = sizes.take(k).sum
+      (((t + 8) / 9) to ((t - 1) / 8)).headOption.map(n => (k, t, n.toInt))
+    }.headOption
+    assert(choice.isDefined,
+      s"no (prefix, bound) alignment for file sizes ${sizes.toSeq}")
+    val (k, total, n) = choice.get
+
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(n))
+    cat.open("zdel", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("zdel", "o_totalprice", files = 6,
+      idCol = Some("o_orderkey"))
+    val built = rangedOf(cat, "zdel")
+    val bstats = built.stats.collect().sortBy(_.getAs[Double]("min_v"))
+    val prefixFiles = bstats.take(k).map(_.getAs[String]("file")).toSeq
+    val prefixIds = spark.read.parquet(prefixFiles: _*)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(prefixIds.length == total,
+      "the probe and the layout must split files identically")
+    val s = cat.get("zdel").get
+    prefixIds.grouped(n).foreach { ids =>
+      val pos = s.current
+        .filter(col("o_orderkey").isInCollection(ids))
+        .select(col(Positional.POS)).collect().map(_.getLong(0)).toSeq
+      assert(pos.length == ids.length)
+      assert(s.deleteRows(pos))
+      assert(cat.refreshStale("zdel") == Seq("range:o_totalprice"))
+    }
+    val pc = rangedOf(cat, "zdel")
+    assert(pc.patch.isEmpty && pc.path.contains("catalog_ranged_pc_"),
+      "the bound-crossing delete must fold, patch-free")
+    val afterFiles = pc.stats.collect()
+      .map(r => norm(r.getAs[String]("file"))).toSet
+    prefixFiles.foreach(p => assert(!afterFiles.contains(norm(p)),
+      s"the emptied file must leave the stats: $p"))
+    assert(pc.stats.count() == (sizes.length - k).toLong,
+      "an EMPTY merge region contributes zero stats rows")
+    // serving exact: no deleted row, every surviving row
+    val all = cat.rangeScan("zdel", "o_totalprice", 0.0, 1e9)
+    assert(all.count() == s.rowCount)
+    assert(all.orderBy("o_orderkey").collect().map(_.toSeq).toSeq ==
+      liveScan(s, 0.0, 1e9))
+  }
+
   test("an emptied merge region writes schema-only parquet the stats path can read") {
     // the building blocks of partialCompactFullRow's pure-delete edge
     // (every row of the rewrite files shadowed): an empty write must

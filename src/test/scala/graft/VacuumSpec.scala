@@ -184,6 +184,41 @@ class VacuumSpec extends SparkSpec {
     assert(cat.unpin("vpk", pinned))
   }
 
+  test("pin leases cross processes: another catalog's vacuum honors a persisted pin") {
+    val wh = newWarehouse()
+    val a = new Catalog(spark, Some(wh))
+    a.open("vlease", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    a.buildRangedLayout("vlease", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val pinned = a.pin("vlease")
+    val preEdit = a.rangeScanAsOf("vlease", pinned, "o_totalprice",
+        1000.0, 50000.0)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    // supersede the pinned dir entirely (structural gesture → rebuild)
+    val s = a.get("vlease").get
+    assert(s.setCell(0L, "o_totalprice", "7.5") && s.undo())
+    assert(a.refreshStale("vlease").nonEmpty)
+    assert(topDirs(wh).count(_.startsWith("catalog_ranged_")) >= 2)
+
+    // a DIFFERENT catalog (fresh process stand-in, no in-memory pins)
+    // vacuums: the lease must keep the pinned dir alive
+    val b = new Catalog(spark, Some(wh))
+    b.vacuum(graceMs = 0L)
+    assert(topDirs(wh).count(_.startsWith("catalog_ranged_")) >= 2,
+      "a persisted pin lease must survive another catalog's vacuum")
+    assert(a.rangeScanAsOf("vlease", pinned, "o_totalprice", 1000.0,
+        50000.0)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq == preEdit,
+      "the pinned route must still serve after the foreign vacuum")
+
+    // release: the lease file goes with the pin, the dir collects
+    assert(a.unpin("vlease", pinned))
+    b.vacuum(graceMs = 0L)
+    assert(topDirs(wh).count(_.startsWith("catalog_ranged_")) == 1)
+  }
+
   test("vacuum sees the ON-DISK manifest: another catalog's fresh layout is never garbage") {
     val wh = newWarehouse()
     val a = new Catalog(spark, Some(wh))
