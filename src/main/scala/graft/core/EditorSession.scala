@@ -3041,6 +3041,68 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     }
   }
 
+  /** A cube whose GROUP columns include the value column is a value-level
+    * histogram of that column — `__cnt` per distinct (keys…, value) cell —
+    * which serves ORDER STATISTICS exactly, not just re-mergeable sums.
+    */
+  private def quantileCovers(c: CubeLayout, keys: Seq[String],
+                             valueCol: String,
+                             whereCols: Set[String]): Boolean =
+    (keys.toSet ++ whereCols + valueCol).subsetOf(c.groupCols.toSet)
+
+  private def decideQuantile(name: String, keys: Seq[String],
+                             valueCol: String,
+                             whereCols: Set[String] = Set.empty)
+      : (Option[CubeLayout], RouteReport) =
+    decideCovering[CubeLayout](name,
+      s"cube:${(keys :+ valueCol).mkString(",")}",
+      layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
+      c => quantileCovers(c, keys, valueCol, whereCols))
+
+  /** Dry-run of [[quantiles]]'s routing decision — which cube (as a
+    * value histogram) would serve these probes, or why none would.
+    */
+  def explainQuantile(name: String, keys: Seq[String], valueCol: String,
+                      where: Seq[(String, Any)] = Nil): RouteReport =
+    decideQuantile(name, keys, valueCol, where.map(_._1).toSet)._2
+
+  /** Exact per-key percentiles of `valueCol` (linear interpolation at
+    * rank p·(n−1) — the built-in `percentile` semantics), served from a
+    * covering cube layout when one is epoch-valid: the stored rows
+    * re-aggregate to a (keys…, value, count) histogram — value-domain-
+    * sized, never fact-sized — and [[graft.operators.RankStats
+    * .percentilesOfHist]] walks it. The data-sized pass happened once at
+    * build time; at 100 TB a median probe reads kilobytes of stored
+    * cells instead of sorting the fact table. Without a covering valid
+    * layout the identical walk runs over the live rows (the histogram is
+    * just built first), so routing changes the plan, never the answer.
+    * `where` accepts equality filters on the cube's group columns — a
+    * stored (keys, value) cell survives such a filter wholesale, so the
+    * filtered order statistics stay exact.
+    */
+  def quantiles(name: String, keys: Seq[String], valueCol: String,
+                probes: Seq[(String, Double)],
+                where: Seq[(String, Any)] = Nil): DataFrame = {
+    val s = sessionOf(name)
+    val (valid, rep) =
+      decideQuantile(name, keys, valueCol, where.map(_._1).toSet)
+    recordRoute(rep)
+    valid match {
+      case Some(c) =>
+        // rollup of counted cells is exact: finer tuples sum into the
+        // requested (keys, value) cell, and the walk never needs the
+        // dropped dimensions
+        val hist = whereFilter(where)(patchedCube(c))
+          .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
+          .agg(sum(col("__cnt")).as("__m"))
+        graft.operators.RankStats.percentilesOfHist(hist, keys, probes)
+      case None =>
+        graft.operators.RankStats.exactPercentiles(
+          whereFilter(where)(Positional.strip(s.current)),
+          col(valueCol), keys, probes)
+    }
+  }
+
   /** The sketch layout's stored rows: one HLL sketch of `sketchCol` per
     * group tuple, plus the JSON group key the delta patch shadows by.
     */

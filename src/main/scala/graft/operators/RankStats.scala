@@ -279,8 +279,6 @@ object RankStats {
                        probes: Seq[(String, Double)],
                        histAggs: Seq[Column] = Nil,
                        finalAggs: Seq[(String, Column)] = Nil): DataFrame = {
-    require(probes.nonEmpty, "exactPercentiles needs at least one probe")
-    val keyCols = keys.map(col)
     // NULL values stay in the histogram as their own cell (so a key whose
     // values are ALL null still yields an output row — with NULL
     // percentiles, exactly like the built-in and like SQL GROUP BY — and
@@ -289,8 +287,28 @@ object RankStats {
     // under orderBy(__v) and contribute 0 to __cum/__n, so the non-null
     // order statistics are unmoved and an all-null key probes nothing.
     val histFull = df
-      .groupBy(keyCols :+ value.as("__v"): _*)
+      .groupBy(keys.map(col) :+ value.as("__v"): _*)
       .agg(count(lit(1)).as("__m"), histAggs: _*)
+    percentilesOfHist(histFull, keys, probes, finalAggs)
+  }
+
+  /** The walk-and-interpolate stage of [[exactPercentiles]] over a
+    * PRE-BUILT value-level histogram: `hist` has one row per (keys…,
+    * `__v` distinct value, `__m` its count) cell, plus any extra columns
+    * `finalAggs` want in scope. This is the serving path for an at-rest
+    * counted layout (a cube whose group columns include the value
+    * column): the data-sized aggregate that built the histogram happened
+    * ONCE at layout-build time, so a quantile probe at 100 TB reads and
+    * walks only the stored cells — identical math, identical nulls
+    * (null `__v` cells pass through the walk contributing 0), identical
+    * interpolation, so layout-served and live answers are bit-equal.
+    */
+  def percentilesOfHist(hist: DataFrame, keys: Seq[String],
+                        probes: Seq[(String, Double)],
+                        finalAggs: Seq[(String, Column)] = Nil): DataFrame = {
+    require(probes.nonEmpty, "percentilesOfHist needs at least one probe")
+    val keyCols = keys.map(col)
+    val histFull = hist
     val part =
       if (keys.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(keyCols: _*)

@@ -70,13 +70,23 @@ object AnalyticsQueries {
       val c = new graft.core.Catalog(s)
       c.openFrom("li_cube",
         Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
-            "l_linestatus", "l_quantity", "l_extendedprice"),
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
         Seq("l_orderkey", "l_linenumber"))
       c.buildCubeLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
         Seq("l_quantity", "l_extendedprice"))
       c.buildPairsLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
         "l_partkey")
+      // a cube whose GROUP columns include the value column is a value-
+      // level histogram: it serves ORDER statistics (percentile/median),
+      // count(DISTINCT value) and extrema exactly, not just sums —
+      // l_quantity's domain is bounded (integral 1..50), the shape this
+      // layout kind is for
+      c.buildCubeLayout("li_cube", Seq("l_returnflag", "l_quantity"), Nil)
+      // a second pairs column makes multi-distinct aggregates split
+      // across THREE layouts (cube ⋈ pairs ⋈ pairs)
+      c.buildPairsLayout("li_cube", Seq("l_returnflag", "l_linestatus"),
+        "l_suppkey")
       c
     }
 
@@ -1450,6 +1460,120 @@ object AnalyticsQueries {
           |WHERE l_returnflag = 'A'
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    /** SQL `percentile` (median + p90) served from the value-histogram
+      * cube: a cube whose GROUP columns include the value column stores
+      * `__cnt` per distinct (flag, quantity) cell, and the rewrite
+      * replays `percentile(q, p)` as `percentile(q, p, __cnt)` over the
+      * stored cells — the built-in's frequency parameter reconstructs
+      * the IDENTICAL counted multiset, so the order statistics are
+      * bit-equal to a fact-table sort that never happens (plan pin in
+      * SqlRoutingSpec). At 100 TB this is the difference between a
+      * value-domain-sized read and sorting the fact table per query.
+      */
+    "a_sql_quantile" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(percentile(l_quantity, 0.5), 6) AS med_qty,
+          |  round(percentile(l_quantity, 0.9), 6) AS p90_qty,
+          |  count(*) AS n
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** The filtered global form: WHERE on one histogram group column,
+      * quartiles of the other — stored (flag, quantity) cells survive a
+      * flag filter wholesale, so the filtered order statistics are exact.
+      */
+    "a_sql_quantile_filtered" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT round(percentile(l_quantity, 0.25), 6) AS q1_qty,
+          |  round(percentile(l_quantity, 0.75), 6) AS q3_qty
+          |FROM li_cube WHERE l_returnflag = 'A'""".stripMargin)),
+
+    /** The typed twin: [[graft.core.Catalog.quantiles]] routes to the
+      * covering value-histogram cube and walks its counted cells with
+      * the RankStats prefix-sum interpolation (never a fact sort).
+      */
+    "a_catalog_quantile" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .quantiles("li_cube", Seq("l_returnflag"), "l_quantity",
+          Seq("med_qty" -> 0.5, "p90_qty" -> 0.9))
+        .select(col("l_returnflag"), round(col("med_qty"), 6).as("med_qty"),
+          round(col("p90_qty"), 6).as("p90_qty"))
+        .orderBy("l_returnflag")),
+
+    /** The live fact-scan leg of the quantile probes — the comparison
+      * baseline the histogram serving replaces (the identical RankStats
+      * walk, but the data-sized histogram build runs per query instead
+      * of once at layout-build time).
+      */
+    "a_quantile_scan" -> ((s, dir) =>
+      graft.operators.RankStats.exactPercentiles(
+          Tables.load(s, dir, "lineitem"), col("l_quantity"),
+          Seq("l_returnflag"), Seq("med_qty" -> 0.5, "p90_qty" -> 0.9))
+        .select(col("l_returnflag"), round(col("med_qty"), 6).as("med_qty"),
+          round(col("p90_qty"), 6).as("p90_qty"))
+        .orderBy("l_returnflag")),
+
+    /** AVG through the cube route, stated as the engine's canonical
+      * exact quotient (decimal partial sum ÷ non-null count — one double
+      * division at the end): BOTH aggregate leaves re-merge from stored
+      * partials, so the most common analytics aggregate serves from
+      * group-count-sized rows with no dedicated machinery.
+      */
+    "a_sql_avg" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** DISTINCT-count of a cube GROUP column, served by the cube alone:
+      * the stored rows are one per distinct group tuple, so
+      * `count(DISTINCT quantity)`, `max(quantity)` and `count(quantity)`
+      * all fold off the (flag, quantity) cells — no pairs layout needed
+      * when the distinct column is part of the cube's grouping.
+      */
+    "a_sql_groupdistinct" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_quantity) AS cd_qty,
+          |  max(l_quantity) AS max_qty,
+          |  count(l_quantity) AS n_qty
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** TWO distinct columns next to count/sum in one GROUP BY — the
+      * N-way split (r10 task #5 generalized): each count(DISTINCT)
+      * re-distincts its OWN pairs layout, the rest re-merges the cube,
+      * and the THREE group-count-sized sides join back on the group key
+      * (plan pin in SqlRoutingSpec: no fact scan, three layout scans).
+      */
+    "a_sql_multi_distinct" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS cd_partkey,
+          |  count(DISTINCT l_suppkey) AS cd_suppkey,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS sum_price
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** The live fact-scan leg of the multi-distinct aggregate — the
+      * baseline the 3-way layout split replaces (each DISTINCT shuffles
+      * every fact row's key here).
+      */
+    "a_multi_distinct_scan" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("cd_partkey"),
+          count_distinct(col("l_suppkey")).as("cd_suppkey"),
+          count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sum_price"))
+        .orderBy("l_returnflag")),
+
     /** Lag + moving average: previous order price and 3-order trailing mean
       * per customer — partitioned window, decimal sum then one double
       * division for cross-engine determinism.
@@ -2785,6 +2909,65 @@ object AnalyticsQueries {
         |    AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    /** DuckDB's `quantile_cont` is the same (n−1)·p linear interpolation
+      * as Spark's `percentile`; rounding to 6dp both sides is the
+      * engine's standard cross-engine idiom.
+      */
+    "a_sql_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_quantile_filtered" ->
+      """SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3_qty
+        |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+
+    "a_catalog_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_quantile_scan" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_avg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_groupdistinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS cd_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(l_quantity) AS n_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS cd_suppkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_multi_distinct_scan" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS cd_suppkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "w_lag_ma" ->
       """SELECT o_custkey, o_orderkey,

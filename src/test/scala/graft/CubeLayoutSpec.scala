@@ -313,4 +313,56 @@ class CubeLayoutSpec extends SparkSpec {
       s"the reopened catalog must serve from warehouse files; plan:\n$p")
     assert(got(routed, groupsAll) == fromA)
   }
+
+  test("typed quantiles serve from a value-histogram cube: routed, filtered, stale, refreshed") {
+    val c = new Catalog(spark)
+    c.open("qli", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    c.buildCubeLayout("qli", Seq("l_returnflag", "l_quantity"), Nil)
+    val probes = Seq("med" -> 0.5, "p90" -> 0.9)
+    def live(): Seq[Seq[Any]] = got(
+      graft.operators.RankStats.exactPercentiles(
+        graft.core.Positional.strip(c.get("qli").get.current),
+        col("l_quantity"), Seq("l_returnflag"), probes),
+      Seq("l_returnflag"))
+
+    assert(c.explainQuantile("qli", Seq("l_returnflag"), "l_quantity")
+      .reason == "routed")
+    val served = c.quantiles("qli", Seq("l_returnflag"), "l_quantity", probes)
+    assert(plan(served).contains("catalog_cube_") &&
+      !plan(served).contains("l_orderkey"),
+      s"quantiles must walk stored cells, never the fact table; plan:\n${plan(served)}")
+    assert(got(served, Seq("l_returnflag")) == live())
+
+    // a WHERE on a histogram group column selects whole stored cells
+    val filt = c.quantiles("qli", Nil, "l_quantity", Seq("q1" -> 0.25),
+      where = Seq("l_returnflag" -> "A"))
+    assert(plan(filt).contains("catalog_cube_"))
+    assert(filt.collect().map(_.toSeq).toSeq == got(
+      graft.operators.RankStats.exactPercentiles(
+        graft.core.Positional.strip(c.get("qli").get.current)
+          .filter(col("l_returnflag") === "A"),
+        col("l_quantity"), Nil, Seq("q1" -> 0.25)), Nil))
+
+    // a request no histogram covers falls to the identical live walk
+    assert(c.explainQuantile("qli", Seq("l_returnflag"), "l_extendedprice")
+      .reason == "param-mismatch")
+    assert(!plan(c.quantiles("qli", Seq("l_returnflag"), "l_extendedprice",
+      probes)).contains("catalog_cube_"))
+
+    // an edit makes the layout stale → live serving stays exact; the
+    // refresh re-validates and the routed answer reflects the edit
+    assert(c.get("qli").get.setCell(0L, "l_quantity", "50.0"))
+    assert(c.explainQuantile("qli", Seq("l_returnflag"), "l_quantity")
+      .reason == "stale-epoch")
+    assert(got(c.quantiles("qli", Seq("l_returnflag"), "l_quantity", probes),
+      Seq("l_returnflag")) == live())
+    c.refreshStale("qli")
+    assert(c.explainQuantile("qli", Seq("l_returnflag"), "l_quantity")
+      .reason == "routed")
+    val refreshed = c.quantiles("qli", Seq("l_returnflag"), "l_quantity",
+      probes)
+    assert(plan(refreshed).contains("catalog_cube_"))
+    assert(got(refreshed, Seq("l_returnflag")) == live())
+  }
 }

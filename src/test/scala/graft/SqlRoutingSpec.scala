@@ -417,4 +417,137 @@ class SqlRoutingSpec extends SparkSpec {
       Tables.load(spark, sf, "lineitem")
         .filter(col("l_quantity") <= 20.0).count())
   }
+
+  test("percentile + group-column distinct/extrema route through a value-histogram cube") {
+    val cat = new Catalog(spark)
+    cat.open("li_vh", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    // a cube whose GROUP columns include the value column is a value-
+    // level histogram: __cnt per (flag, quantity) cell
+    cat.buildCubeLayout("li_vh", Seq("l_returnflag", "l_quantity"), Nil)
+    val q = """SELECT l_returnflag,
+              |  round(percentile(l_quantity, 0.5), 6) AS med,
+              |  round(percentile(l_quantity, 0.9), 6) AS p90,
+              |  count(DISTINCT l_quantity) AS cd,
+              |  max(l_quantity) AS mx,
+              |  count(l_quantity) AS nq
+              |FROM li_vh GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_"),
+      s"percentile must read the stored histogram cells; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the histogram rewrite must never scan the fact table; plan:\n$p")
+    // the rewritten percentile replays in the FREQUENCY form over the
+    // stored cell counts — the counted multiset is identical to the
+    // fact rows, so the order statistics are bit-equal
+    assert("percentile\\(l_quantity#\\d+, 0\\.5, __cnt#".r
+      .findFirstIn(p).isDefined,
+      s"the routed percentile must carry __cnt as frequency; plan:\n$p")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_returnflag,l_quantity" && r.reason == "sql-routed"))
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        count_distinct(col("l_quantity")).as("cd"),
+        max(col("l_quantity")).as("mx"),
+        count(col("l_quantity")).as("nq"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+    // percentile of a MEASURE-only cube cannot route (order statistics
+    // need the value-level cells, not partial sums)
+    val cat2 = new Catalog(spark)
+    cat2.open("li_vh2", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat2.buildCubeLayout("li_vh2", Seq("l_returnflag"), Seq("l_quantity"))
+    assert(!plan(cat2.sql(
+      """SELECT l_returnflag, round(percentile(l_quantity, 0.5), 6) AS med
+        |FROM li_vh2 GROUP BY l_returnflag""".stripMargin))
+      .contains("catalog_cube_"))
+    // an edit invalidates: the text falls back to the live view
+    assert(cat.get("li_vh").get.setCell(0L, "l_quantity", "1.0"))
+    assert(!plan(cat.sql(q)).contains("catalog_cube_"),
+      "a stale histogram cube must not serve SQL")
+  }
+
+  test("the canonical avg quotient re-merges from cube partials (both leaves route)") {
+    val cat = new Catalog(spark)
+    cat.open("li_av", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_av", Seq("l_returnflag"), Seq("l_quantity"))
+    val routed = cat.sql(
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+        |FROM li_av GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"both quotient leaves must re-merge from stored partials; plan:\n$p")
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+  }
+
+  test("multi-distinct aggregate splits across cube and TWO pairs layouts (N-way join)") {
+    val cat = new Catalog(spark)
+    cat.open("li_md", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_md", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_extendedprice"))
+    cat.buildPairsLayout("li_md", Seq("l_returnflag", "l_linestatus"),
+      "l_partkey")
+    cat.buildPairsLayout("li_md", Seq("l_returnflag", "l_linestatus"),
+      "l_suppkey")
+    val q = """SELECT l_returnflag,
+              |  count(DISTINCT l_partkey) AS cdp,
+              |  count(DISTINCT l_suppkey) AS cds,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+              |    AS DOUBLE) AS sp
+              |FROM li_md GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && p.contains("catalog_pairs_"),
+      s"the split must scan the cube and the pairs layouts; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the N-way split must never scan the fact table; plan:\n$p")
+    // each distinct column re-distincts its OWN pairs layout
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "pairs:l_returnflag,l_linestatus:l_partkey" &&
+        r.reason == "sql-routed"))
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "pairs:l_returnflag,l_linestatus:l_suppkey" &&
+        r.reason == "sql-routed"))
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_returnflag,l_linestatus" && r.reason == "sql-routed"))
+    val live = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("cdp"),
+        count_distinct(col("l_suppkey")).as("cds"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice"), 6).cast("decimal(38,6)"))
+          .cast("double").as("sp"))
+      .orderBy("l_returnflag")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+    // with one pairs layout missing, the unanswerable leaf refuses the
+    // whole rewrite — the live plan serves (never a partial answer)
+    val cat2 = new Catalog(spark)
+    cat2.open("li_md2", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat2.buildCubeLayout("li_md2", Seq("l_returnflag"), Seq("l_extendedprice"))
+    cat2.buildPairsLayout("li_md2", Seq("l_returnflag"), "l_partkey")
+    val p2 = plan(cat2.sql(q.replace("li_md", "li_md2")))
+    assert(!p2.contains("catalog_cube_") && !p2.contains("catalog_pairs_"),
+      s"a leaf no layout serves must refuse the whole split; plan:\n$p2")
+  }
 }
