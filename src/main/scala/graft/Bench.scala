@@ -253,6 +253,15 @@ object Bench {
     "a4_percentile_walk" -> ((s: SparkSession) =>
       graft.queries.ParityQueries.queries("a4_percentile")(s, sfDir).count()),
 
+    // r11: exact median/p90 served from the value-histogram cube — the
+    // walk runs over stored (group, value, count) cells instead of
+    // histogramming the fact table per query; compare a_quantile_scan
+    // (the identical walk, live) whose cost grows with the data
+    "a_quantile_routed" -> ((s: SparkSession) => {
+      graft.queries.AnalyticsQueries
+        .queries("a_catalog_quantile")(s, sfDir).count()
+    }),
+
     "j_star" -> ((s: SparkSession) =>
       graft.queries.AnalyticsQueries.queries("j_star")(s, sfDir).count()),
 

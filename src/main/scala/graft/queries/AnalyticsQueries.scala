@@ -1560,6 +1560,24 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** Order statistics NEXT TO sums and distincts in one GROUP BY — the
+      * N-way split across three layouts of three different kinds: the
+      * percentile leaf replays over the value-histogram cube's cells,
+      * the canonical sum re-merges the measure cube's partials, and the
+      * DISTINCT re-distincts the pairs — joined back group-count-sized,
+      * fact table untouched. No single materialized view answers this
+      * query; the split makes the layout set composable.
+      */
+    "a_sql_mixed_quantile" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(percentile(l_quantity, 0.5), 6) AS med_qty,
+          |  count(DISTINCT l_partkey) AS cd_partkey,
+          |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS sum_price
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     /** The live fact-scan leg of the multi-distinct aggregate — the
       * baseline the 3-way layout split replaces (each DISTINCT shuffles
       * every fact row's key here).
@@ -2956,6 +2974,14 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS cd_suppkey,
         |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_mixed_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
         |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

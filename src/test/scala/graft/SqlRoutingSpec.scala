@@ -539,6 +539,33 @@ class SqlRoutingSpec extends SparkSpec {
       .orderBy("l_returnflag")
     assert(routed.collect().map(_.toSeq).toSeq ==
       live.collect().map(_.toSeq).toSeq)
+    // THREE KINDS in one split: percentile from a value-histogram cube,
+    // the canonical sum from the measure cube, the DISTINCT from pairs
+    cat.buildCubeLayout("li_md", Seq("l_returnflag", "l_quantity"), Nil)
+    val threeKinds = cat.sql(
+      """SELECT l_returnflag,
+        |  round(percentile(l_quantity, 0.5), 6) AS med,
+        |  count(DISTINCT l_partkey) AS cdp,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sp
+        |FROM li_md GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
+    val p3 = plan(threeKinds)
+    assert(!p3.contains("l_orderkey"),
+      s"the three-kind split must never scan the fact table; plan:\n$p3")
+    assert("percentile\\(l_quantity#\\d+, 0\\.5, __cnt#".r
+      .findFirstIn(p3).isDefined, s"frequency-form percentile; plan:\n$p3")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_returnflag,l_quantity" && r.reason == "sql-routed"))
+    assert(threeKinds.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med"),
+          count_distinct(col("l_partkey")).as("cdp"),
+          sum(round(col("l_extendedprice"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sp"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+
     // with one pairs layout missing, the unanswerable leaf refuses the
     // whole rewrite — the live plan serves (never a partial answer)
     val cat2 = new Catalog(spark)

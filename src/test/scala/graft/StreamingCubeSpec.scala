@@ -95,4 +95,33 @@ class StreamingCubeSpec extends SparkSpec {
     assert(estimates(mR) == routed,
       "arrival order must not move the estimate — register max commutes")
   }
+
+  test("quantiles serve exactly from a stream-maintained value-histogram cube") {
+    // a cube whose group columns include the (binned) value column is a
+    // value-level histogram; because its cell counts are commutative
+    // merges, the streaming maintenance that keeps sums fresh keeps
+    // ORDER STATISTICS fresh too — no new machinery
+    val ev = Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 1).as("vbin"))
+    val probes = Seq("med" -> 0.5, "p90" -> 0.9)
+    val expected = graft.operators.RankStats.exactPercentiles(
+        ev.drop("event_id"), col("vbin"), Seq("event_type"), probes)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+
+    val src = writeSlices(ev, "event_id", slices = 3, reverse = true)
+    val hist = EventStreams.cubeMaintain(spark, src,
+      Seq("event_type", "vbin"), Nil, "st_hist_spec")
+    assert(hist.count() ==
+      ev.select("event_type", "vbin").distinct().count(),
+      "maintained state must be one row per (group, value) cell")
+    val served = graft.operators.RankStats.percentilesOfHist(
+      hist.groupBy(col("event_type"), col("vbin").as("__v"))
+        .agg(sum(col("__cnt")).as("__m")),
+      Seq("event_type"), probes)
+    assert(served.orderBy("event_type").collect().map(_.toSeq).toSeq ==
+      expected,
+      "quantiles from stream-merged cells must equal the one-shot walk")
+  }
 }
