@@ -2674,6 +2674,31 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     pairsDistinctOver(src, groupCols, pairCol)
   }
 
+  /** Exact per-key percentiles against a PINNED epoch — the pinned twin
+    * of [[quantiles]], through the SAME covering rule
+    * ([[quantileCovers]]) and serving body ([[serveHistQuantiles]] /
+    * [[liveQuantiles]]) the live route uses.
+    */
+  def quantilesAsOf(name: String, epoch: Long, keys: Seq[String],
+                    valueCol: String, probes: Seq[(String, Double)],
+                    where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.values.collectFirst {
+      case c: CubeLayout
+          if quantileCovers(c, keys, valueCol, where.map(_._1).toSet) => c
+    } match {
+      case Some(c) =>
+        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+          "layout", "pinned"))
+        serveHistQuantiles(c, keys, valueCol, probes, where)
+      case None =>
+        recordRoute(RouteReport(s"cube:${(keys :+ valueCol).mkString(",")}",
+          "live", "pinned-live"))
+        liveQuantiles(Positional.strip(sn.plan), keys, valueCol, probes,
+          where)
+    }
+  }
+
   // ---- warehouse vacuum ------------------------------------------------------
 
   /** Garbage-collect the warehouse by MANIFEST DIFF (r10 verdict task
@@ -3088,20 +3113,35 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       decideQuantile(name, keys, valueCol, where.map(_._1).toSet)
     recordRoute(rep)
     valid match {
-      case Some(c) =>
-        // rollup of counted cells is exact: finer tuples sum into the
-        // requested (keys, value) cell, and the walk never needs the
-        // dropped dimensions
-        val hist = whereFilter(where)(patchedCube(c))
-          .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
-          .agg(sum(col("__cnt")).as("__m"))
-        graft.operators.RankStats.percentilesOfHist(hist, keys, probes)
+      case Some(c) => serveHistQuantiles(c, keys, valueCol, probes, where)
       case None =>
-        graft.operators.RankStats.exactPercentiles(
-          whereFilter(where)(Positional.strip(s.current)),
-          col(valueCol), keys, probes)
+        liveQuantiles(Positional.strip(s.current), keys, valueCol, probes,
+          where)
     }
   }
+
+  /** The routed quantile-serving plan, shared by [[quantiles]] and
+    * [[quantilesAsOf]]: re-aggregate the stored cells to the requested
+    * (keys, value) histogram and walk it. Rollup of counted cells is
+    * exact — finer tuples sum into the requested cell, and the walk
+    * never needs the dropped dimensions.
+    */
+  private def serveHistQuantiles(c: CubeLayout, keys: Seq[String],
+                                 valueCol: String,
+                                 probes: Seq[(String, Double)],
+                                 where: Seq[(String, Any)]): DataFrame = {
+    val hist = whereFilter(where)(patchedCube(c))
+      .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col("__cnt")).as("__m"))
+    graft.operators.RankStats.percentilesOfHist(hist, keys, probes)
+  }
+
+  private def liveQuantiles(plan: DataFrame, keys: Seq[String],
+                            valueCol: String,
+                            probes: Seq[(String, Double)],
+                            where: Seq[(String, Any)]): DataFrame =
+    graft.operators.RankStats.exactPercentiles(
+      whereFilter(where)(plan), col(valueCol), keys, probes)
 
   /** The sketch layout's stored rows: one HLL sketch of `sketchCol` per
     * group tuple, plus the JSON group key the delta patch shadows by.

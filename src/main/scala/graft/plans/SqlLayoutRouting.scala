@@ -398,6 +398,18 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
               Complete, isDistinct = false, None, NamedExpression.newExprId))
           case _ => None
         }
+      // median(g) is RuntimeReplaceableAggregate sugar for
+      // percentile(g, 0.5) — the optimizer substitutes AFTER this rule
+      // runs at analysis time, so match the sugar form directly
+      case m: Median => m.children match {
+        case Seq(at: AttributeReference) if isGroupAttr(at) =>
+          Some(AggregateExpression(
+            Percentile(byName(at.name),
+              Literal(0.5, types.DoubleType),
+              byName("__cnt"), 0, 0, reverse = false),
+            Complete, isDistinct = false, None, NamedExpression.newExprId))
+        case _ => None
+      }
       case s: Sum =>
         canonicalMeasure(s.child).flatMap(m =>
           byName.get(s"__sum_$m").map(sumOf))

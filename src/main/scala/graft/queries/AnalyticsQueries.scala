@@ -1560,6 +1560,43 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** `median()` sugar routes like its percentile expansion: the
+      * RuntimeReplaceable substitution happens in the optimizer, AFTER
+      * the routing rule, so the rewrite matches the sugar form directly
+      * and replays it as percentile(v, 0.5, __cnt) over stored cells.
+      */
+    "a_sql_median" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty
+          |FROM li_cube
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** Heavy hitters from stored cells: the most frequent values of a
+      * histogram-cube group column are `ORDER BY count DESC LIMIT k`
+      * over the rewritten aggregate — the sort ranks value-domain-sized
+      * stored cells (TakeOrdered over ~50 rows here), never fact rows.
+      * The composition is free: the rewrite preserves output exprIds, so
+      * ORDER BY / LIMIT / HAVING above it stay resolved.
+      */
+    "a_sql_heavy_hitters" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_quantity, count(*) AS n
+          |FROM li_cube
+          |GROUP BY l_quantity
+          |ORDER BY n DESC, l_quantity LIMIT 3""".stripMargin)),
+
+    /** HAVING over a routed aggregate: the analyzer plants the predicate
+      * as a Filter above the Aggregate, the rewrite swaps the child, and
+      * the filter runs over group-count-sized merged rows.
+      */
+    "a_sql_cube_having" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_quantity, count(*) AS n
+          |FROM li_cube
+          |GROUP BY l_quantity
+          |HAVING l_quantity <= 10.0
+          |ORDER BY l_quantity""".stripMargin)),
+
     /** Order statistics NEXT TO sums and distincts in one GROUP BY — the
       * N-way split across three layouts of three different kinds: the
       * percentile leaf replays over the value-histogram cube's cells,
@@ -2977,6 +3014,21 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_median" ->
+      """SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_sql_heavy_hitters" ->
+      """SELECT l_quantity, count(*) AS n
+        |FROM lineitem GROUP BY l_quantity
+        |ORDER BY n DESC, l_quantity LIMIT 3""".stripMargin,
+
+    "a_sql_cube_having" ->
+      """SELECT l_quantity, count(*) AS n
+        |FROM lineitem GROUP BY l_quantity
+        |HAVING l_quantity <= 10.0
+        |ORDER BY l_quantity""".stripMargin,
 
     "a_sql_mixed_quantile" ->
       """SELECT l_returnflag,

@@ -473,6 +473,73 @@ class SqlRoutingSpec extends SparkSpec {
       "a stale histogram cube must not serve SQL")
   }
 
+  test("median sugar, ORDER BY/LIMIT heavy hitters, and HAVING compose over the routed aggregate") {
+    val cat = new Catalog(spark)
+    cat.open("li_cp", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_cp", Seq("l_returnflag", "l_quantity"), Nil)
+
+    // median() is RuntimeReplaceable sugar — substituted in the
+    // optimizer AFTER the routing rule, so the rewrite matches it raw
+    val med = cat.sql(
+      """SELECT l_returnflag, round(median(l_quantity), 6) AS med
+        |FROM li_cp GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
+    val pm = plan(med)
+    assert(pm.contains("catalog_cube_") && !pm.contains("l_orderkey"),
+      s"median must replay over stored cells; plan:\n$pm")
+    assert("percentile\\(l_quantity#\\d+, 0\\.5, __cnt#".r
+      .findFirstIn(pm).isDefined, s"frequency-form expansion; plan:\n$pm")
+    assert(med.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("median(l_quantity)"), 6).as("med"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+
+    // heavy hitters: the sort ranks value-domain-sized stored cells
+    val hh = cat.sql(
+      """SELECT l_quantity, count(*) AS n FROM li_cp
+        |GROUP BY l_quantity ORDER BY n DESC, l_quantity LIMIT 3"""
+        .stripMargin)
+    val ph = plan(hh)
+    assert(ph.contains("catalog_cube_") && !ph.contains("l_orderkey"),
+      s"heavy hitters must rank stored cells; plan:\n$ph")
+    assert(ph.contains("TakeOrderedAndProject"),
+      s"LIMIT over the rewrite must stay a top-k, never a global sort; plan:\n$ph")
+    assert(hh.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_quantity")).limit(3)
+        .collect().map(_.toSeq).toSeq)
+
+    // HAVING plants a Filter above the Aggregate; preserved exprIds keep
+    // it resolved over the rewritten (group-count-sized) child
+    val hv = cat.sql(
+      """SELECT l_quantity, count(*) AS n FROM li_cp
+        |GROUP BY l_quantity HAVING l_quantity <= 10.0
+        |ORDER BY l_quantity""".stripMargin)
+    assert(plan(hv).contains("catalog_cube_") &&
+      !plan(hv).contains("l_orderkey"))
+    assert(hv.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("l_quantity") <= 10.0)
+        .orderBy("l_quantity").collect().map(_.toSeq).toSeq)
+
+    // the ARRAY percentage form routes too (foldable array literal)
+    val arr = cat.sql(
+      """SELECT l_returnflag,
+        |  percentile(l_quantity, array(0.25, 0.5, 0.75)) AS qs
+        |FROM li_cp GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin)
+    assert(plan(arr).contains("catalog_cube_") &&
+      !plan(arr).contains("l_orderkey"),
+      s"array-percentage percentile must route; plan:\n${plan(arr)}")
+    assert(arr.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+  }
+
   test("the canonical avg quotient re-merges from cube partials (both leaves route)") {
     val cat = new Catalog(spark)
     cat.open("li_av", s"$sf/lineitem.parquet",

@@ -155,6 +155,45 @@ class VacuumSpec extends SparkSpec {
     assert(cat.unpin("vpin", pinned))
   }
 
+  test("pinned quantiles serve the pre-edit order statistics during maintenance") {
+    val cat = new Catalog(spark)
+    cat.open("vqt", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("vqt", Seq("l_returnflag", "l_quantity"), Nil)
+    val s = cat.get("vqt").get
+    val pinned = cat.pin("vqt")
+    val probes = Seq("med" -> 0.5, "p90" -> 0.9)
+    val before = cat.quantiles("vqt", Seq("l_returnflag"), "l_quantity",
+      probes).orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+
+    // maintenance: drag a whole group's worth of medians, refresh
+    (0L until 40L).foreach(i => assert(s.setCell(i, "l_quantity", "50.0")))
+    assert(cat.refreshStale("vqt").nonEmpty)
+    val live = cat.quantiles("vqt", Seq("l_returnflag"), "l_quantity",
+      probes).orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(live != before, "the live histogram must serve the edits")
+
+    val asOf = cat.quantilesAsOf("vqt", pinned, Seq("l_returnflag"),
+      "l_quantity", probes).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(asOf == before,
+      "the pinned quantiles must keep the pre-edit order statistics")
+    assert(cat.recentRoutes.contains(Catalog.RouteReport(
+      "cube:l_returnflag,l_quantity", "layout", "pinned")))
+    // a probe the snapshot has no covering histogram for still answers —
+    // from the pinned PLAN, not the live one
+    val asOfLive = cat.quantilesAsOf("vqt", pinned, Seq("l_returnflag"),
+      "l_extendedprice", Seq("med" -> 0.5)).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(cat.recentRoutes.contains(Catalog.RouteReport(
+      "cube:l_returnflag,l_extendedprice", "live", "pinned-live")))
+    assert(asOfLive == graft.operators.RankStats.exactPercentiles(
+        cat.snapshotAsOf("vqt", pinned), col("l_extendedprice"),
+        Seq("l_returnflag"), Seq("med" -> 0.5))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+    assert(cat.unpin("vqt", pinned))
+  }
+
   test("pinned topK serves pre-edit codes during ANN maintenance") {
     val cat = new Catalog(spark)
     cat.open("vpk", s"$sf/embeddings.parquet", orderCols = Seq("vec_id"))
