@@ -554,6 +554,38 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       true
   }
 
+  /** Append EXTERNAL rows at the table tail — the dominant mutation of
+    * an ingest pipeline (CDC feeds, streaming micro-batches). The new
+    * rows are position-stamped in their incoming order and pinned with
+    * a localCheckpoint ([[Positional.attachPos]]) because the caller's
+    * plan may be transient (a `foreachBatch` frame is only valid inside
+    * its batch); the gesture logs as a row INSERT, so keyed layouts
+    * delta-encode exactly the appended rows on the next refresh — a
+    * batch-sized patch, never a corpus rebuild, while a batch larger
+    * than the delta bound degrades to rebuild like any other oversized
+    * gesture. Column set and types must match the session's schema
+    * exactly (any column order); returns the number of appended rows.
+    */
+  def appendRows(rows: DataFrame): Long = {
+    val base = Positional.strip(current)
+    val cols = base.columns
+    require(rows.columns.sorted.sameElements(cols.sorted),
+      s"appendRows schema mismatch: session has ${cols.mkString(",")}, " +
+        s"rows have ${rows.columns.mkString(",")}")
+    val ordered = rows.select(cols.map(col): _*)
+    require(ordered.schema == base.schema,
+      s"appendRows type mismatch: session ${base.schema.simpleString} " +
+        s"vs rows ${ordered.schema.simpleString}")
+    val clip = Positional.attachPos(ordered)
+    val n = clip.count()
+    if (n > 0) {
+      val at = rowCount
+      rebind(RowOps.pasteRows(_, clip, at, Some(n)), RowInserts(at, n))
+      nRows += n
+    }
+    n
+  }
+
   // ---- P1-P2: schema ops --------------------------------------------------
 
   def dropColumnAt(position: Int): Unit = rebind(SchemaOps.dropColumnAt(_, position))

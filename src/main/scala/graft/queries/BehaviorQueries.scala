@@ -188,6 +188,45 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    /** Streaming INGESTION end-to-end (the CDC/append loop): a third of
+      * the lineitem table opens a catalog session with a cube layout;
+      * the other two thirds arrive as micro-batches through
+      * [[graft.streaming.EventStreams.appendMaintain]], each batch
+      * APPENDED to the session (position-stamped row INSERT) and the
+      * layouts refreshed — delta-patched while the batch fits the delta
+      * bound, rebuilt past it, either way exact. The routed aggregate
+      * must then serve original ∪ batches, which is exactly what the
+      * one-shot oracle over the full table checks.
+      */
+    "st_ingest" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"stIngest:$dir") {
+        val full = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_quantity")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("st_ingest_").toString
+        full.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+          .coalesce(1).write.parquet(s"$scratch/head")
+        (1 until 3).foreach { i =>
+          full.filter(pmod(col("l_orderkey"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(s"$scratch/feed")
+          Thread.sleep(20) // distinct mtimes → deterministic order
+        }
+        val c = new graft.core.Catalog(s)
+        c.openFrom("st_ing", s.read.parquet(s"$scratch/head"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.buildCubeLayout("st_ing", Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity"))
+        EventStreams.appendMaintain(s, s"$scratch/feed", c, "st_ing",
+          "st_ingest")
+        c
+      }
+      cat.aggregate("st_ing", Seq("l_returnflag"), Seq("l_quantity"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Time-boxed funnel: each stage within 24 hours of the previous —
       * the conversion-velocity question the unbounded e_funnel can't
       * answer. Same aggregation-cascade shape; see
@@ -1552,6 +1591,16 @@ object BehaviorQueries {
       """SELECT event_type,
         |  CAST(count(DISTINCT value) AS BIGINT) AS cd_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    /** st_ingest's session (head slice + streamed appends, layouts
+      * refreshed per batch) must serve exactly the one-shot aggregate
+      * over the FULL table — ingestion loses and duplicates nothing.
+      */
+    "st_ingest" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "e_funnel_windowed" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,

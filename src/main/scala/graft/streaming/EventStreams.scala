@@ -400,6 +400,38 @@ object EventStreams {
     spark.read.parquet(verDir(version.get()))
   }
 
+  /** Streaming INGESTION into a catalog session — the CDC/append loop
+    * of a training-data pipeline. Each micro-batch APPENDS its rows to
+    * the session ([[graft.core.EditorSession.appendRows]]: position-
+    * stamped, checkpoint-pinned, logged as a row INSERT) and then
+    * refreshes the session's stale layouts, which delta-patch with
+    * exactly the batch's rows — base files stay byte-identical, patch
+    * legs are batch-sized, and compaction folds them on the usual 8×
+    * bound. This is the difference at 100 TB/day between "re-index the
+    * corpus nightly" and "every layout is queryable seconds behind the
+    * feed". Returns the number of ingested rows; the maintained state
+    * is the session itself (every routed read now serves
+    * original ∪ batches).
+    */
+  def appendMaintain(spark: SparkSession, srcPath: String,
+                     cat: graft.core.Catalog, name: String,
+                     queryName: String): Long = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ingest: (DataFrame, Long) => Unit = (batch, _) => {
+      appended.addAndGet(cat.get(name).get.appendRows(batch))
+      cat.refreshStale(name)
+      ()
+    }
+    val q = fileSource(spark, srcPath,
+        Map("maxFilesPerTrigger" -> "1")).writeStream
+      .queryName(queryName)
+      .foreachBatch(ingest)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    runToCompletion(q, 300000)
+    appended.get()
+  }
+
   /** Streaming maintenance of a distinct-pairs projection (the
     * [[graft.core.Catalog]] pairs layout's stream side): each
     * micro-batch's distinct (groupCols…, pairCol) tuples merge into the

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Tables}
+import graft.streaming.EventStreams
+
+/** Streaming ingestion into a catalog session
+  * ([[EventStreams.appendMaintain]] over
+  * [[graft.core.EditorSession.appendRows]]): micro-batches APPEND rows
+  * to the session and every layout delta-patches per batch — the
+  * CDC/append loop of a training-data pipeline.
+  *
+  * Laws pinned here:
+  *  - appended rows land at the table tail, position-stamped in batch
+  *    order; rowCount and every routed read serve original ∪ batches;
+  *  - layouts PATCH, never rebuild: the stored base dirs are unchanged
+  *    and the patch legs carry exactly the appended rows' groups;
+  *  - the maintained answers equal a one-shot batch build over the full
+  *    data — cube re-merge, pairs re-distinct, and histogram-served
+  *    order statistics alike;
+  *  - schema discipline: a mismatched batch is a typed error, session
+  *    state unchanged.
+  */
+class StreamingIngestSpec extends SparkSpec {
+
+  private def writeSlices(df: DataFrame, parts: Int): (DataFrame, String) = {
+    // head slice opens the session; the rest arrive as stream batches
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_ingest_spec_").toString
+    val head = df.filter(pmod(col("l_orderkey"), lit(parts)) === 0)
+    val headPath = s"$scratch/head"
+    head.coalesce(1).write.parquet(headPath)
+    val src = s"$scratch/feed"
+    (1 until parts).foreach { i =>
+      df.filter(pmod(col("l_orderkey"), lit(parts)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(20) // distinct mtimes → deterministic arrival order
+    }
+    (spark.read.parquet(headPath), src)
+  }
+
+  test("streamed appends delta-patch every layout; answers equal the one-shot build") {
+    val full = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag",
+        "l_linestatus", "l_quantity")
+    val (head, feed) = writeSlices(full, parts = 3)
+
+    val cat = new Catalog(spark)
+    cat.openFrom("ing", head, Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("ing", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    cat.buildPairsLayout("ing", Seq("l_returnflag"), "l_partkey")
+    cat.buildCubeLayout("ing", Seq("l_returnflag", "l_quantity"), Nil)
+    val pathsBefore = cat.layoutsOf("ing").collect {
+      case (slot, l: Catalog.CubeLayout) => slot -> l.path
+      case (slot, l: Catalog.PairsLayout) => slot -> l.path
+    }.toMap
+    val headRows = head.count()
+
+    val ingested = EventStreams.appendMaintain(spark, feed, cat, "ing",
+      "st_ingest_spec")
+    assert(ingested == full.count() - headRows,
+      "every feed row must ingest exactly once")
+    assert(cat.get("ing").get.rowCount == full.count())
+
+    // layouts PATCHED in place: same stored dirs, delta legs attached
+    val after = cat.layoutsOf("ing").collect {
+      case (slot, l: Catalog.CubeLayout) => (slot, l.path, l.patch)
+      case (slot, l: Catalog.PairsLayout) => (slot, l.path, l.patch)
+    }
+    after.foreach { case (slot, path, patch) =>
+      assert(path == pathsBefore(slot),
+        s"$slot must delta-patch, never rebuild, on streamed appends")
+      assert(patch.isDefined, s"$slot must carry the appended rows' patch")
+    }
+
+    // routed answers = one-shot batch build over original ∪ batches
+    val agg = cat.aggregate("ing", Seq("l_returnflag"), Seq("l_quantity"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(cat.recentRoutes.last.reason == "routed")
+    val directAgg = full.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double").as("sum_l_quantity"),
+        (sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(col("l_quantity"))).as("avg_l_quantity"),
+        min(col("l_quantity")).as("min_l_quantity"),
+        max(col("l_quantity")).as("max_l_quantity"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(agg == directAgg,
+      "the patched cube must serve the full ingested corpus")
+
+    val cd = cat.distinctCount("ing", Seq("l_returnflag"), "l_partkey")
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(cd == full.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("nd_l_partkey"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq,
+      "the patched pairs must re-distinct the full ingested corpus")
+
+    val qs = cat.quantiles("ing", Seq("l_returnflag"), "l_quantity",
+      Seq("med" -> 0.5)).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(qs == graft.operators.RankStats.exactPercentiles(full,
+        col("l_quantity"), Seq("l_returnflag"), Seq("med" -> 0.5))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq,
+      "histogram-served order statistics must include the appends")
+
+    // schema discipline: wrong columns refuse, state unchanged
+    val before = cat.get("ing").get.rowCount
+    intercept[IllegalArgumentException] {
+      cat.get("ing").get.appendRows(full.drop("l_partkey"))
+    }
+    intercept[IllegalArgumentException] {
+      cat.get("ing").get.appendRows(
+        full.withColumn("l_partkey", col("l_partkey").cast("string")))
+    }
+    assert(cat.get("ing").get.rowCount == before)
+  }
+}
