@@ -551,6 +551,11 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       rebind(RowOps.pasteRows(_, clip, at, Some(clipboardSize)),
         RowInserts(at, clipboardSize))
       nRows += clipboardSize
+      // pasteRows references the previous plan TWICE (upper/lower
+      // split), so stacked pastes double evaluation work per gesture —
+      // the same composition blowup the delete fix capped; count it
+      // against the same checkpoint budget
+      afterPosShift()
       true
   }
 
@@ -580,7 +585,15 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     val n = clip.count()
     if (n > 0) {
       val at = rowCount
-      rebind(RowOps.pasteRows(_, clip, at, Some(n)), RowInserts(at, n))
+      // a TAIL append needs no upper/lower split: one union keeps the
+      // plan a linear chain of pinned blocks (no existing position
+      // shifts, no double reference to the previous plan), so a long
+      // ingest loop's per-batch cost stays batch-sized — pasteRows here
+      // would double evaluation work per batch (the delete-burst
+      // blowup, in stream clothing)
+      val shifted = clip.withColumn(Positional.POS,
+        col(Positional.POS) + lit(at))
+      rebind(_.unionByName(shifted), RowInserts(at, n))
       nRows += n
     }
     n
@@ -2687,9 +2700,10 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                         pairCol: String,
                         where: Seq[(String, Any)] = Nil): DataFrame = {
     val sn = pinOf(name, epoch)
+    val whereCols = where.map(_._1).toSet
     val src = sn.layouts.values.collectFirst {
       case l: PairsLayout
-          if pairsCovers(l, groupCols, pairCol, where.map(_._1).toSet) => l
+          if pairsCovers(l, groupCols, pairCol, whereCols) => l
     } match {
       case Some(l) =>
         recordRoute(RouteReport(
@@ -2698,10 +2712,22 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
           l.patch))
       case None =>
-        recordRoute(RouteReport(
-          s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
-          "pinned-live"))
-        whereFilter(where)(Positional.strip(sn.plan))
+        // same fallback order as the live route ([[decideDistinct]]):
+        // a pinned histogram cube serves the exact distinct too
+        sn.layouts.values.collectFirst {
+          case c: CubeLayout
+              if quantileCovers(c, groupCols, pairCol, whereCols) => c
+        } match {
+          case Some(c) =>
+            recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+              "layout", "pinned"))
+            whereFilter(where)(patchedCube(c))
+          case None =>
+            recordRoute(RouteReport(
+              s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
+              "pinned-live"))
+            whereFilter(where)(Positional.strip(sn.plan))
+        }
     }
     pairsDistinctOver(src, groupCols, pairCol)
   }
@@ -3362,33 +3388,60 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       layoutsOf(name).collect { case (slot, l: PairsLayout) => (slot, l) },
       l => pairsCovers(l, groupCols, pairCol, whereCols))
 
+  /** The exact-distinct routing decision: a covering pairs layout is the
+    * purpose-built source, but a CUBE whose group columns include the
+    * counted column serves the same answer (its stored rows are one per
+    * distinct tuple — the SQL rewrite already exploits this), so when no
+    * valid pairs layout covers, a covering histogram cube routes instead
+    * of falling to the fact scan. When neither serves, the report is the
+    * pairs decision — the primary layout kind for this request.
+    */
+  private def decideDistinct(name: String, groupCols: Seq[String],
+                             pairCol: String, whereCols: Set[String])
+      : (Option[Either[PairsLayout, CubeLayout]], RouteReport) =
+    decidePairs(name, groupCols, pairCol, whereCols) match {
+      case (Some(l), rep) => (Some(Left(l)), rep)
+      case (None, prep) =>
+        decideCovering[CubeLayout](name, prep.slot,
+          layoutsOf(name).collect { case (slot, c: CubeLayout) =>
+            (slot, c) },
+          (c: CubeLayout) =>
+            quantileCovers(c, groupCols, pairCol, whereCols)) match {
+          case (Some(c), crep) => (Some(Right(c)), crep)
+          case (None, _) => (None, prep)
+        }
+    }
+
   /** Dry-run of [[distinctCount]]'s routing decision — which pairs
-    * layout would serve this grouping/column/filter set, or why none
-    * would. Nothing runs.
+    * layout (or fallback histogram cube) would serve this
+    * grouping/column/filter set, or why none would. Nothing runs.
     */
   def explainDistinctExact(name: String, groupCols: Seq[String],
                            pairCol: String,
                            where: Seq[(String, Any)] = Nil): RouteReport =
-    decidePairs(name, groupCols, pairCol, where.map(_._1).toSet)._2
+    decideDistinct(name, groupCols, pairCol, where.map(_._1).toSet)._2
 
   /** EXACT distinct count of `pairCol` per `groupCols` tuple,
     * layout-routed: a valid pairs layout COVERING the request (caller's
     * groupCols ⊆ the layout's, same counted column, filters on layout
-    * group columns only) re-distincts pairs-count-sized stored rows;
-    * otherwise the live distinct aggregate runs over the session plan.
-    * Output (groupCols…, `cd_<col>` long) — digit-equal either way,
-    * this is the exact sibling of [[approxDistinct]].
+    * group columns only) re-distincts pairs-count-sized stored rows; a
+    * cube whose group columns include `pairCol` serves the same exact
+    * answer when no pairs layout covers ([[decideDistinct]]); otherwise
+    * the live distinct aggregate runs over the session plan. Output
+    * (groupCols…, `cd_<col>` long) — digit-equal every way, this is the
+    * exact sibling of [[approxDistinct]].
     */
   def distinctCount(name: String, groupCols: Seq[String], pairCol: String,
                     where: Seq[(String, Any)] = Nil): DataFrame = {
     val s = sessionOf(name)
     val (valid, rep) =
-      decidePairs(name, groupCols, pairCol, where.map(_._1).toSet)
+      decideDistinct(name, groupCols, pairCol, where.map(_._1).toSet)
     recordRoute(rep)
     val src = valid match {
-      case Some(l) =>
+      case Some(Left(l)) =>
         whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
           l.patch))
+      case Some(Right(c)) => whereFilter(where)(patchedCube(c))
       case None => whereFilter(where)(Positional.strip(s.current))
     }
     pairsDistinctOver(src, groupCols, pairCol)

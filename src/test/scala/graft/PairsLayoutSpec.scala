@@ -140,4 +140,34 @@ class PairsLayoutSpec extends SparkSpec {
         plan(routed))
     assert(got(routed, groupsAll) == fromA)
   }
+
+  test("with no covering pairs layout, a histogram cube serves the exact distinct") {
+    val cat = new Catalog(spark)
+    cat.open("pcb", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    // ONLY a cube — whose group columns include the counted column, so
+    // its stored rows are one per distinct (flag, quantity) tuple
+    cat.buildCubeLayout("pcb", Seq("l_returnflag", "l_quantity"), Nil)
+    assert(cat.explainDistinctExact("pcb", Seq("l_returnflag"),
+      "l_quantity").reason == "routed")
+    val served = cat.distinctCount("pcb", Seq("l_returnflag"), "l_quantity")
+    assert(plan(served).contains("catalog_cube_") &&
+      !plan(served).contains("l_orderkey"),
+      s"the cube fallback must read stored tuples; plan:\n${plan(served)}")
+    assert(cat.recentRoutes.last ==
+      Catalog.RouteReport("cube:l_returnflag,l_quantity", "layout",
+        "routed"))
+    val live = Tables.load(spark, sf, "lineitem")
+    assert(got(served, Seq("l_returnflag")) ==
+      direct(live, Seq("l_returnflag"), "l_quantity"))
+    // a column the cube does not group by still falls to the live plan
+    assert(cat.explainDistinctExact("pcb", Seq("l_returnflag"),
+      "l_partkey").reason == "no-layout")
+    assert(!plan(cat.distinctCount("pcb", Seq("l_returnflag"),
+      "l_partkey")).contains("catalog_cube_"))
+    // when BOTH cover, the purpose-built pairs layout wins
+    cat.buildPairsLayout("pcb", Seq("l_returnflag"), "l_quantity")
+    cat.distinctCount("pcb", Seq("l_returnflag"), "l_quantity")
+    assert(cat.recentRoutes.last.slot == "pairs:l_returnflag:l_quantity")
+  }
 }
