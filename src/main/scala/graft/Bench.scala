@@ -253,6 +253,27 @@ object Bench {
     "a4_percentile_walk" -> ((s: SparkSession) =>
       graft.queries.ParityQueries.queries("a4_percentile")(s, sfDir).count()),
 
+    // r11: the streaming-ingest steady-state cycle — append fixed
+    // batches, delta-patch the layout, routed read. Tracks the loop's
+    // cost so a plan-composition regression (the per-batch doubling
+    // this round found and fixed in appendRows) shows up immediately
+    "r_ingest_cycle" -> ((s: SparkSession) => {
+      val cat = new graft.core.Catalog(s)
+      cat.open("bench_ing", s"$sfDir/lineitem.parquet",
+        orderCols = Seq("l_orderkey", "l_linenumber"))
+      cat.buildCubeLayout("bench_ing", Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"))
+      val sess = cat.get("bench_ing").get
+      val batch = graft.core.Positional.strip(sess.current).limit(512)
+      var n = 0L
+      (0 until 3).foreach { _ =>
+        n += sess.appendRows(batch)
+        cat.refreshStale("bench_ing")
+      }
+      cat.aggregate("bench_ing", Seq("l_returnflag"), Seq("l_quantity"))
+        .count() + n
+    }),
+
     // r11: exact median/p90 served from the value-histogram cube — the
     // walk runs over stored (group, value, count) cells instead of
     // histogramming the fact table per query; compare a_quantile_scan

@@ -3447,6 +3447,29 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     pairsDistinctOver(src, groupCols, pairCol)
   }
 
+  /** EXACT distinct counts of SEVERAL columns per `groupCols` tuple in
+    * one call — the typed twin of the SQL N-way split: each column
+    * serves from its own covering source (pairs layout preferred,
+    * histogram-cube fallback, live otherwise — [[decideDistinct]] per
+    * column) and the per-column group-count-sized results join back on
+    * the group key, null-safe (null is a group). Every side derives
+    * from the same table, so the group sets are identical and the inner
+    * join loses nothing. Output (groupCols…, `cd_<col>`… longs).
+    */
+  def distinctCounts(name: String, groupCols: Seq[String],
+                     pairCols: Seq[String],
+                     where: Seq[(String, Any)] = Nil): DataFrame = {
+    require(pairCols.nonEmpty, "distinctCounts needs at least one column")
+    pairCols.map(c => distinctCount(name, groupCols, c, where))
+      .reduce { (a, b) =>
+        if (groupCols.isEmpty) a.crossJoin(b)
+        else {
+          val cond = groupCols.map(g => a(g) <=> b(g)).reduce(_ && _)
+          groupCols.foldLeft(a.join(b, cond))((df, g) => df.drop(b(g)))
+        }
+      }
+  }
+
   /** Pairs delta: every touched or retracted tuple's EXISTENCE
     * recomputes from the live plan (a tuple stays iff any current row
     * still carries it) and shadows by tuple key — same recompute-the-

@@ -1615,6 +1615,16 @@ object AnalyticsQueries {
           |FROM li_cube
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    /** The TYPED twin of the multi-distinct split: each column serves
+      * from its own covering pairs layout and the group-count-sized
+      * results join back null-safely — no SQL text involved.
+      */
+    "a_catalog_multi_distinct" -> ((s, dir) =>
+      cubeCatalog(s, dir)
+        .distinctCounts("li_cube", Seq("l_returnflag"),
+          Seq("l_partkey", "l_suppkey"))
+        .orderBy("l_returnflag")),
+
     /** The live fact-scan leg of the multi-distinct aggregate — the
       * baseline the 3-way layout split replaces (each DISTINCT shuffles
       * every fact row's key here).
@@ -3036,6 +3046,12 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey,
         |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_catalog_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_l_partkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS cd_l_suppkey
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a_multi_distinct_scan" ->

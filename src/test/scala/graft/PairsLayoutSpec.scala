@@ -170,4 +170,32 @@ class PairsLayoutSpec extends SparkSpec {
     cat.distinctCount("pcb", Seq("l_returnflag"), "l_quantity")
     assert(cat.recentRoutes.last.slot == "pairs:l_returnflag:l_quantity")
   }
+
+  test("typed multi-distinct joins per-column layout serves, never the fact table") {
+    val cat = new Catalog(spark)
+    cat.open("pmd", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildPairsLayout("pmd", Seq("l_returnflag"), "l_partkey")
+    // the second column serves from a HISTOGRAM CUBE (no pairs built) —
+    // the per-column decision composes inside one call
+    cat.buildCubeLayout("pmd", Seq("l_returnflag", "l_quantity"), Nil)
+    val served = cat.distinctCounts("pmd", Seq("l_returnflag"),
+      Seq("l_partkey", "l_quantity"))
+    val p = plan(served)
+    assert(p.contains("catalog_pairs_") && p.contains("catalog_cube_") &&
+      !p.contains("l_orderkey"),
+      s"each column must serve from its own layout; plan:\n$p")
+    val live = Tables.load(spark, sf, "lineitem")
+    assert(got(served, Seq("l_returnflag")) ==
+      live.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("cd_l_partkey"),
+          count_distinct(col("l_quantity")).as("cd_l_quantity"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+    // the GLOBAL form: single-row sides, 1×1 cross
+    assert(cat.distinctCounts("pmd", Nil, Seq("l_partkey", "l_quantity"))
+      .collect().map(_.toSeq).toSeq ==
+      live.agg(count_distinct(col("l_partkey")).as("cd_l_partkey"),
+        count_distinct(col("l_quantity")).as("cd_l_quantity"))
+        .collect().map(_.toSeq).toSeq)
+  }
 }

@@ -525,6 +525,24 @@ class SqlRoutingSpec extends SparkSpec {
         .filter(col("l_quantity") <= 10.0)
         .orderBy("l_quantity").collect().map(_.toSeq).toSeq)
 
+    // HAVING on an aggregate NOT in the SELECT list: the analyzer
+    // appends the hidden leaf to the Aggregate and projects it away —
+    // the hidden leaf must translate like any visible one
+    val hvAgg = cat.sql(
+      """SELECT l_returnflag, count(*) AS n FROM li_cp
+        |GROUP BY l_returnflag
+        |HAVING count(DISTINCT l_quantity) > 10
+        |ORDER BY l_returnflag""".stripMargin)
+    assert(plan(hvAgg).contains("catalog_cube_") &&
+      !plan(hvAgg).contains("l_orderkey"),
+      s"a hidden HAVING aggregate must route too; plan:\n${plan(hvAgg)}")
+    assert(hvAgg.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("l_quantity")).as("__cd"))
+        .filter(col("__cd") > 10).drop("__cd")
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+
     // the ARRAY percentage form routes too (foldable array literal)
     val arr = cat.sql(
       """SELECT l_returnflag,

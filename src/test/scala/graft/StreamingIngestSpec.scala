@@ -117,4 +117,53 @@ class StreamingIngestSpec extends SparkSpec {
     }
     assert(cat.get("ing").get.rowCount == before)
   }
+
+  test("streamed document appends delta-patch the LSH index; probes see the new docs") {
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // known 3-gram near-dup pairs of the sf0.001 fixture, one side each:
+    // append one side of each pair, probe with the other — the probe
+    // docs' nearest duplicates are then among the APPENDED docs
+    val feedIds = Seq(425L, 450L, 459L, 467L, 487L, 498L)
+    val probeIds = Seq(5L, 45L, 77L, 110L, 119L, 474L)
+    val head = corpus.filter(!col("doc_id").isInCollection(
+      feedIds ++ probeIds))
+    val feedRows = corpus.filter(col("doc_id").isInCollection(feedIds))
+    val probe = corpus.filter(col("doc_id").isInCollection(probeIds))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_lsh_ingest_").toString
+    feedRows.coalesce(1).write.parquet(s"$scratch/feed")
+
+    val cat = new Catalog(spark)
+    cat.openFrom("lshing", head, Seq("doc_id"))
+    cat.buildLshLayout("lshing", "doc_id", "text", n = 3,
+      numHashes = 128, bands = 64)
+    val n = EventStreams.appendMaintain(spark, s"$scratch/feed", cat,
+      "lshing", "st_lsh_ingest")
+    assert(n == feedRows.count())
+    val l = cat.layoutsOf("lshing").collectFirst {
+      case (_, x: Catalog.LshIndexLayout) => x
+    }.get
+    assert(l.patch.isDefined,
+      "appended docs must delta-patch the stored index, not rebuild it")
+
+    // the routed probe against the patched index must equal a live
+    // index built over the FULL corpus (head ∪ appends) — the appended
+    // docs are findable without ever re-shingling the corpus
+    val served = cat.nearDups("lshing", probe, "doc_id", "text",
+      threshold = 0.4, n = 3, numHashes = 128, bands = 64)
+    assert(cat.recentRoutes.last.reason == "routed")
+    val fullCorpus = head.unionByName(feedRows)
+    val expected = graft.operators.Dedup.incrementalLshMatches(
+      graft.operators.Dedup.lshIndex(fullCorpus, "doc_id", "text", 3,
+        128, 64),
+      probe, "doc_id", "text", 3, 0.4, 128, 64)
+    assert(served.collect().map(_.toSeq).toSet ==
+      expected.collect().map(_.toSeq).toSet,
+      "the patched index must serve exactly the full-corpus pairs")
+    assert(served.join(feedRows,
+        served("corpus_id") === feedRows("doc_id"), "left_semi")
+      .count() > 0,
+      "at least one probe match must land on an APPENDED doc " +
+        "(otherwise this test proves nothing)")
+  }
 }
