@@ -245,6 +245,33 @@ object MaintenanceQueries {
       Retrieval.bm25(docs(s, dir), "doc_id", "text",
         Seq("merge", "vector", "spark")).orderBy("doc_id")),
 
+    /** Stream-MAINTAINED BM25: the corpus arrives as 3 micro-batches and
+      * [[graft.streaming.EventStreams.postingsMaintain]] unions each
+      * batch's (doc, term, tf, dl) rows into the at-rest index (new docs
+      * are new keys — the union IS the merge) while a per-doc sidecar
+      * row accumulates nDocs/avgdl exactly. Scores served from the
+      * maintained index must be digit-identical to the one-shot
+      * full-corpus BM25 — t_bm25's oracle, reused verbatim.
+      */
+    "st_bm25" -> ((s, dir) => {
+      val (postings, n, avgdl) =
+        SessionScoped.memo(s, s"stBm25:$dir") {
+          val d = docs(s, dir).select("doc_id", "text")
+          val scratch = java.nio.file.Files
+            .createTempDirectory("st_bm25_").toString + "/src"
+          (0 until 3).foreach { i =>
+            d.filter(pmod(col("doc_id"), lit(3)) === i)
+              .coalesce(1).write.mode("append").parquet(scratch)
+            Thread.sleep(20) // distinct mtimes → deterministic order
+          }
+          graft.streaming.EventStreams.postingsMaintain(s, scratch,
+            "doc_id", "text", buckets = 8, "st_bm25")
+        }
+      Retrieval.bm25FromPostings(s, postings, buckets = 8, n, avgdl,
+          "doc_id", Seq("merge", "vector", "spark"))
+        .orderBy("doc_id")
+    }),
+
     /** Stratified corpus sampling, deterministic by md5(doc_id) — the
       * language-rebalancing step of a training mix. Pure scan-local filter.
       */
@@ -1092,6 +1119,29 @@ object MaintenanceQueries {
     // identical IEEE evaluation order, decimal(28,10) contribution sum so
     // the fold is order-independent, round(6) on the way out
     "t_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT t.doc_id, d.dl, unnest(t.tk) AS term
+         |    FROM toks t JOIN dl d USING (doc_id))
+         |  WHERE term IN ('merge', 'vector', 'spark')
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, round(CAST(sum(CAST(
+         |    ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+         |    ((tf * (1.2 + 1.0)) /
+         |     (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+         |  AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+         |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the stream-maintained index must reproduce the one-shot BM25
+    // digits — t_bm25's oracle, verbatim
+    "st_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents),
          |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),

@@ -400,6 +400,47 @@ object EventStreams {
     spark.read.parquet(verDir(version.get()))
   }
 
+  /** Streaming maintenance of the bucketed BM25 postings (the
+    * [[graft.core.Catalog]] postings layout's stream side): each batch's
+    * per-(doc, term) tf/dl rows UNION into the at-rest index — appended
+    * docs are NEW keys, so the union IS the merged index — and a per-doc
+    * sidecar row (NULL term) accumulates the two corpus scalars exactly,
+    * including zero-token docs, which have no postings row but still
+    * count in nDocs/avgdl. Per-batch work is batch-sized tokenize + a
+    * union write; the corpus is never re-tokenized. Returns (postings,
+    * nDocs, avgdl) — BM25 served from them is digit-identical to a
+    * one-shot index build over the full corpus for ANY batching and ANY
+    * arrival order (unions commute), which is what st_bm25's oracle
+    * checks.
+    */
+  def postingsMaintain(spark: SparkSession, srcPath: String,
+                       idCol: String, textCol: String, buckets: Int,
+                       queryName: String): (DataFrame, Long, Double) = {
+    import graft.functions.TextFunctions
+    val all = maintainVersioned(spark, srcPath, queryName,
+      "stream_postings_") { (prev, batch) =>
+      val rows = graft.operators.Retrieval
+        .postingsRowsFor(batch, idCol, textCol, buckets)
+        .withColumnRenamed("id", "doc")
+        .select("doc", "dl", "term", "tf", "__tb")
+      val docRows = batch.select(col(idCol).as("doc"),
+          size(TextFunctions.tokens(col(textCol))).cast("int").as("dl"))
+        .select(col("doc"), col("dl"),
+          lit(null).cast("string").as("term"), lit(0L).as("tf"),
+          lit(-1).as("__tb"))
+      val add = rows.unionByName(docRows)
+      prev.fold(add)(_.unionByName(add))
+    }
+    // the scalars replay postingsStats' exact arithmetic over the
+    // sidecar rows (one per ingested doc)
+    val st = all.filter(col("term").isNull)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .head()
+    (all.filter(col("term").isNotNull), st.getLong(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+  }
+
   /** Streaming INGESTION into a catalog session — the CDC/append loop
     * of a training-data pipeline. Each micro-batch APPENDS its rows to
     * the session ([[graft.core.EditorSession.appendRows]]: position-

@@ -268,4 +268,41 @@ class PostingsLayoutSpec extends SparkSpec {
       .contains("catalog_postings"))
     assert(served.orderBy("term").collect().map(_.toSeq).toSeq == expect)
   }
+
+  test("stream-maintained postings: arrival-order invariant, BM25 digit-equal to one-shot") {
+    import graft.streaming.EventStreams
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val terms = Seq("merge", "vector", "spark")
+    val expected = graft.operators.Retrieval
+      .bm25(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    def slices(reverse: Boolean): String = {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("st_post_spec_").toString + "/src"
+      val order = if (reverse) 2 to 0 by -1 else 0 to 2
+      order.foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(scratch)
+        Thread.sleep(20)
+      }
+      scratch
+    }
+    def servedFrom(src: String, qn: String): Seq[Seq[Any]] = {
+      val (postings, n, avgdl) = EventStreams.postingsMaintain(
+        spark, src, "doc_id", "text", buckets = 8, qn)
+      // the sidecar scalars replay postingsStats exactly
+      val (n0, a0) = graft.operators.Retrieval.postingsStats(docs, "text")
+      assert(n == n0 && avgdl == a0,
+        "maintained corpus scalars must equal the one-shot stats")
+      graft.operators.Retrieval.bm25FromPostings(spark, postings, 8,
+          n, avgdl, "doc_id", terms)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(servedFrom(slices(reverse = false), "st_post_fwd") == expected,
+      "3 merged micro-batches must reproduce the one-shot BM25 digits")
+    assert(servedFrom(slices(reverse = true), "st_post_rev") == expected,
+      "arrival order must not move a digit — postings unions commute")
+  }
 }

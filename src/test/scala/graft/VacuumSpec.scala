@@ -74,6 +74,39 @@ class VacuumSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == answer)
   }
 
+  test("a durable ingest loop stays storage-bounded: vacuum collects each batch's superseded patch dir") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    cat.openFrom("ving", li.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("ving", Seq("l_returnflag"), Seq("l_quantity"))
+    val sess = cat.get("ving").get
+    val batch = li.filter(col("l_orderkey") % 2 === 1).limit(200)
+
+    // the steady-state CDC loop on a DURABLE catalog: each refresh
+    // persists a MERGED patch dir superseding the previous one
+    (1 to 3).foreach { _ =>
+      assert(sess.appendRows(batch) == 200L)
+      assert(cat.refreshStale("ving") == Seq("cube:l_returnflag"))
+    }
+    assert(topDirs(wh).count(_.startsWith("catalog_patch_")) >= 3,
+      "each ingest cycle must persist a fresh merged patch dir")
+    val answer = cat.aggregate("ving", Seq("l_returnflag"),
+      Seq("l_quantity")).orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+
+    val deleted = cat.vacuum(graceMs = 0L)
+    assert(deleted.nonEmpty, "the superseded patch dirs must collect")
+    assert(topDirs(wh).count(_.startsWith("catalog_patch_")) == 1,
+      s"exactly the live patch survives; saw ${topDirs(wh)}")
+    // the surviving storage still serves the full ingested corpus
+    assert(cat.aggregate("ving", Seq("l_returnflag"), Seq("l_quantity"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq == answer)
+    assert(cat.recentRoutes.last.reason == "routed")
+  }
+
   test("vacuum: the grace window protects young strands") {
     val wh = newWarehouse()
     val cat = new Catalog(spark, Some(wh))
