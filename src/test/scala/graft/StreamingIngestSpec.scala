@@ -166,4 +166,34 @@ class StreamingIngestSpec extends SparkSpec {
       "at least one probe match must land on an APPENDED doc " +
         "(otherwise this test proves nothing)")
   }
+
+  test("streamed embedding appends delta-patch the PQ codes; routed topK finds the new vectors") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val head = emb.filter(col("vec_id") % 5 =!= 0)
+    val feedRows = emb.filter(col("vec_id") % 5 === 0)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_ann_ingest_").toString
+    feedRows.coalesce(1).write.parquet(s"$scratch/feed")
+
+    val cat = new Catalog(spark)
+    cat.openFrom("annng", head, Seq("vec_id"))
+    cat.buildPqLayout("annng", "vec_id", "embedding")
+    assert(EventStreams.appendMaintain(spark, s"$scratch/feed", cat,
+      "annng", "st_ann_ingest") == feedRows.count())
+    val l = cat.layoutsOf("annng").collectFirst {
+      case (_, x: Catalog.PqCodesLayout) => x
+    }.get
+    assert(l.patch.isDefined,
+      "appended vectors must delta-encode into the stored codes")
+
+    // query WITH an appended vector: the routed search must surface it
+    // (a vector is its own nearest neighbor under any sane quantizer)
+    val q = feedRows.filter(col("vec_id") === 100L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val served = cat.topK("annng", "vec_id", "embedding", q, 5)
+    assert(cat.recentRoutes.last.reason == "routed")
+    assert(served.collect().map(_.getLong(0)).contains(100L),
+      "the appended vector must be findable through the patched codes")
+  }
 }
