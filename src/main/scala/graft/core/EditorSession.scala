@@ -578,11 +578,13 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       s"appendRows schema mismatch: session has ${cols.mkString(",")}, " +
         s"rows have ${rows.columns.mkString(",")}")
     val ordered = rows.select(cols.map(col): _*)
-    require(ordered.schema == base.schema,
+    // name+type equality only — nullability is advisory in Spark, and a
+    // non-nullable batch appending into a nullable column is safe
+    require(ordered.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"appendRows type mismatch: session ${base.schema.simpleString} " +
         s"vs rows ${ordered.schema.simpleString}")
-    val clip = Positional.attachPos(ordered)
-    val n = clip.count()
+    val (clip, n) = Positional.attachPosCounted(ordered)
     if (n > 0) {
       val at = rowCount
       // a TAIL append needs no upper/lower split: one union keeps the
@@ -2800,6 +2802,11 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     */
   private val unreferencedSince = mutable.HashMap.empty[String, Long]
 
+  /** Dormant clustered entries' stats file lists, read once per process
+    * per layout dir — the dir is write-once, so entries never go stale.
+    */
+  private val dormantStatsCache = mutable.HashMap.empty[String, Seq[String]]
+
   private def vacuumIn(wh: String, whPath: org.apache.hadoop.fs.Path,
                        fs: org.apache.hadoop.fs.FileSystem,
                        graceMs: Long): Seq[String] = {
@@ -2865,18 +2872,25 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
           leaseRefs
       // data files referenced through skipping-stats lists (a partially
       // compacted clustered layout's base spans dirs) — live/pinned stats
-      // plus dormant manifest entries' stats sidecars
+      // plus dormant manifest entries' stats sidecars. LAZY and cached:
+      // in the steady state every top-level dir is name-referenced and
+      // the sweep below never consults these, so the auto-vacuum riding
+      // persistEntry on the ingest hot path pays no stats jobs; when a
+      // candidate does appear, each dormant sidecar is read ONCE per
+      // process (a layout dir is write-once — fresh dir per build — so
+      // the cache never needs invalidation).
       val liveKeys = layouts.keySet
-      val dormantStats = allEntries.collect {
+      lazy val dormantStats = allEntries.collect {
         case e if (e.kind == "range" || e.kind == "zorder") &&
               e.path.isDefined && !liveKeys.contains((e.session, e.slot)) =>
-          Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
-            .select("file").collect().map(_.getString(0)).toSeq)
-            .getOrElse(Seq.empty)
+          dormantStatsCache.getOrElseUpdate(e.path.get,
+            Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
+              .select("file").collect().map(_.getString(0)).toSeq)
+              .getOrElse(Seq.empty))
       }.flatten
-      val fileRefs: Set[String] =
+      lazy val fileRefs: Set[String] =
         (live.flatMap(statsFilesOf) ++ dormantStats).map(norm).toSet
-      val fileRefDirs: Set[String] = fileRefs.flatMap(relTop)
+      lazy val fileRefDirs: Set[String] = fileRefs.flatMap(relTop)
       val deleted = mutable.ArrayBuffer.empty[String]
       // grace by OBSERVATION: a path deletes only after sitting
       // unreferenced for a full window across vacuum passes (grace 0 =
@@ -3460,6 +3474,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
                      pairCols: Seq[String],
                      where: Seq[(String, Any)] = Nil): DataFrame = {
     require(pairCols.nonEmpty, "distinctCounts needs at least one column")
+    require(pairCols.distinct == pairCols,
+      s"distinctCounts columns must be distinct: $pairCols")
     pairCols.map(c => distinctCount(name, groupCols, c, where))
       .reduce { (a, b) =>
         if (groupCols.isEmpty) a.crossJoin(b)

@@ -140,7 +140,13 @@ object LayoutStore {
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    // Hadoop rename reports many failure modes (cross-mount, missing
+    // parent, object-store quirks) as `false`, not an exception — and a
+    // swallowed false here means the manifest was deleted and never
+    // replaced: every durable layout silently goes dormant on the next
+    // reopen. Fail loudly instead.
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"staged rename $tmp -> $target failed; manifest state is at $tmp")
     ()
   }
 }

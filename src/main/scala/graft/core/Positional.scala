@@ -55,7 +55,15 @@ object Positional {
     * partition); at true scale positions are assigned once at load and
     * persisted (sorted/bucketed layout), not recomputed per query.
     */
-  def attachPos(df: DataFrame, order: Column*): DataFrame = {
+  def attachPos(df: DataFrame, order: Column*): DataFrame =
+    attachPosCounted(df, order: _*)._1
+
+  /** [[attachPos]] plus the TOTAL row count, which the materializing
+    * counts job computes anyway — callers that need the size (e.g. an
+    * ingest append) read it here instead of paying a second scan of the
+    * freshly pinned blocks.
+    */
+  def attachPosCounted(df: DataFrame, order: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = if (order.nonEmpty) {
       val nParts = math.max(spark.sessionState.conf.numShufflePartitions,
@@ -68,7 +76,8 @@ object Positional {
     // embedded partition id)
     val counts = spark.sparkContext.runJob(pinned.queryExecution.toRdd,
       (it: Iterator[_]) => { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n })
-    if (counts.isEmpty) return pinned.withColumn(POS, lit(0L)) // zero partitions
+    if (counts.isEmpty) // zero partitions
+      return (pinned.withColumn(POS, lit(0L)), 0L)
     // monotonically_increasing_id = (partitionId << 33) + local row index,
     // deterministic over pinned blocks
     val pidOf = shiftright(col("__mid"), 33)
@@ -83,9 +92,9 @@ object Positional {
     // partition layout (measured ~0.7 s on the first sf0.1 session open
     // after an sf0.001 warmup).
     val offsetMap = typedLit(offsets.toMap)
-    pinned.withColumn("__mid", monotonically_increasing_id())
+    (pinned.withColumn("__mid", monotonically_increasing_id())
       .withColumn(POS, localOf + element_at(offsetMap, pidOf))
-      .drop("__mid")
+      .drop("__mid"), acc)
   }
 
   /** Small-data variant: `row_number()` global window (single partition).

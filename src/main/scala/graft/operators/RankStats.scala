@@ -308,7 +308,7 @@ object RankStats {
                         finalAggs: Seq[(String, Column)] = Nil): DataFrame = {
     require(probes.nonEmpty, "percentilesOfHist needs at least one probe")
     val keyCols = keys.map(col)
-    val histFull = hist
+    val histFull = hist // the walk below reads one (keys, __v, __m) cell per row
     val part =
       if (keys.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(keyCols: _*)

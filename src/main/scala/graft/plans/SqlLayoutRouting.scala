@@ -235,7 +235,14 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         num(l).foreach { v => bound(true, v); bound(false, v) }
       case _ => ()
     }
-    if (found && lo <= hi) Some((lo, hi)) else None
+    // widen each finite side by one ulp: a >2^53 integral (or wide
+    // decimal) literal rounds to the NEAREST double, which can land
+    // past the exact value and TIGHTEN the bound — pruning must only
+    // ever loosen (the exact Filter stays on top; it cannot resurrect
+    // a wrongly pruned file). One ulp brackets nearest-rounding.
+    if (found && lo <= hi)
+      Some((Math.nextDown(lo), Math.nextUp(hi)))
+    else None
   }
 
   /** Conjuncts of `e`, seeing through analysis-time sugar: `BETWEEN`

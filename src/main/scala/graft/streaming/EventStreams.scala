@@ -406,12 +406,18 @@ object EventStreams {
     * docs are NEW keys, so the union IS the merged index — and a per-doc
     * sidecar row (NULL term) accumulates the two corpus scalars exactly,
     * including zero-token docs, which have no postings row but still
-    * count in nDocs/avgdl. Per-batch work is batch-sized tokenize + a
-    * union write; the corpus is never re-tokenized. Returns (postings,
-    * nDocs, avgdl) — BM25 served from them is digit-identical to a
-    * one-shot index build over the full corpus for ANY batching and ANY
-    * arrival order (unions commute), which is what st_bm25's oracle
-    * checks.
+    * count in nDocs/avgdl. A RE-DELIVERED doc id (an update, or an
+    * at-least-once source replay) UPSERTS: the previous generation's
+    * rows anti-join away before the union, so the maintained state is
+    * exactly one generation per doc — last writer wins, never a silent
+    * double count. Per-batch tokenize is batch-sized; the versioned
+    * fold rewrites the at-rest state per batch (the simple AvailableNow
+    * shape shared by every st_* twin — the at-SCALE incremental path is
+    * the catalog postings layout, which delta-patches instead). Returns
+    * (postings, nDocs, avgdl) — BM25 served from them is
+    * digit-identical to a one-shot index build over the latest
+    * generation of every doc, for ANY batching and ANY arrival order of
+    * distinct docs, which is what st_bm25's oracle checks.
     */
   def postingsMaintain(spark: SparkSession, srcPath: String,
                        idCol: String, textCol: String, buckets: Int,
@@ -429,7 +435,9 @@ object EventStreams {
           lit(null).cast("string").as("term"), lit(0L).as("tf"),
           lit(-1).as("__tb"))
       val add = rows.unionByName(docRows)
-      prev.fold(add)(_.unionByName(add))
+      prev.map(_.join(batch.select(col(idCol).as("doc")).distinct(),
+          Seq("doc"), "left_anti"))
+        .fold(add)(_.unionByName(add))
     }
     // the scalars replay postingsStats' exact arithmetic over the
     // sidecar rows (one per ingested doc)

@@ -305,4 +305,32 @@ class PostingsLayoutSpec extends SparkSpec {
     assert(servedFrom(slices(reverse = true), "st_post_rev") == expected,
       "arrival order must not move a digit — postings unions commute")
   }
+
+  test("a re-delivered doc UPSERTS in the maintained postings — last writer wins") {
+    import graft.streaming.EventStreams
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val updated = docs.filter(col("doc_id") === 7L)
+      .withColumn("text", lit("merge vector spark merge"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_post_upsert_").toString + "/src"
+    docs.coalesce(1).write.mode("append").parquet(scratch)
+    Thread.sleep(20)
+    updated.coalesce(1).write.mode("append").parquet(scratch) // replay/update
+    val (postings, n, avgdl) = EventStreams.postingsMaintain(
+      spark, scratch, "doc_id", "text", buckets = 8, "st_post_upsert")
+    // exactly one generation per doc: nDocs is the DISTINCT doc count
+    assert(n == 50L, s"re-delivery must not double-count docs (n=$n)")
+    val latest = docs.filter(col("doc_id") =!= 7L).unionByName(updated)
+    val (n0, a0) = graft.operators.Retrieval.postingsStats(latest, "text")
+    assert(n == n0 && avgdl == a0,
+      "scalars must reflect the LATEST generation of the updated doc")
+    val served = graft.operators.Retrieval.bm25FromPostings(spark,
+        postings, 8, n, avgdl, "doc_id", Seq("merge", "vector", "spark"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served == graft.operators.Retrieval
+      .bm25(latest, "doc_id", "text", Seq("merge", "vector", "spark"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "scores must be digit-equal to a one-shot build over the latest docs")
+  }
 }
