@@ -1489,6 +1489,44 @@ object AnalyticsQueries {
           |  round(percentile(l_quantity, 0.75), 6) AS q3_qty
           |FROM li_cube WHERE l_returnflag = 'A'""".stripMargin)),
 
+    /** Truncated order statistics: a WHERE on the VALUE column itself
+      * drops whole (flag, quantity) cells, so the filtered percentile
+      * (here the median of the ≤ 10 tail) is exact from the same stored
+      * histogram — no extra layout, no fact scan.
+      */
+    "a_sql_quantile_trunc" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT l_returnflag,
+          |  round(percentile(l_quantity, 0.5), 6) AS med_tail
+          |FROM li_cube WHERE l_quantity <= 10.0
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    /** The CONTINUOUS-domain discipline: a raw double column would make
+      * the histogram fact-sized, so the session carries the 2dp-binned
+      * value and the cube stores one cell per (event_type, bin) — the
+      * engine's standard fixed-point idiom applied to order statistics.
+      * Quantiles of the binned column are exact (and the bin width is
+      * the caller's stated resolution); the oracle mirrors the binning.
+      */
+    "a_catalog_quantile_binned" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"evQuantCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("ev_q",
+          Tables.loadEvents(s, dir)
+            .select(col("event_id"), col("event_type"),
+              round(col("value"), 2).as("vbin")),
+          Seq("event_id"))
+        c.buildCubeLayout("ev_q", Seq("event_type", "vbin"), Nil)
+        c
+      }
+      cat.quantiles("ev_q", Seq("event_type"), "vbin",
+          Seq("med_value" -> 0.5, "p95_value" -> 0.95))
+        .select(col("event_type"),
+          round(col("med_value"), 6).as("med_value"),
+          round(col("p95_value"), 6).as("p95_value"))
+        .orderBy("event_type")
+    }),
+
     /** The typed twin: [[graft.core.Catalog.quantiles]] routes to the
       * covering value-histogram cube and walks its counted cells with
       * the RankStats prefix-sum interpolation (never a fact sort).
@@ -2990,6 +3028,18 @@ object AnalyticsQueries {
       """SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q3_qty
         |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+
+    "a_sql_quantile_trunc" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_tail
+        |FROM lineitem WHERE l_quantity <= 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_catalog_quantile_binned" ->
+      """SELECT event_type,
+        |  round(quantile_cont(round(value, 2), 0.5), 6) AS med_value,
+        |  round(quantile_cont(round(value, 2), 0.95), 6) AS p95_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a_catalog_quantile" ->
       """SELECT l_returnflag,
