@@ -570,6 +570,15 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * than the delta bound degrades to rebuild like any other oversized
     * gesture. Column set and types must match the session's schema
     * exactly (any column order); returns the number of appended rows.
+    *
+    * Cost note: the tail position comes from [[rowCount]], which is the
+    * maintained counter except when nRows is unknown (right after a
+    * `replace`/pivot or on a freshly reopened session), where the FIRST
+    * append pays one count() job over the session plan. That cost is
+    * one-time — the counter is maintained incrementally from then on —
+    * so a steady ingest loop's per-batch cost stays batch-sized; it is
+    * not avoidable cheaply either, since any tail derivation (max __pos
+    * included) is the same full scan.
     */
   def appendRows(rows: DataFrame): Long = {
     val base = Positional.strip(current)
@@ -2809,7 +2818,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
 
   private def vacuumIn(wh: String, whPath: org.apache.hadoop.fs.Path,
                        fs: org.apache.hadoop.fs.FileSystem,
-                       graceMs: Long): Seq[String] = {
+                       graceMs: Long): Seq[String] = try {
       import org.apache.hadoop.fs.Path
       val now = System.currentTimeMillis()
       def norm(p: String): String = new Path(p).toUri.getPath
@@ -2878,15 +2887,24 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
       // persistEntry on the ingest hot path pays no stats jobs; when a
       // candidate does appear, each dormant sidecar is read ONCE per
       // process (a layout dir is write-once — fresh dir per build — so
-      // the cache never needs invalidation).
+      // the cache never needs invalidation). Only SUCCESSFUL reads are
+      // cached: memoizing a failed read would make one transient FS
+      // hiccup outlive the grace window (every file the sidecar names
+      // reading as unreferenced on all future passes). An unreadable
+      // sidecar instead ABORTS the pass — the same policy the manifest
+      // gets above, for the same reason: treating it as empty would
+      // unreference everything it names.
       val liveKeys = layouts.keySet
       lazy val dormantStats = allEntries.collect {
         case e if (e.kind == "range" || e.kind == "zorder") &&
               e.path.isDefined && !liveKeys.contains((e.session, e.slot)) =>
-          dormantStatsCache.getOrElseUpdate(e.path.get,
+          dormantStatsCache.getOrElse(e.path.get,
             Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
-              .select("file").collect().map(_.getString(0)).toSeq)
-              .getOrElse(Seq.empty))
+              .select("file").collect().map(_.getString(0)).toSeq) match {
+              case scala.util.Success(files) =>
+                dormantStatsCache.update(e.path.get, files); files
+              case scala.util.Failure(_) => throw Catalog.VacuumAbort
+            })
       }.flatten
       lazy val fileRefs: Set[String] =
         (live.flatMap(statsFilesOf) ++ dormantStats).map(norm).toSet
@@ -2941,6 +2959,12 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
         LayoutStore.saveMarks(spark, wh, unreferencedSince.toMap)
       }
       deleted.toSeq
+  } catch {
+    // an unreadable dormant stats sidecar: abort with nothing deleted.
+    // The abort is provably pre-delete — the sweep forces the lazy
+    // fileRefs before the FIRST candidate's delete, and a lazy val that
+    // throws re-throws on every later force.
+    case Catalog.VacuumAbort => Seq.empty
   }
 
   /** The warehouse paths a layout's serving plan reads (base dirs).
@@ -3575,6 +3599,13 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
 
 object Catalog {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Control signal: a vacuum pass that cannot read a referenced-file
+    * sidecar aborts (deleting nothing) rather than guess. Stackless —
+    * it only ever unwinds from the sweep to vacuumIn's catch.
+    */
+  private[core] object VacuumAbort
+      extends RuntimeException("vacuum pass aborted", null, false, false)
 
   // One SQL-planning lock per SparkSession (weakly held, dies with it):
   // temp views live in the session, so the serialization scope must too.

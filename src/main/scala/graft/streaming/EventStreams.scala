@@ -407,10 +407,12 @@ object EventStreams {
     * sidecar row (NULL term) accumulates the two corpus scalars exactly,
     * including zero-token docs, which have no postings row but still
     * count in nDocs/avgdl. A RE-DELIVERED doc id (an update, or an
-    * at-least-once source replay) UPSERTS: the previous generation's
+    * at-least-once source replay) UPSERTS: the batch first dedups to
+    * its last-arriving row per id, then the previous generation's
     * rows anti-join away before the union, so the maintained state is
     * exactly one generation per doc — last writer wins, never a silent
-    * double count. Per-batch tokenize is batch-sized; the versioned
+    * double count, whether the replay lands in a later batch or inside
+    * the same one. Per-batch tokenize is batch-sized; the versioned
     * fold rewrites the at-rest state per batch (the simple AvailableNow
     * shape shared by every st_* twin — the at-SCALE incremental path is
     * the catalog postings layout, which delta-patches instead). Returns
@@ -424,7 +426,19 @@ object EventStreams {
                        queryName: String): (DataFrame, Long, Double) = {
     import graft.functions.TextFunctions
     val all = maintainVersioned(spark, srcPath, queryName,
-      "stream_postings_") { (prev, batch) =>
+      "stream_postings_") { (prev, batch0) =>
+      // one generation per doc id WITHIN the batch too: the anti-join
+      // below only dedups ACROSS batches, so a doc re-delivered twice
+      // in one micro-batch would otherwise double-count nDocs/avgdl and
+      // its postings. Keep the last-arriving row per id (arrival order
+      // via monotonically_increasing_id over the batch).
+      val batch = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("__arr").desc)
+        batch0.withColumn("__arr", monotonically_increasing_id())
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__arr", "__rn")
+      }
       val rows = graft.operators.Retrieval
         .postingsRowsFor(batch, idCol, textCol, buckets)
         .withColumnRenamed("id", "doc")

@@ -333,4 +333,33 @@ class PostingsLayoutSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq,
       "scores must be digit-equal to a one-shot build over the latest docs")
   }
+
+  test("a doc re-delivered WITHIN one micro-batch upserts too — no double count") {
+    import graft.streaming.EventStreams
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val updated = docs.filter(col("doc_id") === 7L)
+      .withColumn("text", lit("merge vector spark merge"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_post_inb_").toString + "/src"
+    // BOTH generations of doc 7 in ONE file → one micro-batch; the
+    // later row in the file must win and nDocs must not double-count
+    docs.unionByName(updated).coalesce(1).write.mode("append")
+      .parquet(scratch)
+    val (postings, n, avgdl) = EventStreams.postingsMaintain(
+      spark, scratch, "doc_id", "text", buckets = 8, "st_post_inbatch")
+    assert(n == 50L,
+      s"within-batch re-delivery must not double-count docs (n=$n)")
+    val latest = docs.filter(col("doc_id") =!= 7L).unionByName(updated)
+    val (n0, a0) = graft.operators.Retrieval.postingsStats(latest, "text")
+    assert(n == n0 && avgdl == a0,
+      "scalars must reflect the LATEST generation from within the batch")
+    val served = graft.operators.Retrieval.bm25FromPostings(spark,
+        postings, 8, n, avgdl, "doc_id", Seq("merge", "vector", "spark"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served == graft.operators.Retrieval
+      .bm25(latest, "doc_id", "text", Seq("merge", "vector", "spark"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "scores must be digit-equal to a one-shot build over the latest docs")
+  }
 }

@@ -392,4 +392,68 @@ class VacuumSpec extends SparkSpec {
     }
     ()
   }
+
+  test("an unreadable dormant stats sidecar ABORTS the pass; a transient failure never outlives the grace window") {
+    import graft.core.Positional
+    // partial-compaction fixture (RangedDmlSpec's recipe): after the
+    // fold the layout's stats list files across TWO dirs — the original
+    // build dir is only partially referenced, so a vacuum pass must read
+    // the stats sidecar to know which of its files are live
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh), deltaMaxRowsOverride = Some(2))
+    cat.open("vsb", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("vsb", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val s = cat.get("vsb").get
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val built = cat.layoutsOf("vsb").collectFirst {
+      case (_, l: Catalog.RangedLayout) => l
+    }.get
+    val stats0 = built.stats.collect()
+    val target = stats0.minBy(_.getAs[Double]("min_v"))
+    val survivors = stats0.map(r => norm(r.getAs[String]("file")))
+      .filterNot(_ == norm(target.getAs[String]("file"))).toSeq
+    val posInFile = s.current
+      .filter(col("o_totalprice") > target.getAs[Double]("min_v") &&
+        col("o_totalprice") < target.getAs[Double]("max_v"))
+      .select(col(Positional.POS)).orderBy(Positional.POS)
+      .limit(18).collect().map(_.getLong(0)).toSeq
+    posInFile.grouped(2).foreach { pair =>
+      assert(s.setCells("o_orderstatus", pair.map(p => p -> "Q")))
+      assert(cat.refreshStale("vsb").nonEmpty)
+    }
+    val pc = cat.layoutsOf("vsb").collectFirst {
+      case (_, l: Catalog.RangedLayout) => l
+    }.get
+    assert(pc.path != built.path, "fixture needs a folded (2-dir) layout")
+
+    // a FRESH catalog that never opened the session sees the entry as
+    // dormant: its file-wise references resolve only through the stats
+    // sidecar on disk. Simulate a transient read failure by hiding it.
+    val cold = new Catalog(spark, Some(wh))
+    // RangedLayout.path is the data subdir (<layout>/ranged); the
+    // sidecar lives beside it at <layout>/stats
+    val layoutDir = new java.io.File(pc.path).getParentFile
+    val statsDir = new java.io.File(layoutDir, "stats")
+    val hidden = new java.io.File(layoutDir, "stats_hidden")
+    assert(statsDir.renameTo(hidden), "fixture: hide the sidecar")
+    try {
+      assert(cold.vacuum(graceMs = 0L).isEmpty,
+        "an unreadable sidecar must abort the pass, deleting NOTHING")
+      survivors.foreach(p => assert(new java.io.File(p).exists,
+        s"abort must leave the stats-referenced file alone: $p"))
+    } finally {
+      assert(hidden.renameTo(statsDir), "fixture: restore the sidecar")
+    }
+    // the failure was NOT memoized: the restored sidecar reads on the
+    // next pass, the still-referenced files survive a grace-0 sweep,
+    // the replaced one collects, and serving stays exact
+    cold.vacuum(graceMs = 0L)
+    survivors.foreach(p => assert(new java.io.File(p).exists,
+      s"a past transient failure must not doom the referenced file $p"))
+    assert(!new java.io.File(norm(target.getAs[String]("file"))).exists,
+      "the genuinely-unreferenced replaced file still collects")
+    assert(cat.rangeScan("vsb", "o_totalprice", 0.0, 1e9).count() ==
+      s.rowCount)
+  }
 }
