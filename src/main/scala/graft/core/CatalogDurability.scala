@@ -1,0 +1,359 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Catalog._
+
+/** Durable-warehouse plumbing: layout root dirs, content digests and row signatures, manifest persistence, reopen re-attachment (digest-gated), and divergence reconciliation.
+  *
+  * An internal implementation seam of [[Catalog]] (split out of the
+  * single-file class, r11 verdict task #7): every member here is
+  * Catalog implementation detail with zero behavior change — the trait
+  * exists so the file stays navigable, not as user API.
+  */
+trait CatalogDurability { self: Catalog =>
+  /** Root dir for a new file-backed layout build: under the warehouse
+    * (durable, manifest-recorded — second element is the path relative to
+    * the warehouse) or a JVM-temp dir cleaned at exit (second element
+    * None).
+    */
+  private[core] def layoutRoot(prefix: String): (String, Option[String]) =
+    warehouse match {
+      case Some(wh) =>
+        val rel = s"$prefix${catalogId}_${layoutSeq.incrementAndGet()}"
+        (s"$wh/$rel", Some(rel))
+      case None => (layoutTempDir(prefix), None)
+    }
+
+  /** Order-free content digest `rowHashSum:rowCount` of a projection of
+    * `df` (empty `cols` = every column). Sum of per-row xxhash64 values
+    * in decimal(38,0), so any partitioning and any merge order produce
+    * the same digits; map-typed columns hash via their JSON rendering
+    * (hash functions reject maps — key order in that rendering is
+    * whatever `to_json` emits, which is deterministic for a given row).
+    * One column-pruned scan; computed at build time (noise next to the
+    * encode) and at re-attach time (the price of never serving another
+    * table's stored codes — still far cheaper than a rebuild).
+    */
+  /** The columns of `df` as hashable expressions: map-typed columns hash
+    * via their JSON rendering (hash functions reject maps; `to_json` is
+    * deterministic per row).
+    */
+  private[core] def hashableCols(df: DataFrame,
+      cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val use = if (cols.isEmpty) df.columns.toSeq else cols
+    use.map { c =>
+      if (hasMap(df.schema(c).dataType)) to_json(col(c)) else col(c)
+    }
+  }
+
+  private[core] def contentDigest(df: DataFrame, cols: Seq[String]): String = {
+    val r = df.agg(
+      sum(xxhash64(hashableCols(df, cols): _*).cast("decimal(38,0)")).as("h"),
+      count(lit(1)).as("n")).head()
+    s"${Option(r.get(0)).getOrElse(0)}:${r.getLong(1)}"
+  }
+
+  /** One order-free signature per layout key: the decimal sum of the
+    * relevant columns' per-row hashes, grouped by `key` — a multi-row
+    * key (repeated id, a cube group) signs as the sum of its rows. The
+    * build-time persisted form of this is what a DIVERGED reopen diffs
+    * against ([[divergedAttach]], r9 task #4): key-level change
+    * detection costs one narrow pass, never a re-encode.
+    */
+  private[core] def rowSignature(df: DataFrame,
+                           key: org.apache.spark.sql.Column,
+                           cols: Seq[String]): DataFrame =
+    df.groupBy(key.as("id"))
+      .agg(sum(xxhash64(hashableCols(df, cols): _*)
+        .cast("decimal(38,0)")).as("sig"))
+
+  /** The (signature key, hashed columns) recipe of a manifest entry's
+    * layout kind; throws for full-row kinds (range/bucket/zorder), which
+    * have no key a patch could shadow by.
+    */
+  private[core] def sigSpec(e: LayoutManifestEntry)
+      : (org.apache.spark.sql.Column, Seq[String]) = e.kind match {
+    case "pq" | "ivfpq" | "lsh" | "postings" =>
+      (col(e.idCol.get), Seq(e.idCol.get, e.valueCol.get))
+    case "cube" =>
+      (to_json(struct(e.groupCols.get.map(col): _*)),
+        e.groupCols.get ++ e.measures.get)
+    case "sketch" =>
+      (to_json(struct(e.groupCols.get.map(col): _*)),
+        e.groupCols.get :+ e.valueCol.get)
+    case "pairs" =>
+      val cols = e.groupCols.get :+ e.valueCol.get
+      (to_json(struct(cols.map(col): _*)), cols)
+    case "range" if e.idCol.isDefined =>
+      (col(e.idCol.get), Seq.empty) // full rows: hash every column
+    case "zorder" if e.keyCol.isDefined =>
+      (col(e.keyCol.get), Seq.empty)
+    case other =>
+      throw new IllegalStateException(s"no row signature for '$other'")
+  }
+
+  /** The source projection a manifest entry's digest covers. */
+  private[core] def digestColsOf(e: LayoutManifestEntry): Seq[String] =
+    e.kind match {
+      case "pq" | "ivfpq" | "lsh" | "postings" =>
+        Seq(e.idCol.get, e.valueCol.get)
+      case "cube" => e.groupCols.get ++ e.measures.get
+      case "sketch" | "pairs" => e.groupCols.get :+ e.valueCol.get
+      case _ => Seq.empty
+    }
+
+  /** Persist the build-time row-signature sidecar next to a durable
+    * layout's files (key-count-sized, one narrow pass).
+    */
+  private[core] def writeRowSig(base: DataFrame, dir: String,
+                          key: org.apache.spark.sql.Column,
+                          cols: Seq[String]): Unit =
+    rowSignature(base, key, cols).write.parquet(dir + "/rowsig")
+
+  private[core] var persistsSinceVacuum = 0
+
+  private[core] def persistEntry(e: LayoutManifestEntry): Unit =
+    warehouse.foreach { wh =>
+      manifest((e.session, e.slot)) = e
+      LayoutStore.save(spark, wh, manifest.values.toSeq)
+      // self-cleaning maintenance loop: every few manifest writes, GC
+      // what those writes superseded (grace-guarded — see [[vacuum]])
+      persistsSinceVacuum += 1
+      if (persistsSinceVacuum >= Catalog.autoVacuumEvery) {
+        persistsSinceVacuum = 0
+        vacuum()
+        ()
+      }
+    }
+
+  /** Re-attach persisted layouts to a freshly (re)opened session: each
+    * manifest entry under this name routes again only if the new
+    * session's relevant columns reproduce the digest its build recorded.
+    * A mismatch (different data under a reused name, or a column gone)
+    * leaves the entry dormant and logs a `digest-mismatch` decision in
+    * [[recentRoutes]] — queries fall back to live plans, never to
+    * another table's stored bytes.
+    */
+  private[core] def attachFromManifest(name: String, s: EditorSession): Unit =
+    warehouse.foreach { wh =>
+      val entries = manifest.collect {
+        case ((n, slot), e) if n == name => (slot, e)
+      }.toSeq
+      if (entries.nonEmpty) {
+        val base = Positional.strip(s.current)
+        entries.foreach { case (slot, e) =>
+          val matches =
+            Try(contentDigest(base, digestColsOf(e)) == e.digest)
+              .getOrElse(false)
+          val attached =
+            if (matches) reconstruct(wh, e, s.epoch, base)
+            else divergedAttach(wh, e, s, base)
+          attached match {
+            case Some(l) => layouts((name, slot)) = l
+            case None => recordRoute(RouteReport(slot, "live",
+              "digest-mismatch")); ()
+          }
+        }
+      }
+    }
+
+  /** Attach a manifest entry whose digest no longer matches the
+    * (re)opened session's table — the durable-delta path (r9 task #4):
+    * the session mutation log died with the old process, but the
+    * build-time row-signature sidecar survives, so key-level divergence
+    * is recoverable by DIFFING signatures instead of replaying gestures.
+    * When the diff is bounded (≤ [[deltaMaxRows]] keys changed, added,
+    * or removed), exactly the changed keys re-encode into a complete
+    * REPLACEMENT patch (superseding any persisted one — the diff is
+    * against build state, so it subsumes it), the manifest re-records
+    * the new digest, and the layout attaches patched: the corpus-sized
+    * base is never re-encoded, let alone rewritten. None (dormant →
+    * live fallback, exactly the old digest-mismatch behavior) when the
+    * sidecar is absent (pre-r10 build), the kind stores full rows, the
+    * divergence exceeds the bound, or any column vanished.
+    */
+  private[core] def divergedAttach(wh: String, e: LayoutManifestEntry,
+                             s: EditorSession,
+                             base: DataFrame): Option[TableLayout] = Try {
+    val (key, hcols) = sigSpec(e)
+    val old = spark.read.parquet(s"$wh/${e.path.get}/rowsig")
+    val now = rowSignature(base, key, hcols)
+    val changed = old.join(now, old("id") === now("id"), "full_outer")
+      .filter(!(old("sig") <=> now("sig")))
+      .select(coalesce(old("id"), now("id")).as("id"),
+        now("id").isNotNull.as("present"))
+      .limit(deltaMaxRows + 1).collect()
+    require(changed.length <= deltaMaxRows,
+      s"divergence ${changed.length} keys exceeds the delta bound")
+    // a NULL key can't be shadowed (the serve-side anti-join and the
+    // re-encode filter both skip nulls), so a divergence touching one
+    // must decline — dormant beats silently serving the stale row
+    require(!changed.exists(_.isNullAt(0)), "null layout key in divergence")
+    val presentIds = changed.filter(_.getBoolean(1)).map(_.get(0)).toSeq
+    val rows =
+      if (presentIds.isEmpty) base.limit(0)
+      else base.filter(key.isInCollection(presentIds))
+    def seedArr = e.seeds.get.map(v => v: scala.collection.Seq[Float]).toArray
+    val add0 = e.kind match {
+      case "pq" =>
+        graft.operators.Similarity.pqCodes(rows, e.idCol.get,
+          e.valueCol.get, seedArr, e.m.get)
+      case "ivfpq" =>
+        graft.operators.Similarity.ivfPqEncodeWith(rows, e.idCol.get,
+          e.valueCol.get, e.cents.get.map(c => (c.cid, c.vec)), seedArr,
+          e.m.get)
+      case "lsh" =>
+        graft.operators.Dedup.lshIndex(rows, e.idCol.get, e.valueCol.get,
+          e.n.get, e.numHashes.get, e.bands.get)
+      case "postings" =>
+        graft.operators.Retrieval.postingsRowsFor(rows, e.idCol.get,
+          e.valueCol.get, e.n.get)
+      case "cube" => cubeRows(rows, e.groupCols.get, e.measures.get)
+      case "sketch" =>
+        sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
+      case "pairs" => pairsRows(rows, e.groupCols.get, e.valueCol.get)
+      case "range" | "zorder" =>
+        // full rows ARE the add-leg; the serve-side union needs the
+        // reopened schema to equal the stored one (a drifted schema
+        // would fail lazily at serve time — decline eagerly instead)
+        val sub = if (e.kind == "range") "ranged" else "zordered"
+        require(spark.read.parquet(s"$wh/${e.path.get}/$sub")
+          .columns.toSet == base.columns.toSet, "schema drift")
+        rows
+    }
+    val keyName = e.kind match {
+      case "range" => e.idCol.get
+      case "zorder" => e.keyCol.get
+      case _ => "id"
+    }
+    val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName).get
+    val scalars = e.kind match {
+      // the corpus moved, so the stored BM25 scalars did too
+      case "postings" =>
+        val (nDocs, avgdl) = graft.operators.Retrieval.postingsStats(
+          base, e.valueCol.get)
+        (Some(nDocs), Some(avgdl))
+      case _ => (e.nDocs, e.avgdl)
+    }
+    val e2 = e.copy(patch = patch.path,
+      digest = contentDigest(base, digestColsOf(e)),
+      nDocs = scalars._1, avgdl = scalars._2)
+    // reconstruct FIRST: the manifest must never get ahead of reality
+    // (ADVICE r10 — a persisted-then-failed attach would send the next
+    // reopen down the fast digest path onto storage this run never
+    // validated; it still degrades safely to live, but the recorded
+    // state would be a lie)
+    val attached = reconstruct(wh, e2, s.epoch, base)
+    attached.foreach(_ => persistEntry(e2))
+    attached
+  }.toOption.flatten
+
+  /** Rebuild the in-memory layout object a manifest entry describes.
+    * None if its storage is unusable (e.g. a bucketed table missing from
+    * this metastore, files deleted) — the caller treats that like a
+    * digest mismatch.
+    */
+  private[core] def reconstruct(wh: String, e: LayoutManifestEntry,
+                          epoch: Long,
+                          base: DataFrame): Option[TableLayout] = Try {
+    def seedArr: Array[scala.collection.Seq[Float]] =
+      e.seeds.get.map(s => s: scala.collection.Seq[Float]).toArray
+    def patch: Option[LayoutPatch] = e.patch.map { pr =>
+      LayoutPatch(spark.read.parquet(s"$wh/$pr/add"),
+        spark.read.parquet(s"$wh/$pr/removed"), Some(pr))
+    }
+    e.kind match {
+      case "pq" =>
+        PqCodesLayout(e.idCol.get, e.valueCol.get,
+          s"$wh/${e.path.get}/codes", seedArr, e.m.get, epoch, patch)
+      case "ivfpq" =>
+        IvfPqCellLayout(e.idCol.get, e.valueCol.get,
+          s"$wh/${e.path.get}/codes", e.cents.get.map(c => (c.cid, c.vec)),
+          seedArr, e.m.get, e.nProbe.get, epoch, patch)
+      case "bucket" =>
+        require(spark.catalog.tableExists(e.table.get),
+          s"bucketed table ${e.table.get} not in this metastore")
+        BucketedLayout(e.valueCol.get, e.table.get, e.buckets.get, epoch)
+      case "range" =>
+        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
+          .localCheckpoint(true)
+        RangedLayout(e.valueCol.get, s"$wh/${e.path.get}/ranged", stats,
+          e.files.get, epoch, idCol = e.idCol, patch = patch)
+      case "lsh" =>
+        // parquet-backed: the stored index is already at rest, no
+        // checkpoint pin needed (that pin exists to avoid re-shingling a
+        // LIVE plan)
+        LshIndexLayout(e.idCol.get, e.valueCol.get, e.n.get,
+          e.numHashes.get, e.bands.get,
+          spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
+      case "postings" =>
+        // a pre-r9 entry can lack the BM25 columns/scalars yet still
+        // pass the digest gate (the digest covers the SOURCE columns,
+        // not the stored index shape — ADVICE r9). Routing such a
+        // layout would score BM25 from nDocs=0 / missing tf+dl:
+        // schema drift declines the attach (live BM25 answers),
+        // missing scalars backfill with one projection-agg pass.
+        val storedCols =
+          spark.read.parquet(s"$wh/${e.path.get}/postings").columns.toSet
+        require(Set("term", "doc", "tf", "dl").subsetOf(storedCols),
+          s"stored postings lack BM25 columns (${storedCols.mkString(",")})")
+        val (nDocs, avgdl) = (e.nDocs, e.avgdl) match {
+          case (Some(n), Some(a)) => (n, a)
+          case _ =>
+            val stats = graft.operators.Retrieval.postingsStats(
+              base, e.valueCol.get)
+            persistEntry(e.copy(nDocs = Some(stats._1),
+              avgdl = Some(stats._2)))
+            stats
+        }
+        PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
+          s"$wh/${e.path.get}/postings", epoch, patch,
+          nDocs = nDocs, avgdl = avgdl)
+      case "cube" =>
+        CubeLayout(e.groupCols.get, e.measures.get,
+          s"$wh/${e.path.get}/cube", epoch, patch)
+      case "sketch" =>
+        SketchLayout(e.groupCols.get, e.valueCol.get, e.n.get,
+          s"$wh/${e.path.get}/sketches", epoch, patch)
+      case "pairs" =>
+        PairsLayout(e.groupCols.get, e.valueCol.get,
+          s"$wh/${e.path.get}/pairs", epoch, patch)
+      case "zorder" =>
+        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
+          .localCheckpoint(true)
+        // valueCol carries colX, idCol colY, keyCol the DML shadow key
+        // (generic manifest fields)
+        ZOrderedLayout(e.valueCol.get, e.idCol.get,
+          s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch,
+          idCol = e.keyCol, patch = patch)
+    }
+  }.toOption
+
+  private[core] def sessionOf(name: String): EditorSession =
+    sessions.getOrElse(name,
+      throw new NoSuchElementException(s"no open session named '$name'"))
+
+  /** Temp root for a file-backed layout, removed recursively at JVM exit
+    * via the SHARED shutdown hook ([[Catalog.registerTempDir]] — one hook
+    * draining a queue, not one hook per build, which would accumulate
+    * unboundedly on a frequently edited session; ADVICE r8).
+    * File.deleteOnExit cannot remove non-empty directories. Rebuilds
+    * orphan the previous tree until exit; a lazily-planned reader may
+    * still reference it.
+    */
+  private[core] def layoutTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Catalog.registerTempDir(d)
+    d.toString
+  }
+}

@@ -1,0 +1,528 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Catalog._
+
+/** At-rest layout builds and their serving routes: PQ / IVF-PQ / LSH / postings / bucketed / ranged / z-ordered builds, rangeScan, topK, BM25 serving, and the bucket-co-located join.
+  *
+  * An internal implementation seam of [[Catalog]] (split out of the
+  * single-file class, r11 verdict task #7): every member here is
+  * Catalog implementation detail with zero behavior change — the trait
+  * exists so the file stays navigable, not as user API.
+  */
+trait CatalogLayouts { self: Catalog =>
+  /** Encode `vecCol` ONCE into an at-rest PQ codes parquet (8 small ints
+    * where 64 floats were) and register it; [[topK]] on this session then
+    * searches stored codes — m table lookups per row, no re-encode, no
+    * raw vector touched — until the session mutates.
+    */
+  def buildPqLayout(name: String, idCol: String, vecCol: String,
+                    m: Int = 8): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val seeds = graft.operators.Similarity.pqCodebook(base, idCol, vecCol)
+    val (dir, rel) = layoutRoot("catalog_pq_")
+    val path = dir + "/codes"
+    graft.operators.Similarity.pqCodes(base, idCol, vecCol, seeds, m)
+      .write.parquet(path)
+    layouts((name, s"ann:$vecCol")) =
+      PqCodesLayout(idCol, vecCol, path, seeds, m, s.epoch)
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"ann:$vecCol", kind = "pq",
+        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+        seeds = Some(seeds.map(_.toSeq).toSeq)))
+    }
+    path
+  }
+
+  /** IVF-PQ at-rest layout: codes written once PARTITIONED BY coarse cell,
+    * so a routed [[topK]] probe prunes cell partitions at plan time and
+    * ranks survivors from stored codes (the FAISS inverted-file shape).
+    * Registers over the same `ann:vecCol` slot — last build wins.
+    */
+  def buildIvfPqLayout(name: String, idCol: String, vecCol: String,
+                       nCentroids: Int = 8, m: Int = 8,
+                       nProbe: Int = 4): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (codes, cents, seeds) = graft.operators.Similarity.ivfPqCodes(
+      base, idCol, vecCol, nCentroids, m)
+    val (dir, rel) = layoutRoot("catalog_ivfpq_")
+    val path = dir + "/codes"
+    graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
+    layouts((name, s"ann:$vecCol")) =
+      IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"ann:$vecCol", kind = "ivfpq",
+        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
+        nProbe = Some(nProbe),
+        seeds = Some(seeds.map(_.toSeq).toSeq),
+        cents = Some(cents.map { case (cid, v) => CentEntry(cid, v) })))
+    }
+    path
+  }
+
+  /** Write the session bucketed+sorted on `key` as a managed table and
+    * register it; [[join]] on this key then plans exchange-free while the
+    * session stays unedited.
+    */
+  def buildBucketedLayout(name: String, key: String, buckets: Int): String = {
+    val s = sessionOf(name)
+    // the managed-table name carries this Catalog's instance id: two
+    // catalogs in one JVM (e.g. per-sfDir memoized ones) reusing the same
+    // session names must not clobber each other's bucketed tables — the
+    // first catalog's layout would stay epoch-valid and silently route
+    // the second catalog's data
+    val tbl = s"graft_c${catalogId}_${name}_by_$key".toLowerCase
+    val base = Positional.strip(s.current)
+    graft.io.Bucketing.writeBucketed(base, tbl, key, buckets)
+    layouts((name, s"bucket:$key")) = BucketedLayout(key, tbl, buckets, s.epoch)
+    persistEntry(LayoutManifestEntry(
+      session = name, slot = s"bucket:$key", kind = "bucket",
+      digest = contentDigest(base, Seq.empty), table = Some(tbl),
+      valueCol = Some(key), buckets = Some(buckets)))
+    tbl
+  }
+
+  /** MinHash-LSH index the session's text column once
+    * ([[graft.operators.Dedup.lshIndex]]: per-doc signatures + banded
+    * buckets, localCheckpoint-pinned so probes never re-shingle the
+    * corpus) and register it; [[nearDups]] then probes arriving batches
+    * against the stored index — the nightly-ingest dedup hop.
+    */
+  def buildLshLayout(name: String, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 128,
+                     bands: Int = 64): Unit = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val idx0 = graft.operators.Dedup.lshIndex(base, idCol, textCol, n,
+      numHashes, bands)
+    // durable: the index parquet IS the at-rest pin (probes read files,
+    // never re-shingle); process-local: localCheckpoint pins the blocks
+    val idx =
+      if (warehouse.isDefined) {
+        val (dir, rel) = layoutRoot("catalog_lsh_")
+        idx0.write.parquet(dir + "/index")
+        rel.foreach { r =>
+          writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
+          persistEntry(LayoutManifestEntry(
+            session = name, slot = s"lsh:$textCol", kind = "lsh",
+            digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+            idCol = Some(idCol), valueCol = Some(textCol), n = Some(n),
+            numHashes = Some(numHashes), bands = Some(bands)))
+        }
+        spark.read.parquet(dir + "/index")
+      } else idx0.localCheckpoint(true)
+    layouts((name, s"lsh:$textCol")) =
+      LshIndexLayout(idCol, textCol, n, numHashes, bands, idx, s.epoch)
+  }
+
+  /** Near-duplicate probe of `batch` against an open session,
+    * layout-routed: a valid LSH layout serves the probe from the stored
+    * index (batch-sized signature work + band equi-join — the corpus is
+    * never re-shingled); without one, the index is built from the live
+    * session plan for this call (same answer, corpus-sized work). The
+    * batch must carry the same id/text column names the layout indexed.
+    * The layout is used only when the caller's (idCol, n, numHashes,
+    * bands) MATCH what it was built with — routing changes the plan,
+    * never the answer, so a parameter mismatch falls back to a live
+    * index built with the caller's parameters rather than silently
+    * serving a differently-banded pair set.
+    */
+  def nearDups(name: String, batch: DataFrame, idCol: String,
+               textCol: String, threshold: Double = 0.4,
+               n: Int = 3, numHashes: Int = 128,
+               bands: Int = 64): DataFrame = {
+    val (lay, rep) = decide(name, s"lsh:$textCol", {
+      case l: LshIndexLayout => l.idCol == idCol && l.n == n &&
+        l.numHashes == numHashes && l.bands == bands
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: LshIndexLayout) =>
+        graft.operators.Dedup.incrementalLshMatches(
+          patchedCodes(l.index, l.patch), batch,
+          l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
+      case _ =>
+        val idx = graft.operators.Dedup.lshIndex(
+          Positional.strip(sessionOf(name).current), idCol, textCol, n,
+          numHashes, bands)
+        graft.operators.Dedup.incrementalLshMatches(idx, batch, idCol,
+          textCol, n, threshold, numHashes, bands)
+    }
+  }
+
+  /** Write the session's inverted index bucketed by term hash
+    * ([[graft.operators.Retrieval.writePostingsBucketed]]: one (term,
+    * doc) row per distinct per-doc term, directory-partitioned on the
+    * term's hash bucket) and register it; [[termPostings]] then serves a
+    * term lookup from a partition-pruned read of ~|terms|/buckets of the
+    * index — the at-scale retrieval side of BM25, replacing the
+    * O(corpus) posting-list string a stop-word-grade term costs in the
+    * report-shaped [[graft.operators.Retrieval.postings]].
+    */
+  def buildPostingsLayout(name: String, idCol: String, textCol: String,
+                          buckets: Int = 64): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_postings_")
+    val path = dir + "/postings"
+    graft.operators.Retrieval.writePostingsBucketed(base, idCol, textCol,
+      path, buckets)
+    val (nDocs, avgdl) =
+      graft.operators.Retrieval.postingsStats(base, textCol)
+    layouts((name, s"postings:$textCol")) =
+      PostingsLayout(idCol, textCol, buckets, path, s.epoch,
+        nDocs = nDocs, avgdl = avgdl)
+    rel.foreach { r =>
+      writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"postings:$textCol", kind = "postings",
+        digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
+        idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets),
+        nDocs = Some(nDocs), avgdl = Some(avgdl)))
+    }
+    path
+  }
+
+  /** Lexical BM25 retrieval, layout-routed: a valid postings layout on
+    * (session, textCol) built with the caller's idCol scores the query
+    * terms from stored (tf, dl) rows in the terms' pruned hash buckets
+    * plus the layout's two corpus scalars — the corpus is never
+    * re-tokenized, and the digits equal the live
+    * [[graft.operators.Retrieval.bm25]] (shared scoring tail, exact
+    * global df from the term-complete buckets). Without a valid layout
+    * the live corpus-pass BM25 runs. Output: (idCol, score).
+    */
+  def searchBm25(name: String, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val (lay, rep) = decide(name, s"postings:$textCol", {
+      case l: PostingsLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: PostingsLayout) =>
+        graft.operators.Retrieval.bm25FromPostings(spark,
+          patchedPostings(l), l.buckets, l.nDocs, l.avgdl, idCol, terms,
+          k1, b)
+      case _ =>
+        graft.operators.Retrieval.bm25(
+          Positional.strip(sessionOf(name).current), idCol, textCol,
+          terms, k1, b)
+    }
+  }
+
+  /** Posting lists for a probe term set, layout-routed: a valid postings
+    * layout on (session, textCol) built with the caller's idCol serves
+    * the lookup from the bucketed index (plan-time directory pruning —
+    * non-probed buckets never open); otherwise the corpus re-tokenizes
+    * under the live session plan. Output (term, df, plist) either way.
+    */
+  def termPostings(name: String, idCol: String, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    val (lay, rep) = decide(name, s"postings:$textCol", {
+      case l: PostingsLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay match {
+      case Some(l: PostingsLayout) =>
+        graft.operators.Retrieval.termLookupFrom(spark, patchedPostings(l),
+          terms, l.buckets)
+      case _ =>
+        graft.operators.Retrieval.postingsFor(
+          Positional.strip(sessionOf(name).current), idCol, textCol, terms)
+    }
+  }
+
+  /** Range-cluster the session on a numeric column (range repartition →
+    * sorted part files) with a min/max file-skipping index
+    * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
+    * and register it; [[rangeScan]] on this column then opens only the
+    * part files whose value range intersects the predicate. Passing an
+    * `idCol` makes the layout DML-PATCHABLE (see [[Catalog
+    * .RangedLayout]]): bounded edits/inserts/deletes refresh without
+    * re-clustering.
+    */
+  /** Range-cluster `df` on `column` into `files` sorted part files. */
+  private[core] def writeRangedData(df: DataFrame, column: String, files: Int,
+                              path: String): Unit =
+    df.repartitionByRange(files, col(column))
+      .sortWithinPartitions(column)
+      .write.parquet(path)
+
+  def buildRangedLayout(name: String, column: String, files: Int = 8,
+                        idCol: Option[String] = None): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_ranged_")
+    val path = dir + "/ranged"
+    writeRangedData(base, column, files, path)
+    val stats = graft.io.SkippingIndex.build(spark, path, column)
+      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
+    layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
+      files, s.epoch, idCol = idCol)
+    rel.foreach { r =>
+      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"range:$column", kind = "range",
+        digest = contentDigest(base, Seq.empty), path = Some(r),
+        valueCol = Some(column), files = Some(files), idCol = idCol))
+    }
+    path
+  }
+
+  /** Serving view of a full-row layout's (possibly patched) pruned
+    * read: base files minus the shadowed ids (broadcast anti-join on
+    * the layout's OWN id column) plus the unclustered add-leg — the
+    * caller's exact predicate on top keeps answers byte-identical, and
+    * the skipping stats stay truthful because base files never change.
+    */
+  private[core] def patchedFullRows(base: DataFrame, idCol: Option[String],
+                              patch: Option[LayoutPatch]): DataFrame =
+    (idCol, patch) match {
+      case (Some(id), Some(pt)) =>
+        base.join(broadcast(pt.removed), base(id) === pt.removed("id"),
+            "left_anti")
+          .unionByName(pt.add)
+      case _ => base
+    }
+
+  /** Z-order the session on two numeric columns: each is min/max-scaled
+    * to a 16-bit bucket, the Morton interleave becomes the range-
+    * partitioning key, and a per-file min/max index over BOTH columns is
+    * built in one scan ([[graft.io.SkippingIndex.build2d]]); a routed
+    * [[rangeScan2d]] then opens only the part files whose (x, y)
+    * rectangle intersects the predicate — pruning on EITHER dimension,
+    * which a single-column clustering cannot give.
+    */
+  /** Morton-cluster `df` on (colX, colY) into `files` part files. Each
+    * dimension bucketizes in ITS OWN type's monotone double image (r10
+    * verdict task #7: the events-table time × numeric rectangle needs a
+    * timestamp dimension) — the image only orders rows for the
+    * interleave; stats and predicates stay in the column's type.
+    */
+  private[core] def writeZOrderedData(df: DataFrame, colX: String, colY: String,
+                                files: Int, path: String): Unit = {
+    def dimd(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case TimestampType | TimestampNTZType | DateType =>
+          col(c).cast("timestamp").cast("double") // epoch seconds
+        case other => throw new IllegalArgumentException(
+          s"z-order needs numeric/timestamp/date columns; '$c' is $other")
+      }
+    }
+    val b = df.agg(min(dimd(colX)), max(dimd(colX)),
+      min(dimd(colY)), max(dimd(colY))).head()
+    def bucket(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      ((dimd(c) - lo) / span * ((1 << 16) - 1)).cast("long")
+    }
+    val z = graft.operators.ZOrder.zValue(
+      bucket(colX, b.getDouble(0), b.getDouble(1)),
+      bucket(colY, b.getDouble(2), b.getDouble(3)), bitsPer = 16)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(path)
+  }
+
+  def buildZOrderedLayout(name: String, colX: String, colY: String,
+                          files: Int = 16,
+                          idCol: Option[String] = None): String = {
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_zorder_")
+    val path = dir + "/zordered"
+    writeZOrderedData(base, colX, colY, files, path)
+    val stats = graft.io.SkippingIndex.build2d(spark, path, colX, colY)
+      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
+    layouts((name, s"zorder:$colX,$colY")) =
+      ZOrderedLayout(colX, colY, path, stats, files, s.epoch,
+        idCol = idCol)
+    rel.foreach { r =>
+      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = s"zorder:$colX,$colY", kind = "zorder",
+        digest = contentDigest(base, Seq.empty), path = Some(r),
+        valueCol = Some(colX), idCol = Some(colY), files = Some(files),
+        keyCol = idCol))
+    }
+    path
+  }
+
+  /** Rectangle predicate scan, layout-routed: a valid z-ordered layout
+    * on (session, colX, colY) serves `colX ∈ [loX, hiX] ∧ colY ∈ [loY,
+    * hiY]` from the Morton-clustered files via the 2-D skipping index
+    * (the exact predicate re-applies after pruning — byte-identical
+    * answers); otherwise a plain conjunctive filter over the live
+    * session plan. Column ORDER is routing-irrelevant: (x, y) and
+    * (y, x) requests serve from the same layout.
+    */
+  def rangeScan2d(name: String, colX: String, loX: Any, hiX: Any,
+                  colY: String, loY: Any, hiY: Any): DataFrame = {
+    val (lay, rep) = decide(name, s"zorder:$colX,$colY", {
+      case l: ZOrderedLayout => l.colX == colX && l.colY == colY
+      case _ => false
+    })
+    // the transposed slot serves the same rectangle — try it on a miss
+    val (lay2, rep2) =
+      if (lay.isDefined) (lay, rep)
+      else decide(name, s"zorder:$colY,$colX", {
+        case l: ZOrderedLayout => l.colX == colY && l.colY == colX
+        case _ => false
+      })
+    recordRoute(if (lay2.isDefined || rep2.reason != "no-layout") rep2
+      else rep)
+    def servePatched(l: ZOrderedLayout, lX: Any, hX: Any,
+                     lY: Any, hY: Any): DataFrame = {
+      val files = graft.io.SkippingIndex.candidateFiles2d(l.stats,
+        lX, hX, lY, hY)
+      val base =
+        if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+        else spark.read.parquet(files: _*)
+      // DML patch composes before the exact rectangle predicate: the
+      // add-leg is never pruned, shadowed base rows never serve
+      patchedFullRows(base, l.idCol, l.patch)
+        .filter(col(l.colX) >= lit(lX) && col(l.colX) <= lit(hX) &&
+          col(l.colY) >= lit(lY) && col(l.colY) <= lit(hY))
+    }
+    lay2 match {
+      case Some(l: ZOrderedLayout) if l.colX == colX =>
+        servePatched(l, loX, hiX, loY, hiY)
+      case Some(l: ZOrderedLayout) =>
+        servePatched(l, loY, hiY, loX, hiX)
+      case _ =>
+        Positional.strip(sessionOf(name).current)
+          .filter(col(colX) >= lit(loX) && col(colX) <= lit(hiX) &&
+            col(colY) >= lit(loY) && col(colY) <= lit(hiY))
+    }
+  }
+
+  /** Range predicate scan, layout-routed: a valid ranged layout on
+    * (session, column) serves `column ∈ [lo, hi]` from the clustered
+    * files via the skipping index (most part files never open — the
+    * exact predicate re-applies after pruning, so the answer is
+    * byte-identical); otherwise a plain filter over the live session
+    * plan. The catalog picks — callers state the predicate, never the
+    * layout.
+    */
+  def rangeScan(name: String, column: String, lo: Any,
+                hi: Any): DataFrame = {
+    val (lay, rep) = decide(name, s"range:$column",
+      _.isInstanceOf[RangedLayout])
+    recordRoute(rep)
+    lay match {
+      case Some(l: RangedLayout) => serveRangedScan(l, column, lo, hi)
+      case _ =>
+        val c = org.apache.spark.sql.functions.col(column)
+        Positional.strip(sessionOf(name).current)
+          .filter(c >= lit(lo) && c <= lit(hi))
+    }
+  }
+
+  /** The routed range-scan plan over a (possibly patched) ranged layout:
+    * skipping-pruned base files, the DML patch composed BEFORE the exact
+    * predicate (the add-leg is never pruned, shadowed base rows never
+    * serve), the caller's exact predicate on top. Shared by [[rangeScan]]
+    * and the pinned [[rangeScanAsOf]].
+    */
+  private[core] def serveRangedScan(l: RangedLayout, column: String, lo: Any,
+                              hi: Any): DataFrame = {
+    val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+      else spark.read.parquet(files: _*)
+    patchedFullRows(base, l.idCol, l.patch)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
+    * vecCol) serves the search from codes at rest (PQ: compressed-domain
+    * scan; IVF-PQ: plan-time cell pruning first); otherwise the exact
+    * brute-force cosine over the live session plan. Same output shape
+    * (id, sim) either way — the caller never names a layout. The layout
+    * routes only when its idCol equals the caller's (the [[nearDups]]
+    * guard, ADVICE r8): stored codes are keyed by the ids the layout was
+    * built with, and serving those under a different caller-named id
+    * column would change the answer, not just the plan.
+    */
+  def topK(name: String, idCol: String, vecCol: String, query: Seq[Float],
+           k: Int): DataFrame = {
+    val (lay, rep) = decide(name, s"ann:$vecCol", {
+      case l: PqCodesLayout => l.idCol == idCol
+      case l: IvfPqCellLayout => l.idCol == idCol
+      case _ => false
+    })
+    recordRoute(rep)
+    lay.flatMap(serveAnnTopK(_, idCol, query, k)).getOrElse(
+      graft.operators.Similarity.topK(
+        Positional.strip(sessionOf(name).current), idCol, vecCol, query, k))
+  }
+
+  /** The routed ANN serving plan of a stored-codes layout built with the
+    * caller's idCol (None otherwise) — shared by [[topK]] and
+    * [[topKAsOf]] so the two can never drift.
+    */
+  private[core] def serveAnnTopK(l: TableLayout, idCol: String,
+                           query: Seq[Float], k: Int): Option[DataFrame] =
+    l match {
+      case pq: PqCodesLayout if pq.idCol == idCol =>
+        Some(graft.operators.Similarity.pqTopKFromCodes(
+          patchedCodes(spark.read.parquet(pq.path), pq.patch), pq.seeds,
+          query, k, pq.m))
+      case iv: IvfPqCellLayout if iv.idCol == idCol =>
+        Some(graft.operators.Similarity.ivfPqTopKFromCodes(
+          patchedCodes(spark.read.parquet(iv.path), iv.patch), iv.cents,
+          iv.seeds, query, k, iv.nProbe, iv.m))
+      case _ => None
+    }
+
+  /** Equi-join of two open sessions, layout-routed: when BOTH sides hold
+    * valid bucketed layouts on their join keys with matching bucket
+    * counts, the join reads the bucketed tables and plans with NO
+    * exchange (co-located by storage); otherwise the live session plans
+    * join and Catalyst shuffles as usual. The catalog picks — callers
+    * never mention buckets.
+    */
+  def join(left: String, leftKey: String, right: String,
+           rightKey: String): DataFrame = {
+    val (ld, lrep) = decide(left, s"bucket:$leftKey",
+      _.isInstanceOf[BucketedLayout])
+    val (rd, rrep) = decide(right, s"bucket:$rightKey",
+      _.isInstanceOf[BucketedLayout])
+    val routed = for {
+      ll <- ld.collect { case b: BucketedLayout => b }
+      rl <- rd.collect { case b: BucketedLayout => b }
+      if ll.buckets == rl.buckets
+    } yield (spark.table(ll.table), spark.table(rl.table))
+    // both sides valid but bucket counts differ = a parameter mismatch
+    // of the PAIR: each side alone would route, the join cannot
+    if (ld.isDefined && rd.isDefined && routed.isEmpty) {
+      recordRoute(lrep.copy(decision = "live", reason = "param-mismatch"))
+      recordRoute(rrep.copy(decision = "live", reason = "param-mismatch"))
+    } else { recordRoute(lrep); recordRoute(rrep) }
+    val (lf, rf) = routed.getOrElse(
+      (Positional.strip(sessionOf(left).current),
+        Positional.strip(sessionOf(right).current)))
+    lf.join(rf, lf(leftKey) === rf(rightKey))
+  }
+
+}

@@ -1,0 +1,219 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Catalog._
+
+/** Epoch-pinned snapshot serving: pin/unpin leases, asOf reads over pinned plans and layouts (rangeScanAsOf, topKAsOf, aggregateAsOf, distinctCountAsOf, quantilesAsOf).
+  *
+  * An internal implementation seam of [[Catalog]] (split out of the
+  * single-file class, r11 verdict task #7): every member here is
+  * Catalog implementation detail with zero behavior change — the trait
+  * exists so the file stays navigable, not as user API.
+  */
+trait CatalogSnapshots { self: Catalog =>
+  // ---- epoch-pinned snapshots ----------------------------------------------
+  // The serving tier's consistency lever during maintenance (r10 verdict
+  // task #4): a pin captures the session's CURRENT plan (an immutable
+  // lineage reference — nothing copies) plus its registered layouts at
+  // that epoch. While a refresh or rebuild runs, readers on the pinned
+  // epoch keep answering from the pre-maintenance state — the pinned
+  // layout's base files are never rewritten by a delta refresh, and
+  // [[vacuum]] keeps every dir a pin references (composing with the
+  // grace window) until the pin is released. Pins are process-scoped:
+  // they exist to bridge a maintenance window, not to time-travel
+  // across restarts.
+
+  private[core] val pins = mutable.LinkedHashMap.empty[(String, Long), Snapshot]
+
+  /** Pin the session's current state; returns the pinned epoch (the
+    * handle for [[rangeScanAsOf]] / [[snapshotAsOf]] / [[unpin]]).
+    * Pinning the same epoch twice is idempotent. On a DURABLE catalog
+    * the pin also writes a LEASE file under `<warehouse>/_pins`, so a
+    * vacuum run by ANOTHER process honors this pin too; a crashed
+    * process's lease holds its dirs until any catalog unpins it (or an
+    * operator deletes the lease file).
+    */
+  def pin(name: String): Long = {
+    val s = sessionOf(name)
+    if (!pins.contains((name, s.epoch))) {
+      val sn = Snapshot(s.epoch, s.current,
+        layoutsOf(name).filter(_._2.builtAtEpoch == s.epoch).toMap)
+      pins((name, s.epoch)) = sn
+      warehouse.foreach { wh =>
+        val refs = sn.layouts.values.flatMap(l =>
+          layoutPathsOf(l) ++ statsFilesOf(l) ++
+            patchOf(l).flatMap(_.path).map(r => s"$wh/$r")).toSeq.distinct
+        if (refs.nonEmpty) {
+          val p = pinLeasePath(wh, name, s.epoch)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(p, true)
+          try out.write(refs.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+    }
+    s.epoch
+  }
+
+  /** Release a pin (and its durable lease); its dirs become
+    * vacuum-eligible once otherwise unreferenced.
+    */
+  def unpin(name: String, epoch: Long): Boolean = {
+    warehouse.foreach { wh =>
+      val p = pinLeasePath(wh, name, epoch)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+    pins.remove((name, epoch)).isDefined
+  }
+
+  /** One lease per (session, epoch) — catalog-agnostic, so any catalog
+    * over the warehouse can release a crashed process's pin.
+    */
+  private[core] def pinLeasePath(wh: String, name: String,
+                           epoch: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$wh/_pins/${name}_$epoch")
+
+  def pinnedEpochs(name: String): Seq[Long] =
+    pins.keys.collect { case (n, e) if n == name => e }.toSeq
+
+  /** The pinned session plan itself (every column, pre-maintenance). */
+  def snapshotAsOf(name: String, epoch: Long): DataFrame =
+    Positional.strip(pinOf(name, epoch).plan)
+
+  private[core] def pinOf(name: String, epoch: Long): Snapshot =
+    pins.getOrElse((name, epoch), throw new NoSuchElementException(
+      s"no pinned snapshot of '$name' at epoch $epoch"))
+
+  /** Range scan against a PINNED epoch: serves from the snapshot's
+    * ranged layout when one covers the column (same pruned-plus-patched
+    * plan as [[rangeScan]], against the pre-maintenance patch state),
+    * else filters the pinned session plan — either way the answer is
+    * the pinned epoch's, even while the live route already serves the
+    * post-refresh state. [[topKAsOf]] / [[aggregateAsOf]] /
+    * [[distinctCountAsOf]] extend the same contract to the other
+    * serving-tier routes.
+    */
+  def rangeScanAsOf(name: String, epoch: Long, column: String, lo: Any,
+                    hi: Any): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.get(s"range:$column") match {
+      case Some(l: RangedLayout) =>
+        recordRoute(RouteReport(s"range:$column", "layout", "pinned"))
+        serveRangedScan(l, column, lo, hi)
+      case _ =>
+        recordRoute(RouteReport(s"range:$column", "live", "pinned-live"))
+        val c = org.apache.spark.sql.functions.col(column)
+        Positional.strip(sn.plan).filter(c >= lit(lo) && c <= lit(hi))
+    }
+  }
+
+  /** ANN top-k against a PINNED epoch — the pinned twin of [[topK]],
+    * through the same [[serveAnnTopK]] body.
+    */
+  def topKAsOf(name: String, epoch: Long, idCol: String, vecCol: String,
+               query: Seq[Float], k: Int): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.get(s"ann:$vecCol")
+      .flatMap(serveAnnTopK(_, idCol, query, k)) match {
+      case Some(served) =>
+        recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
+        served
+      case None =>
+        recordRoute(RouteReport(s"ann:$vecCol", "live", "pinned-live"))
+        graft.operators.Similarity.topK(
+          Positional.strip(sn.plan), idCol, vecCol, query, k)
+    }
+  }
+
+  /** Grouped count/sum/avg against a PINNED epoch — the pinned twin of
+    * [[aggregate]], through the SAME covering rule ([[cubeCovers]]) and
+    * serving body ([[serveCubeAggregate]]) the live route uses.
+    */
+  def aggregateAsOf(name: String, epoch: Long, groupCols: Seq[String],
+                    measures: Seq[String],
+                    where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.values.collectFirst {
+      case c: CubeLayout
+          if cubeCovers(c, groupCols, measures, where.map(_._1).toSet) => c
+    } match {
+      case Some(c) =>
+        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+          "layout", "pinned"))
+        serveCubeAggregate(c, groupCols, measures, where)
+      case None =>
+        recordRoute(RouteReport(s"cube:${groupCols.mkString(",")}",
+          "live", "pinned-live"))
+        liveCubeAggregate(Positional.strip(sn.plan), groupCols, measures,
+          where)
+    }
+  }
+
+  /** Exact grouped distinct count against a PINNED epoch — the pinned
+    * twin of [[distinctCount]], same covering rule and serving body.
+    */
+  def distinctCountAsOf(name: String, epoch: Long, groupCols: Seq[String],
+                        pairCol: String,
+                        where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    val whereCols = where.map(_._1).toSet
+    val src = sn.layouts.values.collectFirst {
+      case l: PairsLayout
+          if pairsCovers(l, groupCols, pairCol, whereCols) => l
+    } match {
+      case Some(l) =>
+        recordRoute(RouteReport(
+          s"pairs:${l.groupCols.mkString(",")}:$pairCol", "layout",
+          "pinned"))
+        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
+          l.patch))
+      case None =>
+        // same fallback order as the live route ([[decideDistinct]]):
+        // a pinned histogram cube serves the exact distinct too
+        sn.layouts.values.collectFirst {
+          case c: CubeLayout
+              if quantileCovers(c, groupCols, pairCol, whereCols) => c
+        } match {
+          case Some(c) =>
+            recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+              "layout", "pinned"))
+            whereFilter(where)(patchedCube(c))
+          case None =>
+            recordRoute(RouteReport(
+              s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
+              "pinned-live"))
+            whereFilter(where)(Positional.strip(sn.plan))
+        }
+    }
+    pairsDistinctOver(src, groupCols, pairCol)
+  }
+
+  /** Exact per-key percentiles against a PINNED epoch — the pinned twin
+    * of [[quantiles]], through the SAME covering rule
+    * ([[quantileCovers]]) and serving body ([[serveHistQuantiles]] /
+    * [[liveQuantiles]]) the live route uses.
+    */
+  def quantilesAsOf(name: String, epoch: Long, keys: Seq[String],
+                    valueCol: String, probes: Seq[(String, Double)],
+                    where: Seq[(String, Any)] = Nil): DataFrame = {
+    val sn = pinOf(name, epoch)
+    sn.layouts.values.collectFirst {
+      case c: CubeLayout
+          if quantileCovers(c, keys, valueCol, where.map(_._1).toSet) => c
+    } match {
+      case Some(c) =>
+        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
+          "layout", "pinned"))
+        serveHistQuantiles(c, keys, valueCol, probes, where)
+      case None =>
+        recordRoute(RouteReport(s"cube:${(keys :+ valueCol).mkString(",")}",
+          "live", "pinned-live"))
+        liveQuantiles(Positional.strip(sn.plan), keys, valueCol, probes,
+          where)
+    }
+  }
+}
