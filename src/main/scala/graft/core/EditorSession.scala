@@ -391,6 +391,29 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
         }
     }
 
+  /** [[setCells]] with ALREADY-TYPED values — the SQL DML surface's batch
+    * edit ([[CatalogDml]]): an UPDATE's assignment values are computed by
+    * the engine in the column's own external type (a collected
+    * projection), so a string round-trip would be wasted work and a
+    * precision risk. Values must be instances of the column's external
+    * type (or null); the gesture logs exactly like [[setCells]]
+    * (delta-patchable CellEdits), so layouts delta-patch after a SQL
+    * UPDATE just as after a typed edit burst.
+    */
+  private[graft] def setCellsTyped(colName: String,
+                                   edits: Seq[(Long, Any)]): Boolean =
+    table.schema.fields.find(_.name == colName) match {
+      case None => false
+      case Some(_) if edits.isEmpty => false
+      case Some(_) =>
+        remember(CellEdits(edits.map(_._1), Set(colName)))
+        editLog(colName) =
+          editLog.getOrElse(colName, Map.empty[Long, Any]) ++ edits
+        editsSinceCheckpoint += edits.size
+        if (editsSinceCheckpoint >= compactEvery) checkpoint()
+        true
+    }
+
   /** R3: boolean toggle. */
   def setBool(pos: Long, colName: String, value: Boolean): Boolean = {
     recordEdit(colName, pos, value); true
@@ -727,9 +750,13 @@ object EditorSession {
   * only as far as the metastore does (in-memory catalog = one JVM;
   * Hive metastore in production). One writer per warehouse.
   */
-class Catalog(spark: SparkSession, warehouse: Option[String] = None,
-              deltaMaxRowsOverride: Option[Int] = None) {
-  private val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
+class Catalog(private[core] val spark: SparkSession,
+              private[core] val warehouse: Option[String] = None,
+              private[core] val deltaMaxRowsOverride: Option[Int] = None)
+    extends CatalogDurability with CatalogRefresh with CatalogLayouts
+    with CatalogSnapshots with CatalogVacuum with CatalogCubes
+    with CatalogDml {
+  private[core] val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
     register(name, s)
@@ -750,7 +777,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * layouts then re-attach from the manifest if (and only if) the new
     * table's content digest matches what they were built from.
     */
-  private def register(name: String, s: EditorSession): EditorSession = {
+  private[core] def register(name: String, s: EditorSession): EditorSession = {
     layouts.filterInPlace { case ((n, _), _) => n != name }
     sessions(name) = s
     attachFromManifest(name, s)
@@ -792,8 +819,15 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
-    try graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-      spark.sql(query)
+    try {
+      // DML aimed at an open session routes through the typed gestures
+      // ([[CatalogDml]]); anything else — SELECTs, DML on real catalog
+      // tables, malformed text — takes the ordinary Spark path below,
+      // which produces the right behavior or the right error.
+      val dml = if (looksLikeDml(query)) runDml(query) else None
+      dml.getOrElse(graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+        spark.sql(query)
+      })
     }
     finally sessions.keys.foreach(spark.catalog.dropTempView(_))
   }
@@ -807,7 +841,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * injected by [[graft.plans.GraftExtensions]]; without the extensions
     * the routes are published and never read.
     */
-  private def sqlRoutes(): Map[String, Seq[graft.plans.SqlRouting.SqlRoute]] = {
+  private[core] def sqlRoutes(): Map[String, Seq[graft.plans.SqlRouting.SqlRoute]] = {
     import graft.plans.SqlRouting.{BucketSqlRoute, RangedSqlRoute, SqlRoute}
     def sqlRouted(slot: String): Unit = {
       recordRoute(Catalog.RouteReport(slot, "layout", "sql-routed")); ()
@@ -864,363 +898,21 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
   // falls back to its live plan until the layout is rebuilt.
 
   import Catalog._
-  private val layouts = mutable.LinkedHashMap.empty[(String, String), TableLayout]
-  private val catalogId = Catalog.nextId.getAndIncrement()
+  private[core] val layouts = mutable.LinkedHashMap.empty[(String, String), TableLayout]
+  private[core] val catalogId = Catalog.nextId.getAndIncrement()
 
   // ---- durable warehouse -------------------------------------------------
   // The manifest is this catalog's persisted truth about stored layouts,
   // loaded once at construction; every warehouse build upserts its entry
   // and rewrites the file (layout-count-sized — control-plane IO).
-  private val manifest =
+  private[core] val manifest =
     mutable.LinkedHashMap.empty[(String, String), LayoutManifestEntry]
   warehouse.foreach { wh =>
     LayoutStore.load(spark, wh)
       .foreach(e => manifest((e.session, e.slot)) = e)
   }
-  private val layoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[core] val layoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Root dir for a new file-backed layout build: under the warehouse
-    * (durable, manifest-recorded — second element is the path relative to
-    * the warehouse) or a JVM-temp dir cleaned at exit (second element
-    * None).
-    */
-  private def layoutRoot(prefix: String): (String, Option[String]) =
-    warehouse match {
-      case Some(wh) =>
-        val rel = s"$prefix${catalogId}_${layoutSeq.incrementAndGet()}"
-        (s"$wh/$rel", Some(rel))
-      case None => (layoutTempDir(prefix), None)
-    }
-
-  /** Order-free content digest `rowHashSum:rowCount` of a projection of
-    * `df` (empty `cols` = every column). Sum of per-row xxhash64 values
-    * in decimal(38,0), so any partitioning and any merge order produce
-    * the same digits; map-typed columns hash via their JSON rendering
-    * (hash functions reject maps — key order in that rendering is
-    * whatever `to_json` emits, which is deterministic for a given row).
-    * One column-pruned scan; computed at build time (noise next to the
-    * encode) and at re-attach time (the price of never serving another
-    * table's stored codes — still far cheaper than a rebuild).
-    */
-  /** The columns of `df` as hashable expressions: map-typed columns hash
-    * via their JSON rendering (hash functions reject maps; `to_json` is
-    * deterministic per row).
-    */
-  private def hashableCols(df: DataFrame,
-      cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-    def hasMap(t: DataType): Boolean = t match {
-      case _: MapType => true
-      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-      case a: ArrayType => hasMap(a.elementType)
-      case _ => false
-    }
-    val use = if (cols.isEmpty) df.columns.toSeq else cols
-    use.map { c =>
-      if (hasMap(df.schema(c).dataType)) to_json(col(c)) else col(c)
-    }
-  }
-
-  private def contentDigest(df: DataFrame, cols: Seq[String]): String = {
-    val r = df.agg(
-      sum(xxhash64(hashableCols(df, cols): _*).cast("decimal(38,0)")).as("h"),
-      count(lit(1)).as("n")).head()
-    s"${Option(r.get(0)).getOrElse(0)}:${r.getLong(1)}"
-  }
-
-  /** One order-free signature per layout key: the decimal sum of the
-    * relevant columns' per-row hashes, grouped by `key` — a multi-row
-    * key (repeated id, a cube group) signs as the sum of its rows. The
-    * build-time persisted form of this is what a DIVERGED reopen diffs
-    * against ([[divergedAttach]], r9 task #4): key-level change
-    * detection costs one narrow pass, never a re-encode.
-    */
-  private def rowSignature(df: DataFrame,
-                           key: org.apache.spark.sql.Column,
-                           cols: Seq[String]): DataFrame =
-    df.groupBy(key.as("id"))
-      .agg(sum(xxhash64(hashableCols(df, cols): _*)
-        .cast("decimal(38,0)")).as("sig"))
-
-  /** The (signature key, hashed columns) recipe of a manifest entry's
-    * layout kind; throws for full-row kinds (range/bucket/zorder), which
-    * have no key a patch could shadow by.
-    */
-  private def sigSpec(e: LayoutManifestEntry)
-      : (org.apache.spark.sql.Column, Seq[String]) = e.kind match {
-    case "pq" | "ivfpq" | "lsh" | "postings" =>
-      (col(e.idCol.get), Seq(e.idCol.get, e.valueCol.get))
-    case "cube" =>
-      (to_json(struct(e.groupCols.get.map(col): _*)),
-        e.groupCols.get ++ e.measures.get)
-    case "sketch" =>
-      (to_json(struct(e.groupCols.get.map(col): _*)),
-        e.groupCols.get :+ e.valueCol.get)
-    case "pairs" =>
-      val cols = e.groupCols.get :+ e.valueCol.get
-      (to_json(struct(cols.map(col): _*)), cols)
-    case "range" if e.idCol.isDefined =>
-      (col(e.idCol.get), Seq.empty) // full rows: hash every column
-    case "zorder" if e.keyCol.isDefined =>
-      (col(e.keyCol.get), Seq.empty)
-    case other =>
-      throw new IllegalStateException(s"no row signature for '$other'")
-  }
-
-  /** The source projection a manifest entry's digest covers. */
-  private def digestColsOf(e: LayoutManifestEntry): Seq[String] =
-    e.kind match {
-      case "pq" | "ivfpq" | "lsh" | "postings" =>
-        Seq(e.idCol.get, e.valueCol.get)
-      case "cube" => e.groupCols.get ++ e.measures.get
-      case "sketch" | "pairs" => e.groupCols.get :+ e.valueCol.get
-      case _ => Seq.empty
-    }
-
-  /** Persist the build-time row-signature sidecar next to a durable
-    * layout's files (key-count-sized, one narrow pass).
-    */
-  private def writeRowSig(base: DataFrame, dir: String,
-                          key: org.apache.spark.sql.Column,
-                          cols: Seq[String]): Unit =
-    rowSignature(base, key, cols).write.parquet(dir + "/rowsig")
-
-  private var persistsSinceVacuum = 0
-
-  private def persistEntry(e: LayoutManifestEntry): Unit =
-    warehouse.foreach { wh =>
-      manifest((e.session, e.slot)) = e
-      LayoutStore.save(spark, wh, manifest.values.toSeq)
-      // self-cleaning maintenance loop: every few manifest writes, GC
-      // what those writes superseded (grace-guarded — see [[vacuum]])
-      persistsSinceVacuum += 1
-      if (persistsSinceVacuum >= Catalog.autoVacuumEvery) {
-        persistsSinceVacuum = 0
-        vacuum()
-        ()
-      }
-    }
-
-  /** Re-attach persisted layouts to a freshly (re)opened session: each
-    * manifest entry under this name routes again only if the new
-    * session's relevant columns reproduce the digest its build recorded.
-    * A mismatch (different data under a reused name, or a column gone)
-    * leaves the entry dormant and logs a `digest-mismatch` decision in
-    * [[recentRoutes]] — queries fall back to live plans, never to
-    * another table's stored bytes.
-    */
-  private def attachFromManifest(name: String, s: EditorSession): Unit =
-    warehouse.foreach { wh =>
-      val entries = manifest.collect {
-        case ((n, slot), e) if n == name => (slot, e)
-      }.toSeq
-      if (entries.nonEmpty) {
-        val base = Positional.strip(s.current)
-        entries.foreach { case (slot, e) =>
-          val matches =
-            Try(contentDigest(base, digestColsOf(e)) == e.digest)
-              .getOrElse(false)
-          val attached =
-            if (matches) reconstruct(wh, e, s.epoch, base)
-            else divergedAttach(wh, e, s, base)
-          attached match {
-            case Some(l) => layouts((name, slot)) = l
-            case None => recordRoute(RouteReport(slot, "live",
-              "digest-mismatch")); ()
-          }
-        }
-      }
-    }
-
-  /** Attach a manifest entry whose digest no longer matches the
-    * (re)opened session's table — the durable-delta path (r9 task #4):
-    * the session mutation log died with the old process, but the
-    * build-time row-signature sidecar survives, so key-level divergence
-    * is recoverable by DIFFING signatures instead of replaying gestures.
-    * When the diff is bounded (≤ [[deltaMaxRows]] keys changed, added,
-    * or removed), exactly the changed keys re-encode into a complete
-    * REPLACEMENT patch (superseding any persisted one — the diff is
-    * against build state, so it subsumes it), the manifest re-records
-    * the new digest, and the layout attaches patched: the corpus-sized
-    * base is never re-encoded, let alone rewritten. None (dormant →
-    * live fallback, exactly the old digest-mismatch behavior) when the
-    * sidecar is absent (pre-r10 build), the kind stores full rows, the
-    * divergence exceeds the bound, or any column vanished.
-    */
-  private def divergedAttach(wh: String, e: LayoutManifestEntry,
-                             s: EditorSession,
-                             base: DataFrame): Option[TableLayout] = Try {
-    val (key, hcols) = sigSpec(e)
-    val old = spark.read.parquet(s"$wh/${e.path.get}/rowsig")
-    val now = rowSignature(base, key, hcols)
-    val changed = old.join(now, old("id") === now("id"), "full_outer")
-      .filter(!(old("sig") <=> now("sig")))
-      .select(coalesce(old("id"), now("id")).as("id"),
-        now("id").isNotNull.as("present"))
-      .limit(deltaMaxRows + 1).collect()
-    require(changed.length <= deltaMaxRows,
-      s"divergence ${changed.length} keys exceeds the delta bound")
-    // a NULL key can't be shadowed (the serve-side anti-join and the
-    // re-encode filter both skip nulls), so a divergence touching one
-    // must decline — dormant beats silently serving the stale row
-    require(!changed.exists(_.isNullAt(0)), "null layout key in divergence")
-    val presentIds = changed.filter(_.getBoolean(1)).map(_.get(0)).toSeq
-    val rows =
-      if (presentIds.isEmpty) base.limit(0)
-      else base.filter(key.isInCollection(presentIds))
-    def seedArr = e.seeds.get.map(v => v: scala.collection.Seq[Float]).toArray
-    val add0 = e.kind match {
-      case "pq" =>
-        graft.operators.Similarity.pqCodes(rows, e.idCol.get,
-          e.valueCol.get, seedArr, e.m.get)
-      case "ivfpq" =>
-        graft.operators.Similarity.ivfPqEncodeWith(rows, e.idCol.get,
-          e.valueCol.get, e.cents.get.map(c => (c.cid, c.vec)), seedArr,
-          e.m.get)
-      case "lsh" =>
-        graft.operators.Dedup.lshIndex(rows, e.idCol.get, e.valueCol.get,
-          e.n.get, e.numHashes.get, e.bands.get)
-      case "postings" =>
-        graft.operators.Retrieval.postingsRowsFor(rows, e.idCol.get,
-          e.valueCol.get, e.n.get)
-      case "cube" => cubeRows(rows, e.groupCols.get, e.measures.get)
-      case "sketch" =>
-        sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
-      case "pairs" => pairsRows(rows, e.groupCols.get, e.valueCol.get)
-      case "range" | "zorder" =>
-        // full rows ARE the add-leg; the serve-side union needs the
-        // reopened schema to equal the stored one (a drifted schema
-        // would fail lazily at serve time — decline eagerly instead)
-        val sub = if (e.kind == "range") "ranged" else "zordered"
-        require(spark.read.parquet(s"$wh/${e.path.get}/$sub")
-          .columns.toSet == base.columns.toSet, "schema drift")
-        rows
-    }
-    val keyName = e.kind match {
-      case "range" => e.idCol.get
-      case "zorder" => e.keyCol.get
-      case _ => "id"
-    }
-    val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName).get
-    val scalars = e.kind match {
-      // the corpus moved, so the stored BM25 scalars did too
-      case "postings" =>
-        val (nDocs, avgdl) = graft.operators.Retrieval.postingsStats(
-          base, e.valueCol.get)
-        (Some(nDocs), Some(avgdl))
-      case _ => (e.nDocs, e.avgdl)
-    }
-    val e2 = e.copy(patch = patch.path,
-      digest = contentDigest(base, digestColsOf(e)),
-      nDocs = scalars._1, avgdl = scalars._2)
-    // reconstruct FIRST: the manifest must never get ahead of reality
-    // (ADVICE r10 — a persisted-then-failed attach would send the next
-    // reopen down the fast digest path onto storage this run never
-    // validated; it still degrades safely to live, but the recorded
-    // state would be a lie)
-    val attached = reconstruct(wh, e2, s.epoch, base)
-    attached.foreach(_ => persistEntry(e2))
-    attached
-  }.toOption.flatten
-
-  /** Rebuild the in-memory layout object a manifest entry describes.
-    * None if its storage is unusable (e.g. a bucketed table missing from
-    * this metastore, files deleted) — the caller treats that like a
-    * digest mismatch.
-    */
-  private def reconstruct(wh: String, e: LayoutManifestEntry,
-                          epoch: Long,
-                          base: DataFrame): Option[TableLayout] = Try {
-    def seedArr: Array[scala.collection.Seq[Float]] =
-      e.seeds.get.map(s => s: scala.collection.Seq[Float]).toArray
-    def patch: Option[LayoutPatch] = e.patch.map { pr =>
-      LayoutPatch(spark.read.parquet(s"$wh/$pr/add"),
-        spark.read.parquet(s"$wh/$pr/removed"), Some(pr))
-    }
-    e.kind match {
-      case "pq" =>
-        PqCodesLayout(e.idCol.get, e.valueCol.get,
-          s"$wh/${e.path.get}/codes", seedArr, e.m.get, epoch, patch)
-      case "ivfpq" =>
-        IvfPqCellLayout(e.idCol.get, e.valueCol.get,
-          s"$wh/${e.path.get}/codes", e.cents.get.map(c => (c.cid, c.vec)),
-          seedArr, e.m.get, e.nProbe.get, epoch, patch)
-      case "bucket" =>
-        require(spark.catalog.tableExists(e.table.get),
-          s"bucketed table ${e.table.get} not in this metastore")
-        BucketedLayout(e.valueCol.get, e.table.get, e.buckets.get, epoch)
-      case "range" =>
-        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
-          .localCheckpoint(true)
-        RangedLayout(e.valueCol.get, s"$wh/${e.path.get}/ranged", stats,
-          e.files.get, epoch, idCol = e.idCol, patch = patch)
-      case "lsh" =>
-        // parquet-backed: the stored index is already at rest, no
-        // checkpoint pin needed (that pin exists to avoid re-shingling a
-        // LIVE plan)
-        LshIndexLayout(e.idCol.get, e.valueCol.get, e.n.get,
-          e.numHashes.get, e.bands.get,
-          spark.read.parquet(s"$wh/${e.path.get}/index"), epoch, patch)
-      case "postings" =>
-        // a pre-r9 entry can lack the BM25 columns/scalars yet still
-        // pass the digest gate (the digest covers the SOURCE columns,
-        // not the stored index shape — ADVICE r9). Routing such a
-        // layout would score BM25 from nDocs=0 / missing tf+dl:
-        // schema drift declines the attach (live BM25 answers),
-        // missing scalars backfill with one projection-agg pass.
-        val storedCols =
-          spark.read.parquet(s"$wh/${e.path.get}/postings").columns.toSet
-        require(Set("term", "doc", "tf", "dl").subsetOf(storedCols),
-          s"stored postings lack BM25 columns (${storedCols.mkString(",")})")
-        val (nDocs, avgdl) = (e.nDocs, e.avgdl) match {
-          case (Some(n), Some(a)) => (n, a)
-          case _ =>
-            val stats = graft.operators.Retrieval.postingsStats(
-              base, e.valueCol.get)
-            persistEntry(e.copy(nDocs = Some(stats._1),
-              avgdl = Some(stats._2)))
-            stats
-        }
-        PostingsLayout(e.idCol.get, e.valueCol.get, e.n.get,
-          s"$wh/${e.path.get}/postings", epoch, patch,
-          nDocs = nDocs, avgdl = avgdl)
-      case "cube" =>
-        CubeLayout(e.groupCols.get, e.measures.get,
-          s"$wh/${e.path.get}/cube", epoch, patch)
-      case "sketch" =>
-        SketchLayout(e.groupCols.get, e.valueCol.get, e.n.get,
-          s"$wh/${e.path.get}/sketches", epoch, patch)
-      case "pairs" =>
-        PairsLayout(e.groupCols.get, e.valueCol.get,
-          s"$wh/${e.path.get}/pairs", epoch, patch)
-      case "zorder" =>
-        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
-          .localCheckpoint(true)
-        // valueCol carries colX, idCol colY, keyCol the DML shadow key
-        // (generic manifest fields)
-        ZOrderedLayout(e.valueCol.get, e.idCol.get,
-          s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch,
-          idCol = e.keyCol, patch = patch)
-    }
-  }.toOption
-
-  private def sessionOf(name: String): EditorSession =
-    sessions.getOrElse(name,
-      throw new NoSuchElementException(s"no open session named '$name'"))
-
-  /** Temp root for a file-backed layout, removed recursively at JVM exit
-    * via the SHARED shutdown hook ([[Catalog.registerTempDir]] — one hook
-    * draining a queue, not one hook per build, which would accumulate
-    * unboundedly on a frequently edited session; ADVICE r8).
-    * File.deleteOnExit cannot remove non-empty directories. Rebuilds
-    * orphan the previous tree until exit; a lazily-planned reader may
-    * still reference it.
-    */
-  private def layoutTempDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Catalog.registerTempDir(d)
-    d.toString
-  }
 
   /** The routing decision for (session, slot): the layout to serve from,
     * if any, plus the report saying why / why not. `ok` is the entry
@@ -1229,7 +921,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
     * banding) must fall back to the live plan, because routing changes
     * the plan, never the answer.
     */
-  private def decide(name: String, slot: String,
+  private[core] def decide(name: String, slot: String,
                      ok: TableLayout => Boolean):
       (Option[TableLayout], RouteReport) = {
     val (l, reason) = (sessions.get(name), layouts.get((name, slot))) match {
@@ -1251,8 +943,8 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
   // synchronized: one catalog can serve typed and SQL entry points from
   // concurrent caller threads (the Verify pool does), and ArrayBuffer
   // mutation is not atomic
-  private val routeLog = mutable.ArrayBuffer.empty[RouteReport]
-  private def recordRoute(r: RouteReport): RouteReport =
+  private[core] val routeLog = mutable.ArrayBuffer.empty[RouteReport]
+  private[core] def recordRoute(r: RouteReport): RouteReport =
     routeLog.synchronized {
       routeLog += r
       if (routeLog.size > 256) routeLog.remove(0, routeLog.size - 256)
@@ -1280,2321 +972,7 @@ class Catalog(spark: SparkSession, warehouse: Option[String] = None,
   def layoutsOf(name: String): Seq[(String, TableLayout)] =
     layouts.collect { case ((n, slot), l) if n == name => (slot, l) }.toSeq
 
-  /** Refresh every STALE layout of a session at its current epoch — the
-    * "after an edit burst" maintenance gesture: routing resumes on all
-    * slots without the caller re-stating any build parameters. Returns
-    * the refreshed slot names (valid layouts are left untouched).
-    *
-    * Refresh is INCREMENTAL where the session's mutation log allows it
-    * ([[EditorSession.deltaSince]] — r8 verdict task #3): a keyed layout
-    * (PQ / IVF-PQ / LSH) whose relevant columns were untouched simply
-    * revalidates at the new epoch (zero IO); one touched by
-    * position-bounded cell edits gets a DELTA PATCH — only the dirty
-    * rows re-encode/re-sign, the corpus-sized base files are never
-    * rewritten, and renamed-away ids are shadowed via
-    * [[Catalog.LayoutPatch]]. Full rebuild remains for structural
-    * gestures (splice/replace/pivot/undo — no recoverable delta), dirty
-    * sets past [[deltaMaxRows]] (a patch that big loses to a rebuild),
-    * and the full-row layouts (ranged, bucketed), whose stored rows have
-    * no key a patch could shadow by.
-    */
-  def refreshStale(name: String): Seq[String] = {
-    val s = sessionOf(name)
-    layoutsOf(name).collect {
-      case (slot, l) if l.builtAtEpoch != s.epoch => (slot, l)
-    }.map { case (slot, l) => refreshSlot(name, s, slot, l); slot }
-  }
 
-  /** Above this many delta rows a patch loses to a rebuild (and the
-    * serving-side anti-join stops being broadcast-trivial). Shared with
-    * the session's mutation log, which stops retaining victim positions
-    * past it. The override exists for specs that pin the rebuild
-    * fallback without building a 4096-literal delete plan; it is
-    * CLAMPED to [[EditorSession.deltaMaxRows]] (ADVICE r10) because the
-    * session mutation log drops delete positions and victim plans at
-    * that fixed bound — a larger override would promise a patch path
-    * the log can no longer feed.
-    */
-  private val deltaMaxRows =
-    deltaMaxRowsOverride.map(math.min(_, EditorSession.deltaMaxRows))
-      .getOrElse(EditorSession.deltaMaxRows)
-
-  /** Refresh one stale layout from the session's net mutation delta
-    * ([[EditorSession.deltaSince]]). Three regimes per layout family:
-    *
-    *  - ID-KEYED (PQ / IVF-PQ / LSH / postings): untouched relevant
-    *    columns with no row motion → revalidate (zero IO); bounded cell
-    *    edits, INSERTS (paste — r9 task #2: new rows encode into the
-    *    add-leg, nothing existing changes), and counted DELETES (≤
-    *    [[deltaMaxRows]] — r9 finding #1: the bound keeps the
-    *    `servedIds EXCEPT nowIds` shadow collect edit-sized) → delta
-    *    patch; anything larger or unrecoverable → rebuild.
-    *  - GROUP-KEYED (cube / sketch): edits sparing the group columns,
-    *    inserts, and deletes WITH recoverable victims (the mutation log's
-    *    pre-delete plan names the vanished rows' groups — r9 task #3,
-    *    retraction IVM) → recompute exactly the affected groups and
-    *    shadow them by key (a group emptied by deletes shadows with no
-    *    add row); a group-column CELL edit still rebuilds (the rows'
-    *    previous groups are unrecoverable from current state).
-    *  - FULL-ROW (ranged / bucketed / z-ordered): any delta → rebuild
-    *    (their stored rows have no key a patch could shadow by).
-    */
-  private def refreshSlot(name: String, s: EditorSession, slot: String,
-                          l: TableLayout): Unit = {
-    val delta = s.deltaSince(l.builtAtEpoch)
-
-    def keyed(idCol: String, valCol: String, revalidate: () => Unit,
-              patch: (Seq[Long], Boolean) => Unit): Unit = delta match {
-      case None => rebuildSlot(name, l)
-      case Some(d) =>
-        val editsRelevant =
-          d.dirtyCols.intersect(Set(idCol, valCol)).nonEmpty
-        val touched =
-          (if (editsRelevant) d.dirtyPos else Seq.empty) ++ d.insertedPos
-        if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
-          revalidate()
-        else if (touched.size <= deltaMaxRows &&
-            d.deleteCount <= deltaMaxRows)
-          patch(touched, d.dirtyCols.contains(idCol) || d.hasDeletes)
-        else rebuildSlot(name, l)
-    }
-
-    def grouped(groupCols: Set[String], valueCols: Set[String],
-                revalidate: () => Unit,
-                patch: (Seq[Long], Option[DataFrame]) => Unit): Unit =
-      delta match {
-        case None => rebuildSlot(name, l)
-        case Some(d) =>
-          val editsRelevant =
-            d.dirtyCols.intersect(groupCols ++ valueCols).nonEmpty
-          val touched =
-            (if (editsRelevant) d.dirtyPos else Seq.empty) ++ d.insertedPos
-          if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
-            revalidate()
-          else if (d.dirtyCols.intersect(groupCols).nonEmpty ||
-              (d.hasDeletes && d.deletedRows.isEmpty) ||
-              touched.size > deltaMaxRows || d.deleteCount > deltaMaxRows)
-            rebuildSlot(name, l)
-          else patch(touched, d.deletedRows)
-      }
-
-    def fullRow(idCol: Option[String], path: String,
-                revalidate: () => Unit,
-                patch: (Seq[Long], Boolean) => Unit): Unit =
-      (idCol, delta) match {
-        case (Some(id), Some(d)) =>
-          val storedCols = Try(spark.read.parquet(path).columns.toSet)
-            .getOrElse(Set.empty[String])
-          val touched = d.dirtyPos ++ d.insertedPos
-          if (!d.dirtyCols.subsetOf(storedCols)) rebuildSlot(name, l)
-          else if (touched.isEmpty && !d.hasDeletes) revalidate()
-          else if (touched.size <= deltaMaxRows &&
-              d.deleteCount <= deltaMaxRows)
-            patch(touched, d.dirtyCols.contains(id) || d.hasDeletes)
-          else rebuildSlot(name, l)
-        case _ => rebuildSlot(name, l)
-      }
-
-    l match {
-      case p: PqCodesLayout =>
-        keyed(p.idCol, p.vecCol,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchPq(name, s, slot, p, pos, ids))
-      case p: IvfPqCellLayout =>
-        keyed(p.idCol, p.vecCol,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchIvfPq(name, s, slot, p, pos, ids))
-      case p: LshIndexLayout =>
-        keyed(p.idCol, p.textCol,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchLsh(name, s, slot, p, pos, ids))
-      case p: PostingsLayout =>
-        keyed(p.idCol, p.textCol,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchPostings(name, s, slot, p, pos, ids,
-            // a text edit, an inserted doc, or a row delete moves the
-            // corpus scalars a routed BM25 reads; an id-only rename
-            // (no row motion) keeps both — decided from the delta this
-            // refresh already computed
-            remeasure = delta.forall(d =>
-              d.dirtyCols.contains(p.textCol) ||
-                d.insertedPos.nonEmpty || d.hasDeletes)))
-      case p: CubeLayout =>
-        grouped(p.groupCols.toSet, p.measures.toSet,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, victims) => patchCube(name, s, slot, p, pos, victims))
-      case p: SketchLayout =>
-        grouped(p.groupCols.toSet, Set(p.col),
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, victims) => patchSketch(name, s, slot, p, pos, victims))
-      case p: PairsLayout =>
-        // every stored column is a key column: cell edits rebuild (the
-        // pre-edit tuple is unrecoverable), row motion delta-patches
-        grouped((p.groupCols :+ p.col).toSet, Set.empty,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, victims) => patchPairs(name, s, slot, p, pos, victims))
-      // an id-keyed full-row layout (ranged / z-ordered) is
-      // DML-patchable: every cell edit touches a stored row (all
-      // columns are stored), so the only revalidation case is a
-      // schema-only delta; a column ADD makes the stored schema stale
-      // and rebuilds; without an id there is no shadow key
-      case p: RangedLayout =>
-        fullRow(p.idCol, p.path,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
-      case p: ZOrderedLayout =>
-        fullRow(p.idCol, p.path,
-          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
-      case _ => rebuildSlot(name, l)
-    }
-  }
-
-  /** Full-row DML patch for an id-keyed clustered layout: the touched
-    * ids' CURRENT full rows become the unclustered add-leg, their (and
-    * any vanished) ids shadow out of the base — the clustered files and
-    * their skipping stats never change, so pruning stays truthful and
-    * the serve-side union is edit-count-sized. Past the merge bound the
-    * accumulated legs fold into only the base files they intersect
-    * ([[partialCompactFullRow]]); a full rebuild remains only when the
-    * fold has no locality to exploit.
-    */
-  private def patchFullRow(name: String, s: EditorSession, slot: String,
-                           l: TableLayout, pos: Seq[Long],
-                           idsTouched: Boolean): Unit = {
-    val (id, stats, oldPatch) = l match {
-      case r: RangedLayout => (r.idCol.get, r.stats, r.patch)
-      case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
-      case _ => return
-    }
-    val changed = touchedRows(s, pos, id, Seq.empty).getOrElse {
-      rebuildSlot(name, layouts((name, slot))); return // null key
-    }
-    val nowIds = Positional.strip(s.current).select(col(id).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
-        patchedFullRows(fullRowBase(stats), Some(id), oldPatch)
-          .select(col(id).as("id")), nowIds)
-      else Array.empty[Any],
-      oldPatch, changed, keyName = id)
-    if (legs.removed.exists(_ == null)) {
-      rebuildSlot(name, layouts((name, slot))) // null shadow key
-      return
-    }
-    legsPatch(legs) match {
-      case Some(patch) =>
-        layouts((name, slot)) = l match {
-          case r: RangedLayout =>
-            r.copy(builtAtEpoch = s.epoch, patch = Some(patch))
-          case z: ZOrderedLayout =>
-            z.copy(builtAtEpoch = s.epoch, patch = Some(patch))
-          case other => other
-        }
-        persistPatch(name, slot, patch, Seq.empty, s)
-      case None =>
-        if (!partialCompactFullRow(name, s, slot, l, id, legs))
-          rebuildSlot(name, layouts((name, slot)))
-    }
-  }
-
-  /** The full (unpatched) base of a clustered layout: the union of every
-    * file its skipping stats list. After a [[partialCompactFullRow]] the
-    * base spans the original dir plus merge dirs, so a path-based read
-    * would miss rows — the stats ARE the file manifest.
-    */
-  private def fullRowBase(stats: DataFrame): DataFrame =
-    spark.read.parquet(
-      stats.select("file").collect().map(_.getString(0)).toIndexedSeq: _*)
-
-  /** Total order over the driver-side stats/key values partial
-    * compaction compares (numbers across widths, timestamps, dates,
-    * strings); nulls first.
-    */
-  private def anyCmp(a: Any, b: Any): Int = (a, b) match {
-    case (null, null) => 0
-    case (null, _) => -1
-    case (_, null) => 1
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: Comparable[_], y: Any) =>
-      x.asInstanceOf[Comparable[Any]].compareTo(y)
-    case _ => 0
-  }
-
-  /** FILE-LOCAL compaction of a DML-patched clustered layout (r10
-    * verdict task #3): when the accumulated patch outgrows the merge
-    * bound, fold it into ONLY the base files it intersects — the files
-    * holding a shadowed id (one id-column-pruned scan finds them) plus
-    * the files whose key range each add row lands in (the skipping
-    * stats know without IO). Those files rewrite re-clustered into a
-    * fresh merge dir; EVERY OTHER base file stays byte-identical at its
-    * original path, and the new stats are the untouched entries plus
-    * freshly measured ones — pruning stays truthful and the layout
-    * serves patch-free. At 100 TB this is a Delta/Iceberg-style minor
-    * compaction: a localized edit burst rewrites the handful of files
-    * it touched, never the corpus. Returns false (caller rebuilds) when
-    * the fold would touch every file anyway.
-    */
-  private def partialCompactFullRow(name: String, s: EditorSession,
-                                    slot: String, l: TableLayout,
-                                    id: String,
-                                    legs: MergedLegs): Boolean = {
-    val stats = l match {
-      case r: RangedLayout => r.stats
-      case z: ZOrderedLayout => z.stats
-      case _ => return false
-    }
-    // stable driver-side census of the base files (manifest-sized)
-    val statsRows = stats.collect().sortBy(_.getAs[String]("file"))
-    val allFiles = statsRows.map(_.getAs[String]("file"))
-    implicit val ord: Ordering[Any] = (a, b) => anyCmp(a, b)
-
-    // target file per add row: the file whose key range the row's
-    // cluster value lands in (a gap value goes to its predecessor file;
-    // a value outside every range to the first/containing-nearest).
-    // Quality-only choice — the fresh stats keep pruning truthful.
-    val assign: org.apache.spark.sql.Row => String = l match {
-      case r: RangedLayout =>
-        val vIdx = legs.schema.fieldIndex(r.column)
-        val byMin = statsRows.sortBy(_.getAs[Any]("min_v"))
-        row => {
-          val v = row.get(vIdx)
-          if (v == null) byMin.head.getAs[String]("file")
-          else byMin.reverseIterator
-            .find(sr => anyCmp(sr.getAs[Any]("min_v"), v) <= 0)
-            .getOrElse(byMin.head).getAs[String]("file")
-        }
-      case z: ZOrderedLayout =>
-        val xIdx = legs.schema.fieldIndex(z.colX)
-        val yIdx = legs.schema.fieldIndex(z.colY)
-        row => {
-          val (x, y) = (row.get(xIdx), row.get(yIdx))
-          statsRows.find(sr =>
-            x != null && y != null &&
-              anyCmp(sr.getAs[Any]("min_x"), x) <= 0 &&
-              anyCmp(x, sr.getAs[Any]("max_x")) <= 0 &&
-              anyCmp(sr.getAs[Any]("min_y"), y) <= 0 &&
-              anyCmp(y, sr.getAs[Any]("max_y")) <= 0)
-            .getOrElse(statsRows.head).getAs[String]("file")
-        }
-      case _ => return false
-    }
-    require(!legs.removed.contains(null),
-      "null shadow key reached partialCompactFullRow: caller must rebuild")
-    val targets: Set[String] = legs.add.map(assign).toSet
-    val removedVals = legs.removed.toIndexedSeq
-    val withRemoved: Set[String] =
-      if (removedVals.isEmpty) Set.empty
-      else fullRowBase(stats)
-        .select(col(id), input_file_name().as("__f"))
-        .filter(col(id).isInCollection(removedVals))
-        .select("__f").distinct().collect().map(_.getString(0)).toSet
-    val rewrite = targets ++ withRemoved
-    if (rewrite.isEmpty) {
-      // degenerate: the legs shadow nothing present and add nothing —
-      // the layout is already base-exact, just drop the patch
-      layouts((name, slot)) = l match {
-        case r: RangedLayout => r.copy(builtAtEpoch = s.epoch, patch = None)
-        case z: ZOrderedLayout =>
-          z.copy(builtAtEpoch = s.epoch, patch = None)
-        case other => other
-      }
-      manifest.get((name, slot)).foreach(e =>
-        persistEntry(e.copy(patch = None, digest =
-          contentDigest(Positional.strip(s.current), Seq.empty))))
-      return true
-    }
-    if (rewrite.size >= allFiles.length) return false // no locality
-
-    // the fold job: shadowed rows out, add rows in, re-clustered into a
-    // fresh merge dir sized like the region it replaces
-    val keep = spark.read.parquet(rewrite.toIndexedSeq: _*)
-      .filter(col(id).isNull || !col(id).isInCollection(removedVals))
-    val addDf = spark.createDataFrame(
-      java.util.Arrays.asList(legs.add: _*), legs.schema)
-    val merged = keep.unionByName(addDf)
-    // a pure-delete fold can empty the merged region (every row of the
-    // rewrite files shadowed, nothing added): the clustered writes can't
-    // derive bucket bounds from zero rows, so write the schema-only
-    // empty parquet plainly — its stats are zero rows, pruning exact
-    val mergedEmpty = legs.add.isEmpty && merged.isEmpty
-    val (dir, rel, dataDir, fresh) = l match {
-      case r: RangedLayout =>
-        val (d, rl) = layoutRoot("catalog_ranged_pc_")
-        val dd = d + "/ranged"
-        if (mergedEmpty) merged.coalesce(1).write.parquet(dd)
-        else writeRangedData(merged, r.column, math.max(1, rewrite.size), dd)
-        (d, rl, dd, graft.io.SkippingIndex.build(spark, dd, r.column))
-      case z: ZOrderedLayout =>
-        val (d, rl) = layoutRoot("catalog_zorder_pc_")
-        val dd = d + "/zordered"
-        if (mergedEmpty) merged.coalesce(1).write.parquet(dd)
-        else writeZOrderedData(merged, z.colX, z.colY,
-          math.max(1, rewrite.size), dd)
-        (d, rl, dd,
-          graft.io.SkippingIndex.build2d(spark, dd, z.colX, z.colY))
-      case _ => return false
-    }
-    val newStats = stats
-      .filter(!col("file").isInCollection(rewrite.toIndexedSeq))
-      .unionByName(fresh)
-      .localCheckpoint(true)
-    layouts((name, slot)) = l match {
-      case r: RangedLayout =>
-        r.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
-          patch = None)
-      case z: ZOrderedLayout =>
-        z.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
-          patch = None)
-      case other => other
-    }
-    rel.foreach { r =>
-      newStats.write.parquet(dir + "/stats")
-      val base = Positional.strip(s.current)
-      // the base CHANGED, so the build-time signature sidecar must too —
-      // a later diverged reopen diffs against what the files now hold
-      writeRowSig(base, dir, col(id), Seq.empty)
-      manifest.get((name, slot)).foreach(e => persistEntry(e.copy(
-        path = Some(r), patch = None,
-        digest = contentDigest(base, Seq.empty))))
-    }
-    true
-  }
-
-  private def rebuildSlot(name: String, l: TableLayout): Unit = l match {
-    case l: PqCodesLayout =>
-      buildPqLayout(name, l.idCol, l.vecCol, l.m); ()
-    case l: IvfPqCellLayout =>
-      buildIvfPqLayout(name, l.idCol, l.vecCol, l.cents.size, l.m,
-        l.nProbe); ()
-    case l: BucketedLayout =>
-      buildBucketedLayout(name, l.key, l.buckets); ()
-    case l: RangedLayout =>
-      buildRangedLayout(name, l.column, l.files, l.idCol); ()
-    case l: LshIndexLayout =>
-      buildLshLayout(name, l.idCol, l.textCol, l.n, l.numHashes, l.bands)
-    case l: PostingsLayout =>
-      buildPostingsLayout(name, l.idCol, l.textCol, l.buckets); ()
-    case l: CubeLayout =>
-      buildCubeLayout(name, l.groupCols, l.measures); ()
-    case l: SketchLayout =>
-      buildSketchLayout(name, l.groupCols, l.col, l.lgK); ()
-    case l: PairsLayout =>
-      buildPairsLayout(name, l.groupCols, l.col); ()
-    case l: ZOrderedLayout =>
-      buildZOrderedLayout(name, l.colX, l.colY, l.files, l.idCol); ()
-  }
-
-  /** Every current row sharing an id with a touched position, as the
-    * layout's column projection — the only data-sized input a delta
-    * refresh touches. Two bounded jobs: the touched positions' ids
-    * collect (≤ [[deltaMaxRows]], column-pruned), then an id-filtered
-    * scan. Filtering by ID rather than by position keeps the patch
-    * rebuild-equivalent even when an id repeats (every sibling row of a
-    * touched id lands in the add-leg, so the by-id shadow can't drop
-    * one) — and it's what lets INSERTED rows and edited rows share one
-    * path.
-    *
-    * None when a touched row's id is NULL: a null key can't be shadowed
-    * (the serve-side anti-join and the id filter here both skip nulls —
-    * the same reason [[divergedAttach]] declines null keys), so the
-    * caller must REBUILD rather than silently serve the stale row.
-    */
-  private def touchedRows(s: EditorSession, pos: Seq[Long], idCol: String,
-                          cols: Seq[String]): Option[DataFrame] = {
-    val base = Positional.strip(s.current)
-    def proj(df: DataFrame) =
-      if (cols.isEmpty) df else df.select(cols.map(col): _*) // empty = all
-    if (pos.isEmpty) Some(proj(base).limit(0))
-    else {
-      val ids = s.current.filter(col(Positional.POS).isInCollection(pos))
-        .select(col(idCol)).distinct().collect().map(_.get(0)).toSeq
-      if (ids.contains(null)) None
-      else Some(proj(base.filter(col(idCol).isInCollection(ids))))
-    }
-  }
-
-  /** `servedIds EXCEPT nowIds` collected — the ids a patch must shadow
-    * because they vanished from the session (deleted rows, renamed-away
-    * ids). An id-only column-pruned pass; its result is bounded by the
-    * caller's delete/edit counts (≤ 2×[[deltaMaxRows]]), which
-    * [[refreshSlot]] guarantees before taking a patch path (r9 finding
-    * #1: an unbounded delete used to collect every removed id here).
-    */
-  private def vanishedIds(servedIds: DataFrame,
-                          nowIds: DataFrame): Array[Any] =
-    servedIds.except(nowIds).collect().map(_.get(0))
-
-  /** Merge the previous patch (if any) with this refresh's delta.
-    * `add0` = freshly encoded rows of the touched ids; `removedNew0` =
-    * extra keys to shadow beyond the add rows' own (vanished ids,
-    * emptied groups) — evaluated once, only here.
-    *
-    * The merge itself happens DRIVER-side: both patch legs are
-    * edit-count-sized (the caller's [[deltaMaxRows]] guard), so they
-    * collect once and become LocalRelations — no job ever re-derives
-    * them, serving broadcasts them for free, and the old patch folds in
-    * as a hash-set filter, not a join.
-    */
-  /** Accumulated patch legs above this many rows lose to a compaction:
-    * each refresh is delta-bounded, but the MERGE accumulates across
-    * refresh cycles, and an ever-growing leg would eventually dominate
-    * the serve-side broadcast. Callers treat a None from [[mergedPatch]]
-    * as "compact now": keyed layouts MERGE-COMPACT ([[compactKeyed]] —
-    * an IO-bound stored-size rewrite, never a corpus re-encode),
-    * clustered layouts fold file-locally ([[partialCompactFullRow]]);
-    * a full rebuild remains only where no cheaper fold exists.
-    */
-  private val compactionRows = 8 * deltaMaxRows
-
-  /** MERGE-COMPACT a keyed layout past the patch bound (r11): fold the
-    * accumulated legs into a rewritten copy of the STORED relation —
-    * shadowed keys filtered out, the already-encoded add rows appended —
-    * so compaction costs an IO-bound rewrite of the stored-size data.
-    * The corpus is never re-read: a PQ compaction copies codes instead
-    * of re-running the encoder, an LSH compaction copies signatures
-    * instead of re-shingling, a cube/pairs compaction copies
-    * group-count-sized rows instead of re-aggregating the fact table.
-    * Build parameters (codebook seeds, banding, lgK) are preserved, so
-    * the folded relation equals base-plus-patch serving exactly.
-    *
-    * @return the folded relation read back at rest, and its storage path
-    */
-  private def compactKeyed(name: String, slot: String, s: EditorSession,
-      base: DataFrame, legs: MergedLegs, keyName: String,
-      prefix: String, subdir: String, digestCols: Seq[String],
-      sig: Option[(org.apache.spark.sql.Column, Seq[String])],
-      write: (DataFrame, String) => Unit = (df, p) => df.write.parquet(p),
-      entry: LayoutManifestEntry => LayoutManifestEntry = identity)
-      : (DataFrame, String) = {
-    require(!legs.removed.contains(null),
-      "null shadow key reached compactKeyed: the caller must rebuild")
-    val removed = legs.removed.toIndexedSeq
-    val addDf = spark.createDataFrame(
-        java.util.Arrays.asList(legs.add: _*), legs.schema)
-      .withColumnRenamed(legs.schema(legs.idIdx).name, keyName)
-    val folded =
-      (if (removed.isEmpty) base
-       else base.filter(col(keyName).isNull ||
-         !col(keyName).isInCollection(removed)))
-        .unionByName(addDf)
-    val (dir, rel) = layoutRoot(prefix)
-    val path = s"$dir/$subdir"
-    write(folded, path)
-    rel.foreach { r =>
-      val cur = Positional.strip(s.current)
-      // the stored base changed: re-sign and re-digest the folded state
-      // so diverged reopens diff against what the files now hold. The
-      // caller's `entry` transform folds its kind-specific fields
-      // (postings scalars) into the SAME persist — one manifest write.
-      sig.foreach { case (k, cols) => writeRowSig(cur, dir, k, cols) }
-      manifest.get((name, slot)).foreach(e => persistEntry(entry(e.copy(
-        path = Some(r), patch = None,
-        digest = contentDigest(cur, digestCols)))))
-    }
-    (spark.read.parquet(path), path)
-  }
-
-  /** The shared patch-or-compact dispatch of the keyed layouts: a NULL
-    * shadow key (a vanished null-id row — the anti-join could never
-    * apply it, and a fold would bake the stale row in permanently)
-    * REBUILDS; bounded legs persist as a patch; past the bound the
-    * layout merge-compacts via `compact`.
-    */
-  private def applyLegs(name: String, slot: String, s: EditorSession,
-                        legs: MergedLegs, digestCols: Seq[String])(
-      compact: MergedLegs => TableLayout)(
-      patched: LayoutPatch => TableLayout): Unit =
-    if (legs.removed.exists(_ == null))
-      rebuildSlot(name, layouts((name, slot)))
-    else legsPatch(legs) match {
-      case Some(p) =>
-        layouts((name, slot)) = patched(p)
-        persistPatch(name, slot, p, digestCols, s)
-      case None =>
-        layouts((name, slot)) = compact(legs)
-    }
-
-  /** The driver-side merged patch state: every add row (old legs minus
-    * superseded keys, plus this refresh's), every key to shadow, and the
-    * add rows' schema + key index — enough for [[legsPatch]] to persist
-    * OR for [[partialCompactFullRow]] to fold into base files.
-    */
-  private case class MergedLegs(add: Array[org.apache.spark.sql.Row],
-                                removed: Array[Any],
-                                schema: org.apache.spark.sql.types.StructType,
-                                idIdx: Int)
-
-  private def mergeLegs(removedNew0: => Array[Any],
-                        oldPatch: Option[LayoutPatch],
-                        add0: DataFrame,
-                        keyName: String = "id"): MergedLegs = {
-    import org.apache.spark.sql.Row
-    val addSchema = add0.schema
-    val idIdx = addSchema.fieldIndex(keyName)
-    val addNew = add0.collect()
-    val removedNew: Array[Any] = removedNew0
-    val newKeys: Set[Any] =
-      (addNew.map(_.get(idIdx)) ++ removedNew).toSet
-    val oldAdd = oldPatch.map(_.add.collect()).getOrElse(Array.empty[Row])
-      .filterNot(r => newKeys.contains(r.get(idIdx)))
-    val oldRemoved = oldPatch
-      .map(_.removed.collect().map(_.get(0))).getOrElse(Array.empty[Any])
-    MergedLegs(oldAdd ++ addNew,
-      (oldRemoved ++ removedNew ++ addNew.map(_.get(idIdx))).distinct,
-      addSchema, idIdx)
-  }
-
-  /** Persist merged legs as a patch, or None past the compaction bound.
-    * A null shadow key is a PROGRAMMING error here — no anti-join can
-    * apply it — so it fails loudly; callers must route null-key deltas
-    * to a rebuild first (the [[applyLegs]] / call-site guards).
-    */
-  private def legsPatch(legs: MergedLegs): Option[LayoutPatch] = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.StructType
-    require(!legs.removed.contains(null),
-      "null shadow key reached legsPatch: the caller must rebuild")
-    if (legs.add.length > compactionRows ||
-        legs.removed.length > compactionRows) return None
-    val idSchema = StructType(Seq(legs.schema(legs.idIdx).copy(name = "id")))
-    val addDf = spark.createDataFrame(
-      java.util.Arrays.asList(legs.add: _*), legs.schema)
-    val removedDf = spark.createDataFrame(
-      java.util.Arrays.asList(legs.removed.map(Row(_)): _*), idSchema)
-    Some(warehouse match {
-      case Some(_) =>
-        val (dir, rel) = layoutRoot("catalog_patch_")
-        addDf.write.parquet(dir + "/add")
-        removedDf.write.parquet(dir + "/removed")
-        LayoutPatch(spark.read.parquet(dir + "/add"),
-          spark.read.parquet(dir + "/removed"), rel)
-      case None => LayoutPatch(addDf, removedDf, None)
-    })
-  }
-
-  private def mergedPatch(removedNew0: => Array[Any],
-                          oldPatch: Option[LayoutPatch],
-                          add0: DataFrame,
-                          keyName: String = "id"): Option[LayoutPatch] =
-    legsPatch(mergeLegs(removedNew0, oldPatch, add0, keyName))
-
-  private def patchPq(name: String, s: EditorSession, slot: String,
-                      p: PqCodesLayout, pos: Seq[Long],
-                      idsTouched: Boolean): Unit = {
-    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
-      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
-    val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
-      p.vecCol, p.seeds, p.m)
-    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
-        patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-        nowIds)
-      else Array.empty[Any],
-      p.patch, add0)
-    applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
-      // merge-compact: codes copy, no re-encode
-      val (_, path) = compactKeyed(name, slot, s,
-        spark.read.parquet(p.path), lg, "id", "catalog_pq_", "codes",
-        Seq(p.idCol, p.vecCol),
-        Some((col(p.idCol), Seq(p.idCol, p.vecCol))))
-      p.copy(builtAtEpoch = s.epoch, path = path, patch = None)
-    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
-
-  private def patchIvfPq(name: String, s: EditorSession, slot: String,
-                         p: IvfPqCellLayout, pos: Seq[Long],
-                         idsTouched: Boolean): Unit = {
-    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
-      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
-    val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
-      p.vecCol, p.cents, p.seeds, p.m)
-    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
-        patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-        nowIds)
-      else Array.empty[Any],
-      p.patch, add0)
-    applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
-      // merge-compact: cell-partitioned codes copy
-      val (_, path) = compactKeyed(name, slot, s,
-        spark.read.parquet(p.path), lg, "id", "catalog_ivfpq_",
-        "codes", Seq(p.idCol, p.vecCol),
-        Some((col(p.idCol), Seq(p.idCol, p.vecCol))),
-        write = (df, out) =>
-          graft.io.Formats.writePartitioned(df, out, Seq("__ivf_cid")))
-      p.copy(builtAtEpoch = s.epoch, path = path, patch = None)
-    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
-
-  /** LSH delta: re-sign only the dirty docs and shadow their (and any
-    * renamed-away) ids out of the stored index — the corpus is never
-    * re-shingled. `index` stays the immutable BASE; probes serve the
-    * [[patchedCodes]] composition, same as the codes layouts.
-    */
-  private def patchLsh(name: String, s: EditorSession, slot: String,
-                       p: LshIndexLayout, pos: Seq[Long],
-                       idsTouched: Boolean): Unit = {
-    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
-      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
-    val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
-      p.n, p.numHashes, p.bands)
-    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched)
-        vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
-      else Array.empty[Any],
-      p.patch, add0)
-    applyLegs(name, slot, s, legs, Seq(p.idCol, p.textCol)) { lg =>
-      // merge-compact: index copy, corpus never re-shingled
-      val (folded, _) = compactKeyed(name, slot, s, p.index, lg, "id",
-        "catalog_lsh_", "index", Seq(p.idCol, p.textCol),
-        Some((col(p.idCol), Seq(p.idCol, p.textCol))))
-      p.copy(builtAtEpoch = s.epoch, index = folded, patch = None)
-    }(patch => p.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
-
-  /** Postings delta: re-tokenize only the dirty docs; their (and any
-    * renamed-away) doc ids are shadowed out of the stored (term, doc)
-    * base — doc-keyed where the codes patches are id-keyed one-row-per-
-    * id, but [[mergedPatch]]'s key set handles the multi-row-per-doc
-    * shape unchanged (every row of a re-edited doc is in `add`, the doc
-    * id is in `removed`). The bucketed base files are never rewritten.
-    */
-  private def patchPostings(name: String, s: EditorSession, slot: String,
-                            p: PostingsLayout, pos: Seq[Long],
-                            idsTouched: Boolean,
-                            remeasure: Boolean): Unit = {
-    val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
-      .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
-    val add0 = graft.operators.Retrieval.postingsRowsFor(changed, p.idCol,
-      p.textCol, p.buckets)
-    val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
-        patchedPostings(p).select(col("doc").as("id")), nowIds)
-      else Array.empty[Any],
-      p.patch, add0)
-    // the re-measure is one projection-agg pass, no explode, no
-    // index rewrite — the exact-stats cost of the delta
-    def scalars(): (Long, Double) =
-      if (remeasure)
-        graft.operators.Retrieval.postingsStats(
-          Positional.strip(s.current), p.textCol)
-      else (p.nDocs, p.avgdl)
-    if (legs.removed.exists(_ == null)) {
-      rebuildSlot(name, p) // null shadow key: see [[applyLegs]]
-      return
-    }
-    legsPatch(legs) match {
-      case None => // merge-compact: bucketed copy, never re-tokenized
-        val (nDocs, avgdl) = scalars()
-        val (_, path) = compactKeyed(name, slot, s,
-          spark.read.parquet(p.path), legs, "doc", "catalog_postings_",
-          "postings", Seq(p.idCol, p.textCol),
-          Some((col(p.idCol), Seq(p.idCol, p.textCol))),
-          write = (df, out) => df.repartition(p.buckets, col("__tb"))
-            .write.partitionBy("__tb").parquet(out),
-          // the scalars ride the compaction's own manifest write
-          entry = e => e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl)))
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          path = path, patch = None, nDocs = nDocs, avgdl = avgdl)
-      case Some(patch) =>
-        val (nDocs, avgdl) = scalars()
-        layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch,
-          patch = Some(patch), nDocs = nDocs, avgdl = avgdl)
-        persistPatch(name, slot, patch, Seq(p.idCol, p.textCol), s)
-        // the manifest must carry the re-measured scalars too, or a
-        // reopened catalog would score BM25 with the pre-edit avgdl
-        patch.path.foreach { _ =>
-          manifest.get((name, slot)).foreach(e =>
-            persistEntry(e.copy(nDocs = Some(nDocs), avgdl = Some(avgdl))))
-        }
-    }
-  }
-
-  /** Serving view of a (possibly patched) postings layout: the patch is
-    * doc-keyed while the stored rows are (term, doc), so the shadow is
-    * an anti-join on `doc` and the add rows rename their patch key back.
-    */
-  private def patchedPostings(p: PostingsLayout): DataFrame = {
-    val base = spark.read.parquet(p.path)
-    p.patch.fold(base) { pt =>
-      base.join(broadcast(pt.removed), base("doc") === pt.removed("id"),
-          "left_anti")
-        .unionByName(pt.add.withColumnRenamed("id", "doc"))
-    }
-  }
-
-  /** Serving view of a (possibly patched) codes layout: base minus
-    * shadowed ids, plus the patch rows — a broadcast anti-join over an
-    * edit-count-sized relation, never a base rewrite.
-    */
-  private def patchedCodes(base: DataFrame,
-                           patch: Option[LayoutPatch]): DataFrame =
-    patch.fold(base) { pt =>
-      base.join(broadcast(pt.removed), Seq("id"), "left_anti")
-        .unionByName(pt.add)
-    }
-
-  /** Update the manifest after a delta refresh: the entry keeps its
-    * build parameters but points at the merged patch dir, and its digest
-    * re-records the EDITED table so a reopen re-attaches the patched
-    * layout (one column-pruned scan — still no corpus re-encode).
-    */
-  private def persistPatch(name: String, slot: String, patch: LayoutPatch,
-                           digestCols: Seq[String],
-                           s: EditorSession): Unit =
-    patch.path.foreach { rel =>
-      manifest.get((name, slot)).foreach { e =>
-        persistEntry(e.copy(patch = Some(rel),
-          digest = contentDigest(Positional.strip(s.current), digestCols)))
-      }
-    }
-
-  /** Encode `vecCol` ONCE into an at-rest PQ codes parquet (8 small ints
-    * where 64 floats were) and register it; [[topK]] on this session then
-    * searches stored codes — m table lookups per row, no re-encode, no
-    * raw vector touched — until the session mutates.
-    */
-  def buildPqLayout(name: String, idCol: String, vecCol: String,
-                    m: Int = 8): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val seeds = graft.operators.Similarity.pqCodebook(base, idCol, vecCol)
-    val (dir, rel) = layoutRoot("catalog_pq_")
-    val path = dir + "/codes"
-    graft.operators.Similarity.pqCodes(base, idCol, vecCol, seeds, m)
-      .write.parquet(path)
-    layouts((name, s"ann:$vecCol")) =
-      PqCodesLayout(idCol, vecCol, path, seeds, m, s.epoch)
-    rel.foreach { r =>
-      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = s"ann:$vecCol", kind = "pq",
-        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
-        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
-        seeds = Some(seeds.map(_.toSeq).toSeq)))
-    }
-    path
-  }
-
-  /** IVF-PQ at-rest layout: codes written once PARTITIONED BY coarse cell,
-    * so a routed [[topK]] probe prunes cell partitions at plan time and
-    * ranks survivors from stored codes (the FAISS inverted-file shape).
-    * Registers over the same `ann:vecCol` slot — last build wins.
-    */
-  def buildIvfPqLayout(name: String, idCol: String, vecCol: String,
-                       nCentroids: Int = 8, m: Int = 8,
-                       nProbe: Int = 4): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (codes, cents, seeds) = graft.operators.Similarity.ivfPqCodes(
-      base, idCol, vecCol, nCentroids, m)
-    val (dir, rel) = layoutRoot("catalog_ivfpq_")
-    val path = dir + "/codes"
-    graft.io.Formats.writePartitioned(codes, path, Seq("__ivf_cid"))
-    layouts((name, s"ann:$vecCol")) =
-      IvfPqCellLayout(idCol, vecCol, path, cents, seeds, m, nProbe, s.epoch)
-    rel.foreach { r =>
-      writeRowSig(base, dir, col(idCol), Seq(idCol, vecCol))
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = s"ann:$vecCol", kind = "ivfpq",
-        digest = contentDigest(base, Seq(idCol, vecCol)), path = Some(r),
-        idCol = Some(idCol), valueCol = Some(vecCol), m = Some(m),
-        nProbe = Some(nProbe),
-        seeds = Some(seeds.map(_.toSeq).toSeq),
-        cents = Some(cents.map { case (cid, v) => CentEntry(cid, v) })))
-    }
-    path
-  }
-
-  /** Write the session bucketed+sorted on `key` as a managed table and
-    * register it; [[join]] on this key then plans exchange-free while the
-    * session stays unedited.
-    */
-  def buildBucketedLayout(name: String, key: String, buckets: Int): String = {
-    val s = sessionOf(name)
-    // the managed-table name carries this Catalog's instance id: two
-    // catalogs in one JVM (e.g. per-sfDir memoized ones) reusing the same
-    // session names must not clobber each other's bucketed tables — the
-    // first catalog's layout would stay epoch-valid and silently route
-    // the second catalog's data
-    val tbl = s"graft_c${catalogId}_${name}_by_$key".toLowerCase
-    val base = Positional.strip(s.current)
-    graft.io.Bucketing.writeBucketed(base, tbl, key, buckets)
-    layouts((name, s"bucket:$key")) = BucketedLayout(key, tbl, buckets, s.epoch)
-    persistEntry(LayoutManifestEntry(
-      session = name, slot = s"bucket:$key", kind = "bucket",
-      digest = contentDigest(base, Seq.empty), table = Some(tbl),
-      valueCol = Some(key), buckets = Some(buckets)))
-    tbl
-  }
-
-  /** MinHash-LSH index the session's text column once
-    * ([[graft.operators.Dedup.lshIndex]]: per-doc signatures + banded
-    * buckets, localCheckpoint-pinned so probes never re-shingle the
-    * corpus) and register it; [[nearDups]] then probes arriving batches
-    * against the stored index — the nightly-ingest dedup hop.
-    */
-  def buildLshLayout(name: String, idCol: String, textCol: String,
-                     n: Int = 3, numHashes: Int = 128,
-                     bands: Int = 64): Unit = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val idx0 = graft.operators.Dedup.lshIndex(base, idCol, textCol, n,
-      numHashes, bands)
-    // durable: the index parquet IS the at-rest pin (probes read files,
-    // never re-shingle); process-local: localCheckpoint pins the blocks
-    val idx =
-      if (warehouse.isDefined) {
-        val (dir, rel) = layoutRoot("catalog_lsh_")
-        idx0.write.parquet(dir + "/index")
-        rel.foreach { r =>
-          writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
-          persistEntry(LayoutManifestEntry(
-            session = name, slot = s"lsh:$textCol", kind = "lsh",
-            digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
-            idCol = Some(idCol), valueCol = Some(textCol), n = Some(n),
-            numHashes = Some(numHashes), bands = Some(bands)))
-        }
-        spark.read.parquet(dir + "/index")
-      } else idx0.localCheckpoint(true)
-    layouts((name, s"lsh:$textCol")) =
-      LshIndexLayout(idCol, textCol, n, numHashes, bands, idx, s.epoch)
-  }
-
-  /** Near-duplicate probe of `batch` against an open session,
-    * layout-routed: a valid LSH layout serves the probe from the stored
-    * index (batch-sized signature work + band equi-join — the corpus is
-    * never re-shingled); without one, the index is built from the live
-    * session plan for this call (same answer, corpus-sized work). The
-    * batch must carry the same id/text column names the layout indexed.
-    * The layout is used only when the caller's (idCol, n, numHashes,
-    * bands) MATCH what it was built with — routing changes the plan,
-    * never the answer, so a parameter mismatch falls back to a live
-    * index built with the caller's parameters rather than silently
-    * serving a differently-banded pair set.
-    */
-  def nearDups(name: String, batch: DataFrame, idCol: String,
-               textCol: String, threshold: Double = 0.4,
-               n: Int = 3, numHashes: Int = 128,
-               bands: Int = 64): DataFrame = {
-    val (lay, rep) = decide(name, s"lsh:$textCol", {
-      case l: LshIndexLayout => l.idCol == idCol && l.n == n &&
-        l.numHashes == numHashes && l.bands == bands
-      case _ => false
-    })
-    recordRoute(rep)
-    lay match {
-      case Some(l: LshIndexLayout) =>
-        graft.operators.Dedup.incrementalLshMatches(
-          patchedCodes(l.index, l.patch), batch,
-          l.idCol, l.textCol, l.n, threshold, l.numHashes, l.bands)
-      case _ =>
-        val idx = graft.operators.Dedup.lshIndex(
-          Positional.strip(sessionOf(name).current), idCol, textCol, n,
-          numHashes, bands)
-        graft.operators.Dedup.incrementalLshMatches(idx, batch, idCol,
-          textCol, n, threshold, numHashes, bands)
-    }
-  }
-
-  /** Write the session's inverted index bucketed by term hash
-    * ([[graft.operators.Retrieval.writePostingsBucketed]]: one (term,
-    * doc) row per distinct per-doc term, directory-partitioned on the
-    * term's hash bucket) and register it; [[termPostings]] then serves a
-    * term lookup from a partition-pruned read of ~|terms|/buckets of the
-    * index — the at-scale retrieval side of BM25, replacing the
-    * O(corpus) posting-list string a stop-word-grade term costs in the
-    * report-shaped [[graft.operators.Retrieval.postings]].
-    */
-  def buildPostingsLayout(name: String, idCol: String, textCol: String,
-                          buckets: Int = 64): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_postings_")
-    val path = dir + "/postings"
-    graft.operators.Retrieval.writePostingsBucketed(base, idCol, textCol,
-      path, buckets)
-    val (nDocs, avgdl) =
-      graft.operators.Retrieval.postingsStats(base, textCol)
-    layouts((name, s"postings:$textCol")) =
-      PostingsLayout(idCol, textCol, buckets, path, s.epoch,
-        nDocs = nDocs, avgdl = avgdl)
-    rel.foreach { r =>
-      writeRowSig(base, dir, col(idCol), Seq(idCol, textCol))
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = s"postings:$textCol", kind = "postings",
-        digest = contentDigest(base, Seq(idCol, textCol)), path = Some(r),
-        idCol = Some(idCol), valueCol = Some(textCol), n = Some(buckets),
-        nDocs = Some(nDocs), avgdl = Some(avgdl)))
-    }
-    path
-  }
-
-  /** Lexical BM25 retrieval, layout-routed: a valid postings layout on
-    * (session, textCol) built with the caller's idCol scores the query
-    * terms from stored (tf, dl) rows in the terms' pruned hash buckets
-    * plus the layout's two corpus scalars — the corpus is never
-    * re-tokenized, and the digits equal the live
-    * [[graft.operators.Retrieval.bm25]] (shared scoring tail, exact
-    * global df from the term-complete buckets). Without a valid layout
-    * the live corpus-pass BM25 runs. Output: (idCol, score).
-    */
-  def searchBm25(name: String, idCol: String, textCol: String,
-                 terms: Seq[String], k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame = {
-    val (lay, rep) = decide(name, s"postings:$textCol", {
-      case l: PostingsLayout => l.idCol == idCol
-      case _ => false
-    })
-    recordRoute(rep)
-    lay match {
-      case Some(l: PostingsLayout) =>
-        graft.operators.Retrieval.bm25FromPostings(spark,
-          patchedPostings(l), l.buckets, l.nDocs, l.avgdl, idCol, terms,
-          k1, b)
-      case _ =>
-        graft.operators.Retrieval.bm25(
-          Positional.strip(sessionOf(name).current), idCol, textCol,
-          terms, k1, b)
-    }
-  }
-
-  /** Posting lists for a probe term set, layout-routed: a valid postings
-    * layout on (session, textCol) built with the caller's idCol serves
-    * the lookup from the bucketed index (plan-time directory pruning —
-    * non-probed buckets never open); otherwise the corpus re-tokenizes
-    * under the live session plan. Output (term, df, plist) either way.
-    */
-  def termPostings(name: String, idCol: String, textCol: String,
-                   terms: Seq[String]): DataFrame = {
-    val (lay, rep) = decide(name, s"postings:$textCol", {
-      case l: PostingsLayout => l.idCol == idCol
-      case _ => false
-    })
-    recordRoute(rep)
-    lay match {
-      case Some(l: PostingsLayout) =>
-        graft.operators.Retrieval.termLookupFrom(spark, patchedPostings(l),
-          terms, l.buckets)
-      case _ =>
-        graft.operators.Retrieval.postingsFor(
-          Positional.strip(sessionOf(name).current), idCol, textCol, terms)
-    }
-  }
-
-  /** Range-cluster the session on a numeric column (range repartition →
-    * sorted part files) with a min/max file-skipping index
-    * ([[graft.io.SkippingIndex]] — the Delta/Iceberg data-skipping shape)
-    * and register it; [[rangeScan]] on this column then opens only the
-    * part files whose value range intersects the predicate. Passing an
-    * `idCol` makes the layout DML-PATCHABLE (see [[Catalog
-    * .RangedLayout]]): bounded edits/inserts/deletes refresh without
-    * re-clustering.
-    */
-  /** Range-cluster `df` on `column` into `files` sorted part files. */
-  private def writeRangedData(df: DataFrame, column: String, files: Int,
-                              path: String): Unit =
-    df.repartitionByRange(files, col(column))
-      .sortWithinPartitions(column)
-      .write.parquet(path)
-
-  def buildRangedLayout(name: String, column: String, files: Int = 8,
-                        idCol: Option[String] = None): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_ranged_")
-    val path = dir + "/ranged"
-    writeRangedData(base, column, files, path)
-    val stats = graft.io.SkippingIndex.build(spark, path, column)
-      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
-    layouts((name, s"range:$column")) = RangedLayout(column, path, stats,
-      files, s.epoch, idCol = idCol)
-    rel.foreach { r =>
-      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
-      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = s"range:$column", kind = "range",
-        digest = contentDigest(base, Seq.empty), path = Some(r),
-        valueCol = Some(column), files = Some(files), idCol = idCol))
-    }
-    path
-  }
-
-  /** Serving view of a full-row layout's (possibly patched) pruned
-    * read: base files minus the shadowed ids (broadcast anti-join on
-    * the layout's OWN id column) plus the unclustered add-leg — the
-    * caller's exact predicate on top keeps answers byte-identical, and
-    * the skipping stats stay truthful because base files never change.
-    */
-  private def patchedFullRows(base: DataFrame, idCol: Option[String],
-                              patch: Option[LayoutPatch]): DataFrame =
-    (idCol, patch) match {
-      case (Some(id), Some(pt)) =>
-        base.join(broadcast(pt.removed), base(id) === pt.removed("id"),
-            "left_anti")
-          .unionByName(pt.add)
-      case _ => base
-    }
-
-  /** Z-order the session on two numeric columns: each is min/max-scaled
-    * to a 16-bit bucket, the Morton interleave becomes the range-
-    * partitioning key, and a per-file min/max index over BOTH columns is
-    * built in one scan ([[graft.io.SkippingIndex.build2d]]); a routed
-    * [[rangeScan2d]] then opens only the part files whose (x, y)
-    * rectangle intersects the predicate — pruning on EITHER dimension,
-    * which a single-column clustering cannot give.
-    */
-  /** Morton-cluster `df` on (colX, colY) into `files` part files. Each
-    * dimension bucketizes in ITS OWN type's monotone double image (r10
-    * verdict task #7: the events-table time × numeric rectangle needs a
-    * timestamp dimension) — the image only orders rows for the
-    * interleave; stats and predicates stay in the column's type.
-    */
-  private def writeZOrderedData(df: DataFrame, colX: String, colY: String,
-                                files: Int, path: String): Unit = {
-    def dimd(c: String): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case _: NumericType => col(c).cast("double")
-        case TimestampType | TimestampNTZType | DateType =>
-          col(c).cast("timestamp").cast("double") // epoch seconds
-        case other => throw new IllegalArgumentException(
-          s"z-order needs numeric/timestamp/date columns; '$c' is $other")
-      }
-    }
-    val b = df.agg(min(dimd(colX)), max(dimd(colX)),
-      min(dimd(colY)), max(dimd(colY))).head()
-    def bucket(c: String, lo: Double, hi: Double) = {
-      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      ((dimd(c) - lo) / span * ((1 << 16) - 1)).cast("long")
-    }
-    val z = graft.operators.ZOrder.zValue(
-      bucket(colX, b.getDouble(0), b.getDouble(1)),
-      bucket(colY, b.getDouble(2), b.getDouble(3)), bitsPer = 16)
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.parquet(path)
-  }
-
-  def buildZOrderedLayout(name: String, colX: String, colY: String,
-                          files: Int = 16,
-                          idCol: Option[String] = None): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_zorder_")
-    val path = dir + "/zordered"
-    writeZOrderedData(base, colX, colY, files, path)
-    val stats = graft.io.SkippingIndex.build2d(spark, path, colX, colY)
-      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
-    layouts((name, s"zorder:$colX,$colY")) =
-      ZOrderedLayout(colX, colY, path, stats, files, s.epoch,
-        idCol = idCol)
-    rel.foreach { r =>
-      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
-      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = s"zorder:$colX,$colY", kind = "zorder",
-        digest = contentDigest(base, Seq.empty), path = Some(r),
-        valueCol = Some(colX), idCol = Some(colY), files = Some(files),
-        keyCol = idCol))
-    }
-    path
-  }
-
-  /** Rectangle predicate scan, layout-routed: a valid z-ordered layout
-    * on (session, colX, colY) serves `colX ∈ [loX, hiX] ∧ colY ∈ [loY,
-    * hiY]` from the Morton-clustered files via the 2-D skipping index
-    * (the exact predicate re-applies after pruning — byte-identical
-    * answers); otherwise a plain conjunctive filter over the live
-    * session plan. Column ORDER is routing-irrelevant: (x, y) and
-    * (y, x) requests serve from the same layout.
-    */
-  def rangeScan2d(name: String, colX: String, loX: Any, hiX: Any,
-                  colY: String, loY: Any, hiY: Any): DataFrame = {
-    val (lay, rep) = decide(name, s"zorder:$colX,$colY", {
-      case l: ZOrderedLayout => l.colX == colX && l.colY == colY
-      case _ => false
-    })
-    // the transposed slot serves the same rectangle — try it on a miss
-    val (lay2, rep2) =
-      if (lay.isDefined) (lay, rep)
-      else decide(name, s"zorder:$colY,$colX", {
-        case l: ZOrderedLayout => l.colX == colY && l.colY == colX
-        case _ => false
-      })
-    recordRoute(if (lay2.isDefined || rep2.reason != "no-layout") rep2
-      else rep)
-    def servePatched(l: ZOrderedLayout, lX: Any, hX: Any,
-                     lY: Any, hY: Any): DataFrame = {
-      val files = graft.io.SkippingIndex.candidateFiles2d(l.stats,
-        lX, hX, lY, hY)
-      val base =
-        if (files.isEmpty) spark.read.parquet(l.path).limit(0)
-        else spark.read.parquet(files: _*)
-      // DML patch composes before the exact rectangle predicate: the
-      // add-leg is never pruned, shadowed base rows never serve
-      patchedFullRows(base, l.idCol, l.patch)
-        .filter(col(l.colX) >= lit(lX) && col(l.colX) <= lit(hX) &&
-          col(l.colY) >= lit(lY) && col(l.colY) <= lit(hY))
-    }
-    lay2 match {
-      case Some(l: ZOrderedLayout) if l.colX == colX =>
-        servePatched(l, loX, hiX, loY, hiY)
-      case Some(l: ZOrderedLayout) =>
-        servePatched(l, loY, hiY, loX, hiX)
-      case _ =>
-        Positional.strip(sessionOf(name).current)
-          .filter(col(colX) >= lit(loX) && col(colX) <= lit(hiX) &&
-            col(colY) >= lit(loY) && col(colY) <= lit(hiY))
-    }
-  }
-
-  /** Range predicate scan, layout-routed: a valid ranged layout on
-    * (session, column) serves `column ∈ [lo, hi]` from the clustered
-    * files via the skipping index (most part files never open — the
-    * exact predicate re-applies after pruning, so the answer is
-    * byte-identical); otherwise a plain filter over the live session
-    * plan. The catalog picks — callers state the predicate, never the
-    * layout.
-    */
-  def rangeScan(name: String, column: String, lo: Any,
-                hi: Any): DataFrame = {
-    val (lay, rep) = decide(name, s"range:$column",
-      _.isInstanceOf[RangedLayout])
-    recordRoute(rep)
-    lay match {
-      case Some(l: RangedLayout) => serveRangedScan(l, column, lo, hi)
-      case _ =>
-        val c = org.apache.spark.sql.functions.col(column)
-        Positional.strip(sessionOf(name).current)
-          .filter(c >= lit(lo) && c <= lit(hi))
-    }
-  }
-
-  /** The routed range-scan plan over a (possibly patched) ranged layout:
-    * skipping-pruned base files, the DML patch composed BEFORE the exact
-    * predicate (the add-leg is never pruned, shadowed base rows never
-    * serve), the caller's exact predicate on top. Shared by [[rangeScan]]
-    * and the pinned [[rangeScanAsOf]].
-    */
-  private def serveRangedScan(l: RangedLayout, column: String, lo: Any,
-                              hi: Any): DataFrame = {
-    val files = graft.io.SkippingIndex.candidateFiles(l.stats, lo, hi)
-    val base =
-      if (files.isEmpty) spark.read.parquet(l.path).limit(0)
-      else spark.read.parquet(files: _*)
-    patchedFullRows(base, l.idCol, l.patch)
-      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-  }
-
-  /** ANN top-k, layout-routed: a valid stored ANN layout on (session,
-    * vecCol) serves the search from codes at rest (PQ: compressed-domain
-    * scan; IVF-PQ: plan-time cell pruning first); otherwise the exact
-    * brute-force cosine over the live session plan. Same output shape
-    * (id, sim) either way — the caller never names a layout. The layout
-    * routes only when its idCol equals the caller's (the [[nearDups]]
-    * guard, ADVICE r8): stored codes are keyed by the ids the layout was
-    * built with, and serving those under a different caller-named id
-    * column would change the answer, not just the plan.
-    */
-  def topK(name: String, idCol: String, vecCol: String, query: Seq[Float],
-           k: Int): DataFrame = {
-    val (lay, rep) = decide(name, s"ann:$vecCol", {
-      case l: PqCodesLayout => l.idCol == idCol
-      case l: IvfPqCellLayout => l.idCol == idCol
-      case _ => false
-    })
-    recordRoute(rep)
-    lay.flatMap(serveAnnTopK(_, idCol, query, k)).getOrElse(
-      graft.operators.Similarity.topK(
-        Positional.strip(sessionOf(name).current), idCol, vecCol, query, k))
-  }
-
-  /** The routed ANN serving plan of a stored-codes layout built with the
-    * caller's idCol (None otherwise) — shared by [[topK]] and
-    * [[topKAsOf]] so the two can never drift.
-    */
-  private def serveAnnTopK(l: TableLayout, idCol: String,
-                           query: Seq[Float], k: Int): Option[DataFrame] =
-    l match {
-      case pq: PqCodesLayout if pq.idCol == idCol =>
-        Some(graft.operators.Similarity.pqTopKFromCodes(
-          patchedCodes(spark.read.parquet(pq.path), pq.patch), pq.seeds,
-          query, k, pq.m))
-      case iv: IvfPqCellLayout if iv.idCol == idCol =>
-        Some(graft.operators.Similarity.ivfPqTopKFromCodes(
-          patchedCodes(spark.read.parquet(iv.path), iv.patch), iv.cents,
-          iv.seeds, query, k, iv.nProbe, iv.m))
-      case _ => None
-    }
-
-  /** Equi-join of two open sessions, layout-routed: when BOTH sides hold
-    * valid bucketed layouts on their join keys with matching bucket
-    * counts, the join reads the bucketed tables and plans with NO
-    * exchange (co-located by storage); otherwise the live session plans
-    * join and Catalyst shuffles as usual. The catalog picks — callers
-    * never mention buckets.
-    */
-  def join(left: String, leftKey: String, right: String,
-           rightKey: String): DataFrame = {
-    val (ld, lrep) = decide(left, s"bucket:$leftKey",
-      _.isInstanceOf[BucketedLayout])
-    val (rd, rrep) = decide(right, s"bucket:$rightKey",
-      _.isInstanceOf[BucketedLayout])
-    val routed = for {
-      ll <- ld.collect { case b: BucketedLayout => b }
-      rl <- rd.collect { case b: BucketedLayout => b }
-      if ll.buckets == rl.buckets
-    } yield (spark.table(ll.table), spark.table(rl.table))
-    // both sides valid but bucket counts differ = a parameter mismatch
-    // of the PAIR: each side alone would route, the join cannot
-    if (ld.isDefined && rd.isDefined && routed.isEmpty) {
-      recordRoute(lrep.copy(decision = "live", reason = "param-mismatch"))
-      recordRoute(rrep.copy(decision = "live", reason = "param-mismatch"))
-    } else { recordRoute(lrep); recordRoute(rrep) }
-    val (lf, rf) = routed.getOrElse(
-      (Positional.strip(sessionOf(left).current),
-        Positional.strip(sessionOf(right).current)))
-    lf.join(rf, lf(leftKey) === rf(rightKey))
-  }
-
-  // ---- epoch-pinned snapshots ----------------------------------------------
-  // The serving tier's consistency lever during maintenance (r10 verdict
-  // task #4): a pin captures the session's CURRENT plan (an immutable
-  // lineage reference — nothing copies) plus its registered layouts at
-  // that epoch. While a refresh or rebuild runs, readers on the pinned
-  // epoch keep answering from the pre-maintenance state — the pinned
-  // layout's base files are never rewritten by a delta refresh, and
-  // [[vacuum]] keeps every dir a pin references (composing with the
-  // grace window) until the pin is released. Pins are process-scoped:
-  // they exist to bridge a maintenance window, not to time-travel
-  // across restarts.
-
-  private val pins = mutable.LinkedHashMap.empty[(String, Long), Snapshot]
-
-  /** Pin the session's current state; returns the pinned epoch (the
-    * handle for [[rangeScanAsOf]] / [[snapshotAsOf]] / [[unpin]]).
-    * Pinning the same epoch twice is idempotent. On a DURABLE catalog
-    * the pin also writes a LEASE file under `<warehouse>/_pins`, so a
-    * vacuum run by ANOTHER process honors this pin too; a crashed
-    * process's lease holds its dirs until any catalog unpins it (or an
-    * operator deletes the lease file).
-    */
-  def pin(name: String): Long = {
-    val s = sessionOf(name)
-    if (!pins.contains((name, s.epoch))) {
-      val sn = Snapshot(s.epoch, s.current,
-        layoutsOf(name).filter(_._2.builtAtEpoch == s.epoch).toMap)
-      pins((name, s.epoch)) = sn
-      warehouse.foreach { wh =>
-        val refs = sn.layouts.values.flatMap(l =>
-          layoutPathsOf(l) ++ statsFilesOf(l) ++
-            patchOf(l).flatMap(_.path).map(r => s"$wh/$r")).toSeq.distinct
-        if (refs.nonEmpty) {
-          val p = pinLeasePath(wh, name, s.epoch)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(p, true)
-          try out.write(refs.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-        }
-      }
-    }
-    s.epoch
-  }
-
-  /** Release a pin (and its durable lease); its dirs become
-    * vacuum-eligible once otherwise unreferenced.
-    */
-  def unpin(name: String, epoch: Long): Boolean = {
-    warehouse.foreach { wh =>
-      val p = pinLeasePath(wh, name, epoch)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, false); () }
-    }
-    pins.remove((name, epoch)).isDefined
-  }
-
-  /** One lease per (session, epoch) — catalog-agnostic, so any catalog
-    * over the warehouse can release a crashed process's pin.
-    */
-  private def pinLeasePath(wh: String, name: String,
-                           epoch: Long): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(s"$wh/_pins/${name}_$epoch")
-
-  def pinnedEpochs(name: String): Seq[Long] =
-    pins.keys.collect { case (n, e) if n == name => e }.toSeq
-
-  /** The pinned session plan itself (every column, pre-maintenance). */
-  def snapshotAsOf(name: String, epoch: Long): DataFrame =
-    Positional.strip(pinOf(name, epoch).plan)
-
-  private def pinOf(name: String, epoch: Long): Snapshot =
-    pins.getOrElse((name, epoch), throw new NoSuchElementException(
-      s"no pinned snapshot of '$name' at epoch $epoch"))
-
-  /** Range scan against a PINNED epoch: serves from the snapshot's
-    * ranged layout when one covers the column (same pruned-plus-patched
-    * plan as [[rangeScan]], against the pre-maintenance patch state),
-    * else filters the pinned session plan — either way the answer is
-    * the pinned epoch's, even while the live route already serves the
-    * post-refresh state. [[topKAsOf]] / [[aggregateAsOf]] /
-    * [[distinctCountAsOf]] extend the same contract to the other
-    * serving-tier routes.
-    */
-  def rangeScanAsOf(name: String, epoch: Long, column: String, lo: Any,
-                    hi: Any): DataFrame = {
-    val sn = pinOf(name, epoch)
-    sn.layouts.get(s"range:$column") match {
-      case Some(l: RangedLayout) =>
-        recordRoute(RouteReport(s"range:$column", "layout", "pinned"))
-        serveRangedScan(l, column, lo, hi)
-      case _ =>
-        recordRoute(RouteReport(s"range:$column", "live", "pinned-live"))
-        val c = org.apache.spark.sql.functions.col(column)
-        Positional.strip(sn.plan).filter(c >= lit(lo) && c <= lit(hi))
-    }
-  }
-
-  /** ANN top-k against a PINNED epoch — the pinned twin of [[topK]],
-    * through the same [[serveAnnTopK]] body.
-    */
-  def topKAsOf(name: String, epoch: Long, idCol: String, vecCol: String,
-               query: Seq[Float], k: Int): DataFrame = {
-    val sn = pinOf(name, epoch)
-    sn.layouts.get(s"ann:$vecCol")
-      .flatMap(serveAnnTopK(_, idCol, query, k)) match {
-      case Some(served) =>
-        recordRoute(RouteReport(s"ann:$vecCol", "layout", "pinned"))
-        served
-      case None =>
-        recordRoute(RouteReport(s"ann:$vecCol", "live", "pinned-live"))
-        graft.operators.Similarity.topK(
-          Positional.strip(sn.plan), idCol, vecCol, query, k)
-    }
-  }
-
-  /** Grouped count/sum/avg against a PINNED epoch — the pinned twin of
-    * [[aggregate]], through the SAME covering rule ([[cubeCovers]]) and
-    * serving body ([[serveCubeAggregate]]) the live route uses.
-    */
-  def aggregateAsOf(name: String, epoch: Long, groupCols: Seq[String],
-                    measures: Seq[String],
-                    where: Seq[(String, Any)] = Nil): DataFrame = {
-    val sn = pinOf(name, epoch)
-    sn.layouts.values.collectFirst {
-      case c: CubeLayout
-          if cubeCovers(c, groupCols, measures, where.map(_._1).toSet) => c
-    } match {
-      case Some(c) =>
-        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
-          "layout", "pinned"))
-        serveCubeAggregate(c, groupCols, measures, where)
-      case None =>
-        recordRoute(RouteReport(s"cube:${groupCols.mkString(",")}",
-          "live", "pinned-live"))
-        liveCubeAggregate(Positional.strip(sn.plan), groupCols, measures,
-          where)
-    }
-  }
-
-  /** Exact grouped distinct count against a PINNED epoch — the pinned
-    * twin of [[distinctCount]], same covering rule and serving body.
-    */
-  def distinctCountAsOf(name: String, epoch: Long, groupCols: Seq[String],
-                        pairCol: String,
-                        where: Seq[(String, Any)] = Nil): DataFrame = {
-    val sn = pinOf(name, epoch)
-    val whereCols = where.map(_._1).toSet
-    val src = sn.layouts.values.collectFirst {
-      case l: PairsLayout
-          if pairsCovers(l, groupCols, pairCol, whereCols) => l
-    } match {
-      case Some(l) =>
-        recordRoute(RouteReport(
-          s"pairs:${l.groupCols.mkString(",")}:$pairCol", "layout",
-          "pinned"))
-        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
-          l.patch))
-      case None =>
-        // same fallback order as the live route ([[decideDistinct]]):
-        // a pinned histogram cube serves the exact distinct too
-        sn.layouts.values.collectFirst {
-          case c: CubeLayout
-              if quantileCovers(c, groupCols, pairCol, whereCols) => c
-        } match {
-          case Some(c) =>
-            recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
-              "layout", "pinned"))
-            whereFilter(where)(patchedCube(c))
-          case None =>
-            recordRoute(RouteReport(
-              s"pairs:${groupCols.mkString(",")}:$pairCol", "live",
-              "pinned-live"))
-            whereFilter(where)(Positional.strip(sn.plan))
-        }
-    }
-    pairsDistinctOver(src, groupCols, pairCol)
-  }
-
-  /** Exact per-key percentiles against a PINNED epoch — the pinned twin
-    * of [[quantiles]], through the SAME covering rule
-    * ([[quantileCovers]]) and serving body ([[serveHistQuantiles]] /
-    * [[liveQuantiles]]) the live route uses.
-    */
-  def quantilesAsOf(name: String, epoch: Long, keys: Seq[String],
-                    valueCol: String, probes: Seq[(String, Double)],
-                    where: Seq[(String, Any)] = Nil): DataFrame = {
-    val sn = pinOf(name, epoch)
-    sn.layouts.values.collectFirst {
-      case c: CubeLayout
-          if quantileCovers(c, keys, valueCol, where.map(_._1).toSet) => c
-    } match {
-      case Some(c) =>
-        recordRoute(RouteReport(s"cube:${c.groupCols.mkString(",")}",
-          "layout", "pinned"))
-        serveHistQuantiles(c, keys, valueCol, probes, where)
-      case None =>
-        recordRoute(RouteReport(s"cube:${(keys :+ valueCol).mkString(",")}",
-          "live", "pinned-live"))
-        liveQuantiles(Positional.strip(sn.plan), keys, valueCol, probes,
-          where)
-    }
-  }
-
-  // ---- warehouse vacuum ------------------------------------------------------
-
-  /** Garbage-collect the warehouse by MANIFEST DIFF (r10 verdict task
-    * #1 — superseded layout dirs used to strand forever: every delta
-    * refresh left the previous `catalog_patch_*` dir behind, every
-    * compaction rebuild a corpus-scale layout dir). A top-level
-    * warehouse dir survives iff something still references it: a
-    * current manifest entry's `path`/`patch`, a registered in-memory
-    * layout, a pinned snapshot ([[pin]]), or — for clustered layouts
-    * whose base spans dirs after a partial compaction — a skipping-stats
-    * file list. Partially referenced dirs are swept FILE-level: data
-    * files no stats list names are deleted, referenced ones stay
-    * byte-untouched.
-    *
-    * `graceMs` is the in-flight-reader guard: nothing younger than the
-    * grace window is deleted, so a lazily-planned DataFrame handed out
-    * just before the superseding refresh can still run. Production
-    * callers keep the default; specs pass 0 for determinism.
-    *
-    * Runs automatically every [[Catalog.autoVacuumEvery]] manifest
-    * writes (with the default grace), so a long-lived maintenance loop
-    * self-cleans without an operator gesture.
-    *
-    * @return warehouse-relative paths deleted, dirs and files.
-    */
-  def vacuum(graceMs: Long = Catalog.vacuumGraceMs): Seq[String] =
-    warehouse.toSeq.flatMap { wh =>
-      import org.apache.hadoop.fs.Path
-      val whPath = new Path(wh)
-      val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(whPath)) Seq.empty
-      else vacuumIn(wh, whPath, fs, graceMs)
-    }
-
-  /** First time each candidate path was OBSERVED unreferenced: the grace
-    * window measures time-since-supersession, not file age — a dir built
-    * hours ago but superseded seconds ago must survive the window for
-    * the in-flight readers the guard exists for (a modification-time
-    * check would delete it immediately). Entries clear when a path
-    * becomes referenced again (a dormant entry's dir, a new pin).
-    */
-  private val unreferencedSince = mutable.HashMap.empty[String, Long]
-
-  /** Dormant clustered entries' stats file lists, read once per process
-    * per layout dir — the dir is write-once, so entries never go stale.
-    */
-  private val dormantStatsCache = mutable.HashMap.empty[String, Seq[String]]
-
-  private def vacuumIn(wh: String, whPath: org.apache.hadoop.fs.Path,
-                       fs: org.apache.hadoop.fs.FileSystem,
-                       graceMs: Long): Seq[String] = try {
-      import org.apache.hadoop.fs.Path
-      val now = System.currentTimeMillis()
-      def norm(p: String): String = new Path(p).toUri.getPath
-      val whAbs = norm(wh)
-      def relTop(abs: String): Option[String] = {
-        val p = norm(abs)
-        if (p.startsWith(whAbs + "/"))
-          p.stripPrefix(whAbs + "/").split("/").headOption
-        else None
-      }
-      // diff against the UNION of this catalog's manifest and the one on
-      // disk: the warehouse is documented single-writer, but a reopened
-      // or concurrent catalog's freshly persisted layouts must read as
-      // referenced, not as garbage. A manifest that EXISTS but cannot be
-      // read (observed mid-overwrite) ABORTS the pass — treating it as
-      // empty would unreference everything it names.
-      val diskEntries = LayoutStore.loadOpt(spark, wh) match {
-        case Some(es) => es
-        case None => return Seq.empty
-      }
-      // an ABSENT manifest over a warehouse that already holds layout
-      // dirs is a writer's delete+rename window (or a crashed writer) —
-      // abort; a genuinely fresh warehouse has nothing to collect anyway
-      if (diskEntries.isEmpty &&
-          fs.listStatus(whPath).exists(st =>
-            !st.getPath.getName.startsWith("_"))) return Seq.empty
-      val allEntries: Seq[LayoutManifestEntry] =
-        (manifest.values.toSeq ++ diskEntries).distinct
-      // observation clocks survive restarts via the _vacuum sidecar —
-      // loaded LAZILY on the first unreferenced candidate, so the
-      // steady state (everything referenced) costs zero extra jobs
-      var marksLoaded = false
-      def ensureMarks(): Unit = if (!marksLoaded) {
-        marksLoaded = true
-        LayoutStore.loadMarks(spark, wh).foreach { case (k, t) =>
-          unreferencedSince(k) =
-            math.min(unreferencedSince.getOrElse(k, t), t)
-        }
-      }
-      val live = layouts.values.toSeq ++ pins.values.flatMap(_.layouts.values)
-      // OTHER processes' pins, via their persisted leases: every path a
-      // lease names keeps its whole top-level dir
-      val leaseRefs: Set[String] = Try {
-        val pinsDir = new Path(s"$wh/_pins")
-        if (!fs.exists(pinsDir)) Set.empty[String]
-        else fs.listStatus(pinsDir).toSet.flatMap {
-          st: org.apache.hadoop.fs.FileStatus =>
-            val in = fs.open(st.getPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().flatMap(relTop).toSet
-            finally in.close()
-        }
-      }.getOrElse(Set.empty)
-      // dirs referenced by name: manifest entries + live/pinned layouts
-      val dirRefs: Set[String] =
-        allEntries.flatMap(e => e.path.toSeq ++ e.patch.toSeq)
-          .map(_.split("/").head).toSet ++
-          live.flatMap(l => layoutPathsOf(l).flatMap(relTop) ++
-            patchOf(l).flatMap(_.path).map(_.split("/").head)) ++
-          leaseRefs
-      // data files referenced through skipping-stats lists (a partially
-      // compacted clustered layout's base spans dirs) — live/pinned stats
-      // plus dormant manifest entries' stats sidecars. LAZY and cached:
-      // in the steady state every top-level dir is name-referenced and
-      // the sweep below never consults these, so the auto-vacuum riding
-      // persistEntry on the ingest hot path pays no stats jobs; when a
-      // candidate does appear, each dormant sidecar is read ONCE per
-      // process (a layout dir is write-once — fresh dir per build — so
-      // the cache never needs invalidation). Only SUCCESSFUL reads are
-      // cached: memoizing a failed read would make one transient FS
-      // hiccup outlive the grace window (every file the sidecar names
-      // reading as unreferenced on all future passes). An unreadable
-      // sidecar instead ABORTS the pass — the same policy the manifest
-      // gets above, for the same reason: treating it as empty would
-      // unreference everything it names.
-      val liveKeys = layouts.keySet
-      lazy val dormantStats = allEntries.collect {
-        case e if (e.kind == "range" || e.kind == "zorder") &&
-              e.path.isDefined && !liveKeys.contains((e.session, e.slot)) =>
-          dormantStatsCache.getOrElse(e.path.get,
-            Try(spark.read.parquet(s"$wh/${e.path.get}/stats")
-              .select("file").collect().map(_.getString(0)).toSeq) match {
-              case scala.util.Success(files) =>
-                dormantStatsCache.update(e.path.get, files); files
-              case scala.util.Failure(_) => throw Catalog.VacuumAbort
-            })
-      }.flatten
-      lazy val fileRefs: Set[String] =
-        (live.flatMap(statsFilesOf) ++ dormantStats).map(norm).toSet
-      lazy val fileRefDirs: Set[String] = fileRefs.flatMap(relTop)
-      val deleted = mutable.ArrayBuffer.empty[String]
-      // grace by OBSERVATION: a path deletes only after sitting
-      // unreferenced for a full window across vacuum passes (grace 0 =
-      // delete now, the spec/operator-forced form). `observed` collects
-      // the keys still awaiting their window, so the map — and the
-      // persisted sidecar — never grows past the live candidate set.
-      val observed = mutable.Set.empty[String]
-      def expired(key: String): Boolean =
-        graceMs <= 0 || {
-          ensureMarks()
-          val since = unreferencedSince.getOrElseUpdate(key, now)
-          if (now - since >= graceMs) true
-          else { observed += key; false }
-        }
-      def sweepFiles(dir: Path, rel: String): Unit =
-        fs.listStatus(dir).foreach { st =>
-          if (st.isDirectory) sweepFiles(st.getPath, s"$rel/${st.getPath.getName}")
-          else {
-            val abs = norm(st.getPath.toString)
-            if (fileRefs.contains(abs)) unreferencedSince.remove(abs)
-            else if (expired(abs)) {
-              fs.delete(st.getPath, false)
-              unreferencedSince.remove(abs)
-              deleted += s"$rel/${st.getPath.getName}"
-            }
-          }
-        }
-      fs.listStatus(whPath).foreach { st =>
-        val name = st.getPath.getName
-        if (!name.startsWith("_")) { // _manifest / _vacuum control plane
-          if (dirRefs.contains(name)) { unreferencedSince.remove(name); () }
-          else if (fileRefDirs.contains(name)) {
-            // partially referenced (stats-listed files only): file sweep
-            unreferencedSince.remove(name)
-            sweepFiles(st.getPath, name)
-          } else if (expired(name)) {
-            fs.delete(st.getPath, true)
-            unreferencedSince.remove(name)
-            deleted += name
-          }
-        }
-      }
-      // persist the merged clocks only when they were consulted: a save
-      // without the disk merge would clobber other processes' marks, and
-      // the no-candidate steady state should cost no write at all
-      if (marksLoaded) {
-        unreferencedSince.filterInPlace((k, _) => observed.contains(k))
-        LayoutStore.saveMarks(spark, wh, unreferencedSince.toMap)
-      }
-      deleted.toSeq
-  } catch {
-    // an unreadable dormant stats sidecar: abort with nothing deleted.
-    // The abort is provably pre-delete — the sweep forces the lazy
-    // fileRefs before the FIRST candidate's delete, and a lazy val that
-    // throws re-throws on every later force.
-    case Catalog.VacuumAbort => Seq.empty
-  }
-
-  /** The warehouse paths a layout's serving plan reads (base dirs).
-    * The LSH layout holds its base as a DataFrame rather than a path, so
-    * its storage resolves through the plan's input files — a PINNED LSH
-    * index must keep its dir even after the manifest has moved on.
-    */
-  private def layoutPathsOf(l: TableLayout): Seq[String] = l match {
-    case p: PqCodesLayout => Seq(p.path)
-    case p: IvfPqCellLayout => Seq(p.path)
-    case p: RangedLayout => Seq(p.path)
-    case p: ZOrderedLayout => Seq(p.path)
-    case p: PostingsLayout => Seq(p.path)
-    case p: CubeLayout => Seq(p.path)
-    case p: SketchLayout => Seq(p.path)
-    case p: PairsLayout => Seq(p.path)
-    case p: LshIndexLayout =>
-      Try(p.index.inputFiles.toSeq).getOrElse(Seq.empty)
-    case _ => Seq.empty // bucketed lives in the metastore
-  }
-
-  private def patchOf(l: TableLayout): Option[LayoutPatch] = l match {
-    case p: PqCodesLayout => p.patch
-    case p: IvfPqCellLayout => p.patch
-    case p: RangedLayout => p.patch
-    case p: ZOrderedLayout => p.patch
-    case p: LshIndexLayout => p.patch
-    case p: PostingsLayout => p.patch
-    case p: CubeLayout => p.patch
-    case p: SketchLayout => p.patch
-    case p: PairsLayout => p.patch
-    case _ => None
-  }
-
-  /** The absolute data files a clustered layout's stats list names. */
-  private def statsFilesOf(l: TableLayout): Seq[String] = l match {
-    case p: RangedLayout =>
-      Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
-        .getOrElse(Seq.empty)
-    case p: ZOrderedLayout =>
-      Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
-        .getOrElse(Seq.empty)
-    case _ => Seq.empty
-  }
-
-  // ---- materialized aggregate cube ----------------------------------------
-
-  /** The cube's stored rows for `base`: one row per distinct group tuple
-    * with `__cnt` = count(*), and per measure the order-free decimal
-    * partial sum `__sum_<m>` (round-to-6dp fixed point — the engine's
-    * standard exact-and-mergeable idiom) plus the non-null count
-    * `__cntm_<m>`. `id` renders the group tuple as JSON: injective per
-    * tuple (null fields are omitted, which cannot collide across
-    * distinct tuples over a fixed field set), so the delta patch shadows
-    * by one key like every other keyed layout.
-    */
-  private def cubeRows(base: DataFrame, groupCols: Seq[String],
-                       measures: Seq[String]): DataFrame =
-    Catalog.cubePartials(base, groupCols, measures)
-      .withColumn("id", to_json(struct(groupCols.map(col): _*)))
-
-  /** Serving view of a (possibly patched) cube — group-count-sized. */
-  private def patchedCube(c: CubeLayout): DataFrame =
-    patchedCodes(spark.read.parquet(c.path), c.patch)
-
-  /** Materialize the session's aggregate cube on `groupCols` ×
-    * `measures` and register it; [[aggregate]] over these (or any SUBSET
-    * of them — partial sums re-merge exactly) then reads group-count-
-    * sized stored rows instead of scanning the fact table.
-    */
-  def buildCubeLayout(name: String, groupCols: Seq[String],
-                      measures: Seq[String]): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_cube_")
-    val path = dir + "/cube"
-    cubeRows(base, groupCols, measures).write.parquet(path)
-    val slot = s"cube:${groupCols.mkString(",")}"
-    layouts((name, slot)) = CubeLayout(groupCols, measures, path, s.epoch)
-    rel.foreach { r =>
-      writeRowSig(base, dir, to_json(struct(groupCols.map(col): _*)),
-        groupCols ++ measures)
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = slot, kind = "cube",
-        digest = contentDigest(base, groupCols ++ measures), path = Some(r),
-        groupCols = Some(groupCols), measures = Some(measures)))
-    }
-    path
-  }
-
-  /** Grouped count/sum/avg, layout-routed: a valid cube layout COVERING
-    * the request (caller's groupCols ⊆ the cube's, measures ⊆ the
-    * cube's) answers from stored partials — `count(*)` is a sum of
-    * `__cnt`, each sum a sum of decimal partial sums, each avg their
-    * quotient — so a rollup re-aggregates group-count-sized data and
-    * never touches the fact table. Without a covering valid layout the
-    * same aggregate runs over the live session plan; the output
-    * (groupCols…, `n`, `sum_<m>` double, `avg_<m>` double) is identical
-    * either way because the decimal partials are exact and order-free.
-    */
-  /** The covering-layout decision shared by the cube and sketch entry
-    * points (and their [[explainAggregate]]/[[explainDistinct]] dry
-    * runs): pick the first VALID candidate that `covers` the request;
-    * report param-mismatch when candidates of the kind exist but none
-    * covers, stale-epoch when one covers but the session has moved on.
-    */
-  private def decideCovering[L <: TableLayout](
-      name: String, fallbackSlot: String, cands: Seq[(String, L)],
-      covers: L => Boolean): (Option[L], RouteReport) = {
-    val covering = cands.filter { case (_, l) => covers(l) }
-    val valid = sessions.get(name).flatMap(s =>
-      covering.find(_._2.builtAtEpoch == s.epoch))
-    val slotName = valid.orElse(covering.headOption)
-      .orElse(cands.headOption).map(_._1).getOrElse(fallbackSlot)
-    val reason =
-      if (!sessions.contains(name)) "no-session"
-      else if (valid.isDefined) "routed"
-      else if (covering.nonEmpty) "stale-epoch"
-      else if (cands.nonEmpty) "param-mismatch"
-      else "no-layout"
-    (valid.map(_._2), RouteReport(slotName,
-      if (valid.isDefined) "layout" else "live", reason))
-  }
-
-  /** Group-column equality filters, shared by every routed aggregate. */
-  private def whereFilter(where: Seq[(String, Any)])(
-      df: DataFrame): DataFrame =
-    where.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === v) }
-
-  /** ONE covering rule for cube requests, used by the live routing
-    * decision AND the pinned twin — the two must never drift.
-    */
-  private def cubeCovers(c: CubeLayout, groupCols: Seq[String],
-                         measures: Seq[String],
-                         whereCols: Set[String]): Boolean =
-    (groupCols.toSet ++ whereCols).subsetOf(c.groupCols.toSet) &&
-      measures.toSet.subsetOf(c.measures.toSet)
-
-  /** The routed cube-serving plan, shared by [[aggregate]] and
-    * [[aggregateAsOf]]: filter the stored rows, re-merge, finish.
-    */
-  private def serveCubeAggregate(c: CubeLayout, groupCols: Seq[String],
-                                 measures: Seq[String],
-                                 where: Seq[(String, Any)]): DataFrame =
-    Catalog.cubeFinish(
-      Catalog.cubeMergePartials(whereFilter(where)(patchedCube(c)),
-        groupCols, measures),
-      groupCols, measures)
-
-  private def liveCubeAggregate(plan: DataFrame, groupCols: Seq[String],
-                                measures: Seq[String],
-                                where: Seq[(String, Any)]): DataFrame =
-    Catalog.cubeFinish(
-      Catalog.cubePartials(whereFilter(where)(plan), groupCols, measures),
-      groupCols, measures)
-
-  private def decideCube(name: String, groupCols: Seq[String],
-                         measures: Seq[String],
-                         whereCols: Set[String] = Set.empty)
-      : (Option[CubeLayout], RouteReport) =
-    decideCovering[CubeLayout](name, s"cube:${groupCols.mkString(",")}",
-      layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
-      c => cubeCovers(c, groupCols, measures, whereCols))
-
-  /** Dry-run of [[aggregate]]'s routing decision — which cube would
-    * serve this grouping/measure/filter set, or why none would. Nothing
-    * runs.
-    */
-  def explainAggregate(name: String, groupCols: Seq[String],
-                       measures: Seq[String],
-                       where: Seq[(String, Any)] = Nil): RouteReport =
-    decideCube(name, groupCols, measures, where.map(_._1).toSet)._2
-
-  /** Grouped count/sum/avg/min/max, optionally under group-column
-    * EQUALITY filters (`where`): a predicate on group columns is
-    * constant within each group, so a covering cube serves the filtered
-    * aggregate by filtering its stored rows — the typed twin of the SQL
-    * rewrite's filtered-MV form. A filter on any non-group column makes
-    * the cube non-covering (param-mismatch) and the live plan answers.
-    */
-  def aggregate(name: String, groupCols: Seq[String],
-                measures: Seq[String],
-                where: Seq[(String, Any)] = Nil): DataFrame = {
-    val s = sessionOf(name)
-    val (valid, rep) =
-      decideCube(name, groupCols, measures, where.map(_._1).toSet)
-    recordRoute(rep)
-    valid match {
-      // every stored statistic is a commutative merge: sums of sums,
-      // sums of counts, min of mins, max of maxes — rollup is exact
-      case Some(c) => serveCubeAggregate(c, groupCols, measures, where)
-      case None =>
-        liveCubeAggregate(Positional.strip(s.current), groupCols,
-          measures, where)
-    }
-  }
-
-  /** A cube whose GROUP columns include the value column is a value-level
-    * histogram of that column — `__cnt` per distinct (keys…, value) cell —
-    * which serves ORDER STATISTICS exactly, not just re-mergeable sums.
-    */
-  private def quantileCovers(c: CubeLayout, keys: Seq[String],
-                             valueCol: String,
-                             whereCols: Set[String]): Boolean =
-    (keys.toSet ++ whereCols + valueCol).subsetOf(c.groupCols.toSet)
-
-  private def decideQuantile(name: String, keys: Seq[String],
-                             valueCol: String,
-                             whereCols: Set[String] = Set.empty)
-      : (Option[CubeLayout], RouteReport) =
-    decideCovering[CubeLayout](name,
-      s"cube:${(keys :+ valueCol).mkString(",")}",
-      layoutsOf(name).collect { case (slot, c: CubeLayout) => (slot, c) },
-      c => quantileCovers(c, keys, valueCol, whereCols))
-
-  /** Dry-run of [[quantiles]]'s routing decision — which cube (as a
-    * value histogram) would serve these probes, or why none would.
-    */
-  def explainQuantile(name: String, keys: Seq[String], valueCol: String,
-                      where: Seq[(String, Any)] = Nil): RouteReport =
-    decideQuantile(name, keys, valueCol, where.map(_._1).toSet)._2
-
-  /** Exact per-key percentiles of `valueCol` (linear interpolation at
-    * rank p·(n−1) — the built-in `percentile` semantics), served from a
-    * covering cube layout when one is epoch-valid: the stored rows
-    * re-aggregate to a (keys…, value, count) histogram — value-domain-
-    * sized, never fact-sized — and [[graft.operators.RankStats
-    * .percentilesOfHist]] walks it. The data-sized pass happened once at
-    * build time; at 100 TB a median probe reads kilobytes of stored
-    * cells instead of sorting the fact table. Without a covering valid
-    * layout the identical walk runs over the live rows (the histogram is
-    * just built first), so routing changes the plan, never the answer.
-    * `where` accepts equality filters on the cube's group columns — a
-    * stored (keys, value) cell survives such a filter wholesale, so the
-    * filtered order statistics stay exact.
-    */
-  def quantiles(name: String, keys: Seq[String], valueCol: String,
-                probes: Seq[(String, Double)],
-                where: Seq[(String, Any)] = Nil): DataFrame = {
-    val s = sessionOf(name)
-    val (valid, rep) =
-      decideQuantile(name, keys, valueCol, where.map(_._1).toSet)
-    recordRoute(rep)
-    valid match {
-      case Some(c) => serveHistQuantiles(c, keys, valueCol, probes, where)
-      case None =>
-        liveQuantiles(Positional.strip(s.current), keys, valueCol, probes,
-          where)
-    }
-  }
-
-  /** The routed quantile-serving plan, shared by [[quantiles]] and
-    * [[quantilesAsOf]]: re-aggregate the stored cells to the requested
-    * (keys, value) histogram and walk it. Rollup of counted cells is
-    * exact — finer tuples sum into the requested cell, and the walk
-    * never needs the dropped dimensions.
-    */
-  private def serveHistQuantiles(c: CubeLayout, keys: Seq[String],
-                                 valueCol: String,
-                                 probes: Seq[(String, Double)],
-                                 where: Seq[(String, Any)]): DataFrame = {
-    val hist = whereFilter(where)(patchedCube(c))
-      .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
-      .agg(sum(col("__cnt")).as("__m"))
-    graft.operators.RankStats.percentilesOfHist(hist, keys, probes)
-  }
-
-  private def liveQuantiles(plan: DataFrame, keys: Seq[String],
-                            valueCol: String,
-                            probes: Seq[(String, Double)],
-                            where: Seq[(String, Any)]): DataFrame =
-    graft.operators.RankStats.exactPercentiles(
-      whereFilter(where)(plan), col(valueCol), keys, probes)
-
-  /** The sketch layout's stored rows: one HLL sketch of `sketchCol` per
-    * group tuple, plus the JSON group key the delta patch shadows by.
-    */
-  private def sketchRows(base: DataFrame, groupCols: Seq[String],
-                         sketchCol: String, lgK: Int): DataFrame =
-    base.groupBy(groupCols.map(col): _*)
-      .agg(hll_sketch_agg(col(sketchCol), lit(lgK)).as("__hll"))
-      .withColumn("id", to_json(struct(groupCols.map(col): _*)))
-
-  /** Sketch `sketchCol`'s distinct count per `groupCols` tuple ONCE into
-    * an at-rest layout; [[approxDistinct]] over these (or any SUBSET —
-    * HLL register unions are exact merges of register state) then reads
-    * group-count-sized sketches instead of shuffling distinct keys.
-    */
-  def buildSketchLayout(name: String, groupCols: Seq[String],
-                        sketchCol: String, lgK: Int = 12): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_sketch_")
-    val path = dir + "/sketches"
-    sketchRows(base, groupCols, sketchCol, lgK).write.parquet(path)
-    val slot = s"sketch:${groupCols.mkString(",")}:$sketchCol"
-    layouts((name, slot)) =
-      SketchLayout(groupCols, sketchCol, lgK, path, s.epoch)
-    rel.foreach { r =>
-      writeRowSig(base, dir, to_json(struct(groupCols.map(col): _*)),
-        groupCols :+ sketchCol)
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = slot, kind = "sketch",
-        digest = contentDigest(base, groupCols :+ sketchCol), path = Some(r),
-        valueCol = Some(sketchCol), n = Some(lgK),
-        groupCols = Some(groupCols)))
-    }
-    path
-  }
-
-  /** Approximate distinct count of `sketchCol` per `groupCols` tuple,
-    * layout-routed: a valid sketch layout COVERING the request (caller's
-    * groupCols ⊆ the layout's, same column, same lgK) answers by
-    * unioning stored sketches; otherwise a live `hll_sketch_agg` runs.
-    * Output: (groupCols…, `nd_<col>` long).
-    *
-    * The routing contract here is the SKETCH's contract, stated
-    * precisely: routed and live answers agree within the configured
-    * relative standard error, not digit-for-digit. Digit equality is
-    * unattainable for ANY HLL implementation across merge topologies —
-    * Datasketches estimates a directly-updated sketch with the HIP
-    * accumulator but a union of sketches with the composite estimator,
-    * and Spark's own live aggregation goes through per-partition
-    * partials, so even two live runs can differ in the last digits when
-    * the partitioning differs. The routed estimate is the BETTER-
-    * behaved of the two: it derives from at-rest register state, so it
-    * is bit-stable across partitioning, arrival order, and rollup
-    * grouping (register max is associative) — SketchLayoutSpec pins the
-    * error bound against exact counts, the determinism of the routed
-    * path, and that untouched groups' estimates never move under IVM.
-    */
-  private def decideSketch(name: String, groupCols: Seq[String],
-                           sketchCol: String, lgK: Int,
-                           whereCols: Set[String])
-      : (Option[SketchLayout], RouteReport) =
-    // same-lgK guard: a different register width is a different sketch —
-    // routing it would change the estimate, not just the plan
-    decideCovering[SketchLayout](name,
-      s"sketch:${groupCols.mkString(",")}:$sketchCol",
-      layoutsOf(name).collect { case (slot, l: SketchLayout) => (slot, l) },
-      l => (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
-        l.col == sketchCol && l.lgK == lgK)
-
-  /** Dry-run of [[approxDistinct]]'s routing decision. Nothing runs. */
-  def explainDistinct(name: String, groupCols: Seq[String],
-                      sketchCol: String, lgK: Int = 12,
-                      where: Seq[(String, Any)] = Nil): RouteReport =
-    decideSketch(name, groupCols, sketchCol, lgK,
-      where.map(_._1).toSet)._2
-
-  /** See the class-level routing contract; `where` takes group-column
-    * equality filters, which (being constant within each group) select
-    * whole stored sketches — the filtered rollup unions exactly the
-    * surviving groups' register state.
-    */
-  def approxDistinct(name: String, groupCols: Seq[String],
-                     sketchCol: String, lgK: Int = 12,
-                     where: Seq[(String, Any)] = Nil): DataFrame = {
-    val s = sessionOf(name)
-    val (valid, rep) =
-      decideSketch(name, groupCols, sketchCol, lgK, where.map(_._1).toSet)
-    recordRoute(rep)
-    val out = s"nd_$sketchCol"
-    valid match {
-      case Some(l) =>
-        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
-            l.patch))
-          .groupBy(groupCols.map(col): _*)
-          .agg(hll_sketch_estimate(
-            hll_union_agg(col("__hll"), lit(false))).as(out))
-      case None =>
-        whereFilter(where)(Positional.strip(s.current))
-          .groupBy(groupCols.map(col): _*)
-          .agg(hll_sketch_estimate(
-            hll_sketch_agg(col(sketchCol), lit(lgK))).as(out))
-    }
-  }
-
-  /** The distinct group keys a delta touches: the touched (edited +
-    * inserted) rows' CURRENT groups plus the deleted rows' PRE-DELETE
-    * groups (`victims` — the mutation log's captured plans, r9 task #3).
-    * Two bounded collects (each ≤ delta-sized by [[refreshSlot]]'s
-    * guards).
-    */
-  private def affectedGroupKeys(s: EditorSession, groupCols: Seq[String],
-                                pos: Seq[Long],
-                                victims: Option[DataFrame]): Seq[String] = {
-    val keyExpr = to_json(struct(groupCols.map(col): _*))
-    val fromTouched =
-      if (pos.isEmpty) Array.empty[String]
-      else s.current.filter(col(Positional.POS).isInCollection(pos))
-        .select(keyExpr.as("id")).distinct()
-        .collect().map(_.getString(0))
-    val fromVictims = victims.fold(Array.empty[String])(v =>
-      v.select(keyExpr.as("id")).distinct()
-        .collect().map(_.getString(0)))
-    (fromTouched ++ fromVictims).distinct.toSeq
-  }
-
-  // ---- exact distinct-pairs layout -----------------------------------------
-
-  /** The pairs layout's stored rows: the distinct (groupCols…, col)
-    * tuples plus the JSON tuple key the delta patch shadows by.
-    */
-  private def pairsRows(base: DataFrame, groupCols: Seq[String],
-                        pairCol: String): DataFrame = {
-    val cols = groupCols :+ pairCol
-    base.select(cols.map(col): _*).distinct()
-      .withColumn("id", to_json(struct(cols.map(col): _*)))
-  }
-
-  /** Materialize the distinct (groupCols…, col) projection ONCE;
-    * [[distinctCount]] over these group columns (or any SUBSET) then
-    * answers `COUNT(DISTINCT col)` EXACTLY from pairs-count-sized
-    * stored rows — and SQL text routes too ([[graft.plans
-    * .SqlLayoutRouting]] rewrites a distinct-count aggregate over the
-    * session view onto the stored pairs; r9 verdict task #5, the routed
-    * alternative to the rewrite's conservative DISTINCT refusal).
-    */
-  def buildPairsLayout(name: String, groupCols: Seq[String],
-                       pairCol: String): String = {
-    val s = sessionOf(name)
-    val base = Positional.strip(s.current)
-    val (dir, rel) = layoutRoot("catalog_pairs_")
-    val path = dir + "/pairs"
-    pairsRows(base, groupCols, pairCol).write.parquet(path)
-    val slot = s"pairs:${groupCols.mkString(",")}:$pairCol"
-    layouts((name, slot)) = PairsLayout(groupCols, pairCol, path, s.epoch)
-    rel.foreach { r =>
-      writeRowSig(base, dir,
-        to_json(struct((groupCols :+ pairCol).map(col): _*)),
-        groupCols :+ pairCol)
-      persistEntry(LayoutManifestEntry(
-        session = name, slot = slot, kind = "pairs",
-        digest = contentDigest(base, groupCols :+ pairCol), path = Some(r),
-        valueCol = Some(pairCol), groupCols = Some(groupCols)))
-    }
-    path
-  }
-
-  /** ONE covering rule for pairs requests, shared live/pinned. */
-  private def pairsCovers(l: PairsLayout, groupCols: Seq[String],
-                          pairCol: String,
-                          whereCols: Set[String]): Boolean =
-    (groupCols.toSet ++ whereCols).subsetOf(l.groupCols.toSet) &&
-      l.col == pairCol
-
-  /** The exact distinct over either source — the shared serving tail. */
-  private def pairsDistinctOver(src: DataFrame, groupCols: Seq[String],
-                                pairCol: String): DataFrame =
-    src.groupBy(groupCols.map(col): _*)
-      .agg(count_distinct(col(pairCol)).as(s"cd_$pairCol"))
-
-  private def decidePairs(name: String, groupCols: Seq[String],
-                          pairCol: String, whereCols: Set[String])
-      : (Option[PairsLayout], RouteReport) =
-    decideCovering[PairsLayout](name,
-      s"pairs:${groupCols.mkString(",")}:$pairCol",
-      layoutsOf(name).collect { case (slot, l: PairsLayout) => (slot, l) },
-      l => pairsCovers(l, groupCols, pairCol, whereCols))
-
-  /** The exact-distinct routing decision: a covering pairs layout is the
-    * purpose-built source, but a CUBE whose group columns include the
-    * counted column serves the same answer (its stored rows are one per
-    * distinct tuple — the SQL rewrite already exploits this), so when no
-    * valid pairs layout covers, a covering histogram cube routes instead
-    * of falling to the fact scan. When neither serves, the report is the
-    * pairs decision — the primary layout kind for this request.
-    */
-  private def decideDistinct(name: String, groupCols: Seq[String],
-                             pairCol: String, whereCols: Set[String])
-      : (Option[Either[PairsLayout, CubeLayout]], RouteReport) =
-    decidePairs(name, groupCols, pairCol, whereCols) match {
-      case (Some(l), rep) => (Some(Left(l)), rep)
-      case (None, prep) =>
-        decideCovering[CubeLayout](name, prep.slot,
-          layoutsOf(name).collect { case (slot, c: CubeLayout) =>
-            (slot, c) },
-          (c: CubeLayout) =>
-            quantileCovers(c, groupCols, pairCol, whereCols)) match {
-          case (Some(c), crep) => (Some(Right(c)), crep)
-          case (None, _) => (None, prep)
-        }
-    }
-
-  /** Dry-run of [[distinctCount]]'s routing decision — which pairs
-    * layout (or fallback histogram cube) would serve this
-    * grouping/column/filter set, or why none would. Nothing runs.
-    */
-  def explainDistinctExact(name: String, groupCols: Seq[String],
-                           pairCol: String,
-                           where: Seq[(String, Any)] = Nil): RouteReport =
-    decideDistinct(name, groupCols, pairCol, where.map(_._1).toSet)._2
-
-  /** EXACT distinct count of `pairCol` per `groupCols` tuple,
-    * layout-routed: a valid pairs layout COVERING the request (caller's
-    * groupCols ⊆ the layout's, same counted column, filters on layout
-    * group columns only) re-distincts pairs-count-sized stored rows; a
-    * cube whose group columns include `pairCol` serves the same exact
-    * answer when no pairs layout covers ([[decideDistinct]]); otherwise
-    * the live distinct aggregate runs over the session plan. Output
-    * (groupCols…, `cd_<col>` long) — digit-equal every way, this is the
-    * exact sibling of [[approxDistinct]].
-    */
-  def distinctCount(name: String, groupCols: Seq[String], pairCol: String,
-                    where: Seq[(String, Any)] = Nil): DataFrame = {
-    val s = sessionOf(name)
-    val (valid, rep) =
-      decideDistinct(name, groupCols, pairCol, where.map(_._1).toSet)
-    recordRoute(rep)
-    val src = valid match {
-      case Some(Left(l)) =>
-        whereFilter(where)(patchedCodes(spark.read.parquet(l.path),
-          l.patch))
-      case Some(Right(c)) => whereFilter(where)(patchedCube(c))
-      case None => whereFilter(where)(Positional.strip(s.current))
-    }
-    pairsDistinctOver(src, groupCols, pairCol)
-  }
-
-  /** EXACT distinct counts of SEVERAL columns per `groupCols` tuple in
-    * one call — the typed twin of the SQL N-way split: each column
-    * serves from its own covering source (pairs layout preferred,
-    * histogram-cube fallback, live otherwise — [[decideDistinct]] per
-    * column) and the per-column group-count-sized results join back on
-    * the group key, null-safe (null is a group). Every side derives
-    * from the same table, so the group sets are identical and the inner
-    * join loses nothing. Output (groupCols…, `cd_<col>`… longs).
-    */
-  def distinctCounts(name: String, groupCols: Seq[String],
-                     pairCols: Seq[String],
-                     where: Seq[(String, Any)] = Nil): DataFrame = {
-    require(pairCols.nonEmpty, "distinctCounts needs at least one column")
-    require(pairCols.distinct == pairCols,
-      s"distinctCounts columns must be distinct: $pairCols")
-    pairCols.map(c => distinctCount(name, groupCols, c, where))
-      .reduce { (a, b) =>
-        if (groupCols.isEmpty) a.crossJoin(b)
-        else {
-          val cond = groupCols.map(g => a(g) <=> b(g)).reduce(_ && _)
-          groupCols.foldLeft(a.join(b, cond))((df, g) => df.drop(b(g)))
-        }
-      }
-  }
-
-  /** Pairs delta: every touched or retracted tuple's EXISTENCE
-    * recomputes from the live plan (a tuple stays iff any current row
-    * still carries it) and shadows by tuple key — same recompute-the-
-    * affected-keys shape as [[patchCube]], with the full tuple as the
-    * key. A cell edit to any stored column rebuilds instead (the
-    * pre-edit tuple is unrecoverable), handled by [[refreshSlot]].
-    */
-  private def patchPairs(name: String, s: EditorSession, slot: String,
-                         l: PairsLayout, pos: Seq[Long],
-                         victims: Option[DataFrame]): Unit = {
-    val cols = l.groupCols :+ l.col
-    val keyExpr = to_json(struct(cols.map(col): _*))
-    val dirtyKeys = affectedGroupKeys(s, cols, pos, victims)
-    val affected = Positional.strip(s.current)
-      .filter(keyExpr.isin(dirtyKeys: _*))
-    val add0 = pairsRows(affected, l.groupCols, l.col)
-    val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
-    applyLegs(name, slot, s, legs, cols) { lg =>
-      // merge-compact: pairs-count-sized copy, no fact scan
-      val (_, path) = compactKeyed(name, slot, s,
-        spark.read.parquet(l.path), lg, "id", "catalog_pairs_",
-        "pairs", cols,
-        Some((to_json(struct(cols.map(col): _*)), cols)))
-      l.copy(builtAtEpoch = s.epoch, path = path, patch = None)
-    }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
-
-  /** Sketch delta for gestures that spare the group columns (cell edits
-    * of the sketched column, inserts, deletes with recoverable
-    * victims): HLL supports no deletion, so the affected groups
-    * RE-SKETCH wholesale from the live plan (one group-key-filtered
-    * pass) and shadow the stored rows by key — a group emptied by
-    * deletes shadows with no replacement row (retraction, r9 task #3).
-    */
-  private def patchSketch(name: String, s: EditorSession, slot: String,
-                          l: SketchLayout, pos: Seq[Long],
-                          victims: Option[DataFrame]): Unit = {
-    val keyExpr = to_json(struct(l.groupCols.map(col): _*))
-    val dirtyKeys = affectedGroupKeys(s, l.groupCols, pos, victims)
-    val affected = Positional.strip(s.current)
-      .filter(keyExpr.isin(dirtyKeys: _*))
-    val add0 = sketchRows(affected, l.groupCols, l.col, l.lgK)
-    val legs = mergeLegs(dirtyKeys.toArray[Any], l.patch, add0)
-    applyLegs(name, slot, s, legs, l.groupCols :+ l.col) { lg =>
-      // merge-compact: sketch-row copy, no fact re-sketch
-      val (_, path) = compactKeyed(name, slot, s,
-        spark.read.parquet(l.path), lg, "id", "catalog_sketch_",
-        "sketches", l.groupCols :+ l.col,
-        Some((to_json(struct(l.groupCols.map(col): _*)),
-          l.groupCols :+ l.col)))
-      l.copy(builtAtEpoch = s.epoch, path = path, patch = None)
-    }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
-
-  /** Cube delta for gestures that spare the group columns: the affected
-    * groups are the touched rows' CURRENT group tuples plus (for
-    * deletes) the victims' pre-delete tuples — recompute those groups'
-    * rows with one group-key-filtered pass over the live plan and
-    * shadow the stored rows by key. Every affected key shadows
-    * EXPLICITLY (not just the keys the add rows mention), so a group
-    * whose last row was deleted vanishes from the served cube — the
-    * retraction case that used to force a rebuild (r9 task #3). A
-    * group-column CELL edit still cannot delta-patch (the rows'
-    * previous groups are unrecoverable from current state) and falls to
-    * rebuild in [[refreshSlot]].
-    */
-  private def patchCube(name: String, s: EditorSession, slot: String,
-                        c: CubeLayout, pos: Seq[Long],
-                        victims: Option[DataFrame]): Unit = {
-    val keyExpr = to_json(struct(c.groupCols.map(col): _*))
-    val dirtyKeys = affectedGroupKeys(s, c.groupCols, pos, victims)
-    val affected = Positional.strip(s.current)
-      .filter(keyExpr.isin(dirtyKeys: _*))
-    val add0 = cubeRows(affected, c.groupCols, c.measures)
-    val legs = mergeLegs(dirtyKeys.toArray[Any], c.patch, add0)
-    applyLegs(name, slot, s, legs, c.groupCols ++ c.measures) { lg =>
-      // merge-compact: group-count-sized copy, no fact scan
-      val (_, path) = compactKeyed(name, slot, s,
-        spark.read.parquet(c.path), lg, "id", "catalog_cube_",
-        "cube", c.groupCols ++ c.measures,
-        Some((to_json(struct(c.groupCols.map(col): _*)),
-          c.groupCols ++ c.measures)))
-      c.copy(builtAtEpoch = s.epoch, path = path, patch = None)
-    }(patch => c.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
-  }
 }
 
 object Catalog {

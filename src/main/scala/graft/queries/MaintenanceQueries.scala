@@ -1024,6 +1024,121 @@ object MaintenanceQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    /** SQL DML surface, INSERT leg (r11 verdict task #1): `INSERT INTO
+      * <session> SELECT ...` routes through [[graft.core.CatalogDml]] to
+      * `appendRows` — position-stamped tail append, RowInserts in the
+      * mutation log, layouts delta-patch on the next refresh
+      * (SqlDmlSpec pins the byte-identical-base-files law). The query
+      * reads the POST-insert state back through SQL text; the oracle
+      * replays the insert as a UNION ALL.
+      */
+    "o_sql_append" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDmlInsCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("sqlins", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val rep = c.sql(
+          """INSERT INTO sqlins
+            |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+            |       o_totalprice + 1.0, o_orderdate, o_orderpriority
+            |FROM sqlins WHERE o_orderkey % 100 = 1""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: insert must append")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          |FROM sqlins GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    /** SQL DML surface, UPDATE leg: a bounded `UPDATE ... WHERE` applies
+      * as typed cell edits through the session's edit log (CellEdits in
+      * the mutation log — the same gesture an interactive burst makes),
+      * with every right-hand side evaluated against the OLD row. Oracle
+      * replays the assignment as CASE WHEN.
+      */
+    "o_sql_update" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDmlUpdCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("squpd", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val rep = c.sql(
+          """UPDATE squpd
+            |SET o_orderstatus = concat(o_orderstatus, '!'),
+            |    o_totalprice = o_totalprice * 2
+            |WHERE o_orderkey % 500 = 3""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: update must hit")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM squpd WHERE o_orderkey % 500 = 3 OR o_orderkey % 500 = 4
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    /** SQL DML surface, DELETE leg: a bounded `DELETE FROM ... WHERE`
+      * (subquery condition included — it resolves against the same view
+      * window every SELECT uses) applies as the positional delete
+      * gesture, so retraction-IVM layouts patch instead of rebuilding.
+      * Oracle replays the delete as NOT IN.
+      */
+    "o_sql_delete" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDmlDelCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("sqdel", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val rep = c.sql(
+          """DELETE FROM sqdel
+            |WHERE o_custkey IN (SELECT o_custkey FROM sqdel
+            |                    WHERE o_custkey % 97 = 0)""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: delete must hit")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          |FROM sqdel GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    /** SQL DML surface, MERGE leg: the full `MERGE INTO ... USING ... ON`
+      * statement — conditional matched DELETE, matched UPDATE, and
+      * not-matched INSERT — decomposes into the existing typed gestures
+      * (cell edits + one positional delete + appendRows), so the merged
+      * state is served live AND every layout delta-patches afterwards.
+      * Same changeset recipe as `o_changeset`; the oracle replays it
+      * relationally.
+      */
+    "o_sql_upsert" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDmlMrgCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("smt", s"$dir/customer.parquet",
+          orderCols = Seq("c_custkey"))
+        val t = customer(s, dir)
+        val delta = t.filter(col("c_custkey") % 13 === 0 &&
+            col("c_custkey") % 7 =!= 0).withColumn("op", lit("D"))
+          .unionByName(t.filter(col("c_custkey") % 7 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+            .withColumn("op", lit("U")))
+          .unionByName(t.filter(col("c_custkey") % 50 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L)
+            .withColumn("op", lit("I")))
+        c.openFrom("sdelta", delta, orderCols = Seq("c_custkey", "op"))
+        val rep = c.sql(
+          """MERGE INTO smt USING sdelta d ON smt.c_custkey = d.c_custkey
+            |WHEN MATCHED AND d.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET c_acctbal = d.c_acctbal
+            |WHEN NOT MATCHED AND d.op = 'I' THEN INSERT
+            |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+            |  VALUES (d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal,
+            |          d.c_mktsegment)""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: merge must touch rows")
+        c
+      }
+      cat.sql(
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM smt ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -1697,6 +1812,59 @@ object MaintenanceQueries {
         |FROM lineitem
         |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0
         |  AND l_quantity >= 10.0 AND l_quantity <= 20.0
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // SQL DML legs: each oracle replays the statement relationally over
+    // the untouched base table — UNION ALL for INSERT, CASE WHEN for
+    // UPDATE, NOT IN for DELETE, and the anti-join+union MERGE shape
+    "o_sql_append" ->
+      """WITH aug AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |         o_totalprice + 1.0, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM aug GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 500 = 3
+        |       THEN concat(o_orderstatus, '!') ELSE o_orderstatus
+        |  END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 500 = 3
+        |       THEN o_totalprice * 2 ELSE o_totalprice
+        |  END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 500 = 3 OR o_orderkey % 500 = 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "o_sql_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_custkey % 97 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o_sql_upsert" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS nb
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |i AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.nb
+        |         ELSE c.c_acctbal END AS c_acctbal,
+        |    c.c_mktsegment
+        |  FROM customer c LEFT JOIN u ON c.c_custkey = u.c_custkey
+        |  WHERE NOT (c.c_custkey % 13 = 0 AND c.c_custkey % 7 != 0)
+        |  UNION ALL
+        |  SELECT * FROM i)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

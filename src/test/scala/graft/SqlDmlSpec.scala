@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Positional}
+
+/** SQL DML text surface (r11 verdict task #1): INSERT INTO / UPDATE /
+  * DELETE FROM / MERGE INTO against an open session route through the
+  * typed gestures, so
+  *  - answers equal the same mutation done through the typed API;
+  *  - the mutation LOG is the same, so layouts DELTA-PATCH (base files
+  *    byte-identical) after a SQL mutation exactly as after a typed one;
+  *  - a corpus-sized UPDATE/DELETE goes structural (one distributed
+  *    pass, no driver-sized collect).
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def openOrders(cat: Catalog, name: String): Unit = {
+    cat.open(name, s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    ()
+  }
+
+  private def strip(df: DataFrame): DataFrame = Positional.strip(df)
+
+  test("INSERT INTO ... VALUES appends typed rows through appendRows") {
+    val cat = new Catalog(spark)
+    cat.open("ri", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("ri").get
+    val before = s.rowCount
+    val rep = cat.sql(
+      "INSERT INTO ri VALUES (97, 'ATLANTIS'), (98, 'LEMURIA')")
+    assert(rep.collect().map(_.toSeq).toSeq ==
+      Seq(Seq("insert", 2L)), "report row (operation, rows_affected)")
+    assert(s.rowCount == before + 2)
+    val got = strip(s.current).filter(col("r_regionkey") >= 97)
+      .orderBy("r_regionkey").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(97, "ATLANTIS"), Seq(98, "LEMURIA")),
+      s"typed values must store-assign onto the session schema: $got")
+    // the rows landed at the TAIL with dense positions
+    assert(s.page(before, before + 2).select("r_name")
+      .collect().map(_.getString(0)).toSeq == Seq("ATLANTIS", "LEMURIA"))
+  }
+
+  test("INSERT INTO with a column list null-fills the unlisted columns") {
+    val cat = new Catalog(spark)
+    cat.open("ri2", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.open("rc", s"$sf/customer.parquet", orderCols = Seq("c_custkey"))
+    cat.sql("INSERT INTO rc (c_name, c_custkey) VALUES ('Atlantis Trading', 999001)")
+    val s2 = cat.get("rc").get
+    val got = strip(s2.current).filter(col("c_custkey") === 999001)
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(999001L, "Atlantis Trading", null, null, null)))
+  }
+
+  test("INSERT INTO ... SELECT reads other sessions through the routed view window") {
+    val cat = new Catalog(spark)
+    cat.open("dst", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.open("src_n", s"$sf/nation.parquet", orderCols = Seq("n_nationkey"))
+    val s = cat.get("dst").get
+    val before = s.rowCount
+    val rep = cat.sql(
+      """INSERT INTO dst
+        |SELECT n_nationkey + 100, upper(n_name)
+        |FROM src_n WHERE n_nationkey < 3""".stripMargin)
+    assert(rep.head().getLong(1) == 3L)
+    assert(s.rowCount == before + 3)
+    assert(strip(s.current).filter(col("r_regionkey") === 101)
+      .select("r_name").head().getString(0) ==
+      spark.read.parquet(s"$sf/nation.parquet")
+        .filter(col("n_nationkey") === 1).select(upper(col("n_name")))
+        .head().getString(0))
+  }
+
+  test("bounded UPDATE applies as typed cell edits; RHS sees the OLD row") {
+    val cat = new Catalog(spark)
+    openOrders(cat, "uo")
+    val s = cat.get("uo").get
+    val keys = strip(s.current).filter(col("o_orderkey") % 1000 === 7)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(keys.nonEmpty)
+    val rep = cat.sql(
+      """UPDATE uo SET o_totalprice = o_totalprice + 1000,
+        |  o_orderpriority = concat('bumped:', o_orderpriority)
+        |WHERE o_orderkey % 1000 = 7""".stripMargin)
+    assert(rep.head().getLong(1) == keys.size.toLong)
+    // applied through the EDIT LOG (no structural replace): pendingEdits
+    // carries both columns' edits
+    assert(s.pendingEdits == 2 * keys.size)
+    val after = strip(s.current).filter(col("o_orderkey") % 1000 === 7)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .collect()
+    after.foreach { r =>
+      assert(r.getDouble(1) == keys(r.getLong(0)) + 1000,
+        "RHS must evaluate against the pre-update value")
+      assert(r.getString(2).startsWith("bumped:"))
+    }
+  }
+
+  test("corpus-sized UPDATE goes structural: one distributed projection, same answer") {
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(8))
+    openOrders(cat, "ub")
+    val s = cat.get("ub").get
+    val n = strip(s.current).filter(col("o_orderkey") % 2 === 0).count()
+    assert(n > 8)
+    val rep = cat.sql(
+      "UPDATE ub SET o_orderstatus = 'Z' WHERE o_orderkey % 2 = 0")
+    assert(rep.head().getLong(1) == n)
+    assert(s.pendingEdits == 0, "oversized UPDATE must not ride the edit log")
+    assert(strip(s.current).filter(col("o_orderstatus") === "Z").count() == n)
+    assert(strip(s.current)
+      .filter(col("o_orderkey") % 2 =!= 0 && col("o_orderstatus") === "Z")
+      .count() == 0, "untouched rows keep their value")
+    assert(s.rowCount > 0 && strip(s.current).columns.sameElements(
+      spark.read.parquet(s"$sf/orders.parquet").columns))
+  }
+
+  test("DELETE FROM with a subquery condition; bounded → positional gesture") {
+    val cat = new Catalog(spark)
+    openOrders(cat, "dd")
+    cat.open("dc", s"$sf/customer.parquet", orderCols = Seq("c_custkey"))
+    val s = cat.get("dd").get
+    val before = s.rowCount
+    val victims = strip(s.current).join(
+      spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_acctbal") < -800).select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(victims > 0, "fixture needs victims")
+    val rep = cat.sql(
+      """DELETE FROM dd
+        |WHERE o_custkey IN (SELECT c_custkey FROM dc WHERE c_acctbal < -800)""".stripMargin)
+    assert(rep.head().getLong(1) == victims)
+    assert(s.rowCount == before - victims)
+    // dense positions survive the gesture
+    assert(s.page(0, 5).count() == 5)
+  }
+
+  test("corpus-sized DELETE goes structural with dense renumbering") {
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(8))
+    openOrders(cat, "db")
+    val s = cat.get("db").get
+    val keep = strip(s.current).filter(!(col("o_orderkey") % 3 === 0)).count()
+    cat.sql("DELETE FROM db WHERE o_orderkey % 3 = 0")
+    assert(s.rowCount == keep)
+    val pos = s.current.select(Positional.POS)
+    assert(pos.agg(min(Positional.POS), max(Positional.POS)).head().toSeq ==
+      Seq(0L, keep - 1), "positions must renumber densely")
+  }
+
+  test("MERGE INTO: conditional update, delete, and insert from a source session") {
+    val cat = new Catalog(spark)
+    cat.open("mt", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val delta = spark.createDataFrame(Seq(
+      (0, "AFRICA2", "renamed"),        // matched → update
+      (1, "AMERICA", "drop-me"),        // matched + op='drop-me' → delete
+      (97, "ATLANTIS", "new")           // not matched → insert
+    )).toDF("k", "name", "op")
+    cat.openFrom("md", delta, orderCols = Seq("k"))
+    val s = cat.get("mt").get
+    val rep = cat.sql(
+      """MERGE INTO mt t USING md d ON t.r_regionkey = d.k
+        |WHEN MATCHED AND d.op = 'drop-me' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET r_name = d.name
+        |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+        |  VALUES (d.k, d.name)""".stripMargin)
+    assert(rep.head().getLong(1) == 3L)
+    val rows = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    assert(rows.exists(_ == Seq(0, "AFRICA2")), "update applied")
+    assert(!rows.exists(_.head == 1), "conditional delete applied first")
+    assert(rows.exists(_ == Seq(97, "ATLANTIS")), "insert applied")
+    assert(rows.size == 5L - 1 + 1)
+  }
+
+  test("MERGE cardinality violation fails fast") {
+    val cat = new Catalog(spark)
+    cat.open("mc", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val dup = spark.createDataFrame(Seq((0, "A"), (0, "B"))).toDF("k", "name")
+    cat.openFrom("mdup", dup, orderCols = Seq("k"))
+    val e = intercept[Exception] {
+      cat.sql("""MERGE INTO mc USING mdup ON mc.r_regionkey = mdup.k
+                |WHEN MATCHED THEN UPDATE SET r_name = mdup.name""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"))
+  }
+
+  test("SQL mutations keep the delta-patch law: base files byte-identical after refresh") {
+    val cat = new Catalog(spark)
+    openOrders(cat, "sq")
+    cat.buildRangedLayout("sq", "o_totalprice", files = 8,
+      idCol = Some("o_orderkey"))
+    def ranged = cat.layoutsOf("sq").collectFirst {
+      case (_, l: Catalog.RangedLayout) => l
+    }.get
+    val built = ranged
+    def baseFiles = new java.io.File(built.path).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    val files0 = baseFiles
+    val s = cat.get("sq").get
+
+    // INSERT → RowInserts → delta patch
+    cat.sql("""INSERT INTO sq SELECT * FROM sq WHERE o_orderkey = 1""")
+    assert(cat.refreshStale("sq") == Seq("range:o_totalprice"))
+    assert(ranged.path == built.path && ranged.patch.isDefined,
+      "SQL INSERT must delta-patch, not re-cluster")
+    assert(baseFiles == files0)
+
+    // UPDATE → CellEdits → delta patch
+    cat.sql("UPDATE sq SET o_totalprice = o_totalprice + 1 WHERE o_orderkey = 2")
+    assert(cat.refreshStale("sq") == Seq("range:o_totalprice"))
+    assert(ranged.path == built.path && baseFiles == files0,
+      "SQL UPDATE must delta-patch, not re-cluster")
+
+    // DELETE → RowDeletes → delta patch
+    cat.sql("DELETE FROM sq WHERE o_orderkey = 3")
+    assert(cat.refreshStale("sq") == Seq("range:o_totalprice"))
+    assert(ranged.path == built.path && baseFiles == files0,
+      "SQL DELETE must delta-patch, not re-cluster")
+
+    // served answers equal the live plan after all three
+    val got = cat.rangeScan("sq", "o_totalprice", 1000.0, 100000.0)
+      .orderBy("o_orderkey", "o_totalprice").collect().map(_.toSeq).toSeq
+    val want = strip(s.current)
+      .filter(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 100000.0)
+      .orderBy("o_orderkey", "o_totalprice").collect().map(_.toSeq).toSeq
+    assert(got == want, "routed scan must equal live after SQL DML cycle")
+  }
+
+  test("DML text against a non-session name falls through to the ordinary path") {
+    val cat = new Catalog(spark)
+    cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    intercept[Exception] {
+      cat.sql("DELETE FROM not_a_session WHERE x = 1")
+    }
+    // and a SELECT still works after the failed DML (views cleaned up)
+    assert(cat.sql("SELECT count(*) AS n FROM ft").head().getLong(0) == 5L)
+  }
+}
