@@ -216,4 +216,89 @@ trait CatalogSnapshots { self: Catalog =>
           where)
     }
   }
+
+  // ---- time-travel SQL -----------------------------------------------------
+
+  private[core] def looksLikeTimeTravel(query: String): Boolean =
+    java.util.regex.Pattern.compile("(?i)\\bversion\\s+as\\s+of\\b")
+      .matcher(query).find()
+
+  /** Time-travel SQL text (r11 verdict task #6): `FROM <session> VERSION
+    * AS OF <epoch>` serves the PINNED snapshot — the pre-maintenance
+    * answer — while the bare session name in the same statement (or any
+    * other) serves the live route. Implementation: Catalyst parses the
+    * suffix into its standard `RelationTimeTravel` node; each node aimed
+    * at a pinned session is rewritten IN THE STATEMENT TEXT (via the
+    * node's Origin span) to a per-call snapshot view over
+    * [[snapshotAsOf]]'s plan, and the PIN's layouts are published as SQL
+    * routes under that view name — so a range predicate on the pinned
+    * epoch still prunes through the pinned skipping stats, exactly like
+    * [[rangeScanAsOf]]. Returns None when no travel clause targets an
+    * open session (the ordinary path then raises Spark's own error for
+    * unsupported time travel, or handles a real v2 table).
+    *
+    * An UNPINNED epoch fails fast with the same NoSuchElementException
+    * the typed asOf reads throw: pins are the engine's only durable
+    * version handles (the VacuumSpec law — vacuum may collect anything
+    * unpinned, so silently serving a reconstructed past would be a lie).
+    *
+    * Must run inside the [[Catalog.sql]] view window.
+    */
+  private[core] def runTimeTravel(query: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
+      .getOrElse(return None)
+    val hits = plan.collectWithSubqueries {
+      case tt @ RelationTimeTravel(r: UnresolvedRelation, None, Some(v))
+          if r.multipartIdentifier.size == 1 &&
+            sessions.contains(r.multipartIdentifier.head) &&
+            Try(v.trim.toLong).isSuccess =>
+        (tt, r.multipartIdentifier.head, v.trim.toLong)
+    }
+    if (hits.isEmpty) return None
+    // the statement span of each travel clause: min/max origin over the
+    // node and its relation child, falling back to a rigid regex on the
+    // clause's own tokens
+    def span(tt: RelationTimeTravel, name: String,
+             ver: Long): Option[(Int, Int)] = {
+      var lo = Int.MaxValue
+      var hi = -1
+      (tt +: tt.relation.collect { case p => p }).foreach { n =>
+        n.origin.startIndex.foreach(i => if (i >= 0) lo = math.min(lo, i))
+        n.origin.stopIndex.foreach(i => hi = math.max(hi, i))
+      }
+      if (lo <= hi && hi < query.length) Some((lo, hi))
+      else {
+        val m = java.util.regex.Pattern.compile(
+          s"(?i)\\b$name\\s+version\\s+as\\s+of\\s+'?$ver'?")
+          .matcher(query)
+        if (m.find()) Some((m.start, m.end - 1)) else None
+      }
+    }
+    val subs = hits.flatMap { case (tt, name, ver) =>
+      span(tt, name, ver).map(s => (s._1, s._2, name, ver))
+    }
+    if (subs.size != hits.size) return None
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pinRoutes = scala.collection.mutable.HashMap
+      .empty[String, Seq[graft.plans.SqlRouting.SqlRoute]]
+    try {
+      var text = query
+      subs.sortBy(-_._1).foreach { case (lo, hi, name, ver) =>
+        val sn = pinOf(name, ver) // fail fast on an unpinned epoch
+        val view = s"__graft_asof_${name}_$ver"
+        if (!views.contains(view)) {
+          Positional.strip(sn.plan).createOrReplaceTempView(view)
+          views += view
+          pinRoutes(view) = layoutSqlRoutes(sn.layouts.toSeq, ver,
+            "sql-pinned")
+        }
+        text = text.substring(0, lo) + view + text.substring(hi + 1)
+      }
+      Some(graft.plans.SqlRouting.withRoutes(spark,
+        sqlRoutes() ++ pinRoutes.filter(_._2.nonEmpty)) {
+        spark.sql(text)
+      })
+    } finally views.foreach(spark.catalog.dropTempView(_))
+  }
 }

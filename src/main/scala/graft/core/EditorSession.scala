@@ -825,9 +825,13 @@ class Catalog(private[core] val spark: SparkSession,
       // tables, malformed text — takes the ordinary Spark path below,
       // which produces the right behavior or the right error.
       val dml = if (looksLikeDml(query)) runDml(query) else None
-      dml.getOrElse(graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-        spark.sql(query)
-      })
+      val travel =
+        if (dml.isEmpty && looksLikeTimeTravel(query)) runTimeTravel(query)
+        else None
+      dml.orElse(travel)
+        .getOrElse(graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+          spark.sql(query)
+        })
     }
     finally sessions.keys.foreach(spark.catalog.dropTempView(_))
   }
@@ -841,14 +845,25 @@ class Catalog(private[core] val spark: SparkSession,
     * injected by [[graft.plans.GraftExtensions]]; without the extensions
     * the routes are published and never read.
     */
-  private[core] def sqlRoutes(): Map[String, Seq[graft.plans.SqlRouting.SqlRoute]] = {
+  private[core] def sqlRoutes(): Map[String, Seq[graft.plans.SqlRouting.SqlRoute]] =
+    sessions.map { case (name, s) =>
+      name -> layoutSqlRoutes(layoutsOf(name), s.epoch, "sql-routed")
+    }.filter(_._2.nonEmpty).toMap
+
+  /** The SQL routes of one layout set at one epoch — shared by the live
+    * per-session publication above and the time-travel path
+    * ([[CatalogSnapshots.runTimeTravel]]), which publishes a PIN's
+    * layouts under its snapshot view name with tag "sql-pinned".
+    */
+  private[core] def layoutSqlRoutes(slots: Iterable[(String, Catalog.TableLayout)],
+                                    epoch: Long, tag: String)
+      : Seq[graft.plans.SqlRouting.SqlRoute] = {
     import graft.plans.SqlRouting.{BucketSqlRoute, RangedSqlRoute, SqlRoute}
     def sqlRouted(slot: String): Unit = {
-      recordRoute(Catalog.RouteReport(slot, "layout", "sql-routed")); ()
+      recordRoute(Catalog.RouteReport(slot, "layout", tag)); ()
     }
-    sessions.map { case (name, s) =>
-      name -> layoutsOf(name).collect[SqlRoute] {
-        case (slot, l: Catalog.RangedLayout) if l.builtAtEpoch == s.epoch =>
+    slots.collect[SqlRoute] {
+        case (slot, l: Catalog.RangedLayout) if l.builtAtEpoch == epoch =>
           RangedSqlRoute(l.column,
             (lo, hi) => {
               val files =
@@ -861,17 +876,17 @@ class Catalog(private[core] val spark: SparkSession,
               patchedFullRows(base, l.idCol, l.patch)
             },
             () => sqlRouted(slot))
-        case (slot, b: Catalog.BucketedLayout) if b.builtAtEpoch == s.epoch =>
+        case (slot, b: Catalog.BucketedLayout) if b.builtAtEpoch == epoch =>
           BucketSqlRoute(b.key, b.buckets, () => spark.table(b.table),
             () => sqlRouted(slot))
-        case (slot, c: Catalog.CubeLayout) if c.builtAtEpoch == s.epoch =>
+        case (slot, c: Catalog.CubeLayout) if c.builtAtEpoch == epoch =>
           graft.plans.SqlRouting.CubeSqlRoute(c.groupCols, c.measures,
             () => patchedCube(c), () => sqlRouted(slot))
-        case (slot, p: Catalog.PairsLayout) if p.builtAtEpoch == s.epoch =>
+        case (slot, p: Catalog.PairsLayout) if p.builtAtEpoch == epoch =>
           graft.plans.SqlRouting.PairsSqlRoute(p.groupCols, p.col,
             () => patchedCodes(spark.read.parquet(p.path), p.patch),
             () => sqlRouted(slot))
-        case (slot, z: Catalog.ZOrderedLayout) if z.builtAtEpoch == s.epoch =>
+        case (slot, z: Catalog.ZOrderedLayout) if z.builtAtEpoch == epoch =>
           graft.plans.SqlRouting.ZOrderSqlRoute(z.colX, z.colY,
             (loX, hiX, loY, hiY) => {
               val files = graft.io.SkippingIndex.candidateFiles2dOpt(z.stats,
@@ -882,8 +897,7 @@ class Catalog(private[core] val spark: SparkSession,
               patchedFullRows(base, z.idCol, z.patch)
             },
             () => sqlRouted(slot))
-      }
-    }.filter(_._2.nonEmpty).toMap
+    }.toSeq
   }
 
   // ---- at-rest layouts + routing -----------------------------------------

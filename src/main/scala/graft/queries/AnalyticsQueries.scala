@@ -1955,9 +1955,50 @@ object AnalyticsQueries {
           round((col("revenue") - col("__prev")) / col("__prev"), 6)
             .as("wow_growth"))
         .orderBy("c_mktsegment", "week")
+    }),
+
+    /** Time-travel SQL (r11 verdict task #6): ONE statement reads the
+      * pinned epoch (`VERSION AS OF`) and the live session side by
+      * side — the pinned branch returns the pre-mutation aggregate while
+      * the live branch serves the post-refresh one (the VacuumSpec law,
+      * stated from SQL text). The pinned clause rewrites onto the
+      * snapshot's plan and the pin's layouts route its predicates
+      * ([[graft.core.CatalogSnapshots.runTimeTravel]]).
+      */
+    "a_sql_asof" -> ((s, dir) => {
+      val (cat, epoch) = SessionScoped.memo(s, s"sqlAsofCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("asf", s"$dir/orders.parquet", orderCols = Seq("o_orderkey"))
+        c.buildRangedLayout("asf", "o_totalprice", files = 8,
+          idCol = Some("o_orderkey"))
+        val e = c.pin("asf")
+        val rep = c.sql("DELETE FROM asf WHERE o_orderkey % 10 = 1")
+        require(rep.head().getLong(1) > 0, "fixture: delete must hit")
+        require(c.refreshStale("asf").nonEmpty)
+        (c, e)
+      }
+      cat.sql(
+        s"""SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+           |FROM asf VERSION AS OF $epoch GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'live', o_orderstatus, count(*),
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM asf GROUP BY o_orderstatus
+           |ORDER BY src, o_orderstatus""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a_sql_asof" ->
+      """SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'live', o_orderstatus, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 != 1 GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin,
+
     "j_broadcast" ->
       """SELECT c_mktsegment,
         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Positional}
+
+/** Time-travel SQL (r11 verdict task #6): `FROM <session> VERSION AS OF
+  * <pinned epoch>` serves the pinned snapshot — the VacuumSpec
+  * pre-maintenance law, stated from SQL text — while the bare name in
+  * the same statement serves the live route; the pinned route still
+  * prunes through the pinned layout's skipping stats.
+  */
+class SqlTimeTravelSpec extends SparkSpec {
+
+  test("VERSION AS OF a pinned epoch serves the pre-edit answer; the live name serves the post-edit one") {
+    val cat = new Catalog(spark)
+    cat.open("tt", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("tt", "o_totalprice", files = 8,
+      idCol = Some("o_orderkey"))
+    val s = cat.get("tt").get
+    val epoch = cat.pin("tt")
+    val preCount = s.rowCount
+
+    // maintenance: delete a band of rows, refresh the layout
+    cat.sql("DELETE FROM tt WHERE o_orderkey % 10 = 1")
+    assert(cat.refreshStale("tt").nonEmpty)
+    val postCount = s.rowCount
+    assert(postCount < preCount)
+
+    val pre = cat.sql(s"SELECT count(*) AS n FROM tt VERSION AS OF $epoch")
+      .head().getLong(0)
+    val post = cat.sql("SELECT count(*) AS n FROM tt").head().getLong(0)
+    assert(pre == preCount, "pinned SQL must serve the pre-maintenance state")
+    assert(post == postCount, "the live name must serve the refreshed state")
+
+    // BOTH epochs in one statement: the rewrite is per-clause
+    val both = cat.sql(
+      s"""SELECT (SELECT count(*) FROM tt VERSION AS OF $epoch) AS pre,
+         |       count(*) AS post FROM tt""".stripMargin).head()
+    assert(both.getLong(0) == preCount && both.getLong(1) == postCount)
+  }
+
+  test("a range predicate on the pinned epoch routes through the PINNED layout's stats") {
+    val cat = new Catalog(spark)
+    cat.open("ttr", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("ttr", "o_totalprice", files = 8,
+      idCol = Some("o_orderkey"))
+    val s = cat.get("ttr").get
+    val epoch = cat.pin("ttr")
+    val want = Positional.strip(s.current)
+      .filter(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 50000.0)
+      .count()
+    // mutate + refresh: live layout moves on, the pin must not
+    assert(s.setCell(0L, "o_totalprice", "999999.99"))
+    assert(cat.refreshStale("ttr").nonEmpty)
+    val got = cat.sql(
+      s"""SELECT count(*) AS n FROM ttr VERSION AS OF $epoch
+         |WHERE o_totalprice >= 1000.0 AND o_totalprice <= 50000.0""".stripMargin)
+    assert(got.head().getLong(0) == want)
+    assert(cat.recentRoutes.exists(r => r.decision == "layout" &&
+      r.reason == "sql-pinned"),
+      s"pinned SQL range read must route through the pinned layout: " +
+        s"${cat.recentRoutes}")
+    // and the file-pruned plan is visible (pruned parquet read)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("catalog_ranged_"),
+      "the pinned route must read the layout's part files")
+  }
+
+  test("VERSION AS OF an unpinned epoch fails fast") {
+    val cat = new Catalog(spark)
+    cat.open("ttu", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val e = intercept[NoSuchElementException] {
+      cat.sql("SELECT * FROM ttu VERSION AS OF 12345")
+    }
+    assert(e.getMessage.contains("no pinned snapshot"))
+  }
+
+  test("VERSION AS OF a non-session relation falls through to Spark's own handling") {
+    val cat = new Catalog(spark)
+    cat.open("ttn", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    intercept[Exception] {
+      cat.sql("SELECT * FROM some_delta_table VERSION AS OF 3")
+    }
+    // the window cleaned up; normal SQL still works
+    assert(cat.sql("SELECT count(*) AS n FROM ttn").head().getLong(0) == 5L)
+  }
+}
