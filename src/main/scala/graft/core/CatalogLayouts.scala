@@ -525,4 +525,83 @@ trait CatalogLayouts { self: Catalog =>
     lf.join(rf, lf(leftKey) === rf(rightKey))
   }
 
+  /** Catalog-routed as-of join (r11 verdict task #2): the left side (a
+    * query batch — the feature-store probe set) as-of joins a SESSION
+    * whose time column carries a ranged layout, and the right-side scan
+    * is PRUNED to the left side's time envelope through the layout's
+    * skipping stats before the merge-and-carry shuffle. At 100 TB the
+    * un-pruned right-side scan dominates the PIT/as-of family; the
+    * envelope turns it into "read the files the probe window can reach".
+    *
+    * The envelope is EXACT, not heuristic — answers are byte-identical
+    * to [[graft.operators.AsOfJoin]] over the full right side:
+    *  - backward: right rows with `ts > max(left.ts)` can never be the
+    *    at-or-before match of any left row → the upper side always
+    *    prunes. The lower side prunes only under a TOLERANCE bound:
+    *    a match staler than the bound is voided to null by the operator
+    *    itself, so right rows below `min(left.ts) − tolerance` either
+    *    are not carried or are carried-then-voided — exactly what the
+    *    pruned plan produces for them too (files straddling the bound
+    *    keep their rows; voiding re-applies per row).
+    *  - forward: mirror image (`lo = min(left.ts)`,
+    *    `hi = max(left.ts) + tolerance`).
+    * Without a tolerance the stale-side file set stays un-pruned — the
+    * nearest predecessor per key can be arbitrarily old, and guessing
+    * would change answers.
+    *
+    * Cost of the envelope: one min/max aggregate over the (batch-sized)
+    * left side, driver-resolved before planning. The DML patch composes
+    * on the pruned base (add rows are never pruned; shadowed base rows
+    * never serve) exactly as in [[serveRangedScan]]. No valid layout →
+    * the live session plan, same operator, same answer.
+    */
+  def asofJoin(left: DataFrame, rightName: String, keyCol: String,
+               tsCol: String, carry: Seq[String],
+               carryPrefix: String = "asof_",
+               tiebreak: Option[String] = None,
+               toleranceUs: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
+    val (lay, rep) = decide(rightName, s"range:$tsCol",
+      _.isInstanceOf[RangedLayout])
+    val needed = (Seq(keyCol, tsCol) ++ carry).distinct
+    def run(right: DataFrame): DataFrame = {
+      val r = right.select(needed.map(col): _*)
+      if (forward)
+        graft.operators.AsOfJoin.asofForward(left, r, keyCol, tsCol,
+          carry, carryPrefix, tiebreak, toleranceUs)
+      else
+        graft.operators.AsOfJoin.asofBackward(left, r, keyCol, tsCol,
+          carry, carryPrefix, tiebreak, toleranceUs)
+    }
+    lay match {
+      case Some(l: RangedLayout) =>
+        val mm = left.agg(min(col(tsCol)), max(col(tsCol))).head()
+        if (mm.isNullAt(0)) { // empty probe side: nothing can match
+          recordRoute(rep.copy(reason = "asof-empty-left"))
+          return run(Positional.strip(sessionOf(rightName).current).limit(0))
+        }
+        val (minL, maxL) = (mm.get(0), mm.get(1))
+        def widen(v: Any, us: Long): Option[Any] = v match {
+          case t: java.sql.Timestamp =>
+            Some(java.sql.Timestamp.from(t.toInstant.plusNanos(us * 1000L)))
+          case i: java.time.Instant => Some(i.plusNanos(us * 1000L))
+          case _ => None // non-timestamp axis: skip the stale-side prune
+        }
+        val (lo, hi) =
+          if (forward)
+            (Some(minL), toleranceUs.flatMap(t => widen(maxL, t)))
+          else
+            (toleranceUs.flatMap(t => widen(minL, -t)), Some(maxL))
+        val files = graft.io.SkippingIndex.candidateFilesOpt(l.stats, lo, hi)
+        val base =
+          if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+          else spark.read.parquet(files: _*)
+        recordRoute(rep.copy(reason = "asof-pruned"))
+        run(patchedFullRows(base, l.idCol, l.patch))
+      case _ =>
+        recordRoute(rep)
+        run(Positional.strip(sessionOf(rightName).current))
+    }
+  }
+
 }
