@@ -122,8 +122,69 @@ trait CatalogDurability { self: Catalog =>
 
   private[core] var persistsSinceVacuum = 0
 
+  // ---- writer fencing (r11 verdict task #4) -------------------------------
+  // The warehouse is documented single-writer, but nothing used to make
+  // the assumption FAIL-FAST: the manifest is rewritten whole from the
+  // writer's in-memory map on every persist, so a second concurrent
+  // writer process would silently clobber the first's entries on each
+  // alternation. A fencing token (`<warehouse>/_writer`: "epoch:uuid")
+  // makes the takeover explicit — a catalog acquires the token with
+  // epoch+1 before its FIRST manifest persist, re-reads it before every
+  // later one, and throws the moment another catalog has taken over.
+  // Read-only catalogs (attach, serve, vacuum — both marks and pin
+  // leases merge by design) never touch the token. The acquire is
+  // read-then-overwrite, not atomic: under a true race both writers may
+  // stamp the same epoch, and the loser's NEXT persist still fails fast
+  // because its uuid is gone — convergence is what the guard needs, not
+  // mutual exclusion.
+
+  private[core] val writerId = java.util.UUID.randomUUID().toString
+  private[core] var writerToken: Option[(Long, String)] = None
+
+  private def writerPath(wh: String) =
+    new org.apache.hadoop.fs.Path(s"$wh/_writer")
+
+  private def readWriterToken(wh: String): Option[(Long, String)] = {
+    val p = writerPath(wh)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      val i = s.indexOf(':')
+      (s.substring(0, i).toLong, s.substring(i + 1))
+    }.toOption
+  }
+
+  /** Acquire (or verify) this catalog's writer token before a manifest
+    * persist. Throws IllegalStateException once ANOTHER catalog has
+    * taken the warehouse over — this instance must re-open to write
+    * again, with a fresh view of the manifest it no longer owns.
+    */
+  private[core] def fenceWriter(wh: String): Unit = writerToken match {
+    case None =>
+      val next = readWriterToken(wh).map(_._1).getOrElse(0L) + 1L
+      val p = writerPath(wh)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"$next:$writerId".getBytes("UTF-8"))
+      finally out.close()
+      writerToken = Some((next, writerId))
+    case Some(held) =>
+      val cur = readWriterToken(wh)
+      if (!cur.contains(held))
+        throw new IllegalStateException(
+          s"fenced: warehouse '$wh' writer token is now " +
+            s"${cur.map(t => s"epoch ${t._1}").getOrElse("absent")} but this " +
+            s"catalog holds epoch ${held._1} — another Catalog took over " +
+            "the single-writer role; open a fresh Catalog to write again")
+  }
+
   private[core] def persistEntry(e: LayoutManifestEntry): Unit =
     warehouse.foreach { wh =>
+      fenceWriter(wh) // BEFORE the manifest mutates: a fenced writer
+                      // must not half-apply anything
       manifest((e.session, e.slot)) = e
       LayoutStore.save(spark, wh, manifest.values.toSeq)
       // self-cleaning maintenance loop: every few manifest writes, GC
@@ -336,6 +397,13 @@ trait CatalogDurability { self: Catalog =>
         ZOrderedLayout(e.valueCol.get, e.idCol.get,
           s"$wh/${e.path.get}/zordered", stats, e.files.get, epoch,
           idCol = e.keyCol, patch = patch)
+      case "zorder3" =>
+        val stats = spark.read.parquet(s"$wh/${e.path.get}/stats")
+          .localCheckpoint(true)
+        // groupCols carries the three build-order dimensions
+        ZOrdered3Layout(e.groupCols.get,
+          s"$wh/${e.path.get}/zordered3", stats, e.files.get, epoch,
+          idCol = e.keyCol)
     }
   }.toOption
 

@@ -368,6 +368,151 @@ trait CatalogLayouts { self: Catalog =>
     path
   }
 
+  /** Morton-cluster `df` on THREE dimensions (r11 verdict task #8).
+    * Numeric/timestamp/date dimensions bucketize through their monotone
+    * double image exactly like the 2-D form; a STRING dimension (the
+    * events `event_type` axis) bucketizes through an ORDER-PRESERVING
+    * dictionary — distinct values ranked lexicographically (dictionary-
+    * sized: one distinct + one window over the dictionary, broadcast
+    * back), so per-file min/max string stats stay tight and a string
+    * range/equality predicate prunes files like any other type. Hashing
+    * would be cheaper but destroys ordering — every file would span the
+    * whole string domain and nothing would ever prune.
+    */
+  private[core] def writeZOrdered3Data(df: DataFrame, dims: Seq[String],
+                                       files: Int, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    def kind(c: String): Char = df.schema(c).dataType match {
+      case _: NumericType => 'n'
+      case TimestampType | TimestampNTZType | DateType => 't'
+      case StringType => 's'
+      case other => throw new IllegalArgumentException(
+        s"z-order needs numeric/timestamp/date/string columns; '$c' is $other")
+    }
+    def dimd(c: String): org.apache.spark.sql.Column =
+      if (kind(c) == 'n') col(c).cast("double")
+      else col(c).cast("timestamp").cast("double") // epoch seconds
+    val scaled = dims.filter(kind(_) != 's')
+    val mm: Map[String, (Double, Double)] =
+      if (scaled.isEmpty) Map.empty
+      else {
+        val r = df.agg(min(dimd(scaled.head)), (max(dimd(scaled.head)) +:
+          scaled.tail.flatMap(c => Seq(min(dimd(c)), max(dimd(c))))): _*)
+          .head()
+        scaled.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    var prep = df
+    val strRank = dims.filter(kind(_) == 's').map { c =>
+      val dict = df.select(col(c)).na.drop().distinct()
+      val n = dict.count()
+      require(n <= (1L << 16),
+        s"string z-dimension '$c' has $n distinct values (max 65536); " +
+          "pre-bucket it or use a numeric surrogate")
+      // dictionary-sized global window — this IS a dictionary build.
+      // The rank SCALES across the full 16-bit domain (monotone, so
+      // order-preserving): a low-cardinality dictionary left at ranks
+      // 0..n would occupy only the interleave's LOW bits and never
+      // separate files, exactly like an unscaled narrow numeric range.
+      val scale = 65535L / math.max(n - 1L, 1L)
+      val ranked = dict.withColumn(s"__zr_$c",
+        ((org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(c)))
+          .cast("long")) - 1L) * scale)
+      prep = prep.join(broadcast(ranked), Seq(c), "left")
+      c -> s"__zr_$c"
+    }.toMap
+    def bucket(c: String): org.apache.spark.sql.Column =
+      if (strRank.contains(c)) coalesce(col(strRank(c)), lit(0L))
+      else {
+        val (lo, hi) = mm(c)
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        ((dimd(c) - lo) / span * ((1 << 16) - 1)).cast("long")
+      }
+    val z = graft.operators.ZOrder.zValue3(
+      bucket(dims(0)), bucket(dims(1)), bucket(dims(2)), bitsPer = 16)
+    prep.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      // restore the ORIGINAL column order (the dictionary join moves its
+      // key to the front) — the stored schema must equal the session's
+      .select(df.columns.map(col).toSeq: _*)
+      .write.parquet(path)
+  }
+
+  /** One layout per DIMENSION SET: the slot key sorts the names, so any
+    * permutation of the caller's box finds it.
+    */
+  private[core] def zorder3Slot(dims: Seq[String]): String =
+    "zorder3:" + dims.sorted.mkString(",")
+
+  /** Z-order the session on three columns (time × entity × type is the
+    * canonical events box) and register the layout + its 3-D skipping
+    * index; [[rangeScan3d]] then prunes part files on ALL THREE
+    * dimensions. Durable like the 2-D form (manifest kind "zorder3",
+    * stats sidecar, digest-gated reopen); refresh policy is
+    * rebuild-on-mutation.
+    */
+  def buildZOrdered3Layout(name: String, dims: Seq[String],
+                           files: Int = 16,
+                           idCol: Option[String] = None): String = {
+    require(dims.length == 3 && dims.distinct.length == 3,
+      s"need exactly three distinct dimensions, got $dims")
+    val s = sessionOf(name)
+    val base = Positional.strip(s.current)
+    val (dir, rel) = layoutRoot("catalog_zorder3_")
+    val path = dir + "/zordered3"
+    writeZOrdered3Data(base, dims, files, path)
+    val stats = graft.io.SkippingIndex
+      .build3d(spark, path, dims(0), dims(1), dims(2))
+      .localCheckpoint(true) // manifest-sized; pin so probes don't rescan
+    layouts((name, zorder3Slot(dims))) =
+      ZOrdered3Layout(dims, path, stats, files, s.epoch, idCol = idCol)
+    rel.foreach { r =>
+      stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      persistEntry(LayoutManifestEntry(
+        session = name, slot = zorder3Slot(dims), kind = "zorder3",
+        digest = contentDigest(base, Seq.empty), path = Some(r),
+        groupCols = Some(dims), files = Some(files), keyCol = idCol))
+    }
+    path
+  }
+
+  /** Box predicate scan, layout-routed: a valid 3-D z-ordered layout on
+    * the caller's dimension set (ANY order) serves the conjunctive box
+    * from the Morton-clustered files via the 3-D skipping index — every
+    * dimension prunes; the exact predicate re-applies after pruning, so
+    * answers are byte-identical. An equality predicate is the degenerate
+    * box `lo == hi`. No valid layout → plain filter over the live plan.
+    */
+  def rangeScan3d(name: String, boxes: Seq[(String, Any, Any)]): DataFrame = {
+    require(boxes.length == 3 && boxes.map(_._1).distinct.length == 3,
+      s"need bounds on exactly three distinct columns, got ${boxes.map(_._1)}")
+    val (lay, rep) = decide(name, zorder3Slot(boxes.map(_._1)),
+      _.isInstanceOf[ZOrdered3Layout])
+    recordRoute(rep)
+    def exact(df: DataFrame): DataFrame =
+      boxes.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }
+    lay match {
+      case Some(l: ZOrdered3Layout) =>
+        val byCol = boxes.map(b => b._1 -> (b._2, b._3)).toMap
+        val Seq(cx, cy, cz) = l.cols
+        val files = graft.io.SkippingIndex.candidateFiles3dOpt(l.stats,
+          Some(byCol(cx)._1), Some(byCol(cx)._2),
+          Some(byCol(cy)._1), Some(byCol(cy)._2),
+          Some(byCol(cz)._1), Some(byCol(cz)._2))
+        val base =
+          if (files.isEmpty) spark.read.parquet(l.path).limit(0)
+          else spark.read.parquet(files: _*)
+        exact(base)
+      case _ => exact(Positional.strip(sessionOf(name).current))
+    }
+  }
+
   /** Rectangle predicate scan, layout-routed: a valid z-ordered layout
     * on (session, colX, colY) serves `colX ∈ [loX, hiX] ∧ colY ∈ [loY,
     * hiY]` from the Morton-clustered files via the 2-D skipping index

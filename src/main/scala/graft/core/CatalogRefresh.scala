@@ -417,6 +417,12 @@ trait CatalogRefresh { self: Catalog =>
       buildPairsLayout(name, l.groupCols, l.col); ()
     case l: ZOrderedLayout =>
       buildZOrderedLayout(name, l.colX, l.colY, l.files, l.idCol); ()
+    // the 3-D box is a read-optimized serving layout, rebuilt on any
+    // mutation (refreshSlot's default case routes it here): a 3-D
+    // Morton fold has far less file locality than the 1/2-D legs, so a
+    // DML patch leg would buy little before the rebuild bound anyway
+    case l: ZOrdered3Layout =>
+      buildZOrdered3Layout(name, l.cols, l.files, l.idCol); ()
   }
 
   /** Every current row sharing an id with a touched position, as the

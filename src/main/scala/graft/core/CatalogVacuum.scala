@@ -224,6 +224,7 @@ trait CatalogVacuum { self: Catalog =>
     case p: IvfPqCellLayout => Seq(p.path)
     case p: RangedLayout => Seq(p.path)
     case p: ZOrderedLayout => Seq(p.path)
+    case p: ZOrdered3Layout => Seq(p.path)
     case p: PostingsLayout => Seq(p.path)
     case p: CubeLayout => Seq(p.path)
     case p: SketchLayout => Seq(p.path)
@@ -252,6 +253,9 @@ trait CatalogVacuum { self: Catalog =>
       Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
         .getOrElse(Seq.empty)
     case p: ZOrderedLayout =>
+      Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+    case p: ZOrdered3Layout =>
       Try(p.stats.select("file").collect().map(_.getString(0)).toSeq)
         .getOrElse(Seq.empty)
     case _ => Seq.empty

@@ -897,6 +897,15 @@ class Catalog(private[core] val spark: SparkSession,
               patchedFullRows(base, z.idCol, z.patch)
             },
             () => sqlRouted(slot))
+        case (slot, z: Catalog.ZOrdered3Layout) if z.builtAtEpoch == epoch =>
+          graft.plans.SqlRouting.ZOrder3SqlRoute(z.cols,
+            bs => {
+              val files = graft.io.SkippingIndex.candidateFiles3dOpt(z.stats,
+                bs(0)._1, bs(0)._2, bs(1)._1, bs(1)._2, bs(2)._1, bs(2)._2)
+              if (files.isEmpty) spark.read.parquet(z.path).limit(0)
+              else spark.read.parquet(files: _*)
+            },
+            () => sqlRouted(slot))
     }.toSeq
   }
 
@@ -1115,6 +1124,17 @@ object Catalog {
       stats: DataFrame, files: Int, builtAtEpoch: Long,
       idCol: Option[String] = None,
       patch: Option[LayoutPatch] = None) extends TableLayout
+  /** 3-D Morton clustering (r11 verdict task #8): each file covers a
+    * small (x, y, z) box, so the canonical events predicate — time
+    * window × entity range × type — prunes on all three dimensions.
+    * `cols` is the build order; the slot key sorts the names, so any
+    * permutation of the caller's box serves from the same layout.
+    * Refresh policy: rebuild-on-mutation (no DML patch leg) — the 3-D
+    * box is a read-optimized serving layout, not a DML target.
+    */
+  final case class ZOrdered3Layout(cols: Seq[String], path: String,
+      stats: DataFrame, files: Int, builtAtEpoch: Long,
+      idCol: Option[String] = None) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long,

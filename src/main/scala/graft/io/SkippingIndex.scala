@@ -46,6 +46,37 @@ object SkippingIndex {
         min(col(colY)).as("min_y"), max(col(colY)).as("max_y"),
         count(lit(1)).as("n_rows"))
 
+  /** Three-column stats in ONE scan — the 3-D z-order companion
+    * (r11 verdict task #8). One row per part file:
+    * (file, min_x, max_x, min_y, max_y, min_z, max_z, n_rows).
+    */
+  def build3d(spark: SparkSession, path: String, colX: String,
+              colY: String, colZ: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colX)).as("min_x"), max(col(colX)).as("max_x"),
+        min(col(colY)).as("min_y"), max(col(colY)).as("max_y"),
+        min(col(colZ)).as("min_z"), max(col(colZ)).as("max_z"),
+        count(lit(1)).as("n_rows"))
+
+  /** Files whose (x, y, z) box intersects the caller's box — typed,
+    * optionally-open-sided on every face (same `lit`-comparison contract
+    * as [[candidateFilesOpt]]); an open face prunes on the rest alone.
+    */
+  def candidateFiles3dOpt(stats: DataFrame,
+                          loX: Option[Any], hiX: Option[Any],
+                          loY: Option[Any], hiY: Option[Any],
+                          loZ: Option[Any], hiZ: Option[Any]): Seq[String] = {
+    val conds = loX.map(v => col("max_x") >= lit(v)).toSeq ++
+      hiX.map(v => col("min_x") <= lit(v)) ++
+      loY.map(v => col("max_y") >= lit(v)) ++
+      hiY.map(v => col("min_y") <= lit(v)) ++
+      loZ.map(v => col("max_z") >= lit(v)) ++
+      hiZ.map(v => col("min_z") <= lit(v))
+    conds.reduceOption(_ && _).fold(stats)(stats.filter)
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Files whose (x, y) rectangle intersects [loX, hiX] × [loY, hiY]. */
   def candidateFiles2d(stats: DataFrame, loX: Any, hiX: Any,
                        loY: Any, hiY: Any): Seq[String] =

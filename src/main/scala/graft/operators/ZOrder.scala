@@ -37,4 +37,19 @@ object ZOrder {
     (0 until bitsPer).flatMap { b =>
       Seq(s"((($x >> $b) & 1) << ${2 * b})", s"((($y >> $b) & 1) << ${2 * b + 1})")
     }.mkString(" | ")
+
+  /** 3-D Morton code (r11 verdict task #8): bit b of `x` lands at 3b, of
+    * `y` at 3b+1, of `z` at 3b+2. Default 16 bits per dimension → a
+    * 48-bit non-negative long; bitsPer ≤ 20 keeps the code in 60 bits.
+    * Same unrolled-literal-shift form as [[zValue]] — one codegen'd
+    * expression, no interpreted folds.
+    */
+  def zValue3(x: Column, y: Column, z: Column, bitsPer: Int = 16): Column = {
+    require(bitsPer >= 1 && bitsPer <= 20, "bitsPer in [1,20]")
+    (0 until bitsPer).flatMap { b =>
+      Seq(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 3 * b),
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 3 * b + 1),
+        shiftleft(shiftright(z, b).bitwiseAND(lit(1L)), 3 * b + 2))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
 }

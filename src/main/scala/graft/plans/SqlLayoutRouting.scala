@@ -68,11 +68,21 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRanged(f: Filter, cond: Expression, name: String,
                         sa: SubqueryAlias): Option[Filter] = {
-    // a 2-D layout wins when the predicate bounds BOTH its columns —
-    // it prunes on two dimensions where the ranged layout prunes on one.
-    // Each dimension's bounds resolve in its OWN type (numeric through
-    // the double fold, timestamp/date/string through boundsTyped), so a
-    // time × numeric rectangle routes too (r10 verdict task #7).
+    // most-dimensions-first: a 3-D layout wins when the predicate bounds
+    // all THREE of its columns, a 2-D when it bounds both of its two —
+    // more bounded dimensions = more pruning. Each dimension's bounds
+    // resolve in its OWN type (numeric through the double fold,
+    // timestamp/date/string through boundsTyped), so a time × numeric ×
+    // type box routes too (r11 verdict task #8).
+    val z3Routed = routesFor(spark, name).collectFirst {
+      case r: ZOrder3SqlRoute
+          if r.cols.forall(c => rangeBounds(cond, sa, c).isDefined) =>
+        val bs = r.cols.map(c => rangeBounds(cond, sa, c).get)
+        remap(sa.output, r.pruned(bs).queryExecution.analyzed).map {
+          child => r.onRoute(); f.copy(child = child)
+        }
+    }.flatten
+    if (z3Routed.isDefined) return z3Routed
     val zRouted = routesFor(spark, name).collectFirst {
       case r: ZOrderSqlRoute
           if rangeBounds(cond, sa, r.colX).isDefined &&
@@ -858,6 +868,16 @@ object SqlRouting {
     */
   final case class ZOrderSqlRoute(colX: String, colY: String,
       pruned: (Option[Any], Option[Any], Option[Any], Option[Any]) => DataFrame,
+      onRoute: () => Unit) extends SqlRoute
+
+  /** A 3-D z-ordered layout on `cols` (build order): `pruned` takes one
+    * (lo, hi) pair PER COL, in `cols` order, each side optional — same
+    * keep-the-original-Filter contract as the 1-D/2-D routes. A string
+    * dimension's bounds arrive through the typed matcher (equality is
+    * the degenerate `lo == hi` box).
+    */
+  final case class ZOrder3SqlRoute(cols: Seq[String],
+      pruned: Seq[(Option[Any], Option[Any])] => DataFrame,
       onRoute: () => Unit) extends SqlRoute
 
   /** A materialized aggregate cube on `groupCols` × `measures`:

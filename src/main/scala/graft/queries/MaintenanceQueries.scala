@@ -57,6 +57,23 @@ object MaintenanceQueries {
       c
     }
 
+  /** The 3-D z-ordered events catalog shared by o_catalog_zorder3 /
+    * o_sql_zorder3: time × entity × type, every dimension in its own
+    * type (r11 verdict task #8).
+    */
+  private def zorder3Catalog(s: SparkSession,
+                             dir: String): graft.core.Catalog =
+    SessionScoped.memo(s, s"zorder3Catalog:$dir") {
+      val c = new graft.core.Catalog(s)
+      c.openFrom("ev_z3",
+        Tables.loadEvents(s, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value"),
+        Seq("event_id"))
+      c.buildZOrdered3Layout("ev_z3", Seq("ts", "user_id", "event_type"),
+        files = 16)
+      c
+    }
+
   /** Deterministic changeset for the MERGE queries: every 7th customer gets
     * a balance bump (update), every 50th is re-keyed +1_000_000 (insert).
     */
@@ -953,6 +970,45 @@ object MaintenanceQueries {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    /** TIME × ENTITY × TYPE box through the 3-D z-ordered layout (r11
+      * verdict task #8): events Morton-clustered on all three typed
+      * dimensions — timestamp through its epoch image, the string type
+      * axis through an order-preserving dictionary scaled across the
+      * interleave's full bit width — so the 3-D skipping index prunes
+      * part files on the window, the user range, AND the type equality
+      * (the degenerate box). Pruning stays a performance contract: the
+      * oracle is the plain conjunctive filter.
+      */
+    "o_catalog_zorder3" -> ((s, dir) => {
+      val cat = zorder3Catalog(s, dir)
+      cat.rangeScan3d("ev_z3", Seq(
+          ("ts", java.time.Instant.parse("2024-01-10T00:00:00Z"),
+            java.time.Instant.parse("2024-01-20T00:00:00Z")),
+          ("user_id", 2L, 9L),
+          ("event_type", "click", "purchase")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    /** The same 3-D box as SQL TEXT: the analysis-time rule matches
+      * bounds on all three of the layout's columns — timestamp via the
+      * typed matcher, numeric via the double fold, the string axis via
+      * the typed matcher's equality/range forms — and rewrites onto the
+      * 3-D-pruned file set.
+      */
+    "o_sql_zorder3" -> ((s, dir) => {
+      val cat = zorder3Catalog(s, dir)
+      cat.sql(
+        """SELECT event_type, count(*) AS n
+          |FROM ev_z3
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+          |  AND user_id BETWEEN 2 AND 9
+          |  AND event_type >= 'click' AND event_type <= 'purchase'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     /** Rectangle predicate through the catalog's Z-ORDERED layout
       * ([[graft.core.Catalog.buildZOrderedLayout]] / `rangeScan2d`):
       * lineitem clustered on the Morton interleave of (extendedprice,
@@ -1794,6 +1850,26 @@ object MaintenanceQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         |  AND user_id BETWEEN 2 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // 3-D pruning is a performance contract too: plain conjunctive
+    // filter over all three typed dimensions
+    "o_catalog_zorder3" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id BETWEEN 2 AND 9
+        |  AND event_type >= 'click' AND event_type <= 'purchase'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "o_sql_zorder3" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id BETWEEN 2 AND 9
+        |  AND event_type >= 'click' AND event_type <= 'purchase'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // 2-D pruning is a performance contract: plain conjunctive filter
