@@ -428,13 +428,37 @@ object Bench {
     // order behind a GC + settle window; the recorded min folds that
     // pass in, and the raw settled times land in the JSON so the
     // recording shows which context produced each number.
+    //
+    // The settle measurement itself gets the same min-of-2 protocol the
+    // in-suite passes enjoy — but only when it DISAGREES upward with the
+    // pass-min by >1.2x on a non-trivial workload (r11 verdict task #5:
+    // d_incr_lsh settled 2.20 s against its own 1.39 s in-suite pass —
+    // the reverse-order pass had just run the heavy ingest workloads, so
+    // its single sample measured JVM churn, the mirror image of the
+    // inflation it exists to catch). A genuine standalone cost survives
+    // the retry (the r10-inflated rows' settled values were REAL and a
+    // second sample reproduces them); one-sample churn noise does not.
+    val passMin: Map[String, Double] = results.map { case (k, t1, t2, r) =>
+      k -> (if (r >= 0) math.min(t1, t2) else -1.0)
+    }.toMap
     val settled: Map[String, Double] = workloads(sfDir).reverse.map {
       case (name, fn) =>
-        System.gc()
-        Thread.sleep(200)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        def once(): Double = {
+          System.gc()
+          Thread.sleep(200)
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark); true } catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        val s1 = once()
+        val pm = passMin.getOrElse(name, -1.0)
+        val disagrees = s1 > 0 && pm > 0 && s1 > 1.2 * pm && s1 > 0.5
+        name -> (if (!disagrees) s1 else {
+          System.err.println(f"[bench] settle disagrees on $name " +
+            f"($s1%.3f vs pass-min $pm%.3f) — re-sampling")
+          val s2 = once()
+          if (s2 < 0) s1 else math.min(s1, s2)
+        })
     }.toMap
     val loadAfter = loadAvg1()
 

@@ -78,6 +78,35 @@ object LayoutStore {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CRASH ROLL-FORWARD (r11 verdict task #3): a writer killed inside
+    // stagedWrite's two-metadata-op window leaves `_manifest` ABSENT and
+    // a COMPLETE `_manifest_tmp` behind — the new epoch, fully written,
+    // one rename short of committed. Complete it here (read-repair): the
+    // tmp must parse FAILFAST first, so a half-written tmp (killed
+    // mid-write-job, or a live writer mid-save) never rolls forward —
+    // those degrade exactly as before. If the rename loses a race with
+    // the (still-alive) writer's own rename, fall through to the target
+    // it just committed.
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(manifestPath(warehouse) + "_tmp")
+      if (fs.exists(tmp)) {
+        val recovered = Try {
+          spark.read
+            .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
+            .option("mode", "FAILFAST")
+            .json(tmp.toString)
+            .as[LayoutManifestEntry]
+            .collect()
+            .toSeq
+        }.toOption
+        recovered match {
+          case Some(es) if Try(fs.rename(tmp, p)).getOrElse(false) =>
+            return Some(es)
+          case Some(_) if fs.exists(p) => () // writer won the race; read it
+          case _ => return Some(Nil) // unreadable tmp: degrade as before
+        }
+      }
+    }
     if (!fs.exists(p)) Some(Nil) // absent manifest = fresh warehouse
     else Try {
       spark.read

@@ -15,8 +15,12 @@ class VacuumSpec extends SparkSpec {
   private def newWarehouse(): String =
     java.nio.file.Files.createTempDirectory("graft_whv_").toString
 
+  // dot-files are Hadoop LocalFileSystem checksum siblings (e.g.
+  // `._writer.crc` beside the fencing token) — control plane the Hadoop
+  // listing itself hides, so the census ignores them too
   private def topDirs(wh: String): Set[String] =
-    new java.io.File(wh).listFiles().map(_.getName).toSet
+    new java.io.File(wh).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
 
   private def queryVec(): Seq[Float] =
     Tables.load(spark, sf, "embeddings")
