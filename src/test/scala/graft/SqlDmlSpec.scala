@@ -227,6 +227,46 @@ class SqlDmlSpec extends SparkSpec {
     assert(got == want, "routed scan must equal live after SQL DML cycle")
   }
 
+  test("INSERT OVERWRITE replaces the whole table (structural)") {
+    val cat = new Catalog(spark)
+    cat.open("ow", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("ow").get
+    val rep = cat.sql(
+      "INSERT OVERWRITE ow SELECT r_regionkey + 10, upper(r_name) FROM ow")
+    assert(rep.head().getString(0) == "insert_overwrite")
+    assert(s.rowCount == 5L)
+    val got = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    assert(got.forall(r => r.head.asInstanceOf[Int] >= 10),
+      s"overwrite must replace every row: $got")
+    // positions re-attach densely on the replaced table
+    assert(s.page(0, 5).count() == 5)
+  }
+
+  test("MERGE with a SUBQUERY source re-plans the source text through the view window") {
+    val cat = new Catalog(spark)
+    cat.open("ms", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.open("msn", s"$sf/nation.parquet", orderCols = Seq("n_nationkey"))
+    val s = cat.get("ms").get
+    val rep = cat.sql(
+      """MERGE INTO ms USING (
+        |  SELECT n_nationkey AS k, upper(n_name) AS nm
+        |  FROM msn WHERE n_nationkey < 2) d
+        |ON ms.r_regionkey = d.k
+        |WHEN MATCHED THEN UPDATE SET r_name = d.nm
+        |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+        |  VALUES (d.k + 50, d.nm)""".stripMargin)
+    assert(rep.head().getLong(1) == 2L)
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") < 2)
+      .select(col("n_nationkey"), upper(col("n_name")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val rows = strip(s.current).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(0) == nations(0) && rows(1) == nations(1),
+      "matched rows must take the subquery's computed values")
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
