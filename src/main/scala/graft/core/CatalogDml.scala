@@ -138,10 +138,18 @@ trait CatalogDml { self: Catalog =>
       require(m.matches(), s"cannot locate INSERT source query in: $query")
       m.group(1)
     }
+    require(i.partitionSpec.isEmpty,
+      "INSERT ... PARTITION is not supported against a session (sessions " +
+        "are unpartitioned) — include the partition columns in the query")
     val rows = graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
       spark.sql(srcText)
     }
-    val conformed = simpleConform(rows, schema, i.userSpecifiedCols)
+    // BY NAME maps the query's own output names (null-filling the rest),
+    // exactly like an explicit column list of those names
+    val listed =
+      if (i.byName && i.userSpecifiedCols.isEmpty) rows.columns.toSeq
+      else i.userSpecifiedCols
+    val conformed = simpleConform(rows, schema, listed)
     if (i.overwrite) {
       val n = conformed.count()
       s.replace(Positional.attachPos(conformed))
@@ -186,9 +194,13 @@ trait CatalogDml { self: Catalog =>
     if (hit.size > bound) {
       // corpus-sized: one distributed anti-filter + dense renumber —
       // never a driver-sized position list. Structural (layouts rebuild,
-      // as they would for any oversized delete).
+      // as they would for any oversized delete). The keep-filter is
+      // "cond is not TRUE", never `!cond`: a NULL predicate keeps its
+      // row per SQL DELETE semantics (and per the bounded path, which
+      // only collects TRUE positions).
       val before = s.rowCount
-      s.replace(Positional.renumber(cur.filter(!cond)))
+      s.replace(Positional.renumber(
+        cur.filter(!coalesce(cond, lit(false)))))
       report("delete", before - s.rowCount)
     } else {
       if (hit.nonEmpty) require(s.deleteRows(hit), "DELETE gesture rejected")
@@ -232,7 +244,9 @@ trait CatalogDml { self: Catalog =>
         }
       }
       val touched = cur.filter(cond).count()
-      s.replace(cur.select(sel.toSeq: _*))
+      // a zero-hit statement must not pay (or trigger) anything: the
+      // structural replace would invalidate every layout for a no-op
+      if (touched > 0) s.replace(cur.select(sel.toSeq: _*))
       report("update", touched)
     } else {
       assigns.zipWithIndex.foreach { case ((n, _, _), i) =>
@@ -316,12 +330,16 @@ trait CatalogDml { self: Catalog =>
       .empty[String, Vector[(Long, Any)]]
     collected.foreach { r =>
       val pos = r.getLong(0)
-      require(seen.add(pos),
-        "MERGE cardinality violation: a target row matches more than one " +
-          "source row with an applicable action")
+      // the violation is MODIFYING a target row twice — pairs whose
+      // guard conditions all fail (act = -1) are legal extra matches
+      // per SQL MERGE, so only act >= 0 rows claim the position
       r.getInt(colIdx("__act")) match {
         case -1 => ()
-        case i => acts(i)._2 match {
+        case i =>
+          require(seen.add(pos),
+            "MERGE cardinality violation: a target row matches more " +
+              "than one source row with an applicable action")
+          acts(i)._2 match {
           case MDelete => deleted :+= pos
           case MUpdate(sets) =>
             updatedRows += 1
@@ -419,10 +437,25 @@ trait CatalogDml { self: Catalog =>
       case None =>
         // corpus-sized matched set: distributed CASE-WHEN composition +
         // structural replace (the exact Merge.upsert shape, generalized
-        // to the statement's action list), then distributed inserts
+        // to the statement's action list), then distributed inserts.
+        // Without matched actions the left join would still DUPLICATE a
+        // multi-matched target row — and no action would delete either
+        // copy — so that shape only needs the match FLAG: a semi/anti
+        // split is duplicate-free by construction. With matched actions
+        // the join carries the source values and the cardinality check
+        // below rejects multi-matches outright (stricter than the
+        // bounded path, which can see which pair's guard applies — a
+        // fail-fast, never a silent duplicate).
         val before = s.rowCount
-        val marked = src.withColumn("__m_src", lit(true))
-        val j = tgt.join(marked, onCond, "left")
+        val j =
+          if (mActs.isEmpty)
+            tgt.join(src, onCond, "left_semi")
+              .withColumn("__m_src", lit(true))
+              .unionByName(tgt.join(src, onCond, "left_anti")
+                .withColumn("__m_src", lit(null).cast("boolean")))
+              .as(alias) // the union re-derives attributes; restore the
+                         // qualifier the effect columns resolve against
+          else tgt.join(src.withColumn("__m_src", lit(true)), onCond, "left")
         val isM = col("__m_src").isNotNull
         def chain(acts: Seq[(Column, MTouch)], matched: Column) = acts
           .zipWithIndex.foldRight(lit(-1)) { case (((c, _), i), els) =>
@@ -458,9 +491,20 @@ trait CatalogDml { self: Catalog =>
             "MERGE cardinality violation: a target row matches more than " +
               "one source row")
         }
+        // rows_affected = updates + deletes + inserts, each counted from
+        // its own set (the structural path is rare — two extra count
+        // jobs beat a wrong report): deletes fall out of the row-count
+        // delta of the replace, updates from the action-index columns
+        def isUpd(acts: Seq[(Column, MTouch)], idx: Column) =
+          acts.zipWithIndex.collect {
+            case ((_, MUpdate(_)), i) => idx === i
+          }.foldLeft(lit(false))(_ || _)
+        val updated = j.filter(isUpd(mActs, mIdx) || isUpd(bActs, bIdx))
+          .count()
         s.replace(Positional.renumber(next))
+        val deleted = math.max(0L, before - s.rowCount) // pre-insert delta
         val ins = insertPlans.foldLeft(0L)((n, p) => n + s.appendRows(p))
-        report("merge", math.max(0L, before - s.rowCount) + ins)
+        report("merge", updated + deleted + ins)
     }
   }
 }

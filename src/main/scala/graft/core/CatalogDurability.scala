@@ -131,8 +131,13 @@ trait CatalogDurability { self: Catalog =>
   // makes the takeover explicit — a catalog acquires the token with
   // epoch+1 before its FIRST manifest persist, re-reads it before every
   // later one, and throws the moment another catalog has taken over.
-  // Read-only catalogs (attach, serve, vacuum — both marks and pin
-  // leases merge by design) never touch the token. The acquire is
+  // Read-only catalogs (serve, vacuum — both marks and pin leases merge
+  // by design) never touch the token. Attach is read-only UNLESS it must
+  // reconcile — a diverged reopen or a legacy-entry scalar backfill
+  // persists the reconciled entry, and that IS a write: the reconciling
+  // catalog takes the token like any other writer, and a still-running
+  // previous writer fails fast on its next persist rather than
+  // clobbering the reconciliation. The acquire is
   // read-then-overwrite, not atomic: under a true race both writers may
   // stamp the same epoch, and the loser's NEXT persist still fails fast
   // because its uuid is gone — convergence is what the guard needs, not

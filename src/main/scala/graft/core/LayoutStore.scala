@@ -100,10 +100,14 @@ object LayoutStore {
             .toSeq
         }.toOption
         recovered match {
-          case Some(es) if Try(fs.rename(tmp, p)).getOrElse(false) =>
-            return Some(es)
-          case Some(_) if fs.exists(p) => () // writer won the race; read it
-          case _ => return Some(Nil) // unreadable tmp: degrade as before
+          case Some(es) =>
+            val renamed = Try(fs.rename(tmp, p)).getOrElse(false)
+            // the parsed entries are good regardless of the rename: keep
+            // serving them when the target is still absent (rename
+            // failed for an environment reason); fall through to the
+            // target only when a racing writer just committed it
+            if (renamed || !fs.exists(p)) return Some(es)
+          case None => return Some(Nil) // unreadable tmp: degrade as before
         }
       }
     }
@@ -173,9 +177,14 @@ object LayoutStore {
     // parent, object-store quirks) as `false`, not an exception — and a
     // swallowed false here means the manifest was deleted and never
     // replaced: every durable layout silently goes dormant on the next
-    // reopen. Fail loudly instead.
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"staged rename $tmp -> $target failed; manifest state is at $tmp")
+    // reopen. Fail loudly instead — UNLESS a concurrent reader's crash
+    // roll-forward ([[loadOpt]]) completed OUR commit first: it renames
+    // the very tmp this call just wrote, so a failed rename with the
+    // target present and the tmp gone is a committed write, not a loss.
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.rename(tmpPath, p))
+      require(fs.exists(p) && !fs.exists(tmpPath),
+        s"staged rename $tmp -> $target failed; manifest state is at $tmp")
     ()
   }
 }

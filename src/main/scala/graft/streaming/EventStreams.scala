@@ -430,8 +430,12 @@ object EventStreams {
       // one generation per doc id WITHIN the batch too: the anti-join
       // below only dedups ACROSS batches, so a doc re-delivered twice
       // in one micro-batch would otherwise double-count nDocs/avgdl and
-      // its postings. Keep the last-arriving row per id (arrival order
-      // via monotonically_increasing_id over the batch).
+      // its postings. Keep the last-arriving row per id — arrival order
+      // via monotonically_increasing_id, which is EXACT here because
+      // maintainVersioned feeds one FILE per micro-batch
+      // (maxFilesPerTrigger=1) and a single file's splits are ordered by
+      // offset; a multi-file batch would order by partition index, not
+      // delivery, and would need an explicit sequence column instead.
       val batch = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("__arr").desc)

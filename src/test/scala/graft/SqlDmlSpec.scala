@@ -267,6 +267,115 @@ class SqlDmlSpec extends SparkSpec {
       "matched rows must take the subquery's computed values")
   }
 
+  test("corpus-sized DELETE keeps rows whose predicate is NULL (SQL semantics, both paths)") {
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(8))
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("flag",
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("int"))
+          .otherwise((col("o_orderkey") % 3).cast("int")))
+    cat.openFrom("dn", base, orderCols = Seq("o_orderkey"))
+    val s = cat.get("dn").get
+    val nullRows = base.filter(col("flag").isNull).count()
+    val hits = base.filter(col("flag") > 0).count()
+    assert(nullRows > 0 && hits > 8, "fixture needs NULLs and an oversized hit set")
+    cat.sql("DELETE FROM dn WHERE flag > 0")
+    assert(s.rowCount == base.count() - hits,
+      "only TRUE-predicate rows delete; NULL-predicate rows stay")
+    assert(strip(s.current).filter(col("flag").isNull).count() == nullRows)
+  }
+
+  test("structural MERGE with only NOT-MATCHED-BY-SOURCE actions never duplicates a multi-matched row") {
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(8))
+    cat.open("mm", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("mm").get
+    val before = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    // source matches region 0 TWICE and regions 1..3 once; forcing the
+    // structural path via the tiny delta bound needs >8 touched rows, so
+    // delete-by-source hits nothing here — use a big bySource set instead
+    val src = spark.createDataFrame(Seq(
+      (0, "a"), (0, "b"), (1, "c"), (2, "d"), (3, "e"))).toDF("k", "x")
+    cat.openFrom("mmsrc", src, orderCols = Seq("k", "x"))
+    // bounded path sanity first (bySource touches only region 4)
+    cat.sql("""MERGE INTO mm USING mmsrc ON mm.r_regionkey = mmsrc.k
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE
+              |  SET r_name = concat(r_name, '!')""".stripMargin)
+    val after = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    assert(after.size == before.size,
+      s"multi-matched rows must never duplicate: $after")
+    assert(after.count(_.apply(1).asInstanceOf[String].endsWith("!")) == 1)
+
+    // now FORCE the structural path: a fresh catalog with bound 0 is not
+    // possible (clamped >= ?), so grow the bySource set instead — every
+    // orders row is not-matched-by-source against a tiny source
+    val cat2 = new Catalog(spark, None, deltaMaxRowsOverride = Some(8))
+    cat2.open("mo", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s2 = cat2.get("mo").get
+    val n0 = s2.rowCount
+    val dupSrc = spark.createDataFrame(Seq(
+      (1L, "x"), (1L, "y"))).toDF("k", "x") // o_orderkey 1 matched TWICE
+    cat2.openFrom("mosrc", dupSrc, orderCols = Seq("k", "x"))
+    val rep = cat2.sql(
+      """MERGE INTO mo USING mosrc ON mo.o_orderkey = mosrc.k
+        |WHEN NOT MATCHED BY SOURCE AND o_orderkey % 2 = 0 THEN UPDATE
+        |  SET o_orderstatus = 'M'""".stripMargin)
+    assert(s2.rowCount == n0,
+      "the structural semi/anti split must not duplicate the twice-matched row")
+    assert(strip(s2.current).filter(col("o_orderkey") === 1L).count() == 1L)
+    val expectUpd = strip(s2.current)
+      .filter(col("o_orderkey") =!= 1L && col("o_orderkey") % 2 === 0).count()
+    assert(strip(s2.current).filter(col("o_orderstatus") === "M").count() ==
+      expectUpd)
+    assert(rep.head().getLong(1) == expectUpd,
+      "structural rows_affected must count the updates")
+  }
+
+  test("bounded MERGE multi-match is legal while at most one pair's guard applies") {
+    val cat = new Catalog(spark)
+    cat.open("mg", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val src = spark.createDataFrame(Seq(
+      (0, "U", "zero-new"), (0, "skip", "ignored"),
+      (1, "skip", "ignored"), (1, "skip2", "ignored2")))
+      .toDF("k", "op", "nm")
+    cat.openFrom("mgsrc", src, orderCols = Seq("k", "op"))
+    // region 0: two matches, ONE applicable → deterministic update;
+    // region 1: two matches, NONE applicable → untouched, no violation
+    val rep = cat.sql(
+      """MERGE INTO mg USING mgsrc ON mg.r_regionkey = mgsrc.k
+        |WHEN MATCHED AND mgsrc.op = 'U' THEN UPDATE SET r_name = mgsrc.nm""".stripMargin)
+    assert(rep.head().getLong(1) == 1L)
+    val s = cat.get("mg").get
+    assert(strip(s.current).filter(col("r_regionkey") === 0)
+      .head().getString(1) == "zero-new")
+    // ... but two APPLICABLE pairs on one row still violate
+    val dup = spark.createDataFrame(Seq((2, "U", "a"), (2, "U", "b")))
+      .toDF("k", "op", "nm")
+    cat.openFrom("mgdup", dup, orderCols = Seq("k", "nm"))
+    val e = intercept[Exception] {
+      cat.sql("""MERGE INTO mg USING mgdup ON mg.r_regionkey = mgdup.k
+                |WHEN MATCHED AND mgdup.op = 'U' THEN UPDATE SET r_name = mgdup.nm""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"))
+  }
+
+  test("a zero-hit complex-typed UPDATE is a no-op: no structural replace, layouts stay valid") {
+    val cat = new Catalog(spark)
+    val base = spark.read.parquet(s"$sf/region.parquet")
+      .withColumn("tags", array(col("r_name")))
+    cat.openFrom("zh", base, orderCols = Seq("r_regionkey"))
+    cat.buildRangedLayout("zh", "r_regionkey", files = 2,
+      idCol = Some("r_regionkey"))
+    val s = cat.get("zh").get
+    val epoch0 = s.epoch
+    val rep = cat.sql(
+      "UPDATE zh SET tags = array('x') WHERE r_regionkey = -42")
+    assert(rep.head().getLong(1) == 0L)
+    assert(s.epoch == epoch0,
+      "a zero-hit UPDATE must not mutate the session or invalidate layouts")
+    assert(cat.explainRoute("zh", "range:r_regionkey").reason == "routed")
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
