@@ -98,6 +98,8 @@ trait CatalogDurability { self: Catalog =>
       (col(e.idCol.get), Seq.empty) // full rows: hash every column
     case "zorder" if e.keyCol.isDefined =>
       (col(e.keyCol.get), Seq.empty)
+    case "zorder3" if e.keyCol.isDefined =>
+      (col(e.keyCol.get), Seq.empty)
     case other =>
       throw new IllegalStateException(s"no row signature for '$other'")
   }
@@ -288,18 +290,22 @@ trait CatalogDurability { self: Catalog =>
       case "sketch" =>
         sketchRows(rows, e.groupCols.get, e.valueCol.get, e.n.get)
       case "pairs" => pairsRows(rows, e.groupCols.get, e.valueCol.get)
-      case "range" | "zorder" =>
+      case "range" | "zorder" | "zorder3" =>
         // full rows ARE the add-leg; the serve-side union needs the
         // reopened schema to equal the stored one (a drifted schema
         // would fail lazily at serve time — decline eagerly instead)
-        val sub = if (e.kind == "range") "ranged" else "zordered"
+        val sub = e.kind match {
+          case "range" => "ranged"
+          case "zorder" => "zordered"
+          case _ => "zordered3"
+        }
         require(spark.read.parquet(s"$wh/${e.path.get}/$sub")
           .columns.toSet == base.columns.toSet, "schema drift")
         rows
     }
     val keyName = e.kind match {
       case "range" => e.idCol.get
-      case "zorder" => e.keyCol.get
+      case "zorder" | "zorder3" => e.keyCol.get
       case _ => "id"
     }
     val patch = mergedPatch(changed.map(_.get(0)), None, add0, keyName).get
@@ -408,7 +414,7 @@ trait CatalogDurability { self: Catalog =>
         // groupCols carries the three build-order dimensions
         ZOrdered3Layout(e.groupCols.get,
           s"$wh/${e.path.get}/zordered3", stats, e.files.get, epoch,
-          idCol = e.keyCol)
+          idCol = e.keyCol, patch = patch)
     }
   }.toOption
 

@@ -472,6 +472,7 @@ trait CatalogLayouts { self: Catalog =>
       ZOrdered3Layout(dims, path, stats, files, s.epoch, idCol = idCol)
     rel.foreach { r =>
       stats.write.parquet(dir + "/stats") // file-count-sized sidecar
+      idCol.foreach(id => writeRowSig(base, dir, col(id), Seq.empty))
       persistEntry(LayoutManifestEntry(
         session = name, slot = zorder3Slot(dims), kind = "zorder3",
         digest = contentDigest(base, Seq.empty), path = Some(r),
@@ -508,7 +509,9 @@ trait CatalogLayouts { self: Catalog =>
         val base =
           if (files.isEmpty) spark.read.parquet(l.path).limit(0)
           else spark.read.parquet(files: _*)
-        exact(base)
+        // DML patch composes before the exact box predicate: the
+        // add-leg is never pruned, shadowed base rows never serve
+        exact(patchedFullRows(base, l.idCol, l.patch))
       case _ => exact(Positional.strip(sessionOf(name).current))
     }
   }

@@ -180,6 +180,10 @@ trait CatalogRefresh { self: Catalog =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
           (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
+      case p: ZOrdered3Layout =>
+        fullRow(p.idCol, p.path,
+          () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
+          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -199,6 +203,7 @@ trait CatalogRefresh { self: Catalog =>
     val (id, stats, oldPatch) = l match {
       case r: RangedLayout => (r.idCol.get, r.stats, r.patch)
       case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
+      case z: ZOrdered3Layout => (z.idCol.get, z.stats, z.patch)
       case _ => return
     }
     val changed = touchedRows(s, pos, id, Seq.empty).getOrElse {
@@ -221,6 +226,8 @@ trait CatalogRefresh { self: Catalog =>
           case r: RangedLayout =>
             r.copy(builtAtEpoch = s.epoch, patch = Some(patch))
           case z: ZOrderedLayout =>
+            z.copy(builtAtEpoch = s.epoch, patch = Some(patch))
+          case z: ZOrdered3Layout =>
             z.copy(builtAtEpoch = s.epoch, patch = Some(patch))
           case other => other
         }
@@ -276,6 +283,7 @@ trait CatalogRefresh { self: Catalog =>
     val stats = l match {
       case r: RangedLayout => r.stats
       case z: ZOrderedLayout => z.stats
+      case z: ZOrdered3Layout => z.stats
       case _ => return false
     }
     // stable driver-side census of the base files (manifest-sized)
@@ -311,6 +319,18 @@ trait CatalogRefresh { self: Catalog =>
               anyCmp(y, sr.getAs[Any]("max_y")) <= 0)
             .getOrElse(statsRows.head).getAs[String]("file")
         }
+      case z: ZOrdered3Layout =>
+        val idxs = z.cols.map(legs.schema.fieldIndex)
+        val los = Seq("min_x", "min_y", "min_z")
+        val his = Seq("max_x", "max_y", "max_z")
+        row => {
+          val vs = idxs.map(row.get)
+          statsRows.find(sr => vs.indices.forall { d =>
+            vs(d) != null &&
+              anyCmp(sr.getAs[Any](los(d)), vs(d)) <= 0 &&
+              anyCmp(vs(d), sr.getAs[Any](his(d))) <= 0
+          }).getOrElse(statsRows.head).getAs[String]("file")
+        }
       case _ => return false
     }
     require(!legs.removed.contains(null),
@@ -330,6 +350,8 @@ trait CatalogRefresh { self: Catalog =>
       layouts((name, slot)) = l match {
         case r: RangedLayout => r.copy(builtAtEpoch = s.epoch, patch = None)
         case z: ZOrderedLayout =>
+          z.copy(builtAtEpoch = s.epoch, patch = None)
+        case z: ZOrdered3Layout =>
           z.copy(builtAtEpoch = s.epoch, patch = None)
         case other => other
       }
@@ -367,6 +389,13 @@ trait CatalogRefresh { self: Catalog =>
           math.max(1, rewrite.size), dd)
         (d, rl, dd,
           graft.io.SkippingIndex.build2d(spark, dd, z.colX, z.colY))
+      case z: ZOrdered3Layout =>
+        val (d, rl) = layoutRoot("catalog_zorder3_pc_")
+        val dd = d + "/zordered3"
+        if (mergedEmpty) merged.coalesce(1).write.parquet(dd)
+        else writeZOrdered3Data(merged, z.cols, math.max(1, rewrite.size), dd)
+        (d, rl, dd, graft.io.SkippingIndex.build3d(spark, dd,
+          z.cols(0), z.cols(1), z.cols(2)))
       case _ => return false
     }
     val newStats = stats
@@ -378,6 +407,9 @@ trait CatalogRefresh { self: Catalog =>
         r.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
           patch = None)
       case z: ZOrderedLayout =>
+        z.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
+          patch = None)
+      case z: ZOrdered3Layout =>
         z.copy(builtAtEpoch = s.epoch, path = dataDir, stats = newStats,
           patch = None)
       case other => other
@@ -417,10 +449,6 @@ trait CatalogRefresh { self: Catalog =>
       buildPairsLayout(name, l.groupCols, l.col); ()
     case l: ZOrderedLayout =>
       buildZOrderedLayout(name, l.colX, l.colY, l.files, l.idCol); ()
-    // the 3-D box is a read-optimized serving layout, rebuilt on any
-    // mutation (refreshSlot's default case routes it here): a 3-D
-    // Morton fold has far less file locality than the 1/2-D legs, so a
-    // DML patch leg would buy little before the rebuild bound anyway
     case l: ZOrdered3Layout =>
       buildZOrdered3Layout(name, l.cols, l.files, l.idCol); ()
   }

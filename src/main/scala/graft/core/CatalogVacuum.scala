@@ -239,6 +239,7 @@ trait CatalogVacuum { self: Catalog =>
     case p: IvfPqCellLayout => p.patch
     case p: RangedLayout => p.patch
     case p: ZOrderedLayout => p.patch
+    case p: ZOrdered3Layout => p.patch
     case p: LshIndexLayout => p.patch
     case p: PostingsLayout => p.patch
     case p: CubeLayout => p.patch

@@ -902,8 +902,10 @@ class Catalog(private[core] val spark: SparkSession,
             bs => {
               val files = graft.io.SkippingIndex.candidateFiles3dOpt(z.stats,
                 bs(0)._1, bs(0)._2, bs(1)._1, bs(1)._2, bs(2)._1, bs(2)._2)
-              if (files.isEmpty) spark.read.parquet(z.path).limit(0)
-              else spark.read.parquet(files: _*)
+              val base =
+                if (files.isEmpty) spark.read.parquet(z.path).limit(0)
+                else spark.read.parquet(files: _*)
+              patchedFullRows(base, z.idCol, z.patch)
             },
             () => sqlRouted(slot))
     }.toSeq
@@ -1129,12 +1131,15 @@ object Catalog {
     * window × entity range × type — prunes on all three dimensions.
     * `cols` is the build order; the slot key sorts the names, so any
     * permutation of the caller's box serves from the same layout.
-    * Refresh policy: rebuild-on-mutation (no DML patch leg) — the 3-D
-    * box is a read-optimized serving layout, not a DML target.
+    * With an `idCol` the layout is DML-patchable exactly like the 1-D/
+    * 2-D clustered forms (id-shadow + unclustered add-leg, file-local
+    * partial compaction past the bound); without one it rebuilds on any
+    * mutation.
     */
   final case class ZOrdered3Layout(cols: Seq[String], path: String,
       stats: DataFrame, files: Int, builtAtEpoch: Long,
-      idCol: Option[String] = None) extends TableLayout
+      idCol: Option[String] = None,
+      patch: Option[LayoutPatch] = None) extends TableLayout
   final case class LshIndexLayout(idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, index: DataFrame,
       builtAtEpoch: Long,

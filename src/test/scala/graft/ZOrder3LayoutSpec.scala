@@ -154,6 +154,83 @@ class ZOrder3LayoutSpec extends SparkSpec {
       "vacuum must keep the attached layout's dirs")
   }
 
+  test("with an idCol the 3-D layout DML-patches: base files byte-identical, scans exact") {
+    val cat = new Catalog(spark)
+    cat.openFrom("ev3m", events, orderCols = Seq("event_id"))
+    cat.buildZOrdered3Layout("ev3m", Seq("ts", "user_id", "value"),
+      files = 16, idCol = Some("event_id"))
+    def layout = cat.layoutsOf("ev3m").collectFirst {
+      case (_, z: Catalog.ZOrdered3Layout) => z
+    }.get
+    val built = layout
+    def baseFiles = new java.io.File(built.path).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    val files0 = baseFiles
+    val s = cat.get("ev3m").get
+    val boxes = Seq[(String, Any, Any)](
+      ("ts", tsLo, tsHi), ("user_id", 2L, 9L), ("value", 10.0, 60.0))
+    def check(): Unit = {
+      val got = cat.rangeScan3d("ev3m", boxes)
+      assert(got.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+        live(Positional.strip(s.current), boxes)
+          .orderBy("event_id").collect().map(_.toSeq).toSeq)
+    }
+    // cell edit into the box → patch, not re-cluster
+    assert(s.setCells("value", Seq(0L -> "42.0", 1L -> "43.0")))
+    assert(cat.refreshStale("ev3m").nonEmpty)
+    assert(layout.path == built.path && layout.patch.isDefined,
+      "a bounded edit must DML-patch the 3-D layout")
+    assert(baseFiles == files0, "base files must never rewrite")
+    check()
+    assert(cat.recentRoutes.last.reason == "routed")
+    // row delete → still a patch, deleted id never serves
+    val deadId = s.current.filter(col(Positional.POS) === 2L)
+      .select("event_id").head().getLong(0)
+    assert(s.deleteRow(2L))
+    assert(cat.refreshStale("ev3m").nonEmpty)
+    assert(layout.path == built.path && baseFiles == files0)
+    assert(cat.rangeScan3d("ev3m", Seq[(String, Any, Any)](
+        ("ts", tsLo, tsHi), ("user_id", 0L, 99L), ("value", -1e9, 1e9)))
+      .filter(col("event_id") === deadId).count() == 0L)
+    check()
+  }
+
+  test("past the merge bound the 3-D layout folds file-locally, like its 1/2-D siblings") {
+    val cat = new Catalog(spark, None, deltaMaxRowsOverride = Some(2))
+    cat.openFrom("ev3c", events, orderCols = Seq("event_id"))
+    cat.buildZOrdered3Layout("ev3c", Seq("ts", "user_id", "value"),
+      files = 8, idCol = Some("event_id"))
+    def layout = cat.layoutsOf("ev3c").collectFirst {
+      case (_, z: Catalog.ZOrdered3Layout) => z
+    }.get
+    val built = layout
+    val s = cat.get("ev3c").get
+    // nine 2-row edit cycles of a NON-dimension column cross the 8x bound
+    (0 until 18).grouped(2).foreach { pair =>
+      assert(s.setCells("event_type", pair.map(p => p.toLong -> "Q")))
+      assert(cat.refreshStale("ev3c").nonEmpty)
+    }
+    val pc = layout
+    assert(pc.patch.isEmpty, "compaction must fold the patch away")
+    assert(pc.path != built.path && pc.path.contains("catalog_zorder3_pc_"),
+      s"the fold must write a fresh merge dir; path=${pc.path}")
+    assert(cat.explainRoute("ev3c",
+      "zorder3:ts,user_id,value").reason == "routed")
+    val wide = java.sql.Timestamp.from(
+      java.time.Instant.parse("2000-01-01T00:00:00Z"))
+    val wideHi = java.sql.Timestamp.from(
+      java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    val box = Seq[(String, Any, Any)](
+      ("ts", wide, wideHi), ("user_id", 0L, 999999L), ("value", -1e9, 1e9))
+    val all = cat.rangeScan3d("ev3c", box)
+    assert(all.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+      live(Positional.strip(s.current), box)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq)
+    assert(all.filter(col("event_type") === "Q").count() == 18L,
+      "the folded edits must serve their new values")
+  }
+
   test("SQL text: a three-dimension WHERE routes onto the pruned 3-D file set") {
     val cat = new Catalog(spark)
     cat.openFrom("ev3q", events, orderCols = Seq("event_id"))
