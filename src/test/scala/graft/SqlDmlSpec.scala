@@ -376,6 +376,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(cat.explainRoute("zh", "range:r_regionkey").reason == "routed")
   }
 
+  test("UPDATE with a scalar-subquery assignment resolves through the view window") {
+    val cat = new Catalog(spark)
+    cat.open("us", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.open("usn", s"$sf/nation.parquet", orderCols = Seq("n_nationkey"))
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .agg(max("n_name")).head().getString(0)
+    val rep = cat.sql(
+      """UPDATE us SET r_name = (SELECT max(n_name) FROM usn)
+        |WHERE r_regionkey = 0""".stripMargin)
+    assert(rep.head().getLong(1) == 1L)
+    val s = cat.get("us").get
+    assert(strip(s.current).filter(col("r_regionkey") === 0)
+      .head().getString(1) == want)
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))

@@ -66,6 +66,35 @@ class SqlTimeTravelSpec extends SparkSpec {
       "the pinned route must read the layout's part files")
   }
 
+  test("an aggregate over VERSION AS OF routes through the PINNED cube — no fact scan, pre-edit digits") {
+    val cat = new Catalog(spark)
+    cat.open("ttc", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("ttc", Seq("l_returnflag"), Seq("l_quantity"))
+    val q = (view: String) =>
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+         |    AS DOUBLE) AS sum_qty
+         |FROM $view GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val pre = cat.sql(q("ttc")).collect().map(_.toSeq).toSeq
+    val epoch = cat.pin("ttc")
+    // mutate + refresh: the LIVE cube moves on
+    val s = cat.get("ttc").get
+    assert(s.setCell(0L, "l_quantity", "9999.0"))
+    assert(cat.refreshStale("ttc").nonEmpty)
+    val pinnedQ = cat.sql(q(s"ttc VERSION AS OF $epoch"))
+    val p = pinnedQ.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the pinned aggregate must re-merge the PINNED cube, never scan " +
+        s"the fact table; plan:\n$p")
+    assert(cat.recentRoutes.exists(r => r.decision == "layout" &&
+      r.reason == "sql-pinned" && r.slot.startsWith("cube:")))
+    assert(pinnedQ.collect().map(_.toSeq).toSeq == pre,
+      "the pinned route must serve the pre-edit digits")
+    assert(cat.sql(q("ttc")).collect().map(_.toSeq).toSeq != pre,
+      "the live route must serve the post-refresh digits")
+  }
+
   test("VERSION AS OF an unpinned epoch fails fast") {
     val cat = new Catalog(spark)
     cat.open("ttu", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
