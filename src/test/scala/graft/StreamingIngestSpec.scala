@@ -196,4 +196,47 @@ class StreamingIngestSpec extends SparkSpec {
     assert(served.collect().map(_.getLong(0)).contains(100L),
       "the appended vector must be findable through the patched codes")
   }
+
+  test("streamed event appends delta-patch the 3-D z-ordered box; routed scans see them") {
+    val ev = Tables.loadEvents(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("st_ingest_z3_").toString
+    val head = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+    head.coalesce(1).write.parquet(s"$scratch/head")
+    (1 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$scratch/feed")
+      Thread.sleep(20)
+    }
+    val cat = new Catalog(spark)
+    cat.openFrom("ingz3", spark.read.parquet(s"$scratch/head"),
+      Seq("event_id"))
+    cat.buildZOrdered3Layout("ingz3", Seq("ts", "user_id", "value"),
+      files = 8, idCol = Some("event_id"))
+    val built = cat.layoutsOf("ingz3").collectFirst {
+      case (_, z: Catalog.ZOrdered3Layout) => z
+    }.get
+    val n = EventStreams.appendMaintain(spark, s"$scratch/feed", cat,
+      "ingz3", "st_ingest_z3")
+    assert(n == ev.count() - head.count())
+    val after = cat.layoutsOf("ingz3").collectFirst {
+      case (_, z: Catalog.ZOrdered3Layout) => z
+    }.get
+    assert(after.path == built.path && after.patch.isDefined,
+      "streamed appends must delta-patch the 3-D layout, never rebuild")
+    val box = Seq[(String, Any, Any)](
+      ("ts", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-10T00:00:00Z")),
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-20T00:00:00Z"))),
+      ("user_id", 2L, 9L), ("value", 10.0, 60.0))
+    val got = cat.rangeScan3d("ingz3", box)
+    assert(cat.recentRoutes.last.reason == "routed")
+    assert(got.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+      box.foldLeft(ev) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+      }.orderBy("event_id").collect().map(_.toSeq).toSeq,
+      "the patched 3-D box must serve the full ingested stream")
+  }
 }
