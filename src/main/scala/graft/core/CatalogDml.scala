@@ -159,9 +159,16 @@ trait CatalogDml { self: Catalog =>
 
   /** Non-RDD conform (keeps the plan lazy for appendRows): rename
     * positionally / by list, null-fill unlisted, cast to session types.
+    * Listed names resolve CASE-INSENSITIVELY against the session schema
+    * (Spark's default resolution — `INSERT ... BY NAME SELECT 1 AS FLAG`
+    * must hit a `flag` column exactly as it would against any table) and
+    * are canonicalized to the schema's spelling before the mapping.
     */
   private def simpleConform(rows: DataFrame, schema: StructType,
-                            listed: Seq[String]): DataFrame = {
+                            listed0: Seq[String]): DataFrame = {
+    def canon(c: String): Option[String] =
+      schema.map(_.name).find(_.equalsIgnoreCase(c))
+    val listed = listed0.map(c => canon(c).getOrElse(c))
     val named =
       if (listed.isEmpty) {
         require(rows.columns.length == schema.length,

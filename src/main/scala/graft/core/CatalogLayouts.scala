@@ -452,8 +452,11 @@ trait CatalogLayouts { self: Catalog =>
     * canonical events box) and register the layout + its 3-D skipping
     * index; [[rangeScan3d]] then prunes part files on ALL THREE
     * dimensions. Durable like the 2-D form (manifest kind "zorder3",
-    * stats sidecar, digest-gated reopen); refresh policy is
-    * rebuild-on-mutation.
+    * stats sidecar, digest-gated reopen). With an `idCol` the layout is
+    * DML-patchable like its 1-D/2-D siblings (id-shadow + add-leg,
+    * file-local partial compaction past the bound, diverged-reopen
+    * patching from the row-sig sidecar); without one it rebuilds on any
+    * mutation.
     */
   def buildZOrdered3Layout(name: String, dims: Seq[String],
                            files: Int = 16,

@@ -84,6 +84,21 @@ trait CatalogSnapshots { self: Catalog =>
   def snapshotAsOf(name: String, epoch: Long): DataFrame =
     Positional.strip(pinOf(name, epoch).plan)
 
+  /** Roll the session BACK to a pinned epoch — the rollback a bad
+    * deploy/ingest needs once pins exist (Delta's RESTORE, typed). The
+    * pinned plan replaces the live table as a STRUCTURAL gesture: the
+    * mutation log records no recoverable delta (the rollback may cross
+    * many epochs), so every layout rebuilds on the next refresh; the
+    * pinned layouts themselves keep serving the pin until then, and the
+    * pin stays valid — restore does not consume it, so a wrong rollback
+    * can itself be rolled back.
+    */
+  def restore(name: String, epoch: Long): Unit = {
+    val sn = pinOf(name, epoch)
+    sessionOf(name).replace(sn.plan) // plan carries __pos — positions
+                                     // are the pinned epoch's, dense
+  }
+
   private[core] def pinOf(name: String, epoch: Long): Snapshot =
     pins.getOrElse((name, epoch), throw new NoSuchElementException(
       s"no pinned snapshot of '$name' at epoch $epoch"))

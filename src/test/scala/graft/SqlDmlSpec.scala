@@ -376,6 +376,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(cat.explainRoute("zh", "range:r_regionkey").reason == "routed")
   }
 
+  test("INSERT column lists and BY NAME resolve case-insensitively, like any Spark table") {
+    val cat = new Catalog(spark)
+    cat.open("ci", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.sql("INSERT INTO ci (R_NAME, R_REGIONKEY) VALUES ('MU', 77)")
+    cat.sql("INSERT INTO ci BY NAME SELECT 'YS' AS R_Name, 78 AS r_RegionKey")
+    val s = cat.get("ci").get
+    val got = strip(s.current).filter(col("r_regionkey") >= 77)
+      .orderBy("r_regionkey").collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq(77, "MU"), Seq(78, "YS")),
+      s"mixed-case names must hit the session's columns: $got")
+  }
+
   test("UPDATE with a scalar-subquery assignment resolves through the view window") {
     val cat = new Catalog(spark)
     cat.open("us", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
