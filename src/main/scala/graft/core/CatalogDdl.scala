@@ -1,0 +1,316 @@
+package graft.core
+
+import scala.util.Try
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.DataType
+
+/** SQL DDL text surface (r12 verdict task #2): `CREATE TABLE ... AS
+  * SELECT`, `ALTER TABLE ADD/DROP/RENAME COLUMN`, and `DROP TABLE`
+  * against the SESSION namespace route through the existing typed
+  * gestures — [[Catalog.openFrom]], [[EditorSession.insertColumnAt]],
+  * [[EditorSession.dropColumnAt]], [[EditorSession.renameColumn]],
+  * [[Catalog.close]] — completing the SQL lifecycle: after DML (r11)
+  * and time travel (r11/r12), a SQL-only user could read, mutate, and
+  * rewind a session but not create, evolve, or drop one.
+  *
+  * Namespace rule, same as DML: a SINGLE-PART table name inside
+  * [[Catalog.sql]] belongs to the session namespace. CTAS with a
+  * single-part name opens a session over the (routed) query result;
+  * ALTER/DROP against a single-part OPEN session name applies the
+  * gesture. Multipart names, and ALTER/DROP of names that are not open
+  * sessions, fall through to Spark's ordinary path (real catalogs keep
+  * working; unknown names raise Spark's own errors).
+  *
+  * Scale law: CTAS never materializes on the driver — [[Catalog
+  * .openFrom]] binds the analyzed plan itself (position pinning is the
+  * session's ordinary lazy machinery). Column add/rename log a
+  * zero-position [[EditorSession]] CellEdits delta, so layouts not
+  * referencing the touched column revalidate with ZERO IO on the next
+  * refresh (pinned by SqlDdlSpec); column drop is structural, exactly
+  * like the typed gesture.
+  */
+trait CatalogDdl { self: Catalog =>
+
+  /** Fast pre-screen: only texts that can possibly be DDL pay a parse. */
+  private[core] def looksLikeDdl(query: String): Boolean = {
+    val t = query.trim
+    val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
+    head == "CREATE" || head == "ALTER" || head == "DROP"
+  }
+
+  // ---- materialized views (r12 verdict task #8) ----------------------------
+  // `CREATE MATERIALIZED VIEW mv AS SELECT g…, agg… FROM s GROUP BY g…`
+  // does two things: (1) INFERS and builds the at-rest layouts that can
+  // serve the body — a cube for the canonical-sum/count/min/max leaves,
+  // a pairs layout per count(DISTINCT y) — and (2) registers `mv` as a
+  // named view whose body text re-plans through the routed read path on
+  // every [[Catalog.sql]] call that mentions it. Correctness never
+  // depends on the inference: the body text is the contract, and a leaf
+  // the layouts can't serve simply plans live ([[graft.plans
+  // .SqlLayoutRouting]]'s refusal law). Maintenance is the ordinary
+  // refresh law — DML delta-patches the cube/pairs, and the next read
+  // of `mv` serves the patched layout (pinned by SqlDdlSpec).
+  // Spark's parser has no MATERIALIZED VIEW syntax, so the statement is
+  // recognized textually before the parse.
+
+  private[core] val mvs =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private val mvCreate = java.util.regex.Pattern.compile(
+    "(?is)^\\s*create\\s+materialized\\s+view\\s+([A-Za-z_][\\w]*)\\s+as\\s+(.+)$")
+  private val mvDrop = java.util.regex.Pattern.compile(
+    "(?is)^\\s*drop\\s+materialized\\s+view\\s+(if\\s+exists\\s+)?([A-Za-z_][\\w]*)\\s*$")
+
+  /** The registered materialized views this statement references —
+    * their views must be materialized into the temp-view window before
+    * the statement plans ([[Catalog.sql]] calls this).
+    */
+  private[core] def mvsReferenced(query: String): Seq[String] =
+    // mv DDL statements manage the registry; they never read the view
+    if (mvCreate.matcher(query).matches() ||
+        mvDrop.matcher(query).matches()) Nil
+    else mvs.keys.filter(n => java.util.regex.Pattern
+      .compile("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
+      .matcher(query).find()).toSeq
+
+  /** Plan one registered mv body through the routed read path (must run
+    * inside the view window).
+    */
+  private[core] def mvPlan(name: String): DataFrame =
+    graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+      spark.sql(mvs(name))
+    }
+
+  private def runCreateMv(name: String, body: String): DataFrame = {
+    require(!sessions.contains(name) && !mvs.contains(name),
+      s"name '$name' is already a session or materialized view")
+    // infer the serving layouts from the ANALYZED body (we are inside
+    // the view window, so session names resolve): the aggregate's
+    // grouping columns + measure references become a cube, each
+    // count(DISTINCT y) a pairs layout — built over the session the
+    // aggregate directly reads. A body the inference doesn't recognize
+    // (joins, no aggregate) still registers; it just serves live.
+    val analyzed = graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+      spark.sql(body)
+    }.queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    analyzed.collectFirst { case a: Aggregate => a }.foreach { agg =>
+      // the session the aggregate reads: the child's subquery alias
+      val target = agg.child.collect {
+        case sa: SubqueryAlias if sessions.contains(sa.identifier.name) =>
+          sa.identifier.name
+      }.headOption
+      target.foreach { t =>
+        val groupCols = agg.groupingExpressions.collect {
+          case at: AttributeReference => at.name
+        }
+        if (groupCols.size == agg.groupingExpressions.size) {
+          val leaves = agg.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae
+          })
+          val pairsCols = leaves.filter(_.isDistinct).flatMap {
+            _.aggregateFunction match {
+              case c: Count => c.children.collect {
+                case at: AttributeReference
+                    if !groupCols.contains(at.name) => at.name
+              }
+              case _ => Nil
+            }
+          }.distinct
+          val measures = leaves.filterNot(_.isDistinct)
+            .flatMap(_.references.toSeq.map(_.name))
+            .filterNot(groupCols.contains).distinct
+          if (measures.nonEmpty || leaves.exists(!_.isDistinct))
+            buildCubeLayout(t, groupCols, measures)
+          pairsCols.foreach(y => buildPairsLayout(t, groupCols, y))
+        }
+      }
+    }
+    mvs(name) = body
+    ddlReport("create_materialized_view", name)
+  }
+
+  /** Run `query` as session DDL, or None when the parsed statement is
+    * not DDL aimed at the session namespace. Must be called inside the
+    * [[Catalog.sql]] view window — a CTAS source query resolves against
+    * the session temp views and routes through their layouts.
+    */
+  private[core] def runDdl(query: String): Option[DataFrame] = {
+    val mvc = mvCreate.matcher(query)
+    if (mvc.matches()) return Some(runCreateMv(mvc.group(1), mvc.group(2)))
+    val mvd = mvDrop.matcher(query)
+    if (mvd.matches()) {
+      val name = mvd.group(2)
+      if (mvs.remove(name).isDefined)
+        return Some(ddlReport("drop_materialized_view", name))
+      if (mvd.group(1) != null)
+        return Some(ddlReport("drop_materialized_view_skipped", name))
+      throw new NoSuchElementException(s"no materialized view '$name'")
+    }
+    val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
+      .getOrElse(return None)
+    plan match {
+      case c: CreateTableAsSelect =>
+        singlePart(c.name).map(
+          runCtas(query, _, c.query, replace = false, c.ignoreIfExists))
+      case r: ReplaceTableAsSelect =>
+        singlePart(r.name).map(
+          runCtas(query, _, r.query, replace = true, ifNotExists = false))
+      case a: AddColumns =>
+        sessionTarget(a.table).map(runAddColumns(_, a))
+      case d: DropColumns =>
+        sessionTarget(d.table).map(runDropColumns(_, d))
+      case r: RenameColumn =>
+        sessionTarget(r.table).map(runRenameColumn(_, r))
+      case d: DropTable =>
+        singlePart(d.child).filter(sessions.contains).map { name =>
+          close(name)
+          ddlReport("drop_table", name)
+        }.orElse {
+          // DROP TABLE IF EXISTS of an unknown single-part name is a
+          // session-namespace no-op, not Spark's error
+          singlePart(d.child).filter(_ => d.ifExists)
+            .map(ddlReport("drop_table_skipped", _))
+        }
+      case _ => None
+    }
+  }
+
+  private def ddlReport(op: String, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(op, name)),
+      StructType(Seq(StructField("operation", StringType, nullable = false),
+        StructField("table", StringType, nullable = false))))
+  }
+
+  private def singlePart(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+      Some(u.nameParts.head)
+    case _ => None
+  }
+
+  /** ALTER targets must be OPEN sessions (altering an unknown name is
+    * Spark's error to raise, through the fall-through).
+    */
+  private def sessionTarget(p: LogicalPlan): Option[String] = p match {
+    case t: UnresolvedTable if t.multipartIdentifier.size == 1 &&
+        sessions.contains(t.multipartIdentifier.head) =>
+      Some(t.multipartIdentifier.head)
+    case _ => None
+  }
+
+  private def runCtas(query: String, name: String, src: LogicalPlan,
+                      replace: Boolean, ifNotExists: Boolean): DataFrame = {
+    require(!sessions.contains(name) || ifNotExists || replace,
+      s"session '$name' already exists (use OR REPLACE / IF NOT EXISTS)")
+    if (sessions.contains(name) && ifNotExists && !replace)
+      return ddlReport("create_table_skipped", name)
+    // the source query's own text, evaluated through the routed read
+    // path (the view window is open — the CTAS sees every session and
+    // routes through their layouts like any SELECT). Extracted as the
+    // statement TAIL after `AS` — the parsed query plan's Origin cannot
+    // be trusted here: an Aggregate root anchors at its GROUP BY clause,
+    // and no node's origin covers the SELECT keyword itself.
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?table\\s+(?:if\\s+not\\s+" +
+        "exists\\s+)?[\\w`]+\\s*(?:\\([^)]*\\))?\\s*(?:using\\s+\\w+\\s*)?" +
+        "as\\s+(.*)$").matcher(query)
+    require(m.matches(), s"cannot locate CTAS source query in: $query")
+    val srcText = m.group(1)
+    val rows = graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+      spark.sql(srcText)
+    }
+    openFrom(name, rows)
+    // the brand-new session's view must be visible to the REST of this
+    // sql() call's window and to later calls — the window opened before
+    // this session existed
+    Positional.strip(sessions(name).current).createOrReplaceTempView(name)
+    ddlReport(if (replace) "create_or_replace_table" else "create_table",
+      name)
+  }
+
+  private def runAddColumns(name: String, a: AddColumns): DataFrame = {
+    val s = sessions(name)
+    a.columnsToAdd.foreach { qc =>
+      // re-read per column: a multi-add statement's later columns must
+      // see (and may position AFTER) the earlier ones
+      val cols = Positional.strip(s.current).columns
+      require(qc.path.isEmpty,
+        "ALTER TABLE ADD COLUMNS into a nested struct is not supported " +
+          "against a session")
+      require(!cols.contains(qc.colName),
+        s"column ${qc.colName} already exists in session '$name'")
+      val at = positionOf(qc.position.map(_.position), cols)
+      val default: Any = qc.default match {
+        case Some(d) =>
+          val v = d.child
+          require(v.foldable, "ADD COLUMN DEFAULT must be a literal")
+          toExternal(v.eval(), qc.dataType)
+        case None => graft.ops.CellOps.defaultFor(qc.dataType)
+      }
+      s.insertColumnTyped(at, qc.colName, qc.dataType, default)
+    }
+    ddlReport("add_columns", name)
+  }
+
+  /** Ordinal of FIRST / AFTER x / default-tail in the session's
+    * user-visible column list.
+    */
+  private def positionOf(
+      pos: Option[org.apache.spark.sql.connector.catalog.TableChange.ColumnPosition],
+      cols: Seq[String]): Int = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    pos match {
+      case None => cols.length
+      case Some(_: TableChange.First) => 0
+      case Some(af: TableChange.After) =>
+        val i = cols.indexOf(af.column())
+        require(i >= 0, s"AFTER ${af.column()}: no such column")
+        i + 1
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported position $other")
+    }
+  }
+
+  /** Catalyst internal literal value → the external Scala value the
+    * typed default projection expects (`lit(default)`).
+    */
+  private def toExternal(v: Any, dt: DataType): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(dt)(v)
+
+  private def runDropColumns(name: String, d: DropColumns): DataFrame = {
+    val s = sessions(name)
+    d.columnsToDrop.foreach { fn =>
+      require(fn.name.size == 1,
+        "ALTER TABLE DROP COLUMN of a nested field is not supported " +
+          "against a session")
+      val cols = Positional.strip(s.current).columns
+      val i = cols.indexOf(fn.name.head)
+      if (i < 0) {
+        require(d.ifExists, s"no column ${fn.name.head} in session '$name'")
+      } else s.dropColumnAt(i)
+    }
+    ddlReport("drop_columns", name)
+  }
+
+  private def runRenameColumn(name: String, r: RenameColumn): DataFrame = {
+    val s = sessions(name)
+    require(r.column.name.size == 1,
+      "ALTER TABLE RENAME COLUMN of a nested field is not supported " +
+        "against a session")
+    val cols = Positional.strip(s.current).columns
+    require(cols.contains(r.column.name.head),
+      s"no column ${r.column.name.head} in session '$name'")
+    require(!cols.contains(r.newName),
+      s"column ${r.newName} already exists in session '$name'")
+    s.renameColumn(r.column.name.head, r.newName)
+    ddlReport("rename_column", name)
+  }
+
+}

@@ -144,6 +144,17 @@ trait CatalogDurability { self: Catalog =>
   // stamp the same epoch, and the loser's NEXT persist still fails fast
   // because its uuid is gone — convergence is what the guard needs, not
   // mutual exclusion.
+  //
+  // Fenced-READER law (r12 verdict task #7, pinned by WriterFencingSpec):
+  // fencing stops a superseded catalog's WRITES only; its reads keep
+  // serving the state it last validated — its own in-memory sessions and
+  // the layouts it built or digest-attached from them. That is snapshot
+  // isolation for the stale process: never a fencing error on a read,
+  // never a silent mix with the new writer's state. Continuity of the
+  // underlying FILES against the new writer's vacuum is the pin lease's
+  // job (vacuum honors leases and the grace window cross-process); an
+  // unpinned stale reader is guaranteed only grace-window continuity,
+  // the same contract every long-running reader already has.
 
   private[core] val writerId = java.util.UUID.randomUUID().toString
   private[core] var writerToken: Option[(Long, String)] = None

@@ -647,6 +647,26 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       CellEdits(Seq.empty, Set(name)))
   }
 
+  /** [[insertColumnAt]] with an explicit typed default — the SQL DDL
+    * surface's `ALTER TABLE ADD COLUMN name type DEFAULT v`
+    * ([[CatalogDml]]'s sibling trait CatalogDdl). Same zero-position
+    * delta law as the spec-string form.
+    */
+  private[graft] def insertColumnTyped(position: Int, name: String,
+                                       dt: DataType, default: Any): Unit =
+    rebind(SchemaOps.insertColumnAt(_, position, name, dt, default),
+      CellEdits(Seq.empty, Set(name)))
+
+  /** Rename a column in place (SQL `ALTER TABLE RENAME COLUMN`). The
+    * delta names BOTH spellings with no positions: a layout referencing
+    * either one sees its column dirty and rebuilds (its stored schema or
+    * key column is now wrong by name), a layout referencing neither
+    * delta-handles with zero IO — the [[insertColumnAt]] law extended to
+    * the rename pair.
+    */
+  private[graft] def renameColumn(from: String, to: String): Unit =
+    rebind(_.withColumnRenamed(from, to), CellEdits(Seq.empty, Set(from, to)))
+
   // ---- A1: pivot ----------------------------------------------------------
 
   /** Pivot replaces the current table (v2 pyc@169) — positions re-derived
@@ -755,7 +775,7 @@ class Catalog(private[core] val spark: SparkSession,
               private[core] val deltaMaxRowsOverride: Option[Int] = None)
     extends CatalogDurability with CatalogRefresh with CatalogLayouts
     with CatalogSnapshots with CatalogVacuum with CatalogCubes
-    with CatalogDml {
+    with CatalogDml with CatalogDdl {
   private[core] val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
@@ -819,21 +839,31 @@ class Catalog(private[core] val spark: SparkSession,
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
+    // materialized views referenced by this statement re-plan their
+    // body through the routed read path — each read serves the CURRENT
+    // layout state (delta-patched by refresh), so the mv is maintained
+    // by the ordinary refresh law. Only referenced mvs pay analysis.
+    val mvViews = mvsReferenced(query)
+    mvViews.foreach(n => mvPlan(n).createOrReplaceTempView(n))
     try {
       // DML aimed at an open session routes through the typed gestures
-      // ([[CatalogDml]]); anything else — SELECTs, DML on real catalog
-      // tables, malformed text — takes the ordinary Spark path below,
-      // which produces the right behavior or the right error.
+      // ([[CatalogDml]]), DDL through the lifecycle/schema gestures
+      // ([[CatalogDdl]]); anything else — SELECTs, DML/DDL on real
+      // catalog tables, malformed text — takes the ordinary Spark path
+      // below, which produces the right behavior or the right error.
       val dml = if (looksLikeDml(query)) runDml(query) else None
+      val ddl =
+        if (dml.isEmpty && looksLikeDdl(query)) runDdl(query) else None
       val travel =
-        if (dml.isEmpty && looksLikeTimeTravel(query)) runTimeTravel(query)
+        if (dml.isEmpty && ddl.isEmpty && looksLikeTimeTravel(query))
+          runTimeTravel(query)
         else None
-      dml.orElse(travel)
+      dml.orElse(ddl).orElse(travel)
         .getOrElse(graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
           spark.sql(query)
         })
     }
-    finally sessions.keys.foreach(spark.catalog.dropTempView(_))
+    finally (sessions.keys ++ mvViews).foreach(spark.catalog.dropTempView(_))
   }
 
   /** The layout routes SQL text may use, published to
@@ -1061,7 +1091,8 @@ object Catalog {
     * the pin is released.
     */
   final case class Snapshot(epoch: Long, plan: DataFrame,
-                            layouts: Map[String, TableLayout])
+                            layouts: Map[String, TableLayout],
+                            pinnedAtMicros: Long = Long.MinValue)
 
   /** Default in-flight-reader guard for [[Catalog.vacuum]]: nothing
     * younger than this is deleted, so a plan handed out just before the

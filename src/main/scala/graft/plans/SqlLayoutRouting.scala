@@ -52,9 +52,19 @@ import org.apache.spark.sql.types.Decimal
 case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   import SqlRouting._
 
+  // transformUpWithSubqueries, not transformUp: at analysis time a
+  // subquery (EXISTS / IN / scalar) is still a SubqueryExpression whose
+  // INNER plan a plain transform never visits, so a range predicate
+  // inside `EXISTS (SELECT … WHERE l_price BETWEEN …)` used to re-read
+  // every file of a ranged session (r12 verdict task #1 — the decision
+  // is "routing fires inside subqueries", pinned by SqlRoutingSpec).
+  // The rewrite is purely local (remap aliases the pruned scan back to
+  // the view's attribute ids), so outer references and decorrelation
+  // are unaffected; a correlated conjunct is just an unmatched conjunct
+  // to the bound extractors, which only loosens pruning.
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SqlRouting.hasRoutes(spark)) plan
-    else plan.transformUp {
+    else plan.transformUpWithSubqueries {
       case j: Join =>
         tryBucketedJoin(j).getOrElse(j)
       case a: Aggregate =>

@@ -2024,6 +2024,138 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    /** TPC-H Q4 shape (r12 verdict task #1): correlated EXISTS — orders
+      * whose any lineitem shipped >60 days after the order date. Catalyst
+      * decorrelates the EXISTS into a left-semi join on l_orderkey =
+      * o_orderkey with the correlated inequality as the join condition —
+      * one shuffle pair, no per-row subquery execution. The date window
+      * is a scan-side pushed filter on orders.
+      */
+    "q4_order_priority" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders_sq
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_sq
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    /** TPC-H Q17 shape: correlated SCALAR subquery with an aggregate —
+      * lineitems below 20% of their part's average quantity. Catalyst
+      * decorrelates the per-part avg into ONE grouped aggregate over
+      * lineitem joined back on l_partkey (never a per-row re-scan); the
+      * avg is exact in double (integral quantities sum exactly), so the
+      * boundary comparison is deterministic across engines.
+      */
+    "q17_small_qty" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      Tables.load(s, dir, "part").createOrReplaceTempView("part_sq")
+      s.sql(
+        """SELECT round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2)))
+          |    AS DOUBLE) / 7.0, 4) AS avg_yearly
+          |FROM lineitem_sq l1 JOIN part_sq ON p_partkey = l1.l_partkey
+          |WHERE p_brand = 'Brand#23'
+          |  AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                       FROM lineitem_sq l2
+          |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }),
+
+    /** TPC-H Q19 shape: disjunctive join-side predicate — three
+      * (brand, quantity-band, size-band) arms OR'd together. The common
+      * join key stays an equi-join; each arm's part predicates push to
+      * the broadcast side and the disjunction filters post-join.
+      */
+    "q19_disjunctive" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      Tables.load(s, dir, "part").createOrReplaceTempView("part_sq")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM lineitem_sq JOIN part_sq ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+          |       AND p_size BETWEEN 1 AND 5)
+          |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+          |       AND p_size BETWEEN 1 AND 10)
+          |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+          |       AND p_size BETWEEN 1 AND 15)""".stripMargin)
+    }),
+
+    /** TPC-H Q20 shape: nested IN with an aggregate subquery — suppliers
+      * whose shipped quantity of red parts exceeds a threshold. The inner
+      * IN (broadcast semi on p_partkey) feeds a grouped HAVING, whose
+      * supplier keys semi-join back — three joins, all key-sized or
+      * broadcast, no correlated re-execution.
+      */
+    "q20_part_promo" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      Tables.load(s, dir, "part").createOrReplaceTempView("part_sq")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_sq")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier_sq
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem_sq
+          |  WHERE l_partkey IN (SELECT p_partkey FROM part_sq
+          |                      WHERE p_name LIKE 'red%')
+          |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1800.0)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    /** TPC-H Q21 shape: the multi-anti — per returned lineitem of a
+      * finalized order, ANOTHER supplier also shipped on the order
+      * (correlated EXISTS with an inequality) but NO other supplier's
+      * line was returned (correlated NOT EXISTS). Decorrelates into one
+      * semi and one anti join on l_orderkey, both against the same
+      * lineitem scan.
+      */
+    "q21_suppliers_waiting" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_sq")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier_sq
+          |JOIN lineitem_sq l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_sq ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem_sq l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_sq l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+    }),
+
+    /** TPC-H Q22 shape: NOT EXISTS anti-join gated by an UNCORRELATED
+      * scalar subquery — above-average-balance customers with no recent
+      * order, grouped by nation. The average is computed as
+      * exact-decimal-sum / count (deterministic double both engines —
+      * a double-summed avg could flip a boundary customer); the scalar
+      * broadcasts, the NOT EXISTS decorrelates to one anti join.
+      */
+    "q22_global_sales" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT c_nationkey AS nation, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS totacctbal
+          |FROM customer_sq
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS
+          |    DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |  FROM customer_sq WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_sq
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
     /** Week-over-week revenue growth per market segment: weekly decimal
       * sums (tiny — segments × weeks), then one lag window over the
       * aggregate, never the fact table.
@@ -2079,6 +2211,73 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q20_part_promo" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1800.0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_suppliers_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q22_global_sales" ->
+      """SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS
+        |    DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "a_sql_asof" ->
       """SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot

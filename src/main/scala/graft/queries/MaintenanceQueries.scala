@@ -1195,6 +1195,104 @@ object MaintenanceQueries {
       cat.sql(
         """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
           |FROM smt ORDER BY c_custkey""".stripMargin)
+    }),
+
+    /** SQL DDL surface, CTAS leg (r12 verdict task #2): `CREATE TABLE
+      * ... AS SELECT` over an open session opens a NEW session over the
+      * routed query result — the plan binds lazily ([[Catalog.openFrom]]),
+      * nothing materializes on the driver — and the new name serves SQL
+      * like any opened table. See [[graft.core.CatalogDdl]].
+      */
+    "o_sql_ctas" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDdlCtasCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("ctsrc", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql(
+          """CREATE TABLE ctagg AS
+            |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS tot
+            |FROM ctsrc GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+        c
+      }
+      cat.sql(
+        """SELECT o_orderstatus, o_orderpriority, n, tot FROM ctagg
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    /** SQL DDL surface, ADD COLUMN leg: `ALTER TABLE ADD COLUMN name
+      * type DEFAULT v` routes through the typed insert-column gesture —
+      * a pure projection (no shuffle), logged as a zero-position delta
+      * so layouts not referencing the new column delta-handle (pinned by
+      * SqlDdlSpec). A second column without DEFAULT takes the engine's
+      * typed default (int → 0).
+      */
+    "o_sql_add_column" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDdlAddCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("sqladd", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql("ALTER TABLE sqladd ADD COLUMN flag STRING DEFAULT 'new'")
+        c.sql("ALTER TABLE sqladd ADD COLUMN bonus INT")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_orderstatus, flag, bonus FROM sqladd
+          |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    /** SQL DDL surface, DROP/RENAME COLUMN legs: positional drop through
+      * the typed gesture (structural — the reference's P1 semantics) and
+      * an in-place rename whose delta names both spellings.
+      */
+    "o_sql_drop_column" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlDdlDropCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("sqldrop", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql("ALTER TABLE sqldrop DROP COLUMN o_orderpriority")
+        c.sql("ALTER TABLE sqldrop RENAME COLUMN o_totalprice TO price")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_orderstatus, price FROM sqldrop
+          |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    /** Materialized view from SQL (r12 verdict task #8): `CREATE
+      * MATERIALIZED VIEW` infers and builds the cube + pairs layouts
+      * that serve its body, registers the name as a routed view, and the
+      * ordinary refresh law maintains it — the INSERT below
+      * delta-patches the cube, and the mv read re-merges stored partials
+      * (mixed cube ⋈ pairs rewrite), never re-scanning the fact table.
+      * See [[graft.core.CatalogDdl]].
+      */
+    "a_sql_mv" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlMvCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("mvord", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql(
+          """CREATE MATERIALIZED VIEW ordmv AS
+            |SELECT o_orderstatus, count(*) AS n,
+            |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+            |    AS DOUBLE) AS tot,
+            |  count(DISTINCT o_custkey) AS cd
+            |FROM mvord GROUP BY o_orderstatus""".stripMargin)
+        val rep = c.sql(
+          """INSERT INTO mvord
+            |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+            |  o_totalprice + 2.0, o_orderdate, o_orderpriority
+            |FROM mvord WHERE o_orderkey % 100 = 7""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: insert must append")
+        require(c.refreshStale("mvord").nonEmpty,
+          "fixture: the mv layouts must delta-refresh")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderstatus, n, tot, cd FROM ordmv
+          |ORDER BY o_orderstatus""".stripMargin)
     })
   )
 
@@ -1941,6 +2039,35 @@ object MaintenanceQueries {
         |  WHERE NOT (c.c_custkey % 13 = 0 AND c.c_custkey % 7 != 0)
         |  UNION ALL
         |  SELECT * FROM i)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "o_sql_ctas" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "o_sql_add_column" ->
+      """SELECT o_orderkey, o_orderstatus, CAST('new' AS VARCHAR) AS flag,
+        |  CAST(0 AS INTEGER) AS bonus
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey"""
+        .stripMargin,
+
+    "o_sql_drop_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey"""
+        .stripMargin,
+
+    "a_sql_mv" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderstatus, o_totalprice + 2.0
+        |  FROM orders WHERE o_orderkey % 100 = 7)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS tot,
+        |  count(DISTINCT o_custkey) AS cd
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

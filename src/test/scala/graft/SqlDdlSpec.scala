@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Catalog, Positional}
+
+/** SQL DDL surface (r12 verdict task #2): CREATE TABLE AS SELECT /
+  * ALTER TABLE ADD|DROP|RENAME COLUMN / DROP TABLE against the session
+  * namespace route through the typed lifecycle and schema gestures —
+  * completing the SQL-only lifecycle. Laws pinned here:
+  *  - CTAS opens a session over the ROUTED query result (a layout-served
+  *    source routes) and the new name serves SQL immediately;
+  *  - ADD COLUMN delta-handles layouts that don't reference the new
+  *    column (no rebuild — the zero-position CellEdits law from the
+  *    typed gesture, now reachable from SQL);
+  *  - DROP/RENAME COLUMN and DROP TABLE behave like their typed twins;
+  *  - non-session names fall through to Spark's ordinary path.
+  */
+class SqlDdlSpec extends SparkSpec {
+
+  private def strip(df: DataFrame): DataFrame = Positional.strip(df)
+
+  test("CTAS opens a session over the routed query result; OR REPLACE and IF NOT EXISTS behave") {
+    val cat = new Catalog(spark)
+    cat.open("csrc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildRangedLayout("csrc", "o_totalprice", files = 8)
+    val rep = cat.sql(
+      """CREATE TABLE chigh AS
+        |SELECT o_orderkey, o_totalprice FROM csrc
+        |WHERE o_totalprice BETWEEN 100000.0 AND 200000.0""".stripMargin)
+    assert(rep.head().getString(0) == "create_table")
+    // the CTAS source routed through the ranged layout
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "range:o_totalprice" && r.reason == "sql-routed"),
+      s"CTAS source must route; routes: ${cat.recentRoutes}")
+    // the new session serves SQL, matches the live computation
+    val n = cat.sql("SELECT count(*) AS n FROM chigh").head().getLong(0)
+    val want = graft.core.Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice").between(100000.0, 200000.0)).count()
+    assert(n == want && n > 0)
+    // and is a full session: DML applies
+    assert(cat.sql("DELETE FROM chigh WHERE o_orderkey % 2 = 0")
+      .head().getLong(1) > 0)
+    assert(cat.sql("SELECT count(*) AS n FROM chigh").head().getLong(0) < n)
+    // a second CREATE of the same name rejects...
+    intercept[Exception] {
+      cat.sql("CREATE TABLE chigh AS SELECT 1 AS one")
+    }
+    // ...IF NOT EXISTS skips without touching the session...
+    val skip = cat.sql(
+      "CREATE TABLE IF NOT EXISTS chigh AS SELECT 1 AS one")
+    assert(skip.head().getString(0) == "create_table_skipped")
+    assert(cat.sql("SELECT count(*) AS n FROM chigh").head().getLong(0) > 1)
+    // ...and OR REPLACE rebinds it
+    val rep2 = cat.sql(
+      "CREATE OR REPLACE TABLE chigh AS SELECT 1 AS one UNION ALL SELECT 2")
+    assert(rep2.head().getString(0) == "create_or_replace_table")
+    assert(cat.sql("SELECT count(*) AS n FROM chigh").head().getLong(0) == 2)
+  }
+
+  test("ADD COLUMN delta-handles layouts not referencing the column: no rebuild (r12 task #2 pin)") {
+    val cat = new Catalog(spark)
+    cat.open("ac", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildCubeLayout("ac", Seq("o_orderstatus"), Seq("o_totalprice"))
+    def cube = cat.layoutsOf("ac").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c
+    }.get
+    val builtPath = cube.path
+    val s = cat.get("ac").get
+    val epoch0 = s.epoch
+
+    cat.sql("ALTER TABLE ac ADD COLUMN flag STRING DEFAULT 'new'")
+    assert(s.epoch != epoch0, "ADD COLUMN is a gesture")
+    // the cube references o_orderstatus/o_totalprice only: the refresh
+    // must revalidate it in place — same storage path, no re-aggregation
+    assert(cat.refreshStale("ac") == Seq("cube:o_orderstatus"))
+    assert(cube.path == builtPath,
+      "a column add must not rebuild a layout that never references it")
+    // the refreshed cube serves, and the new column reads its default
+    val routed = cat.aggregate("ac", Seq("o_orderstatus"),
+      Seq("o_totalprice"))
+    assert(routed.count() > 0)
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:o_orderstatus" && r.decision == "layout"))
+    val vals = cat.sql(
+      "SELECT DISTINCT flag FROM ac").collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("new"))
+    // position forms: FIRST and AFTER place the column; a bare INT takes
+    // the typed default 0
+    cat.sql("ALTER TABLE ac ADD COLUMN bonus INT FIRST")
+    assert(strip(s.current).columns.head == "bonus")
+    cat.sql("ALTER TABLE ac ADD COLUMN note STRING AFTER o_orderkey")
+    val cols = strip(s.current).columns.toSeq
+    assert(cols(cols.indexOf("o_orderkey") + 1) == "note")
+    assert(cat.sql("SELECT max(bonus) AS m FROM ac").head().getInt(0) == 0)
+    // duplicate add rejects
+    intercept[Exception] {
+      cat.sql("ALTER TABLE ac ADD COLUMN flag STRING")
+    }
+  }
+
+  test("DROP COLUMN and RENAME COLUMN route through the typed gestures") {
+    val cat = new Catalog(spark)
+    cat.open("dc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s = cat.get("dc").get
+    cat.sql("ALTER TABLE dc DROP COLUMN o_orderpriority")
+    assert(!strip(s.current).columns.contains("o_orderpriority"))
+    // IF EXISTS tolerates the already-gone column; bare drop rejects
+    cat.sql("ALTER TABLE dc DROP COLUMN IF EXISTS o_orderpriority")
+    intercept[Exception] {
+      cat.sql("ALTER TABLE dc DROP COLUMN o_orderpriority")
+    }
+    cat.sql("ALTER TABLE dc RENAME COLUMN o_totalprice TO price")
+    val cols = strip(s.current).columns.toSeq
+    assert(cols.contains("price") && !cols.contains("o_totalprice"))
+    // the renamed column is queryable and carries the same values
+    val tot = cat.sql(
+      """SELECT CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS t
+        |FROM dc""".stripMargin).head().getDouble(0)
+    val want = graft.core.Tables.load(spark, sf, "orders")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(tot - want) < 1e-6)
+    // rename onto an existing name rejects
+    intercept[Exception] {
+      cat.sql("ALTER TABLE dc RENAME COLUMN price TO o_orderstatus")
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW infers+builds layouts; DML delta-patches; the view serves updated (r12 task #8)") {
+    val cat = new Catalog(spark)
+    cat.open("mvs", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val rep = cat.sql(
+      """CREATE MATERIALIZED VIEW omv AS
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS tot,
+        |  count(DISTINCT o_custkey) AS cd
+        |FROM mvs GROUP BY o_orderstatus""".stripMargin)
+    assert(rep.head().getString(0) == "create_materialized_view")
+    // the inference built BOTH layouts
+    assert(cat.layoutsOf("mvs").exists(_._1 == "cube:o_orderstatus"))
+    assert(cat.layoutsOf("mvs")
+      .exists(_._1 == "pairs:o_orderstatus:o_custkey"))
+    def cubePath = cat.layoutsOf("mvs").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c
+    }.get.path
+    val builtPath = cubePath
+    // reading the mv routes through the mixed cube ⋈ pairs rewrite —
+    // never the fact table
+    val read = cat.sql("SELECT * FROM omv ORDER BY o_orderstatus")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && p.contains("catalog_pairs_"),
+      s"the mv read must serve from its layouts; plan:\n$p")
+    assert(!p.contains("o_orderkey"),
+      s"the mv read must never scan the fact table; plan:\n$p")
+    def live = {
+      val s = cat.get("mvs").get
+      Positional.strip(s.current).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 6).cast("decimal(38,6)"))
+            .cast("double").as("tot"),
+          count_distinct(col("o_custkey")).as("cd"))
+        .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    }
+    assert(read.collect().map(_.toSeq).toSeq == live)
+    // DML: the stale layouts step aside (mv serves live, still correct)
+    cat.sql(
+      """INSERT INTO mvs
+        |SELECT o_orderkey + 9000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM mvs WHERE o_orderkey % 200 = 7""".stripMargin)
+    val stale = cat.sql("SELECT * FROM omv ORDER BY o_orderstatus")
+    assert(stale.collect().map(_.toSeq).toSeq == live,
+      "a stale mv must serve the live (post-DML) answer, never stale cells")
+    // refresh DELTA-PATCHES both layouts (same storage path), and the
+    // mv read routes again, serving the post-DML answer
+    assert(cat.refreshStale("mvs").toSet ==
+      Set("cube:o_orderstatus", "pairs:o_orderstatus:o_custkey"))
+    assert(cubePath == builtPath,
+      "the mv's cube must delta-patch after bounded DML, not rebuild")
+    val read2 = cat.sql("SELECT * FROM omv ORDER BY o_orderstatus")
+    val p2 = read2.queryExecution.executedPlan.toString
+    assert(p2.contains("catalog_cube_") && !p2.contains("o_orderkey"),
+      s"the refreshed mv must route again; plan:\n$p2")
+    assert(read2.collect().map(_.toSeq).toSeq == live)
+    // DROP MATERIALIZED VIEW unregisters; the name stops resolving
+    assert(cat.sql("DROP MATERIALIZED VIEW omv").head().getString(0) ==
+      "drop_materialized_view")
+    intercept[Exception] { cat.sql("SELECT * FROM omv") }
+    assert(cat.sql("DROP MATERIALIZED VIEW IF EXISTS omv")
+      .head().getString(0) == "drop_materialized_view_skipped")
+  }
+
+  test("DROP TABLE closes the session; IF EXISTS is a no-op on unknown names") {
+    val cat = new Catalog(spark)
+    cat.open("dt", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    assert(cat.names.contains("dt"))
+    val rep = cat.sql("DROP TABLE dt")
+    assert(rep.head().getString(0) == "drop_table")
+    assert(!cat.names.contains("dt"))
+    // the view is gone too: the name no longer resolves
+    intercept[Exception] { cat.sql("SELECT * FROM dt") }
+    // IF EXISTS of an unknown single-part name: session-namespace no-op
+    val skip = cat.sql("DROP TABLE IF EXISTS never_opened")
+    assert(skip.head().getString(0) == "drop_table_skipped")
+    // bare DROP of an unknown name falls through to Spark's own error
+    intercept[Exception] { cat.sql("DROP TABLE never_opened") }
+  }
+
+  test("DDL on non-session (multipart) names falls through to Spark's ordinary path") {
+    val cat = new Catalog(spark)
+    cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    // a multipart CTAS is Spark's business (default catalog): it either
+    // succeeds as a real table or raises Spark's own error — either way
+    // the session namespace is untouched
+    try {
+      cat.sql("CREATE TABLE spark_catalog.default.ddl_ft AS " +
+        "SELECT 1 AS one")
+      assert(spark.catalog.tableExists("spark_catalog.default.ddl_ft"))
+      spark.sql("DROP TABLE spark_catalog.default.ddl_ft")
+    } catch { case _: Exception => () /* no metastore in this config */ }
+    assert(cat.names == Seq("ft"))
+  }
+}

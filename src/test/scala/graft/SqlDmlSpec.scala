@@ -172,6 +172,52 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows.size == 5L - 1 + 1)
   }
 
+  test("statement atomicity: a MERGE failing between its edit and delete gestures rolls back whole (r12 task #4)") {
+    val cat = new Catalog(spark)
+    cat.open("at", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("at").get
+    val delta = spark.createDataFrame(Seq(
+      (0, "AFRICA2", "rename"),         // matched → update (applies first)
+      (1, "AMERICA", "drop-me"),        // matched → delete (never reached)
+      (97, "ATLANTIS", "new")           // not matched → insert (never reached)
+    )).toDF("k", "name", "op")
+    cat.openFrom("atd", delta, orderCols = Seq("k"))
+    val preRows = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    val preEpoch = s.epoch
+    val stmt =
+      """MERGE INTO at t USING atd d ON t.r_regionkey = d.k
+        |WHEN MATCHED AND d.op = 'drop-me' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET r_name = d.name
+        |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+        |  VALUES (d.k, d.name)""".stripMargin
+    cat.dmlFailpoint = Some("merge-after-edits")
+    try {
+      val e = intercept[IllegalStateException](cat.sql(stmt))
+      assert(e.getMessage.contains("failpoint"))
+    } finally cat.dmlFailpoint = None
+    // the session equals its pre-statement state: the applied update
+    // gesture was rolled back with everything else
+    val postRows = strip(s.current).orderBy("r_regionkey")
+      .collect().map(_.toSeq).toSeq
+    assert(postRows == preRows,
+      s"half-applied MERGE must roll back; got $postRows")
+    assert(s.epoch != preEpoch,
+      "the rollback is a structural gesture — epoch moves, layouts " +
+        "rebuild on next refresh")
+    // the statement, re-run unarmed, applies completely
+    assert(cat.sql(stmt).head().getLong(1) == 3L)
+    val rows = strip(s.current).collect().map(_.toSeq).toSeq
+    assert(rows.exists(_ == Seq(0, "AFRICA2")) &&
+      !rows.exists(_.head == 1) && rows.exists(_ == Seq(97, "ATLANTIS")))
+    // and a statement failing BEFORE any gesture leaves the epoch alone
+    val e2 = s.epoch
+    intercept[Exception] {
+      cat.sql("UPDATE at SET nonexistent_column = 1")
+    }
+    assert(s.epoch == e2, "a pre-validation failure must not replace")
+  }
+
   test("MERGE cardinality violation fails fast") {
     val cat = new Catalog(spark)
     cat.open("mc", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))

@@ -119,6 +119,73 @@ class SqlRoutingSpec extends SparkSpec {
     assert(!plan(noRoute).contains("catalog_ranged"))
   }
 
+  test("routing fires INSIDE subquery plans — EXISTS / IN / scalar (r12 task #1)") {
+    // the decision, pinned: SqlLayoutRouting descends into subquery
+    // expressions (transformUpWithSubqueries), so a range predicate on a
+    // ranged session routes from inside an EXISTS / IN / scalar subquery
+    // exactly as it does at top level. The correlated equality conjunct
+    // is simply unmatched by the bound extractor — it loosens nothing
+    // the exact Filter on top doesn't re-apply.
+    val cat = new Catalog(spark)
+    cat.open("ord_subq", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.open("li_subq", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildRangedLayout("li_subq", "l_extendedprice", files = 8)
+    val q = """SELECT o_orderpriority, count(*) AS n FROM ord_subq
+              |WHERE EXISTS (SELECT 1 FROM li_subq
+              |  WHERE l_orderkey = o_orderkey
+              |    AND l_extendedprice BETWEEN 9000.0 AND 9500.0)
+              |GROUP BY o_orderpriority""".stripMargin
+    val routed = cat.sql(q)
+    assert(plan(routed).contains("catalog_ranged"),
+      s"a range predicate inside EXISTS must prune through the ranged " +
+        s"layout; plan:\n${plan(routed)}")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "range:l_extendedprice" && r.reason == "sql-routed"))
+    val liHit = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_extendedprice").between(9000.0, 9500.0))
+    val live = Tables.load(spark, sf, "orders")
+      .join(liHit, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(routed.collect().map(_.toSeq).toSet ==
+      live.collect().map(_.toSeq).toSet)
+    // IN-subquery body routes too
+    val inQ = cat.sql(
+      """SELECT count(*) AS n FROM ord_subq WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM li_subq
+        |   WHERE l_extendedprice BETWEEN 9000.0 AND 9500.0)""".stripMargin)
+    assert(plan(inQ).contains("catalog_ranged"),
+      s"IN-subquery range predicate must route; plan:\n${plan(inQ)}")
+    assert(inQ.head().getLong(0) ==
+      Tables.load(spark, sf, "orders")
+        .join(liHit, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .count())
+    // scalar subquery routes
+    val sc = cat.sql(
+      """SELECT (SELECT count(*) FROM li_subq
+        |  WHERE l_extendedprice BETWEEN 9000.0 AND 9500.0) AS n"""
+        .stripMargin)
+    assert(plan(sc).contains("catalog_ranged"),
+      s"scalar-subquery range predicate must route; plan:\n${plan(sc)}")
+    assert(sc.head().getLong(0) == liHit.count())
+    // a cube aggregate inside a scalar subquery routes too
+    cat.buildCubeLayout("li_subq", Seq("l_returnflag"), Seq("l_quantity"))
+    val cubeSub = cat.sql(
+      """SELECT (SELECT count(*) FROM li_subq GROUP BY l_returnflag
+        |  ORDER BY l_returnflag LIMIT 1) AS n""".stripMargin)
+    assert(plan(cubeSub).contains("catalog_cube_"),
+      s"a cube-served aggregate inside a subquery must route; " +
+        s"plan:\n${plan(cubeSub)}")
+    assert(cubeSub.head().getLong(0) ==
+      Tables.load(spark, sf, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+        .head().getLong(1))
+    // an edit invalidates inside subqueries exactly as at top level
+    assert(cat.get("li_subq").get.setCell(0L, "l_quantity", "42"))
+    assert(!plan(cat.sql(q)).contains("catalog_ranged"),
+      "a stale layout must not serve from inside a subquery")
+  }
+
   test("SQL equi-join of two bucketed sessions plans with no exchange") {
     val cat = new Catalog(spark)
     cat.open("ord_sql", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))

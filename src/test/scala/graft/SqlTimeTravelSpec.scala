@@ -127,6 +127,50 @@ class SqlTimeTravelSpec extends SparkSpec {
       .head().getLong(0) == preCount)
   }
 
+  test("TIMESTAMP AS OF resolves to the newest pin at-or-before the instant (r12 task #3)") {
+    val cat = new Catalog(spark)
+    cat.open("ttts", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s = cat.get("ttts").get
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // controlled clock: two pins at known instants bracketing a mutation
+    var now = micros("2026-01-01T00:00:00Z")
+    cat.pinClock = () => now
+    val e0 = cat.pin("ttts")
+    val n0 = s.rowCount
+    cat.sql("DELETE FROM ttts WHERE o_orderkey % 10 = 1")
+    now = micros("2026-02-01T00:00:00Z")
+    val e1 = cat.pin("ttts")
+    val n1 = s.rowCount
+    assert(e1 != e0 && n1 < n0)
+    cat.sql("DELETE FROM ttts WHERE o_orderkey % 10 = 2")
+    val nLive = s.rowCount
+    assert(nLive < n1)
+    def countAt(ts: String): Long = cat.sql(
+      s"SELECT count(*) AS n FROM ttts TIMESTAMP AS OF '$ts'")
+      .head().getLong(0)
+    // between the two pins → the FIRST pin's state
+    assert(countAt("2026-01-15 00:00:00+00:00") == n0,
+      "an instant between two pins must resolve to the earlier pin")
+    // after the second pin → the second pin's state (newest at-or-before)
+    assert(countAt("2026-03-01 00:00:00+00:00") == n1,
+      "an instant after the last pin must resolve to that pin, " +
+        "never the live state")
+    // exactly the first pin's instant → inclusive (at-or-before)
+    assert(countAt("2026-01-01 00:00:00+00:00") == n0)
+    // before the first pin → fail fast, same contract as unpinned VERSION
+    val err = intercept[NoSuchElementException] {
+      countAt("2025-12-01 00:00:00+00:00")
+    }
+    assert(err.getMessage.contains("ttts"))
+    // the live name in the same statement still serves the live state
+    val both = cat.sql(
+      """SELECT (SELECT count(*) FROM ttts
+        |   TIMESTAMP AS OF '2026-01-15 00:00:00+00:00') AS pre,
+        |  count(*) AS live FROM ttts""".stripMargin).head()
+    assert(both.getLong(0) == n0 && both.getLong(1) == nLive)
+  }
+
   test("VERSION AS OF an unpinned epoch fails fast") {
     val cat = new Catalog(spark)
     cat.open("ttu", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))

@@ -61,6 +61,62 @@ class WriterFencingSpec extends SparkSpec {
       "every pre-fence entry survives every takeover")
   }
 
+  test("fenced-READER law: a superseded catalog's routed reads serve its own consistent state (r12 task #7)") {
+    // The chosen law, pinned: fencing stops a stale catalog's WRITES;
+    // its READS keep serving the state it last validated — its own
+    // sessions and the layouts it built from them (snapshot isolation
+    // for the stale process, never an error and never a silent mix of
+    // the new writer's state). Cross-process durability of that served
+    // state is the PIN lease's job: the other writer's vacuum honors
+    // leases and the grace window, so an unpinned stale reader is
+    // guaranteed only grace-window continuity — exactly the contract
+    // every long-running reader already has.
+    val wh = newWarehouse()
+    val a = new Catalog(spark, Some(wh))
+    a.open("wfr", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    a.buildRangedLayout("wfr", "o_totalprice", files = 4,
+      idCol = Some("o_orderkey"))
+    val aAnswer = a.rangeScan("wfr", "o_totalprice", 0.0, 1e9).count()
+
+    // B takes over the SAME warehouse, re-opens the SAME table name,
+    // mutates it and refreshes — B's manifest now describes a different
+    // reality under the name A still serves
+    val b = new Catalog(spark, Some(wh))
+    b.open("wfr", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    b.sql("DELETE FROM wfr WHERE o_orderkey % 2 = 0")
+    assert(b.refreshStale("wfr").nonEmpty) // persists → takes the token
+    val bAnswer = b.rangeScan("wfr", "o_totalprice", 0.0, 1e9).count()
+    assert(bAnswer < aAnswer)
+
+    // A is now fenced for writes...
+    assert(a.get("wfr").get.setCell(0L, "o_totalprice", "1.23"))
+    intercept[IllegalStateException] { a.refreshStale("wfr") }
+    // ...but A's ROUTED read still serves A's own pre-takeover state:
+    // no fencing error, no bleed-through of B's delete. (The session
+    // was just edited, so the ranged route correctly steps aside to
+    // A's live plan — still A's state: the edited pre-takeover table.)
+    assert(a.rangeScan("wfr", "o_totalprice", 0.0, 1e9).count() == aAnswer)
+
+    // and a catalog that attached at open keeps serving ITS OWN
+    // validated state after being fenced: c opens the ORIGINAL parquet
+    // (not B's post-delete reality), so the diverged-attach machinery
+    // patches B's refreshed layout back to c's table — c's answer is
+    // c's table, through the layout, before AND after d fences c
+    val c = new Catalog(spark, Some(wh))
+    c.open("wfr", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val d = new Catalog(spark, Some(wh))
+    d.open("wfd", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    d.buildRangedLayout("wfd", "r_regionkey", files = 2) // fences c
+    val cAnswer = c.rangeScan("wfr", "o_totalprice", 0.0, 1e9)
+    assert(cAnswer.count() == aAnswer,
+      "an attached catalog serves the state it validated at open — its " +
+        "own table, never the other writer's")
+    assert(c.recentRoutes.exists(r =>
+      r.slot == "range:o_totalprice" && r.decision == "layout"),
+      s"the fenced reader must still route through its attached " +
+        s"layout; routes: ${c.recentRoutes}")
+  }
+
   test("refresh persists are fenced too; reads and vacuum are not") {
     val wh = newWarehouse()
     val a = new Catalog(spark, Some(wh))
