@@ -25,11 +25,15 @@ import org.apache.spark.sql.types.DataType
   *
   * Scale law: CTAS never materializes on the driver — [[Catalog
   * .openFrom]] binds the analyzed plan itself (position pinning is the
-  * session's ordinary lazy machinery). Column add/rename log a
-  * zero-position [[EditorSession]] CellEdits delta, so layouts not
+  * session's ordinary lazy machinery), and binds it to LIVE source
+  * plans, never layout storage: the session outlives the vacuum grace
+  * window that protects handed-out routed plans. Column add/rename log
+  * a zero-position [[EditorSession]] CellEdits delta, so layouts not
   * referencing the touched column revalidate with ZERO IO on the next
   * refresh (pinned by SqlDdlSpec); column drop is structural, exactly
-  * like the typed gesture.
+  * like the typed gesture; a layout whose DEFINITION names a dropped or
+  * renamed column retires (its definition can never be satisfied again
+  * — rebuilding it would wedge the refresh loop).
   */
 trait CatalogDdl { self: Catalog =>
 
@@ -97,38 +101,52 @@ trait CatalogDdl { self: Catalog =>
     }.queryExecution.analyzed
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-    analyzed.collectFirst { case a: Aggregate => a }.foreach { agg =>
-      // the session the aggregate reads: the child's subquery alias
-      val target = agg.child.collect {
-        case sa: SubqueryAlias if sessions.contains(sa.identifier.name) =>
-          sa.identifier.name
-      }.headOption
-      target.foreach { t =>
-        val groupCols = agg.groupingExpressions.collect {
-          case at: AttributeReference => at.name
-        }
-        if (groupCols.size == agg.groupingExpressions.size) {
-          val leaves = agg.aggregateExpressions.flatMap(_.collect {
-            case ae: AggregateExpression => ae
-          })
-          val pairsCols = leaves.filter(_.isDistinct).flatMap {
-            _.aggregateFunction match {
-              case c: Count => c.children.collect {
-                case at: AttributeReference
-                    if !groupCols.contains(at.name) => at.name
-              }
-              case _ => Nil
+    // inference failures (joins, derived grouping, columns the session
+    // doesn't own) must never fail the CREATE — the view still registers
+    // and serves live; only the acceleration is skipped
+    Try {
+      analyzed.collectFirst { case a: Aggregate => a }.foreach { agg =>
+        // the session the aggregate reads — exactly ONE (a join of two
+        // sessions has no single table to build a layout over)
+        val targets = agg.child.collect {
+          case sa: SubqueryAlias if sessions.contains(sa.identifier.name) =>
+            sa.identifier.name
+        }.distinct
+        targets match {
+          case Seq(t) =>
+            val schema = Positional.strip(sessions(t).current).columns.toSet
+            val groupCols = agg.groupingExpressions.collect {
+              case at: AttributeReference => at.name
             }
-          }.distinct
-          val measures = leaves.filterNot(_.isDistinct)
-            .flatMap(_.references.toSeq.map(_.name))
-            .filterNot(groupCols.contains).distinct
-          if (measures.nonEmpty || leaves.exists(!_.isDistinct))
-            buildCubeLayout(t, groupCols, measures)
-          pairsCols.foreach(y => buildPairsLayout(t, groupCols, y))
+            if (groupCols.size == agg.groupingExpressions.size &&
+                groupCols.forall(schema.contains)) {
+              val leaves = agg.aggregateExpressions.flatMap(_.collect {
+                case ae: AggregateExpression => ae
+              })
+              val pairsCols = leaves.filter(_.isDistinct).flatMap {
+                _.aggregateFunction match {
+                  case c: Count => c.children.collect {
+                    case at: AttributeReference
+                        if !groupCols.contains(at.name) => at.name
+                  }
+                  case _ => Nil
+                }
+              }.distinct
+              val measures = leaves.filterNot(_.isDistinct)
+                .flatMap(_.references.toSeq.map(_.name))
+                .filterNot(groupCols.contains).distinct
+              // every inferred column must be the session's own — a
+              // derived alias (substr(c,1,1) AS g) is not buildable
+              if ((measures ++ pairsCols).forall(schema.contains)) {
+                if (measures.nonEmpty || leaves.exists(!_.isDistinct))
+                  buildCubeLayout(t, groupCols, measures)
+                pairsCols.foreach(y => buildPairsLayout(t, groupCols, y))
+              }
+            }
+          case _ => ()
         }
       }
-    }
+    }.getOrElse(())
     mvs(name) = body
     ddlReport("create_materialized_view", name)
   }
@@ -154,17 +172,22 @@ trait CatalogDdl { self: Catalog =>
       .getOrElse(return None)
     plan match {
       case c: CreateTableAsSelect =>
-        singlePart(c.name).map(
-          runCtas(query, _, c.query, replace = false, c.ignoreIfExists))
+        singlePart(c.name).map(runCtas(query, _, c.query,
+          partitioned = c.partitioning.nonEmpty, replace = false,
+          ifNotExists = c.ignoreIfExists))
       case r: ReplaceTableAsSelect =>
-        singlePart(r.name).map(
-          runCtas(query, _, r.query, replace = true, ifNotExists = false))
+        singlePart(r.name).map(runCtas(query, _, r.query,
+          partitioned = r.partitioning.nonEmpty, replace = true,
+          ifNotExists = false))
+      // ALTER statements share the DML statement-atomicity bracket: a
+      // multi-column ADD/DROP failing on a later column must not leave
+      // the earlier ones applied (same law SqlDmlSpec pins for MERGE)
       case a: AddColumns =>
-        sessionTarget(a.table).map(runAddColumns(_, a))
+        sessionTarget(a.table).map(n => atomically(n)(runAddColumns(n, a)))
       case d: DropColumns =>
-        sessionTarget(d.table).map(runDropColumns(_, d))
+        sessionTarget(d.table).map(n => atomically(n)(runDropColumns(n, d)))
       case r: RenameColumn =>
-        sessionTarget(r.table).map(runRenameColumn(_, r))
+        sessionTarget(r.table).map(n => atomically(n)(runRenameColumn(n, r)))
       case d: DropTable =>
         singlePart(d.child).filter(sessions.contains).map { name =>
           close(name)
@@ -205,26 +228,36 @@ trait CatalogDdl { self: Catalog =>
   }
 
   private def runCtas(query: String, name: String, src: LogicalPlan,
-                      replace: Boolean, ifNotExists: Boolean): DataFrame = {
+                      partitioned: Boolean, replace: Boolean,
+                      ifNotExists: Boolean): DataFrame = {
+    require(!mvs.contains(name),
+      s"name '$name' is a materialized view — DROP MATERIALIZED VIEW first")
     require(!sessions.contains(name) || ifNotExists || replace,
       s"session '$name' already exists (use OR REPLACE / IF NOT EXISTS)")
+    require(!partitioned,
+      "CREATE TABLE ... PARTITIONED BY is not supported against a " +
+        "session (sessions are unpartitioned) — drop the clause")
     if (sessions.contains(name) && ifNotExists && !replace)
       return ddlReport("create_table_skipped", name)
-    // the source query's own text, evaluated through the routed read
-    // path (the view window is open — the CTAS sees every session and
-    // routes through their layouts like any SELECT). Extracted as the
-    // statement TAIL after `AS` — the parsed query plan's Origin cannot
-    // be trusted here: an Aggregate root anchors at its GROUP BY clause,
-    // and no node's origin covers the SELECT keyword itself.
+    // the source query's own text, extracted as the statement TAIL from
+    // the first query-head keyword after `AS` — the parsed query plan's
+    // Origin cannot be trusted here (an Aggregate root anchors at its
+    // GROUP BY clause, and no node's origin covers the SELECT keyword),
+    // and a rigid clause-by-clause prefix regex would reject legal
+    // forms (backticked names, USING a.b.c).
     val m = java.util.regex.Pattern.compile(
-      "(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?table\\s+(?:if\\s+not\\s+" +
-        "exists\\s+)?[\\w`]+\\s*(?:\\([^)]*\\))?\\s*(?:using\\s+\\w+\\s*)?" +
-        "as\\s+(.*)$").matcher(query)
+      "(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?table\\s.*?" +
+        "\\bas\\s+((?:select|from|table|values|with|\\()\\b?.*)$")
+      .matcher(query)
     require(m.matches(), s"cannot locate CTAS source query in: $query")
     val srcText = m.group(1)
-    val rows = graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-      spark.sql(srcText)
-    }
+    // planned WITHOUT layout routes, deliberately: the CTAS result is a
+    // LONG-LIVED lazy plan (openFrom binds it un-executed), and a
+    // routed plan would reference layout storage that a later rebuild +
+    // vacuum may collect — the grace window protects handed-out query
+    // plans, not sessions. The live view window still resolves every
+    // session name; only the at-rest acceleration is skipped.
+    val rows = spark.sql(srcText)
     openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this
     // sql() call's window and to later calls — the window opened before
@@ -234,23 +267,33 @@ trait CatalogDdl { self: Catalog =>
       name)
   }
 
+  /** Session-schema name resolution for DDL text — CASE-INSENSITIVE,
+    * like Spark's own (and this engine's INSERT-list) resolution.
+    * Returns the schema's canonical spelling.
+    */
+  private def canonCol(cols: Seq[String], c: String): Option[String] =
+    cols.find(_.equalsIgnoreCase(c))
+
   private def runAddColumns(name: String, a: AddColumns): DataFrame = {
     val s = sessions(name)
     a.columnsToAdd.foreach { qc =>
       // re-read per column: a multi-add statement's later columns must
       // see (and may position AFTER) the earlier ones
-      val cols = Positional.strip(s.current).columns
+      val cols = Positional.strip(s.current).columns.toSeq
       require(qc.path.isEmpty,
         "ALTER TABLE ADD COLUMNS into a nested struct is not supported " +
           "against a session")
-      require(!cols.contains(qc.colName),
+      require(canonCol(cols, qc.colName).isEmpty,
         s"column ${qc.colName} already exists in session '$name'")
       val at = positionOf(qc.position.map(_.position), cols)
       val default: Any = qc.default match {
         case Some(d) =>
           val v = d.child
           require(v.foldable, "ADD COLUMN DEFAULT must be a literal")
-          toExternal(v.eval(), qc.dataType)
+          // convert with the LITERAL's own type — the projection casts
+          // to the declared column type (SchemaOps: lit(v).cast(dt)), so
+          // `DECIMAL(10,2) DEFAULT 0` coerces instead of class-casting
+          toExternal(v.eval(), v.dataType)
         case None => graft.ops.CellOps.defaultFor(qc.dataType)
       }
       s.insertColumnTyped(at, qc.colName, qc.dataType, default)
@@ -269,7 +312,7 @@ trait CatalogDdl { self: Catalog =>
       case None => cols.length
       case Some(_: TableChange.First) => 0
       case Some(af: TableChange.After) =>
-        val i = cols.indexOf(af.column())
+        val i = canonCol(cols, af.column()).map(cols.indexOf).getOrElse(-1)
         require(i >= 0, s"AFTER ${af.column()}: no such column")
         i + 1
       case Some(other) =>
@@ -290,11 +333,15 @@ trait CatalogDdl { self: Catalog =>
       require(fn.name.size == 1,
         "ALTER TABLE DROP COLUMN of a nested field is not supported " +
           "against a session")
-      val cols = Positional.strip(s.current).columns
-      val i = cols.indexOf(fn.name.head)
-      if (i < 0) {
-        require(d.ifExists, s"no column ${fn.name.head} in session '$name'")
-      } else s.dropColumnAt(i)
+      val cols = Positional.strip(s.current).columns.toSeq
+      canonCol(cols, fn.name.head) match {
+        case None =>
+          require(d.ifExists,
+            s"no column ${fn.name.head} in session '$name'")
+        case Some(c) =>
+          s.dropColumnAt(cols.indexOf(c))
+          retireLayoutsReferencing(name, c)
+      }
     }
     ddlReport("drop_columns", name)
   }
@@ -304,13 +351,46 @@ trait CatalogDdl { self: Catalog =>
     require(r.column.name.size == 1,
       "ALTER TABLE RENAME COLUMN of a nested field is not supported " +
         "against a session")
-    val cols = Positional.strip(s.current).columns
-    require(cols.contains(r.column.name.head),
-      s"no column ${r.column.name.head} in session '$name'")
-    require(!cols.contains(r.newName),
+    val cols = Positional.strip(s.current).columns.toSeq
+    val from = canonCol(cols, r.column.name.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column ${r.column.name.head} in session '$name'"))
+    require(canonCol(cols, r.newName).isEmpty,
       s"column ${r.newName} already exists in session '$name'")
-    s.renameColumn(r.column.name.head, r.newName)
+    s.renameColumn(from, r.newName)
+    retireLayoutsReferencing(name, from)
     ddlReport("rename_column", name)
+  }
+
+  /** Unregister this session's layouts whose DEFINITION names `column` —
+    * after a drop or rename their definition can never be satisfied
+    * again (a rebuild would reference a column that no longer exists and
+    * wedge every later refresh — the r13 review's finding #1). Layouts
+    * NOT naming the column keep the ordinary delta law: a column add /
+    * rename of an unrelated column revalidates them with zero IO.
+    * Manifest entries stay: a durable reopen's digest gate declines them
+    * (the projection no longer exists), degrading to live — never a
+    * crash, never another table's bytes.
+    */
+  private def retireLayoutsReferencing(name: String, column: String): Unit = {
+    import Catalog._
+    def refs(l: TableLayout): Set[String] = l match {
+      case l: PqCodesLayout => Set(l.idCol, l.vecCol)
+      case l: IvfPqCellLayout => Set(l.idCol, l.vecCol)
+      case l: BucketedLayout => Set(l.key)
+      case l: RangedLayout => Set(l.column) ++ l.idCol
+      case l: ZOrderedLayout => Set(l.colX, l.colY) ++ l.idCol
+      case l: ZOrdered3Layout => l.cols.toSet ++ l.idCol
+      case l: LshIndexLayout => Set(l.idCol, l.textCol)
+      case l: PostingsLayout => Set(l.idCol, l.textCol)
+      case l: SketchLayout => l.groupCols.toSet + l.col
+      case l: PairsLayout => l.groupCols.toSet + l.col
+      case l: CubeLayout => l.groupCols.toSet ++ l.measures
+    }
+    layouts.filterInPlace { case ((n, _), l) =>
+      n != name || !refs(l).contains(column)
+    }
+    ()
   }
 
 }

@@ -96,7 +96,7 @@ trait CatalogDml { self: Catalog =>
     * zero cost. A statement that fails BEFORE its first gesture (epoch
     * unchanged) rethrows untouched.
     */
-  private def atomically(name: String)(body: => DataFrame): DataFrame = {
+  private[core] def atomically(name: String)(body: => DataFrame): DataFrame = {
     val s = sessions(name)
     val pre = s.current
     val preEpoch = s.epoch

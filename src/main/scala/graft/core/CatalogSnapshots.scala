@@ -354,9 +354,15 @@ trait CatalogSnapshots { self: Catalog =>
       tt.timestamp.foreach(_.foreach(e => fold(e.origin)))
       if (lo <= hi && hi < query.length) Some((lo, hi))
       else {
-        val m = java.util.regex.Pattern.compile(
-          s"(?i)\\b$name\\s+version\\s+as\\s+of\\s+'?$ver'?")
-          .matcher(query)
+        // form-specific fallback: the version form's literal is the
+        // epoch itself; the timestamp form's operand is whatever
+        // expression the user wrote (a quoted literal in practice) —
+        // `ver` is the RESOLVED epoch there and never appears in text
+        val pat =
+          if (tt.timestamp.isDefined)
+            s"(?i)\\b$name\\s+timestamp\\s+as\\s+of\\s+('[^']*'|\\S+)"
+          else s"(?i)\\b$name\\s+version\\s+as\\s+of\\s+'?$ver'?"
+        val m = java.util.regex.Pattern.compile(pat).matcher(query)
         if (m.find()) Some((m.start, m.end - 1)) else None
       }
     }

@@ -839,13 +839,23 @@ class Catalog(private[core] val spark: SparkSession,
     sessions.foreach { case (n, s) =>
       Positional.strip(s.current).createOrReplaceTempView(n)
     }
-    // materialized views referenced by this statement re-plan their
-    // body through the routed read path — each read serves the CURRENT
-    // layout state (delta-patched by refresh), so the mv is maintained
-    // by the ordinary refresh law. Only referenced mvs pay analysis.
-    val mvViews = mvsReferenced(query)
-    mvViews.foreach(n => mvPlan(n).createOrReplaceTempView(n))
+    val mvViews = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      // materialized views referenced by this statement re-plan their
+      // body through the routed read path — each read serves the CURRENT
+      // layout state (delta-patched by refresh), so the mv is maintained
+      // by the ordinary refresh law. Only referenced mvs pay analysis
+      // (mvsReferenced is a word-boundary text scan), and a body that no
+      // longer analyzes (its source session was dropped) skips its view
+      // instead of failing every statement that mentions the word — the
+      // statement then gets the ordinary table-not-found if it really
+      // reads the mv. Inside the try: a half-built window must still
+      // drop its views.
+      mvsReferenced(query).foreach { n =>
+        scala.util.Try(mvPlan(n)).foreach { df =>
+          df.createOrReplaceTempView(n); mvViews += n
+        }
+      }
       // DML aimed at an open session routes through the typed gestures
       // ([[CatalogDml]]), DDL through the lifecycle/schema gestures
       // ([[CatalogDdl]]); anything else — SELECTs, DML/DDL on real

@@ -1199,9 +1199,11 @@ object MaintenanceQueries {
 
     /** SQL DDL surface, CTAS leg (r12 verdict task #2): `CREATE TABLE
       * ... AS SELECT` over an open session opens a NEW session over the
-      * routed query result — the plan binds lazily ([[Catalog.openFrom]]),
-      * nothing materializes on the driver — and the new name serves SQL
-      * like any opened table. See [[graft.core.CatalogDdl]].
+      * query result — the plan binds lazily ([[Catalog.openFrom]]) to
+      * LIVE source plans (a routed plan would pin layout storage a later
+      * vacuum may collect), nothing materializes on the driver — and the
+      * new name serves SQL like any opened table. See
+      * [[graft.core.CatalogDdl]].
       */
     "o_sql_ctas" -> ((s, dir) => {
       val cat = SessionScoped.memo(s, s"sqlDdlCtasCatalog:$dir") {

@@ -29,10 +29,12 @@ class SqlDdlSpec extends SparkSpec {
         |SELECT o_orderkey, o_totalprice FROM csrc
         |WHERE o_totalprice BETWEEN 100000.0 AND 200000.0""".stripMargin)
     assert(rep.head().getString(0) == "create_table")
-    // the CTAS source routed through the ranged layout
-    assert(cat.recentRoutes.exists(r =>
-      r.slot == "range:o_totalprice" && r.reason == "sql-routed"),
-      s"CTAS source must route; routes: ${cat.recentRoutes}")
+    // the CTAS binds LIVE source plans, never layout storage: the new
+    // session is long-lived, and a routed plan would pin layout files a
+    // later rebuild + vacuum may collect (r13 review finding #7)
+    assert(!cat.get("chigh").get.current.inputFiles
+      .exists(_.contains("catalog_")),
+      "a CTAS session must not reference layout storage")
     // the new session serves SQL, matches the live computation
     val n = cat.sql("SELECT count(*) AS n FROM chigh").head().getLong(0)
     val want = graft.core.Tables.load(spark, sf, "orders")
@@ -97,6 +99,99 @@ class SqlDdlSpec extends SparkSpec {
     intercept[Exception] {
       cat.sql("ALTER TABLE ac ADD COLUMN flag STRING")
     }
+  }
+
+  test("r13 review regressions: typed defaults coerce, multi-add is atomic, resolution is case-insensitive, PARTITIONED BY rejects") {
+    val cat = new Catalog(spark)
+    cat.open("rg", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s = cat.get("rg").get
+    // a DEFAULT whose literal type differs from the declared column type
+    // coerces through the projection cast (finding #2)
+    cat.sql("ALTER TABLE rg ADD COLUMN price2 DECIMAL(10,2) DEFAULT 0")
+    cat.sql("ALTER TABLE rg ADD COLUMN since TIMESTAMP DEFAULT '2020-01-02 03:04:05'")
+    val r = cat.sql("SELECT price2, since FROM rg LIMIT 1").head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.00")) == 0)
+    assert(r.getTimestamp(1).toString.startsWith("2020-01-02"))
+    // multi-column ADD failing on a later column rolls the earlier one
+    // back (finding #6 — the DML atomicity bracket covers ALTER)
+    val pre = strip(s.current).columns.toSeq
+    intercept[Exception] {
+      cat.sql("ALTER TABLE rg ADD COLUMNS (brandnew INT, price2 STRING)")
+    }
+    assert(strip(s.current).columns.toSeq == pre,
+      "a failed multi-add must leave no column behind")
+    // case-insensitive resolution, like INSERT lists (finding #8)
+    cat.sql("ALTER TABLE rg ADD COLUMN y INT AFTER O_ORDERKEY")
+    assert(strip(s.current).columns.toSeq
+      .indexOf("y") == strip(s.current).columns.toSeq.indexOf("o_orderkey") + 1)
+    intercept[Exception] { // duplicate check sees through case too
+      cat.sql("ALTER TABLE rg ADD COLUMN PRICE2 INT")
+    }
+    cat.sql("ALTER TABLE rg DROP COLUMN O_ORDERPRIORITY")
+    assert(!strip(s.current).columns.contains("o_orderpriority"))
+    // PARTITIONED BY is meaningless on a session: clear rejection, not a
+    // regex crash (finding #9's sibling), and other clause noise parses
+    intercept[Exception] {
+      cat.sql("CREATE TABLE pt PARTITIONED BY (o_orderstatus) AS SELECT * FROM rg")
+    }
+    assert(!cat.names.contains("pt"))
+  }
+
+  test("r13 review regression: RENAME/DROP of a layout's column retires the layout; refresh never wedges (finding #1)") {
+    val cat = new Catalog(spark)
+    cat.open("rl", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("rl", Seq("l_returnflag"), Seq("l_quantity"))
+    cat.buildPairsLayout("rl", Seq("l_returnflag"), "l_partkey")
+    // rename the cube's measure: the cube is orphaned (its definition
+    // names a column that no longer exists) and must retire; the pairs
+    // layout never references l_quantity and must survive + refresh
+    cat.sql("ALTER TABLE rl RENAME COLUMN l_quantity TO qty")
+    assert(!cat.layoutsOf("rl").exists(_._1 == "cube:l_returnflag"),
+      "a layout whose definition names the renamed column must retire")
+    assert(cat.layoutsOf("rl")
+      .exists(_._1 == "pairs:l_returnflag:l_partkey"))
+    // the refresh loop is NOT wedged — this used to throw forever
+    assert(cat.refreshStale("rl") == Seq("pairs:l_returnflag:l_partkey"))
+    val served = cat.distinctCount("rl", Seq("l_returnflag"), "l_partkey")
+    assert(served.count() > 0)
+    // DROP retires referencing layouts the same way
+    cat.sql("ALTER TABLE rl DROP COLUMN l_partkey")
+    assert(!cat.layoutsOf("rl")
+      .exists(_._1 == "pairs:l_returnflag:l_partkey"))
+    assert(cat.refreshStale("rl").isEmpty)
+  }
+
+  test("r13 review regressions: MV over a join registers live; a dangling mv never poisons the window") {
+    val cat = new Catalog(spark)
+    cat.open("j1", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.open("j2", s"$sf/customer.parquet", orderCols = Seq("c_custkey"))
+    // aggregate over a JOIN: inference declines (no single target), the
+    // view still registers and serves live (finding #3)
+    cat.sql(
+      """CREATE MATERIALIZED VIEW jmv AS
+        |SELECT c_mktsegment, count(*) AS n
+        |FROM j1 JOIN j2 ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+    val got = cat.sql("SELECT * FROM jmv ORDER BY c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.core.Tables.load(spark, sf, "orders")
+      .join(graft.core.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // CTAS cannot shadow an mv name (finding #5)
+    intercept[Exception] { cat.sql("CREATE TABLE jmv AS SELECT 1 AS x") }
+    // drop the mv's source: statements that merely MENTION the word jmv
+    // still run (finding #4); actually reading it is a clean not-found
+    cat.sql("DROP TABLE j1")
+    assert(cat.sql("SELECT 'jmv mention' AS jmv_label, count(*) AS n FROM j2")
+      .head().getLong(1) > 0)
+    intercept[Exception] { cat.sql("SELECT * FROM jmv") }
+    // and the window is clean afterwards: session views were dropped
+    // (a leak would leave j2 resolvable on the RAW SparkSession)
+    intercept[Exception] { spark.sql("SELECT * FROM j2") }
   }
 
   test("DROP COLUMN and RENAME COLUMN route through the typed gestures") {
