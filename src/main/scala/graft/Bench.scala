@@ -253,6 +253,14 @@ object Bench {
     "a4_percentile_walk" -> ((s: SparkSession) =>
       graft.queries.ParityQueries.queries("a4_percentile")(s, sfDir).count()),
 
+    // r13: the decorrelated multi-anti (TPC-H Q21 shape) — a correlated
+    // EXISTS and a correlated NOT EXISTS planned as one semi + one anti
+    // join over the same lineitem scan; tracked so a Catalyst
+    // decorrelation plan regression shows up as wall-clock
+    "a_subquery_q21" -> ((s: SparkSession) =>
+      graft.queries.AnalyticsQueries
+        .queries("q21_suppliers_waiting")(s, sfDir).count()),
+
     // r11: the streaming-ingest steady-state cycle — append fixed
     // batches, delta-patch the layout, routed read. Tracks the loop's
     // cost so a plan-composition regression (the per-batch doubling

@@ -2156,6 +2156,44 @@ object AnalyticsQueries {
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
 
+    /** LATERAL correlated subquery in the FROM clause (r13): per nation,
+      * the top-2 customers by balance — Catalyst decorrelates the
+      * lateral into a ranked window join, never a per-outer-row
+      * re-execution. The other face of subquery support: Q4/Q17/Q21
+      * cover WHERE-clause subqueries, this covers FROM-clause ones.
+      */
+    "q_lateral_topn" -> ((s, dir) => {
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation_sq")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT n_name, c.c_name, c.c_acctbal
+          |FROM nation_sq, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer_sq
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+    }),
+
+    /** GROUPING SETS with grouping() indicators (r13): four groupings in
+      * one pass — Spark expands the sets into one aggregate over a
+      * grouping-id column (one shuffle, not four), the same partial-
+      * merge shape the rollup row pins.
+      */
+    "a_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS flag,
+          |  coalesce(l_linestatus, '(all)') AS status,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem_sq
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, flag, status""".stripMargin)
+    }),
+
     /** Week-over-week revenue growth per market segment: weekly decimal
       * sums (tiny — segments × weeks), then one lag window over the
       * aggregate, never the fact table.
@@ -2187,6 +2225,38 @@ object AnalyticsQueries {
       * snapshot's plan and the pin's layouts route its predicates
       * ([[graft.core.CatalogSnapshots.runTimeTravel]]).
       */
+    /** Time-travel SQL, TIMESTAMP form (r12 verdict task #3): the same
+      * pinned-vs-live law as [[a_sql_asof]], but the travel clause names
+      * a WALL-CLOCK instant — the form an operator types during an
+      * incident — resolved to the newest pin taken at-or-before it
+      * ([[graft.core.CatalogSnapshots]] resolvePinAt). The fixture pins
+      * under an injected clock so the probe instant is deterministic.
+      */
+    "a_sql_asof_ts" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlAsofTsCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("asfts", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.pinClock = () =>
+          java.time.Instant.parse("2026-01-01T00:00:00Z")
+            .toEpochMilli * 1000L
+        c.pin("asfts")
+        val rep = c.sql("DELETE FROM asfts WHERE o_orderkey % 10 = 1")
+        require(rep.head().getLong(1) > 0, "fixture: delete must hit")
+        c
+      }
+      cat.sql(
+        """SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          |FROM asfts TIMESTAMP AS OF '2026-03-15 00:00:00+00:00'
+          |GROUP BY o_orderstatus
+          |UNION ALL
+          |SELECT 'live', o_orderstatus, count(*),
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |FROM asfts GROUP BY o_orderstatus
+          |ORDER BY src, o_orderstatus""".stripMargin)
+    }),
+
     "a_sql_asof" -> ((s, dir) => {
       val (cat, epoch) = SessionScoped.memo(s, s"sqlAsofCatalog:$dir") {
         val c = new graft.core.Catalog(s)
@@ -2211,6 +2281,16 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a_sql_asof_ts" ->
+      """SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'live', o_orderstatus, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 != 1 GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
@@ -2264,6 +2344,26 @@ object AnalyticsQueries {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    "a_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q22_global_sales" ->
       """SELECT c_nationkey AS nation, count(*) AS numcust,
