@@ -373,22 +373,8 @@ trait CatalogDdl { self: Catalog =>
     * crash, never another table's bytes.
     */
   private def retireLayoutsReferencing(name: String, column: String): Unit = {
-    import Catalog._
-    def refs(l: TableLayout): Set[String] = l match {
-      case l: PqCodesLayout => Set(l.idCol, l.vecCol)
-      case l: IvfPqCellLayout => Set(l.idCol, l.vecCol)
-      case l: BucketedLayout => Set(l.key)
-      case l: RangedLayout => Set(l.column) ++ l.idCol
-      case l: ZOrderedLayout => Set(l.colX, l.colY) ++ l.idCol
-      case l: ZOrdered3Layout => l.cols.toSet ++ l.idCol
-      case l: LshIndexLayout => Set(l.idCol, l.textCol)
-      case l: PostingsLayout => Set(l.idCol, l.textCol)
-      case l: SketchLayout => l.groupCols.toSet + l.col
-      case l: PairsLayout => l.groupCols.toSet + l.col
-      case l: CubeLayout => l.groupCols.toSet ++ l.measures
-    }
     layouts.filterInPlace { case ((n, _), l) =>
-      n != name || !refs(l).contains(column)
+      n != name || !Catalog.layoutRefs(l).contains(column)
     }
     ()
   }

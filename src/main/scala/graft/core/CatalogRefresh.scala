@@ -34,9 +34,28 @@ trait CatalogRefresh { self: Catalog =>
     */
   def refreshStale(name: String): Seq[String] = {
     val s = sessionOf(name)
+    // retire-don't-wedge (r13): a structural gesture can remove or
+    // rename a column a layout's DEFINITION names (pivot, typed column
+    // drop, SQL DDL already retires eagerly) — refreshing such a layout
+    // would reference a nonexistent column, throw, and then throw again
+    // on EVERY later refreshStale since builtAtEpoch never advances.
+    // A layout whose definition can no longer be satisfied retires
+    // (queries fall back to live; the decision is visible in
+    // recentRoutes); everything else refreshes as before.
+    val schema = Positional.strip(s.current).columns.toSet
     layoutsOf(name).collect {
       case (slot, l) if l.builtAtEpoch != s.epoch => (slot, l)
-    }.map { case (slot, l) => refreshSlot(name, s, slot, l); slot }
+    }.flatMap { case (slot, l) =>
+      if (!Catalog.layoutRefs(l).subsetOf(schema)) {
+        layouts.remove((name, slot))
+        recordRoute(Catalog.RouteReport(slot, "retired",
+          "schema-missing-column"))
+        None
+      } else {
+        refreshSlot(name, s, slot, l)
+        Some(slot)
+      }
+    }
   }
 
   /** Above this many delta rows a patch loses to a rebuild (and the

@@ -1294,4 +1294,23 @@ object Catalog {
   final case class CubeLayout(groupCols: Seq[String], measures: Seq[String],
       path: String, builtAtEpoch: Long,
       patch: Option[LayoutPatch] = None) extends TableLayout
+
+  /** The session columns a layout's DEFINITION names — the set that must
+    * still exist for the layout to be refreshable or rebuildable. Used
+    * by the refresh loop's retire-don't-wedge guard and the SQL DDL
+    * surface's drop/rename retirement.
+    */
+  private[core] def layoutRefs(l: TableLayout): Set[String] = l match {
+    case l: PqCodesLayout => Set(l.idCol, l.vecCol)
+    case l: IvfPqCellLayout => Set(l.idCol, l.vecCol)
+    case l: BucketedLayout => Set(l.key)
+    case l: RangedLayout => Set(l.column) ++ l.idCol
+    case l: ZOrderedLayout => Set(l.colX, l.colY) ++ l.idCol
+    case l: ZOrdered3Layout => l.cols.toSet ++ l.idCol
+    case l: LshIndexLayout => Set(l.idCol, l.textCol)
+    case l: PostingsLayout => Set(l.idCol, l.textCol)
+    case l: SketchLayout => l.groupCols.toSet + l.col
+    case l: PairsLayout => l.groupCols.toSet + l.col
+    case l: CubeLayout => l.groupCols.toSet ++ l.measures
+  }
 }

@@ -234,6 +234,26 @@ class CubeLayoutSpec extends SparkSpec {
       direct(graft.core.Positional.strip(s.current), Seq("g"), Seq("m")))
   }
 
+  test("refresh retires a layout whose definition names a vanished column — never wedges (r13)") {
+    val c = newCubeCatalog()
+    val s = c.get("cli").get
+    // a TYPED structural gesture that removes the cube's columns
+    // entirely: pivot replaces the table with a new shape. Refresh used
+    // to rebuild with the old column names, throw, and then throw again
+    // on every later refreshStale (builtAtEpoch never advanced).
+    s.pivot("l_returnflag", "l_linestatus", "l_quantity", "sum")
+    assert(c.refreshStale("cli").isEmpty,
+      "a definition-orphaned layout must retire, not refresh")
+    assert(c.layoutsOf("cli").isEmpty, "the orphaned cube must be gone")
+    assert(c.recentRoutes.exists(r =>
+      r.decision == "retired" && r.reason == "schema-missing-column"),
+      s"the retirement must be visible; routes: ${c.recentRoutes}")
+    // the refresh loop still works for future layouts on the new shape
+    c.buildCubeLayout("cli", Seq("l_returnflag"), Nil)
+    assert(s.deleteRow(0L))
+    assert(c.refreshStale("cli") == Seq("cube:l_returnflag"))
+  }
+
   test("deletes straddling a column add still retraction-patch (victim schemas differ)") {
     val c = newCubeCatalog()
     val s = c.get("cli").get
