@@ -69,6 +69,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         tryBucketedJoin(j).getOrElse(j)
       case a: Aggregate =>
         tryCube(a).orElse(tryDistinctPairs(a)).orElse(tryMixed(a))
+          .orElse(tryGroupingSets(a))
           .getOrElse(a)
       case f @ Filter(cond, SessionView(name, sa)) =>
         tryRanged(f, cond, name, sa).getOrElse(f)
@@ -466,6 +467,130 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+  }
+
+  /** GROUPING SETS / ROLLUP / CUBE over a cube-covered view → the same
+    * multi-set aggregation over the STORED partials (r13). The analyzer
+    * plans grouping sets as `Aggregate(groupAttrs :+ gid, aggs,
+    * Expand(projections, childOut ++ groupAttrs :+ gid, Project(childOut
+    * ++ groupAliases, [Filter] view)))` — each projection replicates the
+    * input with one set's group columns kept/nulled plus a grouping-id
+    * literal. Every aggregate leaf that [[cubeAggExpr]] can re-merge
+    * from partials stays EXACT under replication: replicating stored
+    * cube rows per set and re-merging `__cnt` / `__sum_m` / `__cntm_m`
+    * per (nulled-groups, gid) is the same arithmetic as replicating
+    * fact rows and folding them — so the rewrite swaps the fact table
+    * under the Expand for the group-count-sized cube, preserving the
+    * Aggregate's grouping attributes and grouping-id semantics
+    * verbatim (grouping()/grouping_id() read gid, untouched). At 100 TB
+    * a 4-set rollup stops being four fact scans' worth of input and
+    * becomes 4× a kilobyte-scale stored read. Conservative like every
+    * rewrite here: any set column outside the cube's group columns, any
+    * untranslatable leaf (a DISTINCT over a measure, a raw double sum),
+    * or a WHERE touching a measure declines the whole rewrite.
+    */
+  private def tryGroupingSets(a: Aggregate): Option[LogicalPlan] = {
+    val ex = a.child match {
+      case e: Expand => e
+      case _ => return None
+    }
+    // Project(childOut ++ groupAliases, [Filter] SessionView)
+    val (plist, cond, name, sa) = ex.child match {
+      case Project(pl, SessionView(n, s)) => (pl, None, n, s)
+      case Project(pl, Filter(c, SessionView(n, s))) => (pl, Some(c), n, s)
+      case _ => return None
+    }
+    // Expand output = [pass-through prefix (child attrs, MINUS the
+    // group aliases the analyzer appended)] ++ groupAttrs ++ gid. The
+    // prefix length is where the first NON-child attribute appears —
+    // ex.child.output.size over-counts by the alias columns, which ride
+    // in projections' value slots but never in the output prefix.
+    val nOut = ex.output.size
+    val passN = ex.output.indexWhere(a => !ex.child.outputSet.contains(a))
+    if (passN < 0 || nOut < passN + 2) return None
+    val gidAttr = ex.output.last
+    if (gidAttr.name != "spark_grouping_id") return None
+    val groupAttrs = ex.output.slice(passN, nOut - 1)
+    val k = groupAttrs.size
+    if (ex.projections.exists(_.size != nOut)) return None
+    // alias attr id → underlying view column name
+    val aliasSrc: Map[ExprId, String] = plist.collect {
+      case al @ Alias(src: AttributeReference, _)
+          if sa.outputSet.contains(src) => al.exprId -> src.name
+    }.toMap
+    // per group position, the source view column (from any non-null slot)
+    val srcName: Seq[Option[String]] = (0 until k).map { j =>
+      ex.projections.iterator.map(_(passN + j)).collectFirst {
+        case at: AttributeReference if aliasSrc.contains(at.exprId) =>
+          aliasSrc(at.exprId)
+        case at: AttributeReference if sa.outputSet.contains(at) => at.name
+      }
+    }
+    if (srcName.exists(_.isEmpty)) return None
+    val sources = srcName.map(_.get)
+    routesFor(spark, name).collect { case c: CubeSqlRoute => c }
+      .filter { r =>
+        sources.forall(r.groupCols.contains) &&
+          cond.forall(_.references.forall {
+            case at: AttributeReference =>
+              sa.outputSet.contains(at) && r.groupCols.contains(at.name)
+            case _ => false
+          })
+      }
+      .view.flatMap { r =>
+        val cubePlan = r.served().queryExecution.analyzed
+        val byName = cubePlan.output.map(o => o.name -> o).toMap
+        if (!sources.forall(byName.contains)) None
+        else {
+          val keepIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+          def translate(e: Expression): Option[Expression] = e match {
+            case ae: AggregateExpression =>
+              cubeAggExpr(sa, r.groupCols, r.measures, byName)(ae)
+            case at: AttributeReference if keepIds.contains(at.exprId) =>
+              Some(at)
+            case _: AttributeReference => None
+            case other =>
+              val kids = other.children.map(translate)
+              if (kids.forall(_.isDefined))
+                Some(other.withNewChildren(kids.map(_.get)))
+              else None
+          }
+          val newAggExprs: Seq[Option[NamedExpression]] =
+            a.aggregateExpressions.map {
+              case al @ Alias(child, nm) =>
+                translate(child).map(t => Alias(t, nm)(exprId = al.exprId))
+              case at: AttributeReference if keepIds.contains(at.exprId) =>
+                Some(at)
+              case _ => None
+            }
+          val newCond: Option[Option[Expression]] = cond.map { c =>
+            val remapped = c.transformUp {
+              case at: AttributeReference if byName.contains(at.name) =>
+                byName(at.name)
+            }
+            if (remapped.references.forall(at => byName.get(at.name)
+                .exists(_.exprId == at.exprId))) Some(remapped) else None
+          }
+          if (newAggExprs.forall(_.isDefined) && newCond.forall(_.isDefined)) {
+            r.onRoute()
+            val base = newCond.flatten
+              .map(c => Filter(c, cubePlan): LogicalPlan).getOrElse(cubePlan)
+            val newProjections = ex.projections.map { p =>
+              val groupSlots: Seq[Expression] = (0 until k).map { j =>
+                p(passN + j) match {
+                  case l @ Literal(null, _) => l: Expression
+                  case _ => byName(sources(j)): Expression
+                }
+              }
+              (groupSlots :+ p.last) ++ cubePlan.output
+            }
+            val newOutput = (groupAttrs :+ gidAttr) ++ cubePlan.output
+            Some(Aggregate(a.groupingExpressions,
+              newAggExprs.map(_.get),
+              Expand(newProjections, newOutput, base), None))
+          } else None
+        }
+      }.headOption
   }
 
   private def rewriteOnCube(a: Aggregate, sa: SubqueryAlias,

@@ -2174,6 +2174,24 @@ object AnalyticsQueries {
           |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
     }),
 
+    /** The grouping-sets rewrite over the STORED cube (r13): the same
+      * ROLLUP text against a cube-covered session re-merges stored
+      * partials under the analyzer's Expand — every set reads
+      * group-count-sized data instead of the fact table (plan pinned in
+      * SqlRoutingSpec; at 100 TB a 4-set rollup becomes 4× a
+      * kilobyte-scale stored read). Oracle: the same text over raw
+      * lineitem.
+      */
+    "a_sql_rollup_routed" -> ((s, dir) =>
+      cubeCatalog(s, dir).sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS flag,
+          |  coalesce(l_linestatus, '(all)') AS status,
+          |  CAST(grouping_id() AS INT) AS gid, count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS rev
+          |FROM li_cube GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY gid, flag, status""".stripMargin)),
+
     /** GROUPING SETS with grouping() indicators (r13): four groupings in
       * one pass — Spark expands the sets into one aggregate over a
       * grouping-id column (one shuffle, not four), the same partial-
@@ -2352,6 +2370,16 @@ object AnalyticsQueries {
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    "a_sql_rollup_routed" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS rev
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
 
     "a_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS flag,

@@ -625,6 +625,81 @@ class SqlRoutingSpec extends SparkSpec {
         .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
   }
 
+  test("GROUPING SETS / ROLLUP / CUBE re-merge from the stored cube — no fact scan (r13)") {
+    val cat = new Catalog(spark)
+    cat.open("li_gs", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_gs", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_gs_raw")
+    def bothWays(body: String): Unit = {
+      val routed = cat.sql(body.replace("__T__", "li_gs"))
+      val p = plan(routed)
+      assert(p.contains("catalog_cube_"),
+        s"the multi-set aggregate must re-merge stored partials; plan:\n$p")
+      assert(!p.contains("l_orderkey"),
+        s"the rewrite must never scan the fact table; plan:\n$p")
+      val live = spark.sql(body.replace("__T__", "li_gs_raw"))
+      assert(routed.collect().map(_.toSeq).toSeq ==
+        live.collect().map(_.toSeq).toSeq,
+        s"routed grouping-sets answer must equal live for:\n$body")
+    }
+    // explicit GROUPING SETS with grouping() indicators and a subset set
+    bothWays(
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |  coalesce(l_linestatus, '(all)') AS status,
+        |  CAST(grouping(l_returnflag) AS INT) AS gf,
+        |  CAST(grouping_id() AS INT) AS gid,
+        |  count(*) AS n, count(l_quantity) AS nq,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty,
+        |  min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM __T__
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, flag, status""".stripMargin)
+    // ROLLUP and CUBE sugar take the same Expand shape
+    bothWays(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM __T__ GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    bothWays(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM __T__ GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    // a WHERE on a group column filters the stored rows (constant within
+    // each group), still no fact scan
+    bothWays(
+      """SELECT l_linestatus, CAST(grouping(l_linestatus) AS INT) AS gs,
+        |  count(*) AS n
+        |FROM __T__ WHERE l_returnflag = 'A'
+        |GROUP BY ROLLUP (l_linestatus)
+        |ORDER BY gs, l_linestatus""".stripMargin)
+    // a leaf the cube can't serve (DISTINCT over a measure) declines the
+    // WHOLE rewrite — live plan answers
+    val decline = cat.sql(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd
+        |FROM li_gs GROUP BY ROLLUP (l_returnflag)""".stripMargin)
+    assert(!plan(decline).contains("catalog_cube_"),
+      "an untranslatable leaf must refuse the grouping-sets rewrite")
+    assert(decline.collect().map(_.toSeq).toSet ==
+      spark.sql(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS cd
+          |FROM li_gs_raw GROUP BY ROLLUP (l_returnflag)""".stripMargin)
+        .collect().map(_.toSeq).toSet)
+    // an edit invalidates: the same text falls back to the live view
+    assert(cat.get("li_gs").get.setCell(0L, "l_quantity", "42"))
+    val stale = cat.sql(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM li_gs GROUP BY ROLLUP (l_returnflag)""".stripMargin)
+    assert(!plan(stale).contains("catalog_cube_"),
+      "a stale cube must not serve grouping sets")
+  }
+
   test("the canonical avg quotient re-merges from cube partials (both leaves route)") {
     val cat = new Catalog(spark)
     cat.open("li_av", s"$sf/lineitem.parquet",
