@@ -261,6 +261,13 @@ object Bench {
       graft.queries.AnalyticsQueries
         .queries("q21_suppliers_waiting")(s, sfDir).count()),
 
+    // r13: a 3-set ROLLUP served from the stored cube (first pass pays
+    // the memoized build) — compare against a_grouping_sets-shaped fact
+    // scans: the routed form reads group-count-sized partials per set
+    "a_rollup_routed" -> ((s: SparkSession) =>
+      graft.queries.AnalyticsQueries
+        .queries("a_sql_rollup_routed")(s, sfDir).count()),
+
     // r11: the streaming-ingest steady-state cycle — append fixed
     // batches, delta-patch the layout, routed read. Tracks the loop's
     // cost so a plan-composition regression (the per-batch doubling

@@ -127,6 +127,37 @@ class SqlTimeTravelSpec extends SparkSpec {
       .head().getLong(0) == preCount)
   }
 
+  test("ROLLUP over VERSION AS OF re-merges the PINNED cube — composition of the two r13 rewrites") {
+    val cat = new Catalog(spark)
+    cat.open("ttgs", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("ttgs", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    val s = cat.get("ttgs").get
+    val epoch = cat.pin("ttgs")
+    val want = Positional.strip(s.current)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq
+    // mutate + refresh: the live cube moves on; the pinned one must
+    // still serve the pre-edit rollup, from STORED partials
+    assert(s.setCell(0L, "l_quantity", "42"))
+    assert(cat.refreshStale("ttgs").nonEmpty)
+    val routed = cat.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n
+         |FROM ttgs VERSION AS OF $epoch
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    val p = routed.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the pinned rollup must re-merge the pinned cube; plan:\n$p")
+    assert(routed.collect().map(_.toSeq).toSeq == want,
+      "the pinned rollup must serve the pre-edit answer")
+  }
+
   test("TIMESTAMP AS OF resolves to the newest pin at-or-before the instant (r12 task #3)") {
     val cat = new Catalog(spark)
     cat.open("ttts", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
