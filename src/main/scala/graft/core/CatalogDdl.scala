@@ -245,19 +245,38 @@ trait CatalogDdl { self: Catalog =>
     // GROUP BY clause, and no node's origin covers the SELECT keyword),
     // and a rigid clause-by-clause prefix regex would reject legal
     // forms (backticked names, USING a.b.c).
-    val m = java.util.regex.Pattern.compile(
-      "(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?table\\s.*?" +
-        "\\bas\\s+((?:select|from|table|values|with|\\()\\b?.*)$")
+    // candidate positions are tried in order and the first whose tail
+    // PARSES wins — a single reluctant match would stop inside a string
+    // literal (`COMMENT 'used as select source' AS SELECT …`) and hand
+    // garbage to spark.sql (r13 review finding #4)
+    val head = java.util.regex.Pattern.compile(
+      "(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?table\\s").matcher(query)
+    require(head.find(), s"not a CTAS statement: $query")
+    val cand = java.util.regex.Pattern.compile(
+      "(?is)\\bas\\s+((?:select|from|table|values|with|\\()\\b?.*)$")
       .matcher(query)
-    require(m.matches(), s"cannot locate CTAS source query in: $query")
-    val srcText = m.group(1)
+    var srcText: Option[String] = None
+    var from = head.end()
+    while (srcText.isEmpty && cand.find(from)) {
+      val tail = cand.group(1)
+      if (Try(spark.sessionState.sqlParser.parsePlan(tail)).isSuccess)
+        srcText = Some(tail)
+      from = cand.start() + 1
+    }
+    require(srcText.isDefined, s"cannot locate CTAS source query in: $query")
     // planned WITHOUT layout routes, deliberately: the CTAS result is a
     // LONG-LIVED lazy plan (openFrom binds it un-executed), and a
     // routed plan would reference layout storage that a later rebuild +
     // vacuum may collect — the grace window protects handed-out query
     // plans, not sessions. The live view window still resolves every
-    // session name; only the at-rest acceleration is skipped.
-    val rows = spark.sql(srcText)
+    // session name; only the at-rest acceleration is skipped. A
+    // referenced MATERIALIZED VIEW re-registers live for the same
+    // reason: its window view was planned routed (r13 review finding
+    // #1), and the views drop when the window closes either way.
+    mvsReferenced(srcText.get).foreach { n =>
+      Try(spark.sql(mvs(n))).foreach(_.createOrReplaceTempView(n))
+    }
+    val rows = spark.sql(srcText.get)
     openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this
     // sql() call's window and to later calls — the window opened before
@@ -268,11 +287,13 @@ trait CatalogDdl { self: Catalog =>
   }
 
   /** Session-schema name resolution for DDL text — CASE-INSENSITIVE,
-    * like Spark's own (and this engine's INSERT-list) resolution.
-    * Returns the schema's canonical spelling.
+    * like Spark's own (and this engine's INSERT-list) resolution, with
+    * an EXACT match preferred so a case-colliding schema ('A' and 'a')
+    * resolves the spelled column, never its sibling (r13 review
+    * finding #6). Returns the schema's canonical spelling.
     */
   private def canonCol(cols: Seq[String], c: String): Option[String] =
-    cols.find(_.equalsIgnoreCase(c))
+    cols.find(_ == c).orElse(cols.find(_.equalsIgnoreCase(c)))
 
   private def runAddColumns(name: String, a: AddColumns): DataFrame = {
     val s = sessions(name)
@@ -329,6 +350,12 @@ trait CatalogDdl { self: Catalog =>
 
   private def runDropColumns(name: String, d: DropColumns): DataFrame = {
     val s = sessions(name)
+    // retirement is DEFERRED until every gesture succeeded: the
+    // atomically() bracket rolls the SESSION back on a later column's
+    // failure, but a layout retired mid-statement would stay retired —
+    // the statement would report failure yet silently cost its
+    // acceleration (r13 review finding #2)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     d.columnsToDrop.foreach { fn =>
       require(fn.name.size == 1,
         "ALTER TABLE DROP COLUMN of a nested field is not supported " +
@@ -340,9 +367,10 @@ trait CatalogDdl { self: Catalog =>
             s"no column ${fn.name.head} in session '$name'")
         case Some(c) =>
           s.dropColumnAt(cols.indexOf(c))
-          retireLayoutsReferencing(name, c)
+          dropped += c
       }
     }
+    dropped.foreach(retireLayoutsReferencing(name, _))
     ddlReport("drop_columns", name)
   }
 

@@ -360,16 +360,24 @@ trait CatalogSnapshots { self: Catalog =>
         // `ver` is the RESOLVED epoch there and never appears in text
         val pat =
           if (tt.timestamp.isDefined)
-            s"(?i)\\b$name\\s+timestamp\\s+as\\s+of\\s+('[^']*'|\\S+)"
+            s"(?i)\\b$name\\s+timestamp\\s+as\\s+of\\s+" +
+              "(timestamp\\s+'[^']*'|'[^']*'|\\S+)"
           else s"(?i)\\b$name\\s+version\\s+as\\s+of\\s+'?$ver'?"
         val m = java.util.regex.Pattern.compile(pat).matcher(query)
         if (m.find()) Some((m.start, m.end - 1)) else None
       }
     }
-    val subs = hits.flatMap { case (tt, name, ver) =>
+    val subs0 = hits.flatMap { case (tt, name, ver) =>
       span(tt, name, ver).map(s => (s._1, s._2, name, ver))
     }
-    if (subs.size != hits.size) return None
+    if (subs0.size != hits.size) return None
+    // two clauses must never claim the same statement span: the
+    // fallback regex finds the FIRST textual occurrence, so two
+    // origin-less travel clauses on one session would both map there
+    // and the double substitution would garble the statement (r13
+    // review finding #5) — decline instead (ordinary path errors)
+    val subs = subs0.distinct
+    if (subs.map(s => (s._1, s._2)).distinct.size != subs.size) return None
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
     val pinRoutes = scala.collection.mutable.HashMap
       .empty[String, Seq[graft.plans.SqlRouting.SqlRoute]]

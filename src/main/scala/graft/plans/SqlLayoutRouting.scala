@@ -52,19 +52,28 @@ import org.apache.spark.sql.types.Decimal
 case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   import SqlRouting._
 
-  // transformUpWithSubqueries, not transformUp: at analysis time a
-  // subquery (EXISTS / IN / scalar) is still a SubqueryExpression whose
-  // INNER plan a plain transform never visits, so a range predicate
-  // inside `EXISTS (SELECT … WHERE l_price BETWEEN …)` used to re-read
-  // every file of a ranged session (r12 verdict task #1 — the decision
-  // is "routing fires inside subqueries", pinned by SqlRoutingSpec).
-  // The rewrite is purely local (remap aliases the pruned scan back to
-  // the view's attribute ids), so outer references and decorrelation
-  // are unaffected; a correlated conjunct is just an unmatched conjunct
-  // to the bound extractors, which only loosens pruning.
+  // WithSubqueries: at analysis time a subquery (EXISTS / IN / scalar)
+  // is still a SubqueryExpression whose INNER plan a plain transform
+  // never visits, so a range predicate inside `EXISTS (SELECT … WHERE
+  // l_price BETWEEN …)` used to re-read every file of a ranged session
+  // (r12 verdict task #1 — the decision is "routing fires inside
+  // subqueries", pinned by SqlRoutingSpec). The rewrite is purely local
+  // (remap aliases the pruned scan back to the view's attribute ids),
+  // so outer references and decorrelation are unaffected; a correlated
+  // conjunct is just an unmatched conjunct to the bound extractors,
+  // which only loosens pruning.
+  //
+  // transformDOWN, not up (r13 review finding #3): the aggregate
+  // rewrites (cube / pairs / mixed / grouping-sets) match Filter(cond,
+  // view) INSIDE their subtree — a bottom-up pass would let tryRanged
+  // rewrite that Filter first (fact-file pruning, MBs), destroying the
+  // shape the group-count-sized rewrite (KBs) needs. Top-down the
+  // Aggregate is offered first; only when every aggregate rewrite
+  // declines does the descent reach the Filter and apply the pruning
+  // fallback — best rewrite wins, pruning remains the floor.
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SqlRouting.hasRoutes(spark)) plan
-    else plan.transformUpWithSubqueries {
+    else plan.transformDownWithSubqueries {
       case j: Join =>
         tryBucketedJoin(j).getOrElse(j)
       case a: Aggregate =>

@@ -700,6 +700,48 @@ class SqlRoutingSpec extends SparkSpec {
       "a stale cube must not serve grouping sets")
   }
 
+  test("rewrite priority: the cube wins over a ranged route on the SAME filtered rollup; pruning stays the floor") {
+    // the rule transforms top-DOWN so the aggregate rewrites are offered
+    // before tryRanged can rewrite the Filter inside their subtree — a
+    // bottom-up pass would prune fact FILES (MBs) where the cube serves
+    // group-count-sized partials (KBs), silently losing the better plan
+    val cat = new Catalog(spark)
+    cat.open("li_pri", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_pri", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"))
+    cat.buildRangedLayout("li_pri", "l_returnflag", files = 4)
+    val q = """SELECT l_linestatus, count(*) AS n FROM li_pri
+              |WHERE l_returnflag = 'A'
+              |GROUP BY ROLLUP (l_linestatus)
+              |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && !p.contains("catalog_ranged") &&
+      !p.contains("l_orderkey"),
+      s"the cube must win the filtered rollup; plan:\n$p")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").filter(col("l_returnflag") === "A")
+        .rollup("l_linestatus").agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq)
+    // pruning is the FLOOR: a rollup the cube cannot serve (distinct
+    // over a measure) falls through to the ranged route for the filter
+    val floor = cat.sql(
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS cd FROM li_pri
+        |WHERE l_returnflag = 'A' GROUP BY ROLLUP (l_linestatus)"""
+        .stripMargin)
+    val pf = plan(floor)
+    assert(!pf.contains("catalog_cube_") && pf.contains("catalog_ranged"),
+      s"the declined rollup must still prune through the ranged " +
+        s"layout; plan:\n$pf")
+    assert(floor.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem").filter(col("l_returnflag") === "A")
+        .rollup("l_linestatus")
+        .agg(count_distinct(col("l_partkey")).as("cd"))
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("the canonical avg quotient re-merges from cube partials (both leaves route)") {
     val cat = new Catalog(spark)
     cat.open("li_av", s"$sf/lineitem.parquet",
