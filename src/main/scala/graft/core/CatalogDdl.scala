@@ -401,10 +401,16 @@ trait CatalogDdl { self: Catalog =>
     * crash, never another table's bytes.
     */
   private def retireLayoutsReferencing(name: String, column: String): Unit = {
-    layouts.filterInPlace { case ((n, _), l) =>
-      n != name || !Catalog.layoutRefs(l).contains(column)
+    val victims = layouts.collect {
+      case ((n, slot), l)
+          if n == name && Catalog.layoutRefs(l).contains(column) => slot
+    }.toSeq
+    victims.foreach { slot =>
+      layouts.remove((name, slot))
+      // the manifest entry too (writer permitting) — see refreshStale's
+      // retire branch: an orphaned entry pins storage against vacuum
+      removeManifestEntry(name, slot)
     }
-    ()
   }
 
 }

@@ -48,6 +48,10 @@ trait CatalogRefresh { self: Catalog =>
     }.flatMap { case (slot, l) =>
       if (!Catalog.layoutRefs(l).subsetOf(schema)) {
         layouts.remove((name, slot))
+        // drop the manifest entry too (writer permitting): a
+        // definition-orphaned entry would otherwise pin its storage
+        // against vacuum forever while never re-attaching
+        removeManifestEntry(name, slot)
         recordRoute(Catalog.RouteReport(slot, "retired",
           "schema-missing-column"))
         None

@@ -40,6 +40,40 @@ trait CatalogVacuum { self: Catalog =>
     *
     * @return warehouse-relative paths deleted, dirs and files.
     */
+  /** Drop one layout outright: the in-memory route and (on a durable
+    * catalog) its manifest entry, so the next [[vacuum]] collects its
+    * storage once the grace window passes — the operator gesture that
+    * completes the layout lifecycle (build → refresh → retire/drop →
+    * vacuum). Queries fall back to the live plan immediately. The
+    * manifest removal is a WRITE: it goes through the fencing token
+    * like any persist, so a superseded catalog can drop its own
+    * in-memory route but never another writer's manifest entry.
+    *
+    * @return true if anything (route or manifest entry) was removed.
+    */
+  def dropLayout(name: String, slot: String): Boolean = {
+    val hadMem = layouts.remove((name, slot)).isDefined
+    val hadMan = removeManifestEntry(name, slot)
+    if (hadMem || hadMan)
+      recordRoute(Catalog.RouteReport(slot, "retired", "dropped"))
+    hadMem || hadMan
+  }
+
+  /** Remove (and re-persist) one manifest entry; false when absent or
+    * when this catalog is not the warehouse's writer (fenced — the new
+    * writer owns the manifest, and ITS digest gate keeps the entry
+    * honest).
+    */
+  private[core] def removeManifestEntry(name: String, slot: String): Boolean =
+    warehouse.exists { wh =>
+      manifest.contains((name, slot)) && Try {
+        fenceWriter(wh)
+        manifest.remove((name, slot))
+        LayoutStore.save(spark, wh, manifest.values.toSeq)
+        true
+      }.getOrElse(false)
+    }
+
   def vacuum(graceMs: Long = Catalog.vacuumGraceMs): Seq[String] =
     warehouse.toSeq.flatMap { wh =>
       import org.apache.hadoop.fs.Path
@@ -86,10 +120,15 @@ trait CatalogVacuum { self: Catalog =>
         case Some(es) => es
         case None => return Seq.empty
       }
-      // an ABSENT manifest over a warehouse that already holds layout
-      // dirs is a writer's delete+rename window (or a crashed writer) —
-      // abort; a genuinely fresh warehouse has nothing to collect anyway
+      // an ABSENT manifest FILE over a warehouse that already holds
+      // layout dirs is a writer's delete+rename window (or a crashed
+      // writer) — abort; a genuinely fresh warehouse has nothing to
+      // collect anyway. A manifest that exists with ZERO entries is a
+      // different thing entirely: every layout was legitimately dropped
+      // or retired (r13 dropLayout), and its strands must collect —
+      // aborting here would pin a fully-emptied warehouse forever.
       if (diskEntries.isEmpty &&
+          !fs.exists(new Path(s"$wh/_manifest")) &&
           fs.listStatus(whPath).exists(st =>
             !st.getPath.getName.startsWith("_"))) return Seq.empty
       val allEntries: Seq[LayoutManifestEntry] =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.{Catalog, Tables}
+import graft.core.{Catalog, LayoutStore, Tables}
 
 /** Warehouse garbage collection + epoch-pinned snapshot serving (r10
   * verdict tasks #1 and #4): superseded layout/patch dirs must be
@@ -76,6 +76,37 @@ class VacuumSpec extends SparkSpec {
       "a reopen over the vacuumed warehouse must still attach")
     assert(cat2.topK("vemb", "vec_id", "embedding", queryVec(), 5)
       .collect().map(_.toSeq).toSeq == answer)
+  }
+
+  test("dropLayout and schema-retirement free the manifest entry; vacuum collects the storage (r13)") {
+    val wh = newWarehouse()
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("vdl", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("vdl", Seq("l_returnflag"), Seq("l_quantity"))
+    cat.buildRangedLayout("vdl", "l_extendedprice", files = 4)
+    assert(topDirs(wh).exists(_.startsWith("catalog_cube_")))
+
+    // explicit drop: route gone immediately, storage after vacuum
+    assert(cat.dropLayout("vdl", "range:l_extendedprice"))
+    assert(cat.explainRoute("vdl", "range:l_extendedprice").reason ==
+      "no-layout")
+    cat.vacuum(graceMs = 0L)
+    assert(!topDirs(wh).exists(_.startsWith("catalog_ranged_")),
+      s"dropLayout + vacuum must collect the ranged dir; ${topDirs(wh)}")
+    assert(!cat.dropLayout("vdl", "range:l_extendedprice"),
+      "a second drop must report nothing removed")
+
+    // schema retirement: the SQL rename orphans the cube — its manifest
+    // entry must go too, or the dir would stay pinned forever
+    cat.sql("ALTER TABLE vdl RENAME COLUMN l_quantity TO qty")
+    cat.vacuum(graceMs = 0L)
+    assert(!topDirs(wh).exists(_.startsWith("catalog_cube_")),
+      s"a retired layout's storage must be collectable; ${topDirs(wh)}")
+    assert(LayoutStore.load(spark, wh).isEmpty,
+      "no manifest entry may survive the drop + retirement")
+    // the session still answers (live plans)
+    assert(cat.sql("SELECT count(*) AS n FROM vdl").head().getLong(0) > 0)
   }
 
   test("a durable ingest loop stays storage-bounded: vacuum collects each batch's superseded patch dir") {
