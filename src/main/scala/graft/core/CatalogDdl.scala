@@ -115,10 +115,17 @@ trait CatalogDdl { self: Catalog =>
         targets match {
           case Seq(t) =>
             val schema = Positional.strip(sessions(t).current).columns.toSet
-            val groupCols = agg.groupingExpressions.collect {
+            // a GROUPING SETS / ROLLUP / CUBE body grouping-refs the
+            // Expand-produced attrs plus the grouping id; the id is
+            // synthetic and the set attrs carry their source column
+            // NAMES, so dropping the id yields the buildable grouping —
+            // the mv read then routes through the grouping-sets rewrite
+            val groupAttrs = agg.groupingExpressions.collect {
               case at: AttributeReference => at.name
             }
-            if (groupCols.size == agg.groupingExpressions.size &&
+            val groupCols =
+              groupAttrs.filterNot(_ == "spark_grouping_id").distinct
+            if (groupAttrs.size == agg.groupingExpressions.size &&
                 groupCols.forall(schema.contains)) {
               val leaves = agg.aggregateExpressions.flatMap(_.collect {
                 case ae: AggregateExpression => ae

@@ -183,6 +183,25 @@ class SqlDdlSpec extends SparkSpec {
     assert(got == want)
     // CTAS cannot shadow an mv name (finding #5)
     intercept[Exception] { cat.sql("CREATE TABLE jmv AS SELECT 1 AS x") }
+    // an mv with a ROLLUP body infers the cube (the synthetic grouping
+    // id is dropped from the grouping) and its reads route through the
+    // grouping-sets rewrite — the MV and multi-set stories compose
+    cat.sql(
+      """CREATE MATERIALIZED VIEW rmv AS
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM j1 GROUP BY ROLLUP (o_orderstatus)""".stripMargin)
+    assert(cat.layoutsOf("j1").exists(_._1 == "cube:o_orderstatus"),
+      "a ROLLUP mv body must infer and build the cube")
+    val rRead = cat.sql("SELECT * FROM rmv ORDER BY o_orderstatus")
+    val rp = rRead.queryExecution.executedPlan.toString
+    assert(rp.contains("catalog_cube_") && !rp.contains("o_orderkey"),
+      s"the ROLLUP mv read must re-merge stored partials; plan:\n$rp")
+    assert(rRead.collect().map(_.toSeq).toSeq ==
+      graft.core.Tables.load(spark, sf, "orders")
+        .rollup("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq)
+    cat.sql("DROP MATERIALIZED VIEW rmv")
     // drop the mv's source: statements that merely MENTION the word jmv
     // still run (finding #4); actually reading it is a clean not-found
     cat.sql("DROP TABLE j1")
