@@ -2212,6 +2212,40 @@ object AnalyticsQueries {
           |ORDER BY g_flag, g_status, flag, status""".stripMargin)
     }),
 
+    /** SQL-text PIVOT clause (r13): the reference's core gesture (A1) in
+      * its SQL spelling — Spark plans the relational PIVOT as one
+      * conditional aggregate (no per-column scans). Oracle replays it as
+      * explicit CASE-WHEN sums, DuckDB's PIVOT statement syntax being a
+      * different (non-clause) construct.
+      */
+    "a_sql_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT l_returnflag, l_linestatus,
+          |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+          |  FROM lineitem_sq)
+          |PIVOT (CAST(sum(qty) AS DOUBLE)
+          |       FOR l_linestatus IN ('F' AS f, 'O' AS o))
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    /** SQL-text UNPIVOT clause (r13): columns → rows, the inverse
+      * gesture (a9_unpivot's DataFrame twin in SQL spelling). Oracle is
+      * the canonical UNION ALL expansion.
+      */
+    "a_sql_unpivot" -> ((s, dir) => {
+      Tables.load(s, dir, "part").createOrReplaceTempView("part_sq")
+      s.sql(
+        """SELECT p_partkey, metric, val FROM (
+          |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+          |    CAST(p_retailprice AS DOUBLE) AS price
+          |  FROM part_sq)
+          |UNPIVOT (val FOR metric IN (size, price))
+          |WHERE p_partkey % 20 = 0
+          |ORDER BY p_partkey, metric""".stripMargin)
+    }),
+
     /** Week-over-week revenue growth per market segment: weekly decimal
       * sums (tiny — segments × weeks), then one lag window over the
       * aggregate, never the fact table.
@@ -2362,6 +2396,25 @@ object AnalyticsQueries {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "a_sql_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+
+    "a_sql_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'price', CAST(p_retailprice AS DOUBLE)
+        |  FROM part)
+        |WHERE p_partkey % 20 = 0
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT n_name, c.c_name, c.c_acctbal
