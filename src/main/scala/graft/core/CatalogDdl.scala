@@ -41,7 +41,8 @@ trait CatalogDdl { self: Catalog =>
   private[core] def looksLikeDdl(query: String): Boolean = {
     val t = query.trim
     val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
-    head == "CREATE" || head == "ALTER" || head == "DROP"
+    head == "CREATE" || head == "ALTER" || head == "DROP" ||
+      head == "TRUNCATE"
   }
 
   // ---- materialized views (r12 verdict task #8) ----------------------------
@@ -205,8 +206,101 @@ trait CatalogDdl { self: Catalog =>
           singlePart(d.child).filter(_ => d.ifExists)
             .map(ddlReport("drop_table_skipped", _))
         }
+      case c: CreateTable =>
+        singlePart(c.name).map(runCreateEmpty(_, c))
+      case t: TruncateTable =>
+        sessionTarget(t.table).map(n => atomically(n)(runTruncate(n)))
+      case r: RenameTable if !r.isView && r.newName.size == 1 =>
+        tableOrViewTarget(r.child).map(runRenameTable(_, r.newName.head))
       case _ => None
     }
+  }
+
+  /** An empty session from a bare `CREATE TABLE name (schema)` — the
+    * SQL-only lifecycle's starting point (CREATE → INSERT → SELECT with
+    * no pre-existing file). Every column is nullable: sessions enforce
+    * types, not constraints.
+    */
+  private def runCreateEmpty(name: String, c: CreateTable): DataFrame = {
+    require(!mvs.contains(name),
+      s"name '$name' is a materialized view — DROP MATERIALIZED VIEW first")
+    require(!sessions.contains(name) || c.ignoreIfExists,
+      s"session '$name' already exists (use IF NOT EXISTS)")
+    require(c.partitioning.isEmpty,
+      "CREATE TABLE ... PARTITIONED BY is not supported against a " +
+        "session (sessions are unpartitioned)")
+    if (sessions.contains(name) && c.ignoreIfExists)
+      return ddlReport("create_table_skipped", name)
+    require(c.columns.nonEmpty, "CREATE TABLE needs a column list")
+    val schema = org.apache.spark.sql.types.StructType(c.columns.map(cd =>
+      org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+        nullable = true)))
+    openFrom(name, spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    Positional.strip(sessions(name).current).createOrReplaceTempView(name)
+    ddlReport("create_table", name)
+  }
+
+  /** `TRUNCATE TABLE`: a structural replace with the empty plan of the
+    * same schema — layouts rebuild (to empty) on the next refresh,
+    * exactly like any oversized delete.
+    */
+  private def runTruncate(name: String): DataFrame = {
+    val s = sessions(name)
+    val before = s.rowCount
+    s.replace(s.current.limit(0))
+    report("truncate", before)
+  }
+
+  /** `ALTER TABLE old RENAME TO new`: re-keys the session, its live
+    * layouts, and (writer permitting) its manifest entries — the
+    * layouts keep serving under the new name with zero IO. Refused
+    * while the session has pinned epochs: pins (and their durable
+    * leases) are keyed by name, and silently splitting a pin from its
+    * session would break the time-travel contract.
+    */
+  private def runRenameTable(name: String, newName: String): DataFrame = {
+    require(!sessions.contains(newName) && !mvs.contains(newName),
+      s"name '$newName' is already a session or materialized view")
+    require(pinnedEpochs(name).isEmpty,
+      s"session '$name' has pinned epochs — unpin before renaming")
+    val s = sessions.remove(name).get
+    sessions(newName) = s
+    val movedLayouts = layouts.collect {
+      case ((n, slot), l) if n == name => (slot, l)
+    }.toSeq
+    movedLayouts.foreach { case (slot, l) =>
+      layouts.remove((name, slot))
+      layouts((newName, slot)) = l
+    }
+    val movedEntries = manifest.collect {
+      case ((n, slot), e) if n == name => (slot, e)
+    }.toSeq
+    if (movedEntries.nonEmpty) warehouse.foreach { wh =>
+      Try {
+        fenceWriter(wh)
+        movedEntries.foreach { case (slot, e) =>
+          manifest.remove((name, slot))
+          manifest((newName, slot)) = e.copy(session = newName)
+        }
+        LayoutStore.save(spark, wh, manifest.values.toSeq)
+      }.getOrElse(())
+    }
+    // the view window opened under the old name: re-point it
+    spark.catalog.dropTempView(name)
+    Positional.strip(s.current).createOrReplaceTempView(newName)
+    ddlReport("rename_table", newName)
+  }
+
+  /** RENAME TO targets resolve like ALTER targets but arrive as
+    * UnresolvedTableOrView.
+    */
+  private def tableOrViewTarget(p: LogicalPlan): Option[String] = p match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if t.multipartIdentifier.size == 1 &&
+          sessions.contains(t.multipartIdentifier.head) =>
+      Some(t.multipartIdentifier.head)
+    case _ => sessionTarget(p)
   }
 
   private def ddlReport(op: String, name: String): DataFrame = {

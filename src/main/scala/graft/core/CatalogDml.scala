@@ -42,7 +42,7 @@ import graft.core.Positional.POS
 trait CatalogDml { self: Catalog =>
 
   /** One-row result of a DML statement: (operation, rows_affected). */
-  private def report(op: String, n: Long): DataFrame =
+  private[core] def report(op: String, n: Long): DataFrame =
     spark.createDataFrame(
       java.util.Arrays.asList(Row(op, n)),
       StructType(Seq(StructField("operation", StringType, nullable = false),

@@ -1262,6 +1262,25 @@ object MaintenanceQueries {
           |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)
     }),
 
+    /** The SQL-only lifecycle from NOTHING (r13): CREATE TABLE with a
+      * schema, INSERT VALUES, RENAME TO, UPDATE, DELETE, SELECT — no
+      * pre-existing file anywhere. Pins that a session born from DDL
+      * text behaves exactly like one opened over parquet.
+      */
+    "o_sql_lifecycle" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlLifecycleCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.sql("CREATE TABLE sqlfe (k INT, v STRING, x DOUBLE)")
+        c.sql(
+          "INSERT INTO sqlfe VALUES (1,'a',1.5),(2,'b',2.5),(3,NULL,NULL)")
+        c.sql("ALTER TABLE sqlfe RENAME TO sqlfl")
+        c.sql("UPDATE sqlfl SET x = x + 1 WHERE k = 2")
+        c.sql("DELETE FROM sqlfl WHERE k = 1")
+        c
+      }
+      cat.sql("SELECT k, v, x FROM sqlfl ORDER BY k")
+    }),
+
     /** Materialized view from SQL (r12 verdict task #8): `CREATE
       * MATERIALIZED VIEW` infers and builds the cube + pairs layouts
       * that serve its body, registers the name as a routed view, and the
@@ -2059,6 +2078,12 @@ object MaintenanceQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
         |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey"""
         .stripMargin,
+
+    "o_sql_lifecycle" ->
+      """SELECT k, v, x FROM (VALUES (2, 'b', 3.5),
+        |  (3, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)))
+        |  AS t(k, v, x)
+        |ORDER BY k""".stripMargin,
 
     "a_sql_mv" ->
       """WITH t AS (

@@ -322,6 +322,57 @@ class SqlDdlSpec extends SparkSpec {
     intercept[Exception] { cat.sql("DROP TABLE never_opened") }
   }
 
+  test("CREATE TABLE (schema) / TRUNCATE / RENAME TO: the SQL-only lifecycle from nothing (r13)") {
+    val cat = new Catalog(spark)
+    assert(cat.sql("CREATE TABLE fresh (k INT, v STRING)")
+      .head().getString(0) == "create_table")
+    assert(cat.names.contains("fresh"))
+    assert(cat.sql("SELECT count(*) AS n FROM fresh").head().getLong(0) == 0)
+    assert(cat.sql("INSERT INTO fresh VALUES (1, 'a'), (2, 'b')")
+      .head().getLong(1) == 2)
+    // IF NOT EXISTS skips; a bare duplicate rejects
+    assert(cat.sql("CREATE TABLE IF NOT EXISTS fresh (x INT)")
+      .head().getString(0) == "create_table_skipped")
+    intercept[Exception] { cat.sql("CREATE TABLE fresh (x INT)") }
+    // RENAME TO re-keys the session; the old name stops resolving
+    assert(cat.sql("ALTER TABLE fresh RENAME TO fresher")
+      .head().getString(1) == "fresher")
+    assert(!cat.names.contains("fresh") && cat.names.contains("fresher"))
+    assert(cat.sql("SELECT count(*) AS n FROM fresher")
+      .head().getLong(0) == 2)
+    intercept[Exception] { cat.sql("SELECT * FROM fresh") }
+    // TRUNCATE empties, schema survives, INSERT works again
+    assert(cat.sql("TRUNCATE TABLE fresher").head().getLong(1) == 2)
+    assert(cat.sql("SELECT count(*) AS n FROM fresher")
+      .head().getLong(0) == 0)
+    assert(cat.sql("INSERT INTO fresher VALUES (3, 'c')")
+      .head().getLong(1) == 1)
+    assert(cat.sql("SELECT k, v FROM fresher").head().toSeq == Seq(3, "c"))
+  }
+
+  test("RENAME TO carries live layouts; pinned sessions refuse (r13)") {
+    val cat = new Catalog(spark)
+    cat.open("rt", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.buildCubeLayout("rt", Seq("o_orderstatus"), Seq("o_totalprice"))
+    cat.sql("ALTER TABLE rt RENAME TO rt2")
+    // the layout followed the rename with zero IO and still serves
+    assert(cat.explainRoute("rt2", "cube:o_orderstatus").reason == "routed")
+    val routed = cat.aggregate("rt2", Seq("o_orderstatus"),
+      Seq("o_totalprice"))
+    assert(routed.count() > 0)
+    assert(cat.recentRoutes.last.decision == "layout")
+    // the SQL cube rewrite serves the NEW name too
+    val sqlRouted = cat.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM rt2
+        |GROUP BY o_orderstatus""".stripMargin)
+    assert(sqlRouted.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"))
+    // a pinned session refuses the rename (pins are name-keyed)
+    cat.pin("rt2")
+    intercept[Exception] { cat.sql("ALTER TABLE rt2 RENAME TO rt3") }
+    assert(cat.names.contains("rt2"))
+  }
+
   test("DDL on non-session (multipart) names falls through to Spark's ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
