@@ -206,7 +206,12 @@ trait CatalogDdl { self: Catalog =>
           singlePart(d.child).filter(_ => d.ifExists)
             .map(ddlReport("drop_table_skipped", _))
         }
-      case c: CreateTable =>
+      case c: CreateTable if plainCreate(c.tableSpec) =>
+        // only the PURE `CREATE TABLE name (cols)` form belongs to the
+        // session namespace: USING / LOCATION / EXTERNAL / OPTIONS /
+        // TBLPROPERTIES describe real storage and fall through to Spark
+        // (hijacking a LOCATION would silently serve an empty session
+        // where the user's files hold data — r13 review finding #2)
         singlePart(c.name).map(runCreateEmpty(_, c))
       case t: TruncateTable =>
         sessionTarget(t.table).map(n => atomically(n)(runTruncate(n)))
@@ -214,6 +219,14 @@ trait CatalogDdl { self: Catalog =>
         tableOrViewTarget(r.child).map(runRenameTable(_, r.newName.head))
       case _ => None
     }
+  }
+
+  /** The storage-free CREATE TABLE form the session namespace owns. */
+  private def plainCreate(spec: TableSpecBase): Boolean = spec match {
+    case u: UnresolvedTableSpec =>
+      u.provider.isEmpty && u.location.isEmpty && !u.external &&
+        u.properties.isEmpty && u.serde.isEmpty
+    case _ => false
   }
 
   /** An empty session from a bare `CREATE TABLE name (schema)` — the
@@ -226,12 +239,15 @@ trait CatalogDdl { self: Catalog =>
       s"name '$name' is a materialized view — DROP MATERIALIZED VIEW first")
     require(!sessions.contains(name) || c.ignoreIfExists,
       s"session '$name' already exists (use IF NOT EXISTS)")
+    if (sessions.contains(name) && c.ignoreIfExists)
+      return ddlReport("create_table_skipped", name)
     require(c.partitioning.isEmpty,
       "CREATE TABLE ... PARTITIONED BY is not supported against a " +
         "session (sessions are unpartitioned)")
-    if (sessions.contains(name) && c.ignoreIfExists)
-      return ddlReport("create_table_skipped", name)
     require(c.columns.nonEmpty, "CREATE TABLE needs a column list")
+    require(c.columns.forall(_.defaultValue.isEmpty),
+      "CREATE TABLE column DEFAULTs are not supported against a session " +
+        "— add the column via ALTER TABLE ADD COLUMN ... DEFAULT instead")
     val schema = org.apache.spark.sql.types.StructType(c.columns.map(cd =>
       org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
         nullable = true)))
@@ -262,6 +278,12 @@ trait CatalogDdl { self: Catalog =>
   private def runRenameTable(name: String, newName: String): DataFrame = {
     require(!sessions.contains(newName) && !mvs.contains(newName),
       s"name '$newName' is already a session or materialized view")
+    // a DORMANT session's manifest entries (another process's durable
+    // state awaiting digest-gated re-attach) must not be clobbered —
+    // CTAS/register deliberately keeps such entries, so rename refuses
+    require(!manifest.keys.exists(_._1 == newName),
+      s"name '$newName' has durable layout entries in this warehouse — " +
+        "vacuum or dropLayout them first")
     require(pinnedEpochs(name).isEmpty,
       s"session '$name' has pinned epochs — unpin before renaming")
     val s = sessions.remove(name).get
@@ -273,19 +295,23 @@ trait CatalogDdl { self: Catalog =>
       layouts.remove((name, slot))
       layouts((newName, slot)) = l
     }
+    // manifest entries move only when this catalog already holds the
+    // writer token (an implicit write must never SEIZE writership); a
+    // skipped move degrades safely — the old-named entries go dormant
     val movedEntries = manifest.collect {
       case ((n, slot), e) if n == name => (slot, e)
     }.toSeq
-    if (movedEntries.nonEmpty) warehouse.foreach { wh =>
-      Try {
-        fenceWriter(wh)
-        movedEntries.foreach { case (slot, e) =>
-          manifest.remove((name, slot))
-          manifest((newName, slot)) = e.copy(session = newName)
-        }
-        LayoutStore.save(spark, wh, manifest.values.toSeq)
-      }.getOrElse(())
-    }
+    if (movedEntries.nonEmpty && writerToken.isDefined)
+      warehouse.foreach { wh =>
+        Try {
+          fenceWriter(wh)
+          movedEntries.foreach { case (slot, e) =>
+            manifest.remove((name, slot))
+            manifest((newName, slot)) = e.copy(session = newName)
+          }
+          LayoutStore.save(spark, wh, manifest.values.toSeq)
+        }.getOrElse(())
+      }
     // the view window opened under the old name: re-point it
     spark.catalog.dropTempView(name)
     Positional.strip(s.current).createOrReplaceTempView(newName)
@@ -497,21 +523,22 @@ trait CatalogDdl { self: Catalog =>
     * wedge every later refresh — the r13 review's finding #1). Layouts
     * NOT naming the column keep the ordinary delta law: a column add /
     * rename of an unrelated column revalidates them with zero IO.
-    * Manifest entries stay: a durable reopen's digest gate declines them
-    * (the projection no longer exists), degrading to live — never a
-    * crash, never another table's bytes.
+    * Manifest entries are removed too (ONE batched persist, and only
+    * when this catalog already holds the writer token — an implicit
+    * retirement must never seize writership): an orphaned entry could
+    * never re-attach (its projection is gone) yet would pin its storage
+    * against vacuum forever. When the removal is not permitted the
+    * entry degrades exactly as before — the reopen digest gate declines
+    * it, queries serve live.
     */
   private def retireLayoutsReferencing(name: String, column: String): Unit = {
     val victims = layouts.collect {
       case ((n, slot), l)
           if n == name && Catalog.layoutRefs(l).contains(column) => slot
     }.toSeq
-    victims.foreach { slot =>
-      layouts.remove((name, slot))
-      // the manifest entry too (writer permitting) — see refreshStale's
-      // retire branch: an orphaned entry pins storage against vacuum
-      removeManifestEntry(name, slot)
-    }
+    victims.foreach(slot => layouts.remove((name, slot)))
+    removeManifestEntries(victims.map((name, _)), seize = false)
+    ()
   }
 
 }

@@ -48,10 +48,11 @@ trait CatalogRefresh { self: Catalog =>
     }.flatMap { case (slot, l) =>
       if (!Catalog.layoutRefs(l).subsetOf(schema)) {
         layouts.remove((name, slot))
-        // drop the manifest entry too (writer permitting): a
-        // definition-orphaned entry would otherwise pin its storage
-        // against vacuum forever while never re-attaching
-        removeManifestEntry(name, slot)
+        // drop the manifest entry too (only if this catalog already
+        // holds the writer token — an implicit retirement must never
+        // SEIZE writership): a definition-orphaned entry would
+        // otherwise pin its storage against vacuum forever
+        removeManifestEntries(Seq((name, slot)), seize = false)
         recordRoute(Catalog.RouteReport(slot, "retired",
           "schema-missing-column"))
         None

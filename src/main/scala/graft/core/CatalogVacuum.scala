@@ -40,40 +40,6 @@ trait CatalogVacuum { self: Catalog =>
     *
     * @return warehouse-relative paths deleted, dirs and files.
     */
-  /** Drop one layout outright: the in-memory route and (on a durable
-    * catalog) its manifest entry, so the next [[vacuum]] collects its
-    * storage once the grace window passes — the operator gesture that
-    * completes the layout lifecycle (build → refresh → retire/drop →
-    * vacuum). Queries fall back to the live plan immediately. The
-    * manifest removal is a WRITE: it goes through the fencing token
-    * like any persist, so a superseded catalog can drop its own
-    * in-memory route but never another writer's manifest entry.
-    *
-    * @return true if anything (route or manifest entry) was removed.
-    */
-  def dropLayout(name: String, slot: String): Boolean = {
-    val hadMem = layouts.remove((name, slot)).isDefined
-    val hadMan = removeManifestEntry(name, slot)
-    if (hadMem || hadMan)
-      recordRoute(Catalog.RouteReport(slot, "retired", "dropped"))
-    hadMem || hadMan
-  }
-
-  /** Remove (and re-persist) one manifest entry; false when absent or
-    * when this catalog is not the warehouse's writer (fenced — the new
-    * writer owns the manifest, and ITS digest gate keeps the entry
-    * honest).
-    */
-  private[core] def removeManifestEntry(name: String, slot: String): Boolean =
-    warehouse.exists { wh =>
-      manifest.contains((name, slot)) && Try {
-        fenceWriter(wh)
-        manifest.remove((name, slot))
-        LayoutStore.save(spark, wh, manifest.values.toSeq)
-        true
-      }.getOrElse(false)
-    }
-
   def vacuum(graceMs: Long = Catalog.vacuumGraceMs): Seq[String] =
     warehouse.toSeq.flatMap { wh =>
       import org.apache.hadoop.fs.Path
@@ -81,6 +47,49 @@ trait CatalogVacuum { self: Catalog =>
       val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(whPath)) Seq.empty
       else vacuumIn(wh, whPath, fs, graceMs)
+    }
+
+  /** Drop one layout outright: the in-memory route and (on a durable
+    * catalog) its manifest entry, so the next [[vacuum]] collects its
+    * storage once the grace window passes — the operator gesture that
+    * completes the layout lifecycle (build → refresh → retire/drop →
+    * vacuum). Queries fall back to the live plan immediately. The
+    * manifest removal is a WRITE and the drop is an explicit
+    * administrative gesture, so it TAKES the writer token if this
+    * catalog holds none (the same rule divergedAttach applies) — a
+    * superseded catalog still drops its own in-memory route, never
+    * another writer's manifest entry.
+    *
+    * @return true if anything (route or manifest entry) was removed.
+    */
+  def dropLayout(name: String, slot: String): Boolean = {
+    val hadMem = layouts.remove((name, slot)).isDefined
+    val hadMan = removeManifestEntries(Seq((name, slot)), seize = true)
+    if (hadMem || hadMan)
+      recordRoute(Catalog.RouteReport(slot, "retired", "dropped"))
+    hadMem || hadMan
+  }
+
+  /** Remove (and re-persist, ONCE) a batch of manifest entries; false
+    * when none were present or the write is not permitted. `seize`
+    * decides what happens when this catalog holds no writer token yet:
+    * an explicit operator gesture ([[dropLayout]]) takes the token like
+    * any other write; an IMPLICIT retirement (refresh retire law, DDL
+    * drop/rename) must NOT — seizing the single-writer role as a side
+    * effect of a read-mostly catalog's gesture would fence the actual
+    * ingest writer mid-loop. An un-removed entry degrades safely: the
+    * reopen digest gate declines it, only its storage stays pinned.
+    */
+  private[core] def removeManifestEntries(keys: Seq[(String, String)],
+                                          seize: Boolean): Boolean =
+    warehouse.exists { wh =>
+      val present = keys.filter(manifest.contains)
+      present.nonEmpty && (seize || writerToken.isDefined) && Try {
+        fenceWriter(wh)
+        present.foreach(manifest.remove)
+        LayoutStore.save(spark, wh, manifest.values.toSeq)
+        true
+      }.getOrElse(false)
     }
 
   /** First time each candidate path was OBSERVED unreferenced: the grace
@@ -116,6 +125,11 @@ trait CatalogVacuum { self: Catalog =>
       // referenced, not as garbage. A manifest that EXISTS but cannot be
       // read (observed mid-overwrite) ABORTS the pass — treating it as
       // empty would unreference everything it names.
+      // the existence probe runs BEFORE the load: probing after could
+      // see a manifest another writer committed in between, misreading
+      // its commit window as "legitimately empty" and unreferencing the
+      // dirs it just recorded (r13 review — TOCTOU)
+      val manifestExisted = fs.exists(new Path(s"$wh/_manifest"))
       val diskEntries = LayoutStore.loadOpt(spark, wh) match {
         case Some(es) => es
         case None => return Seq.empty
@@ -123,12 +137,11 @@ trait CatalogVacuum { self: Catalog =>
       // an ABSENT manifest FILE over a warehouse that already holds
       // layout dirs is a writer's delete+rename window (or a crashed
       // writer) — abort; a genuinely fresh warehouse has nothing to
-      // collect anyway. A manifest that exists with ZERO entries is a
+      // collect anyway. A manifest that EXISTED with ZERO entries is a
       // different thing entirely: every layout was legitimately dropped
       // or retired (r13 dropLayout), and its strands must collect —
       // aborting here would pin a fully-emptied warehouse forever.
-      if (diskEntries.isEmpty &&
-          !fs.exists(new Path(s"$wh/_manifest")) &&
+      if (diskEntries.isEmpty && !manifestExisted &&
           fs.listStatus(whPath).exists(st =>
             !st.getPath.getName.startsWith("_"))) return Seq.empty
       val allEntries: Seq[LayoutManifestEntry] =

@@ -2241,7 +2241,7 @@ object AnalyticsQueries {
           |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
           |    CAST(p_retailprice AS DOUBLE) AS price
           |  FROM part_sq)
-          |UNPIVOT (val FOR metric IN (size, price))
+          |UNPIVOT INCLUDE NULLS (val FOR metric IN (size, price))
           |WHERE p_partkey % 20 = 0
           |ORDER BY p_partkey, metric""".stripMargin)
     }),
