@@ -118,6 +118,22 @@ trait CatalogDml { self: Catalog =>
       throw new IllegalStateException(s"armed failpoint: $f")
     }
 
+  /** Plan a DML source/sub-query text through the FULL read surface:
+    * time-travel clauses rewrite onto pinned snapshots first (so
+    * `INSERT INTO t SELECT * FROM t VERSION AS OF <pin> WHERE …` — the
+    * incident-recovery gesture that restores deleted rows — works from
+    * one statement), then layout routes apply. Must run inside the
+    * [[Catalog.sql]] view window.
+    */
+  private def planRead(text: String): DataFrame = {
+    val travel =
+      if (looksLikeTimeTravel(text)) runTimeTravel(text) else None
+    travel.getOrElse(
+      graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
+        spark.sql(text)
+      })
+  }
+
   /** (session name, alias to resolve qualified refs against). */
   private def aliasedTarget(t: LogicalPlan): Option[(String, String)] = t match {
     case SubqueryAlias(id, child) =>
@@ -169,9 +185,10 @@ trait CatalogDml { self: Catalog =>
                         i: InsertIntoStatement): DataFrame = {
     val s = sessions(name)
     val schema = Positional.strip(s.current).schema
-    // the source query's own text, evaluated through the ordinary read
-    // path (the view window is already open, so it sees every session
-    // and routes through their layouts like any SELECT)
+    // the source query's own text, evaluated through the full read
+    // path (the view window is already open, so it sees every session,
+    // routes through their layouts, and resolves VERSION/TIMESTAMP AS
+    // OF clauses onto pinned snapshots)
     val srcText = planText(i.query).getOrElse {
       val m = java.util.regex.Pattern.compile(
         "(?is)^\\s*insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?" +
@@ -182,9 +199,7 @@ trait CatalogDml { self: Catalog =>
     require(i.partitionSpec.isEmpty,
       "INSERT ... PARTITION is not supported against a session (sessions " +
         "are unpartitioned) — include the partition columns in the query")
-    val rows = graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-      spark.sql(srcText)
-    }
+    val rows = planRead(srcText)
     // BY NAME maps the query's own output names (null-filling the rest),
     // exactly like an explicit column list of those names
     val listed =
@@ -413,9 +428,7 @@ trait CatalogDml { self: Catalog =>
     case other =>
       val text = planText(other).getOrElse(throw new IllegalArgumentException(
         s"cannot recover MERGE source text from plan: ${other.nodeName}"))
-      (graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-        spark.sql(text)
-      }, "__src")
+      (planRead(text), "__src")
   }
 
   private def runMerge(name: String, alias: String,

@@ -1281,6 +1281,35 @@ object MaintenanceQueries {
       cat.sql("SELECT k, v, x FROM sqlfl ORDER BY k")
     }),
 
+    /** One-statement row recovery (r13): after a bad DELETE, the exact
+      * victim rows come back with `INSERT INTO t SELECT * FROM t VERSION
+      * AS OF <pin> WHERE <victim predicate>` — the travel clause
+      * resolves INSIDE the DML source query ([[graft.core.CatalogDml]]
+      * planRead), so the incident-recovery gesture is one line of SQL.
+      * Oracle: the recovered table equals the original (modulo the
+      * engine's positional order, hence the ORDER BY).
+      */
+    "o_sql_recover" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlRecoverCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("rcvr", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val epoch = c.pin("rcvr")
+        val del = c.sql("DELETE FROM rcvr WHERE o_orderkey % 10 = 3")
+        require(del.head().getLong(1) > 0, "fixture: delete must hit")
+        val ins = c.sql(
+          s"""INSERT INTO rcvr
+             |SELECT * FROM rcvr VERSION AS OF $epoch
+             |WHERE o_orderkey % 10 = 3""".stripMargin)
+        require(ins.head().getLong(1) == del.head().getLong(1),
+          "fixture: recovery must re-insert exactly the victims")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM rcvr ORDER BY o_orderkey""".stripMargin)
+    }),
+
     /** Materialized view from SQL (r12 verdict task #8): `CREATE
       * MATERIALIZED VIEW` infers and builds the cube + pairs layouts
       * that serve its body, registers the name as a routed view, and the
@@ -2078,6 +2107,10 @@ object MaintenanceQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
         |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey"""
         .stripMargin,
+
+    "o_sql_recover" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "o_sql_lifecycle" ->
       """SELECT k, v, x FROM (VALUES (2, 'b', 3.5),

@@ -202,6 +202,44 @@ class SqlTimeTravelSpec extends SparkSpec {
     assert(both.getLong(0) == n0 && both.getLong(1) == nLive)
   }
 
+  test("INSERT INTO t SELECT FROM t VERSION AS OF <pin>: one-statement row recovery (r13)") {
+    val cat = new Catalog(spark)
+    cat.open("rcv", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s = cat.get("rcv").get
+    val epoch = cat.pin("rcv")
+    val n0 = s.rowCount
+    // the incident: a band of rows is deleted
+    assert(cat.sql("DELETE FROM rcv WHERE o_orderkey % 10 = 3")
+      .head().getLong(1) > 0)
+    val nAfter = s.rowCount
+    assert(nAfter < n0)
+    // the recovery, in ONE statement: re-insert exactly the deleted rows
+    // from the pinned snapshot (the travel clause resolves inside the
+    // INSERT's source query)
+    val rep = cat.sql(
+      s"""INSERT INTO rcv
+         |SELECT * FROM rcv VERSION AS OF $epoch
+         |WHERE o_orderkey % 10 = 3""".stripMargin)
+    assert(rep.head().getLong(1) == n0 - nAfter)
+    assert(s.rowCount == n0)
+    // content equals the pinned state (modulo row order)
+    val got = graft.core.Positional.strip(s.current)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val want = cat.snapshotAsOf("rcv", epoch)
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(got == want, "recovery must reproduce the pinned rows exactly")
+    // MERGE sources resolve travel clauses too
+    val rep2 = cat.sql(
+      s"""MERGE INTO rcv t
+         |USING (SELECT o_orderkey, o_totalprice
+         |       FROM rcv VERSION AS OF $epoch
+         |       WHERE o_orderkey % 100 = 7) p
+         |ON t.o_orderkey = p.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = p.o_totalprice"""
+        .stripMargin)
+    assert(rep2.head().getLong(1) > 0)
+  }
+
   test("VERSION AS OF an unpinned epoch fails fast") {
     val cat = new Catalog(spark)
     cat.open("ttu", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
