@@ -118,6 +118,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(cat.get("ing").get.rowCount == before)
   }
 
+  test("a MATERIALIZED VIEW over a stream-ingested session serves post-batch state from the patched cube (r13)") {
+    val full = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val (head, feed) = writeSlices(full, parts = 2)
+    val cat = new Catalog(spark)
+    cat.openFrom("ingmv", head, Seq("l_orderkey", "l_linenumber"))
+    // the mv CREATE infers and builds the cube the stream will maintain
+    cat.sql(
+      """CREATE MATERIALIZED VIEW ingv AS
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM ingmv GROUP BY l_returnflag""".stripMargin)
+    val pathBefore = cat.layoutsOf("ingmv").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c.path
+    }.get
+    EventStreams.appendMaintain(spark, feed, cat, "ingmv", "st_ingest_mv")
+    // the mv read serves the FULL ingested corpus from the PATCHED cube
+    val read = cat.sql("SELECT * FROM ingv ORDER BY l_returnflag")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the mv over a streamed session must serve stored partials; plan:\n$p")
+    assert(cat.layoutsOf("ingmv").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c.path
+    }.get == pathBefore, "streamed appends must patch the mv's cube, " +
+      "never rebuild it")
+    val want = full.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double").as("qty"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(read.collect().map(_.toSeq).toSeq == want,
+      "the mv must serve the post-ingest answer")
+  }
+
   test("streamed document appends delta-patch the LSH index; probes see the new docs") {
     val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
     // known 3-gram near-dup pairs of the sf0.001 fixture, one side each:
