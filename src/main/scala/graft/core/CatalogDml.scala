@@ -27,8 +27,9 @@ import graft.core.Positional.POS
   * re-planned from their ORIGINAL TEXT — each parsed node carries its
   * statement slice in `Origin(sqlText, startIndex, stopIndex)` — against
   * the same temp-view window the read path uses, so `INSERT INTO a
-  * SELECT ... FROM b` sees every open session and even routes through
-  * b's layouts.
+  * SELECT ... FROM b` sees every open session (and resolves time-travel
+  * clauses onto pinned snapshots); source plans bind LIVE, never layout
+  * storage — see planRead.
   *
   * The scale law mirrors refresh itself: a statement whose touched-row
   * set fits [[CatalogRefresh.deltaMaxRows]] applies as a BOUNDED gesture
@@ -118,20 +119,24 @@ trait CatalogDml { self: Catalog =>
       throw new IllegalStateException(s"armed failpoint: $f")
     }
 
-  /** Plan a DML source/sub-query text through the FULL read surface:
-    * time-travel clauses rewrite onto pinned snapshots first (so
-    * `INSERT INTO t SELECT * FROM t VERSION AS OF <pin> WHERE …` — the
-    * incident-recovery gesture that restores deleted rows — works from
-    * one statement), then layout routes apply. Must run inside the
-    * [[Catalog.sql]] view window.
+  /** Plan a DML source/sub-query text: time-travel clauses rewrite onto
+    * pinned snapshots (so `INSERT INTO t SELECT * FROM t VERSION AS OF
+    * <pin> WHERE …` — the incident-recovery gesture that restores
+    * deleted rows — works from one statement), but the plan binds LIVE
+    * session/snapshot plans, never layout storage: the source plan
+    * SURVIVES in the target session's lineage (appendRows keeps it
+    * lazily), and a routed scan there would reference layout files that
+    * a later rebuild/unpin + vacuum may collect — the same invariant
+    * CTAS pins (r13 review). The view window still resolves every
+    * session name; only the at-rest acceleration is skipped, on a path
+    * whose cost is the WRITE anyway. Must run inside the [[Catalog.sql]]
+    * view window.
     */
   private def planRead(text: String): DataFrame = {
     val travel =
-      if (looksLikeTimeTravel(text)) runTimeTravel(text) else None
-    travel.getOrElse(
-      graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
-        spark.sql(text)
-      })
+      if (looksLikeTimeTravel(text)) runTimeTravel(text, routed = false)
+      else None
+    travel.getOrElse(spark.sql(text))
   }
 
   /** (session name, alias to resolve qualified refs against). */
@@ -185,10 +190,10 @@ trait CatalogDml { self: Catalog =>
                         i: InsertIntoStatement): DataFrame = {
     val s = sessions(name)
     val schema = Positional.strip(s.current).schema
-    // the source query's own text, evaluated through the full read
-    // path (the view window is already open, so it sees every session,
-    // routes through their layouts, and resolves VERSION/TIMESTAMP AS
-    // OF clauses onto pinned snapshots)
+    // the source query's own text, evaluated through planRead (the view
+    // window is already open, so it sees every session and resolves
+    // VERSION/TIMESTAMP AS OF clauses onto pinned snapshots; plans bind
+    // live — the appended lineage outlives any layout dir)
     val srcText = planText(i.query).getOrElse {
       val m = java.util.regex.Pattern.compile(
         "(?is)^\\s*insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?" +

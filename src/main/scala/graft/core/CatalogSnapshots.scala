@@ -315,8 +315,18 @@ trait CatalogSnapshots { self: Catalog =>
     * unpinned, so silently serving a reconstructed past would be a lie).
     *
     * Must run inside the [[Catalog.sql]] view window.
+    *
+    * `routed = false` substitutes the snapshot views WITHOUT publishing
+    * any layout routes: the pinned read then serves from the snapshot's
+    * own session plan, never from layout storage — what a LONG-LIVED
+    * consumer of the resulting plan needs ([[CatalogDml]] planRead: an
+    * INSERT source survives in the target session's lineage, and a
+    * routed scan there would break when unpin + vacuum collects the
+    * layout dir).
     */
-  private[core] def runTimeTravel(query: String): Option[DataFrame] = {
+  private[core] def runTimeTravel(query: String,
+                                  routed: Boolean = true)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
     val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
       .getOrElse(return None)
@@ -394,10 +404,13 @@ trait CatalogSnapshots { self: Catalog =>
         }
         text = text.substring(0, lo) + view + text.substring(hi + 1)
       }
-      Some(graft.plans.SqlRouting.withRoutes(spark,
-        sqlRoutes() ++ pinRoutes.filter(_._2.nonEmpty)) {
-        spark.sql(text)
-      })
+      Some(
+        if (routed)
+          graft.plans.SqlRouting.withRoutes(spark,
+            sqlRoutes() ++ pinRoutes.filter(_._2.nonEmpty)) {
+            spark.sql(text)
+          }
+        else spark.sql(text))
     } finally views.foreach(spark.catalog.dropTempView(_))
   }
 }

@@ -228,6 +228,11 @@ class SqlTimeTravelSpec extends SparkSpec {
     val want = cat.snapshotAsOf("rcv", epoch)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(got == want, "recovery must reproduce the pinned rows exactly")
+    // the appended lineage binds LIVE/snapshot plans, never layout
+    // storage: unpin + vacuum must not be able to break the session
+    // (r13 review — the same invariant CTAS pins)
+    assert(!s.current.inputFiles.exists(_.contains("catalog_")),
+      "a DML source plan must never reference layout storage")
     // MERGE sources resolve travel clauses too
     val rep2 = cat.sql(
       s"""MERGE INTO rcv t
