@@ -42,7 +42,95 @@ trait CatalogDdl { self: Catalog =>
     val t = query.trim
     val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
     head == "CREATE" || head == "ALTER" || head == "DROP" ||
-      head == "TRUNCATE"
+      head == "TRUNCATE" || head == "VACUUM" || head == "OPTIMIZE"
+  }
+
+  // ---- SQL maintenance statements (r13 verdict task #2) ---------------------
+  // `VACUUM`, `OPTIMIZE`, and pin management close the last typed-only
+  // lifecycle gestures: a SQL-only operator could create, mutate,
+  // evolve, rewind, and recover a table, but not garbage-collect its
+  // warehouse, compact its files, or take the pin that `TIMESTAMP AS OF`
+  // resolves against. Spark's parser has none of these statements, so —
+  // like MATERIALIZED VIEW — they are recognized textually before the
+  // parse; anything that doesn't match falls through to the ordinary
+  // path and its ordinary error.
+
+  private val vacuumStmt = java.util.regex.Pattern.compile(
+    "(?is)^\\s*vacuum(?:\\s+([A-Za-z_][\\w]*))?" +
+      "(?:\\s+retain\\s+(\\d+)\\s+hours)?\\s*$")
+  private val optimizeStmt = java.util.regex.Pattern.compile(
+    "(?is)^\\s*optimize\\s+(?:([A-Za-z_][\\w]*)|'([^']+)')" +
+      "(?:\\s+cluster\\s+by\\s*\\(([^)]*)\\))?\\s*$")
+  private val snapCreate = java.util.regex.Pattern.compile(
+    "(?is)^\\s*create\\s+snapshot\\s+([A-Za-z_][\\w]*)\\s*$")
+  private val snapDrop = java.util.regex.Pattern.compile(
+    "(?is)^\\s*drop\\s+snapshot\\s+([A-Za-z_][\\w]*)\\s+at\\s+(\\d+)\\s*$")
+
+  /** Run `query` as a maintenance statement, or None when it is not one.
+    *
+    *  - `VACUUM [<session>] [RETAIN <n> HOURS]` → [[CatalogVacuum
+    *    .vacuum]]. The pass is WAREHOUSE-scoped by design (the manifest
+    *    diff is global — per-table scoping would just skip garbage); a
+    *    named session is validated so a typo'd name errs instead of
+    *    silently collecting. Returns (operation, paths deleted).
+    *  - `OPTIMIZE <session>|'<path>' [CLUSTER BY (c, …)]` →
+    *    [[graft.io.Compaction.compact]] of the session's SOURCE
+    *    directory (recorded by [[Catalog.open]]) or an explicit path.
+    *    Safe under the open session: [[Positional.attachPos]] pinned the
+    *    base eagerly, so the session never re-reads the rewritten files;
+    *    the compaction serves every FUTURE open. Returns (operation,
+    *    files removed by the rewrite).
+    *  - `CREATE SNAPSHOT <session>` → [[CatalogSnapshots.pin]]; returns
+    *    the pinned epoch — the handle `VERSION AS OF` takes, and the
+    *    durable resolution floor for `TIMESTAMP AS OF`.
+    *  - `DROP SNAPSHOT <session> AT <epoch>` → [[CatalogSnapshots
+    *    .unpin]]; fails fast on an unknown pin (a silent no-op would let
+    *    an incident runbook believe a lease was released).
+    */
+  private def runMaintenance(query: String): Option[DataFrame] = {
+    val vm = vacuumStmt.matcher(query)
+    if (vm.matches()) {
+      Option(vm.group(1)).foreach { n =>
+        require(sessions.contains(n), s"no open session named '$n' — " +
+          "VACUUM takes an open session name (the pass itself is " +
+          "warehouse-scoped)")
+      }
+      val grace = Option(vm.group(2)).map(_.toLong * 3600000L)
+        .getOrElse(Catalog.vacuumGraceMs)
+      return Some(report("vacuum", vacuum(grace).size.toLong))
+    }
+    val om = optimizeStmt.matcher(query)
+    if (om.matches()) {
+      val path = Option(om.group(1)) match {
+        case Some(n) =>
+          require(sessions.contains(n), s"no open session named '$n'")
+          sourcePaths.getOrElse(n, throw new IllegalArgumentException(
+            s"session '$n' was not opened from a file path — OPTIMIZE " +
+              "rewrites source files; pass a quoted path, or export the " +
+              "session first (saveAs)"))
+        case None => om.group(2)
+      }
+      val clusterBy = Option(om.group(3)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val stats = graft.io.Compaction.compact(spark, path,
+        clusterBy = clusterBy)
+      return Some(report("optimize",
+        (stats.filesBefore - stats.filesAfter).toLong))
+    }
+    val sc = snapCreate.matcher(query)
+    if (sc.matches()) {
+      val name = sc.group(1)
+      require(sessions.contains(name), s"no open session named '$name'")
+      return Some(report("create_snapshot", pin(name)))
+    }
+    val sd = snapDrop.matcher(query)
+    if (sd.matches()) {
+      val (name, epoch) = (sd.group(1), sd.group(2).toLong)
+      require(unpin(name, epoch),
+        s"no pinned snapshot of '$name' at epoch $epoch")
+      return Some(report("drop_snapshot", epoch))
+    }
+    None
   }
 
   // ---- materialized views (r12 verdict task #8) ----------------------------
@@ -62,6 +150,21 @@ trait CatalogDdl { self: Catalog =>
 
   private[core] val mvs =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Persist the registry with the warehouse control plane (r13 verdict
+    * task #1): CREATE/DROP MATERIALIZED VIEW are explicit operator
+    * gestures, so — like [[CatalogVacuum.dropLayout]] — they TAKE the
+    * writer token when this catalog holds none, and a SUPERSEDED
+    * catalog's create/drop fails fast on the fence instead of clobbering
+    * the new writer's registry. In-memory-only catalogs skip the write;
+    * callers roll their map mutation back when this throws, so a fenced
+    * gesture leaves no half-registered view behind.
+    */
+  private def persistMvs(): Unit = warehouse.foreach { wh =>
+    fenceWriter(wh)
+    LayoutStore.saveMvs(spark, wh,
+      mvs.toSeq.map { case (n, b) => MvEntry(n, b) })
+  }
 
   private val mvCreate = java.util.regex.Pattern.compile(
     "(?is)^\\s*create\\s+materialized\\s+view\\s+([A-Za-z_][\\w]*)\\s+as\\s+(.+)$")
@@ -156,6 +259,8 @@ trait CatalogDdl { self: Catalog =>
       }
     }.getOrElse(())
     mvs(name) = body
+    try persistMvs()
+    catch { case e: Throwable => mvs.remove(name); throw e }
     ddlReport("create_materialized_view", name)
   }
 
@@ -170,12 +275,18 @@ trait CatalogDdl { self: Catalog =>
     val mvd = mvDrop.matcher(query)
     if (mvd.matches()) {
       val name = mvd.group(2)
-      if (mvs.remove(name).isDefined)
-        return Some(ddlReport("drop_materialized_view", name))
-      if (mvd.group(1) != null)
-        return Some(ddlReport("drop_materialized_view_skipped", name))
-      throw new NoSuchElementException(s"no materialized view '$name'")
+      mvs.remove(name) match {
+        case Some(body) =>
+          try persistMvs()
+          catch { case e: Throwable => mvs(name) = body; throw e }
+          return Some(ddlReport("drop_materialized_view", name))
+        case None =>
+          if (mvd.group(1) != null)
+            return Some(ddlReport("drop_materialized_view_skipped", name))
+          throw new NoSuchElementException(s"no materialized view '$name'")
+      }
     }
+    runMaintenance(query).foreach(r => return Some(r))
     val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
       .getOrElse(return None)
     plan match {
@@ -286,8 +397,22 @@ trait CatalogDdl { self: Catalog =>
         "vacuum or dropLayout them first")
     require(pinnedEpochs(name).isEmpty,
       s"session '$name' has pinned epochs — unpin before renaming")
+    // an mv whose body reads this session would silently stop analyzing
+    // after the rename (its view skips, readers get a confusing
+    // not-found for the OLD inner name) — refuse, like the pinned-epochs
+    // guard: the dependency is user-visible state keyed by name
+    val mvDeps = mvs.collect {
+      case (n, body) if java.util.regex.Pattern
+          .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+          .matcher(body).find() => n
+    }
+    require(mvDeps.isEmpty,
+      s"session '$name' is referenced by materialized view(s) " +
+        s"${mvDeps.mkString(", ")} — DROP MATERIALIZED VIEW (and recreate " +
+        "against the new name) first")
     val s = sessions.remove(name).get
     sessions(newName) = s
+    sourcePaths.remove(name).foreach(sourcePaths(newName) = _)
     val movedLayouts = layouts.collect {
       case ((n, slot), l) if n == name => (slot, l)
     }.toSeq
@@ -297,7 +422,11 @@ trait CatalogDdl { self: Catalog =>
     }
     // manifest entries move only when this catalog already holds the
     // writer token (an implicit write must never SEIZE writership); a
-    // skipped move degrades safely — the old-named entries go dormant
+    // skipped move degrades safely — the old-named entries go dormant.
+    // The disk write commits FIRST and the in-memory map mutates only
+    // after it succeeds (r14 ADVICE #4): a save that threw after the map
+    // moved would leave memory on new-name entries and disk on old-name
+    // ones, silently carrying the divergence into the next persist.
     val movedEntries = manifest.collect {
       case ((n, slot), e) if n == name => (slot, e)
     }.toSeq
@@ -305,12 +434,17 @@ trait CatalogDdl { self: Catalog =>
       warehouse.foreach { wh =>
         Try {
           fenceWriter(wh)
-          movedEntries.foreach { case (slot, e) =>
-            manifest.remove((name, slot))
-            manifest((newName, slot)) = e.copy(session = newName)
+          val staged = manifest.toSeq.map {
+            case ((n, slot), e) if n == name =>
+              ((newName, slot), e.copy(session = newName))
+            case other => other
           }
-          LayoutStore.save(spark, wh, manifest.values.toSeq)
-        }.getOrElse(())
+          LayoutStore.save(spark, wh, staged.map(_._2))
+          staged // committed: mirror it in memory
+        }.foreach { staged =>
+          manifest.clear()
+          staged.foreach { case (k, e) => manifest(k) = e }
+        }
       }
     // the view window opened under the old name: re-point it
     spark.catalog.dropTempView(name)
@@ -391,19 +525,16 @@ trait CatalogDdl { self: Catalog =>
       from = cand.start() + 1
     }
     require(srcText.isDefined, s"cannot locate CTAS source query in: $query")
-    // planned WITHOUT layout routes, deliberately: the CTAS result is a
-    // LONG-LIVED lazy plan (openFrom binds it un-executed), and a
-    // routed plan would reference layout storage that a later rebuild +
-    // vacuum may collect — the grace window protects handed-out query
-    // plans, not sessions. The live view window still resolves every
-    // session name; only the at-rest acceleration is skipped. A
-    // referenced MATERIALIZED VIEW re-registers live for the same
-    // reason: its window view was planned routed (r13 review finding
-    // #1), and the views drop when the window closes either way.
-    mvsReferenced(srcText.get).foreach { n =>
-      Try(spark.sql(mvs(n))).foreach(_.createOrReplaceTempView(n))
-    }
-    val rows = spark.sql(srcText.get)
+    // planned through [[CatalogDml.planRead]] — shared with the DML
+    // source path deliberately: the CTAS result is a LONG-LIVED lazy
+    // plan (openFrom binds it un-executed), so it must bind live session
+    // plans, never layout storage a later rebuild + vacuum may collect;
+    // a referenced MATERIALIZED VIEW re-registers live for the same
+    // reason (r13 review finding #1); and a time-travel clause in the
+    // source (`CREATE TABLE x AS SELECT * FROM t VERSION AS OF p`)
+    // resolves onto the pinned snapshot exactly as it does for INSERT
+    // (r14 ADVICE #2 — the two write surfaces used to diverge here).
+    val rows = planRead(srcText.get)
     openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this
     // sql() call's window and to later calls — the window opened before

@@ -127,12 +127,19 @@ trait CatalogDml { self: Catalog =>
     * SURVIVES in the target session's lineage (appendRows keeps it
     * lazily), and a routed scan there would reference layout files that
     * a later rebuild/unpin + vacuum may collect — the same invariant
-    * CTAS pins (r13 review). The view window still resolves every
-    * session name; only the at-rest acceleration is skipped, on a path
-    * whose cost is the WRITE anyway. Must run inside the [[Catalog.sql]]
-    * view window.
+    * CTAS pins (r13 review). A referenced MATERIALIZED VIEW re-registers
+    * LIVE for the same reason (r14 ADVICE #1): the window registered its
+    * view ROUTED, so planning against it would embed layout-storage
+    * scans into the target's lazy lineage. The view window still
+    * resolves every session name; only the at-rest acceleration is
+    * skipped, on a path whose cost is the WRITE anyway. Must run inside
+    * the [[Catalog.sql]] view window (shared by [[CatalogDdl.runCtas]],
+    * whose result plan is long-lived for the same reason).
     */
-  private def planRead(text: String): DataFrame = {
+  private[core] def planRead(text: String): DataFrame = {
+    mvsReferenced(text).foreach { n =>
+      Try(spark.sql(mvs(n))).foreach(_.createOrReplaceTempView(n))
+    }
     val travel =
       if (looksLikeTimeTravel(text)) runTimeTravel(text, routed = false)
       else None

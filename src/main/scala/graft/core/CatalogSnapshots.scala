@@ -247,30 +247,56 @@ trait CatalogSnapshots { self: Catalog =>
       .compile("(?i)\\b(version|timestamp)\\s+as\\s+of\\b")
       .matcher(query).find()
 
-  /** Resolve a `TIMESTAMP AS OF <expr>` clause to a pinned epoch: the
-    * NEWEST pin of `name` taken at-or-before the instant (r12 verdict
-    * task #3 — the form an operator types during an incident, when the
-    * wall-clock of the bad deploy is known but its epoch is not). The
-    * expression must fold to a timestamp (Catalyst hands it over
-    * unresolved — usually a string literal; cast in the session zone).
-    * Before-first-pin (or no pins at all) fails fast with the same
-    * NoSuchElementException contract as an unpinned `VERSION AS OF`:
-    * pins are the engine's only version handles, so an instant no pin
-    * covers has no truthful answer.
+  /** Resolve a `TIMESTAMP AS OF <expr>` clause to an epoch: the NEWEST
+    * state of `name` at-or-before the instant, among the PINNED epochs
+    * (r12 verdict task #3) and — r13 verdict task #3 — this process's
+    * RETAINED epochs: every session keeps up to `maxHistory` past states
+    * as exact plan references in its undo history, each stamped with
+    * wall-clock at creation, so an incident operator who knows WHEN the
+    * bad gesture landed (but not its epoch, and without a pre-existing
+    * pin) is still answered truthfully. The expression must fold to a
+    * timestamp (Catalyst hands it over unresolved — usually a string
+    * literal; cast in the session zone). An instant neither a pin nor
+    * retained history covers (before the session existed, or trimmed)
+    * fails fast with the same NoSuchElementException contract as an
+    * unknown `VERSION AS OF`: a reconstructed guess would be a lie.
+    * Cross-PROCESS time travel remains the pins' job — history and
+    * stamps die with the process by design.
     */
   private def resolvePinAt(name: String, tsMicros: Long): Long = {
-    val covered = pins.collect {
+    val pinned = pins.collect {
       case ((n, e), sn)
           if n == name && sn.pinnedAtMicros != Long.MinValue &&
             sn.pinnedAtMicros <= tsMicros => (sn.pinnedAtMicros, e)
     }
+    val covered = pinned ++ sessionOf(name).retainedEpochAt(tsMicros)
     if (covered.isEmpty) throw new NoSuchElementException(
       s"no pinned snapshot of '$name' at or before timestamp " +
-        s"${java.time.Instant.ofEpochMilli(tsMicros / 1000L)} — pins are " +
-        "the only durable version handles (pin before mutating to " +
-        "time-travel back)")
+        s"${java.time.Instant.ofEpochMilli(tsMicros / 1000L)}, and this " +
+        "process's retained history does not reach that instant — pins " +
+        "are the only DURABLE version handles (pin before mutating to " +
+        "time-travel across processes)")
     covered.max._2
   }
+
+  /** The exact plan of (`name`, `epoch`): the pinned snapshot — with its
+    * layouts, so reads route — when pinned; else the session's RETAINED
+    * history plan (served live: history plans reference session lineage,
+    * never layout storage, so they are vacuum-safe by construction);
+    * else fail fast.
+    */
+  private[core] def planAtEpoch(name: String,
+                                epoch: Long): (DataFrame, Option[Snapshot]) =
+    pins.get((name, epoch)) match {
+      case Some(sn) => (sn.plan, Some(sn))
+      case None => sessionOf(name).planAt(epoch) match {
+        case Some(p) => (p, None)
+        case None => throw new NoSuchElementException(
+          s"no pinned snapshot of '$name' at epoch $epoch, and the " +
+            "session's retained history no longer holds it — pin before " +
+            "mutating for durable time travel")
+      }
+    }
 
   /** Fold a parsed `TIMESTAMP AS OF` operand to epoch micros (session
     * zone for zoneless literals); None when it isn't a foldable
@@ -309,10 +335,14 @@ trait CatalogSnapshots { self: Catalog =>
     * open session (the ordinary path then raises Spark's own error for
     * unsupported time travel, or handles a real v2 table).
     *
-    * An UNPINNED epoch fails fast with the same NoSuchElementException
-    * the typed asOf reads throw: pins are the engine's only durable
-    * version handles (the VacuumSpec law — vacuum may collect anything
-    * unpinned, so silently serving a reconstructed past would be a lie).
+    * An unpinned epoch serves from the session's RETAINED history when
+    * it still holds that epoch's exact plan (r13 verdict task #3 —
+    * served live, no layout routes: history plans reference session
+    * lineage, never layout storage, so vacuum cannot break them); an
+    * epoch that is neither pinned nor retained fails fast with the same
+    * NoSuchElementException the typed asOf reads throw: pins are the
+    * engine's only DURABLE version handles (the VacuumSpec law — a
+    * reconstructed guess would be a lie).
     *
     * Must run inside the [[Catalog.sql]] view window.
     *
@@ -394,13 +424,17 @@ trait CatalogSnapshots { self: Catalog =>
     try {
       var text = query
       subs.sortBy(-_._1).foreach { case (lo, hi, name, ver) =>
-        val sn = pinOf(name, ver) // fail fast on an unpinned epoch
+        // fail fast when neither pinned nor retained; a pin serves
+        // ROUTED (its layouts publish under the view), retained history
+        // serves its exact plan live
+        val (plan, sn) = planAtEpoch(name, ver)
         val view = s"__graft_asof_${name}_$ver"
         if (!views.contains(view)) {
-          Positional.strip(sn.plan).createOrReplaceTempView(view)
+          Positional.strip(plan).createOrReplaceTempView(view)
           views += view
-          pinRoutes(view) = layoutSqlRoutes(sn.layouts.toSeq, ver,
-            "sql-pinned")
+          pinRoutes(view) = sn.map(s =>
+            layoutSqlRoutes(s.layouts.toSeq, ver, "sql-pinned"))
+            .getOrElse(Nil)
         }
         text = text.substring(0, lo) + view + text.substring(hi + 1)
       }

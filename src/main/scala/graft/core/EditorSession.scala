@@ -52,15 +52,19 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private var nRows: Long = -1L
 
   /** The current table with all pending edits applied (lazy plan). */
-  def current: DataFrame = {
-    if (editLog.isEmpty) table
-    else editLog.foldLeft(table) { case (df, (colName, edits)) =>
-      val dt = table.schema(colName).dataType
-      if (edits.size <= EditorSession.literalEditMax)
-        df.withColumn(colName, compactedEditExpr(colName, dt, edits))
-      else editJoin(df, colName, dt, edits)
+  def current: DataFrame = foldPlan(table, editLog.toSeq)
+
+  /** A (base plan, edit log) pair folded into one lazy plan — the shape
+    * of both the live view and every history snapshot.
+    */
+  private def foldPlan(t: DataFrame,
+                       edits: Seq[(String, Map[Long, Any])]): DataFrame =
+    edits.foldLeft(t) { case (df, (colName, em)) =>
+      val dt = t.schema(colName).dataType
+      if (em.size <= EditorSession.literalEditMax)
+        df.withColumn(colName, compactedEditExpr(colName, dt, em))
+      else editJoin(df, colName, dt, em)
     }
-  }
 
   /** One projection per column for the whole edit map: membership test on
     * the edited positions + map lookup. Null values are representable
@@ -113,7 +117,8 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   // it is nearly free: a history entry is a (plan reference, edit-log copy)
   // pair — no data is copied, lineage chains to the pinned base.
 
-  private case class Snap(table: DataFrame, edits: Seq[(String, Map[Long, Any])],
+  private case class Snap(epoch: Long, table: DataFrame,
+                          edits: Seq[(String, Map[Long, Any])],
                           rows: Long, clip: Option[DataFrame], clipRows: Long)
   private val undoStack = mutable.ArrayBuffer.empty[Snap]
   private val redoStack = mutable.ArrayBuffer.empty[Snap]
@@ -122,12 +127,16 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   /** O(edited columns): the immutable inner maps are shared, not copied.
     * Clipboard state is part of the snapshot: cut → undo must restore the
     * pre-cut clipboard, or a later paste would re-insert rows the undo
-    * already put back (duplicating them).
+    * already put back (duplicating them). `epoch` records which session
+    * epoch this state WAS — the handle [[planAt]] (time travel over
+    * retained epochs) resolves by.
     */
-  private def snap(): Snap = Snap(table, editLog.toSeq, nRows, clipboard, clipboardSize)
+  private def snap(): Snap =
+    Snap(epochCounter, table, editLog.toSeq, nRows, clipboard, clipboardSize)
 
   private def restore(s: Snap): Unit = {
     epochCounter += 1
+    stampEpoch()
     logMutation(Structural) // undo/redo can change anything
     table = s.table
     editLog.clear()
@@ -145,6 +154,62 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     */
   private var epochCounter = 0L
   def epoch: Long = epochCounter
+
+  // ---- epoch wall-clock stamps (r13 verdict task #3) -----------------------
+  // `TIMESTAMP AS OF` used to resolve only against PINNED epochs — but
+  // within a process the undo history retains up to `maxHistory` past
+  // states as exact plan references, so an incident operator who knows
+  // the wall-clock of a bad gesture (not its epoch) can be answered
+  // truthfully without a pre-existing pin. Each epoch is stamped when it
+  // is created; resolution serves only epochs whose plan is actually
+  // RECOVERABLE (pinned in the catalog, current, or still in the
+  // undo/redo history) — a trimmed epoch fails fast, exactly like a
+  // vacuumed version in a lakehouse. Cross-process time travel remains
+  // the pins' job: stamps and history die with the process by design
+  // (plans are not serializable state), and the durable floor is the pin
+  // lease.
+
+  /** Wall-clock seam for epoch stamps (micros); specs pin it. */
+  private[graft] var epochClock: () => Long =
+    () => System.currentTimeMillis() * 1000L
+
+  private val epochStamps = mutable.LinkedHashMap.empty[Long, Long]
+  private def stampEpoch(): Unit = {
+    epochStamps(epochCounter) = epochClock()
+    // stamps for epochs no history snapshot can recover are dead weight;
+    // a generous bound keeps the map O(history), trimmed oldest-first
+    if (epochStamps.size > 4 * maxHistory)
+      epochStamps.remove(epochStamps.head._1)
+    ()
+  }
+  stampEpoch() // epoch 0 = the opened table
+
+  /** The epochs whose exact plan this session can still produce. */
+  private def recoverableEpochs: Set[Long] =
+    (undoStack.iterator ++ redoStack.iterator).map(_.epoch).toSet +
+      epochCounter
+
+  /** The session plan AS OF `epoch`, when that epoch is the current one
+    * or still held by an undo/redo snapshot — an exact lineage reference
+    * (folded edit log included), never a reconstruction. None once
+    * history has trimmed it.
+    */
+  private[graft] def planAt(epoch: Long): Option[DataFrame] =
+    if (epoch == epochCounter) Some(current)
+    else (undoStack.iterator ++ redoStack.iterator)
+      .find(_.epoch == epoch)
+      .map(s => foldPlan(s.table, s.edits))
+
+  /** The newest retained epoch stamped at-or-before `tsMicros`, with its
+    * stamp — [[graft.core.CatalogSnapshots]] merges this with the pinned
+    * candidates when resolving `TIMESTAMP AS OF`.
+    */
+  private[graft] def retainedEpochAt(tsMicros: Long): Option[(Long, Long)] = {
+    val alive = recoverableEpochs
+    epochStamps.collect {
+      case (e, ts) if ts <= tsMicros && alive.contains(e) => (ts, e)
+    }.maxOption
+  }
 
   // ---- mutation log (delta-maintenance feed) ------------------------------
   // One entry per epoch bump: which positions a cell gesture touched, a
@@ -314,9 +379,10 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     * else the structural default.
     */
   private def remember(kind: MutKind = Structural): Unit = {
+    undoStack += snap() // BEFORE the bump: the snapshot IS the old epoch
     epochCounter += 1
+    stampEpoch()
     logMutation(kind)
-    undoStack += snap()
     if (undoStack.size > maxHistory) undoStack.remove(0)
     redoStack.clear()
   }
@@ -777,9 +843,20 @@ class Catalog(private[core] val spark: SparkSession,
     with CatalogSnapshots with CatalogVacuum with CatalogCubes
     with CatalogDml with CatalogDdl {
   private[core] val sessions = mutable.LinkedHashMap.empty[String, EditorSession]
+
+  /** The file path each session was opened from (absent for openFrom /
+    * CTAS sessions) — what `OPTIMIZE <session>` compacts. The open
+    * session itself never re-reads these files ([[Positional.attachPos]]
+    * pinned the base); the path is remembered for maintenance gestures
+    * and future opens.
+    */
+  private[core] val sourcePaths = mutable.HashMap.empty[String, String]
+
   def open(name: String, path: String, orderCols: Seq[String] = Nil): EditorSession = {
     val s = EditorSession.open(spark, path, orderCols)
-    register(name, s)
+    val reg = register(name, s)
+    sourcePaths(name) = path
+    reg
   }
   def get(name: String): Option[EditorSession] = sessions.get(name)
 
@@ -788,6 +865,7 @@ class Catalog(private[core] val spark: SparkSession,
     */
   def openFrom(name: String, df: DataFrame,
                orderCols: Seq[String] = Nil): EditorSession = {
+    sourcePaths.remove(name) // a rebound name must not keep a stale path
     register(name, EditorSession.fromDataFrame(df, orderCols))
   }
 
@@ -813,6 +891,7 @@ class Catalog(private[core] val spark: SparkSession,
     */
   def close(name: String): Unit = {
     sessions.remove(name)
+    sourcePaths.remove(name)
     layouts.filterInPlace { case ((n, _), _) => n != name }
     spark.catalog.dropTempView(name)
   }
@@ -975,6 +1054,12 @@ class Catalog(private[core] val spark: SparkSession,
   warehouse.foreach { wh =>
     LayoutStore.load(spark, wh)
       .foreach(e => manifest((e.session, e.slot)) = e)
+    // the materialized-view registry reopens with the manifest (r13
+    // verdict task #1): the MV's layouts already re-attach through the
+    // digest gate when their source session reopens — restoring the
+    // name+body here is what keeps `SELECT ... FROM mv` serving (routed)
+    // across processes instead of orphaning that storage
+    LayoutStore.loadMvs(spark, wh).foreach(e => mvs(e.name) = e.body)
   }
   private[core] val layoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -40,6 +40,15 @@ final case class LayoutManifestEntry(
     avgdl: Option[Double] = None,
     keyCol: Option[String] = None)
 
+/** One registered materialized view, persisted with the warehouse
+  * control plane (r13 verdict task #1 — the registry used to be
+  * in-memory only, so a catalog reopen orphaned the MV's durable
+  * layouts and broke every `SELECT ... FROM mv`): the name and the body
+  * TEXT are the whole view — its serving layouts persist separately in
+  * the layout manifest and re-attach through the ordinary digest gate.
+  */
+final case class MvEntry(name: String, body: String)
+
 /** One vacuum tombstone: when `path` (warehouse-relative dir or absolute
   * data file) was first OBSERVED unreferenced. Persisted so the grace
   * window survives process restarts — a short-lived maintenance job's
@@ -148,6 +157,41 @@ object LayoutStore {
     stagedWrite(spark, vacuumPath(warehouse)) { tmp =>
       marks.toSeq.map { case (p, t) => VacuumMark(p, t) }
         .toDS().coalesce(1).write.mode("overwrite").json(tmp)
+    }
+  }
+
+  private def mvsPath(warehouse: String) = s"$warehouse/_mvs"
+
+  /** The persisted materialized-view registry (empty when absent or
+    * unreadable — the views degrade to unregistered, exactly like a
+    * manifest that cannot be read degrades layouts to dormant; their
+    * layout storage stays manifest-referenced either way, so nothing is
+    * orphaned against vacuum by a transient read failure).
+    */
+  def loadMvs(spark: SparkSession, warehouse: String): Seq[MvEntry] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(mvsPath(warehouse))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else Try {
+      spark.read
+        .schema(org.apache.spark.sql.Encoders.product[MvEntry].schema)
+        .option("mode", "FAILFAST")
+        .json(mvsPath(warehouse))
+        .as[MvEntry]
+        .collect()
+        .toSeq
+    }.getOrElse(Nil)
+  }
+
+  /** Rewrite the materialized-view registry whole (view-count-sized,
+    * staged like the manifest — two metadata ops, never a read window).
+    */
+  def saveMvs(spark: SparkSession, warehouse: String,
+              mvs: Seq[MvEntry]): Unit = {
+    import spark.implicits._
+    stagedWrite(spark, mvsPath(warehouse)) { tmp =>
+      mvs.toDS().coalesce(1).write.mode("overwrite").json(tmp)
     }
   }
 

@@ -2309,6 +2309,38 @@ object AnalyticsQueries {
           |ORDER BY src, o_orderstatus""".stripMargin)
     }),
 
+    /** Time travel over RETAINED epochs (r13 verdict task #3): `VERSION
+      * AS OF` an epoch that was NEVER pinned serves the exact past plan
+      * from the session's in-process undo history — the incident read
+      * that used to require a pre-existing pin. The fixture applies two
+      * deletes and reads the state between them side by side with the
+      * live state; the oracle replays the bands in SQL. (Durable,
+      * cross-process time travel remains pinned — history dies with the
+      * process by design.)
+      */
+    "a_sql_asof_retained" -> ((s, dir) => {
+      val (cat, e1) = SessionScoped.memo(s, s"sqlAsofRetCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("asfr", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val rep = c.sql("DELETE FROM asfr WHERE o_orderkey % 10 = 1")
+        require(rep.head().getLong(1) > 0, "fixture: delete must hit")
+        val e = c.get("asfr").get.epoch // retained only — never pinned
+        val rep2 = c.sql("DELETE FROM asfr WHERE o_orderkey % 10 = 2")
+        require(rep2.head().getLong(1) > 0, "fixture: delete must hit")
+        (c, e)
+      }
+      cat.sql(
+        s"""SELECT 'asof' AS src, o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+           |FROM asfr VERSION AS OF $e1 GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'live', o_orderstatus, count(*),
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |FROM asfr GROUP BY o_orderstatus
+           |ORDER BY src, o_orderstatus""".stripMargin)
+    }),
+
     "a_sql_asof" -> ((s, dir) => {
       val (cat, epoch) = SessionScoped.memo(s, s"sqlAsofCatalog:$dir") {
         val c = new graft.core.Catalog(s)
@@ -2333,6 +2365,17 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a_sql_asof_retained" ->
+      """SELECT 'asof' AS src, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders WHERE o_orderkey % 10 != 1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'live', o_orderstatus, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 != 1 AND o_orderkey % 10 != 2
+        |GROUP BY o_orderstatus
+        |ORDER BY src, o_orderstatus""".stripMargin,
+
     "a_sql_asof_ts" ->
       """SELECT 'pinned' AS src, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot

@@ -790,6 +790,48 @@ object MaintenanceQueries {
       s.read.parquet(out).orderBy("doc_id")
     }),
 
+    /** o_compact reached from SQL TEXT (r13 verdict task #2): `OPTIMIZE
+      * <session> CLUSTER BY (…)` routes through [[graft.io.Compaction
+      * .compact]] against the session's recorded source directory — the
+      * last typed-only maintenance gesture now has a SQL twin. Identity
+      * oracle through fragment → OPTIMIZE → read-back, same as
+      * o_compact: the rewrite must lose/duplicate nothing.
+      */
+    "o_sql_compact" -> ((s, dir) => {
+      val out = graft.io.Scratch.dir(s, "docs_sql_compact") + "/d.parquet"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .repartition(16).write.mode("overwrite").parquet(out)
+      val cat = new graft.core.Catalog(s)
+      cat.open("dcomp", out, orderCols = Seq("doc_id"))
+      val rep = cat.sql("OPTIMIZE dcomp CLUSTER BY (doc_id)")
+      require(rep.head().getString(0) == "optimize",
+        "OPTIMIZE must route to the compaction gesture")
+      cat.close("dcomp")
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
+    /** SQL VACUUM (r13 verdict task #2): a durable catalog builds a
+      * ranged layout, a structural overwrite supersedes it, refresh
+      * rebuilds into a fresh dir, and `VACUUM <t> RETAIN 0 HOURS`
+      * collects the superseded storage — from SQL text. The oracle is
+      * the identity: garbage collection must never touch answers.
+      */
+    "o_sql_vacuum" -> ((s, dir) => {
+      val wh = graft.io.Scratch.dir(s, "sqlvac_wh")
+      val cat = new graft.core.Catalog(s, Some(wh))
+      cat.open("vs", s"$dir/region.parquet",
+        orderCols = Seq("r_regionkey"))
+      cat.buildRangedLayout("vs", "r_regionkey", files = 2)
+      // structural overwrite → the rebuild leaves the old dir behind
+      cat.sql("INSERT OVERWRITE vs SELECT * FROM vs")
+      cat.refreshStale("vs")
+      cat.sql("VACUUM vs RETAIN 0 HOURS")
+      val out = cat.sql(
+        "SELECT r_regionkey, r_name FROM vs ORDER BY r_regionkey")
+      cat.close("vs")
+      out
+    }),
+
     /** Globally-sorted export: range repartition + within-partition sort
       * — NOT a single-partition global sort (no driver funnel): file k's
       * doc_id range ends before file k+1's begins and every file is
@@ -1920,6 +1962,16 @@ object MaintenanceQueries {
     "o_compact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // the SQL OPTIMIZE route shares o_compact's identity contract
+    "o_sql_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // garbage collection never touches answers: identity after VACUUM
+    "o_sql_vacuum" ->
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
 
     // identity through the range-partitioned sorted write: any lost or
     // reordered-between-files row fails the hash

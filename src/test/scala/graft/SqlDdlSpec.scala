@@ -373,6 +373,78 @@ class SqlDdlSpec extends SparkSpec {
     assert(cat.names.contains("rt2"))
   }
 
+  test("the MV registry is durable: a fresh catalog over the warehouse serves the view ROUTED; a fenced writer's mv DDL fails fast (r13 verdict task #1)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvwh_").toString
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("msrc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW dmv AS
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM msrc GROUP BY o_orderstatus""".stripMargin)
+    val want = cat.sql("SELECT * FROM dmv ORDER BY o_orderstatus")
+      .collect().map(_.toSeq).toSeq
+    // a FRESH catalog over the warehouse = reopen after process death:
+    // the registry restores with the manifest, the cube re-attaches
+    // through the digest gate, and the mv read serves ROUTED — no
+    // orphaned storage, no broken dashboards
+    val cat2 = new Catalog(spark, Some(wh))
+    cat2.open("msrc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val read = cat2.sql("SELECT * FROM dmv ORDER BY o_orderstatus")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("o_orderkey"),
+      s"the reopened mv must serve from its re-attached cube; plan:\n$p")
+    assert(read.collect().map(_.toSeq).toSeq == want)
+    // cat2's reads took the writer role when it persisted nothing — but
+    // its mv CREATE is a registry write: it takes the token, and the
+    // SUPERSEDED cat's next mv DDL must fail fast, leaving no
+    // half-registered view behind
+    cat2.sql(
+      "CREATE MATERIALIZED VIEW dmv2 AS SELECT count(*) AS n FROM msrc")
+    val ex = intercept[IllegalStateException] {
+      cat.sql(
+        "CREATE MATERIALIZED VIEW dmv3 AS SELECT count(*) AS n FROM msrc")
+    }
+    assert(ex.getMessage.contains("fenced"))
+    intercept[Exception] { cat.sql("SELECT * FROM dmv3") }
+    // DROP is durable too: a third catalog never sees the dropped view
+    cat2.sql("DROP MATERIALIZED VIEW dmv")
+    val cat3 = new Catalog(spark, Some(wh))
+    cat3.open("msrc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    intercept[Exception] { cat3.sql("SELECT * FROM dmv") }
+    assert(cat3.sql("SELECT * FROM dmv2").head().getLong(0) > 0,
+      "the surviving view must still serve from the reopened registry")
+  }
+
+  test("CTAS with a time-travel source composes like INSERT: the new session holds the pinned rows (r14 ADVICE #2)") {
+    val cat = new Catalog(spark)
+    cat.open("tt", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val pin = cat.pin("tt")
+    val before = cat.sql("SELECT count(*) AS n FROM tt").head().getLong(0)
+    cat.sql("DELETE FROM tt WHERE r_regionkey >= 0")
+    assert(cat.sql("SELECT count(*) AS n FROM tt").head().getLong(0) == 0)
+    cat.sql(
+      s"CREATE TABLE tt_rescue AS SELECT * FROM tt VERSION AS OF $pin")
+    assert(cat.sql("SELECT count(*) AS n FROM tt_rescue")
+      .head().getLong(0) == before,
+      "the CTAS source must resolve onto the pinned snapshot")
+  }
+
+  test("RENAME TO refuses while a materialized view references the session (r14 ADVICE #3)") {
+    val cat = new Catalog(spark)
+    cat.open("rmv", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.sql(
+      "CREATE MATERIALIZED VIEW rr AS SELECT count(*) AS n FROM rmv")
+    val ex = intercept[Exception] {
+      cat.sql("ALTER TABLE rmv RENAME TO rmv2")
+    }
+    assert(ex.getMessage.contains("materialized view"))
+    assert(cat.names.contains("rmv"), "a refused rename must not re-key")
+    // dropping the dependent view unblocks the rename
+    cat.sql("DROP MATERIALIZED VIEW rr")
+    cat.sql("ALTER TABLE rmv RENAME TO rmv2")
+    assert(cat.names.contains("rmv2"))
+  }
+
   test("DDL on non-session (multipart) names falls through to Spark's ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))

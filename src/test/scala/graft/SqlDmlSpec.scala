@@ -449,6 +449,39 @@ class SqlDmlSpec extends SparkSpec {
       .head().getString(1) == want)
   }
 
+  test("INSERT from a MATERIALIZED VIEW source binds live plans: the target survives layout rebuild + vacuum (r14 ADVICE #1)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvdml_").toString
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("mdsrc", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW mdmv AS
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM mdsrc GROUP BY o_orderstatus""".stripMargin)
+    // the mv's own read routes through the cube — that is exactly the
+    // plan the INSERT source must NOT embed
+    assert(cat.sql("SELECT * FROM mdmv").queryExecution.executedPlan
+      .toString.contains("catalog_cube_"))
+    val want = cat.sql("SELECT * FROM mdmv ORDER BY o_orderstatus")
+      .collect().map(_.toSeq).toSeq
+    cat.sql("CREATE TABLE mdtgt (o_orderstatus STRING, n BIGINT)")
+    cat.sql("INSERT INTO mdtgt SELECT * FROM mdmv")
+    val tgt = cat.get("mdtgt").get
+    assert(!tgt.current.inputFiles.exists(_.contains("catalog_")),
+      "an mv-sourced INSERT must bind the live aggregate, never the " +
+        "mv's layout storage")
+    // now REBUILD the cube (structural gesture forces it) and vacuum
+    // with zero grace: the old cube dir is collected — a layout-bound
+    // target lineage would dangle here
+    val s = cat.get("mdsrc").get
+    s.replace(s.current.filter(col("o_orderkey") % 2 === 0))
+    assert(cat.refreshStale("mdsrc").nonEmpty)
+    cat.vacuum(0)
+    val got = cat.sql("SELECT * FROM mdtgt ORDER BY o_orderstatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"the target must keep serving the inserted rows; got $got")
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
