@@ -88,6 +88,11 @@ trait CatalogDdl { self: Catalog =>
     *    an incident runbook believe a lease was released).
     */
   private def runMaintenance(query: String): Option[DataFrame] = {
+    if (vacuumStmt.matcher(query).matches() ||
+        optimizeStmt.matcher(query).matches() ||
+        snapCreate.matcher(query).matches() ||
+        snapDrop.matcher(query).matches())
+      requireNoTxn("a maintenance statement")
     val vm = vacuumStmt.matcher(query)
     if (vm.matches()) {
       Option(vm.group(1)).foreach { n =>
@@ -192,6 +197,7 @@ trait CatalogDdl { self: Catalog =>
     }
 
   private def runCreateMv(name: String, body: String): DataFrame = {
+    requireNoTxn("CREATE MATERIALIZED VIEW")
     require(!sessions.contains(name) && !mvs.contains(name),
       s"name '$name' is already a session or materialized view")
     // infer the serving layouts from the ANALYZED body (we are inside
@@ -216,6 +222,17 @@ trait CatalogDdl { self: Catalog =>
           case sa: SubqueryAlias if sessions.contains(sa.identifier.name) =>
             sa.identifier.name
         }.distinct
+        // a WHERE between the aggregate and the session (r13 verdict
+        // task #8): the routed read path serves a filtered aggregate
+        // from a cube only when the predicate constrains CUBE GROUP
+        // columns (constant within each group) — so the inference folds
+        // the filter's referenced columns into the built grouping. The
+        // cube then costs distinct(group × filter) cells instead of
+        // distinct(group) — the same size law as any hand-built cube
+        // over those columns, and the price the mv's own body states.
+        val filterRefs = agg.child.collect {
+          case f: Filter => f.condition.references.toSeq.map(_.name)
+        }.flatten.distinct
         targets match {
           case Seq(t) =>
             val schema = Positional.strip(sessions(t).current).columns.toSet
@@ -247,11 +264,22 @@ trait CatalogDdl { self: Catalog =>
                 .flatMap(_.references.toSeq.map(_.name))
                 .filterNot(groupCols.contains).distinct
               // every inferred column must be the session's own — a
-              // derived alias (substr(c,1,1) AS g) is not buildable
+              // derived alias (substr(c,1,1) AS g) is not buildable.
+              // Filter columns extend the built grouping only when they
+              // are plain session columns NOT already serving as
+              // measures (a column can't be both a cube dimension and a
+              // stored partial); otherwise the un-extended layouts still
+              // build and the mv serves live — the refusal law
+              val filterOk = filterRefs.nonEmpty &&
+                filterRefs.forall(c => schema.contains(c) &&
+                  !measures.contains(c) && !pairsCols.contains(c))
+              val buildGroup =
+                if (filterOk) (groupCols ++ filterRefs).distinct
+                else groupCols
               if ((measures ++ pairsCols).forall(schema.contains)) {
                 if (measures.nonEmpty || leaves.exists(!_.isDistinct))
-                  buildCubeLayout(t, groupCols, measures)
-                pairsCols.foreach(y => buildPairsLayout(t, groupCols, y))
+                  buildCubeLayout(t, buildGroup, measures)
+                pairsCols.foreach(y => buildPairsLayout(t, buildGroup, y))
               }
             }
           case _ => ()
@@ -274,6 +302,7 @@ trait CatalogDdl { self: Catalog =>
     if (mvc.matches()) return Some(runCreateMv(mvc.group(1), mvc.group(2)))
     val mvd = mvDrop.matcher(query)
     if (mvd.matches()) {
+      requireNoTxn("DROP MATERIALIZED VIEW")
       val name = mvd.group(2)
       mvs.remove(name) match {
         case Some(body) =>
@@ -292,11 +321,11 @@ trait CatalogDdl { self: Catalog =>
     plan match {
       case c: CreateTableAsSelect =>
         singlePart(c.name).map(runCtas(query, _, c.query,
-          partitioned = c.partitioning.nonEmpty, replace = false,
+          partCols(c.partitioning), replace = false,
           ifNotExists = c.ignoreIfExists))
       case r: ReplaceTableAsSelect =>
         singlePart(r.name).map(runCtas(query, _, r.query,
-          partitioned = r.partitioning.nonEmpty, replace = true,
+          partCols(r.partitioning), replace = true,
           ifNotExists = false))
       // ALTER statements share the DML statement-atomicity bracket: a
       // multi-column ADD/DROP failing on a later column must not leave
@@ -309,6 +338,7 @@ trait CatalogDdl { self: Catalog =>
         sessionTarget(r.table).map(n => atomically(n)(runRenameColumn(n, r)))
       case d: DropTable =>
         singlePart(d.child).filter(sessions.contains).map { name =>
+          requireNoTxn("DROP TABLE")
           close(name)
           ddlReport("drop_table", name)
         }.orElse {
@@ -346,6 +376,7 @@ trait CatalogDdl { self: Catalog =>
     * types, not constraints.
     */
   private def runCreateEmpty(name: String, c: CreateTable): DataFrame = {
+    requireNoTxn("CREATE TABLE")
     require(!mvs.contains(name),
       s"name '$name' is a materialized view — DROP MATERIALIZED VIEW first")
     require(!sessions.contains(name) || c.ignoreIfExists,
@@ -387,6 +418,7 @@ trait CatalogDdl { self: Catalog =>
     * session would break the time-travel contract.
     */
   private def runRenameTable(name: String, newName: String): DataFrame = {
+    requireNoTxn("ALTER TABLE RENAME TO")
     require(!sessions.contains(newName) && !mvs.contains(newName),
       s"name '$newName' is already a session or materialized view")
     // a DORMANT session's manifest entries (another process's durable
@@ -488,16 +520,28 @@ trait CatalogDdl { self: Catalog =>
     case _ => None
   }
 
+  /** PARTITIONED BY columns of a CTAS — identity transforms only (a
+    * bucket/days transform has no hive-directory equivalent to write).
+    */
+  private def partCols(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] = partitioning.map {
+    case t if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+      t.references.head.fieldNames.head
+    case other => throw new IllegalArgumentException(
+      s"unsupported PARTITIONED BY transform '$other' against a session " +
+        "— only plain column names write as hive partitions")
+  }
+
   private def runCtas(query: String, name: String, src: LogicalPlan,
-                      partitioned: Boolean, replace: Boolean,
+                      partitionBy: Seq[String], replace: Boolean,
                       ifNotExists: Boolean): DataFrame = {
+    requireNoTxn("CREATE TABLE AS SELECT")
     require(!mvs.contains(name),
       s"name '$name' is a materialized view — DROP MATERIALIZED VIEW first")
     require(!sessions.contains(name) || ifNotExists || replace,
       s"session '$name' already exists (use OR REPLACE / IF NOT EXISTS)")
-    require(!partitioned,
-      "CREATE TABLE ... PARTITIONED BY is not supported against a " +
-        "session (sessions are unpartitioned) — drop the clause")
     if (sessions.contains(name) && ifNotExists && !replace)
       return ddlReport("create_table_skipped", name)
     // the source query's own text, extracted as the statement TAIL from
@@ -535,12 +579,33 @@ trait CatalogDdl { self: Catalog =>
     // resolves onto the pinned snapshot exactly as it does for INSERT
     // (r14 ADVICE #2 — the two write surfaces used to diverge here).
     val rows = planRead(srcText.get)
-    openFrom(name, rows)
+    if (partitionBy.nonEmpty) {
+      // PARTITIONED BY (r13 verdict task #7): the result WRITES as a
+      // hive-partitioned dataset first — one directory per partition
+      // value, the layout every downstream plan-time pruner understands
+      // — and the session opens over the written files. The write lands
+      // in JVM-scratch (NOT the warehouse: vacuum's manifest diff would
+      // collect an untracked warehouse dir), living exactly as long as
+      // the session's own checkpoint state; [[sourcePathOf]] exposes the
+      // directory for downstream pruned readers and exports.
+      partitionBy.foreach(c => require(rows.columns.contains(c),
+        s"PARTITIONED BY column '$c' is not in the CTAS output " +
+          s"(${rows.columns.mkString(", ")})"))
+      val out = layoutTempDir(s"graft_ctas_${name}_").toString
+      graft.io.Formats.writePartitioned(rows, out, partitionBy)
+      openFrom(name, spark.read.parquet(out))
+      sourcePaths(name) = out
+    } else openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this
     // sql() call's window and to later calls — the window opened before
     // this session existed
     Positional.strip(sessions(name).current).createOrReplaceTempView(name)
-    ddlReport(if (replace) "create_or_replace_table" else "create_table",
+    ddlReport(
+      if (partitionBy.nonEmpty)
+        if (replace) "create_or_replace_table_partitioned"
+        else "create_table_partitioned"
+      else if (replace) "create_or_replace_table"
+      else "create_table",
       name)
   }
 
@@ -662,7 +727,13 @@ trait CatalogDdl { self: Catalog =>
     * entry degrades exactly as before — the reopen digest gate declines
     * it, queries serve live.
     */
-  private def retireLayoutsReferencing(name: String, column: String): Unit = {
+  private[core] def retireLayoutsReferencing(name: String,
+                                             column: String): Unit = {
+    // inside an open transaction, DEFER: a retirement is not restorable,
+    // so it must wait for COMMIT (a rolled-back DROP COLUMN would
+    // otherwise silently cost its layouts); the layouts stay epoch-stale
+    // meanwhile, so correctness never depends on the deferral
+    if (txnPre.isDefined) { txnRetires += ((name, column)); return }
     val victims = layouts.collect {
       case ((n, slot), l)
           if n == name && Catalog.layoutRefs(l).contains(column) => slot

@@ -82,6 +82,81 @@ trait CatalogDml { self: Catalog =>
     }
   }
 
+  // ---- multi-statement transactions (r13 verdict task #6) -------------------
+  // `BEGIN` / `COMMIT` / `ROLLBACK` generalize the per-statement
+  // `atomically` bracket to N statements over N sessions: while a
+  // transaction is open, the FIRST statement to touch each session
+  // captures that session's pre-transaction plan reference (an immutable
+  // lineage handle — nothing copies), and ROLLBACK restores every
+  // captured session at once. COMMIT simply releases the captures (the
+  // statements already applied) and runs any layout retirements the
+  // transaction deferred — a retirement is not restorable, so a DROP
+  // COLUMN inside a transaction must not retire until the outcome is
+  // known (the same deferral the r13 per-statement bracket applies
+  // within one statement). Statement-level atomicity still holds inside
+  // a transaction: a failing statement rolls ITSELF back and leaves the
+  // transaction open for the caller to COMMIT or ROLLBACK.
+  //
+  // Scope: session DML (INSERT/UPDATE/DELETE/MERGE), column DDL, and
+  // TRUNCATE — everything whose state is the session plan. Lifecycle
+  // gestures (CREATE/DROP/RENAME TABLE, CTAS, MATERIALIZED VIEW,
+  // maintenance) mutate the catalog's NAMESPACE and durable control
+  // plane, which a plan reference cannot restore — they refuse inside an
+  // open transaction rather than pretend. Rollback is a STRUCTURAL
+  // gesture per session (layouts rebuild on the next refresh): the price
+  // of abandoning a transaction, never of committing one.
+
+  private[core] var txnPre: Option[scala.collection.mutable.LinkedHashMap[
+    String, (DataFrame, Long)]] = None
+  private[core] val txnRetires =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private[core] def requireNoTxn(what: String): Unit =
+    require(txnPre.isEmpty,
+      s"$what is not transactional — COMMIT or ROLLBACK first")
+
+  private[core] def looksLikeTxn(query: String): Boolean = {
+    val head = query.trim.takeWhile(!_.isWhitespace)
+      .toUpperCase(java.util.Locale.ROOT)
+    head == "BEGIN" || head == "START" || head == "COMMIT" ||
+      head == "ROLLBACK"
+  }
+
+  private val txnBegin = java.util.regex.Pattern.compile(
+    "(?is)^\\s*(?:begin|start)(?:\\s+transaction)?\\s*;?\\s*$")
+  private val txnCommit = java.util.regex.Pattern.compile(
+    "(?is)^\\s*commit(?:\\s+transaction)?\\s*;?\\s*$")
+  private val txnRollback = java.util.regex.Pattern.compile(
+    "(?is)^\\s*rollback(?:\\s+transaction)?\\s*;?\\s*$")
+
+  private[core] def runTxn(query: String): Option[DataFrame] = {
+    if (txnBegin.matcher(query).matches()) {
+      require(txnPre.isEmpty, "a transaction is already open (no nesting)")
+      txnPre = Some(scala.collection.mutable.LinkedHashMap.empty)
+      Some(report("begin_transaction", 0L))
+    } else if (txnCommit.matcher(query).matches()) {
+      val m = txnPre.getOrElse(
+        throw new IllegalStateException("COMMIT without an open transaction"))
+      txnPre = None
+      val rets = txnRetires.toSeq
+      txnRetires.clear()
+      rets.foreach { case (n, c) => retireLayoutsReferencing(n, c) }
+      Some(report("commit", m.size.toLong))
+    } else if (txnRollback.matcher(query).matches()) {
+      val m = txnPre.getOrElse(throw new IllegalStateException(
+        "ROLLBACK without an open transaction"))
+      txnPre = None
+      txnRetires.clear()
+      var restored = 0L
+      m.foreach { case (n, (pre, preEpoch)) =>
+        sessions.get(n).foreach { s =>
+          if (s.epoch != preEpoch) { s.replace(pre); restored += 1 }
+        }
+      }
+      Some(report("rollback", restored))
+    } else None
+  }
+
   /** Statement atomicity (r12 verdict task #4): a DML statement that
     * fails AFTER mutating the session (a MERGE applies edits, then
     * deletes, then inserts — a rejection between gestures used to leave
@@ -101,6 +176,10 @@ trait CatalogDml { self: Catalog =>
     val s = sessions(name)
     val pre = s.current
     val preEpoch = s.epoch
+    // inside an open transaction, the FIRST touch of each session
+    // captures its pre-transaction state for ROLLBACK; the statement
+    // bracket below still applies on top
+    txnPre.foreach(m => if (!m.contains(name)) m(name) = (pre, preEpoch))
     try body
     catch {
       case e: Throwable =>

@@ -898,6 +898,12 @@ class Catalog(private[core] val spark: SparkSession,
 
   def names: Seq[String] = sessions.keys.toSeq
 
+  /** The file path backing a session, when it has one: the path it was
+    * opened from, or the hive-partitioned directory a `PARTITIONED BY`
+    * CTAS wrote — the handle a downstream pruned reader or export takes.
+    */
+  def sourcePathOf(name: String): Option[String] = sourcePaths.get(name)
+
   /** Run SQL text over the current state of every open session (views
     * reflect pending edits — they are rebuilt from `current` per call).
     *
@@ -940,14 +946,18 @@ class Catalog(private[core] val spark: SparkSession,
       // ([[CatalogDdl]]); anything else — SELECTs, DML/DDL on real
       // catalog tables, malformed text — takes the ordinary Spark path
       // below, which produces the right behavior or the right error.
-      val dml = if (looksLikeDml(query)) runDml(query) else None
+      val txn = if (looksLikeTxn(query)) runTxn(query) else None
+      val dml =
+        if (txn.isEmpty && looksLikeDml(query)) runDml(query) else None
       val ddl =
-        if (dml.isEmpty && looksLikeDdl(query)) runDdl(query) else None
+        if (txn.isEmpty && dml.isEmpty && looksLikeDdl(query)) runDdl(query)
+        else None
       val travel =
-        if (dml.isEmpty && ddl.isEmpty && looksLikeTimeTravel(query))
+        if (txn.isEmpty && dml.isEmpty && ddl.isEmpty &&
+            looksLikeTimeTravel(query))
           runTimeTravel(query)
         else None
-      dml.orElse(ddl).orElse(travel)
+      txn.orElse(dml).orElse(ddl).orElse(travel)
         .getOrElse(graft.plans.SqlRouting.withRoutes(spark, sqlRoutes()) {
           spark.sql(query)
         })

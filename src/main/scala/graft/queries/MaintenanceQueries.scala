@@ -832,6 +832,33 @@ object MaintenanceQueries {
       out
     }),
 
+    /** Multi-statement transaction (r13 verdict task #6): a rolled-back
+      * BEGIN/DELETE+INSERT leaves the table byte-identical, and a
+      * committed UPDATE persists — both proven against the DuckDB
+      * replay. The rollback leg is the strong claim: restoring every
+      * touched session's pre-transaction plan reference must lose and
+      * duplicate nothing.
+      */
+    "o_sql_txn" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlTxnCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("txr", s"$dir/region.parquet",
+          orderCols = Seq("r_regionkey"))
+        c.sql("BEGIN")
+        require(c.sql("DELETE FROM txr WHERE r_regionkey >= 3")
+          .head().getLong(1) == 2, "fixture: delete must hit")
+        require(c.sql("INSERT INTO txr VALUES (97, 'ATLANTIS')")
+          .head().getLong(1) == 1)
+        c.sql("ROLLBACK") // both statements undone
+        c.sql("BEGIN")
+        c.sql("UPDATE txr SET r_name = lower(r_name)")
+        c.sql("COMMIT")   // this one persists
+        c
+      }
+      cat.sql(
+        "SELECT r_regionkey, r_name FROM txr ORDER BY r_regionkey")
+    }),
+
     /** Globally-sorted export: range repartition + within-partition sort
       * — NOT a single-partition global sort (no driver funnel): file k's
       * doc_id range ends before file k+1's begins and every file is
@@ -1265,6 +1292,26 @@ object MaintenanceQueries {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     }),
 
+    /** PARTITIONED BY CTAS (r13 verdict task #7): the result writes as
+      * a hive-partitioned dataset (one dir per lang) and the session
+      * opens over the written files — downstream readers prune at plan
+      * time (pinned by SqlDdlSpec); the oracle is the filtered identity.
+      */
+    "o_sql_ctas_partitioned" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlCtasPartCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("ptsrc", docs(s, dir)
+          .select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+        val rep = c.sql(
+          "CREATE TABLE ptdocs PARTITIONED BY (lang) AS SELECT * FROM ptsrc")
+        require(rep.head().getString(0) == "create_table_partitioned")
+        c
+      }
+      cat.sql(
+        """SELECT doc_id, lang, n_chars FROM ptdocs
+          |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin)
+    }),
+
     /** SQL DDL surface, ADD COLUMN leg: `ALTER TABLE ADD COLUMN name
       * type DEFAULT v` routes through the typed insert-column gesture —
       * a pure projection (no shuffle), logged as a zero-position delta
@@ -1385,6 +1432,36 @@ object MaintenanceQueries {
       cat.sql(
         """SELECT o_orderstatus, n, tot, cd FROM ordmv
           |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    /** Filtered materialized view (r13 verdict task #8): a WHERE between
+      * the body's aggregate and the session used to defeat cube
+      * inference (the view registered but served live) — now the
+      * filter's columns fold into the built grouping, and the routed
+      * read serves the filtered aggregate from stored partials: the
+      * fixture REQUIRES the routed plan (cube storage, no fact scan).
+      */
+    "a_sql_mv_filtered" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlMvFiltCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("mvford", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql(
+          """CREATE MATERIALIZED VIEW fordmv AS
+            |SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+            |    AS DOUBLE) AS tot
+            |FROM mvford WHERE o_orderstatus = 'F'
+            |GROUP BY o_orderpriority""".stripMargin)
+        val p = c.sql("SELECT * FROM fordmv")
+          .queryExecution.executedPlan.toString
+        require(p.contains("catalog_cube_") && !p.contains("o_orderkey"),
+          s"the filtered mv must serve from the extended cube; plan: $p")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderpriority, n, tot FROM fordmv
+          |ORDER BY o_orderpriority""".stripMargin)
     })
   )
 
@@ -1973,6 +2050,11 @@ object MaintenanceQueries {
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
 
+    // rolled-back statements leave no trace; the committed UPDATE shows
+    "o_sql_txn" ->
+      """SELECT r_regionkey, lower(r_name) AS r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+
     // identity through the range-partitioned sorted write: any lost or
     // reordered-between-files row fails the hash
     "o_sorted_export" ->
@@ -2149,6 +2231,10 @@ object MaintenanceQueries {
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
+    "o_sql_ctas_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin,
+
     "o_sql_add_column" ->
       """SELECT o_orderkey, o_orderstatus, CAST('new' AS VARCHAR) AS flag,
         |  CAST(0 AS INTEGER) AS bonus
@@ -2180,6 +2266,13 @@ object MaintenanceQueries {
         |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS tot,
         |  count(DISTINCT o_custkey) AS cd
-        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a_sql_mv_filtered" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS tot
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -129,12 +129,51 @@ class SqlDdlSpec extends SparkSpec {
     }
     cat.sql("ALTER TABLE rg DROP COLUMN O_ORDERPRIORITY")
     assert(!strip(s.current).columns.contains("o_orderpriority"))
-    // PARTITIONED BY is meaningless on a session: clear rejection, not a
-    // regex crash (finding #9's sibling), and other clause noise parses
+    // a non-identity PARTITIONED BY transform is a clear rejection, not
+    // a regex crash (finding #9's sibling); identity transforms write a
+    // real hive layout (r14 — see the partitioned-CTAS test)
     intercept[Exception] {
-      cat.sql("CREATE TABLE pt PARTITIONED BY (o_orderstatus) AS SELECT * FROM rg")
+      cat.sql("CREATE TABLE pt PARTITIONED BY (bucket(4, o_orderkey)) " +
+        "AS SELECT * FROM rg")
     }
     assert(!cat.names.contains("pt"))
+  }
+
+  test("PARTITIONED BY CTAS writes a hive layout; downstream reads prune to the named partition (r13 verdict task #7)") {
+    val cat = new Catalog(spark)
+    cat.openFrom("pdocs", graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+    val rep = cat.sql(
+      "CREATE TABLE pt PARTITIONED BY (lang) AS SELECT * FROM pdocs")
+    assert(rep.head().getString(0) == "create_table_partitioned")
+    // the session serves SQL like any CTAS session (partition columns
+    // move to the tail of the schema, hive-style)
+    val n = cat.sql("SELECT count(*) AS n FROM pt WHERE lang = 'zh'")
+      .head().getLong(0)
+    val want = graft.core.Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "zh").count()
+    assert(n == want && n > 0)
+    // the written layout is the real deliverable: a downstream reader's
+    // partition filter prunes to the lang=zh directory at PLAN time
+    // (inputFiles lists the unpruned relation, so the pin is the scan's
+    // own files-read metric vs the directory census)
+    val dir = cat.sourcePathOf("pt").get
+    val all = spark.read.parquet(dir).inputFiles
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "zh")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(pruned.collect().length == want) // executes THIS plan instance
+    val readFiles = scan.metrics("numFiles").value
+    val zhFiles = all.count(_.contains("lang=zh")).toLong
+    assert(readFiles == zhFiles && readFiles < all.length,
+      s"the partition filter must read only the lang=zh directory: " +
+        s"read $readFiles of ${all.length} files ($zhFiles in lang=zh)")
+    // a PARTITIONED BY column missing from the output is a clear error
+    intercept[Exception] {
+      cat.sql("CREATE TABLE pt2 PARTITIONED BY (nope) AS SELECT * FROM pdocs")
+    }
+    assert(!cat.names.contains("pt2"))
   }
 
   test("r13 review regression: RENAME/DROP of a layout's column retires the layout; refresh never wedges (finding #1)") {
@@ -304,6 +343,39 @@ class SqlDdlSpec extends SparkSpec {
     intercept[Exception] { cat.sql("SELECT * FROM omv") }
     assert(cat.sql("DROP MATERIALIZED VIEW IF EXISTS omv")
       .head().getString(0) == "drop_materialized_view_skipped")
+  }
+
+  test("a FILTERED mv body infers the extended cube, serves routed, and delta-patches under DML (r13 verdict task #8)") {
+    val cat = new Catalog(spark)
+    cat.open("fmv", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW fm AS
+        |SELECT o_orderpriority, count(*) AS n
+        |FROM fmv WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin)
+    // the filter column joined the built grouping
+    assert(cat.layoutsOf("fmv")
+      .exists(_._1 == "cube:o_orderpriority,o_orderstatus"),
+      s"inference must fold the WHERE column into the cube: " +
+        s"${cat.layoutsOf("fmv").map(_._1)}")
+    def read = cat.sql("SELECT * FROM fm ORDER BY o_orderpriority")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("o_orderkey"),
+      s"the filtered mv must serve from stored partials; plan:\n$p")
+    def live = {
+      val s = cat.get("fmv").get
+      Positional.strip(s.current).filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    }
+    assert(read.collect().map(_.toSeq).toSeq == live)
+    // DML + refresh: the extended cube delta-patches and serves updated
+    cat.sql("DELETE FROM fmv WHERE o_orderkey % 50 = 3")
+    assert(cat.refreshStale("fmv").nonEmpty)
+    val read2 = read
+    assert(read2.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"))
+    assert(read2.collect().map(_.toSeq).toSeq == live)
   }
 
   test("DROP TABLE closes the session; IF EXISTS is a no-op on unknown names") {

@@ -482,6 +482,71 @@ class SqlDmlSpec extends SparkSpec {
       s"the target must keep serving the inserted rows; got $got")
   }
 
+  test("multi-statement transaction: ROLLBACK restores every touched session; COMMIT applies deferred retirements (r13 verdict task #6)") {
+    val cat = new Catalog(spark)
+    cat.open("txa", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.open("txb", s"$sf/nation.parquet", orderCols = Seq("n_nationkey"))
+    val (sa, sb) = (cat.get("txa").get, cat.get("txb").get)
+    val (na0, nb0) = (sa.rowCount, sb.rowCount)
+    cat.sql("BEGIN")
+    assert(cat.sql("DELETE FROM txa WHERE r_regionkey >= 3")
+      .head().getLong(1) == 2)
+    // the second statement fails MID-GESTURE (armed failpoint between
+    // MERGE's edit and delete): its own bracket restores txb, and the
+    // explicit ROLLBACK must restore txa too — BOTH roll back
+    cat.dmlFailpoint = Some("merge-after-edits")
+    try intercept[IllegalStateException] {
+      cat.sql(
+        """MERGE INTO txb t USING txa s ON t.n_regionkey = s.r_regionkey
+          |WHEN MATCHED AND t.n_nationkey % 2 = 0
+          |  THEN UPDATE SET n_name = 'touched'
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally cat.dmlFailpoint = None
+    assert(sb.rowCount == nb0, "statement bracket must restore txb")
+    assert(cat.sql("ROLLBACK").head().getString(0) == "rollback")
+    assert(sa.rowCount == na0 && sb.rowCount == nb0,
+      "ROLLBACK must restore every session the transaction touched")
+    assert(graft.core.Positional.strip(sa.current).count() == na0)
+
+    // COMMIT path: DML over two sessions applies; a DROP COLUMN's layout
+    // retirement is DEFERRED to COMMIT (a rollback must be able to keep
+    // the layout)
+    cat.buildCubeLayout("txb", Seq("n_regionkey"), Seq("n_nationkey"))
+    cat.sql("BEGIN")
+    cat.sql("DELETE FROM txa WHERE r_regionkey = 0")
+    cat.sql("ALTER TABLE txb DROP COLUMN n_nationkey")
+    assert(cat.layoutsOf("txb").exists(_._1.startsWith("cube:")),
+      "a retirement inside an open transaction must be deferred")
+    assert(cat.sql("COMMIT").head().getLong(1) == 2L,
+      "COMMIT reports the touched-session count")
+    assert(!cat.layoutsOf("txb").exists(_._1.startsWith("cube:")),
+      "COMMIT must apply the deferred retirement")
+    assert(sa.rowCount == na0 - 1)
+    assert(!strip(sb.current).columns.contains("n_nationkey"))
+
+    // a rolled-back transaction keeps the deferred layout: rebuildable
+    cat.sql("BEGIN")
+    cat.sql("ALTER TABLE txa ADD COLUMN note STRING")
+    cat.sql("ROLLBACK")
+    assert(!strip(sa.current).columns.contains("note"))
+
+    // lifecycle gestures refuse inside an open transaction; errors name
+    // the law, and the refusal leaves the transaction usable
+    cat.sql("BEGIN")
+    val ex = intercept[Exception] {
+      cat.sql("CREATE TABLE t2 AS SELECT * FROM txa")
+    }
+    assert(ex.getMessage.contains("not transactional"))
+    intercept[Exception] { cat.sql("DROP TABLE txa") }
+    intercept[Exception] { cat.sql("VACUUM txa") }
+    cat.sql("ROLLBACK")
+    // nesting and dangling COMMIT/ROLLBACK fail fast
+    intercept[IllegalStateException] { cat.sql("COMMIT") }
+    cat.sql("BEGIN")
+    intercept[Exception] { cat.sql("BEGIN") }
+    cat.sql("ROLLBACK")
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
