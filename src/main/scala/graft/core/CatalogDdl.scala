@@ -117,6 +117,28 @@ trait CatalogDdl { self: Catalog =>
       }
       val clusterBy = Option(om.group(3)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      // route by layout (r14 review finding #10): a hive-partitioned
+      // directory (a PARTITIONED BY CTAS's storage) compacts PER
+      // PARTITION — flattening it would destroy plan-time pruning for
+      // every downstream reader; a flat parquet dataset compacts whole;
+      // anything else (a csv/json-backed session) refuses up front with
+      // the real reason instead of dying mid-rewrite on a footer error.
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(hfs.exists(hp), s"OPTIMIZE: no such path '$path'")
+      val partitionedDir = hfs.getFileStatus(hp).isDirectory &&
+        hfs.listStatus(hp).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+      if (partitionedDir) {
+        val stats = graft.io.Compaction.compactPartitioned(spark, path,
+          clusterBy = clusterBy)
+        return Some(report("optimize", stats.values
+          .map(v => (v.filesBefore - v.filesAfter).toLong).sum))
+      }
+      require(path.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet"),
+        s"OPTIMIZE rewrites parquet storage; '$path' is not a parquet " +
+          "dataset — export the session first (saveAs/write) and OPTIMIZE " +
+          "the exported path")
       val stats = graft.io.Compaction.compact(spark, path,
         clusterBy = clusterBy)
       return Some(report("optimize",
@@ -155,6 +177,13 @@ trait CatalogDdl { self: Catalog =>
 
   private[core] val mvs =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Cell cap for a FILTER-extended mv cube: past this many distinct
+    * (group × filter) tuples a cube stops paying (it approaches the fact
+    * table it exists to avoid scanning), so the inference falls back to
+    * the un-extended grouping and the view serves live.
+    */
+  private val mvCubeCellCap = 1 << 20
 
   /** Persist the registry with the warehouse control plane (r13 verdict
     * task #1): CREATE/DROP MATERIALIZED VIEW are explicit operator
@@ -273,9 +302,21 @@ trait CatalogDdl { self: Catalog =>
               val filterOk = filterRefs.nonEmpty &&
                 filterRefs.forall(c => schema.contains(c) &&
                   !measures.contains(c) && !pairsCols.contains(c))
-              val buildGroup =
-                if (filterOk) (groupCols ++ filterRefs).distinct
-                else groupCols
+              val extGroup = (groupCols ++ filterRefs).distinct
+              // cardinality guard (r14 review finding #5): a filter on a
+              // high-cardinality column (an id, a timestamp) would make
+              // the extended cube fact-sized — one capped distinct-count
+              // probe decides, and an oversized extension falls back to
+              // the plain grouping (the mv then serves live, exactly the
+              // pre-extension behavior). The probe is one column-pruned
+              // pass, noise next to the cube build it gates.
+              val boundedExt = filterOk && {
+                import org.apache.spark.sql.functions.col
+                Positional.strip(sessions(t).current)
+                  .select(extGroup.map(col): _*).distinct()
+                  .limit(mvCubeCellCap + 1).count() <= mvCubeCellCap
+              }
+              val buildGroup = if (boundedExt) extGroup else groupCols
               if ((measures ++ pairsCols).forall(schema.contains)) {
                 if (measures.nonEmpty || leaves.exists(!_.isDistinct))
                   buildCubeLayout(t, buildGroup, measures)
@@ -432,11 +473,17 @@ trait CatalogDdl { self: Catalog =>
     // an mv whose body reads this session would silently stop analyzing
     // after the rename (its view skips, readers get a confusing
     // not-found for the OLD inner name) — refuse, like the pinned-epochs
-    // guard: the dependency is user-visible state keyed by name
+    // guard: the dependency is user-visible state keyed by name. The
+    // check is at TABLE-REFERENCE level (parsed relations, subqueries
+    // included), not a word scan: a column or alias merely spelled like
+    // the session must not block the rename (r14 review finding #9)
     val mvDeps = mvs.collect {
-      case (n, body) if java.util.regex.Pattern
-          .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
-          .matcher(body).find() => n
+      case (n, body) if Try(spark.sessionState.sqlParser.parsePlan(body))
+          .toOption.exists(_.collectWithSubqueries {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+                if r.multipartIdentifier.size == 1 &&
+                  r.multipartIdentifier.head.equalsIgnoreCase(name) => ()
+          }.nonEmpty) => n
     }
     require(mvDeps.isEmpty,
       s"session '$name' is referenced by materialized view(s) " +
@@ -587,13 +634,23 @@ trait CatalogDdl { self: Catalog =>
       // in JVM-scratch (NOT the warehouse: vacuum's manifest diff would
       // collect an untracked warehouse dir), living exactly as long as
       // the session's own checkpoint state; [[sourcePathOf]] exposes the
-      // directory for downstream pruned readers and exports.
-      partitionBy.foreach(c => require(rows.columns.contains(c),
-        s"PARTITIONED BY column '$c' is not in the CTAS output " +
-          s"(${rows.columns.mkString(", ")})"))
-      val out = layoutTempDir(s"graft_ctas_${name}_").toString
-      graft.io.Formats.writePartitioned(rows, out, partitionBy)
-      openFrom(name, spark.read.parquet(out))
+      // directory for downstream pruned readers and exports. ROW order
+      // follows the written layout (partition dirs, then file order),
+      // not the source query's ORDER BY — positions address the stored
+      // layout, the documented price of asking for partitioned storage.
+      // The read-back pins the QUERY's schema: without it, partition
+      // -column type inference would silently retype (and can merge —
+      // '01' and '1' both read as INT 1) the partition values, and the
+      // columns would reorder partition-last (r14 review findings).
+      val canonPart = partitionBy.map(c =>
+        rows.columns.find(_ == c)
+          .orElse(rows.columns.find(_.equalsIgnoreCase(c)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"PARTITIONED BY column '$c' is not in the CTAS output " +
+              s"(${rows.columns.mkString(", ")})")))
+      val out = layoutTempDir(s"graft_ctas_${name}_")
+      graft.io.Formats.writePartitioned(rows, out, canonPart)
+      openFrom(name, spark.read.schema(rows.schema).parquet(out))
       sourcePaths(name) = out
     } else openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this

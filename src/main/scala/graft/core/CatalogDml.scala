@@ -116,7 +116,10 @@ trait CatalogDml { self: Catalog =>
       s"$what is not transactional — COMMIT or ROLLBACK first")
 
   private[core] def looksLikeTxn(query: String): Boolean = {
-    val head = query.trim.takeWhile(!_.isWhitespace)
+    // strip the statement terminator too: "COMMIT;" must reach runTxn
+    // (the regexes below accept it), or a script-style commit would fall
+    // through to Spark's parser and leave the transaction silently open
+    val head = query.trim.takeWhile(c => !c.isWhitespace && c != ';')
       .toUpperCase(java.util.Locale.ROOT)
     head == "BEGIN" || head == "START" || head == "COMMIT" ||
       head == "ROLLBACK"

@@ -47,6 +47,14 @@ trait CatalogRefresh { self: Catalog =>
       case (slot, l) if l.builtAtEpoch != s.epoch => (slot, l)
     }.flatMap { case (slot, l) =>
       if (!Catalog.layoutRefs(l).subsetOf(schema)) {
+        // inside an open TRANSACTION the retirement must wait: a
+        // rollback restores the dropped/renamed column and the layout
+        // becomes satisfiable again — retiring here would bypass the
+        // txn deferral the DDL path honors (r14 review finding #6). The
+        // layout just skips this pass (epoch-stale, queries serve live);
+        // COMMIT's deferred retirement or the next refresh settles it.
+        if (txnPre.exists(_.contains(name))) None
+        else {
         layouts.remove((name, slot))
         // drop the manifest entry too (only if this catalog already
         // holds the writer token — an implicit retirement must never
@@ -56,6 +64,7 @@ trait CatalogRefresh { self: Catalog =>
         recordRoute(Catalog.RouteReport(slot, "retired",
           "schema-missing-column"))
         None
+        }
       } else {
         refreshSlot(name, s, slot, l)
         Some(slot)

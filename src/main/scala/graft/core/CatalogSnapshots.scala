@@ -269,7 +269,13 @@ trait CatalogSnapshots { self: Catalog =>
           if n == name && sn.pinnedAtMicros != Long.MinValue &&
             sn.pinnedAtMicros <= tsMicros => (sn.pinnedAtMicros, e)
     }
-    val covered = pinned ++ sessionOf(name).retainedEpochAt(tsMicros)
+    // toSeq BEFORE the ++: collect on the pins map yields a Map keyed by
+    // stamp, and the millisecond-resolution clocks make same-stamp
+    // candidates real — a map ++ would overwrite the pin with the
+    // retained epoch and resolve to the OLDER state (r14 review finding
+    // #4); on a Seq, the tuple max already breaks stamp ties by the
+    // higher (newer) epoch
+    val covered = pinned.toSeq ++ sessionOf(name).retainedEpochAt(tsMicros)
     if (covered.isEmpty) throw new NoSuchElementException(
       s"no pinned snapshot of '$name' at or before timestamp " +
         s"${java.time.Instant.ofEpochMilli(tsMicros / 1000L)}, and this " +

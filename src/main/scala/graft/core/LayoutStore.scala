@@ -170,18 +170,37 @@ object LayoutStore {
     */
   def loadMvs(spark: SparkSession, warehouse: String): Seq[MvEntry] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(mvsPath(warehouse))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else Try {
+    def parse(path: String): Option[Seq[MvEntry]] = Try {
       spark.read
         .schema(org.apache.spark.sql.Encoders.product[MvEntry].schema)
         .option("mode", "FAILFAST")
-        .json(mvsPath(warehouse))
+        .json(path)
         .as[MvEntry]
         .collect()
         .toSeq
-    }.getOrElse(Nil)
+    }.toOption
+    val p = new org.apache.hadoop.fs.Path(mvsPath(warehouse))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // crash roll-forward, same as the manifest's loadOpt: a writer
+      // killed inside stagedWrite's delete→rename window leaves `_mvs`
+      // absent and a COMPLETE `_mvs_tmp` behind — without this, the next
+      // persistMvs would rewrite the registry WITHOUT the lost views and
+      // orphan their layouts, the exact failure the registry exists to
+      // prevent (r14 review finding #3). A half-written tmp fails the
+      // FAILFAST parse and degrades exactly as before.
+      val tmp = new org.apache.hadoop.fs.Path(mvsPath(warehouse) + "_tmp")
+      if (fs.exists(tmp)) {
+        parse(tmp.toString) match {
+          case Some(es) =>
+            val renamed = Try(fs.rename(tmp, p)).getOrElse(false)
+            if (renamed || !fs.exists(p)) return es
+          case None => return Nil
+        }
+      }
+    }
+    if (!fs.exists(p)) Nil
+    else parse(mvsPath(warehouse)).getOrElse(Nil)
   }
 
   /** Rewrite the materialized-view registry whole (view-count-sized,

@@ -174,6 +174,46 @@ class SqlDdlSpec extends SparkSpec {
       cat.sql("CREATE TABLE pt2 PARTITIONED BY (nope) AS SELECT * FROM pdocs")
     }
     assert(!cat.names.contains("pt2"))
+    // the read-back pins the QUERY schema (r14 review #1): digit-like
+    // string partition values must stay distinct strings, never be
+    // inference-retyped to INT (which would merge '01' and '1'), and the
+    // column order must stay the query's, not partition-last
+    cat.sql(
+      """CREATE TABLE ptyp PARTITIONED BY (k) AS
+        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '01' ELSE '1' END AS k
+        |FROM pdocs""".stripMargin)
+    val st = strip(cat.get("ptyp").get.current)
+    assert(st.columns.toSeq == Seq("doc_id", "k"))
+    assert(st.schema("k").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val n01 = cat.sql("SELECT count(*) AS n FROM ptyp WHERE k = '01'")
+      .head().getLong(0)
+    val n1 = cat.sql("SELECT count(*) AS n FROM ptyp WHERE k = '1'")
+      .head().getLong(0)
+    assert(n01 > 0 && n1 > 0 && n01 + n1 == st.count(),
+      s"'01' and '1' must stay distinct partitions: $n01 / $n1")
+    // case-insensitive PARTITIONED BY resolution, like every other DDL
+    cat.sql("CREATE TABLE ptc PARTITIONED BY (LANG) AS SELECT * FROM pdocs")
+    assert(cat.names.contains("ptc"))
+  }
+
+  test("the MV registry rolls forward from a crash-interrupted persist (r14 review #3)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvrf_").toString
+    val cat = new Catalog(spark, Some(wh))
+    cat.open("rfsrc", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    cat.sql("CREATE MATERIALIZED VIEW rfv AS SELECT count(*) AS n FROM rfsrc")
+    // simulate a writer killed inside stagedWrite's delete→rename window:
+    // _mvs is gone, the COMPLETE _mvs_tmp is still there
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wh/_mvs"),
+      new org.apache.hadoop.fs.Path(s"$wh/_mvs_tmp")))
+    val cat2 = new Catalog(spark, Some(wh))
+    cat2.open("rfsrc", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    assert(cat2.sql("SELECT * FROM rfv").head().getLong(0) == 5L,
+      "the registry must roll the committed tmp forward, not erase it")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/_mvs")),
+      "the roll-forward completes the interrupted rename")
   }
 
   test("r13 review regression: RENAME/DROP of a layout's column retires the layout; refresh never wedges (finding #1)") {

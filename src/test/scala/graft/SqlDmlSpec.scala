@@ -545,6 +545,31 @@ class SqlDmlSpec extends SparkSpec {
     cat.sql("BEGIN")
     intercept[Exception] { cat.sql("BEGIN") }
     cat.sql("ROLLBACK")
+
+    // script-style terminators reach the txn path too (r14 review #2):
+    // "COMMIT;" must never fall through to the parser and strand the
+    // transaction open
+    cat.sql("BEGIN;")
+    val na1 = sa.rowCount
+    cat.sql("DELETE FROM txa WHERE r_regionkey = 1")
+    cat.sql("ROLLBACK;")
+    assert(sa.rowCount == na1)
+    cat.sql("START TRANSACTION")
+    cat.sql("COMMIT;")
+
+    // a mid-transaction refreshStale must not retire a layout whose
+    // column a still-open transaction dropped (r14 review #6): rollback
+    // restores the column and the layout stays rebuildable
+    cat.buildCubeLayout("txa", Seq("r_name"), Seq("r_regionkey"))
+    cat.sql("BEGIN")
+    cat.sql("ALTER TABLE txa DROP COLUMN r_regionkey")
+    assert(cat.refreshStale("txa").isEmpty, "refresh must skip, not retire")
+    assert(cat.layoutsOf("txa").exists(_._1 == "cube:r_name"),
+      "the layout must survive a mid-transaction refresh")
+    cat.sql("ROLLBACK")
+    assert(strip(sa.current).columns.contains("r_regionkey"))
+    assert(cat.refreshStale("txa") == Seq("cube:r_name"),
+      "after rollback the layout rebuilds instead of having been retired")
   }
 
   test("DML text against a non-session name falls through to the ordinary path") {
