@@ -42,7 +42,48 @@ trait CatalogDdl { self: Catalog =>
     val t = query.trim
     val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
     head == "CREATE" || head == "ALTER" || head == "DROP" ||
-      head == "TRUNCATE" || head == "VACUUM" || head == "OPTIMIZE"
+      head == "TRUNCATE" || head == "VACUUM" || head == "OPTIMIZE" ||
+      head == "REFRESH"
+  }
+
+  // ---- REFRESH (r14): the last typed-only maintenance gesture ---------------
+  // A SQL-only operator can CREATE a materialized view and mutate its
+  // source, but the layout delta-patch that makes the view serve the
+  // post-DML answer routed was reachable only through the typed
+  // [[CatalogRefresh.refreshStale]]. `REFRESH MATERIALIZED VIEW <mv>`
+  // refreshes every open session the view's body reads; `REFRESH TABLE
+  // <session>` is the per-table twin (intercepted: Spark's own REFRESH
+  // TABLE would no-op against the window's temp view). Both refuse
+  // inside a transaction like every other maintenance statement.
+
+  private val mvRefresh = java.util.regex.Pattern.compile(
+    "(?is)^\\s*refresh\\s+materialized\\s+view\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
+  private val tblRefresh = java.util.regex.Pattern.compile(
+    "(?is)^\\s*refresh\\s+table\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
+
+  private def runRefresh(query: String): Option[DataFrame] = {
+    val mr = mvRefresh.matcher(query)
+    if (mr.matches()) {
+      requireNoTxn("REFRESH MATERIALIZED VIEW")
+      val name = mr.group(1)
+      require(mvs.contains(name), s"no materialized view '$name'")
+      val srcs = Try(spark.sessionState.sqlParser.parsePlan(mvs(name)))
+        .toOption.toSeq.flatMap(_.collectWithSubqueries {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if r.multipartIdentifier.size == 1 &&
+                sessions.contains(r.multipartIdentifier.head) =>
+            r.multipartIdentifier.head
+        }).distinct
+      return Some(report("refresh_materialized_view",
+        srcs.flatMap(refreshStale).size.toLong))
+    }
+    val tr = tblRefresh.matcher(query)
+    if (tr.matches() && sessions.contains(tr.group(1))) {
+      requireNoTxn("REFRESH TABLE")
+      return Some(report("refresh_table",
+        refreshStale(tr.group(1)).size.toLong))
+    }
+    None
   }
 
   // ---- SQL maintenance statements (r13 verdict task #2) ---------------------
@@ -357,6 +398,7 @@ trait CatalogDdl { self: Catalog =>
       }
     }
     runMaintenance(query).foreach(r => return Some(r))
+    runRefresh(query).foreach(r => return Some(r))
     val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
       .getOrElse(return None)
     plan match {

@@ -1462,6 +1462,41 @@ object MaintenanceQueries {
       cat.sql(
         """SELECT o_orderpriority, n, tot FROM fordmv
           |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    /** SQL-only mv maintenance (r14): after DML stales the mv's layouts,
+      * `REFRESH MATERIALIZED VIEW` delta-patches them from SQL text —
+      * the typed refreshStale's last SQL-less gesture — and the read
+      * serves the post-DML answer ROUTED again (fixture-required plan).
+      */
+    "a_sql_mv_refresh" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlMvRefreshCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("mvrf", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        c.sql(
+          """CREATE MATERIALIZED VIEW rfmv AS
+            |SELECT o_orderstatus, count(*) AS n,
+            |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+            |    AS DOUBLE) AS tot
+            |FROM mvrf GROUP BY o_orderstatus""".stripMargin)
+        val rep = c.sql(
+          """INSERT INTO mvrf
+            |SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+            |  o_totalprice + 5.0, o_orderdate, o_orderpriority
+            |FROM mvrf WHERE o_orderkey % 100 = 11""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: insert must append")
+        val rf = c.sql("REFRESH MATERIALIZED VIEW rfmv")
+        require(rf.head().getLong(1) > 0, "fixture: refresh must patch")
+        val p = c.sql("SELECT * FROM rfmv")
+          .queryExecution.executedPlan.toString
+        require(p.contains("catalog_cube_") && !p.contains("o_orderkey"),
+          s"the refreshed mv must serve routed; plan: $p")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderstatus, n, tot FROM rfmv
+          |ORDER BY o_orderstatus""".stripMargin)
     })
   )
 
@@ -2273,6 +2308,17 @@ object MaintenanceQueries {
         |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS tot
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a_sql_mv_refresh" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 5.0
+        |  FROM orders WHERE o_orderkey % 100 = 11)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS tot
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

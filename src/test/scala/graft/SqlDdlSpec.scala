@@ -197,6 +197,42 @@ class SqlDdlSpec extends SparkSpec {
     assert(cat.names.contains("ptc"))
   }
 
+  test("REFRESH MATERIALIZED VIEW / REFRESH TABLE delta-patch from SQL text (r14)") {
+    val cat = new Catalog(spark)
+    cat.open("rfs", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW rfm AS
+        |SELECT o_orderstatus, count(*) AS n FROM rfs
+        |GROUP BY o_orderstatus""".stripMargin)
+    def cube = cat.layoutsOf("rfs").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c
+    }.get
+    val builtPath = cube.path
+    cat.sql("INSERT INTO rfs SELECT o_orderkey + 7000000, o_custkey, " +
+      "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+      "FROM rfs WHERE o_orderkey % 300 = 5")
+    // the SQL refresh patches (same storage path — delta, not rebuild)
+    assert(cat.sql("REFRESH MATERIALIZED VIEW rfm").head().getLong(1) >= 1)
+    assert(cube.path == builtPath, "bounded DML must delta-patch")
+    val read = cat.sql("SELECT * FROM rfm ORDER BY o_orderstatus")
+    assert(read.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"))
+    val want = Positional.strip(cat.get("rfs").get.current)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(read.collect().map(_.toSeq).toSeq == want)
+    // the per-table twin
+    cat.sql("INSERT INTO rfs SELECT o_orderkey + 8000000, o_custkey, " +
+      "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+      "FROM rfs WHERE o_orderkey % 300 = 6")
+    assert(cat.sql("REFRESH TABLE rfs").head().getLong(1) >= 1)
+    assert(cat.explainRoute("rfs", cube.groupCols.mkString("cube:", ",", ""))
+      .reason == "routed")
+    // unknown mv fails fast; a non-session REFRESH TABLE falls through
+    intercept[Exception] { cat.sql("REFRESH MATERIALIZED VIEW nope") }
+    intercept[Exception] { cat.sql("REFRESH TABLE not_a_session") }
+  }
+
   test("the MV registry rolls forward from a crash-interrupted persist (r14 review #3)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_mvrf_").toString
     val cat = new Catalog(spark, Some(wh))
