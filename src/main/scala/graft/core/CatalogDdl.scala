@@ -61,27 +61,46 @@ trait CatalogDdl { self: Catalog =>
   private val tblRefresh = java.util.regex.Pattern.compile(
     "(?is)^\\s*refresh\\s+table\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
 
+  /** The single-part table names a SQL body references (parsed, never
+    * analyzed — subqueries included). Shared by the rename guard and
+    * REFRESH; resolution against open sessions is the caller's job and
+    * must be CASE-INSENSITIVE like Spark's own (r14 review, 2nd pass).
+    */
+  private[core] def sessionRefsOf(body: String): Seq[String] =
+    Try(spark.sessionState.sqlParser.parsePlan(body)).toOption.toSeq
+      .flatMap(_.collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if r.multipartIdentifier.size == 1 =>
+          r.multipartIdentifier.head
+      }).distinct
+
+  /** `name` resolved against the open sessions, case-insensitively
+    * (exact spelling preferred) — a case-mismatched REFRESH must never
+    * fall through to Spark's own REFRESH TABLE, which would silently
+    * no-op against the window's temp view.
+    */
+  private def canonSession(name: String): Option[String] =
+    sessions.keys.find(_ == name)
+      .orElse(sessions.keys.find(_.equalsIgnoreCase(name)))
+
   private def runRefresh(query: String): Option[DataFrame] = {
     val mr = mvRefresh.matcher(query)
     if (mr.matches()) {
       requireNoTxn("REFRESH MATERIALIZED VIEW")
-      val name = mr.group(1)
-      require(mvs.contains(name), s"no materialized view '$name'")
-      val srcs = Try(spark.sessionState.sqlParser.parsePlan(mvs(name)))
-        .toOption.toSeq.flatMap(_.collectWithSubqueries {
-          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-              if r.multipartIdentifier.size == 1 &&
-                sessions.contains(r.multipartIdentifier.head) =>
-            r.multipartIdentifier.head
-        }).distinct
+      val name = mvs.keys.find(_ == mr.group(1))
+        .orElse(mvs.keys.find(_.equalsIgnoreCase(mr.group(1))))
+        .getOrElse(throw new NoSuchElementException(
+          s"no materialized view '${mr.group(1)}'"))
+      val srcs = sessionRefsOf(mvs(name)).flatMap(canonSession).distinct
       return Some(report("refresh_materialized_view",
         srcs.flatMap(refreshStale).size.toLong))
     }
     val tr = tblRefresh.matcher(query)
-    if (tr.matches() && sessions.contains(tr.group(1))) {
-      requireNoTxn("REFRESH TABLE")
-      return Some(report("refresh_table",
-        refreshStale(tr.group(1)).size.toLong))
+    if (tr.matches()) {
+      canonSession(tr.group(1)).foreach { n =>
+        requireNoTxn("REFRESH TABLE")
+        return Some(report("refresh_table", refreshStale(n).size.toLong))
+      }
     }
     None
   }
@@ -176,10 +195,17 @@ trait CatalogDdl { self: Catalog =>
         return Some(report("optimize", stats.values
           .map(v => (v.filesBefore - v.filesAfter).toLong).sum))
       }
-      require(path.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet"),
-        s"OPTIMIZE rewrites parquet storage; '$path' is not a parquet " +
-          "dataset — export the session first (saveAs/write) and OPTIMIZE " +
-          "the exported path")
+      // parquet-ness is detected from the CONTENT (part files), not the
+      // directory name: df.write.parquet("/out") has no suffix on the
+      // dir, only on the parts (r14 review, 2nd pass)
+      val isParquet =
+        path.toLowerCase(java.util.Locale.ROOT).endsWith(".parquet") ||
+          (hfs.getFileStatus(hp).isDirectory && hfs.listStatus(hp).exists(
+            st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+      require(isParquet,
+        s"OPTIMIZE rewrites parquet storage; '$path' holds no parquet " +
+          "data files — export the session first (saveAs/write) and " +
+          "OPTIMIZE the exported path")
       val stats = graft.io.Compaction.compact(spark, path,
         clusterBy = clusterBy)
       return Some(report("optimize",
@@ -251,9 +277,12 @@ trait CatalogDdl { self: Catalog =>
     * the statement plans ([[Catalog.sql]] calls this).
     */
   private[core] def mvsReferenced(query: String): Seq[String] =
-    // mv DDL statements manage the registry; they never read the view
+    // mv DDL/maintenance statements manage the registry; they never
+    // READ the view — registering it would pay a routed analysis and
+    // record misleading routes for a statement that ignores it
     if (mvCreate.matcher(query).matches() ||
-        mvDrop.matcher(query).matches()) Nil
+        mvDrop.matcher(query).matches() ||
+        mvRefresh.matcher(query).matches()) Nil
     else mvs.keys.filter(n => java.util.regex.Pattern
       .compile("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b")
       .matcher(query).find()).toSeq
@@ -520,12 +549,8 @@ trait CatalogDdl { self: Catalog =>
     // included), not a word scan: a column or alias merely spelled like
     // the session must not block the rename (r14 review finding #9)
     val mvDeps = mvs.collect {
-      case (n, body) if Try(spark.sessionState.sqlParser.parsePlan(body))
-          .toOption.exists(_.collectWithSubqueries {
-            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-                if r.multipartIdentifier.size == 1 &&
-                  r.multipartIdentifier.head.equalsIgnoreCase(name) => ()
-          }.nonEmpty) => n
+      case (n, body)
+          if sessionRefsOf(body).exists(_.equalsIgnoreCase(name)) => n
     }
     require(mvDeps.isEmpty,
       s"session '$name' is referenced by materialized view(s) " +
@@ -692,7 +717,12 @@ trait CatalogDdl { self: Catalog =>
               s"(${rows.columns.mkString(", ")})")))
       val out = layoutTempDir(s"graft_ctas_${name}_")
       graft.io.Formats.writePartitioned(rows, out, canonPart)
-      openFrom(name, spark.read.schema(rows.schema).parquet(out))
+      // HadoopFsRelation appends partition columns LAST regardless of
+      // the pinned schema (verified on this Spark) — re-select the
+      // query's own order so positional semantics match the
+      // unpartitioned twin (r14 review, 2nd pass)
+      openFrom(name, spark.read.schema(rows.schema).parquet(out)
+        .select(rows.columns.map(org.apache.spark.sql.functions.col): _*))
       sourcePaths(name) = out
     } else openFrom(name, rows)
     // the brand-new session's view must be visible to the REST of this

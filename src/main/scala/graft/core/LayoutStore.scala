@@ -85,30 +85,42 @@ object LayoutStore {
   def loadOpt(spark: SparkSession,
               warehouse: String): Option[Seq[LayoutManifestEntry]] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(manifestPath(warehouse))
+    loadStaged(spark, manifestPath(warehouse), path => Try {
+      spark.read
+        .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
+        .option("mode", "FAILFAST")
+        .json(path)
+        .as[LayoutManifestEntry]
+        .collect()
+        .toSeq
+    }.toOption)
+  }
+
+  /** Read a [[stagedWrite]]-maintained JSON sidecar with CRASH
+    * ROLL-FORWARD (r11 verdict task #3, shared by the manifest and the
+    * MV registry): a writer killed inside stagedWrite's two-metadata-op
+    * window leaves the target ABSENT and a COMPLETE `<target>_tmp`
+    * behind — the new state, fully written, one rename short of
+    * committed. Complete it here (read-repair): the tmp must parse
+    * FAILFAST first, so a half-written tmp (killed mid-write-job, or a
+    * live writer mid-save) never rolls forward — those degrade to empty.
+    * If the rename loses a race with the (still-alive) writer's own
+    * rename, fall through to the target it just committed.
+    *
+    * Returns Some(entries) (absent target with no recoverable tmp =
+    * Some(Nil), a fresh store) — or None when the target EXISTS yet
+    * cannot be read (observed mid-overwrite, or corrupt): callers decide
+    * whether that degrades (attach, registry) or aborts (vacuum).
+    */
+  private def loadStaged[T](spark: SparkSession, target: String,
+                            parse: String => Option[Seq[T]])
+      : Option[Seq[T]] = {
+    val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // CRASH ROLL-FORWARD (r11 verdict task #3): a writer killed inside
-    // stagedWrite's two-metadata-op window leaves `_manifest` ABSENT and
-    // a COMPLETE `_manifest_tmp` behind — the new epoch, fully written,
-    // one rename short of committed. Complete it here (read-repair): the
-    // tmp must parse FAILFAST first, so a half-written tmp (killed
-    // mid-write-job, or a live writer mid-save) never rolls forward —
-    // those degrade exactly as before. If the rename loses a race with
-    // the (still-alive) writer's own rename, fall through to the target
-    // it just committed.
     if (!fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(manifestPath(warehouse) + "_tmp")
+      val tmp = new org.apache.hadoop.fs.Path(target + "_tmp")
       if (fs.exists(tmp)) {
-        val recovered = Try {
-          spark.read
-            .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
-            .option("mode", "FAILFAST")
-            .json(tmp.toString)
-            .as[LayoutManifestEntry]
-            .collect()
-            .toSeq
-        }.toOption
-        recovered match {
+        parse(tmp.toString) match {
           case Some(es) =>
             val renamed = Try(fs.rename(tmp, p)).getOrElse(false)
             // the parsed entries are good regardless of the rename: keep
@@ -116,20 +128,12 @@ object LayoutStore {
             // failed for an environment reason); fall through to the
             // target only when a racing writer just committed it
             if (renamed || !fs.exists(p)) return Some(es)
-          case None => return Some(Nil) // unreadable tmp: degrade as before
+          case None => return Some(Nil) // unreadable tmp: degrade
         }
       }
     }
-    if (!fs.exists(p)) Some(Nil) // absent manifest = fresh warehouse
-    else Try {
-      spark.read
-        .schema(org.apache.spark.sql.Encoders.product[LayoutManifestEntry].schema)
-        .option("mode", "FAILFAST")
-        .json(manifestPath(warehouse))
-        .as[LayoutManifestEntry]
-        .collect()
-        .toSeq
-    }.toOption
+    if (!fs.exists(p)) Some(Nil) // absent = fresh store
+    else parse(target)
   }
 
   /** The persisted vacuum tombstones (empty when absent/unreadable —
@@ -162,15 +166,17 @@ object LayoutStore {
 
   private def mvsPath(warehouse: String) = s"$warehouse/_mvs"
 
-  /** The persisted materialized-view registry (empty when absent or
-    * unreadable — the views degrade to unregistered, exactly like a
-    * manifest that cannot be read degrades layouts to dormant; their
-    * layout storage stays manifest-referenced either way, so nothing is
-    * orphaned against vacuum by a transient read failure).
+  /** The persisted materialized-view registry, with the same crash
+    * roll-forward as the manifest ([[loadStaged]] — without it, a
+    * persist crash inside the delete→rename window would erase every
+    * registered view and orphan their layouts, the exact failure the
+    * registry exists to prevent; r14 review finding #3). An EXISTING but
+    * unreadable registry degrades to unregistered — the layout storage
+    * stays manifest-referenced, so nothing is orphaned against vacuum.
     */
   def loadMvs(spark: SparkSession, warehouse: String): Seq[MvEntry] = {
     import spark.implicits._
-    def parse(path: String): Option[Seq[MvEntry]] = Try {
+    loadStaged(spark, mvsPath(warehouse), path => Try {
       spark.read
         .schema(org.apache.spark.sql.Encoders.product[MvEntry].schema)
         .option("mode", "FAILFAST")
@@ -178,29 +184,7 @@ object LayoutStore {
         .as[MvEntry]
         .collect()
         .toSeq
-    }.toOption
-    val p = new org.apache.hadoop.fs.Path(mvsPath(warehouse))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      // crash roll-forward, same as the manifest's loadOpt: a writer
-      // killed inside stagedWrite's delete→rename window leaves `_mvs`
-      // absent and a COMPLETE `_mvs_tmp` behind — without this, the next
-      // persistMvs would rewrite the registry WITHOUT the lost views and
-      // orphan their layouts, the exact failure the registry exists to
-      // prevent (r14 review finding #3). A half-written tmp fails the
-      // FAILFAST parse and degrades exactly as before.
-      val tmp = new org.apache.hadoop.fs.Path(mvsPath(warehouse) + "_tmp")
-      if (fs.exists(tmp)) {
-        parse(tmp.toString) match {
-          case Some(es) =>
-            val renamed = Try(fs.rename(tmp, p)).getOrElse(false)
-            if (renamed || !fs.exists(p)) return es
-          case None => return Nil
-        }
-      }
-    }
-    if (!fs.exists(p)) Nil
-    else parse(mvsPath(warehouse)).getOrElse(Nil)
+    }.toOption).getOrElse(Nil)
   }
 
   /** Rewrite the materialized-view registry whole (view-count-sized,

@@ -178,12 +178,18 @@ class SqlDdlSpec extends SparkSpec {
     // string partition values must stay distinct strings, never be
     // inference-retyped to INT (which would merge '01' and '1'), and the
     // column order must stay the query's, not partition-last
+    // the partition column deliberately FIRST in the query: Spark's
+    // read-back appends partition columns last even under a pinned
+    // schema, so the engine must re-select the query order (r14 review,
+    // 2nd pass — empirically verified against this Spark)
     cat.sql(
       """CREATE TABLE ptyp PARTITIONED BY (k) AS
-        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '01' ELSE '1' END AS k
+        |SELECT CASE WHEN doc_id % 2 = 0 THEN '01' ELSE '1' END AS k,
+        |  doc_id
         |FROM pdocs""".stripMargin)
     val st = strip(cat.get("ptyp").get.current)
-    assert(st.columns.toSeq == Seq("doc_id", "k"))
+    assert(st.columns.toSeq == Seq("k", "doc_id"),
+      s"the session must keep the QUERY's column order: ${st.columns.toSeq}")
     assert(st.schema("k").dataType ==
       org.apache.spark.sql.types.StringType)
     val n01 = cat.sql("SELECT count(*) AS n FROM ptyp WHERE k = '01'")
@@ -221,16 +227,35 @@ class SqlDdlSpec extends SparkSpec {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
     assert(read.collect().map(_.toSeq).toSeq == want)
-    // the per-table twin
+    // the per-table twin — CASE-INSENSITIVE like every other DDL name
+    // resolution (a mismatched case must never fall through to Spark's
+    // own REFRESH TABLE, which silently no-ops on the window temp view)
     cat.sql("INSERT INTO rfs SELECT o_orderkey + 8000000, o_custkey, " +
       "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
       "FROM rfs WHERE o_orderkey % 300 = 6")
-    assert(cat.sql("REFRESH TABLE rfs").head().getLong(1) >= 1)
+    val tRep = cat.sql("REFRESH TABLE RFS").head()
+    assert(tRep.getString(0) == "refresh_table" && tRep.getLong(1) >= 1)
     assert(cat.explainRoute("rfs", cube.groupCols.mkString("cube:", ",", ""))
       .reason == "routed")
     // unknown mv fails fast; a non-session REFRESH TABLE falls through
     intercept[Exception] { cat.sql("REFRESH MATERIALIZED VIEW nope") }
     intercept[Exception] { cat.sql("REFRESH TABLE not_a_session") }
+  }
+
+  test("OPTIMIZE accepts extensionless parquet dirs; non-parquet refuses up front (r14 review, 2nd pass)") {
+    val cat = new Catalog(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_opt_").toString
+    val flat = s"$root/flat" // df.write.parquet's standard shape: no
+                             // suffix on the dir, only on the part files
+    spark.read.parquet(s"$sf/region.parquet").repartition(4)
+      .write.parquet(flat)
+    val rep = cat.sql(s"OPTIMIZE '$flat'")
+    assert(rep.head().getString(0) == "optimize")
+    assert(spark.read.parquet(flat).count() == 5)
+    val csv = s"$root/c"
+    spark.read.parquet(s"$sf/region.parquet").write.csv(csv)
+    val ex = intercept[Exception] { cat.sql(s"OPTIMIZE '$csv'") }
+    assert(ex.getMessage.contains("parquet"))
   }
 
   test("the MV registry rolls forward from a crash-interrupted persist (r14 review #3)") {
