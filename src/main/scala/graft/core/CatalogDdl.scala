@@ -43,7 +43,76 @@ trait CatalogDdl { self: Catalog =>
     val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
     head == "CREATE" || head == "ALTER" || head == "DROP" ||
       head == "TRUNCATE" || head == "VACUUM" || head == "OPTIMIZE" ||
-      head == "REFRESH"
+      head == "REFRESH" || head == "SHOW" || head == "DESCRIBE"
+  }
+
+  // ---- informational SQL (r14) ----------------------------------------------
+  // The incident-operator's read side of the lifecycle surface: which
+  // version handles exist and what `TIMESTAMP AS OF` can actually reach.
+  // Precise textual forms only — everything else (SHOW TABLES, DESCRIBE
+  // <table>, …) falls through to Spark's own statements untouched.
+
+  private val showSnaps = java.util.regex.Pattern.compile(
+    "(?is)^\\s*show\\s+snapshots\\s+(?:for\\s+)?([A-Za-z_][\\w]*)\\s*;?\\s*$")
+  private val showMvs = java.util.regex.Pattern.compile(
+    "(?is)^\\s*show\\s+materialized\\s+views\\s*;?\\s*$")
+  private val descHistory = java.util.regex.Pattern.compile(
+    "(?is)^\\s*describe\\s+history\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
+
+  private def infoFrame(schema: Seq[(String, DataType)],
+                        rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(schema.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) }))
+
+  private def runInfo(query: String): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    def ts(micros: Long) = new java.sql.Timestamp(micros / 1000L)
+    val ss = showSnaps.matcher(query)
+    if (ss.matches()) {
+      val name = canonSession(ss.group(1)).getOrElse(throw
+        new NoSuchElementException(
+          s"no open session named '${ss.group(1)}'"))
+      val rows = pins.collect {
+        case ((n, e), sn) if n == name =>
+          Row(e, if (sn.pinnedAtMicros == Long.MinValue) null
+                 else ts(sn.pinnedAtMicros))
+      }.toSeq.sortBy(_.getLong(0))
+      return Some(infoFrame(
+        Seq("epoch" -> LongType, "pinned_at" -> TimestampType), rows))
+    }
+    if (showMvs.matcher(query).matches())
+      return Some(infoFrame(
+        Seq("name" -> StringType, "body" -> StringType),
+        mvs.toSeq.map { case (n, b) => Row(n, b) }))
+    val dh = descHistory.matcher(query)
+    if (dh.matches()) {
+      val name = canonSession(dh.group(1)).getOrElse(throw
+        new NoSuchElementException(
+          s"no open session named '${dh.group(1)}'"))
+      val s = sessions(name)
+      val pinnedSet = pinnedEpochs(name).toSet
+      val retained = s.retainedHistory
+      val rows = retained.map { case (e, st) =>
+        Row(e, ts(st),
+          if (e == s.epoch) "current"
+          else if (pinnedSet.contains(e)) "pinned" else "retained")
+      } ++ pins.collect {
+        // a pin can outlive the undo history (or predate a restore):
+        // still addressable, so still listed
+        case ((n, e), sn)
+            if n == name && !retained.exists(_._1 == e) =>
+          Row(e, if (sn.pinnedAtMicros == Long.MinValue) null
+                 else ts(sn.pinnedAtMicros), "pinned")
+      }
+      return Some(infoFrame(
+        Seq("epoch" -> LongType, "stamped_at" -> TimestampType,
+          "state" -> StringType),
+        rows.sortBy(_.getLong(0))))
+    }
+    None
   }
 
   // ---- REFRESH (r14): the last typed-only maintenance gesture ---------------
@@ -428,6 +497,7 @@ trait CatalogDdl { self: Catalog =>
     }
     runMaintenance(query).foreach(r => return Some(r))
     runRefresh(query).foreach(r => return Some(r))
+    runInfo(query).foreach(r => return Some(r))
     val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
       .getOrElse(return None)
     plan match {

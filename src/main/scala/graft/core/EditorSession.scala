@@ -211,6 +211,16 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     }.maxOption
   }
 
+  /** Every (epoch, stamp-micros) this session can still time-travel to,
+    * oldest first — the `DESCRIBE HISTORY` feed.
+    */
+  private[graft] def retainedHistory: Seq[(Long, Long)] = {
+    val alive = recoverableEpochs
+    epochStamps.collect {
+      case (e, ts) if alive.contains(e) => (e, ts)
+    }.toSeq.sorted
+  }
+
   // ---- mutation log (delta-maintenance feed) ------------------------------
   // One entry per epoch bump: which positions a cell gesture touched, a
   // counted DELETE marker (with the victim positions and the pre-delete

@@ -242,6 +242,36 @@ class SqlDdlSpec extends SparkSpec {
     intercept[Exception] { cat.sql("REFRESH TABLE not_a_session") }
   }
 
+  test("SHOW SNAPSHOTS / SHOW MATERIALIZED VIEWS / DESCRIBE HISTORY: the operator's read side (r14)") {
+    val cat = new Catalog(spark)
+    cat.open("inf", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("inf").get
+    assert(cat.sql("SHOW SNAPSHOTS inf").collect().isEmpty)
+    val e0 = cat.sql("CREATE SNAPSHOT inf").head().getLong(1)
+    cat.sql("DELETE FROM inf WHERE r_regionkey = 0")
+    val snaps = cat.sql("SHOW SNAPSHOTS FOR inf").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(e0))
+    assert(snaps.head.getTimestamp(1) != null)
+    // history lists every addressable epoch with its state — exactly
+    // what TIMESTAMP AS OF can reach
+    val hist = cat.sql("DESCRIBE HISTORY inf").collect()
+    val byEpoch = hist.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byEpoch(e0) == "pinned")
+    assert(byEpoch(s.epoch) == "current")
+    assert(hist.forall(_.getTimestamp(1) != null))
+    cat.sql("CREATE MATERIALIZED VIEW infmv AS SELECT count(*) AS n FROM inf")
+    val mvRows = cat.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(mvRows.exists(r => r.getString(0) == "infmv" &&
+      r.getString(1).toLowerCase.contains("from inf")))
+    cat.sql("DROP MATERIALIZED VIEW infmv")
+    assert(!cat.sql("SHOW MATERIALIZED VIEWS").collect()
+      .exists(_.getString(0) == "infmv"))
+    // unknown names fail fast; Spark's own SHOW/DESCRIBE fall through
+    intercept[Exception] { cat.sql("DESCRIBE HISTORY nope") }
+    assert(cat.sql("SHOW TABLES").columns.nonEmpty)
+    assert(cat.sql("DESCRIBE inf").collect().nonEmpty)
+  }
+
   test("OPTIMIZE accepts extensionless parquet dirs; non-parquet refuses up front (r14 review, 2nd pass)") {
     val cat = new Catalog(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_opt_").toString
