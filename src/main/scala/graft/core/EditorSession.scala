@@ -911,6 +911,9 @@ class Catalog(private[core] val spark: SparkSession,
   /** The file path backing a session, when it has one: the path it was
     * opened from, or the hive-partitioned directory a `PARTITIONED BY`
     * CTAS wrote — the handle a downstream pruned reader or export takes.
+    * The files reflect the state at open/CTAS time: session DML mutates
+    * the session PLAN, never these files — re-export (saveAs / a fresh
+    * partitioned CTAS) to publish post-DML state to path readers.
     */
   def sourcePathOf(name: String): Option[String] = sourcePaths.get(name)
 
