@@ -122,7 +122,7 @@ trait CatalogDml { self: Catalog =>
     val head = query.trim.takeWhile(c => !c.isWhitespace && c != ';')
       .toUpperCase(java.util.Locale.ROOT)
     head == "BEGIN" || head == "START" || head == "COMMIT" ||
-      head == "ROLLBACK"
+      head == "ROLLBACK" || head == "SAVEPOINT" || head == "RELEASE"
   }
 
   private val txnBegin = java.util.regex.Pattern.compile(
@@ -132,15 +132,74 @@ trait CatalogDml { self: Catalog =>
   private val txnRollback = java.util.regex.Pattern.compile(
     "(?is)^\\s*rollback(?:\\s+transaction)?\\s*;?\\s*$")
 
+  // savepoints: a named mid-transaction mark — `ROLLBACK TO SAVEPOINT s`
+  // restores every session to its state AT the mark (plan references
+  // again; sessions whose epoch never moved since are untouched) and
+  // discards the retirements and savepoints recorded after it, keeping
+  // the transaction open with the pre-mark statements applied. The
+  // session set is stable inside a transaction (lifecycle DDL refuses),
+  // so capturing every open session at the mark is exact.
+  private val txnSavepoint = java.util.regex.Pattern.compile(
+    "(?is)^\\s*savepoint\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
+  private val txnRollbackTo = java.util.regex.Pattern.compile(
+    "(?is)^\\s*rollback\\s+to\\s+(?:savepoint\\s+)?([A-Za-z_][\\w]*)\\s*;?\\s*$")
+  private val txnRelease = java.util.regex.Pattern.compile(
+    "(?is)^\\s*release\\s+(?:savepoint\\s+)?([A-Za-z_][\\w]*)\\s*;?\\s*$")
+
+  private[core] val txnSavepoints = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Map[String, (DataFrame, Long)], Int)]
+
+  private def runSavepoint(query: String): Option[DataFrame] = {
+    val sp = txnSavepoint.matcher(query)
+    if (sp.matches()) {
+      require(txnPre.isDefined, "SAVEPOINT without an open transaction")
+      txnSavepoints(sp.group(1)) =
+        (sessions.map { case (n, s) => n -> (s.current, s.epoch) }.toMap,
+          txnRetires.length)
+      return Some(report("savepoint", txnSavepoints.size.toLong))
+    }
+    val rt = txnRollbackTo.matcher(query)
+    if (rt.matches()) {
+      require(txnPre.isDefined,
+        "ROLLBACK TO SAVEPOINT without an open transaction")
+      val name = rt.group(1)
+      val (states, retLen) = txnSavepoints.getOrElse(name,
+        throw new NoSuchElementException(s"no savepoint '$name'"))
+      var restored = 0L
+      states.foreach { case (n, (pre, preEpoch)) =>
+        sessions.get(n).foreach { s =>
+          if (s.epoch != preEpoch) { s.replace(pre); restored += 1 }
+        }
+      }
+      txnRetires.remove(retLen, txnRetires.length - retLen)
+      // savepoints defined after the mark die with the rolled-back work
+      val keep = txnSavepoints.keys.takeWhile(_ != name).toSeq :+ name
+      txnSavepoints.filterInPlace((k, _) => keep.contains(k))
+      return Some(report("rollback_to_savepoint", restored))
+    }
+    val rl = txnRelease.matcher(query)
+    if (rl.matches()) {
+      require(txnPre.isDefined,
+        "RELEASE SAVEPOINT without an open transaction")
+      require(txnSavepoints.remove(rl.group(1)).isDefined,
+        s"no savepoint '${rl.group(1)}'")
+      return Some(report("release_savepoint", txnSavepoints.size.toLong))
+    }
+    None
+  }
+
   private[core] def runTxn(query: String): Option[DataFrame] = {
+    runSavepoint(query).foreach(r => return Some(r))
     if (txnBegin.matcher(query).matches()) {
       require(txnPre.isEmpty, "a transaction is already open (no nesting)")
       txnPre = Some(scala.collection.mutable.LinkedHashMap.empty)
+      txnSavepoints.clear()
       Some(report("begin_transaction", 0L))
     } else if (txnCommit.matcher(query).matches()) {
       val m = txnPre.getOrElse(
         throw new IllegalStateException("COMMIT without an open transaction"))
       txnPre = None
+      txnSavepoints.clear()
       val rets = txnRetires.toSeq
       txnRetires.clear()
       rets.foreach { case (n, c) => retireLayoutsReferencing(n, c) }
@@ -149,6 +208,7 @@ trait CatalogDml { self: Catalog =>
       val m = txnPre.getOrElse(throw new IllegalStateException(
         "ROLLBACK without an open transaction"))
       txnPre = None
+      txnSavepoints.clear()
       txnRetires.clear()
       var restored = 0L
       m.foreach { case (n, (pre, preEpoch)) =>

@@ -859,6 +859,39 @@ object MaintenanceQueries {
         "SELECT r_regionkey, r_name FROM txr ORDER BY r_regionkey")
     }),
 
+    /** The r14 surfaces COMPOSED, end to end in pure SQL: CTAS → SQL
+      * snapshot → incident DELETE → transactional recovery whose source
+      * is the snapshot (`VERSION AS OF` inside an in-txn INSERT) → a
+      * savepoint'd wrong step rolled back to the mark → COMMIT. The
+      * oracle is the identity: the playbook must reproduce the original
+      * table exactly, proving snapshot + time-travel-DML + txn +
+      * savepoint interoperate, not just pass alone.
+      */
+    "o_sql_incident" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlIncidentCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("increg", s"$dir/region.parquet",
+          orderCols = Seq("r_regionkey"))
+        c.sql("CREATE TABLE inc AS SELECT r_regionkey, r_name FROM increg")
+        val e = c.sql("CREATE SNAPSHOT inc").head().getLong(1)
+        require(c.sql("DELETE FROM inc WHERE r_regionkey >= 2")
+          .head().getLong(1) == 3, "fixture: the incident must hit")
+        c.sql("BEGIN")
+        require(c.sql(
+          s"""INSERT INTO inc
+             |SELECT * FROM inc VERSION AS OF $e
+             |WHERE r_regionkey >= 2""".stripMargin)
+          .head().getLong(1) == 3)
+        c.sql("SAVEPOINT recovered")
+        c.sql("DELETE FROM inc WHERE r_regionkey = 4") // the wrong step
+        c.sql("ROLLBACK TO SAVEPOINT recovered")
+        c.sql("COMMIT")
+        c
+      }
+      cat.sql(
+        "SELECT r_regionkey, r_name FROM inc ORDER BY r_regionkey")
+    }),
+
     /** Globally-sorted export: range repartition + within-partition sort
       * — NOT a single-partition global sort (no driver funnel): file k's
       * doc_id range ends before file k+1's begins and every file is
@@ -2088,6 +2121,11 @@ object MaintenanceQueries {
     // rolled-back statements leave no trace; the committed UPDATE shows
     "o_sql_txn" ->
       """SELECT r_regionkey, lower(r_name) AS r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+
+    // the full incident playbook reproduces the original table exactly
+    "o_sql_incident" ->
+      """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
 
     // identity through the range-partitioned sorted write: any lost or

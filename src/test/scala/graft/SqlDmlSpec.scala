@@ -572,6 +572,44 @@ class SqlDmlSpec extends SparkSpec {
       "after rollback the layout rebuilds instead of having been retired")
   }
 
+  test("SAVEPOINT / ROLLBACK TO SAVEPOINT / RELEASE inside a transaction (r14)") {
+    val cat = new Catalog(spark)
+    cat.open("spa", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("spa").get
+    val n0 = s.rowCount
+    cat.sql("BEGIN")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 4")
+    cat.sql("SAVEPOINT s1")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 3")
+    cat.sql("SAVEPOINT s2")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 2")
+    assert(s.rowCount == n0 - 3)
+    // back to s1: the pre-mark delete stays, both later ones undo, and
+    // s2 (defined after the mark) dies with the rolled-back work
+    assert(cat.sql("ROLLBACK TO SAVEPOINT s1")
+      .head().getString(0) == "rollback_to_savepoint")
+    assert(s.rowCount == n0 - 1)
+    intercept[Exception] { cat.sql("ROLLBACK TO SAVEPOINT s2") }
+    // COMMIT keeps the surviving state
+    cat.sql("COMMIT")
+    assert(s.rowCount == n0 - 1)
+    assert(strip(s.current).filter(col("r_regionkey") === 3).count() == 1)
+    // full ROLLBACK still restores to BEGIN even past a savepoint
+    cat.sql("BEGIN")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 0")
+    cat.sql("SAVEPOINT p")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 1")
+    cat.sql("ROLLBACK")
+    assert(s.rowCount == n0 - 1)
+    // RELEASE forgets the mark; savepoint without a txn fails fast
+    cat.sql("BEGIN")
+    cat.sql("SAVEPOINT q")
+    cat.sql("RELEASE SAVEPOINT q")
+    intercept[Exception] { cat.sql("ROLLBACK TO q") }
+    cat.sql("ROLLBACK")
+    intercept[Exception] { cat.sql("SAVEPOINT outside") }
+  }
+
   test("DML text against a non-session name falls through to the ordinary path") {
     val cat = new Catalog(spark)
     cat.open("ft", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
