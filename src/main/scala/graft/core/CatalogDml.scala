@@ -149,10 +149,23 @@ trait CatalogDml { self: Catalog =>
   private[core] val txnSavepoints = scala.collection.mutable.LinkedHashMap
     .empty[String, (Map[String, (DataFrame, Long)], Int)]
 
+  /** Savepoint names fold case like every other identifier surface here
+    * (canonSession, canonCol) and like the dialect this syntax mirrors.
+    */
+  private def canonSavepoint(name: String): Option[String] =
+    txnSavepoints.keys.find(_ == name)
+      .orElse(txnSavepoints.keys.find(_.equalsIgnoreCase(name)))
+
   private def runSavepoint(query: String): Option[DataFrame] = {
     val sp = txnSavepoint.matcher(query)
     if (sp.matches()) {
       require(txnPre.isDefined, "SAVEPOINT without an open transaction")
+      // a redefined name RE-ESTABLISHES at the tail (SQL semantics):
+      // updating in place would keep the old LinkedHashMap position, so
+      // a ROLLBACK TO an intermediate mark would keep — and a later
+      // rollback replay — a snapshot of work that rollback just undid
+      // (r14 review, 3rd pass)
+      canonSavepoint(sp.group(1)).foreach(txnSavepoints.remove)
       txnSavepoints(sp.group(1)) =
         (sessions.map { case (n, s) => n -> (s.current, s.epoch) }.toMap,
           txnRetires.length)
@@ -162,9 +175,9 @@ trait CatalogDml { self: Catalog =>
     if (rt.matches()) {
       require(txnPre.isDefined,
         "ROLLBACK TO SAVEPOINT without an open transaction")
-      val name = rt.group(1)
-      val (states, retLen) = txnSavepoints.getOrElse(name,
-        throw new NoSuchElementException(s"no savepoint '$name'"))
+      val name = canonSavepoint(rt.group(1)).getOrElse(
+        throw new NoSuchElementException(s"no savepoint '${rt.group(1)}'"))
+      val (states, retLen) = txnSavepoints(name)
       var restored = 0L
       states.foreach { case (n, (pre, preEpoch)) =>
         sessions.get(n).foreach { s =>
@@ -181,8 +194,13 @@ trait CatalogDml { self: Catalog =>
     if (rl.matches()) {
       require(txnPre.isDefined,
         "RELEASE SAVEPOINT without an open transaction")
-      require(txnSavepoints.remove(rl.group(1)).isDefined,
-        s"no savepoint '${rl.group(1)}'")
+      val name = canonSavepoint(rl.group(1)).getOrElse(
+        throw new NoSuchElementException(s"no savepoint '${rl.group(1)}'"))
+      // SQL RELEASE destroys the mark AND every later one — the span is
+      // final; a later mark surviving would let ROLLBACK TO silently
+      // unwind work recorded inside it (r14 review, 3rd pass)
+      val keep = txnSavepoints.keys.takeWhile(_ != name).toSeq
+      txnSavepoints.filterInPlace((k, _) => keep.contains(k))
       return Some(report("release_savepoint", txnSavepoints.size.toLong))
     }
     None

@@ -601,13 +601,32 @@ class SqlDmlSpec extends SparkSpec {
     cat.sql("DELETE FROM spa WHERE r_regionkey = 1")
     cat.sql("ROLLBACK")
     assert(s.rowCount == n0 - 1)
-    // RELEASE forgets the mark; savepoint without a txn fails fast
+    // RELEASE forgets the mark AND every later one (the span is final,
+    // SQL semantics); names fold case like every other identifier
     cat.sql("BEGIN")
     cat.sql("SAVEPOINT q")
-    cat.sql("RELEASE SAVEPOINT q")
+    cat.sql("SAVEPOINT later")
+    cat.sql("RELEASE SAVEPOINT Q")
     intercept[Exception] { cat.sql("ROLLBACK TO q") }
+    intercept[Exception] { cat.sql("ROLLBACK TO later") }
     cat.sql("ROLLBACK")
     intercept[Exception] { cat.sql("SAVEPOINT outside") }
+
+    // a REDEFINED name re-establishes at the tail: rolling back to an
+    // intermediate mark must kill the redefinition, never let a later
+    // rollback replay the work the intermediate rollback undid
+    // (r14 review, 3rd pass)
+    cat.sql("BEGIN")
+    cat.sql("SAVEPOINT a")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 3")
+    cat.sql("SAVEPOINT b")
+    cat.sql("DELETE FROM spa WHERE r_regionkey = 2")
+    cat.sql("SAVEPOINT a") // redefinition AFTER b
+    cat.sql("ROLLBACK TO SAVEPOINT b")
+    intercept[Exception] { cat.sql("ROLLBACK TO a") }
+    assert(strip(s.current).filter(col("r_regionkey") === 2).count() == 1,
+      "rollback to b must restore the second delete")
+    cat.sql("ROLLBACK")
   }
 
   test("DML text against a non-session name falls through to the ordinary path") {
