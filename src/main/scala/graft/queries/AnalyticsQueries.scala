@@ -334,6 +334,124 @@ object AnalyticsQueries {
           col("total").cast("double"), 6).as("promo_revenue_pct"))
     }),
 
+    /** TPC-H Q8 shape (national market share): one supplier nation's
+      * share of STANDARD-part revenue delivered into one region, by
+      * order year. The deepest dimension chain in the suite — SEVEN
+      * tables, but only ONE fact-fact exchange (lineitem⋈orders on the
+      * orderkey): part/supplier/customer/nation×2/region all broadcast,
+      * and the part filter lands map-side BEFORE the exchange, so the
+      * shuffled volume is the STANDARD slice, not the fact table. The
+      * share is a conditional/total decimal sum pair in the same
+      * aggregate — never two passes.
+      */
+    "q8_market_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "STANDARD")
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      val n1 = nation.select(col("n_nationkey").as("ck"),
+        col("n_regionkey").as("crk"))
+      val n2 = nation.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck"))
+        .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+          col("crk") === col("r_regionkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_18", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+          sum(rev).as("tot"))
+        .select(col("o_year"),
+          round(col("nat").cast("double") / col("tot").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    /** TPC-H Q12 shape, adapted: the driver's lineitem carries no
+      * shipmode/commitdate/receiptdate columns, so the Q12 lateness
+      * predicate becomes ship-lag (l_shipdate − o_orderdate > 60 days)
+      * and the grouping key the order priority — same plan skeleton as
+      * the real Q12: one fact-fact join on the orderkey, conditional
+      * counts folded into a single aggregate (never a
+      * count-filter-count double pass).
+      */
+    "q12_ship_delay" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(late, 1L).otherwise(0L)).as("late_count"),
+          sum(when(late, 0L).otherwise(1L)).as("ontime_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** TPC-H Q13 shape (customer order-count distribution), adapted:
+      * the driver's orders has no o_comment, so the excluded slice is
+      * keyed on o_orderstatus instead — the structural point survives
+      * intact: a LEFT OUTER join whose filter lives in the JOIN
+      * CONDITION (a WHERE would silently turn it inner and drop the
+      * zero-order customers the query exists to count), then two
+      * stacked aggregates. Both group keys are customer-cardinality,
+      * so at 100 TB each exchange carries keys, never order rows.
+      */
+    "q13_cust_distribution" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      cust.join(orders,
+          cust("c_custkey") === orders("o_custkey") &&
+            orders("o_orderstatus") =!= "F",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+      * then the argmax via a scalar subquery over the same derived
+      * relation. The revenue CTE is supplier-cardinality (tiny), so the
+      * max is a 1-row broadcast back onto it — Catalyst plans the
+      * scalar subquery as an independent subplan, NOT a per-row
+      * re-execution; the fact table is scanned once per occurrence of
+      * the CTE. Revenue stays decimal through BOTH the per-supplier sum
+      * and the max-equality test (exact tie semantics, engine-portable
+      * — a double round-trip here could drop or duplicate the winner),
+      * and casts to double only for display.
+      */
+    "q15_top_supplier" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val sup = Tables.load(s, dir, "supplier")
+      val revenue = li.groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_revenue"))
+      val top = revenue.agg(max(col("total_revenue")).as("m"))
+      sup.join(revenue, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(top), col("total_revenue") === col("m"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue").cast("double"), 4).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     /** Lag-k autocorrelation of the weekly revenue series (ACF at lags
       * 1, 2, 4, 13, 52) — the is-there-structure screen read before any
       * forecast: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². The fact table
@@ -2637,6 +2755,66 @@ object AnalyticsQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
         |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    // seven-table star mirrored with plain joins; conditional/total
+    // decimal sums in one aggregate
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_18'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_ship_delay" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+        |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the excluded slice lives in the JOIN condition — a WHERE would
+    // drop the zero-order customers
+    "q13_cust_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // decimal revenue through the max-equality test; double only at
+    // display
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // weekly decimal sums; per-lag self-join on exact 7k-day strides;
     // centered products folded in week order
