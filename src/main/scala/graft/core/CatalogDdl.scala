@@ -58,6 +58,9 @@ trait CatalogDdl { self: Catalog =>
     "(?is)^\\s*show\\s+materialized\\s+views\\s*;?\\s*$")
   private val descHistory = java.util.regex.Pattern.compile(
     "(?is)^\\s*describe\\s+history\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
+  private val descChanges = java.util.regex.Pattern.compile(
+    "(?is)^\\s*describe\\s+changes\\s+([A-Za-z_][\\w]*)\\s+" +
+      "from\\s+version\\s+(\\d+)(?:\\s+to\\s+version\\s+(\\d+))?\\s*;?\\s*$")
 
   private def infoFrame(schema: Seq[(String, DataType)],
                         rows: Seq[org.apache.spark.sql.Row]): DataFrame =
@@ -111,6 +114,17 @@ trait CatalogDdl { self: Catalog =>
         Seq("epoch" -> LongType, "stamped_at" -> TimestampType,
           "state" -> StringType),
         rows.sortBy(_.getLong(0))))
+    }
+    val dc = descChanges.matcher(query)
+    if (dc.matches()) {
+      // the CDC read — classified rows, not an info frame; serving path
+      // (log-served vs content diff) chosen by [[CatalogSnapshots
+      // .changes]]
+      val name = canonSession(dc.group(1)).getOrElse(throw
+        new NoSuchElementException(
+          s"no open session named '${dc.group(1)}'"))
+      return Some(changes(name, dc.group(2).toLong,
+        Option(dc.group(3)).map(_.toLong).getOrElse(-1L)))
     }
     None
   }

@@ -107,6 +107,73 @@ trait CatalogSnapshots { self: Catalog =>
                                      // are the pinned epoch's, dense
   }
 
+  /** Name of the change-classification column [[changes]] appends —
+    * Delta CDF's convention, appended LAST so the table columns stay in
+    * user order.
+    */
+  val changeTypeCol = "_change_type"
+
+  /** Row-level change feed between two addressable epochs of `name` —
+    * the incremental-consumer contract (Delta's `table_changes`, typed):
+    * the table's columns plus [[changeTypeCol]] ∈ {insert, delete,
+    * update_preimage, update_postimage}. `toEpoch` < 0 means the current
+    * epoch. Both endpoints resolve like every other time-travel read —
+    * pinned snapshots or retained history, fail-fast otherwise.
+    *
+    * Two serving paths, chosen like layout refresh chooses patch vs
+    * rebuild:
+    *  - **log-served** when the span's mutation log is recoverable and
+    *    delta-sized: each slice is a bounded `__pos` IN-filter over the
+    *    retained endpoint plans — broadcast-trivial at any corpus size,
+    *    updates classified with BOTH images, and the pre-images read
+    *    from the since-plan (never the per-gesture victim plans, so the
+    *    feed works even past the victim-plan retention window).
+    *  - **content diff** otherwise (structural gesture, mass delete,
+    *    trimmed log, over-bound span): two `EXCEPT ALL` legs — a
+    *    full-shuffle multiset diff on row content. Honest semantics at
+    *    that point: updates surface as delete+insert pairs, because
+    *    without the log there is no row identity to pair them with.
+    *
+    * A column add/drop/rename inside the span fails fast (the two
+    * schemas don't line up row-for-row) — Delta CDF's rule.
+    */
+  def changes(name: String, fromEpoch: Long, toEpoch: Long = -1L): DataFrame = {
+    import Positional.POS
+    val s = sessionOf(name)
+    val to = if (toEpoch < 0L) s.epoch else toEpoch
+    require(fromEpoch <= to,
+      s"change span is reversed: from epoch $fromEpoch is newer than $to")
+    val fromPlan = planAtEpoch(name, fromEpoch)._1
+    val toPlan = planAtEpoch(name, to)._1
+    val fromFlat = Positional.strip(fromPlan)
+    val toFlat = Positional.strip(toPlan)
+    def tag(df: DataFrame, t: String) =
+      df.withColumn(changeTypeCol, lit(t))
+    val empty = tag(toFlat, "insert").limit(0)
+    if (fromEpoch == to) return empty
+    if (fromFlat.schema != toFlat.schema)
+      throw new IllegalStateException(
+        s"the span ($fromEpoch, $to] of '$name' contains a schema " +
+          "change — the endpoint schemas don't line up row for row; " +
+          "read changes up to the DDL epoch and from it separately")
+    s.changeFeedSince(fromEpoch, to) match {
+      case Some(feed) =>
+        def slice(plan: DataFrame, pos: Seq[Long], t: String) =
+          if (pos.isEmpty) Nil
+          else Seq(tag(
+            Positional.strip(plan.filter(col(POS).isInCollection(pos))), t))
+        val parts =
+          slice(toPlan, feed.insertedPos, "insert") ++
+            slice(toPlan, feed.updatedPos.map(_._1), "update_postimage") ++
+            slice(fromPlan, feed.updatedPos.map(_._2), "update_preimage") ++
+            slice(fromPlan, feed.deletedPos, "delete")
+        parts.reduceOption(_.unionByName(_)).getOrElse(empty)
+      case None =>
+        tag(toFlat.exceptAll(fromFlat), "insert")
+          .unionByName(tag(fromFlat.exceptAll(toFlat), "delete"))
+    }
+  }
+
   private[core] def pinOf(name: String, epoch: Long): Snapshot =
     pins.getOrElse((name, epoch), throw new NoSuchElementException(
       s"no pinned snapshot of '$name' at epoch $epoch"))

@@ -383,6 +383,106 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
         else None))
     }
 
+  /** The row-level change feed across the epoch span `(sinceEpoch,
+    * toEpoch]`, classified as inserts / updates / deletes with every
+    * update carrying BOTH coordinate systems — the to-epoch position of
+    * the post-image and the since-epoch position of the pre-image — so a
+    * CDC reader serves pre-images from the retained since-plan and never
+    * needs the per-gesture victim plans. The fold mirrors [[deltaSince]]
+    * 's shift composition, plus an INVERSE walk (`originalOf`) that
+    * expresses a position first touched mid-span in since-epoch
+    * coordinates. None when any gesture in the span is structural
+    * (replace, pivot, undo/redo, column DDL), a mass delete dropped its
+    * positions, the log was trimmed below `sinceEpoch`, or the touched-
+    * row count exceeds [[EditorSession.deltaMaxRows]] — callers fall
+    * back to the content diff, exactly like layout refresh falls back to
+    * a rebuild.
+    */
+  private[graft] def changeFeedSince(
+      sinceEpoch: Long, toEpoch: Long): Option[EditorSession.ChangeFeed] = {
+    if (sinceEpoch < mutLogFloor) return None
+    val entries = mutLog.collect {
+      case (e, k) if e > sinceEpoch && e <= toEpoch => k }
+    // position-shifting gestures already folded, oldest first; walked in
+    // REVERSE to map a current coordinate back to since-epoch coordinates
+    val shifts = mutable.ArrayBuffer.empty[Either[(Long, Long), Seq[Long]]]
+    def originalOf(p: Long): Option[Long] = {
+      var cur = p
+      var ok = true
+      shifts.reverseIterator.foreach {
+        case _ if !ok => ()
+        case Left((at, n)) => // n rows inserted at `at`
+          if (cur >= at + n) cur -= n
+          // a coordinate inside the inserted block belongs to an in-span
+          // row, which the tracked `inserted` set should own — reaching
+          // here means the invariant broke; degrade, never misclassify
+          else if (cur >= at) ok = false
+        case Right(sorted) => // rows deleted at `sorted` pre-delete coords
+          var q = cur
+          sorted.foreach(d => if (d <= q) q += 1)
+          cur = q
+      }
+      if (ok) Some(cur) else None
+    }
+    val dirty = mutable.LinkedHashMap.empty[Long, Long] // to-pos -> since-pos
+    val inserted = mutable.LinkedHashSet.empty[Long]    // to-coords
+    val deleted = mutable.LinkedHashSet.empty[Long]     // since-coords
+    var valid = true
+    entries.foreach {
+      case _ if !valid => ()
+      case CellEdits(pos, _) =>
+        pos.foreach { p =>
+          // an in-span insert later edited stays an insert (the net
+          // change is the final content); a re-edited row keeps its
+          // FIRST original — the since-coordinate is gesture-invariant
+          if (valid && !inserted.contains(p) && !dirty.contains(p))
+            originalOf(p) match {
+              case Some(o) => dirty(p) = o
+              case None    => valid = false
+            }
+        }
+      case RowInserts(at, n) =>
+        val movedD = dirty.filter(_._1 >= at).toSeq
+        movedD.foreach { case (k, _) => dirty.remove(k) }
+        movedD.foreach { case (k, v) => dirty(k + n) = v }
+        val movedI = inserted.filter(_ >= at).toSeq
+        inserted --= movedI; inserted ++= movedI.map(_ + n)
+        inserted ++= (at until at + n)
+        shifts += Left((at, n))
+      case RowDeletes(dpos, n, _) =>
+        if (dpos.isEmpty && n > 0) valid = false // mass delete: victims lost
+        else {
+          dpos.foreach { d =>
+            if (!valid || inserted.remove(d)) () // born and died in-span
+            else dirty.remove(d) match {
+              case Some(o) => deleted += o       // edited then deleted
+              case None => originalOf(d) match {
+                case Some(o) => deleted += o
+                case None    => valid = false
+              }
+            }
+          }
+          if (valid) {
+            val sorted = dpos.sorted
+            val movedD = dirty.toSeq
+            dirty.clear()
+            movedD.foreach { case (k, v) =>
+              dirty(k - sorted.count(_ < k)) = v }
+            val movedI = inserted.toSeq
+            inserted.clear()
+            inserted ++= movedI.map(p => p - sorted.count(_ < p))
+            shifts += Right(sorted)
+          }
+        }
+      case Structural => valid = false
+    }
+    if (!valid ||
+        dirty.size + inserted.size + deleted.size >
+          EditorSession.deltaMaxRows) None
+    else Some(EditorSession.ChangeFeed(
+      inserted.toSeq.sorted, dirty.toSeq.sortBy(_._1), deleted.toSeq.sorted))
+  }
+
   /** Record state before a mutation gesture; clears the redo branch.
     * `kind` feeds the mutation log: position-bounded cell gestures pass
     * what they touch, row deletes the delete-only marker, everything
@@ -808,6 +908,14 @@ object EditorSession {
     def hasDeletes: Boolean = deleteCount > 0
     def touchedPos: Seq[Long] = dirtyPos ++ insertedPos
   }
+
+  /** [[EditorSession.changeFeedSince]]'s classified span delta:
+    * `insertedPos` in to-epoch coordinates, `updatedPos` as
+    * (to-epoch, since-epoch) coordinate pairs, `deletedPos` in
+    * since-epoch coordinates. Every list is bounded by [[deltaMaxRows]].
+    */
+  final case class ChangeFeed(insertedPos: Seq[Long],
+      updatedPos: Seq[(Long, Long)], deletedPos: Seq[Long])
 
   /** E1: load a file as a new session — lazy scan + `__pos` attach.
     * `orderCols` must give a deterministic total order for reproducible

@@ -1432,6 +1432,38 @@ object MaintenanceQueries {
           |FROM rcvr ORDER BY o_orderkey""".stripMargin)
     }),
 
+    /** CDC between epochs (r14): after a DML burst (UPDATE + DELETE +
+      * INSERT), `DESCRIBE CHANGES <t> FROM VERSION <e>` serves the
+      * classified row-level feed — inserts, deletes, and updates with
+      * BOTH images — log-served from bounded position filters over the
+      * two endpoint plans ([[graft.core.CatalogSnapshots.changes]]; the
+      * content-diff fallback is ChangeFeedSpec's territory). Oracle:
+      * each class reconstructed from the base table by the DML
+      * predicates.
+      */
+    "o_sql_changes" -> ((s, dir) => {
+      val (cat, e0) = SessionScoped.memo(s, s"sqlChangesCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("cdcord", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val e = c.get("cdcord").get.epoch
+        c.sql("UPDATE cdcord SET o_orderstatus = 'U' " +
+          "WHERE o_orderkey % 997 = 3")
+        c.sql("DELETE FROM cdcord WHERE o_orderkey % 997 = 5")
+        val ins = c.sql(
+          """INSERT INTO cdcord
+            |SELECT o_orderkey + 5000000, o_custkey, o_orderstatus,
+            |  o_totalprice, o_orderdate, o_orderpriority
+            |FROM cdcord WHERE o_orderkey % 997 = 7""".stripMargin)
+        require(ins.head().getLong(1) > 0, "fixture: insert must append")
+        (c, e)
+      }
+      cat.sql(s"DESCRIBE CHANGES cdcord FROM VERSION $e0")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type").as("change_type"))
+        .orderBy("change_type", "o_orderkey")
+    }),
+
     /** Materialized view from SQL (r12 verdict task #8): `CREATE
       * MATERIALIZED VIEW` infers and builds the cube + pairs layouts
       * that serve its body, registers the name as a routed view, and the
@@ -2322,6 +2354,27 @@ object MaintenanceQueries {
     "o_sql_recover" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // each change class reconstructed from the base table by the DML
+    // predicates; the engine's update pre-images carry the ORIGINAL
+    // status, post-images the updated one
+    "o_sql_changes" ->
+      """SELECT o_orderkey, o_orderstatus, change_type FROM (
+        |  SELECT o_orderkey + 5000000 AS o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 3 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    'insert' AS change_type
+        |  FROM orders WHERE o_orderkey % 997 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'delete'
+        |  FROM orders WHERE o_orderkey % 997 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'update_preimage'
+        |  FROM orders WHERE o_orderkey % 997 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 'update_postimage'
+        |  FROM orders WHERE o_orderkey % 997 = 3) ch
+        |ORDER BY change_type, o_orderkey""".stripMargin,
 
     "o_sql_lifecycle" ->
       """SELECT k, v, x FROM (VALUES (2, 'b', 3.5),
