@@ -162,7 +162,7 @@ trait CatalogDdl { self: Catalog =>
     * fall through to Spark's own REFRESH TABLE, which would silently
     * no-op against the window's temp view.
     */
-  private def canonSession(name: String): Option[String] =
+  private[core] def canonSession(name: String): Option[String] =
     sessions.keys.find(_ == name)
       .orElse(sessions.keys.find(_.equalsIgnoreCase(name)))
 

@@ -53,7 +53,44 @@ trait CatalogDml { self: Catalog =>
   private[core] def looksLikeDml(query: String): Boolean = {
     val t = query.trim
     val head = t.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
-    head == "INSERT" || head == "UPDATE" || head == "DELETE" || head == "MERGE"
+    head == "INSERT" || head == "UPDATE" || head == "DELETE" ||
+      head == "MERGE" || head == "COPY"
+  }
+
+  // ---- COPY INTO (r14): SQL bulk file ingest --------------------------------
+  // `COPY INTO <session> FROM '<path>'` appends a file's rows through the
+  // SAME gesture as `INSERT INTO ... SELECT` — appendRows takes the lazy
+  // scan plan (never a driver materialize), the mutation log records a
+  // tail RowInserts, and the next refresh delta-patches every layout
+  // with exactly the file's rows. Format dispatch is [[graft.io.Formats
+  // .read]]'s (extension-sniffed: parquet/csv/json/orc/xlsx/…), so the
+  // statement composes the whole S-row source surface into the DML law.
+  // Column mapping is BY NAME when every file column resolves in the
+  // session schema (case-insensitive, Spark's resolution); otherwise
+  // positional with the usual arity check — either way values cast to
+  // the session's types, and an uncastable file fails the statement
+  // atomically (nothing appended).
+
+  private val copyInto = java.util.regex.Pattern.compile(
+    "(?is)^\\s*copy\\s+into\\s+([A-Za-z_][\\w]*)\\s+from\\s+" +
+      "'([^']+)'\\s*;?\\s*$")
+
+  private def runCopy(query: String): Option[DataFrame] = {
+    val m = copyInto.matcher(query)
+    if (!m.matches()) return None
+    val name = canonSession(m.group(1)).getOrElse(throw
+      new NoSuchElementException(
+        s"no open session named '${m.group(1)}' — COPY INTO targets " +
+          "open sessions"))
+    Some(atomically(name) {
+      val s = sessions(name)
+      val schema = Positional.strip(s.current).schema
+      val rows = graft.io.Formats.read(spark, m.group(2))
+      val byName = rows.columns.forall(c =>
+        schema.exists(_.name.equalsIgnoreCase(c)))
+      val listed = if (byName) rows.columns.toSeq else Nil
+      report("copy", s.appendRows(simpleConform(rows, schema, listed)))
+    })
   }
 
   /** Run `query` as DML against an open session, or None when the parsed
@@ -63,6 +100,9 @@ trait CatalogDml { self: Catalog =>
     * queries resolve against the session temp views.
     */
   private[core] def runDml(query: String): Option[DataFrame] = {
+    // COPY is not Spark grammar — recognized textually BEFORE the parse
+    // (parsePlan would throw and skip the regex entirely)
+    runCopy(query).foreach(r => return Some(r))
     val plan = Try(spark.sessionState.sqlParser.parsePlan(query))
       .getOrElse(return None)
     plan match {

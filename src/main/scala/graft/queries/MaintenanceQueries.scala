@@ -1464,6 +1464,39 @@ object MaintenanceQueries {
         .orderBy("change_type", "o_orderkey")
     }),
 
+    /** `COPY INTO` (r14): SQL bulk file ingest — a CSV lands in the
+      * session through the SAME append gesture as INSERT (lazy scan
+      * plan, mutation-log RowInserts, layouts delta-patch on the next
+      * refresh), with by-name column mapping and session-type casts.
+      * The fixture CSV is written with its columns REORDERED to prove
+      * the by-name path. Oracle: the base table union the copied slice.
+      */
+    "o_sql_copy" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlCopyCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("cporders", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val csv = graft.io.Scratch.dir(s, "copy_into") + "/batch.csv"
+        // shifted keys keep the final ORDER BY unambiguous; shuffled
+        // column order exercises the by-name mapping
+        graft.io.Formats.write(
+          Tables.load(s, dir, "orders")
+            .filter(col("o_orderkey") % 101 === 9)
+            .withColumn("o_orderkey", col("o_orderkey") + 7000000L)
+            .select("o_orderstatus", "o_totalprice", "o_orderkey",
+              "o_custkey", "o_orderpriority", "o_orderdate"),
+          csv)
+        val rep = c.sql(s"COPY INTO cporders FROM '$csv'")
+        require(rep.head().getString(0) == "copy" &&
+          rep.head().getLong(1) > 0, "fixture: copy must append")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_orderstatus,
+          |  round(o_totalprice, 4) AS price
+          |FROM cporders ORDER BY o_orderkey""".stripMargin)
+    }),
+
     /** Materialized view from SQL (r12 verdict task #8): `CREATE
       * MATERIALIZED VIEW` infers and builds the cube + pairs layouts
       * that serve its body, registers the name as a routed view, and the
@@ -2375,6 +2408,14 @@ object MaintenanceQueries {
         |  SELECT o_orderkey, 'U', 'update_postimage'
         |  FROM orders WHERE o_orderkey % 997 = 3) ch
         |ORDER BY change_type, o_orderkey""".stripMargin,
+
+    "o_sql_copy" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+        |FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |      UNION ALL
+        |      SELECT o_orderkey + 7000000, o_orderstatus, o_totalprice
+        |      FROM orders WHERE o_orderkey % 101 = 9) t
+        |ORDER BY o_orderkey""".stripMargin,
 
     "o_sql_lifecycle" ->
       """SELECT k, v, x FROM (VALUES (2, 'b', 3.5),

@@ -638,4 +638,35 @@ class SqlDmlSpec extends SparkSpec {
     // and a SELECT still works after the failed DML (views cleaned up)
     assert(cat.sql("SELECT count(*) AS n FROM ft").head().getLong(0) == 5L)
   }
+
+  test("COPY INTO appends a file by name with session-type casts; junk fails atomically") {
+    val cat = new Catalog(spark)
+    cat.open("cpy", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))
+    val s = cat.get("cpy").get
+    val n0 = s.rowCount
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy_").toString
+    // columns REORDERED vs the session schema: by-name mapping must fix it
+    strip(s.current).select(col("r_name"),
+        (col("r_regionkey") + 100L).as("r_regionkey"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/more.csv")
+    val rep = cat.sql(s"COPY INTO cpy FROM '$dir/more.csv'")
+    assert(rep.head().getString(0) == "copy" && rep.head().getLong(1) == n0)
+    assert(s.rowCount == 2 * n0)
+    // casts applied: the CSV's inferred ints landed as the session's type
+    assert(strip(s.current).filter(col("r_regionkey") >= 100L).count() == n0)
+
+    // a file with an unknown column and mismatched arity fails atomically
+    strip(s.current).limit(1)
+      .select(col("r_name").as("wat"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/bad.csv")
+    intercept[Exception] { cat.sql(s"COPY INTO cpy FROM '$dir/bad.csv'") }
+    assert(s.rowCount == 2 * n0, "failed COPY must append nothing")
+
+    // COPY participates in the transaction bracket like any DML
+    cat.sql("BEGIN")
+    cat.sql(s"COPY INTO cpy FROM '$dir/more.csv'")
+    assert(s.rowCount == 3 * n0)
+    cat.sql("ROLLBACK")
+    assert(s.rowCount == 2 * n0, "ROLLBACK must undo the COPY")
+  }
 }
