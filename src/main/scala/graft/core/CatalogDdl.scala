@@ -415,8 +415,96 @@ trait CatalogDdl { self: Catalog =>
         val filterRefs = agg.child.collect {
           case f: Filter => f.condition.references.toSeq.map(_.name)
         }.flatten.distinct
-        targets match {
-          case Seq(t) =>
+        // a JOIN body (r14): the eager-aggregation rewrite
+        // ([[graft.plans.SqlLayoutRouting]] tryJoinAgg) serves
+        // aggregate-over-join from a cube on the FACT keyed by the fact
+        // side of the equi-join — so the inference's job is to find the
+        // fact (the one session owning every measure leaf) and build
+        // that cube. Dim sides stay live (they are dim-sized reads).
+        // The dispatch matches the AGGREGATE'S DIRECT CHILD only: a
+        // Join buried inside a session's own lazy plan (edit-join past
+        // literalEditMax, a CTAS-from-join session) must not divert a
+        // plain single-table body off the single-target inference
+        // (r14 join-mv review finding #1).
+        val joinNode = agg.child match {
+          case jn: Join => Some(jn)
+          case Filter(_, jn: Join) => Some(jn)
+          case _ => None
+        }
+        (targets, joinNode) match {
+          case (ts, Some(jn)) if ts.nonEmpty =>
+            val leaves = agg.aggregateExpressions.flatMap(_.collect {
+              case ae: AggregateExpression => ae
+            })
+            val attributed = leaves.filter(_.references.nonEmpty)
+            // fact = the single session whose output carries EVERY
+            // attributed measure leaf AND that sits DIRECTLY under the
+            // join (the shape tryJoinAgg matches — a fact behind a
+            // subquery or filter would build a cube no read ever
+            // serves); count(*)-only bodies are ambiguous — serve live
+            val aliases = Seq(jn.left, jn.right).collect {
+              case sa: SubqueryAlias
+                  if sessions.contains(sa.identifier.name) =>
+                sa
+            }
+            val factAliases = aliases.filter(sa =>
+              attributed.nonEmpty && attributed.forall(
+                _.references.forall(sa.outputSet.contains)))
+            val groupBare = agg.groupingExpressions
+              .forall(_.isInstanceOf[AttributeReference])
+            (factAliases, leaves.filter(_.isDistinct)) match {
+              case (Seq(factSa), Seq()) if groupBare =>
+                val t = factSa.identifier.name
+                val factKeys = jn.condition.toSeq
+                  .flatMap(graft.plans.SqlRouting.splitConjuncts).collect {
+                  case org.apache.spark.sql.catalyst.expressions
+                      .EqualTo(at: AttributeReference, o)
+                      if factSa.outputSet.contains(at) &&
+                        !o.references.exists(factSa.outputSet.contains) =>
+                    at.name
+                  case org.apache.spark.sql.catalyst.expressions
+                      .EqualTo(o, at: AttributeReference)
+                      if factSa.outputSet.contains(at) &&
+                        !o.references.exists(factSa.outputSet.contains) =>
+                    at.name
+                }
+                val factGroup = agg.groupingExpressions.collect {
+                  case at: AttributeReference
+                      if factSa.outputSet.contains(at) => at.name
+                }
+                val factFilter = agg.child.collect {
+                  case f: Filter => f.condition.references.toSeq.collect {
+                    case at: AttributeReference
+                        if factSa.outputSet.contains(at) => at.name
+                  }
+                }.flatten
+                val measures = attributed
+                  .flatMap(_.references.toSeq.map(_.name)).distinct
+                val buildGroup =
+                  (factKeys ++ factGroup ++ factFilter).distinct
+                val schema =
+                  Positional.strip(sessions(t).current).columns.toSet
+                // a column can't be both a cube dimension and a stored
+                // partial — a join key or grouping attr that doubles as
+                // a measure makes the shape unservable, so skip the
+                // build instead of paying for a layout no read uses;
+                // same cell-cap guard as the filtered inference (a cube
+                // keyed by the join key is dim-cardinality — the point;
+                // a runaway grouping falls back to serving live)
+                if (factKeys.nonEmpty &&
+                    buildGroup.nonEmpty &&
+                    !buildGroup.exists(measures.contains) &&
+                    buildGroup.forall(schema.contains) &&
+                    measures.forall(schema.contains) &&
+                    Positional.strip(sessions(t).current)
+                      .select(buildGroup.map(
+                        org.apache.spark.sql.functions.col): _*)
+                      .distinct()
+                      .limit(mvCubeCellCap + 1).count() <= mvCubeCellCap)
+                  buildCubeLayout(t, buildGroup, measures)
+              case _ => ()
+            }
+          case (Seq(t), None) =>
             val schema = Positional.strip(sessions(t).current).columns.toSet
             // a GROUPING SETS / ROLLUP / CUBE body grouping-refs the
             // Expand-produced attrs plus the grouping id; the id is

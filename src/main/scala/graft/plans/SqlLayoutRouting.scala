@@ -79,6 +79,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Aggregate =>
         tryCube(a).orElse(tryDistinctPairs(a)).orElse(tryMixed(a))
           .orElse(tryGroupingSets(a))
+          .orElse(tryJoinAgg(a))
           .getOrElse(a)
       case f @ Filter(cond, SessionView(name, sa)) =>
         tryRanged(f, cond, name, sa).getOrElse(f)
@@ -283,16 +284,9 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     * common-subexpression form); inline the defs so the attribute is
     * visible to the bound matcher.
     */
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case w: With =>
-      val defs = w.defs.map(d => d.id -> d.child).toMap
-      splitConjuncts(w.child.transformUp {
-        case r: CommonExpressionRef => defs.getOrElse(r.id, r)
-      })
-    case r: RuntimeReplaceable => splitConjuncts(r.replacement)
-    case other => Seq(other)
-  }
+  // splitConjuncts lives in [[SqlRouting]] (shared with the catalog's
+  // join-mv inference, which must split the SAME conjunct shapes the
+  // router will later match)
 
   // ---- materialized cube --------------------------------------------------
 
@@ -781,6 +775,159 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     * (the per-leaf translators are the exact ones the pure rewrites
     * use, so acceptance never drifts between the paths).
     */
+  // ---- aggregate over a JOIN: eager aggregation onto the fact cube --------
+
+  /** `Aggregate`-over-`Join` → eager aggregation below the join onto a
+    * stored FACT cube (Yan & Larson's groupby-pushdown, served from the
+    * materialized partials): `SELECT d.attr, sum(m) FROM fact JOIN dim
+    * ON fact.k = d.k GROUP BY d.attr` re-merges a cube on `fact`
+    * grouped by (k, …) — the fact side collapses from fact-cardinality
+    * to distinct-key-cardinality BEFORE the join, so at 100 TB the join
+    * carries kilobyte-sized cells against the dimension instead of the
+    * fact table, and the fact is never rescanned at all.
+    *
+    * Exactness under dim-side key duplication: replacing the fact
+    * subtree with the cube and re-merging partials ABOVE the join is
+    * exact for any dim multiplicity — each stored cell joins to exactly
+    * the dim rows its fact rows would have joined to, so replicated
+    * partials replay the replicated fact rows verbatim (`count(*)` →
+    * sum of replicated `__cnt` = count of replicated fact rows, etc.).
+    * No FK/uniqueness assumption is needed or made.
+    *
+    * Matches conservatively: INNER equi-join whose fact-referencing
+    * conjuncts are `bare-fact-attr = dim-expression` with the fact attr
+    * a cube group column; every grouping expression a bare attribute
+    * (fact-side ones cube-covered, dim-side ones pass through); every
+    * aggregate leaf translatable against the fact cube ([[cubeAggExpr]]
+    * — a leaf referencing the dim side declines); an optional Filter
+    * between the Aggregate and the Join remaps onto cube group columns
+    * or dim attributes (a fact-measure predicate declines — partials
+    * cannot be re-filtered). Dim-side subtree (filters included) is
+    * untouched.
+    */
+  private def tryJoinAgg(a: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val (join, topCond) = a.child match {
+      case j: Join => (j, None)
+      case Filter(c, j: Join) => (j, Some(c))
+      case _ => return None
+    }
+    if (join.joinType != Inner || join.condition.isEmpty) return None
+    val groupAttrs: Seq[AttributeReference] = a.groupingExpressions.map {
+      case at: AttributeReference => at
+      case _ => return None
+    }
+    // candidate fact sides: a cube-backed session view DIRECTLY a join
+    // child. When BOTH sides qualify structurally each is tried in
+    // turn — measure ownership is decided by the rewrite itself
+    // (cubeAggExpr declines a leaf referencing the other side), so the
+    // side that owns the aggregate leaves wins and a dim that happens
+    // to carry an unrelated cube never blocks the rewrite.
+    def side(p: LogicalPlan, onLeft: Boolean) = p match {
+      case SessionView(n, sa)
+          if routesFor(spark, n).exists(_.isInstanceOf[CubeSqlRoute]) =>
+        Seq((n, sa, onLeft))
+      case _ => Nil
+    }
+    (side(join.left, onLeft = true) ++ side(join.right, onLeft = false))
+      .view.flatMap { case (name, sa, factOnLeft) =>
+        // fact-referencing join conjuncts must be bare-attr equi-links
+        val perConjunct = splitConjuncts(join.condition.get).map { c =>
+          if (!c.references.exists(sa.outputSet.contains))
+            Some(Nil) // dim-only conjunct: transfers untouched
+          else c match {
+            case EqualTo(at: AttributeReference, other)
+                if sa.outputSet.contains(at) &&
+                  !other.references.exists(sa.outputSet.contains) =>
+              Some(Seq(at.name))
+            case EqualTo(other, at: AttributeReference)
+                if sa.outputSet.contains(at) &&
+                  !other.references.exists(sa.outputSet.contains) =>
+              Some(Seq(at.name))
+            case _ => None // non-equi fact conjunct: this side declines
+          }
+        }
+        if (perConjunct.exists(_.isEmpty)) Nil
+        else {
+          val factKeys = perConjunct.flatMap(_.get)
+          if (factKeys.isEmpty) Nil
+          else {
+            val factNeeds = (factKeys ++
+              groupAttrs.filter(sa.outputSet.contains).map(_.name) ++
+              topCond.toSeq.flatMap(_.references.toSeq
+                .filter(sa.outputSet.contains).map(_.name))).distinct
+            routesFor(spark, name)
+              .collect { case c: CubeSqlRoute => c }
+              .filter(r => factNeeds.forall(r.groupCols.contains))
+              .flatMap(r => rewriteOnJoinCube(a, join, topCond, sa,
+                factOnLeft, groupAttrs, r))
+          }
+        }
+      }
+      .headOption
+  }
+
+  private def rewriteOnJoinCube(a: Aggregate, j: Join,
+                                topCond: Option[Expression],
+                                sa: SubqueryAlias, factOnLeft: Boolean,
+                                groupAttrs: Seq[AttributeReference],
+                                r: CubeSqlRoute): Option[LogicalPlan] = {
+    val cubePlan = r.served().queryExecution.analyzed
+    val byName = cubePlan.output.map(o => o.name -> o).toMap
+    // One translator, two modes: fact attrs remap onto cube columns
+    // (group cols only — a measure reference has no cube column and
+    // declines); dim attrs pass untouched; aggregate leaves re-merge
+    // through [[cubeAggExpr]] only where aggregates are legal (the
+    // aggregate list — a join/WHERE condition never holds one). A
+    // subquery expression whose outer references reach the fact side
+    // declines: the generic rewrite would remap the outerAttrs children
+    // but not the OuterReference nodes INSIDE the subquery plan, and
+    // decorrelation would then join on an attribute the replaced fact
+    // subtree no longer produces.
+    def trans(aggCase: Boolean)(e: Expression): Option[Expression] =
+      e match {
+        case se: SubqueryExpression =>
+          if (se.references.exists(sa.outputSet.contains)) None
+          else Some(se)
+        case ae: AggregateExpression if aggCase =>
+          cubeAggExpr(sa, r.groupCols, r.measures, byName)(ae)
+        case at: AttributeReference if sa.outputSet.contains(at) =>
+          byName.get(at.name)
+        case at: AttributeReference => Some(at)
+        case other =>
+          val kids = other.children.map(trans(aggCase))
+          if (kids.forall(_.isDefined))
+            Some(other.withNewChildren(kids.map(_.get)))
+          else None
+      }
+    val remap = trans(aggCase = false) _
+    val translate = trans(aggCase = true) _
+    val newJoinCond = remap(j.condition.get).getOrElse(return None)
+    val newTop = topCond.map(c => remap(c).getOrElse(return None))
+    val newGroup = groupAttrs.map {
+      case g if sa.outputSet.contains(g) =>
+        byName.getOrElse(g.name, return None)
+      case g => g
+    }
+    val newAggExprs: Seq[Option[NamedExpression]] =
+      a.aggregateExpressions.map {
+        case al @ Alias(child, nm) =>
+          translate(child).map(t => Alias(t, nm)(exprId = al.exprId))
+        case at: AttributeReference if sa.outputSet.contains(at) =>
+          translate(at).map(t => Alias(t, at.name)(exprId = at.exprId))
+        case at: AttributeReference => Some(at) // dim side keeps its id
+        case _ => None
+      }
+    if (!newAggExprs.forall(_.isDefined)) return None
+    r.onRoute()
+    val newJoin =
+      if (factOnLeft) j.copy(left = cubePlan, condition = Some(newJoinCond))
+      else j.copy(right = cubePlan, condition = Some(newJoinCond))
+    val child = newTop.map(c => Filter(c, newJoin): LogicalPlan)
+      .getOrElse(newJoin)
+    Some(Aggregate(newGroup, newAggExprs.map(_.get), child, None))
+  }
+
   private def tryMixed(a: Aggregate): Option[LogicalPlan] = {
     val (view, cond) = a.child match {
       case SessionView(name, sa) => (Some((name, sa)), None)
@@ -981,6 +1128,25 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
   * concurrently.
   */
 object SqlRouting {
+
+  /** Conjunct splitter shared by the routing matchers and the catalog's
+    * join-mv inference (which must split the SAME shapes the router
+    * will later match). Flattens `AND`, unwraps RuntimeReplaceable
+    * sugar (`between` plans as an Alias whose `replacement` is the real
+    * predicate), and inlines `With`/CommonExpressionRef factoring so
+    * the bound attribute stays visible to the matchers.
+    */
+  private[graft] def splitConjuncts(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        splitConjuncts(w.child.transformUp {
+          case r: CommonExpressionRef => defs.getOrElse(r.id, r)
+        })
+      case r: RuntimeReplaceable => splitConjuncts(r.replacement)
+      case other => Seq(other)
+    }
 
   sealed trait SqlRoute { def onRoute: () => Unit }
 

@@ -1595,6 +1595,48 @@ object MaintenanceQueries {
       cat.sql(
         """SELECT o_orderstatus, n, tot FROM rfmv
           |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    /** JOIN materialized view (r14): the body aggregates a fact⋈dim
+      * join, so the inference builds a cube on the FACT keyed by the
+      * fact side of the equi-join, and the read serves via EAGER
+      * AGGREGATION — the fact side collapses to distinct-key cells
+      * BEFORE the join (Yan & Larson's groupby-pushdown, materialized).
+      * Exact under any dim-key multiplicity, no FK assumption. Fact DML
+      * delta-patches the cube; the view serves the post-DML answer
+      * still routed (fixture-required plan: cube storage, no fact
+      * scan).
+      */
+    "a_sql_mv_join" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlMvJoinCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("mvjli", s"$dir/lineitem.parquet",
+          orderCols = Seq("l_orderkey", "l_linenumber"))
+        c.open("mvjsup", s"$dir/supplier.parquet",
+          orderCols = Seq("s_suppkey"))
+        c.sql(
+          """CREATE MATERIALIZED VIEW jmv AS
+            |SELECT s_name, count(*) AS n,
+            |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+            |    AS DOUBLE) AS qty
+            |FROM mvjli JOIN mvjsup ON l_suppkey = s_suppkey
+            |GROUP BY s_name""".stripMargin)
+        val rep = c.sql(
+          """INSERT INTO mvjli
+            |SELECT l_orderkey + 9000000, l_partkey, l_suppkey,
+            |  l_linenumber, l_quantity + 1, l_extendedprice, l_discount,
+            |  l_tax, l_returnflag, l_linestatus, l_shipdate
+            |FROM mvjli WHERE l_orderkey % 200 = 9""".stripMargin)
+        require(rep.head().getLong(1) > 0, "fixture: insert must append")
+        require(c.sql("REFRESH MATERIALIZED VIEW jmv")
+          .head().getLong(1) > 0, "fixture: refresh must patch")
+        val p = c.sql("SELECT * FROM jmv")
+          .queryExecution.executedPlan.toString
+        require(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+          s"the join mv must serve via eager aggregation; plan: $p")
+        c
+      }
+      cat.sql("SELECT s_name, n, qty FROM jmv ORDER BY s_name")
     })
   )
 
@@ -2451,6 +2493,18 @@ object MaintenanceQueries {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) AS tot
-        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a_sql_mv_join" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey, l_quantity + 1
+        |  FROM lineitem WHERE l_orderkey % 200 = 9)
+        |SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM t JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin
   )
 }

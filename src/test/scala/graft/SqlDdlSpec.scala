@@ -509,6 +509,79 @@ class SqlDdlSpec extends SparkSpec {
     assert(read2.collect().map(_.toSeq).toSeq == live)
   }
 
+  test("a JOIN mv body infers the fact cube keyed by the join key; serves via eager aggregation; DML delta-patches (r14)") {
+    val cat = new Catalog(spark)
+    cat.open("jfact", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("jdim", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW jm AS
+        |SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM jfact JOIN jdim ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    // the fact owns the measure → a cube keyed by the fact join key
+    assert(cat.layoutsOf("jfact").exists(_._1 == "cube:l_suppkey"),
+      s"join inference must key the fact cube by the join key: " +
+        s"${cat.layoutsOf("jfact").map(_._1)}")
+    def read = cat.sql("SELECT * FROM jm ORDER BY s_name")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the join mv must serve via eager aggregation on the cube — the " +
+        s"fact table never rescans; plan:\n$p")
+    def live = {
+      val f = Positional.strip(cat.get("jfact").get.current)
+      val d = Positional.strip(cat.get("jdim").get.current)
+      f.join(d, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+            .cast("double").as("qty"))
+        .orderBy("s_name").collect().map(_.toSeq).toSeq
+    }
+    assert(read.collect().map(_.toSeq).toSeq == live)
+    // fact DML + refresh: the cube delta-patches, the view serves updated
+    cat.sql(
+      """INSERT INTO jfact
+        |SELECT l_orderkey + 9000000, l_partkey, l_suppkey,
+        |  l_linenumber, l_quantity + 1, l_extendedprice, l_discount,
+        |  l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM jfact WHERE l_orderkey % 200 = 9""".stripMargin)
+    assert(cat.refreshStale("jfact").nonEmpty)
+    val read2 = read
+    assert(read2.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"),
+      "the refreshed cube must keep serving the join mv")
+    assert(read2.collect().map(_.toSeq).toSeq == live)
+  }
+
+  test("a single-table mv body still infers its cube when the session's own plan holds an internal join (r14 join-mv review finding #1)") {
+    val cat = new Catalog(spark)
+    cat.open("ijmv", s"$sf/orders.parquet", orderCols = Seq("o_orderkey"))
+    val s = cat.get("ijmv").get
+    // push the edit log past literalEditMax so the session plan folds
+    // through a broadcast JOIN — the join-body dispatch must not divert
+    // this single-table body off the single-target inference
+    assert(s.setCells("o_totalprice",
+      (0L until 40L).map(p => p -> "1000.5")))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW ijm AS
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM ijmv GROUP BY o_orderstatus""".stripMargin)
+    assert(cat.layoutsOf("ijmv").exists(_._1 == "cube:o_orderstatus"),
+      s"the single-table inference must still build: " +
+        s"${cat.layoutsOf("ijmv").map(_._1)}")
+    val read = cat.sql("SELECT * FROM ijm ORDER BY o_orderstatus")
+    assert(read.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"),
+      "the mv must serve routed despite the session's internal join")
+    assert(read.collect().map(_.toSeq).toSeq ==
+      Positional.strip(s.current).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderstatus")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("DROP TABLE closes the session; IF EXISTS is a no-op on unknown names") {
     val cat = new Catalog(spark)
     cat.open("dt", s"$sf/region.parquet", orderCols = Seq("r_regionkey"))

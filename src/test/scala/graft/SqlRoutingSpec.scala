@@ -846,4 +846,114 @@ class SqlRoutingSpec extends SparkSpec {
     assert(!p2.contains("catalog_cube_") && !p2.contains("catalog_pairs_"),
       s"a leaf no layout serves must refuse the whole split; plan:\n$p2")
   }
+
+  test("aggregate over a JOIN routes via eager aggregation onto the fact cube (r14)") {
+    val cat = new Catalog(spark)
+    cat.open("li_j", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("sup_j", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    cat.buildCubeLayout("li_j", Seq("l_suppkey", "l_returnflag"),
+      Seq("l_quantity"))
+    val q =
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM li_j JOIN sup_j ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_"),
+      s"the fact side of the join must collapse onto the cube; plan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"the routed join plan must never scan the fact table; plan:\n$p")
+    assert(cat.recentRoutes.exists(r =>
+      r.slot == "cube:l_suppkey,l_returnflag" && r.reason == "sql-routed"))
+    def live(dim: org.apache.spark.sql.DataFrame) =
+      Tables.load(spark, sf, "lineitem")
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+            .cast("double").as("qty"))
+        .orderBy("s_name")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live(Tables.load(spark, sf, "supplier")).collect().map(_.toSeq).toSeq)
+
+    // grouping by BOTH a dim attribute and a covered fact column routes;
+    // a dim-side WHERE above the join transfers untouched
+    val mixed = cat.sql(
+      """SELECT s_name, l_returnflag, count(*) AS n
+        |FROM li_j JOIN sup_j ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 0 GROUP BY s_name, l_returnflag""".stripMargin)
+    assert(plan(mixed).contains("catalog_cube_"),
+      s"dim WHERE + mixed grouping must still route; plan:\n${plan(mixed)}")
+    assert(mixed.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "supplier")
+          .filter(col("s_acctbal") > 0),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name", "l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
+
+    // EXACT under dim-side key duplication (no FK assumption): a dim
+    // with every key twice must double counts on both paths identically
+    val dup = Tables.load(spark, sf, "supplier")
+    cat.openFrom("sup_dup", dup.unionByName(dup), orderCols = Seq("s_suppkey"))
+    val dupRouted = cat.sql(q.replace("sup_j", "sup_dup"))
+    assert(plan(dupRouted).contains("catalog_cube_"))
+    assert(dupRouted.collect().map(_.toSeq).toSeq ==
+      live(dup.unionByName(dup)).collect().map(_.toSeq).toSeq,
+      "replicated partials must replay replicated fact rows verbatim")
+
+    // a WHERE on a fact MEASURE cannot re-filter partials: no route
+    val measureWhere = cat.sql(
+      """SELECT s_name, count(*) AS n
+        |FROM li_j JOIN sup_j ON l_suppkey = s_suppkey
+        |WHERE l_quantity > 10 GROUP BY s_name""".stripMargin)
+    assert(!plan(measureWhere).contains("catalog_cube_"),
+      "a fact-measure WHERE must fall back to the live join")
+    // an aggregate leaf on the DIM side has no stored partial: no route
+    val dimAgg = cat.sql(
+      """SELECT l_returnflag, CAST(sum(CAST(round(s_acctbal, 6)
+        |  AS DECIMAL(38,6))) AS DOUBLE) AS bal
+        |FROM li_j JOIN sup_j ON l_suppkey = s_suppkey
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(!plan(dimAgg).contains("catalog_cube_"),
+      "a dim-side measure must fall back to the live join")
+    // a dim that carries its OWN unrelated cube must not block the
+    // rewrite — the side owning the aggregate leaves wins (r14 join-mv
+    // review finding #3)
+    cat.buildCubeLayout("sup_j", Seq("s_nationkey"), Seq("s_acctbal"))
+    val bothCubes = cat.sql(q)
+    assert(plan(bothCubes).contains("catalog_cube_") &&
+      !plan(bothCubes).contains("l_orderkey"),
+      s"a dim-side cube must not block the fact rewrite; " +
+        s"plan:\n${plan(bothCubes)}")
+    assert(bothCubes.collect().map(_.toSeq).toSeq ==
+      live(Tables.load(spark, sf, "supplier")).collect().map(_.toSeq).toSeq)
+
+    // a WHERE subquery whose outer reference reaches the fact side
+    // must DECLINE (the rewrite cannot remap OuterReference nodes
+    // inside the subquery plan — r14 join-mv review finding #2) and
+    // still answer correctly from the live join
+    val subq = cat.sql(
+      """SELECT s_name, count(*) AS n
+        |FROM li_j JOIN sup_j ON l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM sup_j s2
+        |              WHERE s2.s_suppkey = l_suppkey)
+        |GROUP BY s_name""".stripMargin)
+    assert(!plan(subq).contains("catalog_cube_"),
+      "a fact-correlated subquery must fall back to the live join")
+    assert(subq.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet)
+
+    // a fact edit invalidates: the same text falls back to the live join
+    assert(cat.get("li_j").get.setCell(0L, "l_quantity", "42"))
+    assert(!plan(cat.sql(q)).contains("catalog_cube_"),
+      "a stale cube must not serve the join rewrite")
+  }
 }
