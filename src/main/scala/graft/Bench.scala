@@ -268,6 +268,14 @@ object Bench {
       graft.queries.AnalyticsQueries
         .queries("a_sql_rollup_routed")(s, sfDir).count()),
 
+    // r14: aggregate-over-JOIN served by eager aggregation onto the
+    // stored fact cube (first pass pays the memoized build + DML) —
+    // the fact side of the join collapses to distinct-key cells, so
+    // compare against j_star's fact-table join scans
+    "a_join_mv_routed" -> ((s: SparkSession) =>
+      graft.queries.MaintenanceQueries
+        .queries("a_sql_mv_join")(s, sfDir).count()),
+
     // r11: the streaming-ingest steady-state cycle — append fixed
     // batches, delta-patch the layout, routed read. Tracks the loop's
     // cost so a plan-composition regression (the per-batch doubling
