@@ -426,23 +426,39 @@ trait CatalogDdl { self: Catalog =>
         // literalEditMax, a CTAS-from-join session) must not divert a
         // plain single-table body off the single-target inference
         // (r14 join-mv review finding #1).
-        val joinNode = agg.child match {
+        // flatten the INNER-join tree like the router does: a star
+        // body (`fact JOIN d1 … JOIN d2 …`) analyzes left-deep, and the
+        // rewrite serves the whole spine from one fact cube
+        def flattenJoin(p: LogicalPlan)
+            : Option[(Seq[LogicalPlan], Seq[Join])] = p match {
+          case jn: Join
+              if jn.joinType ==
+                org.apache.spark.sql.catalyst.plans.Inner &&
+                jn.condition.isDefined =>
+            for {
+              (ll, lj) <- flattenJoin(jn.left)
+              (rl, rj) <- flattenJoin(jn.right)
+            } yield (ll ++ rl, lj ++ rj :+ jn)
+          case _: Join => None
+          case leaf => Some((Seq(leaf), Nil))
+        }
+        val joinTree = (agg.child match {
           case jn: Join => Some(jn)
           case Filter(_, jn: Join) => Some(jn)
           case _ => None
-        }
-        (targets, joinNode) match {
-          case (ts, Some(jn)) if ts.nonEmpty =>
+        }).flatMap(flattenJoin)
+        (targets, joinTree) match {
+          case (ts, Some((treeLeaves, treeJoins))) if ts.nonEmpty =>
             val leaves = agg.aggregateExpressions.flatMap(_.collect {
               case ae: AggregateExpression => ae
             })
             val attributed = leaves.filter(_.references.nonEmpty)
             // fact = the single session whose output carries EVERY
-            // attributed measure leaf AND that sits DIRECTLY under the
-            // join (the shape tryJoinAgg matches — a fact behind a
+            // attributed measure leaf AND that is a LEAF of the join
+            // tree (the shape tryJoinAgg matches — a fact behind a
             // subquery or filter would build a cube no read ever
             // serves); count(*)-only bodies are ambiguous — serve live
-            val aliases = Seq(jn.left, jn.right).collect {
+            val aliases = treeLeaves.collect {
               case sa: SubqueryAlias
                   if sessions.contains(sa.identifier.name) =>
                 sa
@@ -455,7 +471,7 @@ trait CatalogDdl { self: Catalog =>
             (factAliases, leaves.filter(_.isDistinct)) match {
               case (Seq(factSa), Seq()) if groupBare =>
                 val t = factSa.identifier.name
-                val factKeys = jn.condition.toSeq
+                val factKeys = treeJoins.flatMap(_.condition.toSeq)
                   .flatMap(graft.plans.SqlRouting.splitConjuncts).collect {
                   case org.apache.spark.sql.catalyst.expressions
                       .EqualTo(at: AttributeReference, o)

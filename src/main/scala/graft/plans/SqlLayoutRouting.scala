@@ -812,27 +812,43 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case Filter(c, j: Join) => (j, Some(c))
       case _ => return None
     }
-    if (join.joinType != Inner || join.condition.isEmpty) return None
+    // flatten the INNER-join tree: a star/snowflake FROM clause analyzes
+    // left-deep (`fact JOIN d1 ON … JOIN d2 ON …` =
+    // Join(Join(fact,d1),d2)), and the rewrite serves the whole spine —
+    // the fact leaf swaps for the cube, every dimension stays live. Any
+    // non-inner or condition-less join in the tree declines (an outer
+    // join's null-extension is not replayed by replicated partials).
+    def flatten(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Join])] =
+      p match {
+        case j: Join if j.joinType == Inner && j.condition.isDefined =>
+          for {
+            (ll, lj) <- flatten(j.left)
+            (rl, rj) <- flatten(j.right)
+          } yield (ll ++ rl, lj ++ rj :+ j)
+        case j: Join => None
+        case leaf => Some((Seq(leaf), Nil))
+      }
+    val (leaves, joins) = flatten(join).getOrElse(return None)
     val groupAttrs: Seq[AttributeReference] = a.groupingExpressions.map {
       case at: AttributeReference => at
       case _ => return None
     }
-    // candidate fact sides: a cube-backed session view DIRECTLY a join
-    // child. When BOTH sides qualify structurally each is tried in
-    // turn — measure ownership is decided by the rewrite itself
-    // (cubeAggExpr declines a leaf referencing the other side), so the
-    // side that owns the aggregate leaves wins and a dim that happens
-    // to carry an unrelated cube never blocks the rewrite.
-    def side(p: LogicalPlan, onLeft: Boolean) = p match {
-      case SessionView(n, sa)
+    // candidate fact sides: a cube-backed session-view LEAF of the join
+    // tree. When several qualify structurally each is tried in turn —
+    // measure ownership is decided by the rewrite itself (cubeAggExpr
+    // declines a leaf referencing another side), so the side that owns
+    // the aggregate leaves wins and a dim that happens to carry an
+    // unrelated cube never blocks the rewrite.
+    val candidates = leaves.collect {
+      case sv @ SessionView(n, sa)
           if routesFor(spark, n).exists(_.isInstanceOf[CubeSqlRoute]) =>
-        Seq((n, sa, onLeft))
-      case _ => Nil
+        (n, sa)
     }
-    (side(join.left, onLeft = true) ++ side(join.right, onLeft = false))
-      .view.flatMap { case (name, sa, factOnLeft) =>
-        // fact-referencing join conjuncts must be bare-attr equi-links
-        val perConjunct = splitConjuncts(join.condition.get).map { c =>
+    candidates.view.flatMap { case (name, sa) =>
+        // fact-referencing conjuncts of EVERY join in the tree must be
+        // bare-attr equi-links onto stored group columns
+        val perConjunct = joins
+          .flatMap(jn => splitConjuncts(jn.condition.get)).map { c =>
           if (!c.references.exists(sa.outputSet.contains))
             Some(Nil) // dim-only conjunct: transfers untouched
           else c match {
@@ -860,7 +876,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
               .collect { case c: CubeSqlRoute => c }
               .filter(r => factNeeds.forall(r.groupCols.contains))
               .flatMap(r => rewriteOnJoinCube(a, join, topCond, sa,
-                factOnLeft, groupAttrs, r))
+                groupAttrs, r))
           }
         }
       }
@@ -869,7 +885,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteOnJoinCube(a: Aggregate, j: Join,
                                 topCond: Option[Expression],
-                                sa: SubqueryAlias, factOnLeft: Boolean,
+                                sa: SubqueryAlias,
                                 groupAttrs: Seq[AttributeReference],
                                 r: CubeSqlRoute): Option[LogicalPlan] = {
     val cubePlan = r.served().queryExecution.analyzed
@@ -902,7 +918,6 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     val remap = trans(aggCase = false) _
     val translate = trans(aggCase = true) _
-    val newJoinCond = remap(j.condition.get).getOrElse(return None)
     val newTop = topCond.map(c => remap(c).getOrElse(return None))
     val newGroup = groupAttrs.map {
       case g if sa.outputSet.contains(g) =>
@@ -919,10 +934,22 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     if (!newAggExprs.forall(_.isDefined)) return None
+    // swap the fact LEAF for the cube anywhere in the join tree and
+    // remap the conditions that reference it; joins whose condition
+    // never touches the fact (dim-dim links, joins internal to a dim
+    // subquery) pass through untouched
+    var condFailed = false
+    val newJoin = j.transformUp {
+      case p if p eq sa => cubePlan
+      case jn: Join if jn.condition.exists(
+          _.references.exists(sa.outputSet.contains)) =>
+        remap(jn.condition.get) match {
+          case Some(c) => jn.copy(condition = Some(c))
+          case None => condFailed = true; jn
+        }
+    }
+    if (condFailed) return None
     r.onRoute()
-    val newJoin =
-      if (factOnLeft) j.copy(left = cubePlan, condition = Some(newJoinCond))
-      else j.copy(right = cubePlan, condition = Some(newJoinCond))
     val child = newTop.map(c => Filter(c, newJoin): LogicalPlan)
       .getOrElse(newJoin)
     Some(Aggregate(newGroup, newAggExprs.map(_.get), child, None))

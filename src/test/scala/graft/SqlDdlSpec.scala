@@ -554,6 +554,26 @@ class SqlDdlSpec extends SparkSpec {
       .contains("catalog_cube_"),
       "the refreshed cube must keep serving the join mv")
     assert(read2.collect().map(_.toSeq).toSeq == live)
+
+    // a STAR body (two dims) infers a cube keyed by BOTH join keys
+    cat.open("jdim2", s"$sf/part.parquet", orderCols = Seq("p_partkey"))
+    cat.sql(
+      """CREATE MATERIALIZED VIEW jm2 AS
+        |SELECT s_name, p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS rev
+        |FROM jfact
+        |JOIN jdim ON l_suppkey = s_suppkey
+        |JOIN jdim2 ON l_partkey = p_partkey
+        |GROUP BY s_name, p_brand""".stripMargin)
+    assert(cat.layoutsOf("jfact")
+      .exists(_._1 == "cube:l_suppkey,l_partkey"),
+      s"star inference must key the cube by both join keys: " +
+        s"${cat.layoutsOf("jfact").map(_._1)}")
+    val star = cat.sql("SELECT * FROM jm2 ORDER BY s_name, p_brand")
+    assert(star.queryExecution.executedPlan.toString
+      .contains("catalog_cube_"),
+      "the star mv must serve from the fact cube")
   }
 
   test("a single-table mv body still infers its cube when the session's own plan holds an internal join (r14 join-mv review finding #1)") {

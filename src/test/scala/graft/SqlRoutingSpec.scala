@@ -956,4 +956,48 @@ class SqlRoutingSpec extends SparkSpec {
     assert(!plan(cat.sql(q)).contains("catalog_cube_"),
       "a stale cube must not serve the join rewrite")
   }
+
+  test("a STAR join (fact x two dims) routes via the multi-key fact cube; outer joins decline") {
+    val cat = new Catalog(spark)
+    cat.open("li_s", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("sup_s", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    cat.open("part_s", s"$sf/part.parquet", orderCols = Seq("p_partkey"))
+    cat.buildCubeLayout("li_s", Seq("l_suppkey", "l_partkey"),
+      Seq("l_extendedprice"))
+    val q =
+      """SELECT s_name, p_brand, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS rev
+        |FROM li_s
+        |JOIN sup_s ON l_suppkey = s_suppkey
+        |JOIN part_s ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |GROUP BY s_name, p_brand""".stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the star spine must serve from the fact cube; plan:\n$p")
+    val want = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") <= 25)
+      .groupBy("s_name", "p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice"), 6).cast("decimal(38,6)"))
+          .cast("double").as("rev"))
+      .collect().map(_.toSeq).toSet
+    assert(routed.collect().map(_.toSeq).toSet == want)
+    // an OUTER join anywhere in the tree declines — replicated partials
+    // do not replay null-extension
+    val outer = cat.sql(
+      """SELECT s_name, count(*) AS n
+        |FROM li_s
+        |LEFT JOIN sup_s ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    assert(!plan(outer).contains("catalog_cube_"),
+      "an outer join must fall back to the live plan")
+  }
 }
