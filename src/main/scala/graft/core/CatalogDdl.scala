@@ -426,29 +426,22 @@ trait CatalogDdl { self: Catalog =>
         // literalEditMax, a CTAS-from-join session) must not divert a
         // plain single-table body off the single-target inference
         // (r14 join-mv review finding #1).
-        // flatten the INNER-join tree like the router does: a star
-        // body (`fact JOIN d1 … JOIN d2 …`) analyzes left-deep, and the
-        // rewrite serves the whole spine from one fact cube
-        def flattenJoin(p: LogicalPlan)
-            : Option[(Seq[LogicalPlan], Seq[Join])] = p match {
-          case jn: Join
-              if jn.joinType ==
-                org.apache.spark.sql.catalyst.plans.Inner &&
-                jn.condition.isDefined =>
-            for {
-              (ll, lj) <- flattenJoin(jn.left)
-              (rl, rj) <- flattenJoin(jn.right)
-            } yield (ll ++ rl, lj ++ rj :+ jn)
-          case _: Join => None
-          case leaf => Some((Seq(leaf), Nil))
-        }
-        val joinTree = (agg.child match {
+        // flatten the INNER-join spine with the router's own helper —
+        // the inference must build exactly what tryJoinAgg will serve.
+        // ANY direct-child Join body takes this branch: a join shape
+        // the rewrite can't serve builds NOTHING (falling through to
+        // the single-table inference would build layouts keyed as if
+        // the body were single-table, which no read ever routes —
+        // r14 star review finding #6)
+        val directJoin = agg.child match {
           case jn: Join => Some(jn)
           case Filter(_, jn: Join) => Some(jn)
           case _ => None
-        }).flatMap(flattenJoin)
-        (targets, joinTree) match {
-          case (ts, Some((treeLeaves, treeJoins))) if ts.nonEmpty =>
+        }
+        (targets, directJoin) match {
+          case (ts, Some(jn)) if ts.nonEmpty =>
+            val (treeLeaves, treeJoins) =
+              graft.plans.SqlRouting.flattenInnerJoins(jn)
             val leaves = agg.aggregateExpressions.flatMap(_.collect {
               case ae: AggregateExpression => ae
             })
@@ -471,19 +464,34 @@ trait CatalogDdl { self: Catalog =>
             (factAliases, leaves.filter(_.isDistinct)) match {
               case (Seq(factSa), Seq()) if groupBare =>
                 val t = factSa.identifier.name
-                val factKeys = treeJoins.flatMap(_.condition.toSeq)
-                  .flatMap(graft.plans.SqlRouting.splitConjuncts).collect {
-                  case org.apache.spark.sql.catalyst.expressions
-                      .EqualTo(at: AttributeReference, o)
-                      if factSa.outputSet.contains(at) &&
-                        !o.references.exists(factSa.outputSet.contains) =>
-                    at.name
-                  case org.apache.spark.sql.catalyst.expressions
-                      .EqualTo(o, at: AttributeReference)
-                      if factSa.outputSet.contains(at) &&
-                        !o.references.exists(factSa.outputSet.contains) =>
-                    at.name
-                }
+                // mirror the router's PER-CONJUNCT decline: a
+                // fact-referencing conjunct that is not a bare-attr
+                // equi-link makes the whole read unservable, so skip
+                // the build instead of paying for a cube the router
+                // will always refuse (r14 star review finding #5)
+                val perConjunct = treeJoins.flatMap(_.condition.toSeq)
+                  .flatMap(graft.plans.SqlRouting.splitConjuncts).map { c =>
+                    if (!c.references.exists(factSa.outputSet.contains))
+                      Some(Seq.empty[String])
+                    else c match {
+                      case org.apache.spark.sql.catalyst.expressions
+                          .EqualTo(at: AttributeReference, o)
+                          if factSa.outputSet.contains(at) &&
+                            !o.references.exists(
+                              factSa.outputSet.contains) =>
+                        Some(Seq(at.name))
+                      case org.apache.spark.sql.catalyst.expressions
+                          .EqualTo(o, at: AttributeReference)
+                          if factSa.outputSet.contains(at) &&
+                            !o.references.exists(
+                              factSa.outputSet.contains) =>
+                        Some(Seq(at.name))
+                      case _ => None
+                    }
+                  }
+                val factKeys =
+                  if (perConjunct.exists(_.isEmpty)) Nil
+                  else perConjunct.flatMap(_.get)
                 val factGroup = agg.groupingExpressions.collect {
                   case at: AttributeReference
                       if factSa.outputSet.contains(at) => at.name

@@ -806,29 +806,20 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     * untouched.
     */
   private def tryJoinAgg(a: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.Inner
     val (join, topCond) = a.child match {
       case j: Join => (j, None)
       case Filter(c, j: Join) => (j, Some(c))
       case _ => return None
     }
-    // flatten the INNER-join tree: a star/snowflake FROM clause analyzes
-    // left-deep (`fact JOIN d1 ON … JOIN d2 ON …` =
+    // flatten the INNER-join spine: a star/snowflake FROM clause
+    // analyzes left-deep (`fact JOIN d1 ON … JOIN d2 ON …` =
     // Join(Join(fact,d1),d2)), and the rewrite serves the whole spine —
-    // the fact leaf swaps for the cube, every dimension stays live. Any
-    // non-inner or condition-less join in the tree declines (an outer
-    // join's null-extension is not replayed by replicated partials).
-    def flatten(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Join])] =
-      p match {
-        case j: Join if j.joinType == Inner && j.condition.isDefined =>
-          for {
-            (ll, lj) <- flatten(j.left)
-            (rl, rj) <- flatten(j.right)
-          } yield (ll ++ rl, lj ++ rj :+ j)
-        case j: Join => None
-        case leaf => Some((Seq(leaf), Nil))
-      }
-    val (leaves, joins) = flatten(join).getOrElse(return None)
+    // the fact leaf swaps for the cube, every dimension stays live. A
+    // non-inner join is an opaque leaf (a fact inside it can't swap —
+    // its null-extension is not replayed by replicated partials — but a
+    // dim-side outer join below the swap routes fine).
+    val (leaves, joins) = flattenInnerJoins(join)
+    if (joins.isEmpty) return None
     val groupAttrs: Seq[AttributeReference] = a.groupingExpressions.map {
       case at: AttributeReference => at
       case _ => return None
@@ -840,7 +831,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
     // the aggregate leaves wins and a dim that happens to carry an
     // unrelated cube never blocks the rewrite.
     val candidates = leaves.collect {
-      case sv @ SessionView(n, sa)
+      case SessionView(n, sa)
           if routesFor(spark, n).exists(_.isInstanceOf[CubeSqlRoute]) =>
         (n, sa)
     }
@@ -875,7 +866,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
             routesFor(spark, name)
               .collect { case c: CubeSqlRoute => c }
               .filter(r => factNeeds.forall(r.groupCols.contains))
-              .flatMap(r => rewriteOnJoinCube(a, join, topCond, sa,
+              .flatMap(r => rewriteOnJoinCube(a, join, joins, topCond, sa,
                 groupAttrs, r))
           }
         }
@@ -883,7 +874,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       .headOption
   }
 
-  private def rewriteOnJoinCube(a: Aggregate, j: Join,
+  private def rewriteOnJoinCube(a: Aggregate, j: Join, spine: Seq[Join],
                                 topCond: Option[Expression],
                                 sa: SubqueryAlias,
                                 groupAttrs: Seq[AttributeReference],
@@ -934,21 +925,24 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     if (!newAggExprs.forall(_.isDefined)) return None
-    // swap the fact LEAF for the cube anywhere in the join tree and
-    // remap the conditions that reference it; joins whose condition
-    // never touches the fact (dim-dim links, joins internal to a dim
-    // subquery) pass through untouched
-    var condFailed = false
-    val newJoin = j.transformUp {
-      case p if p eq sa => cubePlan
-      case jn: Join if jn.condition.exists(
-          _.references.exists(sa.outputSet.contains)) =>
-        remap(jn.condition.get) match {
-          case Some(c) => jn.copy(condition = Some(c))
-          case None => condFailed = true; jn
-        }
+    // rebuild the SPINE only: swap the fact leaf for the cube, remap
+    // each spine join's condition, and treat everything else as an
+    // opaque leaf whose subtree is never descended — a blanket
+    // transformUp would walk INTO the fact session's own lazy plan (an
+    // edit-join / CTAS-from-join session holds internal joins), rebuild
+    // the alias, and break the identity the leaf swap keys on
+    // (r14 star review finding #1)
+    def rebuild(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case x if x eq sa => Some(cubePlan)
+      case jn: Join if spine.exists(_ eq jn) =>
+        for {
+          l <- rebuild(jn.left)
+          rr <- rebuild(jn.right)
+          c <- remap(jn.condition.get)
+        } yield jn.copy(left = l, right = rr, condition = Some(c))
+      case leaf => Some(leaf)
     }
-    if (condFailed) return None
+    val newJoin = rebuild(j).getOrElse(return None)
     r.onRoute()
     val child = newTop.map(c => Filter(c, newJoin): LogicalPlan)
       .getOrElse(newJoin)
@@ -1175,6 +1169,26 @@ object SqlRouting {
       case other => Seq(other)
     }
 
+  /** Flatten an INNER-join tree into (leaves, spine joins) — shared by
+    * the join-agg rewrite and the catalog's join-mv inference, which
+    * must agree on the servable shape. A non-inner or condition-less
+    * join becomes an OPAQUE LEAF: it cannot host the fact swap, but a
+    * dim-side outer join sitting BELOW the swap is harmless (per-cell
+    * replication is unaffected), so it must not decline the whole tree.
+    * Only inner conditioned joins form the rewritable spine.
+    */
+  private[graft] def flattenInnerJoins(
+      p: LogicalPlan): (Seq[LogicalPlan], Seq[Join]) = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    p match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        val (ll, lj) = flattenInnerJoins(j.left)
+        val (rl, rj) = flattenInnerJoins(j.right)
+        (ll ++ rl, lj ++ rj :+ j)
+      case leaf => (Seq(leaf), Nil)
+    }
+  }
+
   sealed trait SqlRoute { def onRoute: () => Unit }
 
   /** A range-clustered layout with a skipping index: `pruned(lo, hi)`
@@ -1276,9 +1290,24 @@ object SqlRouting {
     * view name (`EliminateSubqueryAliases` has not run yet at post-hoc
     * resolution time).
     */
+  /** A GENUINE session temp-view read: `SubqueryAlias(name, View(name,
+    * isTempView, …))` — exactly what the view window's
+    * `createOrReplaceTempView` resolves to. Matching any bare alias by
+    * name let a user's derived-table alias that SHADOWS a session name
+    * (`FROM (SELECT … FROM s WHERE p) s`) be swapped wholesale for the
+    * session's layout, silently dropping the subquery's own filter —
+    * found by the r14 star-join review, latent since the r9 cube
+    * rewrite. The View child is the discriminator: a derived table
+    * aliases a Project/Filter, never a View.
+    */
   private[plans] object SessionView {
     def unapply(p: LogicalPlan): Option[(String, SubqueryAlias)] = p match {
-      case sa: SubqueryAlias => Some((sa.alias, sa))
+      case sa: SubqueryAlias => sa.child match {
+        case v: View if v.isTempView &&
+            v.desc.identifier.table.equalsIgnoreCase(sa.alias) =>
+          Some((sa.alias, sa))
+        case _ => None
+      }
       case _ => None
     }
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.{Catalog, Tables}
+import graft.core.{Catalog, Positional, Tables}
 
 /** SQL-text routing through catalog layouts (r8 verdict task #4): a
   * range predicate in `catalog.sql` text must read the pruned file set
@@ -957,6 +957,32 @@ class SqlRoutingSpec extends SparkSpec {
       "a stale cube must not serve the join rewrite")
   }
 
+  test("a derived-table alias SHADOWING a session name never routes — the subquery's own filter must survive (r14 star review finding #2, latent since r9)") {
+    val cat = new Catalog(spark)
+    cat.open("li_sh", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.buildCubeLayout("li_sh", Seq("l_returnflag"), Seq("l_quantity"))
+    // the outer alias shadows the session name but wraps a FILTERED
+    // subquery — swapping it for the cube would drop the filter
+    val q =
+      """SELECT l_returnflag, count(*) AS n
+        |FROM (SELECT * FROM li_sh WHERE l_quantity > 30) li_sh
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val got = cat.sql(q)
+    assert(!plan(got).contains("catalog_cube_"),
+      s"a shadowing alias must not route; plan:\n${plan(got)}")
+    assert(got.collect().map(_.toSeq).toSeq ==
+      Tables.load(spark, sf, "lineitem").filter(col("l_quantity") > 30)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+    // while the bare name (a real view read) still routes
+    val bare = cat.sql(
+      """SELECT l_returnflag, count(*) AS n FROM li_sh
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(plan(bare).contains("catalog_cube_"),
+      s"an aliased genuine view read must still route; plan:\n${plan(bare)}")
+  }
+
   test("a STAR join (fact x two dims) routes via the multi-key fact cube; outer joins decline") {
     val cat = new Catalog(spark)
     cat.open("li_s", s"$sf/lineitem.parquet",
@@ -990,8 +1016,8 @@ class SqlRoutingSpec extends SparkSpec {
           .cast("double").as("rev"))
       .collect().map(_.toSeq).toSet
     assert(routed.collect().map(_.toSeq).toSet == want)
-    // an OUTER join anywhere in the tree declines — replicated partials
-    // do not replay null-extension
+    // an OUTER join on the SPINE path to the fact declines — replicated
+    // partials do not replay null-extension of the fact
     val outer = cat.sql(
       """SELECT s_name, count(*) AS n
         |FROM li_s
@@ -999,5 +1025,64 @@ class SqlRoutingSpec extends SparkSpec {
         |GROUP BY s_name""".stripMargin)
     assert(!plan(outer).contains("catalog_cube_"),
       "an outer join must fall back to the live plan")
+
+    // … but an outer join strictly BETWEEN DIMENSIONS (below the swap)
+    // is an opaque leaf and routes fine (r14 star review finding #3)
+    val dimOuter = cat.sql(
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS rev
+        |FROM sup_s LEFT JOIN part_s ON s_suppkey = p_partkey
+        |JOIN li_s ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    assert(plan(dimOuter).contains("catalog_cube_") &&
+      !plan(dimOuter).contains("l_orderkey"),
+      s"a dim-side outer join must not block the fact swap; " +
+        s"plan:\n${plan(dimOuter)}")
+    assert(dimOuter.collect().map(_.toSeq).toSet ==
+      Tables.load(spark, sf, "supplier")
+        .join(Tables.load(spark, sf, "part"),
+          col("s_suppkey") === col("p_partkey"), "left_outer")
+        .join(Tables.load(spark, sf, "lineitem"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice"), 6).cast("decimal(38,6)"))
+            .cast("double").as("rev"))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("a fact session whose OWN plan holds an internal join still swaps for the cube (r14 star review finding #1)") {
+    val cat = new Catalog(spark)
+    cat.open("li_ij", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("sup_ij", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    val s = cat.get("li_ij").get
+    // push the edit log past literalEditMax: the session plan now folds
+    // through a broadcast JOIN whose condition the old blanket
+    // transformUp would remap, rebuilding the alias and missing the
+    // identity-keyed leaf swap
+    assert(s.setCells("l_quantity", (0L until 40L).map(p => p -> "7.0")))
+    cat.buildCubeLayout("li_ij", Seq("l_suppkey"), Seq("l_quantity"))
+    val q =
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM li_ij JOIN sup_ij ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin
+    val routed = cat.sql(q)
+    assert(plan(routed).contains("catalog_cube_") &&
+      !plan(routed).contains("l_orderkey"),
+      s"the internal-join fact must still serve from its cube; " +
+        s"plan:\n${plan(routed)}")
+    assert(routed.collect().map(_.toSeq).toSet ==
+      Positional.strip(s.current)
+        .join(Tables.load(spark, sf, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+            .cast("double").as("qty"))
+        .collect().map(_.toSeq).toSet)
   }
 }
