@@ -60,7 +60,9 @@ trait CatalogDdl { self: Catalog =>
     "(?is)^\\s*describe\\s+history\\s+([A-Za-z_][\\w]*)\\s*;?\\s*$")
   private val descChanges = java.util.regex.Pattern.compile(
     "(?is)^\\s*describe\\s+changes\\s+([A-Za-z_][\\w]*)\\s+" +
-      "from\\s+version\\s+(\\d+)(?:\\s+to\\s+version\\s+(\\d+))?\\s*;?\\s*$")
+      "from\\s+(?:version\\s+(\\d+)|timestamp\\s+'([^']+)')" +
+      "(?:\\s+to\\s+(?:version\\s+(\\d+)|timestamp\\s+'([^']+)'))?" +
+      "\\s*;?\\s*$")
 
   private def infoFrame(schema: Seq[(String, DataType)],
                         rows: Seq[org.apache.spark.sql.Row]): DataFrame =
@@ -119,12 +121,26 @@ trait CatalogDdl { self: Catalog =>
     if (dc.matches()) {
       // the CDC read — classified rows, not an info frame; serving path
       // (log-served vs content diff) chosen by [[CatalogSnapshots
-      // .changes]]
+      // .changes]]. Endpoints accept VERSION <n> or TIMESTAMP '<ts>'
+      // (resolved against pins + retained epochs, the TIMESTAMP AS OF
+      // law — session zone for zoneless literals).
       val name = canonSession(dc.group(1)).getOrElse(throw
         new NoSuchElementException(
           s"no open session named '${dc.group(1)}'"))
-      return Some(changes(name, dc.group(2).toLong,
-        Option(dc.group(3)).map(_.toLong).getOrElse(-1L)))
+      def tsEpoch(text: String): Long = {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val micros = Cast(Literal(text),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        require(micros != null, s"not a timestamp: '$text'")
+        resolvePinAt(name, micros.asInstanceOf[Long])
+      }
+      val from = Option(dc.group(2)).map(_.toLong)
+        .getOrElse(tsEpoch(dc.group(3)))
+      val to = Option(dc.group(4)).map(_.toLong)
+        .orElse(Option(dc.group(5)).map(tsEpoch))
+        .getOrElse(-1L)
+      return Some(changes(name, from, to))
     }
     None
   }

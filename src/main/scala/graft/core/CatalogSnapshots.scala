@@ -330,7 +330,7 @@ trait CatalogSnapshots { self: Catalog =>
     * Cross-PROCESS time travel remains the pins' job — history and
     * stamps die with the process by design.
     */
-  private def resolvePinAt(name: String, tsMicros: Long): Long = {
+  private[core] def resolvePinAt(name: String, tsMicros: Long): Long = {
     val pinned = pins.collect {
       case ((n, e), sn)
           if n == name && sn.pinnedAtMicros != Long.MinValue &&

@@ -148,6 +148,40 @@ class ChangeFeedSpec extends SparkSpec {
     assert(none.isEmpty && none.columns.contains("_change_type"))
   }
 
+  test("DESCRIBE CHANGES FROM TIMESTAMP resolves endpoints via the time-travel law") {
+    val cat = new Catalog(spark)
+    val s = openOrders(cat, "cdc8")
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    var now = micros("2027-01-01T00:00:00Z")
+    s.epochClock = () => now
+    cat.sql("UPDATE cdc8 SET o_orderstatus = 'A' WHERE o_orderkey = 3")
+    now = micros("2027-02-01T00:00:00Z")
+    cat.sql("UPDATE cdc8 SET o_orderstatus = 'B' WHERE o_orderkey = 8")
+    // FROM a mid-January instant → the first update's epoch is the
+    // floor, so only the SECOND update is in the span
+    val ch = cat.sql(
+      "DESCRIBE CHANGES cdc8 FROM TIMESTAMP '2027-01-15 00:00:00+00:00'")
+      .collect()
+    val post = ch.filter(_.getAs[String]("_change_type") ==
+      "update_postimage")
+    assert(post.length == 1 && post.head.getAs[Long]("o_orderkey") == 8L,
+      s"a timestamp endpoint must resolve like TIMESTAMP AS OF; got " +
+        s"${ch.map(_.toSeq).mkString(", ")}")
+    // TO a mid-January instant → empty span (both endpoints resolve to
+    // the first update's epoch)
+    assert(cat.sql(
+      """DESCRIBE CHANGES cdc8
+        |FROM TIMESTAMP '2027-01-10 00:00:00+00:00'
+        |TO TIMESTAMP '2027-01-20 00:00:00+00:00'""".stripMargin).isEmpty)
+    // an instant before any retained epoch fails fast, same contract as
+    // TIMESTAMP AS OF
+    intercept[NoSuchElementException] {
+      cat.sql(
+        "DESCRIBE CHANGES cdc8 FROM TIMESTAMP '1990-01-01 00:00:00+00:00'")
+    }
+  }
+
   test("a schema change inside the span fails fast; a reversed span is rejected") {
     val cat = new Catalog(spark)
     val s = openOrders(cat, "cdc6")
