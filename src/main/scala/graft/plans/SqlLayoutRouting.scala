@@ -824,15 +824,16 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case at: AttributeReference => at
       case _ => return None
     }
-    // candidate fact sides: a cube-backed session-view LEAF of the join
-    // tree. When several qualify structurally each is tried in turn —
-    // measure ownership is decided by the rewrite itself (cubeAggExpr
-    // declines a leaf referencing another side), so the side that owns
-    // the aggregate leaves wins and a dim that happens to carry an
-    // unrelated cube never blocks the rewrite.
+    // candidate fact sides: a cube- or pairs-backed session-view LEAF
+    // of the join tree. When several qualify structurally each is tried
+    // in turn — measure ownership is decided by the rewrite itself
+    // (the leaf translators decline a leaf referencing another side),
+    // so the side that owns the aggregate leaves wins and a dim that
+    // happens to carry an unrelated layout never blocks the rewrite.
     val candidates = leaves.collect {
       case SessionView(n, sa)
-          if routesFor(spark, n).exists(_.isInstanceOf[CubeSqlRoute]) =>
+          if routesFor(spark, n).exists(r =>
+            r.isInstanceOf[CubeSqlRoute] || r.isInstanceOf[PairsSqlRoute]) =>
         (n, sa)
     }
     candidates.view.flatMap { case (name, sa) =>
@@ -863,32 +864,50 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
               groupAttrs.filter(sa.outputSet.contains).map(_.name) ++
               topCond.toSeq.flatMap(_.references.toSeq
                 .filter(sa.outputSet.contains).map(_.name))).distinct
-            routesFor(spark, name)
+            val cubeHits = routesFor(spark, name)
               .collect { case c: CubeSqlRoute => c }
               .filter(r => factNeeds.forall(r.groupCols.contains))
-              .flatMap(r => rewriteOnJoinCube(a, join, joins, topCond, sa,
-                groupAttrs, r))
+              .flatMap(r => rewriteOnJoinLayout(a, join, joins, topCond,
+                sa, groupAttrs, r.served,
+                cubeAggExpr(sa, r.groupCols, r.measures, _), r.onRoute))
+            // a pure count(DISTINCT col) through the join re-distincts
+            // the stored pairs tuples — replication per dim match never
+            // changes a group's distinct set, so the answer is exact
+            // for any dim multiplicity, same as the cube argument
+            lazy val pairsHits = routesFor(spark, name)
+              .collect { case p: PairsSqlRoute => p }
+              .filter(r => factNeeds.forall(r.groupCols.contains))
+              .flatMap(r => rewriteOnJoinLayout(a, join, joins, topCond,
+                sa, groupAttrs, r.served,
+                pairsAggExpr(sa, r.col, _), r.onRoute))
+            if (cubeHits.nonEmpty) cubeHits else pairsHits
           }
         }
       }
       .headOption
   }
 
-  private def rewriteOnJoinCube(a: Aggregate, j: Join, spine: Seq[Join],
-                                topCond: Option[Expression],
-                                sa: SubqueryAlias,
-                                groupAttrs: Seq[AttributeReference],
-                                r: CubeSqlRoute): Option[LogicalPlan] = {
-    val cubePlan = r.served().queryExecution.analyzed
+  private def rewriteOnJoinLayout(a: Aggregate, j: Join, spine: Seq[Join],
+                                  topCond: Option[Expression],
+                                  sa: SubqueryAlias,
+                                  groupAttrs: Seq[AttributeReference],
+                                  served: () => DataFrame,
+                                  aggTranslate: Map[String, Attribute] =>
+                                    AggregateExpression =>
+                                      Option[Expression],
+                                  onRoute: () => Unit)
+      : Option[LogicalPlan] = {
+    val cubePlan = served().queryExecution.analyzed
     val byName = cubePlan.output.map(o => o.name -> o).toMap
-    // One translator, two modes: fact attrs remap onto cube columns
-    // (group cols only — a measure reference has no cube column and
-    // declines); dim attrs pass untouched; aggregate leaves re-merge
-    // through [[cubeAggExpr]] only where aggregates are legal (the
-    // aggregate list — a join/WHERE condition never holds one). A
-    // subquery expression whose outer references reach the fact side
-    // declines: the generic rewrite would remap the outerAttrs children
-    // but not the OuterReference nodes INSIDE the subquery plan, and
+    // One translator, two modes: fact attrs remap onto the layout's
+    // columns (group cols only — a measure reference has no stored
+    // column and declines); dim attrs pass untouched; aggregate leaves
+    // re-merge through `aggTranslate` ([[cubeAggExpr]] or
+    // [[pairsAggExpr]]) only where aggregates are legal (the aggregate
+    // list — a join/WHERE condition never holds one). A subquery
+    // expression whose outer references reach the fact side declines:
+    // the generic rewrite would remap the outerAttrs children but not
+    // the OuterReference nodes INSIDE the subquery plan, and
     // decorrelation would then join on an attribute the replaced fact
     // subtree no longer produces.
     def trans(aggCase: Boolean)(e: Expression): Option[Expression] =
@@ -897,7 +916,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
           if (se.references.exists(sa.outputSet.contains)) None
           else Some(se)
         case ae: AggregateExpression if aggCase =>
-          cubeAggExpr(sa, r.groupCols, r.measures, byName)(ae)
+          aggTranslate(byName)(ae)
         case at: AttributeReference if sa.outputSet.contains(at) =>
           byName.get(at.name)
         case at: AttributeReference => Some(at)
@@ -943,7 +962,7 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
       case leaf => Some(leaf)
     }
     val newJoin = rebuild(j).getOrElse(return None)
-    r.onRoute()
+    onRoute()
     val child = newTop.map(c => Filter(c, newJoin): LogicalPlan)
       .getOrElse(newJoin)
     Some(Aggregate(newGroup, newAggExprs.map(_.get), child, None))

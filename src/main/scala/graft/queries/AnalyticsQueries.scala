@@ -1624,6 +1624,33 @@ object AnalyticsQueries {
           |WHERE l_returnflag = 'A'
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    /** count(DISTINCT) THROUGH A JOIN (r14): the stored pairs tuples
+      * re-distinct against the dimension — replication per dim match
+      * never changes a group's distinct set, so per-dim-attribute
+      * distinct counts are exact for any dim multiplicity while the
+      * fact table is never scanned (fixture-required plan). Oracle: the
+      * same join over the raw tables.
+      */
+    "a_sql_join_distinct" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"joinDistinctCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.openFrom("li_jq", Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"))
+        c.openFrom("sup_jq", Tables.load(s, dir, "supplier"),
+          Seq("s_suppkey"))
+        c.buildPairsLayout("li_jq", Seq("l_suppkey"), "l_partkey")
+        c
+      }
+      val df = cat.sql(
+        """SELECT s_name, count(DISTINCT l_partkey) AS parts
+          |FROM li_jq JOIN sup_jq ON l_suppkey = s_suppkey
+          |GROUP BY s_name ORDER BY s_name""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      require(p.contains("catalog_pairs_") && !p.contains("l_orderkey"),
+        s"the join distinct must re-distinct stored pairs; plan: $p")
+      df
+    }),
+
     /** The MIXED aggregate (r10 verdict task #5): `count(DISTINCT)` next
       * to `count(*)`/`sum` in one GROUP BY, which NO single layout can
       * serve — [[graft.plans.SqlLayoutRouting]] splits it, re-merging
@@ -3742,6 +3769,12 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS cd_partkey
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "a_sql_join_distinct" ->
+      """SELECT s_name,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     /** The mixed rewrite must land on exactly the single-scan answer:
       * the distinct side re-distincts pairs, the rest re-merges cube

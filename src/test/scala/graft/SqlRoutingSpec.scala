@@ -1052,6 +1052,74 @@ class SqlRoutingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("the canonical avg quotient re-merges THROUGH a join; per-dim averages exact under replication") {
+    val cat = new Catalog(spark)
+    cat.open("li_ja", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("sup_ja", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    cat.buildCubeLayout("li_ja", Seq("l_suppkey"), Seq("l_quantity"))
+    val routed = cat.sql(
+      """SELECT s_name,
+        |  round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+        |FROM li_ja JOIN sup_ja ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin)
+    val p = plan(routed)
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"both quotient leaves must re-merge through the join; plan:\n$p")
+    val live = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(round(sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy("s_name")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live.collect().map(_.toSeq).toSeq)
+  }
+
+  test("count(DISTINCT) re-distincts stored pairs THROUGH a join — exact under replication") {
+    val cat = new Catalog(spark)
+    cat.open("li_jp", s"$sf/lineitem.parquet",
+      orderCols = Seq("l_orderkey", "l_linenumber"))
+    cat.open("sup_jp", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    cat.buildPairsLayout("li_jp", Seq("l_suppkey"), "l_partkey")
+    val q =
+      """SELECT s_name, count(DISTINCT l_partkey) AS parts
+        |FROM li_jp JOIN sup_jp ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin
+    val routed = cat.sql(q)
+    val p = plan(routed)
+    assert(p.contains("catalog_pairs_") && !p.contains("l_orderkey"),
+      s"the distinct must re-distinct the stored pairs through the " +
+        s"join; plan:\n$p")
+    def live(dim: org.apache.spark.sql.DataFrame) =
+      Tables.load(spark, sf, "lineitem")
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(countDistinct(col("l_partkey")).as("parts"))
+        .orderBy("s_name").collect().map(_.toSeq).toSeq
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      live(Tables.load(spark, sf, "supplier")))
+    // duplicated dim keys never change a group's distinct set
+    val dup = Tables.load(spark, sf, "supplier")
+    cat.openFrom("sup_jpd", dup.unionByName(dup),
+      orderCols = Seq("s_suppkey"))
+    val dupRouted = cat.sql(q.replace("sup_jp", "sup_jpd"))
+    assert(plan(dupRouted).contains("catalog_pairs_"))
+    assert(dupRouted.collect().map(_.toSeq).toSeq ==
+      live(dup.unionByName(dup)))
+    // a mixed count(*) + distinct through the join has no single-layout
+    // translation: falls back to the live join
+    val mixed = cat.sql(
+      """SELECT s_name, count(*) AS n, count(DISTINCT l_partkey) AS parts
+        |FROM li_jp JOIN sup_jp ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    assert(!plan(mixed).contains("catalog_pairs_") &&
+      !plan(mixed).contains("catalog_cube_"),
+      "a mixed distinct+count join aggregate must serve live")
+  }
+
   test("a fact session whose OWN plan holds an internal join still swaps for the cube (r14 star review finding #1)") {
     val cat = new Catalog(spark)
     cat.open("li_ij", s"$sf/lineitem.parquet",
