@@ -1464,6 +1464,58 @@ object MaintenanceQueries {
         .orderBy("change_type", "o_orderkey")
     }),
 
+    /** CDC round-trip (r14): the change feed APPLIED to a replica
+      * converges it to the source — the incremental-consumer law that
+      * makes the feed useful (a downstream sync never re-copies the
+      * table). Replica forked by CTAS at the from-epoch; after a DML
+      * burst on the source, one keyed DELETE (delete + update_preimage
+      * rows) and one INSERT (insert + update_postimage rows) driven by
+      * the feed itself reproduce the source exactly. Oracle: the same
+      * final state from the base table.
+      */
+    "o_sql_cdc_sync" -> ((s, dir) => {
+      val cat = SessionScoped.memo(s, s"sqlCdcSyncCatalog:$dir") {
+        val c = new graft.core.Catalog(s)
+        c.open("cdsrc", s"$dir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        val e0 = c.get("cdsrc").get.epoch
+        c.sql("CREATE TABLE cdrep AS SELECT * FROM cdsrc")
+        c.sql("UPDATE cdsrc SET o_orderstatus = 'U' " +
+          "WHERE o_orderkey % 997 = 3")
+        c.sql("DELETE FROM cdsrc WHERE o_orderkey % 997 = 5")
+        c.sql(
+          """INSERT INTO cdsrc
+            |SELECT o_orderkey + 5000000, o_custkey, o_orderstatus,
+            |  o_totalprice, o_orderdate, o_orderpriority
+            |FROM cdsrc WHERE o_orderkey % 997 = 7""".stripMargin)
+        // the feed itself drives the sync — no table re-copy
+        c.openFrom("cdfeed", c.changes("cdsrc", e0), Seq("o_orderkey"))
+        c.sql(
+          """DELETE FROM cdrep WHERE o_orderkey IN (
+            |  SELECT o_orderkey FROM cdfeed
+            |  WHERE _change_type IN ('delete', 'update_preimage'))"""
+            .stripMargin)
+        c.sql(
+          """INSERT INTO cdrep
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM cdfeed
+            |WHERE _change_type IN ('insert', 'update_postimage')"""
+            .stripMargin)
+        // the law itself: replica == source, row for row
+        val diff = c.sql(
+          """(SELECT * FROM cdrep EXCEPT ALL SELECT * FROM cdsrc)
+            |UNION ALL
+            |(SELECT * FROM cdsrc EXCEPT ALL SELECT * FROM cdrep)"""
+            .stripMargin).count()
+        require(diff == 0L, s"fixture: sync must converge, diff=$diff")
+        c
+      }
+      cat.sql(
+        """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+          |FROM cdrep ORDER BY o_orderkey""".stripMargin)
+    }),
+
     /** `COPY INTO` (r14): SQL bulk file ingest — a CSV lands in the
       * session through the SAME append gesture as INSERT (lazy scan
       * plan, mutation-log RowInserts, layouts delta-patch on the next
@@ -2457,6 +2509,24 @@ object MaintenanceQueries {
         |      UNION ALL
         |      SELECT o_orderkey + 7000000, o_orderstatus, o_totalprice
         |      FROM orders WHERE o_orderkey % 101 = 9) t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the synced replica's expected final state, reconstructed from the
+    // base table by the DML predicates
+    "o_sql_cdc_sync" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 997 = 3 THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 997 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000,
+        |    CASE WHEN o_orderkey % 997 = 3 THEN 'U'
+        |         ELSE o_orderstatus END,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 997 = 7) t
         |ORDER BY o_orderkey""".stripMargin,
 
     "o_sql_lifecycle" ->
