@@ -127,14 +127,13 @@ trait CatalogDdl { self: Catalog =>
       val name = canonSession(dc.group(1)).getOrElse(throw
         new NoSuchElementException(
           s"no open session named '${dc.group(1)}'"))
-      def tsEpoch(text: String): Long = {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-        val micros = Cast(Literal(text),
-          org.apache.spark.sql.types.TimestampType,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
-        require(micros != null, s"not a timestamp: '$text'")
-        resolvePinAt(name, micros.asInstanceOf[Long])
-      }
+      // the SAME literal folding `TIMESTAMP AS OF` uses (session zone,
+      // Catalyst cast) — one law, two surfaces (r14 review, 3rd pass)
+      def tsEpoch(text: String): Long =
+        resolvePinAt(name, tsOperandMicros(
+          org.apache.spark.sql.catalyst.expressions.Literal(text))
+          .getOrElse(throw new IllegalArgumentException(
+            s"not a timestamp: '$text'")))
       val from = Option(dc.group(2)).map(_.toLong)
         .getOrElse(tsEpoch(dc.group(3)))
       val to = Option(dc.group(4)).map(_.toLong)

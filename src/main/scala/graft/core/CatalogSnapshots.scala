@@ -375,7 +375,7 @@ trait CatalogSnapshots { self: Catalog =>
     * zone for zoneless literals); None when it isn't a foldable
     * timestamp-castable expression.
     */
-  private def tsOperandMicros(
+  private[core] def tsOperandMicros(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.TimestampType

@@ -864,11 +864,15 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
               groupAttrs.filter(sa.outputSet.contains).map(_.name) ++
               topCond.toSeq.flatMap(_.references.toSeq
                 .filter(sa.outputSet.contains).map(_.name))).distinct
+            // .view: rewriteOnJoinLayout fires served()/onRoute() side
+            // effects, so a strict flatMap over several covering routes
+            // would record 'sql-routed' reports for rewrites the
+            // headOption then discards (r14 review, 3rd pass)
             val cubeHits = routesFor(spark, name)
               .collect { case c: CubeSqlRoute => c }
               .filter(r => factNeeds.forall(r.groupCols.contains))
-              .flatMap(r => rewriteOnJoinLayout(a, join, joins, topCond,
-                sa, groupAttrs, r.served,
+              .view.flatMap(r => rewriteOnJoinLayout(a, join, joins,
+                topCond, sa, groupAttrs, r.served,
                 cubeAggExpr(sa, r.groupCols, r.measures, _), r.onRoute))
             // a pure count(DISTINCT col) through the join re-distincts
             // the stored pairs tuples — replication per dim match never
@@ -877,8 +881,8 @@ case class SqlLayoutRouting(spark: SparkSession) extends Rule[LogicalPlan] {
             lazy val pairsHits = routesFor(spark, name)
               .collect { case p: PairsSqlRoute => p }
               .filter(r => factNeeds.forall(r.groupCols.contains))
-              .flatMap(r => rewriteOnJoinLayout(a, join, joins, topCond,
-                sa, groupAttrs, r.served,
+              .view.flatMap(r => rewriteOnJoinLayout(a, join, joins,
+                topCond, sa, groupAttrs, r.served,
                 pairsAggExpr(sa, r.col, _), r.onRoute))
             if (cubeHits.nonEmpty) cubeHits else pairsHits
           }

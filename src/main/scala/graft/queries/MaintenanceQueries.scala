@@ -2522,10 +2522,7 @@ object MaintenanceQueries {
         |    o_totalprice
         |  FROM orders WHERE o_orderkey % 997 <> 5
         |  UNION ALL
-        |  SELECT o_orderkey + 5000000,
-        |    CASE WHEN o_orderkey % 997 = 3 THEN 'U'
-        |         ELSE o_orderstatus END,
-        |    o_totalprice
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 997 = 7) t
         |ORDER BY o_orderkey""".stripMargin,
 
