@@ -153,6 +153,47 @@ class StreamingIngestSpec extends SparkSpec {
       "the mv must serve the post-ingest answer")
   }
 
+  test("a JOIN mv over a stream-ingested fact serves post-batch state via eager aggregation (r14)") {
+    val full = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val (head, feed) = writeSlices(full, parts = 2)
+    val cat = new Catalog(spark)
+    cat.openFrom("ingjf", head, Seq("l_orderkey", "l_linenumber"))
+    cat.open("ingjd", s"$sf/supplier.parquet", orderCols = Seq("s_suppkey"))
+    // the join-mv CREATE infers the fact cube keyed by the join key —
+    // the cube the stream will then maintain
+    cat.sql(
+      """CREATE MATERIALIZED VIEW ingjv AS
+        |SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS qty
+        |FROM ingjf JOIN ingjd ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    val pathBefore = cat.layoutsOf("ingjf").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c.path
+    }.get
+    EventStreams.appendMaintain(spark, feed, cat, "ingjf", "st_ingest_jmv")
+    val read = cat.sql("SELECT * FROM ingjv ORDER BY s_name")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("catalog_cube_") && !p.contains("l_orderkey"),
+      s"the join mv over a streamed fact must serve via eager " +
+        s"aggregation; plan:\n$p")
+    assert(cat.layoutsOf("ingjf").collectFirst {
+      case (_, c: Catalog.CubeLayout) => c.path
+    }.get == pathBefore,
+      "streamed appends must patch the join-mv's cube, never rebuild it")
+    val want = full
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity"), 6).cast("decimal(38,6)"))
+          .cast("double").as("qty"))
+      .orderBy("s_name").collect().map(_.toSeq).toSeq
+    assert(read.collect().map(_.toSeq).toSeq == want,
+      "the join mv must serve the post-ingest answer")
+  }
+
   test("streamed document appends delta-patch the LSH index; probes see the new docs") {
     val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
     // known 3-gram near-dup pairs of the sf0.001 fixture, one side each:
