@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.core.{EditorSession, Tables}
+
+/** r14 phase profiler: per-phase wall times inside the composite bench
+  * workloads (r_ingest_cycle, r_edit_refresh, r_dml_refresh, v_ann_pq,
+  * r1_edit_burst_1k) so the optimization targets are measured, not
+  * guessed. Dev tool, not part of the driver contract.
+  */
+object ProfileR14 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    // warmup at sf0.001: classloading + codegen
+    {
+      val wd = "/root/testdata/sf0.001"
+      val c = new graft.core.Catalog(spark)
+      c.open("w", s"$wd/lineitem.parquet", orderCols = Seq("l_orderkey", "l_linenumber"))
+      c.buildCubeLayout("w", Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val sess = c.get("w").get
+      val b = graft.core.Positional.strip(sess.current).limit(512)
+      sess.appendRows(b); c.refreshStale("w")
+      c.aggregate("w", Seq("l_returnflag"), Seq("l_quantity")).count()
+      val embs = Tables.load(spark, wd, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      graft.operators.Similarity.pqTopK(
+        embs.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10).count()
+    }
+
+    (1 to 2).foreach { round =>
+      println(s"===== round $round =====")
+
+      println("--- r_ingest_cycle ---")
+      t("TOTAL r_ingest_cycle") {
+        val cat = new graft.core.Catalog(spark)
+        t("open(attachPos+pin)")(cat.open("bench_ing", s"$sfDir/lineitem.parquet",
+          orderCols = Seq("l_orderkey", "l_linenumber")))
+        t("buildCubeLayout")(cat.buildCubeLayout("bench_ing",
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
+        val sess = cat.get("bench_ing").get
+        val batch = t("batch limit(512)")(
+          graft.core.Positional.strip(sess.current).limit(512))
+        (0 until 3).foreach { i =>
+          t(s"appendRows#$i")(sess.appendRows(batch))
+          t(s"refreshStale#$i")(cat.refreshStale("bench_ing"))
+          t(s"aggregate#$i")(cat.aggregate("bench_ing",
+            Seq("l_returnflag"), Seq("l_quantity")).count())
+        }
+      }
+
+      println("--- v_ann_pq ---")
+      t("TOTAL v_ann_pq") {
+        val embs = Tables.load(spark, sfDir, "embeddings")
+        val q = t("query head()")(embs.filter(col("vec_id") === 0L).head()
+          .getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+        t("pqTopK")(graft.operators.Similarity.pqTopK(
+          embs.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10).count())
+      }
+
+      println("--- r1_edit_burst_1k ---")
+      t("TOTAL r1_edit_burst_1k") {
+        val sess = t("open")(EditorSession.fromDataFrame(
+          Tables.load(spark, sfDir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
+        t("1000 setCell") {
+          var i = 0
+          while (i < 1000) { sess.setCell(i.toLong, "l_quantity", "42"); i += 1 }
+        }
+        t("count")(sess.current.filter(col("l_quantity") === 42.0).count())
+      }
+
+      println("--- r46_delete_splice ---")
+      t("TOTAL r46_delete_splice") {
+        val sess = t("open46")(EditorSession.fromDataFrame(
+          Tables.load(spark, sfDir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
+        t("deleteRows")(sess.deleteRows(Seq(0L, 1L)))
+        t("cut")(sess.cut(Seq(10L, 11L, 12L)))
+        t("paste")(sess.paste(5L))
+        t("rowCount")(sess.rowCount)
+      }
+    }
+    spark.stop()
+  }
+}
