@@ -315,7 +315,7 @@ object Similarity {
              k: Int, m: Int = 8, codebookSize: Int = 16,
              roundTo: Int = 6): DataFrame = {
     val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
-    val adist = pqAdistCol(seeds, query, m, roundTo)
+    val adist = pqAdistCol(df, seeds, query, m, roundTo)
     df.select(col(idCol).as("id"), col(vecCol).as("__x"))
       .select(col("id"), round(adist, roundTo).as("adist"))
       .orderBy(col("adist"), col("id"))
@@ -361,32 +361,26 @@ object Similarity {
       })
   }
 
-  /** Per-subspace PQ code expressions over a vector column bound as
-    * `__x`: for each subspace j, the argmin over codewords of
-    * round-`roundTo` squared L2 (codeword-index tiebreak) — one codegen'd
-    * projection, no shuffle. Returned as m SEPARATE columns so callers
-    * that consume one code per subspace (the ADC fold) never wrap them in
-    * an array: `element_at(array(codes...), j)` would re-evaluate every
-    * subspace's argmin per lookup (measured 7× on the bench corpus).
+  /** The PQ codes array (one int per subspace) over a vector column bound
+    * as `__x`, via the native [[graft.functions.PqEncode]] expression: the
+    * argmin over codewords of round-`roundTo` squared L2 (codeword-index
+    * tiebreak) as ONE compiled-loop expression node — bit-identical to the
+    * original higher-order-function formulation (same fold order, same
+    * `round`, same argmin/null laws; see PqExpressions' scaladoc), but
+    * neither interpreted per-lambda (the HOF cost: the encode Project ran
+    * outside every codegen span) nor an 8k-node unrolled tree (whose
+    * analyzer/optimizer cost exceeded the runtime win — measured 1.9 s →
+    * 3.3 s at sf0.1).
     */
-  private def pqCodeExprs(seeds: Array[scala.collection.Seq[Float]],
-                          m: Int, roundTo: Int): IndexedSeq[Column] = {
+  private def pqCodesCol(df: DataFrame,
+                         seeds: Array[scala.collection.Seq[Float]],
+                         m: Int, roundTo: Int): Column = {
     val dim = seeds.headOption.map(_.length)
       .getOrElse(throw new IllegalArgumentException("empty codebook"))
     require(dim % m == 0, "m must divide the vector dimension")
-    val sub = dim / m
-    val codebook = pqSlices(seeds, m, sub)
-    def dsub(j: Int, cw: Array[Float]): Column =
-      aggregate(zip_with(slice(col("__x"), j * sub + 1, sub),
-          array(cw.toIndexedSeq.map(lit): _*),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-    def code(j: Int): Column =
-      array_min(array(codebook(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
-        struct(round(dsub(j, cw), roundTo).as("d"), lit(c).as("cw"))
-      }: _*))("cw")
-    (0 until m).map(code)
+    graft.functions.PqExpressions.register(df.sparkSession)
+    call_function(graft.functions.PqExpressions.ENCODE_FN, col("__x"),
+      graft.functions.PqExpressions.codebookLit(seeds, m), lit(roundTo))
   }
 
   /** The query's approximate squared distance from per-subspace code
@@ -396,20 +390,28 @@ object Similarity {
     */
   private def pqLookupCol(table: Array[Array[Double]],
                           codes: IndexedSeq[Column]): Column =
-    aggregate(
-      array(table.indices.map(j =>
-        element_at(array(table(j).toIndexedSeq.map(lit): _*),
-          codes(j) + 1)): _*),
-      lit(0.0), (acc, x) => acc + x)
+    // unrolled left-assoc sum (not aggregate-over-array): the HOF fold
+    // evaluates interpreted, and at m=8 terms the unrolled tree is tiny;
+    // identical fold order from 0.0
+    table.indices.foldLeft(lit(0.0)) { (acc, j) =>
+      acc + element_at(array(table(j).toIndexedSeq.map(lit): _*),
+        codes(j) + 1)
+    }
 
   /** Approximate-squared-distance column over a vector column bound as
-    * `__x`: per-subspace argmin encoding against the seed codebook, then
-    * the query's ADC table lookups folded in subspace order. Unrounded —
-    * callers round once at the output boundary.
+    * `__x`, via the native [[graft.functions.PqAdist]] expression (encode
+    * + ADC lookup in one compiled loop; bit-identical to the composed
+    * form — see [[pqCodesCol]]). Unrounded — callers round once at the
+    * output boundary.
     */
-  private def pqAdistCol(seeds: Array[scala.collection.Seq[Float]],
-                         query: Seq[Float], m: Int, roundTo: Int): Column =
-    pqLookupCol(pqAdcTable(seeds, query, m), pqCodeExprs(seeds, m, roundTo))
+  private def pqAdistCol(df: DataFrame,
+                         seeds: Array[scala.collection.Seq[Float]],
+                         query: Seq[Float], m: Int, roundTo: Int): Column = {
+    graft.functions.PqExpressions.register(df.sparkSession)
+    call_function(graft.functions.PqExpressions.ADIST_FN, col("__x"),
+      graft.functions.PqExpressions.codebookLit(seeds, m), lit(roundTo),
+      graft.functions.PqExpressions.tableLit(pqAdcTable(seeds, query, m)))
+  }
 
   /** The deterministic PQ codebook for a corpus — the `codebookSize`
     * smallest-id vectors (see [[pqTopK]]'s scaladoc for why seeding is
@@ -431,7 +433,7 @@ object Similarity {
               seeds: Array[scala.collection.Seq[Float]], m: Int = 8,
               roundTo: Int = 6): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("__x"))
-      .select(col("id"), array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+      .select(col("id"), pqCodesCol(df, seeds, m, roundTo).as("codes"))
 
   /** ANN top-k over an ALREADY-ENCODED corpus (the output of [[pqCodes]],
     * in memory or re-read from parquet): the query builds its m ×
@@ -475,18 +477,12 @@ object Similarity {
                           seeds: Array[scala.collection.Seq[Float]],
                           m: Int = 8, roundTo: Int = 6): DataFrame = {
     val dim = seeds.head.length
-    val sub = dim / m
-    val codebook = pqSlices(seeds, m, sub)
-    def dsub(j: Int, cw: Array[Float]): Column =
-      aggregate(zip_with(slice(col("__x"), j * sub + 1, sub),
-          array(cw.toIndexedSeq.map(lit): _*),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-    val err = (0 until m).map(j =>
-        array_min(array(codebook(j).toIndexedSeq.map(cw =>
-          round(dsub(j, cw), roundTo)): _*)))
-      .reduce(_ + _)
+    require(dim % m == 0, "m must divide the vector dimension")
+    // native compiled loop, same fold/round/argmin laws — see [[pqCodesCol]]
+    graft.functions.PqExpressions.register(df.sparkSession)
+    val err = call_function(graft.functions.PqExpressions.MIN_DIST_FN,
+      col("__x"), graft.functions.PqExpressions.codebookLit(seeds, m),
+      lit(roundTo))
     df.select(col(idCol).as("id"), col(vecCol).as("__x"))
       .select(col("id"), err.as("__e"))
       .agg(count(lit(1)).as("n"), round(sum(col("__e")), roundTo)
@@ -522,14 +518,10 @@ object Similarity {
   private[graft] def pqRefineMeans(df: DataFrame, idCol: String,
       vecCol: String, seeds: Array[scala.collection.Seq[Float]], m: Int,
       sub: Int, roundTo: Int): DataFrame = {
-    val codes = pqCodeExprs(seeds, m, roundTo)
     df.select(col(idCol).as("id"), col(vecCol).as("__x"))
       // codes in their OWN projection, the explode in the next: the m
-      // argmins run ONCE per row before the ×dim explode, and the
-      // argmin's struct-field access resolves before the generator
-      // select (mixing both in one select strips the struct aliases at
-      // analysis: FIELD_NOT_FOUND `cw`)
-      .select(col("__x"), array(codes: _*).as("__codes"))
+      // argmins run ONCE per row before the ×dim explode
+      .select(col("__x"), pqCodesCol(df, seeds, m, roundTo).as("__codes"))
       .select(col("__codes"), posexplode(col("__x")).as(Seq("dim", "x")))
       .select(col("dim"), col("x"),
         (col("dim") / sub).cast("int").as("j"),
@@ -602,7 +594,7 @@ object Similarity {
     val (assigned, cents) = ivfAssign(df, idCol, vecCol, nCentroids, iters = 0)
     val probe = probeCells(cents, query, nProbe)
     val seeds = codebookSeeds(df, idCol, vecCol, codebookSize)
-    val adist = pqAdistCol(seeds, query, m, roundTo)
+    val adist = pqAdistCol(df, seeds, query, m, roundTo)
     assigned.filter(col("__ivf_cid").isInCollection(probe))
       .select(col(idCol).as("id"), col(vecCol).as("__x"))
       .select(col("id"), round(adist, roundTo).as("adist"))
@@ -626,7 +618,7 @@ object Similarity {
     val codes = assigned
       .select(col(idCol).as("id"), col("__ivf_cid"), col(vecCol).as("__x"))
       .select(col("id"), col("__ivf_cid"),
-        array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+        pqCodesCol(df, seeds, m, roundTo).as("codes"))
     (codes, cents, seeds)
   }
 
@@ -649,7 +641,7 @@ object Similarity {
     df.select(col(idCol).as("id"), cid.as("__ivf_cid"),
         col(vecCol).as("__x"))
       .select(col("id"), col("__ivf_cid"),
-        array(pqCodeExprs(seeds, m, roundTo): _*).as("codes"))
+        pqCodesCol(df, seeds, m, roundTo).as("codes"))
   }
 
   /** IVF-PQ search over an already-built codes relation (the output of
