@@ -70,6 +70,37 @@ object ProfileR14 {
         }
       }
 
+      println("--- refresh internals (cube patch after 512-row append) ---")
+      locally {
+        val cat = new graft.core.Catalog(spark)
+        cat.open("prof_rf", s"$sfDir/lineitem.parquet",
+          orderCols = Seq("l_orderkey", "l_linenumber"))
+        cat.buildCubeLayout("prof_rf", Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity"))
+        val sess = cat.get("prof_rf").get
+        val batch = graft.core.Positional.strip(sess.current).limit(512)
+        val at = sess.rowCount
+        sess.appendRows(batch)
+        val pos = (at until at + 512).toSeq
+        val keyExpr = to_json(struct(col("l_returnflag"), col("l_linestatus")))
+        val dirtyKeys = t("affectedGroupKeys-like") {
+          sess.current.filter(col("__pos").isInCollection(pos))
+            .select(keyExpr.as("id")).distinct().collect().map(_.getString(0))
+        }
+        val affected = graft.core.Positional.strip(sess.current)
+          .filter(keyExpr.isin(dirtyKeys.toSeq: _*))
+        t("cubeRows(affected).collect") {
+          graft.core.Catalog.cubePartials(affected,
+            Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+            .withColumn("id",
+              to_json(struct(col("l_returnflag"), col("l_linestatus"))))
+            .collect()
+        }
+        t("refreshStale(real)")(cat.refreshStale("prof_rf"))
+        t("aggregate(routed)")(cat.aggregate("prof_rf",
+          Seq("l_returnflag"), Seq("l_quantity")).count())
+      }
+
       println("--- v_ann_pq ---")
       t("TOTAL v_ann_pq") {
         val embs = Tables.load(spark, sfDir, "embeddings")

@@ -568,6 +568,62 @@ trait CatalogCubes { self: Catalog =>
     }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
   }
 
+  /** PURE-INSERT cube delta (the ingest hot path): the affected groups'
+    * new cells are the MERGE of their stored partials with the batch's
+    * partials — `__cnt`/`__cntm` sums of sums, `__sum` decimal sums,
+    * `__min`/`__max` of mins/maxes, all exact because inserts only add
+    * rows — so the refresh reads the batch plan (batch-sized pinned
+    * blocks) plus the group-count-sized stored cube and NEVER scans the
+    * base table. [[patchCube]]'s recompute path (two full passes: the
+    * touched rows' group keys, then the affected groups' rows) remains
+    * for deletes and relevant cell edits, where merging is impossible.
+    * Identical stored state by the very law the cube serves with:
+    * [[serveCubeAggregate]] re-merges stored rows the same way.
+    */
+  private[core] def patchCubeInsert(name: String, s: EditorSession,
+                              slot: String, c: CubeLayout,
+                              rows: DataFrame): Unit = {
+    val batch = cubeRows(rows, c.groupCols, c.measures)
+    val keys: Array[Any] = batch.select("id").collect().map(_.get(0))
+    if (keys.contains(null)) { rebuildSlot(name, c); return } // no shadow key
+    val storedAffected = patchedCube(c)
+      .filter(col("id").isInCollection(keys.toIndexedSeq)).drop("id")
+    val add0 = Catalog.cubeMergePartials(
+        storedAffected.unionByName(batch.drop("id")),
+        c.groupCols, c.measures)
+      .withColumn("id", to_json(struct(c.groupCols.map(col): _*)))
+    val legs = mergeLegs(keys, c.patch, add0)
+    applyLegs(name, slot, s, legs, c.groupCols ++ c.measures) { lg =>
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(c.path), lg, "id", "catalog_cube_",
+        "cube", c.groupCols ++ c.measures,
+        Some((to_json(struct(c.groupCols.map(col): _*)),
+          c.groupCols ++ c.measures)))
+      c.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => c.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
+  }
+
+  /** PURE-INSERT pairs delta: inserts only ADD tuples, so the add-leg is
+    * simply the batch's distinct tuples (an already-stored tuple shadows
+    * and re-adds the identical row) — batch-sized work, no base scan.
+    */
+  private[core] def patchPairsInsert(name: String, s: EditorSession,
+                               slot: String, l: PairsLayout,
+                               rows: DataFrame): Unit = {
+    val cols = l.groupCols :+ l.col
+    val add0 = pairsRows(rows, l.groupCols, l.col)
+    val keys: Array[Any] = add0.select("id").collect().map(_.get(0))
+    if (keys.contains(null)) { rebuildSlot(name, l); return } // no shadow key
+    val legs = mergeLegs(keys, l.patch, add0)
+    applyLegs(name, slot, s, legs, cols) { lg =>
+      val (_, path) = compactKeyed(name, slot, s,
+        spark.read.parquet(l.path), lg, "id", "catalog_pairs_",
+        "pairs", cols,
+        Some((to_json(struct(cols.map(col): _*)), cols)))
+      l.copy(builtAtEpoch = s.epoch, path = path, patch = None)
+    }(patch => l.copy(builtAtEpoch = s.epoch, patch = Some(patch)))
+  }
+
   /** Cube delta for gestures that spare the group columns: the affected
     * groups are the touched rows' CURRENT group tuples plus (for
     * deletes) the victims' pre-delete tuples — recompute those groups'

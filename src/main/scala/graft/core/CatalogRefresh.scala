@@ -128,7 +128,8 @@ trait CatalogRefresh { self: Catalog =>
 
     def grouped(groupCols: Set[String], valueCols: Set[String],
                 revalidate: () => Unit,
-                patch: (Seq[Long], Option[DataFrame]) => Unit): Unit =
+                patch: (Seq[Long], Option[DataFrame]) => Unit,
+                insertMerge: Option[DataFrame => Unit] = None): Unit =
       delta match {
         case None => rebuildSlot(name, l)
         case Some(d) =>
@@ -138,6 +139,17 @@ trait CatalogRefresh { self: Catalog =>
             (if (editsRelevant) d.dirtyPos else Seq.empty) ++ d.insertedPos
           if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
             revalidate()
+          else if (!editsRelevant && !d.hasDeletes &&
+              touched.size <= deltaMaxRows && d.insertedRows.isDefined &&
+              insertMerge.isDefined)
+            // PURE-INSERT delta with retained batch plans: the stored
+            // partials merge with batch-sized partials directly — no
+            // pass over the base table at all (the recompute path below
+            // costs two full scans: touched-row group keys + affected-
+            // group recompute). Exact by the same commutative-merge law
+            // the layout serves with; deletes/relevant edits keep the
+            // recompute path.
+            insertMerge.get(d.insertedRows.get)
           else if (d.dirtyCols.intersect(groupCols).nonEmpty ||
               (d.hasDeletes && d.deletedRows.isEmpty) ||
               touched.size > deltaMaxRows || d.deleteCount > deltaMaxRows)
@@ -189,7 +201,8 @@ trait CatalogRefresh { self: Catalog =>
       case p: CubeLayout =>
         grouped(p.groupCols.toSet, p.measures.toSet,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, victims) => patchCube(name, s, slot, p, pos, victims))
+          (pos, victims) => patchCube(name, s, slot, p, pos, victims),
+          Some(rows => patchCubeInsert(name, s, slot, p, rows)))
       case p: SketchLayout =>
         grouped(p.groupCols.toSet, Set(p.col),
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
@@ -199,7 +212,8 @@ trait CatalogRefresh { self: Catalog =>
         // pre-edit tuple is unrecoverable), row motion delta-patches
         grouped((p.groupCols :+ p.col).toSet, Set.empty,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, victims) => patchPairs(name, s, slot, p, pos, victims))
+          (pos, victims) => patchPairs(name, s, slot, p, pos, victims),
+          Some(rows => patchPairsInsert(name, s, slot, p, rows)))
       // an id-keyed full-row layout (ranged / z-ordered) is
       // DML-patchable: every cell edit touches a stored row (all
       // columns are stored), so the only revalidation case is a

@@ -247,8 +247,17 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
                                 pre: Option[DataFrame]) extends MutKind
   /** `n` rows inserted at positions `[at, at+n)` (post-gesture
     * coordinates); pre-existing rows at ≥ `at` shifted up by `n`.
+    * `rows` = the inserted rows' POSITION-FREE contents as a lazy plan
+    * over pinned blocks (append pins its batch, paste's clipboard chains
+    * to the checkpointed base — capturing either costs nothing at
+    * gesture time). It feeds the grouped layouts' INSERT-MERGE refresh
+    * (stored partials + batch partials, no base scan); dropped when the
+    * gesture exceeds [[EditorSession.deltaMaxRows]] (such a delta
+    * rebuilds anyway) or when the retention window trims it — positions
+    * and count always survive, so the recompute path still works.
     */
-  private case class RowInserts(at: Long, n: Long) extends MutKind
+  private case class RowInserts(at: Long, n: Long,
+                                rows: Option[DataFrame]) extends MutKind
   private case object Structural extends MutKind
 
   private val mutLog = mutable.ArrayBuffer.empty[(Long, MutKind)]
@@ -275,22 +284,33 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
   private var mutSeqNext = 0L // seq the next appended entry gets
   private var mutSeqBase = 0L // seq of mutLog(0)
 
+  /** Track a plan-bearing entry and trim AT MOST ONE past the retention
+    * window — the plan field is dropped, positions/counts stay.
+    */
+  private def retainPlan(seq: Long): Unit = {
+    victimSeqs.addLast(seq)
+    if (victimSeqs.size > victimPlanMax) {
+      val old = victimSeqs.pollFirst()
+      mutLog((old - mutSeqBase).toInt) match {
+        case (e, rd0: RowDeletes) =>
+          mutLog((old - mutSeqBase).toInt) = (e, rd0.copy(pre = None))
+        case (e, ri0: RowInserts) =>
+          mutLog((old - mutSeqBase).toInt) = (e, ri0.copy(rows = None))
+        case _ => ()
+      }
+    }
+  }
+
   private def logMutation(kind: MutKind): Unit = {
     mutLog += ((epochCounter, kind))
     val seq = mutSeqNext
     mutSeqNext += 1
     kind match {
-      case rd: RowDeletes if rd.pre.isDefined =>
-        victimSeqs.addLast(seq)
-        if (victimSeqs.size > victimPlanMax) {
-          // exactly the one entry that crossed the retention threshold
-          val old = victimSeqs.pollFirst()
-          mutLog((old - mutSeqBase).toInt) match {
-            case (e, rd0: RowDeletes) =>
-              mutLog((old - mutSeqBase).toInt) = (e, rd0.copy(pre = None))
-            case _ => ()
-          }
-        }
+      // one retention window for every plan-bearing entry (delete
+      // victims AND insert batches): each retained plan pins the blocks
+      // its lineage chains to, so the count is bounded regardless of mix
+      case rd: RowDeletes if rd.pre.isDefined => retainPlan(seq)
+      case ri: RowInserts if ri.rows.isDefined => retainPlan(seq)
       case _ => ()
     }
     if (mutLog.size > mutLogMax) {
@@ -329,18 +349,24 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       var deletes = 0L
       var victims = List.empty[DataFrame]
       var victimsOk = true
+      var insertPlans = List.empty[DataFrame]
+      var insertPlansOk = true
       var valid = true
       entries.foreach {
         case _ if !valid => ()
         case CellEdits(pos, cs) =>
           dirty ++= pos; cols ++= cs
-        case RowInserts(at, n) =>
+        case RowInserts(at, n, rows) =>
           def shiftUp(s: mutable.Set[Long]): Unit = {
             val moved = s.filter(_ >= at).toSeq
             s --= moved; s ++= moved.map(_ + n)
           }
           shiftUp(dirty); shiftUp(inserted)
           inserted ++= (at until at + n)
+          rows match {
+            case Some(df) => insertPlans ::= df
+            case None => insertPlansOk = false
+          }
         case RowDeletes(dpos, n, pre) =>
           deletes += n
           if (dpos.isEmpty && n > 0) {
@@ -380,6 +406,17 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
           // back to None if the union still can't analyze
           Try(victims.reduce(_.unionByName(_, allowMissingColumns = true)))
             .toOption
+        else None,
+        // the inserted rows' contents, batch plans unioned — only when
+        // every insert retained its plan AND nothing was deleted since
+        // (a deleted inserted row would make the retained plans
+        // overcount; consumers additionally guard on their own relevant
+        // columns being unedited). Same column-DDL schema-fill law as
+        // the victims union.
+        if (inserted.nonEmpty && insertPlansOk && deletes == 0 &&
+            insertPlans.nonEmpty)
+          Try(insertPlans.reduce(
+            _.unionByName(_, allowMissingColumns = true))).toOption
         else None))
     }
 
@@ -441,7 +478,7 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
               case None    => valid = false
             }
         }
-      case RowInserts(at, n) =>
+      case RowInserts(at, n, _) =>
         val movedD = dirty.filter(_._1 >= at).toSeq
         movedD.foreach { case (k, _) => dirty.remove(k) }
         movedD.foreach { case (k, v) => dirty(k + n) = v }
@@ -748,7 +785,12 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     case Some(clip) =>
       val at = math.max(0L, math.min(position, rowCount))
       rebind(RowOps.pasteRows(_, clip, at, Some(clipboardSize)),
-        RowInserts(at, clipboardSize))
+        RowInserts(at, clipboardSize,
+          // clipboard plans chain to the pinned pre-cut base — free to
+          // hold; oversized blocks rebuild anyway, don't pin them
+          if (clipboardSize <= EditorSession.deltaMaxRows)
+            Some(Positional.strip(clip))
+          else None))
       nRows += clipboardSize
       // pasteRows references the previous plan TWICE (upper/lower
       // split), so stacked pastes double evaluation work per gesture —
@@ -803,7 +845,13 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
       // blowup, in stream clothing)
       val shifted = clip.withColumn(Positional.POS,
         col(Positional.POS) + lit(at))
-      rebind(_.unionByName(shifted), RowInserts(at, n))
+      rebind(_.unionByName(shifted), RowInserts(at, n,
+        // the batch was just pinned by attachPosCounted — holding its
+        // position-free view costs nothing and feeds the grouped
+        // layouts' insert-merge refresh; oversized batches rebuild
+        // anyway, don't pin them
+        if (n <= EditorSession.deltaMaxRows) Some(Positional.strip(clip))
+        else None))
       nRows += n
     }
     n
@@ -904,7 +952,8 @@ object EditorSession {
     */
   final case class SessionDelta(dirtyPos: Seq[Long], dirtyCols: Set[String],
       insertedPos: Seq[Long], deleteCount: Long,
-      deletedRows: Option[DataFrame]) {
+      deletedRows: Option[DataFrame],
+      insertedRows: Option[DataFrame] = None) {
     def hasDeletes: Boolean = deleteCount > 0
     def touchedPos: Seq[Long] = dirtyPos ++ insertedPos
   }
