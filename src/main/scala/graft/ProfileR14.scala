@@ -122,6 +122,68 @@ object ProfileR14 {
         t("count")(sess.current.filter(col("l_quantity") === 42.0).count())
       }
 
+      println("--- r_edit_refresh internals ---")
+      locally {
+        val cat = new graft.core.Catalog(spark)
+        cat.openFrom("prof_er", Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") =!= 0L), Seq("vec_id"))
+        cat.buildPqLayout("prof_er", "vec_id", "embedding")
+        val q = Tables.load(spark, sfDir, "embeddings")
+          .filter(col("vec_id") === 0L).head()
+          .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        (1 to 2).foreach { i =>
+          t(s"edit#$i")(cat.get("prof_er").get
+            .setCell(i.toLong, "vec_id", (800000 + i).toString))
+          t(s"refreshStale#$i")(cat.refreshStale("prof_er"))
+          t(s"topK#$i")(cat.topK("prof_er", "vec_id", "embedding", q, 10).count())
+        }
+      }
+
+      println("--- r_dml_refresh internals ---")
+      locally {
+        val cat = new graft.core.Catalog(spark)
+        cat.open("prof_dr", s"$sfDir/orders.parquet",
+          orderCols = Seq("o_orderkey"))
+        t("buildRangedLayout")(cat.buildRangedLayout("prof_dr", "o_totalprice",
+          files = 8, idCol = Some("o_orderkey")))
+        (1 to 2).foreach { i =>
+          val sess = cat.get("prof_dr").get
+          t(s"edit+delete#$i") {
+            sess.setCell(i.toLong, "o_totalprice", (50000 + i).toString + ".5")
+            sess.deleteRow(100L + i)
+          }
+          t(s"refreshStale#$i")(cat.refreshStale("prof_dr"))
+          t(s"rangeScan#$i")(cat.rangeScan("prof_dr", "o_totalprice",
+            1000.0, 60000.0).count())
+          t(s"checkpoint#$i")(sess.checkpoint())
+        }
+      }
+
+      println("--- attachPos internals ---")
+      locally {
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val order = Seq("l_orderkey", "l_linenumber", "l_extendedprice").map(col)
+        val nParts = math.max(
+          spark.sessionState.conf.numShufflePartitions,
+          spark.sparkContext.defaultParallelism)
+        val sorted = t("plan repartitionByRange")(
+          li.repartitionByRange(nParts, order: _*)
+            .sortWithinPartitions(order: _*))
+        val pinned = t("localCheckpoint(lazy)")(
+          sorted.localCheckpoint(eager = false))
+        t("counts runJob (materialize)")(
+          spark.sparkContext.runJob(pinned.queryExecution.toRdd,
+            (it: Iterator[_]) => {
+              var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+            }))
+        // reference: raw scan + count, and scan + shuffle + count
+        t("raw scan count")(li.count())
+        t("scan+rbr+sort count(noop)")(
+          li.repartitionByRange(nParts, order: _*)
+            .sortWithinPartitions(order: _*)
+            .write.format("noop").mode("overwrite").save())
+      }
+
       println("--- r46_delete_splice ---")
       t("TOTAL r46_delete_splice") {
         val sess = t("open46")(EditorSession.fromDataFrame(

@@ -159,7 +159,8 @@ trait CatalogRefresh { self: Catalog =>
 
     def fullRow(idCol: Option[String], path: String,
                 revalidate: () => Unit,
-                patch: (Seq[Long], Boolean) => Unit): Unit =
+                patch: (Seq[Long], Boolean, Boolean,
+                  Option[DataFrame]) => Unit): Unit =
       (idCol, delta) match {
         case (Some(id), Some(d)) =>
           val storedCols = Try(spark.read.parquet(path).columns.toSet)
@@ -169,7 +170,8 @@ trait CatalogRefresh { self: Catalog =>
           else if (touched.isEmpty && !d.hasDeletes) revalidate()
           else if (touched.size <= deltaMaxRows &&
               d.deleteCount <= deltaMaxRows)
-            patch(touched, d.dirtyCols.contains(id) || d.hasDeletes)
+            patch(touched, d.dirtyCols.contains(id) || d.hasDeletes,
+              d.dirtyCols.contains(id), d.deletedRows)
           else rebuildSlot(name, l)
         case _ => rebuildSlot(name, l)
       }
@@ -222,15 +224,15 @@ trait CatalogRefresh { self: Catalog =>
       case p: RangedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
+          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
       case p: ZOrderedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
+          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
       case p: ZOrdered3Layout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchFullRow(name, s, slot, p, pos, ids))
+          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -246,7 +248,8 @@ trait CatalogRefresh { self: Catalog =>
     */
   private[core] def patchFullRow(name: String, s: EditorSession, slot: String,
                            l: TableLayout, pos: Seq[Long],
-                           idsTouched: Boolean): Unit = {
+                           idsTouched: Boolean, idEdited: Boolean = true,
+                           victims: Option[DataFrame] = None): Unit = {
     val (id, stats, oldPatch) = l match {
       case r: RangedLayout => (r.idCol.get, r.stats, r.patch)
       case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
@@ -256,13 +259,31 @@ trait CatalogRefresh { self: Catalog =>
     val changed = touchedRows(s, pos, id, Seq.empty).getOrElse {
       rebuildSlot(name, layouts((name, slot))); return // null key
     }
-    val nowIds = Positional.strip(s.current).select(col(id).as("id"))
-    val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
+    // Vanished-id derivation, cheapest sufficient form first: when the id
+    // column was never EDITED since the layout's epoch, the only ids that
+    // can have left the table are the delete victims' — probe exactly
+    // those for continued membership (duplicate ids: a victim id carried
+    // by a surviving row has NOT vanished) instead of the general
+    // `served EXCEPT now`, which scans and shuffles both full id sets.
+    // An id edit (old value unrecoverable) keeps the EXCEPT.
+    def vanished(): Array[Any] =
+      if (!idsTouched) Array.empty
+      else if (!idEdited && victims.isDefined) {
+        val victimIds = victims.get.select(col(id)).distinct()
+          .collect().map(_.get(0))
+        if (victimIds.isEmpty) Array.empty
+        else if (victimIds.contains(null)) Array(null) // guard rebuilds
+        else {
+          val still = Positional.strip(s.current)
+            .filter(col(id).isInCollection(victimIds.toIndexedSeq))
+            .select(col(id)).distinct().collect().map(_.get(0)).toSet
+          victimIds.filterNot(still.contains)
+        }
+      } else vanishedIds(
         patchedFullRows(fullRowBase(stats), Some(id), oldPatch)
-          .select(col(id).as("id")), nowIds)
-      else Array.empty[Any],
-      oldPatch, changed, keyName = id)
+          .select(col(id).as("id")),
+        Positional.strip(s.current).select(col(id).as("id")))
+    val legs = mergeLegs(vanished(), oldPatch, changed, keyName = id)
     if (legs.removed.exists(_ == null)) {
       rebuildSlot(name, layouts((name, slot))) // null shadow key
       return
