@@ -111,7 +111,8 @@ trait CatalogRefresh { self: Catalog =>
     val delta = s.deltaSince(l.builtAtEpoch)
 
     def keyed(idCol: String, valCol: String, revalidate: () => Unit,
-              patch: (Seq[Long], Boolean) => Unit): Unit = delta match {
+              patch: (Seq[Long], Boolean, Option[Array[Any]]) => Unit)
+        : Unit = delta match {
       case None => rebuildSlot(name, l)
       case Some(d) =>
         val editsRelevant =
@@ -121,8 +122,11 @@ trait CatalogRefresh { self: Catalog =>
         if (!editsRelevant && d.insertedPos.isEmpty && !d.hasDeletes)
           revalidate()
         else if (touched.size <= deltaMaxRows &&
-            d.deleteCount <= deltaMaxRows)
-          patch(touched, d.dirtyCols.contains(idCol) || d.hasDeletes)
+            d.deleteCount <= deltaMaxRows) {
+          val idsTouched = d.dirtyCols.contains(idCol) || d.hasDeletes
+          patch(touched, idsTouched,
+            fastVanished(s, l.builtAtEpoch, idCol, idsTouched))
+        }
         else rebuildSlot(name, l)
     }
 
@@ -159,8 +163,8 @@ trait CatalogRefresh { self: Catalog =>
 
     def fullRow(idCol: Option[String], path: String,
                 revalidate: () => Unit,
-                patch: (Seq[Long], Boolean, Boolean,
-                  Option[DataFrame]) => Unit): Unit =
+                patch: (Seq[Long], Boolean, Boolean, Option[DataFrame],
+                  Option[Array[Any]]) => Unit): Unit =
       (idCol, delta) match {
         case (Some(id), Some(d)) =>
           val storedCols = Try(spark.read.parquet(path).columns.toSet)
@@ -169,9 +173,11 @@ trait CatalogRefresh { self: Catalog =>
           if (!d.dirtyCols.subsetOf(storedCols)) rebuildSlot(name, l)
           else if (touched.isEmpty && !d.hasDeletes) revalidate()
           else if (touched.size <= deltaMaxRows &&
-              d.deleteCount <= deltaMaxRows)
-            patch(touched, d.dirtyCols.contains(id) || d.hasDeletes,
-              d.dirtyCols.contains(id), d.deletedRows)
+              d.deleteCount <= deltaMaxRows) {
+            val idsTouched = d.dirtyCols.contains(id) || d.hasDeletes
+            patch(touched, idsTouched, d.dirtyCols.contains(id),
+              d.deletedRows, fastVanished(s, l.builtAtEpoch, id, idsTouched))
+          }
           else rebuildSlot(name, l)
         case _ => rebuildSlot(name, l)
       }
@@ -180,19 +186,19 @@ trait CatalogRefresh { self: Catalog =>
       case p: PqCodesLayout =>
         keyed(p.idCol, p.vecCol,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchPq(name, s, slot, p, pos, ids))
+          (pos, ids, fv) => patchPq(name, s, slot, p, pos, ids, fv))
       case p: IvfPqCellLayout =>
         keyed(p.idCol, p.vecCol,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchIvfPq(name, s, slot, p, pos, ids))
+          (pos, ids, fv) => patchIvfPq(name, s, slot, p, pos, ids, fv))
       case p: LshIndexLayout =>
         keyed(p.idCol, p.textCol,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchLsh(name, s, slot, p, pos, ids))
+          (pos, ids, fv) => patchLsh(name, s, slot, p, pos, ids, fv))
       case p: PostingsLayout =>
         keyed(p.idCol, p.textCol,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids) => patchPostings(name, s, slot, p, pos, ids,
+          (pos, ids, fv) => patchPostings(name, s, slot, p, pos, ids, fv,
             // a text edit, an inserted doc, or a row delete moves the
             // corpus scalars a routed BM25 reads; an id-only rename
             // (no row motion) keeps both — decided from the delta this
@@ -224,15 +230,18 @@ trait CatalogRefresh { self: Catalog =>
       case p: RangedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
+          (pos, ids, idEd, victims, fv) =>
+            patchFullRow(name, s, slot, p, pos, ids, idEd, victims, fv))
       case p: ZOrderedLayout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
+          (pos, ids, idEd, victims, fv) =>
+            patchFullRow(name, s, slot, p, pos, ids, idEd, victims, fv))
       case p: ZOrdered3Layout =>
         fullRow(p.idCol, p.path,
           () => layouts((name, slot)) = p.copy(builtAtEpoch = s.epoch),
-          (pos, ids, idEd, victims) => patchFullRow(name, s, slot, p, pos, ids, idEd, victims))
+          (pos, ids, idEd, victims, fv) =>
+            patchFullRow(name, s, slot, p, pos, ids, idEd, victims, fv))
       case _ => rebuildSlot(name, l)
     }
   }
@@ -249,7 +258,8 @@ trait CatalogRefresh { self: Catalog =>
   private[core] def patchFullRow(name: String, s: EditorSession, slot: String,
                            l: TableLayout, pos: Seq[Long],
                            idsTouched: Boolean, idEdited: Boolean = true,
-                           victims: Option[DataFrame] = None): Unit = {
+                           victims: Option[DataFrame] = None,
+                           fastVan: Option[Array[Any]] = None): Unit = {
     val (id, stats, oldPatch) = l match {
       case r: RangedLayout => (r.idCol.get, r.stats, r.patch)
       case z: ZOrderedLayout => (z.idCol.get, z.stats, z.patch)
@@ -259,15 +269,16 @@ trait CatalogRefresh { self: Catalog =>
     val changed = touchedRows(s, pos, id, Seq.empty).getOrElse {
       rebuildSlot(name, layouts((name, slot))); return // null key
     }
-    // Vanished-id derivation, cheapest sufficient form first: when the id
-    // column was never EDITED since the layout's epoch, the only ids that
-    // can have left the table are the delete victims' — probe exactly
-    // those for continued membership (duplicate ids: a victim id carried
-    // by a surviving row has NOT vanished) instead of the general
-    // `served EXCEPT now`, which scans and shuffles both full id sets.
-    // An id edit (old value unrecoverable) keeps the EXCEPT.
+    // Vanished-id derivation, cheapest sufficient form first: the change
+    // feed + retained-epoch-plan probe ([[fastVanished]], r15 — covers id
+    // EDITS too, because the feed's since-coordinates recover the
+    // pre-edit value current state cannot); then the r14 victims probe
+    // (no id edit → the only candidates are the delete victims' ids);
+    // the general `served EXCEPT now` — two full id scans and exchanges —
+    // only when neither bounded form applies.
     def vanished(): Array[Any] =
       if (!idsTouched) Array.empty
+      else if (fastVan.isDefined) fastVan.get
       else if (!idEdited && victims.isDefined) {
         val victimIds = victims.get.select(col(id)).distinct()
           .collect().map(_.get(0))
@@ -550,6 +561,54 @@ trait CatalogRefresh { self: Catalog =>
     }
   }
 
+  /** The EXACT vanished-id set computed WITHOUT the `served EXCEPT now`
+    * set difference (two full id scans + two exchanges + an aggregate),
+    * via the session's mutation log: the only ids that can have left the
+    * table since the layout's epoch belong to rows the change feed lists
+    * as updated or deleted, the feed carries their SINCE-epoch positions,
+    * and the retained epoch plan ([[EditorSession.planAt]]) still serves
+    * their PRE-gesture contents — so the candidates are one bounded
+    * position-filtered read of the old plan, probed for continued
+    * membership with one bounded id-filtered read of the current plan
+    * (duplicate ids: a candidate id any surviving row still carries has
+    * NOT vanished — exactly the EXCEPT's law). Unlike the r14 victims
+    * probe this covers id EDITS too (the feed's since-coordinates recover
+    * the pre-edit row, which current state cannot).
+    *
+    * None (caller keeps its EXCEPT / victims-probe fallback) when the
+    * feed or the epoch plan is unrecoverable (structural gesture, mass
+    * delete, history/log trimmed past the epoch, delta over the feed
+    * bound) or when a candidate id is NULL — a null id can't probe
+    * through `isInCollection`, and the EXCEPT path's null handling (which
+    * routes to a rebuild downstream) must stay exactly as it was.
+    */
+  private[core] def fastVanished(s: EditorSession, builtAtEpoch: Long,
+                                 idCol: String,
+                                 idsTouched: Boolean): Option[Array[Any]] = {
+    if (!idsTouched) return Some(Array.empty[Any])
+    val out = s.changeFeedSince(builtAtEpoch, s.epoch).flatMap { cf =>
+      s.planAt(builtAtEpoch).flatMap { oldPlan =>
+        val sincePos = (cf.updatedPos.map(_._2) ++ cf.deletedPos).distinct
+        if (sincePos.isEmpty) Some(Array.empty[Any])
+        else {
+          val cands = oldPlan
+            .filter(col(Positional.POS).isInCollection(sincePos))
+            .select(col(idCol)).distinct().collect().map(_.get(0))
+          if (cands.contains(null)) None
+          else if (cands.isEmpty) Some(Array.empty[Any])
+          else {
+            val still = Positional.strip(s.current)
+              .filter(col(idCol).isInCollection(cands.toIndexedSeq))
+              .select(col(idCol)).distinct().collect().map(_.get(0)).toSet
+            Some(cands.filterNot(still.contains))
+          }
+        }
+      }
+    }
+    if (out.isDefined) Catalog.fastVanishedHits.incrementAndGet()
+    out
+  }
+
   /** `servedIds EXCEPT nowIds` collected — the ids a patch must shadow
     * because they vanished from the session (deleted rows, renamed-away
     * ids). An id-only column-pruned pass; its result is bounded by the
@@ -558,8 +617,10 @@ trait CatalogRefresh { self: Catalog =>
     * #1: an unbounded delete used to collect every removed id here).
     */
   private[core] def vanishedIds(servedIds: DataFrame,
-                          nowIds: DataFrame): Array[Any] =
+                          nowIds: DataFrame): Array[Any] = {
+    Catalog.exceptFallbacks.incrementAndGet()
     servedIds.except(nowIds).collect().map(_.get(0))
+  }
 
   /** Merge the previous patch (if any) with this refresh's delta.
     * `add0` = freshly encoded rows of the touched ids; `removedNew0` =
@@ -717,17 +778,18 @@ trait CatalogRefresh { self: Catalog =>
 
   private[core] def patchPq(name: String, s: EditorSession, slot: String,
                       p: PqCodesLayout, pos: Seq[Long],
-                      idsTouched: Boolean): Unit = {
+                      idsTouched: Boolean,
+                      fastVan: Option[Array[Any]] = None): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
       .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Similarity.pqCodes(changed, p.idCol,
       p.vecCol, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
+      if (!idsTouched) Array.empty[Any]
+      else fastVan.getOrElse(vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-        nowIds)
-      else Array.empty[Any],
+        nowIds)),
       p.patch, add0)
     applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
       // merge-compact: codes copy, no re-encode
@@ -741,17 +803,18 @@ trait CatalogRefresh { self: Catalog =>
 
   private[core] def patchIvfPq(name: String, s: EditorSession, slot: String,
                          p: IvfPqCellLayout, pos: Seq[Long],
-                         idsTouched: Boolean): Unit = {
+                         idsTouched: Boolean,
+                         fastVan: Option[Array[Any]] = None): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.vecCol))
       .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Similarity.ivfPqEncodeWith(changed, p.idCol,
       p.vecCol, p.cents, p.seeds, p.m)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
+      if (!idsTouched) Array.empty[Any]
+      else fastVan.getOrElse(vanishedIds(
         patchedCodes(spark.read.parquet(p.path), p.patch).select("id"),
-        nowIds)
-      else Array.empty[Any],
+        nowIds)),
       p.patch, add0)
     applyLegs(name, slot, s, legs, Seq(p.idCol, p.vecCol)) { lg =>
       // merge-compact: cell-partitioned codes copy
@@ -772,16 +835,17 @@ trait CatalogRefresh { self: Catalog =>
     */
   private[core] def patchLsh(name: String, s: EditorSession, slot: String,
                        p: LshIndexLayout, pos: Seq[Long],
-                       idsTouched: Boolean): Unit = {
+                       idsTouched: Boolean,
+                       fastVan: Option[Array[Any]] = None): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
       .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
     val add0 = graft.operators.Dedup.lshIndex(changed, p.idCol, p.textCol,
       p.n, p.numHashes, p.bands)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val legs = mergeLegs(
-      if (idsTouched)
-        vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)
-      else Array.empty[Any],
+      if (!idsTouched) Array.empty[Any]
+      else fastVan.getOrElse(
+        vanishedIds(patchedCodes(p.index, p.patch).select("id"), nowIds)),
       p.patch, add0)
     applyLegs(name, slot, s, legs, Seq(p.idCol, p.textCol)) { lg =>
       // merge-compact: index copy, corpus never re-shingled
@@ -802,6 +866,7 @@ trait CatalogRefresh { self: Catalog =>
   private[core] def patchPostings(name: String, s: EditorSession, slot: String,
                             p: PostingsLayout, pos: Seq[Long],
                             idsTouched: Boolean,
+                            fastVan: Option[Array[Any]],
                             remeasure: Boolean): Unit = {
     val changed = touchedRows(s, pos, p.idCol, Seq(p.idCol, p.textCol))
       .getOrElse { rebuildSlot(name, p); return } // null key: no shadow
@@ -809,9 +874,9 @@ trait CatalogRefresh { self: Catalog =>
       p.textCol, p.buckets)
     val nowIds = Positional.strip(s.current).select(col(p.idCol).as("id"))
     val legs = mergeLegs(
-      if (idsTouched) vanishedIds(
-        patchedPostings(p).select(col("doc").as("id")), nowIds)
-      else Array.empty[Any],
+      if (!idsTouched) Array.empty[Any]
+      else fastVan.getOrElse(vanishedIds(
+        patchedPostings(p).select(col("doc").as("id")), nowIds)),
       p.patch, add0)
     // the re-measure is one projection-agg pass, no explode, no
     // index rewrite — the exact-stats cost of the delta

@@ -274,23 +274,29 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     */
   private val victimPlanMax = 256
 
-  /** Sequence numbers of the pre-bearing delete entries still holding
-    * their plan, oldest first. `mutLog(seq - mutSeqBase)` is the entry,
-    * so appending trims AT MOST ONE entry past the retention window —
-    * O(1) amortized per gesture instead of rescanning the whole log
-    * (ADVICE r10: the rescan was O(log size) driver work per cell edit).
+  /** Sequence numbers of the plan-bearing entries still holding their
+    * plan, oldest first — ONE deque per kind (r14 ADVICE #2: a shared
+    * window let an insert-heavy session evict delete pre-plans and
+    * silently degrade grouped-layout delete patches to rebuilds; each
+    * kind now keeps its own [[victimPlanMax]] budget, so the pinned-plan
+    * count stays bounded at 2× the window regardless of mix).
+    * `mutLog(seq - mutSeqBase)` is the entry, so appending trims AT MOST
+    * ONE entry past the retention window — O(1) amortized per gesture
+    * instead of rescanning the whole log (ADVICE r10: the rescan was
+    * O(log size) driver work per cell edit).
     */
   private val victimSeqs = new java.util.ArrayDeque[Long]()
+  private val insertSeqs = new java.util.ArrayDeque[Long]()
   private var mutSeqNext = 0L // seq the next appended entry gets
   private var mutSeqBase = 0L // seq of mutLog(0)
 
   /** Track a plan-bearing entry and trim AT MOST ONE past the retention
     * window — the plan field is dropped, positions/counts stay.
     */
-  private def retainPlan(seq: Long): Unit = {
-    victimSeqs.addLast(seq)
-    if (victimSeqs.size > victimPlanMax) {
-      val old = victimSeqs.pollFirst()
+  private def retainPlan(seq: Long, q: java.util.ArrayDeque[Long]): Unit = {
+    q.addLast(seq)
+    if (q.size > victimPlanMax) {
+      val old = q.pollFirst()
       mutLog((old - mutSeqBase).toInt) match {
         case (e, rd0: RowDeletes) =>
           mutLog((old - mutSeqBase).toInt) = (e, rd0.copy(pre = None))
@@ -306,21 +312,20 @@ class EditorSession private (val spark: SparkSession, table0: DataFrame,
     val seq = mutSeqNext
     mutSeqNext += 1
     kind match {
-      // one retention window for every plan-bearing entry (delete
-      // victims AND insert batches): each retained plan pins the blocks
-      // its lineage chains to, so the count is bounded regardless of mix
-      case rd: RowDeletes if rd.pre.isDefined => retainPlan(seq)
-      case ri: RowInserts if ri.rows.isDefined => retainPlan(seq)
+      case rd: RowDeletes if rd.pre.isDefined => retainPlan(seq, victimSeqs)
+      case ri: RowInserts if ri.rows.isDefined => retainPlan(seq, insertSeqs)
       case _ => ()
     }
     if (mutLog.size > mutLogMax) {
       mutLogFloor = mutLog.head._1
       mutLog.remove(0)
       mutSeqBase += 1
-      // the departed entry may still be the deque's oldest (fewer than
-      // victimPlanMax deletes since): its plan left the log with it
+      // the departed entry may still be a deque's oldest (fewer than
+      // victimPlanMax of its kind since): its plan left the log with it
       if (!victimSeqs.isEmpty && victimSeqs.peekFirst() < mutSeqBase)
         victimSeqs.pollFirst()
+      if (!insertSeqs.isEmpty && insertSeqs.peekFirst() < mutSeqBase)
+        insertSeqs.pollFirst()
       ()
     }
   }
@@ -1307,6 +1312,18 @@ class Catalog(private[core] val spark: SparkSession,
 
 object Catalog {
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Dev observability for the vanished-id derivation tiers (r15):
+    * how many refreshes answered via the bounded change-feed probe
+    * ([[CatalogRefresh.fastVanished]]) vs the full `served EXCEPT now`.
+    * Specs read these to prove the fast tier actually fired (a
+    * semantics-equal test would otherwise pass vacuously through the
+    * fallback).
+    */
+  private[graft] val fastVanishedHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val exceptFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Control signal: a vacuum pass that cannot read a referenced-file
     * sidecar aborts (deleting nothing) rather than guess. Stackless —

@@ -20,4 +20,12 @@ object GraftShims {
 
   /** The Catalyst expression behind a (classic) Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Block until the listener bus has delivered every queued event (or
+    * the timeout elapses). Test instrumentation that counts records via a
+    * SparkListener must drain the ASYNC bus before sampling — a fixed
+    * sleep undercounts under load (r14 ADVICE #3).
+    */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -31,8 +31,9 @@ class InsertMergeRefreshSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val r = f
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async; drain the bus before sampling the
+      // counter (a fixed sleep undercounts under load — r14 ADVICE #3)
+      org.apache.spark.sql.GraftShims.waitListenerBus(spark, 30000L)
       (r, n)
     } finally spark.sparkContext.removeSparkListener(l)
   }
