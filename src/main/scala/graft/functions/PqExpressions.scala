@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -32,6 +34,15 @@ import org.apache.spark.sql.types._
   *    (zip_with null-pads, the fold absorbs), and the struct argmin's
   *    null-first ordering then ties down to codeword 0 — so these return
   *    code 0 for that subspace;
+  *  - a whole-NULL vector is the same law taken to every subspace:
+  *    `slice(NULL)` is null, so the HOF argmin gave code 0 per subspace —
+  *    codes `[0,…,0]` and the FINITE adist `Σ_j table(j)(0)`, never a
+  *    NULL result (r14 ADVICE: the first native cut used nullSafeEval,
+  *    which returned NULL and would have re-ranked a NULL-vector row to
+  *    the TOP of an ascending adist sort; [[PqNullVectorSpec]] pins the
+  *    HOF form as the executable spec). [[PqMinDist]] alone stays
+  *    null-propagating — its HOF fold summed per-subspace nulls into a
+  *    null objective;
   *  - ADC: `Σ_j table[j][code_j]` folded left from 0.0 in subspace order.
   */
 private[graft] object PqKernel {
@@ -103,6 +114,11 @@ private[graft] object PqKernel {
     best
   }
 
+  /** The empty vector standing in for a whole-NULL input (see the
+    * object scaladoc's null law).
+    */
+  val emptyVec: ArrayData = new GenericArrayData(new Array[Any](0))
+
   /** Parse a codebook literal (array<array<array<float>>>:
     * subspace → codeword → components) into primitive arrays once.
     */
@@ -161,6 +177,7 @@ case class PqEncode(vec: Expression, codebook: Expression, scaleE: Expression)
     extends PqExpressionBase {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "pq_encode"
 
   def compute(a: ArrayData): ArrayData = {
@@ -174,12 +191,23 @@ case class PqEncode(vec: Expression, codebook: Expression, scaleE: Expression)
     new GenericArrayData(out)
   }
 
-  override def nullSafeEval(a: Any, c: Any, s: Any): Any =
-    compute(a.asInstanceOf[ArrayData])
+  /** NULL vector → the empty-array law: every subspace short → code 0,
+    * matching the HOF form's null-first argmin (object scaladoc).
+    */
+  def computeAny(a: Any): ArrayData =
+    compute(if (a == null) PqKernel.emptyVec else a.asInstanceOf[ArrayData])
+
+  override def eval(input: InternalRow): Any = computeAny(vec.eval(input))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
-    nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.compute($a);")
+    val vecCode = vec.genCode(ctx)
+    ev.copy(
+      code = vecCode.code + code"""
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $ref.computeAny(${vecCode.isNull} ? null : (Object) ${vecCode.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
@@ -238,6 +266,7 @@ case class PqAdist(vec: Expression, codebook: Expression, scaleE: Expression,
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
   override def prettyName: String = "pq_adist"
 
   def compute(a: ArrayData): Double = {
@@ -251,12 +280,24 @@ case class PqAdist(vec: Expression, codebook: Expression, scaleE: Expression,
     acc
   }
 
-  override def nullSafeEval(a: Any, c: Any, s: Any, t: Any): Any =
-    compute(a.asInstanceOf[ArrayData])
+  /** NULL vector → the empty-array law: code 0 per subspace, so the
+    * FINITE `Σ_j table(j)(0)` — the HOF form's result (object scaladoc),
+    * never a NULL that would sort to the top of an ascending rank.
+    */
+  def computeAny(a: Any): Double =
+    compute(if (a == null) PqKernel.emptyVec else a.asInstanceOf[ArrayData])
+
+  override def eval(input: InternalRow): Any = computeAny(vec.eval(input))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqAdist", this, classOf[PqAdist].getName)
-    nullSafeCodeGen(ctx, ev, (a, _, _, _) => s"${ev.value} = $ref.compute($a);")
+    val vecCode = vec.genCode(ctx)
+    ev.copy(
+      code = vecCode.code + code"""
+        |double ${ev.value} =
+        |  $ref.computeAny(${vecCode.isNull} ? null : (Object) ${vecCode.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
