@@ -273,19 +273,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n).cache()
-    // Signatures via explode + hash-aggregate rather than the nested
-    // array-lambda fold: higher-order functions evaluate interpreted in
-    // Spark, while min() aggregates over an exploded (id, shingle) stream
-    // stay in whole-stage codegen with map-side partial aggregation —
-    // ~5x faster here and the shuffle carries one row per doc.
-    val sigCols = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
-    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
-    val banded = sigs
-      .select(col("id"), posexplode(lshBands(col("sig"), bands, r)).as(Seq("band_i", "band_h")))
+    // Banded keys via the native per-row expression (r15): bit-identical
+    // to the old explode + 32 × min(xxhash64) aggregates (that form's
+    // rationale — HOFs evaluate interpreted — no longer applies to a
+    // compiled expression), and the signature exchange disappears from
+    // the plan: candidates now derive from one narrow projection of the
+    // cached sets.
+    graft.functions.MinhashExpressions.register(df.sparkSession)
+    val banded = sets
+      .select(col("id"), posexplode(
+        call_function(graft.functions.MinhashExpressions.BANDS_FN,
+          col("sh"), lit(numHashes), lit(bands))).as(Seq("band_i", "band_h")))
     // Banded self-join for candidate pairs. The bucket-gather alternative
     // (groupBy bucket → collect_list → double-explode) looks like one fewer
     // exchange read, but measured 1.4-1.8x SLOWER at sf0.1: collect_list
@@ -331,17 +329,18 @@ object Dedup {
   def lshIndex(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n)
-    val sigCols = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
-    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
-    sets.join(sigs, "id")
+    // One narrow map-only projection (r15): the banded keys come from the
+    // native [[graft.functions.MinhashBands]] expression — bit-identical
+    // hashes to the old explode → 32 × min(xxhash64) aggregates → join
+    // form, WITHOUT the exchange, the join, or the double evaluation of
+    // the shingle sets that form paid per index build (and the HOF
+    // per-row fold it replaced evaluated interpreted — the same penalty
+    // the PQ expressions removed in r14).
+    graft.functions.MinhashExpressions.register(df.sparkSession)
+    shingleSets(df, idCol, textCol, n)
       .select(col("id"), col("sh"), col("n_sh"),
-        lshBands(col("sig"), bands, r).as("bands"))
+        call_function(graft.functions.MinhashExpressions.BANDS_FN,
+          col("sh"), lit(numHashes), lit(bands)).as("bands"))
   }
 
   /** Incremental near-dup matching: a new batch probed against a prebuilt
@@ -410,11 +409,12 @@ object Dedup {
                                   bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    graft.functions.MinhashExpressions.register(batch.sparkSession)
     val probe = shingleSets(batch, idCol, textCol, n)
       .select(col("id").as("batch_id"), col("sh").as("sh_b"),
         col("n_sh").as("n_b"),
-        lshBands(minhashSignature(col("sh"), numHashes), bands, r)
-          .as("__bands"))
+        call_function(graft.functions.MinhashExpressions.BANDS_FN,
+          col("sh"), lit(numHashes), lit(bands)).as("__bands"))
       .select(col("batch_id"), col("sh_b"), col("n_b"),
         posexplode(col("__bands")).as(Seq("band_i", "band_h")))
     val stored = index.select(col("id").as("corpus_id"),
