@@ -583,13 +583,24 @@ trait CatalogCubes { self: Catalog =>
   private[core] def patchCubeInsert(name: String, s: EditorSession,
                               slot: String, c: CubeLayout,
                               rows: DataFrame): Unit = {
+    // ONE pass over the batch (r15): the partial cells collect once
+    // (group-count-sized), the shadow keys read off them driver-side,
+    // and the merge job unions the collected cells back as a local
+    // relation — the old form aggregated the batch twice (a keys-only
+    // job, then again inside the merge job's plan), which is two passes
+    // over the delta at 100 TB too. Bit-equal: the merge sees the
+    // identical partial cells, just materialized.
     val batch = cubeRows(rows, c.groupCols, c.measures)
-    val keys: Array[Any] = batch.select("id").collect().map(_.get(0))
+    val batchCells = batch.collect()
+    val idIdx = batch.schema.fieldIndex("id")
+    val keys: Array[Any] = batchCells.map(_.get(idIdx))
     if (keys.contains(null)) { rebuildSlot(name, c); return } // no shadow key
+    val batchLocal = spark.createDataFrame(
+      java.util.Arrays.asList(batchCells: _*), batch.schema)
     val storedAffected = patchedCube(c)
       .filter(col("id").isInCollection(keys.toIndexedSeq)).drop("id")
     val add0 = Catalog.cubeMergePartials(
-        storedAffected.unionByName(batch.drop("id")),
+        storedAffected.unionByName(batchLocal.drop("id")),
         c.groupCols, c.measures)
       .withColumn("id", to_json(struct(c.groupCols.map(col): _*)))
     val legs = mergeLegs(keys, c.patch, add0)
@@ -610,10 +621,18 @@ trait CatalogCubes { self: Catalog =>
   private[core] def patchPairsInsert(name: String, s: EditorSession,
                                slot: String, l: PairsLayout,
                                rows: DataFrame): Unit = {
+    // ONE pass over the batch (r15): distinct tuples collect once; keys
+    // read off them driver-side and the legs merge consumes the local
+    // relation — the old form ran the distinct twice (keys job + the
+    // add-leg collect inside mergeLegs).
     val cols = l.groupCols :+ l.col
-    val add0 = pairsRows(rows, l.groupCols, l.col)
-    val keys: Array[Any] = add0.select("id").collect().map(_.get(0))
+    val add0p = pairsRows(rows, l.groupCols, l.col)
+    val addCells = add0p.collect()
+    val idIdx = add0p.schema.fieldIndex("id")
+    val keys: Array[Any] = addCells.map(_.get(idIdx))
     if (keys.contains(null)) { rebuildSlot(name, l); return } // no shadow key
+    val add0 = spark.createDataFrame(
+      java.util.Arrays.asList(addCells: _*), add0p.schema)
     val legs = mergeLegs(keys, l.patch, add0)
     applyLegs(name, slot, s, legs, cols) { lg =>
       val (_, path) = compactKeyed(name, slot, s,
