@@ -289,6 +289,13 @@ object Positional {
       }
     }
 
+  /** Dev seam for plan capture (PlanDumpR15): the fast path's sorted
+    * stage, pre-pin — the exchange the checkpoint otherwise hides.
+    */
+  private[graft] def fastSortedForDump(df: DataFrame, order: Seq[Column],
+                                       nParts: Int): Option[DataFrame] =
+    fastRangeSorted(df, order, nParts)
+
   /** Small-data variant: `row_number()` global window (single partition).
     * Used only for interactive-size tables; documented trade-off per
     * SURVEY.md §7.3.
