@@ -128,6 +128,15 @@ object Positional {
     */
   private[graft] var fastRangeEnabled: Boolean = true
 
+  /** Dev observability: how many attaches took the sampling-free fast
+    * path — specs assert on this so the old-vs-new equality tests can
+    * never pass vacuously through the fallback (which is exactly what
+    * happened when the first Column-shape matcher missed Spark 4's lazy
+    * ColumnNodeExpression wrapper).
+    */
+  private[graft] val fastRangeUses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val tokenTables =
     scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
   private[graft] def tokensFor(n: Int): Array[Int] =
@@ -151,16 +160,8 @@ object Positional {
     * / nested paths keep the classic exchange).
     */
   private def simpleKeyNames(order: Seq[Column]): Option[Seq[String]] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    val names = order.map(c =>
-      scala.util.Try(org.apache.spark.sql.GraftShims.expression(c)).toOption
-        .flatMap {
-          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-            Some(u.nameParts.head)
-          case a: AttributeReference => Some(a.name)
-          case _ => None
-        })
+    val names = order.map(c => scala.util.Try(
+      org.apache.spark.sql.GraftShims.simpleAttributeName(c)).toOption.flatten)
     if (names.forall(_.isDefined)) Some(names.map(_.get)) else None
   }
 
@@ -280,7 +281,9 @@ object Positional {
           keyExprs, fields.map(_.head.dataType), bounds, tokens))
         df.repartition(nParts, tokenCol).sortWithinPartitions(order: _*)
       } match {
-        case scala.util.Success(sorted) => Some(sorted)
+        case scala.util.Success(sorted) =>
+          fastRangeUses.incrementAndGet()
+          Some(sorted)
         case scala.util.Failure(e) =>
           System.err.println(
             s"[graft] attachPos fast range path failed, using " +

@@ -21,6 +21,21 @@ object GraftShims {
   /** The Catalyst expression behind a (classic) Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The column's name when it is a BARE single-part attribute reference
+    * (no sort direction, no expression, no nested path) — else None.
+    * Matched on the ColumnNode, because `expression(c)` wraps the node in
+    * a lazy `ColumnNodeExpression` that hides the attribute shape.
+    */
+  def simpleAttributeName(c: Column): Option[String] = c.node match {
+    case a: internal.UnresolvedAttribute
+        if !a.isMetadataColumn && a.nameParts.length == 1 =>
+      Some(a.nameParts.head)
+    case classic.ExpressionColumnNode(
+        a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) =>
+      Some(a.name)
+    case _ => None
+  }
+
   /** Block until the listener bus has delivered every queued event (or
     * the timeout elapses). Test instrumentation that counts records via a
     * SparkListener must drain the ASYNC bus before sampling — a fixed

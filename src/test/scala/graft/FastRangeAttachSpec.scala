@@ -25,8 +25,11 @@ class FastRangeAttachSpec extends SparkSpec {
     val ord = Seq("l_orderkey", "l_linenumber", "l_extendedprice").map(col)
     val classic = withClassic(Positional.attachPos(li, ord: _*))
       .select(col("l_orderkey"), col("l_linenumber"), col(Positional.POS))
+    val n0 = Positional.fastRangeUses.get()
     val fast = Positional.attachPos(li, ord: _*)
       .select(col("l_orderkey"), col("l_linenumber"), col(Positional.POS))
+    assert(Positional.fastRangeUses.get() > n0,
+      "the fast path must actually engage — this test is vacuous otherwise")
     assert(classic.except(fast).count() == 0)
     assert(fast.except(classic).count() == 0)
   }
